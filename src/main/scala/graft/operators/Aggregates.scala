@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Aggregate / sort / limit battery — reference operators A1-A9, O1-O5,
+  * F11 (SURVEY.md §2.4, §2.7).
+  *
+  * All aggregates are Spark built-ins → hash aggregate with map-side
+  * partials; only per-group partials cross the exchange. Float aggregates
+  * are rounded (4 dp) in BOTH engines to mask summation-order drift.
+  * `median` is Spark's exact median (3.4+), matching DuckDB's interpolating
+  * median on doubles.
+  */
+object Aggregates {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // A2/A5/A6/A7 per-group stats incl. median (reference: viz.py:228-229,
+    // 314-316, queries.py:81-91).
+    QueryDef("q15_agg_battery",
+      """SELECT event_type, count(*) AS n,
+        |       round(avg(value), 4) AS avg_value,
+        |       round(median(value), 4) AS med_value,
+        |       round(min(value), 4) AS min_value,
+        |       round(max(value), 4) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("value")), 4).as("avg_value"),
+          round(median(col("value")), 4).as("med_value"),
+          round(min(col("value")), 4).as("min_value"),
+          round(max(col("value")), 4).as("max_value"))
+        .orderBy(col("event_type"))
+    },
+
+    // A4/A7 global scalar stats (reference: viz.py:314, etl.py:214-218,
+    // viz.py:141-142).
+    QueryDef("q16_global_stats",
+      """SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |       CAST(min(ts) AS DATE) AS first_day,
+        |       CAST(max(ts) AS DATE) AS last_day
+        |FROM events""".stripMargin) { (s, d) =>
+      Tables.events(s, d).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        to_date(min(col("ts"))).as("first_day"),
+        to_date(max(col("ts"))).as("last_day"))
+    },
+
+    // A8/F11 max-normalization color math (reference: viz.py:241-255).
+    // The scalar max is cross-joined back (broadcast) — the normalization
+    // constant never forces a second fact scan at scale. floor() pins
+    // DuckDB-round vs Spark-truncate cast semantics.
+    QueryDef("q21_color_math",
+      """WITH cnts AS (
+        |  SELECT user_id % 10 AS grp, count(*) AS cnt FROM events GROUP BY 1
+        |), m AS (SELECT max(cnt) AS mx FROM cnts)
+        |SELECT grp, cnt,
+        |       CAST(floor(cnt * 255.0 / mx) AS INT) AS intensity,
+        |       255 - CAST(floor(cnt * 255.0 / mx) AS INT) AS inverse
+        |FROM cnts, m ORDER BY grp""".stripMargin) { (s, d) =>
+      val cnts = Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("grp"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = cnts.agg(max(col("cnt")).as("mx"))
+      val intensity = floor(col("cnt") * 255.0 / col("mx")).cast("int")
+      cnts.crossJoin(broadcast(m))
+        .select(col("grp"), col("cnt"),
+          intensity.as("intensity"),
+          (lit(255) - intensity).as("inverse"))
+        .orderBy(col("grp"))
+    },
+
+    // O1-O4 deterministic global top-k: orderBy+limit plans as
+    // TakeOrderedAndProject — per-partition top-k then a single merge, no
+    // global sort of the fact table.
+    QueryDef("q24_topk",
+      """SELECT event_id, round(value, 4) AS value_r FROM (
+        |  SELECT event_id, value FROM events
+        |  ORDER BY value DESC, event_id LIMIT 100
+        |) ORDER BY value DESC, event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("value"))
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(100)
+        .select(col("event_id"), round(col("value"), 4).as("value_r"))
+    }
+  )
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{QueryDef, Tables}
 
 /** The flagship pipeline: the Spark re-expression of the reference's
   * "accidents per district, with that day's weather" analytics
@@ -90,4 +90,7 @@ object Flagship {
       |LEFT JOIN daily d ON CAST(e.ts AS DATE) = d.day
       |GROUP BY b.lo, b.hi
       |ORDER BY b.lo""".stripMargin
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("q01_flagship", oracle)((s, d) => apply(s, d)))
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.Geo
+
+/** Geospatial operator queries exercising [[graft.functions.Geo]] —
+  * the reference's PostGIS workload re-expressed over testdata
+  * (SURVEY.md §2.8, §7.1: geometry → numeric-derived points/rings).
+  */
+object GeoQueries {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // F1/F9/F12 WKT point construction from numeric columns
+    // (reference etl.py:115-117). Both engines stringify doubles the same
+    // way for these 2-dp values (verified: '6.55', '100.0').
+    QueryDef("q18_wkt_point",
+      """SELECT event_id,
+        |       concat('POINT(', CAST(round(value, 2) AS VARCHAR), ' ',
+        |              CAST(user_id AS VARCHAR), ')') AS wkt
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          Geo.formatPointWkt(round(col("value"), 2), col("user_id")).as("wkt"))
+        .orderBy(col("event_id"))
+    },
+
+    // F2/F5/F6 + J1: points-in-polygon counts with REAL geometry machinery:
+    // square rings are built as coord arrays → formatted to WKT → parsed
+    // back (roundtrip) → ray-cast containment UDF against event points.
+    // The oracle expresses the same squares as range predicates; ring edges
+    // are offset (.005 / .5) so no data point lies on a boundary and the
+    // even-odd ray cast agrees exactly with closed-range semantics.
+    // Scale: polygons broadcast; one UDF probe per (point, polygon) — the
+    // BroadcastNestedLoopJoin shape of the reference's GIST-probed join.
+    QueryDef("q19_point_in_polygon",
+      """WITH polys AS (SELECT CAST(range AS INT) AS poly_id FROM range(0, 5))
+        |SELECT p.poly_id, count(e.event_id) AS n_inside
+        |FROM polys p
+        |LEFT JOIN events e
+        |  ON (e.value % 50) > 10 * p.poly_id + 0.005
+        | AND (e.value % 50) < 10 * p.poly_id + 9.995
+        | AND (e.user_id % 50) > 0.5
+        | AND (e.user_id % 50) < 49.5
+        |GROUP BY p.poly_id ORDER BY p.poly_id""".stripMargin) { (s, d) =>
+      val polys = s.range(0, 5).select(col("id").cast("int").as("poly_id"))
+        .withColumn("x0", col("poly_id") * 10 + 0.005)
+        .withColumn("x1", col("poly_id") * 10 + 9.995)
+        .withColumn("ring_wkt", Geo.formatPolygonWkt(array(
+          Geo.makePoint(col("x0"), lit(0.5)),
+          Geo.makePoint(col("x1"), lit(0.5)),
+          Geo.makePoint(col("x1"), lit(49.5)),
+          Geo.makePoint(col("x0"), lit(49.5)),
+          Geo.makePoint(col("x0"), lit(0.5)))))
+        .withColumn("ring", Geo.parsePolygonWkt(col("ring_wkt")))
+        .select(col("poly_id"), col("ring"))
+      val pts = Tables.events(s, d).select(col("event_id"),
+        (col("value") % 50).as("px"),
+        (col("user_id") % 50).cast("double").as("py"))
+      val perPoly = pts
+        .join(broadcast(polys), Geo.stContains(col("ring"), col("px"), col("py")))
+        .groupBy(col("poly_id")).agg(count(lit(1)).as("cnt"))
+      polys.select(col("poly_id"))
+        .join(perPoly, Seq("poly_id"), "left")
+        .select(col("poly_id"), coalesce(col("cnt"), lit(0L)).as("n_inside"))
+        .orderBy(col("poly_id"))
+    },
+
+    // F8 ST_DWithin analog: haversine distance (pure column math, no UDF)
+    // from each event-derived point to the origin, within 15000 km.
+    QueryDef("q20_haversine",
+      """SELECT event_id, round(dist_km, 4) AS dist_km FROM (
+        |  SELECT event_id,
+        |         2 * 6371.0 * asin(sqrt(
+        |           sin(radians(lat) / 2) * sin(radians(lat) / 2) +
+        |           cos(radians(lat)) * cos(radians(0)) *
+        |           sin(radians(lon) / 2) * sin(radians(lon) / 2))) AS dist_km
+        |  FROM (SELECT event_id, (value % 360) - 180 AS lon,
+        |               (user_id % 180) - 90 AS lat FROM events)
+        |) WHERE dist_km < 15000 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val pts = Tables.events(s, d).select(col("event_id"),
+        ((col("value") % 360) - 180).as("lon"),
+        ((col("user_id") % 180) - 90).cast("double").as("lat"))
+      pts.withColumn("dist_km",
+          Geo.haversineKm(col("lat"), col("lon"), lit(0.0), lit(0.0)))
+        .filter(col("dist_km") < 15000)
+        .select(col("event_id"), round(col("dist_km"), 4).as("dist_km"))
+        .orderBy(col("event_id"))
+    }
+  )
+}

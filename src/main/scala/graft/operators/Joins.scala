@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Join battery — reference operators J1-J5 (SURVEY.md §2.3).
+  *
+  * Scale shapes:
+  *  - J2 temporal equi join: the daily dimension (one row per day — bounded,
+  *    tiny) is BROADCAST so the fact stream never shuffles.
+  *  - J3 dimension-preserving count: the fact side is pre-aggregated by key
+  *    before joining the dimension — at 100 TB only the per-key partial
+  *    aggregates cross the exchange, never raw fact rows. q09 keeps the
+  *    literal left-join + count(col) form (broadcast dim probe) to pin the
+  *    reference's COUNT(ti.*) null semantics.
+  *  - J5 as-of join: implemented as union + last(ignoreNulls) over a
+  *    time-ordered window — one shuffle by user, NO pairwise join explosion
+  *    (a per-user purchases×clicks theta join would be quadratic in the hot
+  *    keys at scale).
+  */
+object Joins {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // J2 temporal equi left join on a computed date key
+    // (reference: queries.py:60-61, viz.py:110-112).
+    QueryDef("q08_temporal_join",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, round(avg(value), 4) AS day_avg
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_id, CAST(e.ts AS DATE) AS day, d.day_avg
+        |FROM events e
+        |LEFT JOIN daily d ON CAST(e.ts AS DATE) = d.day
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val daily = e.groupBy(to_date(col("ts")).as("day"))
+        .agg(round(avg(col("value")), 4).as("day_avg"))
+      e.join(broadcast(daily), to_date(col("ts")) === col("day"), "left")
+        .select(col("event_id"), to_date(col("ts")).as("day"), col("day_avg"))
+        .orderBy(col("event_id"))
+    },
+
+    // J3 dimension-preserving outer-count join with COUNT(col) null
+    // semantics: every nation appears, unmatched count 0
+    // (reference: queries.py:69-77 — COUNT(ti.*) counts matched rows only).
+    QueryDef("q09_dim_outer_count",
+      """SELECT n.n_name AS nation_name, count(s.s_suppkey) AS n_suppliers
+        |FROM nation n
+        |LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY nation_name""".stripMargin) { (s, d) =>
+      val n = Tables.nation(s, d)
+      val sup = Tables.supplier(s, d)
+      n.join(sup, sup("s_nationkey") === n("n_nationkey"), "left")
+        .groupBy(col("n_name").as("nation_name"))
+        .agg(count(col("s_suppkey")).as("n_suppliers"))
+        .orderBy(col("nation_name"))
+    },
+
+    // J1 range-containment theta join (the ST_Contains point-in-polygon
+    // analog, reference queries.py:57-59): inner join with the tiny bucket
+    // side broadcast (single pass over facts, the GIST-index analog), empty
+    // buckets restored dimension-side.
+    QueryDef("q10_size_buckets",
+      """WITH buckets AS (
+        |  SELECT CAST(range AS INT) AS lo, CAST(range + 10 AS INT) AS hi
+        |  FROM range(0, 60, 10)
+        |)
+        |SELECT b.lo, b.hi, count(p.p_partkey) AS n_parts,
+        |       round(avg(p.p_retailprice), 4) AS avg_price
+        |FROM buckets b
+        |LEFT JOIN part p ON p.p_size >= b.lo AND p.p_size < b.hi
+        |GROUP BY b.lo, b.hi ORDER BY b.lo""".stripMargin) { (s, d) =>
+      val b = s.range(0, 60, 10).select(
+        col("id").cast("int").as("lo"),
+        (col("id") + 10).cast("int").as("hi"))
+      val perBucket = Tables.part(s, d)
+        .join(broadcast(b), col("p_size") >= col("lo") && col("p_size") < col("hi"))
+        .groupBy(col("lo"), col("hi"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("p_retailprice")), 4).as("avg_price"))
+      b.join(perBucket, Seq("lo", "hi"), "left")
+        .select(col("lo"), col("hi"),
+          coalesce(col("cnt"), lit(0L)).as("n_parts"), col("avg_price"))
+        .orderBy(col("lo"))
+    },
+
+    // J4 key merge of dimension rows with filtered fact counts — the
+    // dashboard choropleth merge (reference: viz.py:234-238).
+    QueryDef("q11_key_merge",
+      """SELECT n.n_name AS nation_name, n.n_regionkey AS region_key,
+        |       COALESCE(f.cnt, 0) AS n_building
+        |FROM nation n
+        |LEFT JOIN (SELECT c_nationkey, count(*) AS cnt FROM customer
+        |           WHERE c_mktsegment = 'BUILDING' GROUP BY 1) f
+        |  ON n.n_nationkey = f.c_nationkey
+        |ORDER BY nation_name""".stripMargin) { (s, d) =>
+      val filtered = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
+      Tables.nation(s, d)
+        .join(broadcast(filtered), col("n_nationkey") === col("c_nationkey"), "left")
+        .select(col("n_name").as("nation_name"),
+          col("n_regionkey").as("region_key"),
+          coalesce(col("cnt"), lit(0L)).as("n_building"))
+        .orderBy(col("nation_name"))
+    },
+
+    // J5 lateral top-1 as-of join — the declared-but-unimplemented nearest-
+    // weather-before-accident query (reference: queries.py:164-191). For
+    // each purchase, the latest click by the same user at-or-before it.
+    // Union + last(ignoreNulls) over a time window: linear, one shuffle.
+    QueryDef("q12_asof_join",
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |         c.event_id AS click_id,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |)
+        |SELECT purchase_id, user_id, click_id FROM j WHERE rn = 1
+        |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      // kind 0 = click (the "quote" stream), 1 = purchase (the probe);
+      // at equal ts the click sorts first so `c.ts <= p.ts` includes it.
+      val tagged = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"), col("event_id"))
+        .unionByName(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("click_id",
+          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"))
+        .orderBy(col("purchase_id"))
+    }
+  )
+}

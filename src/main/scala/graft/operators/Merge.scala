@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Keep-latest dedup (W1), conditional upsert merge (M1) and the
+  * denormalized fact-table build (SURVEY.md §2.5, §2.6; reference
+  * queries.py:120-161, queries.py:133/150).
+  *
+  * The reference's `INSERT … ON CONFLICT DO UPDATE WHERE older` is
+  * reproduced relationally: union existing + incoming, then keep exactly one
+  * row per PK — highest `modified_dt` wins, with a FULL deterministic
+  * tiebreak (PG's `DISTINCT ON` breaks ties arbitrarily; we pin event_id
+  * DESC so results are stable and oracle-comparable).
+  *
+  * Scale: the window dedup shuffles by PK once — the same exchange a
+  * `MERGE INTO` shuffle-join would need. Older incoming rows lose the
+  * window race, which is exactly the conditional-update predicate.
+  */
+object Merge {
+
+  /** One row per key, ordered winner first. `ordering` must be total
+    * (include a unique tiebreak) for deterministic results. */
+  def keepLatest(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** SCD-1 conditional upsert: insert new keys, overwrite existing keys only
+    * when the incoming row is newer (reference queries.py:120-161). */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+      ordering: Seq[Column]): DataFrame =
+    keepLatest(existing.unionByName(incoming), keys, ordering)
+
+  private val eventOrdering = Seq(col("ts").desc, col("event_id").desc)
+  private val eventKeys = Seq("user_id", "event_type")
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // W1 keep-latest-per-key dedup (reference: queries.py:133,150).
+    QueryDef("q13_keep_latest",
+      """SELECT user_id, event_type, event_id, round(value, 4) AS value
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      keepLatest(Tables.events(s, d), eventKeys, eventOrdering)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // M1 conditional upsert: an existing deduped snapshot merged with a raw
+    // overlapping incoming slice; newer rows win, older incoming rows lose
+    // the window race (reference: queries.py:120-161, etl.py:317-327).
+    QueryDef("q14_upsert_merge",
+      """WITH existing AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15')
+        |  WHERE rn = 1
+        |), incoming AS (
+        |  SELECT * FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+        |), unioned AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM existing
+        |  UNION ALL
+        |  SELECT event_id, ts, user_id, event_type, value FROM incoming
+        |)
+        |SELECT user_id, event_type, event_id AS latest_event_id,
+        |       CAST(ts AS DATE) AS day, round(value, 4) AS value
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn2
+        |      FROM unioned)
+        |WHERE rn2 = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val existing = keepLatest(
+        e.filter(to_date(col("ts")) <= "2024-01-15"), eventKeys, eventOrdering)
+      val incoming = e.filter(to_date(col("ts")) >= "2024-01-10")
+      upsert(existing, incoming, eventKeys, eventOrdering)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("latest_event_id"),
+          to_date(col("ts")).as("day"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // The denormalized fact-table build: dedup + containment-bucket join +
+    // daily join + JSON attribute — `accident_facts` analog
+    // (reference: queries.py:94-161). Facts-preserving left joins with both
+    // small sides broadcast: no fact shuffle beyond the dedup exchange.
+    QueryDef("q22_fact_build",
+      """WITH dedup AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1
+        |), buckets AS (
+        |  SELECT CAST(range AS INT) AS lo, CAST(range + 50 AS INT) AS hi
+        |  FROM range(0, 500, 50)
+        |), daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, round(avg(value), 4) AS day_avg
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT de.user_id, de.event_type, de.event_id,
+        |       CAST(de.ts AS DATE) AS day, b.lo, b.hi,
+        |       CAST(json_extract_string(de.props, '$.k') AS INT) AS k,
+        |       round(de.value, 4) AS value, dy.day_avg
+        |FROM dedup de
+        |LEFT JOIN buckets b ON de.value >= b.lo AND de.value < b.hi
+        |LEFT JOIN daily dy ON CAST(de.ts AS DATE) = dy.day
+        |ORDER BY de.user_id, de.event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val deduped = keepLatest(e, eventKeys, eventOrdering)
+      val b = Flagship.buckets(s)
+      val daily = e.groupBy(to_date(col("ts")).as("day"))
+        .agg(round(avg(col("value")), 4).as("day_avg"))
+      deduped
+        .join(broadcast(b), col("value") >= col("lo") && col("value") < col("hi"), "left")
+        .join(broadcast(daily), to_date(col("ts")) === col("day"), "left")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          to_date(col("ts")).as("day"), col("lo"), col("hi"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          round(col("value"), 4).as("value"), col("day_avg"))
+        .orderBy(col("user_id"), col("event_type"))
+    }
+  )
+}
