@@ -21,7 +21,12 @@ object SparkEntry {
     Aggregates.entries ++
     Windows.entries ++
     Merge.entries ++
-    GeoQueries.entries
+    GeoQueries.entries ++
+    Dedup.entries ++
+    Similarity.entries ++
+    TextAnalysis.entries ++
+    Multimodal.entries ++
+    graft.streaming.Streams.entries
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 

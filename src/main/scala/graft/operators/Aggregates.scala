@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num
 import graft.{QueryDef, Tables}
 
 /** Aggregate / sort / limit battery — reference operators A1-A9, O1-O5,
@@ -21,19 +22,19 @@ object Aggregates {
     // 314-316, queries.py:81-91).
     QueryDef("q15_agg_battery",
       """SELECT event_type, count(*) AS n,
-        |       round(avg(value), 4) AS avg_value,
-        |       round(median(value), 4) AS med_value,
-        |       round(min(value), 4) AS min_value,
-        |       round(max(value), 4) AS max_value
+        |       round(1e-9 + avg(value), 4) AS avg_value,
+        |       round(1e-9 + median(value), 4) AS med_value,
+        |       round(1e-9 + min(value), 4) AS min_value,
+        |       round(1e-9 + max(value), 4) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          round(avg(col("value")), 4).as("avg_value"),
-          round(median(col("value")), 4).as("med_value"),
-          round(min(col("value")), 4).as("min_value"),
-          round(max(col("value")), 4).as("max_value"))
+          Num.roundOut(avg(col("value")), 4).as("avg_value"),
+          Num.roundOut(median(col("value")), 4).as("med_value"),
+          Num.roundOut(min(col("value")), 4).as("min_value"),
+          Num.roundOut(max(col("value")), 4).as("max_value"))
         .orderBy(col("event_type"))
     },
 
@@ -79,7 +80,7 @@ object Aggregates {
     // TakeOrderedAndProject — per-partition top-k then a single merge, no
     // global sort of the fact table.
     QueryDef("q24_topk",
-      """SELECT event_id, round(value, 4) AS value_r FROM (
+      """SELECT event_id, round(1e-9 + value, 4) AS value_r FROM (
         |  SELECT event_id, value FROM events
         |  ORDER BY value DESC, event_id LIMIT 100
         |) ORDER BY value DESC, event_id""".stripMargin) { (s, d) =>
@@ -87,7 +88,7 @@ object Aggregates {
         .select(col("event_id"), col("value"))
         .orderBy(col("value").desc, col("event_id"))
         .limit(100)
-        .select(col("event_id"), round(col("value"), 4).as("value_r"))
+        .select(col("event_id"), Num.roundOut(col("value"), 4).as("value_r"))
     }
   )
 }

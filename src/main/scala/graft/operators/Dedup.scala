@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+import graft.{QueryDef, Tables}
+import graft.functions.Text
+
+/** Deduplication suite for the training-data pipeline — exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard, all over the `documents` table.
+  *
+  * Scale design:
+  *  - Exact dedup groups by md5(text): the shuffle carries a 16-byte digest
+  *    per row, never the document body — the only viable shape at 100 TB.
+  *  - MinHash/SimHash candidate generation is strictly
+  *    signature → band-bucket explode → equi-join on (band, bucket):
+  *    no all-pairs comparison ever materializes; work is proportional to
+  *    colliding candidates, as in the LSH literature.
+  *  - The trigram-Jaccard verifier runs ONLY on candidate pairs (or within a
+  *    blocking key for the exhaustive variant), never on the cross product.
+  */
+object Dedup {
+
+  /** doc_id, source, distinct word-trigram shingle set. */
+  private def shingled(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("source"),
+      Text.shingles(col("text"), 3).as("tri"))
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // Exact dedup: one keeper (min doc_id) per distinct text, keyed by
+    // content digest so only digests shuffle.
+    QueryDef("x01_dedup_exact",
+      """SELECT min(doc_id) AS keep_id, md5(text) AS text_hash,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("text_hash"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // MinHash (16 perms) + LSH (8 bands × 2 rows): candidates from band
+    // bucket collisions, verified with exact trigram Jaccard, top 50.
+    // Not ANSI-expressible (xxhash64 signature) → pinned by DedupSpec.
+    QueryDef.noOracle("x02_minhash_lsh") { (s, d) =>
+      // Shingling + signatures feed FOUR downstream subplans (two sides of
+      // the bucket self-join + two exact-verify joins) — materialize once.
+      // At cluster scale this is the "write the signature table" step every
+      // production dedup pipeline has anyway.
+      val sets = shingled(Tables.documents(s, d))
+        .withColumn("sig", Text.minhashSignature(col("tri"), 16))
+        .localCheckpoint()
+      val banded = sets.select(col("doc_id"), col("sig"),
+          explode(Text.lshBands(col("sig"), 8, 2)).as("bb"))
+        .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      // Crowded buckets (boilerplate clusters) would make the self-join
+      // quadratic — cap them, the standard web-dedup mitigation; singleton
+      // buckets can't produce pairs and are dropped too.
+      val keepBuckets = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz").between(2, 100))
+        .select(col("band"), col("bucket"))
+      val pruned = banded.join(keepBuckets, Seq("band", "bucket"))
+      // Stage 1: cheap signature-agreement estimate on colliding pairs.
+      val est = pruned.as("a")
+        .join(pruned.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (size(filter(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)), v => v === 1)) / 16.0)
+            .as("e"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(max(col("e")).as("est"))
+        .orderBy(col("est").desc, col("doc_a"), col("doc_b"))
+        .limit(500)
+      // Stage 2: exact trigram Jaccard ONLY on the shortlist.
+      val left = sets.select(col("doc_id").as("doc_a"), col("tri").as("tri_a"))
+      val right = sets.select(col("doc_id").as("doc_b"), col("tri").as("tri_b"))
+      est.join(left, "doc_a").join(right, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          Num.roundOut(Text.jaccard(col("tri_a"), col("tri_b")), 6).as("jaccard"),
+          col("est"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(50)
+    },
+
+    // SimHash near-dup: 64-bit fingerprints, 4×16-bit band join, closest 50
+    // pairs by hamming distance. Not ANSI-expressible → DedupSpec.
+    QueryDef.noOracle("x03_simhash") { (s, d) =>
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), Text.simhashBits(col("text")).as("bits"))
+        .withColumn("simhash", Text.simhashValue(col("bits")))
+        .localCheckpoint() // reused by band explode + both pair-join sides
+      val banded = fp.select(col("doc_id"),
+          posexplode(Text.simhashChunks(col("bits"))).as(Seq("band", "chunk")))
+      val keepChunks = banded.groupBy(col("band"), col("chunk"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz").between(2, 100))
+        .select(col("band"), col("chunk"))
+      val cands = banded.join(keepChunks, Seq("band", "chunk")).as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val la = fp.select(col("doc_id").as("doc_a"), col("bits").as("bits_a"),
+        col("simhash").as("simhash_a"))
+      val lb = fp.select(col("doc_id").as("doc_b"), col("bits").as("bits_b"))
+      cands.join(la, "doc_a").join(lb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("simhash_a"),
+          Text.hamming(col("bits_a"), col("bits_b")).as("hamming"))
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(50)
+    },
+
+    // Exhaustive n-gram Jaccard within a blocking key (source) — the
+    // oracle-checked ground truth for the approximate methods above.
+    QueryDef("x04_ngram_jaccard",
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |           ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |        FROM documents)
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(1e-9 + len(list_intersect(a.tri, b.tri)) * 1.0 /
+        |             (len(a.tri) + len(b.tri) - len(list_intersect(a.tri, b.tri))),
+        |             6) AS jaccard
+        |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(a.tri) + len(b.tri) > 0
+        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, d) =>
+      val sets = shingled(Tables.documents(s, d)).localCheckpoint()
+      val a = sets.select(col("source"), col("doc_id").as("doc_a"), col("tri").as("tri_a"))
+      val b = sets.select(col("source"), col("doc_id").as("doc_b"), col("tri").as("tri_b"))
+      a.join(b, Seq("source"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(size(col("tri_a")) + size(col("tri_b")) > 0)
+        // two projections so the (expensive) intersect is evaluated ONCE —
+        // inlining it into the jaccard formula would compute it twice
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("tri_a"), col("tri_b"))).as("i"),
+          (size(col("tri_a")) + size(col("tri_b"))).as("ab"))
+        .select(col("doc_a"), col("doc_b"),
+          Num.roundOut(col("i").cast("double") / (col("ab") - col("i")), 6)
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    }
+  )
+}

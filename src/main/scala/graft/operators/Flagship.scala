@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num
 import graft.{QueryDef, Tables}
 
 /** The flagship pipeline: the Spark re-expression of the reference's
@@ -59,8 +60,8 @@ object Flagship {
       .groupBy(col("lo"), col("hi"))
       .agg(
         count(col("event_id")).as("cnt"),
-        round(avg(col("value")), 4).as("avg_value"),
-        round(avg(col("day_avg")), 4).as("avg_day_avg"))
+        Num.roundOut(avg(col("value")), 4).as("avg_value"),
+        Num.roundOut(avg(col("day_avg")), 4).as("avg_day_avg"))
 
     // Restore empty buckets (J3: every dimension row appears, count 0) via a
     // tiny dim-side left join instead of left-outer-joining the fact stream.
@@ -83,8 +84,8 @@ object Flagship {
       |)
       |SELECT b.lo, b.hi,
       |       count(e.event_id) AS n_events,
-      |       round(avg(e.value), 4) AS avg_value,
-      |       round(avg(d.day_avg), 4) AS avg_day_avg
+      |       round(1e-9 + avg(e.value), 4) AS avg_value,
+      |       round(1e-9 + avg(d.day_avg), 4) AS avg_day_avg
       |FROM buckets b
       |LEFT JOIN events e ON e.value >= b.lo AND e.value < b.hi
       |LEFT JOIN daily d ON CAST(e.ts AS DATE) = d.day

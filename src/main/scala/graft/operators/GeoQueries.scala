@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num
 import graft.{QueryDef, Tables}
 import graft.functions.Geo
 
@@ -18,12 +19,12 @@ object GeoQueries {
     // way for these 2-dp values (verified: '6.55', '100.0').
     QueryDef("q18_wkt_point",
       """SELECT event_id,
-        |       concat('POINT(', CAST(round(value, 2) AS VARCHAR), ' ',
+        |       concat('POINT(', CAST(round(1e-9 + value, 2) AS VARCHAR), ' ',
         |              CAST(user_id AS VARCHAR), ')') AS wkt
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
-          Geo.formatPointWkt(round(col("value"), 2), col("user_id")).as("wkt"))
+          Geo.formatPointWkt(Num.roundOut(col("value"), 2), col("user_id")).as("wkt"))
         .orderBy(col("event_id"))
     },
 
@@ -71,7 +72,7 @@ object GeoQueries {
     // F8 ST_DWithin analog: haversine distance (pure column math, no UDF)
     // from each event-derived point to the origin, within 15000 km.
     QueryDef("q20_haversine",
-      """SELECT event_id, round(dist_km, 4) AS dist_km FROM (
+      """SELECT event_id, round(1e-9 + dist_km, 4) AS dist_km FROM (
         |  SELECT event_id,
         |         2 * 6371.0 * asin(sqrt(
         |           sin(radians(lat) / 2) * sin(radians(lat) / 2) +
@@ -86,7 +87,7 @@ object GeoQueries {
       pts.withColumn("dist_km",
           Geo.haversineKm(col("lat"), col("lon"), lit(0.0), lit(0.0)))
         .filter(col("dist_km") < 15000)
-        .select(col("event_id"), round(col("dist_km"), 4).as("dist_km"))
+        .select(col("event_id"), Num.roundOut(col("dist_km"), 4).as("dist_km"))
         .orderBy(col("event_id"))
     }
   )

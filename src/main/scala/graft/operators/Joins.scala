@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num
 import graft.{QueryDef, Tables}
 
 /** Join battery — reference operators J1-J5 (SURVEY.md §2.3).
@@ -28,7 +29,7 @@ object Joins {
     // (reference: queries.py:60-61, viz.py:110-112).
     QueryDef("q08_temporal_join",
       """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS day, round(avg(value), 4) AS day_avg
+        |  SELECT CAST(ts AS DATE) AS day, round(1e-9 + avg(value), 4) AS day_avg
         |  FROM events GROUP BY 1
         |)
         |SELECT e.event_id, CAST(e.ts AS DATE) AS day, d.day_avg
@@ -37,7 +38,7 @@ object Joins {
         |ORDER BY e.event_id""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d)
       val daily = e.groupBy(to_date(col("ts")).as("day"))
-        .agg(round(avg(col("value")), 4).as("day_avg"))
+        .agg(Num.roundOut(avg(col("value")), 4).as("day_avg"))
       e.join(broadcast(daily), to_date(col("ts")) === col("day"), "left")
         .select(col("event_id"), to_date(col("ts")).as("day"), col("day_avg"))
         .orderBy(col("event_id"))
@@ -69,7 +70,7 @@ object Joins {
         |  FROM range(0, 60, 10)
         |)
         |SELECT b.lo, b.hi, count(p.p_partkey) AS n_parts,
-        |       round(avg(p.p_retailprice), 4) AS avg_price
+        |       round(1e-9 + avg(p.p_retailprice), 4) AS avg_price
         |FROM buckets b
         |LEFT JOIN part p ON p.p_size >= b.lo AND p.p_size < b.hi
         |GROUP BY b.lo, b.hi ORDER BY b.lo""".stripMargin) { (s, d) =>
@@ -80,7 +81,7 @@ object Joins {
         .join(broadcast(b), col("p_size") >= col("lo") && col("p_size") < col("hi"))
         .groupBy(col("lo"), col("hi"))
         .agg(count(lit(1)).as("cnt"),
-          round(avg(col("p_retailprice")), 4).as("avg_price"))
+          Num.roundOut(avg(col("p_retailprice")), 4).as("avg_price"))
       b.join(perBucket, Seq("lo", "hi"), "left")
         .select(col("lo"), col("hi"),
           coalesce(col("cnt"), lit(0L)).as("n_parts"), col("avg_price"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num
 import graft.{QueryDef, Tables}
 
 /** Keep-latest dedup (W1), conditional upsert merge (M1) and the
@@ -44,7 +45,7 @@ object Merge {
 
     // W1 keep-latest-per-key dedup (reference: queries.py:133,150).
     QueryDef("q13_keep_latest",
-      """SELECT user_id, event_type, event_id, round(value, 4) AS value
+      """SELECT user_id, event_type, event_id, round(1e-9 + value, 4) AS value
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY user_id, event_type
         |        ORDER BY ts DESC, event_id DESC) AS rn
@@ -52,7 +53,7 @@ object Merge {
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
       keepLatest(Tables.events(s, d), eventKeys, eventOrdering)
         .select(col("user_id"), col("event_type"), col("event_id"),
-          round(col("value"), 4).as("value"))
+          Num.roundOut(col("value"), 4).as("value"))
         .orderBy(col("user_id"), col("event_type"))
     },
 
@@ -74,7 +75,7 @@ object Merge {
         |  SELECT event_id, ts, user_id, event_type, value FROM incoming
         |)
         |SELECT user_id, event_type, event_id AS latest_event_id,
-        |       CAST(ts AS DATE) AS day, round(value, 4) AS value
+        |       CAST(ts AS DATE) AS day, round(1e-9 + value, 4) AS value
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY user_id, event_type
         |        ORDER BY ts DESC, event_id DESC) AS rn2
@@ -89,7 +90,7 @@ object Merge {
         .select(col("user_id"), col("event_type"),
           col("event_id").as("latest_event_id"),
           to_date(col("ts")).as("day"),
-          round(col("value"), 4).as("value"))
+          Num.roundOut(col("value"), 4).as("value"))
         .orderBy(col("user_id"), col("event_type"))
     },
 
@@ -107,13 +108,13 @@ object Merge {
         |  SELECT CAST(range AS INT) AS lo, CAST(range + 50 AS INT) AS hi
         |  FROM range(0, 500, 50)
         |), daily AS (
-        |  SELECT CAST(ts AS DATE) AS day, round(avg(value), 4) AS day_avg
+        |  SELECT CAST(ts AS DATE) AS day, round(1e-9 + avg(value), 4) AS day_avg
         |  FROM events GROUP BY 1
         |)
         |SELECT de.user_id, de.event_type, de.event_id,
         |       CAST(de.ts AS DATE) AS day, b.lo, b.hi,
         |       CAST(json_extract_string(de.props, '$.k') AS INT) AS k,
-        |       round(de.value, 4) AS value, dy.day_avg
+        |       round(1e-9 + de.value, 4) AS value, dy.day_avg
         |FROM dedup de
         |LEFT JOIN buckets b ON de.value >= b.lo AND de.value < b.hi
         |LEFT JOIN daily dy ON CAST(de.ts AS DATE) = dy.day
@@ -122,14 +123,14 @@ object Merge {
       val deduped = keepLatest(e, eventKeys, eventOrdering)
       val b = Flagship.buckets(s)
       val daily = e.groupBy(to_date(col("ts")).as("day"))
-        .agg(round(avg(col("value")), 4).as("day_avg"))
+        .agg(Num.roundOut(avg(col("value")), 4).as("day_avg"))
       deduped
         .join(broadcast(b), col("value") >= col("lo") && col("value") < col("hi"), "left")
         .join(broadcast(daily), to_date(col("ts")) === col("day"), "left")
         .select(col("user_id"), col("event_type"), col("event_id"),
           to_date(col("ts")).as("day"), col("lo"), col("hi"),
           get_json_object(col("props"), "$.k").cast("int").as("k"),
-          round(col("value"), 4).as("value"), col("day_avg"))
+          Num.roundOut(col("value"), 4).as("value"), col("day_avg"))
         .orderBy(col("user_id"), col("event_type"))
     }
   )

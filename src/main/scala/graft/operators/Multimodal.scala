@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Num
+import graft.{QueryDef, Tables}
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, decoded per-partition.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
+  * [[FakeDecoder]] is a clearly-marked deterministic fake. Everything
+  * around it is the real at-scale Spark shape:
+  *  - payloads live in a `BinaryType` column (parquet keeps them as BYTE_ARRAY
+  *    pages; metadata columns prune without touching pixels);
+  *  - decode runs via `mapPartitions` with an iterator-to-iterator transform
+  *    (the Scala analog of `mapInPandas` batching: one decoder init per
+  *    partition, streaming through rows, no per-row setup, no collect);
+  *  - the output schema is explicit and stable (width/height/channels +
+  *    fixed-length feature vector), ready for a downstream ANN join.
+  */
+object Multimodal {
+
+  /** STUB: deterministic fake decoder. A real deployment swaps this for an
+    * actual codec (e.g. javax.imageio / ffmpeg JNI) with the same signature;
+    * nothing else changes. */
+  trait Decoder extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Double])
+  }
+
+  object FakeDecoder extends Decoder {
+    /** Pretends the payload is an image: dimensions derived from length,
+      * "features" = 8 byte-histogram buckets normalized to [0,1]. */
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Double]) = {
+      val w = 64 + (payload.length % 577)
+      val h = 64 + ((payload.length / 7) % 409)
+      val hist = new Array[Double](8)
+      var i = 0
+      while (i < payload.length) {
+        hist((payload(i) & 0xff) >> 5) += 1.0
+        i += 1
+      }
+      val n = math.max(payload.length, 1).toDouble
+      (w, h, 3, hist.map(_ / n))
+    }
+  }
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false))))
+
+  /** The real plumbing: binary column in, typed decode out, one decoder per
+    * partition, iterator-streamed. */
+  def decodeImages(payloads: DataFrame, decoder: Decoder = FakeDecoder): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    payloads.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, c, f) = decoder.decode(r.getAs[Array[Byte]]("payload"))
+          Row(r.getLong(0), w, h, c, f.toSeq)
+        }
+      }(enc)
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // Binary-column metadata path — payload synthesized from text bytes
+    // (no codecs in the container), metadata computed WITHOUT decoding:
+    // the pruning-friendly access pattern for 100 TB of media.
+    QueryDef("m01_media_meta",
+      """SELECT doc_id,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       md5(text) AS checksum,
+        |       CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+        |       CAST((octet_length(encode(text)) // 7) % 480 AS INT) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nBytes = length(encode(col("text"), "UTF-8")).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          nBytes.as("n_bytes"),
+          md5(col("text")).as("checksum"),
+          (nBytes % 640).cast("int").as("fake_width"),
+          floor(nBytes / 7).mod(480).cast("int").as("fake_height"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The mapPartitions decode pipeline (STUBBED decoder, real plumbing).
+    // Engine-side iterator transform → no oracle; MultimodalSpec pins the
+    // schema, determinism, and batch shape.
+    QueryDef.noOracle("m02_decode_stub") { (s, d) =>
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      decodeImages(payloads)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          Num.roundOut(element_at(col("features"), 1), 6).as("f0"),
+          Num.roundOut(element_at(col("features"), 2), 6).as("f1"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

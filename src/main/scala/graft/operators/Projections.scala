@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num
 import graft.{QueryDef, Tables}
 
 /** Projection / filter / scalar battery — reference operators P1-P11 +
@@ -21,17 +22,17 @@ object Projections {
     // `weather` table build analog (reference: etl.py:96-102).
     QueryDef("q02_daily_profile",
       """SELECT CAST(ts AS DATE) AS wx_date, count(*) AS n_obs,
-        |       round(avg(value), 4) AS avg_value,
-        |       round(min(value), 4) AS min_value,
-        |       round(max(value), 4) AS max_value
+        |       round(1e-9 + avg(value), 4) AS avg_value,
+        |       round(1e-9 + min(value), 4) AS min_value,
+        |       round(1e-9 + max(value), 4) AS max_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("wx_date"))
         .agg(
           count(lit(1)).as("n_obs"),
-          round(avg(col("value")), 4).as("avg_value"),
-          round(min(col("value")), 4).as("min_value"),
-          round(max(col("value")), 4).as("max_value"))
+          Num.roundOut(avg(col("value")), 4).as("avg_value"),
+          Num.roundOut(min(col("value")), 4).as("min_value"),
+          Num.roundOut(max(col("value")), 4).as("max_value"))
         .orderBy(col("wx_date"))
     },
 
@@ -55,7 +56,7 @@ object Projections {
     // P5 not-null + P6 date-range + P8 numeric-between + P9 threshold
     // (reference: viz.py:200-214, queries.py:149).
     QueryDef("q04_filter_battery",
-      """SELECT event_id, user_id, event_type, round(value, 4) AS value
+      """SELECT event_id, user_id, event_type, round(1e-9 + value, 4) AS value
         |FROM events
         |WHERE props IS NOT NULL
         |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-20'
@@ -68,19 +69,19 @@ object Projections {
         .filter(col("value").between(10, 200))
         .filter(col("value") > 0)
         .select(col("event_id"), col("user_id"), col("event_type"),
-          round(col("value"), 4).as("value"))
+          Num.roundOut(col("value"), 4).as("value"))
         .orderBy(col("event_id"))
     },
 
     // P7 membership predicate (reference: viz.py:205-206).
     QueryDef("q05_isin",
-      """SELECT event_id, event_type, round(value, 4) AS value
+      """SELECT event_id, event_type, round(1e-9 + value, 4) AS value
         |FROM events WHERE event_type IN ('click', 'purchase')
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("event_id"), col("event_type"),
-          round(col("value"), 4).as("value"))
+          Num.roundOut(col("value"), 4).as("value"))
         .orderBy(col("event_id"))
     },
 

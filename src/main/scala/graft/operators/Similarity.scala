@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+import graft.{QueryDef, Tables}
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * Scale design: brute force is a broadcast of the (small) query set over a
+  * single pass of the candidate corpus — linear, no shuffle of the corpus.
+  * The LSH variant replaces the pass with an equi-join on (table, bucket):
+  * at 100 TB the corpus is bucketed once at write time and each query probes
+  * only its buckets. Dot products are `aggregate(zip_with(...))` — native,
+  * codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Sequential left-to-right double dot product — the fold order the
+    * DuckDB oracle replicates exactly. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** cos(a,b) with the division sequence (dot / |a| / |b|) pinned to match
+    * the oracle bit-for-bit. */
+  private def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
+    dot(va, vb) / na / nb
+
+  /** 32 deterministic pseudo-random hyperplanes (4 tables × 8 planes),
+    * components from a fixed LCG — reproducible across sessions. */
+  private[operators] def planes: Seq[(Int, Int, Seq[Double])] = {
+    var state = 88172645463325252L
+    def next(): Double = { // xorshift64, uniform in [-0.5, 0.5)
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      ((state >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    for (t <- 0 until 4; j <- 0 until 8)
+      yield (t, j, Seq.fill(64)(next()))
+  }
+
+  /** Sign-bit bucket per (vector, table): 8 hyperplane signs → 0..255. */
+  private def bucketed(df: DataFrame, s: SparkSession): DataFrame = {
+    val byTable = planes.groupBy(_._1).toSeq.sortBy(_._1)
+    byTable.foldLeft(df) { case (acc, (t, ps)) =>
+      val bits = ps.sortBy(_._2).zipWithIndex.map { case ((_, _, comps), j) =>
+        val planeCol = array(comps.map(lit): _*)
+        when(dot(col("v"), planeCol) > 0, 1 << j).otherwise(0)
+      }
+      acc.withColumn(s"bucket_$t", bits.reduce(_ + _))
+    }
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // Exact brute-force cosine top-5 per query vector (vec_id < 10).
+    // Ranking on Num.roundOut(cos, 6) with vec_id tiebreak keeps cross-engine
+    // ordering stable against last-ulp drift.
+    QueryDef("x05_cosine_topk",
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> q.v[i+1] * c.v[i+1])) / q.nrm / c.nrm, 6) AS cos_sim
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10
+        |)
+        |SELECT query_id, cand_id, cos_sim, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cos_sim DESC, cand_id) AS rnk
+        |  FROM sims)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      val n = withNorm(Tables.embeddings(s, d))
+      val q = n.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .filter(col("query_id") < 10)
+      val c = n.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val sims = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          Num.roundOut(cosine(col("qv"), col("qn"), col("cv"), col("cn")), 6).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
+      sims.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // ANN via random-hyperplane LSH: 4 tables × 8-bit sign buckets;
+    // candidates share a bucket in ANY table; exact cosine re-rank, top 5.
+    // Not ANSI-expressible (hyperplane constants + bit buckets) →
+    // SimilaritySpec pins recall vs x05 on crafted near-duplicates.
+    QueryDef.noOracle("x06_ann_lsh") { (s, d) =>
+      val n = bucketed(withNorm(Tables.embeddings(s, d)), s)
+      val tables = (0 until 4).map { t =>
+        n.select(col("vec_id"), col("v"), col("nrm"),
+          lit(t).as("tbl"), col(s"bucket_$t").as("bucket"))
+      }.reduce(_.unionByName(_))
+      val q = tables.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("tbl"), col("bucket"))
+      val pairs = tables.join(broadcast(q.select("query_id", "tbl", "bucket")),
+          Seq("tbl", "bucket")) // bucket probe, not a corpus scan
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"))
+        .distinct() // a pair may collide in several tables
+      val qv = n.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      val cv = n.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
+      pairs.join(broadcast(qv), "query_id").join(cv, "cand_id")
+        .select(col("query_id"), col("cand_id"),
+          Num.roundOut(cosine(col("qv"), col("qn"), col("cv"), col("cn")), 6).as("cos_sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }
+  )
+}

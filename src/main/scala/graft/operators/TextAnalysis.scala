@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+import graft.{QueryDef, Tables}
+import graft.functions.Text
+
+/** Text-analysis suite for the training-data pipeline: language ID, quality
+  * scoring, token counting, document fingerprinting, distinct counting —
+  * every scalar path built from native functions (no UDFs), every query
+  * oracle-checked.
+  *
+  * Scale design: the language profiles are a tiny (vocab × langs) table
+  * derived once and broadcast for scoring; per-document metrics are
+  * embarrassingly parallel column expressions; the rolling-hash fingerprint
+  * folds tokens in a pinned order so results are reproducible anywhere.
+  */
+object TextAnalysis {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // Language ID via corpus-trained rank-profile classifier (Cavnar-
+    // Trenkle style, unigram profiles): for each word, langs are ranked by
+    // relative frequency (ties → lang asc); a doc scores Σ points of its
+    // tokens per lang (integer — exact, order-independent); argmax with
+    // lang-asc tiebreak. All-relational: trainable at 100 TB, profiles
+    // broadcast back for scoring.
+    QueryDef("x07_langid",
+      """WITH w AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT lang, word, count(*) AS c FROM w GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT lang AS lg, sum(c) AS t FROM cnt GROUP BY 1
+        |), pts AS (
+        |  SELECT lang AS plang, word,
+        |         5 - row_number() OVER (PARTITION BY word
+        |             ORDER BY c * 1.0 / t DESC, lang) AS points
+        |  FROM cnt JOIN tot ON cnt.lang = tot.lg
+        |), scores AS (
+        |  SELECT w.doc_id, p.plang, sum(p.points) AS score
+        |  FROM w JOIN pts p ON w.word = p.word
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.doc_id, d.lang AS actual, s.plang AS predicted,
+        |       CAST(d.lang = s.plang AS INT) AS correct
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, plang) AS rn FROM scores) s
+        |JOIN documents d ON d.doc_id = s.doc_id
+        |WHERE s.rn = 1 ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val w = docs.select(col("doc_id"), col("lang"),
+        explode(Text.tokens(col("text"))).as("word"))
+      val cnt = w.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+      val pts = cnt.join(tot, "lang")
+        .withColumn("points", lit(5) - row_number().over(
+          Window.partitionBy(col("word"))
+            .orderBy((col("c") * 1.0 / col("t")).desc, col("lang"))))
+        .select(col("lang").as("plang"), col("word"), col("points"))
+      val scores = w.join(broadcast(pts), "word")
+        .groupBy(col("doc_id"), col("plang"))
+        .agg(sum(col("points")).as("score"))
+      val best = scores.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("plang"))))
+        .filter(col("rn") === 1)
+      best.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang").as("actual"),
+          col("plang").as("predicted"),
+          (col("lang") === col("plang")).cast("int").as("correct"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: type-token ratio, stopword ratio, token length —
+    // exact rational metrics (integer counts + single divisions).
+    QueryDef("x08_quality_score",
+      """WITH m AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(len(ws) AS INT) AS n_tokens,
+        |         len(list_distinct(ws)) AS n_distinct,
+        |         len(list_filter(ws, x -> x IN ('a', 'the'))) AS n_stop,
+        |         list_sum(list_transform(ws, x -> len(x))) AS sum_len
+        |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+        |        FROM documents)
+        |)
+        |SELECT doc_id, n_tokens,
+        |       round(1e-9 + n_distinct * 1.0 / n_tokens, 4) AS ttr,
+        |       round(1e-9 + n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+        |       round(1e-9 + sum_len * 1.0 / n_tokens, 4) AS avg_token_len,
+        |       round(1e-9 + 0.5 * (n_distinct * 1.0 / n_tokens)
+        |             + 0.3 * (1 - n_stop * 1.0 / n_tokens)
+        |             + 0.2 * least(sum_len * 1.0 / n_tokens / 8.0, 1.0),
+        |             4) AS quality
+        |FROM m WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ws = Text.tokens(col("text"))
+      val nTokens = size(ws)
+      val nDistinct = size(array_distinct(ws))
+      val nStop = size(filter(ws, x => x.isin("a", "the")))
+      val sumLen = aggregate(ws, lit(0), (acc, x) => acc + length(x))
+      val ttr = nDistinct * 1.0 / nTokens
+      val stopR = nStop * 1.0 / nTokens
+      val avgLen = sumLen * 1.0 / nTokens
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTokens.as("n_tokens"),
+          Num.roundOut(ttr, 4).as("ttr"),
+          Num.roundOut(stopR, 4).as("stop_ratio"),
+          Num.roundOut(avgLen, 4).as("avg_token_len"),
+          Num.roundOut(lit(0.5) * ttr + lit(0.3) * (lit(1) - stopR)
+            + lit(0.2) * least(avgLen / 8.0, lit(1.0)), 4).as("quality"))
+        .filter(col("n_tokens") > 0)
+        .orderBy(col("doc_id"))
+    },
+
+    // Token counting: whitespace tokens + BPE-ish ceil(len/4) subwords.
+    QueryDef("x09_token_count",
+      """SELECT doc_id,
+        |       CAST(len(ws) AS INT) AS n_tokens,
+        |       CAST(list_sum(list_transform(ws, w -> CAST(ceil(len(w) / 4.0) AS BIGINT)))
+        |            AS BIGINT) AS n_subtokens,
+        |       CAST(list_max(list_transform(ws, w -> len(w))) AS INT) AS max_token_len
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ws = Text.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(ws).as("n_tokens"),
+          Text.subtokenCount(col("text")).as("n_subtokens"),
+          array_max(transform(ws, w => length(w))).as("max_token_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Rolling-hash document fingerprint (poly mod 1e9+7, pinned fold order
+    // replicated in the oracle via list_reduce).
+    QueryDef("x10_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(list_filter(string_split(text, ' '), w -> len(w) > 0),
+        |        w -> CAST(list_sum(list_transform(range(len(w)),
+        |               i -> unicode(w[i+1]) * (i + 1))) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact distinct counting (the oracle-checkable side of cardinality).
+    QueryDef("x11_distinct_exact",
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    },
+
+    // HLL-sketch approximate distinct — the at-scale path (no exact-
+    // distinct shuffle). Sketch values are engine-specific → no oracle;
+    // TextAnalysisSpec bounds the relative error against x11.
+    QueryDef.noOracle("x12_distinct_approx") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }
+  )
+}

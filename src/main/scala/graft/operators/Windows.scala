@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num
 import graft.{QueryDef, Tables}
 
 /** Window-function battery beyond the dedup in [[Merge]] — running
@@ -11,7 +12,7 @@ import graft.{QueryDef, Tables}
   *
   * Running sums are computed in a fully deterministic frame order
   * (ts, event_id), so both engines add doubles in the same sequence —
-  * bit-identical partials, no tolerance needed beyond the shared round(4).
+  * bit-identical partials, no tolerance needed beyond the shared Num.roundOut(4).
   */
 object Windows {
 
@@ -20,7 +21,7 @@ object Windows {
     QueryDef("q23_window_battery",
       """SELECT event_id, user_id,
         |       row_number() OVER w AS rn,
-        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       round(1e-9 + sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
         |       lag(event_id) OVER w AS prev_event_id,
         |       rank() OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)) AS day_rank
@@ -33,7 +34,7 @@ object Windows {
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
           row_number().over(w).as("rn"),
-          round(sum(col("value")).over(wRun), 4).as("running_value"),
+          Num.roundOut(sum(col("value")).over(wRun), 4).as("running_value"),
           lag(col("event_id"), 1).over(w).as("prev_event_id"),
           rank().over(wDay).as("day_rank"))
         .orderBy(col("event_id"))

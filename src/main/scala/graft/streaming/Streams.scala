@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.Num
+import graft.{QueryDef, Tables}
+
+/** Structured Streaming surface. The reference itself has NO streaming
+  * (SURVEY.md §2.9 — batch pull + incremental upsert), so this module is the
+  * capability extension: the same daily aggregation the batch engine runs,
+  * executed as a real `readStream → agg → memory sink` query, plus a
+  * stateful sessionization operator (`mapGroupsWithState`) exercised by
+  * StreamingSpec.
+  *
+  * Scale: file-source streaming partitions work by file; the windowed
+  * aggregate is the same partial+final hash aggregate as batch. In
+  * production the complete-mode memory sink becomes a parquet/Kafka sink
+  * with watermark + append — the plumbing is identical.
+  */
+object Streams {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** Daily per-type counts computed by a genuine streaming query over the
+    * events parquet (schema from a batch probe; nanos ts normalized the
+    * same way as [[graft.Tables.events]]). */
+  def streamingDaily(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = Tables.table(s, dir, "events") // schema probe: ts reads as long nanos
+    // The file stream source needs a DIRECTORY; the testdata table is a
+    // single parquet file → stage a hardlink/copy under a temp dir keyed by
+    // the source path (idempotent across calls in one JVM).
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(stage)
+    val dst = stage.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst)) {
+      try java.nio.file.Files.createLink(dst, src)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(src, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val raw = s.readStream.schema(batch.schema).parquet(stage.toString)
+    val events = raw.withColumn("ts",
+      timestamp_micros((col("ts").cast("long") / 1000L).cast("long")))
+    val agg = events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.roundOut(sum(col("value")), 4).as("sum_value"))
+      .select(to_date(col("w.start")).as("day"), col("event_type"),
+        col("n"), col("sum_value"))
+    val name = s"st01_sink_${sinkId.incrementAndGet()}"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy(col("day"), col("event_type"))
+  }
+
+  // ---- stateful sessionization (mapGroupsWithState) ----
+
+  case class Ev(user_id: Long, tsMicros: Long)
+  case class SessionSummary(user_id: Long, n_sessions: Int, n_events: Long)
+  private case class SessState(lastTs: Long, sessions: Int, events: Long)
+
+  /** Per-user session counting with a gap timeout: events more than
+    * `gapMinutes` apart start a new session. Batch-driven in tests via
+    * `processAllAvailable`; the operator is the real streaming state
+    * machine. */
+  def sessionize(s: SparkSession, events: DataFrame, gapMinutes: Int): DataFrame = {
+    import s.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val ds = events.select(col("user_id"),
+        unix_micros(col("ts")).as("tsMicros")).as[Ev]
+    val out = ds.groupByKey(_.user_id)
+      .mapGroupsWithState[SessState, SessionSummary](GroupStateTimeout.NoTimeout) {
+        (uid, evs, state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(_.tsMicros)
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0, 0L))
+          sorted.foreach { e =>
+            val newSession = st.lastTs == Long.MinValue || e.tsMicros - st.lastTs > gapMicros
+            st = SessState(e.tsMicros,
+              st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          SessionSummary(uid, st.sessions, st.events)
+      }
+    out.toDF()
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+    // Oracle-checked: the streaming result must equal the batch daily agg.
+    QueryDef("st01_stream_daily",
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |       count(*) AS n, round(1e-9 + sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => streamingDaily(s, d))
+  )
+}
