@@ -1,5 +1,22 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.operators.{Flagship, Matview}
+
+/** Benchmark main — reproduces the reference's `performance_test.py`
+  * methodology (3 runs, arithmetic mean, warm engine) on Spark:
+  *
+  *  - config "base":  flagship join-aggregate computed from base tables
+  *    (reference config 1, no physical design);
+  *  - config "fact":  the same-shaped aggregate served from the precomputed
+  *    denormalized fact parquet (reference configs 3/4) — must be faster,
+  *    mirroring the reference's matview/fact speedup expectation
+  *    (BASELINE.md).
+  *
+  * Also times every declared query once (after a warmup that absorbs
+  * JVM/codegen startup) and prints the driver-contract JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +24,38 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def avg3(f: => Unit): Double = (1 to 3).map(_ => time(f)).sum / 3.0
+
+    // Warmup: absorbs JVM/classloader/codegen startup so per-query numbers
+    // measure the queries, not initialization (reference runs on a warm
+    // connection too, performance_test.py:38-46).
+    Flagship(spark, sfDir).count()
+
+    // performance_test.py configs: join-from-base vs precomputed fact.
+    val baseCfg = avg3 { Flagship(spark, sfDir).count() }
+    Matview.factPath(spark, sfDir) // build once, outside timing
+    val factCfg = avg3 {
+      SparkEntry.queries("q25_fact_serving")(spark, sfDir).count()
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (try time { fn(spark, sfDir).count() } catch { case _: Throwable => -1.0 })
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val configs =
+      s"""{"base_join_3run_avg":$baseCfg,"fact_serving_3run_avg":$factCfg,"speedup":${baseCfg / factCfg}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"configs":$configs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,7 +15,7 @@ import graft.operators._
 object SparkEntry {
 
   private val all: Seq[QueryDef] =
-    Flagship.entries ++
+    Flagship.entries ++ Matview.entries ++
     Projections.entries ++
     Joins.entries ++
     Aggregates.entries ++

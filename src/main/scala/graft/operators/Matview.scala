@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+import graft.{QueryDef, Tables}
+
+/** Materialized-view / denormalized-fact physical design — the reference's
+  * `accident_geo_view` + `accident_facts` optimization (etl.py:251-288,
+  * queries.py:94-118, SURVEY.md §4): precompute the joined fact once per
+  * ETL run, let every analytics query scan the precomputed parquet instead
+  * of re-joining base tables. `performance_test.py` measures exactly this
+  * config-1-vs-config-3/4 gap; [[graft.Bench]] reproduces it.
+  *
+  * Scale: the fact parquet is partitioned by day — readers with a date
+  * predicate prune whole partitions (the B-tree-index analog); the
+  * bucket/daily joins are paid once at build time, not per query.
+  */
+object Matview {
+
+  /** Build (idempotently, keyed by source dir) the deduped denormalized
+    * fact parquet and return its path. */
+  def factPath(s: SparkSession, dir: String): String = {
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_fact_${Integer.toHexString(dir.hashCode)}").toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      FactBuild.build(s, dir)
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+    }
+    out
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+    // The flagship-shaped aggregate served FROM the precomputed fact
+    // (reference config 4). Oracle recomputes the same result from base
+    // tables declaratively — results must be identical, only the physical
+    // path differs.
+    QueryDef("q25_fact_serving",
+      """WITH dedup AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1
+        |), buckets AS (
+        |  SELECT CAST(range AS INT) AS lo, CAST(range + 50 AS INT) AS hi
+        |  FROM range(0, 500, 50)
+        |)
+        |SELECT b.lo, b.hi, count(de.event_id) AS n_rows,
+        |       round(1e-9 + avg(de.value), 4) AS avg_value
+        |FROM buckets b
+        |LEFT JOIN dedup de ON de.value >= b.lo AND de.value < b.hi
+        |GROUP BY b.lo, b.hi ORDER BY b.lo""".stripMargin) { (s, d) =>
+      val fact = s.read.parquet(factPath(s, d))
+      val perBucket = fact.filter(col("lo").isNotNull)
+        .groupBy(col("lo"), col("hi"))
+        .agg(count(lit(1)).as("cnt"),
+          Num.roundOut(avg(col("value")), 4).as("avg_value"))
+      Flagship.buckets(s)
+        .join(perBucket, Seq("lo", "hi"), "left")
+        .select(col("lo"), col("hi"),
+          coalesce(col("cnt"), lit(0L)).as("n_rows"), col("avg_value"))
+        .orderBy(col("lo"))
+    }
+  )
+}
+
+/** The fact-build plan shared by q22 (verified against the oracle) and the
+  * persisted matview. */
+private[operators] object FactBuild {
+  def build(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val deduped = Merge.keepLatest(e, Seq("user_id", "event_type"),
+      Seq(col("ts").desc, col("event_id").desc))
+    val b = Flagship.buckets(s)
+    val daily = e.groupBy(to_date(col("ts")).as("day"))
+      .agg(Num.roundOut(avg(col("value")), 4).as("day_avg"))
+    deduped
+      .join(broadcast(b), col("value") >= col("lo") && col("value") < col("hi"), "left")
+      .join(broadcast(daily), to_date(col("ts")) === col("day"), "left")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        to_date(col("ts")).as("day"), col("lo"), col("hi"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"), col("day_avg"))
+  }
+}
