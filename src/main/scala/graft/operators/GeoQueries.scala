@@ -35,7 +35,9 @@ object GeoQueries {
     // are offset (.005 / .5) so no data point lies on a boundary and the
     // even-odd ray cast agrees exactly with closed-range semantics.
     // Scale: polygons broadcast; one UDF probe per (point, polygon) — the
-    // BroadcastNestedLoopJoin shape of the reference's GIST-probed join.
+    // BroadcastNestedLoopJoin shape of the reference GIST-probed join. The
+    // containment predicate is the native codegen Expression
+    // (graft.plans.StContains), not the Scala UDF.
     QueryDef("q19_point_in_polygon",
       """WITH polys AS (SELECT CAST(range AS INT) AS poly_id FROM range(0, 5))
         |SELECT p.poly_id, count(e.event_id) AS n_inside
@@ -61,7 +63,7 @@ object GeoQueries {
         (col("value") % 50).as("px"),
         (col("user_id") % 50).cast("double").as("py"))
       val perPoly = pts
-        .join(broadcast(polys), Geo.stContains(col("ring"), col("px"), col("py")))
+        .join(broadcast(polys), graft.plans.StContains(col("ring"), col("px"), col("py")))
         .groupBy(col("poly_id")).agg(count(lit(1)).as("cnt"))
       polys.select(col("poly_id"))
         .join(perPoly, Seq("poly_id"), "left")

@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Geo, Text}
+import graft.operators.Merge
+
+/** ScalaCheck-generated property pins (SURVEY.md §5.3): dedup idempotence,
+  * merge algebra, WKT roundtrip, jaccard bounds, fingerprint range.
+  * Samples are drawn from seeded generators and run through real Spark
+  * plans (small N — each property is a handful of Spark jobs).
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    LazyList.iterate(Seed(seed))(_.next).take(n)
+      .flatMap(s => g.apply(Gen.Parameters.default, s)).toList
+
+  private val eventGen: Gen[List[(Long, Long, Long, String, Double)]] =
+    Gen.listOfN(40, for {
+      id <- Gen.choose(0L, 30L)
+      ts <- Gen.choose(0L, 5L) // coarse → frequent ties exercise tiebreak
+      user <- Gen.choose(1L, 4L)
+      typ <- Gen.oneOf("a", "b")
+      v <- Gen.choose(0, 9999).map(_ / 100.0)
+    } yield (id, ts, user, typ, v))
+
+  private def toDF(rows: List[(Long, Long, Long, String, Double)]) = {
+    import spark.implicits._
+    rows.map { case (id, t, u, ty, v) =>
+      (id, new Timestamp(1700000000000L + t * 1000L), u, ty, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  private val keys = Seq("user_id", "event_type")
+  private val ord = Seq(col("ts").desc, col("event_id").desc)
+
+  test("property: keepLatest is idempotent") {
+    samples(eventGen, 5, 11L).foreach { rows =>
+      val df = toDF(rows)
+      val once = Merge.keepLatest(df, keys, ord)
+      val twice = Merge.keepLatest(once, keys, ord)
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+    }
+  }
+
+  test("property: upsert(a,b) == keepLatest(a ∪ b) and re-merge is a no-op") {
+    samples(Gen.zip(eventGen, eventGen), 5, 23L).foreach { case (ra, rb) =>
+      val (a, b) = (toDF(ra), toDF(rb))
+      val merged = Merge.upsert(a, b, keys, ord)
+      val direct = Merge.keepLatest(a.unionByName(b), keys, ord)
+      assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+      val again = Merge.upsert(merged, b, keys, ord)
+      assert(again.exceptAll(merged).isEmpty && merged.exceptAll(again).isEmpty)
+    }
+  }
+
+  test("property: WKT point roundtrip parse(format(p)) == p") {
+    import spark.implicits._
+    val pts = samples(Gen.zip(
+      Gen.choose(-18000, 18000).map(_ / 100.0),
+      Gen.choose(-9000, 9000).map(_ / 100.0)), 40, 37L)
+    val df = pts.toDF("x", "y")
+      .withColumn("pt", Geo.parsePointWkt(Geo.formatPointWkt(col("x"), col("y"))))
+    val bad = df.filter(Geo.stX(col("pt")) =!= col("x") ||
+      Geo.stY(col("pt")) =!= col("y")).count()
+    assert(bad == 0)
+  }
+
+  test("property: jaccard ∈ [0,1], self-jaccard = 1, symmetric") {
+    import spark.implicits._
+    val texts = samples(Gen.listOfN(12,
+      Gen.oneOf("spark", "table", "join", "scan", "merge", "sort", "agg"))
+      .map(_.mkString(" ")), 20, 41L)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .withColumn("tri", Text.shingles(col("text"), 3))
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(Text.jaccard(col("a.tri"), col("b.tri")).as("jab"),
+        Text.jaccard(col("b.tri"), col("a.tri")).as("jba"),
+        (col("a.id") === col("b.id")).as("same"))
+    assert(pairs.filter(col("jab") < 0 || col("jab") > 1).count() == 0)
+    assert(pairs.filter(col("jab") =!= col("jba")).count() == 0)
+    assert(pairs.filter(col("same") && col("jab") =!= 1.0).count() == 0)
+  }
+
+  test("property: fingerprint is deterministic and in [0, 1e9+7)") {
+    import spark.implicits._
+    val texts = samples(Gen.listOfN(8,
+      Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" ")), 25, 53L)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val fp1 = df.select(col("id"), Text.fingerprint(col("text")).as("fp"))
+    val fp2 = df.select(col("id"), Text.fingerprint(col("text")).as("fp"))
+    assert(fp1.exceptAll(fp2).isEmpty)
+    assert(fp1.filter(col("fp") < 0 || col("fp") >= 1000000007L).count() == 0)
+    // same text ⇒ same fp
+    val j = fp1.as("x").join(fp2.as("y"),
+      col("x.id") === col("y.id") && col("x.fp") =!= col("y.fp"))
+    assert(j.count() == 0)
+  }
+}
