@@ -22,6 +22,7 @@ object SparkEntry {
     Windows.entries ++
     Merge.entries ++
     GeoQueries.entries ++
+    Sources.entries ++
     Dedup.entries ++
     Similarity.entries ++
     TextAnalysis.entries ++

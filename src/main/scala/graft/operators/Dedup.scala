@@ -24,7 +24,7 @@ object Dedup {
 
   /** doc_id, source, distinct word-trigram shingle set. */
   private def shingled(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), col("source"),
+    df.select(col("doc_id"), col("source"), col("lang"),
       Text.shingles(col("text"), 3).as("tri"))
 
   val entries: Seq[QueryDef] = Seq(
@@ -116,28 +116,66 @@ object Dedup {
         .limit(50)
     },
 
-    // Exhaustive n-gram Jaccard within a blocking key (source) — the
+    // Embedding-cosine near-dup: most-similar vector pairs within a
+    // blocking key (label) — the semantic-dedup path of a training
+    // pipeline. Exact within blocks; x06's LSH is the unblocked scale path.
+    QueryDef("x13_embedding_neardup",
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, label, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM n
+        |)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |       round(1e-9 + list_sum(list_transform(range(64),
+        |               i -> a.v[i+1] * b.v[i+1])) / a.nrm / b.nrm, 6) AS cos_sim
+        |FROM m a JOIN m b ON a.label = b.label AND a.vec_id < b.vec_id
+        |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""".stripMargin) { (s, d) =>
+      val m = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      val a = m.select(col("label"), col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = m.select(col("label"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), col("label"),
+          Num.roundOut(Similarity.dot(col("va"), col("vb")) / col("na") / col("nb"), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+        .limit(20)
+    },
+
+    // Exhaustive n-gram Jaccard within a blocking key (source, lang) — the
     // oracle-checked ground truth for the approximate methods above.
     QueryDef("x04_ngram_jaccard",
       """WITH s AS (
-        |  SELECT doc_id, source,
+        |  SELECT doc_id, source, lang,
         |         list_distinct(CASE WHEN len(ws) < 3 THEN []
         |           ELSE list_transform(range(len(ws) - 2),
         |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
-        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |  FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS ws
         |        FROM documents)
         |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       round(1e-9 + len(list_intersect(a.tri, b.tri)) * 1.0 /
         |             (len(a.tri) + len(b.tri) - len(list_intersect(a.tri, b.tri))),
         |             6) AS jaccard
-        |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |FROM s a JOIN s b ON a.source = b.source AND a.lang = b.lang
+        |                 AND a.doc_id < b.doc_id
         |WHERE len(a.tri) + len(b.tri) > 0
         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, d) =>
       val sets = shingled(Tables.documents(s, d)).localCheckpoint()
-      val a = sets.select(col("source"), col("doc_id").as("doc_a"), col("tri").as("tri_a"))
-      val b = sets.select(col("source"), col("doc_id").as("doc_b"), col("tri").as("tri_b"))
-      a.join(b, Seq("source"))
+      val a = sets.select(col("source"), col("lang"),
+        col("doc_id").as("doc_a"), col("tri").as("tri_a"))
+      val b = sets.select(col("source"), col("lang"),
+        col("doc_id").as("doc_b"), col("tri").as("tri_b"))
+      a.join(b, Seq("source", "lang"))
         .filter(col("doc_a") < col("doc_b"))
         .filter(size(col("tri_a")) + size(col("tri_b")) > 0)
         // two projections so the (expensive) intersect is evaluated ONCE —

@@ -109,6 +109,32 @@ object Joins {
         .orderBy(col("nation_name"))
     },
 
+    // Salted equi join — the skew mitigation for hot keys (event_type has
+    // only 5 values: every row of a type lands on one task in a plain
+    // shuffle join). Facts get a deterministic salt, the dim side explodes
+    // to all salts; result is IDENTICAL to the plain join (the oracle
+    // proves it), but the shuffle spreads each hot key over N tasks.
+    QueryDef("q27_salted_join",
+      """WITH dim AS (
+        |  SELECT event_type, round(1e-9 + avg(value), 4) AS type_avg
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_id, e.event_type, d.type_avg
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val salts = 8
+      val e = Tables.events(s, d)
+      val dim = e.groupBy(col("event_type"))
+        .agg(Num.roundOut(avg(col("value")), 4).as("type_avg"))
+      val saltedFacts = e.withColumn("__salt",
+        pmod(col("event_id"), lit(salts)).cast("int"))
+      val saltedDim = dim.withColumn("__salt",
+        explode(sequence(lit(0), lit(salts - 1))))
+      saltedFacts.join(saltedDim, Seq("event_type", "__salt"))
+        .select(col("event_id"), col("event_type"), col("type_avg"))
+        .orderBy(col("event_id"))
+    },
+
     // J5 lateral top-1 as-of join — the declared-but-unimplemented nearest-
     // weather-before-accident query (reference: queries.py:164-191). For
     // each purchase, the latest click by the same user at-or-before it.
