@@ -90,6 +90,36 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // Frame sampling: N evenly-spaced fixed-width byte slices from each
+    // payload — the video-frame/audio-chunk access pattern, pure byte
+    // arithmetic on the binary column (no decode, codegen'd both engines).
+    QueryDef("m03_frame_sample",
+      """WITH p AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       hex(encode(substring(text, 1, 8))) AS frame0,
+        |       hex(encode(substring(text, CAST(floor(n / 4.0) AS INT) + 1, 8))) AS frame1,
+        |       hex(encode(substring(text, CAST(floor(n / 2.0) AS INT) + 1, 8))) AS frame2,
+        |       hex(encode(substring(text, CAST(floor(3 * n / 4.0) AS INT) + 1, 8))) AS frame3
+        |FROM p WHERE n >= 32 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val payload = encode(col("text"), "UTF-8")
+      val n = length(payload)
+      def frame(start: org.apache.spark.sql.Column) =
+        hex(payload.substr(start.cast("int") + 1, lit(8)))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          frame(lit(0)).as("frame0"),
+          frame(floor(n / 4)).as("frame1"),
+          frame(floor(n / 2)).as("frame2"),
+          frame(floor(n * 3 / 4)).as("frame3"),
+          n.as("n"))
+        .filter(col("n") >= 32)
+        .drop("n")
+        .orderBy(col("doc_id"))
+    },
+
     // The mapPartitions decode pipeline (STUBBED decoder, real plumbing).
     // Engine-side iterator transform → no oracle; MultimodalSpec pins the
     // schema, determinism, and batch shape.

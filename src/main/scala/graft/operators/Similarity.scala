@@ -98,6 +98,41 @@ object Similarity {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // ANN via IVF (inverted-file) partitioning: every 50th vector serves as
+    // a centroid (deterministic "training"); corpus vectors are assigned to
+    // their nearest centroid (one pass, broadcast centroids); a query
+    // probes its nprobe=2 nearest centroid lists and re-ranks exactly.
+    // At 100 TB the assignment is computed once at ingest and the probe is
+    // a partition-pruned equi-join — no corpus scan per query.
+    // Not ANSI-expressible compactly → SimilaritySpec pins behavior.
+    QueryDef.noOracle("x14_ann_ivf") { (s, d) =>
+      val n = withNorm(Tables.embeddings(s, d))
+      val cents = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+      // assignment: nearest centroid by cosine (broadcast centroids)
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cent_id"))
+      val assigned = n.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+          (dot(col("v"), col("cv")) / col("nrm") / col("cn")).as("sim"))
+        .withColumn("rk", row_number().over(wAssign))
+      val corpus = assigned.filter(col("rk") === 1) // inverted lists
+        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+      val probes = assigned.filter(col("vec_id") < 10 && col("rk") <= 2) // nprobe=2
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cent_id"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
+      corpus.join(broadcast(probes), Seq("cent_id")) // probe only 2 lists
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          Num.roundOut(cosine(col("qv"), col("qn"), col("v"), col("nrm")), 6)
+            .as("cos_sim"))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // ANN via random-hyperplane LSH: 4 tables × 8-bit sign buckets;
     // candidates share a bucket in ANY table; exact cosine re-rank, top 5.
     // Not ANSI-expressible (hyperplane constants + bit buckets) →

@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: installs the engine's native
+  * functions at session build time —
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * This is the deployment-grade registration path (survives `newSession()`,
+  * no per-session imperative registration); [[StContains.register]] remains
+  * for ad-hoc sessions the caller didn't build.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("st_contains_ring"),
+      new ExpressionInfo(classOf[StContains].getName, "st_contains_ring"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        StContains(exprs(0), exprs(1), exprs(2))))
+  }
+}
