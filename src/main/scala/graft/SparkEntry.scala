@@ -20,6 +20,7 @@ object SparkEntry {
     Joins.entries ++
     Aggregates.entries ++
     Windows.entries ++
+    Breadth.entries ++
     Merge.entries ++
     GeoQueries.entries ++
     Sources.entries ++

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+import graft.{QueryDef, Tables}
+
+/** Capability-breadth battery beyond the reference's inventory — the rest
+  * of the relational surface a user of a general engine expects (SURVEY.md
+  * notes the reference has no set ops / grouping sets / ranking windows;
+  * a complete library still ships them, oracle-checked).
+  */
+object Breadth {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // Ranking/navigation windows: dense_rank, ntile, lead, first/last in
+    // frame — all over a total deterministic order.
+    QueryDef("q28_window_extras",
+      """SELECT event_id, user_id,
+        |       dense_rank() OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)) AS day_dense,
+        |       ntile(4) OVER w AS quartile,
+        |       lead(event_id) OVER w AS next_event_id,
+        |       first_value(event_id) OVER w AS first_event_id,
+        |       last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wDay = Window.partitionBy(col("user_id")).orderBy(to_date(col("ts")))
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+          dense_rank().over(wDay).as("day_dense"),
+          ntile(4).over(w).as("quartile"),
+          lead(col("event_id"), 1).over(w).as("next_event_id"),
+          first(col("event_id")).over(w).as("first_event_id"),
+          last(col("event_id")).over(wAll).as("last_event_id"))
+        .orderBy(col("event_id"))
+    },
+
+    // Set operations (UNION ALL / INTERSECT / EXCEPT — distinct semantics).
+    QueryDef("q29_set_ops",
+      """WITH clicks AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |buyers AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT user_id, 'both' AS tag FROM
+        |        (SELECT user_id FROM clicks INTERSECT SELECT user_id FROM buyers)
+        |      UNION ALL
+        |      SELECT user_id, 'click_only' AS tag FROM
+        |        (SELECT user_id FROM clicks EXCEPT SELECT user_id FROM buyers))
+        |SELECT tag, count(*) AS n_users FROM u GROUP BY tag ORDER BY tag""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click").select(col("user_id"))
+      val buyers = e.filter(col("event_type") === "purchase").select(col("user_id"))
+      val both = clicks.intersect(buyers).withColumn("tag", lit("both"))
+      val clickOnly = clicks.except(buyers).withColumn("tag", lit("click_only"))
+      both.unionByName(clickOnly)
+        .groupBy(col("tag")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("tag"))
+    },
+
+    // Rollup (grouping-sets family): per (type, day-of-month band) with
+    // subtotals and grand total; grouping() disambiguates rolled-up NULLs.
+    QueryDef("q30_rollup",
+      """SELECT event_type,
+        |       CAST(day(ts) > 15 AS INT) AS late_month,
+        |       count(*) AS n,
+        |       CAST(grouping(event_type) AS INT) AS g_type,
+        |       CAST(grouping(CAST(day(ts) > 15 AS INT)) AS INT) AS g_band
+        |FROM events
+        |GROUP BY ROLLUP(event_type, CAST(day(ts) > 15 AS INT))
+        |ORDER BY g_type, g_band, event_type NULLS FIRST, late_month NULLS FIRST""".stripMargin) { (s, d) =>
+      val band = (dayofmonth(col("ts")) > 15).cast("int")
+      Tables.events(s, d)
+        .select(col("event_type"), band.as("late_month"))
+        .rollup(col("event_type"), col("late_month"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("event_type")).cast("int").as("g_type"),
+          grouping(col("late_month")).cast("int").as("g_band"))
+        .orderBy(col("g_type"), col("g_band"),
+          col("event_type").asc_nulls_first, col("late_month").asc_nulls_first)
+    },
+
+    // Semi/anti joins (EXISTS / NOT EXISTS) — implicit in the reference's
+    // upsert (SURVEY.md §2.3 note), explicit here.
+    QueryDef("q31_semi_anti",
+      """WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.kind FROM (
+        |  SELECT user_id, 'has_purchase' AS kind FROM
+        |    (SELECT DISTINCT user_id FROM events
+        |     WHERE user_id IN (SELECT user_id FROM buyers))
+        |  UNION ALL
+        |  SELECT user_id, 'no_purchase' AS kind FROM
+        |    (SELECT DISTINCT user_id FROM events
+        |     WHERE user_id NOT IN (SELECT user_id FROM buyers))
+        |) c ORDER BY c.user_id, c.kind""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val buyers = e.filter(col("event_type") === "purchase").select(col("user_id"))
+      val users = e.select(col("user_id")).distinct()
+      val semi = users.join(buyers, Seq("user_id"), "left_semi")
+        .withColumn("kind", lit("has_purchase"))
+      val anti = users.join(buyers, Seq("user_id"), "left_anti")
+        .withColumn("kind", lit("no_purchase"))
+      semi.unionByName(anti).orderBy(col("user_id"), col("kind"))
+    },
+
+    // Exact interpolating quantiles (percentile ≙ quantile_cont).
+    QueryDef("q32_quantiles",
+      """SELECT event_type,
+        |       round(1e-9 + quantile_cont(value, 0.25), 4) AS p25,
+        |       round(1e-9 + quantile_cont(value, 0.5), 4) AS p50,
+        |       round(1e-9 + quantile_cont(value, 0.75), 4) AS p75,
+        |       round(1e-9 + quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          Num.roundOut(percentile(col("value"), lit(0.25)), 4).as("p25"),
+          Num.roundOut(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          Num.roundOut(percentile(col("value"), lit(0.75)), 4).as("p75"),
+          Num.roundOut(percentile(col("value"), lit(0.95)), 4).as("p95"))
+        .orderBy(col("event_type"))
+    },
+
+    // Datetime battery: extraction + arithmetic (conventions that agree
+    // across engines: year/month/day/hour, day diff vs a fixed date).
+    QueryDef("q33_datetime",
+      """SELECT event_id,
+        |       year(ts) AS y, month(ts) AS mo, day(ts) AS dd, hour(ts) AS hh,
+        |       datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
+        |       CAST(CAST(ts AS DATE) + INTERVAL 7 DAY AS DATE) AS week_later
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+          year(col("ts")).as("y"), month(col("ts")).as("mo"),
+          dayofmonth(col("ts")).as("dd"), hour(col("ts")).as("hh"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).as("days_since"),
+          date_add(to_date(col("ts")), 7).as("week_later"))
+        .orderBy(col("event_id"))
+    },
+
+    // Batch sessionization via gaps-and-islands (lag + cumulative sum) —
+    // the declarative twin of streaming/Streams.sessionize (cross-checked
+    // in StreamingSpec). One shuffle by user; windows pipeline after it.
+    QueryDef("q34_sessions_batch",
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id,
+        |       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapMicros = 30L * 60L * 1000000L
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }
+  )
+}

@@ -117,6 +117,16 @@ class ExtensionSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("batch gaps-and-islands sessionization equals streaming state machine") {
+    val batch = SparkEntry.queries("q34_sessions_batch")(spark, sf0_001)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+    val streamed = Streams.sessionize(spark,
+        Tables.events(spark, sf0_001).select(col("user_id"), col("ts")), 30)
+      .select(col("user_id"), col("n_sessions").cast("long").as("n_sessions"),
+        col("n_events"))
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty)
+  }
+
   test("sessionize counts gap-separated sessions per user") {
     import spark.implicits._
     import java.sql.Timestamp
