@@ -34,16 +34,23 @@ object Text {
   /** MinHash signature: k permutations h_i(x) = (a_i·x + b_i) mod p over
     * xxhash64 shingle hashes. Returns array<long> of length k.
     * Overflow of a_i·x wraps (Java long) — deterministic, fine for hashing. */
-  def minhashSignature(shingleArr: Column, k: Int): Column = {
-    val p = 2147483647L // 2^31 - 1
+  private val minhashP = 2147483647L // 2^31 - 1
+
+  /** Hash each shingle once, reduced mod p (xxhash64 is the expensive part
+    * of a minhash signature — materialize this as its OWN column so the k
+    * permutations read a bound reference instead of re-hashing k times). */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => pmod(xxhash64(s), lit(minhashP)))
+
+  /** MinHash signature over pre-hashed shingles: k permutations
+    * h_i(x) = (a_i·x + b_i) mod p as cheap modular arithmetic
+    * (a_i·h' + b_i < 2^36 — no ANSI long overflow). */
+  def minhashSignature(hashedArr: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), i => {
       val a = i * 2L + 1L        // ≤ 2k+1
       val b = i * 40503L + 17L
-      // reduce the 64-bit hash mod p FIRST: a·h' + b < 2^36, no ANSI overflow
-      array_min(transform(shingleArr,
-        s => pmod(pmod(xxhash64(s), lit(p)) * a + b, lit(p))))
+      array_min(transform(hashedArr, h => pmod(h * a + b, lit(minhashP))))
     })
-  }
 
   /** LSH band buckets from a minhash signature: bands of `r` rows, bucket =
     * hash of the band's slice (+ band index so bands don't collide).

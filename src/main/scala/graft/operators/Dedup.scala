@@ -51,7 +51,9 @@ object Dedup {
       // At cluster scale this is the "write the signature table" step every
       // production dedup pipeline has anyway.
       val sets = shingled(Tables.documents(s, d))
-        .withColumn("sig", Text.minhashSignature(col("tri"), 16))
+        .withColumn("hh", Text.shingleHashes(col("tri")))
+        .withColumn("sig", Text.minhashSignature(col("hh"), 16))
+        .drop("hh")
         .localCheckpoint()
       val banded = sets.select(col("doc_id"), col("sig"),
           explode(Text.lshBands(col("sig"), 8, 2)).as("bb"))
