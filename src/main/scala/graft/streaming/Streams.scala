@@ -62,6 +62,51 @@ object Streams {
     s.table(name).orderBy(col("day"), col("event_type"))
   }
 
+  /** Watermarked append-mode windowed aggregation over a file-source
+    * stream: only windows the 10-minute watermark has closed are emitted,
+    * and rows arriving later than the watermark are dropped — the
+    * late-data contract StreamingSpec pins with a crafted two-batch feed. */
+  def windowedAppend(s: SparkSession, srcDir: String,
+      sinkName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("ts", "timestamp").add("value", "double")
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch so the
+      .parquet(srcDir)                   // watermark advances between files
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("n"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(sinkName)
+      .start()
+  }
+
+  /** The reference's incremental-freshness model in streaming form
+    * (SURVEY.md §2.9): each micro-batch is merged into the persistent fact
+    * table with the SAME conditional-upsert semantics as the batch M1
+    * operator — `foreachBatch` + [[graft.operators.Merge.upsert]]. */
+  def incrementalUpsert(s: SparkSession, srcDir: String, factDir: String,
+      keys: Seq[String], ordering: Seq[org.apache.spark.sql.Column]): Unit = {
+    val schema = s.read.parquet(srcDir).schema
+    val q = s.readStream.schema(schema).parquet(srcDir)
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(factDir, "_SUCCESS")))
+            spark.read.parquet(factDir)
+          else batch.limit(0)
+        val merged = graft.operators.Merge
+          .upsert(existing, batch, keys, ordering)
+          .localCheckpoint() // sever lineage from the files being overwritten
+        merged.write.mode("overwrite").parquet(factDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   // ---- stateful sessionization (mapGroupsWithState) ----
 
   case class Ev(user_id: Long, tsMicros: Long)
