@@ -139,6 +139,52 @@ object Breadth {
         .orderBy(col("event_id"))
     },
 
+    // String-function battery (case, trim/pad, replace, regex, edit
+    // distance — levenshtein agrees across engines).
+    QueryDef("q35_string_battery",
+      """SELECT doc_id,
+        |       upper(source) AS src_upper,
+        |       lpad(lang, 5, '_') AS lang_pad,
+        |       replace(substring(text, 1, 20), ' ', '-') AS head_dashed,
+        |       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |       length(trim(substring(text, 1, 30))) AS head_len,
+        |       levenshtein(lang, 'en') AS lang_dist,
+        |       split_part(source, 'rc', 2) AS src_num
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          upper(col("source")).as("src_upper"),
+          lpad(col("lang"), 5, "_").as("lang_pad"),
+          regexp_replace(substring(col("text"), 1, 20), " ", "-").as("head_dashed"),
+          regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+          length(trim(substring(col("text"), 1, 30))).as("head_len"),
+          levenshtein(col("lang"), lit("en")).as("lang_dist"),
+          element_at(split(col("source"), "rc"), 2).as("src_num"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Null-handling battery: NULLIF/COALESCE/NVL2-style logic,
+    // greatest/least, null-safe equality.
+    QueryDef("q36_null_battery",
+      """SELECT event_id,
+        |       nullif(event_type, 'error') AS type_or_null,
+        |       coalesce(nullif(event_type, 'error'), 'scrubbed') AS type_scrubbed,
+        |       CASE WHEN nullif(event_type, 'error') IS NULL THEN 0 ELSE 1 END AS has_type,
+        |       greatest(value, 100.0) AS at_least_100,
+        |       least(value, 100.0) AS at_most_100,
+        |       CAST(nullif(event_type, 'error') IS NOT DISTINCT FROM event_type AS INT)
+        |         AS null_safe_eq
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val scrub = nullif(col("event_type"), lit("error"))
+      Tables.events(s, d).select(col("event_id"),
+          scrub.as("type_or_null"),
+          coalesce(scrub, lit("scrubbed")).as("type_scrubbed"),
+          when(scrub.isNull, 0).otherwise(1).as("has_type"),
+          greatest(col("value"), lit(100.0)).as("at_least_100"),
+          least(col("value"), lit(100.0)).as("at_most_100"),
+          (scrub <=> col("event_type")).cast("int").as("null_safe_eq"))
+        .orderBy(col("event_id"))
+    },
+
     // Batch sessionization via gaps-and-islands (lag + cumulative sum) —
     // the declarative twin of streaming/Streams.sessionize (cross-checked
     // in StreamingSpec). One shuffle by user; windows pipeline after it.
