@@ -30,6 +30,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // noop sink executes the FULL declared plan — a count() would let the
+    // optimizer delete final sorts and unused projections and under-measure
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -38,17 +42,17 @@ object Bench {
     // Warmup: absorbs JVM/classloader/codegen startup so per-query numbers
     // measure the queries, not initialization (reference runs on a warm
     // connection too, performance_test.py:38-46).
-    Flagship(spark, sfDir).count()
+    run(Flagship(spark, sfDir))
 
     // performance_test.py configs: join-from-base vs precomputed fact.
-    val baseCfg = avg3 { Flagship(spark, sfDir).count() }
+    val baseCfg = avg3 { run(Flagship(spark, sfDir)) }
     Matview.factPath(spark, sfDir) // build once, outside timing
     val factCfg = avg3 {
-      SparkEntry.queries("q25_fact_serving")(spark, sfDir).count()
+      run(SparkEntry.queries("q25_fact_serving")(spark, sfDir))
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> (try time { fn(spark, sfDir).count() } catch { case _: Throwable => -1.0 })
+      name -> (try time { run(fn(spark, sfDir)) } catch { case _: Throwable => -1.0 })
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

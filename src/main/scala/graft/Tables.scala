@@ -26,10 +26,13 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // `div` = integer division. A plain `/` would promote to double,
+        // whose 53-bit mantissa cannot hold ~1.7e18 ns (ulp 256 ns) — rows
+        // within 128 ns of a midnight would round across the day boundary
+        // and break daily aggregates vs the exact-ns oracle.
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L)
-              .cast(org.apache.spark.sql.types.LongType)))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => raw
     }
   }

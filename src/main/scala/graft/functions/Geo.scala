@@ -59,8 +59,9 @@ object Geo {
   }
 
   /** F6: ST_Contains(ring, point) via even-odd ray casting. Boundary
-    * behavior is deliberately exclusive on edges (queries pin data away from
-    * polygon edges — FIXTURES.md edge-case note). Scala UDF: the per-vertex
+    * behavior is HALF-OPEN (a point exactly on the bottom/left edge counts
+    * inside, top/right outside) — queries therefore pin data strictly away
+    * from polygon edges (FIXTURES.md edge-case note). Scala UDF: the per-vertex
     * stateful loop doesn't decompose into higher-order built-ins; it runs
     * once per (point × broadcast polygon) probe, same cost shape as the
     * reference's GIST-probed `ST_Contains`. */

@@ -82,6 +82,10 @@ object Dedup {
       val left = sets.select(col("doc_id").as("doc_a"), col("tri").as("tri_a"))
       val right = sets.select(col("doc_id").as("doc_b"), col("tri").as("tri_b"))
       est.join(left, "doc_a").join(right, "doc_b")
+        // both-empty shingle sets would divide by zero under ANSI mode
+        // (near-empty docs collide in every band: their signatures are all
+        // null). Same guard x04 applies.
+        .filter(size(col("tri_a")) + size(col("tri_b")) > 0)
         .select(col("doc_a"), col("doc_b"),
           Num.roundOut(Text.jaccard(col("tri_a"), col("tri_b")), 6).as("jaccard"),
           col("est"))
@@ -102,8 +106,9 @@ object Dedup {
         .agg(count(lit(1)).as("bsz"))
         .filter(col("bsz").between(2, 100))
         .select(col("band"), col("chunk"))
-      val cands = banded.join(keepChunks, Seq("band", "chunk")).as("a")
-        .join(banded.as("b"),
+      val pruned = banded.join(keepChunks, Seq("band", "chunk"))
+      val cands = pruned.as("a")
+        .join(pruned.as("b"),
           col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

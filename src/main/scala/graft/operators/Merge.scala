@@ -119,17 +119,11 @@ object Merge {
         |LEFT JOIN buckets b ON de.value >= b.lo AND de.value < b.hi
         |LEFT JOIN daily dy ON CAST(de.ts AS DATE) = dy.day
         |ORDER BY de.user_id, de.event_type""".stripMargin) { (s, d) =>
-      val e = Tables.events(s, d)
-      val deduped = keepLatest(e, eventKeys, eventOrdering)
-      val b = Flagship.buckets(s)
-      val daily = e.groupBy(to_date(col("ts")).as("day"))
-        .agg(Num.roundOut(avg(col("value")), 4).as("day_avg"))
-      deduped
-        .join(broadcast(b), col("value") >= col("lo") && col("value") < col("hi"), "left")
-        .join(broadcast(daily), to_date(col("ts")) === col("day"), "left")
+      // the SAME plan q25_fact_serving persists — this oracle-checked query
+      // is what validates the matview build (single source of truth)
+      FactBuild.build(s, d)
         .select(col("user_id"), col("event_type"), col("event_id"),
-          to_date(col("ts")).as("day"), col("lo"), col("hi"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("day"), col("lo"), col("hi"), col("k"),
           Num.roundOut(col("value"), 4).as("value"), col("day_avg"))
         .orderBy(col("user_id"), col("event_type"))
     }

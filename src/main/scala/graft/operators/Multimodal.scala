@@ -95,14 +95,17 @@ object Multimodal {
     // arithmetic on the binary column (no decode, codegen'd both engines).
     QueryDef("m03_frame_sample",
       """WITH p AS (
-        |  SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  -- DuckDB can't substring a BLOB: hex the whole payload and slice
+        |  -- the hex STRING at 2x byte offsets — byte-exact for ANY input
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
         |  FROM documents
         |)
         |SELECT doc_id,
-        |       hex(encode(substring(text, 1, 8))) AS frame0,
-        |       hex(encode(substring(text, CAST(floor(n / 4.0) AS INT) + 1, 8))) AS frame1,
-        |       hex(encode(substring(text, CAST(floor(n / 2.0) AS INT) + 1, 8))) AS frame2,
-        |       hex(encode(substring(text, CAST(floor(3 * n / 4.0) AS INT) + 1, 8))) AS frame3
+        |       substring(hx, 1, 16) AS frame0,
+        |       substring(hx, 2 * CAST(floor(n / 4.0) AS INT) + 1, 16) AS frame1,
+        |       substring(hx, 2 * CAST(floor(n / 2.0) AS INT) + 1, 16) AS frame2,
+        |       substring(hx, 2 * CAST(floor(3 * n / 4.0) AS INT) + 1, 16) AS frame3
         |FROM p WHERE n >= 32 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val payload = encode(col("text"), "UTF-8")
       val n = length(payload)

@@ -47,7 +47,7 @@ object Similarity {
   }
 
   /** Sign-bit bucket per (vector, table): 8 hyperplane signs → 0..255. */
-  private def bucketed(df: DataFrame, s: SparkSession): DataFrame = {
+  private def bucketed(df: DataFrame): DataFrame = {
     val byTable = planes.groupBy(_._1).toSeq.sortBy(_._1)
     byTable.foldLeft(df) { case (acc, (t, ps)) =>
       val bits = ps.sortBy(_._2).zipWithIndex.map { case ((_, _, comps), j) =>
@@ -138,7 +138,7 @@ object Similarity {
     // Not ANSI-expressible (hyperplane constants + bit buckets) →
     // SimilaritySpec pins recall vs x05 on crafted near-duplicates.
     QueryDef.noOracle("x06_ann_lsh") { (s, d) =>
-      val n = bucketed(withNorm(Tables.embeddings(s, d)), s)
+      val n = bucketed(withNorm(Tables.embeddings(s, d)))
       val tables = (0 until 4).map { t =>
         n.select(col("vec_id"), col("v"), col("nrm"),
           lit(t).as("tbl"), col(s"bucket_$t").as("bucket"))

@@ -49,7 +49,7 @@ object Streams {
     }
     val raw = s.readStream.schema(batch.schema).parquet(stage.toString)
     val events = raw.withColumn("ts",
-      timestamp_micros((col("ts").cast("long") / 1000L).cast("long")))
+      timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
     val agg = events
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), Num.roundOut(sum(col("value")), 4).as("sum_value"))
