@@ -49,7 +49,9 @@ object Text {
     transform(sequence(lit(0), lit(k - 1)), i => {
       val a = i * 2L + 1L        // ≤ 2k+1
       val b = i * 40503L + 17L
-      array_min(transform(hashedArr, h => pmod(h * a + b, lit(minhashP))))
+      // running-min fold: no per-permutation permuted-array materialization
+      aggregate(hashedArr, lit(minhashP),
+        (mn, h) => least(mn, pmod(h * a + b, lit(minhashP))))
     })
 
   /** LSH band buckets from a minhash signature: bands of `r` rows, bucket =

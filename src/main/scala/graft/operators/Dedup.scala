@@ -42,7 +42,9 @@ object Dedup {
         .orderBy(col("keep_id"))
     },
 
-    // MinHash (16 perms) + LSH (8 bands × 2 rows): candidates from band
+    // MinHash (16 perms) + LSH (4 bands × 4 rows — r=4 keeps per-band
+    // collision P at J^4, essential when the whole corpus is mutually
+    // similar): candidates from band
     // bucket collisions, verified with exact trigram Jaccard, top 50.
     // Not ANSI-expressible (xxhash64 signature) → pinned by DedupSpec.
     QueryDef.noOracle("x02_minhash_lsh") { (s, d) =>
@@ -56,7 +58,7 @@ object Dedup {
         .drop("hh")
         .localCheckpoint()
       val banded = sets.select(col("doc_id"), col("sig"),
-          explode(Text.lshBands(col("sig"), 8, 2)).as("bb"))
+          explode(Text.lshBands(col("sig"), 4, 4)).as("bb"))
         .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
       // Crowded buckets (boilerplate clusters) would make the self-join
       // quadratic — cap them, the standard web-dedup mitigation; singleton
