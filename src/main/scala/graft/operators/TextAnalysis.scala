@@ -161,6 +161,33 @@ object TextAnalysis {
         .orderBy(col("event_type"))
     },
 
+    // Dataset profiling: per-column null/distinct/min/max in ONE pass
+    // (conditional aggregation, no per-column scans) — the data-quality
+    // report every ingest pipeline runs before training.
+    QueryDef("x15_profile",
+      """SELECT 'events' AS table_name, count(*) AS n_rows,
+        |       count(*) - count(user_id) AS user_id_nulls,
+        |       count(DISTINCT user_id) AS user_id_distinct,
+        |       count(*) - count(event_type) AS event_type_nulls,
+        |       count(DISTINCT event_type) AS event_type_distinct,
+        |       count(*) - count(value) AS value_nulls,
+        |       round(1e-9 + min(value), 4) AS value_min,
+        |       round(1e-9 + max(value), 4) AS value_max,
+        |       count(*) - count(props) AS props_nulls
+        |FROM events""".stripMargin) { (s, d) =>
+      Tables.events(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("user_id"))).as("user_id_nulls"),
+        countDistinct(col("user_id")).as("user_id_distinct"),
+        (count(lit(1)) - count(col("event_type"))).as("event_type_nulls"),
+        countDistinct(col("event_type")).as("event_type_distinct"),
+        (count(lit(1)) - count(col("value"))).as("value_nulls"),
+        Num.roundOut(min(col("value")), 4).as("value_min"),
+        Num.roundOut(max(col("value")), 4).as("value_max"),
+        (count(lit(1)) - count(col("props"))).as("props_nulls"))
+        .select(lit("events").as("table_name"), col("*"))
+    },
+
     // HLL-sketch approximate distinct — the at-scale path (no exact-
     // distinct shuffle). Sketch values are engine-specific → no oracle;
     // TextAnalysisSpec bounds the relative error against x11.
