@@ -71,13 +71,22 @@ object Sources {
         .agg(concat(lit("""{"type":"FeatureCollection","features":["""),
           concat_ws(",", array_sort(collect_list(col("fj")))),
           lit("]}")).as("payload"))
-      // the actual unwrap: parse → explode features → hoist → WKT
+      // the actual unwrap: parse → explode features → hoist → WKT.
+      // The properties struct additionally takes a to_json→from_json
+      // roundtrip (F3, reference etl.py:149-155's json.dumps of nested
+      // values) — identity on the data, so the oracle is unaffected, but
+      // the serialization path is exercised under the hash check.
+      val propSchema = fcSchema("features").dataType
+        .asInstanceOf[ArrayType].elementType
+        .asInstanceOf[StructType]("properties").dataType
       payload
         .withColumn("fc", from_json(col("payload"), fcSchema))
         .select(explode(col("fc.features")).as("f"))
+        .withColumn("props_json", to_json(col("f.properties")))
+        .withColumn("p2", from_json(col("props_json"), propSchema))
         .select(
-          col("f.properties.name").as("name"),
-          col("f.properties.key").as("key"),
+          col("p2.name").as("name"),
+          col("p2.key").as("key"),
           Geo.formatPointWkt(
             element_at(col("f.geometry.coordinates"), 1),
             element_at(col("f.geometry.coordinates"), 2)).as("wkt"))
