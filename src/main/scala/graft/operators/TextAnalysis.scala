@@ -161,6 +161,96 @@ object TextAnalysis {
         .orderBy(col("event_type"))
     },
 
+    // PII scrubbing / normalization: emails and URLs are injected
+    // deterministically (the corpus has none), then scrubbed with
+    // regexp_replace + whitespace collapse + lowercase — the text-cleaning
+    // pass of a training pipeline, all codegen'd string ops.
+    QueryDef("x16_scrub",
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |         substring(text, 1, 40) || ' Contact user' || doc_id ||
+        |         '@example.com  or   http://site.example/page' || doc_id AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       lower(trim(regexp_replace(regexp_replace(regexp_replace(raw,
+        |         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |         'https?://[^ ]+', '<URL>', 'g'),
+        |         ' +', ' ', 'g'))) AS clean
+        |FROM dirty ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val raw = concat(substring(col("text"), 1, 40),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com  or   http://site.example/page"),
+        col("doc_id").cast("string"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          lower(trim(regexp_replace(regexp_replace(regexp_replace(raw,
+            "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+            "https?://[^ ]+", "<URL>"),
+            " +", " "))).as("clean"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic content-hash train/val/test split (80/10/10) with
+    // per-split stats — reuses the rolling-hash fingerprint so the split is
+    // stable under re-ingestion and identical on any cluster.
+    QueryDef("x17_split",
+      """WITH fp AS (
+        |  SELECT doc_id, n_chars,
+        |    list_reduce(
+        |      list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(list_filter(string_split(text, ' '), w -> len(w) > 0),
+        |          w -> CAST(list_sum(list_transform(range(len(w)),
+        |                 i -> unicode(w[i+1]) * (i + 1))) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val bucket = Text.fingerprint(col("text")) % 100
+      Tables.documents(s, d)
+        .select(col("n_chars"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))
+    },
+
+    // Sequence packing: concat-then-chunk documents into fixed token-budget
+    // bins (the LLM-pretraining packing shape) — running token count over a
+    // deterministic order, bin = cumulative-before / budget. The global
+    // window is the demo shape; at 100 TB packing runs per shard (partition
+    // the order key first), which changes nothing semantically per shard.
+    QueryDef("x18_pack",
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |           AS cum_before
+        |  FROM t
+        |)
+        |SELECT CAST(floor(cum_before / 2048.0) AS INT) AS bin,
+        |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .select(floor(col("cum_before") / 2048.0).cast("int").as("bin"),
+          col("n_tokens"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+        .orderBy(col("bin"))
+    },
+
     // Dataset profiling: per-column null/distinct/min/max in ONE pass
     // (conditional aggregation, no per-column scans) — the data-quality
     // report every ingest pipeline runs before training.
