@@ -19,6 +19,17 @@ import graft.functions.Text
   */
 object TextAnalysis {
 
+  /** The pinned rolling-hash fold in DuckDB SQL — interpolated into every
+    * oracle that buckets by fingerprint so the definition can't drift from
+    * [[graft.functions.Text.fingerprint]]. */
+  private val fingerprintSql =
+    """list_reduce(
+      |    list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(list_filter(string_split(text, ' '), w -> len(w) > 0),
+      |        w -> CAST(list_sum(list_transform(range(len(w)),
+      |               i -> unicode(w[i+1]) * (i + 1))) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
 
     // Language ID via corpus-trained rank-profile classifier (Cavnar-
@@ -136,13 +147,8 @@ object TextAnalysis {
     // Rolling-hash document fingerprint (poly mod 1e9+7, pinned fold order
     // replicated in the oracle via list_reduce).
     QueryDef("x10_fingerprint",
-      """SELECT doc_id,
-        |  list_reduce(
-        |    list_prepend(CAST(7 AS BIGINT),
-        |      list_transform(list_filter(string_split(text, ' '), w -> len(w) > 0),
-        |        w -> CAST(list_sum(list_transform(range(len(w)),
-        |               i -> unicode(w[i+1]) * (i + 1))) AS BIGINT))),
-        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+      s"""SELECT doc_id,
+        |  $fingerprintSql AS fp
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
@@ -195,24 +201,21 @@ object TextAnalysis {
     // per-split stats — reuses the rolling-hash fingerprint so the split is
     // stable under re-ingestion and identical on any cluster.
     QueryDef("x17_split",
-      """WITH fp AS (
+      s"""WITH fp AS (
         |  SELECT doc_id, n_chars,
-        |    list_reduce(
-        |      list_prepend(CAST(7 AS BIGINT),
-        |        list_transform(list_filter(string_split(text, ' '), w -> len(w) > 0),
-        |          w -> CAST(list_sum(list_transform(range(len(w)),
-        |                 i -> unicode(w[i+1]) * (i + 1))) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 100 AS bucket
+        |    $fingerprintSql % 100 AS bucket
         |  FROM documents
         |)
         |SELECT CASE WHEN bucket < 80 THEN 'train'
         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val bucket = Text.fingerprint(col("text")) % 100
       Tables.documents(s, d)
+        // hoisted: the fingerprint is two nested higher-order aggregates —
+        // branching on the materialized column guarantees ONE evaluation
+        .withColumn("bucket", Text.fingerprint(col("text")) % 100)
         .select(col("n_chars"),
-          when(bucket < 80, "train").when(bucket < 90, "val")
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
             .otherwise("test").as("split"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
@@ -238,9 +241,8 @@ object TextAnalysis {
         |SELECT CAST(floor(cum_before / 2048.0) AS INT) AS bin,
         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, d)
         .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
         .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
