@@ -97,10 +97,26 @@ object Dedup {
 
     // SimHash near-dup: 64-bit fingerprints, 4×16-bit band join, closest 50
     // pairs by hamming distance. Not ANSI-expressible → DedupSpec.
+    // Bit votes are computed per DISTINCT TOKEN once (the vocabulary is
+    // orders of magnitude smaller than Σ doc tokens), broadcast back, and
+    // summed per doc with the VectorSum aggregator (map-side partials) —
+    // identical result to hashing inside every document, ~|vocab|/|tokens|
+    // of the hash work.
     QueryDef.noOracle("x03_simhash") { (s, d) =>
-      val fp = Tables.documents(s, d)
-        .select(col("doc_id"), Text.simhashBits(col("text")).as("bits"))
+      val docToks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(Text.tokens(col("text")))).as("tok"))
+      val vocab = docToks.select(col("tok")).distinct()
+        .withColumn("tbits", transform(sequence(lit(0), lit(63)),
+          i => pmod(xxhash64(concat(col("tok"), lit("#"), i.cast("string"))),
+            lit(2L)) * 2L - 1L))
+      val fp = docToks.join(broadcast(vocab), "tok")
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.VectorSum(col("tbits")).as("votes"))
+        .withColumn("bits", transform(col("votes"),
+          v => when(v > 0, 1L).otherwise(0L)))
         .withColumn("simhash", Text.simhashValue(col("bits")))
+        .select(col("doc_id"), col("bits"), col("simhash"))
         .localCheckpoint() // reused by band explode + both pair-join sides
       val banded = fp.select(col("doc_id"),
           posexplode(Text.simhashChunks(col("bits"))).as(Seq("band", "chunk")))
