@@ -52,11 +52,23 @@ object Dedup {
       // the bucket self-join + two exact-verify joins) — materialize once.
       // At cluster scale this is the "write the signature table" step every
       // production dedup pipeline has anyway.
-      val sets = shingled(Tables.documents(s, d))
-        .withColumn("hh", Text.shingleHashes(col("tri")))
-        .withColumn("sig", Text.minhashSignature(col("hh"), 16))
-        .drop("hh")
-        .localCheckpoint()
+      // Signatures are computed FLAT: explode shingles, hash once per row,
+      // take 16 per-permutation MINs in one columnar hash aggregate —
+      // whole-stage codegen'd, unlike nested higher-order lambdas (which
+      // are interpreted per element and generate huge methods).
+      val p = 2147483647L
+      val base = shingled(Tables.documents(s, d)).localCheckpoint()
+      val hashed = base
+        .select(col("doc_id"), explode(col("tri")).as("sh"))
+        .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(p)).as("h"))
+      val minCols = (0 until 16).map { i =>
+        min(pmod(col("h") * (2L * i + 1L) + (i * 40503L + 17L), lit(p))).as(s"m$i")
+      }
+      val sigs = hashed.groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
+      val sets = base.join(sigs, "doc_id").localCheckpoint()
       val banded = sets.select(col("doc_id"), col("sig"),
           explode(Text.lshBands(col("sig"), 4, 4)).as("bb"))
         .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
