@@ -57,8 +57,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // A zero factCfg would interpolate Infinity (invalid JSON) — emit 0.
+    val speedup = if (factCfg > 0) baseCfg / factCfg else 0.0
     val configs =
-      s"""{"base_join_3run_avg":$baseCfg,"fact_serving_3run_avg":$factCfg,"speedup":${baseCfg / factCfg}}"""
+      s"""{"base_join_3run_avg":$baseCfg,"fact_serving_3run_avg":$factCfg,"speedup":$speedup}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"configs":$configs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -15,9 +15,13 @@ object VectorSumAggregator extends Aggregator[Seq[Long], Array[Long], Seq[Long]]
 
   override def zero: Array[Long] = Array.empty
 
+  private def requireSameLength(a: Int, b: Int): Unit =
+    require(a == b, s"vector_sum over ragged vectors: length $b vs first-seen $a")
+
   override def reduce(buf: Array[Long], row: Seq[Long]): Array[Long] =
     if (buf.isEmpty) row.toArray
     else {
+      requireSameLength(buf.length, row.length)
       var i = 0
       while (i < buf.length) { buf(i) += row(i); i += 1 }
       buf
@@ -27,6 +31,7 @@ object VectorSumAggregator extends Aggregator[Seq[Long], Array[Long], Seq[Long]]
     if (a.isEmpty) b
     else if (b.isEmpty) a
     else {
+      requireSameLength(a.length, b.length)
       var i = 0
       while (i < a.length) { a(i) += b(i); i += 1 }
       a

@@ -85,15 +85,14 @@ object Breadth {
     // Semi/anti joins (EXISTS / NOT EXISTS) — implicit in the reference's
     // upsert (SURVEY.md §2.3 note), explicit here.
     QueryDef("q31_semi_anti",
-      """WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      """WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |     users AS (SELECT DISTINCT user_id FROM events)
         |SELECT c.user_id, c.kind FROM (
-        |  SELECT user_id, 'has_purchase' AS kind FROM
-        |    (SELECT DISTINCT user_id FROM events
-        |     WHERE user_id IN (SELECT user_id FROM buyers))
+        |  SELECT u.user_id, 'has_purchase' AS kind FROM users u
+        |   WHERE EXISTS (SELECT 1 FROM buyers b WHERE b.user_id = u.user_id)
         |  UNION ALL
-        |  SELECT user_id, 'no_purchase' AS kind FROM
-        |    (SELECT DISTINCT user_id FROM events
-        |     WHERE user_id NOT IN (SELECT user_id FROM buyers))
+        |  SELECT u.user_id, 'no_purchase' AS kind FROM users u
+        |   WHERE NOT EXISTS (SELECT 1 FROM buyers b WHERE b.user_id = u.user_id)
         |) c ORDER BY c.user_id, c.kind""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d)
       val buyers = e.filter(col("event_type") === "purchase").select(col("user_id"))
@@ -158,7 +157,12 @@ object Breadth {
           regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
           length(trim(substring(col("text"), 1, 30))).as("head_len"),
           levenshtein(col("lang"), lit("en")).as("lang_dist"),
-          element_at(split(col("source"), "rc"), 2).as("src_num"))
+          // split_part semantics under ANSI: a source without 'rc' must
+          // degrade to '' (DuckDB) not throw INVALID_ARRAY_INDEX; `get` is
+          // the non-throwing 0-based accessor.
+          when(col("source").isNull, lit(null).cast("string"))
+            .otherwise(coalesce(get(split(col("source"), "rc"), lit(1)), lit("")))
+            .as("src_num"))
         .orderBy(col("doc_id"))
     },
 

@@ -19,12 +19,15 @@ import graft.{QueryDef, Tables}
   */
 object Matview {
 
-  /** Build (idempotently, keyed by source dir) the deduped denormalized
-    * fact parquet and return its path. */
+  /** Build (idempotently, keyed by the source's content fingerprint) the
+    * deduped denormalized fact parquet and return its path. The key covers
+    * the events parquet's size+mtime, so regenerating the testdata at the
+    * same path yields a new cache entry instead of stale serving. */
   def factPath(s: SparkSession, dir: String): String = {
+    val srcKey = graft.ContentKey.key(
+      java.nio.file.Paths.get(dir, "events.parquet"))
     val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_fact_${Integer.toHexString(dir.hashCode)}").toString
+      System.getProperty("java.io.tmpdir"), s"graft_fact_$srcKey").toString
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
       FactBuild.build(s, dir)
         .write.mode("overwrite").partitionBy("day").parquet(out)

@@ -35,9 +35,12 @@ object Streams {
     // single parquet file → stage a hardlink/copy under a temp dir keyed by
     // the source path (idempotent across calls in one JVM).
     val src = java.nio.file.Paths.get(dir, "events.parquet")
+    // Content-keyed staging (ADVICE r01): if events.parquet is regenerated
+    // the key changes, so we stage a fresh link instead of keeping the old
+    // inode and silently diverging from the oracle.
     val stage = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft_stream_${Integer.toHexString(dir.hashCode)}")
+      s"graft_stream_${graft.ContentKey.key(src)}")
     java.nio.file.Files.createDirectories(stage)
     val dst = stage.resolve("events.parquet")
     if (!java.nio.file.Files.exists(dst)) {
