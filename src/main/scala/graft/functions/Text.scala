@@ -13,15 +13,23 @@ object Text {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles joined with '_' (distinct). Guarded for short
-    * docs: fewer than n tokens → empty set. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws("_", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
-    array_distinct(when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(grams))
-  }
+    * docs: fewer than n tokens → empty set.
+    *
+    * The token array is LET-BOUND via a single-element `transform` lambda:
+    * higher-order lambdas are interpreted with no common-subexpression
+    * elimination, so referencing `split(text)` directly inside the gram
+    * lambda would re-split the text once per element_at — O(grams × n)
+    * splits per document instead of one. */
+  def shingles(text: Column, n: Int): Column =
+    get(
+      transform(array(tokens(text)), toks => {
+        val grams = transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws("_", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+        when(size(toks) < n, array().cast("array<string>"))
+          .otherwise(array_distinct(grams))
+      }),
+      lit(0))
 
   /** Exact Jaccard of two distinct-element arrays, as
     * |∩| / (|a|+|b|-|∩|) — the formula both engines evaluate exactly

