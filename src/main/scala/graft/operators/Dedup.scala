@@ -136,16 +136,20 @@ object Dedup {
         .localCheckpoint() // reused by band explode + both pair-join sides
       val banded = fp.select(col("doc_id"),
           posexplode(Text.simhashChunks(col("bits"))).as(Seq("band", "chunk")))
-      val keepChunks = banded.groupBy(col("band"), col("chunk"))
-        .agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz").between(2, 100))
-        .select(col("band"), col("chunk"))
-      val pruned = banded.join(keepChunks, Seq("band", "chunk"))
-      val cands = pruned.as("a")
-        .join(pruned.as("b"),
-          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // Pair generation via collect_list per bucket (ONE shuffle) instead of
+      // a bucket-size prune + bucket self-join (four): sort the bucket's
+      // doc ids, emit all i<j pairs in-place, distinct across bands. The
+      // 2..100 size cap still bounds any crowded bucket quadratically.
+      val cands = banded.groupBy(col("band"), col("chunk"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 100))
+        .select(explode(flatten(transform(
+          sequence(lit(0), size(col("ds")) - 2),
+          i => transform(
+            slice(col("ds"), i + 2, size(col("ds"))),
+            b => struct(element_at(col("ds"), i + 1).as("doc_a"), b.as("doc_b")))))
+        ).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
         .distinct()
       val la = fp.select(col("doc_id").as("doc_a"), col("bits").as("bits_a"),
         col("simhash").as("simhash_a"))
