@@ -24,6 +24,8 @@ object SparkEntry {
     Merge.entries ++
     GeoQueries.entries ++
     Sources.entries ++
+    Pivots.entries ++
+    PhysicalDesign.entries ++
     Dedup.entries ++
     Similarity.entries ++
     TextAnalysis.entries ++

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+import graft.{QueryDef, Tables}
+
+/** Round-2 relational breadth: pivot, cube grouping sets, ordinal unnest
+  * (the posexplode UDTF surface), and the native `session_window` operator
+  * (the declarative twin of streaming/Streams.sessionize and q34's manual
+  * gaps-and-islands).
+  *
+  * Scale notes: pivot with an EXPLICIT value list is a single hash
+  * aggregate (no extra distinct-values job, no second shuffle); cube
+  * expands each input row into its grouping-set combinations before one
+  * shuffle; posexplode is pipelined (no shuffle); session_window is one
+  * shuffle by user + an in-partition merge — same cost shape as q34.
+  */
+object Pivots {
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // PIVOT: per-user event-type count matrix. The explicit value list is
+    // load-bearing at scale: without it Spark runs a separate
+    // collect-distinct job and the pivot can't be planned as one aggregate.
+    QueryDef("q37_pivot",
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type = 'click')    AS click,
+        |       count(*) FILTER (WHERE event_type = 'error')    AS error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        |       count(*) FILTER (WHERE event_type = 'view')     AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val p = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+      // pivot yields NULL for a (user, type) with no rows; the conditional
+      // aggregate yields 0 — align on 0
+      p.select(col("user_id") +:
+          eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("user_id"))
+    },
+
+    // CUBE over (day, event_type) with grouping indicators — extends q30's
+    // rollup to the full grouping-set lattice.
+    QueryDef("q38_cube",
+      """SELECT day, event_type,
+        |       CAST(GROUPING(day) AS INT) AS g_day,
+        |       CAST(GROUPING(event_type) AS INT) AS g_type,
+        |       count(*) AS n, round(1e-9 + sum(value), 4) AS sum_value
+        |FROM (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events)
+        |GROUP BY CUBE(day, event_type)
+        |ORDER BY g_day, g_type, day NULLS FIRST, event_type NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
+        .cube(col("day"), col("event_type"))
+        .agg(grouping(col("day")).cast("int").as("g_day"),
+          grouping(col("event_type")).cast("int").as("g_type"),
+          count(lit(1)).as("n"),
+          Num.roundOut(sum(col("value")), 4).as("sum_value"))
+        .select(col("day"), col("event_type"), col("g_day"), col("g_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("g_day"), col("g_type"), col("day").asc_nulls_first,
+          col("event_type").asc_nulls_first)
+    },
+
+    // Ordinal unnest — posexplode as the generator/UDTF surface (SURVEY.md
+    // §2.10): one (doc, position, token) row per token, no shuffle.
+    QueryDef("q39_posexplode",
+      """SELECT doc_id, unnest(range(len(ws))) AS pos, unnest(ws) AS tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
+    // Native session_window aggregation (30-minute gap), checked against a
+    // gaps-and-islands oracle. Session bounds are emitted as epoch MICROS
+    // bigints (raw timestamps never cross the oracle compare — nanos
+    // parity hazard). Boundary convention: Spark merges an event iff it
+    // falls STRICTLY inside the previous window (diff < gap), so the
+    // oracle's new-session test is `>= INTERVAL 30 MINUTE`.
+    QueryDef("q40_session_window",
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |       epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start,
+        |       epoch_us(CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE) AS session_end,
+        |       count(*) AS n, round(1e-9 + sum(value), 4) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          Num.roundOut(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start"),
+          unix_micros(col("w.end")).as("session_end"),
+          col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }
+  )
+}
