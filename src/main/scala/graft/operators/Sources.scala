@@ -91,6 +91,70 @@ object Sources {
             element_at(col("f.geometry.coordinates"), 1),
             element_at(col("f.geometry.coordinates"), 2)).as("wkt"))
         .orderBy(col("key"))
+    },
+
+    // The SQL front door: the same statement text runs verbatim in Spark
+    // SQL (over a temp view) and DuckDB — exercising a CORRELATED SCALAR
+    // SUBQUERY, which Catalyst de-correlates into an aggregate + join
+    // (one shuffle on the correlation key), never a per-row re-scan.
+    // max() is order-independent, so 0.9*max compares exactly across
+    // engines (an avg() threshold would diverge by summation order).
+    QueryDef("q41_subquery_sql", Sources.subquerySql) { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(Sources.subquerySql)
+    },
+
+    // CSV sink + source roundtrip (S1/S6 format breadth): write a typed
+    // extract as CSV once per source content, read it back with an
+    // EXPLICIT schema (schema inference at 100 TB means a full extra
+    // pass), aggregate. Doubles survive textually: Spark writes the
+    // shortest representation that round-trips.
+    QueryDef("w03_csv_roundtrip",
+      """SELECT event_type, count(*) AS n,
+        |       round(1e-9 + sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_csv_$key").toString
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+      }
+      s.read
+        .schema("event_id BIGINT, event_type STRING, user_id BIGINT, value DOUBLE")
+        .option("header", "true").csv(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Num.roundOut(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+
+    // JSON-lines sink + source roundtrip (S3: nested values as JSON text).
+    QueryDef("w04_jsonl_roundtrip",
+      """SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "documents.parquet"))
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_jsonl_$key").toString
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").json(out)
+      }
+      s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
     }
   )
+
+  /** Shared Spark/DuckDB statement for q41 (dialect-free ANSI). A def, not
+    * a val: `entries` above initializes first and would capture null. */
+  private def subquerySql: String =
+    """SELECT e.event_type, count(*) AS n_near_max
+      |FROM events e
+      |WHERE e.value >= 0.9 * (SELECT max(i.value) FROM events i
+      |                        WHERE i.event_type = e.event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 }
