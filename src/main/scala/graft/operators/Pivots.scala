@@ -83,14 +83,15 @@ object Pivots {
     // Native session_window aggregation (30-minute gap), checked against a
     // gaps-and-islands oracle. Session bounds are emitted as epoch MICROS
     // bigints (raw timestamps never cross the oracle compare — nanos
-    // parity hazard). Boundary convention: Spark merges an event iff it
-    // falls STRICTLY inside the previous window (diff < gap), so the
-    // oracle's new-session test is `>= INTERVAL 30 MINUTE`.
+    // parity hazard). Boundary convention: Spark merges an event that
+    // lands ON the previous window's end (gap INCLUSIVE — pinned by
+    // StreamingSemanticsSpec), so the oracle's new-session test is
+    // strictly `> INTERVAL 30 MINUTE`, same as q34.
     QueryDef("q40_session_window",
       """WITH marked AS (
         |  SELECT user_id, ts, value,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |), sess AS (

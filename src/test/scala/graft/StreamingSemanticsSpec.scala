@@ -78,4 +78,26 @@ class StreamingSemanticsSpec extends AnyFunSuite {
       .select("event_id").as[Long].collect().sorted.toSeq
     assert(got == expected && got == Seq(2L, 5L, 6L))
   }
+
+  test("session_window gap boundary is INCLUSIVE: exactly-30-minute gap merges") {
+    import spark.implicits._
+    // Spark merges an event that lands ON the previous window's end
+    // (gap inclusive); only a strictly-greater gap splits. q40's oracle
+    // mirrors this with new-session = `ts - lag(ts) > INTERVAL 30 MINUTE`.
+    val justOver = new Timestamp(t(59).getTime + 30 * 60000L + 1L)
+    val rows = Seq(
+      (1L, t(0)),    // session 1
+      (2L, t(29)),   // 29 min later → merges
+      (3L, t(59)),   // exactly 30 min after t(29) → still MERGES
+      (4L, justOver)) // 30 min + 1 ms after t(59) → NEW session
+    val sessions = rows.toDF("event_id", "ts")
+      .withColumn("user_id", lit(7L))
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("start"), col("n"))
+      .orderBy(col("start"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(sessions == Seq((t(0), 3L), (justOver, 1L)),
+      s"expected inclusive-gap merge then split, got $sessions")
+  }
 }
