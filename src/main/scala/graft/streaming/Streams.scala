@@ -28,16 +28,13 @@ object Streams {
   /** Daily per-type counts computed by a genuine streaming query over the
     * events parquet (schema from a batch probe; nanos ts normalized the
     * same way as [[graft.Tables.events]]). */
-  def streamingDaily(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = Tables.table(s, dir, "events") // schema probe: ts reads as long nanos
-    // The file stream source needs a DIRECTORY; the testdata table is a
-    // single parquet file → stage a hardlink/copy under a temp dir keyed by
-    // the source path (idempotent across calls in one JVM).
+  /** Stage the single-file events table as a DIRECTORY for the file-stream
+    * source (idempotent per JVM). Content-keyed (ADVICE r01): if
+    * events.parquet is regenerated the key changes, so we stage a fresh
+    * link instead of keeping the old inode and silently diverging from the
+    * oracle. */
+  private[graft] def stageEvents(dir: String): String = {
     val src = java.nio.file.Paths.get(dir, "events.parquet")
-    // Content-keyed staging (ADVICE r01): if events.parquet is regenerated
-    // the key changes, so we stage a fresh link instead of keeping the old
-    // inode and silently diverging from the oracle.
     val stage = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       s"graft_stream_${graft.ContentKey.key(src)}")
@@ -50,7 +47,13 @@ object Streams {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
-    val raw = s.readStream.schema(batch.schema).parquet(stage.toString)
+    stage.toString
+  }
+
+  def streamingDaily(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = Tables.table(s, dir, "events") // schema probe: ts reads as long nanos
+    val raw = s.readStream.schema(batch.schema).parquet(stageEvents(dir))
     val events = raw.withColumn("ts",
       timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
     val agg = events
@@ -147,6 +150,33 @@ object Streams {
       """SELECT CAST(ts AS DATE) AS day, event_type,
         |       count(*) AS n, round(1e-9 + sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
-      (s, d) => streamingDaily(s, d))
+      (s, d) => streamingDaily(s, d)),
+
+    // Oracle-checked: the foreachBatch incremental merge (the reference's
+    // freshness model, M1) must CONVERGE to the batch keep-latest answer —
+    // same oracle shape as q13, reached through the streaming path. The
+    // upsert is idempotent, so a pre-existing fact dir from an earlier run
+    // of the same content re-merges to the identical result. ts stays raw
+    // long nanos here: the merge ordering only compares it, never emits it.
+    QueryDef("st02_stream_upsert",
+      """SELECT user_id, event_type, event_id, round(1e-9 + value, 4) AS value
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val stage = stageEvents(d)
+      val factDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_stfact_${graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}",
+        "fact").toString
+      incrementalUpsert(s, stage, factDir, Seq("user_id", "event_type"),
+        Seq(col("ts").desc, col("event_id").desc))
+      s.read.parquet(factDir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          Num.roundOut(col("value"), 4).as("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }
   )
 }
