@@ -60,6 +60,55 @@ object Breadth {
         .orderBy(col("tag"))
     },
 
+    // Duplicate-preserving set ops (EXCEPT ALL / INTERSECT ALL): bag
+    // semantics — multiplicities subtract/min rather than collapsing.
+    // Counts per user keep the result small and the multiplicity math
+    // visible. One shuffle each (hash by the whole row).
+    QueryDef("q42_set_ops_all",
+      """WITH clicks AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |views AS (SELECT user_id FROM events WHERE event_type = 'view'),
+        |u AS (SELECT user_id, 'click_minus_view' AS tag FROM
+        |        (SELECT user_id FROM clicks EXCEPT ALL SELECT user_id FROM views)
+        |      UNION ALL
+        |      SELECT user_id, 'click_and_view' AS tag FROM
+        |        (SELECT user_id FROM clicks INTERSECT ALL SELECT user_id FROM views))
+        |SELECT user_id, tag, count(*) AS n FROM u
+        |GROUP BY user_id, tag ORDER BY user_id, tag""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click").select(col("user_id"))
+      val views = e.filter(col("event_type") === "view").select(col("user_id"))
+      val minus = clicks.exceptAll(views).withColumn("tag", lit("click_minus_view"))
+      val and = clicks.intersectAll(views).withColumn("tag", lit("click_and_view"))
+      minus.unionByName(and)
+        .groupBy(col("user_id"), col("tag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("tag"))
+    },
+
+    // ANSI-safe scalar surface: try_cast / try_divide / try_add degrade to
+    // NULL where strict ANSI evaluation would throw — the defensive-parse
+    // layer every ingestion pipeline needs (reference parses API payloads
+    // defensively, etl.py:145-156). DuckDB equivalents: TRY_CAST and
+    // NULLIF-guarded arithmetic.
+    QueryDef("q43_try_battery",
+      """SELECT event_id,
+        |       TRY_CAST(substr(event_type, 1, 3) AS INT) AS bad_int,
+        |       TRY_CAST(ROUND(1e-9 + value, 0) AS BIGINT) AS value_int,
+        |       value / NULLIF(CAST(event_id % 3 AS DOUBLE), 0.0) AS safe_div,
+        |       TRY_CAST('20' || repeat('9', CAST((event_id % 3) * 2 AS INT)) AS SMALLINT) AS near_overflow
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+          substring(col("event_type"), 1, 3).try_cast("int").as("bad_int"),
+          // the 1e-9 nudge is the cross-engine half-rounding convention
+          // (Num.roundOut) — here the result feeds a cast, not a double
+          round(col("value") + lit(1e-9), 0).try_cast("bigint").as("value_int"),
+          try_divide(col("value"), (col("event_id") % 3).cast("double")).as("safe_div"),
+          // '20', '2099', '209999' — the last overflows SMALLINT → NULL
+          concat(lit("20"),
+            repeat(lit("9"), ((col("event_id") % 3) * 2).cast("int")))
+            .try_cast("smallint").as("near_overflow"))
+        .orderBy(col("event_id"))
+    },
+
     // Rollup (grouping-sets family): per (type, day-of-month band) with
     // subtotals and grand total; grouping() disambiguates rolled-up NULLs.
     QueryDef("q30_rollup",
