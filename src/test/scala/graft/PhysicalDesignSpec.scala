@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -15,21 +14,11 @@ class PhysicalDesignSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  import PlanWalk.collectAll
+
   private def executed(df: org.apache.spark.sql.DataFrame): SparkPlan = {
     df.collect() // force AQE to finalize
     df.queryExecution.executedPlan
-  }
-
-  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
-    // AQE hides subtrees behind AdaptiveSparkPlanExec.executedPlan and
-    // QueryStageExec.plan (children is empty there) — unwrap both.
-    val below = p match {
-      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        collectAll(q.plan)
-      case other => other.children.flatMap(collectAll)
-    }
-    p +: below
   }
 
   test("w01: the date filter prunes the partitioned scan to 10 day= dirs") {

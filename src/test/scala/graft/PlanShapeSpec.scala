@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared AQE-aware physical-plan walker for plan-shape pins. */
+object PlanWalk {
+  def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case q: QueryStageExec => collectAll(q.plan)
+      case other => other.children.flatMap(collectAll)
+    }
+    p +: below
+  }
+
+  def executedAll(df: DataFrame): Seq[SparkPlan] = {
+    df.collect()
+    collectAll(df.queryExecution.executedPlan)
+  }
+}
+
+/** Pins the physical-plan claims SCALING.md makes: dimension joins
+  * broadcast (fact side never shuffles for them), filters reach the
+  * parquet scan, and no candidate-generation pipeline ever degenerates to
+  * a cartesian product. */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import PlanWalk._
+
+  test("q01 flagship: bucket + daily dims join via broadcast, fact side shuffles only for aggregation") {
+    val nodes = executedAll(SparkEntry.queries("q01_flagship")(spark, sf0_001))
+    val broadcasts = nodes.count {
+      case _: BroadcastHashJoinExec | _: BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }
+    assert(broadcasts >= 2, s"expected ≥2 broadcast joins, got $broadcasts")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("q08 temporal join: daily dimension is a broadcast hash join") {
+    val nodes = executedAll(SparkEntry.queries("q08_temporal_join")(spark, sf0_001))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "daily dim must broadcast, not shuffle the fact side")
+  }
+
+  test("q04 filter battery: predicates are pushed into the parquet scan") {
+    val nodes = executedAll(SparkEntry.queries("q04_filter_battery")(spark, sf0_001))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_ != "[]")),
+      s"no pushed filters in: ${scans.map(_.metadata.get("PushedFilters"))}")
+  }
+
+  test("LSH candidate generation (x02, x03) never plans a cartesian product") {
+    Seq("x02_minhash_lsh", "x03_simhash").foreach { q =>
+      val nodes = executedAll(SparkEntry.queries(q)(spark, sf0_001))
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$q degenerated to a cartesian product")
+    }
+  }
+
+  test("q24 top-k is TakeOrdered (per-partition heap), not a global sort") {
+    val nodes = executedAll(SparkEntry.queries("q24_topk")(spark, sf0_001))
+    assert(nodes.exists(_.getClass.getSimpleName.startsWith("TakeOrderedAndProject")),
+      s"expected TakeOrderedAndProject in ${nodes.map(_.getClass.getSimpleName)}")
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "global top-k must not shuffle")
+  }
+}
