@@ -115,6 +115,33 @@ object Pivots {
           unix_micros(col("w.end")).as("session_end"),
           col("n"), col("sum_value"))
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // Collection-type surface: JSON → MapType (keys/values/element access)
+    // and array functions (sequence, contains, position) — all pipelined
+    // per-row expressions, scalar outputs only (arrays/maps never cross
+    // the oracle compare). Both engines return 0 for array_position /
+    // list_position when the element is absent.
+    QueryDef("q44_collections",
+      """SELECT event_id,
+        |       CAST(json_extract(props, '$.k') AS INT) AS k_val,
+        |       CAST(len(json_keys(props)) AS INT) AS n_keys,
+        |       array_to_string(json_keys(props), ',') AS keys_str,
+        |       CAST(list_contains(range(1, CAST(event_id % 5 AS INT) + 2), 3) AS INT) AS has3,
+        |       CAST(list_position(range(1, CAST(event_id % 5 AS INT) + 2), 3) AS INT) AS pos3
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val kv = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType))
+      val arr = sequence(lit(1), (col("event_id") % 5).cast("int") + 1)
+      Tables.events(s, d).select(col("event_id"),
+          element_at(kv, "k").as("k_val"),
+          size(map_keys(kv)).as("n_keys"),
+          concat_ws(",", map_keys(kv)).as("keys_str"),
+          array_contains(arr, 3).cast("int").as("has3"),
+          array_position(arr, 3).cast("int").as("pos3"))
+        .orderBy(col("event_id"))
     }
   )
 }
