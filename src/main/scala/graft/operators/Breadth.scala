@@ -84,27 +84,34 @@ object Breadth {
         .orderBy(col("user_id"), col("tag"))
     },
 
-    // ANSI-safe scalar surface: try_cast / try_divide / try_add degrade to
-    // NULL where strict ANSI evaluation would throw — the defensive-parse
-    // layer every ingestion pipeline needs (reference parses API payloads
+    // ANSI-safe scalar surface: try_cast / try_divide degrade to NULL
+    // where strict ANSI evaluation would throw — the defensive-parse layer
+    // every ingestion pipeline needs (reference parses API payloads
     // defensively, etl.py:145-156). DuckDB equivalents: TRY_CAST and
-    // NULLIF-guarded arithmetic.
+    // NULLIF-guarded arithmetic. Failures are the RARE path (1-2% of
+    // rows): Spark's TryEval catches a real thrown error per failing row,
+    // so an always-failing try_cast costs an exception per row — the
+    // realistic dirty-minority shape is also the fast one.
     QueryDef("q43_try_battery",
       """SELECT event_id,
-        |       TRY_CAST(substr(event_type, 1, 3) AS INT) AS bad_int,
+        |       TRY_CAST(CASE WHEN event_id % 100 = 0 THEN event_type
+        |                     ELSE CAST(event_id AS VARCHAR) END AS INT) AS dirty_int,
         |       TRY_CAST(ROUND(1e-9 + value, 0) AS BIGINT) AS value_int,
         |       value / NULLIF(CAST(event_id % 3 AS DOUBLE), 0.0) AS safe_div,
-        |       TRY_CAST('20' || repeat('9', CAST((event_id % 3) * 2 AS INT)) AS SMALLINT) AS near_overflow
+        |       TRY_CAST('20' || repeat('9', CASE WHEN event_id % 50 = 0 THEN 4 ELSE 1 END)
+        |                AS SMALLINT) AS near_overflow
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       Tables.events(s, d).select(col("event_id"),
-          substring(col("event_type"), 1, 3).try_cast("int").as("bad_int"),
+          when(col("event_id") % 100 === 0, col("event_type"))
+            .otherwise(col("event_id").cast("string"))
+            .try_cast("int").as("dirty_int"),
           // the 1e-9 nudge is the cross-engine half-rounding convention
           // (Num.roundOut) — here the result feeds a cast, not a double
           round(col("value") + lit(1e-9), 0).try_cast("bigint").as("value_int"),
           try_divide(col("value"), (col("event_id") % 3).cast("double")).as("safe_div"),
-          // '20', '2099', '209999' — the last overflows SMALLINT → NULL
+          // '2099' fits; the 2% '209999' rows overflow SMALLINT → NULL
           concat(lit("20"),
-            repeat(lit("9"), ((col("event_id") % 3) * 2).cast("int")))
+            repeat(lit("9"), when(col("event_id") % 50 === 0, 4).otherwise(1)))
             .try_cast("smallint").as("near_overflow"))
         .orderBy(col("event_id"))
     },
