@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Num
@@ -142,6 +143,74 @@ object Pivots {
           array_contains(arr, 3).cast("int").as("has3"),
           array_position(arr, 3).cast("int").as("pos3"))
         .orderBy(col("event_id"))
+    },
+
+    // UNPIVOT — the inverse of q37: per-user type counts melt back to
+    // (user_id, event_type, n) long form. Generator-style row expansion,
+    // no shuffle beyond the pivot aggregate it consumes.
+    QueryDef("q45_unpivot",
+      """WITH wide AS (
+        |  SELECT user_id,
+        |         count(*) FILTER (WHERE event_type = 'click')    AS click,
+        |         count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |         count(*) FILTER (WHERE event_type = 'view')     AS view
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, event_type, n FROM (
+        |  SELECT user_id, 'click' AS event_type, click AS n FROM wide
+        |  UNION ALL SELECT user_id, 'purchase', purchase FROM wide
+        |  UNION ALL SELECT user_id, 'view', view FROM wide
+        |)
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val types = Seq("click", "purchase", "view")
+      val wide = Tables.events(s, d)
+        .groupBy(col("user_id")).pivot("event_type", types).agg(count(lit(1)))
+      val filled = wide.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      filled.unpivot(Array(col("user_id")),
+          types.map(col).toArray, "event_type", "n")
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // Explicit GROUPING SETS (the lattice members rollup/cube can't
+    // express individually) — through the SQL front door, same statement
+    // text in both engines over the `events` view/table.
+    QueryDef("q46_grouping_sets", Pivots.groupingSetsSql) { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(Pivots.groupingSetsSql)
+    },
+
+    // Statistical window functions: percent_rank / cume_dist / nth_value —
+    // exact rationals of ranks (identical doubles in both engines under a
+    // total deterministic order).
+    QueryDef("q47_window_stats",
+      """SELECT event_id, user_id,
+        |       round(1e-9 + percent_rank() OVER w, 6) AS pct_rank,
+        |       round(1e-9 + cume_dist() OVER w, 6) AS cume,
+        |       nth_value(event_id, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+          Num.roundOut(percent_rank().over(w), 6).as("pct_rank"),
+          Num.roundOut(cume_dist().over(w), 6).as("cume"),
+          nth_value(col("event_id"), 3).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("third_event"))
+        .orderBy(col("event_id"))
     }
   )
+
+  /** Shared Spark/DuckDB statement for q46 (a def: `entries` initializes
+    * first and would capture a null val). */
+  private def groupingSetsSql: String =
+    """SELECT day, event_type,
+      |       CAST(GROUPING(day) AS INT) AS g_day,
+      |       CAST(GROUPING(event_type) AS INT) AS g_type,
+      |       count(*) AS n
+      |FROM (SELECT CAST(ts AS DATE) AS day, event_type FROM events) t
+      |GROUP BY GROUPING SETS ((day), (event_type), ())
+      |ORDER BY g_day, g_type, day NULLS FIRST, event_type NULLS FIRST""".stripMargin
 }
