@@ -89,6 +89,41 @@ object Aggregates {
         .orderBy(col("value").desc, col("event_id"))
         .limit(100)
         .select(col("event_id"), Num.roundOut(col("value"), 4).as("value_r"))
+    },
+
+    // String aggregation (listagg): sorted-distinct list per key — order
+    // pinned on both sides so the concatenation is deterministic.
+    QueryDef("q48_string_agg",
+      """SELECT user_id,
+        |       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
+        |       CAST(len(list_distinct(list(event_type))) AS INT) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"),
+          size(collect_set(col("event_type"))).as("n_types"))
+        .orderBy(col("user_id"))
+    },
+
+    // Statistical aggregates: stddev/variance/corr + min_by/max_by
+    // (argmin/argmax). The min_by/max_by ORDERING key is the unique
+    // event_id — a value-keyed argmin would be tie-nondeterministic.
+    QueryDef("q49_stats_agg",
+      """SELECT event_type,
+        |       round(1e-9 + stddev_samp(value), 4) AS sd,
+        |       round(1e-9 + var_samp(value), 4) AS var,
+        |       round(1e-9 + corr(value, CAST(user_id AS DOUBLE)), 6) AS c,
+        |       min_by(event_id, event_id) AS first_event,
+        |       max_by(event_id, event_id) AS last_event
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(Num.roundOut(stddev_samp(col("value")), 4).as("sd"),
+          Num.roundOut(var_samp(col("value")), 4).as("var"),
+          Num.roundOut(corr(col("value"), col("user_id").cast("double")), 6).as("c"),
+          min_by(col("event_id"), col("event_id")).as("first_event"),
+          max_by(col("event_id"), col("event_id")).as("last_event"))
+        .orderBy(col("event_type"))
     }
   )
 }
