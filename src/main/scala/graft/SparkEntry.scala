@@ -26,6 +26,7 @@ object SparkEntry {
     Sources.entries ++
     Pivots.entries ++
     PhysicalDesign.entries ++
+    Typed.entries ++
     Dedup.entries ++
     Similarity.entries ++
     TextAnalysis.entries ++

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+import graft.{QueryDef, Tables}
+
+/** The typed Dataset[T] surface: case-class Encoders, typed filter/map,
+  * `groupByKey` + typed aggregators — the compile-time-safe API tier.
+  *
+  * Scale note (why the REST of the engine is Column-based): typed lambdas
+  * deserialize every row into a JVM object and are opaque to Catalyst — no
+  * predicate pushdown through them, no whole-stage codegen inside them.
+  * Right for complex domain logic; wrong for hot scan paths. This query
+  * pins that the typed tier exists and agrees with the declarative oracle.
+  */
+object Typed {
+
+  case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double)
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("q50_typed_pipeline",
+      """SELECT user_id, count(*) AS n,
+        |       round(1e-9 + sum(value), 4) AS sum_hi
+        |FROM events WHERE value >= 100.0 AND event_type <> 'error'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ds = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      val agged = ds
+        .filter(e => e.value >= 100.0 && e.event_type != "error")
+        .groupByKey(_.user_id)
+        .mapGroups { (uid, it) =>
+          // fold in event_id order: a deterministic double-summation
+          // sequence (round-4 + the shared 1e-9 nudge then absorbs the
+          // cross-engine ordering difference, as everywhere else)
+          var n = 0L
+          var s = 0.0
+          it.toSeq.sortBy(_.event_id).foreach { e => n += 1; s += e.value }
+          (uid, n, s)
+        }
+      agged.toDF("user_id", "n", "sum_raw")
+        .select(col("user_id"), col("n"),
+          Num.roundOut(col("sum_raw"), 4).as("sum_hi"))
+        .orderBy(col("user_id"))
+    }
+  )
+}
