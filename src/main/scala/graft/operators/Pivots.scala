@@ -11,8 +11,8 @@ import graft.{QueryDef, Tables}
   * (the declarative twin of streaming/Streams.sessionize and q34's manual
   * gaps-and-islands).
   *
-  * Scale notes: pivot with an EXPLICIT value list is a single hash
-  * aggregate (no extra distinct-values job, no second shuffle); cube
+  * Scale notes: pivot with an EXPLICIT value list avoids the eager
+  * collect-distinct job and plans as two partial-agg exchanges; cube
   * expands each input row into its grouping-set combinations before one
   * shuffle; posexplode is pipelined (no shuffle); session_window is one
   * shuffle by user + an in-partition merge — same cost shape as q34.
@@ -24,8 +24,11 @@ object Pivots {
   val entries: Seq[QueryDef] = Seq(
 
     // PIVOT: per-user event-type count matrix. The explicit value list is
-    // load-bearing at scale: without it Spark runs a separate
-    // collect-distinct job and the pivot can't be planned as one aggregate.
+    // load-bearing at scale: without it Spark runs a separate eager
+    // collect-distinct JOB over the fact table before it can even plan.
+    // The plan itself is Spark's canonical two-phase pivot: partial agg by
+    // (user, type), then pivot-agg by user — both exchanges carry only
+    // per-key partials.
     QueryDef("q37_pivot",
       """SELECT user_id,
         |       count(*) FILTER (WHERE event_type = 'click')    AS click,
