@@ -58,6 +58,23 @@ object Similarity {
     }
   }
 
+  /** Content-keyed persisted index table (same invalidation contract as
+    * [[Matview.factPath]]): the ANN index is BUILT ONCE per corpus content
+    * and probed per query — at 100 TB the build is the ingest job, and
+    * queries never re-scan the corpus. */
+  private def indexed(s: SparkSession, dir: String, tag: String,
+      partCols: Seq[String])(build: => DataFrame): DataFrame = {
+    val key = graft.ContentKey.key(
+      java.nio.file.Paths.get(dir, "embeddings.parquet"))
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_${tag}_$key").toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      val w = build.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // Exact brute-force cosine top-5 per query vector (vec_id < 10).
@@ -106,19 +123,26 @@ object Similarity {
     // a partition-pruned equi-join — no corpus scan per query.
     // Not ANSI-expressible compactly → SimilaritySpec pins behavior.
     QueryDef.noOracle("x14_ann_ivf") { (s, d) =>
-      val n = withNorm(Tables.embeddings(s, d))
-      val cents = n.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-      // assignment: nearest centroid by cosine (broadcast centroids)
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cent_id"))
-      val assigned = n.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
-          (dot(col("v"), col("cv")) / col("nrm") / col("cn")).as("sim"))
-        .withColumn("rk", row_number().over(wAssign))
-      val corpus = assigned.filter(col("rk") === 1) // inverted lists
+      // The persisted index holds rk<=2 assignments, PARTITIONED BY
+      // cent_id — the literal inverted-file layout: a probe's equi-join on
+      // cent_id prunes to the probed lists' directories (DPP at scale).
+      val assigned2 = indexed(s, d, "ivf", Seq("cent_id")) {
+        val n = withNorm(Tables.embeddings(s, d))
+        val cents = n.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+        // assignment: nearest centroid by cosine (broadcast centroids)
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cent_id"))
+        n.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+            (dot(col("v"), col("cv")) / col("nrm") / col("cn")).as("sim"))
+          .withColumn("rk", row_number().over(wAssign))
+          .filter(col("rk") <= 2)
+          .select(col("vec_id"), col("v"), col("nrm"), col("rk"), col("cent_id"))
+      }
+      val corpus = assigned2.filter(col("rk") === 1) // inverted lists
         .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
-      val probes = assigned.filter(col("vec_id") < 10 && col("rk") <= 2) // nprobe=2
+      val probes = assigned2.filter(col("vec_id") < 10 && col("rk") <= 2) // nprobe=2
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("cent_id"))
       val wRank = org.apache.spark.sql.expressions.Window
@@ -138,11 +162,17 @@ object Similarity {
     // Not ANSI-expressible (hyperplane constants + bit buckets) →
     // SimilaritySpec pins recall vs x05 on crafted near-duplicates.
     QueryDef.noOracle("x06_ann_lsh") { (s, d) =>
-      val n = bucketed(withNorm(Tables.embeddings(s, d)))
-      val tables = (0 until 4).map { t =>
-        n.select(col("vec_id"), col("v"), col("nrm"),
-          lit(t).as("tbl"), col(s"bucket_$t").as("bucket"))
-      }.reduce(_.unionByName(_))
+      // Persisted hash-table index (one row per vector per table); at
+      // cluster scale this is additionally bucketBy(tbl, bucket) so the
+      // probe join is exchange-free (w02's layout applied to ANN).
+      val tables = indexed(s, d, "lsh", Seq.empty) {
+        val n0 = bucketed(withNorm(Tables.embeddings(s, d)))
+        (0 until 4).map { t =>
+          n0.select(col("vec_id"), col("v"), col("nrm"),
+            lit(t).as("tbl"), col(s"bucket_$t").as("bucket"))
+        }.reduce(_.unionByName(_))
+      }
+      val n = withNorm(Tables.embeddings(s, d))
       val q = tables.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("tbl"), col("bucket"))
