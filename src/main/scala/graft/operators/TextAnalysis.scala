@@ -65,13 +65,18 @@ object TextAnalysis {
       val docs = Tables.documents(s, d)
       val w = docs.select(col("doc_id"), col("lang"),
         explode(Text.tokens(col("text"))).as("word"))
-      val cnt = w.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
-      val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
-      val pts = cnt.join(tot, "lang")
-        .withColumn("points", lit(5) - row_number().over(
-          Window.partitionBy(col("word"))
-            .orderBy((col("c") * 1.0 / col("t")).desc, col("lang"))))
-        .select(col("lang").as("plang"), col("word"), col("points"))
+      // trained per-word rank profile = a model artifact, persisted
+      // content-keyed ([[DerivedTable]]): train at ingest, broadcast to
+      // score — retrained only when the corpus changes
+      val pts = DerivedTable(s, d, "documents", "langprof") {
+        val cnt = w.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+        cnt.join(tot, "lang")
+          .withColumn("points", lit(5) - row_number().over(
+            Window.partitionBy(col("word"))
+              .orderBy((col("c") * 1.0 / col("t")).desc, col("lang"))))
+          .select(col("lang").as("plang"), col("word"), col("points"))
+      }
       val scores = w.join(broadcast(pts), "word")
         .groupBy(col("doc_id"), col("plang"))
         .agg(sum(col("points")).as("score"))
