@@ -36,10 +36,17 @@ class FlagshipSpec extends AnyFunSuite {
     assert(total == nEvents) // buckets partition the value domain
   }
 
-  test("every declared query has rows and runs on sf0.001") {
+  test("every declared query has rows and never plans a cartesian product (sf0.001)") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf0_001).count()
+      val df = fn(spark, sf0_001)
+      val n = df.count()
       assert(n > 0, s"$name returned no rows")
+      // a CartesianProductExec anywhere means a candidate-generation or
+      // join path degenerated to all-pairs — fatal at 100 TB
+      val cartesians = PlanWalk.collectAll(df.queryExecution.executedPlan)
+        .filter(_.isInstanceOf[
+          org.apache.spark.sql.execution.joins.CartesianProductExec])
+      assert(cartesians.isEmpty, s"$name planned a cartesian product")
     }
   }
 }
