@@ -68,6 +68,36 @@ object Multimodal {
       }(enc)
   }
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("out_w", IntegerType, nullable = false),
+    StructField("out_h", IntegerType, nullable = false),
+    StructField("thumb_hex", StringType, nullable = false)))
+
+  /** Resize stub, same mapPartitions shape as [[decodeImages]]: decode →
+    * fit-within-maxDim target dims (aspect preserved) → "thumbnail" = the
+    * first 16 payload bytes hexed (a real deployment swaps the slice for
+    * an actual scaler; dims/schema/batching stay identical). Double math
+    * (256.0/w, min, floor) is plain IEEE — bit-identical to the SQL oracle. */
+  def resizeImages(payloads: DataFrame, maxDim: Int,
+      decoder: Decoder = FakeDecoder): DataFrame = {
+    val enc = RowEncoder.encoderFor(resizedSchema)
+    payloads.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (w, h, _, _) = decoder.decode(payload)
+          val sc = math.min(math.min(maxDim.toDouble / w, maxDim.toDouble / h), 1.0)
+          val outW = math.max(1, math.floor(w * sc).toInt)
+          val outH = math.max(1, math.floor(h * sc).toInt)
+          val thumb = payload.take(16).map("%02X".format(_)).mkString
+          Row(r.getLong(0), w, h, outW, outH, thumb)
+        }
+      }(enc)
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // Binary-column metadata path — payload synthesized from text bytes
@@ -121,6 +151,34 @@ object Multimodal {
         .filter(col("n") >= 32)
         .drop("n")
         .orderBy(col("doc_id"))
+    },
+
+    // Resize through the mapPartitions pipeline — oracle-checkable because
+    // the stub decoder's dimension math (64 + n % 577, 64 + n//7 % 409)
+    // and the fit-within-256 scaling are reproducible in SQL. At scale
+    // this is the thumbnailing pass of a media ingest: payload bytes are
+    // touched once per partition, dims/metadata flow as columns.
+    QueryDef("m04_resize_stub",
+      """WITH p AS (
+        |  SELECT doc_id, encode(text) AS payload,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |), dims AS (
+        |  SELECT doc_id, hex(payload) AS hx,
+        |         CAST(64 + n % 577 AS INT) AS w,
+        |         CAST(64 + (n // 7) % 409 AS INT) AS h
+        |  FROM p
+        |), s AS (
+        |  SELECT *, least(256.0 / w, 256.0 / h, 1.0) AS sc FROM dims
+        |)
+        |SELECT doc_id, w AS width, h AS height,
+        |       CAST(greatest(1, floor(w * sc)) AS INT) AS out_w,
+        |       CAST(greatest(1, floor(h * sc)) AS INT) AS out_h,
+        |       substring(hx, 1, 32) AS thumb_hex
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      resizeImages(payloads, 256).orderBy(col("doc_id"))
     },
 
     // The mapPartitions decode pipeline (STUBBED decoder, real plumbing).
