@@ -148,6 +148,27 @@ object Pivots {
         .orderBy(col("event_id"))
     },
 
+    // Spark 4 VARIANT — the semi-structured type: parse once into a binary
+    // variant, extract typed scalars with variant_get paths. At scale this
+    // replaces per-access get_json_object re-parsing (q17) with one parse
+    // + cheap typed reads; extracted scalars compare directly against the
+    // oracle's JSON functions.
+    QueryDef("q51_variant",
+      """SELECT event_id,
+        |       CAST(json_extract(props, '$.k') AS INT) AS k_int,
+        |       CAST(json_extract(props, '$.k') AS DOUBLE) AS k_dbl,
+        |       CAST(json_extract(props, '$.missing') AS INT) AS absent,
+        |       CAST(json_extract_string(props, '$.k') IS NOT NULL AS INT) AS has_k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val v = parse_json(col("props"))
+      Tables.events(s, d).select(col("event_id"),
+          variant_get(v, "$.k", "int").as("k_int"),
+          variant_get(v, "$.k", "double").as("k_dbl"),
+          variant_get(v, "$.missing", "int").as("absent"),
+          variant_get(v, "$.k", "string").isNotNull.cast("int").as("has_k"))
+        .orderBy(col("event_id"))
+    },
+
     // UNPIVOT — the inverse of q37: per-user type counts melt back to
     // (user_id, event_type, n) long form. Generator-style row expansion,
     // no shuffle beyond the pivot aggregate it consumes.
