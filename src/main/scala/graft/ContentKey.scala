@@ -20,9 +20,11 @@ object ContentKey {
     md.update(path.toString.getBytes("UTF-8"))
     if (Files.exists(path)) {
       val files =
-        if (Files.isDirectory(path))
-          Files.walk(path).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-        else Seq(path)
+        if (Files.isDirectory(path)) {
+          val stream = Files.walk(path)
+          try stream.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+          finally stream.close()
+        } else Seq(path)
       files.map(f => (path.relativize(f.toAbsolutePath).toString, f)).sortBy(_._1)
         .foreach { case (rel, f) =>
           md.update(s"$rel|${Files.size(f)}|${Files.getLastModifiedTime(f).toMillis}"
