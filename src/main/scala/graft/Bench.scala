@@ -46,7 +46,8 @@ object Bench {
     // serving (reference methodology: warm connection,
     // performance_test.py:38-46).
     SparkEntry.queries.values.foreach { fn =>
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try run(fn(spark, sfDir))
+      catch { case scala.util.control.NonFatal(_) => () } // OOM etc must fail loudly
     }
 
     // performance_test.py configs: join-from-base vs precomputed fact.
@@ -60,7 +61,7 @@ object Bench {
     // single samples by 2-3×; the min is the reproducible cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (try (1 to 2).map(_ => time { run(fn(spark, sfDir)) }).min
-        catch { case _: Throwable => -1.0 })
+        catch { case scala.util.control.NonFatal(_) => -1.0 })
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

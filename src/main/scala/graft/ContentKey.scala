@@ -13,19 +13,21 @@ import scala.jdk.CollectionConverters._
   */
 object ContentKey {
 
-  /** 16-hex digest of the file-or-tree at `path` (existence, relative
-    * names, sizes, mtimes). Missing path digests to a constant. */
+  /** 16-hex digest of the file-or-tree at `path` (absolute path string,
+    * plus each file's relative name, size, mtime when it exists — so a
+    * missing path's key is the digest of its path alone). */
   def key(path: Path): String = {
+    val root = path.toAbsolutePath // relativize() throws across path kinds
     val md = MessageDigest.getInstance("MD5")
-    md.update(path.toString.getBytes("UTF-8"))
-    if (Files.exists(path)) {
+    md.update(root.toString.getBytes("UTF-8"))
+    if (Files.exists(root)) {
       val files =
-        if (Files.isDirectory(path)) {
-          val stream = Files.walk(path)
+        if (Files.isDirectory(root)) {
+          val stream = Files.walk(root)
           try stream.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
           finally stream.close()
-        } else Seq(path)
-      files.map(f => (path.relativize(f.toAbsolutePath).toString, f)).sortBy(_._1)
+        } else Seq(root)
+      files.map(f => (root.relativize(f.toAbsolutePath).toString, f)).sortBy(_._1)
         .foreach { case (rel, f) =>
           md.update(s"$rel|${Files.size(f)}|${Files.getLastModifiedTime(f).toMillis}"
             .getBytes("UTF-8"))

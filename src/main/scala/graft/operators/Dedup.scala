@@ -225,16 +225,17 @@ object Dedup {
         |             6) AS jaccard
         |FROM s a JOIN s b ON a.source = b.source AND a.lang = b.lang
         |                 AND a.doc_id < b.doc_id
-        |WHERE len(a.tri) + len(b.tri) > 0
+        |WHERE len(list_intersect(a.tri, b.tri)) > 0
         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, d) =>
       // Inverted-index similarity join (Vernica et al., SIGMOD'10 shape):
       // explode shingles, equi-join postings on (block, shingle), count
       // co-occurrences = |∩| per pair. Work is proportional to SHARED
       // shingles, not block-size², and the shuffle carries (block, shingle,
       // doc_id, set-size) — never a document body or full shingle array.
-      // Pairs with an empty intersection have jaccard 0 and can't reach a
-      // top-20 ordered by jaccard DESC (the fixture always has ≥20 positive
-      // pairs — oracle-checked at every SF).
+      // Both sides rank only pairs with a NON-EMPTY intersection (the
+      // oracle filters on it explicitly): a near-duplicate report has no
+      // use for jaccard-0 pairs, and the contract then holds at any SF
+      // regardless of how many positive pairs the fixture contains.
       // localCheckpoint: shingling is an interpreted higher-order expression
       // (re-splits text per lambda eval) and feeds both join sides plus an
       // inferred explode filter — materialize it exactly once.

@@ -12,12 +12,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DerivedTable {
 
+  /** Bump when ANY builder's logic or output schema changes: the cache key
+    * covers source content but cannot see code, so without this a /tmp dir
+    * from an older build would be served verbatim. */
+  private val codeVersion = 2
+
   def apply(s: SparkSession, srcDir: String, srcTable: String, tag: String,
       partCols: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
     val key = graft.ContentKey.key(
       java.nio.file.Paths.get(srcDir, s"$srcTable.parquet"))
     val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_${tag}_$key").toString
+      System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_v${codeVersion}_$key").toString
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
       val w = build.write.mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(out)

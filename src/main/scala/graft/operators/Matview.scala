@@ -27,7 +27,7 @@ object Matview {
     val srcKey = graft.ContentKey.key(
       java.nio.file.Paths.get(dir, "events.parquet"))
     val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_fact_$srcKey").toString
+      System.getProperty("java.io.tmpdir"), s"graft_fact_v2_$srcKey").toString
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
       FactBuild.build(s, dir)
         .write.mode("overwrite").partitionBy("day").parquet(out)

@@ -24,7 +24,7 @@ object PhysicalDesign {
   /** Day-partitioned copy of events; built once per source content. */
   def partitionedEventsPath(s: SparkSession, dir: String): String = {
     val key = ContentKey.key(java.nio.file.Paths.get(dir, "events.parquet"))
-    val out = tmp(s"graft_events_byday_$key")
+    val out = tmp(s"graft_events_byday_v2_$key")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
       Tables.events(s, dir)
         .withColumn("day", to_date(col("ts")))
@@ -44,12 +44,16 @@ object PhysicalDesign {
         Num.roundOut(sum(col("value")), 4).as("sum_value"))
       .orderBy(col("event_type"))
 
-  /** Bucketed-table names/paths are content-keyed so a session serving two
-    * sf dirs (Bench warms at sf0.001, times at sf0.1) never crosses data. */
+  /** Bucketed-table names/paths are content-keyed so a session that ever
+    * serves two sf dirs (specs use sf0.001 while Verify/Bench use their
+    * own) never crosses data. */
   private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
     val key = ContentKey.key(java.nio.file.Paths.get(dir, "events.parquet"))
-    val (t1, t2) = (s"g_user_stats_$key", s"g_user_purch_$key")
-    if (!s.catalog.tableExists(t1)) {
+    val (t1, t2) = (s"g_user_stats_v2_$key", s"g_user_purch_v2_$key")
+    // latch on BOTH tables: a failure between the two writes (swallowed by
+    // Bench's warmup) must not leave a half-built pair latched for the
+    // rest of the session
+    if (!s.catalog.tableExists(t1) || !s.catalog.tableExists(t2)) {
       Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),

@@ -162,18 +162,19 @@ object Similarity {
             lit(t).as("tbl"), col(s"bucket_$t").as("bucket"))
         }.reduce(_.unionByName(_))
       }
-      val n = withNorm(Tables.embeddings(s, d))
       val q = tables.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("tbl"), col("bucket"))
-      val pairs = tables.join(broadcast(q.select("query_id", "tbl", "bucket")),
+        .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+      val pairs = tables.join(broadcast(q),
           Seq("tbl", "bucket")) // bucket probe, not a corpus scan
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("cand_id"))
         .distinct() // a pair may collide in several tables
-      val qv = n.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      // v and nrm come from the index itself (tbl 0 holds every vector
+      // once) — no second corpus scan or norm recompute for the re-rank
+      val base = tables.filter(col("tbl") === 0)
+      val qv = base.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-      val cv = n.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      val cv = base.select(col("vec_id").as("cand_id"), col("v").as("cv"),
         col("nrm").as("cn"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))

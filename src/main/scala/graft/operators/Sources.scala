@@ -115,7 +115,7 @@ object Sources {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))
       val out = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft_csv_$key").toString
+        System.getProperty("java.io.tmpdir"), s"graft_csv_v2_$key").toString
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
         Tables.events(s, d)
           .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
@@ -136,7 +136,7 @@ object Sources {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "documents.parquet"))
       val out = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft_jsonl_$key").toString
+        System.getProperty("java.io.tmpdir"), s"graft_jsonl_v2_$key").toString
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("n_chars"))

@@ -32,13 +32,13 @@ object Typed {
         .filter(e => e.value >= 100.0 && e.event_type != "error")
         .groupByKey(_.user_id)
         .mapGroups { (uid, it) =>
-          // fold in event_id order: a deterministic double-summation
-          // sequence (round-4 + the shared 1e-9 nudge then absorbs the
-          // cross-engine ordering difference, as everywhere else)
+          // streaming fold, no group materialization: the round-4 + 1e-9
+          // nudge absorbs summation-order drift here exactly as it does
+          // for every built-in sum() in the suite
           var n = 0L
-          var s = 0.0
-          it.toSeq.sortBy(_.event_id).foreach { e => n += 1; s += e.value }
-          (uid, n, s)
+          var total = 0.0
+          it.foreach { e => n += 1; total += e.value }
+          (uid, n, total)
         }
       agged.toDF("user_id", "n", "sum_raw")
         .select(col("user_id"), col("n"),

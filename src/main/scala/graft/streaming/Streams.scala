@@ -25,9 +25,6 @@ object Streams {
 
   private val sinkId = new AtomicInteger(0)
 
-  /** Daily per-type counts computed by a genuine streaming query over the
-    * events parquet (schema from a batch probe; nanos ts normalized the
-    * same way as [[graft.Tables.events]]). */
   /** Stage the single-file events table as a DIRECTORY for the file-stream
     * source (idempotent per JVM). Content-keyed (ADVICE r01): if
     * events.parquet is regenerated the key changes, so we stage a fresh
@@ -37,7 +34,7 @@ object Streams {
     val src = java.nio.file.Paths.get(dir, "events.parquet")
     val stage = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft_stream_${graft.ContentKey.key(src)}")
+      s"graft_stream_v2_${graft.ContentKey.key(src)}")
     java.nio.file.Files.createDirectories(stage)
     val dst = stage.resolve("events.parquet")
     if (!java.nio.file.Files.exists(dst)) {
@@ -50,6 +47,9 @@ object Streams {
     stage.toString
   }
 
+  /** Daily per-type counts computed by a genuine streaming query over the
+    * events parquet (schema from a batch probe; nanos ts normalized the
+    * same way as [[graft.Tables.events]]). */
   def streamingDaily(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = Tables.table(s, dir, "events") // schema probe: ts reads as long nanos
@@ -169,7 +169,7 @@ object Streams {
       val stage = stageEvents(d)
       val factDir = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        s"graft_stfact_${graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}",
+        s"graft_stfact_v2_${graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}",
         "fact").toString
       incrementalUpsert(s, stage, factDir, Seq("user_id", "event_type"),
         Seq(col("ts").desc, col("event_id").desc))
