@@ -132,7 +132,7 @@ object Sources {
 
     // JSON-lines sink + source roundtrip (S3: nested values as JSON text).
     QueryDef("w04_jsonl_roundtrip",
-      """SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "documents.parquet"))
       val out = java.nio.file.Paths.get(

@@ -58,9 +58,26 @@ def main():
             print(f"FAIL {name}: {exc}")
             n_bad += 1
             continue
+        # Driver-parity dtype check: DuckDB HUGEINT/DECIMAL aggregates (e.g.
+        # an uncast sum(BIGINT)) surface as float64 through pandas while the
+        # Spark parquet column is int64 — the driver hashes "19525.0" vs
+        # "19525" and fails even though fetchall() ints compare equal.
+        try:
+            g_kinds = {c: k.kind for c, k in con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df().dtypes.items()}
+            e_kinds = {c: k.kind for c, k in con.execute(sql).df().dtypes.items()}
+            kind_diff = {c: (g_kinds[c], e_kinds[c]) for c in g_kinds
+                         if c in e_kinds and g_kinds[c] != e_kinds[c]
+                         and {g_kinds[c], e_kinds[c]} & {"f"}}
+        except Exception:
+            kind_diff = {}
         gc, gr = canon(g_rows, g_cols)
         ec, er = canon(e_rows, e_cols)
-        if gc != ec:
+        if kind_diff:
+            print(f"FAIL {name}: dtype kind mismatch through pandas {kind_diff}"
+                  " (cast the oracle aggregate, e.g. CAST(sum(x) AS BIGINT))")
+            n_bad += 1
+        elif gc != ec:
             print(f"FAIL {name}: columns {gc} != {ec}")
             n_bad += 1
         elif gr != er:
