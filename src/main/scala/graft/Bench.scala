@@ -50,11 +50,15 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => () } // OOM etc must fail loudly
     }
 
-    // performance_test.py configs: join-from-base vs precomputed fact.
+    // performance_test.py configs: join-from-base (config 1) vs precomputed
+    // denormalized fact (config 4) vs aggregate matview (config 3).
     val baseCfg = avg3 { run(Flagship(spark, sfDir)) }
     Matview.factPath(spark, sfDir) // build once, outside timing
     val factCfg = avg3 {
       run(SparkEntry.queries("q25_fact_serving")(spark, sfDir))
+    }
+    val mvCfg = avg3 {
+      run(SparkEntry.queries("q52_agg_matview")(spark, sfDir))
     }
 
     // min of 2 runs per query: GC/compaction noise on a busy host inflates
@@ -68,8 +72,9 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // A zero factCfg would interpolate Infinity (invalid JSON) — emit 0.
     val speedup = if (factCfg > 0) baseCfg / factCfg else 0.0
+    val speedupMv = if (mvCfg > 0) baseCfg / mvCfg else 0.0
     val configs =
-      s"""{"base_join_3run_avg":$baseCfg,"fact_serving_3run_avg":$factCfg,"speedup":$speedup}"""
+      s"""{"base_join_3run_avg":$baseCfg,"fact_serving_3run_avg":$factCfg,"speedup":$speedup,"agg_matview_3run_avg":$mvCfg,"speedup_matview":$speedupMv}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"configs":$configs,"sf":"$sfDir"}""")
     spark.stop()
   }

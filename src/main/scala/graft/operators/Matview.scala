@@ -35,12 +35,10 @@ object Matview {
     out
   }
 
-  val entries: Seq[QueryDef] = Seq(
-    // The flagship-shaped aggregate served FROM the precomputed fact
-    // (reference config 4). Oracle recomputes the same result from base
-    // tables declaratively — results must be identical, only the physical
-    // path differs.
-    QueryDef("q25_fact_serving",
+  /** Shared oracle: the flagship aggregate recomputed from BASE tables —
+    * q25 (fact) and q52 (aggregate matview) must both reproduce it; only
+    * the physical serving path differs (reference configs 3 vs 4). */
+  private val servingOracle =
       """WITH dedup AS (
         |  SELECT * FROM (SELECT *, row_number() OVER (
         |      PARTITION BY user_id, event_type
@@ -54,12 +52,46 @@ object Matview {
         |       round(1e-9 + avg(de.value), 4) AS avg_value
         |FROM buckets b
         |LEFT JOIN dedup de ON de.value >= b.lo AND de.value < b.hi
-        |GROUP BY b.lo, b.hi ORDER BY b.lo""".stripMargin) { (s, d) =>
+        |GROUP BY b.lo, b.hi ORDER BY b.lo""".stripMargin
+
+  val entries: Seq[QueryDef] = Seq(
+    // The flagship-shaped aggregate served FROM the precomputed fact
+    // (reference config 4). Oracle recomputes the same result from base
+    // tables declaratively — results must be identical, only the physical
+    // path differs.
+    QueryDef("q25_fact_serving", servingOracle) { (s, d) =>
       val fact = s.read.parquet(factPath(s, d))
       val perBucket = fact.filter(col("lo").isNotNull)
         .groupBy(col("lo"), col("hi"))
         .agg(count(lit(1)).as("cnt"),
           Num.roundOut(avg(col("value")), 4).as("avg_value"))
+      Flagship.buckets(s)
+        .join(perBucket, Seq("lo", "hi"), "left")
+        .select(col("lo"), col("hi"),
+          coalesce(col("cnt"), lit(0L)).as("n_rows"), col("avg_value"))
+        .orderBy(col("lo"))
+    },
+
+    // The AGGREGATE matview (reference config 3, `accident_geo_view`
+    // etl.py:251-288): day×bucket partial aggregates (count, raw sum)
+    // precomputed FROM the fact parquet at build time. Serving combines
+    // ~days×buckets partial rows — O(dimensions), independent of event
+    // count: at 100 TB the base scan is off the serving path entirely,
+    // and the matview is incrementally maintainable (append a day's
+    // partials, never recompute history). avg is re-derived as
+    // sum(sum)/sum(cnt) — partial aggregation states, the same shape
+    // Spark's own ObjectHashAggregate partials take.
+    QueryDef("q52_agg_matview", servingOracle) { (s, d) =>
+      val mv = DerivedTable(s, d, "events", "aggmv") {
+        s.read.parquet(factPath(s, d))
+          .filter(col("lo").isNotNull)
+          .groupBy(col("day"), col("lo"), col("hi"))
+          .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+          .coalesce(1) // dims-sized (days×buckets) — one file, no small-file tax
+      }
+      val perBucket = mv.groupBy(col("lo"), col("hi"))
+        .agg(sum(col("cnt")).as("cnt"),
+          Num.roundOut(sum(col("sum_value")) / sum(col("cnt")), 4).as("avg_value"))
       Flagship.buckets(s)
         .join(perBucket, Seq("lo", "hi"), "left")
         .select(col("lo"), col("hi"),
