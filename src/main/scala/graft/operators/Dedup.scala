@@ -185,25 +185,24 @@ object Dedup {
         |               i -> a.v[i+1] * b.v[i+1])) / a.nrm / b.nrm, 6) AS cos_sim
         |FROM m a JOIN m b ON a.label = b.label AND a.vec_id < b.vec_id
         |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""".stripMargin) { (s, d) =>
-      // Vectors are UNPACKED to 64 flat columns once per ROW, so the
-      // per-PAIR dot is a whole-stage-codegen'd multiply-add chain instead
-      // of an interpreted lambda fold. The `+` chain is left-associative —
-      // the exact addition sequence the oracle's sequential list_sum uses,
-      // so results stay bit-identical.
+      // Per-pair dot is the native codegen'd VecDot loop (one fused
+      // multiply-accumulate over Tungsten ArrayData, left-to-right — the
+      // exact addition sequence the oracle's sequential list_sum uses, so
+      // results stay bit-identical). Replaces the earlier 64-flat-column
+      // unpack workaround: same codegen quality, none of the schema blowup.
       val m = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), _.cast("double")).as("v"))
         .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
-      def flat(idCol: String, nrmCol: String, prefix: String) =
-        m.select(col("label") +: col("vec_id").as(idCol) +: col("nrm").as(nrmCol) +:
-          (0 until 64).map(i => element_at(col("v"), i + 1).as(s"$prefix$i")): _*)
-      val a = flat("vec_a", "na", "a")
-      val b = flat("vec_b", "nb", "b")
-      val dotFlat = (0 until 64).map(i => col(s"a$i") * col(s"b$i")).reduce(_ + _)
+      val a = m.select(col("label"), col("vec_id").as("vec_a"),
+        col("nrm").as("na"), col("v").as("va"))
+      val b = m.select(col("label"), col("vec_id").as("vec_b"),
+        col("nrm").as("nb"), col("v").as("vb"))
       a.join(b, Seq("label"))
         .filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"), col("label"),
-          Num.roundOut(dotFlat / col("na") / col("nb"), 6).as("cos_sim"))
+          Num.roundOut(Similarity.dot(col("va"), col("vb")) / col("na") / col("nb"), 6)
+            .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
         .limit(20)
     },

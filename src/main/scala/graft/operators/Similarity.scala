@@ -20,9 +20,11 @@ import graft.{QueryDef, Tables}
 object Similarity {
 
   /** Sequential left-to-right double dot product — the fold order the
-    * DuckDB oracle replicates exactly. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    * DuckDB oracle replicates exactly. Native codegen'd
+    * [[graft.plans.VecDot]]; bit-identical to the HOF composition
+    * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` it replaced
+    * (pinned by VecDotSpec). */
+  def dot(a: Column, b: Column): Column = graft.plans.VecDot(a, b)
 
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"),
