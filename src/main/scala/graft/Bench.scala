@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSession
 import graft.operators.{Flagship, Matview}
 
 /** Benchmark main — reproduces the reference's `performance_test.py`
-  * methodology (3 runs, arithmetic mean, warm engine) on Spark:
+  * methodology (3 timed runs per config, warm engine) on Spark, hardened
+  * for noisy hosts: configs run interleaved round-robin and report the
+  * min-of-3 (the mean let one GC pause swing the headline 4×):
   *
   *  - config "base":  flagship join-aggregate computed from base tables
   *    (reference config 1, no physical design);
@@ -37,7 +39,6 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def avg3(f: => Unit): Double = (1 to 3).map(_ => time(f)).sum / 3.0
 
     // Warmup: one untimed pass of every query at the benchmark SF —
     // absorbs JVM/classloader/codegen startup, populates the OS page
@@ -52,14 +53,21 @@ object Bench {
 
     // performance_test.py configs: join-from-base (config 1) vs precomputed
     // denormalized fact (config 4) vs aggregate matview (config 3).
-    val baseCfg = avg3 { run(Flagship(spark, sfDir)) }
+    // Interleaved round-robin + min-of-3: a single GC/compaction pause on a
+    // busy host inflates one sample 2-3× (same rationale as the per-query
+    // min-of-2 below), and a plain sequential mean let exactly one such
+    // pause swing the headline speedup 4× between rounds (r2 vs r3 measured
+    // IDENTICAL base code at 0.54 s vs 2.07 s). Interleaving spreads any
+    // transient across all three configs; min is the reproducible cost.
     Matview.factPath(spark, sfDir) // build once, outside timing
-    val factCfg = avg3 {
-      run(SparkEntry.queries("q25_fact_serving")(spark, sfDir))
+    val cfgSamples = (1 to 3).map { _ =>
+      (time { run(Flagship(spark, sfDir)) },
+        time { run(SparkEntry.queries("q25_fact_serving")(spark, sfDir)) },
+        time { run(SparkEntry.queries("q52_agg_matview")(spark, sfDir)) })
     }
-    val mvCfg = avg3 {
-      run(SparkEntry.queries("q52_agg_matview")(spark, sfDir))
-    }
+    val baseCfg = cfgSamples.map(_._1).min
+    val factCfg = cfgSamples.map(_._2).min
+    val mvCfg = cfgSamples.map(_._3).min
 
     // min of 2 runs per query: GC/compaction noise on a busy host inflates
     // single samples by 2-3×; the min is the reproducible cost.
@@ -74,7 +82,7 @@ object Bench {
     val speedup = if (factCfg > 0) baseCfg / factCfg else 0.0
     val speedupMv = if (mvCfg > 0) baseCfg / mvCfg else 0.0
     val configs =
-      s"""{"base_join_3run_avg":$baseCfg,"fact_serving_3run_avg":$factCfg,"speedup":$speedup,"agg_matview_3run_avg":$mvCfg,"speedup_matview":$speedupMv}"""
+      s"""{"base_join_3run_min":$baseCfg,"fact_serving_3run_min":$factCfg,"speedup":$speedup,"agg_matview_3run_min":$mvCfg,"speedup_matview":$speedupMv}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"configs":$configs,"sf":"$sfDir"}""")
     spark.stop()
   }

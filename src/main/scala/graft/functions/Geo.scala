@@ -58,6 +58,42 @@ object Geo {
     })
   }
 
+  private def formatRing(ring: Column): Column =
+    concat(lit("("),
+      concat_ws(", ",
+        transform(ring, p =>
+          concat(p.getField("x").cast("string"), lit(" "),
+            p.getField("y").cast("string")))),
+      lit(")"))
+
+  /** F2 (holes): polygon with rings `array<array<struct<x,y>>>` (first =
+    * outer, rest = holes) → WKT `"POLYGON((outer), (hole), …)"`. Native
+    * nested higher-order functions, no UDF. */
+  def formatPolygonWktRings(rings: Column): Column =
+    concat(lit("POLYGON("),
+      concat_ws(", ", transform(rings, formatRing(_))), lit(")"))
+
+  /** F2 (full): `array<array<array<struct<x,y>>>>` (polygons → rings →
+    * points) → WKT `"MULTIPOLYGON(((…)), ((…), (…)))"` — the complete
+    * shape the reference's geojson_to_wkt emits (etl.py:119-128). */
+  def formatMultiPolygonWkt(polys: Column): Column =
+    concat(lit("MULTIPOLYGON("),
+      concat_ws(", ", transform(polys, poly =>
+        concat(lit("("), concat_ws(", ", transform(poly, formatRing(_))), lit(")")))),
+      lit(")"))
+
+  /** F5 (multi-ring): WKT POLYGON-with-holes or MULTIPOLYGON text →
+    * flattened `array<array<struct<x,y>>>` of ALL rings. Each innermost
+    * paren group is one ring; even-odd containment
+    * ([[graft.plans.StContainsRings]]) needs no outer/hole or polygon
+    * grouping, so the flat ring list is the probe-side representation. */
+  def parseRingsWkt(wkt: Column): Column =
+    transform(regexp_extract_all(wkt, lit("\\(([^()]+)\\)"), lit(1)), ring =>
+      transform(split(ring, ",\\s*"), s => {
+        val p = split(trim(s), "\\s+")
+        makePoint(element_at(p, 1).cast("double"), element_at(p, 2).cast("double"))
+      }))
+
   /** F6: ST_Contains(ring, point) via even-odd ray casting. Boundary
     * behavior is HALF-OPEN (a point exactly on the bottom/left edge counts
     * inside, top/right outside) — queries therefore pin data strictly away

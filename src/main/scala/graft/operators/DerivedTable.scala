@@ -15,15 +15,13 @@ object DerivedTable {
   /** Bump when ANY builder's logic or output schema changes: the cache key
     * covers source content but cannot see code, so without this a /tmp dir
     * from an older build would be served verbatim. */
-  private val codeVersion = 2
+  private val codeVersion = 3 // v3: langprof gained the top-K cap
 
   def apply(s: SparkSession, srcDir: String, srcTable: String, tag: String,
       partCols: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
     val key = graft.ContentKey.key(
       java.nio.file.Paths.get(srcDir, s"$srcTable.parquet"))
-    val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_${tag}_v${codeVersion}_$key").toString
+    val out = graft.Warehouse.path(s"graft_${tag}_v${codeVersion}_$key")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
       val w = build.write.mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(out)

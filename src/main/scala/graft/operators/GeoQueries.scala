@@ -71,6 +71,58 @@ object GeoQueries {
         .orderBy(col("poly_id"))
     },
 
+    // F2/F5/F6 complete semantics: MULTIPOLYGON with holes and a disjoint
+    // second part. Each poly_id is two square parts — part A carries a
+    // square HOLE (a point in the hole is OUTSIDE, PostGIS ST_Contains
+    // semantics) — built as coord rings → full MULTIPOLYGON WKT →
+    // parsed back to the flat ring list → probed by the native even-odd
+    // StContainsRings expression (crossing parity over ALL rings). The
+    // oracle expresses the identical geometry as box predicates: (in outer
+    // A and not in hole) or in part B; edges offset .005/.5 so no point
+    // sits on a boundary. Scale: same broadcast-probe shape as q19.
+    QueryDef("q53_polygon_holes",
+      """WITH polys AS (SELECT CAST(range AS INT) AS poly_id FROM range(0, 5))
+        |SELECT p.poly_id, count(e.event_id) AS n_inside
+        |FROM polys p
+        |LEFT JOIN events e ON (
+        |  ((e.value % 50) > 10 * p.poly_id + 0.005
+        |   AND (e.value % 50) < 10 * p.poly_id + 9.995
+        |   AND (e.user_id % 50) > 0.5 AND (e.user_id % 50) < 29.5
+        |   AND NOT ((e.value % 50) > 10 * p.poly_id + 2.005
+        |            AND (e.value % 50) < 10 * p.poly_id + 3.995
+        |            AND (e.user_id % 50) > 10.5 AND (e.user_id % 50) < 19.5))
+        |  OR ((e.value % 50) > 10 * p.poly_id + 0.005
+        |      AND (e.value % 50) < 10 * p.poly_id + 9.995
+        |      AND (e.user_id % 50) > 30.5 AND (e.user_id % 50) < 49.5))
+        |GROUP BY p.poly_id ORDER BY p.poly_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.Column
+      def sq(x0: Column, y0: Column, x1: Column, y1: Column) = array(
+        Geo.makePoint(x0, y0), Geo.makePoint(x1, y0),
+        Geo.makePoint(x1, y1), Geo.makePoint(x0, y1), Geo.makePoint(x0, y0))
+      val polys = s.range(0, 5).select(col("id").cast("int").as("poly_id"))
+        .withColumn("x0", col("poly_id") * 10 + 0.005)
+        .withColumn("x1", col("poly_id") * 10 + 9.995)
+        .withColumn("hx0", col("poly_id") * 10 + 2.005)
+        .withColumn("hx1", col("poly_id") * 10 + 3.995)
+        .withColumn("wkt", Geo.formatMultiPolygonWkt(array(
+          array(sq(col("x0"), lit(0.5), col("x1"), lit(29.5)),        // part A
+            sq(col("hx0"), lit(10.5), col("hx1"), lit(19.5))),        // its hole
+          array(sq(col("x0"), lit(30.5), col("x1"), lit(49.5))))))    // part B
+        .withColumn("rings", Geo.parseRingsWkt(col("wkt")))
+        .select(col("poly_id"), col("rings"))
+      val pts = Tables.events(s, d).select(col("event_id"),
+        (col("value") % 50).as("px"),
+        (col("user_id") % 50).cast("double").as("py"))
+      val perPoly = pts
+        .join(broadcast(polys),
+          graft.plans.StContainsRings(col("rings"), col("px"), col("py")))
+        .groupBy(col("poly_id")).agg(count(lit(1)).as("cnt"))
+      polys.select(col("poly_id"))
+        .join(perPoly, Seq("poly_id"), "left")
+        .select(col("poly_id"), coalesce(col("cnt"), lit(0L)).as("n_inside"))
+        .orderBy(col("poly_id"))
+    },
+
     // F8 ST_DWithin analog: haversine distance (pure column math, no UDF)
     // from each event-derived point to the origin, within 15000 km.
     QueryDef("q20_haversine",

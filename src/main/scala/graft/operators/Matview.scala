@@ -26,8 +26,7 @@ object Matview {
   def factPath(s: SparkSession, dir: String): String = {
     val srcKey = graft.ContentKey.key(
       java.nio.file.Paths.get(dir, "events.parquet"))
-    val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_fact_v2_$srcKey").toString
+    val out = graft.Warehouse.path(s"graft_fact_v2_$srcKey")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
       FactBuild.build(s, dir)
         .write.mode("overwrite").partitionBy("day").parquet(out)
@@ -72,15 +71,21 @@ object Matview {
         .orderBy(col("lo"))
     },
 
-    // The AGGREGATE matview (reference config 3, `accident_geo_view`
-    // etl.py:251-288): day×bucket partial aggregates (count, raw sum)
-    // precomputed FROM the fact parquet at build time. Serving combines
-    // ~days×buckets partial rows — O(dimensions), independent of event
-    // count: at 100 TB the base scan is off the serving path entirely,
-    // and the matview is incrementally maintainable (append a day's
-    // partials, never recompute history). avg is re-derived as
+    // The AGGREGATE matview: GENERALIZES the reference's matview config
+    // (config 3, `accident_geo_view` etl.py:251-288 — a row-level
+    // denormalized join whose serving query still aggregates at query
+    // time) by additionally pre-aggregating: day×bucket partials (count,
+    // raw sum) precomputed FROM the fact parquet at build time. Serving
+    // combines ~days×buckets partial rows — O(dimensions), independent of
+    // event count: at 100 TB the base scan is off the serving path
+    // entirely, and the matview is incrementally maintainable (append a
+    // day's partials, never recompute history). avg is re-derived as
     // sum(sum)/sum(cnt) — partial aggregation states, the same shape
-    // Spark's own ObjectHashAggregate partials take.
+    // Spark's own ObjectHashAggregate partials take. Rounding hazard
+    // (known class, see MEMORY oracle-parity notes): combining partials
+    // changes FP accumulation order vs the oracle's sequential avg; the
+    // 1e-9 nudge in roundOut shields half-ulp boundaries — if it ever
+    // flakes, sum in a deterministic bucket order or widen the epsilon.
     QueryDef("q52_agg_matview", servingOracle) { (s, d) =>
       val mv = DerivedTable(s, d, "events", "aggmv") {
         s.read.parquet(factPath(s, d))

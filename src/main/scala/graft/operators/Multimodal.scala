@@ -182,9 +182,31 @@ object Multimodal {
     },
 
     // The mapPartitions decode pipeline (STUBBED decoder, real plumbing).
-    // Engine-side iterator transform → no oracle; MultimodalSpec pins the
-    // schema, determinism, and batch shape.
-    QueryDef.noOracle("m02_decode_stub") { (s, d) =>
+    // Oracle-checkable after all (ADVICE r03): the stub's feature vector is
+    // a byte histogram bucketed by (byte >> 5), i.e. by the FIRST HEX
+    // NIBBLE >> 1 — so DuckDB reproduces f0/f1 by counting hex-pair lead
+    // chars ('0','1' → bucket 0; '2','3' → bucket 1) over the same payload
+    // bytes, divided as IEEE doubles. Dimension math identical to m04.
+    QueryDef("m02_decode_stub",
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n,
+        |         len(list_filter(range(n),
+        |             i -> substring(hx, 2 * CAST(i AS INT) + 1, 1) IN ('0', '1'))) AS c0,
+        |         len(list_filter(range(n),
+        |             i -> substring(hx, 2 * CAST(i AS INT) + 1, 1) IN ('2', '3'))) AS c1
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |       CAST(64 + n % 577 AS INT) AS width,
+        |       CAST(64 + (n // 7) % 409 AS INT) AS height,
+        |       CAST(3 AS INT) AS channels,
+        |       round(1e-9 + CAST(c0 AS DOUBLE) / greatest(n, 1), 6) AS f0,
+        |       round(1e-9 + CAST(c1 AS DOUBLE) / greatest(n, 1), 6) AS f1
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
       val payloads = Tables.documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       decodeImages(payloads)

@@ -18,8 +18,7 @@ import graft.{ContentKey, QueryDef, Tables}
   */
 object PhysicalDesign {
 
-  private def tmp(name: String): String =
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), name).toString
+  private def tmp(name: String): String = graft.Warehouse.path(name)
 
   /** Day-partitioned copy of events; built once per source content. */
   def partitionedEventsPath(s: SparkSession, dir: String): String = {

@@ -114,8 +114,7 @@ object Sources {
         |       round(1e-9 + sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))
-      val out = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft_csv_v2_$key").toString
+      val out = graft.Warehouse.path(s"graft_csv_v2_$key")
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
         Tables.events(s, d)
           .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
@@ -135,8 +134,7 @@ object Sources {
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "documents.parquet"))
-      val out = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft_jsonl_v2_$key").toString
+      val out = graft.Warehouse.path(s"graft_jsonl_v2_$key")
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("n_chars"))

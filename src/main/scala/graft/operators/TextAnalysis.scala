@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,14 +31,45 @@ object TextAnalysis {
       |               i -> unicode(w[i+1]) * (i + 1))) AS BIGINT))),
       |    (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
 
+  /** Cavnar-Trenkle profile cap: each language keeps only its K most
+    * frequent words, so the broadcast profile is ≤ K×langs rows FOREVER —
+    * an uncapped per-word profile is O(vocab×langs) and a web-scale vocab
+    * (10⁸+) outgrows any broadcast. */
+  val ProfileK = 300
+
+  /** The trained per-word rank profile = a model artifact, persisted
+    * content-keyed ([[DerivedTable]]): train at ingest, broadcast to
+    * score — retrained only when the corpus changes. Exposed for
+    * TextAnalysisSpec's profile-size bound. */
+  def langProfile(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.documents(s, d).select(col("lang"),
+      explode(Text.tokens(col("text"))).as("word"))
+    DerivedTable(s, d, "documents", "langprof") {
+      val cnt = w.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+      cnt.join(tot, "lang")
+        // points are ranked over the FULL count table (distributed window,
+        // fine at scale); only the broadcast artifact is capped
+        .withColumn("points", lit(5) - row_number().over(
+          Window.partitionBy(col("word"))
+            .orderBy((col("c") * 1.0 / col("t")).desc, col("lang"))))
+        .withColumn("krank", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("c").desc, col("word"))))
+        .filter(col("krank") <= ProfileK)
+        .select(col("lang").as("plang"), col("word"), col("points"))
+    }
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // Language ID via corpus-trained rank-profile classifier (Cavnar-
     // Trenkle style, unigram profiles): for each word, langs are ranked by
-    // relative frequency (ties → lang asc); a doc scores Σ points of its
-    // tokens per lang (integer — exact, order-independent); argmax with
-    // lang-asc tiebreak. All-relational: trainable at 100 TB, profiles
-    // broadcast back for scoring.
+    // relative frequency (ties → lang asc); each language's profile is
+    // capped to its top-K words ([[ProfileK]]); a doc scores Σ points of
+    // its tokens per lang (integer — exact, order-independent); argmax
+    // with lang-asc tiebreak. All-relational: trainable at 100 TB,
+    // bounded profiles broadcast back for scoring.
     QueryDef("x07_langid",
       """WITH w AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
@@ -47,10 +79,14 @@ object TextAnalysis {
         |), tot AS (
         |  SELECT lang AS lg, sum(c) AS t FROM cnt GROUP BY 1
         |), pts AS (
-        |  SELECT lang AS plang, word,
-        |         5 - row_number() OVER (PARTITION BY word
-        |             ORDER BY c * 1.0 / t DESC, lang) AS points
-        |  FROM cnt JOIN tot ON cnt.lang = tot.lg
+        |  SELECT lang AS plang, word, points FROM (
+        |    SELECT lang, word,
+        |           5 - row_number() OVER (PARTITION BY word
+        |               ORDER BY c * 1.0 / t DESC, lang) AS points,
+        |           row_number() OVER (PARTITION BY lang
+        |               ORDER BY c DESC, word) AS krank
+        |    FROM cnt JOIN tot ON cnt.lang = tot.lg
+        |  ) WHERE krank <= 300
         |), scores AS (
         |  SELECT w.doc_id, p.plang, sum(p.points) AS score
         |  FROM w JOIN pts p ON w.word = p.word
@@ -65,19 +101,7 @@ object TextAnalysis {
       val docs = Tables.documents(s, d)
       val w = docs.select(col("doc_id"), col("lang"),
         explode(Text.tokens(col("text"))).as("word"))
-      // trained per-word rank profile = a model artifact, persisted
-      // content-keyed ([[DerivedTable]]): train at ingest, broadcast to
-      // score — retrained only when the corpus changes
-      val pts = DerivedTable(s, d, "documents", "langprof") {
-        val cnt = w.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
-        val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
-        cnt.join(tot, "lang")
-          .withColumn("points", lit(5) - row_number().over(
-            Window.partitionBy(col("word"))
-              .orderBy((col("c") * 1.0 / col("t")).desc, col("lang"))))
-          .select(col("lang").as("plang"), col("word"), col("points"))
-      }
-      val scores = w.join(broadcast(pts), "word")
+      val scores = w.join(broadcast(langProfile(s, d)), "word")
         .groupBy(col("doc_id"), col("plang"))
         .agg(sum(col("points")).as("score"))
       val best = scores.withColumn("rn", row_number().over(
@@ -229,33 +253,43 @@ object TextAnalysis {
 
     // Sequence packing: concat-then-chunk documents into fixed token-budget
     // bins (the LLM-pretraining packing shape) — running token count over a
-    // deterministic order, bin = cumulative-before / budget. The global
-    // window is the demo shape; at 100 TB packing runs per shard (partition
-    // the order key first), which changes nothing semantically per shard.
+    // deterministic per-shard order, bin = cumulative-before / budget.
+    // SHARDED: the window partitions by a content-hash shard (same stable
+    // fingerprint as the x17 split), so the running sum runs per shard —
+    // at 100 TB the shard count scales with the cluster (one packing task
+    // per shard) instead of serializing the corpus through one global
+    // window; bins are independent across shards by construction, exactly
+    // how packed pretraining shards are written.
     QueryDef("x18_pack",
-      """WITH t AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST($fingerprintSql % 4 AS INT) AS shard
         |  FROM documents
         |), c AS (
-        |  SELECT doc_id, n_tokens,
-        |         sum(n_tokens) OVER (ORDER BY doc_id
+        |  SELECT shard, doc_id, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
         |           AS cum_before
         |  FROM t
         |)
-        |SELECT CAST(floor(cum_before / 2048.0) AS INT) AS bin,
+        |SELECT shard, CAST(floor(cum_before / 2048.0) AS INT) AS bin,
         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val w = Window.orderBy(col("doc_id"))
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, d)
-        .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        // hoisted like x17: one evaluation of the nested-HOF fingerprint
+        .withColumn("shard", (Text.fingerprint(col("text")) % 4).cast("int"))
+        .select(col("shard"), col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
         .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
-        .select(floor(col("cum_before") / 2048.0).cast("int").as("bin"),
+        .select(col("shard"),
+          floor(col("cum_before") / 2048.0).cast("int").as("bin"),
           col("n_tokens"))
-        .groupBy(col("bin"))
+        .groupBy(col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
-        .orderBy(col("bin"))
+        .orderBy(col("shard"), col("bin"))
     },
 
     // Dataset profiling: per-column null/distinct/min/max in ONE pass

@@ -20,5 +20,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StContains].getName, "st_contains_ring"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         StContains(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      new FunctionIdentifier("st_contains_rings"),
+      new ExpressionInfo(classOf[StContainsRings].getName, "st_contains_rings"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        StContainsRings(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDot(exprs(0), exprs(1))))
   }
 }

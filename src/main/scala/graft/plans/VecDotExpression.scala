@@ -29,6 +29,14 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  // Conditionally null even when both children are non-nullable (ragged
+  // lengths, null elements): without this override BinaryExpression reports
+  // left.nullable || right.nullable, so over two non-null literals/arrays
+  // nullSafeCodeGen would take its non-nullable branch, emit
+  // `ev.isNull = true` against an undeclared isNull (Janino failure →
+  // interpreted fallback) and let the optimizer mis-fold IsNull(vec_dot).
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
       TypeCheckResult.TypeCheckSuccess

@@ -25,6 +25,20 @@ object Streams {
 
   private val sinkId = new AtomicInteger(0)
 
+  /** Run `body` with the nanos-ts parquet flag set, restoring the previous
+    * session value after — the flag is a per-query need (the events table's
+    * nanos timestamps), not a session-global property to leak into a shared
+    * SparkSession (ADVICE r03). */
+  private def withNanosAsLong[T](s: SparkSession)(body: => T): T = {
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(k)
+    s.conf.set(k, "true")
+    try body finally prev match {
+      case Some(v) => s.conf.set(k, v)
+      case None => s.conf.unset(k)
+    }
+  }
+
   /** Stage the single-file events table as a DIRECTORY for the file-stream
     * source (idempotent per JVM). Content-keyed (ADVICE r01): if
     * events.parquet is regenerated the key changes, so we stage a fresh
@@ -32,9 +46,8 @@ object Streams {
     * oracle. */
   private[graft] def stageEvents(dir: String): String = {
     val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val stage = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_stream_v2_${graft.ContentKey.key(src)}")
+    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_v2_${graft.ContentKey.key(src)}"))
     java.nio.file.Files.createDirectories(stage)
     val dst = stage.resolve("events.parquet")
     if (!java.nio.file.Files.exists(dst)) {
@@ -50,23 +63,23 @@ object Streams {
   /** Daily per-type counts computed by a genuine streaming query over the
     * events parquet (schema from a batch probe; nanos ts normalized the
     * same way as [[graft.Tables.events]]). */
-  def streamingDaily(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = Tables.table(s, dir, "events") // schema probe: ts reads as long nanos
-    val raw = s.readStream.schema(batch.schema).parquet(stageEvents(dir))
-    val events = raw.withColumn("ts",
-      timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
-    val agg = events
-      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Num.roundOut(sum(col("value")), 4).as("sum_value"))
-      .select(to_date(col("w.start")).as("day"), col("event_type"),
-        col("n"), col("sum_value"))
-    val name = s"st01_sink_${sinkId.incrementAndGet()}"
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(name).orderBy(col("day"), col("event_type"))
-  }
+  def streamingDaily(s: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(s) {
+      val batch = Tables.table(s, dir, "events") // schema probe: ts reads as long nanos
+      val raw = s.readStream.schema(batch.schema).parquet(stageEvents(dir))
+      val events = raw.withColumn("ts",
+        timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
+      val agg = events
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Num.roundOut(sum(col("value")), 4).as("sum_value"))
+        .select(to_date(col("w.start")).as("day"), col("event_type"),
+          col("n"), col("sum_value"))
+      val name = s"st01_sink_${sinkId.incrementAndGet()}"
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy(col("day"), col("event_type"))
+    }
 
   /** Watermarked append-mode windowed aggregation over a file-source
     * stream: only windows the 10-minute watermark has closed are emitted,
@@ -165,14 +178,14 @@ object Streams {
         |        ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val stage = stageEvents(d)
-      val factDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_stfact_v2_${graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}",
+      val factDir = java.nio.file.Paths.get(graft.Warehouse.path(
+        s"graft_stfact_v2_${graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}"),
         "fact").toString
-      incrementalUpsert(s, stage, factDir, Seq("user_id", "event_type"),
-        Seq(col("ts").desc, col("event_id").desc))
+      withNanosAsLong(s) {
+        incrementalUpsert(s, stage, factDir, Seq("user_id", "event_type"),
+          Seq(col("ts").desc, col("event_id").desc))
+      }
       s.read.parquet(factDir)
         .select(col("user_id"), col("event_type"), col("event_id"),
           Num.roundOut(col("value"), 4).as("value"))

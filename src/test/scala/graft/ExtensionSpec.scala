@@ -82,6 +82,17 @@ class ExtensionSpec extends AnyFunSuite {
       s"duplicate vector must rank first for its query: ${q0.toSeq}")
   }
 
+  test("langid profile is capped at K words per language") {
+    val prof = graft.operators.TextAnalysis.langProfile(spark, sf0_01)
+    val nLangs = prof.select("plang").distinct().count()
+    val perLang = prof.groupBy("plang").count().collect()
+    perLang.foreach { r =>
+      assert(r.getLong(1) <= graft.operators.TextAnalysis.ProfileK,
+        s"${r.getString(0)} profile exceeds K")
+    }
+    assert(prof.count() <= graft.operators.TextAnalysis.ProfileK * nLangs)
+  }
+
   test("approx distinct within 10% of exact") {
     val exact = SparkEntry.queries("x11_distinct_exact")(spark, sf0_01)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

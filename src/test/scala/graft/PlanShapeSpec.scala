@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared AQE-aware physical-plan walker for plan-shape pins. */
@@ -62,6 +63,35 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
         s"$q degenerated to a cartesian product")
     }
+  }
+
+  test("AQE OptimizeSkewedJoin fires on the q27 shape without manual salting") {
+    // q27's manual salt is the portable lever; this pins the AUTOMATIC path
+    // the 100× story also leans on: a hot-key sort-merge join re-planned at
+    // runtime into a skew join (SortMergeJoin ... skew=true), with the hot
+    // partition split by map-output size. Thresholds are scaled down so the
+    // test fixture's hot key (90% of rows on one event_type analog) crosses
+    // the same size triggers a 100 TB hot key crosses in production.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val facts = s2.range(0, 60000).select(
+      when(col("id") % 20 === 0, (col("id") % 4) + 1).otherwise(lit(0L)).as("k"),
+      col("id").as("v"),
+      lpad(col("id").cast("string"), 64, "x").as("pad")) // row weight → real bytes
+    val dim = s2.range(0, 5).select(col("id").as("k"), (col("id") * 10).as("dv"))
+    val joined = facts.join(dim, "k").select(col("k"), col("v"), col("dv"))
+    val nodes = PlanWalk.executedAll(joined)
+    val smjs = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected a sort-merge join in ${nodes.map(_.getClass.getSimpleName)}")
+    assert(smjs.exists(_.isSkewJoin),
+      "AQE must re-plan the hot partition as a skew join (skew=true)")
   }
 
   test("q24 top-k is TakeOrdered (per-partition heap), not a global sort") {

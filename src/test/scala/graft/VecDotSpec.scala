@@ -77,6 +77,23 @@ class VecDotSpec extends AnyFunSuite {
       q.queryExecution.executedPlan.toString)
   }
 
+  test("non-nullable children still compile and honor conditional nulls") {
+    // CreateArray over literals is non-nullable on both sides: without the
+    // nullable=true override, codegen hits the non-nullable branch and the
+    // ragged-length `isNull = true` assignment fails to compile (ADVICE r03)
+    val q = spark.range(1).select(
+      VecDot(array(lit(1.0), lit(2.0), lit(3.0)),
+        array(lit(4.0), lit(5.0))).as("ragged"),
+      VecDot(array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("dense"),
+      VecDot(array(lit(1.0)), array(lit(2.0))).isNull.as("is_null_folded"))
+    val r = q.collect().head
+    assert(r.isNullAt(0), "ragged non-nullable inputs must yield NULL")
+    assert(r.getDouble(1) === 11.0)
+    assert(r.getBoolean(2) === false)
+    // the expression must still report nullable so IsNull isn't mis-folded
+    assert(q.schema("ragged").nullable)
+  }
+
   test("SQL registration") {
     VecDot.register(spark)
     val r = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")

@@ -46,31 +46,30 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        # One execution per side, via pandas (the driver's own path): rows
+        # AND dtypes both come from the same df, so NULL/date conversions
+        # mirror what the driver hashes. The dtype check catches DuckDB
+        # HUGEINT/DECIMAL aggregates (e.g. an uncast sum(BIGINT)) that
+        # surface as float64 through pandas while the Spark parquet column
+        # is int64 — "19525.0" vs "19525" hash-mismatch.
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            g_cols = [d[0] for d in got.description]
-            g_rows = got.fetchall()
-            exp = con.execute(sql)
-            e_cols = [d[0] for d in exp.description]
-            e_rows = exp.fetchall()
+            g_df = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            e_df = con.execute(sql).df()
         except Exception as exc:
             print(f"FAIL {name}: {exc}")
             n_bad += 1
             continue
-        # Driver-parity dtype check: DuckDB HUGEINT/DECIMAL aggregates (e.g.
-        # an uncast sum(BIGINT)) surface as float64 through pandas while the
-        # Spark parquet column is int64 — the driver hashes "19525.0" vs
-        # "19525" and fails even though fetchall() ints compare equal.
-        try:
-            g_kinds = {c: k.kind for c, k in con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df().dtypes.items()}
-            e_kinds = {c: k.kind for c, k in con.execute(sql).df().dtypes.items()}
-            kind_diff = {c: (g_kinds[c], e_kinds[c]) for c in g_kinds
-                         if c in e_kinds and g_kinds[c] != e_kinds[c]
-                         and {g_kinds[c], e_kinds[c]} & {"f"}}
-        except Exception:
-            kind_diff = {}
+        g_cols = list(g_df.columns)
+        g_rows = list(g_df.itertuples(index=False, name=None))
+        e_cols = list(e_df.columns)
+        e_rows = list(e_df.itertuples(index=False, name=None))
+        g_kinds = {c: k.kind for c, k in g_df.dtypes.items()}
+        e_kinds = {c: k.kind for c, k in e_df.dtypes.items()}
+        kind_diff = {c: (g_kinds.get(c), e_kinds.get(c))
+                     for c in set(g_kinds) | set(e_kinds)
+                     if g_kinds.get(c) != e_kinds.get(c)
+                     and {g_kinds.get(c), e_kinds.get(c)} & {"f"}}
         gc, gr = canon(g_rows, g_cols)
         ec, er = canon(e_rows, e_cols)
         if kind_diff:
