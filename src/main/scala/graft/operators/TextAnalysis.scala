@@ -292,6 +292,70 @@ object TextAnalysis {
         .orderBy(col("shard"), col("bin"))
     },
 
+    // Train/eval DECONTAMINATION: flag val/test documents sharing any
+    // trigram shingle with the train split (the pre-training hygiene pass
+    // that keeps benchmark answers out of the training set). Splits come
+    // from the same stable content-hash as x17, shingles from the same
+    // trigram definition as x04. Shape: explode eval shingles, equi-join
+    // the DISTINCT train-gram set on the gram — work ∝ shared grams, an
+    // all-relational shuffle join with no broadcast of the (huge at 100 TB)
+    // train vocabulary; per-doc hit counts come back via one left join so
+    // clean docs report 0.
+    QueryDef("x19_decontaminate",
+      s"""WITH sp AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN $fingerprintSql % 100 < 80 THEN 'train'
+        |              WHEN $fingerprintSql % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, split,
+        |         list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |           ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
+        |  FROM (SELECT doc_id, split, string_split(text, ' ') AS ws FROM sp)
+        |), tg AS (
+        |  SELECT DISTINCT unnest(tri) AS g FROM s WHERE split = 'train'
+        |), ev AS (
+        |  SELECT doc_id, split, CAST(len(tri) AS INT) AS n_grams
+        |  FROM s WHERE split <> 'train'
+        |), hits AS (
+        |  SELECT e.doc_id, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(tri) AS g FROM s WHERE split <> 'train') e
+        |  JOIN tg ON e.g = tg.g
+        |  GROUP BY e.doc_id
+        |)
+        |SELECT ev.doc_id, ev.split, ev.n_grams,
+        |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_contam,
+        |       round(1e-9 + CAST(coalesce(h.n, 0) AS DOUBLE)
+        |             / greatest(ev.n_grams, 1), 4) AS contam_ratio
+        |FROM ev LEFT JOIN hits h ON ev.doc_id = h.doc_id
+        |ORDER BY ev.doc_id""".stripMargin) { (s, d) =>
+      // fingerprint + shingles are interpreted higher-order expressions
+      // feeding three consumers (train side, eval side, eval report) —
+      // materialize once (same rationale as x04's localCheckpoint)
+      val sh = Tables.documents(s, d)
+        .withColumn("bucket", Text.fingerprint(col("text")) % 100)
+        .select(col("doc_id"),
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"),
+          Text.shingles(col("text"), 3).as("tri"))
+        .localCheckpoint()
+      val trainGrams = sh.filter(col("split") === "train")
+        .select(explode(col("tri")).as("g")).distinct()
+      val ev = sh.filter(col("split") =!= "train")
+      val hits = ev.select(col("doc_id"), explode(col("tri")).as("g"))
+        .join(trainGrams, "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      ev.select(col("doc_id"), col("split"), size(col("tri")).as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"), col("n_grams"),
+          coalesce(col("n"), lit(0L)).as("n_contam"),
+          Num.roundOut(coalesce(col("n"), lit(0L)).cast("double")
+            / greatest(col("n_grams"), lit(1)), 4).as("contam_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
     // Dataset profiling: per-column null/distinct/min/max in ONE pass
     // (conditional aggregation, no per-column scans) — the data-quality
     // report every ingest pipeline runs before training.
