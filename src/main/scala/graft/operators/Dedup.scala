@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Num
@@ -26,6 +27,35 @@ object Dedup {
   private def shingled(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("source"), col("lang"),
       Text.shingles(col("text"), 3).as("tri"))
+
+  /** Connected components by hash-min label propagation (Rastogi et al.,
+    * "Finding Connected Components in Map-Reduce"). `edges` has long
+    * columns (a, b), one row per undirected edge; returns (node, label)
+    * where label = min node id reachable. Each round is one equi-shuffle
+    * join + one partial-agg min — converges in O(log diameter) rounds
+    * (dedup clusters are near-cliques: 2-3 rounds at any corpus size).
+    * localCheckpoint truncates the per-round lineage, standing in for the
+    * checkpoint every iterative Spark job writes at scale. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    var labels = und.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val nbr = und.join(labels, und("b") === labels("node"))
+        .select(und("a").as("node"), col("label"))
+      val next = labels.union(nbr)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.as("nx").join(labels.as("pv"), col("nx.node") === col("pv.node"))
+        .filter(col("nx.label") =!= col("pv.label")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -253,6 +283,82 @@ object Dedup {
             .as("jaccard"))
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(20)
+    },
+
+    // Duplicate CLUSTERS: connected components over the union of exact-dup
+    // edges (identical md5) and near-dup edges (trigram Jaccard ≥ 0.05,
+    // x04's inverted-index shape) — the step that turns pairwise dedup
+    // reports into "keep one doc per cluster" (transitivity matters: A≈B,
+    // B≈C must collapse to ONE keeper even when A and C never pair).
+    // Clustering is [[connectedComponents]] hash-min propagation; the
+    // driver never sees the graph, only the converged/not-converged count.
+    QueryDef("x20_dup_clusters",
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, source, lang,
+        |         list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |           ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
+        |  FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS ws
+        |        FROM documents)
+        |), ex AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM documents a JOIN documents b
+        |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+        |), ne AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a JOIN s b ON a.source = b.source AND a.lang = b.lang
+        |                   AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.tri, b.tri)) > 0
+        |    AND len(list_intersect(a.tri, b.tri)) * 1.0 /
+        |        (len(a.tri) + len(b.tri) - len(list_intersect(a.tri, b.tri)))
+        |        >= 0.05
+        |), e AS (
+        |  SELECT a, b FROM ex UNION SELECT a, b FROM ne
+        |), u AS (
+        |  SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+        |), n AS (
+        |  SELECT DISTINCT a AS node FROM u
+        |), reach(node, r) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT reach.node, u.b FROM reach JOIN u ON u.a = reach.r
+        |), lab AS (
+        |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+        |)
+        |SELECT doc_id, cluster_id,
+        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |       doc_id = cluster_id AS is_keeper
+        |FROM lab ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // Exact-dup edges: group by content digest — only 16-byte digests
+      // shuffle, same contract as x01.
+      val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val exact = hashed.as("a")
+        .join(hashed.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      // Near-dup edges: inverted-index co-occurrence Jaccard (x04's plan),
+      // thresholded. The threshold comparison is the same two integer-
+      // derived doubles on both engines — bit-identical classification.
+      val sets = shingled(docs).localCheckpoint()
+      val inv = sets.select(col("source"), col("lang"), col("doc_id"),
+        size(col("tri")).as("sz"), explode(col("tri")).as("sh"))
+      val near = inv.as("a")
+        .join(inv.as("b"),
+          col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+          col("a.sz").as("sza"), col("b.sz").as("szb"))
+        .agg(count(lit(1)).as("i"))
+        .filter(col("i").cast("double") / (col("sza") + col("szb") - col("i"))
+          >= 0.05)
+        .select(col("a"), col("b"))
+      connectedComponents(exact.union(near))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("label"))))
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"), (col("node") === col("label")).as("is_keeper"))
+        .orderBy(col("doc_id"))
     }
   )
 }

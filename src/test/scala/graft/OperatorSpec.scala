@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Geo
-import graft.operators.Merge
+import graft.operators.{Dedup, Merge}
 
 /** Edge-semantics pins (SURVEY.md §5): hand-crafted tiny inputs for the
   * behaviors the oracle can't isolate — dedup ties, merge algebra,
@@ -15,6 +15,22 @@ class OperatorSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("connectedComponents: multi-hop chains collapse, components stay apart") {
+    import spark.implicits._
+    // chain 1-2-3-4 (1 and 4 never share an edge), separate pair 10-11,
+    // cycle 20-21-22-20 — transitive closure must label each component by
+    // its min node.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L)
+    ).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 
   test("keepLatest: newest wins, equal-ts tie broken by highest event_id") {
     import spark.implicits._
