@@ -31,6 +31,21 @@ object Text {
       }),
       lit(0))
 
+  /** Word n-grams WITH multiplicity (no distinct) — repetition metrics
+    * need the raw stream: a doc that repeats one bigram 50 times has 50
+    * grams, 1 distinct. Same let-binding as [[shingles]] (the token array
+    * is bound once; lambdas have no CSE). */
+  def rawShingles(text: Column, n: Int): Column =
+    get(
+      transform(array(tokens(text)), toks => {
+        val grams = transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws("_", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+        when(size(toks) < n, array().cast("array<string>"))
+          .otherwise(grams)
+      }),
+      lit(0))
+
   /** Exact Jaccard of two distinct-element arrays, as
     * |∩| / (|a|+|b|-|∩|) — the formula both engines evaluate exactly
     * (integer counts → one exact double division). */

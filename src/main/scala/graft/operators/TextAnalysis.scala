@@ -155,6 +155,80 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Repetition-based quality filters (Gopher rules, Rae et al. 2021
+    // §A1.1, adapted word-level since the fixture has no line structure):
+    // duplicate-word / duplicate-n-gram fractions are pure column math;
+    // the top-bigram coverage (most frequent bigram's share) is a
+    // relational per-doc mode — explode → two partial-agg rounds — rather
+    // than a per-row O(n²) lambda, so the heavy path stays codegen'd and
+    // map-side-combined at any document length. Threshold flags compare
+    // the UNROUNDED ratios (identical integer-derived doubles on both
+    // engines — bit-identical classification).
+    QueryDef("x21_repetition",
+      """WITH b AS (
+        |  SELECT doc_id, ws,
+        |         CASE WHEN len(ws) < 2 THEN []
+        |           ELSE list_transform(range(len(ws) - 1),
+        |                i -> ws[i+1] || '_' || ws[i+2]) END AS g2,
+        |         CASE WHEN len(ws) < 3 THEN []
+        |           ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END AS g3
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |), m AS (
+        |  SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+        |         len(list_distinct(ws)) AS u_words,
+        |         len(g2) AS n_g2, len(list_distinct(g2)) AS u_g2,
+        |         len(g3) AS n_g3, len(list_distinct(g3)) AS u_g3, g2
+        |  FROM b
+        |), t AS (
+        |  SELECT doc_id, max(c) AS top2 FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(g2) AS g FROM m) GROUP BY doc_id, g)
+        |  GROUP BY doc_id
+        |)
+        |SELECT m.doc_id, m.n_words,
+        |       round(1e-9 + 1 - u_words * 1.0 / n_words, 4) AS dup_word_frac,
+        |       round(1e-9 + CASE WHEN n_g2 > 0 THEN 1 - u_g2 * 1.0 / n_g2
+        |                    ELSE 0 END, 4) AS dup_2gram_frac,
+        |       round(1e-9 + CASE WHEN n_g3 > 0 THEN 1 - u_g3 * 1.0 / n_g3
+        |                    ELSE 0 END, 4) AS dup_3gram_frac,
+        |       round(1e-9 + CASE WHEN n_g2 > 0
+        |                    THEN coalesce(t.top2, 0) * 1.0 / n_g2
+        |                    ELSE 0 END, 4) AS top_2gram_frac,
+        |       (1 - u_words * 1.0 / n_words > 0.5
+        |        OR CASE WHEN n_g2 > 0 THEN coalesce(t.top2, 0) * 1.0 / n_g2
+        |           ELSE 0 END > 0.18) AS flagged
+        |FROM m LEFT JOIN t ON m.doc_id = t.doc_id
+        |WHERE n_words > 0 ORDER BY m.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val ws = Text.tokens(col("text"))
+      val g2 = Text.rawShingles(col("text"), 2)
+      val g3 = Text.rawShingles(col("text"), 3)
+      val base = docs.select(col("doc_id"),
+        size(ws).as("n_words"), size(array_distinct(ws)).as("u_words"),
+        size(g2).as("n_g2"), size(array_distinct(g2)).as("u_g2"),
+        size(g3).as("n_g3"), size(array_distinct(g3)).as("u_g3"))
+      val top2 = docs.select(col("doc_id"), explode(g2).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
+      val dupWord = lit(1) - col("u_words") * 1.0 / col("n_words")
+      val dupG2 = when(col("n_g2") > 0,
+        lit(1) - col("u_g2") * 1.0 / col("n_g2")).otherwise(0.0)
+      val dupG3 = when(col("n_g3") > 0,
+        lit(1) - col("u_g3") * 1.0 / col("n_g3")).otherwise(0.0)
+      val topFrac = when(col("n_g2") > 0,
+        coalesce(col("top2"), lit(0L)) * 1.0 / col("n_g2")).otherwise(0.0)
+      base.join(top2, Seq("doc_id"), "left")
+        .filter(col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"),
+          Num.roundOut(dupWord, 4).as("dup_word_frac"),
+          Num.roundOut(dupG2, 4).as("dup_2gram_frac"),
+          Num.roundOut(dupG3, 4).as("dup_3gram_frac"),
+          Num.roundOut(topFrac, 4).as("top_2gram_frac"),
+          (dupWord > 0.5 || topFrac > 0.18).as("flagged"))
+        .orderBy(col("doc_id"))
+    },
+
     // Token counting: whitespace tokens + BPE-ish ceil(len/4) subwords.
     QueryDef("x09_token_count",
       """SELECT doc_id,
