@@ -430,6 +430,64 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Domain MIXING by temperature resampling (the data-mixture step of a
+    // pretraining pipeline): target share per source q_s ∝ n_s^0.5
+    // (α = 0.5 upweights rare domains), per-doc keep probability
+    // p_s = min(1, q_s·N/n_s), membership decided by the same stable
+    // content-hash bucket as x17 — deterministic, re-ingestion-stable,
+    // and executed as one broadcast of a sources-sized rate table (no
+    // per-doc randomness, no driver loop). Parity note: the sqrt weights
+    // are floor-scaled to integers BEFORE summing, so the normalizing sum
+    // is exact long arithmetic — order-independent on both engines; every
+    // downstream double derives from identical long operands.
+    QueryDef("x22_sample_mix",
+      s"""WITH b AS (
+        |  SELECT doc_id, source, $fingerprintSql % 1000000 AS bucket
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, count(*) AS n FROM b GROUP BY source
+        |), w AS (
+        |  SELECT source, n, CAST(floor(sqrt(n) * 1e6) AS BIGINT) AS w FROM c
+        |), t AS (
+        |  SELECT sum(w) AS sw, sum(n) AS tn FROM w
+        |), r AS (
+        |  SELECT source, n, least(1.0, (w * 1.0 / sw) * tn / n) AS p
+        |  FROM w, t
+        |), sm AS (
+        |  SELECT b.source, count(*) AS ns
+        |  FROM b JOIN r ON b.source = r.source
+        |  WHERE b.bucket < p * 1000000.0
+        |  GROUP BY b.source
+        |)
+        |SELECT r.source, r.n AS n_docs,
+        |       round(1e-9 + p, 6) AS target_rate,
+        |       CAST(coalesce(sm.ns, 0) AS BIGINT) AS n_sampled,
+        |       round(1e-9 + coalesce(sm.ns, 0) * 1.0 / r.n, 4) AS achieved_rate
+        |FROM r LEFT JOIN sm ON r.source = sm.source
+        |ORDER BY r.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("bucket", Text.fingerprint(col("text")) % 1000000)
+        .select(col("doc_id"), col("source"), col("bucket"))
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val weights = counts
+        .withColumn("w", floor(sqrt(col("n")) * 1e6).cast("long"))
+      val tot = weights.agg(sum(col("w")).as("sw"), sum(col("n")).as("tn"))
+      val rates = weights.crossJoin(broadcast(tot))
+        .withColumn("p",
+          least(lit(1.0), (col("w") * 1.0 / col("sw")) * col("tn") / col("n")))
+        .select(col("source"), col("n"), col("p"))
+      val sampled = docs.join(broadcast(rates), "source")
+        .filter(col("bucket") < col("p") * 1000000.0)
+        .groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      rates.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n").as("n_docs"),
+          Num.roundOut(col("p"), 6).as("target_rate"),
+          coalesce(col("ns"), lit(0L)).as("n_sampled"),
+          Num.roundOut(coalesce(col("ns"), lit(0L)) * 1.0 / col("n"), 4)
+            .as("achieved_rate"))
+        .orderBy(col("source"))
+    },
+
     // Dataset profiling: per-column null/distinct/min/max in ONE pass
     // (conditional aggregation, no per-column scans) — the data-quality
     // report every ingest pipeline runs before training.
