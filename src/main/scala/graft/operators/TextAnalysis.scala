@@ -488,6 +488,79 @@ object TextAnalysis {
         .orderBy(col("source"))
     },
 
+    // Unigram-LM likelihood scoring (the KenLM-filter stand-in): train
+    // add-one-smoothed unigram counts on the x17 train split, score every
+    // document by average token probability + OOV rate. Kept RATIONAL on
+    // purpose: log-space perplexity would sum libm logarithms, and
+    // Math.log vs DuckDB's C log are not bit-stable cross-engine — every
+    // column here derives from exact long arithmetic plus one final
+    // division, so the oracle hash can't drift. Scale shape: the model is
+    // the global top-K (K=1000) counts via TakeOrderedAndProject
+    // (distributed partial top-k, q24's plan) broadcast to the scorer;
+    // everything outside the cap scores as OOV (numerator 1), the same
+    // bounded-broadcast contract as x07's profile cap. Scoring is one
+    // broadcast left join + per-doc partial aggs — embarrassingly
+    // parallel at any corpus size.
+    QueryDef("x23_unigram_lm",
+      s"""WITH sp AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN $fingerprintSql % 100 < 80 THEN 'train'
+        |              WHEN $fingerprintSql % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, split, unnest(string_split(text, ' ')) AS word
+        |  FROM sp
+        |), c AS (
+        |  SELECT word, count(*) AS c FROM tok WHERE split = 'train'
+        |  GROUP BY word
+        |), vs AS (
+        |  SELECT count(*) AS v, CAST(sum(c) AS BIGINT) AS t FROM c
+        |), topk AS (
+        |  SELECT word, c FROM c ORDER BY c DESC, word LIMIT 1000
+        |), per AS (
+        |  SELECT tok.doc_id, count(*) AS n,
+        |         sum(CASE WHEN k.word IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |         CAST(sum(coalesce(k.c, 0)) AS BIGINT) AS sum_c
+        |  FROM tok LEFT JOIN topk k ON tok.word = k.word
+        |  GROUP BY tok.doc_id
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(n_oov AS BIGINT) AS n_oov, sum_c,
+        |       round(1e-9 + n_oov * 1.0 / n, 4) AS oov_rate,
+        |       round(1e-9 + (sum_c + n) * 1.0 / (n * (t + v)), 6) AS avg_prob
+        |FROM per, vs ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // split + tokens feed both the trainer and the scorer — materialize
+      // the nested-HOF fingerprint once (x19's rationale)
+      val sp = Tables.documents(s, d)
+        .withColumn("bucket", Text.fingerprint(col("text")) % 100)
+        .select(col("doc_id"),
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"),
+          col("text"))
+        .localCheckpoint()
+      val tok = sp.select(col("doc_id"), col("split"),
+        explode(Text.tokens(col("text"))).as("word"))
+      val counts = tok.filter(col("split") === "train")
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds the vocab stats AND the top-k model
+      val vstats = counts.agg(count(lit(1)).as("v"), sum(col("c")).as("t"))
+      val model = counts.orderBy(col("c").desc, col("word")).limit(1000)
+      val per = tok
+        .join(broadcast(model.withColumnRenamed("c", "kc")), Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kc").isNull, 1).otherwise(0)).as("n_oov"),
+          sum(coalesce(col("kc"), lit(0L))).as("sum_c"))
+      per.crossJoin(broadcast(vstats))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("n_oov"),
+          col("sum_c"),
+          Num.roundOut(col("n_oov") * 1.0 / col("n"), 4).as("oov_rate"),
+          Num.roundOut((col("sum_c") + col("n")) * 1.0
+            / (col("n") * (col("t") + col("v"))), 6).as("avg_prob"))
+        .orderBy(col("doc_id"))
+    },
+
     // Dataset profiling: per-column null/distinct/min/max in ONE pass
     // (conditional aggregation, no per-column scans) — the data-quality
     // report every ingest pipeline runs before training.
