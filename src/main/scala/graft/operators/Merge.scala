@@ -126,6 +126,70 @@ object Merge {
           col("day"), col("lo"), col("hi"), col("k"),
           Num.roundOut(col("value"), 4).as("value"), col("day_avg"))
         .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // Snapshot DIFF (change-data-capture): classify every key as
+    // insert / update / delete between two keep-latest states — here two
+    // sliding event windows (days 1-20 vs 11-30), so all three change
+    // kinds occur with append-only input. An update is a key whose WINNING
+    // row changed (event_id differs), not whose value happens to differ.
+    // Scale shape: each snapshot is one PK-shuffle window dedup (in a real
+    // deployment they'd be stored state tables, zero recompute) and the
+    // diff is one co-partitioned full outer join on the same PK — three
+    // exchanges total on the same key, which AQE coalesces; nothing is
+    // broadcast, nothing is collected.
+    QueryDef("q54_snapshot_diff",
+      """WITH a AS (
+        |  SELECT user_id, event_type, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |             ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20')
+        |  WHERE rn = 1
+        |), b AS (
+        |  SELECT user_id, event_type, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |             ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-11')
+        |  WHERE rn = 1
+        |)
+        |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |       coalesce(a.event_type, b.event_type) AS event_type,
+        |       CASE WHEN a.user_id IS NULL THEN 'insert'
+        |            WHEN b.user_id IS NULL THEN 'delete'
+        |            ELSE 'update' END AS change,
+        |       a.event_id AS old_event_id, b.event_id AS new_event_id,
+        |       round(1e-9 + a.value, 4) AS old_value,
+        |       round(1e-9 + b.value, 4) AS new_value
+        |FROM a FULL JOIN b
+        |  ON a.user_id = b.user_id AND a.event_type = b.event_type
+        |WHERE a.user_id IS NULL OR b.user_id IS NULL
+        |   OR a.event_id <> b.event_id
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      def snap(f: DataFrame => DataFrame): DataFrame =
+        keepLatest(f(e), eventKeys, eventOrdering)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("value"))
+      val a = snap(_.filter(to_date(col("ts")) <= "2024-01-20")).as("a")
+      val b = snap(_.filter(to_date(col("ts")) >= "2024-01-11")).as("b")
+      a.join(b,
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") === col("b.event_type"), "full_outer")
+        .filter(col("a.user_id").isNull || col("b.user_id").isNull ||
+          col("a.event_id") =!= col("b.event_id"))
+        .select(
+          coalesce(col("a.user_id"), col("b.user_id")).as("user_id"),
+          coalesce(col("a.event_type"), col("b.event_type")).as("event_type"),
+          when(col("a.user_id").isNull, "insert")
+            .when(col("b.user_id").isNull, "delete")
+            .otherwise("update").as("change"),
+          col("a.event_id").as("old_event_id"),
+          col("b.event_id").as("new_event_id"),
+          Num.roundOut(col("a.value"), 4).as("old_value"),
+          Num.roundOut(col("b.value"), 4).as("new_value"))
+        .orderBy(col("user_id"), col("event_type"))
     }
   )
 }
