@@ -60,6 +60,57 @@ object Streams {
     stage.toString
   }
 
+  /** Stage events TWICE (two hard links → two micro-batches with
+    * maxFilesPerTrigger=1) so every event arrives as a duplicate — the
+    * input st03's streaming dedup must suppress. Content-keyed like
+    * [[stageEvents]]. */
+  private[graft] def stageEventsDuplicated(dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_dup_v1_${graft.ContentKey.key(src)}"))
+    java.nio.file.Files.createDirectories(stage)
+    Seq("events_a.parquet", "events_b.parquet").foreach { n =>
+      val dst = stage.resolve(n)
+      if (!java.nio.file.Files.exists(dst)) {
+        try java.nio.file.Files.createLink(dst, src)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(src, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    stage.toString
+  }
+
+  /** Streaming exact dedup: `dropDuplicates(event_id)` over a stream that
+    * replays every event twice (two micro-batches). The first batch seeds
+    * the dedup state; the replay batch must be suppressed ENTIRELY by it —
+    * so the emitted rows equal the batch table exactly, which is what the
+    * st03 oracle asserts. Rows sink in append mode (dedup alone supports
+    * it); the daily rollup is batch presentation on the sink. Unbounded
+    * dedup state is the demo trade-off: production bounds it with
+    * `dropDuplicatesWithinWatermark`, whose eviction/late-drop contract
+    * StreamingSemanticsSpec pins on a crafted two-batch feed. */
+  def streamingDedupDaily(s: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(s) {
+      val batch = Tables.table(s, dir, "events")
+      val raw = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageEventsDuplicated(dir))
+      val deduped = raw
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .dropDuplicates("event_id")
+      val name = s"st03_sink_${sinkId.incrementAndGet()}"
+      val q = deduped.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Num.roundOut(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("day"), col("event_type"))
+    }
+
   /** Daily per-type counts computed by a genuine streaming query over the
     * events parquet (schema from a batch probe; nanos ts normalized the
     * same way as [[graft.Tables.events]]). */
@@ -190,6 +241,15 @@ object Streams {
         .select(col("user_id"), col("event_type"), col("event_id"),
           Num.roundOut(col("value"), 4).as("value"))
         .orderBy(col("user_id"), col("event_type"))
-    }
+    },
+
+    // Oracle-checked: streaming dedup over a stream that replays every
+    // event twice must emit each exactly once — daily counts equal the
+    // clean batch aggregate (st01's oracle) despite the duplicated input.
+    QueryDef("st03_stream_dedup",
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |       count(*) AS n, round(1e-9 + sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => streamingDedupDaily(s, d))
   )
 }

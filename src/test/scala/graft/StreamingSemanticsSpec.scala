@@ -79,6 +79,36 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(got == expected && got == Seq(2L, 5L, 6L))
   }
 
+  test("dropDuplicatesWithinWatermark suppresses replays, drops sub-watermark rows") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("ddw").toString
+    def dump(rows: Seq[(Long, Timestamp)]): Unit =
+      rows.toDF("event_id", "ts")
+        .coalesce(1).write.mode("append").parquet(src)
+    // batch 1: two events 30 min apart → watermark advances to t(30)-10min
+    dump(Seq((1L, t(0)), (2L, t(30))))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("event_id", "long").add("ts", "timestamp")
+    val q = spark.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ddw_sink").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a replay of event 2 (within watermark → suppressed by
+      // state), a replay of event 1 with a ts BELOW the watermark (late →
+      // dropped by the pre-state late filter, NOT re-emitted even though
+      // its state may have been evicted), and a fresh on-time event.
+      dump(Seq((2L, t(30)), (1L, t(0)), (3L, t(31))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ddw_sink")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L),
+      s"each event must be emitted exactly once, got $got")
+  }
+
   test("session_window gap boundary is INCLUSIVE: exactly-30-minute gap merges") {
     import spark.implicits._
     // Spark merges an event that lands ON the previous window's end
