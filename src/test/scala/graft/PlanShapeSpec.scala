@@ -94,6 +94,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "AQE must re-plan the hot partition as a skew join (skew=true)")
   }
 
+  test("q55 refresh delta scan partition-prunes to the new days only") {
+    // the incremental-maintenance claim: refresh cost ∝ new data. The
+    // day-partitioned fact scan under the delta filter must carry a
+    // partition filter and read strictly fewer partitions than exist.
+    val delta = spark.read.parquet(
+        graft.operators.Matview.factPath(spark, sf0_001))
+      .filter(col("day") > lit("2024-01-25").cast("date"))
+    val nodes = executedAll(delta)
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "delta filter must prune day partitions, not scan-and-filter")
+    val read = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).length
+    val all = scan.relation.location.listFiles(Nil, Nil).length
+    assert(read < all, s"expected pruning: read $read of $all partitions")
+  }
+
   test("q24 top-k is TakeOrdered (per-partition heap), not a global sort") {
     val nodes = executedAll(SparkEntry.queries("q24_topk")(spark, sf0_001))
     assert(nodes.exists(_.getClass.getSimpleName.startsWith("TakeOrderedAndProject")),
