@@ -113,6 +113,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(read < all, s"expected pruning: read $read of $all partitions")
   }
 
+  test("runtime bloom-filter pruning fires on a selective-dim shuffle join") {
+    // The automatic semi-join reduction the 100 TB story leans on when a
+    // dim is too big to broadcast: Catalyst's InjectRuntimeFilter builds a
+    // bloom filter from the selective (filtered) side and applies
+    // might_contain on the fact side BEFORE the shuffle — rows that can't
+    // join never leave the scan stage. Thresholds scaled down so the
+    // fixture-sized join crosses the same triggers production sizes cross.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val fact = Tables.table(s2, sf0_001, "lineitem")
+    val dim = Tables.table(s2, sf0_001, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("o_totalprice"))
+    assert(j.queryExecution.optimizedPlan.toString.contains("might_contain"),
+      "expected an injected bloom-filter runtime filter on the fact side")
+    assert(j.count() > 0)
+  }
+
   test("q24 top-k is TakeOrdered (per-partition heap), not a global sort") {
     val nodes = executedAll(SparkEntry.queries("q24_topk")(spark, sf0_001))
     assert(nodes.exists(_.getClass.getSimpleName.startsWith("TakeOrderedAndProject")),
