@@ -20,6 +20,49 @@ object PhysicalDesign {
 
   private def tmp(name: String): String = graft.Warehouse.path(name)
 
+  /** 8+8-bit Morton (Z-order) interleave — the multi-dimensional
+    * clustering key Delta/Iceberg expose as Z-ORDER. Pure bit arithmetic
+    * (16 shift/mask/or terms, whole-stage codegen'd); [[zSql]] renders the
+    * IDENTICAL expression for the DuckDB oracle so the two can't drift.
+    * Inputs must already be bucketed to [0, 255]. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  def zSql(a: String, b: String): String =
+    (0 until 8).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i + 1}) | ((($b >> $i) & 1) << ${2 * i})")
+      .mkString("(", " | ", ")")
+
+  /** Z-clustered copy of events keyed on (day-of-month, value bucket) —
+    * range partitions follow the Z curve, so every file bounds BOTH
+    * dimensions (a day-sorted layout bounds only the day: any value-range
+    * predicate touches every file). Built once per source content. */
+  def zorderEventsPath(s: SparkSession, dir: String): String = {
+    val key = ContentKey.key(java.nio.file.Paths.get(dir, "events.parquet"))
+    val out = tmp(s"graft_events_zorder_v1_$key")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      zKeyed(Tables.events(s, dir))
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** The (a, b, z) projection shared by the layout build and the spec. */
+  def zKeyed(events: DataFrame): DataFrame = {
+    val a = dayofmonth(col("ts")).cast("long")
+    val b = greatest(least(floor(col("value") / 2), lit(255L)), lit(0L))
+      .cast("long")
+    events.filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"),
+        a.as("za"), b.as("zb"))
+      .withColumn("z", zValue(col("za"), col("zb")))
+  }
+
   /** Day-partitioned copy of events; built once per source content. */
   def partitionedEventsPath(s: SparkSession, dir: String): String = {
     val key = ContentKey.key(java.nio.file.Paths.get(dir, "events.parquet"))
@@ -108,6 +151,31 @@ object PhysicalDesign {
         |SELECT t1.user_id, t1.n_events, t1.sum_value,
         |       coalesce(t2.n_purchases, 0) AS n_purchases
         |FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
-        |ORDER BY t1.user_id""".stripMargin)(bucketedJoin)
+        |ORDER BY t1.user_id""".stripMargin)(bucketedJoin),
+
+    // Z-order clustering profile, served FROM the z-clustered layout (so
+    // the layout's contents are on the oracle path): per-Z-tile row counts
+    // and per-dimension bounding boxes. PhysicalDesignSpec asserts the
+    // layout property itself — every file bounds both dimensions, unlike a
+    // single-column sort.
+    QueryDef("w05_zorder_layout",
+      s"""WITH k AS (
+        |  SELECT CAST(date_part('day', ts) AS BIGINT) AS za,
+        |         CAST(greatest(least(floor(value / 2), 255), 0) AS BIGINT) AS zb
+        |  FROM events WHERE value IS NOT NULL
+        |), z AS (
+        |  SELECT za, zb, ${zSql("za", "zb")} AS z FROM k
+        |)
+        |SELECT z >> 10 AS z_tile, count(*) AS n,
+        |       min(za) AS min_day, max(za) AS max_day,
+        |       min(zb) AS min_vb, max(zb) AS max_vb
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      s.read.parquet(zorderEventsPath(s, d))
+        .groupBy(shiftright(col("z"), 10).as("z_tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("za")).as("min_day"), max(col("za")).as("max_day"),
+          min(col("zb")).as("min_vb"), max(col("zb")).as("max_vb"))
+        .orderBy(col("z_tile"))
+    }
   )
 }

@@ -48,4 +48,38 @@ class PhysicalDesignSpec extends AnyFunSuite {
       s"bucketed join must not shuffle, found: $shufflesUnderJoin")
     // the final presentation sort may shuffle; the JOIN subtree may not
   }
+
+  test("w05: z-clustered files bound BOTH dims; single-column sort doesn't") {
+    import org.apache.spark.sql.functions._
+    // Per-file bounding boxes via input_file_name(): the z layout must
+    // constrain the value-bucket extent per file (so a value-range
+    // predicate can skip files), while a day-sorted layout leaves it at
+    // ~full range. Comparative assertion — robust to range-sampling noise.
+    def extents(path: String): (Double, Double) = {
+      val row = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col("za")) - min(col("za"))).as("ea"),
+          (max(col("zb")) - min(col("zb"))).as("eb"))
+        .agg(avg(col("ea")), avg(col("eb")))
+        .head()
+      (row.getDouble(0), row.getDouble(1))
+    }
+    val zPath = PhysicalDesign.zorderEventsPath(spark, sf)
+    val dayDir = java.nio.file.Files.createTempDirectory("daysort").toString
+    PhysicalDesign.zKeyed(Tables.events(spark, sf))
+      .repartitionByRange(8, col("za"))
+      .sortWithinPartitions(col("za"))
+      .write.mode("overwrite").parquet(dayDir)
+    val (zDay, zVb) = extents(zPath)
+    val (linDay, linVb) = extents(dayDir)
+    info(s"z layout: day extent $zDay, vb extent $zVb")
+    info(s"day-sorted: day extent $linDay, vb extent $linVb")
+    // z-clustered: value extent per file must be materially bounded vs the
+    // day-sorted layout (where each file spans the fixture's full value
+    // spread — that's why its value predicates can never skip files)
+    assert(zVb < 0.75 * linVb, s"z layout must bound vb: z=$zVb lin=$linVb")
+    // and the day dimension stays bounded below the full month too
+    assert(zDay < 30, s"z layout must bound day extent, got $zDay")
+    assert(linDay < zDay, "day sort should bound day tighter than z does")
+  }
 }
