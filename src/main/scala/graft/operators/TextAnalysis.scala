@@ -200,15 +200,22 @@ object TextAnalysis {
         |           ELSE 0 END > 0.18) AS flagged
         |FROM m LEFT JOIN t ON m.doc_id = t.doc_id
         |WHERE n_words > 0 ORDER BY m.doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val ws = Text.tokens(col("text"))
-      val g2 = Text.rawShingles(col("text"), 2)
-      val g3 = Text.rawShingles(col("text"), 3)
-      val base = docs.select(col("doc_id"),
-        size(ws).as("n_words"), size(array_distinct(ws)).as("u_words"),
-        size(g2).as("n_g2"), size(array_distinct(g2)).as("u_g2"),
-        size(g3).as("n_g3"), size(array_distinct(g3)).as("u_g3"))
-      val top2 = docs.select(col("doc_id"), explode(g2).as("g"))
+      // materialize the three interpreted HOF gram arrays ONCE per row —
+      // the size/distinct/explode consumers below would otherwise re-derive
+      // them ~5× per document (lambdas have no CSE)
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("ws"),
+          Text.rawShingles(col("text"), 2).as("g2"),
+          Text.rawShingles(col("text"), 3).as("g3"))
+        .localCheckpoint()
+      val base = grams.select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("u_words"),
+        size(col("g2")).as("n_g2"),
+        size(array_distinct(col("g2"))).as("u_g2"),
+        size(col("g3")).as("n_g3"),
+        size(array_distinct(col("g3"))).as("u_g3"))
+      val top2 = grams.select(col("doc_id"), explode(col("g2")).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
       val dupWord = lit(1) - col("u_words") * 1.0 / col("n_words")
@@ -465,9 +472,12 @@ object TextAnalysis {
         |       round(1e-9 + coalesce(sm.ns, 0) * 1.0 / r.n, 4) AS achieved_rate
         |FROM r LEFT JOIN sm ON r.source = sm.source
         |ORDER BY r.source""".stripMargin) { (s, d) =>
+      // fingerprint is a heavy nested-HOF expression feeding two subplans
+      // (rate trainer + sampler) — materialize it once (x19's rationale)
       val docs = Tables.documents(s, d)
         .withColumn("bucket", Text.fingerprint(col("text")) % 1000000)
         .select(col("doc_id"), col("source"), col("bucket"))
+        .localCheckpoint()
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val weights = counts
         .withColumn("w", floor(sqrt(col("n")) * 1e6).cast("long"))
