@@ -186,6 +186,62 @@ object Similarity {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // Int8 SCALAR QUANTIZATION of the embedding column — the 4× storage
+    // shrink every large-scale vector pipeline applies before ANN. Per
+    // vector: symmetric max-abs scale, q_i = clamp(floor(v_i/scale·127)),
+    // plus the reconstruction-error report that decides whether int8 is
+    // safe for the corpus. All per-row column math (embarrassingly
+    // parallel); floor/clamp on identical doubles keeps the codes
+    // bit-identical to the oracle, and the error sum is the same
+    // left-to-right fold both engines evaluate (x13's precedent).
+    QueryDef("x24_sq8",
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, label, v,
+        |         list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM n
+        |), q AS (
+        |  SELECT vec_id, label, scale, v,
+        |         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |           ELSE greatest(least(CAST(floor(x / scale * 127) AS BIGINT),
+        |                               127), -127) END) AS qv
+        |  FROM s
+        |)
+        |SELECT vec_id, label, round(1e-9 + scale, 6) AS scale,
+        |       CAST(list_max(qv) AS BIGINT) AS max_q,
+        |       round(1e-9 + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(range(64),
+        |                 i -> abs(v[i+1] - qv[i+1] * scale / 127.0))),
+        |             (acc, x) -> acc + x) / 64, 6) AS mean_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val v = transform(col("embedding"), _.cast("double"))
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), v.as("v"))
+        .withColumn("scale", array_max(transform(col("v"), abs(_))))
+      val qv = when(col("scale") === 0,
+        transform(col("v"), _ => lit(0L)))
+        .otherwise(transform(col("v"), x =>
+          greatest(least(floor(x / col("scale") * 127), lit(127L)),
+            lit(-127L))))
+      // err computed BEFORE the select that aliases the rounded scale:
+      // lateral column alias resolution would otherwise silently rebind
+      // col("scale") inside the lambda to the rounded output column and
+      // drift the error term off the oracle (which uses the exact scale)
+      base.withColumn("qv", qv)
+        .withColumn("err_sum", aggregate(
+          zip_with(col("v"), col("qv"),
+            (a, q) => abs(a - q * col("scale") / 127.0)),
+          lit(0.0), (acc, x) => acc + x))
+        .select(col("vec_id"), col("label"),
+          Num.roundOut(col("scale"), 6).as("scale"),
+          array_max(col("qv")).as("max_q"),
+          Num.roundOut(col("err_sum") / 64, 6).as("mean_abs_err"))
+        .orderBy(col("vec_id"))
     }
   )
 }
