@@ -16,6 +16,24 @@ class OperatorSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("select-list alias shadows the child column inside LATER HOF lambdas") {
+    import spark.implicits._
+    // The hazard x24 hit. Plain select items resolve against the CHILD
+    // (y = 3 below), but a reference inside a higher-order-function lambda
+    // resolves in a later analyzer pass — after the same list has aliased
+    // the name — and silently binds to the ALIAS instead. Derived
+    // expressions must be computed in a withColumn BEFORE the aliasing
+    // select.
+    val plain = Seq(2.0).toDF("x")
+      .select((col("x") * 2).as("x"), (col("x") + 1).as("y")).head()
+    assert(plain.getDouble(1) == 3.0, "plain items resolve against the child")
+    val lambda = Seq((Seq(1.0), 2.0)).toDF("v", "x")
+      .select((col("x") * 2).as("x"),
+        transform(col("v"), e => e + col("x")).as("w")).head()
+    assert(lambda.getSeq[Double](1) == Seq(5.0), // 1 + ALIASED x (4), not 3
+      s"lambda refs bind to the alias, got ${lambda.getSeq[Double](1)}")
+  }
+
   test("connectedComponents: multi-hop chains collapse, components stay apart") {
     import spark.implicits._
     // chain 1-2-3-4 (1 and 4 never share an edge), separate pair 10-11,
