@@ -30,5 +30,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDot(exprs(0), exprs(1))))
+    // zorder(a, b): 8+8-bit Morton interleave, composed from built-in
+    // bitwise expressions (no custom eval needed — the SQL surface for
+    // PhysicalDesign.zValue, same semantics because it builds the same
+    // operator tree).
+    e.injectFunction((
+      new FunctionIdentifier("zorder"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "zorder"),
+      ZOrderSql.build))
   }
+}
+
+/** The `zorder(a, b)` SQL function body, shared by the extension injection
+  * and per-session registration. */
+object ZOrderSql {
+  import org.apache.spark.sql.catalyst.expressions._
+
+  val build: Seq[Expression] => Expression = { exprs =>
+    def term(i: Int): Expression = BitwiseOr(
+      ShiftLeft(BitwiseAnd(ShiftRight(exprs(0), Literal(i)), Literal(1L)),
+        Literal(2 * i + 1)),
+      ShiftLeft(BitwiseAnd(ShiftRight(exprs(1), Literal(i)), Literal(1L)),
+        Literal(2 * i)))
+    (0 until 8).map(term).reduce(BitwiseOr(_, _))
+  }
+
+  /** Register as a SQL function (`SELECT zorder(a, b)`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    ColumnBridge.registerFunction(spark, "zorder", build)
 }

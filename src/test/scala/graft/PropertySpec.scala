@@ -103,4 +103,27 @@ class PropertySpec extends AnyFunSuite {
       col("x.id") === col("y.id") && col("x.fp") =!= col("y.fp"))
     assert(j.count() == 0)
   }
+
+  test("property: int8 quantization error is bounded by one code step") {
+    // floor quantization: |v - q·scale/127| < scale/127 per element, so the
+    // mean over any vector obeys the same bound (x24's safety contract).
+    val out = SparkEntry.queries("x24_sq8")(spark, sf0_001)
+    val bad = out.filter(
+      col("mean_abs_err") > col("scale") / 127 + lit(1e-6)).count()
+    assert(bad == 0, s"$bad vectors exceed the one-step error bound")
+  }
+
+  test("property: connected components are invariant to edge partitioning") {
+    import spark.implicits._
+    val edges = samples(for {
+      a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L) if a != b
+    } yield (math.min(a, b), math.max(a, b)), 40, 67L)
+    val df = edges.toDF("a", "b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.connectedComponents(d)
+        .as[(Long, Long)].collect().toMap
+    val one = run(df.coalesce(1))
+    val many = run(df.repartition(13))
+    assert(one == many, "labels must not depend on physical partitioning")
+  }
 }

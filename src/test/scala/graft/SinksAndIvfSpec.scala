@@ -57,4 +57,19 @@ class SinksAndIvfSpec extends AnyFunSuite {
     val ext = new SparkSessionExtensions
     new graft.plans.GraftExtensions()(ext) // must not throw
   }
+
+  test("SQL zorder(a, b) equals PhysicalDesign.zValue over the full domain grid") {
+    import org.apache.spark.sql.functions._
+    graft.plans.ZOrderSql.register(spark)
+    val grid = spark.range(0, 256 * 256)
+      .select((col("id") % 256).as("a"), (col("id") / 256).cast("long").as("b"))
+    val mismatches = grid
+      .withColumn("zc", graft.operators.PhysicalDesign.zValue(col("a"), col("b")))
+      .withColumn("zs", expr("zorder(a, b)"))
+      .filter(col("zc") =!= col("zs")).count()
+    assert(mismatches == 0L)
+    // and the curve is a bijection on the 16-bit domain
+    val distinct = grid.select(expr("zorder(a, b)")).distinct().count()
+    assert(distinct == 256L * 256L, s"zorder must be a bijection, got $distinct")
+  }
 }
