@@ -111,6 +111,40 @@ object Streams {
         .orderBy(col("day"), col("event_type"))
     }
 
+  /** Watermarked STREAM-STREAM inner join (the ad-attribution shape):
+    * purchases joined to same-user clicks at most 10 minutes older. Both
+    * sides carry watermarks and the join condition bounds event-time skew,
+    * so Spark can evict click state older than the horizon — state is
+    * O(events in the watermark window), not history. Inner-join emission
+    * is micro-batch-insensitive: the emitted SET equals the batch join
+    * whatever the file/trigger slicing, which is exactly what the st04
+    * oracle asserts. */
+  def streamingAttribution(s: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(s) {
+      val batch = Tables.table(s, dir, "events")
+      val raw = s.readStream.schema(batch.schema).parquet(stageEvents(dir))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = raw.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = raw.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      val name = s"st04_sink_${sinkId.incrementAndGet()}"
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }
+
   /** Daily per-type counts computed by a genuine streaming query over the
     * events parquet (schema from a batch probe; nanos ts normalized the
     * same way as [[graft.Tables.events]]). */
@@ -250,6 +284,17 @@ object Streams {
       """SELECT CAST(ts AS DATE) AS day, event_type,
         |       count(*) AS n, round(1e-9 + sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
-      (s, d) => streamingDedupDaily(s, d))
+      (s, d) => streamingDedupDaily(s, d)),
+
+    // Oracle-checked: the watermarked stream-stream attribution join must
+    // emit exactly the batch join's pair set.
+    QueryDef("st04_stream_join",
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin)(
+      (s, d) => streamingAttribution(s, d))
   )
 }
