@@ -214,6 +214,33 @@ object Multimodal {
           Num.roundOut(element_at(col("features"), 1), 6).as("f0"),
           Num.roundOut(element_at(col("features"), 2), 6).as("f1"))
         .orderBy(col("doc_id"))
+    },
+
+    // Paired-dataset AUDIT: the integrity check every text↔embedding
+    // (caption↔image-vector) corpus runs before training — full outer join
+    // of the two modality tables on id, one-row report of paired /
+    // text-only / vector-only counts plus a dimension check on the vector
+    // side. One co-partitioned join + a global partial-agg; no modality's
+    // payload column is ever read (column pruning keeps the scan to ids +
+    // the array length).
+    QueryDef("m05_pair_audit",
+      """SELECT count(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+        |                  THEN 1 END) AS n_paired,
+        |       count(CASE WHEN e.vec_id IS NULL THEN 1 END) AS n_text_only,
+        |       count(CASE WHEN d.doc_id IS NULL THEN 1 END) AS n_vec_only,
+        |       count(CASE WHEN len(e.embedding) = 64 THEN 1 END) AS n_dim_ok
+        |FROM documents d FULL JOIN embeddings e
+        |  ON d.doc_id = e.vec_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), size(col("embedding")).as("dim"))
+      docs.join(vecs, col("doc_id") === col("vec_id"), "full_outer")
+        .agg(
+          count(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1))
+            .as("n_paired"),
+          count(when(col("vec_id").isNull, 1)).as("n_text_only"),
+          count(when(col("doc_id").isNull, 1)).as("n_vec_only"),
+          count(when(col("dim") === 64, 1)).as("n_dim_ok"))
     }
   )
 }

@@ -571,6 +571,51 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // URL/domain-based filtering (the C4-style cleaning step): extract the
+    // host from each document's URL, aggregate per domain, and classify
+    // against a blocklist. The fixture has no URL column, so one is
+    // synthesized deterministically per doc (same device as x16's PII
+    // fixture); extraction is a codegen'd regexp, the blocklist is a
+    // broadcast left join against a literal table (at web scale the
+    // blocklist is a real dim table, and a broadcast join — not a giant
+    // isin literal — is the shape that survives a million-entry list).
+    QueryDef("x25_domain_filter",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         text || ' see http://site' || CAST(doc_id % 20 AS VARCHAR)
+        |              || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents
+        |), dm AS (
+        |  SELECT doc_id, regexp_extract(t, 'https?://([^/ ]+)', 1) AS domain
+        |  FROM u
+        |), bl AS (
+        |  SELECT * FROM (VALUES ('site3.example.com'), ('site7.example.com'),
+        |                        ('site11.example.com')) AS b(domain)
+        |)
+        |SELECT dm.domain, count(*) AS n_docs,
+        |       (bl.domain IS NOT NULL) AS blocked
+        |FROM dm LEFT JOIN bl ON dm.domain = bl.domain
+        |GROUP BY dm.domain, bl.domain ORDER BY dm.domain""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val withUrl = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" see http://site"),
+            (col("doc_id") % 20).cast("string"),
+            lit(".example.com/p/"), col("doc_id").cast("string")).as("t"))
+      val domains = withUrl
+        .select(col("doc_id"),
+          regexp_extract(col("t"), "https?://([^/ ]+)", 1).as("domain"))
+      val blocklist = Seq("site3.example.com", "site7.example.com",
+        "site11.example.com").toDF("b_domain")
+      domains.join(broadcast(blocklist),
+          col("domain") === col("b_domain"), "left")
+        .groupBy(col("domain"), col("b_domain"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("domain"), col("n_docs"),
+          col("b_domain").isNotNull.as("blocked"))
+        .orderBy(col("domain"))
+    },
+
     // Dataset profiling: per-column null/distinct/min/max in ONE pass
     // (conditional aggregation, no per-column scans) — the data-quality
     // report every ingest pipeline runs before training.
