@@ -27,6 +27,7 @@ object SparkEntry {
     Pivots.entries ++
     PhysicalDesign.entries ++
     Typed.entries ++
+    Supply.entries ++
     Dedup.entries ++
     Similarity.entries ++
     TextAnalysis.entries ++

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+import graft.{QueryDef, Tables}
+
+/** Multi-way join analytics over the TPC-H-shaped tables — the classic
+  * star/snowflake shapes (Q3/Q5 silhouettes) that exercise Catalyst's join
+  * ordering and broadcast selection on a fact (lineitem) plus a dimension
+  * chain.
+  *
+  * Scale: every dimension (region→nation→customer/supplier, filtered
+  * orders) stays orders of magnitude under the fact; Catalyst broadcasts
+  * them, so lineitem is never shuffled for a join — its only exchange is
+  * the final aggregation's partial/final hash agg. Filters (segment, date
+  * windows, region name) are pushed into the parquet scans before any
+  * join. The declared plan is a plain join chain: join ORDER is the
+  * optimizer's decision, which is the point — at 100 TB, CBO/AQE re-order
+  * beats any hand-fixed order.
+  */
+object Supply {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // Q3 silhouette: unshipped-revenue top-k per order. Deterministic
+    // total order (rounded revenue DESC, then orderkey) before the LIMIT.
+    QueryDef("q56_supply_topk",
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_day,
+        |       round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2)
+        |         AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < DATE '1997-01-01'
+        |  AND l.l_shipdate > DATE '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val customer = Tables.table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val orders = Tables.table(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("date"))
+      val lineitem = Tables.table(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("date"))
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(Num.roundOut(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(col("l_orderkey"),
+          col("o_orderdate").cast("date").as("order_day"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Q5 silhouette: per-nation revenue with LOCAL suppliers (supplier and
+    // customer share a nation) inside one region and a date window — the
+    // six-table snowflake.
+    QueryDef("q57_region_revenue",
+      """SELECT n_name,
+        |       round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2)
+        |         AS revenue,
+        |       count(*) AS n_items
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1995-01-01'
+        |  AND o_orderdate < DATE '1999-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      val region = Tables.table(s, d, "region").filter(col("r_name") === "ASIA")
+      val nation = Tables.table(s, d, "nation")
+      val customer = Tables.table(s, d, "customer")
+      val orders = Tables.table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+          col("o_orderdate") < lit("1999-01-01").cast("date"))
+      val lineitem = Tables.table(s, d, "lineitem")
+      val supplier = Tables.table(s, d, "supplier")
+      region
+        .join(nation, col("n_regionkey") === col("r_regionkey"))
+        .join(customer, col("c_nationkey") === col("n_nationkey"))
+        .join(orders, col("o_custkey") === col("c_custkey"))
+        .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(supplier, col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(Num.roundOut(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }
+  )
+}
