@@ -652,6 +652,71 @@ object TextAnalysis {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
           count(lit(1)).as("n_events"))
         .orderBy(col("event_type"))
+    },
+
+    // TF-IDF keyword extraction (top-3 terms per document) — the corpus-
+    // statistics scoring step behind topic tagging / keyword filtering.
+    // idf is the RATIONAL N/df (no log): libm log() is not bit-stable
+    // across engines (x23's lesson), and a monotone transform of N/df
+    // ranks identically, so score = (tf·N)/(n_tokens·df) — every operand
+    // an exact integer, the one division the only FP op → bit-identical
+    // on both engines, and rank ties broken by word.
+    //
+    // Scale: tf is one row per (doc, word) — the token explode collapses
+    // map-side (partial agg) before the (doc_id, word) shuffle. The df
+    // join ships one row per word on the build side but up to N rows per
+    // word on the probe side (stopwords!); since the build side is a
+    // single row per key the join output never explodes, and AQE's skew
+    // split handles the reducer imbalance (PlanShapeSpec pins that path
+    // on q27's shape). The identical tf subplan under both consumers is
+    // planned once via ReuseExchange.
+    QueryDef("x26_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word
+        |), dl AS (
+        |  SELECT doc_id, word, tf,
+        |         sum(tf) OVER (PARTITION BY doc_id) AS n_tokens
+        |  FROM tf
+        |), dfq AS (
+        |  SELECT word, count(*) AS df FROM tf GROUP BY word
+        |), nn AS (
+        |  SELECT count(*) AS n FROM documents
+        |), sc AS (
+        |  SELECT dl.doc_id, dl.word, dl.tf, dfq.df,
+        |         (dl.tf * nn.n) * 1.0 / (dl.n_tokens * dfq.df) AS score
+        |  FROM dl JOIN dfq ON dl.word = dfq.word, nn
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, word) AS rank
+        |  FROM sc
+        |)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, tf, df,
+        |       round(1e-9 + score, 6) AS score
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("word"))
+      val tf = tok.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = tf.withColumn("n_tokens",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val nn = docs.agg(count(lit(1)).as("nn"))
+      dl.join(dfq, Seq("word"))
+        .crossJoin(broadcast(nn))
+        .withColumn("score",
+          (col("tf") * col("nn")).cast("double")
+            / (col("n_tokens") * col("df")))
+        .withColumn("rank",
+          row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("word"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("word"), col("tf"),
+          col("df"), Num.roundOut(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"), col("rank"))
     }
   )
 }
