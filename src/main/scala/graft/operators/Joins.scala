@@ -167,6 +167,83 @@ object Joins {
         .filter(col("kind") === 1)
         .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"))
         .orderBy(col("purchase_id"))
+    },
+
+    // Interval (range) join with NO equi key — "how many events from OTHER
+    // users landed inside each session's time span" (the concurrency /
+    // overlap metric). Left to itself Spark plans a pure range predicate as
+    // BroadcastNestedLoopJoin or a cartesian product — quadratic at scale.
+    // The standard rewrite (Flink interval join, Databricks range-join
+    // optimization): EXPLODE each interval onto the fixed-width time
+    // buckets it covers, bucket each point once, equi-join on the bucket,
+    // then re-check exact containment. A point has exactly ONE bucket so no
+    // pair is produced twice; join work is bounded by per-bucket density,
+    // not |intervals|×|points|. Bucket width (1 h) trades explode fan-out
+    // (intervals span few buckets) against false-pair filtering.
+    // PlanShapeSpec asserts the plan shuffles on the bucket key and plans
+    // no cartesian product.
+    QueryDef("q58_interval_join",
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS session_id
+        |  FROM marked
+        |), iv AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |         epoch_us(CAST(min(ts) AS TIMESTAMP)) AS start_us,
+        |         epoch_us(CAST(max(ts) AS TIMESTAMP)) AS end_us,
+        |         count(*) AS n_own
+        |  FROM sess GROUP BY user_id, session_id
+        |), ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |)
+        |SELECT iv.user_id, iv.session_id, iv.start_us, iv.end_us, iv.n_own,
+        |       count(ev.ts_us) AS n_concurrent
+        |FROM iv LEFT JOIN ev
+        |  ON ev.ts_us BETWEEN iv.start_us AND iv.end_us
+        | AND ev.user_id <> iv.user_id
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY iv.user_id, iv.session_id""".stripMargin) { (s, d) =>
+      val gapMicros = 30L * 60L * 1000000L
+      val bucketUs = 3600L * 1000000L // 1-hour buckets
+      val sw = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(sw))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(sw))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"),
+          count(lit(1)).as("n_own"))
+      // DIV (exact long division) for bucket ids — a double divide + cast
+      // truncation is inexact once epoch_us approaches 2^53.
+      val ivb = iv.withColumn("bucket",
+        explode(sequence(expr(s"start_us DIV $bucketUs"),
+          expr(s"end_us DIV $bucketUs"))))
+      val evb = Tables.events(s, d)
+        .select(col("user_id").as("e_user"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("bucket", expr(s"ts_us DIV $bucketUs"))
+      ivb.join(evb,
+          ivb("bucket") === evb("bucket") &&
+            col("ts_us").between(col("start_us"), col("end_us")) &&
+            col("e_user") =!= col("user_id"),
+          "left")
+        .groupBy(col("user_id"), col("session_id"), col("start_us"),
+          col("end_us"), col("n_own"))
+        .agg(count(col("ts_us")).as("n_concurrent"))
+        .orderBy(col("user_id"), col("session_id"))
     }
   )
 }

@@ -135,6 +135,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(j.count() > 0)
   }
 
+  test("q58 interval join: bucket equi-join, no cartesian / nested-loop") {
+    // The whole point of the bucket rewrite: a pure range predicate would
+    // plan BroadcastNestedLoopJoin (or cartesian); bucketing turns it into
+    // an equi-join the engine can shuffle-partition. The range check rides
+    // along as the equi-join's post-condition, not a join strategy.
+    val nodes = executedAll(SparkEntry.queries("q58_interval_join")(spark, sf0_001))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "interval join degenerated to a cartesian product")
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "interval join degenerated to a nested-loop join")
+    val equi = nodes.exists {
+      case _: SortMergeJoinExec | _: BroadcastHashJoinExec => true
+      case n => n.getClass.getSimpleName.contains("ShuffledHashJoin")
+    }
+    assert(equi, s"expected an equi join on the bucket key in " +
+      s"${nodes.map(_.getClass.getSimpleName)}")
+  }
+
   test("q24 top-k is TakeOrdered (per-partition heap), not a global sort") {
     val nodes = executedAll(SparkEntry.queries("q24_topk")(spark, sf0_001))
     assert(nodes.exists(_.getClass.getSimpleName.startsWith("TakeOrderedAndProject")),
