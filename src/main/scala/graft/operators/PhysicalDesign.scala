@@ -126,6 +126,58 @@ object PhysicalDesign {
       .orderBy(col("user_id"))
   }
 
+  /** Scaled-down stand-in for the production 128 MiB–1 GiB compaction
+    * target; the sizing math is the same at any scale. */
+  val TargetFileBytes: Long = 1L << 20
+
+  /** A deliberately fragmented copy of events — 64 tiny files, the layout
+    * a micro-batch ingest leaves behind. Built once per source content. */
+  def fragmentedEventsPath(s: SparkSession, dir: String): String = {
+    val key = ContentKey.key(java.nio.file.Paths.get(dir, "events.parquet"))
+    val out = tmp(s"graft_events_frag_v1_$key")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      Tables.events(s, dir).repartition(64)
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  def parquetFileCount(dir: String): Long = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+    finally s.close()
+  }
+
+  private def dirBytes(dir: String): Long = {
+    val d = java.nio.file.Paths.get(dir)
+    val s = java.nio.file.Files.list(d)
+    try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    finally s.close()
+  }
+
+  /** Compacted rewrite of the fragmented layout: output file count sized
+    * from observed bytes / [[TargetFileBytes]], written via coalesce (no
+    * exchange — partitions merge in place, rows never re-shuffle). File
+    * sizing reads only directory METADATA on the driver — at cluster scale
+    * that listing comes from the table format's manifest, not the
+    * filesystem, but the sizing math is identical. */
+  def compactedEventsPath(s: SparkSession, dir: String): String = {
+    val frag = fragmentedEventsPath(s, dir)
+    val key = ContentKey.key(java.nio.file.Paths.get(dir, "events.parquet"))
+    val out = tmp(s"graft_events_compact_v1_$key")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      val n = math.max(1L,
+        (dirBytes(frag) + TargetFileBytes - 1) / TargetFileBytes).toInt
+      // Read with per-file partitions (splits already coalesce small files
+      // up to maxPartitionBytes; coalesce(n) then merges down to the
+      // target count without an exchange).
+      s.read.parquet(frag).coalesce(n)
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // Partition-pruned scan: only the 10 matching day= directories are
@@ -158,6 +210,28 @@ object PhysicalDesign {
     // and per-dimension bounding boxes. PhysicalDesignSpec asserts the
     // layout property itself — every file bounds both dimensions, unlike a
     // single-column sort.
+    // OPTIMIZE-style small-file compaction (the maintenance op every
+    // streaming/incremental ingest needs: micro-batches leave thousands of
+    // KB-scale files; scans then pay per-file open + footer costs and the
+    // driver pays per-file listing). The compactor sizes the output from
+    // observed bytes and TARGET_FILE_BYTES, then rewrites via coalesce() —
+    // a partition MERGE with no exchange (Delta's OPTIMIZE bin-packs whole
+    // files the same way; rows never re-shuffle). Serving the oracle-checked
+    // aggregate FROM the compacted copy proves the rewrite is lossless.
+    // PhysicalDesignSpec asserts the file-count collapse itself.
+    QueryDef("w06_compact",
+      """SELECT event_type, count(*) AS n,
+        |       round(1e-9 + sum(value), 4) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      s.read.parquet(compactedEventsPath(s, d))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Num.roundOut(sum(col("value")), 4).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    },
+
     QueryDef("w05_zorder_layout",
       s"""WITH k AS (
         |  SELECT CAST(date_part('day', ts) AS BIGINT) AS za,

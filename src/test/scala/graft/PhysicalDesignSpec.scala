@@ -34,6 +34,23 @@ class PhysicalDesignSpec extends AnyFunSuite {
     assert(selected == 10, s"expected 10 pruned day partitions, got $selected")
   }
 
+  test("w06: compaction collapses the fragmented layout losslessly") {
+    val frag = PhysicalDesign.fragmentedEventsPath(spark, sf)
+    val compact = PhysicalDesign.compactedEventsPath(spark, sf)
+    val nFrag = PhysicalDesign.parquetFileCount(frag)
+    val nCompact = PhysicalDesign.parquetFileCount(compact)
+    info(s"fragmented: $nFrag files, compacted: $nCompact files")
+    assert(nFrag >= 32, s"fragmented fixture should have many files: $nFrag")
+    assert(nCompact * 4 <= nFrag,
+      s"compaction should collapse the file count: $nFrag -> $nCompact")
+    // lossless: same rows, same content digest over all columns
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(compact)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "compacted content must equal fragmented content")
+  }
+
   test("w02: bucketed join plans with zero shuffle exchanges") {
     val df = PhysicalDesign.bucketedJoin(spark, sf)
     val plan = executed(df)
