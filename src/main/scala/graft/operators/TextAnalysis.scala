@@ -717,6 +717,24 @@ object TextAnalysis {
         .select(col("doc_id"), col("rank"), col("word"), col("tf"),
           col("df"), Num.roundOut(col("score"), 6).as("score"))
         .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // Quantile SKETCH — the at-scale percentile path. q32's exact
+    // percentile materializes and sorts every group member on one reducer;
+    // the KLL-style sketch behind approx_percentile is fixed-size and
+    // MERGEABLE, so executors fold their partitions locally and only
+    // sketches cross the exchange — same contract as x12's HLL vs x11.
+    // Rank error is ε=1/accuracy; sketch internals are engine-specific →
+    // no oracle; ExtensionSpec bounds the error against q32's exact
+    // values.
+    QueryDef.noOracle("x27_quantile_sketch") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_percentile(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+          approx_percentile(col("value"), lit(0.95), lit(10000)).as("p95_approx"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -104,6 +104,18 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sketch within 5% of exact percentiles") {
+    val exact = SparkEntry.queries("q32_quantiles")(spark, sf0_01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    SparkEntry.queries("x27_quantile_sketch")(spark, sf0_01).collect().foreach { r =>
+      val (p50, p95) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - p50) / p50 < 0.05,
+        s"${r.getString(0)}: p50 sketch ${r.getDouble(1)} vs exact $p50")
+      assert(math.abs(r.getDouble(2) - p95) / p95 < 0.05,
+        s"${r.getString(0)}: p95 sketch ${r.getDouble(2)} vs exact $p95")
+    }
+  }
+
   test("multimodal decode: stable schema, deterministic, partition-preserving") {
     val payloads = Tables.documents(spark, sf0_001)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
