@@ -372,6 +372,63 @@ object Dedup {
         .select(col("node").as("doc_id"), col("label").as("cluster_id"),
           col("cluster_size"), (col("node") === col("label")).as("is_keeper"))
         .orderBy(col("doc_id"))
+    },
+
+    // Cross-document duplicate n-gram FRACTION (the RefinedWeb / Lee et
+    // al. "deduplicating training data" signal, fixed-window form): what
+    // share of a doc's distinct 5-grams also appear in at least one OTHER
+    // document. Unlike x04 (pairwise similarity) this is a per-document
+    // scalar used as a drop/keep filter, and unlike x21 (within-doc
+    // repetition) it measures corpus-level boilerplate.
+    //
+    // Scale: the shuffle key is the window; at web scale you'd shuffle its
+    // 64-bit hash instead of the string (8 bytes, collision-tolerant for a
+    // fractional signal) — the string is kept here for exact oracle
+    // parity. The per-window count side is one row per window; hot
+    // boilerplate windows skew a reducer but the join output stays |w|.
+    QueryDef("x28_dup_ngram_frac",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(
+        |    list_distinct(CASE WHEN len(ws) < 5 THEN []
+        |      ELSE list_transform(range(len(ws) - 4),
+        |           i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]
+        |                || '_' || ws[i+4] || '_' || ws[i+5]) END)) AS win
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |), sh AS (
+        |  SELECT win, count(*) AS n_docs FROM w GROUP BY win
+        |), per AS (
+        |  SELECT w.doc_id, count(*) AS n_win,
+        |         CAST(sum(CASE WHEN sh.n_docs >= 2 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_dup
+        |  FROM w JOIN sh ON w.win = sh.win GROUP BY w.doc_id
+        |)
+        |SELECT d.doc_id, coalesce(per.n_win, 0) AS n_win,
+        |       coalesce(per.n_dup, 0) AS n_dup,
+        |       round(1e-9 + CASE WHEN coalesce(per.n_win, 0) = 0 THEN 0.0
+        |                         ELSE per.n_dup * 1.0 / per.n_win END,
+        |             6) AS dup_frac
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // interpreted-HOF shingling feeds both the counter and the probe —
+      // materialize once (x04's rationale; 5-grams, so not the shared
+      // 3-gram signature table)
+      val w = docs.select(col("doc_id"),
+        explode(Text.shingles(col("text"), 5)).as("win")).localCheckpoint()
+      val sh = w.groupBy(col("win")).agg(count(lit(1)).as("n_docs"))
+      val per = w.join(sh, Seq("win"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_win"),
+          sum(when(col("n_docs") >= 2, 1).otherwise(0)).as("n_dup"))
+      docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_win"), lit(0L)).as("n_win"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          Num.roundOut(
+            when(coalesce(col("n_win"), lit(0L)) === 0, 0.0)
+              .otherwise(col("n_dup").cast("double") / col("n_win")), 6)
+            .as("dup_frac"))
+        .orderBy(col("doc_id"))
     }
   )
 }
