@@ -166,6 +166,29 @@ object Streams {
       s.table(name).orderBy(col("day"), col("event_type"))
     }
 
+  /** Streaming session-window aggregation (SURVEY.md §2.9): the same
+    * 30-minute-gap merge q40 runs in batch, maintained incrementally as
+    * stream state — sessions extend and MERGE as events arrive. */
+  def streamingSessions(s: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(s) {
+      val batch = Tables.table(s, dir, "events")
+      val raw = s.readStream.schema(batch.schema).parquet(stageEvents(dir))
+      val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = events
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          Num.roundOut(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start"),
+          unix_micros(col("w.end")).as("session_end"),
+          col("n"), col("sum_value"))
+      val name = s"st05_sink_${sinkId.incrementAndGet()}"
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy(col("user_id"), col("session_start"))
+    }
+
   /** Watermarked append-mode windowed aggregation over a file-source
     * stream: only windows the 10-minute watermark has closed are emitted,
     * and rows arriving later than the watermark are dropped — the
@@ -295,6 +318,35 @@ object Streams {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin)(
-      (s, d) => streamingAttribution(s, d))
+      (s, d) => streamingAttribution(s, d)),
+
+    // Oracle-checked: STREAMING session windows must converge to the batch
+    // session_window answer (q40's oracle verbatim — gaps-and-islands in
+    // SQL). The streaming state merges adjacent sessions as events arrive;
+    // at scale the state is keyed by (user, open session), bounded by the
+    // watermark horizon in append/update mode — Complete mode here because
+    // the oracle needs every session emitted, including the last open one
+    // per user (an append-mode watermark would hold those back forever on
+    // a finite fixture).
+    QueryDef("st05_stream_session",
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |       epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start,
+        |       epoch_us(CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE) AS session_end,
+        |       count(*) AS n, round(1e-9 + sum(value), 4) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)(
+      (s, d) => streamingSessions(s, d))
   )
 }
