@@ -241,6 +241,48 @@ object Multimodal {
           count(when(col("vec_id").isNull, 1)).as("n_text_only"),
           count(when(col("doc_id").isNull, 1)).as("n_vec_only"),
           count(when(col("dim") === 64, 1)).as("n_dim_ok"))
+    },
+
+    // Payload QUARANTINE: the corrupt-file triage a media ingest runs
+    // before decoding anything — classify every payload from bytes the
+    // scan already has (length + head bytes), never the full content.
+    // Rules, first match wins: truncated (under a plausible container
+    // minimum), bad_header (first byte outside the expected magic range —
+    // printable ASCII for this synthetic corpus; a real ingest whitelists
+    // PNG/JPEG/RIFF magics the same way), oversize (relative to the corpus
+    // median, a tiny scalar broadcast). Two-hex-char comparisons are
+    // numeric because hex digits sort lexicographically. At scale: one
+    // pass, one KB-sized median broadcast, quarantined files routed out
+    // before the expensive decode stage ever sees them.
+    QueryDef("m06_quarantine",
+      """WITH p AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         hex(encode(text)) AS hx
+        |  FROM documents
+        |), m AS (
+        |  SELECT median(CAST(n AS DOUBLE)) AS med FROM p
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |       substring(hx, 1, 16) AS head_hex,
+        |       CASE WHEN n < 64 THEN 'truncated'
+        |            WHEN NOT (substring(hx, 1, 2) BETWEEN '20' AND '7E')
+        |              THEN 'bad_header'
+        |            WHEN n > 1.5 * med THEN 'oversize'
+        |            ELSE 'ok' END AS status
+        |FROM p, m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val p = Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("n"),
+          hex(encode(col("text"), "UTF-8").substr(1, 8)).as("head_hex"),
+          hex(encode(col("text"), "UTF-8").substr(1, 1)).as("b0"))
+      val med = p.agg(median(col("n").cast("double")).as("med"))
+      p.crossJoin(broadcast(med))
+        .select(col("doc_id"), col("n").as("n_bytes"), col("head_hex"),
+          when(col("n") < 64, "truncated")
+            .when(!col("b0").between("20", "7E"), "bad_header")
+            .when(col("n") > lit(1.5) * col("med"), "oversize")
+            .otherwise("ok").as("status"))
+        .orderBy(col("doc_id"))
     }
   )
 }
