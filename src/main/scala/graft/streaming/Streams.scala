@@ -25,19 +25,33 @@ object Streams {
 
   private val sinkId = new AtomicInteger(0)
 
-  /** Run `body` with the nanos-ts parquet flag set, restoring the previous
-    * session value after — the flag is a per-query need (the events table's
-    * nanos timestamps), not a session-global property to leak into a shared
-    * SparkSession (ADVICE r03). */
-  private def withNanosAsLong[T](s: SparkSession)(body: => T): T = {
-    val k = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = s.conf.getOption(k)
-    s.conf.set(k, "true")
-    try body finally prev match {
-      case Some(v) => s.conf.set(k, v)
-      case None => s.conf.unset(k)
+  /** Run `body` with session confs set, restoring previous values after —
+    * per-query needs (the events table's nanos timestamps, the streaming
+    * state-partition count), not session-global properties to leak into a
+    * shared SparkSession (ADVICE r03). */
+  private def withConfs[T](s: SparkSession, pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+    pairs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
     }
   }
+
+  /** Streaming-query conf scope: nanos-ts flag + a LOWER shuffle-partition
+    * count. Every stateful streaming operator maintains one state store
+    * per shuffle partition per micro-batch (a stream-stream join keeps
+    * FOUR per partition), and the store checkpoint/commit overhead is per
+    * store, not per row — at 32 partitions the fixed cost dominates the
+    * fixture-scale state. 8 partitions is the per-NODE sizing; on a real
+    * cluster this knob is executors×cores, set once at query start (state
+    * partitioning is fixed for the life of a streaming checkpoint — it
+    * must be chosen for the target scale up front, which is why it's a
+    * per-query setting here rather than the session's batch default). */
+  private def withStreamingConfs[T](s: SparkSession)(body: => T): T =
+    withConfs(s,
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.sql.shuffle.partitions" -> "8")(body)
 
   /** Stage the single-file events table as a DIRECTORY for the file-stream
     * source (idempotent per JVM). Content-keyed (ADVICE r01): if
@@ -92,7 +106,7 @@ object Streams {
     * `dropDuplicatesWithinWatermark`, whose eviction/late-drop contract
     * StreamingSemanticsSpec pins on a crafted two-batch feed. */
   def streamingDedupDaily(s: SparkSession, dir: String): DataFrame =
-    withNanosAsLong(s) {
+    withStreamingConfs(s) {
       val batch = Tables.table(s, dir, "events")
       val raw = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
@@ -120,7 +134,7 @@ object Streams {
     * whatever the file/trigger slicing, which is exactly what the st04
     * oracle asserts. */
   def streamingAttribution(s: SparkSession, dir: String): DataFrame =
-    withNanosAsLong(s) {
+    withStreamingConfs(s) {
       val batch = Tables.table(s, dir, "events")
       val raw = s.readStream.schema(batch.schema).parquet(stageEvents(dir))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -149,7 +163,7 @@ object Streams {
     * events parquet (schema from a batch probe; nanos ts normalized the
     * same way as [[graft.Tables.events]]). */
   def streamingDaily(s: SparkSession, dir: String): DataFrame =
-    withNanosAsLong(s) {
+    withStreamingConfs(s) {
       val batch = Tables.table(s, dir, "events") // schema probe: ts reads as long nanos
       val raw = s.readStream.schema(batch.schema).parquet(stageEvents(dir))
       val events = raw.withColumn("ts",
@@ -170,7 +184,7 @@ object Streams {
     * 30-minute-gap merge q40 runs in batch, maintained incrementally as
     * stream state — sessions extend and MERGE as events arrive. */
   def streamingSessions(s: SparkSession, dir: String): DataFrame =
-    withNanosAsLong(s) {
+    withStreamingConfs(s) {
       val batch = Tables.table(s, dir, "events")
       val raw = s.readStream.schema(batch.schema).parquet(stageEvents(dir))
       val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -290,7 +304,7 @@ object Streams {
       val factDir = java.nio.file.Paths.get(graft.Warehouse.path(
         s"graft_stfact_v2_${graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}"),
         "fact").toString
-      withNanosAsLong(s) {
+      withStreamingConfs(s) {
         incrementalUpsert(s, stage, factDir, Seq("user_id", "event_type"),
           Seq(col("ts").desc, col("event_id").desc))
       }
