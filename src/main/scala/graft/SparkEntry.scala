@@ -31,6 +31,7 @@ object SparkEntry {
     Dedup.entries ++
     Similarity.entries ++
     TextAnalysis.entries ++
+    Corpus.entries ++
     Multimodal.entries ++
     graft.streaming.Streams.entries
 

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+import graft.{QueryDef, Tables}
+import graft.functions.Text
+
+/** Corpus-preparation operators for the training-data pipeline: RAG-style
+  * document chunking, CCNet-style paragraph-level exact dedup, tokenizer
+  * vocabulary construction, and lexical-diversity scoring. Everything is
+  * oracle-checked: metrics stay RATIONAL (integer counts + single
+  * divisions) so cross-engine FP parity holds (x23's libm lesson).
+  *
+  * Scale notes per query inline; the common shape is explode → partial
+  * aggregate → one keyed shuffle, never a per-row O(n²) lambda or a
+  * driver-side loop.
+  */
+object Corpus {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // Sliding-window document CHUNKING (the RAG / context-window prep
+    // step): 64-token chunks on a 48-token stride, each chunk carrying its
+    // provenance (doc_id, chunk_id, token offset). Pure per-row column
+    // math — sequence() generates the stride starts, posexplode keeps the
+    // chunk ordinal, slice() cuts the window — so the operator is
+    // embarrassingly parallel: no shuffle at all until the presentation
+    // sort, and at 100 TB chunks land partition-local next to their
+    // source documents (the property a chunk store wants for locality).
+    QueryDef("x29_chunk",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), b AS (
+        |  SELECT doc_id, ws, CAST(len(ws) AS INT) AS n FROM t
+        |), st AS (
+        |  SELECT doc_id, ws, n, unnest(range(0, n, 48)) AS start FROM b
+        |)
+        |SELECT doc_id, CAST(start // 48 AS INT) AS chunk_id,
+        |       CAST(start AS INT) AS tok_start,
+        |       CAST(len(list_slice(ws, start + 1, least(start + 64, n))) AS INT)
+        |         AS n_tokens,
+        |       array_to_string(list_slice(ws, start + 1, least(start + 64, n)), ' ')
+        |         AS chunk
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+        .withColumn("n", size(col("ws")))
+        .select(col("doc_id"), col("ws"),
+          posexplode(sequence(lit(0), col("n") - 1, lit(48)))
+            .as(Seq("chunk_id", "tok_start")))
+        .withColumn("cw", slice(col("ws"), col("tok_start") + 1, lit(64)))
+        .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+          size(col("cw")).as("n_tokens"),
+          array_join(col("cw"), " ").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // Paragraph-level exact DEDUP with reassembly (the CCNet shape: dedup
+    // at sub-document granularity, then stitch the survivors back into
+    // cleaned documents). The fixture has no newlines, so a "paragraph" is
+    // a consecutive 5-token chunk. Keep the FIRST occurrence of each
+    // paragraph text in corpus order (doc_id, idx); drop later copies;
+    // reassemble each document from its kept paragraphs in order.
+    //
+    // Scale: one shuffle keyed by paragraph text for the keep-first window
+    // (same key distribution as exact dedup — at 100 TB hash the paragraph
+    // to a 16-byte digest first so only digests shuffle, x01's trick), one
+    // shuffle keyed by doc_id for reassembly. No broadcast, no all-pairs.
+    QueryDef("x30_para_dedup",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), b AS (
+        |  SELECT doc_id, ws, CAST(ceil(len(ws) / 5.0) AS INT) AS np FROM t
+        |), p AS (
+        |  SELECT doc_id, ws, np, unnest(range(0, np)) AS idx FROM b
+        |), pp AS (
+        |  SELECT doc_id, CAST(idx AS INT) AS idx,
+        |         array_to_string(list_slice(ws, idx*5 + 1,
+        |           least(idx*5 + 5, len(ws))), ' ') AS para
+        |  FROM p
+        |), k AS (
+        |  SELECT doc_id, idx, para, row_number() OVER (
+        |    PARTITION BY para ORDER BY doc_id, idx) AS rn
+        |  FROM pp
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(para, ' ' ORDER BY idx) AS clean_text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, b.np AS n_paras,
+        |       CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+        |       coalesce(a.clean_text, '') AS clean_text
+        |FROM b LEFT JOIN agg a ON b.doc_id = a.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+        .withColumn("np", ceil(size(col("ws")) / 5.0).cast("int"))
+      val paras = base
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0), col("np") - 1)).as("idx"))
+        .select(col("doc_id"), col("idx"),
+          array_join(slice(col("ws"), col("idx") * 5 + 1, lit(5)), " ").as("para"))
+      val kept = paras
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("para")).orderBy(col("doc_id"), col("idx"))))
+        .filter(col("rn") === 1)
+      val agg = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+              x => x.getField("para")), " ").as("clean_text"))
+      base.select(col("doc_id"), col("np").as("n_paras"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_paras"),
+          coalesce(col("n_kept"), lit(0)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Tokenizer VOCABULARY construction: global word counts → top-K
+    // (K=100) by (freq DESC, word) → contiguous token ids + cumulative
+    // corpus coverage. The top-K is orderBy+limit — Spark plans
+    // TakeOrderedAndProject, a distributed partial top-k (each partition
+    // keeps its own K, only K·partitions rows reach the driver-side
+    // merge), NOT a global sort; the id/coverage window then runs over
+    // K rows only. Coverage denominator is the exact long total over the
+    // FULL count table. This is how a 100 TB corpus trains a word-level
+    // tokenizer: the only full-corpus pass is the count aggregate.
+    QueryDef("x31_vocab_build",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |), c AS (
+        |  SELECT word, count(*) AS c FROM tok GROUP BY word
+        |), t AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS total FROM c
+        |), r AS (
+        |  SELECT word, c, row_number() OVER (ORDER BY c DESC, word) AS rk
+        |  FROM c
+        |)
+        |SELECT CAST(rk - 1 AS INT) AS token_id, word, c AS freq,
+        |       round(1e-9 + (sum(c) OVER (ORDER BY rk
+        |         ROWS UNBOUNDED PRECEDING)) * 1.0 / total, 4) AS cum_coverage
+        |FROM r, t WHERE rk <= 100 ORDER BY rk""".stripMargin) { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds the total AND the top-k — one count pass
+      val total = counts.agg(sum(col("c")).as("total"))
+      val topk = counts.orderBy(col("c").desc, col("word")).limit(100)
+      val w = Window.orderBy(col("c").desc, col("word"))
+      topk.crossJoin(broadcast(total))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cum", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select((col("rk") - 1).cast("int").as("token_id"), col("word"),
+          col("c").as("freq"),
+          Num.roundOut(col("cum") * 1.0 / col("total"), 4).as("cum_coverage"))
+        .orderBy(col("token_id"))
+    },
+
+    // Lexical DIVERSITY scoring: Gini–Simpson index and hapax fraction per
+    // document — the entropy-family quality signal kept rational on
+    // purpose (repeat-pair count D = Σc·(c−1) over term frequencies gives
+    // 1 − D/(n·(n−1)) without a logarithm, so both engines compute
+    // identical integer operands and ONE final division; a log2 entropy
+    // would sum libm calls whose last ulp differs cross-engine — x23's
+    // lesson). Shape: explode → (doc, word) partial-agg count → per-doc
+    // agg; both aggregates map-side combine, the only shuffles are the
+    // two keyed exchanges.
+    QueryDef("x32_diversity",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word
+        |), m AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_distinct,
+        |         CAST(sum(c * (c - 1)) AS BIGINT) AS rep_pairs,
+        |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_hapax
+        |  FROM tf GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, n_distinct, n_hapax,
+        |       round(1e-9 + CASE WHEN n_tokens > 1
+        |         THEN 1 - rep_pairs * 1.0 / (n_tokens * (n_tokens - 1))
+        |         ELSE 0 END, 4) AS simpson,
+        |       round(1e-9 + n_hapax * 1.0 / n_distinct, 4) AS hapax_frac
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      tf.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * (col("c") - 1)).as("rep_pairs"),
+          sum(when(col("c") === 1, 1).otherwise(0)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("n_hapax"),
+          Num.roundOut(when(col("n_tokens") > 1,
+            lit(1) - col("rep_pairs") * 1.0
+              / (col("n_tokens") * (col("n_tokens") - 1))).otherwise(0.0), 4)
+            .as("simpson"),
+          Num.roundOut(col("n_hapax") * 1.0 / col("n_distinct"), 4)
+            .as("hapax_frac"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

@@ -144,6 +144,32 @@ object Sources {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"))
+    },
+
+    // ORC sink + source roundtrip (columnar-format breadth alongside the
+    // parquet mainline): write a typed extract as ORC once per source
+    // content, read it back, aggregate — the oracle runs on the original
+    // parquet, so the check proves the ORC write/read is lossless for
+    // longs, strings and doubles. ORC is Spark's other first-class
+    // columnar format (predicate pushdown + column pruning work the same
+    // way); a lakehouse migration between the two is exactly this query.
+    QueryDef("w07_orc_roundtrip",
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       round(1e-9 + sum(n_chars) * 1.0 / count(*), 4) AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "documents.parquet"))
+      val out = graft.Warehouse.path(s"graft_orc_v1_$key")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .write.mode("overwrite").orc(out)
+      }
+      s.read.orc(out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
+          graft.functions.Num.roundOut(
+            sum(col("n_chars")) * 1.0 / count(lit(1)), 4).as("avg_chars"))
+        .orderBy(col("source"))
     }
   )
 

@@ -95,6 +95,42 @@ object Supply {
           .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
+    },
+
+    // Q18 silhouette (large-volume orders): the HAVING-on-aggregate
+    // semi-join shape — find orders whose total quantity exceeds a
+    // threshold, then pull customer/order detail for just those. Declared
+    // as aggregate → filter → join back; Catalyst runs the quantity
+    // rollup as a partial/final hash agg on the fact, and the surviving
+    // key set (rare by construction) joins back to orders/customer. At
+    // 100 TB the filtered key set is small enough that AQE converts the
+    // join-back to broadcast at runtime — the plan a hand-written
+    // IN-subquery would also reach.
+    QueryDef("q60_big_orders",
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |       CAST(o.o_orderdate AS DATE) AS order_day,
+        |       round(1e-9 + o.o_totalprice, 2) AS total_price,
+        |       CAST(t.sum_qty AS BIGINT) AS sum_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 250) t
+        |JOIN orders o ON o.o_orderkey = t.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY total_price DESC, o.o_orderkey""".stripMargin) { (s, d) =>
+      val bigOrders = Tables.table(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      bigOrders
+        .join(Tables.table(s, d, "orders"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.table(s, d, "customer"),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_day"),
+          Num.roundOut(col("o_totalprice"), 2).as("total_price"),
+          col("sum_qty").cast("long").as("sum_qty"))
+        .orderBy(col("total_price").desc, col("o_orderkey"))
     }
   )
 }
