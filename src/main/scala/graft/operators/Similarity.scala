@@ -242,6 +242,122 @@ object Similarity {
           array_max(col("qv")).as("max_q"),
           Num.roundOut(col("err_sum") / 64, 6).as("mean_abs_err"))
         .orderBy(col("vec_id"))
+    },
+
+    // K-MEANS clustering over embeddings (the SemDeDup / domain-discovery
+    // primitive): k=4, TWO unrolled Lloyd iterations, deterministic init
+    // (the first k vec_ids). Fully oracle-checked — cross-engine FP parity
+    // holds because (a) squared-L2 distances are sequential left folds
+    // over the dim order on BOTH engines (zip_with+aggregate here,
+    // list_reduce in DuckDB — identical add sequence), and (b) updated
+    // centroids are ROUNDED (6 dp, nudged) each iteration, so the
+    // summation-order-sensitive mean never feeds unrounded bits into the
+    // next distance computation. Ties in assignment break by cluster id.
+    //
+    // Scale shape: the classic distributed k-means — centroids (k×dim,
+    // tiny) BROADCAST to a single corpus pass for assignment; the update
+    // is a (cluster, dim) partial aggregate that map-side combines, so
+    // each iteration is one broadcast + one bounded shuffle of k×dim
+    // partials per partition. At 100 TB swap the first-k init for
+    // k-means|| over a sample; the iteration plumbing is unchanged.
+    // Empty clusters keep their previous centroid (left-join coalesce).
+    QueryDef("x33_kmeans",
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), c0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cluster, v AS c FROM v WHERE vec_id < 4
+        |), a1 AS (
+        |  SELECT vec_id, cluster, dist, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |  FROM (
+        |    SELECT v.vec_id, c0.cluster,
+        |           list_reduce(list_transform(range(64),
+        |             i -> (v.v[i+1] - c0.c[i+1]) * (v.v[i+1] - c0.c[i+1])),
+        |             (a, b) -> a + b) AS dist
+        |    FROM v, c0)
+        |), m1 AS (
+        |  SELECT cluster, CAST(dim AS INT) AS dim,
+        |         round(1e-9 + avg(x), 6) AS cv
+        |  FROM (
+        |    SELECT a1.cluster, unnest(range(64)) AS dim, unnest(v.v) AS x
+        |    FROM a1 JOIN v ON a1.vec_id = v.vec_id WHERE a1.rn = 1)
+        |  GROUP BY cluster, dim
+        |), c1 AS (
+        |  SELECT c0.cluster, coalesce(m.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN (
+        |    SELECT cluster, list(cv ORDER BY dim) AS c FROM m1 GROUP BY cluster) m
+        |  ON c0.cluster = m.cluster
+        |), a2 AS (
+        |  SELECT vec_id, cluster, dist, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |  FROM (
+        |    SELECT v.vec_id, c1.cluster,
+        |           list_reduce(list_transform(range(64),
+        |             i -> (v.v[i+1] - c1.c[i+1]) * (v.v[i+1] - c1.c[i+1])),
+        |             (a, b) -> a + b) AS dist
+        |    FROM v, c1)
+        |), m2 AS (
+        |  SELECT cluster, CAST(dim AS INT) AS dim,
+        |         round(1e-9 + avg(x), 6) AS cv
+        |  FROM (
+        |    SELECT a2.cluster, unnest(range(64)) AS dim, unnest(v.v) AS x
+        |    FROM a2 JOIN v ON a2.vec_id = v.vec_id WHERE a2.rn = 1)
+        |  GROUP BY cluster, dim
+        |), c2 AS (
+        |  SELECT c1.cluster, coalesce(m.c, c1.c) AS c
+        |  FROM c1 LEFT JOIN (
+        |    SELECT cluster, list(cv ORDER BY dim) AS c FROM m2 GROUP BY cluster) m
+        |  ON c1.cluster = m.cluster
+        |), af AS (
+        |  SELECT vec_id, cluster, dist, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |  FROM (
+        |    SELECT v.vec_id, c2.cluster,
+        |           list_reduce(list_transform(range(64),
+        |             i -> (v.v[i+1] - c2.c[i+1]) * (v.v[i+1] - c2.c[i+1])),
+        |             (a, b) -> a + b) AS dist
+        |    FROM v, c2)
+        |)
+        |SELECT vec_id, cluster, round(1e-9 + dist, 4) AS dist
+        |FROM af WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // sequential left fold over dim order — DuckDB's list_reduce order
+      def sqDist(v: Column, c: Column): Column =
+        aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, y) => acc + y)
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .localCheckpoint() // scanned 5× (3 assigns + 2 updates)
+      val init = v.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
+      def assign(cent: DataFrame): DataFrame =
+        v.crossJoin(broadcast(cent))
+          .withColumn("dist", sqDist(col("v"), col("c")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("dist"), col("cluster"))))
+          .filter(col("rn") === 1)
+      def update(assigned: DataFrame, cent: DataFrame): DataFrame = {
+        val m = assigned
+          .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(Num.roundOut(avg(col("x")), 6).as("cv"))
+          .groupBy(col("cluster"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("cv")))),
+            p => p.getField("cv")).as("mc"))
+        cent.join(m, Seq("cluster"), "left")
+          .select(col("cluster"), coalesce(col("mc"), col("c")).as("c"))
+          .localCheckpoint() // k×dim rows; severs the iteration lineage
+      }
+      val c1 = update(assign(init), init)
+      val c2 = update(assign(c1), c1)
+      assign(c2)
+        .select(col("vec_id"), col("cluster"),
+          Num.roundOut(col("dist"), 4).as("dist"))
+        .orderBy(col("vec_id"))
     }
   )
 }

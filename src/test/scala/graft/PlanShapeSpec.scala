@@ -160,4 +160,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
       "global top-k must not shuffle")
   }
+
+  test("x29 chunking shuffles only for the presentation sort") {
+    // chunk emission itself is per-row column math (sequence + posexplode
+    // + slice) — the ONLY exchange allowed is the final orderBy's range
+    // partitioning; a hash exchange would mean the operator aggregated or
+    // joined somewhere it shouldn't
+    val nodes = executedAll(SparkEntry.queries("x29_chunk")(spark, sf0_001))
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 1,
+      s"chunking must not shuffle beyond the output sort, got ${shuffles.size}")
+    assert(!nodes.exists(n => n.getClass.getSimpleName.contains("HashAggregate")),
+      "chunking has no aggregation")
+  }
+
+  test("x31 vocab top-K is TakeOrdered over the count table, not a global sort") {
+    val nodes = executedAll(SparkEntry.queries("x31_vocab_build")(spark, sf0_001))
+    assert(nodes.exists(_.getClass.getSimpleName.startsWith("TakeOrderedAndProject")),
+      s"expected TakeOrderedAndProject in ${nodes.map(_.getClass.getSimpleName).distinct}")
+  }
+
+  test("x33 k-means: centroids broadcast; assignment never plans a cartesian product") {
+    val nodes = executedAll(SparkEntry.queries("x33_kmeans")(spark, sf0_001))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "k×corpus assignment must be a broadcast, not a cartesian")
+    assert(nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) ||
+      nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "centroid set must reach the corpus via broadcast")
+  }
 }
