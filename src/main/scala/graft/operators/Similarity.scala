@@ -262,7 +262,89 @@ object Similarity {
     // k-means|| over a sample; the iteration plumbing is unchanged.
     // Empty clusters keep their previous centroid (left-join coalesce).
     QueryDef("x33_kmeans",
-      """WITH v AS (
+      s"""WITH $kmeansCteSql
+        |SELECT vec_id, cluster, round(1e-9 + dist, 4) AS dist
+        |FROM af WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      kmeansAssign(s, d)
+        .select(col("vec_id"), col("cluster"),
+          Num.roundOut(col("dist"), 4).as("dist"))
+        .orderBy(col("vec_id"))
+    },
+
+    // SemDeDup (Abbas et al. 2023): semantic deduplication INSIDE k-means
+    // clusters — the full composition of x33's clustering with within-
+    // cluster cosine pruning. Every vector reports its most-similar
+    // cluster neighbor; a vector is DROPPED when an earlier-id neighbor
+    // sits above the similarity threshold (τ=0.35 here — the fixture has
+    // no planted embedding dups, so the demo threshold sits inside the
+    // random-cosine tail; production τ≈0.95+), so each dup chain keeps
+    // exactly its lowest id. Aggregates are max/count — order-independent,
+    // no FP-accumulation hazard; cosines themselves are the same pinned
+    // VecDot/list_sum sequential folds as x13.
+    //
+    // Scale: this is WHY SemDeDup clusters first — pairwise work is
+    // Σ(cluster_size²), not N²; k grows with the corpus so cluster size
+    // stays bounded, and the pair join shuffles on cluster id with ≤k
+    // keys. The cluster-skew ceiling is AQE skew-split territory.
+    QueryDef("x34_semdedup",
+      s"""WITH $kmeansCteSql,
+        |asg AS (
+        |  SELECT af.vec_id, af.cluster, v.v FROM af
+        |  JOIN v ON af.vec_id = v.vec_id WHERE af.rn = 1
+        |), mm AS (
+        |  SELECT vec_id, cluster, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM asg
+        |), pr AS (
+        |  SELECT a.vec_id, a.cluster,
+        |         max(list_sum(list_transform(range(64),
+        |               i -> a.v[i+1] * b.v[i+1])) / a.nrm / b.nrm) AS mx,
+        |         CAST(sum(CASE WHEN list_sum(list_transform(range(64),
+        |                 i -> a.v[i+1] * b.v[i+1])) / a.nrm / b.nrm > 0.35
+        |               AND b.vec_id < a.vec_id THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_earlier
+        |  FROM mm a JOIN mm b
+        |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+        |  GROUP BY a.vec_id, a.cluster
+        |)
+        |SELECT asg.vec_id, asg.cluster,
+        |       round(1e-9 + coalesce(pr.mx, -1.0), 6) AS max_cos,
+        |       coalesce(pr.n_earlier, 0) AS n_earlier,
+        |       coalesce(pr.n_earlier, 0) = 0 AS kept
+        |FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id
+        |ORDER BY asg.vec_id""".stripMargin) { (s, d) =>
+      val m = kmeansAssign(s, d)
+        .select(col("vec_id"), col("cluster"), col("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .localCheckpoint() // feeds both pair sides + the report left join
+      val a = m.select(col("cluster"), col("vec_id"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = m.select(col("cluster"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val pr = a.join(b, Seq("cluster"))
+        .filter(col("vec_id") =!= col("vec_b"))
+        .withColumn("cos", dot(col("va"), col("vb")) / col("na") / col("nb"))
+        .groupBy(col("vec_id"), col("cluster"))
+        .agg(max(col("cos")).as("mx"),
+          sum(when(col("cos") > 0.35 && col("vec_b") < col("vec_id"), 1)
+            .otherwise(0)).as("n_earlier"))
+        .select(col("vec_id"), col("mx"), col("n_earlier"))
+      m.select(col("vec_id"), col("cluster"))
+        .join(pr, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          Num.roundOut(coalesce(col("mx"), lit(-1.0)), 6).as("max_cos"),
+          coalesce(col("n_earlier"), lit(0L)).as("n_earlier"),
+          (coalesce(col("n_earlier"), lit(0L)) === 0).as("kept"))
+        .orderBy(col("vec_id"))
+    }
+  )
+
+  /** The x33 k-means pipeline as shared DuckDB CTEs (v → c0 → a1/m1/c1 →
+    * a2/m2/c2 → af), interpolated into both the x33 and x34 oracles so the
+    * clustering definition can't drift between them. A def, not a val:
+    * `entries` initializes first and would capture null. */
+  private def kmeansCteSql: String =
+    """v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings
         |), c0 AS (
@@ -318,46 +400,45 @@ object Similarity {
         |             i -> (v.v[i+1] - c2.c[i+1]) * (v.v[i+1] - c2.c[i+1])),
         |             (a, b) -> a + b) AS dist
         |    FROM v, c2)
-        |)
-        |SELECT vec_id, cluster, round(1e-9 + dist, 4) AS dist
-        |FROM af WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      // sequential left fold over dim order — DuckDB's list_reduce order
-      def sqDist(v: Column, c: Column): Column =
-        aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, y) => acc + y)
-      val v = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-        .localCheckpoint() // scanned 5× (3 assigns + 2 updates)
-      val init = v.filter(col("vec_id") < 4)
-        .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
-      def assign(cent: DataFrame): DataFrame =
-        v.crossJoin(broadcast(cent))
-          .withColumn("dist", sqDist(col("v"), col("c")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id"))
-              .orderBy(col("dist"), col("cluster"))))
-          .filter(col("rn") === 1)
-      def update(assigned: DataFrame, cent: DataFrame): DataFrame = {
-        val m = assigned
-          .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("cluster"), col("dim"))
-          .agg(Num.roundOut(avg(col("x")), 6).as("cv"))
-          .groupBy(col("cluster"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("dim"), col("cv")))),
-            p => p.getField("cv")).as("mc"))
-        cent.join(m, Seq("cluster"), "left")
-          .select(col("cluster"), coalesce(col("mc"), col("c")).as("c"))
-          .localCheckpoint() // k×dim rows; severs the iteration lineage
-      }
-      val c1 = update(assign(init), init)
-      val c2 = update(assign(c1), c1)
-      assign(c2)
-        .select(col("vec_id"), col("cluster"),
-          Num.roundOut(col("dist"), 4).as("dist"))
-        .orderBy(col("vec_id"))
+        |)""".stripMargin
+
+  /** Shared k-means pipeline (k=4, two Lloyd iterations, first-k init):
+    * returns the final assignment as (vec_id, v, cluster, dist). Exactly
+    * mirrors [[kmeansCteSql]] — see x33's parity notes. */
+  def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // sequential left fold over dim order — DuckDB's list_reduce order
+    def sqDist(v: Column, c: Column): Column =
+      aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, y) => acc + y)
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint() // scanned 5× (3 assigns + 2 updates)
+    val init = v.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
+    def assign(cent: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cent))
+        .withColumn("dist", sqDist(col("v"), col("c")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("dist"), col("cluster"))))
+        .filter(col("rn") === 1)
+    def update(assigned: DataFrame, cent: DataFrame): DataFrame = {
+      val m = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(Num.roundOut(avg(col("x")), 6).as("cv"))
+        .groupBy(col("cluster"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cv")))),
+          p => p.getField("cv")).as("mc"))
+      cent.join(m, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("mc"), col("c")).as("c"))
+        .localCheckpoint() // k×dim rows; severs the iteration lineage
     }
-  )
+    val c1 = update(assign(init), init)
+    val c2 = update(assign(c1), c1)
+    assign(c2).select(col("vec_id"), col("v"), col("cluster"), col("dist"))
+  }
 }
