@@ -571,6 +571,81 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet-style QUALITY BUCKETING: rank every document by its unigram-LM
+    // likelihood (x23's model and score, CTEs mirrored verbatim) and split
+    // the corpus into head/middle/tail tertiles — the language-model
+    // filtering step that decides which web text trains and which is
+    // discarded. Ordering uses the UNROUNDED avg_prob (identical doubles
+    // on both engines — every operand derives from exact long arithmetic)
+    // with doc_id tiebreak, so ntile assignment is deterministic.
+    // Scale note: ntile here is a single global window over per-doc
+    // scalars; at 100 TB CCNet does the same split with sampled quantile
+    // THRESHOLDS (x27's sketch) and a stateless filter — the score
+    // computation (the expensive part) is unchanged.
+    QueryDef("x35_ppl_buckets",
+      s"""WITH sp AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN $fingerprintSql % 100 < 80 THEN 'train'
+        |              WHEN $fingerprintSql % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, split, unnest(string_split(text, ' ')) AS word
+        |  FROM sp
+        |), c AS (
+        |  SELECT word, count(*) AS c FROM tok WHERE split = 'train'
+        |  GROUP BY word
+        |), vs AS (
+        |  SELECT count(*) AS v, CAST(sum(c) AS BIGINT) AS t FROM c
+        |), topk AS (
+        |  SELECT word, c FROM c ORDER BY c DESC, word LIMIT 1000
+        |), per AS (
+        |  SELECT tok.doc_id, count(*) AS n,
+        |         CAST(sum(coalesce(k.c, 0)) AS BIGINT) AS sum_c
+        |  FROM tok LEFT JOIN topk k ON tok.word = k.word
+        |  GROUP BY tok.doc_id
+        |), scored AS (
+        |  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |         (sum_c + n) * 1.0 / (n * (t + v)) AS p
+        |  FROM per, vs
+        |)
+        |SELECT doc_id, n_tokens, round(1e-9 + p, 6) AS avg_prob,
+        |       CASE ntile(3) OVER (ORDER BY p DESC, doc_id)
+        |         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+        |       END AS bucket
+        |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sp = Tables.documents(s, d)
+        .withColumn("bucket", Text.fingerprint(col("text")) % 100)
+        .select(col("doc_id"),
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"),
+          col("text"))
+        .localCheckpoint()
+      val tok = sp.select(col("doc_id"), col("split"),
+        explode(Text.tokens(col("text"))).as("word"))
+      val counts = tok.filter(col("split") === "train")
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val vstats = counts.agg(count(lit(1)).as("v"), sum(col("c")).as("t"))
+      val model = counts.orderBy(col("c").desc, col("word")).limit(1000)
+      val per = tok
+        .join(broadcast(model.withColumnRenamed("c", "kc")), Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), sum(coalesce(col("kc"), lit(0L))).as("sum_c"))
+      val scored = per.crossJoin(broadcast(vstats))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          ((col("sum_c") + col("n")) * 1.0
+            / (col("n") * (col("t") + col("v")))).as("p"))
+      scored
+        .withColumn("nt", ntile(3).over(
+          Window.orderBy(col("p").desc, col("doc_id"))))
+        .select(col("doc_id"), col("n_tokens"),
+          Num.roundOut(col("p"), 6).as("avg_prob"),
+          when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
     // URL/domain-based filtering (the C4-style cleaning step): extract the
     // host from each document's URL, aggregate per domain, and classify
     // against a blocklist. The fixture has no URL column, so one is

@@ -38,6 +38,35 @@ object Windows {
           lag(col("event_id"), 1).over(w).as("prev_event_id"),
           rank().over(wDay).as("day_rank"))
         .orderBy(col("event_id"))
+    },
+
+    // Time-RANGE window frames (the time-series rolling-aggregate shape
+    // ROWS frames can't express): per user, events in the PRECEDING HOUR
+    // — frame membership decided by the ordering VALUE (epoch micros),
+    // not row position, so ts ties are frame peers on both engines.
+    // Spark's rangeBetween takes the bound in ordering-column units
+    // (micros here); the per-frame double sum is short and rounded (4dp,
+    // nudged) like every cross-engine float aggregate. Scale: windowed
+    // per user — one hash exchange, frames stream within each partition
+    // ordered run (no per-row rescan).
+    QueryDef("q61_time_range_frame",
+      """SELECT event_id, user_id, ts_us,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |       round(1e-9 + sum(value) OVER w, 4) AS sum_1h
+        |FROM (SELECT event_id, user_id, value,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_1h"),
+          Num.roundOut(sum(col("value")).over(w), 4).as("sum_1h"))
+        .orderBy(col("event_id"))
     }
   )
 }
