@@ -437,8 +437,14 @@ object Similarity {
         .select(col("cluster"), coalesce(col("mc"), col("c")).as("c"))
         .localCheckpoint() // k×dim rows; severs the iteration lineage
     }
-    val c1 = update(assign(init), init)
-    val c2 = update(assign(c1), c1)
-    assign(c2).select(col("vec_id"), col("v"), col("cluster"), col("dist"))
+    // the trained centroids are a MODEL ARTIFACT, persisted content-keyed
+    // like the langid profile and the IVF index: train once per corpus
+    // content, serve every later query (x33, x34, warm bench runs) with
+    // one broadcast-assign pass — retrain only when the corpus changes
+    val cents = DerivedTable(s, d, "embeddings", "kmeans") {
+      val c1 = update(assign(init), init)
+      update(assign(c1), c1)
+    }
+    assign(cents).select(col("vec_id"), col("v"), col("cluster"), col("dist"))
   }
 }
