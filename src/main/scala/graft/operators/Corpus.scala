@@ -7,6 +7,18 @@ import graft.functions.Num
 import graft.{QueryDef, Tables}
 import graft.functions.Text
 
+/** Pinned rolling-hash fold (same constants as [[Text.fingerprint]]) in
+  * DuckDB SQL, for the x36 checksum oracle. */
+private object CorpusSql {
+  val fingerprintSql: String =
+    """list_reduce(
+      |    list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(list_filter(string_split(text, ' '), w -> len(w) > 0),
+      |        w -> CAST(list_sum(list_transform(range(len(w)),
+      |               i -> unicode(w[i+1]) * (i + 1))) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+}
+
 /** Corpus-preparation operators for the training-data pipeline: RAG-style
   * document chunking, CCNet-style paragraph-level exact dedup, tokenizer
   * vocabulary construction, and lexical-diversity scoring. Everything is
@@ -206,6 +218,87 @@ object Corpus {
           Num.roundOut(col("n_hapax") * 1.0 / col("n_distinct"), 4)
             .as("hapax_frac"))
         .orderBy(col("doc_id"))
+    },
+
+    // TOKENIZE → PACK end-to-end (the composition x31 + x18 feed): map
+    // every token to its vocab id (top-100, OOV → id 100), reassemble
+    // per-doc id sequences in token order, pack docs into 2048-token bins
+    // per content-hash shard, and emit a rolling-hash CHECKSUM of each
+    // bin's concatenated id stream (fold order: doc_id, then token
+    // position). The checksum proves the exact packed content — ids,
+    // order, and boundaries — without emitting arrays the hash compare
+    // can't canonicalize. Scale: the vocab broadcast is K+1 ids forever;
+    // per-doc reassembly is one (doc_id) shuffle; packing reuses x18's
+    // per-shard window — one packing task per shard.
+    QueryDef("x36_pack_ids",
+      s"""WITH tok0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), w AS (
+        |  SELECT doc_id, unnest(range(len(ws))) AS pos, unnest(ws) AS word
+        |  FROM tok0
+        |), c AS (
+        |  SELECT word, count(*) AS c FROM w GROUP BY word
+        |), r AS (
+        |  SELECT word, row_number() OVER (ORDER BY c DESC, word) - 1 AS tid
+        |  FROM c
+        |), v AS (
+        |  SELECT word, tid FROM r WHERE tid < 100
+        |), ids AS (
+        |  SELECT w.doc_id, w.pos, CAST(coalesce(v.tid, 100) AS BIGINT) AS id
+        |  FROM w LEFT JOIN v ON w.word = v.word
+        |), da AS (
+        |  SELECT doc_id, list(id ORDER BY pos) AS ids, count(*) AS n_toks
+        |  FROM ids GROUP BY doc_id
+        |), sh AS (
+        |  SELECT d.doc_id, da.ids, da.n_toks,
+        |         CAST(${CorpusSql.fingerprintSql} % 4 AS INT) AS shard
+        |  FROM documents d JOIN da ON d.doc_id = da.doc_id
+        |), cb AS (
+        |  SELECT shard, doc_id, ids, n_toks,
+        |         sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) - n_toks AS cum_before
+        |  FROM sh
+        |)
+        |SELECT shard, CAST(floor(cum_before / 2048.0) AS INT) AS bin,
+        |       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
+        |       list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |           flatten(list(ids ORDER BY doc_id))),
+        |         (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+        |FROM cb GROUP BY shard, CAST(floor(cum_before / 2048.0) AS INT)
+        |ORDER BY shard, bin""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "word")))
+      val counts = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val vocab = counts.orderBy(col("c").desc, col("word")).limit(100)
+        .withColumn("tid", (row_number().over(
+          Window.orderBy(col("c").desc, col("word"))) - 1).cast("long"))
+        .select(col("word"), col("tid"))
+      val ids = toks.join(broadcast(vocab), Seq("word"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("tid"), lit(100L)).as("id"))
+      val da = ids.groupBy(col("doc_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+          p => p.getField("id")).as("ids"),
+          count(lit(1)).as("n_toks"))
+      val sh = docs
+        .withColumn("shard", (Text.fingerprint(col("text")) % 4).cast("int"))
+        .select(col("doc_id"), col("shard"))
+        .join(da, Seq("doc_id"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sh.withColumn("cum_before", sum(col("n_toks")).over(w) - col("n_toks"))
+        .select(col("shard"),
+          floor(col("cum_before") / 2048.0).cast("int").as("bin"),
+          col("doc_id"), col("ids"), col("n_toks"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_tokens"),
+          aggregate(
+            flatten(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("ids")))),
+              p => p.getField("ids"))),
+            lit(7L), (acc, i) => (acc * 31 + i) % 1000000007L).as("checksum"))
+        .orderBy(col("shard"), col("bin"))
     }
   )
 }
