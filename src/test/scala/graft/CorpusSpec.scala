@@ -107,4 +107,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(m(0)._2 == 0.0)
     assert(m(1)._2 == 1.0)
   }
+
+  test("x36_pack_ids: checksum is deterministic and bins respect the budget") {
+    val a = run("x36_pack_ids").collect()
+    val b = run("x36_pack_ids").collect()
+    assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList,
+      "packed-bin checksums must be identical across runs")
+    // every bin except possibly a shard's last holds > 2048-found tokens
+    // is NOT guaranteed (docs aren't split), but bin ids per shard are
+    // contiguous from 0 and token counts are positive
+    a.groupBy(_.getInt(0)).foreach { case (_, bins) =>
+      val ids = bins.map(_.getInt(1)).sorted
+      assert(ids.zipWithIndex.forall { case (bin, i) => bin == i },
+        "bins are contiguous from 0 within a shard")
+    }
+    assert(a.forall(_.getLong(3) > 0L))
+  }
 }

@@ -130,4 +130,20 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(sessions == Seq((t(0), 3L), (justOver, 1L)),
       s"expected inclusive-gap merge then split, got $sessions")
   }
+
+  test("streaming conf scope (nanos flag + 8 state partitions) restores the session") {
+    val k = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(k)
+    val nanosBefore = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    // a streaming query runs with the scoped confs...
+    val out = graft.streaming.Streams.streamingDaily(spark, "/root/testdata/sf0.001")
+    assert(out.count() > 0)
+    // ...and both confs come back to their pre-query values afterwards —
+    // the batch side of a shared session must never inherit the streaming
+    // state-partition sizing or the nanos legacy flag as a side effect
+    assert(spark.conf.get(k) == before,
+      s"shuffle.partitions leaked: ${spark.conf.get(k)} != $before")
+    assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") == nanosBefore,
+      "nanosAsLong leaked out of the streaming scope")
+  }
 }
