@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -76,10 +77,12 @@ object Corpus {
     // paragraph text in corpus order (doc_id, idx); drop later copies;
     // reassemble each document from its kept paragraphs in order.
     //
-    // Scale: one shuffle keyed by paragraph text for the keep-first window
-    // (same key distribution as exact dedup — at 100 TB hash the paragraph
-    // to a 16-byte digest first so only digests shuffle, x01's trick), one
-    // shuffle keyed by doc_id for reassembly. No broadcast, no all-pairs.
+    // Scale: one shuffle keyed by paragraph text for the keep-first window,
+    // one keyed by doc_id for reassembly. Unlike x01 the text MUST cross an
+    // exchange once — reassembly needs it back — so digest-keying the
+    // decision window would only narrow the sort comparisons, not the
+    // shuffled bytes; the text-keyed window is the honest shape. No
+    // broadcast, no all-pairs.
     QueryDef("x30_para_dedup",
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -299,6 +302,95 @@ object Corpus {
               p => p.getField("ids"))),
             lit(7L), (acc, i) => (acc * 31 + i) % 1000000007L).as("checksum"))
         .orderBy(col("shard"), col("bin"))
+    },
+
+    // Domain-AUTHORITY scoring via PageRank (the Common-Crawl-style seed
+    // quality signal: harmonic/PageRank centrality decides which domains'
+    // pages are worth crawling and how hard to filter them). The link
+    // graph is synthesized deterministically from doc ids (the fixture
+    // has no hyperlinks) and pinned to doc_id < 400 so the graph — and
+    // the oracle answer — is identical at every SF; a multiplicative
+    // hash sparsifies it to irregular in/out-degrees. Two damped
+    // (α=0.85) power iterations, unrolled. Cross-engine parity uses
+    // x33's iterative-rounding trick: per-edge contributions AND per-node
+    // ranks are rounded (8 dp, nudged) each iteration, so summation-order
+    // noise never compounds. Dangling mass is not redistributed (sum<1):
+    // authority is a relative quality WEIGHT here, not a distribution.
+    //
+    // Scale: each iteration is one (src) broadcast-or-shuffle join of the
+    // rank vector onto the edge list plus a (dst) partial-agg — the
+    // standard relational PageRank; ranks are |nodes|-sized, edges
+    // |E|-sized, and the iteration count is fixed, so the plan is k
+    // bounded shuffles regardless of corpus size.
+    QueryDef("x37_pagerank",
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(doc_id % 20 AS INT) AS src,
+        |         CAST((doc_id // 20) % 20 AS INT) AS dst
+        |  FROM documents
+        |  WHERE doc_id < 400 AND (doc_id * 48271) % 100 < 18
+        |    AND CAST(doc_id % 20 AS INT) <> CAST((doc_id // 20) % 20 AS INT)
+        |), deg AS (
+        |  SELECT src, count(*) AS d FROM e GROUP BY src
+        |), nodes AS (
+        |  SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e
+        |), n AS (
+        |  SELECT count(*) AS n FROM nodes
+        |), p0 AS (
+        |  SELECT node, round(1e-9 + 1.0 / n, 6) AS pr FROM nodes, n
+        |), p1 AS (
+        |  SELECT nodes.node,
+        |         round(1e-9 + 0.15 / n + 0.85 * coalesce(s.m, 0), 6) AS pr
+        |  FROM nodes
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, sum(round(1e-9 + p0.pr / deg.d, 6)) AS m
+        |    FROM e JOIN p0 ON e.src = p0.node JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) s ON nodes.node = s.node, n
+        |), p2 AS (
+        |  SELECT nodes.node,
+        |         round(1e-9 + 0.15 / n + 0.85 * coalesce(s.m, 0), 6) AS pr
+        |  FROM nodes
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, sum(round(1e-9 + p1.pr / deg.d, 6)) AS m
+        |    FROM e JOIN p1 ON e.src = p1.node JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) s ON nodes.node = s.node, n
+        |)
+        |SELECT node AS domain_id, pr AS authority,
+        |       CAST(row_number() OVER (ORDER BY pr DESC, node) AS INT) AS rank
+        |FROM p2 ORDER BY node""".stripMargin) { (s, d) =>
+      val e = Tables.documents(s, d)
+        .filter(col("doc_id") < 400 && (col("doc_id") * 48271) % 100 < 18)
+        .select((col("doc_id") % 20).cast("int").as("src"),
+          (expr("doc_id div 20") % 20).cast("int").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint() // tiny edge list feeds every iteration
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      val n = nodes.agg(count(lit(1)).as("n"))
+      val p0 = nodes.crossJoin(broadcast(n))
+        .select(col("node"), Num.roundOut(lit(1.0) / col("n"), 6).as("pr"))
+      def step(p: DataFrame): DataFrame = {
+        val contrib = e
+          .join(p.withColumnRenamed("node", "src"), Seq("src"))
+          .join(deg, Seq("src"))
+          .select(col("dst"), Num.roundOut(col("pr") / col("d"), 6).as("w"))
+          .groupBy(col("dst")).agg(sum(col("w")).as("m"))
+        nodes
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .crossJoin(broadcast(n))
+          .select(col("node"), Num.roundOut(
+            lit(0.15) / col("n") + lit(0.85) * coalesce(col("m"), lit(0.0)), 6)
+            .as("pr"))
+          .localCheckpoint() // |nodes| rows; severs the iteration lineage
+      }
+      val p2 = step(step(p0))
+      p2.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("pr").desc, col("node"))).cast("int"))
+        .select(col("node").as("domain_id"), col("pr").as("authority"),
+          col("rank"))
+        .orderBy(col("domain_id"))
     }
   )
 }
