@@ -8,18 +8,6 @@ import graft.functions.Num
 import graft.{QueryDef, Tables}
 import graft.functions.Text
 
-/** Pinned rolling-hash fold (same constants as [[Text.fingerprint]]) in
-  * DuckDB SQL, for the x36 checksum oracle. */
-private object CorpusSql {
-  val fingerprintSql: String =
-    """list_reduce(
-      |    list_prepend(CAST(7 AS BIGINT),
-      |      list_transform(list_filter(string_split(text, ' '), w -> len(w) > 0),
-      |        w -> CAST(list_sum(list_transform(range(len(w)),
-      |               i -> unicode(w[i+1]) * (i + 1))) AS BIGINT))),
-      |    (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
-}
-
 /** Corpus-preparation operators for the training-data pipeline: RAG-style
   * document chunking, CCNet-style paragraph-level exact dedup, tokenizer
   * vocabulary construction, and lexical-diversity scoring. Everything is
@@ -254,7 +242,7 @@ object Corpus {
         |  FROM ids GROUP BY doc_id
         |), sh AS (
         |  SELECT d.doc_id, da.ids, da.n_toks,
-        |         CAST(${CorpusSql.fingerprintSql} % 4 AS INT) AS shard
+        |         CAST(${TextAnalysis.fingerprintSql} % 4 AS INT) AS shard
         |  FROM documents d JOIN da ON d.doc_id = da.doc_id
         |), cb AS (
         |  SELECT shard, doc_id, ids, n_toks,

@@ -21,9 +21,10 @@ import graft.functions.Text
 object TextAnalysis {
 
   /** The pinned rolling-hash fold in DuckDB SQL — interpolated into every
-    * oracle that buckets by fingerprint so the definition can't drift from
-    * [[graft.functions.Text.fingerprint]]. */
-  private val fingerprintSql =
+    * oracle that buckets by fingerprint (here and in [[Corpus]], ADVICE
+    * r05: one definition, so shard assignment can't silently drift from
+    * [[graft.functions.Text.fingerprint]]). */
+  private[operators] val fingerprintSql =
     """list_reduce(
       |    list_prepend(CAST(7 AS BIGINT),
       |      list_transform(list_filter(string_split(text, ' '), w -> len(w) > 0),

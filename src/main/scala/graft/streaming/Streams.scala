@@ -25,33 +25,28 @@ object Streams {
 
   private val sinkId = new AtomicInteger(0)
 
-  /** Run `body` with session confs set, restoring previous values after —
-    * per-query needs (the events table's nanos timestamps, the streaming
-    * state-partition count), not session-global properties to leak into a
-    * shared SparkSession (ADVICE r03). */
-  private def withConfs[T](s: SparkSession, pairs: (String, String)*)(body: => T): T = {
-    val prev = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
-    pairs.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
-    }
+  /** Run `body` against a CLONED session (shared SparkContext and table
+    * cache, ISOLATED SQL conf — `SparkSession.newSession`) carrying the
+    * streaming-scoped confs: the events table's nanos-ts flag plus a LOWER
+    * shuffle-partition count. Every stateful streaming operator maintains
+    * one state store per shuffle partition per micro-batch (a
+    * stream-stream join keeps FOUR per partition), and the store
+    * checkpoint/commit overhead is per store, not per row — at 32
+    * partitions the fixed cost dominates the fixture-scale state. 8
+    * partitions is the per-NODE sizing; on a real cluster this knob is
+    * executors×cores, set once at query start (state partitioning is
+    * fixed for the life of a streaming checkpoint — it must be chosen for
+    * the target scale up front, which is why it's a per-query setting
+    * rather than the session's batch default). Cloning means a batch
+    * query running CONCURRENTLY on the parent session can never observe
+    * these confs (ADVICE r05); builder-time options (timezone, AQE)
+    * propagate to the clone via the session's initial options. */
+  private def withStreamingConfs[T](s: SparkSession)(body: SparkSession => T): T = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    body(ss)
   }
-
-  /** Streaming-query conf scope: nanos-ts flag + a LOWER shuffle-partition
-    * count. Every stateful streaming operator maintains one state store
-    * per shuffle partition per micro-batch (a stream-stream join keeps
-    * FOUR per partition), and the store checkpoint/commit overhead is per
-    * store, not per row — at 32 partitions the fixed cost dominates the
-    * fixture-scale state. 8 partitions is the per-NODE sizing; on a real
-    * cluster this knob is executors×cores, set once at query start (state
-    * partitioning is fixed for the life of a streaming checkpoint — it
-    * must be chosen for the target scale up front, which is why it's a
-    * per-query setting here rather than the session's batch default). */
-  private def withStreamingConfs[T](s: SparkSession)(body: => T): T =
-    withConfs(s,
-      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-      "spark.sql.shuffle.partitions" -> "8")(body)
 
   /** Stage the single-file events table as a DIRECTORY for the file-stream
     * source (idempotent per JVM). Content-keyed (ADVICE r01): if
@@ -106,9 +101,9 @@ object Streams {
     * `dropDuplicatesWithinWatermark`, whose eviction/late-drop contract
     * StreamingSemanticsSpec pins on a crafted two-batch feed. */
   def streamingDedupDaily(s: SparkSession, dir: String): DataFrame =
-    withStreamingConfs(s) {
-      val batch = Tables.table(s, dir, "events")
-      val raw = s.readStream.schema(batch.schema)
+    withStreamingConfs(s) { ss =>
+      val batch = Tables.table(ss, dir, "events")
+      val raw = ss.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stageEventsDuplicated(dir))
       val deduped = raw
@@ -118,7 +113,7 @@ object Streams {
       val q = deduped.writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(name)
+      ss.table(name)
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           Num.roundOut(sum(col("value")), 4).as("sum_value"))
@@ -134,9 +129,9 @@ object Streams {
     * whatever the file/trigger slicing, which is exactly what the st04
     * oracle asserts. */
   def streamingAttribution(s: SparkSession, dir: String): DataFrame =
-    withStreamingConfs(s) {
-      val batch = Tables.table(s, dir, "events")
-      val raw = s.readStream.schema(batch.schema).parquet(stageEvents(dir))
+    withStreamingConfs(s) { ss =>
+      val batch = Tables.table(ss, dir, "events")
+      val raw = ss.readStream.schema(batch.schema).parquet(stageEvents(dir))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val clicks = raw.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
@@ -154,7 +149,7 @@ object Streams {
       val q = joined.writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(name)
+      ss.table(name)
         .select(col("user_id"), col("click_id"), col("purchase_id"))
         .orderBy(col("click_id"), col("purchase_id"))
     }
@@ -163,9 +158,9 @@ object Streams {
     * events parquet (schema from a batch probe; nanos ts normalized the
     * same way as [[graft.Tables.events]]). */
   def streamingDaily(s: SparkSession, dir: String): DataFrame =
-    withStreamingConfs(s) {
-      val batch = Tables.table(s, dir, "events") // schema probe: ts reads as long nanos
-      val raw = s.readStream.schema(batch.schema).parquet(stageEvents(dir))
+    withStreamingConfs(s) { ss =>
+      val batch = Tables.table(ss, dir, "events") // schema probe: ts reads as long nanos
+      val raw = ss.readStream.schema(batch.schema).parquet(stageEvents(dir))
       val events = raw.withColumn("ts",
         timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
       val agg = events
@@ -177,16 +172,16 @@ object Streams {
       val q = agg.writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(name).orderBy(col("day"), col("event_type"))
+      ss.table(name).orderBy(col("day"), col("event_type"))
     }
 
   /** Streaming session-window aggregation (SURVEY.md §2.9): the same
     * 30-minute-gap merge q40 runs in batch, maintained incrementally as
     * stream state — sessions extend and MERGE as events arrive. */
   def streamingSessions(s: SparkSession, dir: String): DataFrame =
-    withStreamingConfs(s) {
-      val batch = Tables.table(s, dir, "events")
-      val raw = s.readStream.schema(batch.schema).parquet(stageEvents(dir))
+    withStreamingConfs(s) { ss =>
+      val batch = Tables.table(ss, dir, "events")
+      val raw = ss.readStream.schema(batch.schema).parquet(stageEvents(dir))
       val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val agg = events
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
@@ -200,7 +195,7 @@ object Streams {
       val q = agg.writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(name).orderBy(col("user_id"), col("session_start"))
+      ss.table(name).orderBy(col("user_id"), col("session_start"))
     }
 
   /** Watermarked append-mode windowed aggregation over a file-source
@@ -304,8 +299,8 @@ object Streams {
       val factDir = java.nio.file.Paths.get(graft.Warehouse.path(
         s"graft_stfact_v2_${graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}"),
         "fact").toString
-      withStreamingConfs(s) {
-        incrementalUpsert(s, stage, factDir, Seq("user_id", "event_type"),
+      withStreamingConfs(s) { ss =>
+        incrementalUpsert(ss, stage, factDir, Seq("user_id", "event_type"),
           Seq(col("ts").desc, col("event_id").desc))
       }
       s.read.parquet(factDir)
