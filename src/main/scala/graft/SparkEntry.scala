@@ -32,6 +32,7 @@ object SparkEntry {
     Similarity.entries ++
     TextAnalysis.entries ++
     Corpus.entries ++
+    Contracts.entries ++
     Multimodal.entries ++
     graft.streaming.Streams.entries
 

@@ -139,6 +139,17 @@ object Text {
     aggregate(codes, lit(7L), (acc, c) => (acc * 31L + c) % m)
   }
 
+  /** Portable char-level rolling hash (Java-style `acc·31 + codepoint`,
+    * seed 0, mod 1e9+7) — the cross-engine-reproducible counterpart of
+    * xxhash64 for ORACLE-PINNED hashing (x38/x39): DuckDB replays the
+    * identical fold with `list_reduce`/`unicode`. Callers guarantee a
+    * non-empty string (Spark's `sequence(1, 0)` would DESCEND). */
+  def charHash(sc: Column): Column =
+    aggregate(sequence(lit(1), length(sc)), lit(0L),
+      (acc, i) =>
+        (acc * 31L + ascii(sc.substr(i.cast("int"), lit(1))).cast("long"))
+          % 1000000007L)
+
   /** BPE-ish subword count: each token contributes ceil(len/4) subtokens. */
   def subtokenCount(text: Column): Column =
     aggregate(tokens(text), lit(0L),

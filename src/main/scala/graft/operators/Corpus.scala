@@ -379,6 +379,69 @@ object Corpus {
         .select(col("node").as("domain_id"), col("pr").as("authority"),
           col("rank"))
         .orderBy(col("domain_id"))
+    },
+
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): rank the raw pool by
+    // how much each document's hashed-unigram distribution looks like a
+    // curated TARGET domain (here: source 'src18', the largest). The LM
+    // is HASHED — every word maps to one of 8192 buckets via the portable
+    // char hash — so the model is ≤8192 rows FOREVER (broadcastable at any
+    // corpus size; an unhashed vocab LM would outgrow the broadcast,
+    // x07's lesson). Importance weight per bucket stays in INTEGER space:
+    // r(b) = (1+target_b)·10^6 div (1+total_b) — add-one smoothing, one
+    // integer division both engines compute identically; the only float is
+    // the final per-doc mean, a single exact int64/int64 division (x23's
+    // rational-parity rule). Plan: one explode+count pass builds the model
+    // AND the per-doc bucket counts; scoring is a broadcast join.
+    QueryDef("x38_dsir_select",
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(len(t)),
+        |             i -> CAST(unicode(t[i+1]) AS BIGINT))),
+        |           (acc, c) -> (acc * 31 + c) % 1000000007) % 8192 AS b
+        |  FROM (SELECT doc_id, source, unnest(list_filter(
+        |          string_split(text, ' '), x -> len(x) > 0)) AS t
+        |        FROM documents)
+        |), db AS (
+        |  SELECT doc_id, source, b, count(*) AS c FROM tok GROUP BY 1, 2, 3
+        |), model AS (
+        |  SELECT b,
+        |         CAST((1 + sum(CASE WHEN source = 'src18' THEN c ELSE 0 END))
+        |              * 1000000 AS BIGINT)
+        |         // CAST(1 + sum(c) AS BIGINT) AS r
+        |  FROM db GROUP BY b
+        |)
+        |SELECT d.doc_id, d.source, CAST(sum(d.c) AS BIGINT) AS n_tokens,
+        |       round(1e-9 + sum(d.c * m.r) * 1.0 / sum(d.c), 6) AS dsir_score
+        |FROM db d JOIN model m USING (b)
+        |WHERE d.source <> 'src18'
+        |GROUP BY d.doc_id, d.source
+        |ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(filter(Text.tokens(col("text")), w => length(w) > 0)).as("t"))
+        .select(col("doc_id"), col("source"),
+          (Text.charHash(col("t")) % 8192L).as("b"))
+      val db = tok.groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // one tokenize pass feeds model AND scoring
+      val model = db.groupBy(col("b"))
+        .agg(sum(when(col("source") === "src18", col("c")).otherwise(0L)).as("t"),
+          sum(col("c")).as("g"))
+        .select(col("b"),
+          expr("CAST((1 + t) * 1000000 AS BIGINT) div CAST(1 + g AS BIGINT)")
+            .as("r"))
+      db.filter(col("source") =!= "src18")
+        .join(broadcast(model), Seq("b"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c") * col("r")).as("score"), sum(col("c")).as("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          Num.roundOut(col("score").cast("double") / col("n_tokens"), 6)
+            .as("dsir_score"))
+        .orderBy(col("dsir_score").desc, col("doc_id"))
+        .limit(100)
     }
   )
 }

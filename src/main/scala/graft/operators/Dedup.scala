@@ -429,6 +429,101 @@ object Dedup {
               .otherwise(col("n_dup").cast("double") / col("n_win")), 6)
             .as("dup_frac"))
         .orderBy(col("doc_id"))
+    },
+
+    // MinHash+LSH with a PORTABLE hash — the oracle-pinned twin of x02.
+    // x02 runs the production signature (xxhash64, engine-specific, spec-
+    // pinned); this variant swaps in the char-level rolling hash both
+    // engines compute identically ([[Text.charHash]]), so the ENTIRE LSH
+    // pipeline — shingle→hash→8-perm signature→4×2 band buckets→crowded-
+    // bucket cap→candidate join→exact-Jaccard verify — is hash-checked
+    // against DuckDB end to end, not just rows-counted. Same plan shape as
+    // x02: signatures shuffle, documents don't; candidates come only from
+    // bucket collisions (work ∝ colliding pairs, never all-pairs).
+    QueryDef("x39_minhash_portable",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |           ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |), h AS (
+        |  SELECT doc_id, tri,
+        |         list_transform(tri, sh ->
+        |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(range(len(sh)),
+        |               i -> CAST(unicode(sh[i+1]) AS BIGINT))),
+        |             (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        |  FROM s WHERE len(tri) > 0
+        |), sig AS (
+        |  SELECT doc_id, tri,
+        |         list_transform(range(8), k -> list_min(list_transform(hs,
+        |           x -> (x * (2*k + 1) + k * 40503 + 17) % 1000000007))) AS sig
+        |  FROM h
+        |), bk AS (
+        |  SELECT doc_id, CAST(band AS INT) AS band,
+        |         sig[band*2 + 1] * 1000000007 + sig[band*2 + 2] AS bucket
+        |  FROM (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig)
+        |), keepb AS (
+        |  SELECT band, bucket FROM bk
+        |  GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 100
+        |), pr AS (
+        |  SELECT bk.* FROM bk JOIN keepb USING (band, bucket)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pr a JOIN pr b ON a.band = b.band AND a.bucket = b.bucket
+        |                     AND a.doc_id < b.doc_id
+        |)
+        |SELECT p.doc_a, p.doc_b,
+        |       round(1e-9 + list_sum(list_transform(range(8),
+        |             i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1]
+        |                       THEN 1 ELSE 0 END)) / 8.0, 6) AS est,
+        |       round(1e-9 + len(list_intersect(sa.tri, sb.tri)) * 1.0 /
+        |             (len(sa.tri) + len(sb.tri)
+        |              - len(list_intersect(sa.tri, sb.tri))), 6) AS jaccard
+        |FROM pairs p JOIN sig sa ON p.doc_a = sa.doc_id
+        |             JOIN sig sb ON p.doc_b = sb.doc_id
+        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin) { (s, d) =>
+      val p = 1000000007L
+      val sig = shingleTable(s, d)
+        .select(col("doc_id"), col("tri"))
+        .filter(size(col("tri")) > 0)
+        .withColumn("hs", transform(col("tri"), sh => Text.charHash(sh)))
+        // 8 perms h_k(x) = (x·(2k+1) + 40503k + 17) mod p as a running-min
+        // fold (x·15 < 2^34 — no overflow either engine)
+        .withColumn("sig", transform(sequence(lit(0), lit(7)), k =>
+          aggregate(col("hs"), lit(p), (mn, x) =>
+            least(mn, (x * (k * 2L + lit(1L)) + k * 40503L + lit(17L)) % p))))
+        .drop("hs")
+        .localCheckpoint() // feeds bands + both verify sides; hash once
+      val banded = sig.select(col("doc_id"),
+          explode(sequence(lit(0), lit(3))).as("bnd"), col("sig"))
+        .select(col("doc_id"), col("bnd").cast("int").as("band"),
+          (element_at(col("sig"), (col("bnd") * 2 + 1).cast("int")) * p +
+           element_at(col("sig"), (col("bnd") * 2 + 2).cast("int"))).as("bucket"))
+      val keepb = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz").between(2, 100))
+        .select(col("band"), col("bucket"))
+      val pruned = banded.join(keepb, Seq("band", "bucket"))
+      val pairs = pruned.as("a")
+        .join(pruned.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sa = sig.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a"), col("tri").as("tri_a"))
+      val sb = sig.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"), col("tri").as("tri_b"))
+      pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          Num.roundOut(size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)), v => v === 1)) / 8.0, 6)
+            .as("est"),
+          Num.roundOut(Text.jaccard(col("tri_a"), col("tri_b")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(50)
     }
   )
 }

@@ -131,6 +131,82 @@ object Supply {
           Num.roundOut(col("o_totalprice"), 2).as("total_price"),
           col("sum_qty").cast("long").as("sum_qty"))
         .orderBy(col("total_price").desc, col("o_orderkey"))
+    },
+
+    // TPC-H Q15 shape (top supplier by windowed revenue): a revenue CTE
+    // reused twice — once as the join input, once under a scalar max() —
+    // selecting every supplier tied at the maximum. The revenue aggregate
+    // runs ONCE per reference on a date-pruned scan (predicate reaches the
+    // parquet reader); the scalar max is a one-row broadcast, so the
+    // "WHERE total_rev = (SELECT max…)" is a broadcast-filter, not a
+    // self-join shuffle. Revenue is rounded identically on both sides
+    // BEFORE the max/equality so summation-order drift can't split ties.
+    QueryDef("q62_top_supplier",
+      """WITH rev AS (
+        |  SELECT l_suppkey AS suppkey,
+        |         round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2)
+        |           AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s.s_suppkey, s.s_name, r.total_rev
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+        |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin) { (s, d) =>
+      val rev = Tables.table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(Num.roundOut(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_rev"))
+        .localCheckpoint() // one aggregate feeds the max AND the join
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      Tables.table(s, d, "supplier")
+        .join(rev, col("s_suppkey") === col("suppkey"))
+        .crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q22 shape (the "rich but dormant" report): customers whose
+    // balance beats the positive-balance average and who placed NO order
+    // since 2001, grouped by nation. The global average is a one-row
+    // broadcast; dormancy is a LEFT ANTI join against the date-pruned
+    // orders scan (the anti side shrinks to recent keys before shuffling);
+    // nation is a broadcast dim. The threshold is rounded identically on
+    // both sides before the comparison so avg summation-order drift can't
+    // flip a boundary customer.
+    QueryDef("q63_dormant_rich",
+      """WITH t AS (
+        |  SELECT round(1e-9 + avg(c_acctbal), 2) AS a
+        |  FROM customer WHERE c_acctbal > 0
+        |)
+        |SELECT n.n_name, count(*) AS numcust,
+        |       round(1e-9 + sum(c.c_acctbal), 2) AS totacctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey, t
+        |WHERE c.c_acctbal > t.a
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, d) =>
+      val cust = Tables.table(s, d, "customer")
+      val thr = cust.filter(col("c_acctbal") > 0)
+        .agg(Num.roundOut(avg(col("c_acctbal")), 2).as("a"))
+      val recent = Tables.table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("a"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.table(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          Num.roundOut(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("n_name"))
     }
   )
 }
