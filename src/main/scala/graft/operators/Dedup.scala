@@ -485,17 +485,33 @@ object Dedup {
         |             JOIN sig sb ON p.doc_b = sb.doc_id
         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin) { (s, d) =>
       val p = 1000000007L
-      val sig = shingleTable(s, d)
-        .select(col("doc_id"), col("tri"))
-        .filter(size(col("tri")) > 0)
-        .withColumn("hs", transform(col("tri"), sh => Text.charHash(sh)))
-        // 8 perms h_k(x) = (x·(2k+1) + 40503k + 17) mod p as a running-min
-        // fold (x·15 < 2^34 — no overflow either engine)
-        .withColumn("sig", transform(sequence(lit(0), lit(7)), k =>
-          aggregate(col("hs"), lit(p), (mn, x) =>
-            least(mn, (x * (k * 2L + lit(1L)) + k * 40503L + lit(17L)) % p))))
-        .drop("hs")
-        .localCheckpoint() // feeds bands + both verify sides; hash once
+      // Signature table persisted content-keyed, like x02's. The portable
+      // char hash is an interpreted per-char HOF — orders of magnitude
+      // slower than codegen'd xxhash64 — so it runs once per DISTINCT
+      // shingle (4-10× fewer than instances at fixture scale, and the gap
+      // only widens: boilerplate repeats, vocabulary saturates), joined
+      // back by shingle. The 8 per-permutation mins are FLAT codegen'd
+      // aggregates over the exploded rows (x02's shape), not a per-doc
+      // lambda fold: h_k(x) = (x·(2k+1) + 40503k + 17) mod p, x·15 < 2^34
+      // — no overflow either engine.
+      val sig = DerivedTable(s, d, "documents", "pminhash") {
+        val base = shingleTable(s, d)
+          .select(col("doc_id"), col("tri"))
+          .filter(size(col("tri")) > 0)
+          .localCheckpoint()
+        val ex = base.select(col("doc_id"), explode(col("tri")).as("sh"))
+        val vocab = ex.select(col("sh")).distinct()
+          .withColumn("h", Text.charHash(col("sh")))
+        val minCols = (0 until 8).map { k =>
+          min((col("h") * (2L * k + 1L) + (k * 40503L + 17L)) % p).as(s"m$k")
+        }
+        val sigs = ex.join(vocab, "sh")
+          .groupBy(col("doc_id"))
+          .agg(minCols.head, minCols.tail: _*)
+          .select(col("doc_id"),
+            array((0 until 8).map(k => col(s"m$k")): _*).as("sig"))
+        base.join(sigs, "doc_id")
+      }
       val banded = sig.select(col("doc_id"),
           explode(sequence(lit(0), lit(3))).as("bnd"), col("sig"))
         .select(col("doc_id"), col("bnd").cast("int").as("band"),
