@@ -442,6 +442,87 @@ object Corpus {
             .as("dsir_score"))
         .orderBy(col("dsir_score").desc, col("doc_id"))
         .limit(100)
+    },
+
+    // Substring-SPAN dedup (Lee et al. 2022, "Deduplicating Training Data
+    // Makes Language Models Better", the ExactSubstr idea at word
+    // granularity): any 5-gram whose first corpus occurrence is EARLIER
+    // (by (doc_id, offset)) marks its 5-token span as duplicated; covered
+    // tokens are dropped and the survivors reassemble in order. Finer
+    // than x30's fixed paragraphs — spans overlap and splice arbitrarily.
+    //
+    // Scale: the decision window shuffles (gram, doc, offset) keyed by
+    // gram — never document bodies; coverage expansion is a bounded
+    // explode (5 rows per duplicated gram); the kill-list anti-join and
+    // reassembly are doc-keyed. The true suffix-array construction the
+    // paper uses is a single-node algorithm; this gram-granular relational
+    // form is the shape that distributes.
+    QueryDef("x41_span_dedup",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), b AS (
+        |  SELECT doc_id, ws, CAST(len(ws) AS INT) AS n FROM t
+        |), g AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i,
+        |         array_to_string(list_slice(ws, i + 1, i + 5), '_') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS i
+        |        FROM b WHERE n >= 5)
+        |), r AS (
+        |  SELECT doc_id, i,
+        |         row_number() OVER (PARTITION BY gram
+        |                            ORDER BY doc_id, i) AS rn
+        |  FROM g
+        |), cover AS (
+        |  SELECT DISTINCT doc_id, CAST(p AS INT) AS pos
+        |  FROM (SELECT doc_id, unnest(range(i, i + 5)) AS p
+        |        FROM r WHERE rn > 1)
+        |), tok AS (
+        |  SELECT doc_id, CAST(j AS INT) AS pos, ws[j + 1] AS w
+        |  FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS j FROM b)
+        |), kept AS (
+        |  SELECT t.doc_id, CAST(count(*) AS INT) AS n_kept,
+        |         string_agg(t.w, ' ' ORDER BY t.pos) AS clean_text
+        |  FROM tok t LEFT JOIN cover c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.doc_id IS NULL
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT b.doc_id, b.n AS n_tokens,
+        |       coalesce(k.n_kept, 0) AS n_kept,
+        |       coalesce(k.clean_text, '') AS clean_text
+        |FROM b LEFT JOIN kept k ON b.doc_id = k.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+        .withColumn("n", size(col("ws")))
+        .localCheckpoint() // feeds grams, token stream, and presentation
+      val grams = base.filter(col("n") >= 5)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0), col("n") - 5)).as("i"))
+        .select(col("doc_id"), col("i"),
+          array_join(slice(col("ws"), col("i") + 1, lit(5)), "_").as("gram"))
+      val dup = grams
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("i"))))
+        .filter(col("rn") > 1)
+      val cover = dup
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + 4)).as("pos"))
+        .distinct()
+      val tok = base.select(col("doc_id"),
+        posexplode(col("ws")).as(Seq("pos", "w")))
+      val kept = tok.join(cover, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+              x => x.getField("w")), " ").as("clean_text"))
+      base.select(col("doc_id"), col("n").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -67,6 +67,43 @@ object Windows {
           count(lit(1)).over(w).as("n_1h"),
           Num.roundOut(sum(col("value")).over(w), 4).as("sum_1h"))
         .orderBy(col("event_id"))
+    },
+
+    // COUNT(DISTINCT) OVER — the window frame ANSI engines (Spark
+    // included) refuse to plan. The scalable idiom: flag each row that is
+    // the FIRST occurrence of its (user, event_type) via row_number, then
+    // running-sum the flags per user. Two window exchanges on the same
+    // user-keyed hash partitioning (Catalyst reuses the exchange), O(1)
+    // state per row — vs the collect_set-over-frame alternative whose
+    // per-frame set is O(distinct) memory and non-codegen. That's the
+    // difference between surviving 100 TB and not.
+    QueryDef("q64_running_distinct",
+      """WITH f AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |         CASE WHEN row_number() OVER (
+        |                PARTITION BY user_id, event_type
+        |                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) = 1
+        |              THEN 1 ELSE 0 END AS first_seen
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, ts_us,
+        |       CAST(sum(first_seen) OVER (PARTITION BY user_id
+        |         ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS n_distinct_types
+        |FROM f ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, d) =>
+      val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          sum(col("first_seen")).over(wRun).as("n_distinct_types"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }
   )
 }

@@ -91,6 +91,51 @@ object Streams {
     stage.toString
   }
 
+  /** Stage events SPLIT in two disjoint halves (by event_id parity, two
+    * files → two micro-batches with maxFilesPerTrigger=1) so incremental
+    * aggregate maintenance actually merges across batches. Content-keyed
+    * like [[stageEvents]]. Written through Spark (the caller's cloned
+    * session reads nanos ts as long), so the staged schema is the raw
+    * long-nanos one every streaming query probes. */
+  private[graft] def stageEventsSplit(s: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_split_v1_${graft.ContentKey.key(src)}"))
+    if (!java.nio.file.Files.exists(stage.resolve("_DONE"))) {
+      java.nio.file.Files.createDirectories(stage)
+      Seq(0, 1).foreach { par =>
+        val tmp = stage.resolve(s"tmp_$par")
+        graft.Tables.table(s, dir, "events")
+          .filter(col("event_id") % 2 === par)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally l.close()
+        }
+        java.nio.file.Files.move(part, stage.resolve(s"batch_$par.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val rest = java.nio.file.Files.list(tmp)
+        try rest.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally rest.close()
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
+      java.nio.file.Files.createFile(stage.resolve("_DONE"))
+    }
+    stage.toString
+  }
+
+  /** Delete a derived output directory before a non-idempotent rebuild. */
+  private def resetDir(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val l = java.nio.file.Files.walk(p)
+      try l.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally l.close()
+    }
+  }
+
   /** Streaming exact dedup: `dropDuplicates(event_id)` over a stream that
     * replays every event twice (two micro-batches). The first batch seeds
     * the dedup state; the replay batch must be suppressed ENTIRELY by it —
@@ -356,6 +401,57 @@ object Streams {
         |       count(*) AS n, round(1e-9 + sum(value), 4) AS sum_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin)(
-      (s, d) => streamingSessions(s, d))
+      (s, d) => streamingSessions(s, d)),
+
+    // Oracle-checked: INCREMENTAL AGGREGATE maintenance — each micro-batch
+    // folds its partial daily counts/sums into a persistent aggregate
+    // matview (q55's freshness model, maintained from a stream instead of
+    // a partition delta; st02 merges ROWS, this merges AGGREGATES). The
+    // input arrives as two disjoint halves, so the merge genuinely
+    // combines partials across batches; the converged matview must equal
+    // the one-shot batch aggregate (st01's oracle). Merge state is
+    // O(groups), never O(events) — counts and sums are associative, the
+    // only aggregate class this pattern is legal for. The matview dir is
+    // reset per run: a sum-merge is NOT idempotent under replay (the
+    // production form tracks batch ids through the sink's checkpoint).
+    QueryDef("st06_stream_aggmv",
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |       count(*) AS n, round(1e-9 + sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageEventsSplit(ss, d)
+        val mvDir = java.nio.file.Paths.get(graft.Warehouse.path(
+          s"graft_staggmv_v1_${graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}"),
+          "mv").toString
+        resetDir(mvDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val part = batch
+              .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+              .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+              .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+            val existing =
+              if (java.nio.file.Files.exists(java.nio.file.Paths.get(mvDir, "_SUCCESS")))
+                spark.read.parquet(mvDir)
+              else part.limit(0)
+            val merged = existing.union(part)
+              .groupBy(col("day"), col("event_type"))
+              .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+              .localCheckpoint() // sever lineage from the files overwritten
+            merged.write.mode("overwrite").parquet(mvDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        ss.read.parquet(mvDir)
+          .select(col("day"), col("event_type"), col("n"),
+            Num.roundOut(col("sv"), 4).as("sum_value"))
+          .orderBy(col("day"), col("event_type"))
+      }
+    }
   )
 }

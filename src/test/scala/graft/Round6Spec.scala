@@ -82,6 +82,51 @@ class Round6Spec extends AnyFunSuite {
     out.values.foreach { case (_, v, pass) => assert(pass == (v == 0L)) }
   }
 
+  test("x41: later copy of a 5-gram span is cut, first occurrence survives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("span").toString
+    Seq(
+      (1L, "a b c d e tail1 tail2"),          // first occurrence of a_b_c_d_e
+      (2L, "x y a b c d e z"),                // repeats it at offset 2
+      (3L, "short doc only"))                 // < 5 tokens: untouched
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("s0")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("x41_span_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((7, 7, "a b c d e tail1 tail2")), "first copy intact")
+    assert(out(2L) == ((8, 3, "x y z")), "covered span dropped, rest spliced")
+    assert(out(3L) == ((3, 3, "short doc only")), "sub-gram docs untouched")
+  }
+
+  test("st06: the split stage yields two micro-batches to merge across") {
+    // the staging helper reads raw events (nanos ts) — same conf its
+    // production caller (the streaming conf scope) provides
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = graft.streaming.Streams.stageEventsSplit(spark, sf0_001)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+    val parquets = try files.filter(_.toString.endsWith(".parquet")).count()
+      finally files.close()
+    assert(parquets == 2L,
+      "incremental agg maintenance must actually see >1 batch")
+  }
+
+  test("q64: running distinct counts the first sighting of each type once") {
+    val rows = SparkEntry.queries("q64_running_distinct")(spark, sf0_001)
+      .collect()
+    // per user: non-decreasing, starts at 1, steps by at most 1
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val counts = rs.map(_.getLong(3))
+      assert(counts.head == 1L)
+      counts.sliding(2).foreach { case Array(a, b) =>
+        assert(b == a || b == a + 1)
+      case _ => ()
+      }
+    }
+  }
+
   test("q62: every returned supplier is tied at the maximum revenue") {
     val rows = run("q62_top_supplier").select("total_rev").collect()
     assert(rows.nonEmpty)
