@@ -33,6 +33,7 @@ object SparkEntry {
     TextAnalysis.entries ++
     Corpus.entries ++
     Contracts.entries ++
+    Pareto.entries ++
     Multimodal.entries ++
     graft.streaming.Streams.entries
 

@@ -523,6 +523,46 @@ object Corpus {
           coalesce(col("n_kept"), lit(0)).as("n_kept"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))
         .orderBy(col("doc_id"))
+    },
+
+    // Heavy hitters by ESTIMATE-THEN-VERIFY: a Misra-Gries summary
+    // ([[graft.functions.MisraGriesAggregator]], k=256) nominates an O(k)
+    // candidate set whose membership may vary with partition order but is
+    // GUARANTEED to contain every word above n/k; an exact recount of just
+    // those candidates then applies the 1/40 report threshold. The final
+    // answer is deterministic — which is what lets an approximate sketch
+    // be DuckDB-hash-checked (same pattern as x02's estimate-then-verify
+    // and x39's portable LSH).
+    //
+    // Scale: pass 1 aggregates to O(k) state per partition partial — no
+    // per-word exchange, unlike groupBy(word) whose shuffle carries the
+    // whole vocabulary (10^8+ keys on a web corpus). Pass 2 semi-joins on
+    // a broadcast candidate list, so only <=k distinct keys reach the
+    // exact count's exchange (map-side partials make it k rows per task).
+    QueryDef("x42_heavy_hitters",
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |), t AS (SELECT count(*) AS n FROM w)
+        |SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |FROM w, t
+        |GROUP BY word, t.n
+        |HAVING count(*) * 40 > t.n
+        |ORDER BY cnt DESC, word""".stripMargin) { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+      val summary = words.agg(
+        graft.functions.HeavyHitters(col("word")).as("mg"),
+        count(lit(1)).as("n"))
+      val candidates = summary
+        .select(explode(map_keys(col("mg"))).as("word"), col("n"))
+      words
+        .join(broadcast(candidates.select("word")), Seq("word"), "left_semi")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(candidates.select("n").limit(1)))
+        .filter(col("cnt") * 40 > col("n"))
+        .select(col("word"), col("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
     }
   )
 }

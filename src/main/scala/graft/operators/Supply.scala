@@ -207,6 +207,95 @@ object Supply {
         .agg(count(lit(1)).as("numcust"),
           Num.roundOut(sum(col("c_acctbal")), 2).as("totacctbal"))
         .orderBy(col("n_name"))
+    },
+
+    // Q21 silhouette (suppliers who kept orders waiting): the schema has
+    // no commit/receipt dates, so "late" is shipped more than 90 days
+    // after the order date. The correlated EXISTS / NOT EXISTS pair is
+    // rewritten as ONE per-order aggregate — distinct suppliers and
+    // distinct LATE suppliers — then late lines join back and keep orders
+    // where another supplier participated (n_supp >= 2) but this was the
+    // only late one (n_late_supp = 1). The DuckDB oracle runs the literal
+    // EXISTS form, so the rewrite's equivalence is hash-checked.
+    //
+    // Scale: the fact joins orders on o_orderkey and both the stats
+    // aggregate and the join-back hash on the same l_orderkey keying, so
+    // Catalyst reuses one exchange of the fact; supplier is broadcast.
+    // The classic nested-loop decorrelation (one subquery probe per row)
+    // never appears.
+    QueryDef("q65_waiting_suppliers",
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val fOrders = Tables.table(s, d, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val lines = Tables.table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("late"))
+      val orderStats = lines.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .select(col("l_orderkey"))
+      lines.filter(col("late"))
+        .join(orderStats, Seq("l_orderkey"))
+        .join(broadcast(Tables.table(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).cast("long").as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+
+    // Q17 silhouette (small-quantity-order revenue): a correlated scalar
+    // aggregate — "below 20% of THIS part's average quantity" — becomes a
+    // per-part aggregate of the fact self-joined back onto the fact.
+    // Distinct from q62's global scalar: the threshold is per GROUP.
+    //
+    // Scale: both the avg-aggregate and the join-back hash lineitem on
+    // l_partkey, so AQE reuses one exchange of the fact; the part-type
+    // filter prunes via a broadcast join before the heavy self-join. The
+    // row-per-probe decorrelation never appears in the plan.
+    QueryDef("q66_small_qty_revenue",
+      """SELECT round(1e-9 + sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
+        |      FROM lineitem GROUP BY l_partkey) t
+        |  ON t.l_partkey = l.l_partkey
+        |WHERE p.p_type = 'ECONOMY' AND l.l_quantity < t.qty_lim""".stripMargin) { (s, d) =>
+      val econParts = Tables.table(s, d, "part")
+        .filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey").as("l_partkey"))
+      // filter BOTH sides by the broadcast part-type dim first: each
+      // part's average is unchanged (it is per-partkey over all its
+      // lines), and the avg-side and probe-side exchanges become the
+      // IDENTICAL subplan, so Catalyst plans one fact shuffle (ReuseExchange)
+      val li = Tables.table(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(econParts), Seq("l_partkey"))
+      val lims = li.groupBy(col("l_partkey"))
+        .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_lim"))
+      li.join(lims, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("qty_lim"))
+        .agg(Num.roundOut(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
     }
   )
 }

@@ -99,6 +99,11 @@ object Windows {
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"))
+        // one explicit user-keyed exchange serves BOTH windows:
+        // HashPartitioning(user) satisfies Clustered(user, event_type) (a
+        // subset clusters any superset), whereas planning bottom-up would
+        // shuffle on (user, event_type) first and then AGAIN on user.
+        .repartition(col("user_id"))
         .withColumn("first_seen",
           when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
         .select(col("user_id"), col("event_id"), col("ts_us"),

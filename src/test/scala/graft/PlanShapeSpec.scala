@@ -188,4 +188,37 @@ class PlanShapeSpec extends AnyFunSuite {
       nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
       "centroid set must reach the corpus via broadcast")
   }
+
+  test("q64 running distinct: ONE hash exchange serves both window specs") {
+    // HashPartitioning(user) satisfies Clustered(user, event_type); the
+    // explicit repartition means the (user, event_type) first-sighting
+    // window and the user-keyed running sum share a single fact shuffle —
+    // any hash exchange beyond it is a regression to shuffle-per-window
+    val nodes = executedAll(SparkEntry.queries("q64_running_distinct")(spark, sf0_001))
+    val hashShuffles = nodes.collect {
+      case s: ShuffleExchangeLike
+        if s.outputPartitioning.getClass.getSimpleName == "HashPartitioning" => s
+    }
+    assert(hashShuffles.size == 1,
+      s"expected exactly 1 hash exchange, got ${hashShuffles.size}")
+  }
+
+  test("x42 heavy hitters: exact recount semi-joins a BROADCAST candidate set") {
+    val nodes = executedAll(SparkEntry.queries("x42_heavy_hitters")(spark, sf0_001))
+    assert(nodes.collect { case j: BroadcastHashJoinExec => j }
+      .exists(_.joinType.toString == "LeftSemi"),
+      "candidates must broadcast; the corpus is never shuffled for the join")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("q66 Q17 shape: per-part avg and join-back share one fact exchange") {
+    val nodes = executedAll(SparkEntry.queries("q66_small_qty_revenue")(spark, sf0_001))
+    val reused = nodes.exists(_.getClass.getSimpleName.contains("ReusedExchange"))
+    // the part-type dim join is always one broadcast; the avg side only
+    // counts as broadcast if a SECOND broadcast hash join appears (AQE
+    // converting the self-join at tiny SF)
+    val limsBroadcast = nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2
+    assert(reused || limsBroadcast,
+      "expected ReusedExchange on the self-join (or an AQE broadcast of the avg side)")
+  }
 }

@@ -127,6 +127,89 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  test("x42: Misra-Gries survives forced decrements; exact verify prunes noise") {
+    import spark.implicits._
+    // 600 distinct singletons force the k=256 summary to decrement: the
+    // hot word (500 occurrences, n=1100, error bound n/k < 5) MUST survive
+    // in the summary, and estimate-then-verify must report exactly it.
+    val hot = Seq.fill(500)("hot")
+    val rare = (0 until 600).map(i => s"rare$i")
+    val agg = new graft.functions.MisraGriesAggregator(graft.functions.HeavyHitters.K)
+    // adversarial order: hot first, then every decrement hits its counter
+    val half1 = (hot ++ rare.take(300)).foldLeft(agg.zero)(agg.reduce)
+    val half2 = rare.drop(300).foldLeft(agg.zero)(agg.reduce)
+    val summary = agg.finish(agg.merge(half1, half2))
+    assert(summary.size <= graft.functions.HeavyHitters.K - 1)
+    assert(summary.contains("hot") && summary("hot") >= 500L - 1100L / 256)
+    // end-to-end on a parquet fixture with the same skew
+    val dir = java.nio.file.Files.createTempDirectory("hh").toString
+    ((hot ++ rare).zipWithIndex.map { case (w, i) => (i.toLong, w) })
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("s0")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("x42_heavy_hitters")(spark, dir).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("hot", 500L)))
+  }
+
+  test("q65: only the sole-late supplier in a multi-supplier F order waits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q65").toString
+    val t0 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val late = java.sql.Timestamp.valueOf("1996-06-01 00:00:00")  // +152d
+    val ontime = java.sql.Timestamp.valueOf("1996-02-01 00:00:00") // +31d
+    Seq((1L, "F", t0), (2L, "F", t0), (3L, "F", t0), (4L, "O", t0))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(
+      (1L, 10L, late), (1L, 20L, ontime),  // A late, B on time -> A waits
+      (2L, 10L, late), (2L, 20L, late),    // both late -> nobody
+      (3L, 10L, late),                     // single supplier -> excluded
+      (4L, 10L, late), (4L, 20L, ontime))  // status O -> excluded
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((10L, "SupplierA"), (20L, "SupplierB"))
+      .toDF("s_suppkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val out = SparkEntry.queries("q65_waiting_suppliers")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("SupplierA", 1L)))
+  }
+
+  test("q67: skyline keeps duplicate optimal points and all frontier ties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sky").toString
+    Seq(
+      (1L, 10, 5.0),   // frontier
+      (2L, 10, 5.0),   // identical twin: neither dominates -> BOTH stay
+      (3L, 20, 9.0),   // frontier (bigger, pricier)
+      (4L, 10, 6.0),   // dominated by 1 (same size, cheaper exists)
+      (5L, 5, 5.0),    // dominated by 1 (same price, bigger exists)
+      (6L, 25, 9.0))   // dominates 3? no: same price, bigger size -> 3 OUT
+      .toDF("p_partkey", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = SparkEntry.queries("q67_skyline")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L, 6L))
+  }
+
+  test("q66: only below-threshold economy lines contribute") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q66").toString
+    Seq((1L, "n", "b", "ECONOMY", 1, 1.0), (2L, "n", "b", "PROMO", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // part 1: avg qty = 10, limit 2.0 -> only the qty=1 line (price 70)
+    // part 2 (PROMO): excluded entirely
+    Seq((1L, 1L, 1.0, 70.0), (1L, 1L, 19.0, 999.0), (2L, 2L, 1.0, 50.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q66_small_qty_revenue")(spark, dir)
+      .head().getDouble(0)
+    assert(got == BigDecimal(70.0 / 7.0).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("q62: every returned supplier is tied at the maximum revenue") {
     val rows = run("q62_top_supplier").select("total_rev").collect()
     assert(rows.nonEmpty)
