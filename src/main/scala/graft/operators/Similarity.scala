@@ -336,6 +336,48 @@ object Similarity {
           coalesce(col("n_earlier"), lit(0L)).as("n_earlier"),
           (coalesce(col("n_earlier"), lit(0L)) === 0).as("kept"))
         .orderBy(col("vec_id"))
+    },
+
+    // Johnson-Lindenstrauss RANDOM PROJECTION: 64-dim float embeddings down
+    // to 16 dims through a deterministic ±1 matrix derived from pure
+    // integer arithmetic — both engines synthesize the identical matrix,
+    // no stored artifact, no RNG. The sign hash needs a k*j CROSS term: an
+    // affine k*a + j*b (mod p) makes every matrix row a cyclic shift of
+    // one base pattern, and the correlated rows measurably destroy the JL
+    // bound (mean cosine error 0.38 vs 0.16 with mixing; pinned in
+    // Round6Spec). Per output dim the dot product is a SEQUENTIAL left
+    // fold in array order (the x33 parity rule), so the doubles are
+    // bit-identical cross-engine before the 6-decimal presentation round.
+    //
+    // Scale: embarrassingly parallel per-row column math — zero shuffle
+    // except the presentation sort. This is the front door to making
+    // brute-force search 4x cheaper: x05-style scans run against `proj`
+    // (16 mults/row) instead of the raw 64-dim vectors, with JL deciding
+    // the dim budget vs recall (pinned in Round6Spec).
+    QueryDef("x43_random_projection",
+      """SELECT vec_id,
+        |       list_transform(range(16), k ->
+        |         round(1e-9 + list_reduce(
+        |           list_transform(range(64), j ->
+        |             (CASE WHEN ((k * 73856093 + j * 19349663
+        |                          + (k + 1) * (j + 1) * 83492791) % 1000003) % 2 = 0
+        |                   THEN 1.0 ELSE -1.0 END)
+        |             * CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE)),
+        |           (a, b) -> a + b), 6)) AS proj
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      def sign(k: Column, j: Column): Column =
+        when(((k * 73856093L + j * 19349663L
+            + (k + 1L) * (j + 1L) * 83492791L) % 1000003L) % 2L === 0L, 1.0)
+          .otherwise(-1.0)
+      Tables.table(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(sequence(lit(0L), lit(15L)), k =>
+            Num.roundOut(
+              aggregate(sequence(lit(0L), lit(63L)), lit(0.0),
+                (acc, j) => acc + sign(k, j) *
+                  element_at(col("embedding"), (j + 1L).cast("int")).cast("double")),
+              6)).as("proj"))
+        .orderBy(col("vec_id"))
     }
   )
 

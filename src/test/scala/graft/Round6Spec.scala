@@ -210,6 +210,44 @@ class Round6Spec extends AnyFunSuite {
       BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("x43: JL projection preserves pairwise cosine within the d=16 bound") {
+    // basis-vector fixture pins the matrix itself: projecting e_j yields
+    // column j of the sign matrix, recomputed here independently
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jl").toString
+    val basis = Seq(0, 5).map { j =>
+      (j.toLong, Array.tabulate(64)(i => if (i == j) 1.0f else 0.0f).toSeq, 0)
+    }
+    basis.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val cols = SparkEntry.queries("x43_random_projection")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    def sign(k: Long, j: Long): Double =
+      if (((k * 73856093L + j * 19349663L + (k + 1) * (j + 1) * 83492791L)
+        % 1000003L) % 2 == 0) 1.0 else -1.0
+    cols.foreach { case (j, proj) =>
+      assert(proj == (0L until 16L).map(k => sign(k, j)))
+    }
+    // distortion on the real fixture: 50 adjacent pairs, 64-dim cosine vs
+    // 16-dim projected cosine (calibrated: mean 0.158 / max 0.448)
+    val full = Tables.table(spark, sf0_001, "embeddings")
+      .orderBy("vec_id").limit(100)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val proj = SparkEntry.queries("x43_random_projection")(spark, sf0_001)
+      .limit(100).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(u: Seq[Double], v: Seq[Double]) = {
+      val d = u.zip(v).map { case (a, b) => a * b }.sum
+      d / (math.sqrt(u.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
+    }
+    val errs = full.grouped(2).collect { case Array((ia, va), (ib, vb)) =>
+      math.abs(cos(va, vb) - cos(proj(ia), proj(ib)))
+    }.toSeq
+    assert(errs.size == 50)
+    assert(errs.max < 0.6, s"worst-pair distortion ${errs.max}")
+    assert(errs.sum / errs.size < 0.25, s"mean distortion ${errs.sum / errs.size}")
+  }
+
   test("q62: every returned supplier is tied at the maximum revenue") {
     val rows = run("q62_top_supplier").select("total_rev").collect()
     assert(rows.nonEmpty)
