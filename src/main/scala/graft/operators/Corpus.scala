@@ -272,9 +272,8 @@ object Corpus {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
           p => p.getField("id")).as("ids"),
           count(lit(1)).as("n_toks"))
-      val sh = docs
-        .withColumn("shard", (Text.fingerprint(col("text")) % 4).cast("int"))
-        .select(col("doc_id"), col("shard"))
+      val sh = TextAnalysis.fingerprintTable(s, d)
+        .select(col("doc_id"), (col("fp") % 4).cast("int").as("shard"))
         .join(da, Seq("doc_id"))
       val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -33,7 +33,7 @@ object Dedup {
     * an interpreted nested-HOF expression; computing it once per corpus
     * instead of once per query is the production contract, and warm reads
     * skip it entirely). */
-  private def shingleTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+  private[operators] def shingleTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     DerivedTable(s, d, "documents", "shingles") {
       shingled(Tables.documents(s, d))
     }

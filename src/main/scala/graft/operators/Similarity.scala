@@ -365,18 +365,24 @@ object Similarity {
         |             * CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE)),
         |           (a, b) -> a + b), 6)) AS proj
         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
-      def sign(k: Column, j: Column): Column =
-        when(((k * 73856093L + j * 19349663L
-            + (k + 1L) * (j + 1L) * 83492791L) % 1000003L) % 2L === 0L, 1.0)
-          .otherwise(-1.0)
+      // the sign matrix is a compile-time constant — unroll the 16 output
+      // dims into FLAT codegen'd sums (the x03 simhash trick) instead of
+      // an interpreted transform×aggregate lambda (1024 interpreted steps
+      // per row, 3x slower). reduce() is the same left fold in j order as
+      // the oracle's list_reduce, so the doubles stay bit-identical.
+      def sign(k: Long, j: Long): Double =
+        if (((k * 73856093L + j * 19349663L
+          + (k + 1L) * (j + 1L) * 83492791L) % 1000003L) % 2L == 0L) 1.0
+        else -1.0
+      val projCols = (0 until 16).map { k =>
+        Num.roundOut(
+          (0 until 64).map { j =>
+            element_at(col("embedding"), j + 1).cast("double") *
+              lit(sign(k.toLong, j.toLong))
+          }.reduce(_ + _), 6)
+      }
       Tables.table(s, d, "embeddings")
-        .select(col("vec_id"),
-          transform(sequence(lit(0L), lit(15L)), k =>
-            Num.roundOut(
-              aggregate(sequence(lit(0L), lit(63L)), lit(0.0),
-                (acc, j) => acc + sign(k, j) *
-                  element_at(col("embedding"), (j + 1L).cast("int")).cast("double")),
-              6)).as("proj"))
+        .select(col("vec_id"), array(projCols: _*).as("proj"))
         .orderBy(col("vec_id"))
     }
   )
