@@ -562,6 +562,143 @@ object Corpus {
         .filter(col("cnt") * 40 > col("n"))
         .select(col("word"), col("cnt"))
         .orderBy(col("cnt").desc, col("word"))
+    },
+
+    // BPE MERGE LEARNING (Sennrich et al. 2016), three unrolled iterations
+    // over the (word, freq) vocabulary: count adjacent symbol pairs
+    // weighted by word frequency, take the top pair, merge it, repeat.
+    // The sequential "apply merge greedily left-to-right, non-overlapping"
+    // step — the reason BPE trainers are single-node loops — is expressed
+    // relationally: inside each RUN of consecutive matching positions
+    // (gaps-and-islands), greedy selection is exactly every OTHER position
+    // from the run start ((pos - island_start) % 2 = 0), e.g. 'aaaa' under
+    // (a,a) merges positions {0,2} -> 'aa aa'. Both engines compute the
+    // identical selection, so the learned merges are hash-checked.
+    //
+    // Scale: everything after the initial corpus word count runs on the
+    // VOCABULARY (distinct words × symbols) — orders of magnitude under
+    // the corpus, the same working set a production BPE trainer holds.
+    // Per iteration: two word-keyed window passes + one pair aggregate;
+    // the top pair is a one-row broadcast.
+    QueryDef("x44_bpe_merges",
+      """WITH vocab AS (
+        |  SELECT word, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word
+        |), syms0 AS (
+        |  SELECT word, freq, CAST(i AS INT) AS pos, word[i+1] AS sym
+        |  FROM (SELECT word, freq, unnest(range(len(word))) AS i FROM vocab)
+        |), p1 AS (
+        |  SELECT sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r, freq
+        |  FROM syms0
+        |), t1 AS (
+        |  SELECT l, r, sum(freq) AS cnt FROM p1 WHERE r IS NOT NULL
+        |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
+        |), m1 AS (
+        |  SELECT s.word, s.freq, s.pos, s.sym,
+        |         coalesce(s.sym = t.l AND
+        |           lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = t.r,
+        |           false) AS mtch
+        |  FROM syms0 s CROSS JOIN t1 t
+        |), i1 AS (
+        |  SELECT *, CASE WHEN mtch THEN pos - row_number()
+        |    OVER (PARTITION BY word, mtch ORDER BY pos) END AS grp FROM m1
+        |), s1 AS (
+        |  SELECT *, mtch AND (pos - min(pos)
+        |    OVER (PARTITION BY word, grp)) % 2 = 0 AS sel
+        |  FROM i1
+        |), r1 AS (
+        |  SELECT word, freq,
+        |         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS INT) AS pos,
+        |         CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
+        |  FROM (SELECT *, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+        |               lag(sel) OVER (PARTITION BY word ORDER BY pos) AS psel
+        |        FROM s1)
+        |  WHERE NOT coalesce(psel, false)
+        |), p2 AS (
+        |  SELECT sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r, freq
+        |  FROM r1
+        |), t2 AS (
+        |  SELECT l, r, sum(freq) AS cnt FROM p2 WHERE r IS NOT NULL
+        |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
+        |), m2 AS (
+        |  SELECT s.word, s.freq, s.pos, s.sym,
+        |         coalesce(s.sym = t.l AND
+        |           lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = t.r,
+        |           false) AS mtch
+        |  FROM r1 s CROSS JOIN t2 t
+        |), i2 AS (
+        |  SELECT *, CASE WHEN mtch THEN pos - row_number()
+        |    OVER (PARTITION BY word, mtch ORDER BY pos) END AS grp FROM m2
+        |), s2 AS (
+        |  SELECT *, mtch AND (pos - min(pos)
+        |    OVER (PARTITION BY word, grp)) % 2 = 0 AS sel
+        |  FROM i2
+        |), r2 AS (
+        |  SELECT word, freq,
+        |         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS INT) AS pos,
+        |         CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
+        |  FROM (SELECT *, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+        |               lag(sel) OVER (PARTITION BY word ORDER BY pos) AS psel
+        |        FROM s2)
+        |  WHERE NOT coalesce(psel, false)
+        |), p3 AS (
+        |  SELECT sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r, freq
+        |  FROM r2
+        |), t3 AS (
+        |  SELECT l, r, sum(freq) AS cnt FROM p3 WHERE r IS NOT NULL
+        |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
+        |)
+        |SELECT CAST(1 AS INT) AS rank, l, r, l || r AS merged, CAST(cnt AS BIGINT) AS cnt FROM t1
+        |UNION ALL
+        |SELECT 2, l, r, l || r, CAST(cnt AS BIGINT) FROM t2
+        |UNION ALL
+        |SELECT 3, l, r, l || r, CAST(cnt AS BIGINT) FROM t3
+        |ORDER BY rank""".stripMargin) { (s, d) =>
+      val wOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
+
+      def topPair(syms: DataFrame): DataFrame =
+        syms.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("sym").as("l"), col("nxt").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+
+      def applyMerge(syms: DataFrame, top: DataFrame): DataFrame = {
+        val m = syms.crossJoin(broadcast(top))
+          .withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+          .withColumn("mtch", coalesce(
+            col("sym") === col("l") && col("nxt") === col("r"), lit(false)))
+        val sel = m
+          .withColumn("grp", when(col("mtch"), col("pos") - row_number().over(
+            Window.partitionBy(col("word"), col("mtch")).orderBy(col("pos")))))
+          .withColumn("sel", col("mtch") && (col("pos") - min(col("pos")).over(
+            Window.partitionBy(col("word"), col("grp")))) % 2 === 0)
+        sel.withColumn("psel", lag(col("sel"), 1).over(wOrd))
+          .filter(!coalesce(col("psel"), lit(false)))
+          .withColumn("pos2", (row_number().over(wOrd) - 1).cast("int"))
+          .select(col("word"), col("freq"), col("pos2").as("pos"),
+            when(col("sel"), concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+      }
+
+      val vocab = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val syms0 = vocab
+        .select(col("word"), col("freq"),
+          posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+        .localCheckpoint() // vocab-sized; feeds pair count + merge apply
+      val t1 = topPair(syms0).localCheckpoint()
+      val r1 = applyMerge(syms0, t1).localCheckpoint()
+      val t2 = topPair(r1).localCheckpoint()
+      val r2 = applyMerge(r1, t2).localCheckpoint()
+      val t3 = topPair(r2)
+      def shape(t: DataFrame, rank: Int): DataFrame =
+        t.select(lit(rank).as("rank"), col("l"), col("r"),
+          concat(col("l"), col("r")).as("merged"), col("cnt"))
+      shape(t1, 1).unionAll(shape(t2, 2)).unionAll(shape(t3, 3))
+        .orderBy(col("rank"))
     }
   )
 }

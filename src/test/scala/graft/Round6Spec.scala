@@ -248,6 +248,27 @@ class Round6Spec extends AnyFunSuite {
     assert(errs.sum / errs.size < 0.25, s"mean distortion ${errs.sum / errs.size}")
   }
 
+  test("x44: BPE merges apply greedily left-to-right on overlapping runs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    // vocab: aaaa(freq 2), aaa(1), b(1). Merge 1 must be (a,a) weight
+    // 3*2+2*1=8; 'aaaa' has matches at {0,1,2} -> greedy selects {0,2}
+    // ('aa'+'aa', NOT 'aa'+'a'+'a'), 'aaa' selects {0} ('aa'+'a').
+    // Merge 2: (aa,aa) from 'aaaa' weight 2; merge 3: (aa,a) weight 1.
+    Seq((1L, "aaaa aaaa aaa b"))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("s0")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("x44_bpe_merges")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1, "a", "a", "aa", 8L),
+      (2, "aa", "aa", "aaaa", 2L),
+      (3, "aa", "a", "aaa", 1L)))
+  }
+
   test("q62: every returned supplier is tied at the maximum revenue") {
     val rows = run("q62_top_supplier").select("total_rev").collect()
     assert(rows.nonEmpty)
