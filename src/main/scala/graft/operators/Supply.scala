@@ -249,9 +249,18 @@ object Supply {
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
         .select(col("l_orderkey"), col("l_suppkey"), col("late"))
-      val orderStats = lines.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      // two-level aggregate instead of dual COUNT(DISTINCT): a per-
+      // (order, supplier) any-late pass, then plain counts per order.
+      // Both levels' clustering is satisfied by the join's existing
+      // l_orderkey hash partitioning (subset rule), so NEITHER adds an
+      // exchange — the Expand plan a dual distinct-aggregate produces
+      // would double the fact rows through two more shuffles.
+      val orderStats = lines
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("supp_late"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supp"))
         .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
         .select(col("l_orderkey"))
       lines.filter(col("late"))
