@@ -581,68 +581,7 @@ object Corpus {
     // Per iteration: two word-keyed window passes + one pair aggregate;
     // the top pair is a one-row broadcast.
     QueryDef("x44_bpe_merges",
-      """WITH vocab AS (
-        |  SELECT word, count(*) AS freq
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  GROUP BY word
-        |), syms0 AS (
-        |  SELECT word, freq, CAST(i AS INT) AS pos, word[i+1] AS sym
-        |  FROM (SELECT word, freq, unnest(range(len(word))) AS i FROM vocab)
-        |), p1 AS (
-        |  SELECT sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r, freq
-        |  FROM syms0
-        |), t1 AS (
-        |  SELECT l, r, sum(freq) AS cnt FROM p1 WHERE r IS NOT NULL
-        |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
-        |), m1 AS (
-        |  SELECT s.word, s.freq, s.pos, s.sym,
-        |         coalesce(s.sym = t.l AND
-        |           lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = t.r,
-        |           false) AS mtch
-        |  FROM syms0 s CROSS JOIN t1 t
-        |), i1 AS (
-        |  SELECT *, CASE WHEN mtch THEN pos - row_number()
-        |    OVER (PARTITION BY word, mtch ORDER BY pos) END AS grp FROM m1
-        |), s1 AS (
-        |  SELECT *, mtch AND (pos - min(pos)
-        |    OVER (PARTITION BY word, grp)) % 2 = 0 AS sel
-        |  FROM i1
-        |), r1 AS (
-        |  SELECT word, freq,
-        |         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS INT) AS pos,
-        |         CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
-        |  FROM (SELECT *, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
-        |               lag(sel) OVER (PARTITION BY word ORDER BY pos) AS psel
-        |        FROM s1)
-        |  WHERE NOT coalesce(psel, false)
-        |), p2 AS (
-        |  SELECT sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r, freq
-        |  FROM r1
-        |), t2 AS (
-        |  SELECT l, r, sum(freq) AS cnt FROM p2 WHERE r IS NOT NULL
-        |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
-        |), m2 AS (
-        |  SELECT s.word, s.freq, s.pos, s.sym,
-        |         coalesce(s.sym = t.l AND
-        |           lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = t.r,
-        |           false) AS mtch
-        |  FROM r1 s CROSS JOIN t2 t
-        |), i2 AS (
-        |  SELECT *, CASE WHEN mtch THEN pos - row_number()
-        |    OVER (PARTITION BY word, mtch ORDER BY pos) END AS grp FROM m2
-        |), s2 AS (
-        |  SELECT *, mtch AND (pos - min(pos)
-        |    OVER (PARTITION BY word, grp)) % 2 = 0 AS sel
-        |  FROM i2
-        |), r2 AS (
-        |  SELECT word, freq,
-        |         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS INT) AS pos,
-        |         CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
-        |  FROM (SELECT *, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
-        |               lag(sel) OVER (PARTITION BY word ORDER BY pos) AS psel
-        |        FROM s2)
-        |  WHERE NOT coalesce(psel, false)
-        |), p3 AS (
+      s"""WITH $bpeChainSql, p3 AS (
         |  SELECT sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r, freq
         |  FROM r2
         |), t3 AS (
@@ -655,50 +594,166 @@ object Corpus {
         |UNION ALL
         |SELECT 3, l, r, l || r, CAST(cnt AS BIGINT) FROM t3
         |ORDER BY rank""".stripMargin) { (s, d) =>
-      val wOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
-
-      def topPair(syms: DataFrame): DataFrame =
-        syms.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
-          .filter(col("nxt").isNotNull)
-          .groupBy(col("sym").as("l"), col("nxt").as("r"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-
-      def applyMerge(syms: DataFrame, top: DataFrame): DataFrame = {
-        val m = syms.crossJoin(broadcast(top))
-          .withColumn("nxt", lead(col("sym"), 1).over(wOrd))
-          .withColumn("mtch", coalesce(
-            col("sym") === col("l") && col("nxt") === col("r"), lit(false)))
-        val sel = m
-          .withColumn("grp", when(col("mtch"), col("pos") - row_number().over(
-            Window.partitionBy(col("word"), col("mtch")).orderBy(col("pos")))))
-          .withColumn("sel", col("mtch") && (col("pos") - min(col("pos")).over(
-            Window.partitionBy(col("word"), col("grp")))) % 2 === 0)
-        sel.withColumn("psel", lag(col("sel"), 1).over(wOrd))
-          .filter(!coalesce(col("psel"), lit(false)))
-          .withColumn("pos2", (row_number().over(wOrd) - 1).cast("int"))
-          .select(col("word"), col("freq"), col("pos2").as("pos"),
-            when(col("sel"), concat(col("sym"), col("nxt")))
-              .otherwise(col("sym")).as("sym"))
-      }
-
-      val vocab = Tables.documents(s, d)
-        .select(explode(Text.tokens(col("text"))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      val syms0 = vocab
-        .select(col("word"), col("freq"),
-          posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
-        .localCheckpoint() // vocab-sized; feeds pair count + merge apply
-      val t1 = topPair(syms0).localCheckpoint()
-      val r1 = applyMerge(syms0, t1).localCheckpoint()
-      val t2 = topPair(r1).localCheckpoint()
-      val r2 = applyMerge(r1, t2).localCheckpoint()
-      val t3 = topPair(r2)
+      val (t1, t2, r2) = bpeLearn(s, d)
+      val t3 = bpeTopPair(r2)
       def shape(t: DataFrame, rank: Int): DataFrame =
         t.select(lit(rank).as("rank"), col("l"), col("r"),
           concat(col("l"), col("r")).as("merged"), col("cnt"))
       shape(t1, 1).unionAll(shape(t2, 2)).unionAll(shape(t3, 3))
         .orderBy(col("rank"))
+    },
+
+    // BPE ENCODING — the learned artifact APPLIED: x44's first two merges
+    // segment every vocabulary word into pieces, and the corpus is encoded
+    // through a BROADCAST (word → piece count) map — the word-cache design
+    // every production tokenizer uses (encode distinct words once, not
+    // every token occurrence). Reports per-document fertility
+    // (pieces/word), the standard tokenizer-quality metric.
+    //
+    // Scale: merge learning + word segmentation stay vocabulary-sized; the
+    // corpus-sized work is one broadcast-join pass over tokens with a
+    // per-doc partial aggregate. The word cache is |vocab| rows — if the
+    // vocab outgrew a broadcast, the join degrades to one equi-shuffle on
+    // word, nothing else changes.
+    QueryDef("x45_bpe_encode",
+      s"""WITH $bpeChainSql, pieces AS (
+        |  SELECT word, count(*) AS n_pieces FROM r2 GROUP BY word
+        |), tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |)
+        |SELECT doc_id, count(*) AS n_words,
+        |       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+        |       round(1e-9 + sum(n_pieces) * 1.0 / count(*), 4) AS pieces_per_word
+        |FROM tok JOIN pieces USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val (_, _, r2) = bpeLearn(s, d)
+      val pieces = r2.groupBy(col("word")).agg(count(lit(1)).as("n_pieces"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+        .join(broadcast(pieces), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          Num.roundOut(sum(col("n_pieces")) * 1.0 / count(lit(1)), 4)
+            .as("pieces_per_word"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** One BPE iteration chain (vocab → char symbols → top pair t1 → merged
+    * r1 → top pair t2 → merged r2) as DuckDB CTEs, interpolated into both
+    * the x44 and x45 oracles (the x33/x34 shared-CTE pattern: one
+    * definition, so learning and encoding can't drift apart). */
+  private def bpeChainSql: String =
+    """vocab AS (
+      |  SELECT word, count(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY word
+      |), syms0 AS (
+      |  SELECT word, freq, CAST(i AS INT) AS pos, word[i+1] AS sym
+      |  FROM (SELECT word, freq, unnest(range(len(word))) AS i FROM vocab)
+      |), p1 AS (
+      |  SELECT sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r, freq
+      |  FROM syms0
+      |), t1 AS (
+      |  SELECT l, r, sum(freq) AS cnt FROM p1 WHERE r IS NOT NULL
+      |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
+      |), m1 AS (
+      |  SELECT s.word, s.freq, s.pos, s.sym,
+      |         coalesce(s.sym = t.l AND
+      |           lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = t.r,
+      |           false) AS mtch
+      |  FROM syms0 s CROSS JOIN t1 t
+      |), i1 AS (
+      |  SELECT *, CASE WHEN mtch THEN pos - row_number()
+      |    OVER (PARTITION BY word, mtch ORDER BY pos) END AS grp FROM m1
+      |), s1 AS (
+      |  SELECT *, mtch AND (pos - min(pos)
+      |    OVER (PARTITION BY word, grp)) % 2 = 0 AS sel
+      |  FROM i1
+      |), r1 AS (
+      |  SELECT word, freq,
+      |         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS INT) AS pos,
+      |         CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
+      |  FROM (SELECT *, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+      |               lag(sel) OVER (PARTITION BY word ORDER BY pos) AS psel
+      |        FROM s1)
+      |  WHERE NOT coalesce(psel, false)
+      |), p2 AS (
+      |  SELECT sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r, freq
+      |  FROM r1
+      |), t2 AS (
+      |  SELECT l, r, sum(freq) AS cnt FROM p2 WHERE r IS NOT NULL
+      |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
+      |), m2 AS (
+      |  SELECT s.word, s.freq, s.pos, s.sym,
+      |         coalesce(s.sym = t.l AND
+      |           lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = t.r,
+      |           false) AS mtch
+      |  FROM r1 s CROSS JOIN t2 t
+      |), i2 AS (
+      |  SELECT *, CASE WHEN mtch THEN pos - row_number()
+      |    OVER (PARTITION BY word, mtch ORDER BY pos) END AS grp FROM m2
+      |), s2 AS (
+      |  SELECT *, mtch AND (pos - min(pos)
+      |    OVER (PARTITION BY word, grp)) % 2 = 0 AS sel
+      |  FROM i2
+      |), r2 AS (
+      |  SELECT word, freq,
+      |         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS INT) AS pos,
+      |         CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
+      |  FROM (SELECT *, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+      |               lag(sel) OVER (PARTITION BY word ORDER BY pos) AS psel
+      |        FROM s2)
+      |  WHERE NOT coalesce(psel, false)
+      |)""".stripMargin
+
+  private val bpeOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
+
+  /** Highest-weight adjacent symbol pair, ties broken lexically — 1 row. */
+  private def bpeTopPair(syms: DataFrame): DataFrame =
+    syms.withColumn("nxt", lead(col("sym"), 1).over(bpeOrd))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("l"), col("nxt").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+
+  /** Greedy left-to-right non-overlapping merge of `top` into the symbol
+    * stream: every other position inside each consecutive-match run. */
+  private def bpeApplyMerge(syms: DataFrame, top: DataFrame): DataFrame = {
+    val m = syms.crossJoin(broadcast(top))
+      .withColumn("nxt", lead(col("sym"), 1).over(bpeOrd))
+      .withColumn("mtch", coalesce(
+        col("sym") === col("l") && col("nxt") === col("r"), lit(false)))
+    val sel = m
+      .withColumn("grp", when(col("mtch"), col("pos") - row_number().over(
+        Window.partitionBy(col("word"), col("mtch")).orderBy(col("pos")))))
+      .withColumn("sel", col("mtch") && (col("pos") - min(col("pos")).over(
+        Window.partitionBy(col("word"), col("grp")))) % 2 === 0)
+    sel.withColumn("psel", lag(col("sel"), 1).over(bpeOrd))
+      .filter(!coalesce(col("psel"), lit(false)))
+      .withColumn("pos2", (row_number().over(bpeOrd) - 1).cast("int"))
+      .select(col("word"), col("freq"), col("pos2").as("pos"),
+        when(col("sel"), concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym"))
+  }
+
+  /** Two learned merges over the corpus vocabulary: (t1, t2, r2) where
+    * r2 is the symbol stream after both merges. Each stage checkpoints —
+    * vocab-sized — because it feeds two downstream consumers. */
+  private def bpeLearn(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val syms0 = vocab
+      .select(col("word"), col("freq"),
+        posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+      .localCheckpoint()
+    val t1 = bpeTopPair(syms0).localCheckpoint()
+    val r1 = bpeApplyMerge(syms0, t1).localCheckpoint()
+    val t2 = bpeTopPair(r1).localCheckpoint()
+    val r2 = bpeApplyMerge(r1, t2).localCheckpoint()
+    (t1, t2, r2)
+  }
 }

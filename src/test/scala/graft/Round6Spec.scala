@@ -269,6 +269,20 @@ class Round6Spec extends AnyFunSuite {
       (3, "aa", "a", "aaa", 1L)))
   }
 
+  test("x45: encoding fertility reflects the two learned merges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpee").toString
+    Seq((1L, "aaaa aaaa aaa b"))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("s0")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // merges (a,a) then (aa,aa): 'aaaa'->1 piece, 'aaa'->2 (aa+a), 'b'->1
+    // doc = aaaa aaaa aaa b -> 4 words, 1+1+2+1 = 5 pieces
+    val out = SparkEntry.queries("x45_bpe_encode")(spark, dir).head()
+    assert((out.getLong(1), out.getLong(2), out.getDouble(3)) == ((4L, 5L, 1.25)))
+  }
+
   test("q62: every returned supplier is tied at the maximum revenue") {
     val rows = run("q62_top_supplier").select("total_rev").collect()
     assert(rows.nonEmpty)
