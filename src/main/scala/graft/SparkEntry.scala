@@ -28,10 +28,12 @@ object SparkEntry {
     PhysicalDesign.entries ++
     Typed.entries ++
     Supply.entries ++
+    Classic.entries ++
     Dedup.entries ++
     Similarity.entries ++
     TextAnalysis.entries ++
     Corpus.entries ++
+    Mining.entries ++
     Contracts.entries ++
     Pareto.entries ++
     Multimodal.entries ++

@@ -1,0 +1,357 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+import graft.{QueryDef, Tables}
+
+/** The remaining classic TPC-H silhouettes (Q1/Q4/Q7/Q8/Q10/Q13/Q14/Q16/
+  * Q19) over the driver's star schema — the scan-heavy aggregate, the
+  * EXISTS semi-join, the two-sided nation pair, the market-share ratio,
+  * the outer-join histogram, the OR-of-ANDs pushdown, and the distinct
+  * aggregate. Together with Supply.scala (Q3/Q5/Q15/Q17/Q18/Q21/Q22)
+  * these cover every TPC-H query shape expressible on the available
+  * columns (no partsupp table, no commit/receipt dates).
+  *
+  * Scale: each query's comment states its exchange budget. The common
+  * theme: dimensions broadcast (region/nation always; part/supplier/
+  * customer after their filters), so lineitem — the 100 TB table — is
+  * shuffled at most once, and only when an aggregation key demands it.
+  */
+object Classic {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 (pricing summary): the canonical scan-heavy report — one
+    // pass over the fact, partial/final hash agg on a 6-value group key.
+    // No join, no wide shuffle: the exchange carries 6 rows × 8 partial
+    // sums. At 100 TB this is bandwidth-bound on the parquet scan, which
+    // is the optimum; ReadSchema prunes to the 7 referenced columns.
+    QueryDef("q68_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(1e-9 + sum(l_quantity), 2) AS sum_qty,
+        |       round(1e-9 + sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2)
+        |         AS sum_disc_price,
+        |       round(1e-9 + sum(l_extendedprice * (1 - l_discount)
+        |                        * (1 + l_tax)), 2) AS sum_charge,
+        |       round(1e-9 + avg(l_quantity), 4) AS avg_qty,
+        |       round(1e-9 + avg(l_extendedprice), 4) AS avg_price,
+        |       round(1e-9 + avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Num.roundOut(sum(col("l_quantity")), 2).as("sum_qty"),
+          Num.roundOut(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          Num.roundOut(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          Num.roundOut(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          Num.roundOut(avg(col("l_quantity")), 4).as("avg_qty"),
+          Num.roundOut(avg(col("l_extendedprice")), 4).as("avg_price"),
+          Num.roundOut(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // TPC-H Q4 (order-priority checking): EXISTS(one late line) becomes a
+    // LEFT SEMI join orders ⋉ lineitem on the order key plus the non-equi
+    // lateness conjunct — hash semi on l_orderkey, extra predicate
+    // evaluated on probe. The date filter prunes orders at the scan; the
+    // fact never aggregates, it only dedups into the semi's hash set.
+    QueryDef("q72_priority_check",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val lines = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      orders
+        .join(lines, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // TPC-H Q7 (volume shipping): revenue between a nation PAIR by ship
+    // year. Both nation dims filter to one row each and broadcast; the
+    // pair disjunction evaluates after the supplier/customer hops. The
+    // supplier and customer dims stay broadcast-size, so the fact's only
+    // exchange is the final 4-row aggregate.
+    QueryDef("q69_volume_shipping",
+      """SELECT supp_nation, cust_nation, l_year,
+        |       round(1e-9 + sum(volume), 2) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |             l_extendedprice * (1 - l_discount) AS volume
+        |      FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        |      JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |      JOIN customer c ON c.c_custkey = o.o_custkey
+        |      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01') t
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      li
+        .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(Num.roundOut(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // TPC-H Q8 (market share): one nation's share of a region's imports of
+    // one part type, by order year. Declared as ONE aggregate with a
+    // conditional numerator (sum-when) instead of TPC-H's two-branch CASE
+    // subquery — same semantics, half the plan. Num/denom are rounded to
+    // cents BEFORE the division on both engines, so the share is a ratio
+    // of two exact decimals and the hash can't drift with summation order.
+    QueryDef("q70_market_share",
+      """WITH vols AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |         round(1e-9 + sum(CASE WHEN n2.n_name = 'NATION_3'
+        |                 THEN l_extendedprice * (1 - l_discount)
+        |                 ELSE 0 END), 2) AS nat_vol,
+        |         round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2)
+        |           AS all_vol
+        |  FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |  WHERE r.r_name = 'AMERICA' AND p.p_type = 'LARGE'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY year(o_orderdate))
+        |SELECT o_year, nat_vol, all_vol,
+        |       round(1e-9 + nat_vol / all_vol, 6) AS mkt_share
+        |FROM vols ORDER BY o_year""".stripMargin) { (s, d) =>
+      val parts = Tables.part(s, d).filter(col("p_type") === "LARGE")
+        .select(col("p_partkey"))
+      val custRegion = Tables.customer(s, d)
+        .join(Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNation = Tables.supplier(s, d)
+        .join(Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val vols = Tables.lineitem(s, d)
+        .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(suppNation), col("s_suppkey") === col("l_suppkey"))
+        .join(orders, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(custRegion), col("c_custkey") === col("o_custkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          Num.roundOut(sum(when(col("supp_nation") === "NATION_3",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0))), 2).as("nat_vol"),
+          Num.roundOut(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("all_vol"))
+      vols.select(col("o_year"), col("nat_vol"), col("all_vol"),
+          Num.roundOut(col("nat_vol") / col("all_vol"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+
+    // TPC-H Q10 (returned items): top-20 customers by returned revenue in
+    // a quarter. The date-pruned orders side shrinks the fact join; nation
+    // broadcasts; TakeOrderedAndProject does the distributed top-k (no
+    // global sort materializes).
+    QueryDef("q71_returned_items",
+      """SELECT c.c_custkey, c.c_name,
+        |       round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2)
+        |         AS revenue,
+        |       round(1e-9 + c.c_acctbal, 2) AS acctbal, n.n_name
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(Num.roundOut(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          Num.roundOut(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q13 (customer order-count distribution): the outer-join
+    // histogram — every customer keeps a row (COUNT of a null key is 0),
+    // then the per-customer counts histogram. Two aggregates, each a
+    // narrow exchange (custkey ints, then tiny count groups).
+    QueryDef("q73_cust_order_dist",
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM customer c LEFT JOIN orders o
+        |        ON c.c_custkey = o.o_custkey
+        |           AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY c.c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q14 (promo revenue share): one month's promo-type share of
+    // revenue — conditional numerator over one date-pruned scan, part dim
+    // broadcast. Both sums exact-rounded before the percentage division
+    // (same determinism contract as q70).
+    QueryDef("q74_promo_revenue",
+      """WITH s AS (
+        |  SELECT round(1e-9 + sum(CASE WHEN p_type = 'PROMO'
+        |           THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+        |           AS promo_rev,
+        |         round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2)
+        |           AS total_rev
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+        |    AND l.l_shipdate < TIMESTAMP '1997-04-01')
+        |SELECT promo_rev, total_rev,
+        |       round(1e-9 + 100.0 * promo_rev / total_rev, 4) AS promo_pct
+        |FROM s""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("p_partkey") === col("l_partkey"))
+        .agg(
+          Num.roundOut(sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0))), 2).as("promo_rev"),
+          Num.roundOut(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("total_rev"))
+        .select(col("promo_rev"), col("total_rev"),
+          Num.roundOut(lit(100.0) * col("promo_rev") / col("total_rev"), 4)
+            .as("promo_pct"))
+    },
+
+    // TPC-H Q16 (supplier count by part bucket): the distinct-aggregate
+    // shape — distinct suppliers per (brand, type, size). The part filter
+    // broadcasts; count(DISTINCT) plans as a two-level partial-distinct
+    // aggregate (dedup locally per partition, then merge), so the
+    // exchange carries already-deduped (bucket, suppkey) pairs, not raw
+    // fact rows.
+    QueryDef("q76_supplier_cnt",
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13, 17, 21, 25)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 30""".stripMargin) { (s, d) =>
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+        .limit(30)
+    },
+
+    // TPC-H Q19 (OR-of-ANDs discounted revenue): the disjunctive-predicate
+    // pushdown test. The part-side half of each disjunct (brand + size)
+    // pre-filters the broadcast dim — only parts that could satisfy SOME
+    // branch survive — and the full mixed-side disjunction evaluates after
+    // the join. Catalyst derives exactly this split via constraint
+    // propagation; declaring it keeps the plan stable without CBO.
+    QueryDef("q75_disjunct_revenue",
+      """SELECT round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2)
+        |         AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 21)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+        |       AND l.l_quantity BETWEEN 10 AND 30)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+        |       AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin) { (s, d) =>
+      val parts = Tables.part(s, d)
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35)))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"))
+        .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 21)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 40)))
+        .agg(Num.roundOut(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }
+  )
+}
