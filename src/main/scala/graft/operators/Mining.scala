@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Num, Text}
+import graft.{QueryDef, Tables}
+
+/** Corpus-mining extensions for the training-data pipeline: a bigram
+  * language model (the n>1 upgrade of x23's unigram scorer), blocked
+  * edit-distance near-dup (the character-level verifier MinHash can't
+  * express), BM25 relevance ranking (the retrieval-side scorer for
+  * data-selection-by-query), and word co-occurrence lift (PMI-style
+  * phrase/topic mining without libm logs).
+  *
+  * Determinism contract (same as x23): every oracle-compared float
+  * derives from exact long arithmetic plus a FIXED number of IEEE
+  * divisions/multiplications written in the same order on both engines —
+  * no cross-row float summation whose order could drift, no libm.
+  */
+object Mining {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // Bigram-LM familiarity scoring: train bigram + preceding-unigram
+    // counts on the x17 train split, score every document by its pooled
+    // add-one conditional probability (Σc₂+n)/(Σc₁+n·V) — the two count
+    // sums are exact longs, so ONE final division yields a bit-stable
+    // score (a per-bigram Πp would need logs; see x23's rationale).
+    // Scale: the model is the global top-K bigrams (K=2000) via
+    // distributed partial top-k, broadcast with the (small) unigram
+    // table to a scorer that is one pass over the corpus — the trainer
+    // shuffles only (bigram, count) pairs, never documents.
+    QueryDef("x46_bigram_lm",
+      s"""WITH sp AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN ${TextAnalysis.fingerprintSql} % 100 < 80
+        |              THEN 'train' ELSE 'other' END AS split
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, split, string_split(text, ' ') AS t FROM sp
+        |), bg AS (
+        |  SELECT doc_id, split,
+        |         unnest(list_transform(range(len(t)-1),
+        |                i -> t[i+1] || '_' || t[i+2])) AS bigram
+        |  FROM toks
+        |), bg2 AS (
+        |  SELECT doc_id, split, bigram,
+        |         string_split(bigram, '_')[1] AS w1 FROM bg
+        |), c2 AS (
+        |  SELECT bigram, count(*) AS c FROM bg2 WHERE split = 'train'
+        |  GROUP BY bigram
+        |), c1 AS (
+        |  SELECT w1, count(*) AS c FROM bg2 WHERE split = 'train'
+        |  GROUP BY w1
+        |), v AS (
+        |  SELECT count(*) AS v FROM c1
+        |), top2 AS (
+        |  SELECT bigram, c FROM c2 ORDER BY c DESC, bigram LIMIT 2000
+        |), per AS (
+        |  SELECT bg2.doc_id, count(*) AS n,
+        |         sum(CASE WHEN k.bigram IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |         CAST(sum(coalesce(k.c, 0)) AS BIGINT) AS sum_c2,
+        |         CAST(sum(coalesce(u.c, 0)) AS BIGINT) AS sum_c1
+        |  FROM bg2 LEFT JOIN top2 k ON bg2.bigram = k.bigram
+        |           LEFT JOIN c1 u ON bg2.w1 = u.w1
+        |  GROUP BY bg2.doc_id
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+        |       CAST(n_oov AS BIGINT) AS n_oov, sum_c2, sum_c1,
+        |       round(1e-9 + n_oov * 1.0 / n, 4) AS oov_rate,
+        |       round(1e-9 + (sum_c2 + n) * 1.0 / (sum_c1 + n * v), 6)
+        |         AS cond_prob
+        |FROM per, v ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sp = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .join(TextAnalysis.fingerprintTable(s, d), "doc_id")
+        .select(col("doc_id"),
+          when(col("fp") % 100 < 80, "train").otherwise("other").as("split"),
+          col("text"))
+      val bg = sp.select(col("doc_id"), col("split"),
+          explode(Text.rawShingles(col("text"), 2)).as("bigram"))
+        .withColumn("w1", split(col("bigram"), "_").getItem(0))
+      val c2 = bg.filter(col("split") === "train")
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+      val c1 = bg.filter(col("split") === "train")
+        .groupBy(col("w1")).agg(count(lit(1)).as("uc"))
+        .localCheckpoint() // feeds V, the per-row join, AND nothing else twice
+      val v = c1.agg(count(lit(1)).as("v"))
+      val model = c2.orderBy(col("c").desc, col("bigram")).limit(2000)
+      bg
+        .join(broadcast(model.withColumnRenamed("c", "kc")), Seq("bigram"), "left")
+        .join(broadcast(c1), Seq("w1"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kc").isNull, 1).otherwise(0)).as("n_oov"),
+          sum(coalesce(col("kc"), lit(0L))).as("sum_c2"),
+          sum(coalesce(col("uc"), lit(0L))).as("sum_c1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("n").as("n_bigrams"), col("n_oov"),
+          col("sum_c2"), col("sum_c1"),
+          Num.roundOut(col("n_oov") * 1.0 / col("n"), 4).as("oov_rate"),
+          Num.roundOut((col("sum_c2") + col("n")) * 1.0
+            / (col("sum_c1") + col("n") * col("v")), 6).as("cond_prob"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Blocked edit-distance near-dup: the character-level verifier for
+    // pairs token-set methods (MinHash/SimHash) can't judge — catches
+    // transpositions and small in-word edits. Blocking key = (lang,
+    // first token, length bucket): only same-block pairs are compared,
+    // so the quadratic is bounded per block, and the Levenshtein runs on
+    // an 80-char prefix to cap the DP cost per pair. One shuffle on the
+    // block key; no all-pairs anywhere.
+    QueryDef("x47_edit_neardup",
+      """WITH b AS (
+        |  SELECT doc_id, lang, substr(text, 1, 80) AS prefix,
+        |         string_split(text, ' ')[1] AS w0, n_chars // 40 AS lb
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |       CAST(levenshtein(a.prefix, c.prefix) AS BIGINT) AS dist
+        |FROM b a JOIN b c
+        |  ON a.lang = c.lang AND a.w0 = c.w0 AND a.lb = c.lb
+        |     AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.prefix, c.prefix) <= 30
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val b = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 80).as("prefix"),
+          element_at(Text.tokens(col("text")), 1).as("w0"),
+          expr("n_chars div 40").as("lb"))
+      val left = b.select(col("doc_id").as("id_a"), col("lang"), col("w0"),
+        col("lb"), col("prefix").as("pa"))
+      val right = b.select(col("doc_id").as("id_b"), col("lang"), col("w0"),
+        col("lb"), col("prefix").as("pb"))
+      left.join(right, Seq("lang", "w0", "lb"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+        .filter(col("dist") <= 30)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // BM25 (k1=1.2, b=0.75) for a fixed 3-term query — the retrieval
+    // scorer behind query-targeted data selection. Declared with the
+    // query terms as per-document CONDITIONAL COLUMNS (tf per term via a
+    // filtered token count), not an exploded posting join: one pass over
+    // the corpus, zero shuffles except the final top-k. The idf uses the
+    // rational Robertson form (N-df+.5)/(df+.5) — no libm log, so the
+    // score is the same fixed-order IEEE expression on both engines.
+    // Corpus stats (N, Σdl, df per term) are one tiny aggregate
+    // broadcast back — at 100 TB that is a 1-row exchange.
+    QueryDef("x48_bm25",
+      """WITH stats AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_len,
+        |         sum(CASE WHEN list_contains(string_split(text, ' '), 'spark')
+        |             THEN 1 ELSE 0 END) AS df_spark,
+        |         sum(CASE WHEN list_contains(string_split(text, ' '), 'join')
+        |             THEN 1 ELSE 0 END) AS df_join,
+        |         sum(CASE WHEN list_contains(string_split(text, ' '), 'window')
+        |             THEN 1 ELSE 0 END) AS df_window
+        |  FROM documents
+        |), per AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS dl,
+        |         len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS tf_spark,
+        |         len(list_filter(string_split(text, ' '), w -> w = 'join')) AS tf_join,
+        |         len(list_filter(string_split(text, ' '), w -> w = 'window')) AS tf_window
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+        |       CAST(tf_spark AS BIGINT) AS tf_spark,
+        |       CAST(tf_join AS BIGINT) AS tf_join,
+        |       CAST(tf_window AS BIGINT) AS tf_window,
+        |       round(1e-9 +
+        |         ((n_docs - df_spark + 0.5) / (df_spark + 0.5))
+        |           * (tf_spark * 2.2)
+        |           / (tf_spark + 1.2 * (0.25 + 0.75 * dl * n_docs / total_len))
+        |       + ((n_docs - df_join + 0.5) / (df_join + 0.5))
+        |           * (tf_join * 2.2)
+        |           / (tf_join + 1.2 * (0.25 + 0.75 * dl * n_docs / total_len))
+        |       + ((n_docs - df_window + 0.5) / (df_window + 0.5))
+        |           * (tf_window * 2.2)
+        |           / (tf_window + 1.2 * (0.25 + 0.75 * dl * n_docs / total_len)),
+        |         4) AS bm25
+        |FROM per, stats
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      def tf(term: String) =
+        size(filter(Text.tokens(col("text")), w => w === term)).cast("long")
+      def df(term: String) =
+        sum(when(array_contains(Text.tokens(col("text")), term), 1)
+          .otherwise(0)).cast("long")
+      val docs = Tables.documents(s, d)
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col("text")))).cast("long").as("total_len"),
+        df("spark").as("df_spark"), df("join").as("df_join"),
+        df("window").as("df_window"))
+      val per = docs.select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("dl"),
+        tf("spark").as("tf_spark"), tf("join").as("tf_join"),
+        tf("window").as("tf_window"))
+      // the shared BM25 length normalizer, written once — the SQL mirror
+      // repeats it inline per term, which is the identical expression tree
+      def norm = lit(1.2) * (lit(0.25) +
+        lit(0.75) * col("dl") * col("n_docs") / col("total_len"))
+      def score(t: String) =
+        ((col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5)) *
+          (col(s"tf_$t") * 2.2) / (col(s"tf_$t") + norm)
+      per.crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("dl"), col("tf_spark"), col("tf_join"),
+          col("tf_window"),
+          Num.roundOut(score("spark") + score("join") + score("window"), 4)
+            .as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // Word co-occurrence lift — PMI's rational core exp(PMI) =
+    // P(a,b)/(P(a)P(b)) = c_ab·N/(df_a·df_b) — over the top-50
+    // vocabulary: the phrase/topic-association miner. Per-document word
+    // pairs are generated by a higher-order-function nested loop over
+    // the doc's ≤50 sorted in-vocab tokens (bounded quadratic, no
+    // self-join of the exploded token table); pair counts shuffle as
+    // (word,word,count) partials. Everything is exact longs until the
+    // single lift division.
+    QueryDef("x49_word_lift",
+      """WITH vocab AS (
+        |  SELECT word, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  GROUP BY word ORDER BY c DESC, word LIMIT 50
+        |), dt AS (
+        |  SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents) t
+        |  WHERE word IN (SELECT word FROM vocab)
+        |), dfreq AS (
+        |  SELECT word, count(*) AS df FROM dt GROUP BY word
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
+        |pairs AS (
+        |  SELECT a.word AS w_a, b.word AS w_b, count(*) AS c_ab
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.word < b.word
+        |  GROUP BY a.word, b.word
+        |)
+        |SELECT w_a, w_b, c_ab, fa.df AS df_a, fb.df AS df_b,
+        |       round(1e-9 + c_ab * 1.0 * n_docs / (fa.df * fb.df), 6) AS lift
+        |FROM pairs JOIN dfreq fa ON w_a = fa.word
+        |           JOIN dfreq fb ON w_b = fb.word, n
+        |WHERE c_ab >= 5
+        |ORDER BY lift DESC, w_a, w_b LIMIT 30""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"),
+        explode(array_distinct(Text.tokens(col("text")))).as("word"))
+      val vocab = tok // df over distinct-per-doc tokens ≠ raw counts; vocab
+        // ranks by RAW frequency like the oracle, so count from raw tokens
+      val rawCounts = docs
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word")).limit(50)
+        .select(col("word"))
+      val dt = tok.join(broadcast(rawCounts), Seq("word"))
+      val dfreq = dt.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      // per-doc sorted in-vocab token list → HOF nested-loop pairs
+      val perDoc = dt.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("word"))).as("w"))
+      val pairsCol = {
+        val w = col("w")
+        flatten(transform(sequence(lit(0), size(w) - 2), i =>
+          transform(sequence(i + 1, size(w) - 1), j =>
+            struct(element_at(w, i + 1).as("w_a"),
+              element_at(w, j + 1).as("w_b")))))
+      }
+      val pairs = perDoc.filter(size(col("w")) >= 2)
+        .select(explode(pairsCol).as("p"))
+        .select(col("p.w_a"), col("p.w_b"))
+        .groupBy(col("w_a"), col("w_b")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      pairs
+        .join(broadcast(dfreq.select(col("word").as("w_a"), col("df").as("df_a"))), Seq("w_a"))
+        .join(broadcast(dfreq.select(col("word").as("w_b"), col("df").as("df_b"))), Seq("w_b"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("w_a"), col("w_b"), col("c_ab"), col("df_a"), col("df_b"),
+          Num.roundOut(col("c_ab") * 1.0 * col("n_docs")
+            / (col("df_a") * col("df_b")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("w_a"), col("w_b"))
+        .limit(30)
+    }
+  )
+}
