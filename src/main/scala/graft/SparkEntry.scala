@@ -34,6 +34,7 @@ object SparkEntry {
     TextAnalysis.entries ++
     Corpus.entries ++
     Mining.entries ++
+    Analytics.entries ++
     Contracts.entries ++
     Pareto.entries ++
     Multimodal.entries ++

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+import graft.{QueryDef, Tables}
+
+/** Product/event analytics over the `events` stream table — the funnel,
+  * cohort-retention, and SCD-2 history shapes every warehouse serves —
+  * plus triangle counting on the synthetic link graph (the multi-way
+  * self-join silhouette).
+  *
+  * Scale: every query here keys its shuffles by user_id (the natural
+  * high-cardinality partitioner for event data); per-user aggregates are
+  * tiny relative to raw events, so the stage chain narrows monotonically
+  * — raw events cross the wire at most once.
+  */
+object Analytics {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // Conversion funnel view → click → purchase with STRICT event-order
+    // semantics: each stage's timestamp must be strictly after the prior
+    // stage's (min-after-join, not min-overall — a click before the first
+    // view does not convert). Three user-keyed aggregates, each input
+    // pruned by event type at the scan; the stage joins are per-user
+    // singletons, so AQE broadcasts the later (smaller) stages.
+    // Timestamps surface as epoch micros — exact longs on both engines
+    // (Spark reads the ns fixture truncated to micros; DuckDB's epoch_us
+    // truncates identically).
+    QueryDef("q77_funnel",
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_buy
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |)
+        |SELECT v.user_id, epoch_us(v.t_view) AS view_us,
+        |       epoch_us(c.t_click) AS click_us, epoch_us(p.t_buy) AS buy_us,
+        |       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+        |         AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click").as("e")
+        .join(v.as("v"), col("e.user_id") === col("v.user_id") &&
+          col("e.ts") > col("v.t_view"))
+        .groupBy(col("e.user_id").as("user_id"))
+        .agg(min(col("e.ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").as("e")
+        .join(c.as("c"), col("e.user_id") === col("c.user_id") &&
+          col("e.ts") > col("c.t_click"))
+        .groupBy(col("e.user_id").as("user_id"))
+        .agg(min(col("e.ts")).as("t_buy"))
+      v.join(c.withColumnRenamed("user_id", "cu"),
+          col("user_id") === col("cu"), "left")
+        .join(p.withColumnRenamed("user_id", "pu"),
+          col("user_id") === col("pu"), "left")
+        .select(col("user_id"),
+          unix_micros(col("t_view")).as("view_us"),
+          unix_micros(col("t_click")).as("click_us"),
+          unix_micros(col("t_buy")).as("buy_us"),
+          when(col("pu").isNotNull, 3L).when(col("cu").isNotNull, 2L)
+            .otherwise(1L).as("stage"))
+        .orderBy(col("user_id"))
+    },
+
+    // Weekly cohort retention on purchase activity: cohort = week of
+    // first purchase, retention = share of the cohort purchasing in week
+    // cohort+k. Cohort assignment and the activity set are both user-
+    // keyed aggregates; cohort sizes are a tiny broadcast; offsets are
+    // exact integer day-diffs (both ends week-truncated) so `div 7` is
+    // exact. The retention ratio divides two exact longs — one IEEE
+    // division, bit-stable.
+    QueryDef("q78_retention_cohorts",
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), a AS (
+        |  SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS w
+        |  FROM events e WHERE e.event_type = 'purchase'
+        |), sz AS (
+        |  SELECT cohort, count(*) AS n_cohort FROM f GROUP BY cohort
+        |)
+        |SELECT CAST(f.cohort AS DATE) AS cohort_week,
+        |       CAST(datediff('day', f.cohort, a.w) // 7 AS BIGINT) AS offset_w,
+        |       count(*) AS n_active, sz.n_cohort,
+        |       round(1e-9 + count(*) * 1.0 / sz.n_cohort, 4) AS retention
+        |FROM f JOIN a USING (user_id) JOIN sz ON f.cohort = sz.cohort
+        |GROUP BY f.cohort, a.w, sz.n_cohort
+        |ORDER BY cohort_week, offset_w""".stripMargin) { (s, d) =>
+      val purch = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      val f = purch.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      val a = purch
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      val sz = f.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+      f.join(a, Seq("user_id"))
+        .groupBy(col("cohort"), col("w"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sz), Seq("cohort"))
+        .select(col("cohort").cast("date").as("cohort_week"),
+          expr("CAST(datediff(w, cohort) div 7 AS BIGINT)").as("offset_w"),
+          col("n_active"), col("n_cohort"),
+          Num.roundOut(col("n_active") * 1.0 / col("n_cohort"), 4)
+            .as("retention"))
+        .orderBy(col("cohort_week"), col("offset_w"))
+    },
+
+    // SCD Type-2 history build: derive each user's spend-tier timeline
+    // from purchase events — keep only CHANGE rows (lag ≠ current) and
+    // close each version with the next change's timestamp (lead; null =
+    // current version). The dedup-to-changes and validity-interval
+    // windows share one user-keyed exchange (subset rule: the second
+    // window's partitioning is satisfied by the first's). This is the
+    // batch construction of the table q14's SCD-1 merge keeps only the
+    // LATEST row of.
+    QueryDef("q79_scd2_history",
+      """WITH tiers AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN value < 5 THEN 'low' WHEN value < 15 THEN 'mid'
+        |              ELSE 'high' END AS tier
+        |  FROM events WHERE event_type = 'purchase'
+        |), changes AS (
+        |  SELECT user_id, ts, event_id, tier,
+        |         lag(tier) OVER w AS prev_tier
+        |  FROM tiers WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), hist AS (
+        |  SELECT user_id, tier, ts, event_id
+        |  FROM changes WHERE prev_tier IS NULL OR tier <> prev_tier
+        |)
+        |SELECT user_id, tier, epoch_us(ts) AS valid_from_us,
+        |       epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id)) AS valid_to_us
+        |FROM hist ORDER BY user_id, valid_from_us""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tiers = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("value") < 5, "low").when(col("value") < 15, "mid")
+            .otherwise("high").as("tier"))
+      tiers
+        .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+        .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("tier"),
+          unix_micros(col("ts")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"))
+        .orderBy(col("user_id"), col("valid_from_us"))
+    },
+
+    // Triangle counting on x37's synthetic link graph — the canonical
+    // multi-way self-join. Edges canonicalize to a < b (each triangle
+    // enumerated once, as x < y < z); the two-hop join plus closing-edge
+    // check is the standard relational triangle plan. The edge list here
+    // is tiny and broadcasts; at web scale the same query runs as
+    // degree-ordered partitioned joins (each join still an equi-join —
+    // nothing in the shape is driver-bound).
+    QueryDef("q80_triangles",
+      """WITH e0 AS (
+        |  SELECT DISTINCT CAST(doc_id % 20 AS INT) AS src,
+        |         CAST((doc_id // 20) % 20 AS INT) AS dst
+        |  FROM documents
+        |  WHERE doc_id < 400 AND (doc_id * 48271) % 100 < 18
+        |    AND CAST(doc_id % 20 AS INT) <> CAST((doc_id // 20) % 20 AS INT)
+        |), u AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0
+        |)
+        |SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |FROM u e1 JOIN u e2 ON e1.b = e2.a
+        |          JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
+        |ORDER BY x, y, z""".stripMargin) { (s, d) =>
+      val e0 = Tables.documents(s, d)
+        .filter(col("doc_id") < 400 && (col("doc_id") * 48271) % 100 < 18)
+        .select((col("doc_id") % 20).cast("int").as("src"),
+          expr("CAST((doc_id div 20) % 20 AS INT)").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val u = e0.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val e1 = u.select(col("a").as("x"), col("b").as("y"))
+      val e2 = u.select(col("a").as("y2"), col("b").as("z"))
+      val e3 = u.select(col("a").as("x3"), col("b").as("z3"))
+      e1.join(e2, col("y") === col("y2"))
+        .join(e3, col("x") === col("x3") && col("z") === col("z3"))
+        .select(col("x"), col("y"), col("z"))
+        .orderBy(col("x"), col("y"), col("z"))
+    }
+  )
+}
