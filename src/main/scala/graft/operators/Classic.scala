@@ -352,6 +352,63 @@ object Classic {
           sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"),
           count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q6 (forecast revenue change): the pure scan query — three
+    // range predicates, no join, one global aggregate. All three
+    // predicates push into the parquet scan; the exchange carries one
+    // partial row per partition. The simplest query in the suite and the
+    // purest pushdown test.
+    QueryDef("q81_forecast_revenue",
+      """SELECT round(1e-9 + sum(l_extendedprice * l_discount), 2)
+        |         AS revenue_delta,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(Num.roundOut(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue_delta"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q12 silhouette (shipping-mode priority classes; the schema
+    // has no l_shipmode, so return-flag plays the class key): the
+    // conditional two-class count after a fact-dim join with a
+    // cross-table predicate (shipped after ordered). orders joins on the
+    // fact's key — at 100 TB AQE picks shuffle-hash or broadcast by
+    // orders' filtered size; the sum-when classes compile to one
+    // conditional aggregate, not two passes.
+    QueryDef("q82_priority_classes",
+      """SELECT l.l_returnflag,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l.l_shipdate > o.o_orderdate
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(hi, 1).otherwise(0)).cast("long").as("high_line_count"),
+          sum(when(hi, 0).otherwise(1)).cast("long").as("low_line_count"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -170,6 +170,47 @@ object Sources {
           graft.functions.Num.roundOut(
             sum(col("n_chars")) * 1.0 / count(lit(1)), 4).as("avg_chars"))
         .orderBy(col("source"))
+    },
+
+    // Dynamic partition overwrite (the warehouse "replace one day"
+    // backfill): a day-partitioned copy of events is built once, then ONE
+    // partition (2024-01-05) is overwritten with a reduced extract
+    // (clicks only) using partitionOverwriteMode=dynamic — only
+    // partitions present in the incoming data are replaced, every other
+    // day's files are untouched. The oracle recomputes the expected
+    // post-overwrite state from the source table, so a static-overwrite
+    // bug (clobbering all partitions) or a partition-pruning bug would
+    // break the hash. At 100 TB this is THE idempotent-backfill
+    // primitive: rewriting one day never touches the other ~3650.
+    QueryDef("w08_dynamic_overwrite",
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_click
+        |FROM events
+        |WHERE CAST(ts AS DATE) <> DATE '2024-01-05' OR event_type = 'click'
+        |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin) { (s, d) =>
+      val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))
+      val out = graft.Warehouse.path(s"graft_dynover_v1_$key")
+      val done = java.nio.file.Paths.get(out, "_GRAFT_DONE")
+      if (!java.nio.file.Files.exists(done)) {
+        val ev = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("event_id"),
+            col("event_type"))
+        ev.write.mode("overwrite").partitionBy("day").parquet(out)
+        // the backfill: replace exactly the 2024-01-05 partition
+        ev.filter(col("day") === lit("2024-01-05").cast("date") &&
+            col("event_type") === "click")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("day").parquet(out)
+        java.nio.file.Files.createFile(done)
+      }
+      s.read.parquet(out)
+        .groupBy(col("day").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("event_type") === "click", 1).otherwise(0))
+            .cast("long").as("n_click"))
+        .orderBy(col("day"))
     }
   )
 
