@@ -103,13 +103,13 @@ object Classic {
         |      JOIN customer c ON c.c_custkey = o.o_custkey
         |      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
         |      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-        |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |      WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
         |        AND l_shipdate >= TIMESTAMP '1996-01-01'
         |        AND l_shipdate < TIMESTAMP '1998-01-01') t
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
-      val pair = Seq("NATION_1", "NATION_2")
+      val pair = Seq("NATION_18", "NATION_19")
       val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
       val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
@@ -123,8 +123,8 @@ object Classic {
         .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("o_custkey"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(Num.roundOut(

@@ -286,6 +286,49 @@ object Mining {
             / (col("df_a") * col("df_b")), 6).as("lift"))
         .orderBy(col("lift").desc, col("w_a"), col("w_b"))
         .limit(30)
+    },
+
+    // Winsorized outlier clipping — the numeric-feature hygiene step
+    // (clip each group's values at its p05/p95 before aggregation so one
+    // corrupt row can't dominate a statistic). Per-group bounds come
+    // from one exact interpolating-percentile aggregate (q32's
+    // percentile ≙ quantile_cont parity) broadcast back onto the stream;
+    // bounds are ROUNDED identically on both engines BEFORE the clamp
+    // comparison, so boundary rows classify the same way everywhere.
+    // Two passes over the fact (bounds, then clamp) — the same shape at
+    // any scale; the broadcast is |groups|-sized.
+    QueryDef("x50_winsorize",
+      """WITH b AS (
+        |  SELECT event_type,
+        |         round(1e-9 + quantile_cont(value, 0.05), 4) AS lo,
+        |         round(1e-9 + quantile_cont(value, 0.95), 4) AS hi
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |       round(1e-9 + sum(CASE WHEN e.value < b.lo THEN b.lo
+        |                             WHEN e.value > b.hi THEN b.hi
+        |                             ELSE e.value END), 4) AS winsorized_sum,
+        |       b.lo, b.hi
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type, b.lo, b.hi
+        |ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(Num.roundOut(percentile(col("value"), lit(0.05)), 4).as("lo"),
+          Num.roundOut(percentile(col("value"), lit(0.95)), 4).as("hi"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .groupBy(col("event_type"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo") || col("value") > col("hi"), 1)
+            .otherwise(0)).cast("long").as("n_clipped"),
+          Num.roundOut(sum(when(col("value") < col("lo"), col("lo"))
+            .when(col("value") > col("hi"), col("hi"))
+            .otherwise(col("value"))), 4).as("winsorized_sum"))
+        .select(col("event_type"), col("n"), col("n_clipped"),
+          col("winsorized_sum"), col("lo"), col("hi"))
+        .orderBy(col("event_type"))
     }
   )
 }

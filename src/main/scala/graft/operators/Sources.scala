@@ -211,6 +211,40 @@ object Sources {
           sum(when(col("event_type") === "click", 1).otherwise(0))
             .cast("long").as("n_click"))
         .orderBy(col("day"))
+    },
+
+    // Schema-evolution read (mergeSchema): two batches of the same
+    // logical table written with DIFFERENT schemas — the later batch
+    // adds a `source` column — read back as one frame, the missing
+    // column null-filled for the old batch. This is the lakehouse
+    // reality of any long-lived table; the oracle recomputes the merged
+    // view from the source, so a dropped column or misaligned fill
+    // breaks the hash. mergeSchema is opt-in per read because at 100 TB
+    // footer-merging across millions of files is a real planning cost —
+    // production tables pin the evolved schema in a catalog instead.
+    QueryDef("w09_schema_evolution",
+      """SELECT lang,
+        |       coalesce(CASE WHEN doc_id >= 250 THEN source END, 'unknown')
+        |         AS src,
+        |       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "documents.parquet"))
+      val out = graft.Warehouse.path(s"graft_schemaevo_v1_$key")
+      val done = java.nio.file.Paths.get(out, "_GRAFT_DONE")
+      if (!java.nio.file.Files.exists(done)) {
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") < 250)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$out/batch=v1")
+        docs.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+          .write.mode("overwrite").parquet(s"$out/batch=v2")
+        java.nio.file.Files.createFile(done)
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$out/batch=v1", s"$out/batch=v2")
+        .groupBy(col("lang"), coalesce(col("source"), lit("unknown")).as("src"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"), col("src"))
     }
   )
 
