@@ -329,6 +329,40 @@ object Mining {
         .select(col("event_type"), col("n"), col("n_clipped"),
           col("winsorized_sum"), col("lo"), col("hi"))
         .orderBy(col("event_type"))
+    },
+
+    // Group-wise ordinary least squares (value vs day): the drift/trend
+    // detector every metrics pipeline runs per segment. Uses the ANSI
+    // regr_* aggregate family — one partial/final hash aggregate per
+    // group, no per-group collect. x is an exact integer day offset, so
+    // the only float accumulation is the standard moment sums both
+    // engines compute; outputs round at 4-6 dp to absorb partial-sum
+    // ordering.
+    QueryDef("x51_group_regression",
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       round(1e-9 + regr_slope(value,
+        |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE))), 6)
+        |         AS slope,
+        |       round(1e-9 + regr_intercept(value,
+        |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE))), 4)
+        |         AS intercept,
+        |       round(1e-9 + regr_avgx(value,
+        |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE))), 4)
+        |         AS avg_day,
+        |       round(1e-9 + regr_avgy(value,
+        |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE))), 4)
+        |         AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val day = datediff(to_date(col("ts")), lit("2024-01-01")).cast("double")
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Num.roundOut(regr_slope(col("value"), day), 6).as("slope"),
+          Num.roundOut(regr_intercept(col("value"), day), 4).as("intercept"),
+          Num.roundOut(regr_avgx(col("value"), day), 4).as("avg_day"),
+          Num.roundOut(regr_avgy(col("value"), day), 4).as("avg_value"))
+        .orderBy(col("event_type"))
     }
   )
 }

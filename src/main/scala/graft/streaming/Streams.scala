@@ -452,6 +452,46 @@ object Streams {
             Num.roundOut(col("sv"), 4).as("sum_value"))
           .orderBy(col("day"), col("event_type"))
       }
+    },
+
+    // Oracle-checked: STREAM-STATIC enrichment — the production shape
+    // where a stream joins a slowly-changing batch dimension (here each
+    // day's average value, computed in batch and rounded identically on
+    // both engines before the comparison). No streaming state at all:
+    // every micro-batch hash-joins the static frame and feeds one
+    // Complete-mode aggregate. At scale the static side is a broadcast
+    // refreshed per trigger — the kill-the-shuffle contract batch q08
+    // pins, carried into streaming.
+    QueryDef("st07_stream_enrich",
+      """WITH dim AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         round(1e-9 + avg(value), 4) AS day_avg
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN e.value > d.day_avg THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_above
+        |FROM events e JOIN dim d ON CAST(e.ts AS DATE) = d.day
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val dim = Tables.events(ss, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(Num.roundOut(avg(col("value")), 4).as("day_avg"))
+        val batch = Tables.table(ss, d, "events")
+        val raw = ss.readStream.schema(batch.schema).parquet(stageEvents(d))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = raw
+          .join(broadcast(dim), to_date(col("ts")) === col("day"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") > col("day_avg"), 1).otherwise(0))
+              .cast("long").as("n_above"))
+        val name = s"st07_sink_${sinkId.incrementAndGet()}"
+        val q = agg.writeStream.outputMode(OutputMode.Complete())
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        ss.table(name).orderBy(col("event_type"))
+      }
     }
   )
 }
