@@ -201,6 +201,62 @@ object Analytics {
         .join(e3, col("x") === col("x3") && col("z") === col("z3"))
         .select(col("x"), col("y"), col("z"))
         .orderBy(col("x"), col("y"), col("z"))
+    },
+
+    // Calendar densification + forward fill — the time-series gap repair
+    // every reporting pipeline runs before charting or windowed models:
+    // materialize the full (entity × day) grid, mark gaps, and carry the
+    // last observation forward. The calendar is a tiny broadcast (one row
+    // per day); the grid cross join is |entities|×|days| — intentional
+    // and bounded, never |events|²; the fill is one user-keyed window
+    // (last with ignoreNulls), which shares the grid join's partitioning.
+    // Day values are rounded BEFORE the fill so the carried value is the
+    // same exact double on both engines.
+    QueryDef("q83_gap_fill",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         round(1e-9 + sum(value), 4) AS day_value
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 40
+        |  GROUP BY user_id, CAST(ts AS DATE)
+        |), bounds AS (
+        |  SELECT CAST(min(CAST(ts AS DATE)) AS DATE) AS d0,
+        |         CAST(max(CAST(ts AS DATE)) AS DATE) AS d1 FROM events
+        |), cal AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |              AS DATE) AS day
+        |  FROM bounds
+        |), grid AS (
+        |  SELECT u.user_id, c.day
+        |  FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN cal c
+        |), joined AS (
+        |  SELECT g.user_id, g.day, d.day_value,
+        |         CASE WHEN d.day_value IS NULL THEN 1 ELSE 0 END AS is_gap
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.user_id = d.user_id AND g.day = d.day
+        |)
+        |SELECT user_id, day,
+        |       last_value(day_value IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |       CAST(is_gap AS BIGINT) AS is_gap
+        |FROM joined ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val daily = ev
+        .filter(col("event_type") === "purchase" && col("user_id") < 40)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(Num.roundOut(sum(col("value")), 4).as("day_value"))
+      val cal = ev
+        .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val grid = daily.select(col("user_id")).distinct()
+        .crossJoin(broadcast(cal))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("filled"),
+          when(col("day_value").isNull, 1L).otherwise(0L).as("is_gap"))
+        .orderBy(col("user_id"), col("day"))
     }
   )
 }
