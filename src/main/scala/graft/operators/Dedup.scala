@@ -296,6 +296,48 @@ object Dedup {
         .limit(20)
     },
 
+    // Shingle CONTAINMENT — the asymmetric companion to x04's Jaccard:
+    // C = |∩| / min(|A|,|B|) catches a short document quoted inside a
+    // long one, which Jaccard's union denominator dilutes to ~0 (the
+    // quote-detection / partial-decontamination signal; x19's overlap
+    // uses the same idea against eval sets). Identical inverted-index
+    // plan and exchange budget as x04 — only the final scalar changes —
+    // and the same persisted shingle table feeds both.
+    QueryDef("x52_containment",
+      """WITH s AS (
+        |  SELECT doc_id, source, lang,
+        |         list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |           ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
+        |  FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS ws
+        |        FROM documents)
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_intersect(a.tri, b.tri)) AS BIGINT) AS n_shared,
+        |       round(1e-9 + len(list_intersect(a.tri, b.tri)) * 1.0 /
+        |             least(len(a.tri), len(b.tri)), 6) AS containment
+        |FROM s a JOIN s b ON a.source = b.source AND a.lang = b.lang
+        |                 AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.tri, b.tri)) > 0
+        |ORDER BY containment DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, d) =>
+      val sets = shingleTable(s, d)
+      val inv = sets.select(col("source"), col("lang"), col("doc_id"),
+        size(col("tri")).as("sz"), explode(col("tri")).as("sh"))
+      inv.as("a")
+        .join(inv.as("b"),
+          col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sz").as("sza"), col("b.sz").as("szb"))
+        .agg(count(lit(1)).as("i"))
+        .select(col("doc_a"), col("doc_b"),
+          col("i").cast("long").as("n_shared"),
+          Num.roundOut(col("i").cast("double") / least(col("sza"), col("szb")), 6)
+            .as("containment"))
+        .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    },
+
     // Duplicate CLUSTERS: connected components over the union of exact-dup
     // edges (identical md5) and near-dup edges (trigram Jaccard ≥ 0.05,
     // x04's inverted-index shape) — the step that turns pairwise dedup
