@@ -38,6 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("zorder"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "zorder"),
       ZOrderSql.build))
+    // optimizer rule: threshold levenshtein predicates run the banded DP
+    e.injectOptimizerRule(_ => LevenshteinThresholdRewrite)
   }
 }
 
