@@ -363,6 +363,40 @@ object Mining {
           Num.roundOut(regr_avgx(col("value"), day), 4).as("avg_day"),
           Num.roundOut(regr_avgy(col("value"), day), 4).as("avg_value"))
         .orderBy(col("event_type"))
+    },
+
+    // Class-balanced downsampling: every language keeps exactly
+    // min-class-size documents, chosen by CONTENT-HASH rank (the
+    // persisted fingerprint, so the kept set is re-ingestion-stable and
+    // identical on any cluster — x17's determinism contract applied to
+    // class balancing). One window per class partition + a one-row
+    // broadcast threshold; no sampling RNG anywhere.
+    QueryDef("x53_class_balance",
+      s"""WITH r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY ${TextAnalysis.fingerprintSql} % 9973, doc_id)
+        |           AS rn
+        |  FROM documents
+        |), m AS (
+        |  SELECT min(c) AS mc
+        |  FROM (SELECT count(*) AS c FROM documents GROUP BY lang) t
+        |)
+        |SELECT doc_id, lang, rn FROM r, m WHERE rn <= mc
+        |ORDER BY lang, rn""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ranked = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.fingerprintTable(s, d), "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("fp") % 9973, col("doc_id"))))
+      val mc = Tables.documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .agg(min(col("c")).as("mc"))
+      ranked.crossJoin(broadcast(mc))
+        .filter(col("rn") <= col("mc"))
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
     }
   )
 }
