@@ -637,6 +637,168 @@ object Corpus {
           Num.roundOut(sum(col("n_pieces")) * 1.0 / count(lit(1)), 4)
             .as("pieces_per_word"))
         .orderBy(col("doc_id"))
+    },
+
+    // COUNT-MIN SKETCH point queries ([[graft.functions.CountMinAggregator]],
+    // d=4×w=64): one corpus pass folds every word occurrence into a 256-cell
+    // counter matrix; est(x) = min over rows of x's cell — an overestimate,
+    // NEVER an under (Cormode & Muthukrishnan 2005). Merge is pointwise
+    // addition, so the merged sketch equals the sketch of the whole stream
+    // whatever the partition order — which makes the sketch itself
+    // RELATIONALLY CHECKABLE: the oracle recomputes each probed cell as
+    // Σ counts of the words hashing into it and takes the same min. The
+    // report probes the exact top-20 words and surfaces est − true ≥ 0,
+    // the collision overcount (w=64 is sized so the fixture vocabulary
+    // actually collides — the guarantee is exercised, not vacuous).
+    //
+    // Scale: the sketch pass carries O(d·w) state per partition partial
+    // and NO per-word exchange — the x42 contrast is the point: Misra-
+    // Gries answers "which keys are heavy", CMS answers "how often is
+    // key x" for any x, both in fixed memory; groupBy(word) here exists
+    // only to ground-truth the probe set.
+    QueryDef("x54_countmin",
+      s"""WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |), c AS (
+        |  SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word
+        |), h AS (
+        |  SELECT word, cnt, CAST(i AS INT) AS i,
+        |         CAST(${graft.functions.Sketches.foldHashSql("word", "i")}
+        |              % ${graft.functions.SketchAgg.CmsW} AS INT) AS cell
+        |  FROM c CROSS JOIN (SELECT unnest(range(${graft.functions.SketchAgg.CmsD})) AS i)
+        |), cells AS (
+        |  SELECT i, cell, CAST(sum(cnt) AS BIGINT) AS v FROM h GROUP BY i, cell
+        |), probe AS (
+        |  SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 20
+        |), est AS (
+        |  SELECT p.word, p.cnt, min(cl.v) AS cms_est
+        |  FROM probe p JOIN h ON h.word = p.word
+        |  JOIN cells cl ON cl.i = h.i AND cl.cell = h.cell
+        |  GROUP BY p.word, p.cnt
+        |)
+        |SELECT word, CAST(cnt AS BIGINT) AS cnt, cms_est,
+        |       CAST(cms_est - cnt AS BIGINT) AS overcount
+        |FROM est ORDER BY cnt DESC, word""".stripMargin) { (s, d) =>
+      import graft.functions.{SketchAgg, Sketches}
+      val words = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+      val sketch = words.agg(SketchAgg.countMin(col("word")).as("cms"))
+      val probe = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(20)
+      probe.crossJoin(broadcast(sketch))
+        .select(col("word"), col("cnt"),
+          least((0 until SketchAgg.CmsD).map(i =>
+            element_at(col("cms"),
+              (lit(i * SketchAgg.CmsW) +
+                pmod(Sketches.foldHashCol(col("word"), i),
+                  lit(SketchAgg.CmsW.toLong))).cast("int") + 1)): _*)
+            .as("cms_est"))
+        .withColumn("overcount", col("cms_est") - col("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+    },
+
+    // BLOOM-FILTER DECONTAMINATION — the at-scale path for x19's
+    // train-gram overlap check: an 8 KB bloom bitset
+    // ([[graft.functions.BloomAggregator]], k=4, m=2^16) built over the
+    // DISTINCT train trigrams in one pass (merge = bitwise OR) replaces
+    // "join every eval gram against the train vocabulary" with "probe a
+    // broadcast bitset, then exact-verify only the survivors". No false
+    // negatives ever, so n_true below is the EXACT per-doc contamination
+    // count x19 computes — while the verify join's probe side shrank to
+    // true hits + ~11% false positives (fill^k at the fixture's load
+    // factor; the n_bloom > n_true rows in the output are those FPs,
+    // proving the probabilistic layer is real and accounted, not hidden).
+    //
+    // Scale: the train side aggregates to ONE 8 KB row regardless of
+    // corpus size — broadcasting the train gram set itself (the x19
+    // join's build side) stops being possible long before 100 TB, and
+    // this is exactly Spark's own runtime-bloom-join shape, made explicit
+    // and cross-engine-checkable. Bit probes are native column arithmetic
+    // (element_at + shiftleft) — codegen'd, no UDF in the per-gram path.
+    QueryDef("x55_bloom_decon",
+      s"""WITH sp AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN ${TextAnalysis.fingerprintSql} % 100 < 80 THEN 'train'
+        |              WHEN ${TextAnalysis.fingerprintSql} % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, split,
+        |         list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |           ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
+        |  FROM (SELECT doc_id, split, string_split(text, ' ') AS ws FROM sp)
+        |), tg AS (
+        |  SELECT DISTINCT unnest(tri) AS g FROM s WHERE split = 'train'
+        |), sb AS (
+        |  -- the SHARED m-bit array (one bitset, k hash rows — classic
+        |  -- Bloom, matching the aggregator): a bit is set if ANY (gram,
+        |  -- row) lands on it, so i is deliberately absent here
+        |  SELECT DISTINCT
+        |         CAST(${graft.functions.Sketches.foldHashSql("g", "i")}
+        |              % ${graft.functions.SketchAgg.BloomM} AS INT) AS pos
+        |  FROM tg CROSS JOIN (SELECT unnest(range(${graft.functions.SketchAgg.BloomK})) AS i)
+        |), ev AS (
+        |  SELECT doc_id, split, CAST(len(tri) AS BIGINT) AS n_grams, tri
+        |  FROM s WHERE split <> 'train'
+        |), evh AS (
+        |  SELECT doc_id, g, CAST(i AS INT) AS i,
+        |         CAST(${graft.functions.Sketches.foldHashSql("g", "i")}
+        |              % ${graft.functions.SketchAgg.BloomM} AS INT) AS pos
+        |  FROM (SELECT doc_id, unnest(tri) AS g FROM ev)
+        |  CROSS JOIN (SELECT unnest(range(${graft.functions.SketchAgg.BloomK})) AS i)
+        |), bloomhit AS (
+        |  SELECT doc_id, g FROM evh JOIN sb ON sb.pos = evh.pos
+        |  GROUP BY doc_id, g
+        |  HAVING count(*) = ${graft.functions.SketchAgg.BloomK}
+        |), nb AS (
+        |  SELECT doc_id, count(*) AS n_bloom FROM bloomhit GROUP BY doc_id
+        |), tru AS (
+        |  SELECT b.doc_id, count(*) AS n_true
+        |  FROM bloomhit b JOIN tg ON b.g = tg.g GROUP BY b.doc_id
+        |)
+        |SELECT ev.doc_id, ev.split, ev.n_grams,
+        |       CAST(coalesce(nb.n_bloom, 0) AS BIGINT) AS n_bloom,
+        |       CAST(coalesce(tru.n_true, 0) AS BIGINT) AS n_true
+        |FROM ev LEFT JOIN nb ON ev.doc_id = nb.doc_id
+        |        LEFT JOIN tru ON ev.doc_id = tru.doc_id
+        |ORDER BY ev.doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.{SketchAgg, Sketches}
+      val tri = Dedup.shingleTable(s, d)
+        .join(TextAnalysis.fingerprintTable(s, d), "doc_id")
+        .withColumn("bucket", col("fp") % 100)
+        .select(col("doc_id"),
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"),
+          col("tri"))
+      // feeds the bloom build AND the exact verify join (x23's pattern)
+      val trainGrams = tri.filter(col("split") === "train")
+        .select(explode(col("tri")).as("g")).distinct().localCheckpoint()
+      val bloomDf = trainGrams.agg(SketchAgg.bloomBits(col("g")).as("bits"))
+      val ev = tri.filter(col("split") =!= "train")
+      val evg = ev.select(col("doc_id"), explode(col("tri")).as("g"))
+        .crossJoin(broadcast(bloomDf))
+      val withPos = (0 until SketchAgg.BloomK).foldLeft(evg)((df, i) =>
+        df.withColumn(s"p$i",
+          pmod(Sketches.foldHashCol(col("g"), i),
+            lit(SketchAgg.BloomM.toLong)).cast("int")))
+      val hit = (0 until SketchAgg.BloomK).map(i =>
+          expr(s"(element_at(bits, CAST((p$i div 64) + 1 AS INT)) & " +
+            s"shiftleft(CAST(1 AS BIGINT), p$i % 64)) != 0"))
+        .reduce(_ && _)
+      val hits = withPos.filter(hit).select(col("doc_id"), col("g"))
+      val nb = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom"))
+      val tru = hits.join(trainGrams, Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_true"))
+      ev.select(col("doc_id"), col("split"),
+          size(col("tri")).cast("long").as("n_grams"))
+        .join(nb, Seq("doc_id"), "left")
+        .join(tru, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"), col("n_grams"),
+          coalesce(col("n_bloom"), lit(0L)).as("n_bloom"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"))
+        .orderBy(col("doc_id"))
     }
   )
 
