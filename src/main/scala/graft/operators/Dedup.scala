@@ -582,6 +582,74 @@ object Dedup {
           Num.roundOut(Text.jaccard(col("tri_a"), col("tri_b")), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(50)
+    },
+
+    // PREFIX-FILTERED set-similarity join (the PPJoin family: Chaudhuri
+    // et al. ICDE'06, Xiao et al. WWW'08) at Jaccard ≥ 0.5 — the THIRD
+    // candidate-generation strategy next to x02's LSH (probabilistic) and
+    // x04's full inverted index (work ∝ every shared shingle): under a
+    // global rarest-first token order, J(A,B) ≥ t forces the first
+    // |x| − ⌈t·|x|⌉ + 1 tokens of EACH side to share a gram (with the
+    // 2·min ≥ max length filter), so only PREFIX grams are indexed —
+    // the frequent grams that dominate x04's postings never enter the
+    // join. The threshold is evaluated in INTEGERS (3·|∩| ≥ |A|+|B| ⟺
+    // J ≥ 1/2): no float boundary, bit-identical across engines.
+    //
+    // Scale: the posting list of a stop-gram ("the_of_and") is the square
+    // term in any inverted-index join; prefix filtering drops exactly
+    // those (a frequent gram is last in the canonical order, so it leaves
+    // every prefix first as sets grow). Candidate work ∝ shared RARE
+    // grams; the verify join ships full shingle arrays only for surviving
+    // candidate pairs (PrefixJoinSpec pins the candidate count strictly
+    // under x04's co-occurrence count on the same fixture). The df
+    // ranking itself is one vocabulary-sized aggregate, broadcast-free.
+    QueryDef("x56_prefix_join",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |           ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |), p AS (
+        |  SELECT doc_id, tri, len(tri) AS sz FROM s WHERE len(tri) > 0
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(1e-9 + len(list_intersect(a.tri, b.tri)) * 1.0 /
+        |             (a.sz + b.sz - len(list_intersect(a.tri, b.tri))), 6)
+        |         AS jaccard
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE 3 * len(list_intersect(a.tri, b.tri)) >= a.sz + b.sz
+        |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sets = shingleTable(s, d)
+        .select(col("doc_id"), col("tri"), size(col("tri")).as("sz"))
+        .filter(col("sz") > 0)
+      val grams = sets.select(col("doc_id"), col("sz"),
+        explode(col("tri")).as("g"))
+      // canonical order: rarest-first by (document frequency, gram)
+      val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val prefix = grams.join(df, "g")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+        .filter(col("rn") <= col("sz") - ceil(col("sz") / 2) + 1)
+        .select(col("doc_id"), col("sz"), col("g"))
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+            lit(2) * least(col("a.sz"), col("b.sz")) >=
+              greatest(col("a.sz"), col("b.sz")))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val ta = sets.select(col("doc_id").as("doc_a"),
+        col("tri").as("tri_a"), col("sz").as("sza"))
+      val tb = sets.select(col("doc_id").as("doc_b"),
+        col("tri").as("tri_b"), col("sz").as("szb"))
+      cand.join(ta, "doc_a").join(tb, "doc_b")
+        .withColumn("i", size(array_intersect(col("tri_a"), col("tri_b"))))
+        .filter(lit(3) * col("i") >= col("sza") + col("szb"))
+        .select(col("doc_a"), col("doc_b"),
+          Num.roundOut(col("i").cast("double")
+            / (col("sza") + col("szb") - col("i")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
     }
   )
 }
