@@ -257,6 +257,77 @@ object Analytics {
           last(col("day_value"), ignoreNulls = true).over(w).as("filled"),
           when(col("day_value").isNull, 1L).otherwise(0L).as("is_gap"))
         .orderBy(col("user_id"), col("day"))
+    },
+
+    // BREADTH-FIRST SEARCH / shortest hop-distance from a seed — the
+    // iterative-graph shape (q80's synthetic link graph, source node 0,
+    // ≤ 6 supersteps) the ANSI engine writes as WITH RECURSIVE and Spark
+    // writes as a FRONTIER loop: each superstep joins only the nodes
+    // DISCOVERED LAST ROUND against the adjacency list (the Pregel /
+    // GraphX delta-iteration), unions into the distance table, and
+    // localCheckpoints to truncate lineage — the checkpoint every
+    // iterative Spark job needs so superstep k doesn't replay supersteps
+    // 1..k-1. The recursion is bounded (6 hops) on BOTH engines, so the
+    // fixed-point is identical whatever the physical iteration order.
+    //
+    // Scale: per superstep the shuffle carries |frontier ⋈ adjacency|
+    // rows keyed by node — never the whole distance table — and the loop
+    // EXITS the moment the frontier empties (isEmpty guard), so a
+    // small-diameter graph never pays all 6 rounds. At 100 TB this is one
+    // adjacency-keyed equi-join per round, exactly GraphX's message
+    // aggregation without the RDD detour. GraphLateralSpec pins the BFS
+    // layering invariant (|d(u)−d(v)| ≤ 1 across every edge).
+    QueryDef("q84_bfs",
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT CAST(doc_id % 20 AS INT) AS src,
+        |         CAST((doc_id // 20) % 20 AS INT) AS dst
+        |  FROM documents
+        |  WHERE doc_id < 400 AND (doc_id * 48271) % 100 < 18
+        |    AND CAST(doc_id % 20 AS INT) <> CAST((doc_id // 20) % 20 AS INT)
+        |), u AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0
+        |), adj AS (
+        |  SELECT a AS src, b AS dst FROM u
+        |  UNION ALL
+        |  SELECT b, a FROM u
+        |), bfs AS (
+        |  SELECT CAST(0 AS INT) AS node, CAST(0 AS INT) AS dist
+        |  UNION
+        |  SELECT adj.dst, CAST(bfs.dist + 1 AS INT)
+        |  FROM bfs JOIN adj ON adj.src = bfs.node
+        |  WHERE bfs.dist < 6
+        |)
+        |SELECT node, CAST(min(dist) AS INT) AS dist
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+      val e0 = Tables.documents(s, d)
+        .filter(col("doc_id") < 400 && (col("doc_id") * 48271) % 100 < 18)
+        .select((col("doc_id") % 20).cast("int").as("src"),
+          expr("CAST((doc_id div 20) % 20 AS INT)").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val u = e0.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val adj = u.select(col("a").as("src"), col("b").as("dst"))
+        .union(u.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      var dist = s.range(1)
+        .select(lit(0).cast("int").as("node"), lit(0).cast("int").as("dist"))
+        .localCheckpoint()
+      var frontier = dist
+      var h = 1
+      while (h <= 6 && !frontier.isEmpty) {
+        val nxt = frontier.join(adj, frontier("node") === adj("src"))
+          .select(adj("dst").as("node"), lit(h).cast("int").as("dist"))
+        val merged = dist.union(nxt)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+        frontier = merged.filter(col("dist") === h)
+        dist = merged
+        h += 1
+      }
+      dist.orderBy(col("node"))
     }
   )
 }

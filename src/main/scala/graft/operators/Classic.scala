@@ -409,6 +409,35 @@ object Classic {
         .agg(sum(when(hi, 1).otherwise(0)).cast("long").as("high_line_count"),
           sum(when(hi, 0).otherwise(1)).cast("long").as("low_line_count"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // LATERAL correlated subquery — the ANSI top-N-per-group surface
+    // (nation × its 2 richest customers) exercised THROUGH SPARK SQL's
+    // lateral join, not rewritten by hand: Catalyst's DecorrelateInnerQuery
+    // turns the correlated ORDER BY + LIMIT into a partitioned window
+    // top-k under the hood, which is exactly the plan a hand-written
+    // row_number() filter would produce — the point is that the DECLARED
+    // form is the lateral SQL both engines accept verbatim.
+    //
+    // Scale: decorrelation means NO per-nation re-execution of the inner
+    // query (the naive lateral interpretation); one customer shuffle
+    // keyed by c_nationkey, per-key heap top-2, broadcast nation join.
+    QueryDef("q85_lateral_topn",
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n JOIN LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t ON true
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("q85_nation")
+      Tables.customer(s, d).createOrReplaceTempView("q85_customer")
+      s.sql("""
+        |SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM q85_nation n JOIN LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM q85_customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
     }
   )
 }
