@@ -137,6 +137,64 @@ object Matview {
         .select(col("lo"), col("hi"),
           coalesce(col("cnt"), lit(0L)).as("n_rows"), col("avg_value"))
         .orderBy(col("lo"))
+    },
+
+    // JOIN-DELTA incremental view maintenance WITH RETRACTIONS — the
+    // delta rule q55 doesn't cover: the view is an aggregate over a JOIN
+    // (revenue per customer nation from orders ⋈ customer), and the
+    // change stream DELETES rows (a retraction batch: every o_orderkey
+    // divisible by 10 is withdrawn). Because the delta touches only the
+    // orders side, Δ(O ⋈ C) = ΔO ⋈ C — the maintenance join runs on the
+    // DELTA, never rescans the base, and the view merges by SUBTRACTING
+    // partials (count/sum are self-inverse; groups whose count reaches 0
+    // drop out). The oracle recomputes from the surviving base rows — the
+    // algebra must land on the same answer.
+    //
+    // Money runs through EXACT INTEGER CENTS: retraction algebra on
+    // floats drifts (sum(all) − sum(removed) ≠ sum(kept) in float, and
+    // repeated maintenance compounds it — the z-set/DBSP lesson), so the
+    // view keeps long cents and converts to currency only at the edge,
+    // where both engines divide the identical long by 100.
+    //
+    // Scale: maintenance cost ∝ |ΔO| (one delta-keyed join + one
+    // aggregate merge keyed by the view's own group key) — history-size-
+    // independent, the property that makes a 100 TB view maintainable.
+    QueryDef("q86_join_ivm",
+      """WITH kept AS (
+        |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 10 <> 0
+        |)
+        |SELECT n.n_name, count(*) AS n_orders,
+        |       CAST(sum(k.cents) AS DOUBLE) / 100.0 AS revenue
+        |FROM kept k
+        |JOIN customer c ON k.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val cents = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def gamma(o: DataFrame): DataFrame =
+        o.join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cts"))
+      // "yesterday's" materialized aggregate (checkpoint stands in for
+      // the persisted table) + today's retraction batch
+      val mvFull = gamma(cents).localCheckpoint()
+      val retract = gamma(cents.filter(col("o_orderkey") % 10 === 0))
+        .withColumnRenamed("n", "dn").withColumnRenamed("cts", "dcts")
+      val maintained = mvFull.join(retract, Seq("c_nationkey"), "left")
+        .select(col("c_nationkey"),
+          (col("n") - coalesce(col("dn"), lit(0L))).as("n_orders"),
+          (col("cts") - coalesce(col("dcts"), lit(0L))).as("kept_cents"))
+        .filter(col("n_orders") > 0)
+      maintained
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_orders"),
+          (col("kept_cents").cast("double") / 100.0).as("revenue"))
+        .orderBy(col("n_name"))
     }
   )
 }

@@ -492,6 +492,82 @@ object Streams {
         try q.processAllAvailable() finally q.stop()
         ss.table(name).orderBy(col("event_type"))
       }
+    },
+
+    // Oracle-checked: stream-stream LEFT OUTER join — st04's attribution
+    // shape plus the rows st04 cannot express: clicks that never convert,
+    // emitted with a NULL purchase once the watermark proves no purchase
+    // can still arrive (state eviction is the EMISSION mechanism, not
+    // just a cleanup). An outer result is only final behind the
+    // watermark, so both engines restrict to clicks older than
+    // max(ts) − (1 h watermark + 10 min join window): ahead of that
+    // horizon Spark still holds the click in state, and a batch engine
+    // would call the same click "unmatched" only because the fixture
+    // ends — the cutoff is the point where the two semantics provably
+    // agree, derived from the data on both sides (microsecond integers,
+    // the q77 epoch_us parity rule).
+    //
+    // Scale: identical state bound to st04 — both sides watermarked, the
+    // join condition bounds event-time skew, so click state is O(events
+    // in the 70-minute horizon) per user shard, evicted as the watermark
+    // advances; the no-data micro-batch after the last file is what
+    // flushes the final unmatched clicks.
+    QueryDef("st08_stream_outer_join",
+      """WITH mx AS (
+        |  SELECT least(
+        |    max(CASE WHEN event_type = 'click'
+        |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END),
+        |    max(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END)) AS m
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, c.click_id, p.purchase_id
+        |FROM c JOIN mx ON true
+        |LEFT JOIN p ON c.user_id = p.p_user
+        |           AND p.purchase_ts >= c.click_ts
+        |           AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
+        |WHERE epoch_us(CAST(c.click_ts AS TIMESTAMP)) < mx.m - 4200000000
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val batch = Tables.table(ss, d, "events")
+        val raw = ss.readStream.schema(batch.schema).parquet(stageEvents(d))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val clicks = raw.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = raw.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+          "left_outer")
+        val name = s"st08_sink_${sinkId.incrementAndGet()}"
+        val q = joined.writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        // the GLOBAL watermark is the MIN across both inputs' watermark
+        // columns (multipleWatermarkPolicy=min): the horizon only reaches
+        // as far as the SLOWER side has seen events
+        val cutoff = Tables.events(ss, d)
+          .agg(least(
+            max(when(col("event_type") === "click", unix_micros(col("ts")))),
+            max(when(col("event_type") === "purchase", unix_micros(col("ts")))))
+            .as("m")).head().getLong(0) - 4200000000L
+        ss.table(name)
+          .filter(unix_micros(col("click_ts")) < cutoff)
+          .select(col("user_id"), col("click_id"), col("purchase_id"))
+          .orderBy(col("click_id"), col("purchase_id"))
+      }
     }
   )
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for q86 (join-delta IVM with retractions) and st08 (stream-stream
+  * left outer): the oracle proves the ANSWERS; these prove the mechanics —
+  * the retraction actually removed rows, and the outer join actually
+  * emitted never-matched clicks as NULL rows. */
+class IvmOuterSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q86: maintained view == full view minus the retracted orders") {
+    val out = SparkEntry.queries("q86_join_ivm")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    // the retraction batch is non-empty on the fixture, so SOME nation
+    // lost orders: maintained counts must sum strictly under the full set
+    val full = Tables.orders(spark, sf0_001)
+      .join(Tables.customer(spark, sf0_001),
+        col("o_custkey") === col("c_custkey"))
+      .count()
+    val kept = out.map(_.getLong(1)).sum
+    assert(kept < full, s"retraction removed nothing ($kept vs $full)")
+    // exact-cents edge conversion: revenue has at most 2 decimals
+    out.foreach { r =>
+      val cents = BigDecimal(r.getDouble(2)) * 100
+      assert((cents - cents.setScale(0, BigDecimal.RoundingMode.HALF_UP))
+        .abs < 1e-6, s"non-cent revenue ${r.getDouble(2)}")
+    }
+  }
+
+  test("st08: unmatched clicks surface as NULL rows; matched part == st04") {
+    val outer = SparkEntry.queries("st08_stream_outer_join")(spark, sf0_001)
+      .collect()
+    val nullRows = outer.filter(_.isNullAt(2))
+    assert(nullRows.nonEmpty,
+      "no never-converted clicks emitted — the join degenerated to inner")
+    // inner component must be a subset of st04's full inner join (st08
+    // additionally filters to clicks behind the watermark horizon)
+    val inner = outer.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val st04 = SparkEntry.queries("st04_stream_join")(spark, sf0_001)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(inner.subsetOf(st04))
+    assert(inner.nonEmpty)
+    // and a click is either matched or null-extended, never both
+    val matchedClicks = inner.map(_._1)
+    assert(nullRows.map(_.getLong(1)).forall(c => !matchedClicks.contains(c)))
+  }
+}
