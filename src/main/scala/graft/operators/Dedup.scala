@@ -627,11 +627,15 @@ object Dedup {
         explode(col("tri")).as("g"))
       // canonical order: rarest-first by (document frequency, gram)
       val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      // materialized once: the self-join would otherwise rebuild the df
+      // aggregate + ranking window PER SIDE (plan-audited) — at scale this
+      // is the prefix-index write every PPJoin implementation does
       val prefix = grams.join(df, "g")
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
         .filter(col("rn") <= col("sz") - ceil(col("sz") / 2) + 1)
         .select(col("doc_id"), col("sz"), col("g"))
+        .localCheckpoint()
       val cand = prefix.as("a")
         .join(prefix.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
