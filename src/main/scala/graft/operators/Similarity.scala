@@ -384,6 +384,102 @@ object Similarity {
       Tables.table(s, d, "embeddings")
         .select(col("vec_id"), array(projCols: _*).as("proj"))
         .orderBy(col("vec_id"))
+    },
+
+    // PRODUCT QUANTIZATION encode (Jégou et al. 2011) — the compression
+    // layer real ANN serving runs on: 64-dim vectors split into 4
+    // subspaces of 16 dims; a SHARED 8-centroid codebook is k-means-
+    // trained on the pooled subvectors (x33's exact Lloyd machinery —
+    // first-8 init, 2 iterations, centroids rounded to 6 decimals for
+    // cross-engine parity); each vector stores 4 one-byte codes instead
+    // of 256 float bytes (64x compression). Output: the 4 codes + the
+    // quantization error, both hash-checked — the CODEBOOK ITSELF is
+    // oracle-verified through them.
+    //
+    // Scale: training pools 4N subvectors but k-means state is k×16
+    // per partition partial (x33's argument); encoding is one broadcast-
+    // codebook pass, embarrassingly parallel; the persisted code table
+    // ([[DerivedTable]], like the IVF index) is what a 100 TB corpus
+    // actually stores and scans.
+    QueryDef("x57_pq_encode",
+      s"""WITH $pqCteSql
+        |SELECT vec_id,
+        |       CAST(max(CASE WHEN sub = 0 THEN cluster END) AS INT) AS c0,
+        |       CAST(max(CASE WHEN sub = 1 THEN cluster END) AS INT) AS c1,
+        |       CAST(max(CASE WHEN sub = 2 THEN cluster END) AS INT) AS c2,
+        |       CAST(max(CASE WHEN sub = 3 THEN cluster END) AS INT) AS c3,
+        |       round(1e-9 + sum(dist), 4) AS qerr
+        |FROM af WHERE rn = 1
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+      pqCodes(s, d)
+        .groupBy(col("vec_id"))
+        .agg(
+          max(when(col("sub") === 0, col("cluster"))).cast("int").as("c0"),
+          max(when(col("sub") === 1, col("cluster"))).cast("int").as("c1"),
+          max(when(col("sub") === 2, col("cluster"))).cast("int").as("c2"),
+          max(when(col("sub") === 3, col("cluster"))).cast("int").as("c3"),
+          Num.roundOut(sum(col("dist")), 4).as("qerr"))
+        .orderBy(col("vec_id"))
+    },
+
+    // PQ ASYMMETRIC DISTANCE search (ADC): queries stay full-precision,
+    // the corpus is its PQ codes. The query builds a LOOKUP TABLE —
+    // distance from each query subvector to each of the 8 codebook
+    // centroids (queries × 4 subs × 8 cells = 96 rows here, k×m×|q|
+    // always) — and every corpus vector's approximate distance is then
+    // FOUR TABLE LOOKUPS summed, never a 64-dim float op. Top-10 per
+    // query by (adc, vec_id).
+    //
+    // Scale: THE reason billion-vector search is feasible — the scan
+    // touches 4-byte codes + a broadcast LUT (the x05 brute scan touches
+    // 256-byte vectors and does 64 multiplies each); the LUT join is a
+    // broadcast equi-join on (sub, cluster), the per-vector sum a 4-row
+    // partial aggregate keyed by (query, vec). Composes with x14's IVF
+    // partitioning (IVF-PQ) by nesting this scan inside probed cells.
+    QueryDef("x58_pq_adc",
+      s"""WITH $pqCteSql,
+        |codes AS (
+        |  SELECT vec_id, sub, cluster FROM af WHERE rn = 1 AND vec_id >= 3
+        |), q AS (
+        |  SELECT vec_id AS query_id, sub, v FROM sv WHERE vec_id < 3
+        |), lut AS (
+        |  SELECT q.query_id, q.sub, c2.cluster,
+        |         list_reduce(list_transform(range(16),
+        |           i -> (q.v[i+1] - c2.c[i+1]) * (q.v[i+1] - c2.c[i+1])),
+        |           (a, b) -> a + b) AS d
+        |  FROM q CROSS JOIN c2
+        |), ad AS (
+        |  SELECT codes.vec_id, lut.query_id, sum(lut.d) AS adc
+        |  FROM codes JOIN lut
+        |    ON codes.sub = lut.sub AND codes.cluster = lut.cluster
+        |  GROUP BY codes.vec_id, lut.query_id
+        |), rk AS (
+        |  SELECT query_id, vec_id, adc, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+        |  FROM ad
+        |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+        |       round(1e-9 + adc, 4) AS adc
+        |FROM rk WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val codes = pqCodes(s, d).filter(col("vec_id") >= 3)
+        .select(col("vec_id"), col("sub"), col("cluster"))
+      val q = pqSubvectors(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("sub"), col("v"))
+      val lut = q.crossJoin(pqCodebook(s, d))
+        .withColumn("d", pqSqDist(col("v"), col("c")))
+        .select(col("query_id"), col("sub"), col("cluster"), col("d"))
+      codes.join(broadcast(lut), Seq("sub", "cluster"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("d")).as("adc"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("adc"), col("vec_id"))).cast("int"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          Num.roundOut(col("adc"), 4).as("adc"))
+        .orderBy(col("query_id"), col("rank"))
     }
   )
 
@@ -494,5 +590,141 @@ object Similarity {
       update(assign(c1), c1)
     }
     assign(cents).select(col("vec_id"), col("v"), col("cluster"), col("dist"))
+  }
+
+  /** The PQ chain as shared DuckDB CTEs (sv subvectors → c0 init → two
+    * Lloyd rounds over the POOLED subvectors → c2 codebook → af code
+    * assignment), interpolated into both the x57 and x58 oracles. Same
+    * parity rules as [[kmeansCteSql]]: sequential-fold distances, 6-decimal
+    * centroid rounding, (dist, cluster) tiebreak. */
+  private def pqCteSql: String =
+    """sv AS (
+      |  SELECT vec_id, CAST(s AS INT) AS sub,
+      |         list_transform(range(16),
+      |           i -> CAST(embedding[s * 16 + i + 1] AS DOUBLE)) AS v
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(4)) AS s)
+      |), c0 AS (
+      |  SELECT CAST(vec_id * 4 + sub AS INT) AS cluster, v AS c
+      |  FROM sv WHERE vec_id < 2
+      |), a1 AS (
+      |  SELECT vec_id, sub, cluster, dist, row_number() OVER (
+      |    PARTITION BY vec_id, sub ORDER BY dist, cluster) AS rn
+      |  FROM (
+      |    SELECT sv.vec_id, sv.sub, c0.cluster,
+      |           list_reduce(list_transform(range(16),
+      |             i -> (sv.v[i+1] - c0.c[i+1]) * (sv.v[i+1] - c0.c[i+1])),
+      |             (a, b) -> a + b) AS dist
+      |    FROM sv, c0)
+      |), m1 AS (
+      |  SELECT cluster, CAST(dim AS INT) AS dim,
+      |         round(1e-9 + avg(x), 6) AS cv
+      |  FROM (
+      |    SELECT a1.cluster, unnest(range(16)) AS dim, unnest(sv.v) AS x
+      |    FROM a1 JOIN sv ON a1.vec_id = sv.vec_id AND a1.sub = sv.sub
+      |    WHERE a1.rn = 1)
+      |  GROUP BY cluster, dim
+      |), c1 AS (
+      |  SELECT c0.cluster, coalesce(m.c, c0.c) AS c
+      |  FROM c0 LEFT JOIN (
+      |    SELECT cluster, list(cv ORDER BY dim) AS c FROM m1 GROUP BY cluster) m
+      |  ON c0.cluster = m.cluster
+      |), a2 AS (
+      |  SELECT vec_id, sub, cluster, dist, row_number() OVER (
+      |    PARTITION BY vec_id, sub ORDER BY dist, cluster) AS rn
+      |  FROM (
+      |    SELECT sv.vec_id, sv.sub, c1.cluster,
+      |           list_reduce(list_transform(range(16),
+      |             i -> (sv.v[i+1] - c1.c[i+1]) * (sv.v[i+1] - c1.c[i+1])),
+      |             (a, b) -> a + b) AS dist
+      |    FROM sv, c1)
+      |), m2 AS (
+      |  SELECT cluster, CAST(dim AS INT) AS dim,
+      |         round(1e-9 + avg(x), 6) AS cv
+      |  FROM (
+      |    SELECT a2.cluster, unnest(range(16)) AS dim, unnest(sv.v) AS x
+      |    FROM a2 JOIN sv ON a2.vec_id = sv.vec_id AND a2.sub = sv.sub
+      |    WHERE a2.rn = 1)
+      |  GROUP BY cluster, dim
+      |), c2 AS (
+      |  SELECT c1.cluster, coalesce(m.c, c1.c) AS c
+      |  FROM c1 LEFT JOIN (
+      |    SELECT cluster, list(cv ORDER BY dim) AS c FROM m2 GROUP BY cluster) m
+      |  ON c1.cluster = m.cluster
+      |), af AS (
+      |  SELECT vec_id, sub, cluster, dist, row_number() OVER (
+      |    PARTITION BY vec_id, sub ORDER BY dist, cluster) AS rn
+      |  FROM (
+      |    SELECT sv.vec_id, sv.sub, c2.cluster,
+      |           list_reduce(list_transform(range(16),
+      |             i -> (sv.v[i+1] - c2.c[i+1]) * (sv.v[i+1] - c2.c[i+1])),
+      |             (a, b) -> a + b) AS dist
+      |    FROM sv, c2)
+      |)""".stripMargin
+
+  /** Sequential left-fold squared distance in dim order (the x33 parity
+    * rule: matches DuckDB's list_reduce exactly). */
+  private def pqSqDist(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, y) => acc + y)
+
+  /** (vec_id, sub, 16-dim subvector) — mirrors the sv CTE. */
+  private def pqSubvectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v64"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("sub"),
+        col("v64"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v64"), col("sub") * 16 + 1, lit(16)).as("v"))
+
+  /** Shared 8-centroid codebook k-means-trained on the pooled subvectors
+    * (first-8 init = the subvectors of vec_id 0 and 1; two Lloyd rounds,
+    * centroids rounded to 6 decimals). Persisted content-keyed — the PQ
+    * model artifact. */
+  def pqCodebook(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    DerivedTable(s, d, "embeddings", "pqbook") {
+      val sv = pqSubvectors(s, d).localCheckpoint() // 3 assigns + 2 updates
+      val init = sv.filter(col("vec_id") < 2)
+        .select((col("vec_id") * 4 + col("sub")).cast("int").as("cluster"),
+          col("v").as("c"))
+      def assign(cent: DataFrame): DataFrame =
+        sv.crossJoin(broadcast(cent))
+          .withColumn("dist", pqSqDist(col("v"), col("c")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"), col("sub"))
+              .orderBy(col("dist"), col("cluster"))))
+          .filter(col("rn") === 1)
+      def update(assigned: DataFrame, cent: DataFrame): DataFrame = {
+        val m = assigned
+          .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(Num.roundOut(avg(col("x")), 6).as("cv"))
+          .groupBy(col("cluster"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("cv")))),
+            p => p.getField("cv")).as("mc"))
+        cent.join(m, Seq("cluster"), "left")
+          .select(col("cluster"), coalesce(col("mc"), col("c")).as("c"))
+          .localCheckpoint()
+      }
+      val c1 = update(assign(init), init)
+      update(assign(c1), c1)
+    }
+  }
+
+  /** The encoded corpus: (vec_id, sub, cluster code, residual sq dist) —
+    * the persisted PQ index (what a 100 TB corpus stores and scans). */
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    DerivedTable(s, d, "embeddings", "pqcodes") {
+      pqSubvectors(s, d).crossJoin(broadcast(pqCodebook(s, d)))
+        .withColumn("dist", pqSqDist(col("v"), col("c")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"), col("sub"))
+            .orderBy(col("dist"), col("cluster"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cluster"), col("dist"))
+    }
   }
 }

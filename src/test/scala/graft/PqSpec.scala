@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** PQ invariants the oracle equality can't name: code range/compression
+  * shape, Lloyd improvement, and ADC approximation quality vs the exact
+  * full-precision scan. */
+class PqSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("x57: 4 codes per vector, codes in [0,8), qerr >= 0") {
+    val rows = SparkEntry.queries("x57_pq_encode")(spark, sf0_001).collect()
+    val n = Tables.embeddings(spark, sf0_001).count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      (1 to 4).foreach { i =>
+        val c = r.getInt(i)
+        assert(c >= 0 && c < 8, s"code $c out of the 8-cell codebook")
+      }
+      assert(r.getDouble(5) >= 0.0)
+    }
+  }
+
+  test("codebook: 8 centroids, and 2 Lloyd rounds beat the raw init") {
+    val book = Similarity.pqCodebook(spark, sf0_001).collect()
+    assert(book.length == 8)
+    // total quantization error under the TRAINED book must not exceed the
+    // error under the untrained first-8 init (Lloyd never increases cost
+    // on the training set; rounding perturbs by <1e-5 per dim)
+    val sv = Tables.embeddings(spark, sf0_001)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v64"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("sub"),
+        col("v64"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v64"), col("sub") * 16 + 1, lit(16)).as("v"))
+      .localCheckpoint()
+    def cost(cb: org.apache.spark.sql.DataFrame): Double = {
+      val d = aggregate(zip_with(col("v"), col("c"),
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, y) => acc + y)
+      sv.crossJoin(broadcast(cb)).withColumn("d", d)
+        .groupBy(col("vec_id"), col("sub")).agg(min(col("d")).as("md"))
+        .agg(sum(col("md"))).head().getDouble(0)
+    }
+    val init = sv.filter(col("vec_id") < 2)
+      .select((col("vec_id") * 4 + col("sub")).cast("int").as("cluster"),
+        col("v").as("c"))
+    val trained = Similarity.pqCodebook(spark, sf0_001)
+    assert(cost(trained) <= cost(init) + 1e-3,
+      "training increased quantization cost")
+  }
+
+  test("x58: per-query ranks are contiguous and ADC finds true neighbors") {
+    val adc = SparkEntry.queries("x58_pq_adc")(spark, sf0_001).collect()
+    val byQ = adc.groupBy(_.getLong(0))
+    assert(byQ.size == 3)
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 10))
+      val ds = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b + 1e-9 })
+    }
+    // approximation quality: for each query the ADC top-10 must recover a
+    // nontrivial share of the EXACT full-precision top-10 (coarse 8-cell
+    // shared codebook on random data — floor pinned at observed-margin)
+    val v = Tables.embeddings(spark, sf0_001)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint()
+    val q = v.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = v.filter(col("vec_id") >= 3).crossJoin(q)
+      .withColumn("d", aggregate(zip_with(col("v"), col("qv"),
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, y) => acc + y))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("d"), col("vec_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.map(_.getLong(1)).toSet }
+    val hits = byQ.map { case (qid, rows) =>
+      rows.map(_.getLong(2)).toSet.intersect(exact(qid)).size
+    }.sum
+    // chance level for 10-of-497 picked twice independently is ~0.2 hits
+    // per query (~0.6 total); the observed 5/30 is ~8x chance on the
+    // unclustered random fixture — pin at 3 (5x chance) for slack
+    assert(hits >= 3, s"ADC recall collapsed: $hits/30 exact top-10 found")
+  }
+}
