@@ -38,6 +38,72 @@ object Dedup {
       shingled(Tables.documents(s, d))
     }
 
+  /** Exact-dup ∪ thresholded near-dup edge set, shared by x20 and x59
+    * (one definition — the fingerprintSql rule). Exact edges group by
+    * content digest (only 16-byte digests shuffle, x01's contract);
+    * near edges run x04's inverted-index co-occurrence plan over the
+    * SAME persisted shingle table, Jaccard ≥ 0.05 evaluated on
+    * integer-derived doubles (bit-identical classification). */
+  private def dupEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = hashed.as("a")
+      .join(hashed.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+    val inv = shingleTable(s, d)
+      .select(col("source"), col("lang"), col("doc_id"),
+        size(col("tri")).as("sz"), explode(col("tri")).as("sh"))
+    val near = inv.as("a")
+      .join(inv.as("b"),
+        col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).as("i"))
+      .filter(col("i").cast("double") / (col("sza") + col("szb") - col("i"))
+        >= 0.05)
+      .select(col("a"), col("b"))
+    exact.union(near)
+  }
+
+  /** The same edge set + recursive-reachability labeling as DuckDB CTEs
+    * (s → ex/ne → e/u/n → reach → lab), interpolated into the x20 and
+    * x59 oracles. A def, not a val: `entries` initializes first. */
+  private def dupClusterCteSql: String =
+    """s AS (
+      |  SELECT doc_id, source, lang,
+      |         list_distinct(CASE WHEN len(ws) < 3 THEN []
+      |           ELSE list_transform(range(len(ws) - 2),
+      |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
+      |  FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS ws
+      |        FROM documents)
+      |), ex AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM documents a JOIN documents b
+      |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+      |), ne AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM s a JOIN s b ON a.source = b.source AND a.lang = b.lang
+      |                   AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.tri, b.tri)) > 0
+      |    AND len(list_intersect(a.tri, b.tri)) * 1.0 /
+      |        (len(a.tri) + len(b.tri) - len(list_intersect(a.tri, b.tri)))
+      |        >= 0.05
+      |), e AS (
+      |  SELECT a, b FROM ex UNION SELECT a, b FROM ne
+      |), u AS (
+      |  SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+      |), n AS (
+      |  SELECT DISTINCT a AS node FROM u
+      |), reach(node, r) AS (
+      |  SELECT node, node FROM n
+      |  UNION
+      |  SELECT reach.node, u.b FROM reach JOIN u ON u.a = reach.r
+      |), lab AS (
+      |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+      |)""".stripMargin
+
   /** Connected components by hash-min label propagation (Rastogi et al.,
     * "Finding Connected Components in Map-Reduce"). `edges` has long
     * columns (a, b), one row per undirected edge; returns (node, label)
@@ -346,73 +412,63 @@ object Dedup {
     // Clustering is [[connectedComponents]] hash-min propagation; the
     // driver never sees the graph, only the converged/not-converged count.
     QueryDef("x20_dup_clusters",
-      """WITH RECURSIVE s AS (
-        |  SELECT doc_id, source, lang,
-        |         list_distinct(CASE WHEN len(ws) < 3 THEN []
-        |           ELSE list_transform(range(len(ws) - 2),
-        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
-        |  FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS ws
-        |        FROM documents)
-        |), ex AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM documents a JOIN documents b
-        |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
-        |), ne AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM s a JOIN s b ON a.source = b.source AND a.lang = b.lang
-        |                   AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.tri, b.tri)) > 0
-        |    AND len(list_intersect(a.tri, b.tri)) * 1.0 /
-        |        (len(a.tri) + len(b.tri) - len(list_intersect(a.tri, b.tri)))
-        |        >= 0.05
-        |), e AS (
-        |  SELECT a, b FROM ex UNION SELECT a, b FROM ne
-        |), u AS (
-        |  SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
-        |), n AS (
-        |  SELECT DISTINCT a AS node FROM u
-        |), reach(node, r) AS (
-        |  SELECT node, node FROM n
-        |  UNION
-        |  SELECT reach.node, u.b FROM reach JOIN u ON u.a = reach.r
-        |), lab AS (
-        |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
-        |)
+      s"""WITH RECURSIVE $dupClusterCteSql
         |SELECT doc_id, cluster_id,
         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
         |       doc_id = cluster_id AS is_keeper
         |FROM lab ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      // Exact-dup edges: group by content digest — only 16-byte digests
-      // shuffle, same contract as x01.
-      val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
-      val exact = hashed.as("a")
-        .join(hashed.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-      // Near-dup edges: inverted-index co-occurrence Jaccard (x04's plan),
-      // thresholded, over the SAME persisted shingle table x04 reads —
-      // one ingest-time shingling pass serves both queries. The threshold
-      // comparison is the same two integer-derived doubles on both
-      // engines — bit-identical classification.
-      val sets = shingleTable(s, d)
-      val inv = sets.select(col("source"), col("lang"), col("doc_id"),
-        size(col("tri")).as("sz"), explode(col("tri")).as("sh"))
-      val near = inv.as("a")
-        .join(inv.as("b"),
-          col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
-          col("a.sz").as("sza"), col("b.sz").as("szb"))
-        .agg(count(lit(1)).as("i"))
-        .filter(col("i").cast("double") / (col("sza") + col("szb") - col("i"))
-          >= 0.05)
-        .select(col("a"), col("b"))
-      connectedComponents(exact.union(near))
+      connectedComponents(dupEdges(s, d))
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("label"))))
         .select(col("node").as("doc_id"), col("label").as("cluster_id"),
           col("cluster_size"), (col("node") === col("label")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    },
+
+    // CANONICAL-SURVIVOR selection — the step a dedup pipeline runs AFTER
+    // x20's clustering: inside each duplicate cluster, keep the highest-
+    // QUALITY member (x08's composite score — one shared definition on
+    // both engines — rounded 4 so the cross-engine ranking is exact;
+    // doc_id breaks ties), drop the rest. "Lowest id wins" (x20's
+    // is_keeper) is the cheap default; ranking by quality is what
+    // production pipelines actually do, so the kept corpus retains the
+    // best-written copy of every duplicated document.
+    //
+    // Scale: the ranking window partitions by cluster_id — cluster sizes
+    // are bounded (they're near-clique dup groups), so no window grows
+    // with the corpus; edges and components reuse the persisted shingle
+    // table and the O(log diameter) hash-min loop.
+    QueryDef("x59_cluster_canon",
+      s"""WITH RECURSIVE $dupClusterCteSql, ${TextAnalysis.qualityMSql},
+        |q AS (
+        |  SELECT doc_id, ${TextAnalysis.qualitySql} AS quality
+        |  FROM m WHERE n_tokens > 0
+        |), j AS (
+        |  SELECT lab.doc_id, lab.cluster_id, q.quality
+        |  FROM lab JOIN q USING (doc_id)
+        |), rk AS (
+        |  SELECT doc_id, cluster_id, quality,
+        |         count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |         row_number() OVER (PARTITION BY cluster_id
+        |           ORDER BY quality DESC, doc_id) AS rn
+        |  FROM j
+        |)
+        |SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+        |       quality, rn = 1 AS is_canonical
+        |FROM rk ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val labels = connectedComponents(dupEdges(s, d))
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val q = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.qualityCol.as("quality"),
+          size(Text.tokens(col("text"))).as("n_tokens"))
+        .filter(col("n_tokens") > 0).drop("n_tokens")
+      val byCluster = Window.partitionBy(col("cluster_id"))
+      labels.join(q, "doc_id")
+        .withColumn("cluster_size", count(lit(1)).over(byCluster))
+        .withColumn("rn", row_number().over(
+          byCluster.orderBy(col("quality").desc, col("doc_id"))))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("quality"), (col("rn") === 1).as("is_canonical"))
         .orderBy(col("doc_id"))
     },
 

@@ -44,6 +44,43 @@ object TextAnalysis {
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
     }
 
+  /** x08's per-doc token-stat CTE in DuckDB SQL, shared with x59's
+    * canonical selection (one definition — the fingerprintSql rule).
+    * Defs, not vals: `entries` initializes first. */
+  private[operators] def qualityMSql: String =
+    """m AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST(len(ws) AS INT) AS n_tokens,
+      |         len(list_distinct(ws)) AS n_distinct,
+      |         len(list_filter(ws, x -> x IN ('a', 'the'))) AS n_stop,
+      |         list_sum(list_transform(ws, x -> len(x))) AS sum_len
+      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+      |        FROM documents)
+      |)""".stripMargin
+
+  /** The composite quality score over m's fields (0.5·TTR + 0.3·(1−stop)
+    * + 0.2·capped-avg-token-len), rounded 4 — the rounding is what makes
+    * cross-engine ORDERING by quality deterministic (x59 ranks on it). */
+  private[operators] def qualitySql: String =
+    """round(1e-9 + 0.5 * (n_distinct * 1.0 / n_tokens)
+      |             + 0.3 * (1 - n_stop * 1.0 / n_tokens)
+      |             + 0.2 * least(sum_len * 1.0 / n_tokens / 8.0, 1.0),
+      |             4)""".stripMargin
+
+  /** The same composite quality as a Spark column over `text`. */
+  private[operators] def qualityCol: org.apache.spark.sql.Column = {
+    val ws = Text.tokens(col("text"))
+    val nTokens = size(ws)
+    val nDistinct = size(array_distinct(ws))
+    val nStop = size(filter(ws, x => x.isin("a", "the")))
+    val sumLen = aggregate(ws, lit(0), (acc, x) => acc + length(x))
+    val ttr = nDistinct * 1.0 / nTokens
+    val stopR = nStop * 1.0 / nTokens
+    val avgLen = sumLen * 1.0 / nTokens
+    Num.roundOut(lit(0.5) * ttr + lit(0.3) * (lit(1) - stopR)
+      + lit(0.2) * least(avgLen / 8.0, lit(1.0)), 4)
+  }
+
   /** Cavnar-Trenkle profile cap: each language keeps only its K most
     * frequent words, so the broadcast profile is ≤ K×langs rows FOREVER —
     * an uncapped per-word profile is O(vocab×langs) and a web-scale vocab
@@ -131,23 +168,12 @@ object TextAnalysis {
     // Quality scoring: type-token ratio, stopword ratio, token length —
     // exact rational metrics (integer counts + single divisions).
     QueryDef("x08_quality_score",
-      """WITH m AS (
-        |  SELECT doc_id, n_chars,
-        |         CAST(len(ws) AS INT) AS n_tokens,
-        |         len(list_distinct(ws)) AS n_distinct,
-        |         len(list_filter(ws, x -> x IN ('a', 'the'))) AS n_stop,
-        |         list_sum(list_transform(ws, x -> len(x))) AS sum_len
-        |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
-        |        FROM documents)
-        |)
+      s"""WITH $qualityMSql
         |SELECT doc_id, n_tokens,
         |       round(1e-9 + n_distinct * 1.0 / n_tokens, 4) AS ttr,
         |       round(1e-9 + n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
         |       round(1e-9 + sum_len * 1.0 / n_tokens, 4) AS avg_token_len,
-        |       round(1e-9 + 0.5 * (n_distinct * 1.0 / n_tokens)
-        |             + 0.3 * (1 - n_stop * 1.0 / n_tokens)
-        |             + 0.2 * least(sum_len * 1.0 / n_tokens / 8.0, 1.0),
-        |             4) AS quality
+        |       $qualitySql AS quality
         |FROM m WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val ws = Text.tokens(col("text"))
       val nTokens = size(ws)
@@ -162,8 +188,7 @@ object TextAnalysis {
           Num.roundOut(ttr, 4).as("ttr"),
           Num.roundOut(stopR, 4).as("stop_ratio"),
           Num.roundOut(avgLen, 4).as("avg_token_len"),
-          Num.roundOut(lit(0.5) * ttr + lit(0.3) * (lit(1) - stopR)
-            + lit(0.2) * least(avgLen / 8.0, lit(1.0)), 4).as("quality"))
+          qualityCol.as("quality"))
         .filter(col("n_tokens") > 0)
         .orderBy(col("doc_id"))
     },

@@ -47,4 +47,19 @@ class IvmOuterSpec extends AnyFunSuite {
     val matchedClicks = inner.map(_._1)
     assert(nullRows.map(_.getLong(1)).forall(c => !matchedClicks.contains(c)))
   }
+
+  test("x59: exactly one canonical per cluster, and it has max quality") {
+    val rows = SparkEntry.queries("x59_cluster_canon")(spark, sf0_001)
+      .collect()
+    assert(rows.nonEmpty, "fixture has duplicate clusters")
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      assert(members.length >= 2, s"cluster $cid below dup size")
+      val canon = members.filter(_.getBoolean(4))
+      assert(canon.length == 1, s"cluster $cid has ${canon.length} canons")
+      val best = members.map(_.getDouble(3)).max
+      assert(canon.head.getDouble(3) == best,
+        s"cluster $cid kept a non-best copy")
+      assert(members.forall(_.getLong(2) == members.length))
+    }
+  }
 }
