@@ -89,4 +89,24 @@ class PqSpec extends AnyFunSuite {
     // unclustered random fixture — pin at 3 (5x chance) for slack
     assert(hits >= 3, s"ADC recall collapsed: $hits/30 exact top-10 found")
   }
+
+  test("x60: IVF-PQ = x58's ADC restricted to the probed coarse lists") {
+    val ivfpq = SparkEntry.queries("x60_ivf_pq")(spark, sf0_001).collect()
+    assert(ivfpq.groupBy(_.getLong(0)).size == 3)
+    ivfpq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+    }
+    // every IVF-PQ hit carries the SAME adc value x58 computed for that
+    // (query, vec) — the composition changed the candidate set, never
+    // the distance; and any x58 top-5 candidate NOT returned by x60 must
+    // have been pruned by the coarse probe (lives outside probed lists),
+    // never silently dropped from inside them
+    val fullAdc = SparkEntry.queries("x58_pq_adc")(spark, sf0_001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivfpq.foreach { r =>
+      fullAdc.get((r.getLong(0), r.getLong(2))).foreach { d =>
+        assert(d == r.getDouble(3), "ADC drifted through the composition")
+      }
+    }
+  }
 }
