@@ -126,4 +126,47 @@ class PropertySpec extends AnyFunSuite {
     val many = run(df.repartition(13))
     assert(one == many, "labels must not depend on physical partitioning")
   }
+
+  private val wordsGen: Gen[List[String]] =
+    Gen.listOfN(120, Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(6)).suchThat(_.nonEmpty),
+      Gen.oneOf("hot", "hot", "hot", "warm", "warm", "rare")))
+
+  test("property: count-min never underestimates, any split point") {
+    import graft.functions.{CountMinAggregator, Sketches}
+    val agg = new CountMinAggregator(4, 16)
+    samples(wordsGen, 4, 91L).foreach { words =>
+      def sk(xs: Seq[String]) =
+        xs.foldLeft(agg.zero.clone())((b, x) => agg.reduce(b, x))
+      val whole = sk(words)
+      val truth = words.groupBy(identity).view.mapValues(_.size.toLong)
+      truth.foreach { case (w, c) =>
+        val est = (0 until 4)
+          .map(i => whole(i * 16 + (Sketches.foldHash(w, i) % 16).toInt)).min
+        assert(est >= c, s"underestimate for $w: $est < $c")
+      }
+      // merge at an arbitrary point == one-shot
+      val cut = words.length / 3
+      val (l, r) = words.splitAt(cut)
+      assert(agg.merge(sk(l), sk(r)).toSeq == whole.toSeq)
+    }
+  }
+
+  test("property: bloom has no false negatives under any split/merge") {
+    import graft.functions.{BloomAggregator, Sketches}
+    val agg = new BloomAggregator(4, 256)
+    samples(wordsGen, 4, 92L).foreach { words =>
+      def sk(xs: Seq[String]) =
+        xs.foldLeft(agg.zero.clone())((b, x) => agg.reduce(b, x))
+      val (l, r) = words.splitAt(words.length / 2)
+      val merged = agg.merge(sk(l), sk(r))
+      words.foreach { w =>
+        val hit = (0 until 4).forall { i =>
+          val p = (Sketches.foldHash(w, i) % 256).toInt
+          (merged(p >> 6) & (1L << (p & 63))) != 0L
+        }
+        assert(hit, s"false negative for inserted word $w")
+      }
+    }
+  }
 }
