@@ -221,4 +221,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(reused || limsBroadcast,
       "expected ReusedExchange on the self-join (or an AQE broadcast of the avg side)")
   }
+
+  test("x55 bloom probe: bitset broadcast, per-gram path stays codegen'd") {
+    val nodes = executedAll(SparkEntry.queries("x55_bloom_decon")(spark, sf0_001))
+    // the 8 KB bitset reaches every probe task as a broadcast — never a
+    // shuffled join side — and the bit test compiles into a codegen stage
+    // (a UDF probe would appear as BatchEvalPython/Invoke outside WSCG)
+    assert(nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) ||
+      nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "bloom bitset must broadcast to the probe side")
+    assert(nodes.exists(
+      _.getClass.getSimpleName.startsWith("WholeStageCodegen")))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("x58 ADC: LUT broadcasts; the code scan never shuffles for the join") {
+    val nodes = executedAll(SparkEntry.queries("x58_pq_adc")(spark, sf0_001))
+    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "the (sub, cluster) LUT join must broadcast")
+    // the only fact-side hash exchanges are the (query, vec) partial
+    // aggregate and the top-k window — never a join shuffle of the codes
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"codes were shuffle-joined: $smj")
+  }
+
+  test("q86 IVM: the retraction delta joins customer via broadcast") {
+    val nodes = executedAll(SparkEntry.queries("q86_join_ivm")(spark, sf0_001))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "delta-side customer join must broadcast (maintenance cost ∝ |Δ|)")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+  }
 }
