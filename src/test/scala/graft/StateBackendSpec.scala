@@ -49,4 +49,33 @@ class StateBackendSpec extends AnyFunSuite {
     assert(rocks == batch)
     assert(rocks.size == 7)
   }
+
+  test("Trigger.AvailableNow drains all input in bounded batches, then stops") {
+    import spark.implicits._
+    // the production BACKFILL trigger: process everything currently
+    // available in rate-limited micro-batches, then terminate — unlike
+    // processAllAvailable (test-only blocking) or continuous triggers.
+    val src = java.nio.file.Files.createTempDirectory("an_src").toString
+    (1 to 90).map(i => (i.toLong, i % 5)).toDF("id", "k")
+      .coalesce(3).write.mode("append").parquet(src)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val agg = ss.readStream
+      .schema(ss.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1") // rate limit → ≥3 micro-batches
+      .parquet(src)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("an_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow terminates BY ITSELF once the snapshot is drained
+    assert(q.awaitTermination(120000), "query did not self-terminate")
+    val got = ss.table("an_sink").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 18L, 1 -> 18L, 2 -> 18L, 3 -> 18L, 4 -> 18L))
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "rate limit was ignored — backfill ran as one giant batch")
+  }
 }
