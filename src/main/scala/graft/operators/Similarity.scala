@@ -113,12 +113,58 @@ object Similarity {
     // probes its nprobe=2 nearest centroid lists and re-ranks exactly.
     // At 100 TB the assignment is computed once at ingest and the probe is
     // a partition-pruned equi-join — no corpus scan per query.
-    // Not ANSI-expressible compactly → SimilaritySpec pins behavior.
-    QueryDef.noOracle("x14_ann_ivf") { (s, d) =>
+    // Oracle-checked since late round 6 (assignment sims rounded to 6
+    // decimals — x05's rank-on-rounded rule — so the cross-engine
+    // ordering is exact); SinksAndIvfSpec additionally pins duplicate
+    // recall on a crafted corpus.
+    QueryDef("x14_ann_ivf",
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), c AS (
+        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+        |  WHERE vec_id % 50 = 0
+        |), a AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> n.v[i+1] * c.cv[i+1])) / n.nrm / c.cn, 6) AS sim
+        |  FROM n, c
+        |), r AS (
+        |  SELECT vec_id, cent_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rk
+        |  FROM a
+        |), corpus AS (
+        |  SELECT vec_id, cent_id FROM r WHERE rk = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cent_id FROM r WHERE vec_id < 10 AND rk <= 2
+        |), cand AS (
+        |  SELECT p.query_id, co.vec_id AS cand_id
+        |  FROM probes p JOIN corpus co ON p.cent_id = co.cent_id
+        |  WHERE co.vec_id <> p.query_id
+        |), sims AS (
+        |  SELECT cand.query_id, cand.cand_id,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> q.v[i+1] * x.v[i+1])) / q.nrm / x.nrm, 6) AS cos_sim
+        |  FROM cand JOIN n q ON q.vec_id = cand.query_id
+        |            JOIN n x ON x.vec_id = cand.cand_id
+        |), rk2 AS (
+        |  SELECT query_id, cand_id, cos_sim, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+        |  FROM sims
+        |)
+        |SELECT query_id, cand_id, cos_sim, CAST(rnk AS INT) AS rnk
+        |FROM rk2 WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
       // The persisted index holds rk<=2 assignments, PARTITIONED BY
       // cent_id — the literal inverted-file layout: a probe's equi-join on
       // cent_id prunes to the probed lists' directories (DPP at scale).
-      val assigned2 = indexed(s, d, "ivf", Seq("cent_id")) {
+      // builderVersion 2: assignment ranks on ROUNDED sims (oracle parity).
+      val assigned2 = DerivedTable(s, d, "embeddings", "ivf",
+          Seq("cent_id"), builderVersion = 2) {
         val n = withNorm(Tables.embeddings(s, d))
         val cents = n.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -127,7 +173,8 @@ object Similarity {
           .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cent_id"))
         n.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
-            (dot(col("v"), col("cv")) / col("nrm") / col("cn")).as("sim"))
+            Num.roundOut(dot(col("v"), col("cv")) / col("nrm") / col("cn"), 6)
+              .as("sim"))
           .withColumn("rk", row_number().over(wAssign))
           .filter(col("rk") <= 2)
           .select(col("vec_id"), col("v"), col("nrm"), col("rk"), col("cent_id"))
@@ -449,7 +496,8 @@ object Similarity {
         |           (a, b) -> a + b) AS d
         |  FROM q CROSS JOIN qc2
         |), ad AS (
-        |  SELECT codes.vec_id, lut.query_id, sum(lut.d) AS adc
+        |  SELECT codes.vec_id, lut.query_id,
+        |         round(1e-9 + sum(lut.d), 4) AS adc
         |  FROM codes JOIN lut
         |    ON codes.sub = lut.sub AND codes.cluster = lut.cluster
         |  GROUP BY codes.vec_id, lut.query_id
@@ -458,8 +506,7 @@ object Similarity {
         |    PARTITION BY query_id ORDER BY adc, vec_id) AS rank
         |  FROM ad
         |)
-        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
-        |       round(1e-9 + adc, 4) AS adc
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc
         |FROM rk WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -470,15 +517,18 @@ object Similarity {
       val lut = q.crossJoin(pqCodebook(s, d))
         .withColumn("d", pqSqDist(col("v"), col("c")))
         .select(col("query_id"), col("sub"), col("cluster"), col("d"))
+      // rank on the ROUNDED sum (x05's rule): the 4-term ADC addition has
+      // no defined order on either engine, so an unrounded tie at the
+      // top-k boundary flips between runs — rounding first makes the
+      // (adc, vec_id) order exact cross-engine
       codes.join(broadcast(lut), Seq("sub", "cluster"))
         .groupBy(col("query_id"), col("vec_id"))
-        .agg(sum(col("d")).as("adc"))
+        .agg(Num.roundOut(sum(col("d")), 4).as("adc"))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("adc"), col("vec_id"))).cast("int"))
         .filter(col("rank") <= 10)
-        .select(col("query_id"), col("rank"), col("vec_id"),
-          Num.roundOut(col("adc"), 4).as("adc"))
+        .select(col("query_id"), col("rank"), col("vec_id"), col("adc"))
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -517,7 +567,8 @@ object Similarity {
         |  FROM probes p JOIN lists l ON p.list_id = l.list_id
         |  WHERE l.vec_id >= 3
         |), ad AS (
-        |  SELECT cand.query_id, cand.vec_id, sum(lut.d) AS adc
+        |  SELECT cand.query_id, cand.vec_id,
+        |         round(1e-9 + sum(lut.d), 4) AS adc
         |  FROM cand
         |  JOIN codes ON cand.vec_id = codes.vec_id
         |  JOIN lut ON lut.query_id = cand.query_id
@@ -528,8 +579,7 @@ object Similarity {
         |    PARTITION BY query_id ORDER BY adc, vec_id) AS rank
         |  FROM ad
         |)
-        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
-        |       round(1e-9 + adc, 4) AS adc
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc
         |FROM rk WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -560,13 +610,12 @@ object Similarity {
       cand.join(codes, "vec_id")
         .join(broadcast(lut), Seq("query_id", "sub", "cluster"))
         .groupBy(col("query_id"), col("vec_id"))
-        .agg(sum(col("d")).as("adc"))
+        .agg(Num.roundOut(sum(col("d")), 4).as("adc")) // rank-on-rounded: see x58
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("adc"), col("vec_id"))).cast("int"))
         .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("vec_id"),
-          Num.roundOut(col("adc"), 4).as("adc"))
+        .select(col("query_id"), col("rank"), col("vec_id"), col("adc"))
         .orderBy(col("query_id"), col("rank"))
     }
   )
