@@ -48,6 +48,15 @@ object Similarity {
       yield (t, j, Seq.fill(64)(next()))
   }
 
+  /** The 32 hyperplanes as DuckDB VALUES rows (tbl, j, [64 doubles]) for
+    * the x06 oracle — Double.toString is the shortest round-trip repr, so
+    * DuckDB parses back the identical bit pattern. A def: `entries`
+    * initializes first. */
+  private def planesValuesSql: String =
+    planes.map { case (t, j, comps) =>
+      s"($t, $j, [${comps.mkString(", ")}])"
+    }.mkString(",\n      ")
+
   /** Sign-bit bucket per (vector, table): 8 hyperplane signs → 0..255. */
   private def bucketed(df: DataFrame): DataFrame = {
     val byTable = planes.groupBy(_._1).toSeq.sortBy(_._1)
@@ -198,9 +207,48 @@ object Similarity {
 
     // ANN via random-hyperplane LSH: 4 tables × 8-bit sign buckets;
     // candidates share a bucket in ANY table; exact cosine re-rank, top 5.
-    // Not ANSI-expressible (hyperplane constants + bit buckets) →
-    // SimilaritySpec pins recall vs x05 on crafted near-duplicates.
-    QueryDef.noOracle("x06_ann_lsh") { (s, d) =>
+    // Oracle-checked since late round 6: the 32 deterministic hyperplanes
+    // are INTERPOLATED into the SQL as literal lists (shortest-roundtrip
+    // double repr → bit-identical parse), so DuckDB computes the same
+    // sign buckets — the x05 fold-parity rule extended to the sign test
+    // (a flipped sign needs |dot| under ~1 ulp; the fixture's dots are
+    // O(1)). SimilaritySpec still pins recall on crafted near-duplicates.
+    QueryDef("x06_ann_lsh",
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), pl(tbl, j, p) AS (
+        |  VALUES $planesValuesSql
+        |), bits AS (
+        |  SELECT n.vec_id, pl.tbl,
+        |         CASE WHEN list_sum(list_transform(range(64),
+        |                i -> n.v[i+1] * pl.p[i+1])) > 0
+        |              THEN (1 << pl.j) ELSE 0 END AS bit
+        |  FROM n, pl
+        |), buckets AS (
+        |  SELECT vec_id, tbl, CAST(sum(bit) AS INT) AS bucket
+        |  FROM bits GROUP BY vec_id, tbl
+        |), q AS (
+        |  SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id < 10
+        |), pairs AS (
+        |  SELECT DISTINCT q.query_id, b.vec_id AS cand_id
+        |  FROM buckets b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket
+        |  WHERE b.vec_id <> q.query_id
+        |), sims AS (
+        |  SELECT pairs.query_id, pairs.cand_id,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> a.v[i+1] * c.v[i+1])) / a.nrm / c.nrm, 6) AS cos_sim
+        |  FROM pairs JOIN n a ON a.vec_id = pairs.query_id
+        |             JOIN n c ON c.vec_id = pairs.cand_id
+        |)
+        |SELECT query_id, cand_id, cos_sim, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cos_sim DESC, cand_id) AS rnk
+        |  FROM sims)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
       // Persisted hash-table index (one row per vector per table); at
       // cluster scale this is additionally bucketBy(tbl, bucket) so the
       // probe join is exchange-free (w02's layout applied to ANN).
