@@ -104,6 +104,80 @@ object Dedup {
       |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
       |)""".stripMargin
 
+  private val MinhashP = 1000000007L
+
+  /** The portable-minhash signature table (doc_id, tri, 8-perm sig) —
+    * x39's persisted content-keyed artifact, shared with x61's
+    * incremental probe. Char hash runs once per DISTINCT shingle. */
+  private[operators] def pminhashTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    DerivedTable(s, d, "documents", "pminhash") {
+      val base = shingleTable(s, d)
+        .select(col("doc_id"), col("tri"))
+        .filter(size(col("tri")) > 0)
+        .localCheckpoint()
+      val ex = base.select(col("doc_id"), explode(col("tri")).as("sh"))
+      val vocab = ex.select(col("sh")).distinct()
+        .withColumn("h", Text.charHash(col("sh")))
+      val minCols = (0 until 8).map { k =>
+        min((col("h") * (2L * k + 1L) + (k * 40503L + 17L)) % MinhashP).as(s"m$k")
+      }
+      val sigs = ex.join(vocab, "sh")
+        .groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until 8).map(k => col(s"m$k")): _*).as("sig"))
+      base.join(sigs, "doc_id")
+    }
+
+  /** 4×2 band buckets over the signature table, crowded buckets (>100)
+    * dropped — the shared candidate-generation layer of x39/x61. */
+  private def pminhashPruned(sig: DataFrame): DataFrame = {
+    val banded = sig.select(col("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("bnd"), col("sig"))
+      .select(col("doc_id"), col("bnd").cast("int").as("band"),
+        (element_at(col("sig"), (col("bnd") * 2 + 1).cast("int")) * MinhashP +
+         element_at(col("sig"), (col("bnd") * 2 + 2).cast("int"))).as("bucket"))
+    val keepb = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, 100))
+      .select(col("band"), col("bucket"))
+    banded.join(keepb, Seq("band", "bucket"))
+  }
+
+  /** The x39 chain (shingles → portable hashes → 8-perm signatures → 4×2
+    * band buckets → crowded-bucket cap) as shared DuckDB CTEs,
+    * interpolated into the x39 and x61 oracles. */
+  private def pminhashCteSql: String =
+    """s AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(ws) < 3 THEN []
+      |           ELSE list_transform(range(len(ws) - 2),
+      |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |), h AS (
+      |  SELECT doc_id, tri,
+      |         list_transform(tri, sh ->
+      |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(len(sh)),
+      |               i -> CAST(unicode(sh[i+1]) AS BIGINT))),
+      |             (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+      |  FROM s WHERE len(tri) > 0
+      |), sig AS (
+      |  SELECT doc_id, tri,
+      |         list_transform(range(8), k -> list_min(list_transform(hs,
+      |           x -> (x * (2*k + 1) + k * 40503 + 17) % 1000000007))) AS sig
+      |  FROM h
+      |), bk AS (
+      |  SELECT doc_id, CAST(band AS INT) AS band,
+      |         sig[band*2 + 1] * 1000000007 + sig[band*2 + 2] AS bucket
+      |  FROM (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig)
+      |), keepb AS (
+      |  SELECT band, bucket FROM bk
+      |  GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 100
+      |), pr AS (
+      |  SELECT bk.* FROM bk JOIN keepb USING (band, bucket)
+      |)""".stripMargin
+
   /** The CONVERGED duplicate-cluster map (node, label), persisted
     * content-keyed: the hash-min loop runs once per corpus at ingest and
     * both x20 and x59 read the artifact — the "cluster table" every
@@ -548,35 +622,7 @@ object Dedup {
     // x02: signatures shuffle, documents don't; candidates come only from
     // bucket collisions (work ∝ colliding pairs, never all-pairs).
     QueryDef("x39_minhash_portable",
-      """WITH s AS (
-        |  SELECT doc_id,
-        |         list_distinct(CASE WHEN len(ws) < 3 THEN []
-        |           ELSE list_transform(range(len(ws) - 2),
-        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-        |), h AS (
-        |  SELECT doc_id, tri,
-        |         list_transform(tri, sh ->
-        |           list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |             list_transform(range(len(sh)),
-        |               i -> CAST(unicode(sh[i+1]) AS BIGINT))),
-        |             (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
-        |  FROM s WHERE len(tri) > 0
-        |), sig AS (
-        |  SELECT doc_id, tri,
-        |         list_transform(range(8), k -> list_min(list_transform(hs,
-        |           x -> (x * (2*k + 1) + k * 40503 + 17) % 1000000007))) AS sig
-        |  FROM h
-        |), bk AS (
-        |  SELECT doc_id, CAST(band AS INT) AS band,
-        |         sig[band*2 + 1] * 1000000007 + sig[band*2 + 2] AS bucket
-        |  FROM (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig)
-        |), keepb AS (
-        |  SELECT band, bucket FROM bk
-        |  GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 100
-        |), pr AS (
-        |  SELECT bk.* FROM bk JOIN keepb USING (band, bucket)
-        |), pairs AS (
+      s"""WITH $pminhashCteSql, pairs AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM pr a JOIN pr b ON a.band = b.band AND a.bucket = b.bucket
         |                     AND a.doc_id < b.doc_id
@@ -601,34 +647,8 @@ object Dedup {
       // aggregates over the exploded rows (x02's shape), not a per-doc
       // lambda fold: h_k(x) = (x·(2k+1) + 40503k + 17) mod p, x·15 < 2^34
       // — no overflow either engine.
-      val sig = DerivedTable(s, d, "documents", "pminhash") {
-        val base = shingleTable(s, d)
-          .select(col("doc_id"), col("tri"))
-          .filter(size(col("tri")) > 0)
-          .localCheckpoint()
-        val ex = base.select(col("doc_id"), explode(col("tri")).as("sh"))
-        val vocab = ex.select(col("sh")).distinct()
-          .withColumn("h", Text.charHash(col("sh")))
-        val minCols = (0 until 8).map { k =>
-          min((col("h") * (2L * k + 1L) + (k * 40503L + 17L)) % p).as(s"m$k")
-        }
-        val sigs = ex.join(vocab, "sh")
-          .groupBy(col("doc_id"))
-          .agg(minCols.head, minCols.tail: _*)
-          .select(col("doc_id"),
-            array((0 until 8).map(k => col(s"m$k")): _*).as("sig"))
-        base.join(sigs, "doc_id")
-      }
-      val banded = sig.select(col("doc_id"),
-          explode(sequence(lit(0), lit(3))).as("bnd"), col("sig"))
-        .select(col("doc_id"), col("bnd").cast("int").as("band"),
-          (element_at(col("sig"), (col("bnd") * 2 + 1).cast("int")) * p +
-           element_at(col("sig"), (col("bnd") * 2 + 2).cast("int"))).as("bucket"))
-      val keepb = banded.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz").between(2, 100))
-        .select(col("band"), col("bucket"))
-      val pruned = banded.join(keepb, Seq("band", "bucket"))
+      val sig = pminhashTable(s, d)
+      val pruned = pminhashPruned(sig)
       val pairs = pruned.as("a")
         .join(pruned.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -649,8 +669,73 @@ object Dedup {
         .limit(50)
     },
 
+    // INCREMENTAL dedup of an APPEND batch against the persisted corpus
+    // state — the daily-ingest shape q86 plays for views, played for
+    // dedup: "incoming" documents (content-hash bucket, ~10%) probe the
+    // SAME persisted signature table x39 built; candidate pairs must
+    // involve at least one incoming doc, so yesterday's base×base pairs
+    // (already adjudicated) are never regenerated. Output keeps the
+    // (incoming×base / incoming×incoming) provenance flags an ingest
+    // pipeline routes on: new-vs-base → drop the new copy, new-vs-new →
+    // keep one.
+    //
+    // Scale: the state IS the signature table (content-keyed, built once);
+    // an incremental run hashes only the append batch (here the shared
+    // table already covers it — the query's work is the probe), and the
+    // bucket join touches only buckets CONTAINING an incoming doc. Work
+    // ∝ |append| × collision rate, independent of corpus history — the
+    // dedup analogue of q86's maintenance-∝-|Δ| contract.
+    QueryDef("x61_incremental_dedup",
+      s"""WITH $pminhashCteSql, inc AS (
+        |  SELECT doc_id, (${TextAnalysis.fingerprintSql} % 10 = 0) AS inc
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pr a JOIN pr b ON a.band = b.band AND a.bucket = b.bucket
+        |                     AND a.doc_id < b.doc_id
+        |)
+        |SELECT p.doc_a, p.doc_b, ia.inc AS inc_a, ib.inc AS inc_b,
+        |       round(1e-9 + list_sum(list_transform(range(8),
+        |             i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1]
+        |                       THEN 1 ELSE 0 END)) / 8.0, 6) AS est,
+        |       round(1e-9 + len(list_intersect(sa.tri, sb.tri)) * 1.0 /
+        |             (len(sa.tri) + len(sb.tri)
+        |              - len(list_intersect(sa.tri, sb.tri))), 6) AS jaccard
+        |FROM pairs p JOIN sig sa ON p.doc_a = sa.doc_id
+        |             JOIN sig sb ON p.doc_b = sb.doc_id
+        |             JOIN inc ia ON p.doc_a = ia.doc_id
+        |             JOIN inc ib ON p.doc_b = ib.doc_id
+        |WHERE ia.inc OR ib.inc
+        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin) { (s, d) =>
+      val sig = pminhashTable(s, d)
+      val inc = TextAnalysis.fingerprintTable(s, d)
+        .select(col("doc_id"), (col("fp") % 10 === 0).as("inc"))
+      val pruned = pminhashPruned(sig)
+        .join(inc, "doc_id") // carry the flag through the bucket join
+      val pairs = pruned.as("a")
+        .join(pruned.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            (col("a.inc") || col("b.inc")))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.inc").as("inc_a"), col("b.inc").as("inc_b"))
+        .distinct()
+      val sa = sig.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a"), col("tri").as("tri_a"))
+      val sb = sig.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"), col("tri").as("tri_b"))
+      pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("inc_a"), col("inc_b"),
+          Num.roundOut(size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)), v => v === 1)) / 8.0, 6)
+            .as("est"),
+          Num.roundOut(Text.jaccard(col("tri_a"), col("tri_b")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(50)
+    },
+
     // PREFIX-FILTERED set-similarity join (the PPJoin family: Chaudhuri
-    // et al. ICDE'06, Xiao et al. WWW'08) at Jaccard ≥ 0.5 — the THIRD
+    // et al. ICDE'06, Xiao et al. WWW'08) at Jaccard ≥ 4/5 — the THIRD
     // candidate-generation strategy next to x02's LSH (probabilistic) and
     // x04's full inverted index (work ∝ every shared shingle): under a
     // global rarest-first token order, J(A,B) ≥ t forces the first

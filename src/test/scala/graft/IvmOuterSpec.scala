@@ -48,6 +48,32 @@ class IvmOuterSpec extends AnyFunSuite {
     assert(nullRows.map(_.getLong(1)).forall(c => !matchedClicks.contains(c)))
   }
 
+  test("x61: every emitted pair involves the append batch") {
+    val rows = SparkEntry.queries("x61_incremental_dedup")(spark, sf0_001)
+      .collect()
+    assert(rows.nonEmpty, "append batch found no duplicate candidates")
+    rows.foreach { r =>
+      assert(r.getBoolean(2) || r.getBoolean(3),
+        "a base-x-base pair leaked into the incremental run")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0 + 1e-9)
+    }
+    // presentation contract: ranked by verified jaccard descending
+    val js = rows.map(_.getDouble(5)).toSeq
+    assert(js == js.sortBy(-(_: Double)), "not ranked by jaccard")
+    // x39's top-50 pairs that involve an incoming doc must all resurface
+    // here (same candidate machinery, x61 only RESTRICTS the pair set —
+    // x39's global LIMIT 50 means the reverse containment need not hold)
+    val incIds = Tables.documents(spark, sf0_001)
+      .filter(graft.functions.Text.fingerprint(col("text")) % 10 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val fullInc = SparkEntry.queries("x39_minhash_portable")(spark, sf0_001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => incIds(a) || incIds(b) }.toSet
+    val incPairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fullInc.subsetOf(incPairs),
+      "the incremental run missed incoming pairs the full run reports")
+  }
+
   test("x59: exactly one canonical per cluster, and it has max quality") {
     val rows = SparkEntry.queries("x59_cluster_canon")(spark, sf0_001)
       .collect()
