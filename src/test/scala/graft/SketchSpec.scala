@@ -95,6 +95,21 @@ class SketchSpec extends AnyFunSuite {
     assert(bloom < 0.8 * tot, s"prefilter passes too much: $bloom / $tot")
   }
 
+  test("x62: portable HLL lands within its error band, LC branch live") {
+    val r = SparkEntry.queries("x62_hll_portable")(spark, sf0_001).head()
+    val (exact, est) = (r.getLong(0), r.getDouble(4))
+    // sf0.001's 15 users sit in the LinearCounting regime — the
+    // correction must engage and land close (LC is near-exact there)
+    assert(r.getString(3) == "lc", "small-range correction did not engage")
+    assert(math.abs(est - exact) / exact < 0.15,
+      s"HLL estimate $est too far from $exact")
+    assert(r.getDouble(5) == r.getDouble(5).abs, "rel_err must be >= 0")
+    // the interpolated ln table covers every possible zero-register count
+    val lnRows = SparkEntry.oracleSql("x62_hll_portable")
+      .split("VALUES")(1).split("\\)").count(_.contains("("))
+    assert(lnRows >= 255, s"ln lookup table truncated: $lnRows rows")
+  }
+
   test("x54/x55 sketch params match their oracles' interpolated constants") {
     // the oracle SQL is built by interpolating SketchAgg constants — if
     // someone edits the aggregator defaults without touching the SQL the
