@@ -129,6 +129,36 @@ object Dedup {
       base.join(sigs, "doc_id")
     }
 
+  /** The portable-SimHash bit table (doc_id, i, b) — x63's persisted
+    * content-keyed artifact. Per DISTINCT token, [[Text.charHash]] seeds
+    * x62's integer mixer once per bit index (i+1 folded in BEFORE the
+    * avalanche, so bits are not affine shifts of one another — x43's
+    * lesson); per-doc bits are the sign of the vote sum. Long-form
+    * (row per bit) so the DuckDB oracle replays it join-for-join. */
+  private[operators] def psimhashBits(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d).select(col("doc_id"),
+      explode(filter(array_distinct(Text.tokens(col("text"))),
+        w => length(w) > 0)).as("tok"))
+    DerivedTable(s, d, "documents", "psimhash") {
+      val voc = tok.select(col("tok")).distinct()
+        .withColumn("h", Text.charHash(col("tok")))
+      val tb = voc.select(col("tok"), col("h"),
+          explode(sequence(lit(0), lit(31))).as("i"))
+        .withColumn("a", expr("(h + (i + 1) * 2654435761) & 4294967295"))
+      val t1 = tb.withColumn("a",
+        expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+      val t2 = t1.withColumn("a",
+        expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+      val tv = t2.select(col("tok"), col("i"),
+        when(expr("(shiftright(a, 16) ^ a) & 1") === 1, 1).otherwise(-1).as("v"))
+      tok.join(tv, "tok")
+        .groupBy(col("doc_id"), col("i"))
+        .agg(sum(col("v")).as("sv"))
+        .select(col("doc_id"), col("i"),
+          when(col("sv") > 0, 1).otherwise(0).as("b"))
+    }
+  }
+
   /** 4×2 band buckets over the signature table, crowded buckets (>100)
     * dropped — the shared candidate-generation layer of x39/x61. */
   private def pminhashPruned(sig: DataFrame): DataFrame = {
@@ -812,6 +842,119 @@ object Dedup {
           Num.roundOut(col("i").cast("double")
             / (col("sza") + col("szb") - col("i")), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+    },
+
+    // SimHash with a PORTABLE hash — the oracle-pinned twin of x03 (the
+    // x02→x39 move applied to the OTHER near-dup sketch). x03 runs the
+    // production 64-bit signature (xxhash64, engine-specific, spec-
+    // pinned); this variant builds a 32-bit SimHash from primitives both
+    // engines spell natively: per distinct TOKEN, the char-level rolling
+    // hash ([[Text.charHash]]) seeds x62's published integer mixer
+    // (xor/shift/multiply, avalanche in the low bit) once per bit index —
+    // NOT an affine family (a·h+b mod p) whose members are correlated
+    // shifts of each other (x43's measured lesson). Every per-(token,bit)
+    // ±1 vote, per-doc bit, 8-bit band chunk, candidate pair, and hamming
+    // distance is relationally recomputed by DuckDB and hash-checked.
+    //
+    // Scale: identical shape to x03 — the vote table is vocab-sized (32
+    // rows per DISTINCT token, never per occurrence), doc bits come from
+    // one (doc, bit) partial agg, candidates only from 8-bit band-chunk
+    // collisions with the 2..100 crowded-bucket cap. The bit table is
+    // persisted content-keyed: the signature build is the ingest job.
+    QueryDef("x63_simhash_portable",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(list_distinct(string_split(text, ' ')),
+        |                w -> len(w) > 0)) AS tok
+        |  FROM documents
+        |), voc AS (
+        |  SELECT DISTINCT tok FROM tok
+        |), vh AS (
+        |  SELECT tok,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(len(tok)),
+        |             i -> CAST(unicode(tok[i+1]) AS BIGINT))),
+        |           (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM voc
+        |), tb AS (
+        |  SELECT tok, CAST(i AS INT) AS i,
+        |         (h + (i + 1) * 2654435761) & 4294967295 AS a
+        |  FROM vh, (SELECT unnest(range(32)) AS i)
+        |), t1 AS (
+        |  SELECT tok, i, (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM tb
+        |), t2 AS (
+        |  SELECT tok, i, (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM t1
+        |), tv AS (
+        |  SELECT tok, i,
+        |         CASE WHEN xor(a >> 16, a) & 1 = 1 THEN 1 ELSE -1 END AS v
+        |  FROM t2
+        |), bits AS (
+        |  SELECT doc_id, i, CASE WHEN sv > 0 THEN 1 ELSE 0 END AS b
+        |  FROM (SELECT t.doc_id, tv.i, sum(tv.v) AS sv
+        |        FROM tok t JOIN tv ON t.tok = tv.tok GROUP BY 1, 2)
+        |), fp AS (
+        |  SELECT doc_id, CAST(sum(CAST(b AS BIGINT) << i) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1
+        |), ch AS (
+        |  SELECT doc_id, CAST(i // 8 AS INT) AS band,
+        |         CAST(sum(CAST(b AS BIGINT) << (i % 8)) AS INT) AS chunk
+        |  FROM bits GROUP BY 1, 2
+        |), keepb AS (
+        |  SELECT band, chunk FROM ch
+        |  GROUP BY band, chunk HAVING count(*) BETWEEN 2 AND 100
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ch a
+        |  JOIN keepb k ON a.band = k.band AND a.chunk = k.chunk
+        |  JOIN ch b ON a.band = b.band AND a.chunk = b.chunk
+        |            AND a.doc_id < b.doc_id
+        |), hm AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         sum(CASE WHEN xa.b <> xb.b THEN 1 ELSE 0 END) AS dist0
+        |  FROM cand c
+        |  JOIN bits xa ON xa.doc_id = c.doc_a
+        |  JOIN bits xb ON xb.doc_id = c.doc_b AND xb.i = xa.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT hm.doc_a, hm.doc_b, CAST(hm.dist0 AS INT) AS dist,
+        |       hm.dist0 <= 3 AS neardup,
+        |       fa.simhash AS fp_a, fb.simhash AS fp_b
+        |FROM hm JOIN fp fa ON fa.doc_id = hm.doc_a
+        |        JOIN fp fb ON fb.doc_id = hm.doc_b
+        |ORDER BY dist, doc_a, doc_b LIMIT 100""".stripMargin) { (s, d) =>
+      val bits = psimhashBits(s, d)
+      val fpT = bits.groupBy(col("doc_id"))
+        .agg(sum(expr("shiftleft(CAST(b AS BIGINT), i)")).as("simhash"))
+      val ch = bits.select(col("doc_id"),
+          expr("CAST(i div 8 AS INT)").as("band"),
+          expr("shiftleft(CAST(b AS BIGINT), i % 8)").as("pc"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(sum(col("pc")).cast("int").as("chunk"))
+      val keepb = ch.groupBy(col("band"), col("chunk"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz").between(2, 100))
+        .select(col("band"), col("chunk"))
+      val chk = ch.join(keepb, Seq("band", "chunk"))
+      val cand = chk.as("a")
+        .join(chk.as("b"),
+          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val xa = bits.select(col("doc_id").as("doc_a"), col("i"), col("b").as("ba"))
+      val xb = bits.select(col("doc_id").as("doc_b"), col("i"), col("b").as("bb"))
+      val hm = cand.join(xa, "doc_a").join(xb, Seq("doc_b", "i"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(when(col("ba") =!= col("bb"), 1).otherwise(0)).as("dist0"))
+      val fa = fpT.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
+      val fb = fpT.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
+      hm.join(fa, "doc_a").join(fb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          col("dist0").cast("int").as("dist"),
+          (col("dist0") <= 3).as("neardup"),
+          col("fp_a"), col("fp_b"))
+        .orderBy(col("dist"), col("doc_a"), col("doc_b"))
+        .limit(100)
     }
   )
 }
