@@ -135,7 +135,7 @@ object Dedup {
     * avalanche, so bits are not affine shifts of one another — x43's
     * lesson); per-doc bits are the sign of the vote sum. Long-form
     * (row per bit) so the DuckDB oracle replays it join-for-join. */
-  private[operators] def psimhashBits(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[graft] def psimhashBits(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d).select(col("doc_id"),
       explode(filter(array_distinct(Text.tokens(col("text"))),
         w => length(w) > 0)).as("tok"))

@@ -960,6 +960,127 @@ object TextAnalysis {
           approx_percentile(col("value"), lit(0.95), lit(10000)).as("p95_approx"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
+    },
+
+    // PORTABLE sampled quantiles — x27's oracle-checkable twin (the
+    // x02→x39/x12→x62 move applied to percentiles): a bottom-k-by-hash-
+    // priority uniform sample (bottom-k sketches, Cohen & Kaplan 2007)
+    // per event_type, k=64. Priority = x62's integer mixer over event_id
+    // — no RNG, so the sample is deterministic under re-ingestion (x17/
+    // x22's contract) and MERGEABLE by construction: bottom-k of a union
+    // is bottom-k of the per-part bottom-k's (SampleMergeSpec pins it).
+    // Quantile indexes are EXACT INTEGERS (ceil(q·n) = (q_num·n + q_num)
+    // div q_den — float 0.9·n rounds up on some n), ties broken by
+    // event_id, so every sampled value and both estimates are
+    // relationally recomputed by DuckDB and hash-checked.
+    //
+    // Scale: the Spark side selects in TWO levels — bottom-64 within
+    // (event_type, event_id mod 32 salt), then bottom-64 of the ≤ 32·64
+    // survivors — provably equal to the single global window (priority
+    // order is total), so no reducer ever sorts a whole group: the same
+    // salting lever as q27, applied to top-k selection. The oracle runs
+    // the single-window form; result parity IS the equivalence proof,
+    // run per round. The exact side sorts each group once (q32's cost) —
+    // that's the comparison baseline, not the at-scale path.
+    QueryDef("x64_quantile_sample",
+      """WITH ev AS (
+        |  SELECT event_type, event_id, value FROM events
+        |  WHERE value IS NOT NULL
+        |), h0 AS (
+        |  SELECT event_type, event_id, value,
+        |         event_id & 4294967295 AS a FROM ev
+        |), h1 AS (
+        |  SELECT event_type, event_id, value,
+        |         (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h0
+        |), h2 AS (
+        |  SELECT event_type, event_id, value,
+        |         (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h1
+        |), pv AS (
+        |  SELECT event_type, event_id, value, xor(a >> 16, a) AS pri FROM h2
+        |), samp AS (
+        |  SELECT event_type, event_id, value FROM (
+        |    SELECT event_type, event_id, value,
+        |           row_number() OVER (PARTITION BY event_type
+        |                              ORDER BY pri, event_id) AS rn
+        |    FROM pv) WHERE rn <= 64
+        |), sq AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS vr,
+        |         count(*) OVER (PARTITION BY event_type) AS ns
+        |  FROM samp
+        |), sest AS (
+        |  SELECT event_type, max(ns) AS n_sample,
+        |         max(CASE WHEN vr = (ns + 1) // 2 THEN value END) AS p50s,
+        |         max(CASE WHEN vr = (9 * ns + 9) // 10 THEN value END) AS p90s
+        |  FROM sq GROUP BY 1
+        |), eq AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS vr,
+        |         count(*) OVER (PARTITION BY event_type) AS nr
+        |  FROM ev
+        |), eest AS (
+        |  SELECT event_type, max(nr) AS n_rows,
+        |         max(CASE WHEN vr = (nr + 1) // 2 THEN value END) AS p50e,
+        |         max(CASE WHEN vr = (9 * nr + 9) // 10 THEN value END) AS p90e
+        |  FROM eq GROUP BY 1
+        |)
+        |SELECT s.event_type, e.n_rows, s.n_sample,
+        |       round(1e-9 + s.p50s, 4) AS p50_sample,
+        |       round(1e-9 + s.p90s, 4) AS p90_sample,
+        |       round(1e-9 + e.p50e, 4) AS p50_exact,
+        |       round(1e-9 + e.p90e, 4) AS p90_exact
+        |FROM sest s JOIN eest e ON s.event_type = e.event_type
+        |ORDER BY s.event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .filter(col("value").isNotNull)
+      val pv = ev
+        .withColumn("a", expr("event_id & 4294967295"))
+        .withColumn("a", expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+        .withColumn("a", expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+        .withColumn("pri", expr("shiftright(a, 16) ^ a"))
+        .drop("a")
+      val samp = quantileSample(pv, 64)
+      def est(in: DataFrame, nName: String, p50: String, p90: String) = in
+        .withColumn("vr", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("value"), col("event_id"))))
+        .withColumn("ns", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(max(col("ns")).as(nName),
+          max(when(col("vr") === expr("(ns + 1) div 2"), col("value"))).as(p50),
+          max(when(col("vr") === expr("(9 * ns + 9) div 10"), col("value"))).as(p90))
+      val sest = est(samp, "n_sample", "p50s", "p90s")
+      val eest = est(ev, "n_rows", "p50e", "p90e")
+      sest.join(eest, "event_type")
+        .select(col("event_type"), col("n_rows"), col("n_sample"),
+          Num.roundOut(col("p50s"), 4).as("p50_sample"),
+          Num.roundOut(col("p90s"), 4).as("p90_sample"),
+          Num.roundOut(col("p50e"), 4).as("p50_exact"),
+          Num.roundOut(col("p90e"), 4).as("p90_exact"))
+        .orderBy(col("event_type"))
     }
   )
+
+  /** Salted two-level bottom-k by (pri, event_id) priority within
+    * event_type — never sorts a whole group on one reducer; provably
+    * equal to the single global window because the priority order is
+    * total. Exposed for SampleMergeSpec's merge-property pin. */
+  private[graft] def quantileSample(pv: DataFrame, k: Int): DataFrame = {
+    val local = pv
+      .withColumn("salt", pmod(col("event_id"), lit(32)))
+      .withColumn("rn1", row_number().over(
+        Window.partitionBy(col("event_type"), col("salt"))
+          .orderBy(col("pri"), col("event_id"))))
+      .filter(col("rn1") <= k)
+    local
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("pri"), col("event_id"))))
+      .filter(col("rn") <= k)
+      .select(col("event_type"), col("event_id"), col("value"), col("pri"))
+  }
 }
