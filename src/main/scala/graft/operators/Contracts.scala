@@ -121,6 +121,61 @@ object Contracts {
         .select(col("rule"), col("checked"), col("violations"),
           (col("violations") === 0).as("pass"))
         .orderBy(col("rule"))
+    },
+
+    // k-ANONYMITY audit with a generalization ladder — the privacy gate a
+    // training corpus passes before release (k=5, Sweeney 2002): a row's
+    // quasi-identifier (event_type, day) is safe only if ≥ k rows share
+    // it; unsafe rows generalize day→week→month, and rows still unique
+    // at month granularity are redacted. The report histograms rows and
+    // distinct users by the anonymity level they end up at — the
+    // re-identification-risk summary, not just a pass/fail bit.
+    //
+    // Scale: three class-size tables (one partial-agg pass each, keyed
+    // by type×calendar — calendar-bounded, so broadcastable at ANY
+    // corpus size) joined back onto the fact; no per-row window, no
+    // driver-side loop. The same ladder runs on a 100 TB event log with
+    // the fact scanned once per granularity.
+    QueryDef("x66_k_anonymity",
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+        |         CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+        |         CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS mo
+        |  FROM events
+        |), cd AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY 1, 2),
+        |cw AS (SELECT event_type, wk, count(*) AS c FROM e GROUP BY 1, 2),
+        |cm AS (SELECT event_type, mo, count(*) AS c FROM e GROUP BY 1, 2),
+        |lv AS (
+        |  SELECT e.event_type, e.user_id,
+        |         CASE WHEN cd.c >= 5 THEN 'day'
+        |              WHEN cw.c >= 5 THEN 'week'
+        |              WHEN cm.c >= 5 THEN 'month'
+        |              ELSE 'redacted' END AS level
+        |  FROM e JOIN cd ON e.event_type = cd.event_type AND e.day = cd.day
+        |         JOIN cw ON e.event_type = cw.event_type AND e.wk = cw.wk
+        |         JOIN cm ON e.event_type = cm.event_type AND e.mo = cm.mo
+        |)
+        |SELECT event_type, level, count(*) AS n_rows,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM lv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"),
+        date_trunc("week", to_date(col("ts"))).cast("date").as("wk"),
+        date_trunc("month", to_date(col("ts"))).cast("date").as("mo"))
+      def classes(key: String) = e.groupBy(col("event_type"), col(key))
+        .agg(count(lit(1)).as(s"c_$key"))
+      e.join(broadcast(classes("day")), Seq("event_type", "day"))
+        .join(broadcast(classes("wk")), Seq("event_type", "wk"))
+        .join(broadcast(classes("mo")), Seq("event_type", "mo"))
+        .select(col("event_type"), col("user_id"),
+          when(col("c_day") >= 5, "day")
+            .when(col("c_wk") >= 5, "week")
+            .when(col("c_mo") >= 5, "month")
+            .otherwise("redacted").as("level"))
+        .groupBy(col("event_type"), col("level"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"), col("level"))
     }
   )
 }

@@ -397,6 +397,93 @@ object Mining {
         .filter(col("rn") <= col("mc"))
         .select(col("doc_id"), col("lang"), col("rn"))
         .orderBy(col("lang"), col("rn"))
+    },
+
+    // ROUGE-overlap contamination ATTRIBUTION — x19 measures HOW MUCH of
+    // each eval doc leaks from the train split; this answers WHICH train
+    // document it leaked from: for every non-train doc, the top-1 train
+    // doc by ROUGE-N F1 over the shared persisted trigram sets (N=3,
+    // the x04/x19 shingle table). The rational trick keeps ranking
+    // bit-stable cross-engine: with p = i/|hyp|, r = i/|ref|, F1
+    // collapses to 2i/(|hyp|+|ref|) — integer-exact numerator and
+    // denominator, ONE IEEE division, ties broken by train doc id.
+    //
+    // Scale: pair generation is the inverted-index join (work ∝ shared
+    // grams, never eval×train); the top-1 window partitions by eval doc
+    // over candidate rows only. The report is the dedup-across-splits
+    // step every eval-suite release runs (Lee et al. 2022 §6).
+    QueryDef("x65_rouge_attribution",
+      s"""WITH sp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN ${TextAnalysis.fingerprintSql} % 100 < 80 THEN 'train'
+        |              WHEN ${TextAnalysis.fingerprintSql} % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split, text
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, split,
+        |         list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |           ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
+        |  FROM (SELECT doc_id, split, string_split(text, ' ') AS ws FROM sp)
+        |), sz AS (
+        |  SELECT doc_id, split, CAST(len(tri) AS INT) AS n
+        |  FROM s WHERE len(tri) > 0
+        |), eg AS (
+        |  SELECT doc_id AS e, unnest(tri) AS g FROM s WHERE split <> 'train'
+        |), tg AS (
+        |  SELECT doc_id AS t, unnest(tri) AS g FROM s WHERE split = 'train'
+        |), iv AS (
+        |  SELECT e, t, count(*) AS inter FROM eg JOIN tg ON eg.g = tg.g
+        |  GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT iv.e, se.split, iv.t, iv.inter,
+        |         se.n AS n_eval, st.n AS n_train,
+        |         2.0 * iv.inter / (se.n + st.n) AS f1
+        |  FROM iv JOIN sz se ON iv.e = se.doc_id
+        |          JOIN sz st ON iv.t = st.doc_id
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY e
+        |                               ORDER BY f1 DESC, t) AS rn
+        |  FROM sc
+        |)
+        |SELECT e AS doc_id, split, t AS best_train_doc, inter,
+        |       n_eval, n_train,
+        |       round(1e-9 + inter * 1.0 / n_eval, 6) AS rouge_p,
+        |       round(1e-9 + inter * 1.0 / n_train, 6) AS rouge_r,
+        |       round(1e-9 + f1, 6) AS rouge_f1
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sh = Dedup.shingleTable(s, d)
+        .join(TextAnalysis.fingerprintTable(s, d), "doc_id")
+        .withColumn("bucket", col("fp") % 100)
+        .select(col("doc_id"),
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"),
+          col("tri"))
+        .filter(size(col("tri")) > 0)
+      val sz = sh.select(col("doc_id"), col("split"), size(col("tri")).as("n"))
+      val eg = sh.filter(col("split") =!= "train")
+        .select(col("doc_id").as("e"), explode(col("tri")).as("g"))
+      val tg = sh.filter(col("split") === "train")
+        .select(col("doc_id").as("t"), explode(col("tri")).as("g"))
+      val iv = eg.join(tg, "g").groupBy(col("e"), col("t"))
+        .agg(count(lit(1)).as("inter"))
+      val se = sz.select(col("doc_id").as("e"), col("split"),
+        col("n").as("n_eval"))
+      val st = sz.select(col("doc_id").as("t"), col("n").as("n_train"))
+      iv.join(se, "e").join(st, "t")
+        .withColumn("f1",
+          lit(2.0) * col("inter") / (col("n_eval") + col("n_train")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("e")).orderBy(col("f1").desc, col("t"))))
+        .filter(col("rn") === 1)
+        .select(col("e").as("doc_id"), col("split"),
+          col("t").as("best_train_doc"), col("inter"),
+          col("n_eval"), col("n_train"),
+          Num.roundOut(col("inter") * 1.0 / col("n_eval"), 6).as("rouge_p"),
+          Num.roundOut(col("inter") * 1.0 / col("n_train"), 6).as("rouge_r"),
+          Num.roundOut(col("f1"), 6).as("rouge_f1"))
+        .orderBy(col("doc_id"))
     }
   )
 }
