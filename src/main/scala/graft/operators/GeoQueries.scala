@@ -143,6 +143,50 @@ object GeoQueries {
         .filter(col("dist_km") < 15000)
         .select(col("event_id"), Num.roundOut(col("dist_km"), 4).as("dist_km"))
         .orderBy(col("event_id"))
+    },
+
+    // F8 ST_DWithin as the REGISTERED SQL FUNCTION with its self-carried
+    // index ([[graft.plans.StDWithinSql]]): the probe point and radius are
+    // literals, so the expansion's latitude band constant-folds into range
+    // predicates on the stored `lat` column and reaches the parquet scan
+    // as PushedFilters — the reference's GIST-index pruning
+    // (etl.py:230-237) played by row-group min/max stats over an
+    // ingest-persisted points table. GeoPushdownSpec pins the plan; the
+    // oracle recomputes the same points and the identical haversine
+    // inequality (band conjunct is semantically redundant by soundness).
+    QueryDef("q87_dwithin_function",
+      """WITH p AS (
+        |  SELECT event_id, (user_id % 180) - 90 AS lat,
+        |         (value % 360) - 180 AS lon
+        |  FROM events
+        |)
+        |SELECT event_id, round(1e-9 + lat, 4) AS lat,
+        |       round(1e-9 + lon, 4) AS lon
+        |FROM p
+        |WHERE 2 * 6371.0 * asin(sqrt(
+        |        sin(radians(-82.0 - lat) / 2) * sin(radians(-82.0 - lat) / 2) +
+        |        cos(radians(lat)) * cos(radians(-82.0)) *
+        |        sin(radians(0.0 - lon) / 2) * sin(radians(0.0 - lon) / 2)))
+        |      <= 3000
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      graft.plans.StDWithinSql.register(s)
+      pointsTable(s, d)
+        .filter(expr("st_dwithin(lat, lon, -82.0, 0.0, 3000.0)"))
+        .select(col("event_id"),
+          Num.roundOut(col("lat"), 4).as("lat"),
+          Num.roundOut(col("lon"), 4).as("lon"))
+        .orderBy(col("event_id"))
     }
   )
+
+  /** Event-derived points PERSISTED content-keyed — the "store lat/lon as
+    * plain columns at ingest" layout every geo warehouse uses, so range
+    * predicates can prune row groups by min/max stats. Exposed for
+    * GeoPushdownSpec's plan pin. */
+  private[graft] def pointsTable(s: org.apache.spark.sql.SparkSession, d: String) =
+    DerivedTable(s, d, "events", "geopoints") {
+      Tables.events(s, d).select(col("event_id"),
+        ((col("user_id") % 180) - 90).cast("double").as("lat"),
+        ((col("value") % 360) - 180).as("lon"))
+    }
 }

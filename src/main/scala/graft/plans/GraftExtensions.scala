@@ -38,6 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("zorder"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "zorder"),
       ZOrderSql.build))
+    // st_dwithin(lat1, lon1, lat2, lon2, r_km): ST_DWithin whose expansion
+    // carries a sound latitude-band conjunct (scan-pushable when the probe
+    // point is literal) ahead of the exact haversine test.
+    e.injectFunction((
+      new FunctionIdentifier("st_dwithin"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "st_dwithin"),
+      StDWithinSql.build))
     // optimizer rule: threshold levenshtein predicates run the banded DP
     e.injectOptimizerRule(_ => LevenshteinThresholdRewrite)
   }
