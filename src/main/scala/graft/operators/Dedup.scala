@@ -844,6 +844,97 @@ object Dedup {
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
     },
 
+    // CONTRASTIVE TRIPLET MINING from the dedup index — the curation step
+    // that turns the near-dup machinery into retriever training data
+    // (DPR/SimCSE-style hard negatives): for every anchor doc, a POSITIVE
+    // (its most-similar bucket-mate at trigram Jaccard ≥ 1/2) and up to
+    // three HARD NEGATIVES (bucket-mates strictly below 1/2 — lexically
+    // close enough to collide in x39's LSH, so they are the negatives a
+    // trained model actually confuses; random negatives are free but
+    // worthless). Candidate pairs are made undirected (both orientations)
+    // so every member of a dup cluster can anchor. Thresholds compare in
+    // INTEGERS (2·|∩| ≥ |A|+|B|−|∩| ⟺ J ≥ 1/2); ranking uses the exact
+    // rational Jaccard rounded 6 with doc-id tiebreaks — every triplet is
+    // relationally recomputed by DuckDB.
+    //
+    // Scale: mining reads the SAME persisted signature table as x39/x61 —
+    // no new corpus pass; candidates only from band-bucket collisions
+    // under the crowded-bucket cap, and the per-anchor top-k windows run
+    // over collision rows only. This is the "dedup index doubles as the
+    // mining index" contract production curation pipelines rely on.
+    QueryDef("x68_triplet_mining",
+      s"""WITH $pminhashCteSql, pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pr a JOIN pr b ON a.band = b.band AND a.bucket = b.bucket
+        |                     AND a.doc_id < b.doc_id
+        |), und AS (
+        |  SELECT doc_a AS anchor, doc_b AS cand FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b AS anchor, doc_a AS cand FROM pairs
+        |), jac AS (
+        |  SELECT u.anchor, u.cand,
+        |         len(list_intersect(sa.tri, sb.tri)) AS i,
+        |         len(sa.tri) AS na, len(sb.tri) AS nb,
+        |         round(1e-9 + len(list_intersect(sa.tri, sb.tri)) * 1.0 /
+        |               (len(sa.tri) + len(sb.tri)
+        |                - len(list_intersect(sa.tri, sb.tri))), 6) AS j
+        |  FROM und u JOIN sig sa ON u.anchor = sa.doc_id
+        |             JOIN sig sb ON u.cand = sb.doc_id
+        |), pos AS (
+        |  SELECT anchor, cand AS positive, j AS j_pos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY anchor
+        |              ORDER BY j DESC, cand) AS rn
+        |    FROM jac WHERE 2 * i >= na + nb - i)
+        |  WHERE rn = 1
+        |), neg AS (
+        |  SELECT anchor, cand AS negative, j AS j_neg,
+        |         CAST(rn AS INT) AS rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY anchor
+        |              ORDER BY j DESC, cand) AS rn
+        |    FROM jac WHERE 2 * i < na + nb - i)
+        |  WHERE rn <= 3
+        |)
+        |SELECT p.anchor, p.positive, n.negative, n.rank, p.j_pos, n.j_neg
+        |FROM pos p JOIN neg n ON p.anchor = n.anchor
+        |ORDER BY p.anchor, n.rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sig = pminhashTable(s, d)
+      val pruned = pminhashPruned(sig)
+      val pairs = pruned.as("a")
+        .join(pruned.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val und = pairs.select(col("doc_a").as("anchor"), col("doc_b").as("cand"))
+        .unionAll(pairs.select(col("doc_b").as("anchor"), col("doc_a").as("cand")))
+      val sa = sig.select(col("doc_id").as("anchor"), col("tri").as("tri_a"))
+      val sb = sig.select(col("doc_id").as("cand"), col("tri").as("tri_b"))
+      val jac = und.join(sa, "anchor").join(sb, "cand")
+        .withColumn("i", size(array_intersect(col("tri_a"), col("tri_b"))))
+        .withColumn("na", size(col("tri_a")))
+        .withColumn("nb", size(col("tri_b")))
+        .withColumn("j", Num.roundOut(col("i").cast("double")
+          / (col("na") + col("nb") - col("i")), 6))
+        .select(col("anchor"), col("cand"), col("i"), col("na"), col("nb"),
+          col("j"))
+      val w = Window.partitionBy(col("anchor"))
+        .orderBy(col("j").desc, col("cand"))
+      val pos = jac.filter(lit(2) * col("i") >= col("na") + col("nb") - col("i"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("anchor"), col("cand").as("positive"), col("j").as("j_pos"))
+      val neg = jac.filter(lit(2) * col("i") < col("na") + col("nb") - col("i"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("anchor"), col("cand").as("negative"), col("j").as("j_neg"),
+          col("rn").cast("int").as("rank"))
+      pos.join(neg, "anchor")
+        .select(col("anchor"), col("positive"), col("negative"), col("rank"),
+          col("j_pos"), col("j_neg"))
+        .orderBy(col("anchor"), col("rank"))
+    },
+
     // SimHash with a PORTABLE hash — the oracle-pinned twin of x03 (the
     // x02→x39 move applied to the OTHER near-dup sketch). x03 runs the
     // production 64-bit signature (xxhash64, engine-specific, spec-

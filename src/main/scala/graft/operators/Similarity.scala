@@ -665,6 +665,123 @@ object Similarity {
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("vec_id"), col("adc"))
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // MATRYOSHKA-style prefix-dimension search audit (Kusupati et al.
+    // 2022): rank by cosine over only the first m dims (m = 16, 32) and
+    // measure top-5 recall against the full 64-dim exact ranking (x05's
+    // definition: rank on sims rounded to 6, cand_id tiebreak) — the
+    // measurement that decides how far a deployment can truncate stored
+    // vectors before search quality pays for the 2-4× memory cut. Both
+    // rankings and the overlap count are relationally recomputed by
+    // DuckDB; recall is the exact rational n/5.
+    //
+    // Scale: prefix sims are the same broadcast-queries-over-one-corpus-
+    // pass as x05, with the dot product m/64ths the work (and at serving
+    // time, slice() never reads the truncated tail from parquet — column
+    // pruning can't split an array, but a prefix-dim TABLE written at
+    // ingest would scan 4× less; that's the layout decision this audit
+    // informs). The dims explode multiplies candidate rows by 2, not the
+    // corpus.
+    QueryDef("x67_matryoshka_recall",
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), fullk AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |           round(1e-9 + list_sum(list_transform(range(64),
+        |                   i -> q.v[i+1] * c.v[i+1])) / q.nrm / c.nrm, 6)
+        |             AS cos_sim,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY round(1e-9 + list_sum(list_transform(range(64),
+        |                   i -> q.v[i+1] * c.v[i+1])) / q.nrm / c.nrm, 6) DESC,
+        |               c.vec_id) AS rnk
+        |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id < 10)
+        |  WHERE rnk <= 5
+        |), pre AS (
+        |  SELECT m, query_id, cand_id FROM (
+        |    SELECT d.m, q.vec_id AS query_id, c.vec_id AS cand_id,
+        |           round(1e-9 + list_sum(list_transform(range(d.m),
+        |                   i -> q.v[i+1] * c.v[i+1]))
+        |             / sqrt(list_sum(list_transform(range(d.m),
+        |                   i -> q.v[i+1] * q.v[i+1])))
+        |             / sqrt(list_sum(list_transform(range(d.m),
+        |                   i -> c.v[i+1] * c.v[i+1]))), 6) AS psim,
+        |           row_number() OVER (PARTITION BY d.m, q.vec_id
+        |             ORDER BY round(1e-9 + list_sum(list_transform(range(d.m),
+        |                   i -> q.v[i+1] * c.v[i+1]))
+        |               / sqrt(list_sum(list_transform(range(d.m),
+        |                   i -> q.v[i+1] * q.v[i+1])))
+        |               / sqrt(list_sum(list_transform(range(d.m),
+        |                   i -> c.v[i+1] * c.v[i+1]))), 6) DESC,
+        |               c.vec_id) AS rnk
+        |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |         CROSS JOIN (SELECT unnest([16, 32]) AS m) d
+        |    WHERE q.vec_id < 10)
+        |  WHERE rnk <= 5
+        |), spine AS (
+        |  SELECT d.m, q.vec_id AS query_id
+        |  FROM (SELECT unnest([16, 32]) AS m) d,
+        |       (SELECT vec_id FROM e WHERE vec_id < 10) q
+        |), hits AS (
+        |  SELECT p.m, p.query_id, count(*) AS n_overlap
+        |  FROM pre p JOIN fullk f
+        |    ON p.query_id = f.query_id AND p.cand_id = f.cand_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(s.m AS INT) AS dims, s.query_id,
+        |       CAST(coalesce(h.n_overlap, 0) AS INT) AS n_overlap,
+        |       round(1e-9 + coalesce(h.n_overlap, 0) / 5.0, 4) AS recall
+        |FROM spine s LEFT JOIN hits h
+        |  ON s.m = h.m AND s.query_id = h.query_id
+        |ORDER BY dims, s.query_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      def nrm(a: Column) = sqrt(dot(a, a))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+      val pairs = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      val fullk = pairs
+        .select(col("query_id"), col("cand_id"),
+          Num.roundOut(dot(col("qv"), col("cv"))
+            / nrm(col("qv")) / nrm(col("cv")), 6).as("sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("sim").desc, col("cand_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("cand_id"))
+      val pre = pairs
+        .withColumn("m", explode(array(lit(16), lit(32))))
+        .select(col("m"), col("query_id"), col("cand_id"),
+          Num.roundOut(
+            dot(slice(col("qv"), lit(1), col("m")),
+              slice(col("cv"), lit(1), col("m")))
+              / nrm(slice(col("qv"), lit(1), col("m")))
+              / nrm(slice(col("cv"), lit(1), col("m"))), 6).as("psim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("m"), col("query_id"))
+            .orderBy(col("psim").desc, col("cand_id"))))
+        .filter(col("rnk") <= 5)
+      val hits = pre.join(fullk, Seq("query_id", "cand_id"))
+        .groupBy(col("m"), col("query_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      val spine = q.select(col("query_id"))
+        .withColumn("m", explode(array(lit(16), lit(32))))
+      spine.join(hits, Seq("m", "query_id"), "left")
+        .select(col("m").cast("int").as("dims"), col("query_id"),
+          coalesce(col("n_overlap"), lit(0L)).cast("int").as("n_overlap"),
+          Num.roundOut(coalesce(col("n_overlap"), lit(0L)) / 5.0, 4)
+            .as("recall"))
+        .orderBy(col("dims"), col("query_id"))
     }
   )
 
