@@ -568,6 +568,112 @@ object Streams {
           .select(col("user_id"), col("click_id"), col("purchase_id"))
           .orderBy(col("click_id"), col("purchase_id"))
       }
+    },
+
+    // Oracle-checked: STREAMING QUANTILES with O(k) state — x64's
+    // mergeable bottom-k sample maintained across micro-batches
+    // (foreachBatch folds each batch's local bottom-64 into the persisted
+    // per-group sample, st06's pattern applied to a SKETCH instead of an
+    // associative aggregate). Streaming == batch is PROVABLE here, not
+    // just observed: bottom-k by a deterministic total priority order is
+    // insensitive to arrival order and batch slicing (PortableSketchSpec
+    // pins the merge identity), so the final state equals the batch
+    // sample exactly and the oracle is x64's sample-side SQL verbatim.
+    // The split stage guarantees ≥2 micro-batches — the cross-batch
+    // merge is real.
+    //
+    // Scale: state is ≤ 64 rows per event_type FOREVER (vs an exact
+    // streaming percentile whose state grows with the stream); each
+    // micro-batch does one local bottom-k plus a k-vs-k merge. The same
+    // contract as st06's O(groups) matview, for a rank statistic no
+    // associative aggregate can express.
+    QueryDef("st09_stream_quantile",
+      """WITH ev AS (
+        |  SELECT event_type, event_id, value FROM events
+        |  WHERE value IS NOT NULL
+        |), h0 AS (
+        |  SELECT event_type, event_id, value,
+        |         event_id & 4294967295 AS a FROM ev
+        |), h1 AS (
+        |  SELECT event_type, event_id, value,
+        |         (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h0
+        |), h2 AS (
+        |  SELECT event_type, event_id, value,
+        |         (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h1
+        |), pv AS (
+        |  SELECT event_type, event_id, value, xor(a >> 16, a) AS pri FROM h2
+        |), samp AS (
+        |  SELECT event_type, event_id, value FROM (
+        |    SELECT event_type, event_id, value,
+        |           row_number() OVER (PARTITION BY event_type
+        |                              ORDER BY pri, event_id) AS rn
+        |    FROM pv) WHERE rn <= 64
+        |), sq AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS vr,
+        |         count(*) OVER (PARTITION BY event_type) AS ns
+        |  FROM samp
+        |)
+        |SELECT event_type, max(ns) AS n_sample,
+        |       round(1e-9 + max(CASE WHEN vr = (ns + 1) // 2
+        |                             THEN value END), 4) AS p50_sample,
+        |       round(1e-9 + max(CASE WHEN vr = (9 * ns + 9) // 10
+        |                             THEN value END), 4) AS p90_sample
+        |FROM sq GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageEventsSplit(ss, d)
+        val smpDir = java.nio.file.Paths.get(graft.Warehouse.path(
+          s"graft_stquant_v1_${graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}"),
+          "sample").toString
+        resetDir(smpDir)
+        def bottomK(df: DataFrame): DataFrame = df
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("event_type"))
+              .orderBy(col("pri"), col("event_id"))))
+          .filter(col("rn") <= 64).drop("rn")
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val local = bottomK(batch
+              .select(col("event_type"), col("event_id"), col("value"))
+              .filter(col("value").isNotNull)
+              .withColumn("a", expr("event_id & 4294967295"))
+              .withColumn("a",
+                expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+              .withColumn("a",
+                expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+              .withColumn("pri", expr("shiftright(a, 16) ^ a"))
+              .drop("a"))
+            val existing =
+              if (java.nio.file.Files.exists(java.nio.file.Paths.get(smpDir, "_SUCCESS")))
+                spark.read.parquet(smpDir)
+              else local.limit(0)
+            val merged = bottomK(existing.unionByName(local))
+              .localCheckpoint() // sever lineage from the overwritten files
+            merged.write.mode("overwrite").parquet(smpDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+        ss.read.parquet(smpDir)
+          .withColumn("vr", row_number().over(
+            w.orderBy(col("value"), col("event_id"))))
+          .withColumn("ns", count(lit(1)).over(w))
+          .groupBy(col("event_type"))
+          .agg(max(col("ns")).as("n_sample"),
+            Num.roundOut(max(when(col("vr") === expr("(ns + 1) div 2"),
+              col("value"))), 4).as("p50_sample"),
+            Num.roundOut(max(when(col("vr") === expr("(9 * ns + 9) div 10"),
+              col("value"))), 4).as("p90_sample"))
+          .orderBy(col("event_type"))
+      }
     }
   )
 }
