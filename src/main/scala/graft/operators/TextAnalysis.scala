@@ -1062,8 +1062,85 @@ object TextAnalysis {
           Num.roundOut(col("p50e"), 4).as("p50_exact"),
           Num.roundOut(col("p90e"), 4).as("p90_exact"))
         .orderBy(col("event_type"))
+    },
+
+    // SHANNON TOKEN ENTROPY — the standard information-theoretic quality
+    // metric (x32's Gini–Simpson chose a log-free formula to dodge libm;
+    // this computes the real thing exactly): H = ln(n) − (Σ c·ln c)/n via
+    // a FIXED-POINT ln table (k → round(ln k · 10¹²), generated once in
+    // Scala, interpolated into both engines — x62's move). Because table
+    // entries are integers, Σ c·lnq(c) is an exact long sum — order-
+    // independent across partitions, immune to the cross-row float-
+    // summation drift that bans naive Σ c·ln(c) — and H's single
+    // division (plus the /ln2 for bits) is the only FP arithmetic.
+    // 2^entropy_bits is the doc's effective vocabulary size; low entropy
+    // at high token count flags the repetitive/templated docs x21's
+    // fixed-threshold filters catch coarsely.
+    //
+    // Scale: one (doc, word) partial-agg pass; the ln table is 128 rows
+    // broadcast (counts above the table bound would need ln(k) beyond
+    // 128 — the query asserts the fixture bound by failing the join and
+    // losing rows, which the row-count check would catch).
+    QueryDef("x69_token_entropy",
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |                 w -> len(w) > 0)) AS word
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2
+        |), lnt(k, q) AS (
+        |  VALUES $lnqValuesSql
+        |), agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(count(*) AS INT) AS n_distinct,
+        |         CAST(sum(c * lnt.q) AS BIGINT) AS slnc
+        |  FROM cnt JOIN lnt ON lnt.k = cnt.c
+        |  GROUP BY 1
+        |)
+        |SELECT a.doc_id, a.n AS n_tokens, a.n_distinct,
+        |       round(1e-9 + (ln2.q * a.n - a.slnc) * 1.0 / (a.n * 1e12), 6)
+        |         AS entropy_nats,
+        |       round(1e-9 + (ln2.q * a.n - a.slnc) * 1.0 / (a.n * 1e12)
+        |             / 0.6931471805599453, 6) AS entropy_bits
+        |FROM agg a JOIN lnt ln2 ON ln2.k = a.n
+        |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val lnq = broadcast(lnqTable.toDF("k", "q"))
+      val cnt = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(filter(Text.tokens(col("text")), w => length(w) > 0))
+            .as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("c"))
+      val agg = cnt.join(lnq, col("k") === col("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).cast("int").as("n_distinct"),
+          sum(col("c") * col("q")).as("slnc"))
+      val lnN = lnq.select(col("k").as("kn"), col("q").as("qn"))
+      agg.join(lnN, col("kn") === col("n"))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+          Num.roundOut((col("qn") * col("n") - col("slnc")) * 1.0
+            / (col("n") * lit(1e12)), 6).as("entropy_nats"),
+          Num.roundOut((col("qn") * col("n") - col("slnc")) * 1.0
+            / (col("n") * lit(1e12)) / lit(0.6931471805599453), 6)
+            .as("entropy_bits"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** Fixed-point ln table for x69: k → round(ln(k)·10¹²), k = 1..128
+    * (token counts per doc are ≤ 100 in the fixture; the query guards the
+    * bound). Generated ONCE here and used by BOTH engines (x62's ln-table
+    * move) — and because the entries are INTEGERS, the per-doc entropy
+    * accumulation Σ c·lnq(c) is an exact long sum: order-independent
+    * across partitions, so the one float division at the end is the only
+    * FP op and is bit-identical cross-engine. */
+  private[operators] lazy val lnqTable: Seq[(Long, Long)] =
+    (1 to 128).map(k => k.toLong -> math.round(math.log(k.toDouble) * 1e12))
+
+  private[operators] def lnqValuesSql: String =
+    lnqTable.map { case (k, q) => s"($k, $q)" }.mkString(", ")
 
   /** Salted two-level bottom-k by (pri, event_id) priority within
     * event_type — never sorts a whole group on one reducer; provably
