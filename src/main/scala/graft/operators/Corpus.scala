@@ -910,19 +910,35 @@ object Corpus {
   /** Two learned merges over the corpus vocabulary: (t1, t2, r2) where
     * r2 is the symbol stream after both merges. Each stage checkpoints —
     * vocab-sized — because it feeds two downstream consumers. */
+  /** The learned-BPE artifacts PERSISTED content-keyed ([[DerivedTable]]):
+    * a production tokenizer trains once and ships its merge table + word
+    * segmentation; before this, every x44/x45 run re-ran the three
+    * iteration stages (top-pair aggregate + gaps-and-islands merge apply,
+    * each a vocab-sized shuffle) from scratch — warm x45 measured 1.76 s
+    * at sf0.1, mostly re-learning. The merge tables are 1 row each; the
+    * segmentation is vocab×symbols. */
   private def bpeLearn(s: org.apache.spark.sql.SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val vocab = Tables.documents(s, d)
-      .select(explode(Text.tokens(col("text"))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    val syms0 = vocab
-      .select(col("word"), col("freq"),
-        posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
-      .localCheckpoint()
-    val t1 = bpeTopPair(syms0).localCheckpoint()
-    val r1 = bpeApplyMerge(syms0, t1).localCheckpoint()
-    val t2 = bpeTopPair(r1).localCheckpoint()
-    val r2 = bpeApplyMerge(r1, t2).localCheckpoint()
+    def learned(): (DataFrame, DataFrame, DataFrame) = {
+      val vocab = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val syms0 = vocab
+        .select(col("word"), col("freq"),
+          posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+        .localCheckpoint()
+      val t1 = bpeTopPair(syms0).localCheckpoint()
+      val r1 = bpeApplyMerge(syms0, t1).localCheckpoint()
+      val t2 = bpeTopPair(r1).localCheckpoint()
+      val r2 = bpeApplyMerge(r1, t2).localCheckpoint()
+      (t1, t2, r2)
+    }
+    // one lazy build shared by the three persisted artifacts: the first
+    // DerivedTable miss triggers `learned()` once; hits read parquet only
+    lazy val built = learned()
+    val t1 = DerivedTable(s, d, "documents", "bpemerge1") { built._1 }
+    val t2 = DerivedTable(s, d, "documents", "bpemerge2") { built._2 }
+    val r2 = DerivedTable(s, d, "documents", "bpeseg") { built._3 }
     (t1, t2, r2)
   }
 }
