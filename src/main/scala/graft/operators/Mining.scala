@@ -80,13 +80,20 @@ object Mining {
       val bg = sp.select(col("doc_id"), col("split"),
           explode(Text.rawShingles(col("text"), 2)).as("bigram"))
         .withColumn("w1", split(col("bigram"), "_").getItem(0))
-      val c2 = bg.filter(col("split") === "train")
-        .groupBy(col("bigram")).agg(count(lit(1)).as("c"))
-      val c1 = bg.filter(col("split") === "train")
-        .groupBy(col("w1")).agg(count(lit(1)).as("uc"))
-        .localCheckpoint() // feeds V, the per-row join, AND nothing else twice
+      // trained LM = a model artifact, persisted content-keyed like x07's
+      // language profiles: train once at ingest, broadcast to score —
+      // before this every run re-aggregated the train-split bigram and
+      // unigram counts (two corpus-sized shuffles ahead of the broadcast)
+      val c1 = DerivedTable(s, d, "documents", "bigramlm_uni") {
+        bg.filter(col("split") === "train")
+          .groupBy(col("w1")).agg(count(lit(1)).as("uc"))
+      }
       val v = c1.agg(count(lit(1)).as("v"))
-      val model = c2.orderBy(col("c").desc, col("bigram")).limit(2000)
+      val model = DerivedTable(s, d, "documents", "bigramlm_top") {
+        bg.filter(col("split") === "train")
+          .groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("bigram")).limit(2000)
+      }
       bg
         .join(broadcast(model.withColumnRenamed("c", "kc")), Seq("bigram"), "left")
         .join(broadcast(c1), Seq("w1"), "left")
