@@ -817,13 +817,17 @@ object Dedup {
       // prefix length |x| - ceil(t*|x|) + 1 at t = 4/5, computed in
       // INTEGERS ((4*sz+4) div 5 = ceil(4sz/5)): float 0.8*sz rounds UP on
       // some sizes, silently shortening the prefix below the sound bound
-      val prefix = grams.join(df, "g")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-        .filter(col("rn") <=
-          col("sz") - expr("(4 * sz + 4) div 5") + 1)
-        .select(col("doc_id"), col("sz"), col("g"))
-        .localCheckpoint()
+      // persisted content-keyed: this IS the prefix-index write every
+      // PPJoin implementation does at ingest (was localCheckpoint — warm
+      // runs re-ran the df aggregate + per-doc ranking window each time)
+      val prefix = DerivedTable(s, d, "documents", "ppjprefix") {
+        grams.join(df, "g")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+          .filter(col("rn") <=
+            col("sz") - expr("(4 * sz + 4) div 5") + 1)
+          .select(col("doc_id"), col("sz"), col("g"))
+      }
       val cand = prefix.as("a")
         .join(prefix.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&

@@ -468,8 +468,7 @@ object TextAnalysis {
           when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
             .otherwise("test").as("split"),
           col("tri"))
-      val trainGrams = sh.filter(col("split") === "train")
-        .select(explode(col("tri")).as("g")).distinct()
+      val trainGrams = trainGramTable(s, d)
       val ev = sh.filter(col("split") =!= "train")
       val hits = ev.select(col("doc_id"), explode(col("tri")).as("g"))
         .join(trainGrams, "g")
@@ -1128,6 +1127,20 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** The DISTINCT train-split trigram set persisted content-keyed — the
+    * decontamination reference set x19's exact join probes and x55's
+    * bloom bitset is built over (single-sourced, one artifact; before
+    * this both consumers re-ran the explode+distinct shuffle per query).
+    * At 100 TB this is the eval-protection side table every training run
+    * keeps next to the corpus. */
+  private[operators] def trainGramTable(s: SparkSession, d: String): DataFrame =
+    DerivedTable(s, d, "documents", "traingrams") {
+      Dedup.shingleTable(s, d)
+        .join(fingerprintTable(s, d), "doc_id")
+        .filter(col("fp") % 100 < 80)
+        .select(explode(col("tri")).as("g")).distinct()
+    }
 
   /** Fixed-point ln table for x69: k → round(ln(k)·10¹²), k = 1..128
     * (token counts per doc are ≤ 100 in the fixture; the query guards the
