@@ -28,4 +28,14 @@ public final class ColumnBridge {
         session.sessionState().functionRegistry()
             .createOrReplaceTempFunction(name, builder, "scala_udf");
     }
+
+    /** Wrap a (resolved) logical plan as a DataFrame — the constructor
+     *  custom logical operators need ({@code Dataset.ofRows} is
+     *  {@code private[sql]}). */
+    public static org.apache.spark.sql.Dataset<org.apache.spark.sql.Row> ofRows(
+            SparkSession session,
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan plan) {
+        return org.apache.spark.sql.classic.Dataset.ofRows(
+            (org.apache.spark.sql.classic.SparkSession) session, plan);
+    }
 }

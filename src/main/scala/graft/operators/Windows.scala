@@ -109,6 +109,36 @@ object Windows {
         .select(col("user_id"), col("event_id"), col("ts_us"),
           sum(col("first_seen")).over(wRun).as("n_distinct_types"))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+
+    // NATIVE top-k-per-group — the custom whole-operator tier
+    // ([[graft.plans.TopKPerGroup]]: logical node + injected Strategy +
+    // two-phase SparkPlan with bounded per-group heaps). The declarative
+    // row_number form sorts EVERY group member to keep 3; the operator's
+    // partial phase reduces each input partition to ≤ k rows per group
+    // BEFORE the exchange, the final phase merges heaps after it — the
+    // partial/final aggregation contract applied to a rank filter, and
+    // the per-group analogue of TakeOrderedAndProject. The oracle runs
+    // the ANSI row_number form; hash equality IS the operator's
+    // correctness proof (ties are impossible: (value, event_id) is a
+    // total order). TopKSpec additionally pins the plan shape (two exec
+    // nodes, one exchange, no sort) and the window-form equivalence.
+    QueryDef("q88_native_topk",
+      """SELECT event_type, event_id, round(1e-9 + value, 4) AS value
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL)
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .filter(col("value").isNotNull)
+      graft.plans.TopKPerGroup(ev, Seq("event_type"),
+          Seq("value" -> true, "event_id" -> false), 3)
+        .select(col("event_type"), col("event_id"),
+          Num.roundOut(col("value"), 4).as("value"))
+        .orderBy(col("event_type"), col("value").desc, col("event_id"))
     }
   )
 }

@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       StDWithinSql.build))
     // optimizer rule: threshold levenshtein predicates run the banded DP
     e.injectOptimizerRule(_ => LevenshteinThresholdRewrite)
+    // physical strategy: TopKPerGroupNode plans as partial/final bounded
+    // heaps (the per-group TakeOrderedAndProject Spark lacks)
+    e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }
 
