@@ -491,6 +491,50 @@ object Mining {
           Num.roundOut(col("inter") * 1.0 / col("n_train"), 6).as("rouge_r"),
           Num.roundOut(col("f1"), 6).as("rouge_f1"))
         .orderBy(col("doc_id"))
+    },
+
+    // SKIP-GRAM pair generation (word2vec data prep, Mikolov et al.
+    // 2013): (center, context) pairs within a ±2 position window, both
+    // directions, counted over the corpus — the co-occurrence stream an
+    // embedding trainer consumes. x49 counts doc-level co-occurrence;
+    // this is POSITIONAL: the window is expressed as an offsets explode
+    // (4 rows per token) + an EQUI-join on (doc, position) — never a
+    // band/theta predicate, so it plans as a hash join with work ∝
+    // tokens×window, linear at any corpus size. Top-30 pairs by count
+    // (total tiebreak) via TakeOrderedAndProject.
+    QueryDef("x70_skipgram_pairs",
+      """WITH sp AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), pos AS (
+        |  SELECT doc_id, unnest(range(len(ws))) AS i, ws FROM sp
+        |), tok AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i,
+        |         ws[CAST(i AS INT) + 1] AS word
+        |  FROM pos
+        |), off AS (
+        |  SELECT CAST(unnest([-2, -1, 1, 2]) AS INT) AS o
+        |), pr AS (
+        |  SELECT a.word AS center, b.word AS context
+        |  FROM tok a CROSS JOIN off
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + off.o
+        |)
+        |SELECT center, context, count(*) AS n
+        |FROM pr GROUP BY 1, 2
+        |ORDER BY n DESC, center, context LIMIT 30""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(Text.tokens(col("text"))).as(Seq("i", "word")))
+      val centers = toks
+        .withColumn("o", explode(array(lit(-2), lit(-1), lit(1), lit(2))))
+        .select(col("doc_id"), col("word").as("center"),
+          (col("i") + col("o")).as("j"))
+      val contexts = toks.select(col("doc_id"), col("i").as("j"),
+        col("word").as("context"))
+      centers.join(contexts, Seq("doc_id", "j"))
+        .groupBy(col("center"), col("context"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("center"), col("context"))
+        .limit(30)
     }
   )
 }
