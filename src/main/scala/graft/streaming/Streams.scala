@@ -41,10 +41,21 @@ object Streams {
     * query running CONCURRENTLY on the parent session can never observe
     * these confs (ADVICE r05); builder-time options (timezone, AQE)
     * propagate to the clone via the session's initial options. */
-  private def withStreamingConfs[T](s: SparkSession)(body: SparkSession => T): T = {
+  private def withStreamingConfs[T](s: SparkSession)(body: SparkSession => T): T =
+    withStreamingConfs(s, 8)(body)
+
+  /** `partitions` sizes the state-store count (fixed per checkpoint).
+    * Stream-STREAM joins keep FOUR stores per partition per micro-batch
+    * (left/right × keyToNumValues/keyWithIndexToValue), so their
+    * per-partition fixed commit cost is ~4× a plain stateful agg — st04/
+    * st08 size at 4 partitions where single-state operators use 8. Same
+    * rule on a cluster: divide the per-node budget by the operator's
+    * stores-per-partition factor. */
+  private def withStreamingConfs[T](s: SparkSession, partitions: Int)(
+      body: SparkSession => T): T = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     body(ss)
   }
 
@@ -174,7 +185,7 @@ object Streams {
     * whatever the file/trigger slicing, which is exactly what the st04
     * oracle asserts. */
   def streamingAttribution(s: SparkSession, dir: String): DataFrame =
-    withStreamingConfs(s) { ss =>
+    withStreamingConfs(s, 4) { ss => // stream-stream: 4 stores/partition
       val batch = Tables.table(ss, dir, "events")
       val raw = ss.readStream.schema(batch.schema).parquet(stageEvents(dir))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -534,7 +545,7 @@ object Streams {
         |           AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
         |WHERE epoch_us(CAST(c.click_ts AS TIMESTAMP)) < mx.m - 4200000000
         |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
-      withStreamingConfs(s) { ss =>
+      withStreamingConfs(s, 4) { ss => // stream-stream: 4 stores/partition
         val batch = Tables.table(ss, d, "events")
         val raw = ss.readStream.schema(batch.schema).parquet(stageEvents(d))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
