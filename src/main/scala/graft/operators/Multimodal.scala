@@ -283,6 +283,80 @@ object Multimodal {
             .when(col("n") > lit(1.5) * col("med"), "oversize")
             .otherwise("ok").as("status"))
         .orderBy(col("doc_id"))
+    },
+
+    // MULTIMODAL BATCH ASSEMBLY — the training-batch output a multimodal
+    // pipeline exists to produce: text items (cost = token count) and
+    // their paired image items (cost = 64 patch tokens, the fixed vision
+    // budget per image; pairing = m05's doc_id↔vec_id join) interleaved
+    // into 4096-token batches. Deterministic global order (doc_id, then
+    // image-before-text within a doc), x18's shard-partitioned running-
+    // sum binning, and per-batch MODALITY stats — the text/image token
+    // mix per batch is what a trainer's data-loader contract specifies.
+    //
+    // Scale: the union is item-rows only (costs + tags, never payloads);
+    // packing windows run per content-hash shard (x18's fix — no global
+    // window); the pairing join is key-equal on ids. Payload bytes move
+    // at trainer fetch time, batch manifests move here.
+    QueryDef("m07_batch_assembly",
+      s"""WITH t AS (
+        |  SELECT doc_id, CAST(${TextAnalysis.fingerprintSql} % 4 AS INT) AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS cost,
+        |         'text' AS modality
+        |  FROM documents
+        |), im AS (
+        |  SELECT t.doc_id, t.shard, CAST(64 AS BIGINT) AS cost,
+        |         'image' AS modality
+        |  FROM t JOIN embeddings e ON e.vec_id = t.doc_id
+        |), it AS (
+        |  SELECT * FROM t UNION ALL SELECT * FROM im
+        |), c AS (
+        |  SELECT shard, modality, cost,
+        |         sum(cost) OVER (PARTITION BY shard ORDER BY doc_id, modality
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cost
+        |           AS cum_before
+        |  FROM it
+        |)
+        |SELECT shard, CAST(floor(cum_before / 4096.0) AS INT) AS bin,
+        |       count(*) AS n_items,
+        |       CAST(sum(CASE WHEN modality = 'text' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_text,
+        |       CAST(sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_image,
+        |       CAST(sum(CASE WHEN modality = 'text' THEN cost ELSE 0 END)
+        |            AS BIGINT) AS text_tokens,
+        |       CAST(sum(CASE WHEN modality = 'image' THEN cost ELSE 0 END)
+        |            AS BIGINT) AS image_tokens,
+        |       CAST(sum(cost) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .join(TextAnalysis.fingerprintTable(s, d), "doc_id")
+        .select(col("doc_id"), (col("fp") % 4).cast("int").as("shard"),
+          size(split(col("text"), " ")).cast("long").as("cost"),
+          lit("text").as("modality"))
+      val im = t.join(Tables.embeddings(s, d),
+          col("vec_id") === col("doc_id"))
+        .select(col("doc_id"), col("shard"), lit(64L).as("cost"),
+          lit("image").as("modality"))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("doc_id"), col("modality"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.unionAll(im)
+        .withColumn("cum_before", sum(col("cost")).over(w) - col("cost"))
+        .select(col("shard"),
+          floor(col("cum_before") / 4096.0).cast("int").as("bin"),
+          col("modality"), col("cost"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("modality") === "text", 1L).otherwise(0L)).as("n_text"),
+          sum(when(col("modality") === "image", 1L).otherwise(0L)).as("n_image"),
+          sum(when(col("modality") === "text", col("cost")).otherwise(0L))
+            .as("text_tokens"),
+          sum(when(col("modality") === "image", col("cost")).otherwise(0L))
+            .as("image_tokens"),
+          sum(col("cost")).as("bin_tokens"))
+        .orderBy(col("shard"), col("bin"))
     }
   )
 }
