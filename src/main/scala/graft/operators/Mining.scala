@@ -535,6 +535,83 @@ object Mining {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("center"), col("context"))
         .limit(30)
+    },
+
+    // Frequency SUBSAMPLING of the token stream (word2vec's discard
+    // rule, Mikolov et al. 2013 §2.3): occurrence of word w survives
+    // with probability min(1, sqrt(t/f(w))), t = 10⁻³ — aggressive on
+    // stopwords, no-op on rare words. The coin flip is DETERMINISTIC
+    // (x17/x22's no-RNG contract): the x62 integer mixer over
+    // (doc_id, position) yields a uniform 32-bit value, kept iff below
+    // floor(q·2³²) — an INTEGER compare, so the survival decision is
+    // bit-identical cross-engine (the q threshold itself is a fixed
+    // float expression written in the same op order on both sides).
+    // Report: the top-20 most frequent words with before/after counts —
+    // the words the rule exists to thin.
+    //
+    // Scale: frequency table is one partial-agg pass; thresholds are a
+    // vocab-row join (broadcastable after x07's top-K cap if vocab
+    // explodes); the keep decision is per-row column math. Nothing
+    // shuffles twice.
+    QueryDef("x71_token_subsample",
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i,
+        |         ws[CAST(i AS INT) + 1] AS word
+        |  FROM (SELECT doc_id, unnest(range(len(ws))) AS i, ws
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |              FROM documents))
+        |), f AS (
+        |  SELECT word, count(*) AS c FROM tok GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n FROM f
+        |), q AS (
+        |  SELECT word, c,
+        |         CAST(floor(least(1.0, sqrt(0.001 * tot.n / c)) * 4294967296)
+        |              AS BIGINT) AS thr
+        |  FROM f, tot
+        |), h0 AS (
+        |  SELECT word, (doc_id * 1000003 + i) & 4294967295 AS a FROM tok
+        |), h1 AS (
+        |  SELECT word, (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h0
+        |), h2 AS (
+        |  SELECT word, (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h1
+        |), hv AS (
+        |  SELECT word, xor(a >> 16, a) AS h FROM h2
+        |), kept AS (
+        |  SELECT hv.word FROM hv JOIN q ON q.word = hv.word
+        |  WHERE hv.h < q.thr
+        |), kc AS (
+        |  SELECT word, count(*) AS k FROM kept GROUP BY 1
+        |)
+        |SELECT q.word, q.c AS n_before,
+        |       CAST(coalesce(kc.k, 0) AS BIGINT) AS n_after,
+        |       round(1e-9 + coalesce(kc.k, 0) * 1.0 / q.c, 4) AS keep_ratio
+        |FROM q LEFT JOIN kc ON kc.word = q.word
+        |ORDER BY q.c DESC, q.word LIMIT 20""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(Text.tokens(col("text"))).as(Seq("i", "word")))
+      val f = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val tot = f.agg(sum(col("c")).cast("long").as("n"))
+      val q = f.crossJoin(broadcast(tot))
+        .select(col("word"), col("c"),
+          floor(least(lit(1.0), sqrt(lit(0.001) * col("n") / col("c")))
+            * 4294967296L).cast("long").as("thr"))
+      val hv = tok
+        .withColumn("a", expr("(doc_id * 1000003 + i) & 4294967295"))
+        .withColumn("a", expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+        .withColumn("a", expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+        .select(col("word"), expr("shiftright(a, 16) ^ a").as("h"))
+      val kc = hv.join(q.select(col("word"), col("thr")), "word")
+        .filter(col("h") < col("thr"))
+        .groupBy(col("word")).agg(count(lit(1)).as("k"))
+      q.join(kc, Seq("word"), "left")
+        .select(col("word"), col("c").as("n_before"),
+          coalesce(col("k"), lit(0L)).as("n_after"),
+          Num.roundOut(coalesce(col("k"), lit(0L)) * 1.0 / col("c"), 4)
+            .as("keep_ratio"))
+        .orderBy(col("n_before").desc, col("word"))
+        .limit(20)
     }
   )
 }
