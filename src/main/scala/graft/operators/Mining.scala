@@ -612,6 +612,60 @@ object Mining {
             .as("keep_ratio"))
         .orderBy(col("n_before").desc, col("word"))
         .limit(20)
+    },
+
+    // Word BURSTINESS (corpus dispersion): variance-to-mean ratio of a
+    // word's per-document count over ALL docs (including zeros, via
+    // moments — never materializing the zero rows): with S1 = Σc,
+    // S2 = Σc² over docs containing the word and D = total docs,
+    // mean = S1/D and VMR = (S2/D − mean²)/mean. VMR ≈ 1 is Poisson
+    // (function words spread evenly); VMR ≫ 1 is bursty (topical
+    // content words clump) — the Church & Gale (1995) signal behind
+    // keyword weighting and stopword discovery, computed from EXACT
+    // INTEGER moments: S1, S2, D are longs, the three closing float ops
+    // are written in the same order on both engines. Top-20 by VMR
+    // (min support 50 occurrences), rank on rounded VMR + word.
+    //
+    // Scale: one (doc, word) partial-agg pass then a vocab-sized moment
+    // aggregate — the zero-count docs contribute only through D, so
+    // nothing ever expands to |vocab|×|docs|.
+    QueryDef("x72_burstiness",
+      """WITH cnt AS (
+        |  SELECT doc_id, word, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), dd AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS d FROM documents
+        |), m AS (
+        |  SELECT word, CAST(sum(c) AS BIGINT) AS s1,
+        |         CAST(sum(c * c) AS BIGINT) AS s2,
+        |         CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM cnt GROUP BY 1
+        |)
+        |SELECT word, s1 AS n_occ, n_docs,
+        |       round(1e-9 + s1 * 1.0 / dd.d, 4) AS mean,
+        |       round(1e-9 + (s2 * 1.0 / dd.d - (s1 * 1.0 / dd.d) * (s1 * 1.0 / dd.d))
+        |             / (s1 * 1.0 / dd.d), 4) AS vmr
+        |FROM m, dd WHERE s1 >= 50
+        |ORDER BY vmr DESC, word LIMIT 20""".stripMargin) { (s, d) =>
+      val cnt = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      val dd = Tables.documents(s, d).agg(count(lit(1)).as("d"))
+      val m = cnt.groupBy(col("word"))
+        .agg(sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"),
+          count(lit(1)).as("n_docs"))
+      val mean = col("s1") * 1.0 / col("d")
+      m.crossJoin(broadcast(dd))
+        .filter(col("s1") >= 50)
+        .select(col("word"), col("s1").as("n_occ"), col("n_docs"),
+          Num.roundOut(mean, 4).as("mean"),
+          Num.roundOut((col("s2") * 1.0 / col("d") - mean * mean) / mean, 4)
+            .as("vmr"))
+        .orderBy(col("vmr").desc, col("word"))
+        .limit(20)
     }
   )
 }
