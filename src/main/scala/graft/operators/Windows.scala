@@ -139,6 +139,30 @@ object Windows {
         .select(col("event_type"), col("event_id"),
           Num.roundOut(col("value"), 4).as("value"))
         .orderBy(col("event_type"), col("value").desc, col("event_id"))
+    },
+
+    // Distribution-rank completion: percent_rank ((rank−1)/(n−1)) and
+    // cume_dist (rows ≤ current / n) — the two ANSI rank functions the
+    // q23/q28 batteries don't cover; both are rational functions of
+    // integer rank/count, so cross-engine parity is exact. The empirical-
+    // CDF transform behind quantile normalization of a feature column.
+    QueryDef("q89_rank_functions",
+      """SELECT event_id, event_type,
+        |       round(1e-9 + percent_rank() OVER w, 6) AS pr,
+        |       round(1e-9 + cume_dist() OVER w, 6) AS cd,
+        |       ntile(10) OVER w AS decile
+        |FROM events WHERE value IS NOT NULL
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          Num.roundOut(percent_rank().over(w), 6).as("pr"),
+          Num.roundOut(cume_dist().over(w), 6).as("cd"),
+          ntile(10).over(w).as("decile"))
+        .orderBy(col("event_id"))
     }
   )
 }
