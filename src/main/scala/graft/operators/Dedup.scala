@@ -991,40 +991,36 @@ object Dedup {
         |  SELECT doc_id, CAST(sum(CAST(b AS BIGINT) << i) AS BIGINT) AS simhash
         |  FROM bits GROUP BY 1
         |), ch AS (
-        |  SELECT doc_id, CAST(i // 8 AS INT) AS band,
-        |         CAST(sum(CAST(b AS BIGINT) << (i % 8)) AS INT) AS chunk
-        |  FROM bits GROUP BY 1, 2
+        |  -- band chunks are just byte slices of the fingerprint; hamming
+        |  -- below is popcount-of-xor — the integer forms of what the bit
+        |  -- table spells out row-wise (bit_count/xor exist on both engines)
+        |  SELECT doc_id, CAST(band AS INT) AS band,
+        |         CAST((simhash >> (CAST(band AS INT) * 8)) & 255 AS INT) AS chunk,
+        |         simhash
+        |  FROM fp, (SELECT unnest(range(4)) AS band)
         |), keepb AS (
         |  SELECT band, chunk FROM ch
         |  GROUP BY band, chunk HAVING count(*) BETWEEN 2 AND 100
         |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.simhash AS fp_a, b.simhash AS fp_b
         |  FROM ch a
         |  JOIN keepb k ON a.band = k.band AND a.chunk = k.chunk
         |  JOIN ch b ON a.band = b.band AND a.chunk = b.chunk
         |            AND a.doc_id < b.doc_id
-        |), hm AS (
-        |  SELECT c.doc_a, c.doc_b,
-        |         sum(CASE WHEN xa.b <> xb.b THEN 1 ELSE 0 END) AS dist0
-        |  FROM cand c
-        |  JOIN bits xa ON xa.doc_id = c.doc_a
-        |  JOIN bits xb ON xb.doc_id = c.doc_b AND xb.i = xa.i
-        |  GROUP BY 1, 2
         |)
-        |SELECT hm.doc_a, hm.doc_b, CAST(hm.dist0 AS INT) AS dist,
-        |       hm.dist0 <= 3 AS neardup,
-        |       fa.simhash AS fp_a, fb.simhash AS fp_b
-        |FROM hm JOIN fp fa ON fa.doc_id = hm.doc_a
-        |        JOIN fp fb ON fb.doc_id = hm.doc_b
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS dist,
+        |       bit_count(xor(fp_a, fp_b)) <= 3 AS neardup, fp_a, fp_b
+        |FROM cand
         |ORDER BY dist, doc_a, doc_b LIMIT 100""".stripMargin) { (s, d) =>
       val bits = psimhashBits(s, d)
       val fpT = bits.groupBy(col("doc_id"))
         .agg(sum(expr("shiftleft(CAST(b AS BIGINT), i)")).as("simhash"))
-      val ch = bits.select(col("doc_id"),
-          expr("CAST(i div 8 AS INT)").as("band"),
-          expr("shiftleft(CAST(b AS BIGINT), i % 8)").as("pc"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(sum(col("pc")).cast("int").as("chunk"))
+      val ch = fpT.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("chunk",
+          expr("CAST(shiftright(simhash, band * 8) & 255 AS INT)"))
       val keepb = ch.groupBy(col("band"), col("chunk"))
         .agg(count(lit(1)).as("bsz"))
         .filter(col("bsz").between(2, 100))
@@ -1034,20 +1030,13 @@ object Dedup {
         .join(chk.as("b"),
           col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
         .distinct()
-      val xa = bits.select(col("doc_id").as("doc_a"), col("i"), col("b").as("ba"))
-      val xb = bits.select(col("doc_id").as("doc_b"), col("i"), col("b").as("bb"))
-      val hm = cand.join(xa, "doc_a").join(xb, Seq("doc_b", "i"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(sum(when(col("ba") =!= col("bb"), 1).otherwise(0)).as("dist0"))
-      val fa = fpT.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
-      val fb = fpT.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
-      hm.join(fa, "doc_a").join(fb, "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          col("dist0").cast("int").as("dist"),
-          (col("dist0") <= 3).as("neardup"),
-          col("fp_a"), col("fp_b"))
+      cand
+        .withColumn("dist", expr("CAST(bit_count(fp_a ^ fp_b) AS INT)"))
+        .select(col("doc_a"), col("doc_b"), col("dist"),
+          (col("dist") <= 3).as("neardup"), col("fp_a"), col("fp_b"))
         .orderBy(col("dist"), col("doc_a"), col("doc_b"))
         .limit(100)
     }
