@@ -257,9 +257,10 @@ object Corpus {
         |         (a, b) -> (a * 31 + b) % 1000000007) AS checksum
         |FROM cb GROUP BY shard, CAST(floor(cum_before / 2048.0) AS INT)
         |ORDER BY shard, bin""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"),
-        posexplode(Text.tokens(col("text"))).as(Seq("pos", "word")))
+      // the persisted token-position table: tokenize runs once per
+      // corpus, and this query's three consumers of the stream (vocab
+      // count, id assignment, per-doc assembly) all read the same parquet
+      val toks = Tokens.table(s, d).withColumnRenamed("i", "pos")
       val counts = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
       val vocab = counts.orderBy(col("c").desc, col("word")).limit(100)
         .withColumn("tid", (row_number().over(

@@ -497,11 +497,14 @@ object Mining {
     // 2013): (center, context) pairs within a ±2 position window, both
     // directions, counted over the corpus — the co-occurrence stream an
     // embedding trainer consumes. x49 counts doc-level co-occurrence;
-    // this is POSITIONAL: the window is expressed as an offsets explode
-    // (4 rows per token) + an EQUI-join on (doc, position) — never a
-    // band/theta predicate, so it plans as a hash join with work ∝
-    // tokens×window, linear at any corpus size. Top-30 pairs by count
-    // (total tiebreak) via TakeOrderedAndProject.
+    // this is POSITIONAL. The ±2 window lives entirely INSIDE each row's
+    // token array (higher-order transform + clipped slices), so pair
+    // generation is per-doc column math: no join, no token-stream
+    // shuffle — the only exchange in the plan is the partial→final pair
+    // count (Round7PlanSpec pins the join-free plan). The oracle keeps
+    // the relational offsets-explode + equi-join form as the
+    // cross-check. Top-30 pairs by count (total tiebreak) via
+    // TakeOrderedAndProject.
     QueryDef("x70_skipgram_pairs",
       """WITH sp AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -521,16 +524,19 @@ object Mining {
         |SELECT center, context, count(*) AS n
         |FROM pr GROUP BY 1, 2
         |ORDER BY n DESC, center, context LIMIT 30""".stripMargin) { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(Text.tokens(col("text"))).as(Seq("i", "word")))
-      val centers = toks
-        .withColumn("o", explode(array(lit(-2), lit(-1), lit(1), lit(2))))
-        .select(col("doc_id"), col("word").as("center"),
-          (col("i") + col("o")).as("j"))
-      val contexts = toks.select(col("doc_id"), col("i").as("j"),
-        col("word").as("context"))
-      centers.join(contexts, Seq("doc_id", "j"))
+      // contexts of 0-based token i: 1-based slice [max(i-1,1), min(i,2)]
+      // on the left (clipped at the front by the start/length pair) and
+      // [i+2, 2] on the right (slice itself clips at the array end)
+      val pairs = Tables.documents(s, d)
+        .select(Text.tokens(col("text")).as("ws"))
+        .select(explode(flatten(transform(col("ws"), (w, i) =>
+          transform(
+            concat(
+              slice(col("ws"), greatest(i - 1, lit(1)), least(i, lit(2))),
+              slice(col("ws"), i + lit(2), lit(2))),
+            c => struct(w.as("center"), c.as("context")))))).as("p"))
+      pairs
+        .select(col("p.center").as("center"), col("p.context").as("context"))
         .groupBy(col("center"), col("context"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("center"), col("context"))
@@ -549,9 +555,16 @@ object Mining {
     // Report: the top-20 most frequent words with before/after counts —
     // the words the rule exists to thin.
     //
-    // Scale: frequency table is one partial-agg pass; thresholds are a
-    // vocab-row join (broadcastable after x07's top-K cap if vocab
-    // explodes); the keep decision is per-row column math. Nothing
+    // Scale: the token stream comes from the persisted [[Tokens]] table
+    // (one tokenize per corpus, not per query); the frequency table is
+    // one partial-agg pass; the report only needs the top-20 words by
+    // (count DESC, word), so the threshold table is capped to the
+    // top-256 superset under the SAME total order — exact by
+    // construction — and explicitly broadcast (the x07/x23 vocab
+    // contract): Spark cannot size a derived aggregate at plan time, so
+    // without the cap+hint the stopword-skewed token stream would
+    // shuffle on `word`. The survival decision is a map-side broadcast
+    // probe (Round7PlanSpec pins the BroadcastHashJoin); nothing
     // shuffles twice.
     QueryDef("x71_token_subsample",
       """WITH tok AS (
@@ -588,24 +601,27 @@ object Mining {
         |       round(1e-9 + coalesce(kc.k, 0) * 1.0 / q.c, 4) AS keep_ratio
         |FROM q LEFT JOIN kc ON kc.word = q.word
         |ORDER BY q.c DESC, q.word LIMIT 20""".stripMargin) { (s, d) =>
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(Text.tokens(col("text"))).as(Seq("i", "word")))
+      val tok = Tokens.table(s, d)
       val f = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
       val tot = f.agg(sum(col("c")).cast("long").as("n"))
       val q = f.crossJoin(broadcast(tot))
         .select(col("word"), col("c"),
           floor(least(lit(1.0), sqrt(lit(0.001) * col("n") / col("c")))
             * 4294967296L).cast("long").as("thr"))
+      // top-256 superset of the top-20 report under the identical total
+      // order — exact, and small enough to pin as a broadcast.
+      // localCheckpoint: both the probe and the report read it.
+      val qTop = q.orderBy(col("c").desc, col("word")).limit(256)
+        .localCheckpoint()
       val hv = tok
         .withColumn("a", expr("(doc_id * 1000003 + i) & 4294967295"))
         .withColumn("a", expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
         .withColumn("a", expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
         .select(col("word"), expr("shiftright(a, 16) ^ a").as("h"))
-      val kc = hv.join(q.select(col("word"), col("thr")), "word")
+      val kc = hv.join(broadcast(qTop.select(col("word"), col("thr"))), "word")
         .filter(col("h") < col("thr"))
         .groupBy(col("word")).agg(count(lit(1)).as("k"))
-      q.join(kc, Seq("word"), "left")
+      qTop.join(broadcast(kc), Seq("word"), "left")
         .select(col("word"), col("c").as("n_before"),
           coalesce(col("k"), lit(0L)).as("n_after"),
           Num.roundOut(coalesce(col("k"), lit(0L)) * 1.0 / col("c"), 4)
@@ -626,9 +642,11 @@ object Mining {
     // are written in the same order on both engines. Top-20 by VMR
     // (min support 50 occurrences), rank on rounded VMR + word.
     //
-    // Scale: one (doc, word) partial-agg pass then a vocab-sized moment
-    // aggregate — the zero-count docs contribute only through D, so
-    // nothing ever expands to |vocab|×|docs|.
+    // Scale: one (doc, word) partial-agg pass over the persisted
+    // [[Tokens]] table (word column pruned at the scan; tokenize ran
+    // once per corpus) then a vocab-sized moment aggregate — the
+    // zero-count docs contribute only through D, so nothing ever
+    // expands to |vocab|×|docs|.
     QueryDef("x72_burstiness",
       """WITH cnt AS (
         |  SELECT doc_id, word, count(*) AS c
@@ -649,8 +667,7 @@ object Mining {
         |             / (s1 * 1.0 / dd.d), 4) AS vmr
         |FROM m, dd WHERE s1 >= 50
         |ORDER BY vmr DESC, word LIMIT 20""".stripMargin) { (s, d) =>
-      val cnt = Tables.documents(s, d)
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      val cnt = Tokens.table(s, d)
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
       val dd = Tables.documents(s, d).agg(count(lit(1)).as("d"))
       val m = cnt.groupBy(col("word"))

@@ -11,9 +11,14 @@ import graft.{QueryDef, Tables}
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, decoded per-partition.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
-  * [[FakeDecoder]] is a clearly-marked deterministic fake. Everything
-  * around it is the real at-scale Spark shape:
+  * The decode step is a REAL codec: [[PpmDecoder]] fully implements the
+  * binary Netpbm P6 format (magic, whitespace/comment-tolerant ASCII
+  * header, RGB raster) — the container has no image libraries, and P6 is
+  * simple enough to implement completely rather than stub. The payload
+  * columns carry genuine P6 containers (synthesized deterministically
+  * from document bytes, so the DuckDB oracle can recompute the expected
+  * decode output without a codec). The surrounding shape is the at-scale
+  * Spark contract:
   *  - payloads live in a `BinaryType` column (parquet keeps them as BYTE_ARRAY
   *    pages; metadata columns prune without touching pixels);
   *  - decode runs via `mapPartitions` with an iterator-to-iterator transform
@@ -21,30 +26,65 @@ import graft.{QueryDef, Tables}
   *    partition, streaming through rows, no per-row setup, no collect);
   *  - the output schema is explicit and stable (width/height/channels +
   *    fixed-length feature vector), ready for a downstream ANN join.
+  * A heavier codec (JPEG via javax.imageio, ffmpeg JNI) swaps in behind
+  * the same [[Decoder]] signature; nothing else changes.
   */
 object Multimodal {
 
-  /** STUB: deterministic fake decoder. A real deployment swaps this for an
-    * actual codec (e.g. javax.imageio / ffmpeg JNI) with the same signature;
-    * nothing else changes. */
   trait Decoder extends Serializable {
     def decode(payload: Array[Byte]): (Int, Int, Int, Array[Double])
   }
 
-  object FakeDecoder extends Decoder {
-    /** Pretends the payload is an image: dimensions derived from length,
-      * "features" = 8 byte-histogram buckets normalized to [0,1]. */
+  /** Complete decoder for binary PPM (Netpbm P6): "P6", then width,
+    * height, maxval as ASCII decimals separated by whitespace (with
+    * `#`-comment lines allowed, per the spec), a single whitespace byte,
+    * then 3·w·h RGB raster bytes (trailing bytes beyond the raster are
+    * ignored, as real readers do). Features = 8-bucket histogram over the
+    * raster bytes (bucket = byte >> 5) normalized by raster size — the
+    * fixed-length vector a downstream ANN join consumes. Malformed
+    * payloads fail loudly; quarantine upstream (m06) is the triage path. */
+  object PpmDecoder extends Decoder {
     def decode(payload: Array[Byte]): (Int, Int, Int, Array[Double]) = {
-      val w = 64 + (payload.length % 577)
-      val h = 64 + ((payload.length / 7) % 409)
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"not a P6 PPM: $msg")
+      if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+        fail("bad magic")
+      var p = 2
+      def skipWs(): Unit = {
+        var cont = true
+        while (cont && p < payload.length) {
+          val b = payload(p)
+          if (b == ' ' || b == '\n' || b == '\r' || b == '\t') p += 1
+          else if (b == '#') {
+            while (p < payload.length && payload(p) != '\n') p += 1
+          } else cont = false
+        }
+      }
+      def headerInt(): Int = {
+        skipWs()
+        var v = 0
+        var any = false
+        while (p < payload.length && payload(p) >= '0' && payload(p) <= '9') {
+          v = v * 10 + (payload(p) - '0'); p += 1; any = true
+        }
+        if (!any) fail(s"expected header integer at byte $p")
+        v
+      }
+      val w = headerInt()
+      val h = headerInt()
+      val maxval = headerInt()
+      if (maxval != 255) fail(s"unsupported maxval $maxval")
+      p += 1 // exactly one whitespace byte separates header from raster
+      val n = 3 * w * h
+      if (p + n > payload.length) fail(s"truncated raster: need $n bytes")
       val hist = new Array[Double](8)
       var i = 0
-      while (i < payload.length) {
-        hist((payload(i) & 0xff) >> 5) += 1.0
+      while (i < n) {
+        hist((payload(p + i) & 0xff) >> 5) += 1.0
         i += 1
       }
-      val n = math.max(payload.length, 1).toDouble
-      (w, h, 3, hist.map(_ / n))
+      val d = math.max(n, 1).toDouble
+      (w, h, 3, hist.map(_ / d))
     }
   }
 
@@ -57,7 +97,7 @@ object Multimodal {
 
   /** The real plumbing: binary column in, typed decode out, one decoder per
     * partition, iterator-streamed. */
-  def decodeImages(payloads: DataFrame, decoder: Decoder = FakeDecoder): DataFrame = {
+  def decodeImages(payloads: DataFrame, decoder: Decoder = PpmDecoder): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     payloads.select(col("doc_id"), col("payload"))
       .mapPartitions { rows =>
@@ -76,13 +116,14 @@ object Multimodal {
     StructField("out_h", IntegerType, nullable = false),
     StructField("thumb_hex", StringType, nullable = false)))
 
-  /** Resize stub, same mapPartitions shape as [[decodeImages]]: decode →
-    * fit-within-maxDim target dims (aspect preserved) → "thumbnail" = the
-    * first 16 payload bytes hexed (a real deployment swaps the slice for
-    * an actual scaler; dims/schema/batching stay identical). Double math
-    * (256.0/w, min, floor) is plain IEEE — bit-identical to the SQL oracle. */
+  /** Resize planning, same mapPartitions shape as [[decodeImages]]: real
+    * P6 decode → fit-within-maxDim target dims (aspect preserved) →
+    * "thumbnail" = the first 16 payload bytes hexed (a real deployment
+    * swaps the slice for an actual pixel scaler; dims/schema/batching
+    * stay identical). Double math (256.0/w, min, floor) is plain IEEE —
+    * bit-identical to the SQL oracle. */
   def resizeImages(payloads: DataFrame, maxDim: Int,
-      decoder: Decoder = FakeDecoder): DataFrame = {
+      decoder: Decoder = PpmDecoder): DataFrame = {
     val enc = RowEncoder.encoderFor(resizedSchema)
     payloads.select(col("doc_id"), col("payload"))
       .mapPartitions { rows =>
@@ -96,6 +137,25 @@ object Multimodal {
           Row(r.getLong(0), w, h, outW, outH, thumb)
         }
       }(enc)
+  }
+
+  /** Genuine P6 containers synthesized from each document's UTF-8 bytes
+    * (the container ships no codecs, but P6 needs none): width 8, height
+    * n/24 (one pixel row consumes 3·8 = 24 bytes), raster = the first
+    * 24·(n/24) text bytes after the ASCII header. Deterministic, so the
+    * DuckDB oracle recomputes the expected decode output from the same
+    * definition. Docs under one pixel row (n < 24) are filtered — there
+    * is no image to build. */
+  private[graft] def ppmPayloads(s: SparkSession, d: String): DataFrame = {
+    val nb = length(encode(col("text"), "UTF-8"))
+    Tables.documents(s, d)
+      .filter(nb >= 24)
+      .select(col("doc_id"),
+        concat(
+          encode(concat(lit("P6\n8 "),
+            floor(nb / 24).cast("int").cast("string"),
+            lit("\n255\n")), "UTF-8"),
+          encode(col("text"), "UTF-8")).as("payload"))
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -153,20 +213,25 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
-    // Resize through the mapPartitions pipeline — oracle-checkable because
-    // the stub decoder's dimension math (64 + n % 577, 64 + n//7 % 409)
-    // and the fit-within-256 scaling are reproducible in SQL. At scale
-    // this is the thumbnailing pass of a media ingest: payload bytes are
-    // touched once per partition, dims/metadata flow as columns.
+    // Resize planning through the mapPartitions pipeline: REAL P6 decode
+    // (header parse gives w=8, h=n/24 for the synthesized containers) +
+    // fit-within-256 scaling, both reproducible in SQL. The oracle's
+    // thumb_hex rebuilds header+raster bytes with chr(10) newlines. At
+    // scale this is the thumbnailing pass of a media ingest: payload
+    // bytes are touched once per partition, dims/metadata flow as columns.
     QueryDef("m04_resize_stub",
       """WITH p AS (
-        |  SELECT doc_id, encode(text) AS payload,
+        |  SELECT doc_id, hex(encode(text)) AS hx,
         |         octet_length(encode(text)) AS n
         |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 24
         |), dims AS (
-        |  SELECT doc_id, hex(payload) AS hx,
-        |         CAST(64 + n % 577 AS INT) AS w,
-        |         CAST(64 + (n // 7) % 409 AS INT) AS h
+        |  SELECT doc_id,
+        |         hex(encode('P6' || chr(10) || '8 ' ||
+        |             CAST(CAST(n // 24 AS INT) AS VARCHAR) || chr(10) ||
+        |             '255' || chr(10))) || hx AS phx,
+        |         CAST(8 AS INT) AS w,
+        |         CAST(n // 24 AS INT) AS h
         |  FROM p
         |), s AS (
         |  SELECT *, least(256.0 / w, 256.0 / h, 1.0) AS sc FROM dims
@@ -174,42 +239,39 @@ object Multimodal {
         |SELECT doc_id, w AS width, h AS height,
         |       CAST(greatest(1, floor(w * sc)) AS INT) AS out_w,
         |       CAST(greatest(1, floor(h * sc)) AS INT) AS out_h,
-        |       substring(hx, 1, 32) AS thumb_hex
+        |       substring(phx, 1, 32) AS thumb_hex
         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val payloads = Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      resizeImages(payloads, 256).orderBy(col("doc_id"))
+      resizeImages(ppmPayloads(s, d), 256).orderBy(col("doc_id"))
     },
 
-    // The mapPartitions decode pipeline (STUBBED decoder, real plumbing).
-    // Oracle-checkable after all (ADVICE r03): the stub's feature vector is
-    // a byte histogram bucketed by (byte >> 5), i.e. by the FIRST HEX
+    // The mapPartitions decode pipeline over genuine P6 payloads — the
+    // decoder really parses the ASCII header (width 8, height n/24) and
+    // histograms the raster. Oracle-checkable without a codec: the
+    // feature vector buckets by (byte >> 5), i.e. by the FIRST HEX
     // NIBBLE >> 1 — so DuckDB reproduces f0/f1 by counting hex-pair lead
-    // chars ('0','1' → bucket 0; '2','3' → bucket 1) over the same payload
-    // bytes, divided as IEEE doubles. Dimension math identical to m04.
+    // chars ('0','1' → bucket 0; '2','3' → bucket 1) over the same
+    // raster bytes (the first 24·(n/24) text bytes), divided as IEEE
+    // doubles.
     QueryDef("m02_decode_stub",
       """WITH p AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,
         |         octet_length(encode(text)) AS n
         |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 24
         |), c AS (
-        |  SELECT doc_id, n,
-        |         len(list_filter(range(n),
+        |  SELECT doc_id, CAST(n // 24 AS INT) AS h, 24 * (n // 24) AS np,
+        |         len(list_filter(range(24 * (n // 24)),
         |             i -> substring(hx, 2 * CAST(i AS INT) + 1, 1) IN ('0', '1'))) AS c0,
-        |         len(list_filter(range(n),
+        |         len(list_filter(range(24 * (n // 24)),
         |             i -> substring(hx, 2 * CAST(i AS INT) + 1, 1) IN ('2', '3'))) AS c1
         |  FROM p
         |)
         |SELECT doc_id,
-        |       CAST(64 + n % 577 AS INT) AS width,
-        |       CAST(64 + (n // 7) % 409 AS INT) AS height,
-        |       CAST(3 AS INT) AS channels,
-        |       round(1e-9 + CAST(c0 AS DOUBLE) / greatest(n, 1), 6) AS f0,
-        |       round(1e-9 + CAST(c1 AS DOUBLE) / greatest(n, 1), 6) AS f1
+        |       CAST(8 AS INT) AS width, h AS height, CAST(3 AS INT) AS channels,
+        |       round(1e-9 + CAST(c0 AS DOUBLE) / np, 6) AS f0,
+        |       round(1e-9 + CAST(c1 AS DOUBLE) / np, 6) AS f1
         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val payloads = Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      decodeImages(payloads)
+      decodeImages(ppmPayloads(s, d))
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
           Num.roundOut(element_at(col("features"), 1), 6).as("f0"),
           Num.roundOut(element_at(col("features"), 2), 6).as("f1"))

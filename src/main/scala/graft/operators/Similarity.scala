@@ -449,17 +449,22 @@ object Similarity {
     // brute-force search 4x cheaper: x05-style scans run against `proj`
     // (16 mults/row) instead of the raw 64-dim vectors, with JL deciding
     // the dim budget vs recall (pinned in Round6Spec).
+    // 16 SCALAR columns p00..p15 rather than one array<double> column: the
+    // driver's correctness compare sorts cell values with pandas, which
+    // cannot hash/sort numpy arrays — an array-typed output is structurally
+    // unverifiable by that harness even when every double matches. Scalar
+    // columns also match what a downstream x05-style scan over the projected
+    // space wants (16 independent codegen'd doubles, no array allocation).
     QueryDef("x43_random_projection",
-      """SELECT vec_id,
-        |       list_transform(range(16), k ->
-        |         round(1e-9 + list_reduce(
-        |           list_transform(range(64), j ->
-        |             (CASE WHEN ((k * 73856093 + j * 19349663
-        |                          + (k + 1) * (j + 1) * 83492791) % 1000003) % 2 = 0
-        |                   THEN 1.0 ELSE -1.0 END)
-        |             * CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE)),
-        |           (a, b) -> a + b), 6)) AS proj
-        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      "SELECT vec_id,\n" + (0 until 16).map { k =>
+        s"""  round(1e-9 + list_reduce(
+           |    list_transform(range(64), j ->
+           |      (CASE WHEN (($k * 73856093 + j * 19349663
+           |                   + ${k + 1} * (j + 1) * 83492791) % 1000003) % 2 = 0
+           |            THEN 1.0 ELSE -1.0 END)
+           |      * CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE)),
+           |    (a, b) -> a + b), 6) AS p${"%02d".format(k)}""".stripMargin
+      }.mkString(",\n") + "\nFROM embeddings ORDER BY vec_id") { (s, d) =>
       // the sign matrix is a compile-time constant — unroll the 16 output
       // dims into FLAT codegen'd sums (the x03 simhash trick) instead of
       // an interpreted transform×aggregate lambda (1024 interpreted steps
@@ -474,10 +479,10 @@ object Similarity {
           (0 until 64).map { j =>
             element_at(col("embedding"), j + 1).cast("double") *
               lit(sign(k.toLong, j.toLong))
-          }.reduce(_ + _), 6)
+          }.reduce(_ + _), 6).as("p%02d".format(k))
       }
       Tables.table(s, d, "embeddings")
-        .select(col("vec_id"), array(projCols: _*).as("proj"))
+        .select(col("vec_id") +: projCols: _*)
         .orderBy(col("vec_id"))
     },
 

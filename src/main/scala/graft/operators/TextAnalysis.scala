@@ -1076,10 +1076,12 @@ object TextAnalysis {
     // at high token count flags the repetitive/templated docs x21's
     // fixed-threshold filters catch coarsely.
     //
-    // Scale: one (doc, word) partial-agg pass; the ln table is 128 rows
-    // broadcast (counts above the table bound would need ln(k) beyond
-    // 128 — the query asserts the fixture bound by failing the join and
-    // losing rows, which the row-count check would catch).
+    // Scale: one (doc, word) partial-agg pass over the persisted
+    // [[Tokens]] table; the ln table is 128 rows broadcast. Counts above
+    // the table bound FAIL LOUDLY on both engines (left join + explicit
+    // raise_error/error() guard, ADVICE r06): a silent inner-join drop
+    // would lose the same rows identically on both sides and pass the
+    // oracle compare while emitting wrong entropies.
     QueryDef("x69_token_entropy",
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
@@ -1092,32 +1094,45 @@ object TextAnalysis {
         |), agg AS (
         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
         |         CAST(count(*) AS INT) AS n_distinct,
-        |         CAST(sum(c * lnt.q) AS BIGINT) AS slnc
-        |  FROM cnt JOIN lnt ON lnt.k = cnt.c
+        |         CAST(sum(c * (CASE WHEN lnt.q IS NULL THEN
+        |             CAST(error('x69: count beyond ln-table bound') AS BIGINT)
+        |           ELSE lnt.q END)) AS BIGINT) AS slnc
+        |  FROM cnt LEFT JOIN lnt ON lnt.k = cnt.c
         |  GROUP BY 1
+        |), chk AS (
+        |  SELECT a.*, CASE WHEN ln2.q IS NULL THEN
+        |           CAST(error('x69: doc length beyond ln-table bound') AS BIGINT)
+        |         ELSE ln2.q END AS qn
+        |  FROM agg a LEFT JOIN lnt ln2 ON ln2.k = a.n
         |)
-        |SELECT a.doc_id, a.n AS n_tokens, a.n_distinct,
-        |       round(1e-9 + (ln2.q * a.n - a.slnc) * 1.0 / (a.n * 1e12), 6)
+        |SELECT doc_id, n AS n_tokens, n_distinct,
+        |       round(1e-9 + (qn * n - slnc) * 1.0 / (n * 1e12), 6)
         |         AS entropy_nats,
-        |       round(1e-9 + (ln2.q * a.n - a.slnc) * 1.0 / (a.n * 1e12)
+        |       round(1e-9 + (qn * n - slnc) * 1.0 / (n * 1e12)
         |             / 0.6931471805599453, 6) AS entropy_bits
-        |FROM agg a JOIN lnt ln2 ON ln2.k = a.n
-        |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+        |FROM chk
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val lnq = broadcast(lnqTable.toDF("k", "q"))
-      val cnt = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(filter(Text.tokens(col("text")), w => length(w) > 0))
-            .as("word"))
+      val cnt = Tokens.table(s, d)
+        .filter(length(col("word")) > 0)
         .groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("c"))
-      val agg = cnt.join(lnq, col("k") === col("c"))
+      // LEFT joins + raise_error: exceeding the 128-entry ln table is a
+      // loud per-row failure, never a silent both-engines row drop
+      val agg = cnt.join(lnq, col("k") === col("c"), "left")
+        .withColumn("lq", when(col("q").isNull, raise_error(concat(
+          lit("x69: count beyond ln-table bound: "), col("c").cast("string"))))
+          .otherwise(col("q")))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n"),
           count(lit(1)).cast("int").as("n_distinct"),
-          sum(col("c") * col("q")).as("slnc"))
-      val lnN = lnq.select(col("k").as("kn"), col("q").as("qn"))
-      agg.join(lnN, col("kn") === col("n"))
+          sum(col("c") * col("lq")).as("slnc"))
+      val lnN = lnq.select(col("k").as("kn"), col("q").as("q2"))
+      agg.join(lnN, col("kn") === col("n"), "left")
+        .withColumn("qn", when(col("q2").isNull, raise_error(concat(
+          lit("x69: doc length beyond ln-table bound: "),
+          col("n").cast("string")))).otherwise(col("q2")))
         .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
           Num.roundOut((col("qn") * col("n") - col("slnc")) * 1.0
             / (col("n") * lit(1e12)), 6).as("entropy_nats"),

@@ -30,8 +30,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Correctness: top-k of a union = top-k of the per-part top-k's (the
   * same merge identity x64's bottom-k sample pins); ties are the caller's
   * responsibility — pass a TOTAL order (tiebreak column) for
-  * deterministic output, as the q88 oracle does. Heap memory is
-  * O(groups·k) per task — the hash-aggregate envelope, never the sort
+  * deterministic output, as the q88 oracle does. Partial-phase heap
+  * memory is bounded at O(min(groups, budget)·k) per task — over
+  * `spark.graft.topk.maxPartialGroups` (default 65536) live groups the
+  * larger half of the heaps is flushed downstream for the final phase to
+  * re-merge, so high-cardinality group keys degrade to pass-through
+  * instead of OOM (the partial-hash-aggregate contract); never the sort
   * buffer's O(rows).
   *
   * Installed per-session via `spark.experimental.extraStrategies` (the
@@ -72,6 +76,21 @@ case class TopKPerGroupExec(
     val orderSpec = order
     val limit = k
     val childOutput = child.output
+    // PARTIAL-phase group budget (VERDICT r06 #3): past this many live
+    // groups the larger half of the heaps is flushed downstream and
+    // evicted, so partial-state memory is bounded at O(budget·k) no
+    // matter the group cardinality — the same spill-to-downstream escape
+    // hatch partial hash aggregation has. Correctness is unaffected:
+    // top-k of a union = top-k of per-chunk top-k's, and the final phase
+    // re-merges everything it receives. Worst case (every key distinct)
+    // degrades to pass-through, exactly like partial agg. The FINAL
+    // phase never flushes — emitting more than k rows per group would
+    // break the contract — and its envelope is groups/shufflePartitions
+    // × k, the final-hash-aggregate envelope.
+    val budget =
+      if (partial)
+        conf.getConfString("spark.graft.topk.maxPartialGroups", "65536").toInt
+      else Int.MaxValue
     child.execute().mapPartitions { iter =>
       // codegen'd lexicographic comparator over the SortOrder spec:
       // "better" compares less (Descending is folded into the spec)
@@ -80,19 +99,49 @@ case class TopKPerGroupExec(
       // head of each heap = the WORST row currently kept (reverse order)
       val rev: java.util.Comparator[InternalRow] = ord.reverse
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = groupProj(row)
-        var h = heaps.get(key)
-        if (h == null) {
-          h = new java.util.PriorityQueue[InternalRow](limit + 1, rev)
-          heaps.put(key.copy(), h)
-        }
-        if (h.size < limit) h.add(row.copy())
-        else if (ord.compare(row, h.peek) < 0) { h.poll(); h.add(row.copy()) }
-      }
       import scala.jdk.CollectionConverters._
-      heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
+
+      new scala.collection.AbstractIterator[InternalRow] {
+        private var flushed: Iterator[InternalRow] = Iterator.empty
+        private var drained = false
+
+        // evict the larger half of the live heaps — they hold the most
+        // rows, so one flush frees the most memory; rows go downstream
+        // where the final phase re-merges them
+        private def flushHalf(): Iterator[InternalRow] = {
+          val bySize = heaps.entrySet().iterator().asScala.toArray
+            .sortBy(-_.getValue.size)
+          val victims = bySize.take(math.max(1, bySize.length / 2))
+          val rows = victims.flatMap(_.getValue.iterator().asScala)
+          victims.foreach(e => heaps.remove(e.getKey))
+          rows.iterator
+        }
+
+        override def hasNext: Boolean = {
+          while (!flushed.hasNext && iter.hasNext) {
+            val row = iter.next()
+            val key = groupProj(row)
+            var h = heaps.get(key)
+            if (h == null) {
+              if (heaps.size >= budget) flushed = flushHalf()
+              h = new java.util.PriorityQueue[InternalRow](limit + 1, rev)
+              heaps.put(key.copy(), h)
+            }
+            if (h.size < limit) h.add(row.copy())
+            else if (ord.compare(row, h.peek) < 0) { h.poll(); h.add(row.copy()) }
+          }
+          if (!flushed.hasNext && !iter.hasNext && !drained) {
+            drained = true
+            flushed = heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
+          }
+          flushed.hasNext
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          flushed.next()
+        }
+      }
     }
   }
 }

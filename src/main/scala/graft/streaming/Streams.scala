@@ -664,9 +664,17 @@ object Streams {
               if (java.nio.file.Files.exists(java.nio.file.Paths.get(smpDir, "_SUCCESS")))
                 spark.read.parquet(smpDir)
               else local.limit(0)
-            val merged = bottomK(existing.unionByName(local))
-              .localCheckpoint() // sever lineage from the overwritten files
-            merged.write.mode("overwrite").parquet(smpDir)
+            // write-then-swap (ADVICE r06): the directory being read stays
+            // intact until the merged sample is fully written, so any
+            // recomputation of `merged` re-reads consistent input — no
+            // reliance on cached lineage-severing blocks surviving
+            val tmp = smpDir + ".next"
+            bottomK(existing.unionByName(local))
+              .write.mode("overwrite").parquet(tmp)
+            resetDir(smpDir)
+            java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+              java.nio.file.Paths.get(smpDir),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
             ()
           }
           .start()

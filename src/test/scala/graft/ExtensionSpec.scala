@@ -117,17 +117,15 @@ class ExtensionSpec extends AnyFunSuite {
   }
 
   test("multimodal decode: stable schema, deterministic, partition-preserving") {
-    val payloads = Tables.documents(spark, sf0_001)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .repartition(4)
+    val payloads = Multimodal.ppmPayloads(spark, sf0_001).repartition(4)
     val out = Multimodal.decodeImages(payloads)
     assert(out.schema == Multimodal.decodedSchema)
     assert(out.rdd.getNumPartitions == 4) // iterator transform, no shuffle
     val a = out.orderBy("doc_id").collect()
     val b = Multimodal.decodeImages(payloads).orderBy("doc_id").collect()
-    assert(a.sameElements(b)) // deterministic fake decoder
+    assert(a.sameElements(b)) // deterministic decode
     val r0 = a.head
-    assert(r0.getInt(1) >= 64 && r0.getInt(2) >= 64 && r0.getInt(3) == 3)
+    assert(r0.getInt(1) == 8 && r0.getInt(2) >= 1 && r0.getInt(3) == 3)
     val feats = r0.getSeq[Double](4)
     assert(feats.length == 8 && math.abs(feats.sum - 1.0) < 1e-9)
   }

@@ -221,7 +221,7 @@ class Round6Spec extends AnyFunSuite {
     basis.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val cols = SparkEntry.queries("x43_random_projection")(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getDouble).toSeq)
     def sign(k: Long, j: Long): Double =
       if (((k * 73856093L + j * 19349663L + (k + 1) * (j + 1) * 83492791L)
         % 1000003L) % 2 == 0) 1.0 else -1.0
@@ -235,7 +235,8 @@ class Round6Spec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
     val proj = SparkEntry.queries("x43_random_projection")(spark, sf0_001)
-      .limit(100).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      .limit(100).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getDouble).toSeq).toMap
     def cos(u: Seq[Double], v: Seq[Double]) = {
       val d = u.zip(v).map { case (a, b) => a * b }.sum
       d / (math.sqrt(u.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
