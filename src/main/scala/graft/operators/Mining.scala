@@ -683,6 +683,150 @@ object Mining {
             .as("vmr"))
         .orderBy(col("vmr").desc, col("word"))
         .limit(20)
+    },
+
+    // HYBRID RETRIEVAL via Reciprocal Rank Fusion (Cormack et al. 2009):
+    // fuse the lexical ranking (x48's BM25 over the fixed query
+    // {spark, join, window}) with a dense ranking (cosine against a
+    // pseudo-relevance-feedback query vector = the embedding PAIRED with
+    // the top-1 BM25 doc, the m05 doc_id↔vec_id pairing) —
+    // rrf = 1/(60+r_lex) + 1/(60+r_dense), the standard k=60 form.
+    // Docs absent from a list contribute 0 for that list and report
+    // rank 0 (never NULL — keeps both engines' parquet dtypes integral).
+    //
+    // Scale: production RRF fuses each retriever's TOP-K list, never a
+    // global ranking — both lists here are top-64 via
+    // TakeOrderedAndProject (no global window over the corpus; the
+    // rank-assigning window runs on 64 rows). The BM25 pass is x48's
+    // one-scan shape, the dense pass is one broadcast-query corpus scan
+    // (x05's shape), and the fuse is a 64x64 full outer join — driver-
+    // trivial at any corpus size. Ranks are assigned on rounded scores
+    // with doc tiebreak (the x05 rule), so both engines rank identically.
+    QueryDef("x74_hybrid_rrf",
+      """WITH stats AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_len,
+        |         sum(CASE WHEN list_contains(string_split(text, ' '), 'spark')
+        |             THEN 1 ELSE 0 END) AS df_spark,
+        |         sum(CASE WHEN list_contains(string_split(text, ' '), 'join')
+        |             THEN 1 ELSE 0 END) AS df_join,
+        |         sum(CASE WHEN list_contains(string_split(text, ' '), 'window')
+        |             THEN 1 ELSE 0 END) AS df_window
+        |  FROM documents
+        |), per AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS dl,
+        |         len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS tf_spark,
+        |         len(list_filter(string_split(text, ' '), w -> w = 'join')) AS tf_join,
+        |         len(list_filter(string_split(text, ' '), w -> w = 'window')) AS tf_window
+        |  FROM documents
+        |), bm AS (
+        |  SELECT doc_id,
+        |         round(1e-9 +
+        |           ((n_docs - df_spark + 0.5) / (df_spark + 0.5))
+        |             * (tf_spark * 2.2)
+        |             / (tf_spark + 1.2 * (0.25 + 0.75 * dl * n_docs / total_len))
+        |         + ((n_docs - df_join + 0.5) / (df_join + 0.5))
+        |             * (tf_join * 2.2)
+        |             / (tf_join + 1.2 * (0.25 + 0.75 * dl * n_docs / total_len))
+        |         + ((n_docs - df_window + 0.5) / (df_window + 0.5))
+        |             * (tf_window * 2.2)
+        |             / (tf_window + 1.2 * (0.25 + 0.75 * dl * n_docs / total_len)),
+        |           4) AS bm25
+        |  FROM per, stats
+        |), bt AS (
+        |  SELECT doc_id, bm25,
+        |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+        |  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 64)
+        |), e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), qv AS (
+        |  SELECT n.v, n.nrm FROM n JOIN bt ON bt.rb = 1 AND n.vec_id = bt.doc_id
+        |), dn AS (
+        |  SELECT d.doc_id,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> q.v[i+1] * n.v[i+1])) / q.nrm / n.nrm, 6) AS cos_sim
+        |  FROM documents d JOIN n ON n.vec_id = d.doc_id, qv q
+        |), dt AS (
+        |  SELECT doc_id, cos_sim,
+        |         row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rd
+        |  FROM (SELECT * FROM dn ORDER BY cos_sim DESC, doc_id LIMIT 64)
+        |)
+        |SELECT coalesce(bt.doc_id, dt.doc_id) AS doc_id,
+        |       CAST(coalesce(bt.rb, 0) AS BIGINT) AS rank_bm25,
+        |       CAST(coalesce(dt.rd, 0) AS BIGINT) AS rank_dense,
+        |       round(1e-9 +
+        |         (CASE WHEN bt.rb IS NULL THEN 0.0
+        |               ELSE CAST(1 AS DOUBLE) / (60 + bt.rb) END)
+        |       + (CASE WHEN dt.rd IS NULL THEN 0.0
+        |               ELSE CAST(1 AS DOUBLE) / (60 + dt.rd) END), 6) AS rrf
+        |FROM bt FULL JOIN dt ON bt.doc_id = dt.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def tf(term: String) =
+        size(filter(Text.tokens(col("text")), w => w === term)).cast("long")
+      def df(term: String) =
+        sum(when(array_contains(Text.tokens(col("text")), term), 1)
+          .otherwise(0)).cast("long")
+      val docs = Tables.documents(s, d)
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col("text")))).cast("long").as("total_len"),
+        df("spark").as("df_spark"), df("join").as("df_join"),
+        df("window").as("df_window"))
+      val per = docs.select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("dl"),
+        tf("spark").as("tf_spark"), tf("join").as("tf_join"),
+        tf("window").as("tf_window"))
+      def norm = lit(1.2) * (lit(0.25) +
+        lit(0.75) * col("dl") * col("n_docs") / col("total_len"))
+      def score(t: String) =
+        ((col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5)) *
+          (col(s"tf_$t") * 2.2) / (col(s"tf_$t") + norm)
+      val bm = per.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          Num.roundOut(score("spark") + score("join") + score("window"), 4)
+            .as("bm25"))
+      // top-64 via TakeOrderedAndProject; the rank window then runs on 64
+      // rows (bounded by K, not the corpus — the x18 global-window rule)
+      val bt = bm.orderBy(col("bm25").desc, col("doc_id")).limit(64)
+        .withColumn("rb", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .localCheckpoint() // feeds the pseudo-query lookup AND the fuse
+      val n = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(graft.plans.VecDot(col("v"), col("v"))))
+      val qv = n.join(broadcast(bt.filter(col("rb") === 1)),
+          col("vec_id") === col("doc_id"))
+        .select(col("v").as("qv2"), col("nrm").as("qn2"))
+      val dn = docs.select(col("doc_id"))
+        .join(n, col("vec_id") === col("doc_id"))
+        .crossJoin(broadcast(qv))
+        .select(col("doc_id"),
+          Num.roundOut(graft.plans.VecDot(col("qv2"), col("v"))
+            / col("qn2") / col("nrm"), 6).as("cos_sim"))
+      val dt = dn.orderBy(col("cos_sim").desc, col("doc_id")).limit(64)
+        .withColumn("rd", row_number().over(
+          Window.orderBy(col("cos_sim").desc, col("doc_id"))))
+      bt.select(col("doc_id"), col("rb"))
+        .join(dt.select(col("doc_id"), col("rd")), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rb"), lit(0)).cast("long").as("rank_bm25"),
+          coalesce(col("rd"), lit(0)).cast("long").as("rank_dense"),
+          Num.roundOut(
+            when(col("rb").isNull, 0.0)
+              .otherwise(lit(1.0) / (lit(60) + col("rb"))) +
+            when(col("rd").isNull, 0.0)
+              .otherwise(lit(1.0) / (lit(60) + col("rd"))), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
     }
   )
 }
