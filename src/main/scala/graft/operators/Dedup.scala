@@ -106,28 +106,48 @@ object Dedup {
 
   private val MinhashP = 1000000007L
 
+  /** The portable 8-perm MinHash signature pipeline over an arbitrary
+    * documents-shaped frame (doc_id, text, …) → (doc_id, tri, sig).
+    * Char hash runs once per DISTINCT shingle. Factored out of
+    * [[pminhashTable]] so st10's streaming ingest computes per-batch
+    * signatures through the IDENTICAL expression tree (value parity is
+    * what makes streaming == batch provable there). */
+  private[graft] def portableSigs(docs: DataFrame): DataFrame = {
+    val base = shingled(docs)
+      .select(col("doc_id"), col("tri"))
+      .filter(size(col("tri")) > 0)
+      .localCheckpoint()
+    val ex = base.select(col("doc_id"), explode(col("tri")).as("sh"))
+    val vocab = ex.select(col("sh")).distinct()
+      .withColumn("h", Text.charHash(col("sh")))
+    val minCols = (0 until 8).map { k =>
+      min((col("h") * (2L * k + 1L) + (k * 40503L + 17L)) % MinhashP).as(s"m$k")
+    }
+    val sigs = ex.join(vocab, "sh")
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 8).map(k => col(s"m$k")): _*).as("sig"))
+    base.join(sigs, "doc_id")
+  }
+
   /** The portable-minhash signature table (doc_id, tri, 8-perm sig) —
     * x39's persisted content-keyed artifact, shared with x61's
-    * incremental probe. Char hash runs once per DISTINCT shingle. */
+    * incremental probe. */
   private[operators] def pminhashTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     DerivedTable(s, d, "documents", "pminhash") {
-      val base = shingleTable(s, d)
-        .select(col("doc_id"), col("tri"))
-        .filter(size(col("tri")) > 0)
-        .localCheckpoint()
-      val ex = base.select(col("doc_id"), explode(col("tri")).as("sh"))
-      val vocab = ex.select(col("sh")).distinct()
-        .withColumn("h", Text.charHash(col("sh")))
-      val minCols = (0 until 8).map { k =>
-        min((col("h") * (2L * k + 1L) + (k * 40503L + 17L)) % MinhashP).as(s"m$k")
-      }
-      val sigs = ex.join(vocab, "sh")
-        .groupBy(col("doc_id"))
-        .agg(minCols.head, minCols.tail: _*)
-        .select(col("doc_id"),
-          array((0 until 8).map(k => col(s"m$k")): _*).as("sig"))
-      base.join(sigs, "doc_id")
+      portableSigs(Tables.documents(s, d))
     }
+
+  /** 4×2 band buckets of a signature frame, UNCAPPED — st10 applies the
+    * crowded-bucket cap on FINAL sizes instead (cap semantics are a
+    * whole-corpus property; see st10's proof sketch). */
+  private[graft] def bandedSig(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("bnd"), col("sig"))
+      .select(col("doc_id"), col("bnd").cast("int").as("band"),
+        (element_at(col("sig"), (col("bnd") * 2 + 1).cast("int")) * MinhashP +
+         element_at(col("sig"), (col("bnd") * 2 + 2).cast("int"))).as("bucket"))
 
   /** The portable-SimHash bit table (doc_id, i, b) — x63's persisted
     * content-keyed artifact. Per DISTINCT token, [[Text.charHash]] seeds
@@ -162,11 +182,7 @@ object Dedup {
   /** 4×2 band buckets over the signature table, crowded buckets (>100)
     * dropped — the shared candidate-generation layer of x39/x61. */
   private def pminhashPruned(sig: DataFrame): DataFrame = {
-    val banded = sig.select(col("doc_id"),
-        explode(sequence(lit(0), lit(3))).as("bnd"), col("sig"))
-      .select(col("doc_id"), col("bnd").cast("int").as("band"),
-        (element_at(col("sig"), (col("bnd") * 2 + 1).cast("int")) * MinhashP +
-         element_at(col("sig"), (col("bnd") * 2 + 2).cast("int"))).as("bucket"))
+    val banded = bandedSig(sig)
     val keepb = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, 100))
@@ -207,6 +223,27 @@ object Dedup {
       |), pr AS (
       |  SELECT bk.* FROM bk JOIN keepb USING (band, bucket)
       |)""".stripMargin
+
+  /** x39's complete oracle SQL — also st10's: the streaming ingest's
+    * final state provably equals the batch pipeline (bottom-of-file
+    * proof sketch in Streams.st10), so the SAME relational oracle checks
+    * both, the st09↔x64 move applied to LSH dedup. */
+  private[graft] def x39OracleSql: String =
+    s"""WITH $pminhashCteSql, pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pr a JOIN pr b ON a.band = b.band AND a.bucket = b.bucket
+      |                     AND a.doc_id < b.doc_id
+      |)
+      |SELECT p.doc_a, p.doc_b,
+      |       round(1e-9 + list_sum(list_transform(range(8),
+      |             i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1]
+      |                       THEN 1 ELSE 0 END)) / 8.0, 6) AS est,
+      |       round(1e-9 + len(list_intersect(sa.tri, sb.tri)) * 1.0 /
+      |             (len(sa.tri) + len(sb.tri)
+      |              - len(list_intersect(sa.tri, sb.tri))), 6) AS jaccard
+      |FROM pairs p JOIN sig sa ON p.doc_a = sa.doc_id
+      |             JOIN sig sb ON p.doc_b = sb.doc_id
+      |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
 
   /** The CONVERGED duplicate-cluster map (node, label), persisted
     * content-keyed: the hash-min loop runs once per corpus at ingest and
@@ -651,22 +688,7 @@ object Dedup {
     // against DuckDB end to end, not just rows-counted. Same plan shape as
     // x02: signatures shuffle, documents don't; candidates come only from
     // bucket collisions (work ∝ colliding pairs, never all-pairs).
-    QueryDef("x39_minhash_portable",
-      s"""WITH $pminhashCteSql, pairs AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM pr a JOIN pr b ON a.band = b.band AND a.bucket = b.bucket
-        |                     AND a.doc_id < b.doc_id
-        |)
-        |SELECT p.doc_a, p.doc_b,
-        |       round(1e-9 + list_sum(list_transform(range(8),
-        |             i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1]
-        |                       THEN 1 ELSE 0 END)) / 8.0, 6) AS est,
-        |       round(1e-9 + len(list_intersect(sa.tri, sb.tri)) * 1.0 /
-        |             (len(sa.tri) + len(sb.tri)
-        |              - len(list_intersect(sa.tri, sb.tri))), 6) AS jaccard
-        |FROM pairs p JOIN sig sa ON p.doc_a = sa.doc_id
-        |             JOIN sig sb ON p.doc_b = sb.doc_id
-        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin) { (s, d) =>
+    QueryDef("x39_minhash_portable", x39OracleSql) { (s, d) =>
       val p = 1000000007L
       // Signature table persisted content-keyed, like x02's. The portable
       // char hash is an interpreted per-char HOF — orders of magnitude

@@ -136,6 +136,37 @@ object Streams {
     stage.toString
   }
 
+  /** Stage DOCUMENTS split in two disjoint halves (by doc_id parity, two
+    * files → two micro-batches with maxFilesPerTrigger=1) — st10's
+    * streaming ingest source. Content-keyed like [[stageEventsSplit]]. */
+  private[graft] def stageDocumentsSplit(s: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_docsplit_v1_${graft.ContentKey.key(src)}"))
+    if (!java.nio.file.Files.exists(stage.resolve("_DONE"))) {
+      java.nio.file.Files.createDirectories(stage)
+      Seq(0, 1).foreach { par =>
+        val tmp = stage.resolve(s"tmp_$par")
+        graft.Tables.documents(s, dir)
+          .filter(col("doc_id") % 2 === par)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally l.close()
+        }
+        java.nio.file.Files.move(part, stage.resolve(s"batch_$par.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val rest = java.nio.file.Files.list(tmp)
+        try rest.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally rest.close()
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
+      java.nio.file.Files.createFile(stage.resolve("_DONE"))
+    }
+    stage.toString
+  }
+
   /** Delete a derived output directory before a non-idempotent rebuild. */
   private def resetDir(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
@@ -692,6 +723,106 @@ object Streams {
             Num.roundOut(max(when(col("vr") === expr("(9 * ns + 9) div 10"),
               col("value"))), 4).as("p90_sample"))
           .orderBy(col("event_type"))
+      }
+    },
+
+    // Oracle-checked: STREAMING NEAR-DUP DEDUP — x39's LSH pipeline run
+    // as a 2-micro-batch ingest with persistent signature/bucket/pair
+    // state (x61's incremental probe, made continuous). Per batch:
+    // compute the batch's portable signatures through the IDENTICAL
+    // expression tree as x39 ([[graft.operators.Dedup.portableSigs]]),
+    // band them, probe the accumulated bucket state for pairs involving
+    // a new doc, and append (sigs, bands, pairs) to the state dirs. The
+    // crowded-bucket cap (2..100) is a WHOLE-CORPUS property, so
+    // emission uses only a work guard (skip buckets already past 100 —
+    // they can only grow) and the exact cap is applied to FINAL bucket
+    // sizes at read time.
+    //
+    // streaming == batch, provable: bucket sizes grow monotonically, so
+    // (a) every pair of a finally-small bucket is emitted at the batch
+    // where its later member arrives (bucket size then ≤ final ≤ 100),
+    // and (b) pairs emitted from buckets that END crowded are dropped by
+    // the final [2,100] filter — the surviving pair set is EXACTLY
+    // x39's, whatever the batch slicing. The oracle is x39's relational
+    // SQL verbatim (the st09↔x64 move applied to LSH dedup).
+    //
+    // Scale: state grows with the corpus but per-batch work is
+    // |batch| × collision rate (x61's maintenance-∝-|Δ| contract); the
+    // probe is an equi-join on (band, bucket) between the batch's bands
+    // and the state — never a corpus self-join per batch.
+    QueryDef("st10_stream_neardup",
+      graft.operators.Dedup.x39OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageDocumentsSplit(ss, d)
+        val root = graft.Warehouse.path(
+          s"graft_stneardup_v1_${graft.ContentKey.key(
+            java.nio.file.Paths.get(d, "documents.parquet"))}")
+        val sigDir = s"$root/sigs"
+        val bandDir = s"$root/bands"
+        val pairDir = s"$root/pairs"
+        Seq(sigDir, bandDir, pairDir).foreach(resetDir)
+        def exists(p: String) =
+          java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val sigs = graft.operators.Dedup.portableSigs(batch)
+              .localCheckpoint()
+            val newB = graft.operators.Dedup.bandedSig(sigs).localCheckpoint()
+            val oldB =
+              if (exists(bandDir)) spark.read.parquet(bandDir)
+              else newB.limit(0)
+            val union = oldB.unionByName(newB)
+            // work guard: buckets already past the cap can only grow —
+            // never generate pairs from them again
+            val small = union.groupBy(col("band"), col("bucket"))
+              .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= 100)
+              .select(col("band"), col("bucket"))
+            val pairs = newB.as("a")
+              .join(union.join(small, Seq("band", "bucket")).as("b"),
+                col("a.band") === col("b.band") &&
+                  col("a.bucket") === col("b.bucket") &&
+                  col("a.doc_id") =!= col("b.doc_id"))
+              .select(
+                least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+                greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+                col("a.band").as("band"), col("a.bucket").as("bucket"))
+              .distinct()
+            // append order matters: pairs (derived from the band state
+            // just read) land first; only then do the new bands/sigs
+            // extend the state dirs (the st09 no-self-overwrite rule)
+            pairs.write.mode("append").parquet(pairDir)
+            newB.write.mode("append").parquet(bandDir)
+            sigs.write.mode("append").parquet(sigDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val keep = ss.read.parquet(bandDir)
+          .groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz").between(2, 100))
+          .select(col("band"), col("bucket"))
+        val finalPairs = ss.read.parquet(pairDir)
+          .join(keep, Seq("band", "bucket"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        val sig = ss.read.parquet(sigDir)
+        val sa = sig.select(col("doc_id").as("doc_a"),
+          col("sig").as("sig_a"), col("tri").as("tri_a"))
+        val sb = sig.select(col("doc_id").as("doc_b"),
+          col("sig").as("sig_b"), col("tri").as("tri_b"))
+        finalPairs.join(sa, "doc_a").join(sb, "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            Num.roundOut(size(filter(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1).otherwise(0)), v => v === 1)) / 8.0,
+              6).as("est"),
+            Num.roundOut(graft.functions.Text.jaccard(
+              col("tri_a"), col("tri_b")), 6).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+          .limit(50)
       }
     }
   )
