@@ -245,6 +245,38 @@ object Dedup {
       |             JOIN sig sb ON p.doc_b = sb.doc_id
       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
 
+  /** The winnowing fingerprint table (doc_id, fp) — x75's persisted
+    * content-keyed ingest artifact. Extraction is one codegen'd per-row
+    * pass: ordered gram hashes, w=4 window minima via
+    * `array_min(slice(...))` inside a let-bound lambda (no window
+    * function, no shuffle), distinct per doc. */
+  private[graft] def winnowTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    DerivedTable(s, d, "documents", "winnow") {
+      winnowFps(Tables.documents(s, d))
+    }
+
+  /** Winnowing fingerprint extraction over an arbitrary documents-shaped
+    * frame — factored out of [[winnowTable]] so the spec can pin the
+    * equal-stream ⇒ equal-fingerprints guarantee on synthetic rows. */
+  private[graft] def winnowFps(docs: DataFrame): DataFrame = {
+    val W = 4
+    val hsCol = transform(Text.rawShingles(col("text"), 3),
+      g => Text.charHash(g))
+    // let-bind the hash array (lambdas have no CSE — same idiom as
+    // Text.shingles), then window minima + distinct inside the row
+    val fpsCol = get(
+      transform(array(hsCol), h => {
+        val wins = transform(
+          sequence(lit(1), greatest(size(h) - (W - 1), lit(1))),
+          j => array_min(slice(h, j, lit(W))))
+        array_distinct(wins)
+      }),
+      lit(0))
+    docs
+      .filter(size(Text.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), explode(fpsCol).as("fp"))
+  }
+
   /** The CONVERGED duplicate-cluster map (node, label), persisted
     * content-keyed: the hash-min loop runs once per corpus at ingest and
     * both x20 and x59 read the artifact — the "cluster table" every
@@ -1061,6 +1093,74 @@ object Dedup {
           (col("dist") <= 3).as("neardup"), col("fp_a"), col("fp_b"))
         .orderBy(col("dist"), col("doc_a"), col("doc_b"))
         .limit(100)
+    },
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    // MOSS algorithm): hash every word trigram IN POSITION ORDER, slide a
+    // w=4 window over the hash sequence, keep each window's minimum — the
+    // distinct selected hashes are the doc's fingerprint set. Guarantee:
+    // any shared run of ≥ w+n-1 = 6 tokens surfaces at least one shared
+    // fingerprint, while only ~2/(w+1) of the grams are kept, so the
+    // inverted index (the only shuffle) carries a third of x04's postings
+    // volume. Candidate pairs come from fingerprint co-occurrence with the
+    // standard crowded-key cap [2,100]; overlap = shared / min(|A|,|B|)
+    // (containment-style, robust to length mismatch). Fingerprint
+    // EXTRACTION is one codegen'd per-row pass — window minima are
+    // `array_min(slice(...))` inside a let-bound lambda, no window
+    // function, no shuffle — the shape that holds at 100 TB.
+    QueryDef("x75_winnowing",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id, list_transform(range(len(ws) - 2),
+        |         i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) AS grams
+        |  FROM t WHERE len(ws) >= 3
+        |), h AS (
+        |  SELECT doc_id, list_transform(grams, sh ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(len(sh)),
+        |        i -> CAST(unicode(sh[i+1]) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        |  FROM g
+        |), f AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |      range(greatest(len(hs) - 3, 1)),
+        |      j -> list_min(hs[j+1:j+4]))) AS fps
+        |  FROM h
+        |), fp AS (
+        |  SELECT doc_id, unnest(fps) AS fp FROM f
+        |), nf AS (
+        |  SELECT doc_id, count(*) AS nfp FROM fp GROUP BY 1
+        |), keep AS (
+        |  SELECT fp FROM fp GROUP BY fp HAVING count(*) BETWEEN 2 AND 100
+        |), pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM fp a JOIN keep USING (fp)
+        |  JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.doc_a, p.doc_b, CAST(p.shared AS INT) AS shared,
+        |       round(1e-9 + p.shared * 1.0 / least(na.nfp, nb.nfp), 6) AS overlap
+        |FROM pr p JOIN nf na ON na.doc_id = p.doc_a
+        |          JOIN nf nb ON nb.doc_id = p.doc_b
+        |ORDER BY overlap DESC, doc_a, doc_b LIMIT 50""".stripMargin) { (s, d) =>
+      val fp = winnowTable(s, d)
+      val nf = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+      val keep = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 100)).select(col("fp"))
+      val kept = fp.join(keep, "fp")
+      val pr = kept.as("a")
+        .join(kept.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      pr.join(nf.select(col("doc_id").as("doc_a"), col("nfp").as("nfa")), "doc_a")
+        .join(nf.select(col("doc_id").as("doc_b"), col("nfp").as("nfb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("shared").cast("int").as("shared"),
+          Num.roundOut(col("shared") * 1.0 / least(col("nfa"), col("nfb")), 6)
+            .as("overlap"))
+        .orderBy(col("overlap").desc, col("doc_a"), col("doc_b"))
+        .limit(50)
     }
   )
 }
