@@ -811,6 +811,112 @@ object Corpus {
           coalesce(col("n_bloom"), lit(0L)).as("n_bloom"),
           coalesce(col("n_true"), lit(0L)).as("n_true"))
         .orderBy(col("doc_id"))
+    },
+
+    // STRATIFIED EVAL-SET CONSTRUCTION with exact proportional allocation
+    // (Hamilton's largest-remainder method): a fixed budget of B=40 docs
+    // is split across (source, lang) strata as q0_k = ⌊B·n_k/N⌋ plus one
+    // bonus seat for the L = B−Σq0 strata with the largest integer
+    // remainders B·n_k mod N (ties → stratum name). Within each stratum
+    // the quota is filled by x64's deterministic integer-mixer priority
+    // over doc_id — re-ingestion-stable, cluster-order-independent, zero
+    // RNG. Output pins the full allocation AND the exact selection
+    // (id_sum) per stratum. Every step is integer math; there is no FP
+    // anywhere in the query.
+    //
+    // Scale: stratum stats are one partial-agg pass; the allocation table
+    // is strata-sized (broadcast); selection is a per-stratum bounded
+    // top-quota (quota ≤ B) — the per-stratum window sorts only within
+    // strata, and B is a constant, so at 100 TB this is the salted
+    // bottom-k shape (x64) with a trivially small k.
+    QueryDef("x77_stratified_eval",
+      """WITH d AS (
+        |  SELECT doc_id, source, lang FROM documents
+        |), n AS (
+        |  SELECT source, lang, count(*) AS n_k FROM d GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(sum(n_k) AS BIGINT) AS n FROM n
+        |), q AS (
+        |  SELECT source, lang, n_k,
+        |         CAST((40 * n_k) // n AS BIGINT) AS q0,
+        |         CAST((40 * n_k) % n AS BIGINT) AS rem
+        |  FROM n, tot
+        |), lft AS (
+        |  SELECT CAST(40 - sum(q0) AS BIGINT) AS l FROM q
+        |), qq AS (
+        |  SELECT source, lang, n_k, q0,
+        |         row_number() OVER (ORDER BY rem DESC, source, lang) AS rr
+        |  FROM q
+        |), quota AS (
+        |  SELECT source, lang, n_k,
+        |         q0 + CASE WHEN rr <= l THEN 1 ELSE 0 END AS quota
+        |  FROM qq, lft
+        |), h0 AS (
+        |  SELECT doc_id, source, lang, doc_id & 4294967295 AS a FROM d
+        |), h1 AS (
+        |  SELECT doc_id, source, lang,
+        |         (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h0
+        |), h2 AS (
+        |  SELECT doc_id, source, lang,
+        |         (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h1
+        |), pv AS (
+        |  SELECT doc_id, source, lang, xor(a >> 16, a) AS pri FROM h2
+        |), rk AS (
+        |  SELECT source, lang, doc_id,
+        |         row_number() OVER (PARTITION BY source, lang
+        |                            ORDER BY pri, doc_id) AS rn
+        |  FROM pv
+        |), sel AS (
+        |  SELECT r.source, r.lang, r.doc_id
+        |  FROM rk r JOIN quota t ON r.source = t.source AND r.lang = t.lang
+        |  WHERE r.rn <= t.quota
+        |)
+        |SELECT t.source, t.lang, CAST(t.n_k AS BIGINT) AS n_docs,
+        |       CAST(t.quota AS BIGINT) AS quota,
+        |       CAST(count(s.doc_id) AS BIGINT) AS n_sel,
+        |       CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS id_sum
+        |FROM quota t LEFT JOIN sel s
+        |  ON s.source = t.source AND s.lang = t.lang
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val B = 40
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"))
+      val n = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_k"))
+      val tot = n.agg(sum(col("n_k")).as("n"))
+      val q = n.crossJoin(broadcast(tot))
+        .withColumn("q0", expr(s"($B * n_k) div n"))
+        .withColumn("rem", expr(s"($B * n_k) % n"))
+      val lft = q.agg((lit(B) - sum(col("q0"))).as("l"))
+      val quota = q
+        .withColumn("rr", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"), col("lang"))))
+        .crossJoin(broadcast(lft))
+        .select(col("source"), col("lang"), col("n_k"),
+          (col("q0") + when(col("rr") <= col("l"), 1).otherwise(0))
+            .as("quota"))
+      val pv = docs
+        .withColumn("a", expr("doc_id & 4294967295"))
+        .withColumn("a", expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+        .withColumn("a", expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+        .withColumn("pri", expr("shiftright(a, 16) ^ a"))
+        .drop("a")
+      val rk = pv.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"), col("lang"))
+          .orderBy(col("pri"), col("doc_id"))))
+      val sel = rk.join(broadcast(quota), Seq("source", "lang"))
+        .filter(col("rn") <= col("quota"))
+        .select(col("source"), col("lang"), col("doc_id"))
+      quota.join(
+          sel.groupBy(col("source"), col("lang"))
+            .agg(count(lit(1)).as("n_sel"), sum(col("doc_id")).as("id_sum")),
+          Seq("source", "lang"), "left")
+        .select(col("source"), col("lang"), col("n_k").as("n_docs"),
+          col("quota"),
+          coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+          coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+        .orderBy(col("source"), col("lang"))
     }
   )
 

@@ -257,12 +257,12 @@ object Mining {
         |WHERE c_ab >= 5
         |ORDER BY lift DESC, w_a, w_b LIMIT 30""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val tok = docs.select(col("doc_id"),
-        explode(array_distinct(Text.tokens(col("text")))).as("word"))
-      val vocab = tok // df over distinct-per-doc tokens ≠ raw counts; vocab
-        // ranks by RAW frequency like the oracle, so count from raw tokens
-      val rawCounts = docs
-        .select(explode(Text.tokens(col("text"))).as("word"))
+      // both the raw-frequency vocab rank and the distinct doc-term pairs
+      // read the persisted token table — the corpus is tokenized once per
+      // ingest, not twice per query (df over distinct-per-doc tokens ≠ raw
+      // counts; vocab ranks by RAW frequency like the oracle)
+      val tok = Tokens.table(s, d).select(col("doc_id"), col("word")).distinct()
+      val rawCounts = Tokens.table(s, d)
         .groupBy(col("word")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("word")).limit(50)
         .select(col("word"))

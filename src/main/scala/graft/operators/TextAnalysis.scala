@@ -1140,6 +1140,61 @@ object TextAnalysis {
             / (col("n") * lit(1e12)) / lit(0.6931471805599453), 6)
             .as("entropy_bits"))
         .orderBy(col("doc_id"))
+    },
+
+    // GOOD–TURING FREQUENCY SMOOTHING (Gale & Sampson 1995) — the classic
+    // LM count-adjustment step, over word BIGRAMS (the paper's setting,
+    // and the event space rare enough to have real singleton mass): from
+    // the corpus bigram counts, build the frequency-of-frequencies table
+    // N_c and emit the adjusted count c* = (c+1)·N_{c+1}/N_c and smoothed
+    // probability mass per bigram (parts-per-million) for every c where
+    // N_{c+1} exists. All inputs are exact integers — (c+1)·N_{c+1} is an
+    // exact long product and the single division per output row is the
+    // only FP op, evaluated in the same order on both engines (no libm,
+    // x69's contract). Rows where N_{c+1} = 0 are excluded on both sides
+    // (GT is undefined there; emitting NULL doubles would also diverge in
+    // the driver compare: parquet null → pandas NaN vs DuckDB None).
+    //
+    // Scale: one per-row gram pass + one partial-agg for the bigram
+    // counts; N_c is count-of-counts sized (tens of rows at any corpus
+    // size — count values collapse), the total-gram scalar is broadcast,
+    // and everything past the first aggregate is driver-tiny.
+    QueryDef("x76_good_turing",
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(range(len(ws) - 1),
+        |                i -> ws[i+1] || '_' || ws[i+2])) AS gram
+        |  FROM t WHERE len(ws) >= 2
+        |), cnt AS (
+        |  SELECT gram, count(*) AS c FROM g GROUP BY 1
+        |), ff AS (
+        |  SELECT c, count(*) AS n_c FROM cnt GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(c * n_c) AS BIGINT) AS t FROM ff
+        |)
+        |SELECT a.c, CAST(a.n_c AS BIGINT) AS n_c,
+        |       CAST(b.n_c AS BIGINT) AS n_next,
+        |       round(1e-9 + (a.c + 1) * b.n_c * 1.0 / a.n_c, 6) AS c_star,
+        |       round(1e-9 + (a.c + 1) * b.n_c * 1000000.0 / (a.n_c * t), 6)
+        |         AS p_gt_ppm
+        |FROM ff a JOIN ff b ON b.c = a.c + 1, tot
+        |ORDER BY a.c LIMIT 40""".stripMargin) { (s, d) =>
+      val cnt = Tables.documents(s, d)
+        .filter(size(Text.tokens(col("text"))) >= 2)
+        .select(explode(Text.rawShingles(col("text"), 2)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      val ff = cnt.groupBy(col("c")).agg(count(lit(1)).as("n_c"))
+      val tot = ff.agg(sum(col("c") * col("n_c")).as("t"))
+      val nxt = ff.select((col("c") - 1).as("c"), col("n_c").as("n_next"))
+      ff.join(nxt, "c")
+        .crossJoin(broadcast(tot))
+        .select(col("c"), col("n_c"), col("n_next"),
+          Num.roundOut((col("c") + 1) * col("n_next") * 1.0 / col("n_c"), 6)
+            .as("c_star"),
+          Num.roundOut((col("c") + 1) * col("n_next") * 1000000.0
+            / (col("n_c") * col("t")), 6).as("p_gt_ppm"))
+        .orderBy(col("c")).limit(40)
     }
   )
 
