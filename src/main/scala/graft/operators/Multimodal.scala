@@ -201,6 +201,88 @@ object Multimodal {
           encode(col("text"), "UTF-8")).as("payload"))
   }
 
+  /** Complete reader for canonical PCM WAV (RIFF/WAVE: 44-byte header
+    * with the fmt chunk first, uncompressed 16-bit mono): validates both
+    * magics, the format tag, channel/width layout, and data-chunk bounds,
+    * then streams the little-endian samples once for exact integer
+    * stats — sample count, peak |s|, Σ|s|, and the sign-transition count
+    * (zero crossings; s ≥ 0 is the sign predicate, so the stats are pure
+    * integers both engines reproduce bit-for-bit). Malformed payloads
+    * fail loudly (m06's quarantine pattern is the triage path). */
+  object WavReader extends Serializable {
+    /** @return (sampleRate, nSamples, peak, sumAbs, zeroCrossings) */
+    def stats(p: Array[Byte]): (Int, Int, Long, Long, Int) = {
+      def fail(m: String): Nothing =
+        throw new IllegalArgumentException(s"not a PCM WAV: $m")
+      def ascii(off: Int, s: String): Boolean =
+        off + s.length <= p.length &&
+          (0 until s.length).forall(i => (p(off + i) & 0xff) == s.charAt(i))
+      def le32(off: Int): Int =
+        (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+          ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+      def le16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+      if (p.length < 44) fail("shorter than the canonical header")
+      if (!ascii(0, "RIFF") || !ascii(8, "WAVE")) fail("bad RIFF/WAVE magic")
+      if (!ascii(12, "fmt ") || le32(16) != 16) fail("fmt chunk not canonical")
+      if (le16(20) != 1) fail(s"format tag ${le16(20)} is not PCM")
+      if (le16(22) != 1) fail(s"${le16(22)} channels, want mono")
+      if (le16(34) != 16) fail(s"${le16(34)}-bit, want 16")
+      val sr = le32(24)
+      if (!ascii(36, "data")) fail("data chunk not at canonical offset")
+      val dataLen = le32(40)
+      if (44 + dataLen > p.length) fail(s"truncated data chunk: $dataLen")
+      val k = dataLen / 2
+      var i = 0; var peak = 0L; var sumAbs = 0L; var zc = 0
+      var prevNonNeg = true
+      while (i < k) {
+        val raw = le16(44 + 2 * i)
+        val s = if (raw >= 32768) raw - 65536 else raw
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        sumAbs += a
+        val nonNeg = s >= 0
+        if (i > 0 && nonNeg != prevNonNeg) zc += 1
+        prevNonNeg = nonNeg
+        i += 1
+      }
+      (sr, k, peak, sumAbs, zc)
+    }
+  }
+
+  /** Genuine RIFF/WAVE containers synthesized from each document's UTF-8
+    * bytes: the canonical 44-byte PCM header (mono, 16-bit, 8 kHz) +
+    * the first 2·(n/2) text bytes as little-endian samples. Built
+    * byte-for-byte in a mapPartitions (binary little-endian fields
+    * cannot ride a UTF-8 string column, unlike the ASCII P6 header); the
+    * ORACLE never parses the container — it recomputes the stats from
+    * the same text-byte definition (m02's move). Docs under two samples
+    * (n < 4) are filtered. */
+  private[graft] def wavPayloads(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+      .filter(length(col("tb")) >= 4)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val tb = r.getAs[Array[Byte]]("tb")
+          val dataLen = (tb.length / 2) * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1).putInt(8000).putInt(16000)
+            .putShort(2).putShort(16)
+            .put("data".getBytes("US-ASCII")).putInt(dataLen)
+            .put(tb, 0, dataLen)
+          Row(r.getLong(0), bb.array())
+        }
+      }(enc)
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // Binary-column metadata path — payload synthesized from text bytes
@@ -489,6 +571,79 @@ object Multimodal {
             .as("image_tokens"),
           sum(col("cost")).as("bin_tokens"))
         .orderBy(col("shard"), col("bin"))
+    },
+
+    // AUDIO tier of the multimodal path: genuine RIFF/WAVE PCM containers
+    // ([[wavPayloads]]) parsed by a complete strict reader ([[WavReader]]
+    // — magics, format tag, layout, bounds), streaming each payload once
+    // for exact integer signal stats: peak amplitude, Σ|s|, and zero
+    // crossings (the silence/voicing heuristics an audio ingest filters
+    // on). The oracle recomputes every stat relationally from the hexed
+    // text bytes (hex-pair → byte → signed LE16 sample), so the real
+    // binary parse is checked end to end without an audio library. Mean
+    // |s| is the row's one float op. Same mapPartitions iterator shape as
+    // the image decode: payload bytes touched once per partition,
+    // metadata flows as columns.
+    QueryDef("m09_wav_stats",
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 4
+        |), by AS (
+        |  SELECT doc_id, n, list_transform(range(n), o ->
+        |    (strpos('0123456789ABCDEF',
+        |            substring(hx, 2 * CAST(o AS INT) + 1, 1)) - 1) * 16 +
+        |     strpos('0123456789ABCDEF',
+        |            substring(hx, 2 * CAST(o AS INT) + 2, 1)) - 1) AS b
+        |  FROM p
+        |), sm AS (
+        |  SELECT doc_id, CAST(n // 2 AS INT) AS k,
+        |         list_transform(range(n // 2), i ->
+        |           CASE WHEN b[2 * CAST(i AS INT) + 2] >= 128
+        |             THEN b[2 * CAST(i AS INT) + 1]
+        |                  + 256 * b[2 * CAST(i AS INT) + 2] - 65536
+        |             ELSE b[2 * CAST(i AS INT) + 1]
+        |                  + 256 * b[2 * CAST(i AS INT) + 2] END) AS sv
+        |  FROM by
+        |), st AS (
+        |  SELECT doc_id, k,
+        |         CAST(list_max(list_transform(sv, x -> abs(x))) AS BIGINT)
+        |           AS peak,
+        |         CAST(list_sum(list_transform(sv, x -> abs(x))) AS BIGINT)
+        |           AS sum_abs,
+        |         CAST(len(list_filter(range(k - 1), i ->
+        |           (sv[CAST(i AS INT) + 1] >= 0)
+        |             != (sv[CAST(i AS INT) + 2] >= 0))) AS INT) AS zc
+        |  FROM sm
+        |)
+        |SELECT doc_id, k AS n_samples, CAST(8000 AS INT) AS sample_rate,
+        |       peak, sum_abs, zc,
+        |       round(1e-9 + sum_abs * 1.0 / k, 6) AS mean_abs
+        |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_samples", IntegerType, nullable = false),
+        StructField("sample_rate", IntegerType, nullable = false),
+        StructField("peak", LongType, nullable = false),
+        StructField("sum_abs", LongType, nullable = false),
+        StructField("zc", IntegerType, nullable = false)))
+      val enc = RowEncoder.encoderFor(schema)
+      wavPayloads(s, d)
+        .mapPartitions { rows =>
+          rows.map { r =>
+            // positional access: rows from the payload mapPartitions are
+            // schema-less GenericRows (name lookup would throw)
+            val (sr, k, peak, sumAbs, zc) =
+              WavReader.stats(r.getAs[Array[Byte]](1))
+            Row(r.getLong(0), k, sr, peak, sumAbs, zc)
+          }
+        }(enc)
+        .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+          col("peak"), col("sum_abs"), col("zc"),
+          Num.roundOut(col("sum_abs") * 1.0 / col("n_samples"), 6)
+            .as("mean_abs"))
+        .orderBy(col("doc_id"))
     }
   )
 }
