@@ -917,6 +917,87 @@ object Corpus {
           coalesce(col("n_sel"), lit(0L)).as("n_sel"),
           coalesce(col("id_sum"), lit(0L)).as("id_sum"))
         .orderBy(col("source"), col("lang"))
+    },
+
+    // COUNT-MIN JOIN-SIZE ESTIMATION (Cormode & Muthukrishnan 2005 §4.2;
+    // the AMS-style sketch inner product every cost-based optimizer
+    // variant of this uses): |A ⋈ B| on a key = Σ_k cnt_A(k)·cnt_B(k),
+    // estimated as min_i Σ_cell cmA[i][cell]·cmB[i][cell] — each sketch
+    // row's inner product ≥ the true join size (collision mass only
+    // adds), so min is the tightest upper bound; the estimate NEVER
+    // undercounts (spec-pinned). Sketches reuse x54's d=4×w=64 layout
+    // and fold hash, so every counter is integer and both engines build
+    // bit-identical sketches; the one float op is the final over-factor.
+    //
+    // Scale: this is the point of the operator — each side compresses to
+    // ONE d·w-counter row in a single partial-agg pass (mergeable across
+    // any partitioning), and the "join" being sized never runs. At
+    // 100 TB the exact arm below (key-count join) is what the estimator
+    // replaces; it is computed here only because the testdata makes the
+    // ground truth affordable for the oracle.
+    QueryDef("x78_cm_join_estimate",
+      s"""WITH ko AS (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS cnt
+        |  FROM orders GROUP BY 1
+        |), kc AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS k, count(*) AS cnt
+        |  FROM customer GROUP BY 1
+        |), ho AS (
+        |  SELECT k, cnt, CAST(i AS INT) AS i,
+        |         CAST(${graft.functions.Sketches.foldHashSql("k", "i")}
+        |              % ${graft.functions.SketchAgg.CmsW} AS INT) AS cell
+        |  FROM ko CROSS JOIN
+        |    (SELECT unnest(range(${graft.functions.SketchAgg.CmsD})) AS i)
+        |), hc AS (
+        |  SELECT k, cnt, CAST(i AS INT) AS i,
+        |         CAST(${graft.functions.Sketches.foldHashSql("k", "i")}
+        |              % ${graft.functions.SketchAgg.CmsW} AS INT) AS cell
+        |  FROM kc CROSS JOIN
+        |    (SELECT unnest(range(${graft.functions.SketchAgg.CmsD})) AS i)
+        |), co AS (
+        |  SELECT i, cell, CAST(sum(cnt) AS BIGINT) AS v FROM ho GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT i, cell, CAST(sum(cnt) AS BIGINT) AS v FROM hc GROUP BY 1, 2
+        |), ip AS (
+        |  SELECT a.i, CAST(sum(a.v * b.v) AS BIGINT) AS est
+        |  FROM co a JOIN cc b ON a.i = b.i AND a.cell = b.cell GROUP BY 1
+        |), ex AS (
+        |  SELECT CAST(coalesce(sum(o.cnt * c.cnt), 0) AS BIGINT) AS exact_rows
+        |  FROM ko o JOIN kc c ON o.k = c.k
+        |)
+        |SELECT (SELECT CAST(sum(cnt) AS BIGINT) FROM ko) AS n_orders,
+        |       (SELECT CAST(sum(cnt) AS BIGINT) FROM kc) AS n_customers,
+        |       exact_rows,
+        |       (SELECT CAST(min(est) AS BIGINT) FROM ip) AS cm_est,
+        |       round(1e-9 + (SELECT min(est) FROM ip) * 1.0 / exact_rows, 4)
+        |         AS over_factor
+        |FROM ex""".stripMargin) { (s, d) =>
+      import graft.functions.SketchAgg
+      val D = SketchAgg.CmsD; val W = SketchAgg.CmsW
+      val ko = Tables.orders(s, d)
+        .select(col("o_custkey").cast("string").as("k"))
+      val kc = Tables.customer(s, d)
+        .select(col("c_custkey").cast("string").as("k"))
+      val cmO = ko.agg(SketchAgg.countMin(col("k")).as("cma"))
+      val cmC = kc.agg(SketchAgg.countMin(col("k")).as("cmb"))
+      def rowIp(i: Int) = aggregate(
+        zip_with(slice(col("cma"), i * W + 1, W), slice(col("cmb"), i * W + 1, W),
+          (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+      val est = cmO.crossJoin(cmC)
+        .select(least((0 until D).map(rowIp): _*).as("cm_est"))
+      val cntO = ko.groupBy(col("k")).agg(count(lit(1)).as("cnt_o"))
+      val cntC = kc.groupBy(col("k")).agg(count(lit(1)).as("cnt_c"))
+      val exact = cntO.join(cntC, "k")
+        .agg(coalesce(sum(col("cnt_o") * col("cnt_c")), lit(0L))
+          .as("exact_rows"))
+      val sizes = ko.agg(count(lit(1)).as("n_orders"))
+        .crossJoin(kc.agg(count(lit(1)).as("n_customers")))
+      sizes.crossJoin(broadcast(exact)).crossJoin(broadcast(est))
+        .select(col("n_orders"), col("n_customers"), col("exact_rows"),
+          col("cm_est"),
+          Num.roundOut(col("cm_est") * 1.0 / col("exact_rows"), 4)
+            .as("over_factor"))
     }
   )
 
