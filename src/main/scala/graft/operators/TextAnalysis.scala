@@ -1142,6 +1142,150 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // KMV SET-OPERATION SKETCHES (Beyer et al. SIGMOD'07; the theta-sketch
+    // core of Apache DataSketches): per event_type, keep the K=64 smallest
+    // deterministic-mixer hash values of the distinct users; for each type
+    // pair, merge to the union's bottom-64 and estimate |A∪B| = (K−1)·2³²
+    // / kth-min (exact count when the merged sketch holds everything) and
+    // |A∩B| = (matches/k̂)·|A∪B|̂, where matches counts union-sketch
+    // entries present in BOTH sides' sketches. Every sketch value is an
+    // integer both engines reproduce bit-for-bit (x64's mixer); the two
+    // estimate divisions are the only FP ops, and exact union/intersection
+    // ride along for calibration.
+    //
+    // Scale: each sketch is ≤64 (pri, user) rows per type — mergeable
+    // partial state like x64's bottom-k (whose salted two-level selection
+    // is the 100 TB path for this window too); pair merging touches only
+    // sketch rows (K per side), never the user sets; the exact arm is the
+    // oracle's calibration, not the serving path.
+    QueryDef("x79_kmv_set_ops",
+      """WITH du AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |), h0 AS (
+        |  SELECT event_type, user_id, user_id & 4294967295 AS a FROM du
+        |), h1 AS (
+        |  SELECT event_type, user_id,
+        |         (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h0
+        |), h2 AS (
+        |  SELECT event_type, user_id,
+        |         (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h1
+        |), pv AS (
+        |  SELECT event_type, user_id, xor(a >> 16, a) AS pri FROM h2
+        |), sk AS (
+        |  SELECT event_type, user_id, pri FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type
+        |                                 ORDER BY pri, user_id) AS rn
+        |    FROM pv) WHERE rn <= 64
+        |), ty AS (
+        |  SELECT DISTINCT event_type FROM du
+        |), pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM ty a JOIN ty b ON a.event_type < b.event_type
+        |), contrib AS (
+        |  SELECT p.ta, p.tb, s.user_id, s.pri, 1 AS fa, 0 AS fb
+        |  FROM pairs p JOIN sk s ON s.event_type = p.ta
+        |  UNION ALL
+        |  SELECT p.ta, p.tb, s.user_id, s.pri, 0, 1
+        |  FROM pairs p JOIN sk s ON s.event_type = p.tb
+        |), merged AS (
+        |  SELECT ta, tb, user_id, pri, max(fa) AS fa, max(fb) AS fb
+        |  FROM contrib GROUP BY 1, 2, 3, 4
+        |), msk AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY ta, tb
+        |                                 ORDER BY pri, user_id) AS rn
+        |    FROM merged) WHERE rn <= 64
+        |), stats AS (
+        |  SELECT ta, tb, CAST(count(*) AS BIGINT) AS ku,
+        |         CAST(max(pri) AS BIGINT) AS kth,
+        |         CAST(sum(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS matches
+        |  FROM msk GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT event_type, count(*) AS n FROM du GROUP BY 1
+        |), inter AS (
+        |  SELECT p.ta, p.tb, CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM pairs p
+        |  JOIN du a ON a.event_type = p.ta
+        |  JOIN du b ON b.event_type = p.tb AND b.user_id = a.user_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.ta AS type_a, s.tb AS type_b,
+        |       CAST(za.n + zb.n - coalesce(i.exact_inter, 0) AS BIGINT)
+        |         AS exact_union,
+        |       CAST(coalesce(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+        |       s.ku, s.kth, s.matches,
+        |       round(1e-9 + CASE WHEN s.ku < 64 THEN s.ku * 1.0
+        |             ELSE 63.0 * 4294967296 / s.kth END, 4) AS est_union,
+        |       round(1e-9 + s.matches * (CASE WHEN s.ku < 64 THEN s.ku * 1.0
+        |             ELSE 63.0 * 4294967296 / s.kth END) / s.ku, 4)
+        |         AS est_inter
+        |FROM stats s
+        |JOIN sz za ON za.event_type = s.ta
+        |JOIN sz zb ON zb.event_type = s.tb
+        |LEFT JOIN inter i ON i.ta = s.ta AND i.tb = s.tb
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val K = 64
+      val du = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .localCheckpoint()
+      val pv = du
+        .withColumn("a", expr("user_id & 4294967295"))
+        .withColumn("a", expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+        .withColumn("a", expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+        .withColumn("pri", expr("shiftright(a, 16) ^ a"))
+        .drop("a")
+      val sk = pv.withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("pri"), col("user_id"))))
+        .filter(col("rn") <= K)
+        .select(col("event_type"), col("user_id"), col("pri"))
+      val ty = du.select(col("event_type")).distinct()
+      val pairs = ty.as("a").join(ty.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      val contrib = pairs
+        .join(sk.select(col("event_type").as("ta"), col("user_id"), col("pri")), "ta")
+        .select(col("ta"), col("tb"), col("user_id"), col("pri"),
+          lit(1).as("fa"), lit(0).as("fb"))
+        .unionByName(pairs
+          .join(sk.select(col("event_type").as("tb"), col("user_id"), col("pri")), "tb")
+          .select(col("ta"), col("tb"), col("user_id"), col("pri"),
+            lit(0).as("fa"), lit(1).as("fb")))
+      val merged = contrib
+        .groupBy(col("ta"), col("tb"), col("user_id"), col("pri"))
+        .agg(max(col("fa")).as("fa"), max(col("fb")).as("fb"))
+      val msk = merged.withColumn("rn", row_number().over(
+          Window.partitionBy(col("ta"), col("tb"))
+            .orderBy(col("pri"), col("user_id"))))
+        .filter(col("rn") <= K)
+      val stats = msk.groupBy(col("ta"), col("tb")).agg(
+        count(lit(1)).as("ku"),
+        max(col("pri")).as("kth"),
+        sum(when(col("fa") === 1 && col("fb") === 1, 1).otherwise(0))
+          .as("matches"))
+      val sz = du.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val inter = pairs
+        .join(du.select(col("event_type").as("ta"), col("user_id")), "ta")
+        .join(du.select(col("event_type").as("tb"), col("user_id")),
+          Seq("tb", "user_id"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("exact_inter"))
+      val estU = when(col("ku") < K, col("ku") * 1.0)
+        .otherwise(lit(63.0) * 4294967296L / col("kth"))
+      stats
+        .join(broadcast(sz.select(col("event_type").as("ta"), col("n").as("na"))), "ta")
+        .join(broadcast(sz.select(col("event_type").as("tb"), col("n").as("nb"))), "tb")
+        .join(inter, Seq("ta", "tb"), "left")
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          (col("na") + col("nb") - coalesce(col("exact_inter"), lit(0L)))
+            .as("exact_union"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+          col("ku"), col("kth"), col("matches"),
+          Num.roundOut(estU, 4).as("est_union"),
+          Num.roundOut(col("matches") * estU / col("ku"), 4).as("est_inter"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
     // GOOD–TURING FREQUENCY SMOOTHING (Gale & Sampson 1995) — the classic
     // LM count-adjustment step, over word BIGRAMS (the paper's setting,
     // and the event space rare enough to have real singleton mass): from
