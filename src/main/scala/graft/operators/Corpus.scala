@@ -998,6 +998,126 @@ object Corpus {
           col("cm_est"),
           Num.roundOut(col("cm_est") * 1.0 / col("exact_rows"), 4)
             .as("over_factor"))
+    },
+
+    // TEMPERATURE-WEIGHTED SOURCE MIXING (the multinomial α-sampling every
+    // multi-source LLM corpus uses; α = 1/2 here): each source's sampling
+    // weight ∝ its token count to the α, i.e. √tokens — upweighting small
+    // high-quality sources, damping the web crawl. The √ is taken ONCE per
+    // source on a 10⁶-scaled integer (floor(√(tokens·10⁶)) — IEEE sqrt is
+    // correctly rounded, so the integer weight is bit-identical
+    // cross-engine), and the B=1000-doc budget is then allocated by x77's
+    // integer-exact Hamilton largest-remainder — no FP anywhere in the
+    // allocation itself. `epochs` (quota/docs) > 1 flags the sources the
+    // mixture would repeat — the number a training-data curator actually
+    // reads off this table.
+    //
+    // Scale: per-source token counts are one partial-agg pass over the
+    // corpus (the per-row token count is column math, no explode); the
+    // allocation table is sources-sized — broadcast territory forever.
+    QueryDef("x81_temperature_mix",
+      """WITH sz AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(list_filter(string_split(text, ' '),
+        |                  w -> len(w) > 0))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT source, n_docs, n_tok,
+        |         CAST(floor(sqrt(n_tok * 1000000.0)) AS BIGINT) AS wt
+        |  FROM sz
+        |), tw AS (
+        |  SELECT CAST(sum(wt) AS BIGINT) AS tot FROM w
+        |), q AS (
+        |  SELECT source, n_docs, n_tok, wt,
+        |         CAST((1000 * wt) // tot AS BIGINT) AS q0,
+        |         CAST((1000 * wt) % tot AS BIGINT) AS rem,
+        |         CAST((1000000 * wt) // tot AS BIGINT) AS weight_ppm
+        |  FROM w, tw
+        |), lft AS (
+        |  SELECT CAST(1000 - sum(q0) AS BIGINT) AS l FROM q
+        |), qq AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr
+        |  FROM q
+        |)
+        |SELECT source, n_docs, n_tok AS n_tokens, weight_ppm,
+        |       q0 + CASE WHEN rr <= l THEN 1 ELSE 0 END AS quota,
+        |       round(1e-9 + (q0 + CASE WHEN rr <= l THEN 1 ELSE 0 END) * 1.0
+        |             / n_docs, 4) AS epochs
+        |FROM qq, lft ORDER BY source""".stripMargin) { (s, d) =>
+      val B = 1000
+      val sz = Tables.documents(s, d)
+        .select(col("source"),
+          size(filter(Text.tokens(col("text")), w => length(w) > 0))
+            .cast("long").as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tok"))
+      val w = sz.withColumn("wt",
+        floor(sqrt(col("n_tok") * lit(1000000.0))).cast("long"))
+      val tw = w.agg(sum(col("wt")).as("tot"))
+      val q = w.crossJoin(broadcast(tw))
+        .withColumn("q0", expr(s"($B * wt) div tot"))
+        .withColumn("rem", expr(s"($B * wt) % tot"))
+        .withColumn("weight_ppm", expr("(1000000 * wt) div tot"))
+      val lft = q.agg((lit(B) - sum(col("q0"))).as("l"))
+      val quota = q
+        .withColumn("rr", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .crossJoin(broadcast(lft))
+        .withColumn("quota",
+          col("q0") + when(col("rr") <= col("l"), 1L).otherwise(0L))
+      quota.select(col("source"), col("n_docs"), col("n_tok").as("n_tokens"),
+          col("weight_ppm"), col("quota"),
+          Num.roundOut(col("quota") * 1.0 / col("n_docs"), 4).as("epochs"))
+        .orderBy(col("source"))
+    },
+
+    // LENGTH-CURRICULUM BUCKETING — the padding-waste audit behind bucketed
+    // batching (group sequences into power-of-two length buckets so a batch
+    // pads to its bucket cap, not the global max): per-doc token counts map
+    // to the smallest 2^k ≥ n (floor cap 8), and each bucket reports its
+    // doc count, real tokens, pad tokens, and waste% — the table that
+    // decides whether a trainer needs sequence packing (x18) or can batch
+    // by bucket. next-pow-2 comes from the shared [[TextAnalysis.pow2Table]]
+    // greatest-lower-bound join (pure integers; no FP until the one
+    // waste-percentage division, same-order on both engines).
+    //
+    // Scale: the per-doc token count is column math on the documents scan
+    // (no explode); the bucket map is a 63-row broadcast; the final state
+    // is one row per occupied bucket — O(log max_len) forever.
+    QueryDef("x82_length_curriculum",
+      s"""WITH dn AS (
+        |  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
+        |                  w -> len(w) > 0)) AS BIGINT) AS n
+        |  FROM documents
+        |), p2(k, v) AS (
+        |  VALUES ${TextAnalysis.pow2ValuesSql}
+        |), cap AS (
+        |  SELECT doc_id, n, greatest(CAST(min(v) AS BIGINT), 8) AS cap
+        |  FROM dn JOIN p2 ON p2.v >= dn.n GROUP BY doc_id, n
+        |)
+        |SELECT cap, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(cap - n) AS BIGINT) AS padding,
+        |       round(1e-9 + sum(cap - n) * 100.0 / (count(*) * cap), 4)
+        |         AS waste_pct
+        |FROM cap GROUP BY cap ORDER BY cap""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dn = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(Text.tokens(col("text")), w => length(w) > 0))
+            .cast("long").as("n"))
+      val p2 = broadcast(TextAnalysis.pow2Table.toDF("k", "v"))
+      val cap = dn.join(p2, col("v") >= col("n"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(greatest(min(col("v")), lit(8L)).as("cap"))
+      cap.groupBy(col("cap"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("sum_tokens"),
+          sum(col("cap") - col("n")).as("padding"))
+        .select(col("cap"), col("n_docs"), col("sum_tokens"), col("padding"),
+          Num.roundOut(col("padding") * 100.0 / (col("n_docs") * col("cap")), 4)
+            .as("waste_pct"))
+        .orderBy(col("cap"))
     }
   )
 

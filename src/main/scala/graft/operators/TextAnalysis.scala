@@ -1339,6 +1339,122 @@ object TextAnalysis {
           Num.roundOut((col("c") + 1) * col("n_next") * 1000000.0
             / (col("n_c") * col("t")), 6).as("p_gt_ppm"))
         .orderBy(col("c")).limit(40)
+    },
+
+    // ZIPF RANK-FREQUENCY SLOPE per source — the standard corpus-health
+    // diagnostic (natural text sits near slope −1; templated/boilerplate
+    // sources flatten, spam steepens): OLS of ln(count) on ln(rank) over
+    // each source's top-32 words. The log lives in integer space via
+    // [[ln6Table]]'s mantissa decomposition (x69's fixed-point ln
+    // GENERALIZED to unbounded counts: n = m·2^s, ln6(n) = table(m) +
+    // s·ln2), so every OLS moment is an exact long sum — order-independent
+    // across partitions — and the slope/intercept/r² divisions at the end
+    // are the only FP ops, written in the identical order on both engines.
+    //
+    // Scale: per-(doc, word) partial agg → one doc_id-keyed enrich join
+    // with the doc→source map → per-(source, word) agg; the top-32 window
+    // sorts vocabulary only within source; floor-log2 and both ln lookups
+    // are ≤128-row broadcasts; the OLS state is 6 longs per source. No
+    // corpus-sized state survives the second aggregate.
+    QueryDef("x80_zipf_slope",
+      s"""WITH ds AS (
+        |  SELECT doc_id, source FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |                 w -> len(w) > 0)) AS word
+        |  FROM documents
+        |), pd AS (
+        |  SELECT doc_id, word, count(*) AS cd FROM tok GROUP BY 1, 2
+        |), cnt AS (
+        |  SELECT ds.source, pd.word, CAST(sum(cd) AS BIGINT) AS c
+        |  FROM pd JOIN ds ON pd.doc_id = ds.doc_id GROUP BY 1, 2
+        |), top AS (
+        |  SELECT * FROM (
+        |    SELECT source, word, c,
+        |           row_number() OVER (PARTITION BY source
+        |                              ORDER BY c DESC, word) AS rn
+        |    FROM cnt) WHERE rn <= 32
+        |), p2(k, v) AS (
+        |  VALUES $pow2ValuesSql
+        |), fl AS (
+        |  SELECT source, word, rn, c, max(k) AS kk
+        |  FROM top JOIN p2 ON p2.v <= top.c GROUP BY 1, 2, 3, 4
+        |), lnt(lk, lq) AS (
+        |  VALUES $ln6ValuesSql
+        |), yv AS (
+        |  SELECT source, rn,
+        |         CAST(lq AS BIGINT) + greatest(kk - 6, 0) * $Ln2Fp6 AS y
+        |  FROM (SELECT source, rn, kk, c >> greatest(kk - 6, 0) AS m FROM fl) f
+        |  JOIN lnt ON lnt.lk = f.m
+        |), xy AS (
+        |  SELECT source, CAST(l2.lq AS BIGINT) AS x, y
+        |  FROM yv JOIN lnt l2 ON l2.lk = yv.rn
+        |), ols AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS r,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM xy GROUP BY 1
+        |), fin AS (
+        |  SELECT source, r, sx, sy,
+        |         r * sxy - sx * sy AS num,
+        |         r * sxx - sx * sx AS den,
+        |         r * syy - sy * sy AS dyy
+        |  FROM ols
+        |)
+        |SELECT source, CAST(r AS INT) AS n_top,
+        |       round(1e-9 + num * 1.0 / den, 6) AS slope,
+        |       round(1e-9 + (sy * 1.0 / r - (num * 1.0 / den) * (sx * 1.0 / r))
+        |             / 1000000.0, 6) AS intercept_nats,
+        |       round(1e-9 + (num * 1.0 * num) / ((den * 1.0) * dyy), 6) AS r2
+        |FROM fin ORDER BY source""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ds = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val pd = Tokens.table(s, d)
+        .filter(length(col("word")) > 0)
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("cd"))
+      val cnt = pd.join(ds, "doc_id")
+        .groupBy(col("source"), col("word"))
+        .agg(sum(col("cd")).as("c"))
+      val top = cnt.withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("c").desc, col("word"))))
+        .filter(col("rn") <= 32)
+      val p2 = broadcast(pow2Table.toDF("k", "v"))
+      val fl = top.join(p2, col("v") <= col("c"))
+        .groupBy(col("source"), col("word"), col("rn"), col("c"))
+        .agg(max(col("k")).as("kk"))
+      val lnt = broadcast(ln6Table.toDF("lk", "lq"))
+      // m = c >> max(kk−6, 0) lands in [64, 127] for c ≥ 128 and equals c
+      // below — always inside the 128-entry table, so the inner join is
+      // total by construction (unlike x69's data-dependent counts).
+      val yv = fl
+        .withColumn("sh", greatest(col("kk") - 6, lit(0)))
+        .withColumn("m", expr("shiftright(c, sh)"))
+        .join(lnt, col("lk") === col("m"))
+        .select(col("source"), col("rn"),
+          (col("lq") + col("sh") * lit(Ln2Fp6)).as("y"))
+      val xy = yv.join(lnt.select(col("lk").as("rk"), col("lq").as("x")),
+        col("rk") === col("rn"))
+      val fin = xy.groupBy(col("source")).agg(
+          count(lit(1)).as("r"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("num", col("r") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", col("r") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dyy", col("r") * col("syy") - col("sy") * col("sy"))
+      fin.select(col("source"), col("r").cast("int").as("n_top"),
+          Num.roundOut(col("num") * 1.0 / col("den"), 6).as("slope"),
+          Num.roundOut((col("sy") * 1.0 / col("r")
+            - (col("num") * 1.0 / col("den")) * (col("sx") * 1.0 / col("r")))
+            / 1000000.0, 6).as("intercept_nats"),
+          Num.roundOut((col("num") * 1.0 * col("num"))
+            / ((col("den") * 1.0) * col("dyy")), 6).as("r2"))
+        .orderBy(col("source"))
     }
   )
 
@@ -1368,6 +1484,38 @@ object TextAnalysis {
 
   private[operators] def lnqValuesSql: String =
     lnqTable.map { case (k, q) => s"($k, $q)" }.mkString(", ")
+
+  /** x69's table generalized to UNBOUNDED counts (x80): ln at 10⁶ scale via
+    * the mantissa decomposition n = m·2^s with m = n >> s held in [64, 127]
+    * (s = floor(log2 n) − 6, clamped at 0), so
+    * ln6(n) := ln6Table(m) + s·[[Ln2Fp6]]. floor(log2) comes from a
+    * 63-row powers-of-two broadcast (greatest-lower-bound join), the shift
+    * and table lookup are pure integer ops — both engines compute the
+    * IDENTICAL piecewise-log (truncating the mantissa to 7 bits costs
+    * < 1/128 relative knot error, irrelevant to a regression slope and
+    * bit-identical cross-engine, which is what the hash compare needs).
+    * The 10⁶ scale (not x69's 10¹²) keeps 32-point OLS second moments
+    * inside a long: values ≤ 4.4e7 (n ≤ 2⁶²), squares ≤ 2e15, R·Σy² ≤ 2e18. */
+  private[operators] lazy val ln6Table: Seq[(Long, Long)] =
+    (1 to 128).map(k => k.toLong -> math.round(math.log(k.toDouble) * 1e6))
+
+  private[operators] def ln6ValuesSql: String =
+    ln6Table.map { case (k, q) => s"($k, $q)" }.mkString(", ")
+
+  /** round(ln(2)·10⁶) — the per-octave step of the piecewise ln6.
+    * `final val` with a literal body so it CONSTANT-FOLDS at use sites:
+    * `entries` (a strict val declared earlier in this object) interpolates
+    * it into oracle SQL during object init, before a plain field's
+    * initializer would have run — a plain `val` here reads as 0 there. */
+  private[operators] final val Ln2Fp6 = 693147L
+
+  /** 2^0 .. 2^62 for floor-log2 by greatest-lower-bound join (shared by
+    * x80's mantissa ln and x82's next-power-of-two bucket caps). */
+  private[operators] lazy val pow2Table: Seq[(Int, Long)] =
+    (0 to 62).map(k => k -> (1L << k))
+
+  private[operators] def pow2ValuesSql: String =
+    pow2Table.map { case (k, v) => s"($k, ${v}::BIGINT)" }.mkString(", ")
 
   /** Salted two-level bottom-k by (pri, event_id) priority within
     * event_type — never sorts a whole group on one reducer; provably
