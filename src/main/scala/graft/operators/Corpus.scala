@@ -20,6 +20,20 @@ import graft.functions.Text
   */
 object Corpus {
 
+  /** x42's relational heavy-hitter answer — shared VERBATIM with st11's
+    * streaming form (the st10↔x39 move applied to frequency sketching):
+    * one final answer definition, so the batch and streaming paths can't
+    * drift apart. */
+  private[graft] val x42OracleSql: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      |), t AS (SELECT count(*) AS n FROM w)
+      |SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      |FROM w, t
+      |GROUP BY word, t.n
+      |HAVING count(*) * 40 > t.n
+      |ORDER BY cnt DESC, word""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
 
     // Sliding-window document CHUNKING (the RAG / context-window prep
@@ -539,15 +553,7 @@ object Corpus {
     // whole vocabulary (10^8+ keys on a web corpus). Pass 2 semi-joins on
     // a broadcast candidate list, so only <=k distinct keys reach the
     // exact count's exchange (map-side partials make it k rows per task).
-    QueryDef("x42_heavy_hitters",
-      """WITH w AS (
-        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
-        |), t AS (SELECT count(*) AS n FROM w)
-        |SELECT word, CAST(count(*) AS BIGINT) AS cnt
-        |FROM w, t
-        |GROUP BY word, t.n
-        |HAVING count(*) * 40 > t.n
-        |ORDER BY cnt DESC, word""".stripMargin) { (s, d) =>
+    QueryDef("x42_heavy_hitters", Corpus.x42OracleSql) { (s, d) =>
       val words = Tables.documents(s, d)
         .select(explode(Text.tokens(col("text"))).as("word"))
       val summary = words.agg(

@@ -416,6 +416,36 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("st11: streaming Misra-Gries report equals batch x42 row-for-row") {
+    val batch = run("x42_heavy_hitters").collect().toSeq
+    val stream = run("st11_stream_heavyhitter").collect().toSeq
+    assert(batch.nonEmpty, "fixture produces heavy hitters")
+    assert(stream == batch,
+      "the streaming estimate-then-verify must reproduce the batch answer")
+  }
+
+  test("st11: the MG merge step is bounded and never loses a true heavy hitter") {
+    import spark.implicits._
+    // crafted counters with vocabulary ≫ k so the decrement path actually
+    // runs (the fixture never overflows k=256): 3 heavy words + 40 noise
+    val heavy = Seq(("alpha", 500L), ("beta", 300L), ("gamma", 120L))
+    val noise = (1 to 40).map(i => (f"w$i%02d", 10L))
+    val counts = (heavy ++ noise).toDF("word", "cnt")
+    val n = (heavy ++ noise).map(_._2).sum
+    val k = 4
+    val out = graft.streaming.Streams.mgReduce(counts, k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size <= k, s"merge kept ${out.size} > k=$k entries")
+    val trueCounts = (heavy ++ noise).toMap
+    out.foreach { case (w, c) =>
+      assert(c <= trueCounts(w), s"$w over-estimated: $c > ${trueCounts(w)}")
+    }
+    // the mergeable-summaries guarantee: true count > n/k ⇒ survives
+    trueCounts.filter(_._2 > n / k).keys.foreach { w =>
+      assert(out.contains(w), s"heavy word $w lost by the merge (n=$n, k=$k)")
+    }
+  }
+
   test("x82: buckets are powers of two ≥ 8 and partition the corpus exactly") {
     val rows = run("x82_length_curriculum").collect()
     val total = Tables.documents(spark, sf0_001).count()
