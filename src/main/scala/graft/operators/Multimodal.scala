@@ -210,8 +210,9 @@ object Multimodal {
     * integers both engines reproduce bit-for-bit). Malformed payloads
     * fail loudly (m06's quarantine pattern is the triage path). */
   object WavReader extends Serializable {
-    /** @return (sampleRate, nSamples, peak, sumAbs, zeroCrossings) */
-    def stats(p: Array[Byte]): (Int, Int, Long, Long, Int) = {
+    /** Validate the container and return (sampleRate, nSamples) — the
+      * strict layout check shared by [[stats]] and [[frameEnergies]]. */
+    def layout(p: Array[Byte]): (Int, Int) = {
       def fail(m: String): Nothing =
         throw new IllegalArgumentException(s"not a PCM WAV: $m")
       def ascii(off: Int, s: String): Boolean =
@@ -231,12 +232,22 @@ object Multimodal {
       if (!ascii(36, "data")) fail("data chunk not at canonical offset")
       val dataLen = le32(40)
       if (44 + dataLen > p.length) fail(s"truncated data chunk: $dataLen")
-      val k = dataLen / 2
+      (sr, dataLen / 2)
+    }
+
+    /** The i-th signed LE16 sample of a validated payload. */
+    @inline private def sample(p: Array[Byte], i: Int): Int = {
+      val raw = (p(44 + 2 * i) & 0xff) | ((p(44 + 2 * i + 1) & 0xff) << 8)
+      if (raw >= 32768) raw - 65536 else raw
+    }
+
+    /** @return (sampleRate, nSamples, peak, sumAbs, zeroCrossings) */
+    def stats(p: Array[Byte]): (Int, Int, Long, Long, Int) = {
+      val (sr, k) = layout(p)
       var i = 0; var peak = 0L; var sumAbs = 0L; var zc = 0
       var prevNonNeg = true
       while (i < k) {
-        val raw = le16(44 + 2 * i)
-        val s = if (raw >= 32768) raw - 65536 else raw
+        val s = sample(p, i)
         val a = math.abs(s.toLong)
         if (a > peak) peak = a
         sumAbs += a
@@ -246,6 +257,27 @@ object Multimodal {
         i += 1
       }
       (sr, k, peak, sumAbs, zc)
+    }
+
+    /** Per-frame Σ|s| over non-overlapping `flen`-sample frames (FULL
+      * frames only — the tail is dropped on both engines): the energy
+      * contour a voice-activity detector thresholds. One streamed pass,
+      * same strict validation as [[stats]]. */
+    def frameEnergies(p: Array[Byte], flen: Int): Array[Long] = {
+      val (_, k) = layout(p)
+      val nf = k / flen
+      val out = new Array[Long](nf)
+      var f = 0
+      while (f < nf) {
+        var i = 0; var acc = 0L
+        while (i < flen) {
+          acc += math.abs(sample(p, f * flen + i).toLong)
+          i += 1
+        }
+        out(f) = acc
+        f += 1
+      }
+      out
     }
   }
 
@@ -643,6 +675,87 @@ object Multimodal {
           col("peak"), col("sum_abs"), col("zc"),
           Num.roundOut(col("sum_abs") * 1.0 / col("n_samples"), 6)
             .as("mean_abs"))
+        .orderBy(col("doc_id"))
+    },
+
+    // FRAME-LEVEL energy contour over the same PCM containers — the
+    // voice-activity-detection shape (threshold the per-frame Σ|s|, find
+    // the loudest frame): non-overlapping 64-sample frames (full frames
+    // only, tail dropped identically on both engines), per doc the frame
+    // count, the FIRST loudest frame and its energy, and the count/ratio
+    // of "voiced" frames (Σ|s| ≥ 8192 ⇔ mean |s| ≥ 128). The Spark side
+    // reads the energies out of the REAL container via [[WavReader
+    // .frameEnergies]] (strict validation + one streamed pass); the
+    // oracle recomputes the identical contour relationally from hexed
+    // text bytes — so the binary frame addressing is checked end to end.
+    // All stats are exact integers; the ratio is the row's one float op.
+    //
+    // Scale: one payload pass per row inside the same iterator-streamed
+    // mapPartitions as the decode tier; the contour never leaves the JVM
+    // as an array — only O(1) per-doc columns flow on. A real VAD swaps
+    // its frame predicate in behind the same contour.
+    QueryDef("m10_frame_energy",
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 4
+        |), by AS (
+        |  SELECT doc_id, n, list_transform(range(n), o ->
+        |    (strpos('0123456789ABCDEF',
+        |            substring(hx, 2 * CAST(o AS INT) + 1, 1)) - 1) * 16 +
+        |     strpos('0123456789ABCDEF',
+        |            substring(hx, 2 * CAST(o AS INT) + 2, 1)) - 1) AS b
+        |  FROM p
+        |), sm AS (
+        |  SELECT doc_id, CAST(n // 2 AS INT) AS k,
+        |         list_transform(range(n // 2), i ->
+        |           CASE WHEN b[2 * CAST(i AS INT) + 2] >= 128
+        |             THEN b[2 * CAST(i AS INT) + 1]
+        |                  + 256 * b[2 * CAST(i AS INT) + 2] - 65536
+        |             ELSE b[2 * CAST(i AS INT) + 1]
+        |                  + 256 * b[2 * CAST(i AS INT) + 2] END) AS sv
+        |  FROM by
+        |), fe AS (
+        |  SELECT doc_id, CAST(k // 64 AS INT) AS nf,
+        |         list_transform(range(k // 64), f ->
+        |           CAST(list_sum(list_transform(range(64), i ->
+        |             abs(sv[64 * CAST(f AS INT) + CAST(i AS INT) + 1])))
+        |           AS BIGINT)) AS fe
+        |  FROM sm WHERE k >= 64
+        |)
+        |SELECT doc_id, nf AS n_frames,
+        |       CAST(list_position(fe, list_max(fe)) AS INT) AS peak_frame,
+        |       CAST(list_max(fe) AS BIGINT) AS peak_energy,
+        |       CAST(len(list_filter(fe, e -> e >= 8192)) AS INT) AS n_voiced,
+        |       round(1e-9 + len(list_filter(fe, e -> e >= 8192)) * 1.0 / nf, 4)
+        |         AS voiced_ratio
+        |FROM fe ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_frames", IntegerType, nullable = false),
+        StructField("peak_frame", IntegerType, nullable = false),
+        StructField("peak_energy", LongType, nullable = false),
+        StructField("n_voiced", IntegerType, nullable = false)))
+      val enc = RowEncoder.encoderFor(schema)
+      wavPayloads(s, d)
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            val fe = WavReader.frameEnergies(r.getAs[Array[Byte]](1), 64)
+            if (fe.isEmpty) None
+            else {
+              var pk = 0
+              var i = 1
+              while (i < fe.length) { if (fe(i) > fe(pk)) pk = i; i += 1 }
+              Some(Row(r.getLong(0), fe.length, pk + 1, fe(pk),
+                fe.count(_ >= 8192L)))
+            }
+          }
+        }(enc)
+        .select(col("doc_id"), col("n_frames"), col("peak_frame"),
+          col("peak_energy"), col("n_voiced"),
+          Num.roundOut(col("n_voiced") * 1.0 / col("n_frames"), 4)
+            .as("voiced_ratio"))
         .orderBy(col("doc_id"))
     }
   )

@@ -446,6 +446,30 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("m10: frameEnergies reads the real container — known samples, tail dropped") {
+    // hand-built canonical WAV with 5 samples: frames of 2 → 2 full
+    // frames, sample 5 dropped
+    val samples = Seq[Short](100, -200, 3, 4, 30000)
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    val fe = Multimodal.WavReader.frameEnergies(bb.array(), 2)
+    assert(fe.toSeq == Seq(300L, 7L), s"energies ${fe.toSeq}")
+    // consistency with the whole-payload stats: full frames can never
+    // carry more than the total |s| mass
+    val (_, _, _, sumAbs, _) = Multimodal.WavReader.stats(bb.array())
+    assert(fe.sum <= sumAbs && sumAbs == 30307L)
+    intercept[IllegalArgumentException](
+      Multimodal.WavReader.frameEnergies("nope".getBytes, 2))
+  }
+
   test("x82: buckets are powers of two ≥ 8 and partition the corpus exactly") {
     val rows = run("x82_length_curriculum").collect()
     val total = Tables.documents(spark, sf0_001).count()
