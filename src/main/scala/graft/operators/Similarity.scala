@@ -245,6 +245,152 @@ object Similarity {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // IVF RECALL-vs-NPROBE SWEEP — the serving-quality tuning table every
+    // IVF deployment reads before picking its probe budget: for nprobe ∈
+    // {1, 2, 4}, each query's top-5 from the probed lists is compared
+    // against the EXACT brute-force top-5 (x05's oracle-checked ranking,
+    // recomputed in-query), reporting candidates examined and recall@5.
+    // Assignments rank on ROUNDED sims (x05's rule) so the probe sets are
+    // bit-identical cross-engine; recall is pure set arithmetic after
+    // that. The monotone recall/cost trade (more probes ⇒ ⊇ candidates ⇒
+    // ≥ recall) is spec-pinned.
+    //
+    // Scale: the rk≤4 assignment table persists partitionBy(cent_id)
+    // (the inverted-file layout — probe joins prune to the probed lists'
+    // directories); per query the work is |probed lists| × their sizes
+    // for EACH nprobe tier, and the exact arm is the oracle's calibration
+    // — at 100 TB the sweep runs on a sampled query set, never the corpus.
+    QueryDef("x83_ivf_nprobe_sweep",
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), c AS (
+        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+        |  WHERE vec_id % 50 = 0
+        |), a AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> n.v[i+1] * c.cv[i+1])) / n.nrm / c.cn, 6) AS sim
+        |  FROM n, c
+        |), r AS (
+        |  SELECT vec_id, cent_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rk
+        |  FROM a
+        |), corpus AS (
+        |  SELECT vec_id, cent_id FROM r WHERE rk = 1
+        |), np(np) AS (VALUES (1), (2), (4)),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS query_id, np.np, co.vec_id AS cand_id
+        |  FROM r p CROSS JOIN np
+        |  JOIN corpus co ON p.cent_id = co.cent_id
+        |  WHERE p.vec_id < 10 AND p.rk <= np.np AND co.vec_id <> p.vec_id
+        |), asims AS (
+        |  SELECT cand.query_id, cand.np, cand.cand_id,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> q.v[i+1] * x.v[i+1])) / q.nrm / x.nrm, 6) AS cos_sim
+        |  FROM cand JOIN n q ON q.vec_id = cand.query_id
+        |            JOIN n x ON x.vec_id = cand.cand_id
+        |), approx5 AS (
+        |  SELECT query_id, np, cand_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id, np
+        |              ORDER BY cos_sim DESC, cand_id) AS rnk
+        |    FROM asims) WHERE rnk <= 5
+        |), esims AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> q.v[i+1] * x.v[i+1])) / q.nrm / x.nrm, 6) AS cos_sim
+        |  FROM n q JOIN n x ON x.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10
+        |), exact5 AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos_sim DESC, cand_id) AS rnk
+        |    FROM esims) WHERE rnk <= 5
+        |), nc AS (
+        |  SELECT query_id, np, CAST(count(*) AS BIGINT) AS n_cand
+        |  FROM cand GROUP BY 1, 2
+        |), hits AS (
+        |  SELECT a.query_id, a.np, CAST(count(e.cand_id) AS INT) AS n_hit
+        |  FROM approx5 a LEFT JOIN exact5 e
+        |    ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT nc.query_id, CAST(nc.np AS INT) AS nprobe, nc.n_cand,
+        |       hits.n_hit,
+        |       round(1e-9 + hits.n_hit / 5.0, 4) AS recall5
+        |FROM nc JOIN hits ON hits.query_id = nc.query_id AND hits.np = nc.np
+        |ORDER BY nc.query_id, nprobe""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // rk≤4 assignment artifact, inverted-file layout (x14's builder at
+      // a deeper probe budget — a separate table so x14's rk≤2 index
+      // stays byte-stable)
+      val assigned4 = DerivedTable(s, d, "embeddings", "ivf4",
+          Seq("cent_id"), builderVersion = 2) {
+        val n = withNorm(Tables.embeddings(s, d))
+        val cents = n.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+            col("nrm").as("cn"))
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cent_id"))
+        n.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+            Num.roundOut(dot(col("v"), col("cv")) / col("nrm") / col("cn"), 6)
+              .as("sim"))
+          .withColumn("rk", row_number().over(wAssign))
+          .filter(col("rk") <= 4)
+          .select(col("vec_id"), col("v"), col("nrm"), col("rk"), col("cent_id"))
+      }
+      val corpus = assigned4.filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+      val nps = broadcast(Seq(1, 2, 4).toDF("np"))
+      val probes = assigned4.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("rk"), col("cent_id"))
+        .crossJoin(nps).filter(col("rk") <= col("np"))
+      val cand = corpus.join(broadcast(probes), Seq("cent_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("np"), col("vec_id").as("cand_id"))
+        .distinct()
+      val n = withNorm(Tables.embeddings(s, d)).localCheckpoint()
+      val q = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val x = n.select(col("vec_id").as("cand_id"), col("v").as("xv"),
+        col("nrm").as("xn"))
+      val asims = cand.join(broadcast(q), "query_id").join(x, "cand_id")
+        .select(col("query_id"), col("np"), col("cand_id"),
+          Num.roundOut(cosine(col("qv"), col("qn"), col("xv"), col("xn")), 6)
+            .as("cos_sim"))
+      val wa = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"), col("np"))
+        .orderBy(col("cos_sim").desc, col("cand_id"))
+      val approx5 = asims.withColumn("rnk", row_number().over(wa))
+        .filter(col("rnk") <= 5).select(col("query_id"), col("np"), col("cand_id"))
+      val esims = x.join(broadcast(q), col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          Num.roundOut(cosine(col("qv"), col("qn"), col("xv"), col("xn")), 6)
+            .as("cos_sim"))
+      val we = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
+      val exact5 = esims.withColumn("rnk", row_number().over(we))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+      val nc = cand.groupBy(col("query_id"), col("np"))
+        .agg(count(lit(1)).as("n_cand"))
+      val hits = approx5.join(broadcast(exact5), Seq("query_id", "cand_id"), "left")
+        .groupBy(col("query_id"), col("np"))
+        .agg(count(col("hit")).cast("int").as("n_hit"))
+      nc.join(hits, Seq("query_id", "np"))
+        .select(col("query_id"), col("np").cast("int").as("nprobe"),
+          col("n_cand"), col("n_hit"),
+          Num.roundOut(col("n_hit") / 5.0, 4).as("recall5"))
+        .orderBy(col("query_id"), col("nprobe"))
+    },
+
     // ANN via random-hyperplane LSH: 4 tables × 8-bit sign buckets;
     // candidates share a bucket in ANY table; exact cosine re-rank, top 5.
     // Oracle-checked since late round 6: the 32 deterministic hyperplanes

@@ -446,6 +446,24 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("x83: more probes examine ⊇ candidates and never lose recall") {
+    val rows = run("x83_ivf_nprobe_sweep").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    val queries = rows.keySet.map(_._1)
+    assert(queries.size == 10 && rows.size == 30, "10 queries × 3 tiers")
+    queries.foreach { q =>
+      val byNp = Seq(1, 2, 4).map(np => rows((q, np)))
+      // candidate sets grow with the probe budget ⇒ counts and hits are
+      // monotone — the recall/cost trade the sweep exists to expose
+      assert(byNp.map(_._1) == byNp.map(_._1).sorted,
+        s"query $q: candidate count not monotone in nprobe: $byNp")
+      assert(byNp.map(_._2) == byNp.map(_._2).sorted,
+        s"query $q: recall not monotone in nprobe: $byNp")
+      assert(byNp.last._2 <= 5)
+    }
+  }
+
   test("m10: frameEnergies reads the real container — known samples, tail dropped") {
     // hand-built canonical WAV with 5 samples: frames of 2 → 2 full
     // frames, sample 5 dropped
