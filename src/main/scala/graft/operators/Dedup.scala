@@ -333,6 +333,58 @@ object Dedup {
     // MinHash (16 perms) + LSH (4 bands × 4 rows — r=4 keeps per-band
     // collision P at J^4, essential when the whole corpus is mutually
     // similar): candidates from band
+    // CORPUS NOVELTY CURVE — per-doc fraction of trigram TYPES never seen
+    // in any earlier doc (doc_id as ingest order): the diminishing-novelty
+    // signal behind data-curation decisions (when a source's curve decays,
+    // more of it buys repetition, not coverage — the per-doc view of
+    // x28's duplicate-gram mass). First occurrence is min(doc_id) per
+    // gram — the keep-first rule streaming dedup applies, computed here
+    // as one gram-keyed partial agg; n_new per doc is then a count over
+    // the first-occurrence table, and n_distinct comes FREE from the
+    // persisted shingle table's array length (no second corpus pass).
+    //
+    // Scale: only (gram, doc_id) keys shuffle, never bodies (x41's
+    // contract); the min-agg is mergeable partial state; the per-doc
+    // report joins doc-keyed — at 100 TB this is the incremental-append
+    // shape: new docs' novelty needs only the accumulated first-seen
+    // table (x61's Δ contract applied to novelty measurement).
+    QueryDef("x84_novelty_curve",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |           ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |), g AS (
+        |  SELECT doc_id, unnest(tri) AS g FROM s
+        |), f AS (
+        |  SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1
+        |), nn AS (
+        |  SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT s.doc_id, CAST(len(s.tri) AS BIGINT) AS n_distinct,
+        |       coalesce(nn.n_new, 0) AS n_new,
+        |       round(1e-9 + CASE WHEN len(s.tri) = 0 THEN 0.0
+        |             ELSE coalesce(nn.n_new, 0) * 100.0 / len(s.tri) END, 4)
+        |         AS novelty_pct
+        |FROM s LEFT JOIN nn ON nn.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      val sets = shingleTable(s, d).select(col("doc_id"), col("tri"))
+      val f = sets.select(col("doc_id"), explode(col("tri")).as("g"))
+        .groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      val nn = f.groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_new"))
+      sets.select(col("doc_id"), size(col("tri")).cast("long").as("n_distinct"))
+        .join(nn, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_distinct"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          Num.roundOut(when(col("n_distinct") === 0, 0.0)
+            .otherwise(coalesce(col("n_new"), lit(0L)) * 100.0
+              / col("n_distinct")), 4).as("novelty_pct"))
+        .orderBy(col("doc_id"))
+    },
+
     // bucket collisions, verified with exact trigram Jaccard, top 50.
     // Not ANSI-expressible (xxhash64 signature) → pinned by DedupSpec.
     QueryDef.noOracle("x02_minhash_lsh") { (s, d) =>

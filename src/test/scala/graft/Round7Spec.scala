@@ -446,6 +446,23 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("x84: novelty conserves — new-gram counts sum to the corpus vocabulary") {
+    import graft.functions.Text
+    val rows = run("x84_novelty_curve").collect()
+    val totalNew = rows.map(_.getLong(2)).sum
+    val vocab = Tables.documents(spark, sf0_001)
+      .select(explode(Text.shingles(col("text"), 3)).as("g"))
+      .distinct().count()
+    assert(totalNew == vocab,
+      s"sum of per-doc new grams $totalNew != corpus gram vocabulary $vocab")
+    // the earliest doc with any grams introduces only new ones
+    val first = rows.filter(_.getLong(1) > 0).minBy(_.getLong(0))
+    assert(first.getLong(2) == first.getLong(1),
+      "the first doc's grams are all first occurrences")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1),
+      s"doc ${r.getLong(0)}: more new grams than distinct grams"))
+  }
+
   test("x83: more probes examine ⊇ candidates and never lose recall") {
     val rows = run("x83_ivf_nprobe_sweep").collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getInt(3)))
