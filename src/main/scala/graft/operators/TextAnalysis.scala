@@ -878,6 +878,115 @@ object TextAnalysis {
             .as("rel_err"))
     },
 
+    // x62's portable HLL GROUPED — one 256-register sketch per event_type,
+    // the per-dimension-cell layout a warehouse materializes (distinct
+    // users per (type, day, …) served from O(256) mergeable state per
+    // cell, never a distinct-count scan). Identical mixer/register/rho
+    // pipeline as x62; the register spine is types × 256 so empty
+    // registers exist per group; each group picks its own
+    // linear-counting-vs-raw regime. The exact arm rides along per group
+    // as calibration (the x79 pattern).
+    //
+    // Scale: partial state is max-per-(type, reg) — 256 counters per
+    // group merge across any partitioning (THE grouped-sketch contract);
+    // the estimate math runs on groups × 256 rows, driver-tiny at any
+    // corpus size. Register max is insertion-order-free, so the same
+    // sketch falls out on any cluster.
+    QueryDef("x85_hll_grouped",
+      s"""WITH du AS (
+        |  SELECT event_type, user_id FROM events
+        |), h0 AS (
+        |  SELECT event_type, user_id & 4294967295 AS a FROM du
+        |), h1 AS (
+        |  SELECT event_type, (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h0
+        |), h2 AS (
+        |  SELECT event_type, (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h1
+        |), hv AS (
+        |  SELECT event_type, xor(a >> 16, a) AS h FROM h2
+        |), rr AS (
+        |  SELECT event_type, CAST(h % 256 AS INT) AS reg,
+        |         CASE WHEN h // 256 = 0 THEN 25
+        |              ELSE CAST(25 - len(bin(h // 256)) AS INT) END AS rho
+        |  FROM hv
+        |), spine AS (
+        |  SELECT t.event_type, r.reg
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT CAST(unnest(range(256)) AS INT) AS reg) r
+        |), regs AS (
+        |  SELECT spine.event_type, spine.reg,
+        |         CAST(coalesce(max(rr.rho), 0) AS INT) AS m
+        |  FROM spine LEFT JOIN rr
+        |    ON rr.event_type = spine.event_type AND rr.reg = spine.reg
+        |  GROUP BY spine.event_type, spine.reg
+        |), agg AS (
+        |  SELECT event_type,
+        |         CAST(sum(1::BIGINT << (25 - m)) AS BIGINT) AS intsum,
+        |         CAST(sum(m) AS BIGINT) AS sum_m,
+        |         CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |  FROM regs GROUP BY 1
+        |), lnt(zv, lnv) AS (
+        |  VALUES $hllLnValuesSql
+        |), fin AS (
+        |  SELECT agg.event_type, agg.sum_m, agg.n_zero,
+        |         0.7183 * 65536 * 33554432 / agg.intsum AS raw, lnt.lnv
+        |  FROM agg LEFT JOIN lnt ON lnt.zv = agg.n_zero
+        |), ex AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT fin.event_type, ex.n_exact, fin.sum_m, fin.n_zero,
+        |       CASE WHEN fin.raw <= 640 AND fin.n_zero > 0
+        |            THEN 'lc' ELSE 'raw' END AS regime,
+        |       round(1e-9 + CASE WHEN fin.raw <= 640 AND fin.n_zero > 0
+        |             THEN 256 * fin.lnv ELSE fin.raw END, 4) AS hll_est,
+        |       round(1e-9 + abs(CASE WHEN fin.raw <= 640 AND fin.n_zero > 0
+        |             THEN 256 * fin.lnv ELSE fin.raw END - ex.n_exact)
+        |             / ex.n_exact, 4) AS rel_err
+        |FROM fin JOIN ex ON ex.event_type = fin.event_type
+        |ORDER BY fin.event_type""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).localCheckpoint()
+      val hv = ev
+        .select(col("event_type"), expr("user_id & 4294967295").as("a"))
+        .select(col("event_type"),
+          expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295").as("a"))
+        .select(col("event_type"),
+          expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295").as("a"))
+        .select(col("event_type"), expr("shiftright(a, 16) ^ a").as("h"))
+      val rr = hv.select(col("event_type"),
+        (col("h") % 256).cast("int").as("reg"),
+        when(expr("h div 256") === 0, 25)
+          .otherwise(lit(25) - length(bin(expr("h div 256"))))
+          .cast("int").as("rho"))
+      val types = ev.select(col("event_type")).distinct()
+      val spine = types.crossJoin(
+        broadcast(s.range(256).select(col("id").cast("int").as("reg"))))
+      val regs = spine
+        .join(rr.groupBy(col("event_type"), col("reg"))
+          .agg(max(col("rho")).as("mr")), Seq("event_type", "reg"), "left")
+        .select(col("event_type"),
+          coalesce(col("mr"), lit(0)).cast("int").as("m"))
+      val agg = regs.groupBy(col("event_type")).agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - m)")).as("intsum"),
+        sum(col("m")).cast("long").as("sum_m"),
+        sum(when(col("m") === 0, 1L).otherwise(0L)).as("n_zero"))
+      val ex = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val raw = lit(0.7183) * 65536 * 33554432 / col("intsum")
+      val isLc = raw <= 640 && col("n_zero") > 0
+      val est = when(isLc, lit(256.0) * col("lnv")).otherwise(raw)
+      agg.join(broadcast(hllLnTable.toDF("zv", "lnv")),
+          col("n_zero") === col("zv"), "left")
+        .join(ex, "event_type")
+        .select(col("event_type"), col("n_exact"), col("sum_m"), col("n_zero"),
+          when(isLc, "lc").otherwise("raw").as("regime"),
+          Num.roundOut(est, 4).as("hll_est"),
+          Num.roundOut(abs(est - col("n_exact")) / col("n_exact"), 4)
+            .as("rel_err"))
+        .orderBy(col("event_type"))
+    },
+
     // TF-IDF keyword extraction (top-3 terms per document) — the corpus-
     // statistics scoring step behind topic tagging / keyword filtering.
     // idf is the RATIONAL N/df (no log): libm log() is not bit-stable

@@ -446,6 +446,19 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("x85: every per-group HLL estimate lands inside the 256-register envelope") {
+    val rows = run("x85_hll_grouped").collect()
+    assert(rows.length == 5, "one sketch per event_type")
+    rows.foreach { r =>
+      val (et, exact, est, err) =
+        (r.getString(0), r.getLong(1), r.getDouble(5), r.getDouble(6))
+      assert(Set("lc", "raw")(r.getString(4)))
+      // 256 registers → σ ≈ 1.04/√256 = 6.5%; 3σ envelope with slack
+      assert(err < 0.25, s"$et: HLL est $est vs exact $exact (err $err)")
+      assert(est > 0)
+    }
+  }
+
   test("x84: novelty conserves — new-gram counts sum to the corpus vocabulary") {
     import graft.functions.Text
     val rows = run("x84_novelty_curve").collect()
