@@ -391,6 +391,95 @@ object Similarity {
         .orderBy(col("query_id"), col("nprobe"))
     },
 
+    // EMBEDDING-SPACE QA per label — the cohesion/separation audit run
+    // before trusting embeddings for classification or triplet mining
+    // (x68's QA companion): per label, the dim-wise mean centroid
+    // (rounded 6 — the x33 centroid rule that masks cross-row summation
+    // drift), the mean member→own-centroid cosine (cohesion), the most
+    // similar OTHER centroid (nearest confusable class), and the margin
+    // between them. A negative/thin margin flags the label pairs a
+    // classifier will confuse — the actionable row of the table.
+    //
+    // Scale: centroids are one (label, dim) partial-agg pass (640 cells
+    // at any corpus size); cohesion is a second broadcast-centroid pass;
+    // separation runs on the labels × labels centroid table — driver-
+    // tiny. Nothing pairwise ever touches member vectors (x34's lesson).
+    QueryDef("x86_embedding_qa",
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), cm AS (
+        |  SELECT label, CAST(dim AS INT) AS dim, round(1e-9 + avg(x), 6) AS cv
+        |  FROM (SELECT label, unnest(range(64)) AS dim, unnest(v) AS x FROM e)
+        |  GROUP BY label, dim
+        |), cent AS (
+        |  SELECT label, list(cv ORDER BY dim) AS c FROM cm GROUP BY label
+        |), cn AS (
+        |  SELECT label, c,
+        |         sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm
+        |  FROM cent
+        |), coh AS (
+        |  SELECT e.label, CAST(count(*) AS BIGINT) AS n_members,
+        |         round(1e-9 + avg(round(1e-9 +
+        |           list_sum(list_transform(range(64), i -> e.v[i+1] * cn.c[i+1]))
+        |           / sqrt(list_sum(list_transform(e.v, x -> x * x))) / cn.cnrm,
+        |           6)), 6) AS cohesion
+        |  FROM e JOIN cn ON cn.label = e.label
+        |  GROUP BY e.label
+        |), sep AS (
+        |  SELECT a.label, b.label AS other,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> a.c[i+1] * b.c[i+1])) / a.cnrm / b.cnrm, 6) AS sim,
+        |         row_number() OVER (PARTITION BY a.label
+        |           ORDER BY round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> a.c[i+1] * b.c[i+1])) / a.cnrm / b.cnrm, 6) DESC,
+        |           b.label) AS rn
+        |  FROM cn a JOIN cn b ON a.label <> b.label
+        |)
+        |SELECT coh.label, coh.n_members, coh.cohesion,
+        |       CAST(sep.other AS INT) AS nearest_label,
+        |       sep.sim AS nearest_sim,
+        |       round(1e-9 + coh.cohesion - sep.sim, 6) AS margin
+        |FROM coh JOIN sep ON sep.label = coh.label AND sep.rn = 1
+        |ORDER BY coh.label""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+      val cm = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(Num.roundOut(avg(col("x")), 6).as("cv"))
+      val cent = cm.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          s => s.getField("cv")).as("c"))
+      val cn = cent.select(col("label"), col("c"),
+        sqrt(dot(col("c"), col("c"))).as("cnrm"))
+      val coh = e.join(broadcast(cn), "label")
+        .select(col("label"),
+          Num.roundOut(dot(col("v"), col("c"))
+            / sqrt(dot(col("v"), col("v"))) / col("cnrm"), 6).as("cos"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"),
+          Num.roundOut(avg(col("cos")), 6).as("cohesion"))
+      val a = cn.select(col("label"), col("c").as("ca"), col("cnrm").as("na"))
+      val b = cn.select(col("label").as("other"), col("c").as("cb"),
+        col("cnrm").as("nb"))
+      val sep = a.join(broadcast(b), col("label") =!= col("other"))
+        .select(col("label"), col("other"),
+          Num.roundOut(dot(col("ca"), col("cb")) / col("na") / col("nb"), 6)
+            .as("sim"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+            .orderBy(col("sim").desc, col("other"))))
+        .filter(col("rn") === 1)
+      coh.join(sep, "label")
+        .select(col("label"), col("n_members"), col("cohesion"),
+          col("other").cast("int").as("nearest_label"),
+          col("sim").as("nearest_sim"),
+          Num.roundOut(col("cohesion") - col("sim"), 6).as("margin"))
+        .orderBy(col("label"))
+    },
+
     // ANN via random-hyperplane LSH: 4 tables × 8-bit sign buckets;
     // candidates share a bucket in ANY table; exact cosine re-rank, top 5.
     // Oracle-checked since late round 6: the 32 deterministic hyperplanes

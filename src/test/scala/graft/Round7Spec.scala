@@ -446,6 +446,23 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("x86: the embedding-QA table is internally consistent") {
+    val rows = run("x86_embedding_qa").collect()
+    assert(rows.length == 10, "one row per label")
+    val total = Tables.embeddings(spark, sf0_001).count()
+    assert(rows.map(_.getLong(1)).sum == total, "members partition the corpus")
+    rows.foreach { r =>
+      val (label, cohesion, nearest, nSim, margin) =
+        (r.getInt(0), r.getDouble(2), r.getInt(3), r.getDouble(4),
+          r.getDouble(5))
+      assert(nearest != label, "nearest confusable class is another label")
+      assert(cohesion >= -1.0001 && cohesion <= 1.0001)
+      assert(nSim >= -1.0001 && nSim <= 1.0001)
+      assert(math.abs(margin - (cohesion - nSim)) < 2e-6,
+        s"label $label: margin $margin != $cohesion - $nSim")
+    }
+  }
+
   test("x85: every per-group HLL estimate lands inside the 256-register envelope") {
     val rows = run("x85_hll_grouped").collect()
     assert(rows.length == 5, "one sketch per event_type")
