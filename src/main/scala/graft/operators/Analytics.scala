@@ -328,6 +328,56 @@ object Analytics {
         h += 1
       }
       dist.orderBy(col("node"))
+    },
+
+    // RECENCY-DECAYED ENGAGEMENT — the exponential-decay feature every
+    // recsys/engagement model wants (recent activity outweighs old), with
+    // the decay computed as INTEGER HALF-LIFE SHIFTS: weight 1/2^(age/7d)
+    // applied as `vfp >> (age div 7)` on 1e-4-fixed-point values — no
+    // exp()/pow() libm (x23's lesson), so every partial sum is an exact
+    // long, order-independent across partitions, and both engines rank
+    // the identical top-20. The anchor is max(event date) — re-ingestion-
+    // stable, no wall clock (the suite's no-RNG/no-now contract).
+    //
+    // Scale: one partial-agg pass over events (the shift happens map-side
+    // per row); the anchor is a one-row broadcast; state per user is two
+    // longs — the mergeable-feature shape a daily feature-store job
+    // emits. Truncation from the integer shift under-weights each event
+    // by < 1 ulp of its bucket — identically on both engines.
+    QueryDef("x87_decayed_engagement",
+      """WITH a AS (
+        |  SELECT max(CAST(ts AS DATE)) AS anchor FROM events
+        |), w AS (
+        |  SELECT user_id,
+        |         CAST(floor(value * 10000) AS BIGINT) AS vfp,
+        |         CAST(least(date_diff('day', CAST(ts AS DATE), a.anchor) // 7,
+        |                    62) AS INT) AS s
+        |  FROM events, a
+        |), g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(vfp) AS BIGINT) AS raw_fp,
+        |         CAST(sum(vfp >> s) AS BIGINT) AS dec_fp
+        |  FROM w GROUP BY 1
+        |)
+        |SELECT user_id, n_events,
+        |       round(1e-9 + raw_fp / 10000.0, 4) AS raw_value,
+        |       round(1e-9 + dec_fp / 10000.0, 4) AS decayed_value
+        |FROM g ORDER BY dec_fp DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("value"), to_date(col("ts")).as("day"))
+      val anchor = ev.agg(max(col("day")).as("anchor"))
+      val w = ev.crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          floor(col("value") * 10000).cast("long").as("vfp"),
+          expr("CAST(least(datediff(anchor, day) div 7, 62) AS INT)").as("s"))
+      val g = w.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("vfp")).as("raw_fp"),
+          sum(expr("shiftright(vfp, s)")).as("dec_fp"))
+      g.orderBy(col("dec_fp").desc, col("user_id")).limit(20)
+        .select(col("user_id"), col("n_events"),
+          Num.roundOut(col("raw_fp") / 10000.0, 4).as("raw_value"),
+          Num.roundOut(col("dec_fp") / 10000.0, 4).as("decayed_value"))
     }
   )
 }
