@@ -15,26 +15,43 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native type
-    * for (PARQUET_TYPE_ILLEGAL). Read it as long nanos and convert to a
-    * microsecond TimestampType — all downstream uses (to_date, ordering,
-    * windows) are at second granularity, and dedup orderings always add an
-    * explicit id tiebreak so the nano→micro truncation can never change a
-    * result. */
+  /** Schema-adaptive normalizer for the driver's `events.ts` column, which
+    * has shipped in three encodings across testdata regenerations:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark has no native nanos type
+    *    (PARQUET_TYPE_ILLEGAL), so under `legacy.parquet.nanosAsLong` it
+    *    reads as `LongType` nanos → convert to microsecond TimestampType.
+    *    `div` = integer division: a plain `/` would promote to double,
+    *    whose 53-bit mantissa cannot hold ~1.7e18 ns (ulp 256 ns) — rows
+    *    within 128 ns of a midnight would round across the day boundary
+    *    and break daily aggregates vs the exact-ns oracle.
+    *  - parquet TIMESTAMP_NTZ(MICROS) (`isAdjustedToUTC=false`): reads as
+    *    `TimestampNTZType` → cast to TimestampType. Under the pinned UTC
+    *    session timezone (every entrypoint sets it) the cast reinterprets
+    *    the same wall-clock as the same instant, bit-identical micros —
+    *    and DuckDB's naive-timestamp oracle agrees by the same rule.
+    *  - plain TIMESTAMP(MICROS): already TimestampType → as-is.
+    *
+    * ONE helper used by both the batch loader and every streaming ingest
+    * site, so the next encoding drift is a one-line fix, not seven. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
+
+  /** Events with `ts` normalized to microsecond TimestampType whatever the
+    * on-disk encoding (see [[normalizeTs]]). All downstream uses (to_date,
+    * ordering, windows) are at second granularity, and dedup orderings
+    * always add an explicit id tiebreak, so nano→micro truncation can
+    * never change a result. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        // `div` = integer division. A plain `/` would promote to double,
-        // whose 53-bit mantissa cannot hold ~1.7e18 ns (ulp 256 ns) — rows
-        // within 128 ns of a midnight would round across the day boundary
-        // and break daily aggregates vs the exact-ns oracle.
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => raw
-    }
+    normalizeTs(table(s, d, "events"))
   }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")

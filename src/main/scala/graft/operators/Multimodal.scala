@@ -376,7 +376,7 @@ object Multimodal {
     // thumb_hex rebuilds header+raster bytes with chr(10) newlines. At
     // scale this is the thumbnailing pass of a media ingest: payload
     // bytes are touched once per partition, dims/metadata flow as columns.
-    QueryDef("m04_resize_stub",
+    QueryDef("m04_resize_plan",
       """WITH p AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,
         |         octet_length(encode(text)) AS n
@@ -409,7 +409,7 @@ object Multimodal {
     // chars ('0','1' → bucket 0; '2','3' → bucket 1) over the same
     // raster bytes (the first 24·(n/24) text bytes), divided as IEEE
     // doubles.
-    QueryDef("m02_decode_stub",
+    QueryDef("m02_decode_features",
       """WITH p AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,
         |         octet_length(encode(text)) AS n

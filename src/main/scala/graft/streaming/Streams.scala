@@ -105,9 +105,9 @@ object Streams {
   /** Stage events SPLIT in two disjoint halves (by event_id parity, two
     * files → two micro-batches with maxFilesPerTrigger=1) so incremental
     * aggregate maintenance actually merges across batches. Content-keyed
-    * like [[stageEvents]]. Written through Spark (the caller's cloned
-    * session reads nanos ts as long), so the staged schema is the raw
-    * long-nanos one every streaming query probes. */
+    * like [[stageEvents]]. Written through Spark, so the staged `ts`
+    * keeps whatever encoding the source read produced (long nanos or
+    * NTZ micros) — consumers normalize via [[graft.Tables.normalizeTs]]. */
   private[graft] def stageEventsSplit(s: SparkSession, dir: String): String = {
     val src = java.nio.file.Paths.get(dir, "events.parquet")
     val stage = java.nio.file.Paths.get(graft.Warehouse.path(
@@ -193,8 +193,7 @@ object Streams {
       val raw = ss.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stageEventsDuplicated(dir))
-      val deduped = raw
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val deduped = Tables.normalizeTs(raw)
         .dropDuplicates("event_id")
       val name = s"st03_sink_${sinkId.incrementAndGet()}"
       val q = deduped.writeStream.outputMode(OutputMode.Append())
@@ -218,8 +217,8 @@ object Streams {
   def streamingAttribution(s: SparkSession, dir: String): DataFrame =
     withStreamingConfs(s, 4) { ss => // stream-stream: 4 stores/partition
       val batch = Tables.table(ss, dir, "events")
-      val raw = ss.readStream.schema(batch.schema).parquet(stageEvents(dir))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = Tables.normalizeTs(
+        ss.readStream.schema(batch.schema).parquet(stageEvents(dir)))
       val clicks = raw.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))
@@ -246,10 +245,9 @@ object Streams {
     * same way as [[graft.Tables.events]]). */
   def streamingDaily(s: SparkSession, dir: String): DataFrame =
     withStreamingConfs(s) { ss =>
-      val batch = Tables.table(ss, dir, "events") // schema probe: ts reads as long nanos
+      val batch = Tables.table(ss, dir, "events") // schema probe (encoding-dependent ts)
       val raw = ss.readStream.schema(batch.schema).parquet(stageEvents(dir))
-      val events = raw.withColumn("ts",
-        timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
+      val events = Tables.normalizeTs(raw) // schema-adaptive: see Tables.normalizeTs
       val agg = events
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), Num.roundOut(sum(col("value")), 4).as("sum_value"))
@@ -269,7 +267,7 @@ object Streams {
     withStreamingConfs(s) { ss =>
       val batch = Tables.table(ss, dir, "events")
       val raw = ss.readStream.schema(batch.schema).parquet(stageEvents(dir))
-      val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val events = Tables.normalizeTs(raw)
       val agg = events
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n"),
@@ -472,8 +470,7 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            val part = batch
-              .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            val part = Tables.normalizeTs(batch)
               .groupBy(to_date(col("ts")).as("day"), col("event_type"))
               .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
             val existing =
@@ -520,8 +517,8 @@ object Streams {
           .groupBy(to_date(col("ts")).as("day"))
           .agg(Num.roundOut(avg(col("value")), 4).as("day_avg"))
         val batch = Tables.table(ss, d, "events")
-        val raw = ss.readStream.schema(batch.schema).parquet(stageEvents(d))
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val raw = Tables.normalizeTs(
+          ss.readStream.schema(batch.schema).parquet(stageEvents(d)))
         val agg = raw
           .join(broadcast(dim), to_date(col("ts")) === col("day"))
           .groupBy(col("event_type"))
@@ -578,8 +575,8 @@ object Streams {
         |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
       withStreamingConfs(s, 4) { ss => // stream-stream: 4 stores/partition
         val batch = Tables.table(ss, d, "events")
-        val raw = ss.readStream.schema(batch.schema).parquet(stageEvents(d))
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val raw = Tables.normalizeTs(
+          ss.readStream.schema(batch.schema).parquet(stageEvents(d)))
         val clicks = raw.filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"),
             col("ts").as("click_ts"))
