@@ -177,6 +177,56 @@ object Corpus {
         .orderBy(col("token_id"))
     },
 
+    // VOCABULARY COVERAGE / OOV-rate audit per source: what fraction of a
+    // source's token stream the x31 top-100 vocabulary covers, and how
+    // many distinct out-of-vocabulary types it carries — the go/no-go
+    // check before freezing a tokenizer vocab against a new corpus mix
+    // (a source with low coverage will fragment into fallback tokens and
+    // blow up its effective sequence length). Same vocab rule as x31:
+    // top-K words by (freq DESC, word).
+    //
+    // Scale: the vocab is a top-K via TakeOrderedAndProject then a
+    // 100-row BROADCAST — the coverage probe is a map-side hash lookup
+    // on the token stream, no shuffle; the only keyed exchanges are the
+    // global word count (partial-agg) and the per-source distinct-OOV
+    // aggregate. At 100 TB: one count pass + one broadcast-probe pass.
+    QueryDef("x88_oov_rate",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), c AS (
+        |  SELECT word, count(*) AS c FROM tok GROUP BY word
+        |), v AS (
+        |  SELECT word FROM c ORDER BY c DESC, word LIMIT 100
+        |), j AS (
+        |  SELECT t.source, t.word,
+        |         CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END AS iv
+        |  FROM tok t LEFT JOIN v ON t.word = v.word
+        |)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(iv) AS BIGINT) AS in_vocab,
+        |       CAST(count(DISTINCT CASE WHEN iv = 0 THEN word END)
+        |            AS BIGINT) AS oov_types,
+        |       round(1e-9 + sum(iv) * 1.0 / count(*), 4) AS coverage
+        |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("word"))
+      val vocab = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word")).limit(100)
+        .select(col("word"), lit(1).as("hit"))
+      tok.join(broadcast(vocab), Seq("word"), "left")
+        .withColumn("iv", coalesce(col("hit"), lit(0)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum(col("iv")).cast("long").as("in_vocab"),
+          countDistinct(when(col("iv") === 0, col("word")))
+            .cast("long").as("oov_types"),
+          Num.roundOut(sum(col("iv")) * 1.0 / count(lit(1)), 4)
+            .as("coverage"))
+        .orderBy(col("source"))
+    },
+
     // Lexical DIVERSITY scoring: Gini–Simpson index and hapax fraction per
     // document — the entropy-family quality signal kept rational on
     // purpose (repeat-pair count D = Σc·(c−1) over term frequencies gives

@@ -330,6 +330,56 @@ object Dedup {
         .orderBy(col("keep_id"))
     },
 
+    // DEDUP IMPACT audit per source: how many documents (and how much
+    // character mass) x01's keep-first exact dedup removes from each
+    // source — the report a curation pipeline publishes with every dedup
+    // pass, because "we deduped" is only actionable as "source X lost
+    // 40% of its mass" (that source is the one to renegotiate quotas
+    // for, x81's mixing inputs). Keep rule is x01's verbatim:
+    // min(doc_id) per md5(text).
+    //
+    // Scale: bodies are hashed MAP-SIDE (only the 32-char digest plus
+    // source/n_chars/doc_id ever shuffles); the keep decision is a
+    // partition-local min window over the hash key — ONE exchange shared
+    // by decision and audit, no self-join back to the corpus; the
+    // per-source rollup is a partial agg over already-shuffled rows.
+    QueryDef("x89_dedup_impact",
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars, md5(text) AS th FROM documents
+        |), k AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY th)
+        |              THEN 1 ELSE 0 END AS removed
+        |  FROM h
+        |)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(removed) AS BIGINT) AS n_removed,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |       CAST(sum(CASE WHEN removed = 1 THEN n_chars ELSE 0 END)
+        |            AS BIGINT) AS chars_removed,
+        |       round(1e-9 + sum(CASE WHEN removed = 1 THEN n_chars ELSE 0 END)
+        |             * 1.0 / sum(n_chars), 4) AS removed_frac
+        |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val h = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          md5(col("text")).as("th"))
+      val k = h.withColumn("removed",
+        when(col("doc_id") =!=
+          min(col("doc_id")).over(Window.partitionBy(col("th"))), 1)
+          .otherwise(0))
+      k.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("removed")).cast("long").as("n_removed"),
+          sum(col("n_chars")).cast("long").as("chars_total"),
+          sum(when(col("removed") === 1, col("n_chars")).otherwise(0L))
+            .cast("long").as("chars_removed"),
+          Num.roundOut(
+            sum(when(col("removed") === 1, col("n_chars")).otherwise(0L))
+              * 1.0 / sum(col("n_chars")), 4).as("removed_frac"))
+        .orderBy(col("source"))
+    },
+
     // MinHash (16 perms) + LSH (4 bands × 4 rows — r=4 keeps per-band
     // collision P at J^4, essential when the whole corpus is mutually
     // similar): candidates from band

@@ -370,6 +370,59 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // CROSS-DOCUMENT FRAME DEDUP: which m03 sample frames (8-byte payload
+    // slices at the 0/¼/½/¾ offsets) recur across ≥2 distinct documents —
+    // the video-pipeline form of exact dedup, where the unit is a sampled
+    // frame signature, not the whole container (two docs sharing frames
+    // are re-encodes / trims of the same asset; x01 would call them
+    // different because one byte differs). Positions mirror m03 exactly.
+    //
+    // Scale: 4 fixed-width signatures per doc regardless of payload size
+    // — payload bytes are sliced in the scan and never shuffled; only
+    // (16-hex-char signature, doc_id) pairs reach the exchange, and the
+    // group sizes are duplicate-cluster sizes. The same shape holds when
+    // "frame signature" is a real perceptual hash at 100 TB.
+    QueryDef("m11_frame_dedup",
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, substring(hx, 1, 16) AS frame FROM p WHERE n >= 32
+        |  UNION ALL
+        |  SELECT doc_id, substring(hx, 2 * CAST(floor(n / 4.0) AS INT) + 1, 16)
+        |  FROM p WHERE n >= 32
+        |  UNION ALL
+        |  SELECT doc_id, substring(hx, 2 * CAST(floor(n / 2.0) AS INT) + 1, 16)
+        |  FROM p WHERE n >= 32
+        |  UNION ALL
+        |  SELECT doc_id, substring(hx, 2 * CAST(floor(3 * n / 4.0) AS INT) + 1, 16)
+        |  FROM p WHERE n >= 32
+        |)
+        |SELECT frame,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM f GROUP BY frame HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY frame""".stripMargin) { (s, d) =>
+      val payload = encode(col("text"), "UTF-8")
+      val n = length(payload)
+      def frame(start: org.apache.spark.sql.Column) =
+        hex(payload.substr(start.cast("int") + 1, lit(8)))
+      Tables.documents(s, d)
+        .filter(length(encode(col("text"), "UTF-8")) >= 32)
+        .select(col("doc_id"), explode(array(
+          frame(lit(0)), frame(floor(n / 4)),
+          frame(floor(n / 2)), frame(floor(n * 3 / 4)))).as("frame"))
+        .groupBy(col("frame"))
+        .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("frame"))
+    },
+
     // Resize planning through the mapPartitions pipeline: REAL P6 decode
     // (header parse gives w=8, h=n/24 for the synthesized containers) +
     // fit-within-256 scaling, both reproducible in SQL. The oracle's

@@ -54,6 +54,93 @@ object TextAnalysis {
   private[operators] def hllLnValuesSql: String =
     hllLnTable.map { case (v, l) => s"($v, $l)" }.mkString(", ")
 
+  /** The x62 portable-HLL mixer → per-row (reg, rho). Shared with st12's
+    * streaming register fold (the st10↔x39 single-definition rule: batch
+    * and streaming sketches must be the SAME function of the data, so the
+    * pipeline lives in exactly one place). Input: a `user_id` column. */
+  private[graft] def hllRegRho(ev: DataFrame): DataFrame =
+    ev.select(expr("user_id & 4294967295").as("a"))
+      .select(expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295").as("a"))
+      .select(expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295").as("a"))
+      .select(expr("shiftright(a, 16) ^ a").as("h"))
+      .select((col("h") % 256).cast("int").as("reg"),
+        when(expr("h div 256") === 0, 25)
+          .otherwise(lit(25) - length(bin(expr("h div 256"))))
+          .cast("int").as("rho"))
+
+  /** (reg, rho) rows (raw per-row OR an already-folded register state —
+    * the max-merge makes both equivalent) + the exact arm → x62's
+    * 6-column estimate report. Estimate math runs on 256 rows. */
+  private[graft] def hllEstimate(s: SparkSession, rr: DataFrame,
+      ex: DataFrame): DataFrame = {
+    import s.implicits._
+    val regs = s.range(256).select(col("id").cast("int").as("reg"))
+      .join(rr.groupBy(col("reg")).agg(max(col("rho")).as("mr")),
+        Seq("reg"), "left")
+      .select(coalesce(col("mr"), lit(0)).cast("int").as("m"))
+    val agg = regs.agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - m)")).as("intsum"),
+      sum(col("m")).cast("long").as("sum_m"),
+      sum(when(col("m") === 0, 1L).otherwise(0L)).as("n_zero"))
+    val lnDf = hllLnTable.toDF("zv", "lnv")
+    val raw = lit(0.7183) * 65536 * 33554432 / col("intsum")
+    val isLc = raw <= 640 && col("n_zero") > 0
+    val est = when(isLc, lit(256.0) * col("lnv")).otherwise(raw)
+    ex.crossJoin(agg.join(broadcast(lnDf),
+        col("n_zero") === col("zv"), "left"))
+      .select(col("n_exact"), col("sum_m"), col("n_zero"),
+        when(isLc, "lc").otherwise("raw").as("regime"),
+        Num.roundOut(est, 4).as("hll_est"),
+        Num.roundOut(abs(est - col("n_exact")) / col("n_exact"), 4)
+          .as("rel_err"))
+  }
+
+  /** x62's oracle, shared VERBATIM with st12's streaming fold: the
+    * converged streaming register state must equal the batch sketch, so
+    * both queries answer to the same SQL. */
+  private[graft] def x62OracleSql: String =
+    s"""WITH h0 AS (
+      |  SELECT user_id & 4294967295 AS a FROM events
+      |), h1 AS (
+      |  SELECT (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h0
+      |), h2 AS (
+      |  SELECT (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h1
+      |), hv AS (
+      |  SELECT xor(a >> 16, a) AS h FROM h2
+      |), rr AS (
+      |  SELECT CAST(h % 256 AS INT) AS reg,
+      |         CASE WHEN h // 256 = 0 THEN 25
+      |              ELSE CAST(25 - len(bin(h // 256)) AS INT) END AS rho
+      |  FROM hv
+      |), regs AS (
+      |  SELECT spine.reg, CAST(coalesce(max(rr.rho), 0) AS INT) AS m
+      |  FROM (SELECT CAST(unnest(range(256)) AS INT) AS reg) spine
+      |  LEFT JOIN rr ON rr.reg = spine.reg
+      |  GROUP BY spine.reg
+      |), agg AS (
+      |  SELECT CAST(sum(1::BIGINT << (25 - m)) AS BIGINT) AS intsum,
+      |         CAST(sum(m) AS BIGINT) AS sum_m,
+      |         CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      |  FROM regs
+      |), lnt(zv, lnv) AS (
+      |  VALUES $hllLnValuesSql
+      |), fin AS (
+      |  SELECT agg.sum_m, agg.n_zero,
+      |         0.7183 * 65536 * 33554432 / agg.intsum AS raw, lnt.lnv
+      |  FROM agg LEFT JOIN lnt ON lnt.zv = agg.n_zero
+      |), ex AS (
+      |  SELECT count(DISTINCT user_id) AS n_exact FROM events
+      |)
+      |SELECT ex.n_exact, fin.sum_m, fin.n_zero,
+      |       CASE WHEN fin.raw <= 640 AND fin.n_zero > 0
+      |            THEN 'lc' ELSE 'raw' END AS regime,
+      |       round(1e-9 + CASE WHEN fin.raw <= 640 AND fin.n_zero > 0
+      |             THEN 256 * fin.lnv ELSE fin.raw END, 4) AS hll_est,
+      |       round(1e-9 + abs(CASE WHEN fin.raw <= 640 AND fin.n_zero > 0
+      |             THEN 256 * fin.lnv ELSE fin.raw END - ex.n_exact)
+      |             / ex.n_exact, 4) AS rel_err
+      |FROM fin, ex""".stripMargin
+
   /** x08's per-doc token-stat CTE in DuckDB SQL, shared with x59's
     * canonical selection (one definition — the fingerprintSql rule).
     * Defs, not vals: `entries` initializes first. */
@@ -803,79 +890,85 @@ object TextAnalysis {
     // (max merges), the exchange carries ≤256 rows after map-side
     // combine — the exact-distinct shuffle (one key per distinct value)
     // never happens, which is the entire point of HLL at 10^9+ keys.
-    QueryDef("x62_hll_portable",
-      s"""WITH h0 AS (
-        |  SELECT user_id & 4294967295 AS a FROM events
-        |), h1 AS (
-        |  SELECT (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h0
-        |), h2 AS (
-        |  SELECT (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h1
-        |), hv AS (
-        |  SELECT xor(a >> 16, a) AS h FROM h2
-        |), rr AS (
-        |  SELECT CAST(h % 256 AS INT) AS reg,
-        |         CASE WHEN h // 256 = 0 THEN 25
-        |              ELSE CAST(25 - len(bin(h // 256)) AS INT) END AS rho
-        |  FROM hv
-        |), regs AS (
-        |  SELECT spine.reg, CAST(coalesce(max(rr.rho), 0) AS INT) AS m
-        |  FROM (SELECT CAST(unnest(range(256)) AS INT) AS reg) spine
-        |  LEFT JOIN rr ON rr.reg = spine.reg
-        |  GROUP BY spine.reg
-        |), agg AS (
-        |  SELECT CAST(sum(1::BIGINT << (25 - m)) AS BIGINT) AS intsum,
-        |         CAST(sum(m) AS BIGINT) AS sum_m,
-        |         CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
-        |  FROM regs
-        |), lnt(zv, lnv) AS (
-        |  VALUES $hllLnValuesSql
-        |), fin AS (
-        |  SELECT agg.sum_m, agg.n_zero,
-        |         0.7183 * 65536 * 33554432 / agg.intsum AS raw, lnt.lnv
-        |  FROM agg LEFT JOIN lnt ON lnt.zv = agg.n_zero
-        |), ex AS (
-        |  SELECT count(DISTINCT user_id) AS n_exact FROM events
-        |)
-        |SELECT ex.n_exact, fin.sum_m, fin.n_zero,
-        |       CASE WHEN fin.raw <= 640 AND fin.n_zero > 0
-        |            THEN 'lc' ELSE 'raw' END AS regime,
-        |       round(1e-9 + CASE WHEN fin.raw <= 640 AND fin.n_zero > 0
-        |             THEN 256 * fin.lnv ELSE fin.raw END, 4) AS hll_est,
-        |       round(1e-9 + abs(CASE WHEN fin.raw <= 640 AND fin.n_zero > 0
-        |             THEN 256 * fin.lnv ELSE fin.raw END - ex.n_exact)
-        |             / ex.n_exact, 4) AS rel_err
-        |FROM fin, ex""".stripMargin) { (s, d) =>
-      import s.implicits._
+    QueryDef("x62_hll_portable", x62OracleSql) { (s, d) =>
+      // Mixer/register/estimate live in hllRegRho/hllEstimate (shared with
+      // st12's streaming fold — one definition, batch and stream can't
+      // drift). The oracle SQL is likewise the shared x62OracleSql.
       val ev = Tables.events(s, d).select(col("user_id")).localCheckpoint()
-      val hv = ev
-        .select(expr("user_id & 4294967295").as("a"))
-        .select(expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295").as("a"))
-        .select(expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295").as("a"))
-        .select(expr("shiftright(a, 16) ^ a").as("h"))
-      val rr = hv.select((col("h") % 256).cast("int").as("reg"),
-        when(expr("h div 256") === 0, 25)
-          .otherwise(lit(25) - length(bin(expr("h div 256"))))
-          .cast("int").as("rho"))
-      val regs = s.range(256).select(col("id").cast("int").as("reg"))
-        .join(rr.groupBy(col("reg")).agg(max(col("rho")).as("mr")),
-          Seq("reg"), "left")
-        .select(coalesce(col("mr"), lit(0)).cast("int").as("m"))
-      val agg = regs.agg(
-        sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - m)")).as("intsum"),
-        sum(col("m")).cast("long").as("sum_m"),
-        sum(when(col("m") === 0, 1L).otherwise(0L)).as("n_zero"))
-      val lnDf = hllLnTable.toDF("zv", "lnv")
-      val ex = ev.agg(countDistinct(col("user_id")).as("n_exact"))
-      val raw = lit(0.7183) * 65536 * 33554432 / col("intsum")
-      val isLc = raw <= 640 && col("n_zero") > 0
-      val est = when(isLc, lit(256.0) * col("lnv")).otherwise(raw)
-      ex.crossJoin(agg.join(broadcast(lnDf),
-          col("n_zero") === col("zv"), "left"))
-        .select(col("n_exact"), col("sum_m"), col("n_zero"),
-          when(isLc, "lc").otherwise("raw").as("regime"),
-          Num.roundOut(est, 4).as("hll_est"),
-          Num.roundOut(abs(est - col("n_exact")) / col("n_exact"), 4)
-            .as("rel_err"))
+      hllEstimate(s, hllRegRho(ev),
+        ev.agg(countDistinct(col("user_id")).as("n_exact")))
+    },
+
+    // VOCABULARY DRIFT between two corpus halves (doc_id parity split —
+    // deterministic and balanced): per-term 2×2 chi-square statistic, the
+    // domain-shift audit run before mixing a new crawl snapshot into a
+    // training corpus (a drifting term means the snapshots use language
+    // differently — route to per-source curation, not blind mixing).
+    // chi² = N·(ad−bc)²/((a+b)(c+d)·NA·NB) with a/b the term's counts in
+    // halves A/B and c/d the complements. EVERY operand is an exact
+    // integer; the statistic is formed in IEEE double with ONE pinned
+    // association (((N·diff)·diff)/(((ab·cd)·NA)·NB)) mirrored verbatim
+    // in the oracle, so both engines produce bit-identical doubles
+    // (integer inputs < 2^53 convert exactly; each subsequent op is one
+    // deterministic IEEE rounding — the x23 libm lesson does not apply
+    // because no transcendental ever runs).
+    //
+    // Scale: one token pass → (word)-keyed partial agg (map-side
+    // combine); the totals row is a 1-row broadcast; min-support ≥ 20
+    // prunes the long tail BEFORE the statistic; top-30 is
+    // TakeOrderedAndProject (per-partition top-k, no global sort).
+    QueryDef("x90_vocab_shift",
+      """WITH tok AS (
+        |  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), c AS (
+        |  SELECT word,
+        |         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM tok GROUP BY word
+        |), t AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+        |  FROM c
+        |), x AS (
+        |  SELECT word, a, b,
+        |         CAST(a AS DOUBLE) * (t.nb - b)
+        |           - CAST(b AS DOUBLE) * (t.na - a) AS diff,
+        |         CAST(a + b AS DOUBLE) AS ab,
+        |         CAST((t.na - a) + (t.nb - b) AS DOUBLE) AS cd,
+        |         CAST(t.na AS DOUBLE) AS nad, CAST(t.nb AS DOUBLE) AS nbd,
+        |         CAST(t.na + t.nb AS DOUBLE) AS n
+        |  FROM c, t WHERE a + b >= 20
+        |)
+        |SELECT word, a, b,
+        |       CASE WHEN diff > 0 THEN 'A' ELSE 'B' END AS over_half,
+        |       round(1e-9 + n * diff * diff / (ab * cd * nad * nbd), 4) AS chi2
+        |FROM x ORDER BY chi2 DESC, word LIMIT 30""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select((col("doc_id") % 2).as("half"),
+          explode(Text.tokens(col("text"))).as("word"))
+      val c = tok.groupBy(col("word")).agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("b"))
+      val t = c.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+      val x = c.crossJoin(broadcast(t))
+        .filter(col("a") + col("b") >= 20)
+        .withColumn("diff",
+          col("a").cast("double") * (col("nb") - col("b"))
+            - col("b").cast("double") * (col("na") - col("a")))
+        .withColumn("ab", (col("a") + col("b")).cast("double"))
+        .withColumn("cd",
+          ((col("na") - col("a")) + (col("nb") - col("b"))).cast("double"))
+        .withColumn("nad", col("na").cast("double"))
+        .withColumn("nbd", col("nb").cast("double"))
+        .withColumn("n", (col("na") + col("nb")).cast("double"))
+      x.select(col("word"), col("a"), col("b"),
+          when(col("diff") > 0, "A").otherwise("B").as("over_half"),
+          Num.roundOut(
+            col("n") * col("diff") * col("diff")
+              / (col("ab") * col("cd") * col("nad") * col("nbd")), 4)
+            .as("chi2"))
+        .orderBy(col("chi2").desc, col("word"))
+        .limit(30)
     },
 
     // x62's portable HLL GROUPED — one 256-register sketch per event_type,

@@ -894,6 +894,59 @@ object Streams {
           .select(col("word"), col("cnt"))
           .orderBy(col("cnt").desc, col("word"))
       }
+    },
+
+    // STREAMING DISTINCT COUNT: x62's portable HLL maintained as
+    // micro-batch state — each batch folds its per-row (reg, rho) into a
+    // persistent 256-row register table by max-merge, the one aggregate
+    // class whose streaming fold is EXACTLY order-and-batching-free
+    // (max is idempotent + commutative + associative), so the converged
+    // state provably equals the batch sketch and the oracle is
+    // x62OracleSql VERBATIM (the st10↔x39 / st11↔x42 rule). The exact
+    // recount rides along as calibration, same as batch x62.
+    //
+    // Scale: cross-batch state is 256 rows — CONSTANT in stream volume
+    // (st06's matview fold is O(groups), st11's Misra-Gries O(k); this
+    // is the smallest state class of the three). Each micro-batch ships
+    // ≤256 partial maxima after map-side combine; the estimate math at
+    // read time touches 256 rows. This is how a 100 TB/day stream serves
+    // "distinct users so far" without ever holding a distinct set.
+    QueryDef("st12_stream_hll",
+      graft.operators.TextAnalysis.x62OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageEventsSplit(ss, d)
+        val regDir = graft.Warehouse.path(
+          s"graft_sthll_v1_${graft.ContentKey.key(
+            java.nio.file.Paths.get(d, "events.parquet"))}")
+        resetDir(regDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val part = graft.operators.TextAnalysis
+              .hllRegRho(batch.select(col("user_id")))
+              .groupBy(col("reg")).agg(max(col("rho")).as("rho"))
+              .localCheckpoint() // severed before the state dir is read
+            val prior =
+              if (java.nio.file.Files.exists(
+                java.nio.file.Paths.get(regDir, "_SUCCESS")))
+                spark.read.parquet(regDir)
+              else part.limit(0)
+            prior.unionByName(part)
+              .groupBy(col("reg")).agg(max(col("rho")).as("rho"))
+              .localCheckpoint()
+              .write.mode("overwrite").parquet(regDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val ev = ss.read.parquet(stage).select(col("user_id"))
+        graft.operators.TextAnalysis.hllEstimate(ss,
+          ss.read.parquet(regDir),
+          ev.agg(countDistinct(col("user_id")).as("n_exact")))
+      }
     }
   )
 

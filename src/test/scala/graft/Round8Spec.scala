@@ -65,6 +65,55 @@ class Round8Spec extends AnyFunSuite {
     // streaming tier all assume downstream of the normalizer.
     assert(ev.select(to_date(col("ts"))).distinct().count() > 0)
   }
+
+  // ---- round-8 operator invariants (beyond the driver's oracle rows) ----
+
+  test("x89 conservation: Σ n_removed == n_docs − distinct text hashes, and kept mass is never negative") {
+    val out = SparkEntry.queries("x89_dedup_impact")(spark, sf0_001)
+    val docs = Tables.documents(spark, sf0_001)
+    val removed = out.agg(sum(col("n_removed"))).first().getLong(0)
+    val expect = docs.count() - docs.select(md5(col("text"))).distinct().count()
+    assert(removed == expect, "every non-first copy, and nothing else, is removed")
+    assert(out.filter(col("chars_removed") > col("chars_total")).count() == 0)
+  }
+
+  test("x88 conservation: per-source token counts sum to the corpus stream; coverage in [0,1]") {
+    val out = SparkEntry.queries("x88_oov_rate")(spark, sf0_001)
+    val total = out.agg(sum(col("n_tokens"))).first().getLong(0)
+    val stream = Tables.documents(spark, sf0_001)
+      .select(explode(graft.functions.Text.tokens(col("text")))).count()
+    assert(total == stream)
+    assert(out.filter(col("coverage") < 0 || col("coverage") > 1).count() == 0)
+    assert(out.filter(col("in_vocab") > col("n_tokens")).count() == 0)
+  }
+
+  test("x90 statistics are non-negative and every reported term meets min support") {
+    val out = SparkEntry.queries("x90_vocab_shift")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("chi2") >= 0.0)
+      assert(r.getAs[Long]("a") + r.getAs[Long]("b") >= 20)
+    }
+  }
+
+  test("st12's converged streaming register state reproduces the batch x62 sketch row exactly") {
+    // The DuckDB oracle already checks both against the same SQL; this pins
+    // the stronger engine-internal equality directly (any micro-batch
+    // slicing must yield the SAME registers — max-merge is order-free).
+    val stream = SparkEntry.queries("st12_stream_hll")(spark, sf0_001).collect()
+    val batch = SparkEntry.queries("x62_hll_portable")(spark, sf0_001).collect()
+    assert(stream.toSeq == batch.toSeq)
+  }
+
+  test("m11 reports only frames shared by ≥2 docs, with occurrence ≥ doc counts") {
+    val out = SparkEntry.queries("m11_frame_dedup")(spark, sf0_001).collect()
+    assert(out.nonEmpty) // the fixture's duplicate docs share frames
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("n_occurrences") >= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc"))
+    }
+  }
 }
 
 /** Per-query analyzability canary (VERDICT r7 item 8): every registered
