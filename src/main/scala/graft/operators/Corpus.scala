@@ -72,6 +72,102 @@ object Corpus {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // CONTENT-DEFINED CHUNKING (the FastCDC/rsync family: boundaries
+    // where a rolling hash of the last w=4 chars ≡ 0 mod 32) + chunk-
+    // level exact dedup. x29's fixed stride breaks on INSERTION — one
+    // added word shifts every later chunk boundary, so every downstream
+    // chunk re-hashes as "new". Content-defined cuts resynchronize within
+    // one window of an edit, which is why dedup storage (and near-dup
+    // corpus diffing between crawl snapshots) cuts this way: the shared
+    // suffix of two document versions yields IDENTICAL chunks again.
+    // Per position i ≥ w the hash is Σ code(c_j)·31^(i−j) mod 1e9+7 over
+    // the w-char window (FastCDC's gear window is similarly small — the
+    // window only needs enough entropy to make cuts content-local),
+    // evaluated as one unrolled integer expression per position; chunk
+    // identity is the chunk text's md5 (codegen-native both engines, the
+    // x89 digest), so the whole table hash-matches.
+    //
+    // Scale: boundary detection and chunk emission are PER-ROW column
+    // math (nested let-bound lambdas — codes, then the hash array, each
+    // bound ONCE; no CSE in HOF lambdas, the x04 lesson) — zero shuffle
+    // until the chunk-fp dedup count, whose exchange carries (fp, extent)
+    // keys, never chunk bodies. O(n·w) work per document, embarrassingly
+    // parallel; the dedup count is the same digest-keyed shape as x01.
+    QueryDef("x92_cdc_chunks",
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(len(text) AS INT) AS n,
+        |         list_transform(range(len(text)),
+        |           i -> CAST(unicode(text[i+1]) AS BIGINT)) AS cds
+        |  FROM documents
+        |), hsv AS (
+        |  SELECT doc_id, text, n,
+        |         list_transform(range(4, greatest(n, 4) + 1),
+        |           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                  cds[i-3:i]),
+        |                  (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        |  FROM d
+        |), cu AS (
+        |  SELECT doc_id, text, n,
+        |         list_filter(range(4, greatest(n, 4) + 1),
+        |           i -> hs[i - 3] % 32 = 0) AS cuts
+        |  FROM hsv
+        |), en AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN n < 4 THEN [CAST(n AS BIGINT)]
+        |              WHEN list_contains(cuts, n) THEN cuts
+        |              ELSE list_concat(cuts, [CAST(n AS BIGINT)]) END AS ends
+        |  FROM cu
+        |), ch AS (
+        |  SELECT doc_id, text, ends, unnest(range(len(ends))) AS k0 FROM en
+        |), cc AS (
+        |  SELECT doc_id, CAST(k0 + 1 AS INT) AS chunk_idx,
+        |         CAST(CASE WHEN k0 = 0 THEN 1
+        |              ELSE ends[k0] + 1 END AS INT) AS cstart,
+        |         CAST(ends[k0 + 1]
+        |              - CASE WHEN k0 = 0 THEN 1 ELSE ends[k0] + 1 END
+        |              + 1 AS INT) AS clen,
+        |         substring(text,
+        |           CAST(CASE WHEN k0 = 0 THEN 1
+        |                ELSE ends[k0] + 1 END AS INT),
+        |           CAST(ends[k0 + 1]
+        |                - CASE WHEN k0 = 0 THEN 1 ELSE ends[k0] + 1 END
+        |                + 1 AS INT)) AS ctext
+        |  FROM ch
+        |), fp AS (
+        |  SELECT doc_id, chunk_idx, cstart, clen, md5(ctext) AS chunk_fp
+        |  FROM cc
+        |)
+        |SELECT doc_id, chunk_idx, cstart, clen, chunk_fp,
+        |       CAST(count(*) OVER (PARTITION BY chunk_fp) AS BIGINT)
+        |         AS n_copies,
+        |       count(*) OVER (PARTITION BY chunk_fp) > 1 AS is_dup
+        |FROM fp ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      // Boundary extraction is the native codegen'd
+      // [[graft.plans.CdcBoundaries]] expression (w=4 gear window, cut at
+      // hash ≡ 0 mod 32) — an interpreted-HOF first cut of the same math
+      // cost 5.2 s at sf0.1; the Expression runs inside whole-stage
+      // codegen at scan bandwidth. The oracle replays the identical fold
+      // relationally (per-step mod, congruent to the loop's single mod).
+      val ch = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          graft.plans.CdcBoundaries(col("text"), 4, 32).as("ends"))
+        .select(col("doc_id"), col("text"), col("ends"),
+          posexplode(col("ends")).as(Seq("k0", "cend")))
+        .withColumn("cstart",
+          when(col("k0") === 0, 1)
+            .otherwise(element_at(col("ends"), col("k0")) + 1))
+        .withColumn("clen", col("cend") - col("cstart") + 1)
+        .select(col("doc_id"),
+          (col("k0") + 1).cast("int").as("chunk_idx"),
+          col("cstart").cast("int").as("cstart"),
+          col("clen").cast("int").as("clen"),
+          md5(expr("substring(text, cstart, clen)")).as("chunk_fp"))
+      ch.withColumn("n_copies",
+          count(lit(1)).over(Window.partitionBy(col("chunk_fp"))))
+        .withColumn("is_dup", col("n_copies") > 1)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Paragraph-level exact DEDUP with reassembly (the CCNet shape: dedup
     // at sub-document granularity, then stitch the survivors back into
     // cleaned documents). The fixture has no newlines, so a "paragraph" is

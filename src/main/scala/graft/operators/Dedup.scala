@@ -245,6 +245,77 @@ object Dedup {
       |             JOIN sig sb ON p.doc_b = sb.doc_id
       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
 
+  /** The x91 band-configuration sweep: (bands, rows-per-band) splits of the
+    * SAME 8-perm signature budget. Theory capture probability at J = 0.5
+    * (1 − (1 − J^r)^b) is computed ONCE here, rounded, and interpolated as
+    * the identical literal into both engines. */
+  private val x91Configs: Seq[(Int, Int, String)] =
+    Seq((8, 1), (4, 2), (2, 4)).map { case (b, r) =>
+      val p = 1.0 - math.pow(1.0 - math.pow(0.5, r), b)
+      (b, r, f"${math.rint(p * 1e4) / 1e4}%.4f")
+    }
+
+  /** x91's oracle: the shared sig CTE, an inverted-index ground truth at
+    * J ≥ 1/2 (integer test — 3·|∩| ≥ |A|+|B|), then one structurally
+    * identical banding block per config. */
+  private def x91OracleSql: String = {
+    val blocks = x91Configs.map { case (b, r, p) =>
+      s"""bd$b AS (
+        |  SELECT doc_id, band,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range($r), i -> sig[band * $r + i + 1])),
+        |           (acc, x) -> (acc * 1000003 + x) % 1000000007) AS bucket
+        |  FROM (SELECT doc_id, sig, unnest(range($b)) AS band FROM sg)
+        |), kp$b AS (
+        |  SELECT band, bucket FROM bd$b
+        |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 100
+        |), pc$b AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM (SELECT bd$b.* FROM bd$b JOIN kp$b USING (band, bucket)) a
+        |  JOIN (SELECT bd$b.* FROM bd$b JOIN kp$b USING (band, bucket)) b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |   AND a.doc_id < b.doc_id
+        |), r$b AS (
+        |  SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM pc$b) AS n_cand,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM pc$b
+        |          JOIN tj ON pc$b.doc_a = tj.doc_a
+        |                 AND pc$b.doc_b = tj.doc_b) AS n_hit,
+        |         CAST($p AS DOUBLE) AS p_capture_50
+        |)""".stripMargin
+    }.mkString(", ")
+    val union = x91Configs.map { case (b, _, _) => s"SELECT * FROM r$b" }
+      .mkString(" UNION ALL ")
+    s"""WITH $pminhashCteSql, samp AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE ${graft.operators.TextAnalysis.fingerprintSql} % 2 = 0
+      |), sg AS (
+      |  SELECT sig.* FROM sig JOIN samp USING (doc_id)
+      |), ex AS (
+      |  SELECT doc_id, unnest(tri) AS g FROM sg
+      |), sz AS (
+      |  SELECT doc_id, len(tri) AS sz FROM sg
+      |), pc AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), tj AS (
+      |  SELECT pc.doc_a, pc.doc_b FROM pc
+      |  JOIN sz sa ON sa.doc_id = pc.doc_a
+      |  JOIN sz sb ON sb.doc_id = pc.doc_b
+      |  WHERE 3 * pc.inter >= sa.sz + sb.sz
+      |), nt AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tj
+      |), $blocks, u AS ($union)
+      |SELECT bands, rows_per_band, n_cand, n_hit, nt.n_truth,
+      |       CASE WHEN n_cand = 0 THEN CAST(0.0 AS DOUBLE)
+      |            ELSE round(1e-9 + n_hit * 1.0 / n_cand, 4) END AS prec,
+      |       CASE WHEN nt.n_truth = 0 THEN CAST(0.0 AS DOUBLE)
+      |            ELSE round(1e-9 + n_hit * 1.0 / nt.n_truth, 4) END AS rec,
+      |       p_capture_50
+      |FROM u, nt ORDER BY bands DESC""".stripMargin
+  }
+
   /** The winnowing fingerprint table (doc_id, fp) — x75's persisted
     * content-keyed ingest artifact. Extraction is one codegen'd per-row
     * pass: ordered gram hashes, w=4 window minima via
@@ -1263,6 +1334,113 @@ object Dedup {
             .as("overlap"))
         .orderBy(col("overlap").desc, col("doc_a"), col("doc_b"))
         .limit(50)
+    },
+
+    // LSH BAND-CONFIGURATION CALIBRATION — the dedup-side twin of x83's
+    // IVF nprobe sweep: the SAME persisted 8-perm signature budget split
+    // three ways ((bands, rows) ∈ {(8,1), (4,2), (2,4)}), each config's
+    // candidate set scored for precision AND recall against an EXACT
+    // Jaccard ≥ 1/2 ground truth. This is the measurement a pipeline runs
+    // before committing a banding scheme to a 100 TB corpus, because the
+    // (b, r) choice is irreversible once signatures are banded at ingest:
+    // more bands = recall (capture P at J is 1 − (1 − J^r)^b, surfaced
+    // per config as the theory column the measured recall brackets),
+    // fewer = precision (r rows per band ⇒ per-band collision P = J^r).
+    // The threshold test is INTEGER (3·|∩| ≥ |A|+|B| ⟺ J ≥ 1/2) — no
+    // float boundary either engine. Band buckets fold each signature
+    // slice mod 1e9+7 (exact longs: acc < 2^30, ·1000003 < 2^50); the
+    // crowded-bucket cap (2..100) is x39's production guardrail, applied
+    // identically per config.
+    //
+    // Scale: the WHOLE sweep — candidates and ground truth — runs on a
+    // deterministic content-keyed half-sample (fingerprint % 2, x61's
+    // selector), because calibration is a measurement, not a production
+    // pass: at 100 TB you calibrate on a slice and band the corpus once
+    // (x83's sampled query set applied to banding). The ground-truth arm
+    // is the x04 inverted-index join (work ∝ shared grams within the
+    // sample); each config's candidate generation is the same banded
+    // equi-join the production pipeline uses, work ∝ collisions. Nothing
+    // in the sweep is all-pairs; the three configs share one signature
+    // scan.
+    QueryDef("x91_lsh_calibration", x91OracleSql) { (s, d) =>
+      val samp = TextAnalysis.fingerprintTable(s, d)
+        .filter(col("fp") % 2 === 0).select(col("doc_id"))
+      val sig = pminhashTable(s, d)
+        .join(samp, "doc_id")
+        .select(col("doc_id"), col("tri"), col("sig"))
+        .localCheckpoint() // truth arm + three banding views all read it
+      val ex = sig.select(col("doc_id"), explode(col("tri")).as("g"))
+      // Count-based exact Jaccard (the x04 shape): |∩| falls out of the
+      // postings co-occurrence count — the 300-element tri arrays never
+      // cross the pair join (a first cut shipped them to 1.1M candidate
+      // pairs for array_intersect and spent 10 s where this spends <1).
+      val sz = sig.select(col("doc_id"), size(col("tri")).as("sz"))
+      val pc = ex.as("a")
+        .join(ex.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val truth = pc
+        .join(broadcast(sz.select(col("doc_id").as("doc_a"), col("sz").as("sza"))),
+          "doc_a")
+        .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("sz").as("szb"))),
+          "doc_b")
+        .filter(col("inter") * 3 >= col("sza") + col("szb"))
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint() // three configs probe it; score it once
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      // All three configs ride ONE chain: union the banded views under a
+      // (bands) tag, then a single bucket-size filter, a single pair
+      // join, and a single per-config aggregate — 3 separate per-config
+      // job chains cost ~2 s of scheduler overhead at fixture scale for
+      // identical results.
+      val banded = x91Configs.map { case (b, r, _) =>
+        sig
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(b - 1))).as("band"), col("sig"))
+          .select(lit(b).as("bands"), col("doc_id"), col("band"),
+            aggregate(
+              slice(col("sig"), col("band") * r + 1, lit(r)),
+              lit(0L),
+              (acc, x) => (acc * 1000003L + x) % 1000000007L).as("bucket"))
+      }.reduce(_.union(_))
+      val keep = banded.groupBy(col("bands"), col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz").between(2, 100))
+        .select(col("bands"), col("band"), col("bucket"))
+      val pruned = banded.join(keep, Seq("bands", "band", "bucket"))
+      val pairs = pruned.as("a")
+        .join(pruned.as("b"),
+          col("a.bands") === col("b.bands") &&
+            col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.bands").as("bands"),
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .localCheckpoint() // n_cand and n_hit both read it
+      val candCnt = pairs.groupBy(col("bands")).agg(count(lit(1)).as("n_cand"))
+      val hitCnt = pairs.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .groupBy(col("bands")).agg(count(lit(1)).as("n_hit"))
+      import s.implicits._
+      val confDf = x91Configs
+        .map { case (b, r, p) => (b, r, p.toDouble) }
+        .toDF("bands", "rows_per_band", "p_capture_50")
+      confDf
+        .join(candCnt, Seq("bands"), "left")
+        .join(hitCnt, Seq("bands"), "left")
+        .na.fill(0L, Seq("n_cand", "n_hit"))
+        .crossJoin(broadcast(nTruth))
+        .select(col("bands"), col("rows_per_band"), col("n_cand"),
+          col("n_hit"), col("n_truth"),
+          when(col("n_cand") === 0, 0.0)
+            .otherwise(Num.roundOut(col("n_hit") * 1.0 / col("n_cand"), 4))
+            .as("prec"),
+          when(col("n_truth") === 0, 0.0)
+            .otherwise(Num.roundOut(col("n_hit") * 1.0 / col("n_truth"), 4))
+            .as("rec"),
+          col("p_capture_50"))
+        .orderBy(col("bands").desc)
     }
   )
 }

