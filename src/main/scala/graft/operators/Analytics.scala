@@ -18,6 +18,28 @@ import graft.{QueryDef, Tables}
   */
 object Analytics {
 
+  /** q78's relational answer — shared VERBATIM with st13's streaming
+    * cohort maintenance (the st10↔x39 / st11↔x42 move applied to
+    * retention): one final answer definition, so the batch and streaming
+    * paths can't drift apart. */
+  private[graft] val q78OracleSql: String =
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      |), a AS (
+      |  SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS w
+      |  FROM events e WHERE e.event_type = 'purchase'
+      |), sz AS (
+      |  SELECT cohort, count(*) AS n_cohort FROM f GROUP BY cohort
+      |)
+      |SELECT CAST(f.cohort AS DATE) AS cohort_week,
+      |       CAST(datediff('day', f.cohort, a.w) // 7 AS BIGINT) AS offset_w,
+      |       count(*) AS n_active, sz.n_cohort,
+      |       round(1e-9 + count(*) * 1.0 / sz.n_cohort, 4) AS retention
+      |FROM f JOIN a USING (user_id) JOIN sz ON f.cohort = sz.cohort
+      |GROUP BY f.cohort, a.w, sz.n_cohort
+      |ORDER BY cohort_week, offset_w""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
 
     // Conversion funnel view → click → purchase with STRICT event-order
@@ -83,23 +105,7 @@ object Analytics {
     // exact integer day-diffs (both ends week-truncated) so `div 7` is
     // exact. The retention ratio divides two exact longs — one IEEE
     // division, bit-stable.
-    QueryDef("q78_retention_cohorts",
-      """WITH f AS (
-        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
-        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
-        |), a AS (
-        |  SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS w
-        |  FROM events e WHERE e.event_type = 'purchase'
-        |), sz AS (
-        |  SELECT cohort, count(*) AS n_cohort FROM f GROUP BY cohort
-        |)
-        |SELECT CAST(f.cohort AS DATE) AS cohort_week,
-        |       CAST(datediff('day', f.cohort, a.w) // 7 AS BIGINT) AS offset_w,
-        |       count(*) AS n_active, sz.n_cohort,
-        |       round(1e-9 + count(*) * 1.0 / sz.n_cohort, 4) AS retention
-        |FROM f JOIN a USING (user_id) JOIN sz ON f.cohort = sz.cohort
-        |GROUP BY f.cohort, a.w, sz.n_cohort
-        |ORDER BY cohort_week, offset_w""".stripMargin) { (s, d) =>
+    QueryDef("q78_retention_cohorts", Analytics.q78OracleSql) { (s, d) =>
       val purch = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"))

@@ -810,6 +810,63 @@ object Multimodal {
           Num.roundOut(col("n_voiced") * 1.0 / col("n_frames"), 4)
             .as("voiced_ratio"))
         .orderBy(col("doc_id"))
+    },
+
+    // ASPECT-RATIO BUCKET BATCHING — the diffusion-training data-loading
+    // pattern (NovelAI/SDXL bucketing): images batch with OTHERS OF LIKE
+    // SHAPE so each batch pads to its bucket's envelope instead of a
+    // global square, and the padding waste is the measured objective.
+    // Dims come from the REAL P6 header through the same mapPartitions
+    // decode as m01/m04; bucket assignment is integer cross-ratio tests
+    // (w·3 ≥ h·4 → wide, h·3 ≥ w·4 → tall, else square — no float
+    // boundary); per bucket the report gives the padded-pixel envelope
+    // (n · max_w · max_h) and the waste fraction (one exact-long
+    // division).
+    //
+    // Scale: payload bytes are touched once per partition for the header
+    // parse (in production dims are ingest metadata and the raster is
+    // never read); everything after is a 3-group partial agg — the
+    // bucket table is what the training data-loader consumes to plan
+    // its batches, recomputed per snapshot in one metadata pass.
+    QueryDef("m12_aspect_buckets",
+      """WITH p AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 24
+        |), dims AS (
+        |  SELECT doc_id, CAST(8 AS INT) AS w, CAST(n // 24 AS INT) AS h
+        |  FROM p
+        |), b AS (
+        |  SELECT doc_id, w, h,
+        |         CASE WHEN w * 3 >= h * 4 THEN 'wide'
+        |              WHEN h * 3 >= w * 4 THEN 'tall'
+        |              ELSE 'square' END AS bucket
+        |  FROM dims
+        |)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_images,
+        |       CAST(max(w) AS INT) AS max_w, CAST(max(h) AS INT) AS max_h,
+        |       CAST(sum(w * h) AS BIGINT) AS pixels_total,
+        |       CAST(count(*) * max(w) * max(h) AS BIGINT) AS pixels_padded,
+        |       round(1e-9 + 1.0 - sum(w * h) * 1.0
+        |             / (count(*) * max(w) * max(h)), 4) AS waste_frac
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      decodeImages(ppmPayloads(s, d))
+        .select(col("doc_id"), col("width").as("w"), col("height").as("h"))
+        .withColumn("bucket",
+          when(col("w") * 3 >= col("h") * 4, "wide")
+            .when(col("h") * 3 >= col("w") * 4, "tall")
+            .otherwise("square"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_images"),
+          max(col("w")).as("max_w"), max(col("h")).as("max_h"),
+          sum((col("w") * col("h")).cast("long")).as("pixels_total"))
+        .select(col("bucket"), col("n_images"), col("max_w"), col("max_h"),
+          col("pixels_total"),
+          (col("n_images") * col("max_w") * col("max_h")).as("pixels_padded"),
+          Num.roundOut(lit(1.0) - col("pixels_total") * 1.0
+            / (col("n_images") * col("max_w") * col("max_h")), 4)
+            .as("waste_frac"))
+        .orderBy(col("bucket"))
     }
   )
 }

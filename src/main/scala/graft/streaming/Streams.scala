@@ -947,6 +947,86 @@ object Streams {
           ss.read.parquet(regDir),
           ev.agg(countDistinct(col("user_id")).as("n_exact")))
       }
+    },
+
+    // STREAMING COHORT RETENTION — q78 maintained incrementally across
+    // micro-batches. The two state tables are both from provably
+    // batching-free aggregate classes: per-user FIRST-purchase ts is a
+    // min-fold (idempotent + commutative + associative, st12's register
+    // argument), and the (user, week) activity set is a set-union
+    // (idempotent by construction). Whatever the file/trigger slicing,
+    // the converged states equal their batch definitions, so the final
+    // derivation IS q78's finish and the oracle is q78OracleSql VERBATIM
+    // (the st10↔x39 rule applied to retention analytics).
+    //
+    // Scale: cross-batch state is O(users) + O(users × active weeks) —
+    // the same tables a warehouse materializes for cohort serving; each
+    // micro-batch ships only its per-user partial minima and its new
+    // distinct (user, week) pairs after map-side combine. Late events
+    // fold in exactly (min absorbs them; the set ignores repeats) — no
+    // watermark needed for CORRECTNESS, only for state eviction when
+    // cohorts age out of the reporting horizon.
+    QueryDef("st13_stream_retention",
+      graft.operators.Analytics.q78OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageEventsSplit(ss, d)
+        val key = graft.ContentKey.key(
+          java.nio.file.Paths.get(d, "events.parquet"))
+        val firstDir = graft.Warehouse.path(s"graft_stret_first_v1_$key")
+        val actDir = graft.Warehouse.path(s"graft_stret_act_v1_$key")
+        resetDir(firstDir); resetDir(actDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            def hasState(dir: String): Boolean =
+              java.nio.file.Files.exists(
+                java.nio.file.Paths.get(dir, "_SUCCESS"))
+            val purch = Tables.normalizeTs(batch)
+              .filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"))
+              .localCheckpoint() // both folds read it; severed from state
+            val partF = purch.groupBy(col("user_id"))
+              .agg(min(col("ts")).as("first_ts"))
+            val priorF =
+              if (hasState(firstDir)) spark.read.parquet(firstDir)
+              else partF.limit(0)
+            priorF.unionByName(partF)
+              .groupBy(col("user_id")).agg(min(col("first_ts")).as("first_ts"))
+              .localCheckpoint()
+              .write.mode("overwrite").parquet(firstDir)
+            val partA = purch
+              .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+              .distinct()
+            val priorA =
+              if (hasState(actDir)) spark.read.parquet(actDir)
+              else partA.limit(0)
+            priorA.unionByName(partA).distinct()
+              .localCheckpoint()
+              .write.mode("overwrite").parquet(actDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        // q78's finish, read from the converged streaming state.
+        val f = ss.read.parquet(firstDir)
+          .select(col("user_id"),
+            date_trunc("week", col("first_ts")).as("cohort"))
+        val a = ss.read.parquet(actDir)
+        val sz = f.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+        f.join(a, Seq("user_id"))
+          .groupBy(col("cohort"), col("w"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sz), Seq("cohort"))
+          .select(col("cohort").cast("date").as("cohort_week"),
+            expr("CAST(datediff(w, cohort) div 7 AS BIGINT)").as("offset_w"),
+            col("n_active"), col("n_cohort"),
+            Num.roundOut(col("n_active") * 1.0 / col("n_cohort"), 4)
+              .as("retention"))
+          .orderBy(col("cohort_week"), col("offset_w"))
+      }
     }
   )
 

@@ -166,6 +166,29 @@ class Round8Spec extends AnyFunSuite {
     assert(out.count() == Tables.documents(spark, sf0_001).count())
   }
 
+  test("st13's converged streaming cohort state reproduces the batch q78 rows exactly") {
+    // The oracle already checks both against q78OracleSql; this pins the
+    // stronger engine-internal equality directly: min-fold and set-union
+    // state must converge to the batch answer under any batching.
+    val stream = SparkEntry.queries("st13_stream_retention")(spark, sf0_001).collect()
+    val batch = SparkEntry.queries("q78_retention_cohorts")(spark, sf0_001).collect()
+    assert(stream.toSeq == batch.toSeq)
+  }
+
+  test("m12 buckets partition the decodable images and the padded envelope dominates the pixel mass") {
+    val out = SparkEntry.queries("m12_aspect_buckets")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    val decodable = Tables.documents(spark, sf0_001)
+      .filter(length(encode(col("text"), "UTF-8")) >= 24).count()
+    assert(out.map(_.getAs[Long]("n_images")).sum == decodable,
+      "every decodable image lands in exactly one bucket")
+    out.foreach { r =>
+      assert(r.getAs[Long]("pixels_padded") >= r.getAs[Long]("pixels_total"))
+      val wf = r.getAs[Double]("waste_frac")
+      assert(wf >= 0.0 && wf < 1.0)
+    }
+  }
+
   test("m11 reports only frames shared by ≥2 docs, with occurrence ≥ doc counts") {
     val out = SparkEntry.queries("m11_frame_dedup")(spark, sf0_001).collect()
     assert(out.nonEmpty) // the fixture's duplicate docs share frames
