@@ -384,6 +384,129 @@ object Analytics {
         .select(col("user_id"), col("n_events"),
           Num.roundOut(col("raw_fp") / 10000.0, 4).as("raw_value"),
           Num.roundOut(col("dec_fp") / 10000.0, 4).as("decayed_value"))
+    },
+
+    // ROBUST OUTLIER REPORT per event type: median and MAD by RANK
+    // SELECTION (lower median — the value at row_number (n+1)/2 under a
+    // total (value, event_id) order), outlier = |v − med| > 3·MAD. Rank
+    // selection instead of interpolating percentiles keeps every
+    // reported statistic an ACTUAL data value — no midpoint arithmetic,
+    // so cross-engine parity needs only a shared total order (ties break
+    // by event_id; nulls are filtered explicitly because the engines'
+    // default null sort order differs). The two medians share one
+    // type-keyed exchange each; the deviation pass re-reads the events
+    // scan with the 5-row median table broadcast.
+    //
+    // Scale: exact per-group rank selection sorts the group — this is
+    // the exact CALIBRATION arm; at 100 TB the serving path is x27's
+    // mergeable KLL sketch (same report, O(1/ε) state), and this query
+    // is what validates it per release. The outlier COUNT then needs
+    // only the broadcast (med, mad) thresholds — a pure scan-side pass.
+    QueryDef("x94_mad_outliers",
+      """WITH v AS (
+        |  SELECT event_type, event_id, value FROM events
+        |  WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v
+        |), med AS (
+        |  SELECT event_type, value AS med FROM r WHERE rn = (n + 1) // 2
+        |), ad AS (
+        |  SELECT v.event_type, v.event_id, med.med,
+        |         abs(v.value - med.med) AS adiff
+        |  FROM v JOIN med USING (event_type)
+        |), r2 AS (
+        |  SELECT event_type, med, adiff,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY adiff, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ad
+        |), mad AS (
+        |  SELECT event_type, med, adiff AS mad FROM r2 WHERE rn = (n + 1) // 2
+        |)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(1e-9 + m.med, 4) AS med,
+        |       round(1e-9 + m.mad, 4) AS mad,
+        |       CAST(sum(CASE WHEN a.adiff > 3 * m.mad THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers,
+        |       round(1e-9 + max(a.adiff), 4) AS max_adiff
+        |FROM ad a JOIN mad m USING (event_type)
+        |GROUP BY a.event_type, m.med, m.mad
+        |ORDER BY a.event_type""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("value"))
+      def lowerMedian(in: org.apache.spark.sql.DataFrame, c: String) = in
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col(c), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+      val med = lowerMedian(v, "value")
+        .select(col("event_type"), col("value").as("med"))
+      val ad = v.join(broadcast(med), "event_type")
+        .withColumn("adiff", abs(col("value") - col("med")))
+      val mad = lowerMedian(ad, "adiff")
+        .select(col("event_type"), col("med"), col("adiff").as("mad"))
+      ad.select(col("event_type"), col("adiff"))
+        .join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("adiff") > col("mad") * 3, 1L).otherwise(0L))
+            .as("n_outliers"),
+          max(col("adiff")).as("max_adiff"))
+        .select(col("event_type"), col("n"),
+          Num.roundOut(col("med"), 4).as("med"),
+          Num.roundOut(col("mad"), 4).as("mad"),
+          col("n_outliers"),
+          Num.roundOut(col("max_adiff"), 4).as("max_adiff"))
+        .orderBy(col("event_type"))
+    },
+
+    // EVENT TRANSITION MATRIX — the per-user next-event Markov table
+    // (from_type → to_type counts and row-conditional probabilities)
+    // behind funnel design and anomaly detection: which step follows
+    // which, empirically. Successor pairs come from one lead() window
+    // under the (ts, event_id) total order; the row-normalizer is a
+    // types-sized broadcast. The probability is one exact-long division.
+    //
+    // Scale: ONE user-keyed exchange for the window (the q34/q13 spine);
+    // pairs collapse map-side to a types² partial — the matrix is O(25)
+    // rows at any corpus size. The last event per user emits no pair
+    // (lead = null), matching the open-ended session semantics.
+    QueryDef("x95_event_transitions",
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), t AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
+        |)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       round(1e-9 + c.n * 1.0 / t.tot, 4) AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+      val p = Tables.events(s, d)
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))).as("to_type"))
+      val c = p.filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+      c.join(broadcast(t), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          Num.roundOut(col("n") * 1.0 / col("tot"), 4).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
     }
   )
 }

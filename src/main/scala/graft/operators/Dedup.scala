@@ -1441,6 +1441,59 @@ object Dedup {
             .as("rec"),
           col("p_capture_50"))
         .orderBy(col("bands").desc)
+    },
+
+    // DUPLICATE-CLUSTER SIZE HISTOGRAM — the dedup economics report:
+    // how duplicate mass distributes across cluster sizes (a corpus
+    // where dup mass sits in a few huge boilerplate clusters dedups
+    // cheaply and catastrophically-skewed; one where it spreads across
+    // millions of pairs needs the near-dup machinery). Per exact-dup
+    // cluster (x01's md5 key): size; per size: cluster count, docs,
+    // char mass, docs removable under keep-one (size − 1 each), and the
+    // removable share of the whole corpus — the "what does dedup buy"
+    // number a curation run publishes before committing (x89's
+    // per-source view, re-cut by cluster size).
+    //
+    // Scale: digests-only shuffle (16-byte keys, never bodies) into a
+    // cluster-sized partial agg, then a SECOND partial agg over cluster
+    // rows keyed by size — both map-side combining; the corpus total is
+    // a 1-row broadcast. Cluster count ≤ docs, size histogram is O(max
+    // cluster size) rows at any scale.
+    QueryDef("x96_dup_size_histogram",
+      """WITH h AS (
+        |  SELECT doc_id, n_chars, md5(text) AS th FROM documents
+        |), g AS (
+        |  SELECT th, count(*) AS csize, CAST(sum(n_chars) AS BIGINT) AS mass
+        |  FROM h GROUP BY th
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total FROM h
+        |)
+        |SELECT CAST(g.csize AS INT) AS cluster_size,
+        |       CAST(count(*) AS BIGINT) AS n_clusters,
+        |       CAST(count(*) * g.csize AS BIGINT) AS n_docs,
+        |       CAST(sum(g.mass) AS BIGINT) AS chars_total,
+        |       CAST(count(*) * (g.csize - 1) AS BIGINT) AS docs_removable,
+        |       round(1e-9 + count(*) * (g.csize - 1) * 1.0 / t.n_total, 4)
+        |         AS removable_frac
+        |FROM g, t GROUP BY g.csize, t.n_total
+        |ORDER BY cluster_size""".stripMargin) { (s, d) =>
+      val h = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), md5(col("text")).as("th"))
+      val g = h.groupBy(col("th"))
+        .agg(count(lit(1)).as("csize"), sum(col("n_chars")).as("mass"))
+      val t = h.agg(count(lit(1)).as("n_total"))
+      g.groupBy(col("csize"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("mass")).as("chars_total"))
+        .crossJoin(broadcast(t))
+        .select(col("csize").cast("int").as("cluster_size"),
+          col("n_clusters"),
+          (col("n_clusters") * col("csize")).as("n_docs"),
+          col("chars_total"),
+          (col("n_clusters") * (col("csize") - 1)).as("docs_removable"),
+          Num.roundOut(
+            col("n_clusters") * (col("csize") - 1) * 1.0 / col("n_total"), 4)
+            .as("removable_frac"))
+        .orderBy(col("cluster_size"))
     }
   )
 }

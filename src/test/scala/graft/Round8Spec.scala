@@ -189,6 +189,41 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("x94 medians are rank-selected data values and outliers are bounded by group size") {
+    val out = SparkEntry.queries("x94_mad_outliers")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    val total = Tables.events(spark, sf0_001)
+      .filter(col("value").isNotNull).count()
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n"))
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Double]("max_adiff") >= r.getAs[Double]("mad"))
+    }
+  }
+
+  test("x95 transition counts conserve: Σn == events − users (each user's last event emits no pair), rows sum to 1") {
+    val out = SparkEntry.queries("x95_event_transitions")(spark, sf0_001).collect()
+    val ev = Tables.events(spark, sf0_001)
+    val expect = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(out.map(_.getAs[Long]("n")).sum == expect)
+    out.groupBy(_.getAs[String]("from_type")).foreach { case (_, rows) =>
+      val psum = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(psum - 1.0) < 0.01, s"row-conditional probs sum to $psum")
+    }
+  }
+
+  test("x96 histogram conserves docs and removals against the corpus") {
+    val out = SparkEntry.queries("x96_dup_size_histogram")(spark, sf0_001).collect()
+    val docs = Tables.documents(spark, sf0_001)
+    val n = docs.count()
+    val distinct = docs.select(md5(col("text"))).distinct().count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == n)
+    assert(out.map(_.getAs[Long]("docs_removable")).sum == n - distinct)
+    assert(out.map(_.getAs[Long]("chars_total")).sum ==
+      docs.agg(sum(col("n_chars"))).first().getLong(0))
+  }
+
   test("m11 reports only frames shared by ≥2 docs, with occurrence ≥ doc counts") {
     val out = SparkEntry.queries("m11_frame_dedup")(spark, sf0_001).collect()
     assert(out.nonEmpty) // the fixture's duplicate docs share frames
