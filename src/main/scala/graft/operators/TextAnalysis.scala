@@ -1726,6 +1726,83 @@ object TextAnalysis {
             .as("score_mean"),
           (col("score_sum") > 0).as("keep"))
         .orderBy(col("doc_id"))
+    },
+
+    // DETERMINISTIC WEIGHTED SAMPLE by PRIORITY (Duffield/Lund/Thorup
+    // priority sampling): each document draws priority w/u — weight
+    // n_chars over a content-keyed "uniform" u = (fp+1)/(M+1) from the
+    // persisted fingerprint — and the sample is the top-20 priorities.
+    // This is how an eval slice gets drawn from a weighted corpus with
+    // NO RNG state: re-ingesting the same corpus reproduces the same
+    // sample bit-for-bit (x22's determinism contract applied to
+    // sampling), heavier documents are proportionally likelier, and the
+    // priority is ONE IEEE division of exact integers — bit-identical
+    // cross-engine.
+    //
+    // Scale: priorities are per-row column math over the fingerprint
+    // table; the top-20 is TakeOrderedAndProject (per-partition heaps,
+    // k rows to the driver) — no global sort, no shuffle of the corpus.
+    QueryDef("x97_priority_sample",
+      s"""WITH f AS (
+        |  SELECT doc_id, source, n_chars, $fingerprintSql AS fp
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_chars,
+        |       round(1e-9 + n_chars * 1000000008.0 / (fp + 1), 4) AS pri
+        |FROM f ORDER BY pri DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .join(fingerprintTable(s, d), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          Num.roundOut(
+            col("n_chars") * 1000000008.0 / (col("fp") + 1), 4).as("pri"))
+        .orderBy(col("pri").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // NORMALIZATION DEDUP GAIN — how many extra duplicates canonical
+    // text equality finds over raw equality, per source: lowercase,
+    // strip non-alphanumerics, collapse runs of spaces, trim (the CCNet/
+    // near-dup-prep canonicalization), then compare distinct-digest
+    // counts under both keys. The gain column is the evidence a pipeline
+    // needs before switching its dedup key — raw-equality dedup (x01)
+    // silently misses trivially-reformatted copies.
+    //
+    // Scale: two digests per row computed map-side (the normalization
+    // chain is codegen'd regexp/case ops); the per-source rollup
+    // aggregates APPROX-distinct-sized state… no — EXACT distinct per
+    // source here, which shuffles (source, digest) pairs once; at 100 TB
+    // the digests feed x62's HLL per source instead and the report keeps
+    // its shape (the x11→x12 exact→sketch swap).
+    QueryDef("x98_normalization_gain",
+      """WITH n AS (
+        |  SELECT doc_id, source, md5(text) AS raw_h,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_h
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT raw_h) AS BIGINT) AS distinct_raw,
+        |       CAST(count(DISTINCT norm_h) AS BIGINT) AS distinct_norm,
+        |       CAST(count(DISTINCT raw_h) - count(DISTINCT norm_h) AS BIGINT)
+        |         AS extra_dups,
+        |       round(1e-9 + (count(DISTINCT raw_h) - count(DISTINCT norm_h))
+        |             * 1.0 / count(*), 4) AS gain_frac
+        |FROM n GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val n = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("raw_h"),
+          md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", ""), " +", " "))).as("norm_h"))
+      n.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("raw_h")).as("distinct_raw"),
+          countDistinct(col("norm_h")).as("distinct_norm"))
+        .select(col("source"), col("n_docs"), col("distinct_raw"),
+          col("distinct_norm"),
+          (col("distinct_raw") - col("distinct_norm")).as("extra_dups"),
+          Num.roundOut((col("distinct_raw") - col("distinct_norm")) * 1.0
+            / col("n_docs"), 4).as("gain_frac"))
+        .orderBy(col("source"))
     }
   )
 

@@ -224,6 +224,29 @@ class Round8Spec extends AnyFunSuite {
       docs.agg(sum(col("n_chars"))).first().getLong(0))
   }
 
+  test("x97 weighted sampling over-represents heavy documents and is deterministic") {
+    val out = SparkEntry.queries("x97_priority_sample")(spark, sf0_001).collect()
+    assert(out.length == 20)
+    val sampleMean = out.map(_.getAs[Long]("n_chars")).sum / 20.0
+    val corpusMean = Tables.documents(spark, sf0_001)
+      .agg(avg(col("n_chars"))).first().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"length-weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+    val again = SparkEntry.queries("x97_priority_sample")(spark, sf0_001).collect()
+    assert(out.toSeq == again.toSeq, "content-keyed sampling must be reproducible")
+  }
+
+  test("x98 canonical-key distincts are bounded by raw distincts and doc counts") {
+    val out = SparkEntry.queries("x98_normalization_gain")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf0_001).count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("distinct_norm") <= r.getAs[Long]("distinct_raw"))
+      assert(r.getAs[Long]("distinct_raw") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("m11 reports only frames shared by ≥2 docs, with occurrence ≥ doc counts") {
     val out = SparkEntry.queries("m11_frame_dedup")(spark, sf0_001).collect()
     assert(out.nonEmpty) // the fixture's duplicate docs share frames
