@@ -32,6 +32,19 @@ object TextAnalysis {
       |               i -> unicode(w[i+1]) * (i + 1))) AS BIGINT))),
       |    (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
 
+  /** x97's relational answer — shared VERBATIM with st14's streaming
+    * sample maintenance (top-k by a total priority order is a mergeable
+    * fold: top-k(A ∪ B) = top-k(top-k(A) ∪ top-k(B)) for disjoint
+    * batches), the st13↔q78 rule applied to weighted sampling. */
+  private[graft] lazy val x97OracleSql: String =
+    s"""WITH f AS (
+      |  SELECT doc_id, source, n_chars, $fingerprintSql AS fp
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, n_chars,
+      |       round(1e-9 + n_chars * 1000000008.0 / (fp + 1), 4) AS pri
+      |FROM f ORDER BY pri DESC, doc_id LIMIT 20""".stripMargin
+
   /** (doc_id, fp) persisted content-keyed ([[DerivedTable]]): the rolling
     * hash is two nested interpreted higher-order aggregates — by far the
     * heaviest scalar in the library — and SEVEN queries bucket on it
@@ -1742,14 +1755,7 @@ object TextAnalysis {
     // Scale: priorities are per-row column math over the fingerprint
     // table; the top-20 is TakeOrderedAndProject (per-partition heaps,
     // k rows to the driver) — no global sort, no shuffle of the corpus.
-    QueryDef("x97_priority_sample",
-      s"""WITH f AS (
-        |  SELECT doc_id, source, n_chars, $fingerprintSql AS fp
-        |  FROM documents
-        |)
-        |SELECT doc_id, source, n_chars,
-        |       round(1e-9 + n_chars * 1000000008.0 / (fp + 1), 4) AS pri
-        |FROM f ORDER BY pri DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    QueryDef("x97_priority_sample", TextAnalysis.x97OracleSql) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .join(fingerprintTable(s, d), "doc_id")

@@ -95,3 +95,22 @@ object CdcBoundaries {
   def apply(text: Column, w: Int, every: Int): Column =
     ColumnBridge.column(CdcBoundaries(ColumnBridge.expr(text), w, every))
 }
+
+/** The `cdc_boundaries(text, w, every)` SQL function body, shared by the
+  * extension injection and per-session registration. The window width and
+  * cut divisor parameterize the GENERATED code, so they must be foldable
+  * integer literals at the call site. */
+object CdcBoundariesSql {
+  val build: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3, "cdc_boundaries(text, w, every)")
+    def lit(e: Expression, what: String): Int = {
+      require(e.foldable, s"cdc_boundaries: $what must be a literal")
+      e.eval().asInstanceOf[Number].intValue
+    }
+    CdcBoundaries(exprs.head, lit(exprs(1), "w"), lit(exprs(2), "every"))
+  }
+
+  /** Register as a SQL function (`SELECT cdc_boundaries(text, 4, 32)`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    ColumnBridge.registerFunction(spark, "cdc_boundaries", build)
+}

@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("st_dwithin"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "st_dwithin"),
       StDWithinSql.build))
+    // cdc_boundaries(text, w, every): content-defined chunk end positions
+    // via the codegen'd gear-hash loop (w and every must be literals —
+    // they parameterize the generated code)
+    e.injectFunction((
+      new FunctionIdentifier("cdc_boundaries"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries"),
+      CdcBoundariesSql.build))
     // optimizer rule: threshold levenshtein predicates run the banded DP
     e.injectOptimizerRule(_ => LevenshteinThresholdRewrite)
     // physical strategy: TopKPerGroupNode plans as partial/final bounded

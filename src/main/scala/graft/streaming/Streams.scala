@@ -1027,6 +1027,61 @@ object Streams {
               .as("retention"))
           .orderBy(col("cohort_week"), col("offset_w"))
       }
+    },
+
+    // STREAMING WEIGHTED-SAMPLE MAINTENANCE — x97's priority sample kept
+    // live as documents stream in. Top-k under a TOTAL priority order is
+    // a mergeable fold over disjoint batches: top-k(A ∪ B) =
+    // top-k(top-k(A) ∪ top-k(B)) — so the cross-batch state is exactly
+    // the 20-row sample, each micro-batch contributes its own top-20,
+    // and the converged state provably equals the batch draw (oracle =
+    // x97OracleSql VERBATIM). This is how an eval-set draw stays current
+    // over a live corpus without re-scanning history: priority sampling's
+    // content-keyed uniform means arrival order and batching CANNOT
+    // change the sample.
+    //
+    // Scale: per-batch work is the batch's priorities + a 20-row
+    // TakeOrdered; cross-batch state is K rows forever — the smallest
+    // state class next to st12's registers. The fingerprint is computed
+    // on the batch (∝ batch), exactly the ingest-time artifact
+    // fingerprintTable persists for the batch path.
+    QueryDef("st14_stream_sample",
+      graft.operators.TextAnalysis.x97OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageDocumentsSplit(ss, d)
+        val sampleDir = graft.Warehouse.path(
+          s"graft_stsample_v1_${graft.ContentKey.key(
+            java.nio.file.Paths.get(d, "documents.parquet"))}")
+        resetDir(sampleDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val part = batch
+              .select(col("doc_id"), col("source"), col("n_chars"),
+                Num.roundOut(col("n_chars") * 1000000008.0
+                  / (graft.functions.Text.fingerprint(col("text")) + 1), 4)
+                  .as("pri"))
+              .orderBy(col("pri").desc, col("doc_id")).limit(20)
+              .localCheckpoint() // severed before the state dir is read
+            val prior =
+              if (java.nio.file.Files.exists(
+                java.nio.file.Paths.get(sampleDir, "_SUCCESS")))
+                spark.read.parquet(sampleDir)
+              else part.limit(0)
+            prior.unionByName(part)
+              .orderBy(col("pri").desc, col("doc_id")).limit(20)
+              .localCheckpoint()
+              .write.mode("overwrite").parquet(sampleDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        ss.read.parquet(sampleDir)
+          .orderBy(col("pri").desc, col("doc_id"))
+      }
     }
   )
 

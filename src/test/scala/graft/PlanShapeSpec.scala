@@ -251,4 +251,36 @@ class PlanShapeSpec extends AnyFunSuite {
       "delta-side customer join must broadcast (maintenance cost ∝ |Δ|)")
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
   }
+
+  test("x92 CDC chunking: native boundary expression keeps emission shuffle-free; only the fp window and output sort exchange") {
+    val nodes = executedAll(SparkEntry.queries("x92_cdc_chunks")(spark, sf0_001))
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 2,
+      s"chunk emission is per-row; only the chunk_fp window + sort may exchange, got ${shuffles.size}")
+    assert(!nodes.exists(n => n.getClass.getSimpleName.contains("HashAggregate")),
+      "chunking aggregates nothing — the dup count is a window")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("x93 hashed scorer: the weight table probes via broadcast; the token stream never shuffle-joins") {
+    val nodes = executedAll(SparkEntry.queries("x93_hashed_linear_score")(spark, sf0_001))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "512-bin weight probe must broadcast")
+    assert(nodes.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "the token stream must not shuffle for the weight join")
+  }
+
+  test("x97 priority sample: top-20 is TakeOrdered, not a global sort") {
+    val nodes = executedAll(SparkEntry.queries("x97_priority_sample")(spark, sf0_001))
+    assert(nodes.exists(_.getClass.getSimpleName.startsWith("TakeOrderedAndProject")),
+      s"expected TakeOrderedAndProject in ${nodes.map(_.getClass.getSimpleName).distinct}")
+  }
+
+  test("m12 aspect buckets: one metadata pass, the bucket rollup is the only hash exchange") {
+    val nodes = executedAll(SparkEntry.queries("m12_aspect_buckets")(spark, sf0_001))
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 2,
+      s"expected only the 3-group aggregate (+output sort), got ${shuffles.size} exchanges")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+  }
 }

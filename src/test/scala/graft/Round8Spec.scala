@@ -247,6 +247,39 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("st14's converged streaming sample reproduces the batch x97 draw exactly") {
+    val stream = SparkEntry.queries("st14_stream_sample")(spark, sf0_001).collect()
+    val batch = SparkEntry.queries("x97_priority_sample")(spark, sf0_001).collect()
+    assert(stream.toSeq == batch.toSeq,
+      "top-k by total priority order must be batching-free")
+  }
+
+  test("the cdc_boundaries SQL function matches the Column API on the fixture corpus") {
+    graft.plans.CdcBoundariesSql.register(spark)
+    val docs = Tables.documents(spark, sf0_001).limit(50)
+      .select(col("doc_id"), col("text"))
+    val viaSql = docs.selectExpr("doc_id", "cdc_boundaries(text, 4, 32) AS ends")
+    val viaCol = docs.select(col("doc_id"),
+      graft.plans.CdcBoundaries(col("text"), 4, 32).as("ends"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+    // reference fold on one concrete value: boundaries of "abcdefgh"-style
+    // strings must satisfy the gear-hash definition
+    val row = docs.select(col("text"),
+      graft.plans.CdcBoundaries(col("text"), 4, 32).as("ends")).first()
+    val text = row.getString(0)
+    val ends = row.getSeq[Int](1)
+    val expected = {
+      val n = text.length
+      val cuts = (4 to n).filter { i =>
+        var h = 0L
+        (i - 4 until i).foreach(k => h = h * 31L + text.charAt(k))
+        h % 1000000007L % 32 == 0
+      }
+      if (cuts.isEmpty || cuts.last != n) cuts :+ n else cuts
+    }
+    assert(ends == expected)
+  }
+
   test("m11 reports only frames shared by ≥2 docs, with occurrence ≥ doc counts") {
     val out = SparkEntry.queries("m11_frame_dedup")(spark, sf0_001).collect()
     assert(out.nonEmpty) // the fixture's duplicate docs share frames
