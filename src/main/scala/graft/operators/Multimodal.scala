@@ -867,6 +867,109 @@ object Multimodal {
             / (col("n_images") * col("max_w") * col("max_h")), 4)
             .as("waste_frac"))
         .orderBy(col("bucket"))
+    },
+
+    // AUDIO SEGMENT BOUNDARIES from the energy contour — the shot/scene
+    // detection shape of a media ingest (cut where adjacent frame
+    // energies jump): a frame f starts a new segment when the jump is
+    // RELATIVE — 2·|E_f − E_{f−1}| > max(E_f, E_{f−1}) — an all-integer
+    // test (no threshold tuning per loudness level, no float boundary).
+    // Per container the report gives cut count, segment count, the
+    // longest segment, and the peak jump — what a media pipeline uses to
+    // split long recordings into training clips. Frames are m10's: Σ|s|
+    // over 64-sample windows of the genuine RIFF/PCM payloads, computed
+    // in the same strict-validating one-pass reader.
+    //
+    // Scale: payload bytes are touched once per partition (the decode
+    // stage); everything emitted is a fixed-width integer row per
+    // container — cuts, lengths, and jumps all derive inside the decode
+    // pass, so nothing but per-doc scalars ever shuffles.
+    QueryDef("m13_segment_bounds",
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 4
+        |), by AS (
+        |  SELECT doc_id, n, list_transform(range(n), o ->
+        |    (strpos('0123456789ABCDEF',
+        |            substring(hx, 2 * CAST(o AS INT) + 1, 1)) - 1) * 16 +
+        |     strpos('0123456789ABCDEF',
+        |            substring(hx, 2 * CAST(o AS INT) + 2, 1)) - 1) AS b
+        |  FROM p
+        |), sm AS (
+        |  SELECT doc_id, CAST(n // 2 AS INT) AS k,
+        |         list_transform(range(n // 2), i ->
+        |           CASE WHEN b[2 * CAST(i AS INT) + 2] >= 128
+        |             THEN b[2 * CAST(i AS INT) + 1]
+        |                  + 256 * b[2 * CAST(i AS INT) + 2] - 65536
+        |             ELSE b[2 * CAST(i AS INT) + 1]
+        |                  + 256 * b[2 * CAST(i AS INT) + 2] END) AS sv
+        |  FROM by
+        |), fe AS (
+        |  SELECT doc_id, CAST(k // 64 AS INT) AS nf,
+        |         list_transform(range(k // 64), f ->
+        |           CAST(list_sum(list_transform(range(64), i ->
+        |             abs(sv[64 * CAST(f AS INT) + CAST(i AS INT) + 1])))
+        |           AS BIGINT)) AS fe
+        |  FROM sm WHERE k >= 128
+        |), cu AS (
+        |  SELECT doc_id, nf, fe,
+        |         list_filter(range(2, nf + 1), f ->
+        |           2 * abs(fe[CAST(f AS INT)] - fe[CAST(f AS INT) - 1])
+        |           > greatest(fe[CAST(f AS INT)], fe[CAST(f AS INT) - 1]))
+        |           AS cuts
+        |  FROM fe
+        |), seg AS (
+        |  SELECT doc_id, nf, fe, cuts,
+        |         list_prepend(CAST(1 AS BIGINT), cuts) AS starts
+        |  FROM cu
+        |)
+        |SELECT doc_id, nf AS n_frames,
+        |       CAST(len(cuts) AS INT) AS n_cuts,
+        |       CAST(len(cuts) + 1 AS INT) AS n_segments,
+        |       CAST(list_max(list_transform(range(len(starts)), i ->
+        |         CASE WHEN CAST(i AS INT) = len(starts) - 1
+        |           THEN nf + 1 - starts[CAST(i AS INT) + 1]
+        |           ELSE starts[CAST(i AS INT) + 2] - starts[CAST(i AS INT) + 1]
+        |         END)) AS INT) AS longest_seg,
+        |       CAST(list_max(list_transform(range(2, nf + 1), f ->
+        |         abs(fe[CAST(f AS INT)] - fe[CAST(f AS INT) - 1])))
+        |         AS BIGINT) AS peak_jump
+        |FROM seg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_frames", IntegerType, nullable = false),
+        StructField("n_cuts", IntegerType, nullable = false),
+        StructField("n_segments", IntegerType, nullable = false),
+        StructField("longest_seg", IntegerType, nullable = false),
+        StructField("peak_jump", LongType, nullable = false)))
+      val enc = RowEncoder.encoderFor(schema)
+      wavPayloads(s, d)
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            val fe = WavReader.frameEnergies(r.getAs[Array[Byte]](1), 64)
+            if (fe.length < 2) None
+            else {
+              val nf = fe.length
+              // cut at 1-based frame f when the jump is relative-large
+              val cuts = (2 to nf).filter { f =>
+                2L * math.abs(fe(f - 1) - fe(f - 2)) >
+                  math.max(fe(f - 1), fe(f - 2))
+              }
+              val starts = 1 +: cuts
+              val segLens = starts.indices.map { i =>
+                if (i == starts.length - 1) nf + 1 - starts(i)
+                else starts(i + 1) - starts(i)
+              }
+              val peakJump =
+                (2 to nf).map(f => math.abs(fe(f - 1) - fe(f - 2))).max
+              Some(Row(r.getLong(0), nf, cuts.length, cuts.length + 1,
+                segLens.max, peakJump))
+            }
+          }
+        }(enc)
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -1150,6 +1150,80 @@ object Similarity {
           Num.roundOut(coalesce(col("n_overlap"), lit(0L)) / 5.0, 4)
             .as("recall"))
         .orderBy(col("dims"), col("query_id"))
+    },
+
+    // EMBEDDING DRIFT MONITOR between corpus halves (vec_id parity —
+    // x90's chi-square audit, played for the vector space): per
+    // dimension, a two-sample z statistic of the half means. The monitor
+    // an embedding pipeline runs when the encoder or the corpus shifts —
+    // per-DIMENSION drift localizes the change (a few drifting dims =
+    // encoder feature drift; broad drift = corpus shift). Embedding
+    // components are QUANTIZED to exact micro-unit longs
+    // (floor(x·10⁶) — float→double exact, one rounding, identical both
+    // engines) so every sum is exact integer arithmetic; the z formula
+    // then runs in doubles with ONE pinned association mirrored verbatim
+    // (means, variances, sqrt — division and correctly-rounded IEEE
+    // sqrt only, the x90 contract).
+    //
+    // Scale: one posexplode pass → (dim)-keyed partial agg with
+    // conditional half sums (map-side combine; 64 groups at any corpus
+    // size); the statistic runs on 64 rows. No pairwise work, no
+    // broadcast of anything data-sized.
+    QueryDef("x99_embedding_drift",
+      """WITH q AS (
+        |  SELECT vec_id % 2 AS half, CAST(i AS INT) AS dim,
+        |         CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+        |              * 1000000) AS BIGINT) AS v
+        |  FROM embeddings, (SELECT unnest(range(64)) AS i)
+        |), g AS (
+        |  SELECT dim,
+        |         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |         CAST(sum(CASE WHEN half = 0 THEN v ELSE 0 END) AS BIGINT) AS sa,
+        |         CAST(sum(CASE WHEN half = 1 THEN v ELSE 0 END) AS BIGINT) AS sb,
+        |         CAST(sum(CASE WHEN half = 0 THEN v * v ELSE 0 END) AS BIGINT)
+        |           AS qa,
+        |         CAST(sum(CASE WHEN half = 1 THEN v * v ELSE 0 END) AS BIGINT)
+        |           AS qb
+        |  FROM q GROUP BY dim
+        |), z AS (
+        |  SELECT dim, na, nb,
+        |         sa * 1.0 / na AS ma, sb * 1.0 / nb AS mb,
+        |         qa * 1.0 / na - (sa * 1.0 / na) * (sa * 1.0 / na) AS va,
+        |         qb * 1.0 / nb - (sb * 1.0 / nb) * (sb * 1.0 / nb) AS vb
+        |  FROM g
+        |)
+        |SELECT dim, round(1e-9 + ma / 1000000.0, 6) AS mean_a,
+        |       round(1e-9 + mb / 1000000.0, 6) AS mean_b,
+        |       round(1e-9 + (ma - mb) / sqrt(va / na + vb / nb), 4) AS z
+        |FROM z ORDER BY dim""".stripMargin) { (s, d) =>
+      val q = Tables.embeddings(s, d)
+        .select((col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("half"), col("dim"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("v"))
+      val g = q.groupBy(col("dim")).agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("half") === 0, col("v")).otherwise(0L)).as("sa"),
+        sum(when(col("half") === 1, col("v")).otherwise(0L)).as("sb"),
+        sum(when(col("half") === 0, col("v") * col("v")).otherwise(0L)).as("qa"),
+        sum(when(col("half") === 1, col("v") * col("v")).otherwise(0L)).as("qb"))
+      val z = g.select(col("dim"), col("na"), col("nb"),
+        (col("sa") * 1.0 / col("na")).as("ma"),
+        (col("sb") * 1.0 / col("nb")).as("mb"),
+        (col("qa") * 1.0 / col("na")
+          - (col("sa") * 1.0 / col("na")) * (col("sa") * 1.0 / col("na")))
+          .as("va"),
+        (col("qb") * 1.0 / col("nb")
+          - (col("sb") * 1.0 / col("nb")) * (col("sb") * 1.0 / col("nb")))
+          .as("vb"))
+      z.select(col("dim"),
+          Num.roundOut(col("ma") / 1000000.0, 6).as("mean_a"),
+          Num.roundOut(col("mb") / 1000000.0, 6).as("mean_b"),
+          Num.roundOut((col("ma") - col("mb"))
+            / sqrt(col("va") / col("na") + col("vb") / col("nb")), 4).as("z"))
+        .orderBy(col("dim"))
     }
   )
 

@@ -1809,6 +1809,113 @@ object TextAnalysis {
           Num.roundOut((col("distinct_raw") - col("distinct_norm")) * 1.0
             / col("n_docs"), 4).as("gain_frac"))
         .orderBy(col("source"))
+    },
+
+    // DETERMINISTIC POISSON BOOTSTRAP — a 94%-ish CI for each source's
+    // mean document length, with NO RNG: every (doc, resample) pair
+    // draws its multiplicity from the content fingerprint through the
+    // x62 mixer, thresholded to the Poisson(1) pmf (368/368/184/61/15/4
+    // per mille for counts 0..5+). The Poisson bootstrap (Chamandy et
+    // al., Google) is THE resampling scheme that works on a stream — no
+    // global n needed per resample, each row decides its own counts —
+    // and making the uniform content-keyed makes the whole CI
+    // REPRODUCIBLE: same corpus, same interval, bit-for-bit (x97's
+    // determinism contract applied to uncertainty quantification).
+    // B=32 resample means per source; the interval is rank-selected
+    // (2nd..31st, x94's rank rule — reported bounds are actual resample
+    // means, no interpolation).
+    //
+    // Scale: ONE corpus pass fans each row out ×32 (a constant), the
+    // (source, b) partial agg map-side combines to sources×32 rows, and
+    // the rank windows run on 32-row groups — uncertainty for free at
+    // any corpus size, where a classical bootstrap would re-scan B
+    // times.
+    QueryDef("x100_bootstrap_ci",
+      s"""WITH f AS (
+        |  SELECT doc_id, source, n_chars, $fingerprintSql AS fp
+        |  FROM documents
+        |), rb AS (
+        |  SELECT source, n_chars, b,
+        |         xor(a2 >> 16, a2) % 1000 AS t
+        |  FROM (
+        |    SELECT source, n_chars, b,
+        |           (xor(a1 >> 16, a1) * 73244475) & 4294967295 AS a2
+        |    FROM (
+        |      SELECT source, n_chars, b,
+        |             (xor(a0 >> 16, a0) * 73244475) & 4294967295 AS a1
+        |      FROM (
+        |        SELECT source, n_chars, b,
+        |               (fp + b * 40503) & 4294967295 AS a0
+        |        FROM f, (SELECT unnest(range(32)) AS b)
+        |      )
+        |    )
+        |  )
+        |), c AS (
+        |  SELECT source, b, n_chars,
+        |         CASE WHEN t < 368 THEN 0 WHEN t < 736 THEN 1
+        |              WHEN t < 920 THEN 2 WHEN t < 981 THEN 3
+        |              WHEN t < 996 THEN 4 ELSE 5 END AS c
+        |  FROM rb
+        |), mb AS (
+        |  SELECT source, CAST(b AS INT) AS b,
+        |         CAST(sum(c * n_chars) AS BIGINT) * 1.0
+        |           / CAST(sum(c) AS BIGINT) AS m
+        |  FROM c GROUP BY 1, 2 HAVING sum(c) > 0
+        |), rk AS (
+        |  SELECT source, m,
+        |         row_number() OVER (PARTITION BY source ORDER BY m, b) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS nb
+        |  FROM mb
+        |), ci AS (
+        |  SELECT source,
+        |         min(CASE WHEN rn = 2 THEN m END) AS lo,
+        |         min(CASE WHEN rn = nb - 1 THEN m END) AS hi
+        |  FROM rk GROUP BY source
+        |), base AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) * 1.0 / count(*) AS mean_chars
+        |  FROM documents GROUP BY source
+        |)
+        |SELECT base.source, base.n_docs,
+        |       round(1e-9 + base.mean_chars, 4) AS mean_chars,
+        |       round(1e-9 + ci.lo, 4) AS ci_lo,
+        |       round(1e-9 + ci.hi, 4) AS ci_hi
+        |FROM base JOIN ci USING (source) ORDER BY source""".stripMargin) {
+      (s, d) =>
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .join(fingerprintTable(s, d), "doc_id")
+      val rb = f
+        .withColumn("b", explode(sequence(lit(0), lit(31))))
+        .withColumn("a0", expr("(fp + b * 40503) & 4294967295"))
+        .withColumn("a1", expr("(shiftright(a0, 16) ^ a0) * 73244475 & 4294967295"))
+        .withColumn("a2", expr("(shiftright(a1, 16) ^ a1) * 73244475 & 4294967295"))
+        .withColumn("t", expr("(shiftright(a2, 16) ^ a2) % 1000"))
+      val c = rb.withColumn("c",
+        when(col("t") < 368, 0L).when(col("t") < 736, 1L)
+          .when(col("t") < 920, 2L).when(col("t") < 981, 3L)
+          .when(col("t") < 996, 4L).otherwise(5L))
+      val mb = c.groupBy(col("source"), col("b"))
+        .agg(sum(col("c") * col("n_chars")).as("num"), sum(col("c")).as("den"))
+        .filter(col("den") > 0)
+        .select(col("source"), col("b").cast("int").as("b"),
+          (col("num") * 1.0 / col("den")).as("m"))
+      val w = Window.partitionBy(col("source"))
+      val rk = mb
+        .withColumn("rn", row_number().over(w.orderBy(col("m"), col("b"))))
+        .withColumn("nb", count(lit(1)).over(w))
+      val ci = rk.groupBy(col("source")).agg(
+        min(when(col("rn") === 2, col("m"))).as("lo"),
+        min(when(col("rn") === col("nb") - 1, col("m"))).as("hi"))
+      val base = Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("n_chars")) * 1.0 / count(lit(1))).as("mean_chars"))
+      base.join(ci, "source")
+        .select(col("source"), col("n_docs"),
+          Num.roundOut(col("mean_chars"), 4).as("mean_chars"),
+          Num.roundOut(col("lo"), 4).as("ci_lo"),
+          Num.roundOut(col("hi"), 4).as("ci_hi"))
+        .orderBy(col("source"))
     }
   )
 

@@ -280,6 +280,42 @@ class Round8Spec extends AnyFunSuite {
     assert(ends == expected)
   }
 
+  test("m13 segment structure is consistent: pigeonhole bound on the longest segment") {
+    val out = SparkEntry.queries("m13_segment_bounds")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nf = r.getAs[Int]("n_frames")
+      val segs = r.getAs[Int]("n_segments")
+      val longest = r.getAs[Int]("longest_seg")
+      assert(segs == r.getAs[Int]("n_cuts") + 1)
+      assert(longest <= nf)
+      assert(longest.toLong * segs >= nf, "longest segment must cover its pigeonhole share")
+      assert(r.getAs[Long]("peak_jump") >= 0L)
+    }
+  }
+
+  test("x99 reports one finite statistic per dimension") {
+    val out = SparkEntry.queries("x99_embedding_drift")(spark, sf0_001).collect()
+    assert(out.length == 64)
+    out.foreach { r =>
+      assert(!r.getAs[Double]("z").isNaN && !r.getAs[Double]("z").isInfinite)
+    }
+  }
+
+  test("x100 intervals are ordered, bracket the observed mean on the fixture, and are reproducible") {
+    val out = SparkEntry.queries("x100_bootstrap_ci")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (lo, m, hi) = (r.getAs[Double]("ci_lo"),
+        r.getAs[Double]("mean_chars"), r.getAs[Double]("ci_hi"))
+      assert(lo <= hi)
+      assert(lo <= m && m <= hi,
+        s"fixture-scale bootstrap interval [$lo, $hi] should bracket $m")
+    }
+    val again = SparkEntry.queries("x100_bootstrap_ci")(spark, sf0_001).collect()
+    assert(out.toSeq == again.toSeq, "content-keyed bootstrap must be reproducible")
+  }
+
   test("m11 reports only frames shared by ≥2 docs, with occurrence ≥ doc counts") {
     val out = SparkEntry.queries("m11_frame_dedup")(spark, sf0_001).collect()
     assert(out.nonEmpty) // the fixture's duplicate docs share frames
