@@ -208,26 +208,7 @@ object Similarity {
         |)
         |SELECT query_id, cand_id, cos_sim, CAST(rnk AS INT) AS rnk
         |FROM rk2 WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
-      // The persisted index holds rk<=2 assignments, PARTITIONED BY
-      // cent_id — the literal inverted-file layout: a probe's equi-join on
-      // cent_id prunes to the probed lists' directories (DPP at scale).
-      // builderVersion 2: assignment ranks on ROUNDED sims (oracle parity).
-      val assigned2 = DerivedTable(s, d, "embeddings", "ivf",
-          Seq("cent_id"), builderVersion = 2) {
-        val n = withNorm(Tables.embeddings(s, d))
-        val cents = n.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-        // assignment: nearest centroid by cosine (broadcast centroids)
-        val wAssign = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cent_id"))
-        n.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
-            Num.roundOut(dot(col("v"), col("cv")) / col("nrm") / col("cn"), 6)
-              .as("sim"))
-          .withColumn("rk", row_number().over(wAssign))
-          .filter(col("rk") <= 2)
-          .select(col("vec_id"), col("v"), col("nrm"), col("rk"), col("cent_id"))
-      }
+      val assigned2 = ivfAssignedTable(s, d)
       val corpus = assigned2.filter(col("rk") === 1) // inverted lists
         .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
       val probes = assigned2.filter(col("vec_id") < 10 && col("rk") <= 2) // nprobe=2
@@ -1224,6 +1205,88 @@ object Similarity {
           Num.roundOut((col("ma") - col("mb"))
             / sqrt(col("va") / col("na") + col("vb") / col("nb")), 4).as("z"))
         .orderBy(col("dim"))
+    },
+
+    // IVF INDEX MAINTENANCE UNDER APPEND — x61's Δ contract played for
+    // ANN serving: a 10% "arriving" slice (vec_id % 10 = 7) is assigned
+    // to the EXISTING centroids in its own pass (work ∝ |Δ| — the
+    // broadcast-centroid crossJoin sees only delta rows), then unioned
+    // with the persisted base lists; queries probe the merged index.
+    // Because IVF assignment is per-vector independent (nearest centroid
+    // of a FIXED centroid set), append-maintained lists are PROVABLY
+    // bit-identical to a full rebuild — the property that makes IVF the
+    // index you can run on a live corpus (k-means re-centering, by
+    // contrast, would move lists under you; x33 re-trains offline).
+    // Round8Spec pins merged == rebuilt row-for-row; candidates carry a
+    // from_delta provenance flag (the freshness audit a serving layer
+    // exposes).
+    //
+    // Scale: the centroid set never left the base build (all % 50 = 0
+    // ids sit outside the delta slice by construction); per append batch
+    // the only new work is |Δ| × k broadcast similarity + a partitioned
+    // append to the probed layout. Probe cost is unchanged: cent_id
+    // equi-join against base ∪ delta lists.
+    QueryDef("x101_ivf_append",
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), c AS (
+        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+        |  WHERE vec_id % 50 = 0
+        |), a AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> n.v[i+1] * c.cv[i+1])) / n.nrm / c.cn, 6) AS sim
+        |  FROM n, c
+        |), r AS (
+        |  SELECT vec_id, cent_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rk
+        |  FROM a
+        |), corpus AS (
+        |  SELECT vec_id, cent_id FROM r WHERE rk = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cent_id FROM r WHERE vec_id < 10 AND rk <= 2
+        |), cand AS (
+        |  SELECT p.query_id, co.vec_id AS cand_id
+        |  FROM probes p JOIN corpus co ON p.cent_id = co.cent_id
+        |  WHERE co.vec_id <> p.query_id
+        |), sims AS (
+        |  SELECT cand.query_id, cand.cand_id,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> q.v[i+1] * x.v[i+1])) / q.nrm / x.nrm, 6) AS cos_sim
+        |  FROM cand JOIN n q ON q.vec_id = cand.query_id
+        |            JOIN n x ON x.vec_id = cand.cand_id
+        |), rk2 AS (
+        |  SELECT query_id, cand_id, cos_sim, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+        |  FROM sims
+        |)
+        |SELECT query_id, cand_id, cos_sim, CAST(rnk AS INT) AS rnk,
+        |       cand_id % 10 = 7 AS from_delta
+        |FROM rk2 WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      val merged = ivfAppendMerged(s, d)
+      val corpus = merged.filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+      val probes = merged.filter(col("vec_id") < 10 && col("rk") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cent_id"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
+      corpus.join(broadcast(probes), Seq("cent_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          Num.roundOut(cosine(col("qv"), col("qn"), col("v"), col("nrm")), 6)
+            .as("cos_sim"))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rnk"),
+          (col("cand_id") % 10 === 7).as("from_delta"))
+        .orderBy(col("query_id"), col("rnk"))
     }
   )
 
@@ -1474,6 +1537,53 @@ object Similarity {
       val c1 = update(assign(init), init)
       update(assign(c1), c1)
     }
+  }
+
+  /** The x14 rk≤2 IVF assignment artifact, persisted PARTITIONED BY
+    * cent_id — the literal inverted-file layout: a probe's equi-join on
+    * cent_id prunes to the probed lists' directories (DPP at scale).
+    * builderVersion 2: assignment ranks on ROUNDED sims (oracle parity).
+    * Shared by x14's probe and x101's append-maintenance proof. */
+  private[graft] def ivfAssignedTable(s: SparkSession, d: String): DataFrame =
+    DerivedTable(s, d, "embeddings", "ivf", Seq("cent_id"), builderVersion = 2) {
+      val n = withNorm(Tables.embeddings(s, d))
+      val cents = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+      // assignment: nearest centroid by cosine (broadcast centroids)
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cent_id"))
+      n.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+          Num.roundOut(dot(col("v"), col("cv")) / col("nrm") / col("cn"), 6)
+            .as("sim"))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") <= 2)
+        .select(col("vec_id"), col("v"), col("nrm"), col("rk"), col("cent_id"))
+    }
+
+  /** x101's append-maintained index: the persisted BASE lists (artifact
+    * minus the arriving vec_id % 10 = 7 slice) unioned with a fresh
+    * Δ-only assignment pass against the SAME broadcast centroids. Equals
+    * the full artifact row-for-row because IVF assignment is per-vector
+    * independent of every other vector — Round8Spec pins the equality. */
+  private[graft] def ivfAppendMerged(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("vec_id", "v", "nrm", "rk", "cent_id").map(col)
+    val base = ivfAssignedTable(s, d)
+      .filter(col("vec_id") % 10 =!= 7).select(cols: _*)
+    val n = withNorm(Tables.embeddings(s, d))
+    val cents = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cent_id"))
+    val delta = n.filter(col("vec_id") % 10 === 7)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        Num.roundOut(dot(col("v"), col("cv")) / col("nrm") / col("cn"), 6)
+          .as("sim"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") <= 2)
+      .select(cols: _*)
+    base.unionByName(delta)
   }
 
   /** The encoded corpus: (vec_id, sub, cluster code, residual sq dist) —

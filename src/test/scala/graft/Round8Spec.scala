@@ -316,6 +316,19 @@ class Round8Spec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq, "content-keyed bootstrap must be reproducible")
   }
 
+  test("x101 append-maintained IVF lists equal the full rebuild row-for-row") {
+    // IVF assignment is per-vector independent, so base-lists ∪ Δ-pass
+    // must be EXACTLY the artifact built over everything — the property
+    // that makes the index maintainable on a live corpus.
+    val full = graft.operators.Similarity.ivfAssignedTable(spark, sf0_001)
+      .select(col("vec_id"), col("rk"), col("cent_id"))
+    val merged = graft.operators.Similarity.ivfAppendMerged(spark, sf0_001)
+      .select(col("vec_id"), col("rk"), col("cent_id"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    // the delta slice is genuinely present on both sides
+    assert(full.filter(col("vec_id") % 10 === 7).count() > 0)
+  }
+
   test("m11 reports only frames shared by ≥2 docs, with occurrence ≥ doc counts") {
     val out = SparkEntry.queries("m11_frame_dedup")(spark, sf0_001).collect()
     assert(out.nonEmpty) // the fixture's duplicate docs share frames
