@@ -507,6 +507,74 @@ object Analytics {
         .select(col("from_type"), col("to_type"), col("n"),
           Num.roundOut(col("n") * 1.0 / col("tot"), 4).as("p"))
         .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // POINT-IN-TIME-CORRECT FEATURE ASSEMBLY — the feature-store join
+    // that builds a leakage-free training set: per label event (a
+    // purchase), the user's last click value STRICTLY BEFORE the label
+    // and the running view count STRICTLY BEFORE it. "Strictly before"
+    // is where leakage hides: a same-instant feature must NOT count
+    // (it encodes the label). Both features read one shared window
+    // frame — rows (UNBOUNDED PRECEDING, 1 PRECEDING) under the total
+    // order (ts, kind, event_id) with labels sorted FIRST within an
+    // instant, so a row's frame is exactly the events at ts strictly
+    // less than the label's (same-ts features sort after and stay out).
+    // This is q12's union-instead-of-join move generalized: N feature
+    // streams and the label stream interleave in ONE sequence, so no
+    // per-pair as-of join ever explodes.
+    //
+    // Scale: one user-keyed exchange + one in-partition sort serves BOTH
+    // feature windows (subset rule); adding a feature adds a window
+    // function, not a join. The null-before-first-click case surfaces as
+    // the -1 sentinel a training pipeline imputes explicitly.
+    QueryDef("x102_pit_features",
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+        |         CASE WHEN event_type = 'click' THEN value END AS click_v,
+        |         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view,
+        |         CASE WHEN event_type = 'purchase' THEN value END AS label_v
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |), w AS (
+        |  SELECT user_id, ts, event_type, label_v,
+        |         last_value(click_v IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, kind, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS last_click,
+        |         CAST(coalesce(sum(is_view) OVER (
+        |           PARTITION BY user_id ORDER BY ts, kind, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS n_views_before
+        |  FROM u
+        |)
+        |SELECT user_id, epoch_us(ts) AS label_us,
+        |       round(1e-9 + label_v, 4) AS label_value,
+        |       round(1e-9 + coalesce(last_click, -1.0), 4) AS last_click_value,
+        |       n_views_before
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY user_id, label_us""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          when(col("event_type") === "purchase", 0).otherwise(1).as("kind"),
+          when(col("event_type") === "click", col("value")).as("click_v"),
+          when(col("event_type") === "view", 1).otherwise(0).as("is_view"),
+          when(col("event_type") === "purchase", col("value")).as("label_v"))
+      val frame = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      u.withColumn("last_click", last(col("click_v"), ignoreNulls = true)
+          .over(frame))
+        .withColumn("n_views_before",
+          coalesce(sum(col("is_view")).over(frame), lit(0)).cast("long"))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("label_us"),
+          Num.roundOut(col("label_v"), 4).as("label_value"),
+          Num.roundOut(coalesce(col("last_click"), lit(-1.0)), 4)
+            .as("last_click_value"),
+          col("n_views_before"))
+        .orderBy(col("user_id"), col("label_us"))
     }
   )
 }

@@ -329,6 +329,41 @@ class Round8Spec extends AnyFunSuite {
     assert(full.filter(col("vec_id") % 10 === 7).count() > 0)
   }
 
+  test("x102 is leakage-free: the window derivation equals an independent strictly-before join") {
+    val out = SparkEntry.queries("x102_pit_features")(spark, sf0_001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).sorted.toSeq
+    val ev = Tables.events(spark, sf0_001)
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+        col("event_id").as("ceid"), col("value").as("cv"))
+    val lastClick = labels
+      .join(clicks, col("user_id") === col("cu") && col("cts") < col("ts"), "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_id"))
+          .orderBy(col("cts").desc_nulls_last, col("ceid").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        col("cv"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+    val expect = lastClick
+      .join(views, col("user_id") === col("vu") && col("vts") < col("ts"), "left")
+      .groupBy(col("user_id"), col("ts"), col("event_id"), col("value"), col("cv"))
+      .agg(count(col("vts")).as("nv"))
+      .collect().map(r => (r.getLong(0), r.getAs[java.sql.Timestamp]("ts"),
+        math.rint((r.getDouble(3) + 1e-9) * 1e4) / 1e4,
+        math.rint(((if (r.isNullAt(4)) -1.0 else r.getDouble(4)) + 1e-9) * 1e4) / 1e4,
+        r.getLong(5)))
+      .map(t => (t._1, t._2.toInstant.getEpochSecond * 1000000L
+        + t._2.toInstant.getNano / 1000L, t._3, t._4, t._5))
+      .sorted.toSeq
+    assert(out == expect)
+  }
+
   test("m11 reports only frames shared by ≥2 docs, with occurrence ≥ doc counts") {
     val out = SparkEntry.queries("m11_frame_dedup")(spark, sf0_001).collect()
     assert(out.nonEmpty) // the fixture's duplicate docs share frames
