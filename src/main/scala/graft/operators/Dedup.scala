@@ -451,9 +451,6 @@ object Dedup {
         .orderBy(col("source"))
     },
 
-    // MinHash (16 perms) + LSH (4 bands × 4 rows — r=4 keeps per-band
-    // collision P at J^4, essential when the whole corpus is mutually
-    // similar): candidates from band
     // CORPUS NOVELTY CURVE — per-doc fraction of trigram TYPES never seen
     // in any earlier doc (doc_id as ingest order): the diminishing-novelty
     // signal behind data-curation decisions (when a source's curve decays,
