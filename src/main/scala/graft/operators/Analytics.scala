@@ -575,6 +575,87 @@ object Analytics {
             .as("last_click_value"),
           col("n_views_before"))
         .orderBy(col("user_id"), col("label_us"))
+    },
+
+    // CONVERSION-LATENCY HISTOGRAM — the attribution-window tuning table:
+    // per purchase, the time since the user's last click STRICTLY before
+    // it (x102's no-leak frame), bucketed by floor-log2 of the latency in
+    // seconds (x80's powers-of-two greatest-lower-bound join — integer
+    // bucketing, no libm), with the cumulative capture fraction per
+    // bucket. The cum_frac column answers the question attribution
+    // systems actually ask: "what window captures X% of conversions" —
+    // read the first bucket whose cumulative share clears the target.
+    //
+    // Scale: one user-keyed window exchange (shared shape with x102);
+    // latencies collapse to distinct-second counts BEFORE the pow2 join
+    // (the join runs on distinct values, not events); the histogram and
+    // its cumulative window are O(log max-latency) rows forever.
+    QueryDef("x103_conversion_latency",
+      s"""WITH u AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+        |         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS c_us
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), w AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS p_us,
+        |         last_value(c_us IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, kind, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS last_c
+        |  FROM u
+        |), l AS (
+        |  SELECT (p_us - last_c) // 1000000 AS lat_s
+        |  FROM w WHERE event_type = 'purchase' AND last_c IS NOT NULL
+        |), c0 AS (
+        |  SELECT lat_s, CAST(count(*) AS BIGINT) AS n FROM l GROUP BY 1
+        |), p2(k, v) AS (
+        |  VALUES ${TextAnalysis.pow2ValuesSql}
+        |), b AS (
+        |  SELECT c0.lat_s, max(p2.k) AS bucket
+        |  FROM c0 JOIN p2 ON p2.v <= c0.lat_s + 1 GROUP BY c0.lat_s
+        |), agg AS (
+        |  SELECT b.bucket, CAST(sum(c0.n) AS BIGINT) AS n,
+        |         CAST(min(b.lat_s) AS BIGINT) AS min_lat_s,
+        |         CAST(max(b.lat_s) AS BIGINT) AS max_lat_s
+        |  FROM b JOIN c0 USING (lat_s) GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS tot FROM agg
+        |)
+        |SELECT CAST(bucket AS INT) AS bucket, n, min_lat_s, max_lat_s,
+        |       round(1e-9 + sum(n) OVER (ORDER BY bucket) * 1.0 / t.tot, 4)
+        |         AS cum_frac
+        |FROM agg, t ORDER BY bucket""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          when(col("event_type") === "purchase", 0).otherwise(1).as("kind"),
+          when(col("event_type") === "click", unix_micros(col("ts")))
+            .as("c_us"))
+      val frame = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val l = u
+        .withColumn("last_c", last(col("c_us"), ignoreNulls = true).over(frame))
+        .filter(col("event_type") === "purchase" && col("last_c").isNotNull)
+        .select(expr("(unix_micros(ts) - last_c) div 1000000").as("lat_s"))
+      val c0 = l.groupBy(col("lat_s")).agg(count(lit(1)).as("n"))
+      import s.implicits._
+      val p2 = broadcast(TextAnalysis.pow2Table.toDF("k", "v"))
+      val b = c0.select(col("lat_s"))
+        .join(p2, col("v") <= col("lat_s") + 1)
+        .groupBy(col("lat_s")).agg(max(col("k")).as("bucket"))
+      val agg = c0.join(b, "lat_s")
+        .groupBy(col("bucket"))
+        .agg(sum(col("n")).as("n"),
+          min(col("lat_s")).as("min_lat_s"), max(col("lat_s")).as("max_lat_s"))
+      val t = agg.agg(sum(col("n")).as("tot"))
+      agg.withColumn("cum",
+          sum(col("n")).over(Window.orderBy(col("bucket"))))
+        .crossJoin(broadcast(t))
+        .select(col("bucket").cast("int").as("bucket"), col("n"),
+          col("min_lat_s"), col("max_lat_s"),
+          Num.roundOut(col("cum") * 1.0 / col("tot"), 4).as("cum_frac"))
+        .orderBy(col("bucket"))
     }
   )
 }

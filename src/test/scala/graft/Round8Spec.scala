@@ -364,6 +364,25 @@ class Round8Spec extends AnyFunSuite {
     assert(out == expect)
   }
 
+  test("x103 buckets respect their log2 bounds, conserve conversions, and the cumulative share ends at 1") {
+    val out = SparkEntry.queries("x103_conversion_latency")(spark, sf0_001)
+      .orderBy(col("bucket")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val k = r.getAs[Int]("bucket")
+      val (lo, hi) = (r.getAs[Long]("min_lat_s"), r.getAs[Long]("max_lat_s"))
+      assert(lo >= (1L << k) - 1 && hi < (1L << (k + 1)) - 1,
+        s"bucket $k holds latencies with lat+1 in [2^$k, 2^${k + 1})")
+      assert(lo <= hi)
+    }
+    assert(math.abs(out.last.getAs[Double]("cum_frac") - 1.0) < 1e-9)
+    // conservation: Σn == purchases with a strictly-before click, which
+    // x102 reports as last_click_value != -1
+    val withClick = SparkEntry.queries("x102_pit_features")(spark, sf0_001)
+      .filter(col("last_click_value") =!= -1.0).count()
+    assert(out.map(_.getAs[Long]("n")).sum == withClick)
+  }
+
   test("m11 reports only frames shared by ≥2 docs, with occurrence ≥ doc counts") {
     val out = SparkEntry.queries("m11_frame_dedup")(spark, sf0_001).collect()
     assert(out.nonEmpty) // the fixture's duplicate docs share frames
