@@ -316,6 +316,29 @@ object Dedup {
       |FROM u, nt ORDER BY bands DESC""".stripMargin
   }
 
+  /** x96's relational answer — shared VERBATIM with st15's streaming
+    * cluster-state maintenance (the st13↔q78 rule applied to dedup
+    * economics): one final answer definition, so batch and streaming
+    * can't drift. */
+  private[graft] val x96OracleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, n_chars, md5(text) AS th FROM documents
+      |), g AS (
+      |  SELECT th, count(*) AS csize, CAST(sum(n_chars) AS BIGINT) AS mass
+      |  FROM h GROUP BY th
+      |), t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_total FROM h
+      |)
+      |SELECT CAST(g.csize AS INT) AS cluster_size,
+      |       CAST(count(*) AS BIGINT) AS n_clusters,
+      |       CAST(count(*) * g.csize AS BIGINT) AS n_docs,
+      |       CAST(sum(g.mass) AS BIGINT) AS chars_total,
+      |       CAST(count(*) * (g.csize - 1) AS BIGINT) AS docs_removable,
+      |       round(1e-9 + count(*) * (g.csize - 1) * 1.0 / t.n_total, 4)
+      |         AS removable_frac
+      |FROM g, t GROUP BY g.csize, t.n_total
+      |ORDER BY cluster_size""".stripMargin
+
   /** The winnowing fingerprint table (doc_id, fp) — x75's persisted
     * content-keyed ingest artifact. Extraction is one codegen'd per-row
     * pass: ordered gram hashes, w=4 window minima via
@@ -1456,24 +1479,7 @@ object Dedup {
     // rows keyed by size — both map-side combining; the corpus total is
     // a 1-row broadcast. Cluster count ≤ docs, size histogram is O(max
     // cluster size) rows at any scale.
-    QueryDef("x96_dup_size_histogram",
-      """WITH h AS (
-        |  SELECT doc_id, n_chars, md5(text) AS th FROM documents
-        |), g AS (
-        |  SELECT th, count(*) AS csize, CAST(sum(n_chars) AS BIGINT) AS mass
-        |  FROM h GROUP BY th
-        |), t AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_total FROM h
-        |)
-        |SELECT CAST(g.csize AS INT) AS cluster_size,
-        |       CAST(count(*) AS BIGINT) AS n_clusters,
-        |       CAST(count(*) * g.csize AS BIGINT) AS n_docs,
-        |       CAST(sum(g.mass) AS BIGINT) AS chars_total,
-        |       CAST(count(*) * (g.csize - 1) AS BIGINT) AS docs_removable,
-        |       round(1e-9 + count(*) * (g.csize - 1) * 1.0 / t.n_total, 4)
-        |         AS removable_frac
-        |FROM g, t GROUP BY g.csize, t.n_total
-        |ORDER BY cluster_size""".stripMargin) { (s, d) =>
+    QueryDef("x96_dup_size_histogram", Dedup.x96OracleSql) { (s, d) =>
       val h = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"), md5(col("text")).as("th"))
       val g = h.groupBy(col("th"))

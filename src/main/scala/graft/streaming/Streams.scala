@@ -1082,6 +1082,72 @@ object Streams {
         ss.read.parquet(sampleDir)
           .orderBy(col("pri").desc, col("doc_id"))
       }
+    },
+
+    // STREAMING DEDUP ECONOMICS — x96's cluster-size histogram maintained
+    // from a live document stream. The cross-batch state is the
+    // per-digest cluster table (md5 → member count, char mass): both
+    // folds are SUM-merges over disjoint batches (a doc lands in exactly
+    // one micro-batch), so converged state equals the batch grouping and
+    // the histogram derivation IS x96's, oracle verbatim. This is the
+    // dashboard a live curation pipeline serves — "what would dedup buy
+    // right now" — maintained at O(distinct digests) state without ever
+    // re-scanning history.
+    //
+    // Scale: per batch, bodies hash map-side and only (digest, partials)
+    // cross the exchange (x01's contract); the state table is bounded by
+    // DISTINCT content, not stream volume — re-crawled copies only bump
+    // counters. The histogram finish reads cluster rows, never
+    // documents.
+    QueryDef("st15_stream_dup_stats",
+      graft.operators.Dedup.x96OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageDocumentsSplit(ss, d)
+        val stateDir = graft.Warehouse.path(
+          s"graft_stdup_v1_${graft.ContentKey.key(
+            java.nio.file.Paths.get(d, "documents.parquet"))}")
+        resetDir(stateDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val part = batch
+              .select(md5(col("text")).as("th"), col("n_chars"))
+              .groupBy(col("th"))
+              .agg(count(lit(1)).as("csize"), sum(col("n_chars")).as("mass"))
+              .localCheckpoint() // severed before the state dir is read
+            val prior =
+              if (java.nio.file.Files.exists(
+                java.nio.file.Paths.get(stateDir, "_SUCCESS")))
+                spark.read.parquet(stateDir)
+              else part.limit(0)
+            prior.unionByName(part)
+              .groupBy(col("th"))
+              .agg(sum(col("csize")).as("csize"), sum(col("mass")).as("mass"))
+              .localCheckpoint()
+              .write.mode("overwrite").parquet(stateDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        // x96's finish, read from the converged cluster state.
+        val g = ss.read.parquet(stateDir)
+        val t = g.agg(sum(col("csize")).as("n_total"))
+        g.groupBy(col("csize"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("mass")).as("chars_total"))
+          .crossJoin(broadcast(t))
+          .select(col("csize").cast("int").as("cluster_size"),
+            col("n_clusters"),
+            (col("n_clusters") * col("csize")).as("n_docs"),
+            col("chars_total"),
+            (col("n_clusters") * (col("csize") - 1)).as("docs_removable"),
+            Num.roundOut(
+              col("n_clusters") * (col("csize") - 1) * 1.0 / col("n_total"), 4)
+              .as("removable_frac"))
+          .orderBy(col("cluster_size"))
+      }
     }
   )
 

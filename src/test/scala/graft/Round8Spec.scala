@@ -383,6 +383,13 @@ class Round8Spec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n")).sum == withClick)
   }
 
+  test("st15's converged streaming cluster state reproduces the batch x96 histogram exactly") {
+    val stream = SparkEntry.queries("st15_stream_dup_stats")(spark, sf0_001).collect()
+    val batch = SparkEntry.queries("x96_dup_size_histogram")(spark, sf0_001).collect()
+    assert(stream.toSeq == batch.toSeq,
+      "sum-merged per-digest state must be batching-free")
+  }
+
   test("m11 reports only frames shared by ≥2 docs, with occurrence ≥ doc counts") {
     val out = SparkEntry.queries("m11_frame_dedup")(spark, sf0_001).collect()
     assert(out.nonEmpty) // the fixture's duplicate docs share frames
