@@ -250,6 +250,60 @@ object PhysicalDesign {
           min(col("za")).as("min_day"), max(col("za")).as("max_day"),
           min(col("zb")).as("min_vb"), max(col("zb")).as("max_vb"))
         .orderBy(col("z_tile"))
+    },
+
+    // CBO STATISTICS COLLECTION — `ANALYZE TABLE … COMPUTE STATISTICS
+    // FOR COLUMNS` over the bucketed per-user table, with the catalog's
+    // recorded column stats (rowCount, min, max, nullCount — the EXACT
+    // ones; ndv is HLL-approximate and excluded) emitted as the query
+    // result and hash-checked against DuckDB recomputing the same
+    // statistics from the data. This is the statistics layer the
+    // cost-based optimizer reorders joins and sizes broadcasts from —
+    // at 100 TB ANALYZE is part of the ingest contract (stale stats =
+    // wrong join order), and this query is the audit that the recorded
+    // numbers match the data. StatsSpec additionally pins that the
+    // optimizer's plan stats surface the analyzed rowCount.
+    //
+    // Scale: ANALYZE itself is one partial-agg pass per column batch
+    // (min/max/count combine map-side); reading the stats back is
+    // catalog metadata, not a data scan — the output is built from the
+    // table's catalog entry.
+    QueryDef("w11_stats_collect",
+      """WITH t AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY user_id
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS rc FROM t
+        |)
+        |SELECT 'n_events' AS col_name, s.rc AS row_count,
+        |       CAST(min(t.n_events) AS BIGINT) AS min_val,
+        |       CAST(max(t.n_events) AS BIGINT) AS max_val,
+        |       CAST(0 AS BIGINT) AS null_count
+        |FROM t, s GROUP BY s.rc
+        |UNION ALL
+        |SELECT 'user_id', s.rc,
+        |       CAST(min(t.user_id) AS BIGINT),
+        |       CAST(max(t.user_id) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM t, s GROUP BY s.rc
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val (t1, _) = bucketedTables(s, d)
+      s.sql(s"ANALYZE TABLE $t1 COMPUTE STATISTICS FOR COLUMNS user_id, n_events")
+      val meta = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t1))
+      val stats = meta.stats.getOrElse(
+        sys.error(s"ANALYZE left no stats on $t1"))
+      val rc = stats.rowCount
+        .getOrElse(sys.error("no rowCount recorded")).toLong
+      val rows = Seq("n_events", "user_id").map { c =>
+        val cs = stats.colStats.getOrElse(c,
+          sys.error(s"no column stats recorded for $c"))
+        (c, rc, cs.min.getOrElse(sys.error("no min")).toLong,
+          cs.max.getOrElse(sys.error("no max")).toLong,
+          cs.nullCount.getOrElse(sys.error("no nullCount")).toLong)
+      }
+      import s.implicits._
+      rows.toDF("col_name", "row_count", "min_val", "max_val", "null_count")
+        .orderBy(col("col_name"))
     }
   )
 }

@@ -390,6 +390,31 @@ class Round8Spec extends AnyFunSuite {
       "sum-merged per-digest state must be batching-free")
   }
 
+  test("w11: analyzed statistics reach the optimizer's plan-level stats") {
+    val out = SparkEntry.queries("w11_stats_collect")(spark, sf0_001).collect()
+    val rc = out.head.getAs[Long]("row_count")
+    // after ANALYZE, the logical relation must carry the exact rowCount
+    // under CBO — this is what join reorder and broadcast sizing read
+    // (plan stats expose only sizeInBytes when CBO is off, so the pin
+    // runs on a CBO-enabled session clone; the shared catalog serves
+    // the same analyzed table)
+    val cbo = spark.newSession()
+    cbo.conf.set("spark.sql.cbo.enabled", "true")
+    cbo.conf.set("spark.sql.statistics.planStats.enabled", "true")
+    val tbl = cbo.sessionState.catalog.listTables("default")
+      .map(_.table).filter(_.startsWith("g_user_stats_v2_")).head
+    // stats are computed lazily against the THREAD's active SQLConf —
+    // pin it to the CBO clone for the read
+    org.apache.spark.sql.classic.SparkSession.setActiveSession(
+      cbo.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    try {
+      val planStats = cbo.table(tbl).queryExecution.optimizedPlan.stats
+      assert(planStats.rowCount.contains(BigInt(rc)),
+        s"optimizer stats ${planStats.rowCount} should carry the analyzed rowCount $rc")
+    } finally org.apache.spark.sql.classic.SparkSession.setActiveSession(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+  }
+
   test("m11 reports only frames shared by ≥2 docs, with occurrence ≥ doc counts") {
     val out = SparkEntry.queries("m11_frame_dedup")(spark, sf0_001).collect()
     assert(out.nonEmpty) // the fixture's duplicate docs share frames
