@@ -111,6 +111,82 @@ object Mining {
         .orderBy(col("doc_id"))
     },
 
+    // INTERPOLATED KNESER-NEY SMOOTHING — the smoothing that actually
+    // ships in n-gram LMs (Kneser & Ney 1995; Chen & Goodman 1998's
+    // winner): absolute discount D=0.75 off every observed bigram count,
+    // redistributed via the CONTINUATION probability — P_cont(w2) counts
+    // how many distinct contexts w2 follows, not how often it occurs
+    // (the "San Francisco" fix: "Francisco" is frequent but glued to one
+    // context, so its continuation weight is tiny). x46's add-one is the
+    // baseline this replaces. All model components (c2, c1, fan-out
+    // N1+(w1•), fan-in N1+(•w2), type total T) are exact longs; p_kn is
+    // ONE fixed IEEE combination written identically in the oracle —
+    // max(c2−D,0) is exact (small-int minus 0.75), λ = D·N1+ is exact
+    // (0.75·k), so the only rounding is the two divisions both engines
+    // perform on identical operands.
+    //
+    // Scale: the trainer shuffles (bigram, 1) pairs with map-side
+    // combine — documents never move; the marginal tables aggregate the
+    // TYPE table (vocabulary-bounded), not the corpus; the report is a
+    // distributed top-200 (TakeOrderedAndProject) and the marginals
+    // attach via two broadcast probes of that 200-row set.
+    QueryDef("x106_kneser_ney",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), bg AS (
+        |  SELECT unnest(list_transform(range(len(t)-1),
+        |                i -> t[i+1] || '_' || t[i+2])) AS bigram
+        |  FROM toks
+        |), c2 AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1
+        |), sp AS (
+        |  SELECT bigram, c2, string_split(bigram, '_')[1] AS w1,
+        |         string_split(bigram, '_')[2] AS w2
+        |  FROM c2
+        |), fw AS (
+        |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+        |         CAST(count(*) AS BIGINT) AS n1p_fw
+        |  FROM sp GROUP BY 1
+        |), bw AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bw FROM sp GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS tt FROM c2
+        |), top AS (
+        |  SELECT bigram, w1, w2, c2 FROM sp
+        |  ORDER BY c2 DESC, bigram LIMIT 200
+        |)
+        |SELECT top.bigram, top.c2, fw.c1, fw.n1p_fw, bw.n1p_bw,
+        |       round(1e-9 + (greatest(top.c2 - 0.75, 0.0)
+        |         + (0.75 * fw.n1p_fw) * (bw.n1p_bw * 1.0 / t.tt)) / fw.c1, 6)
+        |         AS p_kn,
+        |       round(1e-9 + (0.75 * fw.n1p_fw) / fw.c1, 6) AS backoff_w
+        |FROM top JOIN fw USING (w1) JOIN bw USING (w2), t
+        |ORDER BY top.c2 DESC, top.bigram""".stripMargin) { (s, d) =>
+      val c2 = Tables.documents(s, d)
+        .select(explode(Text.rawShingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+        .withColumn("w1", split(col("bigram"), "_").getItem(0))
+        .withColumn("w2", split(col("bigram"), "_").getItem(1))
+      val fw = c2.groupBy(col("w1"))
+        .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p_fw"))
+      val bw = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1p_bw"))
+      val t = c2.agg(count(lit(1)).as("tt"))
+      val top = c2.orderBy(col("c2").desc, col("bigram")).limit(200)
+        .select(col("bigram"), col("w1"), col("w2"), col("c2"))
+      val withFw = fw.join(broadcast(top), Seq("w1"))
+      bw.join(broadcast(withFw), Seq("w2"))
+        .crossJoin(broadcast(t))
+        .select(col("bigram"), col("c2"), col("c1"), col("n1p_fw"),
+          col("n1p_bw"),
+          Num.roundOut((greatest(col("c2") - 0.75, lit(0.0))
+            + (lit(0.75) * col("n1p_fw"))
+              * (col("n1p_bw") * lit(1.0) / col("tt"))) / col("c1"), 6)
+            .as("p_kn"),
+          Num.roundOut((lit(0.75) * col("n1p_fw")) / col("c1"), 6)
+            .as("backoff_w"))
+        .orderBy(col("c2").desc, col("bigram"))
+    },
+
     // Blocked edit-distance near-dup: the character-level verifier for
     // pairs token-set methods (MinHash/SimHash) can't judge — catches
     // transpositions and small in-word edits. Blocking key = (lang,

@@ -304,6 +304,110 @@ object PhysicalDesign {
       import s.implicits._
       rows.toDF("col_name", "row_count", "min_val", "max_val", "null_count")
         .orderBy(col("col_name"))
+    },
+
+    // RENDEZVOUS (HIGHEST-RANDOM-WEIGHT) SHARD REBALANCE AUDIT — the
+    // planning table for growing a sharded 100 TB store from N=8 to N=9
+    // shards (Thaler & Ravishankar 1998, the scheme behind Ceph CRUSH /
+    // consistent routing). Each doc's shard is argmax over shards of a
+    // per-(key, shard) hash — the seed-7 polynomial fold of the cross-
+    // engine sketch family with the shard id as the per-row multiplier
+    // (functions/Sketches.scala), so the DuckDB oracle replays every
+    // weight exactly. The audit contrasts HRW with naive `id mod N`:
+    // HRW's minimal-disruption property means the ONLY docs that move
+    // are those the new shard now wins (expected n/9, all into shard 8
+    // — spec-pinned), while mod-N rehash moves ~8/9 of the corpus.
+    //
+    // Scale: assignment is pure map-side — the 9 candidate weights are a
+    // per-row higher-order `transform` + `array_max` (no shard-table
+    // join, no explode, no shuffle); the audit explodes 6 (role, shard)
+    // tags per doc into ONE hash aggregate whose map-side partials are
+    // ≤54 rows per task. Nothing leaves an executor except the 9-row
+    // histogram — exactly the cost profile a rebalance dry-run must
+    // have when the doc spine is 10^11 rows.
+    QueryDef("x104_rendezvous_shards",
+      s"""WITH sh AS (
+        |  SELECT CAST(unnest(range(9)) AS BIGINT) AS shard
+        |), w AS (
+        |  SELECT d.doc_id, sh.shard,
+        |         ${graft.functions.Sketches.foldHashSql(
+               "lpad(CAST(d.doc_id AS VARCHAR), 12, '0')", "sh.shard")} AS w
+        |  FROM documents d CROSS JOIN sh
+        |), r9 AS (
+        |  SELECT doc_id, shard, row_number() OVER (
+        |           PARTITION BY doc_id ORDER BY w DESC, shard DESC) AS r
+        |  FROM w
+        |), r8 AS (
+        |  SELECT doc_id, shard, row_number() OVER (
+        |           PARTITION BY doc_id ORDER BY w DESC, shard DESC) AS r
+        |  FROM w WHERE shard < 8
+        |), per AS (
+        |  SELECT d.doc_id, e.shard AS s8, n.shard AS s9,
+        |         d.doc_id % 8 AS m8, d.doc_id % 9 AS m9
+        |  FROM documents d
+        |  JOIN (SELECT doc_id, shard FROM r8 WHERE r = 1) e USING (doc_id)
+        |  JOIN (SELECT doc_id, shard FROM r9 WHERE r = 1) n USING (doc_id)
+        |), roles AS (
+        |  SELECT 'n8_hrw' AS role, s8 AS shard FROM per
+        |  UNION ALL SELECT 'n9_hrw', s9 FROM per
+        |  UNION ALL SELECT 'moved_in_hrw', s9 FROM per WHERE s8 <> s9
+        |  UNION ALL SELECT 'n8_mod', m8 FROM per
+        |  UNION ALL SELECT 'n9_mod', m9 FROM per
+        |  UNION ALL SELECT 'moved_in_mod', m9 FROM per WHERE m8 <> m9
+        |)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) FILTER (WHERE role = 'n8_hrw') AS BIGINT) AS n8_hrw,
+        |  CAST(count(*) FILTER (WHERE role = 'n9_hrw') AS BIGINT) AS n9_hrw,
+        |  CAST(count(*) FILTER (WHERE role = 'moved_in_hrw') AS BIGINT)
+        |    AS moved_in_hrw,
+        |  CAST(count(*) FILTER (WHERE role = 'n8_mod') AS BIGINT) AS n8_mod,
+        |  CAST(count(*) FILTER (WHERE role = 'n9_mod') AS BIGINT) AS n9_mod,
+        |  CAST(count(*) FILTER (WHERE role = 'moved_in_mod') AS BIGINT)
+        |    AS moved_in_mod
+        |FROM roles GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      // The key is LEFT-PADDED to 12 chars so the polynomial fold WRAPS
+      // the 1e9+7 modulus (39^12 ≫ p): an unwrapped fold of a short
+      // decimal id is monotone in the shard multiplier, which silently
+      // degenerates HRW into "largest shard always wins" — caught by the
+      // all-docs-moved spec pin before this pad existed.
+      val key = lpad(col("doc_id").cast("string"), 12, "0")
+      // weight(key, shard): the Sketches.foldHash fold with the shard id
+      // as the row multiplier, evaluated for all 9 shards inside one
+      // per-row lambda (shard is the OUTER lambda variable of the nested
+      // fold — no join against a shard table).
+      def weight(shard: org.apache.spark.sql.Column) =
+        aggregate(sequence(lit(1), length(key)), lit(7L),
+          (acc, j) => (acc * (lit(31L) + shard)
+            + ascii(key.substr(j.cast("int"), lit(1))).cast("long"))
+            % 1000000007L)
+      val ws = transform(sequence(lit(0), lit(8)), sh =>
+        struct(weight(sh).as("w"), sh.cast("long").as("shard")))
+      // array_max on struct(w, shard) = max weight, ties to the larger
+      // shard id — mirrored by the oracle's ORDER BY w DESC, shard DESC.
+      val per = Tables.documents(s, d).select(
+        col("doc_id"),
+        array_max(filter(ws, x => x.getField("shard") < 8))
+          .getField("shard").as("s8"),
+        array_max(ws).getField("shard").as("s9"),
+        pmod(col("doc_id"), lit(8L)).as("m8"),
+        pmod(col("doc_id"), lit(9L)).as("m9"))
+      per.select(explode(array(
+          struct(lit("n8_hrw").as("role"), col("s8").as("shard")),
+          struct(lit("n9_hrw").as("role"), col("s9").as("shard")),
+          struct(lit("moved_in_hrw").as("role"),
+            when(col("s8") =!= col("s9"), col("s9")).as("shard")),
+          struct(lit("n8_mod").as("role"), col("m8").as("shard")),
+          struct(lit("n9_mod").as("role"), col("m9").as("shard")),
+          struct(lit("moved_in_mod").as("role"),
+            when(col("m8") =!= col("m9"), col("m9")).as("shard")))).as("r"))
+        .select(col("r.role").as("role"), col("r.shard").as("shard"))
+        .filter(col("shard").isNotNull)
+        .groupBy(col("shard"))
+        .pivot("role", Seq("n8_hrw", "n9_hrw", "moved_in_hrw",
+          "n8_mod", "n9_mod", "moved_in_mod"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("shard"))
     }
   )
 }

@@ -1287,6 +1287,95 @@ object Similarity {
         .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rnk"),
           (col("cand_id") % 10 === 7).as("from_delta"))
         .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // MUTUAL-kNN GRAPH — the neighborhood graph behind SNN/density
+    // clustering, graph-dedup, and diversity sampling (an edge survives
+    // only if BOTH endpoints rank each other in their top-3, which
+    // strips the hub vectors that plain directed kNN drowns in). Every
+    // corpus vector is a query; candidates come from the persisted IVF
+    // inverted file at nprobe=2 (each vector scores only the two lists
+    // nearest it, not the corpus), exact cosine within candidates, top-3
+    // per vector, then the mutual filter is an equi-self-join of the
+    // directed edge set on the reversed key pair.
+    //
+    // Scale: this is the 10^11-vector realization of "kNN graph" — the
+    // all-pairs form is quadratic and unrunnable, while here the
+    // candidate join's work is Σ (list size of the ≤2 probed lists) per
+    // vector and the edge table that shuffles afterwards holds ≤3 rows
+    // per vector. The probe join keys on cent_id against the
+    // partitionBy(cent_id) artifact (partition-pruned at read), and the
+    // mutual join keys on (lo, hi) vec_id pairs — both plain shuffles
+    // of id-sized rows, never vectors past the scoring stage.
+    QueryDef("x105_mutual_knn",
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), c AS (
+        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+        |  WHERE vec_id % 50 = 0
+        |), a AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> n.v[i+1] * c.cv[i+1])) / n.nrm / c.cn, 6) AS sim
+        |  FROM n, c
+        |), r AS (
+        |  SELECT vec_id, cent_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rk
+        |  FROM a
+        |), corpus AS (
+        |  SELECT vec_id, cent_id FROM r WHERE rk = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cent_id FROM r WHERE rk <= 2
+        |), cand AS (
+        |  SELECT p.query_id, co.vec_id AS cand_id
+        |  FROM probes p JOIN corpus co ON p.cent_id = co.cent_id
+        |  WHERE co.vec_id <> p.query_id
+        |), sims AS (
+        |  SELECT cand.query_id, cand.cand_id,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> q.v[i+1] * x.v[i+1])) / q.nrm / x.nrm, 6) AS cos_sim
+        |  FROM cand JOIN n q ON q.vec_id = cand.query_id
+        |            JOIN n x ON x.vec_id = cand.cand_id
+        |), knn AS (
+        |  SELECT query_id, cand_id, cos_sim, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+        |  FROM sims QUALIFY rnk <= 3
+        |)
+        |SELECT f.query_id AS a_id, f.cand_id AS b_id, f.cos_sim,
+        |       CAST(f.rnk AS INT) AS rank_ab, CAST(b.rnk AS INT) AS rank_ba
+        |FROM knn f JOIN knn b
+        |  ON f.query_id = b.cand_id AND f.cand_id = b.query_id
+        |WHERE f.query_id < f.cand_id
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val assigned = ivfAssignedTable(s, d)
+      val corpus = assigned.filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+      val probes = assigned.filter(col("rk") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cent_id"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
+      val knn = corpus.join(probes, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          Num.roundOut(cosine(col("qv"), col("qnrm"), col("v"), col("nrm")), 6)
+            .as("cos_sim"))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rnk"))
+      val back = knn.select(col("query_id").as("cand_id"),
+        col("cand_id").as("query_id"), col("rnk").as("rank_ba"))
+      knn.join(back, Seq("query_id", "cand_id"))
+        .filter(col("query_id") < col("cand_id"))
+        .select(col("query_id").as("a_id"), col("cand_id").as("b_id"),
+          col("cos_sim"), col("rnk").as("rank_ab"), col("rank_ba"))
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 

@@ -424,6 +424,76 @@ class Round8Spec extends AnyFunSuite {
       assert(r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc"))
     }
   }
+
+  test("x104 HRW minimal disruption: movers land ONLY on the new shard; mod-N rehash moves strictly more") {
+    val rows = SparkEntry.queries("x104_rendezvous_shards")(spark, sf0_001)
+      .collect()
+    val nDocs = Tables.documents(spark, sf0_001).count()
+    // conservation: both assignments place every doc exactly once
+    assert(rows.map(_.getAs[Long]("n8_hrw")).sum == nDocs)
+    assert(rows.map(_.getAs[Long]("n9_hrw")).sum == nDocs)
+    // THE rendezvous property: growing 8→9 only ever moves a doc to the
+    // NEW shard (argmax over a superset changes iff the new element wins)
+    rows.filter(_.getAs[Long]("shard") < 8).foreach { r =>
+      assert(r.getAs[Long]("moved_in_hrw") == 0L,
+        s"HRW moved a doc into pre-existing shard ${r.getAs[Long]("shard")}")
+    }
+    val s8row = rows.find(_.getAs[Long]("shard") == 8L).get
+    assert(s8row.getAs[Long]("moved_in_hrw") == s8row.getAs[Long]("n9_hrw"),
+      "shard 8's population must be exactly the movers")
+    // and the contrast that motivates HRW: mod-N rehash reshuffles ~8/9
+    val hrwMoved = rows.map(_.getAs[Long]("moved_in_hrw")).sum
+    val modMoved = rows.map(_.getAs[Long]("moved_in_mod")).sum
+    assert(hrwMoved < modMoved,
+      s"HRW must move fewer docs than mod rehash ($hrwMoved vs $modMoved)")
+    assert(hrwMoved <= nDocs / 3, "HRW movement should be near n/9, not bulk")
+  }
+
+  test("x105 mutual-kNN edges: canonical a<b, both ranks within top-3, node degree ≤ 3") {
+    val out = SparkEntry.queries("x105_mutual_knn")(spark, sf0_001)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      val (ab, ba) = (r.getAs[Int]("rank_ab"), r.getAs[Int]("rank_ba"))
+      assert(ab >= 1 && ab <= 3 && ba >= 1 && ba <= 3)
+    }
+    // mutuality bounds the degree by k: a node can keep at most its own 3
+    val deg = out.select(col("a_id").as("id"))
+      .unionAll(out.select(col("b_id").as("id")))
+      .groupBy("id").count().agg(max("count")).first().getLong(0)
+    assert(deg <= 3L, s"mutual-kNN degree exceeded k: $deg")
+  }
+
+  test("x106 Kneser-Ney is a proper conditional distribution: Σ_w2 P(w2|w1) == 1 over the full vocab") {
+    // Recompute the model components for the densest context and check the
+    // analytical normalization: Σ_observed (c−D)/c1 + λ·Σ_vocab Pcont = 1
+    // with λ = D·N1+(w1•)/c1 and Σ_vocab Pcont = 1 by construction. Summing
+    // the OBSERVED continuation mass and adding λ·(1 − Σ_obs Pcont) covers
+    // the unobserved tail without enumerating the vocabulary.
+    val c2 = Tables.documents(spark, sf0_001)
+      .select(explode(graft.functions.Text.rawShingles(col("text"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .withColumn("w1", split(col("bg"), "_").getItem(0))
+      .withColumn("w2", split(col("bg"), "_").getItem(1))
+    val tt = c2.count().toDouble
+    val top = c2.groupBy(col("w1"))
+      .agg(sum(col("c")).as("c1"), count(lit(1)).as("fw"))
+      .orderBy(col("c1").desc, col("w1")).first()
+    val (w1v, c1, fw) = (top.getString(0), top.getLong(1).toDouble,
+      top.getLong(2).toDouble)
+    val bw = c2.groupBy(col("w2")).agg(count(lit(1)).as("nbw"))
+    val obs = c2.filter(col("w1") === w1v).join(bw, "w2")
+      .select(
+        (greatest(col("c") - 0.75, lit(0.0))
+          + (lit(0.75) * lit(fw)) * (col("nbw") * lit(1.0) / lit(tt)))
+          .as("num"),
+        (col("nbw") * lit(1.0) / lit(tt)).as("pcont"))
+      .agg(sum(col("num")), sum(col("pcont"))).first()
+    val total = obs.getDouble(0) / c1 +
+      (0.75 * fw / c1) * (1.0 - obs.getDouble(1))
+    assert(math.abs(total - 1.0) < 1e-9, s"KN mass sums to $total, not 1")
+  }
 }
 
 /** Per-query analyzability canary (VERDICT r7 item 8): every registered
