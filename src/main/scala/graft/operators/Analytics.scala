@@ -42,6 +42,59 @@ object Analytics {
 
   val entries: Seq[QueryDef] = Seq(
 
+    // CO-ACTIVITY USER SIMILARITY — exact Jaccard over per-user sets of
+    // active HOURS, the audience-overlap / sockpuppet-detection primitive
+    // (two accounts online in the same hours, every time, are one
+    // operator). Candidate pairs come from an inverted index hour →
+    // users (x49's co-occurrence shape, Vernica SIGMOD'10): only users
+    // sharing an hour ever pair, shared-hour counts fall out of the
+    // equi-join group-by, and |A∪B| = |A|+|B|−|A∩B| from broadcast
+    // per-user totals — the exact-set identity, one IEEE division.
+    //
+    // Scale: the index join's work is Σ_hours |users-in-hour|² — the
+    // crowded-bucket profile every co-occurrence miner has; the hour key
+    // partitions the shuffle, per-user totals are a users-sized
+    // broadcast, and the report is top-50 via TakeOrderedAndProject.
+    // Raw events collapse to DISTINCT (user, hour) before anything
+    // joins, so the pair stage's input is activity-bounded, not
+    // event-bounded.
+    QueryDef("x107_coactivity_jaccard",
+      """WITH uh AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+        |), tot AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS nh FROM uh GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2,
+        |         CAST(count(*) AS BIGINT) AS shared
+        |  FROM uh a JOIN uh b ON a.h = b.h AND a.user_id < b.user_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT u1, u2, shared, ta.nh AS h1, tb.nh AS h2,
+        |       round(1e-9 + shared * 1.0 / (ta.nh + tb.nh - shared), 6)
+        |         AS jaccard
+        |FROM pairs JOIN tot ta ON ta.user_id = u1
+        |           JOIN tot tb ON tb.user_id = u2
+        |ORDER BY jaccard DESC, u1, u2 LIMIT 50""".stripMargin) { (s, d) =>
+      val uh = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct()
+      val tot = uh.groupBy(col("user_id")).agg(count(lit(1)).as("nh"))
+      val pairs = uh.as("a")
+        .join(uh.as("b"),
+          col("a.h") === col("b.h") && col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("u1"), col("b.user_id").as("u2"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(broadcast(tot.select(col("user_id").as("u1"), col("nh").as("h1"))),
+          Seq("u1"))
+        .join(broadcast(tot.select(col("user_id").as("u2"), col("nh").as("h2"))),
+          Seq("u2"))
+        .select(col("u1"), col("u2"), col("shared"), col("h1"), col("h2"),
+          Num.roundOut(col("shared") * 1.0
+            / (col("h1") + col("h2") - col("shared")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("u1"), col("u2")).limit(50)
+    },
+
     // Conversion funnel view → click → purchase with STRICT event-order
     // semantics: each stage's timestamp must be strictly after the prior
     // stage's (min-after-join, not min-overall — a click before the first

@@ -970,6 +970,86 @@ object Multimodal {
           }
         }(enc)
         .orderBy(col("doc_id"))
+    },
+
+    // PER-CHANNEL INTENSITY HISTOGRAM — the exposure/contrast audit an
+    // image-curation pass runs before training (all-dark, all-blown, or
+    // single-channel-degenerate images are drop candidates): for each P6
+    // payload, each RGB channel's 4-bucket histogram (bucket = byte>>6)
+    // plus the exact channel sum and mean. The raster is streamed ONCE
+    // per payload inside the decode tier's iterator-to-iterator
+    // mapPartitions, emitting 3 long-format rows (doc, channel) — O(1)
+    // output per image, pixels never leave the executor. The oracle
+    // replays the identical byte addressing on the hexed text bytes
+    // (raster byte o = channel o%3), so the channel de-interleave is
+    // checked end to end.
+    QueryDef("m14_channel_histogram",
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 24
+        |), by AS (
+        |  SELECT doc_id, CAST(24 * (n // 24) AS INT) AS np,
+        |         list_transform(range(24 * (n // 24)), o ->
+        |    (strpos('0123456789ABCDEF',
+        |            substring(hx, 2 * CAST(o AS INT) + 1, 1)) - 1) * 16 +
+        |     strpos('0123456789ABCDEF',
+        |            substring(hx, 2 * CAST(o AS INT) + 2, 1)) - 1) AS b
+        |  FROM p
+        |), ch(c, channel) AS (VALUES (0, 'r'), (1, 'g'), (2, 'b'))
+        |SELECT by.doc_id, ch.channel,
+        |  CAST(len(list_filter(range(np), o ->
+        |    o % 3 = ch.c AND by.b[CAST(o AS INT) + 1] // 64 = 0)) AS BIGINT) AS b0,
+        |  CAST(len(list_filter(range(np), o ->
+        |    o % 3 = ch.c AND by.b[CAST(o AS INT) + 1] // 64 = 1)) AS BIGINT) AS b1,
+        |  CAST(len(list_filter(range(np), o ->
+        |    o % 3 = ch.c AND by.b[CAST(o AS INT) + 1] // 64 = 2)) AS BIGINT) AS b2,
+        |  CAST(len(list_filter(range(np), o ->
+        |    o % 3 = ch.c AND by.b[CAST(o AS INT) + 1] // 64 = 3)) AS BIGINT) AS b3,
+        |  CAST(list_sum(list_transform(list_filter(range(np), o -> o % 3 = ch.c),
+        |    o -> by.b[CAST(o AS INT) + 1])) AS BIGINT) AS sum_v,
+        |  CAST(np // 3 AS BIGINT) AS n_ch,
+        |  round(1e-9 + list_sum(list_transform(
+        |    list_filter(range(np), o -> o % 3 = ch.c),
+        |    o -> by.b[CAST(o AS INT) + 1])) * 1.0 / (np // 3), 6) AS mean_v
+        |FROM by CROSS JOIN ch
+        |ORDER BY doc_id, channel""".stripMargin) { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("channel", StringType, nullable = false),
+        StructField("b0", LongType, nullable = false),
+        StructField("b1", LongType, nullable = false),
+        StructField("b2", LongType, nullable = false),
+        StructField("b3", LongType, nullable = false),
+        StructField("sum_v", LongType, nullable = false),
+        StructField("n_ch", LongType, nullable = false)))
+      val enc = RowEncoder.encoderFor(schema)
+      ppmPayloads(s, d)
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            val p = r.getAs[Array[Byte]](1)
+            val (w, h, off) = PpmDecoder.header(p)
+            val np = 3 * w * h
+            val counts = Array.ofDim[Long](3, 4)
+            val sums = new Array[Long](3)
+            var o = 0
+            while (o < np) {
+              val b = p(off + o) & 0xff
+              counts(o % 3)(b >> 6) += 1
+              sums(o % 3) += b
+              o += 1
+            }
+            Seq("r", "g", "b").zipWithIndex.map { case (nm, c) =>
+              Row(r.getLong(0), nm, counts(c)(0), counts(c)(1),
+                counts(c)(2), counts(c)(3), sums(c), (np / 3).toLong)
+            }
+          }
+        }(enc)
+        .select(col("doc_id"), col("channel"), col("b0"), col("b1"),
+          col("b2"), col("b3"), col("sum_v"), col("n_ch"),
+          Num.roundOut(col("sum_v") * 1.0 / col("n_ch"), 6).as("mean_v"))
+        .orderBy(col("doc_id"), col("channel"))
     }
   )
 }

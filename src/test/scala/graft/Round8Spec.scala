@@ -494,6 +494,38 @@ class Round8Spec extends AnyFunSuite {
       (0.75 * fw / c1) * (1.0 - obs.getDouble(1))
     assert(math.abs(total - 1.0) < 1e-9, s"KN mass sums to $total, not 1")
   }
+
+  test("x107 co-activity Jaccard: canonical pairs, shared bounded by both set sizes, jaccard in (0,1]") {
+    val rows = SparkEntry.queries("x107_coactivity_jaccard")(spark, sf0_001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("u1") < r.getAs[Long]("u2"))
+      val (sh, h1, h2) = (r.getAs[Long]("shared"),
+        r.getAs[Long]("h1"), r.getAs[Long]("h2"))
+      assert(sh >= 1 && sh <= math.min(h1, h2),
+        s"shared $sh outside [1, min($h1,$h2)]")
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0 + 1e-9, s"jaccard $j outside (0,1]")
+    }
+  }
+
+  test("m14 channel histograms conserve mass: buckets sum to the channel pixel count, sums bounded by 255·n") {
+    val out = SparkEntry.queries("m14_channel_histogram")(spark, sf0_001)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length % 3 == 0, "three channel rows per doc")
+    rows.foreach { r =>
+      val bsum = r.getAs[Long]("b0") + r.getAs[Long]("b1") +
+        r.getAs[Long]("b2") + r.getAs[Long]("b3")
+      assert(bsum == r.getAs[Long]("n_ch"), "bucket counts must tile the channel")
+      assert(r.getAs[Long]("sum_v") <= 255L * r.getAs[Long]("n_ch"))
+    }
+    // the three channels of one doc de-interleave the SAME raster: equal n_ch
+    val perDoc = out.groupBy(col("doc_id"))
+      .agg(countDistinct(col("n_ch")).as("k"), count(lit(1)).as("n"))
+      .filter(col("k") =!= 1 || col("n") =!= 3).count()
+    assert(perDoc == 0, "every doc must emit exactly 3 equal-sized channels")
+  }
 }
 
 /** Per-query analyzability canary (VERDICT r7 item 8): every registered
