@@ -95,6 +95,142 @@ object Analytics {
         .orderBy(col("jaccard").desc, col("u1"), col("u2")).limit(50)
     },
 
+    // GROWTH ACCOUNTING — the weekly new/retained/resurrected/churned
+    // ledger every growth team reads (the "quick ratio" decomposition):
+    // a user's week is 'new' on first-ever activity, 'retained' if active
+    // the immediately prior week, 'resurrected' after a gap; churn falls
+    // out of conservation — churned(w) = active(w−1) − retained(w) —
+    // rather than from a fragile anti-join against the next week.
+    //
+    // Scale: raw events collapse to DISTINCT (user, week) at the scan;
+    // one user-keyed window labels states; the ledger is a weeks-sized
+    // aggregate, and the churn lag runs over that tiny table (the single
+    // global window touches only O(weeks) rows).
+    QueryDef("x109_growth_accounting",
+      """WITH ua AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', ts) AS DATE) AS w
+        |  FROM events
+        |), st AS (
+        |  SELECT user_id, w,
+        |         lag(w) OVER (PARTITION BY user_id ORDER BY w) AS pw
+        |  FROM ua
+        |), lab AS (
+        |  SELECT w, CASE WHEN pw IS NULL THEN 'new'
+        |                 WHEN datediff('day', pw, w) = 7 THEN 'retained'
+        |                 ELSE 'resurrected' END AS state
+        |  FROM st
+        |), led AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS n_active,
+        |         CAST(count(*) FILTER (WHERE state = 'new') AS BIGINT)
+        |           AS n_new,
+        |         CAST(count(*) FILTER (WHERE state = 'retained') AS BIGINT)
+        |           AS n_retained,
+        |         CAST(count(*) FILTER (WHERE state = 'resurrected') AS BIGINT)
+        |           AS n_resurrected
+        |  FROM lab GROUP BY 1
+        |)
+        |SELECT w AS week, n_active, n_new, n_retained, n_resurrected,
+        |       CAST(coalesce(lag(n_active) OVER (ORDER BY w), 0)
+        |            - n_retained AS BIGINT) AS n_churned
+        |FROM led ORDER BY week""".stripMargin) { (s, d) =>
+      val ua = Tables.events(s, d)
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("w"))
+        .distinct()
+      val lab = ua
+        .withColumn("pw",
+          lag(col("w"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("w"))))
+        .withColumn("state", when(col("pw").isNull, "new")
+          .when(datediff(col("w"), col("pw")) === 7, "retained")
+          .otherwise("resurrected"))
+      val led = lab.groupBy(col("w")).agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+      led
+        .withColumn("n_churned",
+          coalesce(lag(col("n_active"), 1).over(Window.orderBy(col("w"))),
+            lit(0L)) - col("n_retained"))
+        .select(col("w").as("week"), col("n_active"), col("n_new"),
+          col("n_retained"), col("n_resurrected"), col("n_churned"))
+        .orderBy(col("week"))
+    },
+
+    // SESSION PATH MINING — the top event-type trigrams across q34's
+    // 30-minute-gap sessions: the "what do users actually do in a
+    // sitting" table that seeds funnel definitions (q77 then measures
+    // the chosen one). Sequences materialize per session under the
+    // (ts, event_id) total order via array_sort over collected structs
+    // (collect_list alone is partition-order-dependent — the sort is
+    // what makes the result deterministic), trigrams are a per-row HOF,
+    // and each trigram reports occurrences plus distinct sessions.
+    //
+    // Scale: one user-keyed exchange covers BOTH the session-boundary
+    // window and the per-session collect (same partitioning); session
+    // arrays are gap-bounded, trigram counts combine map-side, and the
+    // report is top-20 via TakeOrderedAndProject.
+    QueryDef("x110_session_ngrams",
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         sum(new_session) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS sid
+        |  FROM marked
+        |), seqs AS (
+        |  SELECT user_id, sid,
+        |         array_agg(event_type ORDER BY ts, event_id) AS seq
+        |  FROM sess GROUP BY 1, 2
+        |), tg AS (
+        |  SELECT user_id, sid,
+        |         unnest(list_transform(range(len(seq) - 2), i ->
+        |           seq[i+1] || '>' || seq[i+2] || '>' || seq[i+3]))
+        |           AS trigram
+        |  FROM seqs
+        |), ag AS (
+        |  SELECT trigram, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |         CAST(count(DISTINCT (user_id, sid)) AS BIGINT)
+        |           AS n_sessions
+        |  FROM tg GROUP BY 1
+        |)
+        |SELECT trigram, n_occurrences, n_sessions
+        |FROM ag ORDER BY n_occurrences DESC, trigram LIMIT 20""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapMicros = 30L * 60L * 1000000L
+      val sess = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_session")).over(w))
+      val seqs = sess.groupBy(col("user_id"), col("sid"))
+        .agg(array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("ev"))
+        .select(col("user_id"), col("sid"),
+          transform(col("ev"), e => e.getField("event_type")).as("seq"))
+      val tg = seqs.select(col("user_id"), col("sid"),
+        explode(when(size(col("seq")) < 3, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("seq")) - 3), i =>
+            concat_ws(">", element_at(col("seq"), i + 1),
+              element_at(col("seq"), i + 2),
+              element_at(col("seq"), i + 3))))).as("trigram"))
+      tg.groupBy(col("trigram"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("user_id"), col("sid")).as("n_sessions"))
+        .orderBy(col("n_occurrences").desc, col("trigram")).limit(20)
+    },
+
     // Conversion funnel view → click → purchase with STRICT event-order
     // semantics: each stage's timestamp must be strictly after the prior
     // stage's (min-after-join, not min-overall — a click before the first

@@ -111,6 +111,74 @@ object Mining {
         .orderBy(col("doc_id"))
     },
 
+    // TOKEN-MASS CONCENTRATION (GINI) — the per-source "is this corpus a
+    // few templates stamped out, or genuinely diverse?" audit that pairs
+    // with x80's Zipf slope: the Gini coefficient of the term-frequency
+    // distribution (0 = every type equally common, →1 = all mass in one
+    // type) plus the top-10-type mass share. Gini uses the rank formula
+    // G = 2·Σ rank·c / (n·Σc) − (n+1)/n over counts ranked ascending —
+    // Σ rank·c is an exact long (tie order within equal counts cannot
+    // change it), so the score is two IEEE divisions both engines
+    // perform on identical integers.
+    //
+    // Scale: tokenization is map-side with `source` carried alongside
+    // (cheaper than joining the token artifact back to doc metadata —
+    // an id-keyed shuffle of the whole token stream just to attach one
+    // label); the only corpus-sized shuffle is the (source, word)
+    // count with map-side combine; the rank windows run per source over
+    // vocabulary-sized rows.
+    QueryDef("x108_token_gini",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), tf AS (
+        |  SELECT source, word, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok WHERE word <> '' GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT source, c,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY c, word) AS r,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY c DESC, word) AS rd
+        |  FROM tf
+        |), ag AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        |         CAST(sum(c) AS BIGINT) AS total_tokens,
+        |         CAST(sum(r * c) AS BIGINT) AS s_rc,
+        |         CAST(sum(CASE WHEN rd <= 10 THEN c ELSE 0 END) AS BIGINT)
+        |           AS top10
+        |  FROM rk GROUP BY 1
+        |)
+        |SELECT source, n_terms, total_tokens,
+        |       round(1e-9 + top10 * 1.0 / total_tokens, 6) AS top10_share,
+        |       round(1e-9 + (2.0 * s_rc) / (n_terms * total_tokens)
+        |             - (n_terms + 1.0) / n_terms, 6) AS gini
+        |FROM ag ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      val rk = tf
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("c"), col("word"))))
+        .withColumn("rd", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("c").desc, col("word"))))
+      rk.groupBy(col("source")).agg(
+          count(lit(1)).as("n_terms"),
+          sum(col("c")).as("total_tokens"),
+          sum(col("r") * col("c")).as("s_rc"),
+          sum(when(col("rd") <= 10, col("c")).otherwise(0L)).as("top10"))
+        .select(col("source"), col("n_terms"), col("total_tokens"),
+          Num.roundOut(col("top10") * 1.0 / col("total_tokens"), 6)
+            .as("top10_share"),
+          Num.roundOut((lit(2.0) * col("s_rc"))
+              / (col("n_terms") * col("total_tokens"))
+            - (col("n_terms") + lit(1.0)) / col("n_terms"), 6).as("gini"))
+        .orderBy(col("source"))
+    },
+
     // INTERPOLATED KNESER-NEY SMOOTHING — the smoothing that actually
     // ships in n-gram LMs (Kneser & Ney 1995; Chen & Goodman 1998's
     // winner): absolute discount D=0.75 off every observed bigram count,

@@ -526,6 +526,50 @@ class Round8Spec extends AnyFunSuite {
       .filter(col("k") =!= 1 || col("n") =!= 3).count()
     assert(perDoc == 0, "every doc must emit exactly 3 equal-sized channels")
   }
+
+  test("x108 Gini is in [0,1) and exactly 0 on a uniform count distribution") {
+    SparkEntry.queries("x108_token_gini")(spark, sf0_001).collect().foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= -1e-9 && g < 1.0, s"gini $g outside [0,1)")
+      val sh = r.getAs[Double]("top10_share")
+      assert(sh > 0.0 && sh <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_terms") <= r.getAs[Long]("total_tokens"))
+    }
+    // closed-form anchor: n equal counts ⇒ 2·Σr·c/(n·Σc) − (n+1)/n = 0
+    val n = 7L; val c = 13L
+    val src = (1L to n).map(r => r * c).sum
+    assert(2.0 * src / (n * (n * c)) - (n + 1.0) / n == 0.0)
+  }
+
+  test("x109 growth accounting conserves users: active = new + retained + resurrected, churn = prev active − retained") {
+    val rows = SparkEntry.queries("x109_growth_accounting")(spark, sf0_001)
+      .orderBy(col("week")).collect()
+    assert(rows.nonEmpty)
+    var prevActive = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("n_new")
+        + r.getAs[Long]("n_retained") + r.getAs[Long]("n_resurrected"))
+      assert(r.getAs[Long]("n_churned") == prevActive - r.getAs[Long]("n_retained"))
+      assert(r.getAs[Long]("n_retained") <= prevActive,
+        "cannot retain more users than were active last week")
+      prevActive = r.getAs[Long]("n_active")
+    }
+    assert(rows.head.getAs[Long]("n_new") == rows.head.getAs[Long]("n_active"),
+      "the first observed week is all-new by definition")
+    // Σ new across weeks = total distinct users ever seen
+    val users = Tables.events(spark, sf0_001).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum == users)
+  }
+
+  test("x110 trigram session support never exceeds occurrences, and both are positive") {
+    val rows = SparkEntry.queries("x110_session_ngrams")(spark, sf0_001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (occ, ses) = (r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_sessions"))
+      assert(occ >= ses && ses >= 1, s"occurrences $occ < sessions $ses")
+      assert(r.getAs[String]("trigram").split(">").length == 3)
+    }
+  }
 }
 
 /** Per-query analyzability canary (VERDICT r7 item 8): every registered
