@@ -40,6 +40,65 @@ object Analytics {
       |GROUP BY f.cohort, a.w, sz.n_cohort
       |ORDER BY cohort_week, offset_w""".stripMargin
 
+  /** x109's relational answer — shared VERBATIM with st16's streaming
+    * growth-accounting maintenance (the q78↔st13 contract applied to the
+    * weekly ledger): one answer definition for both paths. */
+  private[graft] val x109OracleSql: String =
+    """WITH ua AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(date_trunc('week', ts) AS DATE) AS w
+      |  FROM events
+      |), st AS (
+      |  SELECT user_id, w,
+      |         lag(w) OVER (PARTITION BY user_id ORDER BY w) AS pw
+      |  FROM ua
+      |), lab AS (
+      |  SELECT w, CASE WHEN pw IS NULL THEN 'new'
+      |                 WHEN datediff('day', pw, w) = 7 THEN 'retained'
+      |                 ELSE 'resurrected' END AS state
+      |  FROM st
+      |), led AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS n_active,
+      |         CAST(count(*) FILTER (WHERE state = 'new') AS BIGINT)
+      |           AS n_new,
+      |         CAST(count(*) FILTER (WHERE state = 'retained') AS BIGINT)
+      |           AS n_retained,
+      |         CAST(count(*) FILTER (WHERE state = 'resurrected') AS BIGINT)
+      |           AS n_resurrected
+      |  FROM lab GROUP BY 1
+      |)
+      |SELECT w AS week, n_active, n_new, n_retained, n_resurrected,
+      |       CAST(coalesce(lag(n_active) OVER (ORDER BY w), 0)
+      |            - n_retained AS BIGINT) AS n_churned
+      |FROM led ORDER BY week""".stripMargin
+
+  /** x109's finish: the weekly ledger from a distinct (user_id, w) activity
+    * table — called by the batch query and by st16 on its converged
+    * streaming state, so the two can't diverge. */
+  private[graft] def growthLedger(ua: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lab = ua
+      .withColumn("pw",
+        lag(col("w"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("w"))))
+      .withColumn("state", when(col("pw").isNull, "new")
+        .when(datediff(col("w"), col("pw")) === 7, "retained")
+        .otherwise("resurrected"))
+    val led = lab.groupBy(col("w")).agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("state") === "retained", 1L).otherwise(0L))
+        .as("n_retained"),
+      sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+        .as("n_resurrected"))
+    led
+      .withColumn("n_churned",
+        coalesce(lag(col("n_active"), 1).over(Window.orderBy(col("w"))),
+          lit(0L)) - col("n_retained"))
+      .select(col("w").as("week"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_churned"))
+      .orderBy(col("week"))
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // CO-ACTIVITY USER SIMILARITY — exact Jaccard over per-user sets of
@@ -106,59 +165,11 @@ object Analytics {
     // one user-keyed window labels states; the ledger is a weeks-sized
     // aggregate, and the churn lag runs over that tiny table (the single
     // global window touches only O(weeks) rows).
-    QueryDef("x109_growth_accounting",
-      """WITH ua AS (
-        |  SELECT DISTINCT user_id,
-        |         CAST(date_trunc('week', ts) AS DATE) AS w
-        |  FROM events
-        |), st AS (
-        |  SELECT user_id, w,
-        |         lag(w) OVER (PARTITION BY user_id ORDER BY w) AS pw
-        |  FROM ua
-        |), lab AS (
-        |  SELECT w, CASE WHEN pw IS NULL THEN 'new'
-        |                 WHEN datediff('day', pw, w) = 7 THEN 'retained'
-        |                 ELSE 'resurrected' END AS state
-        |  FROM st
-        |), led AS (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS n_active,
-        |         CAST(count(*) FILTER (WHERE state = 'new') AS BIGINT)
-        |           AS n_new,
-        |         CAST(count(*) FILTER (WHERE state = 'retained') AS BIGINT)
-        |           AS n_retained,
-        |         CAST(count(*) FILTER (WHERE state = 'resurrected') AS BIGINT)
-        |           AS n_resurrected
-        |  FROM lab GROUP BY 1
-        |)
-        |SELECT w AS week, n_active, n_new, n_retained, n_resurrected,
-        |       CAST(coalesce(lag(n_active) OVER (ORDER BY w), 0)
-        |            - n_retained AS BIGINT) AS n_churned
-        |FROM led ORDER BY week""".stripMargin) { (s, d) =>
-      val ua = Tables.events(s, d)
+    QueryDef("x109_growth_accounting", Analytics.x109OracleSql) { (s, d) =>
+      Analytics.growthLedger(Tables.events(s, d)
         .select(col("user_id"),
           to_date(date_trunc("week", col("ts"))).as("w"))
-        .distinct()
-      val lab = ua
-        .withColumn("pw",
-          lag(col("w"), 1).over(
-            Window.partitionBy(col("user_id")).orderBy(col("w"))))
-        .withColumn("state", when(col("pw").isNull, "new")
-          .when(datediff(col("w"), col("pw")) === 7, "retained")
-          .otherwise("resurrected"))
-      val led = lab.groupBy(col("w")).agg(
-        count(lit(1)).as("n_active"),
-        sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
-        sum(when(col("state") === "retained", 1L).otherwise(0L))
-          .as("n_retained"),
-        sum(when(col("state") === "resurrected", 1L).otherwise(0L))
-          .as("n_resurrected"))
-      led
-        .withColumn("n_churned",
-          coalesce(lag(col("n_active"), 1).over(Window.orderBy(col("w"))),
-            lit(0L)) - col("n_retained"))
-        .select(col("w").as("week"), col("n_active"), col("n_new"),
-          col("n_retained"), col("n_resurrected"), col("n_churned"))
-        .orderBy(col("week"))
+        .distinct())
     },
 
     // SESSION PATH MINING — the top event-type trigrams across q34's

@@ -1148,6 +1148,54 @@ object Streams {
               .as("removable_frac"))
           .orderBy(col("cluster_size"))
       }
+    },
+
+    // STREAMING GROWTH ACCOUNTING — x109's weekly
+    // new/retained/resurrected/churned ledger maintained over the live
+    // event stream (the q78↔st13 contract applied to growth): the ONLY
+    // cross-batch state is the distinct (user_id, week) activity set,
+    // folded per micro-batch by union + distinct — idempotent,
+    // commutative, associative, so the converged state equals the batch
+    // scan's for ANY slicing or replay, and the ledger finish runs the
+    // SAME growthLedger code (and oracle SQL, verbatim) as x109. Late or
+    // duplicated events fold in exactly: the set ignores repeats, and a
+    // late week simply appears when it arrives.
+    //
+    // Scale: each micro-batch ships its own distinct (user, week) pairs
+    // after map-side combine — state grows with ACTIVITY (users ×
+    // active-weeks), not with events; eviction past the reporting
+    // horizon is a week-predicate delete on the state table.
+    QueryDef("st16_stream_growth",
+      graft.operators.Analytics.x109OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageEventsSplit(ss, d)
+        val actDir = graft.Warehouse.path(s"graft_stgrow_act_v1_${
+          graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}")
+        resetDir(actDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val hasState = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(actDir, "_SUCCESS"))
+            val part = Tables.normalizeTs(batch)
+              .select(col("user_id"),
+                to_date(date_trunc("week", col("ts"))).as("w"))
+              .distinct()
+            val prior =
+              if (hasState) spark.read.parquet(actDir)
+              else part.limit(0)
+            prior.unionByName(part).distinct()
+              .localCheckpoint() // sever from the state file being replaced
+              .write.mode("overwrite").parquet(actDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Analytics.growthLedger(ss.read.parquet(actDir))
+      }
     }
   )
 

@@ -561,6 +561,15 @@ class Round8Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_new")).sum == users)
   }
 
+  test("st16 streaming growth ledger equals the batch x109 ledger row-for-row") {
+    val batch = SparkEntry.queries("x109_growth_accounting")(spark, sf0_001)
+      .collect().toSeq
+    val stream = SparkEntry.queries("st16_stream_growth")(spark, sf0_001)
+      .collect().toSeq
+    assert(stream == batch,
+      "converged union+distinct state must reproduce the batch scan")
+  }
+
   test("x110 trigram session support never exceeds occurrences, and both are positive") {
     val rows = SparkEntry.queries("x110_session_ngrams")(spark, sf0_001).collect()
     assert(rows.nonEmpty)
