@@ -110,13 +110,18 @@ object Analytics {
     // equi-join group-by, and |A∪B| = |A|+|B|−|A∩B| from broadcast
     // per-user totals — the exact-set identity, one IEEE division.
     //
-    // Scale: the index join's work is Σ_hours |users-in-hour|² — the
-    // crowded-bucket profile every co-occurrence miner has; the hour key
-    // partitions the shuffle, per-user totals are a users-sized
-    // broadcast, and the report is top-50 via TakeOrderedAndProject.
-    // Raw events collapse to DISTINCT (user, hour) before anything
-    // joins, so the pair stage's input is activity-bounded, not
-    // event-bounded.
+    // Scale: the pair stage's work is Σ_hours |users-in-hour|² — the
+    // crowded-bucket profile every co-occurrence miner has, and the
+    // suite's most expensive batch stage by design (6.3M pairs at
+    // sf0.1, ~4 s: measured against per-bucket HOF pair expansion and
+    // broadcast/packed-key variants, all within noise — the cost IS the
+    // pair volume, not the plan). The activity set materializes once
+    // (localCheckpoint; both join sides and the totals read it), the
+    // hour key partitions the pair shuffle, the pair count combines
+    // map-side, per-user totals are a users-sized broadcast, and the
+    // report is top-50 via TakeOrderedAndProject. Raw events collapse
+    // to DISTINCT (user, hour) before anything pairs, so the stage
+    // input is activity-bounded, not event-bounded.
     QueryDef("x107_coactivity_jaccard",
       """WITH uh AS (
         |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
@@ -134,9 +139,13 @@ object Analytics {
         |FROM pairs JOIN tot ta ON ta.user_id = u1
         |           JOIN tot tb ON tb.user_id = u2
         |ORDER BY jaccard DESC, u1, u2 LIMIT 50""".stripMargin) { (s, d) =>
+      // materialized once: both the pair join's sides and the totals read
+      // it (an unmaterialized subplan would re-scan + re-distinct events
+      // once per reference)
       val uh = Tables.events(s, d)
         .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
         .distinct()
+        .localCheckpoint()
       val tot = uh.groupBy(col("user_id")).agg(count(lit(1)).as("nh"))
       val pairs = uh.as("a")
         .join(uh.as("b"),
