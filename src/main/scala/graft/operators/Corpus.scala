@@ -286,6 +286,64 @@ object Corpus {
     // on the token stream, no shuffle; the only keyed exchanges are the
     // global word count (partial-agg) and the per-source distinct-OOV
     // aggregate. At 100 TB: one count pass + one broadcast-probe pass.
+    // VOCABULARY COVERAGE SWEEP — the vocab-size tuning curve a
+    // tokenizer freeze reads before x88's single-point audit: for K ∈
+    // {10, 100, 1000}, the fraction of the token STREAM covered by the
+    // top-K types (type counts are the x31 ranking rule: count desc,
+    // word). The elbow of this curve is where vocabulary growth stops
+    // paying.
+    //
+    // Scale: type counts shuffle once with map-side combine; the top-1000
+    // candidate set comes from a distributed TakeOrderedAndProject (no
+    // global sort, no vocabulary-sized window — the rank window runs on
+    // 1000 rows AFTER the take); every K's coverage is computed FROM that
+    // 1000-row table against broadcast corpus totals, so the sweep's cost
+    // is independent of vocabulary size.
+    QueryDef("x112_vocab_coverage_sweep",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |), tf AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok WHERE word <> '' GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_types
+        |  FROM tf
+        |), top AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rd
+        |  FROM tf QUALIFY rd <= 1000
+        |), ks(k) AS (VALUES (CAST(10 AS BIGINT)), (100), (1000))
+        |SELECT ks.k, CAST(count(*) AS BIGINT) AS n_in_vocab,
+        |       CAST(sum(top.c) AS BIGINT) AS covered_tokens,
+        |       tot.total_tokens, tot.n_types,
+        |       round(1e-9 + sum(top.c) * 1.0 / tot.total_tokens, 6)
+        |         AS coverage
+        |FROM ks JOIN top ON top.rd <= ks.k, tot
+        |GROUP BY ks.k, tot.total_tokens, tot.n_types
+        |ORDER BY ks.k""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val tf = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val tot = tf.agg(sum(col("c")).as("total_tokens"),
+        count(lit(1)).as("n_types"))
+      val top = tf.orderBy(col("c").desc, col("word")).limit(1000)
+        .withColumn("rd",
+          row_number().over(Window.orderBy(col("c").desc, col("word"))))
+      Seq(10L, 100L, 1000L).toDF("k")
+        .join(broadcast(top), col("rd") <= col("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_in_vocab"),
+          sum(col("c")).as("covered_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_in_vocab"), col("covered_tokens"),
+          col("total_tokens"), col("n_types"),
+          Num.roundOut(col("covered_tokens") * 1.0 / col("total_tokens"), 6)
+            .as("coverage"))
+        .orderBy(col("k"))
+    },
+
     QueryDef("x88_oov_rate",
       """WITH tok AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS word

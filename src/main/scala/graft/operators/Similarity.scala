@@ -76,6 +76,18 @@ object Similarity {
       partCols: Seq[String])(build: => DataFrame): DataFrame =
     DerivedTable(s, dir, "embeddings", tag, partCols)(build)
 
+  /** The persisted 4-table LSH index (vec_id, v, nrm, tbl, bucket) —
+    * shared by x06's multi-table probe and x113's multiprobe (same
+    * DerivedTable tag ⇒ one on-disk artifact). */
+  private def lshIndex(s: SparkSession, d: String): DataFrame =
+    indexed(s, d, "lsh", Seq.empty) {
+      val n0 = bucketed(withNorm(Tables.embeddings(s, d)))
+      (0 until 4).map { t =>
+        n0.select(col("vec_id"), col("v"), col("nrm"),
+          lit(t).as("tbl"), col(s"bucket_$t").as("bucket"))
+      }.reduce(_.unionByName(_))
+    }
+
   /** Johnson-Lindenstrauss ±1 sign matrix entry — pure integer arithmetic,
     * identical on both engines (see x43's rationale for the k·j cross
     * term: an affine family's rows are correlated cyclic shifts and
@@ -508,13 +520,7 @@ object Similarity {
       // Persisted hash-table index (one row per vector per table); at
       // cluster scale this is additionally bucketBy(tbl, bucket) so the
       // probe join is exchange-free (w02's layout applied to ANN).
-      val tables = indexed(s, d, "lsh", Seq.empty) {
-        val n0 = bucketed(withNorm(Tables.embeddings(s, d)))
-        (0 until 4).map { t =>
-          n0.select(col("vec_id"), col("v"), col("nrm"),
-            lit(t).as("tbl"), col(s"bucket_$t").as("bucket"))
-        }.reduce(_.unionByName(_))
-      }
+      val tables = lshIndex(s, d)
       val q = tables.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
       val pairs = tables.join(broadcast(q),
@@ -536,6 +542,116 @@ object Similarity {
           Num.roundOut(cosine(col("qv"), col("qn"), col("cv"), col("cn")), 6).as("cos_sim"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // MULTIPROBE LSH (Lv et al., VLDB'07) — recall without more tables:
+    // besides its own table-0 bucket, each query probes the buckets
+    // reached by flipping its TWO least-confident hyperplane bits
+    // (smallest |margin| = the signs most likely wrong), trading a few
+    // extra bucket reads for the recall that x06 buys with 4× index
+    // copies. Candidates carry provenance (from_flip: found only via a
+    // flipped bucket) so the recall contribution of probing is
+    // measurable; exact cosine re-rank on the union.
+    //
+    // Scale: the corpus side is the SAME persisted index artifact x06
+    // probes (one build, two consumers); per query the work is 3 bucket
+    // reads + margins on the query vector only — multiprobe is exactly
+    // the knob that keeps index storage flat while the corpus grows.
+    QueryDef("x113_multiprobe_lsh",
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), pl(tbl, j, p) AS (
+        |  VALUES $planesValuesSql
+        |), d0 AS (
+        |  SELECT n.vec_id, pl.j,
+        |         list_sum(list_transform(range(64),
+        |           i -> n.v[i+1] * pl.p[i+1])) AS dp
+        |  FROM n, pl WHERE pl.tbl = 0
+        |), bk AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN dp > 0 THEN (1 << j) ELSE 0 END) AS INT)
+        |           AS bucket
+        |  FROM d0 GROUP BY vec_id
+        |), fl AS (
+        |  SELECT vec_id, j, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY abs(dp), j) AS rconf
+        |  FROM d0 WHERE vec_id < 10
+        |), probes AS (
+        |  SELECT vec_id AS query_id, bucket AS pbucket, 0 AS lvl
+        |  FROM bk WHERE vec_id < 10
+        |  UNION ALL
+        |  SELECT fl.vec_id, CAST(xor(bk.bucket, (1 << fl.j)) AS INT), 1
+        |  FROM fl JOIN bk ON bk.vec_id = fl.vec_id WHERE fl.rconf <= 2
+        |), cand AS (
+        |  SELECT p.query_id, b.vec_id AS cand_id, min(p.lvl) AS lvl
+        |  FROM probes p JOIN bk b ON b.bucket = p.pbucket
+        |  WHERE b.vec_id <> p.query_id
+        |  GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT cand.query_id, cand.cand_id, cand.lvl,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> a.v[i+1] * c.v[i+1])) / a.nrm / c.nrm, 6) AS cos_sim
+        |  FROM cand JOIN n a ON a.vec_id = cand.query_id
+        |            JOIN n c ON c.vec_id = cand.cand_id
+        |)
+        |SELECT query_id, cand_id, cos_sim, CAST(rnk AS INT) AS rnk,
+        |       lvl = 1 AS from_flip
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos_sim DESC, cand_id) AS rnk FROM sims)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      val tbl0 = lshIndex(s, d).filter(col("tbl") === 0)
+      val p0 = planes.filter(_._1 == 0).sortBy(_._2)
+      // query-side margins: 8 plane dots on the 10 query vectors only
+      val dcols = p0.map { case (_, j, comps) =>
+        dot(col("v"), array(comps.map(lit): _*)).as(s"d$j")
+      }
+      val q = withNorm(Tables.embeddings(s, d))
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id") +: dcols: _*)
+      val qbucket = p0.map { case (_, j, _) =>
+        when(col(s"d$j") > 0, 1 << j).otherwise(0)
+      }.reduce(_ + _)
+      // the two least-confident planes: sort (|margin|, j) structs
+      val conf = array_sort(array(p0.map { case (_, j, _) =>
+        struct(abs(col(s"d$j")).as("a"), lit(j).as("j"))
+      }: _*))
+      val withB = q.select(col("query_id"), qbucket.as("qb"), conf.as("conf"))
+      val main = withB.select(col("query_id"), col("qb").as("pbucket"),
+        lit(0).as("lvl"))
+      val flips = withB
+        .select(col("query_id"), col("qb"),
+          explode(slice(col("conf"), 1, 2)).as("f"))
+        .select(col("query_id"),
+          col("qb").bitwiseXOR(element_at(
+            array((0 until 8).map(j => lit(1 << j)): _*), col("f.j") + 1))
+            .as("pbucket"),
+          lit(1).as("lvl"))
+      val probes = main.unionByName(flips)
+      val cand = tbl0.join(broadcast(probes),
+          col("bucket") === col("pbucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+        .agg(min(col("lvl")).as("lvl"))
+      val qv = tbl0.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val cv = tbl0.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
+      cand.join(broadcast(qv), "query_id").join(cv, "cand_id")
+        .select(col("query_id"), col("cand_id"),
+          Num.roundOut(cosine(col("qv"), col("qn"), col("cv"), col("cn")), 6)
+            .as("cos_sim"), col("lvl"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rnk"),
+          (col("lvl") === 1).as("from_flip"))
         .orderBy(col("query_id"), col("rnk"))
     },
 

@@ -570,6 +570,51 @@ class Round8Spec extends AnyFunSuite {
       "converged union+distinct state must reproduce the batch scan")
   }
 
+  test("x111 arm counts partition the measured events; significance flag is consistent with z") {
+    val rows = SparkEntry.queries("x111_ab_test_readout")(spark, sf0_001).collect()
+    assert(rows.nonEmpty)
+    val measured = Tables.events(spark, sf0_001)
+      .filter(col("value").isNotNull).count()
+    assert(rows.map(r => r.getAs[Long]("n_control")
+      + r.getAs[Long]("n_treatment")).sum == measured)
+    rows.foreach { r =>
+      assert((math.abs(r.getAs[Double]("z")) > 1.96)
+        == r.getAs[Boolean]("significant"))
+      assert(r.getAs[Long]("n_control") > 0 && r.getAs[Long]("n_treatment") > 0)
+    }
+  }
+
+  test("x112 coverage is monotone in K, bounded by 1, and n_in_vocab = min(K, types)") {
+    val rows = SparkEntry.queries("x112_vocab_coverage_sweep")(spark, sf0_001)
+      .orderBy(col("k")).collect()
+    assert(rows.length == 3)
+    var prev = 0.0
+    rows.foreach { r =>
+      val cov = r.getAs[Double]("coverage")
+      assert(cov >= prev && cov <= 1.0 + 1e-9, "coverage must be monotone in K")
+      prev = cov
+      assert(r.getAs[Long]("n_in_vocab")
+        == math.min(r.getAs[Long]("k"), r.getAs[Long]("n_types")))
+      assert(r.getAs[Long]("covered_tokens") <= r.getAs[Long]("total_tokens"))
+    }
+  }
+
+  test("x113 multiprobe finds candidates beyond the home bucket, ranks are a top-5 prefix") {
+    val rows = SparkEntry.queries("x113_multiprobe_lsh")(spark, sf0_001).collect()
+    assert(rows.nonEmpty)
+    // the whole point of probing: flipped buckets contribute results
+    assert(rows.exists(_.getAs[Boolean]("from_flip")),
+      "no candidate came from a flipped bucket — probing did nothing")
+    assert(rows.exists(!_.getAs[Boolean]("from_flip")),
+      "home bucket contributed nothing — flip bookkeeping is wrong")
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rnk")).sorted.toList
+      assert(ranks == (1 to ranks.length).toList,
+        "ranks must be a dense 1..n prefix")
+      assert(ranks.length <= 5)
+    }
+  }
+
   test("x110 trigram session support never exceeds occurrences, and both are positive") {
     val rows = SparkEntry.queries("x110_session_ngrams")(spark, sf0_001).collect()
     assert(rows.nonEmpty)
