@@ -189,6 +189,15 @@ object Multimodal {
     * DuckDB oracle recomputes the expected decode output from the same
     * definition. Docs under one pixel row (n < 24) are filtered — there
     * is no image to build. */
+  /** One raster byte at text-byte offset `off` (a SQL int expression), as
+    * a DuckDB hex-nibble decode — the m09/m13 idiom factored out for
+    * oracles that sum several adjacent bytes. */
+  private def hexByteSql(off: String): String =
+    s"""((strpos('0123456789ABCDEF',
+       |      substring(hx, 2 * CAST($off AS INT) + 1, 1)) - 1) * 16
+       |    + strpos('0123456789ABCDEF',
+       |      substring(hx, 2 * CAST($off AS INT) + 2, 1)) - 1)""".stripMargin
+
   private[graft] def ppmPayloads(s: SparkSession, d: String): DataFrame = {
     val nb = length(encode(col("text"), "UTF-8"))
     Tables.documents(s, d)
@@ -970,6 +979,97 @@ object Multimodal {
           }
         }(enc)
         .orderBy(col("doc_id"))
+    },
+
+    // PERCEPTUAL-HASH (aHash) IMAGE DEDUP — the image-side analog of
+    // x01's exact text dedup: each image reduces to a 4×2 brightness
+    // thumbnail (m08's nearest-neighbor addressing), each pixel votes
+    // one hash bit by "brighter than the thumbnail mean" (8·b > Σb —
+    // all-integer, no division), and images agreeing on all 8 bits land
+    // in one bucket. Per bucket the report splits exact copies from
+    // near-dups: n_distinct_thumbs = 1 means byte-identical thumbnails
+    // (re-encodes), > 1 means perceptually-close-but-different pixels —
+    // the pairs a byte hash can never group. Whole-container hashing
+    // (m01) misses both; this is the triage between them.
+    //
+    // Scale: one payload pass per image inside the decode tier's
+    // iterator-streamed mapPartitions emitting (id, 8-bit hash, 24-byte
+    // thumb) — the bucket aggregate shuffles O(1) per image and the
+    // report is bucket-sized. The oracle replays pixel addressing, the
+    // brightness votes, and the bucket split on hexed bytes end to end.
+    QueryDef("m15_perceptual_hash",
+      s"""WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 24
+        |), d AS (
+        |  SELECT doc_id, hx, CAST(n // 24 AS INT) AS h FROM p
+        |), px AS (
+        |  SELECT doc_id, hx, CAST(pp AS INT) AS pp,
+        |         CAST(3 * ((((pp // 4) * h) // 2) * 8 + 2 * (pp % 4)) AS INT)
+        |           AS o
+        |  FROM d, (SELECT unnest(range(8)) AS pp)
+        |), bv AS (
+        |  SELECT doc_id, pp, substring(hx, 2 * o + 1, 6) AS pix,
+        |         ${hexByteSql("o")} + ${hexByteSql("o + 1")}
+        |           + ${hexByteSql("o + 2")} AS bright
+        |  FROM px
+        |), wt AS (
+        |  SELECT doc_id, pp, pix, bright,
+        |         sum(bright) OVER (PARTITION BY doc_id) AS tot
+        |  FROM bv
+        |), hs AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN 8 * bright > tot
+        |                       THEN (1 << pp) ELSE 0 END) AS INT) AS phash,
+        |         string_agg(pix, '' ORDER BY pp) AS thumb
+        |  FROM wt GROUP BY doc_id
+        |)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT thumb) AS BIGINT) AS n_distinct_thumbs,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |       CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM hs GROUP BY phash HAVING count(*) >= 2
+        |ORDER BY phash""".stripMargin) { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("phash", IntegerType, nullable = false),
+        StructField("thumb", StringType, nullable = false)))
+      val enc = RowEncoder.encoderFor(schema)
+      ppmPayloads(s, d)
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val p = r.getAs[Array[Byte]](1)
+            val (w, h, off) = PpmDecoder.header(p)
+            val bright = new Array[Int](8)
+            var tot = 0
+            var pp = 0
+            while (pp < 8) {
+              val o = off + 3 * ((pp / 4 * h / 2) * w + (pp % 4) * w / 4)
+              val b = (p(o) & 0xff) + (p(o + 1) & 0xff) + (p(o + 2) & 0xff)
+              bright(pp) = b; tot += b; pp += 1
+            }
+            var hash = 0
+            val sb = new java.lang.StringBuilder(48)
+            pp = 0
+            while (pp < 8) {
+              if (8 * bright(pp) > tot) hash |= (1 << pp)
+              val o = off + 3 * ((pp / 4 * h / 2) * w + (pp % 4) * w / 4)
+              sb.append("%02X%02X%02X".format(
+                p(o) & 0xff, p(o + 1) & 0xff, p(o + 2) & 0xff))
+              pp += 1
+            }
+            Row(r.getLong(0), hash, sb.toString)
+          }
+        }(enc)
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("thumb")).as("n_distinct_thumbs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("phash"))
     },
 
     // PER-CHANNEL INTENSITY HISTOGRAM — the exposure/contrast audit an

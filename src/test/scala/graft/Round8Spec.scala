@@ -570,6 +570,23 @@ class Round8Spec extends AnyFunSuite {
       "converged union+distinct state must reproduce the batch scan")
   }
 
+  test("m15 perceptual buckets: every bucket has >= 2 docs, distinct thumbs <= docs, and exact dups collapse to 1 thumb") {
+    val rows = SparkEntry.queries("m15_perceptual_hash")(spark, sf0_001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("n_distinct_thumbs") >= 1
+        && r.getAs[Long]("n_distinct_thumbs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Int]("phash") >= 0 && r.getAs[Int]("phash") <= 255)
+      assert(r.getAs[Long]("first_doc") < r.getAs[Long]("last_doc"))
+    }
+    // the fixture has byte-identical duplicate documents (x89's premise):
+    // at least one bucket must show thumbs < docs (exact copies grouped)
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_distinct_thumbs") < r.getAs[Long]("n_docs")),
+      "no bucket contains byte-identical thumbnails — dedup found nothing")
+  }
+
   test("x111 arm counts partition the measured events; significance flag is consistent with z") {
     val rows = SparkEntry.queries("x111_ab_test_readout")(spark, sf0_001).collect()
     assert(rows.nonEmpty)
