@@ -119,7 +119,43 @@ class BloomAggregator(k: Int, mBits: Int)
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 }
 
-/** Column wrappers (x54 / x55 read these). */
+/** CountSketch (Charikar, Chen & Farach-Colton 2002): d rows × w SIGNED
+  * counters; row i adds s_i(x) at h_i(x), where h_i is fold row i and
+  * s_i comes from fold row i+d (an independent row of the same family).
+  * est(x) = MEDIAN over rows of s_i(x)·cell(i, h_i(x)) — collisions
+  * cancel in expectation instead of always inflating, so the estimate
+  * is unbiased where Count-Min is a guaranteed overcount (x114's report
+  * shows errors of BOTH signs). Merge is pointwise addition — the same
+  * exact-mergeability contract as [[CountMinAggregator]], so the DuckDB
+  * oracle recomputes every signed cell relationally. */
+class CountSketchAggregator(d: Int, w: Int)
+    extends Aggregator[String, Array[Long], Seq[Long]] {
+
+  override def zero: Array[Long] = new Array[Long](d * w)
+
+  override def reduce(buf: Array[Long], x: String): Array[Long] = {
+    var i = 0
+    while (i < d) {
+      val sgn = 1L - 2L * (Sketches.foldHash(x, i + d) % 2L)
+      buf(i * w + (Sketches.foldHash(x, i) % w).toInt) += sgn
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
+
+/** Column wrappers (x54 / x55 / x114 read these). */
 object SketchAgg {
   /** d=4 × w=64: small enough that the sf0.01 vocabulary (~10²-10³
     * distinct words) genuinely collides — the overestimate the spec and
@@ -129,6 +165,15 @@ object SketchAgg {
   private val cms = udaf(new CountMinAggregator(CmsD, CmsW),
     org.apache.spark.sql.Encoders.STRING)
   def countMin(c: Column): Column = cms(c)
+
+  /** d=3 × w=32 — even smaller than the CMS grid, so the signed
+    * cancellation CountSketch exists for is violently exercised: every
+    * bucket holds ~30 colliding types whose signs fight. */
+  val CsD = 3
+  val CsW = 32
+  private val cs = udaf(new CountSketchAggregator(CsD, CsW),
+    org.apache.spark.sql.Encoders.STRING)
+  def countSketch(c: Column): Column = cs(c)
 
   /** k=4, m=2^16 bits (1024 longs, 8 KB): at the fixture's ~1.4·10⁴ train
     * trigrams the fill is ~0.57 → FP ≈ (0.57)⁴ ≈ 11% — false positives

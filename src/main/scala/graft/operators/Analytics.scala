@@ -99,6 +99,82 @@ object Analytics {
       .orderBy(col("week"))
   }
 
+  /** x111's relational answer — shared VERBATIM with st17's streaming
+    * A/B maintenance (the q78↔st13 contract applied to experiment
+    * moments): one answer definition for both paths. */
+  private[graft] val x111OracleSql: String =
+    """WITH q AS (
+      |  SELECT event_type, user_id % 2 AS arm,
+      |         CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL
+      |), g AS (
+      |  SELECT event_type,
+      |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+      |         CAST(sum(CASE WHEN arm = 0 THEN v ELSE 0 END) AS BIGINT) AS sa,
+      |         CAST(sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT) AS sb,
+      |         CAST(sum(CASE WHEN arm = 0 THEN v * v ELSE 0 END) AS BIGINT)
+      |           AS qa,
+      |         CAST(sum(CASE WHEN arm = 1 THEN v * v ELSE 0 END) AS BIGINT)
+      |           AS qb
+      |  FROM q GROUP BY event_type
+      |), z AS (
+      |  SELECT event_type, na, nb,
+      |         sa * 1.0 / na AS ma, sb * 1.0 / nb AS mb,
+      |         qa * 1.0 / na - (sa * 1.0 / na) * (sa * 1.0 / na) AS va,
+      |         qb * 1.0 / nb - (sb * 1.0 / nb) * (sb * 1.0 / nb) AS vb
+      |  FROM g
+      |)
+      |SELECT event_type, na AS n_control, nb AS n_treatment,
+      |       round(1e-9 + ma / 1000.0, 6) AS mean_control,
+      |       round(1e-9 + mb / 1000.0, 6) AS mean_treatment,
+      |       round(1e-9 + (mb - ma) * 100.0 / ma, 4) AS lift_pct,
+      |       round(1e-9 + (mb - ma) / sqrt(va / na + vb / nb), 4) AS z,
+      |       abs((mb - ma) / sqrt(va / na + vb / nb)) > 1.96 AS significant
+      |FROM z ORDER BY event_type""".stripMargin
+
+  /** The per-event-type exact moment table (n/Σv/Σv² per arm) x111
+    * aggregates and st17 maintains incrementally — every column is a
+    * plain SUM, so partial tables from disjoint batches merge by
+    * addition into exactly the full-scan table. */
+  private[graft] def abMoments(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), (col("user_id") % 2).as("arm"),
+        floor(col("value") * 1000).cast("long").as("v"))
+      .groupBy(col("event_type")).agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 0, col("v")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") === 1, col("v")).otherwise(0L)).as("sb"),
+        sum(when(col("arm") === 0, col("v") * col("v")).otherwise(0L)).as("qa"),
+        sum(when(col("arm") === 1, col("v") * col("v")).otherwise(0L)).as("qb"))
+
+  /** x111's finish from the moment table — called on the batch aggregate
+    * and on st17's converged streaming state, so the two can't diverge. */
+  private[graft] def abReadout(g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val z = g.select(col("event_type"), col("na"), col("nb"),
+      (col("sa") * 1.0 / col("na")).as("ma"),
+      (col("sb") * 1.0 / col("nb")).as("mb"),
+      (col("qa") * 1.0 / col("na")
+        - (col("sa") * 1.0 / col("na")) * (col("sa") * 1.0 / col("na")))
+        .as("va"),
+      (col("qb") * 1.0 / col("nb")
+        - (col("sb") * 1.0 / col("nb")) * (col("sb") * 1.0 / col("nb")))
+        .as("vb"))
+    val zExpr = (col("mb") - col("ma")) /
+      sqrt(col("va") / col("na") + col("vb") / col("nb"))
+    z.select(col("event_type"), col("na").as("n_control"),
+        col("nb").as("n_treatment"),
+        Num.roundOut(col("ma") / 1000.0, 6).as("mean_control"),
+        Num.roundOut(col("mb") / 1000.0, 6).as("mean_treatment"),
+        Num.roundOut((col("mb") - col("ma")) * 100.0 / col("ma"), 4)
+          .as("lift_pct"),
+        Num.roundOut(zExpr, 4).as("z"),
+        (abs(zExpr) > 1.96).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // CO-ACTIVITY USER SIMILARITY — exact Jaccard over per-user sets of
@@ -180,67 +256,8 @@ object Analytics {
     // (event_type); per-arm moments fold as conditional sums inside the
     // same aggregate — adding arms or metrics adds columns, not passes;
     // the readout is event-types-sized.
-    QueryDef("x111_ab_test_readout",
-      """WITH q AS (
-        |  SELECT event_type, user_id % 2 AS arm,
-        |         CAST(floor(value * 1000) AS BIGINT) AS v
-        |  FROM events WHERE value IS NOT NULL
-        |), g AS (
-        |  SELECT event_type,
-        |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
-        |         CAST(sum(CASE WHEN arm = 0 THEN v ELSE 0 END) AS BIGINT) AS sa,
-        |         CAST(sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT) AS sb,
-        |         CAST(sum(CASE WHEN arm = 0 THEN v * v ELSE 0 END) AS BIGINT)
-        |           AS qa,
-        |         CAST(sum(CASE WHEN arm = 1 THEN v * v ELSE 0 END) AS BIGINT)
-        |           AS qb
-        |  FROM q GROUP BY event_type
-        |), z AS (
-        |  SELECT event_type, na, nb,
-        |         sa * 1.0 / na AS ma, sb * 1.0 / nb AS mb,
-        |         qa * 1.0 / na - (sa * 1.0 / na) * (sa * 1.0 / na) AS va,
-        |         qb * 1.0 / nb - (sb * 1.0 / nb) * (sb * 1.0 / nb) AS vb
-        |  FROM g
-        |)
-        |SELECT event_type, na AS n_control, nb AS n_treatment,
-        |       round(1e-9 + ma / 1000.0, 6) AS mean_control,
-        |       round(1e-9 + mb / 1000.0, 6) AS mean_treatment,
-        |       round(1e-9 + (mb - ma) * 100.0 / ma, 4) AS lift_pct,
-        |       round(1e-9 + (mb - ma) / sqrt(va / na + vb / nb), 4) AS z,
-        |       abs((mb - ma) / sqrt(va / na + vb / nb)) > 1.96 AS significant
-        |FROM z ORDER BY event_type""".stripMargin) { (s, d) =>
-      val q = Tables.events(s, d)
-        .filter(col("value").isNotNull)
-        .select(col("event_type"), (col("user_id") % 2).as("arm"),
-          floor(col("value") * 1000).cast("long").as("v"))
-      val g = q.groupBy(col("event_type")).agg(
-        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
-        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
-        sum(when(col("arm") === 0, col("v")).otherwise(0L)).as("sa"),
-        sum(when(col("arm") === 1, col("v")).otherwise(0L)).as("sb"),
-        sum(when(col("arm") === 0, col("v") * col("v")).otherwise(0L)).as("qa"),
-        sum(when(col("arm") === 1, col("v") * col("v")).otherwise(0L)).as("qb"))
-      val z = g.select(col("event_type"), col("na"), col("nb"),
-        (col("sa") * 1.0 / col("na")).as("ma"),
-        (col("sb") * 1.0 / col("nb")).as("mb"),
-        (col("qa") * 1.0 / col("na")
-          - (col("sa") * 1.0 / col("na")) * (col("sa") * 1.0 / col("na")))
-          .as("va"),
-        (col("qb") * 1.0 / col("nb")
-          - (col("sb") * 1.0 / col("nb")) * (col("sb") * 1.0 / col("nb")))
-          .as("vb"))
-      val zExpr = (col("mb") - col("ma")) /
-        sqrt(col("va") / col("na") + col("vb") / col("nb"))
-      z.select(col("event_type"), col("na").as("n_control"),
-          col("nb").as("n_treatment"),
-          Num.roundOut(col("ma") / 1000.0, 6).as("mean_control"),
-          Num.roundOut(col("mb") / 1000.0, 6).as("mean_treatment"),
-          Num.roundOut((col("mb") - col("ma")) * 100.0 / col("ma"), 4)
-            .as("lift_pct"),
-          Num.roundOut(zExpr, 4).as("z"),
-          (abs(zExpr) > 1.96).as("significant"))
-        .orderBy(col("event_type"))
+    QueryDef("x111_ab_test_readout", Analytics.x111OracleSql) { (s, d) =>
+      Analytics.abReadout(Analytics.abMoments(Tables.events(s, d)))
     },
 
     // GROWTH ACCOUNTING — the weekly new/retained/resurrected/churned

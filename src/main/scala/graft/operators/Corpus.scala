@@ -909,6 +909,75 @@ object Corpus {
         .orderBy(col("cnt").desc, col("word"))
     },
 
+    // COUNTSKETCH FREQUENCY ESTIMATION — the UNBIASED sibling of x54's
+    // Count-Min: signed counters (sign from an independent hash row)
+    // make colliding types cancel in expectation instead of always
+    // inflating, and the estimate is the MEDIAN over the d=3 rows
+    // (computed exactly as sum − max − min — pure integers). On the
+    // deliberately tiny 3×32 grid every bucket holds ~30 fighting
+    // types, so the report's error column shows BOTH signs — the
+    // under-counts Count-Min can never produce. The mergeable-summaries
+    // contract is identical (pointwise addition), so every signed cell
+    // is recomputed relationally by the oracle and checked exactly.
+    //
+    // Scale: one 96-counter row per partition partial regardless of
+    // vocabulary; the probe is x54's broadcast-sketch shape — at 10^8+
+    // types this is the frequency layer that replaces a groupBy(word)
+    // exchange entirely.
+    QueryDef("x114_countsketch",
+      s"""WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |), c AS (
+        |  SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word
+        |), h AS (
+        |  SELECT word, cnt, CAST(i AS INT) AS i,
+        |         CAST(${graft.functions.Sketches.foldHashSql("word", "i")}
+        |              % ${graft.functions.SketchAgg.CsW} AS INT) AS cell,
+        |         CAST(1 - 2 * (${graft.functions.Sketches.foldHashSql("word",
+               s"i + ${graft.functions.SketchAgg.CsD}")} % 2) AS BIGINT) AS sgn
+        |  FROM c CROSS JOIN (SELECT unnest(range(${
+               graft.functions.SketchAgg.CsD})) AS i)
+        |), cells AS (
+        |  SELECT i, cell, CAST(sum(sgn * cnt) AS BIGINT) AS v
+        |  FROM h GROUP BY i, cell
+        |), probe AS (
+        |  SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 20
+        |), est AS (
+        |  SELECT p.word, p.cnt,
+        |         CAST(sum(h.sgn * cl.v) - max(h.sgn * cl.v)
+        |              - min(h.sgn * cl.v) AS BIGINT) AS cs_est
+        |  FROM probe p JOIN h ON h.word = p.word
+        |  JOIN cells cl ON cl.i = h.i AND cl.cell = h.cell
+        |  GROUP BY p.word, p.cnt
+        |)
+        |SELECT word, CAST(cnt AS BIGINT) AS cnt, cs_est,
+        |       CAST(cs_est - cnt AS BIGINT) AS err
+        |FROM est ORDER BY cnt DESC, word""".stripMargin) { (s, d) =>
+      import graft.functions.{SketchAgg, Sketches}
+      val words = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+      val sketch = words.agg(SketchAgg.countSketch(col("word")).as("cs"))
+      val probe = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(20)
+      val ests = (0 until SketchAgg.CsD).map { i =>
+        val sgn = lit(1L) - lit(2L) *
+          pmod(Sketches.foldHashCol(col("word"), i + SketchAgg.CsD), lit(2L))
+        (sgn * element_at(col("cs"),
+          (lit(i * SketchAgg.CsW) +
+            pmod(Sketches.foldHashCol(col("word"), i),
+              lit(SketchAgg.CsW.toLong))).cast("int") + 1)).as(s"e$i")
+      }
+      probe.crossJoin(broadcast(sketch))
+        .select(col("word") +: col("cnt") +: ests: _*)
+        .select(col("word"), col("cnt"),
+          (ests.indices.map(i => col(s"e$i")).reduce(_ + _)
+            - greatest(ests.indices.map(i => col(s"e$i")): _*)
+            - least(ests.indices.map(i => col(s"e$i")): _*)).as("cs_est"))
+        .withColumn("err", col("cs_est") - col("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+    },
+
     // BLOOM-FILTER DECONTAMINATION — the at-scale path for x19's
     // train-gram overlap check: an 8 KB bloom bitset
     // ([[graft.functions.BloomAggregator]], k=4, m=2^16) built over the

@@ -655,6 +655,103 @@ object Similarity {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // K-CENTER SEED SELECTION (Gonzalez 1985 greedy, 2-approximation) —
+    // the diversity/coreset primitive: pick 5 maximally-spread vectors
+    // by repeatedly taking the point FARTHEST from the chosen set (the
+    // k-means++ deterministic cousin, and the seed rule diverse eval-set
+    // builders use). Each round reports its selection radius — the
+    // covering radius of the set chosen so far — so the output is also
+    // the "how many centers until coverage stops improving" curve;
+    // radii are provably nonincreasing (spec-pinned) and the final row
+    // is the 5-seed covering radius over the whole corpus.
+    //
+    // Scale: each round is one broadcast of a SINGLE seed row over a
+    // corpus pass that keeps a running min-distance column — k rounds =
+    // k linear passes, no pairwise matrix, no driver-side collect (the
+    // argmax is a 1-row TakeOrdered that feeds the next round's
+    // broadcast). Distances are the same left-fold doubles as the
+    // k-means tier, so the DuckDB oracle replays every selection
+    // exactly, ties broken by vec_id.
+    QueryDef("x115_kcenter_seeds",
+      {
+        def sqd(a: String, b: String) =
+          s"""list_reduce(list_transform(range(64),
+             |             i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])),
+             |             (a, b) -> a + b)""".stripMargin
+        s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), s0 AS (
+        |  SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1
+        |), d1 AS (
+        |  SELECT e.vec_id, e.v, ${sqd("e.v", "s0.v")} AS md FROM e, s0
+        |), s1 AS (
+        |  SELECT vec_id, v, md FROM d1 ORDER BY md DESC, vec_id LIMIT 1
+        |), d2 AS (
+        |  SELECT d.vec_id, d.v, least(d.md, ${sqd("d.v", "s1.v")}) AS md
+        |  FROM d1 d, s1
+        |), s2 AS (
+        |  SELECT vec_id, v, md FROM d2 ORDER BY md DESC, vec_id LIMIT 1
+        |), d3 AS (
+        |  SELECT d.vec_id, d.v, least(d.md, ${sqd("d.v", "s2.v")}) AS md
+        |  FROM d2 d, s2
+        |), s3 AS (
+        |  SELECT vec_id, v, md FROM d3 ORDER BY md DESC, vec_id LIMIT 1
+        |), d4 AS (
+        |  SELECT d.vec_id, d.v, least(d.md, ${sqd("d.v", "s3.v")}) AS md
+        |  FROM d3 d, s3
+        |), s4 AS (
+        |  SELECT vec_id, v, md FROM d4 ORDER BY md DESC, vec_id LIMIT 1
+        |), d5 AS (
+        |  SELECT least(d.md, ${sqd("d.v", "s4.v")}) AS md FROM d4 d, s4
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS round,
+        |         (SELECT vec_id FROM s0) AS seed_id, 0.0 AS radius
+        |  UNION ALL SELECT 1, (SELECT vec_id FROM s1),
+        |    round(1e-9 + (SELECT md FROM s1), 6)
+        |  UNION ALL SELECT 2, (SELECT vec_id FROM s2),
+        |    round(1e-9 + (SELECT md FROM s2), 6)
+        |  UNION ALL SELECT 3, (SELECT vec_id FROM s3),
+        |    round(1e-9 + (SELECT md FROM s3), 6)
+        |  UNION ALL SELECT 4, (SELECT vec_id FROM s4),
+        |    round(1e-9 + (SELECT md FROM s4), 6)
+        |  UNION ALL SELECT 5, CAST(NULL AS BIGINT),
+        |    round(1e-9 + (SELECT max(md) FROM d5), 6)
+        |) ORDER BY round""".stripMargin
+      }) { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      val s0 = e.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id").as("sid"), col("v").as("sv"))
+      def pick(dN: DataFrame): DataFrame =
+        dN.orderBy(col("md").desc, col("vec_id")).limit(1)
+          .select(col("vec_id").as("sid"), col("v").as("sv"),
+            col("md").as("smd"))
+      def shrink(dN: DataFrame, seed: DataFrame): DataFrame =
+        dN.crossJoin(broadcast(seed.select(col("sv"))))
+          .select(col("vec_id"), col("v"),
+            least(col("md"), kmeansSqDist(col("v"), col("sv"))).as("md"))
+      val d1 = e.crossJoin(broadcast(s0.select(col("sv"))))
+        .select(col("vec_id"), col("v"),
+          kmeansSqDist(col("v"), col("sv")).as("md"))
+      val s1 = pick(d1)
+      val d2 = shrink(d1, s1); val s2 = pick(d2)
+      val d3 = shrink(d2, s2); val s3 = pick(d3)
+      val d4 = shrink(d3, s3); val s4 = pick(d4)
+      val d5 = shrink(d4, s4)
+      val r0 = s0.select(lit(0).as("round"), col("sid").as("seed_id"),
+        lit(0.0).as("radius"))
+      val rks = Seq(s1 -> 1, s2 -> 2, s3 -> 3, s4 -> 4).map { case (df, r) =>
+        df.select(lit(r).as("round"), col("sid").as("seed_id"),
+          Num.roundOut(col("smd"), 6).as("radius"))
+      }
+      val fin = d5.agg(max(col("md")).as("m"))
+        .select(lit(5).as("round"), lit(null).cast("long").as("seed_id"),
+          Num.roundOut(col("m"), 6).as("radius"))
+      (r0 +: rks :+ fin).reduce(_.unionByName(_)).orderBy(col("round"))
+    },
+
     // Int8 SCALAR QUANTIZATION of the embedding column — the 4× storage
     // shrink every large-scale vector pipeline applies before ANN. Per
     // vector: symmetric max-abs scale, q_i = clamp(floor(v_i/scale·127)),

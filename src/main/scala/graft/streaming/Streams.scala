@@ -1196,6 +1196,54 @@ object Streams {
         try q.processAllAvailable() finally q.stop()
         graft.operators.Analytics.growthLedger(ss.read.parquet(actDir))
       }
+    },
+
+    // STREAMING A/B READOUT — x111's experiment table maintained as
+    // events arrive, the "peeking dashboard" every live experiment has:
+    // the cross-batch state is the per-(event_type) exact moment table
+    // (n/Σv/Σv² per arm — all plain sums, so partials from disjoint
+    // batches ADD into exactly the full-scan table, any slicing), and
+    // the Welch-z finish plus oracle SQL are shared verbatim with x111.
+    // Milli-unit quantization happens per batch BEFORE the fold — the
+    // state never holds a float, so merge order cannot drift the
+    // statistic.
+    //
+    // Scale: state is event-types-sized forever (the smallest state
+    // class alongside st12's registers and st14's k rows); each batch
+    // contributes one partial-agg pass over its own rows.
+    QueryDef("st17_stream_ab",
+      graft.operators.Analytics.x111OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageEventsSplit(ss, d)
+        val momDir = graft.Warehouse.path(s"graft_stab_mom_v1_${
+          graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}")
+        resetDir(momDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val hasState = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(momDir, "_SUCCESS"))
+            val part = graft.operators.Analytics.abMoments(
+              Tables.normalizeTs(batch))
+            val prior =
+              if (hasState) spark.read.parquet(momDir)
+              else part.limit(0)
+            prior.unionByName(part)
+              .groupBy(col("event_type")).agg(
+                sum(col("na")).as("na"), sum(col("nb")).as("nb"),
+                sum(col("sa")).as("sa"), sum(col("sb")).as("sb"),
+                sum(col("qa")).as("qa"), sum(col("qb")).as("qb"))
+              .localCheckpoint() // sever from the state file being replaced
+              .write.mode("overwrite").parquet(momDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Analytics.abReadout(ss.read.parquet(momDir))
+      }
     }
   )
 

@@ -570,6 +570,39 @@ class Round8Spec extends AnyFunSuite {
       "converged union+distinct state must reproduce the batch scan")
   }
 
+  test("x114 CountSketch errors carry BOTH signs on the collision-heavy grid (Count-Min never under-counts)") {
+    val errs = SparkEntry.queries("x114_countsketch")(spark, sf0_001)
+      .collect().map(_.getAs[Long]("err"))
+    assert(errs.nonEmpty)
+    assert(errs.exists(_ < 0), "no under-count — signed cancellation not visible")
+    assert(errs.exists(_ > 0), "no over-count — suspicious for a 3x32 grid")
+  }
+
+  test("x115 k-center selection radii are nonincreasing and the final covering radius is bounded by the last pick") {
+    val rows = SparkEntry.queries("x115_kcenter_seeds")(spark, sf0_001)
+      .orderBy(col("round")).collect()
+    assert(rows.length == 6)
+    val radii = rows.map(_.getAs[Double]("radius"))
+    (2 to 4).foreach { r =>
+      assert(radii(r) <= radii(r - 1) + 1e-9,
+        s"greedy farthest-point radius grew at round $r: ${radii(r - 1)} -> ${radii(r)}")
+    }
+    assert(radii(5) <= radii(4) + 1e-9,
+      "covering radius of 5 seeds must not exceed the last selection distance")
+    val seeds = rows.take(5).map(_.getAs[Long]("seed_id"))
+    assert(seeds.distinct.length == 5, "seeds must be distinct")
+    assert(rows(5).isNullAt(rows(5).fieldIndex("seed_id")))
+  }
+
+  test("st17 streaming A/B readout equals the batch x111 readout row-for-row") {
+    val batch = SparkEntry.queries("x111_ab_test_readout")(spark, sf0_001)
+      .collect().toSeq
+    val stream = SparkEntry.queries("st17_stream_ab")(spark, sf0_001)
+      .collect().toSeq
+    assert(stream == batch,
+      "sum-merged moment state must reproduce the batch scan exactly")
+  }
+
   test("m15 perceptual buckets: every bucket has >= 2 docs, distinct thumbs <= docs, and exact dups collapse to 1 thumb") {
     val rows = SparkEntry.queries("m15_perceptual_hash")(spark, sf0_001).collect()
     assert(rows.nonEmpty)
