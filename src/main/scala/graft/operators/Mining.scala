@@ -111,6 +111,159 @@ object Mining {
         .orderBy(col("doc_id"))
     },
 
+    // RETRIEVAL EVALUATION (nDCG@10 / MRR / P@10) — the scorer-quality
+    // readout for x48's BM25 ranking, the table an IR stack publishes
+    // with every ranker change. Graded relevance is deterministic: rel =
+    // how many of the three query terms the doc contains (0..3), gain =
+    // 2^rel − 1. The per-rank discounts 1/log2(r+1) are COMPILED-IN
+    // literal doubles (computed once at plan build, round-tripped
+    // through Double.toString into both engines — the planes-table
+    // move), so no engine evaluates a log at query time; both DCG sums
+    // are rank-ordered left folds over ten terms, bit-identical by
+    // construction.
+    //
+    // Scale: scoring is one stats broadcast over a corpus pass (x48's
+    // shape); the eval itself touches only the top-10 take and a
+    // 10-row ideal take — rank windows run on ten rows, never the
+    // corpus. Cost is the ranker's, the metric layer is O(k).
+    QueryDef("x116_retrieval_ndcg",
+      {
+        val wts = (1 to 10).map { r =>
+          val w = 1.0 / (math.log(r + 1.0) / math.log(2.0))
+          // CAST pins DOUBLE: a bare decimal literal parses as DECIMAL in
+          // DuckDB, whose fixed-point fold overflows and diverges from
+          // the Spark double fold
+          s"($r, CAST($w AS DOUBLE))"
+        }.mkString(", ")
+        s"""WITH stats AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_len,
+        |         sum(CASE WHEN list_contains(string_split(text, ' '), 'spark')
+        |             THEN 1 ELSE 0 END) AS df_spark,
+        |         sum(CASE WHEN list_contains(string_split(text, ' '), 'join')
+        |             THEN 1 ELSE 0 END) AS df_join,
+        |         sum(CASE WHEN list_contains(string_split(text, ' '), 'window')
+        |             THEN 1 ELSE 0 END) AS df_window
+        |  FROM documents
+        |), per AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS dl,
+        |         len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS tf_spark,
+        |         len(list_filter(string_split(text, ' '), w -> w = 'join')) AS tf_join,
+        |         len(list_filter(string_split(text, ' '), w -> w = 'window')) AS tf_window
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id,
+        |         CAST((CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS INT) AS rel,
+        |         round(1e-9 +
+        |           ((n_docs - df_spark + 0.5) / (df_spark + 0.5))
+        |             * (tf_spark * 2.2)
+        |             / (tf_spark + 1.2 * (0.25 + 0.75 * dl * n_docs / total_len))
+        |         + ((n_docs - df_join + 0.5) / (df_join + 0.5))
+        |             * (tf_join * 2.2)
+        |             / (tf_join + 1.2 * (0.25 + 0.75 * dl * n_docs / total_len))
+        |         + ((n_docs - df_window + 0.5) / (df_window + 0.5))
+        |             * (tf_window * 2.2)
+        |             / (tf_window + 1.2 * (0.25 + 0.75 * dl * n_docs / total_len)),
+        |           4) AS bm25
+        |  FROM per, stats
+        |), wts(r, w) AS (VALUES $wts
+        |), top10 AS (
+        |  SELECT doc_id, rel, row_number() OVER (
+        |           ORDER BY bm25 DESC, doc_id) AS rnk
+        |  FROM scored QUALIFY rnk <= 10
+        |), dcg AS (
+        |  SELECT list_reduce(list_prepend(0.0,
+        |           list(((1 << rel) - 1) * w ORDER BY rnk)),
+        |           (a, b) -> a + b) AS dcg
+        |  FROM top10 JOIN wts ON wts.r = top10.rnk
+        |), ideal AS (
+        |  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+        |  FROM scored QUALIFY rnk <= 10
+        |), idcg AS (
+        |  SELECT list_reduce(list_prepend(0.0,
+        |           list(((1 << rel) - 1) * w ORDER BY rnk)),
+        |           (a, b) -> a + b) AS idcg
+        |  FROM ideal JOIN wts ON wts.r = ideal.rnk
+        |), mrr AS (
+        |  SELECT coalesce(min(rnk), 0) AS fr FROM top10 WHERE rel >= 1
+        |), p AS (
+        |  SELECT count(*) FILTER (WHERE rel >= 1) AS hits FROM top10
+        |)
+        |SELECT round(1e-9 + dcg, 4) AS dcg,
+        |       round(1e-9 + idcg, 4) AS idcg,
+        |       round(1e-9 + dcg / idcg, 4) AS ndcg_10,
+        |       round(1e-9 + CASE WHEN fr = 0 THEN 0.0 ELSE 1.0 / fr END, 4)
+        |         AS mrr,
+        |       round(1e-9 + hits / 10.0, 4) AS p_at_10
+        |FROM dcg, idcg, mrr, p""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def tfc(term: String) =
+        size(filter(Text.tokens(col("text")), w => w === term)).cast("long")
+      def dfc(term: String) =
+        sum(when(array_contains(Text.tokens(col("text")), term), 1)
+          .otherwise(0)).cast("long")
+      val docs = Tables.documents(s, d)
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col("text")))).cast("long").as("total_len"),
+        dfc("spark").as("df_spark"), dfc("join").as("df_join"),
+        dfc("window").as("df_window"))
+      val per = docs.select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("dl"),
+        tfc("spark").as("tf_spark"), tfc("join").as("tf_join"),
+        tfc("window").as("tf_window"))
+      def part(tf: String, df: String) =
+        ((col("n_docs") - col(df) + 0.5) / (col(df) + 0.5)) *
+          (col(tf) * 2.2) /
+          (col(tf) + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("dl") * col("n_docs") / col("total_len")))
+      val scored = per.crossJoin(broadcast(stats)).select(col("doc_id"),
+        ((when(col("tf_spark") > 0, 1).otherwise(0))
+          + (when(col("tf_join") > 0, 1).otherwise(0))
+          + (when(col("tf_window") > 0, 1).otherwise(0))).cast("int").as("rel"),
+        Num.roundOut(part("tf_spark", "df_spark")
+          + part("tf_join", "df_join")
+          + part("tf_window", "df_window"), 4).as("bm25"))
+        .localCheckpoint() // both takes (ranked + ideal) read it once
+      val invLog = array((1 to 10).map(r =>
+        lit(1.0 / (math.log(r + 1.0) / math.log(2.0)))): _*)
+      def foldDcg(take: org.apache.spark.sql.DataFrame,
+          ord: Seq[org.apache.spark.sql.Column],
+          out: String): org.apache.spark.sql.DataFrame =
+        take.limit(10)
+          .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
+          .select(col("rnk"), col("rel"),
+            (element_at(array(lit(0), lit(1), lit(3), lit(7)),
+              col("rel") + 1).cast("double")
+              * element_at(invLog, col("rnk"))).as("term"))
+          .agg(array_sort(collect_list(struct(col("rnk"), col("term"))))
+            .as("ts"))
+          .select(aggregate(transform(col("ts"), t => t.getField("term")),
+            lit(0.0), (a, b) => a + b).as(out))
+      val byScore = scored.orderBy(col("bm25").desc, col("doc_id"))
+      val top10 = byScore.limit(10)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val dcg = foldDcg(byScore, Seq(col("bm25").desc, col("doc_id")), "dcg")
+      val idcg = foldDcg(scored.orderBy(col("rel").desc, col("doc_id")),
+        Seq(col("rel").desc, col("doc_id")), "idcg")
+      val mrr = top10.filter(col("rel") >= 1)
+        .agg(coalesce(min(col("rnk")), lit(0)).as("fr"))
+      val p = top10.agg(
+        sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("hits"))
+      dcg.crossJoin(idcg).crossJoin(mrr).crossJoin(p)
+        .select(Num.roundOut(col("dcg"), 4).as("dcg"),
+          Num.roundOut(col("idcg"), 4).as("idcg"),
+          Num.roundOut(col("dcg") / col("idcg"), 4).as("ndcg_10"),
+          Num.roundOut(when(col("fr") === 0, 0.0)
+            .otherwise(lit(1.0) / col("fr")), 4).as("mrr"),
+          Num.roundOut(col("hits") / 10.0, 4).as("p_at_10"))
+    },
+
     // TOKEN-MASS CONCENTRATION (GINI) — the per-source "is this corpus a
     // few templates stamped out, or genuinely diverse?" audit that pairs
     // with x80's Zipf slope: the Gini coefficient of the term-frequency

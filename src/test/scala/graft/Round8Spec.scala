@@ -594,6 +594,20 @@ class Round8Spec extends AnyFunSuite {
     assert(rows(5).isNullAt(rows(5).fieldIndex("seed_id")))
   }
 
+  test("x116 retrieval metrics respect their bounds: dcg <= idcg, ndcg/mrr/p@10 in [0,1]") {
+    val r = SparkEntry.queries("x116_retrieval_ndcg")(spark, sf0_001)
+      .collect().head
+    val (dcg, idcg) = (r.getAs[Double]("dcg"), r.getAs[Double]("idcg"))
+    assert(dcg > 0.0 && idcg > 0.0 && dcg <= idcg + 1e-9,
+      "the ideal ordering can never score below the ranker's")
+    assert(r.getAs[Double]("ndcg_10") <= 1.0 + 1e-9)
+    val mrr = r.getAs[Double]("mrr")
+    assert(mrr == 0.0 || (mrr >= 0.1 - 1e-9 && mrr <= 1.0 + 1e-9),
+      "MRR over 10 ranks is 0 or in [1/10, 1]")
+    val p = r.getAs[Double]("p_at_10")
+    assert(p >= 0.0 && p <= 1.0 + 1e-9)
+  }
+
   test("st17 streaming A/B readout equals the batch x111 readout row-for-row") {
     val batch = SparkEntry.queries("x111_ab_test_readout")(spark, sf0_001)
       .collect().toSeq
