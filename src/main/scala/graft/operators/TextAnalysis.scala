@@ -157,6 +157,53 @@ object TextAnalysis {
   /** x08's per-doc token-stat CTE in DuckDB SQL, shared with x59's
     * canonical selection (one definition — the fingerprintSql rule).
     * Defs, not vals: `entries` initializes first. */
+  /** x93's hashed-linear score components (doc_id, n_tokens, score_sum)
+    * — the hashing-trick scorer factored out so x117's calibration table
+    * reads the same score definition verbatim. */
+  private[graft] def hashedScoreTable(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val t2 = Tokens.table(s, d).filter(length(col("word")) > 0)
+      .select(col("doc_id"), col("word"))
+    val voc = t2.select(col("word")).distinct()
+      .withColumn("f", Text.charHash(col("word")) % 512)
+    val wt = voc
+      .withColumn("a", expr("f * 2654435761 & 4294967295"))
+      .withColumn("a", expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+      .select(col("word"),
+        (expr("shiftright(a, 16) ^ a") % 2001L - 1000L).as("w"))
+    t2.join(broadcast(wt), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score_sum"))
+  }
+
+  /** x93's score pipeline as shared DuckDB CTEs (t2 → voc → h → w0 → w1 →
+    * wt → sc), interpolated into both the x93 and x117 oracles. */
+  private[operators] def hashedScoreCteSql: String =
+    """t2 AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |                 w -> len(w) > 0)) AS word
+      |  FROM documents
+      |), voc AS (
+      |  SELECT DISTINCT word FROM t2
+      |), h AS (
+      |  SELECT word, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(range(len(word)),
+      |             i -> CAST(unicode(word[i+1]) AS BIGINT))),
+      |           (acc, c) -> (acc * 31 + c) % 1000000007) % 512 AS f
+      |  FROM voc
+      |), w0 AS (
+      |  SELECT word, (f * 2654435761) & 4294967295 AS a FROM h
+      |), w1 AS (
+      |  SELECT word, (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM w0
+      |), wt AS (
+      |  SELECT word, CAST(xor(a >> 16, a) % 2001 - 1000 AS BIGINT) AS w
+      |  FROM w1
+      |), sc AS (
+      |  SELECT t2.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |         CAST(sum(wt.w) AS BIGINT) AS score_sum
+      |  FROM t2 JOIN wt USING (word) GROUP BY 1
+      |)""".stripMargin
+
   private[operators] def qualityMSql: String =
     """m AS (
       |  SELECT doc_id, n_chars,
@@ -1694,51 +1741,68 @@ object TextAnalysis {
     // At 100 TB this is a pure scan-side scoring pass: no state, no
     // self-join, embarrassingly parallel.
     QueryDef("x93_hashed_linear_score",
-      """WITH t2 AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
-        |                 w -> len(w) > 0)) AS word
-        |  FROM documents
-        |), voc AS (
-        |  SELECT DISTINCT word FROM t2
-        |), h AS (
-        |  SELECT word, list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |           list_transform(range(len(word)),
-        |             i -> CAST(unicode(word[i+1]) AS BIGINT))),
-        |           (acc, c) -> (acc * 31 + c) % 1000000007) % 512 AS f
-        |  FROM voc
-        |), w0 AS (
-        |  SELECT word, (f * 2654435761) & 4294967295 AS a FROM h
-        |), w1 AS (
-        |  SELECT word, (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM w0
-        |), wt AS (
-        |  SELECT word, CAST(xor(a >> 16, a) % 2001 - 1000 AS BIGINT) AS w
-        |  FROM w1
-        |), sc AS (
-        |  SELECT t2.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |         CAST(sum(wt.w) AS BIGINT) AS score_sum
-        |  FROM t2 JOIN wt USING (word) GROUP BY 1
-        |)
+      s"""WITH $hashedScoreCteSql
         |SELECT doc_id, n_tokens, score_sum,
         |       round(1e-9 + score_sum * 1.0 / n_tokens, 4) AS score_mean,
         |       score_sum > 0 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val t2 = Tokens.table(s, d).filter(length(col("word")) > 0)
-        .select(col("doc_id"), col("word"))
-      val voc = t2.select(col("word")).distinct()
-        .withColumn("f", Text.charHash(col("word")) % 512)
-      val wt = voc
-        .withColumn("a", expr("f * 2654435761 & 4294967295"))
-        .withColumn("a", expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
-        .select(col("word"),
-          (expr("shiftright(a, 16) ^ a") % 2001L - 1000L).as("w"))
-      t2.join(broadcast(wt), "word")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score_sum"))
+      hashedScoreTable(s, d)
         .select(col("doc_id"), col("n_tokens"), col("score_sum"),
           Num.roundOut(col("score_sum") * 1.0 / col("n_tokens"), 4)
             .as("score_mean"),
           (col("score_sum") > 0).as("keep"))
         .orderBy(col("doc_id"))
+    },
+
+    // SCORE CALIBRATION TABLE — the reliability diagram for x93's
+    // scorer against the x08 quality label (positive = composite
+    // quality ≥ 0.63, a policy threshold at the corpus median): docs
+    // bucket into FIXED score bins (floor(mean/100) — pure map-side
+    // arithmetic, no rank window, so binning scales like a filter),
+    // each bin reporting its positive rate and its exact aggregate
+    // score (Σ score_sum / Σ tokens — integer sums, one division). A
+    // predictive scorer shows pos_rate rising with bin; x93's
+    // hash-random placeholder weights show the flat curve this table
+    // exists to expose — swap the weight table for a trained one and
+    // THIS query is the eval gate that proves the swap helped.
+    //
+    // Scale: two doc-keyed derived tables (score, label) join on id;
+    // everything after is a bins-sized aggregate with map-side combine.
+    QueryDef("x117_score_calibration",
+      s"""WITH $hashedScoreCteSql, $qualityMSql, lab AS (
+        |  SELECT doc_id, $qualitySql AS quality
+        |  FROM m WHERE n_tokens > 0
+        |), j AS (
+        |  SELECT sc.doc_id, sc.score_sum AS ss, sc.n_tokens AS nt,
+        |         CAST(floor((sc.score_sum * 1.0 / sc.n_tokens) / 100)
+        |              AS BIGINT) AS bin,
+        |         CASE WHEN lab.quality >= 0.63 THEN 1 ELSE 0 END AS pos
+        |  FROM sc JOIN lab USING (doc_id)
+        |)
+        |SELECT bin, CAST(bin * 100 AS BIGINT) AS bin_lo,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(pos) AS BIGINT) AS n_pos,
+        |       round(1e-9 + sum(pos) * 1.0 / count(*), 4) AS pos_rate,
+        |       round(1e-9 + sum(ss) * 1.0 / sum(nt), 4) AS bin_score
+        |FROM j GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+      val sc = hashedScoreTable(s, d)
+        .select(col("doc_id"), col("score_sum").as("ss"),
+          col("n_tokens").as("nt"))
+      val lab = Tables.documents(s, d)
+        .filter(size(Text.tokens(col("text"))) > 0)
+        .select(col("doc_id"), qualityCol.as("quality"))
+      sc.join(lab, "doc_id")
+        .select(col("ss"), col("nt"),
+          floor((col("ss") * 1.0 / col("nt")) / 100).cast("long").as("bin"),
+          when(col("quality") >= 0.63, 1L).otherwise(0L).as("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+          sum(col("ss")).as("sum_ss"), sum(col("nt")).as("sum_nt"))
+        .select(col("bin"), (col("bin") * 100).as("bin_lo"), col("n_docs"),
+          col("n_pos"),
+          Num.roundOut(col("n_pos") * 1.0 / col("n_docs"), 4).as("pos_rate"),
+          Num.roundOut(col("sum_ss") * 1.0 / col("sum_nt"), 4).as("bin_score"))
+        .orderBy(col("bin"))
     },
 
     // DETERMINISTIC WEIGHTED SAMPLE by PRIORITY (Duffield/Lund/Thorup

@@ -608,6 +608,24 @@ class Round8Spec extends AnyFunSuite {
     assert(p >= 0.0 && p <= 1.0 + 1e-9)
   }
 
+  test("x117 calibration bins partition the scored corpus; rates in [0,1]; bin aggregate score inside the bin's range") {
+    val rows = SparkEntry.queries("x117_score_calibration")(spark, sf0_001)
+      .collect()
+    assert(rows.nonEmpty)
+    val scored = graft.operators.TextAnalysis
+      .hashedScoreTable(spark, sf0_001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == scored,
+      "bins must partition every scored doc exactly once")
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("pos_rate")
+      assert(rate >= 0.0 && rate <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n_docs"))
+      val (lo, sc) = (r.getAs[Long]("bin_lo"), r.getAs[Double]("bin_score"))
+      assert(sc >= lo - 1e-6 && sc < lo + 100 + 1e-6,
+        s"aggregate score $sc outside its bin [$lo, ${lo + 100})")
+    }
+  }
+
   test("st17 streaming A/B readout equals the batch x111 readout row-for-row") {
     val batch = SparkEntry.queries("x111_ab_test_readout")(spark, sf0_001)
       .collect().toSeq
