@@ -175,6 +175,91 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** x119's relational answer — shared VERBATIM with st19's streaming
+    * change-point maintenance (the q78↔st13 contract applied to drift
+    * detection): one answer definition for both paths. */
+  private[graft] val x119OracleSql: String =
+    """WITH dcount AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+      |  FROM events GROUP BY 1
+      |), c AS (
+      |  SELECT day, cnt,
+      |         CAST(sum(cnt) OVER (ORDER BY day) AS BIGINT) AS cum,
+      |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS d
+      |  FROM dcount
+      |), t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(cnt) AS BIGINT) AS tot
+      |  FROM dcount
+      |), g AS (
+      |  SELECT day, cnt, cum, abs(n * cum - d * tot) AS g FROM c, t
+      |)
+      |SELECT day, cnt, cum, CAST(g AS BIGINT) AS g,
+      |       g = max(g) OVER () AS is_peak
+      |FROM g ORDER BY day""".stripMargin
+
+  /** x119's finish from the daily-count table — called on the batch
+    * aggregate and on st19's converged streaming state, so the two can't
+    * diverge. Input: (day DATE, cnt LONG). */
+  private[graft] def changepointReport(daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = daily.agg(count(lit(1)).as("n"), sum(col("cnt")).as("tot"))
+    daily
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("d", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .crossJoin(broadcast(t))
+      .withColumn("g", abs(col("n") * col("cum") - col("d") * col("tot")))
+      .withColumn("is_peak", col("g") === max(col("g")).over(
+        Window.partitionBy()))
+      .select(col("day"), col("cnt"), col("cum"), col("g"), col("is_peak"))
+      .orderBy(col("day"))
+  }
+
+  /** x125's relational answer — shared VERBATIM with st18's streaming
+    * grouped top-k maintenance (the x111↔st17 contract applied to
+    * leaderboards): one answer definition for both paths. Values fold in
+    * MILLI-UNITS (`floor(value·1000)` per event, before any sum), so the
+    * cross-batch state never holds a float and merge order cannot drift
+    * the totals — st17's quantize-then-fold rule. */
+  private[graft] val x125OracleSql: String =
+    """WITH s AS (
+      |  SELECT event_type, user_id, count(*) AS n_events,
+      |         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+      |           AS sv_milli
+      |  FROM events WHERE value IS NOT NULL
+      |  GROUP BY event_type, user_id
+      |), r AS (
+      |  SELECT event_type, user_id, n_events, sv_milli,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY sv_milli DESC, user_id) AS rnk
+      |  FROM s
+      |)
+      |SELECT event_type, CAST(rnk AS INT) AS rnk, user_id, n_events,
+      |       sv_milli
+      |FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin
+
+  /** The per-(event_type, user) value ledger x125 ranks — counts and
+    * milli-quantized sums only, so partials from disjoint micro-batches
+    * ADD into exactly the full-scan table (st18 folds this per batch). */
+  private[graft] def userValueState(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        floor(col("value") * 1000).cast("long").as("v"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sv_milli"))
+
+  /** x125's finish from the ledger — called on the batch aggregate and on
+    * st18's converged streaming state, so the two can't diverge. */
+  private[graft] def valueTopK(state: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    state.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("sv_milli").desc, col("user_id"))).cast("int"))
+      .filter(col("rnk") <= 3)
+      .select(col("event_type"), col("rnk"), col("user_id"),
+        col("n_events"), col("sv_milli"))
+      .orderBy(col("event_type"), col("rnk"))
+
   val entries: Seq[QueryDef] = Seq(
 
     // CO-ACTIVITY USER SIMILARITY — exact Jaccard over per-user sets of
@@ -962,6 +1047,139 @@ object Analytics {
           col("min_lat_s"), col("max_lat_s"),
           Num.roundOut(col("cum") * 1.0 / col("tot"), 4).as("cum_frac"))
         .orderBy(col("bucket"))
+    },
+
+    // CHANGE-POINT DETECTION over the daily event series — binary
+    // segmentation's first split (the data-drift tripwire a training
+    // pipeline runs on its ingest volume): for each day d the CUSUM
+    // statistic |S_d − (d/n)·S_n| measures how far the cumulative count
+    // path strays from the constant-rate line; the argmax is the most
+    // likely level-shift point. The statistic stays in INTEGERS by
+    // scaling through by n: g_d = |n·S_d − d·S_n| (no division, no
+    // float), so both engines agree bit-for-bit; g_n ≡ 0 by the
+    // telescoping identity (Round8Spec pins it) and is_peak marks the
+    // argmax row(s) directly in the report.
+    //
+    // Scale: one partial+final daily count over raw events, then every
+    // window runs on the DAYS-sized series (a few hundred rows at any
+    // corpus scale) — the cumulative sum and global max never see event
+    // grain, so the plan is scan + tiny ordered pass regardless of SF.
+    QueryDef("x119_changepoint", Analytics.x119OracleSql) { (s, d) =>
+      Analytics.changepointReport(
+        Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt")))
+    },
+
+    // JOIN-KEY SKEW AUDIT — the pre-flight diagnostic a 100 TB join runs
+    // BEFORE picking its strategy: the exact key-frequency spectrum of
+    // lineitem's part key (for each multiplicity `freq`, how many keys
+    // carry it and what fraction of the table rides on them, with the
+    // cumulative share read heaviest-first). One glance answers the
+    // planning questions: a long high-freq tail says AQE skew splitting
+    // or salting, a cum_share knee says how few keys dominate the
+    // shuffle, n_keys says whether the build side is broadcastable
+    // after filtering. The spectrum is the degree-distribution shape
+    // CBO histograms (w11) compress away — this is the uncompressed
+    // diagnostic.
+    //
+    // Scale: per-key counts combine map-side (the probe is itself
+    // skew-safe); the spectrum is distinct-multiplicities-sized —
+    // bounded by the heaviest key's count, in practice tens of rows —
+    // so the ordered cumulative window never sees data scale.
+    QueryDef("x123_skew_audit",
+      """WITH f AS (
+        |  SELECT l_partkey AS k, count(*) AS freq FROM lineitem GROUP BY 1
+        |), h AS (
+        |  SELECT freq, count(*) AS n_keys,
+        |         CAST(freq * count(*) AS BIGINT) AS bucket_rows
+        |  FROM f GROUP BY freq
+        |), t AS (SELECT CAST(sum(bucket_rows) AS BIGINT) AS total FROM h)
+        |SELECT CAST(freq AS BIGINT) AS freq, n_keys, bucket_rows,
+        |       round(1e-9 + bucket_rows * 1.0 / t.total, 6) AS row_share,
+        |       round(1e-9 + sum(bucket_rows) OVER (ORDER BY freq DESC)
+        |             * 1.0 / t.total, 6) AS cum_share_heavy
+        |FROM h, t ORDER BY freq DESC""".stripMargin) { (s, d) =>
+      val f = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("freq"))
+      val h = f.groupBy(col("freq"))
+        .agg(count(lit(1)).as("n_keys"),
+          (col("freq") * count(lit(1))).as("bucket_rows"))
+      val t = h.agg(sum(col("bucket_rows")).as("total"))
+      h.crossJoin(broadcast(t))
+        .withColumn("cum", sum(col("bucket_rows")).over(
+          Window.orderBy(col("freq").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("freq"), col("n_keys"), col("bucket_rows"),
+          Num.roundOut(col("bucket_rows") * 1.0 / col("total"), 6)
+            .as("row_share"),
+          Num.roundOut(col("cum") * 1.0 / col("total"), 6)
+            .as("cum_share_heavy"))
+        .orderBy(col("freq").desc)
+    },
+
+    // GROUPED VALUE LEADERBOARD — top-3 users per event type by total
+    // spend, the serving-table shape behind every "top accounts" panel.
+    // Values quantize to milli-units per event BEFORE summing (st17's
+    // rule), so the ledger is pure integers and st18 can maintain the
+    // SAME state over a live stream: [[userValueState]] builds the
+    // ledger, [[valueTopK]] finishes it, and both the batch and
+    // streaming paths call those two functions — plus this oracle —
+    // verbatim.
+    //
+    // Scale: the ledger aggregate combines map-side and is bounded by
+    // (event_types × active users), not events; the rank window
+    // partitions by event_type over ledger rows only. A skewed type's
+    // ledger partition is users-sized — if that ever dominates, the
+    // per-partition pre-prune of q88's native top-k operator is the
+    // drop-in (same contract, heap-bounded partials).
+    QueryDef("x125_value_topk", Analytics.x125OracleSql) { (s, d) =>
+      Analytics.valueTopK(Analytics.userValueState(Tables.events(s, d)))
+    },
+
+    // SAMPLE-RATIO-MISMATCH CHECK — the validity gate that must pass
+    // BEFORE anyone reads x111's Welch-z: if the 50/50 assignment
+    // (user_id parity, x111's arms) didn't actually produce balanced
+    // DISTINCT-user counts per experiment surface, the readout is void
+    // (Fabijan et al., KDD'19: SRM is the most common silent A/B
+    // corruption). One-cell chi-square against the expected even split,
+    // kept in MILLI-units of pure integers — χ²·1000 = 1000·(n_a−n_b)²
+    // div (n_a+n_b), flagged at the 0.05 critical value 3.841 — so both
+    // engines agree bit-for-bit with no float math at all.
+    //
+    // Scale: a distinct (event_type, user, arm) projection (map-side
+    // combine on the natural keys) then an event-types-sized aggregate —
+    // nothing after the distinct sees event grain.
+    QueryDef("x127_srm_check",
+      """WITH a AS (
+        |  SELECT DISTINCT event_type, user_id, user_id % 2 AS arm
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_a,
+        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_b
+        |  FROM a GROUP BY event_type
+        |)
+        |SELECT event_type, n_a, n_b,
+        |       CAST(1000 * (n_a - n_b) * (n_a - n_b) // (n_a + n_b)
+        |            AS BIGINT) AS chi2_milli,
+        |       1000 * (n_a - n_b) * (n_a - n_b) // (n_a + n_b) >= 3841
+        |         AS srm_flag
+        |FROM c ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          (col("user_id") % 2).as("arm"))
+        .distinct()
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+        .withColumn("chi2_milli",
+          expr("1000 * (n_a - n_b) * (n_a - n_b) div (n_a + n_b)"))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("chi2_milli"),
+          (col("chi2_milli") >= 3841).as("srm_flag"))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -1397,8 +1397,75 @@ object Corpus {
           Num.roundOut(col("padding") * 100.0 / (col("n_docs") * col("cap")), 4)
             .as("waste_pct"))
         .orderBy(col("cap"))
+    },
+
+    // HITS HUBS-AND-AUTHORITIES over the bipartite user↔event-type graph
+    // (Kleinberg JACM'99) — x37's pagerank answers "which nodes are
+    // globally central"; HITS answers the two-sided question a
+    // source-selection pipeline actually has: which CONTENT TYPES do the
+    // most engaged accounts concentrate on (authority), weighting each
+    // account by the breadth of types it touches (hub). Two unnormalized
+    // iterations stay in pure INTEGERS — a₀ ≡ 1, h₁(u) = deg(u),
+    // a₁(t) = Σ_{u∈N(t)} h₁(u), h₂(u) = Σ_{t∈N(u)} a₁(t), a₂(t) =
+    // Σ_{u∈N(t)} h₂(u); normalization only rescales, so the RANKING is
+    // the converged ranking signal and cross-engine parity is exact
+    // (no per-iteration float rounding at all, one step simpler than
+    // x37's rounded-contribution trick). [[hitsAuthorities]] is the
+    // whole iteration; Round8Spec replays it on a crafted graph against
+    // hand-computed scores.
+    //
+    // Scale: each half-iteration is one equi-join of a score vector onto
+    // the distinct edge list plus a partial+final aggregate — the
+    // relational HITS. The authority vector is event-types-sized
+    // (broadcast onto the edges); the hub vector is users-sized and
+    // shuffles on user_id like every other per-user aggregate here.
+    QueryDef("x120_hits",
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |), h1 AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS h FROM e GROUP BY 1
+        |), a1 AS (
+        |  SELECT e.event_type, CAST(sum(h1.h) AS BIGINT) AS a
+        |  FROM e JOIN h1 USING (user_id) GROUP BY 1
+        |), h2 AS (
+        |  SELECT e.user_id, CAST(sum(a1.a) AS BIGINT) AS h
+        |  FROM e JOIN a1 USING (event_type) GROUP BY 1
+        |), a2 AS (
+        |  SELECT e.event_type, CAST(sum(h2.h) AS BIGINT) AS a
+        |  FROM e JOIN h2 USING (user_id) GROUP BY 1
+        |), nu AS (
+        |  SELECT event_type, count(*) AS n_users FROM e GROUP BY 1
+        |)
+        |SELECT a2.event_type, nu.n_users, a1.a AS auth_1, a2.a AS auth_2,
+        |       CAST(row_number() OVER (ORDER BY a2.a DESC, a2.event_type)
+        |            AS INT) AS rnk
+        |FROM a2 JOIN a1 USING (event_type) JOIN nu USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      Corpus.hitsAuthorities(
+        Tables.events(s, d).select(col("user_id"), col("event_type")))
     }
   )
+
+  /** Two integer HITS iterations over a bipartite (user_id, event_type)
+    * edge multiset: distinct edges, then alternating join+aggregate
+    * passes. Factored so Round8Spec can replay it on a crafted graph. */
+  private[graft] def hitsAuthorities(pairs: DataFrame): DataFrame = {
+    val e = pairs.distinct().localCheckpoint() // feeds all four passes
+    val h1 = e.groupBy(col("user_id")).agg(count(lit(1)).as("h"))
+    val a1 = e.join(h1, "user_id")
+      .groupBy(col("event_type")).agg(sum(col("h")).as("a1"))
+    val h2 = e.join(broadcast(a1), "event_type")
+      .groupBy(col("user_id")).agg(sum(col("a1")).as("h"))
+    val a2 = e.join(h2, "user_id")
+      .groupBy(col("event_type")).agg(sum(col("h")).as("auth_2"))
+    val nu = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    a2.join(broadcast(a1), "event_type").join(broadcast(nu), "event_type")
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("auth_2").desc, col("event_type"))).cast("int"))
+      .select(col("event_type"), col("n_users"), col("a1").as("auth_1"),
+        col("auth_2"), col("rnk"))
+      .orderBy(col("event_type"))
+  }
 
   /** One BPE iteration chain (vocab → char symbols → top pair t1 → merged
     * r1 → top pair t2 → merged r2) as DuckDB CTEs, interpolated into both

@@ -1497,6 +1497,169 @@ object Dedup {
             col("n_clusters") * (col("csize") - 1) * 1.0 / col("n_total"), 4)
             .as("removable_frac"))
         .orderBy(col("cluster_size"))
+    },
+
+    // SORTED-NEIGHBORHOOD near-dup blocking (Hernández & Stolfo
+    // SIGMOD'95) — the third candidate-generation family next to LSH
+    // (x39) and prefix filtering (x56): sort the corpus by a
+    // content-derived key (the three lexicographically-smallest distinct
+    // tokens — stable under word reordering, the failure mode that
+    // defeats raw-prefix keys), then compare only documents within a
+    // sliding window of 4 ranks. Candidates get the exact token-set
+    // Jaccard; top-20 reported with their rank distance.
+    //
+    // Scale: the global rank is NOT a single-partition sort — rows
+    // partition by the key's first character (an order-preserving range
+    // split), rank locally per partition, and add broadcast per-bucket
+    // offsets: the two-pass distributed rank, each pass parallel. The
+    // window join is an equi-join on block id (rank div 4, left side
+    // exploded to block and block+1), so only O(w·n) candidate rows ever
+    // shuffle — no rank-range theta join, no quadratic bucket.
+    QueryDef("x118_snm_dedup",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_sort(list_distinct(list_filter(string_split(text, ' '),
+        |                                             w -> len(w) > 0))) AS toks
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, toks,
+        |         coalesce(toks[1], '') || ' ' || coalesce(toks[2], '')
+        |           || ' ' || coalesce(toks[3], '') AS skey
+        |  FROM t
+        |), r AS (
+        |  SELECT doc_id, toks, skey,
+        |         CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT)
+        |           AS rnk
+        |  FROM k
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(b.rnk - a.rnk AS INT) AS dist,
+        |       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+        |         AS n_shared,
+        |       round(1e-9 + len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |             (len(a.toks) + len(b.toks)
+        |              - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+        |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 4
+        |WHERE len(list_intersect(a.toks, b.toks)) > 0
+        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_sort(array_distinct(
+            filter(Text.tokens(col("text")), w => length(w) > 0))).as("toks"))
+        .withColumn("skey", concat(
+          coalesce(get(col("toks"), lit(0)), lit("")), lit(" "),
+          coalesce(get(col("toks"), lit(1)), lit("")), lit(" "),
+          coalesce(get(col("toks"), lit(2)), lit(""))))
+        .withColumn("bkt", substring(col("skey"), 1, 1))
+      // two-pass distributed rank: local row_number within the
+      // order-preserving first-char bucket + broadcast bucket offsets
+      val local = t.withColumn("lrn", row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("skey"), col("doc_id"))))
+      val offs = t.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt"), col("off"))
+      val r = local.join(broadcast(offs), "bkt")
+        .withColumn("rnk", col("lrn") + col("off"))
+        .select(col("doc_id"), col("toks"), col("rnk"))
+        .localCheckpoint() // both window-join sides read the ranked table
+      val a = r.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+          col("rnk").as("rnk_a"),
+          explode(array(expr("(rnk - 1) div 4"),
+            expr("(rnk - 1) div 4 + 1"))).as("blk"))
+      val b = r.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        col("rnk").as("rnk_b"), expr("(rnk - 1) div 4").as("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("rnk_b") > col("rnk_a") && col("rnk_b") <= col("rnk_a") + 4)
+        .withColumn("i", size(array_intersect(col("toks_a"), col("toks_b"))))
+        .filter(col("i") > 0)
+        .select(col("doc_a"), col("doc_b"),
+          (col("rnk_b") - col("rnk_a")).cast("int").as("dist"),
+          col("i").cast("long").as("n_shared"),
+          Num.roundOut(col("i") * 1.0 /
+            (size(col("toks_a")) + size(col("toks_b")) - col("i")), 6)
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    },
+
+    // CV-FOLD LEAKAGE AUDIT — the split-integrity check a dedup-aware
+    // training pipeline runs AFTER assigning folds: if near-duplicate
+    // pairs straddle fold boundaries, held-out evaluation leaks (the
+    // x19 contamination failure, internal to the corpus). Folds come
+    // from the content fingerprint (fp mod 5 — the x17 split key, so
+    // exact copies always co-fold by construction); candidate near-dup
+    // pairs are x04's blocked shingle-overlap set; the report is the
+    // 5×5 fold-pair matrix with a MICRO-averaged Jaccard (Σ|∩| / Σ|∪| —
+    // two exact integer sums, one division, no float accumulation to
+    // drift cross-engine). Off-diagonal mass = leakage to fix by
+    // re-assigning whole dup-clusters (x20) to one fold.
+    //
+    // Scale: reuses the persisted shingle + fingerprint tables; the
+    // pair stage is x04's inverted-index join (work ∝ shared shingles),
+    // fold lookup is a doc-keyed join, and the matrix is 15 rows at any
+    // corpus size.
+    QueryDef("x122_fold_leakage",
+      s"""WITH s AS (
+        |  SELECT doc_id, source, lang,
+        |         list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |           ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
+        |  FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS ws
+        |        FROM documents)
+        |), fp AS (
+        |  SELECT doc_id, ${TextAnalysis.fingerprintSql} % 5 AS fold
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db,
+        |         len(list_intersect(a.tri, b.tri)) AS i,
+        |         len(a.tri) + len(b.tri) - len(list_intersect(a.tri, b.tri))
+        |           AS u
+        |  FROM s a JOIN s b ON a.source = b.source AND a.lang = b.lang
+        |                   AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.tri, b.tri)) > 0
+        |), pf AS (
+        |  SELECT least(fa.fold, fb.fold) AS fold_lo,
+        |         greatest(fa.fold, fb.fold) AS fold_hi, i, u
+        |  FROM p JOIN fp fa ON fa.doc_id = p.da
+        |         JOIN fp fb ON fb.doc_id = p.db
+        |)
+        |SELECT CAST(fold_lo AS BIGINT) AS fold_lo,
+        |       CAST(fold_hi AS BIGINT) AS fold_hi,
+        |       count(*) AS n_pairs,
+        |       CAST(sum(i) AS BIGINT) AS sum_shared,
+        |       round(1e-9 + sum(i) * 1.0 / sum(u), 6) AS jaccard_micro,
+        |       fold_lo <> fold_hi AS is_leak
+        |FROM pf GROUP BY fold_lo, fold_hi
+        |ORDER BY fold_lo, fold_hi""".stripMargin) { (s, d) =>
+      val inv = shingleTable(s, d)
+        .select(col("source"), col("lang"), col("doc_id"),
+          size(col("tri")).as("sz"), explode(col("tri")).as("sh"))
+      val pairs = inv.as("a")
+        .join(inv.as("b"),
+          col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.sz").as("sza"), col("b.sz").as("szb"))
+        .agg(count(lit(1)).as("i"))
+        .select(col("da"), col("db"), col("i"),
+          (col("sza") + col("szb") - col("i")).as("u"))
+      val folds = TextAnalysis.fingerprintTable(s, d)
+        .select(col("doc_id"), (col("fp") % 5).as("fold"))
+      pairs
+        .join(folds.select(col("doc_id").as("da"), col("fold").as("fa")), "da")
+        .join(folds.select(col("doc_id").as("db"), col("fold").as("fb")), "db")
+        .groupBy(least(col("fa"), col("fb")).as("fold_lo"),
+          greatest(col("fa"), col("fb")).as("fold_hi"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("i")).as("sum_shared"),
+          sum(col("u")).as("sum_u"))
+        .select(col("fold_lo"), col("fold_hi"), col("n_pairs"),
+          col("sum_shared"),
+          Num.roundOut(col("sum_shared") * 1.0 / col("sum_u"), 6)
+            .as("jaccard_micro"),
+          (col("fold_lo") =!= col("fold_hi")).as("is_leak"))
+        .orderBy(col("fold_lo"), col("fold_hi"))
     }
   )
 }

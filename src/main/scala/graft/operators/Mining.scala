@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Num, Text}
@@ -1124,6 +1125,80 @@ object Mining {
               .otherwise(lit(1.0) / (lit(60) + col("rd"))), 6).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // POSITIONAL PHRASE SEARCH — adjacency matching over the positional
+    // inverted index, the capability that separates a phrase-capable
+    // retrieval engine from bag-of-words BM25 (x48 scores "w1 AND w2
+    // anywhere"; this finds "w1 w2" as a phrase). The query phrase is
+    // the corpus's two most frequent words (SF-robust, no fixture
+    // literal): per document, count positions p where token(p)=w1 ∧
+    // token(p+1)=w2, and the reverse phrase — the forward/backward
+    // asymmetry is itself a collocation signal (x49's lift, localized
+    // to exact adjacency).
+    //
+    // Scale: the phrase terms prune the token table FIRST (a pushed
+    // equality filter on the posting scan — the standard postings-list
+    // intersection), so the adjacency self-join on (doc_id, position+1)
+    // sees only matching-term positions, a tiny fraction of the stream;
+    // the phrase-term table is a one-row broadcast. The persisted token
+    // table is the positional index — no re-tokenize on warm runs.
+    QueryDef("x121_phrase_positions",
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i,
+        |         ws[CAST(i AS INT) + 1] AS word
+        |  FROM (SELECT doc_id, unnest(range(len(ws))) AS i, ws
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |              FROM documents))
+        |), f AS (
+        |  SELECT word, count(*) AS c FROM tok WHERE len(word) > 0 GROUP BY 1
+        |), r AS (
+        |  SELECT word, row_number() OVER (ORDER BY c DESC, word) AS rn FROM f
+        |), sel AS (
+        |  SELECT tok.doc_id, tok.i, tok.word FROM tok
+        |  WHERE tok.word IN (SELECT word FROM r WHERE rn <= 2)
+        |), w1 AS (SELECT word FROM r WHERE rn = 1),
+        |w2 AS (SELECT word FROM r WHERE rn = 2)
+        |SELECT a.doc_id,
+        |       (SELECT word FROM w1) AS word_a,
+        |       (SELECT word FROM w2) AS word_b,
+        |       CAST(sum(CASE WHEN a.word = (SELECT word FROM w1)
+        |                      AND b.word = (SELECT word FROM w2)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fwd,
+        |       CAST(sum(CASE WHEN a.word = (SELECT word FROM w2)
+        |                      AND b.word = (SELECT word FROM w1)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rev
+        |FROM sel a JOIN sel b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |GROUP BY a.doc_id
+        |HAVING n_fwd > 0 OR n_rev > 0
+        |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      val tok = Tokens.table(s, d)
+      val top2 = tok.filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("c").desc, col("word"))))
+        .filter(col("rn") <= 2)
+        .groupBy()
+        .agg(min(when(col("rn") === 1, col("word"))).as("w1"),
+          min(when(col("rn") === 2, col("word"))).as("w2"))
+      val sel = tok.crossJoin(broadcast(top2))
+        .filter(col("word") === col("w1") || col("word") === col("w2"))
+        .select(col("doc_id"), col("i"), col("word"), col("w1"), col("w2"))
+      val a = sel.select(col("doc_id"), col("i"), col("word").as("wa"),
+        col("w1"), col("w2"))
+      val b = sel.select(col("doc_id"), (col("i") - 1).as("i"),
+        col("word").as("wb"))
+      a.join(b, Seq("doc_id", "i"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(
+          sum(when(col("wa") === col("w1") && col("wb") === col("w2"), 1L)
+            .otherwise(0L)).as("n_fwd"),
+          sum(when(col("wa") === col("w2") && col("wb") === col("w1"), 1L)
+            .otherwise(0L)).as("n_rev"))
+        .filter(col("n_fwd") > 0 || col("n_rev") > 0)
+        .select(col("doc_id"), col("w1").as("word_a"), col("w2").as("word_b"),
+          col("n_fwd"), col("n_rev"))
+        .orderBy(col("doc_id"))
     }
   )
 }

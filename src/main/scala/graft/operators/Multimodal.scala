@@ -1150,6 +1150,83 @@ object Multimodal {
           col("b2"), col("b3"), col("sum_v"), col("n_ch"),
           Num.roundOut(col("sum_v") * 1.0 / col("n_ch"), 6).as("mean_v"))
         .orderBy(col("doc_id"), col("channel"))
+    },
+
+    // PATCHIFY — the ViT ingestion primitive: split each decoded image
+    // into a 2×2 patch grid and emit per-patch brightness statistics
+    // (n_px, Σ(r+g+b), integer mean), the per-patch feature row a vision
+    // training pipeline materializes before embedding. Patch boundaries
+    // are integer splits of the raster (columns 0–3 | 4–7 of the 8-wide
+    // P6; rows split at h div 2, bottom patch absorbing the odd row), so
+    // every statistic is exact-integer and the oracle replays the same
+    // pixel→patch addressing on hexed bytes. Images under two pixel rows
+    // are filtered — no 2×2 grid exists.
+    //
+    // Scale: one streamed pass over payload bytes per container inside
+    // the decode tier's mapPartitions (the m14 shape); output is exactly
+    // 4 fixed-width rows per image, so the patch table shuffles O(1) per
+    // container and downstream per-patch work never touches payloads.
+    QueryDef("m16_patchify",
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 48
+        |), dims AS (
+        |  SELECT doc_id, hx, CAST(n // 24 AS INT) AS h FROM p
+        |), g(py, px) AS (VALUES (0, 0), (0, 1), (1, 0), (1, 1)),
+        |cell AS (
+        |  SELECT doc_id, h, py, px,
+        |         CAST(CASE WHEN py = 0 THEN h // 2 ELSE h - h // 2 END * 4
+        |              AS BIGINT) AS n_px,
+        |         CAST(list_sum(list_transform(
+        |           list_filter(range(24 * h), o ->
+        |             CASE WHEN (o // 24) < h // 2 THEN 0 ELSE 1 END = py
+        |             AND ((o % 24) // 3) // 4 = px),
+        |           o -> (strpos('0123456789ABCDEF',
+        |                   substring(hx, 2 * CAST(o AS INT) + 1, 1)) - 1) * 16
+        |                + strpos('0123456789ABCDEF',
+        |                   substring(hx, 2 * CAST(o AS INT) + 2, 1)) - 1))
+        |           AS BIGINT) AS sum_b
+        |  FROM dims CROSS JOIN g
+        |)
+        |SELECT doc_id, CAST(py AS INT) AS py, CAST(px AS INT) AS px, n_px,
+        |       sum_b, CAST(sum_b // n_px AS BIGINT) AS mean_b
+        |FROM cell ORDER BY doc_id, py, px""".stripMargin) { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("py", IntegerType, nullable = false),
+        StructField("px", IntegerType, nullable = false),
+        StructField("n_px", LongType, nullable = false),
+        StructField("sum_b", LongType, nullable = false)))
+      val enc = RowEncoder.encoderFor(schema)
+      ppmPayloads(s, d)
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            val p = r.getAs[Array[Byte]](1)
+            val (w, h, off) = PpmDecoder.header(p)
+            if (h < 2) None
+            else {
+              val hTop = h / 2
+              val sums = Array.ofDim[Long](2, 2)
+              var o = 0
+              val np = 3 * w * h
+              while (o < np) {
+                val row = o / 24
+                val cl = (o % 24) / 3
+                sums(if (row < hTop) 0 else 1)(cl / 4) += (p(off + o) & 0xff)
+                o += 1
+              }
+              for (py <- 0 to 1; px <- 0 to 1) yield {
+                val nPx = (if (py == 0) hTop else h - hTop).toLong * 4
+                Row(r.getLong(0), py, px, nPx, sums(py)(px))
+              }
+            }
+          }
+        }(enc)
+        .select(col("doc_id"), col("py"), col("px"), col("n_px"),
+          col("sum_b"), expr("sum_b div n_px").as("mean_b"))
+        .orderBy(col("doc_id"), col("py"), col("px"))
     }
   )
 }

@@ -1589,6 +1589,98 @@ object Similarity {
         .select(col("query_id").as("a_id"), col("cand_id").as("b_id"),
           col("cos_sim"), col("rnk").as("rank_ab"), col("rank_ba"))
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // IVF TOMBSTONE-DELETE MAINTENANCE — the other half of x101's index
+    // lifecycle: deletes don't rewrite inverted lists, they mark
+    // (vec_id % 10 = 3 plays the deleted slice) and serving filters
+    // live rows; this query is the COMPACTION AUDIT that decides when a
+    // list must actually be rewritten. Per inverted list: live/dead
+    // occupancy, the ≥30 % dead-fraction compaction trigger as an
+    // integer predicate (10·dead ≥ 3·total — no float boundary), and
+    // the mean centroid-affinity of the SURVIVING members in micro
+    // units (floor(sim·10⁶) per row, integer sum, integer div — a list
+    // whose live members drifted from their centroid needs re-CENTERING
+    // (x33's k-means step), not just compaction; both maintenance
+    // signals in one pass).
+    //
+    // Scale: one scan of the persisted cent_id-partitioned inverted
+    // file (rk=1 members only), map-side flags and quantization, then a
+    // centroids-sized aggregate — the audit costs one pass over index
+    // metadata regardless of corpus size, exactly what a nightly
+    // maintenance job can afford.
+    QueryDef("x128_ivf_tombstone",
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), c AS (
+        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+        |  WHERE vec_id % 50 = 0
+        |), a AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> n.v[i+1] * c.cv[i+1])) / n.nrm / c.cn, 6) AS sim
+        |  FROM n, c
+        |), r AS (
+        |  SELECT vec_id, cent_id, sim, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rk
+        |  FROM a
+        |), m AS (
+        |  SELECT cent_id, sim, vec_id % 10 = 3 AS dead,
+        |         CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+        |  FROM r WHERE rk = 1
+        |), g AS (
+        |  SELECT cent_id,
+        |         CAST(sum(CASE WHEN dead THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS n_live,
+        |         CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_dead,
+        |         CAST(sum(CASE WHEN dead THEN 0 ELSE sim_micro END)
+        |              AS BIGINT) AS live_sim_sum
+        |  FROM m GROUP BY cent_id
+        |)
+        |SELECT cent_id, n_live, n_dead,
+        |       round(1e-9 + n_dead * 1.0 / (n_live + n_dead), 4)
+        |         AS dead_frac,
+        |       10 * n_dead >= 3 * (n_live + n_dead) AS needs_compact,
+        |       CAST(CASE WHEN n_live = 0 THEN 0
+        |            ELSE live_sim_sum // n_live END AS BIGINT)
+        |         AS mean_live_sim_micro
+        |FROM g ORDER BY cent_id""".stripMargin) { (s, d) =>
+      // the persisted inverted file holds (vec_id, v, nrm, cent_id) but
+      // not the assignment sim — recompute the member↔centroid affinity
+      // with the same broadcast-centroid expression the index was built
+      // with (bit-identical rounded sims)
+      val members = ivfAssignedTable(s, d).filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+      val cents = withNorm(Tables.embeddings(s, d))
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      members.join(broadcast(cents), "cent_id")
+        .select(col("cent_id"),
+          (col("vec_id") % 10 === 3).as("dead"),
+          floor(Num.roundOut(dot(col("v"), col("cv")) / col("nrm") / col("cn"), 6)
+            * 1000000).cast("long").as("sim_micro"))
+        .groupBy(col("cent_id"))
+        .agg(sum(when(col("dead"), 0L).otherwise(1L)).as("n_live"),
+          sum(when(col("dead"), 1L).otherwise(0L)).as("n_dead"),
+          sum(when(col("dead"), 0L).otherwise(col("sim_micro")))
+            .as("live_sim_sum"))
+        .select(col("cent_id"), col("n_live"), col("n_dead"),
+          Num.roundOut(col("n_dead") * 1.0 / (col("n_live") + col("n_dead")), 4)
+            .as("dead_frac"),
+          (lit(10) * col("n_dead") >= lit(3) * (col("n_live") + col("n_dead")))
+            .as("needs_compact"),
+          when(col("n_live") === 0, 0L)
+            .otherwise(expr("live_sim_sum div n_live"))
+            .as("mean_live_sim_micro"))
+        .orderBy(col("cent_id"))
     }
   )
 

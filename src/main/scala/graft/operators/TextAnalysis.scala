@@ -1980,8 +1980,166 @@ object TextAnalysis {
           Num.roundOut(col("lo"), 4).as("ci_lo"),
           Num.roundOut(col("hi"), 4).as("ci_hi"))
         .orderBy(col("source"))
+    },
+
+    // SOURCE VOCABULARY-OVERLAP MATRIX — pairwise Jaccard between each
+    // source's distinct word set, the redundancy map a mixing policy
+    // reads before weighting sources (two crawls with 0.9 vocabulary
+    // overlap are near-substitutes; x81's temperature mix treats them as
+    // independent unless this table says otherwise). Pairs come from the
+    // word→sources inverted index (x04's shape one level up): only
+    // sources SHARING a word ever pair, |∩| falls out of the equi-join
+    // count, and |∪| = |A|+|B|−|∩| from the per-source vocab sizes — so
+    // the Jaccard is exact-integer counts and ONE division.
+    //
+    // Scale: the distinct (source, word) projection is vocab-bounded per
+    // source (not doc-bounded); the pair stage's output is capped at
+    // (sources choose 2) rows per word with sources in the tens, and the
+    // final matrix is sources²-sized. The persisted token table feeds
+    // the projection, so warm runs never re-tokenize.
+    QueryDef("x124_source_overlap",
+      """WITH ws AS (
+        |  SELECT DISTINCT source, word FROM (
+        |    SELECT source,
+        |           unnest(list_filter(string_split(text, ' '),
+        |                              w -> len(w) > 0)) AS word
+        |    FROM documents)
+        |), sz AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS v FROM ws GROUP BY 1
+        |), p AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(count(*) AS BIGINT) AS i
+        |  FROM ws a JOIN ws b ON a.word = b.word AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT src_a, src_b, i AS n_shared,
+        |       round(1e-9 + i * 1.0 / (sa.v + sb.v - i), 6) AS jaccard
+        |FROM p JOIN sz sa ON sa.source = p.src_a
+        |       JOIN sz sb ON sb.source = p.src_b
+        |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      x124Impl(s, d)
+    },
+
+    // KOLMOGOROV–SMIRNOV DRIFT per source — the distribution-shift
+    // monitor a mixing policy runs on every ingest batch: for each
+    // source, the two-sample KS statistic between its document-length
+    // distribution and the pooled corpus (sup-norm distance between the
+    // empirical CDFs). The statistic stays in INTEGERS by cross-scaling:
+    // dev(v) = |cum_src(v)·N − cum_all(v)·N_src| on the shared value
+    // grid, D_scaled = max_v dev — no division until the single final
+    // ks = D_scaled/(N·N_src) — so argmax and flagging are bit-exact
+    // cross-engine; at_val reports where the CDFs diverge most (the
+    // length band to inspect).
+    //
+    // Scale: per-(source, length) counts combine map-side; the CDF grid
+    // is sources × distinct-lengths (bounded by the length domain, not
+    // the corpus), windows run per source over that grid, and the
+    // report is sources-sized.
+    QueryDef("x126_ks_distance",
+      """WITH vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |cnts AS (
+        |  SELECT source, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT s.source, vals.v, coalesce(c.c, 0) AS c
+        |  FROM srcs s CROSS JOIN vals
+        |  LEFT JOIN cnts c ON c.source = s.source AND c.v = vals.v
+        |), cum AS (
+        |  SELECT source, v,
+        |         CAST(sum(c) OVER (PARTITION BY source ORDER BY v)
+        |              AS BIGINT) AS cs
+        |  FROM grid
+        |), gcnt AS (
+        |  SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1
+        |), gcum AS (
+        |  SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS gc
+        |  FROM gcnt
+        |), ns AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_src
+        |  FROM documents GROUP BY 1
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+        |dd AS (
+        |  SELECT cum.source, cum.v,
+        |         abs(cum.cs * nn.n_total - gcum.gc * ns.n_src) AS dev
+        |  FROM cum JOIN gcum USING (v)
+        |       JOIN ns ON ns.source = cum.source, nn
+        |), dm AS (
+        |  SELECT source, CAST(max(dev) AS BIGINT) AS d_scaled
+        |  FROM dd GROUP BY 1
+        |)
+        |SELECT dm.source, ns.n_src AS n_docs, dm.d_scaled,
+        |       round(1e-9 + dm.d_scaled * 1.0 / (nn.n_total * ns.n_src), 6)
+        |         AS ks,
+        |       CAST(min(dd.v) AS BIGINT) AS at_val
+        |FROM dm JOIN dd ON dd.source = dm.source AND dd.dev = dm.d_scaled
+        |        JOIN ns ON ns.source = dm.source, nn
+        |GROUP BY dm.source, ns.n_src, dm.d_scaled, nn.n_total
+        |ORDER BY dm.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+      val cnts = docs.groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val vals = docs.select(col("n_chars").as("v")).distinct()
+      val srcs = docs.select(col("source")).distinct()
+      val grid = srcs.crossJoin(vals)
+        .join(cnts, Seq("source", "v"), "left")
+        .select(col("source"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+      val cum = grid.withColumn("cs", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val gcum = docs.groupBy(col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("gc", sum(col("c")).over(
+          Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("v"), col("gc"))
+      val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val nn = docs.agg(count(lit(1)).as("n_total"))
+      val dd = cum.join(gcum, "v")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(nn))
+        .withColumn("dev",
+          abs(col("cs") * col("n_total") - col("gc") * col("n_src")))
+        .localCheckpoint() // argmax join reads it twice
+      val dm = dd.groupBy(col("source")).agg(max(col("dev")).as("d_scaled"))
+      dm.join(dd.select(col("source"), col("v"), col("dev"), col("n_src"),
+          col("n_total")),
+          Seq("source"))
+        .filter(col("dev") === col("d_scaled"))
+        .groupBy(col("source"), col("n_src"), col("d_scaled"), col("n_total"))
+        .agg(min(col("v")).as("at_val"))
+        .select(col("source"), col("n_src").as("n_docs"), col("d_scaled"),
+          Num.roundOut(col("d_scaled") * 1.0 / (col("n_total") * col("n_src")), 6)
+            .as("ks"),
+          col("at_val"))
+        .orderBy(col("source"))
     }
   )
+
+  /** x124's implementation (factored out of the entry for length only). */
+  private def x124Impl(s: SparkSession, d: String): DataFrame = {
+    val ws = Tokens.table(s, d)
+      .filter(length(col("word")) > 0)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("source"), col("word"))
+      .distinct()
+      .localCheckpoint() // both pair sides + the size table read it
+    val sz = ws.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val p = ws.as("a")
+      .join(ws.as("b"),
+        col("a.word") === col("b.word") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("i"))
+    p.join(broadcast(sz.select(col("source").as("src_a"), col("v").as("va"))),
+        "src_a")
+      .join(broadcast(sz.select(col("source").as("src_b"), col("v").as("vb"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("i").as("n_shared"),
+        Num.roundOut(col("i") * 1.0 / (col("va") + col("vb") - col("i")), 6)
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 
   /** The DISTINCT train-split trigram set persisted content-keyed — the
     * decontamination reference set x19's exact join probes and x55's

@@ -1244,6 +1244,105 @@ object Streams {
         try q.processAllAvailable() finally q.stop()
         graft.operators.Analytics.abReadout(ss.read.parquet(momDir))
       }
+    },
+
+    // STREAMING GROUPED TOP-K — x125's per-event-type leaderboard
+    // maintained over the live stream (the x111↔st17 contract applied
+    // to rankings): the cross-batch state is the per-(event_type, user)
+    // ledger of counts and MILLI-QUANTIZED value sums — plain integer
+    // sums, so partials from disjoint batches ADD into exactly the
+    // full-scan ledger under any slicing or replay — and the top-3
+    // finish plus oracle SQL are shared verbatim with x125
+    // ([[graft.operators.Analytics.userValueState]] /
+    // [[graft.operators.Analytics.valueTopK]]). Ranking is NOT mergeable
+    // on its own (a user outside every batch's top-3 can lead overall),
+    // which is exactly why the state is the ledger and the rank is a
+    // finish — st11's Misra-Gries is the bounded-state fallback when
+    // even the ledger outgrows its budget.
+    //
+    // Scale: state is (event_types × active users)-sized, shuffled on
+    // the same keys as the batch aggregate; each micro-batch contributes
+    // one map-side-combined partial pass over its own rows.
+    QueryDef("st18_stream_topk",
+      graft.operators.Analytics.x125OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageEventsSplit(ss, d)
+        val ledDir = graft.Warehouse.path(s"graft_sttopk_led_v1_${
+          graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}")
+        resetDir(ledDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val hasState = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(ledDir, "_SUCCESS"))
+            val part = graft.operators.Analytics.userValueState(
+              Tables.normalizeTs(batch))
+            val prior =
+              if (hasState) spark.read.parquet(ledDir)
+              else part.limit(0)
+            prior.unionByName(part)
+              .groupBy(col("event_type"), col("user_id")).agg(
+                sum(col("n_events")).as("n_events"),
+                sum(col("sv_milli")).as("sv_milli"))
+              .localCheckpoint() // sever from the state file being replaced
+              .write.mode("overwrite").parquet(ledDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Analytics.valueTopK(ss.read.parquet(ledDir))
+      }
+    },
+
+    // STREAMING CHANGE-POINT — x119's CUSUM drift monitor maintained
+    // over the live stream (the x125↔st18 contract applied to drift
+    // detection): the cross-batch state is the per-day event-count
+    // table, folded by PLAIN SUMS — partials from disjoint batches add
+    // into exactly the full-scan daily series under any slicing, replay,
+    // or late arrival (a late day's counts simply add in) — and the
+    // integer CUSUM finish plus oracle SQL are shared verbatim with
+    // x119 ([[graft.operators.Analytics.changepointReport]]). The
+    // statistic is deliberately NOT mergeable (it needs the whole
+    // series); the daily ledger is, which is why the split sits exactly
+    // there.
+    //
+    // Scale: state is days-sized forever (the st17 moment-table class);
+    // each batch contributes one map-side-combined daily count pass
+    // over its own rows, and the finish runs on a few hundred rows.
+    QueryDef("st19_stream_changepoint",
+      graft.operators.Analytics.x119OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageEventsSplit(ss, d)
+        val dayDir = graft.Warehouse.path(s"graft_stchg_day_v1_${
+          graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}")
+        resetDir(dayDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val hasState = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(dayDir, "_SUCCESS"))
+            val part = Tables.normalizeTs(batch)
+              .groupBy(to_date(col("ts")).as("day"))
+              .agg(count(lit(1)).as("cnt"))
+            val prior =
+              if (hasState) spark.read.parquet(dayDir)
+              else part.limit(0)
+            prior.unionByName(part)
+              .groupBy(col("day")).agg(sum(col("cnt")).as("cnt"))
+              .localCheckpoint() // sever from the state file being replaced
+              .write.mode("overwrite").parquet(dayDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Analytics.changepointReport(ss.read.parquet(dayDir))
+      }
     }
   )
 

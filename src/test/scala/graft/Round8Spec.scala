@@ -706,6 +706,253 @@ class Round8Spec extends AnyFunSuite {
       assert(r.getAs[String]("trigram").split(">").length == 3)
     }
   }
+
+  // ---- wave 6 ----
+
+  test("x119 CUSUM: the final day's statistic telescopes to 0 and is_peak marks exactly the argmax rows") {
+    val rows = SparkEntry.queries("x119_changepoint")(spark, sf0_001)
+      .orderBy(col("day")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.last.getAs[Long]("g") == 0L,
+      "g_n = |n·S_n − n·S_n| must be 0 — the telescoping identity")
+    val gmax = rows.map(_.getAs[Long]("g")).max
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_peak") == (r.getAs[Long]("g") == gmax))
+    }
+    // cumulative sums must be strictly increasing (counts are positive)
+    assert(rows.map(_.getAs[Long]("cum")).sliding(2).forall(p => p.head < p.last))
+  }
+
+  test("x120 HITS on a crafted bipartite graph reproduces hand-computed integer scores") {
+    import spark.implicits._
+    // users 1,2,3; types A,B: edges 1-A, 2-A, 2-B, 3-B
+    // deg: u1=1, u2=2, u3=1 → a1(A)=h(1)+h(2)=3, a1(B)=h(2)+h(3)=3
+    // h2: u1=a1(A)=3, u2=3+3=6, u3=3 → a2(A)=3+6=9, a2(B)=6+3=9
+    val edges = Seq((1L, "A"), (2L, "A"), (2L, "B"), (3L, "B"), (3L, "B"))
+      .toDF("user_id", "event_type") // duplicate edge must collapse
+    val out = operators.Corpus.hitsAuthorities(edges)
+      .orderBy(col("event_type")).collect()
+    assert(out.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_users"),
+      r.getAs[Long]("auth_1"), r.getAs[Long]("auth_2"), r.getAs[Int]("rnk")))
+      .toSeq == Seq(("A", 2L, 3L, 9L, 1), ("B", 2L, 3L, 9L, 2)))
+  }
+
+  test("x121 adjacency-join phrase counts equal an independent per-array HOF recount") {
+    val out = SparkEntry.queries("x121_phrase_positions")(spark, sf0_001)
+    val first = out.limit(1).collect()
+    assert(first.nonEmpty, "fixture must contain at least one phrase hit")
+    val (w1, w2) = (first.head.getAs[String]("word_a"), first.head.getAs[String]("word_b"))
+    // independent plan: no self-join — count adjacent positions inside
+    // each document's token array with a higher-order filter
+    def cnt(a: String, b: String) = {
+      val toks = graft.functions.Text.tokens(col("text"))
+      // try_element_at: null (→ filter-false) beyond the array, so the
+      // guard covers 0/1-token docs without branching
+      size(filter(sequence(lit(0), greatest(size(toks) - 2, lit(0))), i =>
+        try_element_at(toks, i + 1) === a && try_element_at(toks, i + 2) === b))
+    }
+    val alt = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), cnt(w1, w2).cast("long").as("n_fwd"),
+        cnt(w2, w1).cast("long").as("n_rev"))
+      .filter(col("n_fwd") > 0 || col("n_rev") > 0)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = out.orderBy(col("doc_id")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_fwd"),
+        r.getAs[Long]("n_rev"))).toSeq
+    assert(got == alt, "postings-intersection and array-scan plans disagree")
+  }
+
+  test("x122 fold matrix conserves the candidate-pair set and flags exactly the off-diagonal") {
+    val out = SparkEntry.queries("x122_fold_leakage")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_leak") ==
+        (r.getAs[Long]("fold_lo") != r.getAs[Long]("fold_hi")))
+      assert(r.getAs[Long]("fold_lo") <= r.getAs[Long]("fold_hi"))
+    }
+    // Σ n_pairs over the matrix == the x04 candidate-pair universe
+    // (recomputed independently from the shingle table)
+    val tri = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        graft.functions.Text.shingles(col("text"), 3).as("tri"))
+    val pairs = tri.as("a").join(tri.as("b"),
+        col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(size(array_intersect(col("a.tri"), col("b.tri"))) > 0)
+      .count()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == pairs)
+  }
+
+  test("x123 spectrum conserves rows and keys; heaviest-first cumulative share ends at 1") {
+    val out = SparkEntry.queries("x123_skew_audit")(spark, sf0_001).collect()
+    val li = Tables.lineitem(spark, sf0_001)
+    assert(out.map(_.getAs[Long]("bucket_rows")).sum == li.count())
+    assert(out.map(_.getAs[Long]("n_keys")).sum ==
+      li.select(col("l_partkey")).distinct().count())
+    val last = out.minBy(_.getAs[Long]("freq"))
+    assert(math.abs(last.getAs[Double]("cum_share_heavy") - 1.0) < 1e-6)
+    out.foreach(r => assert(r.getAs[Long]("bucket_rows") ==
+      r.getAs[Long]("freq") * r.getAs[Long]("n_keys")))
+  }
+
+  test("x124 overlap matrix is the full source-pair triangle with a brute-force-checked cell") {
+    val out = SparkEntry.queries("x124_source_overlap")(spark, sf0_001).collect()
+    val nSrc = Tables.documents(spark, sf0_001)
+      .select(col("source")).distinct().count()
+    assert(out.length.toLong == nSrc * (nSrc - 1) / 2,
+      "every source pair shares at least one word in the fixture")
+    out.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0 && j <= 1.0 + 1e-9)
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+    }
+    // brute-force one cell: distinct-token sets of the two sources
+    val c = out.head
+    def vocab(src: String) = Tables.documents(spark, sf0_001)
+      .filter(col("source") === src)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0).distinct().collect().map(_.getString(0)).toSet
+    val (va, vb) = (vocab(c.getAs[String]("src_a")), vocab(c.getAs[String]("src_b")))
+    assert(c.getAs[Long]("n_shared") == (va & vb).size.toLong)
+  }
+
+  test("x125 leaderboard: dense ranks, non-increasing totals, and ledger-conserving sums") {
+    val out = SparkEntry.queries("x125_value_topk")(spark, sf0_001).collect()
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toList == (1 to sorted.length).toList)
+      assert(sorted.length <= 3)
+      val svs = sorted.map(_.getAs[Long]("sv_milli"))
+      assert(svs.sliding(2).forall(p => p.length < 2 || p.head >= p.last))
+    }
+    // rank-1 rows really are the per-type argmax of the full ledger
+    val led = operators.Analytics.userValueState(Tables.events(spark, sf0_001))
+    val maxes = led.groupBy(col("event_type")).agg(max(col("sv_milli")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.filter(_.getAs[Int]("rnk") == 1).foreach { r =>
+      assert(r.getAs[Long]("sv_milli") == maxes(r.getAs[String]("event_type")))
+    }
+  }
+
+  test("x118 SNM two-pass distributed rank agrees with a direct global-window recompute") {
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"),
+        array_sort(array_distinct(filter(
+          graft.functions.Text.tokens(col("text")), w => length(w) > 0)))
+          .as("toks"))
+      .withColumn("skey", concat(
+        coalesce(get(col("toks"), lit(0)), lit("")), lit(" "),
+        coalesce(get(col("toks"), lit(1)), lit("")), lit(" "),
+        coalesce(get(col("toks"), lit(2)), lit(""))))
+    val W = org.apache.spark.sql.expressions.Window
+    val r = docs.withColumn("rnk",
+      row_number().over(W.orderBy(col("skey"), col("doc_id"))).cast("long"))
+    val a = r.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("rnk").as("ra"))
+    val b = r.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("rnk").as("rb"))
+    val brute = a.join(b, col("rb") > col("ra") && col("rb") <= col("ra") + 4)
+      .withColumn("i", size(array_intersect(col("ta"), col("tb"))))
+      .filter(col("i") > 0)
+      .select(col("doc_a"), col("doc_b"), (col("rb") - col("ra")).cast("int").as("dist"),
+        col("i").cast("long").as("n_shared"),
+        round(col("i") * 1.0 / (size(col("ta")) + size(col("tb")) - col("i")) + lit(1e-9), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val got = SparkEntry.queries("x118_snm_dedup")(spark, sf0_001)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("dist"), r.getAs[Long]("n_shared"),
+        r.getAs[Double]("jaccard"))).toSeq
+    assert(got == brute, "bucketed two-pass rank diverges from the global window")
+  }
+
+  test("m16 patches tile each image exactly and means stay in the brightness domain") {
+    val out = SparkEntry.queries("m16_patchify")(spark, sf0_001)
+    val perDoc = out.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_patches"), sum(col("n_px")).as("px_total"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    val hs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"),
+        expr("octet_length(encode(text, 'UTF-8')) div 24").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc.foreach { r =>
+      assert(r.getAs[Long]("n_patches") == 4L)
+      assert(r.getAs[Long]("px_total") == 8L * hs(r.getAs[Long]("doc_id")),
+        "2×2 patches must partition the full 8×h raster")
+    }
+    assert(out.filter(col("mean_b") > 765 || col("mean_b") < 0).count() == 0)
+  }
+
+  test("st18's converged streaming ledger reproduces the batch x125 leaderboard row-for-row") {
+    val stream = SparkEntry.queries("st18_stream_topk")(spark, sf0_001).collect()
+    val batch = SparkEntry.queries("x125_value_topk")(spark, sf0_001).collect()
+    assert(stream.toSeq == batch.toSeq)
+  }
+
+  // ---- wave 7 ----
+
+  test("x126 KS statistic matches a driver-side brute-force CDF sup-norm for every source") {
+    val out = SparkEntry.queries("x126_ks_distance")(spark, sf0_001).collect()
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val all = docs.map(_._2).sorted
+    val n = all.length.toLong
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val mine = docs.filter(_._1 == src).map(_._2)
+      val ns = mine.length.toLong
+      val grid = all.distinct
+      val devs = grid.map { v =>
+        (v, math.abs(mine.count(_ <= v) * n - all.count(_ <= v) * ns))
+      }
+      val dmax = devs.map(_._2).max
+      assert(r.getAs[Long]("d_scaled") == dmax, s"$src d_scaled")
+      assert(r.getAs[Long]("at_val") == devs.filter(_._2 == dmax).map(_._1).min,
+        s"$src argmax")
+      assert(r.getAs[Long]("n_docs") == ns)
+      val ks = r.getAs[Double]("ks")
+      assert(ks >= 0 && ks <= 1.0 + 1e-9)
+    }
+  }
+
+  test("x127 SRM conserves per-type distinct users and flags exactly the chi-square exceedances") {
+    val out = SparkEntry.queries("x127_srm_check")(spark, sf0_001).collect()
+    val users = Tables.events(spark, sf0_001)
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getAs[String]("event_type")).toSet == users.keySet)
+    out.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(na + nb == users(r.getAs[String]("event_type")),
+        "arms must partition the type's distinct users")
+      val chi2 = 1000L * (na - nb) * (na - nb) / (na + nb)
+      assert(r.getAs[Long]("chi2_milli") == chi2)
+      assert(r.getAs[Boolean]("srm_flag") == (chi2 >= 3841L))
+    }
+  }
+
+  test("x128 occupancy conserves the corpus and triggers exactly at the 30% integer boundary") {
+    val out = SparkEntry.queries("x128_ivf_tombstone")(spark, sf0_001).collect()
+    val nVecs = Tables.embeddings(spark, sf0_001).count()
+    assert(out.map(r => r.getAs[Long]("n_live") + r.getAs[Long]("n_dead")).sum
+      == nVecs, "every vector sits in exactly one rk=1 inverted list")
+    out.foreach { r =>
+      val (live, dead) = (r.getAs[Long]("n_live"), r.getAs[Long]("n_dead"))
+      assert(r.getAs[Boolean]("needs_compact") == (10 * dead >= 3 * (live + dead)))
+      assert(r.getAs[Long]("mean_live_sim_micro") <= 1000000L,
+        "cosine affinity cannot exceed 1")
+    }
+  }
+
+  test("st19's converged streaming daily ledger reproduces the batch x119 report row-for-row") {
+    val stream = SparkEntry.queries("st19_stream_changepoint")(spark, sf0_001).collect()
+    val batch = SparkEntry.queries("x119_changepoint")(spark, sf0_001).collect()
+    assert(stream.toSeq == batch.toSeq)
+  }
 }
 
 /** Per-query analyzability canary (VERDICT r7 item 8): every registered
