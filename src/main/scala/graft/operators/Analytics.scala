@@ -260,6 +260,42 @@ object Analytics {
         col("n_events"), col("sv_milli"))
       .orderBy(col("event_type"), col("rnk"))
 
+  /** x127's relational answer — shared VERBATIM with st20's streaming SRM
+    * gate (the x119↔st19 contract applied to experiment validity). */
+  private[graft] val x127OracleSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT event_type, user_id, user_id % 2 AS arm
+      |  FROM events
+      |), c AS (
+      |  SELECT event_type,
+      |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_a,
+      |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_b
+      |  FROM a GROUP BY event_type
+      |)
+      |SELECT event_type, n_a, n_b,
+      |       CAST(1000 * (n_a - n_b) * (n_a - n_b) // (n_a + n_b)
+      |            AS BIGINT) AS chi2_milli,
+      |       1000 * (n_a - n_b) * (n_a - n_b) // (n_a + n_b) >= 3841
+      |         AS srm_flag
+      |FROM c ORDER BY event_type""".stripMargin
+
+  /** x127's finish from the distinct (event_type, user_id) activity set —
+    * called on the batch distinct and on st20's converged streaming
+    * state, so the two can't diverge. */
+  private[graft] def srmReadout(distinctUsers: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    distinctUsers
+      .select(col("event_type"), (col("user_id") % 2).as("arm"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("chi2_milli",
+        expr("1000 * (n_a - n_b) * (n_a - n_b) div (n_a + n_b)"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("chi2_milli"),
+        (col("chi2_milli") >= 3841).as("srm_flag"))
+      .orderBy(col("event_type"))
+
   val entries: Seq[QueryDef] = Seq(
 
     // CO-ACTIVITY USER SIMILARITY — exact Jaccard over per-user sets of
@@ -1150,36 +1186,9 @@ object Analytics {
     // Scale: a distinct (event_type, user, arm) projection (map-side
     // combine on the natural keys) then an event-types-sized aggregate —
     // nothing after the distinct sees event grain.
-    QueryDef("x127_srm_check",
-      """WITH a AS (
-        |  SELECT DISTINCT event_type, user_id, user_id % 2 AS arm
-        |  FROM events
-        |), c AS (
-        |  SELECT event_type,
-        |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |           AS n_a,
-        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |           AS n_b
-        |  FROM a GROUP BY event_type
-        |)
-        |SELECT event_type, n_a, n_b,
-        |       CAST(1000 * (n_a - n_b) * (n_a - n_b) // (n_a + n_b)
-        |            AS BIGINT) AS chi2_milli,
-        |       1000 * (n_a - n_b) * (n_a - n_b) // (n_a + n_b) >= 3841
-        |         AS srm_flag
-        |FROM c ORDER BY event_type""".stripMargin) { (s, d) =>
-      Tables.events(s, d)
-        .select(col("event_type"), col("user_id"),
-          (col("user_id") % 2).as("arm"))
-        .distinct()
-        .groupBy(col("event_type"))
-        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
-          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
-        .withColumn("chi2_milli",
-          expr("1000 * (n_a - n_b) * (n_a - n_b) div (n_a + n_b)"))
-        .select(col("event_type"), col("n_a"), col("n_b"), col("chi2_milli"),
-          (col("chi2_milli") >= 3841).as("srm_flag"))
-        .orderBy(col("event_type"))
+    QueryDef("x127_srm_check", Analytics.x127OracleSql) { (s, d) =>
+      Analytics.srmReadout(
+        Tables.events(s, d).select(col("event_type"), col("user_id")).distinct())
     }
   )
 }

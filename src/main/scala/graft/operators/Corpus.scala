@@ -1443,6 +1443,57 @@ object Corpus {
         |ORDER BY event_type""".stripMargin) { (s, d) =>
       Corpus.hitsAuthorities(
         Tables.events(s, d).select(col("user_id"), col("event_type")))
+    },
+
+    // STOPWORD DISCOVERY — corpus-driven stopword induction by DOCUMENT
+    // frequency (the retrieval/indexing decision x48's scorer and x31's
+    // vocabulary both depend on): a term in ≥ half the documents carries
+    // no discrimination power (its BM25 idf ≈ 0) and belongs on the
+    // index's skip list. Per candidate: df (documents containing), cf
+    // (stream occurrences), df share, token-stream share — cf vs df
+    // separates "everywhere and often" (true stopword) from "everywhere
+    // but once" (boilerplate header, a different removal policy). The
+    // ≥50 % rule is the integer predicate 2·df ≥ N — no float boundary.
+    //
+    // Scale: df needs distinct (word, doc) — one map-side-combined
+    // distinct then a word-keyed count; cf is a plain word count; both
+    // read the persisted token table, and the report is a top-20
+    // TakeOrderedAndProject.
+    QueryDef("x131_stopwords",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |                                    w -> len(w) > 0)) AS word
+        |  FROM documents
+        |), cf AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY 1
+        |), df AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT doc_id, word FROM tok) GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST((SELECT sum(cf) FROM cf) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT cf.word, df.df, cf.cf,
+        |       round(1e-9 + df.df * 1.0 / nn.n_docs, 4) AS df_pct,
+        |       round(1e-9 + cf.cf * 1.0 / nn.n_tokens, 6) AS stream_share,
+        |       2 * df.df >= nn.n_docs AS is_stopword
+        |FROM cf JOIN df USING (word), nn
+        |ORDER BY df.df DESC, cf.word LIMIT 20""".stripMargin) { (s, d) =>
+      val tok = Tokens.table(s, d).filter(length(col("word")) > 0)
+      val cf = tok.groupBy(col("word")).agg(count(lit(1)).as("cf"))
+      val df = tok.select(col("doc_id"), col("word")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val nn = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(cf.agg(sum(col("cf")).as("n_tokens")))
+      cf.join(df, "word")
+        .crossJoin(broadcast(nn))
+        .select(col("word"), col("df"), col("cf"),
+          Num.roundOut(col("df") * 1.0 / col("n_docs"), 4).as("df_pct"),
+          Num.roundOut(col("cf") * 1.0 / col("n_tokens"), 6).as("stream_share"),
+          (lit(2) * col("df") >= col("n_docs")).as("is_stopword"))
+        .orderBy(col("df").desc, col("word"))
+        .limit(20)
     }
   )
 

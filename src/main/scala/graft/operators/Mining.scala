@@ -522,6 +522,77 @@ object Mining {
         .limit(20)
     },
 
+    // INCREMENTAL BM25 MAINTENANCE — the text-index third of the
+    // incremental-maintenance story (x61 = dedup signatures ∝ Δ, x101 =
+    // IVF append; this is the retrieval stats): BM25's corpus state
+    // (n_docs, total token length, per-term document frequencies) is a
+    // vector of PLAIN SUMS, so the arriving slice (doc_id % 10 = 7,
+    // x101's Δ convention) contributes a partial-aggregate row that ADDS
+    // into the base stats — no full-corpus rescan to refresh the index
+    // after ingest. Scoring then runs with the MERGED stats; because
+    // sum-merge is exact, the ranking is identical to a from-scratch
+    // x48 build (the oracle recomputes from scratch — result equality IS
+    // the maintenance proof; Round8Spec additionally pins merged ==
+    // full-scan stats field-for-field). from_delta tags arrivals in the
+    // ranking, the x101 provenance pattern.
+    //
+    // Scale: the Δ stats pass touches only arriving documents; the base
+    // stats row is the persisted index metadata a production system
+    // already stores. Per-doc tf rows are per-row column math; the
+    // final rank is TakeOrderedAndProject.
+    QueryDef("x129_bm25_incremental",
+      """WITH stats AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_len,
+        |         sum(CASE WHEN list_contains(string_split(text, ' '), 'spark')
+        |             THEN 1 ELSE 0 END) AS df_spark,
+        |         sum(CASE WHEN list_contains(string_split(text, ' '), 'join')
+        |             THEN 1 ELSE 0 END) AS df_join,
+        |         sum(CASE WHEN list_contains(string_split(text, ' '), 'window')
+        |             THEN 1 ELSE 0 END) AS df_window
+        |  FROM documents
+        |), per AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS dl,
+        |         len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS tf_spark,
+        |         len(list_filter(string_split(text, ' '), w -> w = 'join')) AS tf_join,
+        |         len(list_filter(string_split(text, ' '), w -> w = 'window')) AS tf_window
+        |  FROM documents
+        |)
+        |SELECT doc_id, doc_id % 10 = 7 AS from_delta,
+        |       round(1e-9 +
+        |         ((n_docs - df_spark + 0.5) / (df_spark + 0.5))
+        |           * (tf_spark * 2.2)
+        |           / (tf_spark + 1.2 * (0.25 + 0.75 * dl * n_docs / total_len))
+        |       + ((n_docs - df_join + 0.5) / (df_join + 0.5))
+        |           * (tf_join * 2.2)
+        |           / (tf_join + 1.2 * (0.25 + 0.75 * dl * n_docs / total_len))
+        |       + ((n_docs - df_window + 0.5) / (df_window + 0.5))
+        |           * (tf_window * 2.2)
+        |           / (tf_window + 1.2 * (0.25 + 0.75 * dl * n_docs / total_len)),
+        |         4) AS bm25
+        |FROM per, stats
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val merged = Mining.bm25MergedStats(s, d)
+      def tf(term: String) =
+        size(filter(Text.tokens(col("text")), w => w === term)).cast("long")
+      val per = Tables.documents(s, d).select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("dl"),
+        tf("spark").as("tf_spark"), tf("join").as("tf_join"),
+        tf("window").as("tf_window"))
+      def norm = lit(1.2) * (lit(0.25) +
+        lit(0.75) * col("dl") * col("n_docs") / col("total_len"))
+      def score(t: String) =
+        ((col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5)) *
+          (col(s"tf_$t") * 2.2) / (col(s"tf_$t") + norm)
+      per.crossJoin(broadcast(merged))
+        .select(col("doc_id"), (col("doc_id") % 10 === 7).as("from_delta"),
+          Num.roundOut(score("spark") + score("join") + score("window"), 4)
+            .as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // Word co-occurrence lift — PMI's rational core exp(PMI) =
     // P(a,b)/(P(a)P(b)) = c_ab·N/(df_a·df_b) — over the top-50
     // vocabulary: the phrase/topic-association miner. Per-document word
@@ -1201,4 +1272,36 @@ object Mining {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** One BM25 corpus-stats partial over a document slice — the mergeable
+    * index-metadata row (every field a plain count/sum). */
+  private def bm25SliceStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def df(term: String) =
+      sum(when(array_contains(Text.tokens(col("text")), term), 1)
+        .otherwise(0)).cast("long")
+    docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(Text.tokens(col("text")))).cast("long").as("total_len"),
+      df("spark").as("df_spark"), df("join").as("df_join"),
+      df("window").as("df_window"))
+  }
+
+  /** x129's maintained stats: base-slice partial + Δ-slice partial,
+    * SUMMED — must equal the from-scratch full-corpus row field-for-field
+    * (Round8Spec pins it; the oracle's scratch recompute proves it again
+    * end-to-end through the scores). */
+  private[graft] def bm25MergedStats(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    bm25SliceStats(docs.filter(col("doc_id") % 10 =!= 7))
+      .unionByName(bm25SliceStats(docs.filter(col("doc_id") % 10 === 7)))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_len")).as("total_len"),
+        sum(col("df_spark")).as("df_spark"),
+        sum(col("df_join")).as("df_join"),
+        sum(col("df_window")).as("df_window"))
+  }
+
+  /** The from-scratch full-corpus stats row (x48's), exposed for the
+    * Round8Spec merged==full pin. */
+  private[graft] def bm25FullStats(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    bm25SliceStats(Tables.documents(s, d))
 }

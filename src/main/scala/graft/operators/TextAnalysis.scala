@@ -2113,6 +2113,92 @@ object TextAnalysis {
             .as("ks"),
           col("at_val"))
         .orderBy(col("source"))
+    },
+
+    // QUANTILE NORMALIZATION across sources — the score-harmonization
+    // step a mixing policy needs when per-source scores aren't
+    // comparable (x126 DETECTS the distribution shift; this REMOVES it):
+    // each document's score (n_chars plays the score) maps to the pooled
+    // corpus value at the same quantile — rank within source, then read
+    // the global order statistic at the proportional position. All index
+    // math is INTEGER (gpos = (rk−1)(N−1) div (n_src−1), deciles by
+    // integer division, milli-unit averages by integer division), so
+    // both engines agree bit-for-bit. The report is per (source, decile)
+    // raw-vs-normalized averages: after normalization the per-decile
+    // norm column is nearly source-invariant — the harmonization
+    // evidence.
+    //
+    // Scale: the per-source rank is an ordinary partitioned window; the
+    // GLOBAL rank uses x118's two-pass distributed trick (value-range
+    // buckets are order-preserving for a score-ordered sort key +
+    // broadcast bucket offsets — no single-partition sort); the order
+    // statistic lookup is an equi-join on rank, and the report is
+    // (sources × 10)-sized.
+    QueryDef("x130_quantile_norm",
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                                 ORDER BY n_chars, doc_id)
+        |              AS BIGINT) AS rk
+        |  FROM documents
+        |), ns AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_src
+        |  FROM documents GROUP BY 1
+        |), g AS (
+        |  SELECT n_chars AS v,
+        |         CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+        |              AS BIGINT) AS grank
+        |  FROM documents
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |m AS (
+        |  SELECT r.source, r.n_chars, r.rk, ns.n_src,
+        |         ((r.rk - 1) * (nn.n - 1)) // greatest(ns.n_src - 1, 1) + 1
+        |           AS gpos
+        |  FROM r JOIN ns USING (source), nn
+        |), j AS (
+        |  SELECT m.source, m.n_chars AS raw, g.v AS norm,
+        |         ((m.rk - 1) * 10) // m.n_src AS decile
+        |  FROM m JOIN g ON g.grank = m.gpos
+        |)
+        |SELECT source, CAST(decile AS INT) AS decile, count(*) AS n_docs,
+        |       CAST((sum(raw) * 1000) // count(*) AS BIGINT)
+        |         AS avg_raw_milli,
+        |       CAST((sum(norm) * 1000) // count(*) AS BIGINT)
+        |         AS avg_norm_milli
+        |FROM j GROUP BY source, decile ORDER BY source, decile""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val r = docs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val nn = docs.agg(count(lit(1)).as("n"))
+      // two-pass distributed global rank (x118's pattern): value-range
+      // buckets are order-preserving for the (n_chars, doc_id) sort key
+      val bucketed = docs.withColumn("gbkt", expr("n_chars div 256"))
+      val glocal = bucketed.withColumn("lrn", row_number().over(
+        Window.partitionBy(col("gbkt")).orderBy(col("n_chars"), col("doc_id"))))
+      val goffs = bucketed.groupBy(col("gbkt")).agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(
+          Window.orderBy(col("gbkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("gbkt"), col("off"))
+      val g = glocal.join(broadcast(goffs), "gbkt")
+        .select(col("n_chars").as("v"), (col("lrn") + col("off")).as("grank"))
+      val m = r.join(broadcast(ns), "source")
+        .crossJoin(broadcast(nn))
+        .withColumn("gpos",
+          expr("((rk - 1) * (n - 1)) div greatest(n_src - 1, 1) + 1"))
+      m.join(g, col("grank") === col("gpos"))
+        .select(col("source"), col("n_chars").as("raw"), col("v").as("norm"),
+          expr("((rk - 1) * 10) div n_src").as("decile"))
+        .groupBy(col("source"), col("decile").cast("int").as("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("raw")).as("sr"), sum(col("norm")).as("sn"))
+        .select(col("source"), col("decile"), col("n_docs"),
+          expr("(sr * 1000) div n_docs").as("avg_raw_milli"),
+          expr("(sn * 1000) div n_docs").as("avg_norm_milli"))
+        .orderBy(col("source"), col("decile"))
     }
   )
 

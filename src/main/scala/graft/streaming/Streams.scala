@@ -1343,6 +1343,50 @@ object Streams {
         try q.processAllAvailable() finally q.stop()
         graft.operators.Analytics.changepointReport(ss.read.parquet(dayDir))
       }
+    },
+
+    // STREAMING SAMPLE-RATIO-MISMATCH GATE — x127's A/B validity check
+    // maintained live next to st17's readout (a peeking dashboard that
+    // shows Welch-z without a live SRM gate invites exactly the silent
+    // corruption the batch check exists to catch): the cross-batch state
+    // is the distinct (event_type, user_id) activity set, folded by
+    // union + distinct — idempotent, commutative, associative, so the
+    // converged state equals the batch distinct under any slicing,
+    // replay, or duplication — and the integer chi-square finish plus
+    // oracle SQL are shared verbatim with x127
+    // ([[graft.operators.Analytics.srmReadout]]).
+    //
+    // Scale: state grows with (event_types × distinct users), the same
+    // class as st16's activity set; each batch ships only its own
+    // distinct pairs after map-side combine.
+    QueryDef("st20_stream_srm",
+      graft.operators.Analytics.x127OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageEventsSplit(ss, d)
+        val actDir = graft.Warehouse.path(s"graft_stsrm_act_v1_${
+          graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}")
+        resetDir(actDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val hasState = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(actDir, "_SUCCESS"))
+            val part = batch.select(col("event_type"), col("user_id")).distinct()
+            val prior =
+              if (hasState) spark.read.parquet(actDir)
+              else part.limit(0)
+            prior.unionByName(part).distinct()
+              .localCheckpoint() // sever from the state file being replaced
+              .write.mode("overwrite").parquet(actDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Analytics.srmReadout(ss.read.parquet(actDir))
+      }
     }
   )
 

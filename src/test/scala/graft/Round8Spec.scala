@@ -953,6 +953,67 @@ class Round8Spec extends AnyFunSuite {
     val batch = SparkEntry.queries("x119_changepoint")(spark, sf0_001).collect()
     assert(stream.toSeq == batch.toSeq)
   }
+
+  // ---- wave 8 ----
+
+  test("x129 base+delta merged BM25 stats equal the from-scratch row, and the ranking equals x48's") {
+    val merged = operators.Mining.bm25MergedStats(spark, sf0_001).collect()
+    val full = operators.Mining.bm25FullStats(spark, sf0_001).collect()
+    assert(merged.toSeq == full.toSeq,
+      "sum-merge of slice partials must equal the full-corpus stats row")
+    val inc = SparkEntry.queries("x129_bm25_incremental")(spark, sf0_001)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))).toSeq
+    val scratch = SparkEntry.queries("x48_bm25")(spark, sf0_001)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))).toSeq
+    assert(inc == scratch, "maintained-stats ranking must equal the rebuild")
+  }
+
+  test("x130 normalization: full decile grid per source and harmonized spread never exceeds raw spread") {
+    val out = SparkEntry.queries("x130_quantile_norm")(spark, sf0_001).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Int]("decile")).sorted.toList == (0 to 9).toList,
+        s"$src must fill all 10 deciles")
+      val sorted = rs.sortBy(_.getAs[Int]("decile"))
+      assert(sorted.map(_.getAs[Long]("avg_norm_milli")).sliding(2)
+        .forall(p => p.length < 2 || p.head <= p.last),
+        s"$src normalized deciles must be monotone")
+    }
+    // harmonization: across sources, per-decile spread of the NORMALIZED
+    // average is no larger (summed over deciles) than the raw spread
+    def spread(f: org.apache.spark.sql.Row => Long) =
+      (0 to 9).map { dec =>
+        val vs = out.filter(_.getAs[Int]("decile") == dec).map(f)
+        vs.max - vs.min
+      }.sum
+    assert(spread(_.getAs[Long]("avg_norm_milli")) <=
+      spread(_.getAs[Long]("avg_raw_milli")),
+      "quantile normalization must not widen the cross-source spread")
+  }
+
+  test("x131 stopword columns are internally consistent and the top word's df recomputes") {
+    val out = SparkEntry.queries("x131_stopwords")(spark, sf0_001).collect()
+    assert(out.length == 20)
+    val nDocs = Tables.documents(spark, sf0_001).count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("cf") >= r.getAs[Long]("df"),
+        "a word occurs at least once per containing doc")
+      assert(r.getAs[Long]("df") <= nDocs)
+      assert(r.getAs[Boolean]("is_stopword") ==
+        (2 * r.getAs[Long]("df") >= nDocs))
+    }
+    val top = out.head
+    val brute = Tables.documents(spark, sf0_001)
+      .filter(array_contains(graft.functions.Text.tokens(col("text")),
+        top.getAs[String]("word"))).count()
+    assert(top.getAs[Long]("df") == brute)
+  }
+
+  test("st20's converged streaming activity set reproduces the batch x127 SRM gate row-for-row") {
+    val stream = SparkEntry.queries("st20_stream_srm")(spark, sf0_001).collect()
+    val batch = SparkEntry.queries("x127_srm_check")(spark, sf0_001).collect()
+    assert(stream.toSeq == batch.toSeq)
+  }
 }
 
 /** Per-query analyzability canary (VERDICT r7 item 8): every registered
