@@ -1494,6 +1494,88 @@ object Corpus {
           (lit(2) * col("df") >= col("n_docs")).as("is_stopword"))
         .orderBy(col("df").desc, col("word"))
         .limit(20)
+    },
+
+    // LABEL-PROPAGATION COMMUNITIES (Raghavan et al. 2007) — the fourth
+    // graph primitive next to x37's pagerank (centrality), x20's
+    // hash-min connected components (reachability), and q80/q84: LP
+    // finds DENSELY-linked groups inside one component by majority
+    // vote — each node adopts the most frequent label among its
+    // neighbours, ties broken by SMALLEST label, two synchronous rounds
+    // unrolled. Vote counting is pure integers and the tiebreak a
+    // deterministic rank, so both engines converge identically (no
+    // float, no randomized order — the async/random variant of LP is
+    // deliberately avoided for reproducibility). The graph is x37's
+    // deterministic synthesis widened to 100 nodes and symmetrized
+    // (LP is an undirected-graph algorithm).
+    //
+    // Scale: each round is one join of the labels vector onto the edge
+    // list + a (node, label) partial count + a per-node rank — the
+    // relational LP step; labels are nodes-sized, rounds fixed. The
+    // report aggregates to communities.
+    QueryDef("x133_label_prop",
+      """WITH e0 AS (
+        |  SELECT DISTINCT CAST(doc_id % 100 AS INT) AS src,
+        |         CAST((doc_id * 31) % 100 AS INT) AS dst
+        |  FROM documents
+        |  WHERE doc_id < 400 AND (doc_id * 48271) % 100 < 25
+        |    AND CAST(doc_id % 100 AS INT) <> CAST((doc_id * 31) % 100 AS INT)
+        |), e AS (
+        |  SELECT src, dst FROM e0
+        |  UNION SELECT dst AS src, src AS dst FROM e0
+        |), l0 AS (
+        |  SELECT DISTINCT src AS node, CAST(src AS INT) AS lbl FROM e
+        |), v1 AS (
+        |  SELECT e.src AS node, l0.lbl, count(*) AS c
+        |  FROM e JOIN l0 ON l0.node = e.dst GROUP BY 1, 2
+        |), l1 AS (
+        |  SELECT node, lbl FROM (
+        |    SELECT node, lbl, row_number() OVER (
+        |      PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v1) t
+        |  WHERE rn = 1
+        |), v2 AS (
+        |  SELECT e.src AS node, l1.lbl, count(*) AS c
+        |  FROM e JOIN l1 ON l1.node = e.dst GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT node, lbl FROM (
+        |    SELECT node, lbl, row_number() OVER (
+        |      PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v2) t
+        |  WHERE rn = 1
+        |), sz AS (
+        |  SELECT lbl, count(*) AS community_size FROM l2 GROUP BY 1
+        |)
+        |SELECT l2.node, l1.lbl AS label_r1, l2.lbl AS label_r2,
+        |       sz.community_size
+        |FROM l2 JOIN l1 USING (node) JOIN sz ON sz.lbl = l2.lbl
+        |ORDER BY l2.node""".stripMargin) { (s, d) =>
+      val e0 = Tables.documents(s, d)
+        .filter(col("doc_id") < 400 && (col("doc_id") * 48271) % 100 < 25)
+        .select((col("doc_id") % 100).cast("int").as("src"),
+          ((col("doc_id") * 31) % 100).cast("int").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint() // tiny edge list feeds both rounds
+      val l0 = e.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").cast("int").as("lbl"))
+      def lpRound(l: DataFrame): DataFrame =
+        e.join(broadcast(l.withColumnRenamed("node", "dst")), Seq("dst"))
+          .groupBy(col("src").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("node")).orderBy(col("c").desc, col("lbl"))))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("lbl"))
+          .localCheckpoint() // nodes-sized; severs the iteration lineage
+      val l1 = lpRound(l0)
+      val l2 = lpRound(l1)
+      val sz = l2.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+      l2.join(l1.withColumnRenamed("lbl", "label_r1"), "node")
+        .join(broadcast(sz), "lbl")
+        .select(col("node"), col("label_r1"), col("lbl").as("label_r2"),
+          col("community_size"))
+        .orderBy(col("node"))
     }
   )
 

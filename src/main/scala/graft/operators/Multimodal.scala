@@ -1227,6 +1227,91 @@ object Multimodal {
         .select(col("doc_id"), col("py"), col("px"), col("n_px"),
           col("sum_b"), expr("sum_b div n_px").as("mean_b"))
         .orderBy(col("doc_id"), col("py"), col("px"))
+    },
+
+    // LOUDNESS-NORMALIZATION GAIN PLANNING — the audio-ingest decision
+    // m09's stats feed: per container, the peak-normalization gain that
+    // would bring |s|max to full scale (gain·1000 = 32767000 div peak —
+    // integer milli-units, one integer division), capped at 20× (the
+    // policy guard against blowing up near-silence), the headroom left
+    // below full scale, and the post-gain mean level — all planned
+    // WITHOUT rewriting a single sample byte. A media pipeline runs
+    // this audit to decide which containers to re-render and which to
+    // pass through; the capped-gain flag is its quarantine-for-silence
+    // signal (m06's pattern applied to levels).
+    //
+    // Scale: one streamed payload pass per container inside the decode
+    // tier's mapPartitions (peak and Σ|s| from the strict-validating
+    // WavReader); everything emitted is O(1) integer columns per
+    // container, and the plan-vs-rewrite decision table is exactly what
+    // ships to the re-render fleet.
+    QueryDef("m17_gain_plan",
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 4
+        |), by AS (
+        |  SELECT doc_id, n, list_transform(range(2 * (n // 2)), o ->
+        |    (strpos('0123456789ABCDEF',
+        |            substring(hx, 2 * CAST(o AS INT) + 1, 1)) - 1) * 16 +
+        |     strpos('0123456789ABCDEF',
+        |            substring(hx, 2 * CAST(o AS INT) + 2, 1)) - 1) AS b
+        |  FROM p
+        |), sm AS (
+        |  SELECT doc_id, CAST(n // 2 AS INT) AS k,
+        |         list_transform(range(n // 2), i ->
+        |           CASE WHEN b[2 * CAST(i AS INT) + 2] >= 128
+        |             THEN b[2 * CAST(i AS INT) + 1]
+        |                  + 256 * b[2 * CAST(i AS INT) + 2] - 65536
+        |             ELSE b[2 * CAST(i AS INT) + 1]
+        |                  + 256 * b[2 * CAST(i AS INT) + 2] END) AS sv
+        |  FROM by
+        |), st AS (
+        |  SELECT doc_id, k,
+        |         CAST(list_max(list_transform(sv, x -> abs(x))) AS BIGINT)
+        |           AS peak,
+        |         CAST(list_sum(list_transform(sv, x -> abs(x))) AS BIGINT)
+        |           AS sum_abs
+        |  FROM sm
+        |), g AS (
+        |  SELECT doc_id, k, peak, sum_abs,
+        |         CASE WHEN peak = 0 THEN 0
+        |              ELSE 32767000 // peak END AS gain_milli
+        |  FROM st
+        |)
+        |SELECT doc_id, peak, sum_abs,
+        |       CAST(gain_milli AS BIGINT) AS gain_milli,
+        |       CAST(least(gain_milli, 20000) AS BIGINT) AS capped_gain_milli,
+        |       gain_milli > 20000 AS is_capped,
+        |       CAST(1000 * (32767 - peak) // 32767 AS BIGINT)
+        |         AS headroom_milli,
+        |       CAST((sum_abs * least(gain_milli, 20000)) // (1000 * k)
+        |            AS BIGINT) AS post_mean_abs
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("k", LongType, nullable = false),
+        StructField("peak", LongType, nullable = false),
+        StructField("sum_abs", LongType, nullable = false)))
+      val enc = RowEncoder.encoderFor(schema)
+      wavPayloads(s, d)
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val (_, k, peak, sumAbs, _) =
+              WavReader.stats(r.getAs[Array[Byte]](1))
+            Row(r.getLong(0), k.toLong, peak, sumAbs)
+          }
+        }(enc)
+        .withColumn("gain_milli",
+          when(col("peak") === 0, 0L).otherwise(expr("32767000 div peak")))
+        .select(col("doc_id"), col("peak"), col("sum_abs"), col("gain_milli"),
+          least(col("gain_milli"), lit(20000L)).as("capped_gain_milli"),
+          (col("gain_milli") > 20000).as("is_capped"),
+          expr("1000 * (32767 - peak) div 32767").as("headroom_milli"),
+          expr("(sum_abs * least(gain_milli, 20000)) div (1000 * k)")
+            .as("post_mean_abs"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -1140,6 +1140,133 @@ object TextAnalysis {
         .orderBy(col("event_type"))
     },
 
+    // ROLLING-WINDOW DISTINCT via DAILY SKETCH MERGE — the pattern that
+    // makes "7-day active users" affordable at 100 TB: persist ONE
+    // 256-register HLL per day at ingest (a fixed 256-row artifact per
+    // day, x62's portable mixer), then ANY trailing window is a
+    // register-wise max-merge of the covered days — no rescan of raw
+    // events, no exact distinct over a week of data, and the same daily
+    // sketches serve 7-day, 28-day, or arbitrary ranges. Each daily
+    // register row fans out to the ≤7 target days it covers via an
+    // exploded day-offset equi-join (shuffle ∝ days × 256, never event
+    // grain). The exact 7-day distinct rides along as the calibration
+    // column (x85's protocol) with the error-regime choice (raw vs
+    // LinearCounting through the shared compiled ln-table).
+    //
+    // Scale: raw events are touched once (the daily register build —
+    // map-side max-combine); everything downstream is (days × 256)-sized.
+    // This is the x62→x85 progression completed: global sketch →
+    // grouped sketches → time-windowed sketch ALGEBRA.
+    QueryDef("x132_hll_rolling",
+      s"""WITH du AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+        |), h0 AS (
+        |  SELECT day, user_id & 4294967295 AS a FROM du
+        |), h1 AS (
+        |  SELECT day, (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h0
+        |), h2 AS (
+        |  SELECT day, (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h1
+        |), hv AS (
+        |  SELECT day, xor(a >> 16, a) AS h FROM h2
+        |), rr AS (
+        |  SELECT day, CAST(h % 256 AS INT) AS reg,
+        |         CASE WHEN h // 256 = 0 THEN 25
+        |              ELSE CAST(25 - len(bin(h // 256)) AS INT) END AS rho
+        |  FROM hv
+        |), daily AS (
+        |  SELECT day, reg, CAST(max(rho) AS INT) AS m
+        |  FROM rr GROUP BY day, reg
+        |), fan AS (
+        |  SELECT daily.day + CAST(o.o AS INT) AS target, daily.reg, daily.m
+        |  FROM daily CROSS JOIN
+        |       (SELECT unnest(range(7)) AS o) o
+        |), days AS (SELECT DISTINCT day FROM du),
+        |spine AS (
+        |  SELECT days.day, r.reg
+        |  FROM days CROSS JOIN (SELECT CAST(unnest(range(256)) AS INT) AS reg) r
+        |), regs AS (
+        |  SELECT spine.day, spine.reg,
+        |         CAST(coalesce(max(fan.m), 0) AS INT) AS m
+        |  FROM spine LEFT JOIN fan
+        |    ON fan.target = spine.day AND fan.reg = spine.reg
+        |  GROUP BY spine.day, spine.reg
+        |), agg AS (
+        |  SELECT day,
+        |         CAST(sum(1::BIGINT << (25 - m)) AS BIGINT) AS intsum,
+        |         CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_zero
+        |  FROM regs GROUP BY 1
+        |), lnt(zv, lnv) AS (
+        |  VALUES $hllLnValuesSql
+        |), fin AS (
+        |  SELECT agg.day, agg.n_zero,
+        |         0.7183 * 65536 * 33554432 / agg.intsum AS raw, lnt.lnv
+        |  FROM agg LEFT JOIN lnt ON lnt.zv = agg.n_zero
+        |), ex AS (
+        |  SELECT d.day, count(DISTINCT du.user_id) AS n_exact
+        |  FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day
+        |)
+        |SELECT fin.day, ex.n_exact, fin.n_zero,
+        |       CASE WHEN fin.raw <= 640 AND fin.n_zero > 0
+        |            THEN 'lc' ELSE 'raw' END AS regime,
+        |       round(1e-9 + CASE WHEN fin.raw <= 640 AND fin.n_zero > 0
+        |             THEN 256 * fin.lnv ELSE fin.raw END, 4) AS hll_est,
+        |       round(1e-9 + abs(CASE WHEN fin.raw <= 640 AND fin.n_zero > 0
+        |             THEN 256 * fin.lnv ELSE fin.raw END - ex.n_exact)
+        |             / ex.n_exact, 4) AS rel_err
+        |FROM fin JOIN ex ON ex.day = fin.day
+        |ORDER BY fin.day""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .localCheckpoint() // feeds the sketch build AND the exact column
+      val hv = du
+        .select(col("day"), expr("user_id & 4294967295").as("a"))
+        .select(col("day"),
+          expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295").as("a"))
+        .select(col("day"),
+          expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295").as("a"))
+        .select(col("day"), expr("shiftright(a, 16) ^ a").as("h"))
+      val daily = hv.select(col("day"),
+          (col("h") % 256).cast("int").as("reg"),
+          when(expr("h div 256") === 0, 25)
+            .otherwise(lit(25) - length(bin(expr("h div 256"))))
+            .cast("int").as("rho"))
+        .groupBy(col("day"), col("reg")).agg(max(col("rho")).as("m"))
+      val fan = daily
+        .select(col("reg"), col("m"),
+          explode(sequence(lit(0), lit(6))).as("o"), col("day"))
+        .select(expr("date_add(day, o)").as("day"), col("reg"), col("m"))
+      val days = du.select(col("day")).distinct()
+      val spine = days.crossJoin(
+        broadcast(s.range(256).select(col("id").cast("int").as("reg"))))
+      val regs = spine
+        .join(fan.groupBy(col("day"), col("reg")).agg(max(col("m")).as("mr")),
+          Seq("day", "reg"), "left")
+        .select(col("day"), coalesce(col("mr"), lit(0)).cast("int").as("m"))
+      val agg = regs.groupBy(col("day")).agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - m)")).as("intsum"),
+        sum(when(col("m") === 0, 1L).otherwise(0L)).as("n_zero"))
+      val ex = days.as("t")
+        .join(du.as("u"),
+          col("u.day").between(expr("date_sub(t.day, 6)"), col("t.day")))
+        .groupBy(col("t.day").as("day"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val raw = lit(0.7183) * 65536 * 33554432 / col("intsum")
+      val isLc = raw <= 640 && col("n_zero") > 0
+      val est = when(isLc, lit(256.0) * col("lnv")).otherwise(raw)
+      agg.join(broadcast(hllLnTable.toDF("zv", "lnv")),
+          col("n_zero") === col("zv"), "left")
+        .join(ex, "day")
+        .select(col("day"), col("n_exact"), col("n_zero"),
+          when(isLc, "lc").otherwise("raw").as("regime"),
+          Num.roundOut(est, 4).as("hll_est"),
+          Num.roundOut(abs(est - col("n_exact")) / col("n_exact"), 4)
+            .as("rel_err"))
+        .orderBy(col("day"))
+    },
+
     // TF-IDF keyword extraction (top-3 terms per document) — the corpus-
     // statistics scoring step behind topic tagging / keyword filtering.
     // idf is the RATIONAL N/df (no log): libm log() is not bit-stable

@@ -1014,6 +1014,70 @@ class Round8Spec extends AnyFunSuite {
     val batch = SparkEntry.queries("x127_srm_check")(spark, sf0_001).collect()
     assert(stream.toSeq == batch.toSeq)
   }
+
+  // ---- wave 9 ----
+
+  test("x132 rolling sketch: first-day window equals the single-day distinct and estimates stay in band") {
+    val out = SparkEntry.queries("x132_hll_rolling")(spark, sf0_001)
+      .orderBy(col("day")).collect()
+    assert(out.nonEmpty)
+    val du = Tables.events(spark, sf0_001)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val firstDay = out.head.getAs[java.sql.Date]("day")
+    val d1 = du.filter(col("day") === lit(firstDay)).count()
+    assert(out.head.getAs[Long]("n_exact") == d1,
+      "day 1's trailing-7 window is just day 1")
+    // window exacts can never shrink below any single covered day
+    val daily = du.groupBy(col("day")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") >= daily(r.getAs[java.sql.Date]("day").toString))
+      assert(r.getAs[Double]("rel_err") < 0.4,
+        s"256-register estimate out of band on ${r.getAs[java.sql.Date]("day")}")
+    }
+  }
+
+  test("x133 LP: round-2 labels are genuine neighbourhood majority votes and sizes are consistent") {
+    val out = SparkEntry.queries("x133_label_prop")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    // recompute round 2 independently from the query's own round-1 labels
+    val docs = Tables.documents(spark, sf0_001)
+      .filter(col("doc_id") < 400 && (col("doc_id") * 48271) % 100 < 25)
+      .select((col("doc_id") % 100).cast("int").as("src"),
+        ((col("doc_id") * 31) % 100).cast("int").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val edges = docs.union(docs.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+    val l1 = out.map(r => r.getAs[Int]("node") -> r.getAs[Int]("label_r1")).toMap
+    out.foreach { r =>
+      val node = r.getAs[Int]("node")
+      val votes = edges.filter(_._1 == node).map(e => l1(e._2))
+        .groupBy(identity).map { case (l, vs) => (l, vs.length) }
+      val best = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      assert(r.getAs[Int]("label_r2") == best, s"node $node majority vote")
+    }
+    val sizes = out.groupBy(_.getAs[Int]("label_r2"))
+    sizes.foreach { case (lbl, rs) =>
+      assert(rs.forall(_.getAs[Long]("community_size") == rs.length.toLong),
+        s"community $lbl size column")
+    }
+  }
+
+  test("m17 gain algebra: integer peak-normalization bounds and cap flag hold for every container") {
+    val out = SparkEntry.queries("m17_gain_plan")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (peak, gain) = (r.getAs[Long]("peak"), r.getAs[Long]("gain_milli"))
+      if (peak > 0) {
+        assert(gain == 32767000L / peak)
+        assert(peak * gain <= 32767000L, "gain may never push past full scale")
+        assert(peak * (gain + 1) > 32767000L, "gain is the largest safe one")
+      } else assert(gain == 0L)
+      assert(r.getAs[Boolean]("is_capped") == (gain > 20000L))
+      assert(r.getAs[Long]("capped_gain_milli") == math.min(gain, 20000L))
+      assert(r.getAs[Long]("headroom_milli") == 1000L * (32767L - peak) / 32767L)
+    }
+  }
 }
 
 /** Per-query analyzability canary (VERDICT r7 item 8): every registered
