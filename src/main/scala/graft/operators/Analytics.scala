@@ -1189,6 +1189,62 @@ object Analytics {
     QueryDef("x127_srm_check", Analytics.x127OracleSql) { (s, d) =>
       Analytics.srmReadout(
         Tables.events(s, d).select(col("event_type"), col("user_id")).distinct())
+    },
+
+    // WEEKDAY-SEASONAL ANOMALY DETECTION — x119 finds the single level
+    // shift; this finds the day-grain OUTLIERS after removing the weekly
+    // seasonality every event stream has (weekend dips would otherwise
+    // drown real incidents): expected(day) = the weekday's mean count,
+    // residual = actual − expected, and a day flags when its |residual|
+    // exceeds 3× the MAD of all residuals (x94's robust-threshold rule
+    // applied to the deseasonalized series). Everything stays in MILLI
+    // integers (means by integer division) except the MAD median — an
+    // average of two integers, exactly representable — so both engines
+    // flag identically. Weekday is computed engine-neutrally as
+    // days-since-epoch mod 7 (no dayofweek() convention mismatch;
+    // 1970-01-01 was a Thursday → wd 0 = Thursday).
+    //
+    // Scale: one daily count pass over raw events; the seasonal means,
+    // residuals, and MAD all run on the days-sized series.
+    QueryDef("x134_seasonal_anomaly",
+      """WITH dc AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1
+        |), wd AS (
+        |  SELECT day, cnt,
+        |         CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS wd
+        |  FROM dc
+        |), se AS (
+        |  SELECT wd, CAST((1000 * sum(cnt)) // count(*) AS BIGINT)
+        |           AS expected_milli
+        |  FROM wd GROUP BY wd
+        |), res AS (
+        |  SELECT wd.day, wd.wd, wd.cnt, se.expected_milli,
+        |         1000 * wd.cnt - se.expected_milli AS residual_milli
+        |  FROM wd JOIN se USING (wd)
+        |), mad AS (
+        |  SELECT median(abs(residual_milli)) AS mad FROM res
+        |)
+        |SELECT day, CAST(wd AS INT) AS wd, cnt, expected_milli,
+        |       CAST(residual_milli AS BIGINT) AS residual_milli,
+        |       abs(residual_milli) > 3 * mad.mad AS is_anomaly
+        |FROM res, mad ORDER BY day""".stripMargin) { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val wd = dc.withColumn("wd",
+        pmod(datediff(col("day"), lit("1970-01-01")).cast("long"), lit(7L)))
+      val ex = wd.groupBy(col("wd"))
+        .agg(expr("(1000 * sum(cnt)) div count(1)").as("expected_milli"))
+      val res = wd.join(broadcast(ex), "wd")
+        .withColumn("residual_milli",
+          lit(1000) * col("cnt") - col("expected_milli"))
+      val mad = res.agg(median(abs(col("residual_milli"))).as("mad"))
+      res.crossJoin(broadcast(mad))
+        .select(col("day"), col("wd").cast("int").as("wd"), col("cnt"),
+          col("expected_milli"), col("residual_milli"),
+          (abs(col("residual_milli")) > lit(3) * col("mad")).as("is_anomaly"))
+        .orderBy(col("day"))
     }
   )
 }

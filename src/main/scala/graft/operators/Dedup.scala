@@ -1660,6 +1660,78 @@ object Dedup {
             .as("jaccard_micro"),
           (col("fold_lo") =!= col("fold_hi")).as("is_leak"))
         .orderBy(col("fold_lo"), col("fold_hi"))
+    },
+
+    // CROSS-SOURCE COPY-FLOW MATRIX — x52's containment, lifted to the
+    // provenance question a corpus curator actually asks: which sources
+    // copy from which? Pairs block by LANGUAGE ONLY (same-source
+    // blocking would hide exactly the cross-source copying this
+    // measures); a pair flags when containment ≥ 0.5 as the integer
+    // predicate 2·|∩| ≥ min(|A|,|B|), and direction points from the
+    // SMALLER shingle set (the quoted text) to the larger (the quoting
+    // one), ties to the smaller doc_id. The per-(src_from, src_to)
+    // rollup with an is_internal flag separates in-source duplication
+    // (x01/x20's territory) from genuine cross-source flow — the signal
+    // that decides which source is derivative and should be
+    // down-weighted in x81's mix.
+    //
+    // Scale: the same inverted-index postings join as x04/x52, keyed by
+    // (lang, shingle) — work ∝ shared shingles across the language
+    // slice, never a source-pair cross product; the matrix is at most
+    // sources²-sized.
+    QueryDef("x135_copy_flow",
+      """WITH s AS (
+        |  SELECT doc_id, source, lang,
+        |         list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |           ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
+        |  FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS ws
+        |        FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS da, a.source AS sa, len(a.tri) AS za,
+        |         b.doc_id AS db, b.source AS sb, len(b.tri) AS zb,
+        |         len(list_intersect(a.tri, b.tri)) AS i
+        |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE 2 * len(list_intersect(a.tri, b.tri))
+        |          >= least(len(a.tri), len(b.tri))
+        |    AND len(list_intersect(a.tri, b.tri)) > 0
+        |), dirn AS (
+        |  SELECT CASE WHEN za < zb OR (za = zb AND da < db)
+        |              THEN sa ELSE sb END AS src_from,
+        |         CASE WHEN za < zb OR (za = zb AND da < db)
+        |              THEN sb ELSE sa END AS src_to,
+        |         i
+        |  FROM p
+        |)
+        |SELECT src_from, src_to, count(*) AS n_pairs,
+        |       CAST(sum(i) AS BIGINT) AS sum_shared,
+        |       src_from = src_to AS is_internal
+        |FROM dirn GROUP BY src_from, src_to
+        |ORDER BY src_from, src_to""".stripMargin) { (s, d) =>
+      val inv = shingleTable(s, d)
+        .select(col("lang"), col("source"), col("doc_id"),
+          size(col("tri")).as("sz"), explode(col("tri")).as("sh"))
+      val pairs = inv.as("a")
+        .join(inv.as("b"),
+          col("a.lang") === col("b.lang") && col("a.sh") === col("b.sh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("a.source").as("sa"),
+          col("a.sz").as("za"), col("b.doc_id").as("db"),
+          col("b.source").as("sb"), col("b.sz").as("zb"))
+        .agg(count(lit(1)).as("i"))
+        .filter(lit(2) * col("i") >= least(col("za"), col("zb")))
+      val fromA = col("za") < col("zb") ||
+        (col("za") === col("zb") && col("da") < col("db"))
+      pairs
+        .select(when(fromA, col("sa")).otherwise(col("sb")).as("src_from"),
+          when(fromA, col("sb")).otherwise(col("sa")).as("src_to"),
+          col("i"))
+        .groupBy(col("src_from"), col("src_to"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("i")).as("sum_shared"))
+        .select(col("src_from"), col("src_to"), col("n_pairs"),
+          col("sum_shared"),
+          (col("src_from") === col("src_to")).as("is_internal"))
+        .orderBy(col("src_from"), col("src_to"))
     }
   )
 }

@@ -408,6 +408,75 @@ object PhysicalDesign {
         .count()
         .na.fill(0L)
         .orderBy(col("shard"))
+    },
+
+    // TIME-TRAVEL READS via VERSION MANIFESTS — the lakehouse snapshot
+    // contract (Delta/Iceberg's core idea) on plain parquet: a version
+    // is a MANIFEST (list of immutable file directories), an append
+    // writes NEW files plus a new manifest, and readers resolve a
+    // version's manifest to a union scan — v1's files are never touched,
+    // so read@v1 after the v2 append returns byte-identical results
+    // (Round8Spec pins exactly that, plus base-directory immutability).
+    // Here: v1 = the event table without the late slice (event_id%10=7,
+    // the x101/x129 Δ convention), v2 = v1's directories + the appended
+    // slice. The report reads BOTH versions through the manifest reader
+    // and reconciles them per event type — the audit a pipeline runs
+    // after every snapshot commit.
+    //
+    // Scale: commits write only Δ files + a manifest (no table rewrite,
+    // no read-modify-write); version resolution is a driver-side
+    // manifest read (tiny), and the union scan parallelizes per file
+    // like any multi-directory parquet read. Retention/vacuum = delete
+    // directories no live manifest references.
+    QueryDef("w12_time_travel",
+      """SELECT event_type,
+        |       CAST(sum(CASE WHEN event_id % 10 <> 7 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_v1,
+        |       count(*) AS n_v2,
+        |       CAST(sum(CASE WHEN event_id % 10 = 7 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_added
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val (v1, v2) = PhysicalDesign.timeTravelVersions(s, d)
+      val a1 = PhysicalDesign.readVersion(s, v1)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_v1"))
+      val a2 = PhysicalDesign.readVersion(s, v2)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_v2"))
+      a1.join(a2, "event_type")
+        .select(col("event_type"), col("n_v1"), col("n_v2"),
+          (col("n_v2") - col("n_v1")).as("n_added"))
+        .orderBy(col("event_type"))
     }
   )
+
+  /** Build (idempotently, content-keyed) the two-version snapshot store:
+    * `base/` holds v1's files, `delta1/` the appended slice; `v1.manifest`
+    * and `v2.manifest` list the directories each version reads. Returns
+    * the two manifest paths. Append-only: v2 re-lists base/ unchanged. */
+  private[graft] def timeTravelVersions(s: SparkSession, d: String): (String, String) = {
+    val key = ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))
+    val root = tmp(s"graft_tt_v1_$key")
+    val done = java.nio.file.Paths.get(root, "_GRAFT_DONE")
+    if (!java.nio.file.Files.exists(done)) {
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_id") % 10 =!= 7)
+        .write.mode("overwrite").parquet(s"$root/base")
+      ev.filter(col("event_id") % 10 === 7)
+        .write.mode("overwrite").parquet(s"$root/delta1")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(root, "v1.manifest"), s"$root/base\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(root, "v2.manifest"),
+        s"$root/base\n$root/delta1\n")
+      java.nio.file.Files.createFile(done)
+    }
+    (s"$root/v1.manifest", s"$root/v2.manifest")
+  }
+
+  /** Resolve a manifest to its union scan — the time-travel reader. */
+  private[graft] def readVersion(s: SparkSession, manifest: String): DataFrame = {
+    val dirs = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(manifest)).toArray(Array.empty[String])
+      .filter(_.nonEmpty)
+    s.read.parquet(dirs: _*)
+  }
 }

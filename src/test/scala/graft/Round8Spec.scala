@@ -1063,6 +1063,78 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  // ---- wave 10 ----
+
+  test("w12 time travel: v1 reads stay byte-identical after the v2 append, and versions reconcile") {
+    val (v1, v2) = operators.PhysicalDesign.timeTravelVersions(spark, sf0_001)
+    // v2 exists; v1 must still equal the pre-append slice exactly
+    val ev = Tables.events(spark, sf0_001)
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(sig(operators.PhysicalDesign.readVersion(spark, v1)) ==
+      sig(ev.filter(col("event_id") % 10 =!= 7)),
+      "read@v1 after the v2 commit must equal the original snapshot")
+    assert(sig(operators.PhysicalDesign.readVersion(spark, v2)) == sig(ev),
+      "read@v2 must see base + delta exactly")
+    // base immutability: building again (idempotent) rewrites nothing
+    val baseDir = java.nio.file.Paths.get(v1).getParent.resolve("base")
+    val before = java.nio.file.Files.list(baseDir).toArray.map(_.toString).sorted.toSeq
+    operators.PhysicalDesign.timeTravelVersions(spark, sf0_001)
+    val after = java.nio.file.Files.list(baseDir).toArray.map(_.toString).sorted.toSeq
+    assert(before == after, "v1's files are immutable")
+  }
+
+  test("x134 seasonal expectations and anomaly flags recompute from the output itself") {
+    val out = SparkEntry.queries("x134_seasonal_anomaly")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    // expected_milli per weekday == integer mean of that weekday's counts
+    out.groupBy(_.getAs[Int]("wd")).foreach { case (_, rs) =>
+      val mean = 1000L * rs.map(_.getAs[Long]("cnt")).sum / rs.length
+      rs.foreach(r => assert(r.getAs[Long]("expected_milli") == mean))
+    }
+    // MAD threshold: recompute the median of |residual| and re-derive flags
+    val absRes = out.map(r => math.abs(r.getAs[Long]("residual_milli"))).sorted
+    val n = absRes.length
+    val mad = if (n % 2 == 1) absRes(n / 2).toDouble
+      else (absRes(n / 2 - 1) + absRes(n / 2)) / 2.0
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_anomaly") ==
+        (math.abs(r.getAs[Long]("residual_milli")) > 3 * mad))
+      assert(r.getAs[Long]("residual_milli") ==
+        1000 * r.getAs[Long]("cnt") - r.getAs[Long]("expected_milli"))
+    }
+  }
+
+  test("x135 copy-flow matrix equals a brute-force all-pairs containment recompute") {
+    val tri = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        graft.functions.Text.shingles(col("text"), 3).as("tri"))
+    val brute = tri.as("a").join(tri.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("a.source").as("sa"),
+        size(col("a.tri")).as("za"), col("b.doc_id").as("db"),
+        col("b.source").as("sb"), size(col("b.tri")).as("zb"),
+        size(array_intersect(col("a.tri"), col("b.tri"))).as("i"))
+      .filter(col("i") > 0 && lit(2) * col("i") >= least(col("za"), col("zb")))
+      .collect()
+      .map { r =>
+        val fromA = r.getAs[Int]("za") < r.getAs[Int]("zb") ||
+          (r.getAs[Int]("za") == r.getAs[Int]("zb") &&
+            r.getAs[Long]("da") < r.getAs[Long]("db"))
+        (if (fromA) r.getAs[String]("sa") else r.getAs[String]("sb"),
+          if (fromA) r.getAs[String]("sb") else r.getAs[String]("sa"),
+          r.getAs[Int]("i").toLong)
+      }
+      .groupBy(t => (t._1, t._2))
+      .map { case ((f, t), vs) => (f, t, vs.length.toLong, vs.map(_._3).sum) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("x135_copy_flow")(spark, sf0_001).collect()
+      .map(r => (r.getAs[String]("src_from"), r.getAs[String]("src_to"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("sum_shared"))).toSeq
+    assert(got == brute, "inverted-index plan diverges from all-pairs truth")
+  }
+
   test("m17 gain algebra: integer peak-normalization bounds and cap flag hold for every container") {
     val out = SparkEntry.queries("m17_gain_plan")(spark, sf0_001).collect()
     assert(out.nonEmpty)
