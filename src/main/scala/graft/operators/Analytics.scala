@@ -1245,6 +1245,97 @@ object Analytics {
           col("expected_milli"), col("residual_milli"),
           (abs(col("residual_milli")) > lit(3) * col("mad")).as("is_anomaly"))
         .orderBy(col("day"))
+    },
+
+    // WATERMARK LATENESS AUDIT — the sizing table consulted BEFORE
+    // choosing a streaming watermark (st04/st05's delay thresholds are
+    // exactly this knob): replay the event log in arrival order and
+    // measure each event's lateness against the running max event-time
+    // (how far behind the frontier it arrived), bucketed into the delay
+    // bands a watermark policy would drop at. The fixture's log is
+    // perfectly ordered, so a deterministic 1-in-17 slice is replayed
+    // 293 sequence positions late (the synthesized-drift convention of
+    // x37's graph) — the cumulative share column then reads directly as
+    // "data kept under a watermark at this band's edge".
+    //
+    // Scale: the running max is a DISTRIBUTED PREFIX SCAN — x118's
+    // two-pass rank generalized from sum to max: partition by an
+    // order-preserving range bucket of the arrival key, take a local
+    // running max per partition, and carry the exclusive running max of
+    // the per-bucket maxima (a buckets-sized window) across — no
+    // single-partition sort over events; the report is 5 rows.
+    QueryDef("x136_lateness_audit",
+      """WITH a AS (
+        |  SELECT event_id, ts,
+        |         event_id + CASE WHEN event_id % 17 = 3
+        |                         THEN 293 ELSE 0 END AS akey
+        |  FROM events
+        |), pm AS (
+        |  SELECT event_id, ts,
+        |         max(ts) OVER (ORDER BY akey, event_id) AS frontier
+        |  FROM a
+        |), lat AS (
+        |  SELECT (epoch_us(frontier) - epoch_us(ts)) // 1000000 AS late_s
+        |  FROM pm
+        |), b AS (
+        |  SELECT CASE WHEN late_s = 0 THEN 0
+        |              WHEN late_s <= 3600 THEN 1
+        |              WHEN late_s <= 21600 THEN 2
+        |              WHEN late_s <= 86400 THEN 3
+        |              ELSE 4 END AS bucket_id,
+        |         CASE WHEN late_s = 0 THEN 'on_time'
+        |              WHEN late_s <= 3600 THEN 'le_1h'
+        |              WHEN late_s <= 21600 THEN 'le_6h'
+        |              WHEN late_s <= 86400 THEN 'le_24h'
+        |              ELSE 'gt_24h' END AS band
+        |  FROM lat
+        |), t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+        |SELECT CAST(bucket_id AS INT) AS bucket_id, band,
+        |       count(*) AS n_events,
+        |       round(1e-9 + count(*) * 1.0 / t.n, 6) AS share,
+        |       round(1e-9 + CAST(sum(count(*)) OVER (ORDER BY bucket_id)
+        |             AS BIGINT) * 1.0 / t.n, 6) AS kept_under_edge
+        |FROM b, t GROUP BY bucket_id, band, t.n
+        |ORDER BY bucket_id""".stripMargin) { (s, d) =>
+      val a = Tables.events(s, d)
+        .select(col("event_id"), col("ts"),
+          (col("event_id") + when(col("event_id") % 17 === 3, 293L)
+            .otherwise(0L)).as("akey"))
+        .withColumn("bkt", expr("akey div 4096"))
+      // distributed prefix max: local running max within the
+      // order-preserving range bucket + exclusive carry of bucket maxima
+      val local = a.withColumn("lmax", max(col("ts")).over(
+        Window.partitionBy(col("bkt")).orderBy(col("akey"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val carry = a.groupBy(col("bkt")).agg(max(col("ts")).as("bmax"))
+        .withColumn("carry", max(col("bmax")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("bkt"), col("carry"))
+      val lat = local.join(broadcast(carry), "bkt")
+        .withColumn("frontier", greatest(col("lmax"),
+          coalesce(col("carry"), col("lmax"))))
+        .select(expr(
+          "(unix_micros(frontier) - unix_micros(ts)) div 1000000").as("late_s"))
+      val b = lat.select(
+        when(col("late_s") === 0, 0).when(col("late_s") <= 3600, 1)
+          .when(col("late_s") <= 21600, 2).when(col("late_s") <= 86400, 3)
+          .otherwise(4).cast("int").as("bucket_id"),
+        when(col("late_s") === 0, "on_time").when(col("late_s") <= 3600, "le_1h")
+          .when(col("late_s") <= 21600, "le_6h")
+          .when(col("late_s") <= 86400, "le_24h")
+          .otherwise("gt_24h").as("band"))
+      val t = b.agg(count(lit(1)).as("n"))
+      b.groupBy(col("bucket_id"), col("band"))
+        .agg(count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(t))
+        .withColumn("cum", sum(col("n_events")).over(
+          Window.orderBy(col("bucket_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("bucket_id"), col("band"), col("n_events"),
+          Num.roundOut(col("n_events") * 1.0 / col("n"), 6).as("share"),
+          Num.roundOut(col("cum") * 1.0 / col("n"), 6).as("kept_under_edge"))
+        .orderBy(col("bucket_id"))
     }
   )
 }

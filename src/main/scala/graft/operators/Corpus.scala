@@ -1576,6 +1576,110 @@ object Corpus {
         .select(col("node"), col("label_r1"), col("lbl").as("label_r2"),
           col("community_size"))
         .orderBy(col("node"))
+    },
+
+    // BLOOM-FILTER SIZING SWEEP — the m-bits decision x55's fixed-size
+    // filter hard-codes, measured instead of guessed (the x83-nprobe /
+    // x91-bands protocol applied to the decontamination bitset): the
+    // SAME train-gram member set is folded into bitsets of m ∈ {2¹⁴,
+    // 2¹⁶, 2¹⁸} (k = 4 throughout), then probed with the TRUE NEGATIVES
+    // (val/test grams provably absent from train), giving the measured
+    // false-positive rate next to the occupancy that drives it — the
+    // fpp ≈ occupancy⁴ relation is directly visible across the three
+    // rows, which is exactly the evidence needed to size m for a target
+    // fpp at 100 TB membership scale. The k hash folds are computed
+    // ONCE per gram and reduced mod each m (the sweep costs three
+    // modulos, not three hash passes).
+    //
+    // Scale: positions are (grams × k × |m-sweep|)-sized with map-side
+    // distinct; the probe is an inverted equi-join on (m, position);
+    // the report is 3 rows. At production scale the bitset itself is
+    // the persisted artifact and this sweep runs once per corpus
+    // generation.
+    QueryDef("x137_bloom_sizing",
+      s"""WITH sp AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN ${TextAnalysis.fingerprintSql} % 100 < 80
+        |              THEN 'train' ELSE 'eval' END AS split
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, split,
+        |         list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |           ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
+        |  FROM (SELECT doc_id, split, string_split(text, ' ') AS ws FROM sp)
+        |), tg AS (
+        |  SELECT DISTINCT unnest(tri) AS g FROM s WHERE split = 'train'
+        |), neg AS (
+        |  SELECT eg.g FROM (
+        |    SELECT DISTINCT unnest(tri) AS g FROM s WHERE split = 'eval') eg
+        |  LEFT JOIN tg ON tg.g = eg.g WHERE tg.g IS NULL
+        |), ms(m) AS (VALUES (16384), (65536), (262144)),
+        |mh AS (
+        |  SELECT g, CAST(i AS INT) AS i,
+        |         ${graft.functions.Sketches.foldHashSql("g", "i")} AS h
+        |  FROM tg CROSS JOIN (SELECT unnest(range(4)) AS i)
+        |), mpos AS (
+        |  SELECT DISTINCT ms.m, CAST(mh.h % ms.m AS INT) AS pos
+        |  FROM mh CROSS JOIN ms
+        |), occ AS (
+        |  SELECT m, CAST(count(*) AS BIGINT) AS bits_set FROM mpos GROUP BY m
+        |), nh AS (
+        |  SELECT g, CAST(i AS INT) AS i,
+        |         ${graft.functions.Sketches.foldHashSql("g", "i")} AS h
+        |  FROM neg CROSS JOIN (SELECT unnest(range(4)) AS i)
+        |), nhit AS (
+        |  SELECT ms.m, nh.g
+        |  FROM nh CROSS JOIN ms
+        |  JOIN mpos ON mpos.m = ms.m AND mpos.pos = CAST(nh.h % ms.m AS INT)
+        |  GROUP BY ms.m, nh.g HAVING count(*) = 4
+        |), fp AS (
+        |  SELECT m, CAST(count(*) AS BIGINT) AS n_fp FROM nhit GROUP BY m
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_neg FROM neg),
+        |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_members FROM tg)
+        |SELECT occ.m, nm.n_members, occ.bits_set,
+        |       round(1e-9 + occ.bits_set * 1.0 / occ.m, 6) AS occupancy,
+        |       nn.n_neg, CAST(coalesce(fp.n_fp, 0) AS BIGINT) AS n_fp,
+        |       round(1e-9 + coalesce(fp.n_fp, 0) * 1.0 / nn.n_neg, 6) AS fpp
+        |FROM occ LEFT JOIN fp ON fp.m = occ.m, nn, nm
+        |ORDER BY occ.m""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.Sketches
+      val tg = TextAnalysis.trainGramTable(s, d)
+      val split = Dedup.shingleTable(s, d)
+        .join(TextAnalysis.fingerprintTable(s, d), "doc_id")
+        .select(col("tri"), (col("fp") % 100).as("bucket"))
+      val neg = split.filter(col("bucket") >= 80)
+        .select(explode(col("tri")).as("g")).distinct()
+        .join(tg, Seq("g"), "left_anti")
+        .localCheckpoint() // probes AND the n_neg count read it
+      val ms = broadcast(Seq(16384, 65536, 262144).toDF("m"))
+      def hashed(grams: DataFrame) = (0 until 4).map(i =>
+          grams.select(col("g"), lit(i).as("i"),
+            Sketches.foldHashCol(col("g"), i).as("h")))
+        .reduce(_ unionByName _)
+      val mpos = hashed(tg).crossJoin(ms)
+        .select(col("m"), pmod(col("h"), col("m")).cast("int").as("pos"))
+        .distinct()
+        .localCheckpoint() // occupancy AND the probe join read it
+      val occ = mpos.groupBy(col("m")).agg(count(lit(1)).as("bits_set"))
+      val nhit = hashed(neg).crossJoin(ms)
+        .select(col("m"), col("g"), pmod(col("h"), col("m")).cast("int").as("pos"))
+        .join(mpos, Seq("m", "pos"))
+        .groupBy(col("m"), col("g")).agg(count(lit(1)).as("k_hits"))
+        .filter(col("k_hits") === 4)
+      val fp = nhit.groupBy(col("m")).agg(count(lit(1)).as("n_fp"))
+      val nn = neg.agg(count(lit(1)).as("n_neg"))
+      val nm = tg.agg(count(lit(1)).as("n_members"))
+      occ.join(fp, Seq("m"), "left")
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(nm))
+        .select(col("m"), col("n_members"), col("bits_set"),
+          Num.roundOut(col("bits_set") * 1.0 / col("m"), 6).as("occupancy"),
+          col("n_neg"),
+          coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+          Num.roundOut(coalesce(col("n_fp"), lit(0L)) * 1.0 / col("n_neg"), 6)
+            .as("fpp"))
+        .orderBy(col("m"))
     }
   )
 

@@ -1135,6 +1135,53 @@ class Round8Spec extends AnyFunSuite {
     assert(got == brute, "inverted-index plan diverges from all-pairs truth")
   }
 
+  // ---- wave 11 ----
+
+  test("x136 distributed prefix-max equals the direct global-window frontier, and shares telescope") {
+    val out = SparkEntry.queries("x136_lateness_audit")(spark, sf0_001)
+      .orderBy(col("bucket_id")).collect()
+    assert(out.nonEmpty)
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-5)
+    assert(math.abs(out.last.getAs[Double]("kept_under_edge") - 1.0) < 1e-6)
+    assert(out.map(_.getAs[Double]("kept_under_edge")).sliding(2)
+      .forall(p => p.length < 2 || p.head <= p.last))
+    // independent recompute: single global window over the arrival key
+    val W = org.apache.spark.sql.expressions.Window
+    val direct = Tables.events(spark, sf0_001)
+      .select(col("event_id"), col("ts"),
+        (col("event_id") + when(col("event_id") % 17 === 3, 293L)
+          .otherwise(0L)).as("akey"))
+      .withColumn("frontier", max(col("ts")).over(
+        W.orderBy(col("akey"), col("event_id"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select(expr(
+        "(unix_micros(frontier) - unix_micros(ts)) div 1000000").as("late_s"))
+      .select(when(col("late_s") === 0, 0).when(col("late_s") <= 3600, 1)
+        .when(col("late_s") <= 21600, 2).when(col("late_s") <= 86400, 3)
+        .otherwise(4).as("bucket_id"))
+      .groupBy(col("bucket_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_events") == direct(r.getAs[Int]("bucket_id")),
+        "two-pass prefix max diverges from the global window")
+    }
+  }
+
+  test("x137 sizing sweep: occupancy and fpp fall monotonically with m, within hard bounds") {
+    val out = SparkEntry.queries("x137_bloom_sizing")(spark, sf0_001)
+      .orderBy(col("m")).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val (m, bits) = (r.getAs[Int]("m"), r.getAs[Long]("bits_set"))
+      assert(bits <= m.toLong && bits <= 4 * r.getAs[Long]("n_members"))
+      assert(r.getAs[Long]("n_fp") <= r.getAs[Long]("n_neg"))
+    }
+    assert(out.map(_.getAs[Double]("occupancy")).sliding(2)
+      .forall(p => p.head > p.last), "bigger filter, lower occupancy")
+    assert(out.map(_.getAs[Double]("fpp")).sliding(2)
+      .forall(p => p.head >= p.last), "bigger filter, no worse fpp")
+  }
+
   test("m17 gain algebra: integer peak-normalization bounds and cap flag hold for every container") {
     val out = SparkEntry.queries("m17_gain_plan")(spark, sf0_001).collect()
     assert(out.nonEmpty)
