@@ -1336,6 +1336,79 @@ object Analytics {
           Num.roundOut(col("n_events") * 1.0 / col("n"), 6).as("share"),
           Num.roundOut(col("cum") * 1.0 / col("n"), 6).as("kept_under_edge"))
         .orderBy(col("bucket_id"))
+    },
+
+    // INTER-EVENT GAP HISTOGRAM — the evidence behind q34/st05's
+    // 30-minute session threshold (x136's "measure the knob" protocol
+    // applied to sessionization): per user, the gap to the previous
+    // event, bucketed into the bands a session cut would act on. A
+    // valley around the chosen threshold is what justifies it; the
+    // sessions_if_cut_here column says directly how many sessions each
+    // candidate threshold would create (gaps > edge + one opening
+    // session per user), so the knob is read off the table instead of
+    // folklore.
+    //
+    // Scale: the lag window partitions by user_id — the natural
+    // high-cardinality event-data partitioner, no global sort anywhere;
+    // the histogram is bands-sized.
+    QueryDef("x139_gap_histogram",
+      """WITH g AS (
+        |  SELECT user_id,
+        |         (epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |            PARTITION BY user_id ORDER BY ts, event_id)))
+        |           // 1000000 AS gap_s
+        |  FROM events
+        |), ng AS (
+        |  SELECT gap_s FROM g WHERE gap_s IS NOT NULL
+        |), nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u
+        |          FROM events),
+        |b AS (
+        |  SELECT CASE WHEN gap_s <= 60 THEN 0
+        |              WHEN gap_s <= 300 THEN 1
+        |              WHEN gap_s <= 1800 THEN 2
+        |              WHEN gap_s <= 7200 THEN 3
+        |              ELSE 4 END AS bucket_id,
+        |         CASE WHEN gap_s <= 60 THEN 'le_1m'
+        |              WHEN gap_s <= 300 THEN 'le_5m'
+        |              WHEN gap_s <= 1800 THEN 'le_30m'
+        |              WHEN gap_s <= 7200 THEN 'le_2h'
+        |              ELSE 'gt_2h' END AS band
+        |  FROM ng
+        |), t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+        |SELECT CAST(bucket_id AS INT) AS bucket_id, band,
+        |       count(*) AS n_gaps,
+        |       round(1e-9 + count(*) * 1.0 / t.n, 6) AS share,
+        |       CAST(t.n - sum(count(*)) OVER (ORDER BY bucket_id) + nu.u
+        |            AS BIGINT) AS sessions_if_cut_here
+        |FROM b, t, nu GROUP BY bucket_id, band, t.n, nu.u
+        |ORDER BY bucket_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val g = ev.select(col("user_id"), col("ts"),
+          lag(col("ts"), 1).over(Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))).as("prev"))
+        .filter(col("prev").isNotNull)
+        .select(expr("(unix_micros(ts) - unix_micros(prev)) div 1000000")
+          .as("gap_s"))
+      val b = g.select(
+        when(col("gap_s") <= 60, 0).when(col("gap_s") <= 300, 1)
+          .when(col("gap_s") <= 1800, 2).when(col("gap_s") <= 7200, 3)
+          .otherwise(4).cast("int").as("bucket_id"),
+        when(col("gap_s") <= 60, "le_1m").when(col("gap_s") <= 300, "le_5m")
+          .when(col("gap_s") <= 1800, "le_30m")
+          .when(col("gap_s") <= 7200, "le_2h")
+          .otherwise("gt_2h").as("band"))
+      val t = b.agg(count(lit(1)).as("n"))
+      val nu = ev.agg(countDistinct(col("user_id")).as("u"))
+      b.groupBy(col("bucket_id"), col("band"))
+        .agg(count(lit(1)).as("n_gaps"))
+        .crossJoin(broadcast(t)).crossJoin(broadcast(nu))
+        .withColumn("cum", sum(col("n_gaps")).over(
+          Window.orderBy(col("bucket_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("bucket_id"), col("band"), col("n_gaps"),
+          Num.roundOut(col("n_gaps") * 1.0 / col("n"), 6).as("share"),
+          (col("n") - col("cum") + col("u")).as("sessions_if_cut_here"))
+        .orderBy(col("bucket_id"))
     }
   )
 }

@@ -34,6 +34,76 @@ object Corpus {
       |HAVING count(*) * 40 > t.n
       |ORDER BY cnt DESC, word""".stripMargin
 
+  /** The two unrolled label-propagation rounds as DuckDB CTEs (through
+    * `l2`), shared by the x133 oracle and x138's modularity oracle — one
+    * definition of the algorithm for every consumer (the x33/x34 rule). */
+  private[graft] val lpCteSql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT CAST(doc_id % 100 AS INT) AS src,
+      |         CAST((doc_id * 31) % 100 AS INT) AS dst
+      |  FROM documents
+      |  WHERE doc_id < 400 AND (doc_id * 48271) % 100 < 25
+      |    AND CAST(doc_id % 100 AS INT) <> CAST((doc_id * 31) % 100 AS INT)
+      |), e AS (
+      |  SELECT src, dst FROM e0
+      |  UNION SELECT dst AS src, src AS dst FROM e0
+      |), l0 AS (
+      |  SELECT DISTINCT src AS node, CAST(src AS INT) AS lbl FROM e
+      |), v1 AS (
+      |  SELECT e.src AS node, l0.lbl, count(*) AS c
+      |  FROM e JOIN l0 ON l0.node = e.dst GROUP BY 1, 2
+      |), l1 AS (
+      |  SELECT node, lbl FROM (
+      |    SELECT node, lbl, row_number() OVER (
+      |      PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v1) t
+      |  WHERE rn = 1
+      |), v2 AS (
+      |  SELECT e.src AS node, l1.lbl, count(*) AS c
+      |  FROM e JOIN l1 ON l1.node = e.dst GROUP BY 1, 2
+      |), l2 AS (
+      |  SELECT node, lbl FROM (
+      |    SELECT node, lbl, row_number() OVER (
+      |      PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v2) t
+      |  WHERE rn = 1
+      |)""".stripMargin
+
+  private[graft] val x133OracleSql: String =
+    s"""$lpCteSql, sz AS (
+      |  SELECT lbl, count(*) AS community_size FROM l2 GROUP BY 1
+      |)
+      |SELECT l2.node, l1.lbl AS label_r1, l2.lbl AS label_r2,
+      |       sz.community_size
+      |FROM l2 JOIN l1 USING (node) JOIN sz ON sz.lbl = l2.lbl
+      |ORDER BY l2.node""".stripMargin
+
+  /** The label-propagation pipeline: symmetrized deterministic edge list
+    * plus the round-1 and round-2 label vectors — shared by x133 (the
+    * community report) and x138 (modularity of the same partition). */
+  private[graft] def lpPipeline(s: org.apache.spark.sql.SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val e0 = Tables.documents(s, d)
+      .filter(col("doc_id") < 400 && (col("doc_id") * 48271) % 100 < 25)
+      .select((col("doc_id") % 100).cast("int").as("src"),
+        ((col("doc_id") * 31) % 100).cast("int").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint() // tiny edge list feeds both rounds + modularity
+    val l0 = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").cast("int").as("lbl"))
+    def lpRound(l: DataFrame): DataFrame =
+      e.join(broadcast(l.withColumnRenamed("node", "dst")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("node")).orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint() // nodes-sized; severs the iteration lineage
+    val l1 = lpRound(l0)
+    (e, l1, lpRound(l1))
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // Sliding-window document CHUNKING (the RAG / context-window prep
@@ -1513,69 +1583,74 @@ object Corpus {
     // list + a (node, label) partial count + a per-node rank — the
     // relational LP step; labels are nodes-sized, rounds fixed. The
     // report aggregates to communities.
-    QueryDef("x133_label_prop",
-      """WITH e0 AS (
-        |  SELECT DISTINCT CAST(doc_id % 100 AS INT) AS src,
-        |         CAST((doc_id * 31) % 100 AS INT) AS dst
-        |  FROM documents
-        |  WHERE doc_id < 400 AND (doc_id * 48271) % 100 < 25
-        |    AND CAST(doc_id % 100 AS INT) <> CAST((doc_id * 31) % 100 AS INT)
-        |), e AS (
-        |  SELECT src, dst FROM e0
-        |  UNION SELECT dst AS src, src AS dst FROM e0
-        |), l0 AS (
-        |  SELECT DISTINCT src AS node, CAST(src AS INT) AS lbl FROM e
-        |), v1 AS (
-        |  SELECT e.src AS node, l0.lbl, count(*) AS c
-        |  FROM e JOIN l0 ON l0.node = e.dst GROUP BY 1, 2
-        |), l1 AS (
-        |  SELECT node, lbl FROM (
-        |    SELECT node, lbl, row_number() OVER (
-        |      PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v1) t
-        |  WHERE rn = 1
-        |), v2 AS (
-        |  SELECT e.src AS node, l1.lbl, count(*) AS c
-        |  FROM e JOIN l1 ON l1.node = e.dst GROUP BY 1, 2
-        |), l2 AS (
-        |  SELECT node, lbl FROM (
-        |    SELECT node, lbl, row_number() OVER (
-        |      PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v2) t
-        |  WHERE rn = 1
-        |), sz AS (
-        |  SELECT lbl, count(*) AS community_size FROM l2 GROUP BY 1
-        |)
-        |SELECT l2.node, l1.lbl AS label_r1, l2.lbl AS label_r2,
-        |       sz.community_size
-        |FROM l2 JOIN l1 USING (node) JOIN sz ON sz.lbl = l2.lbl
-        |ORDER BY l2.node""".stripMargin) { (s, d) =>
-      val e0 = Tables.documents(s, d)
-        .filter(col("doc_id") < 400 && (col("doc_id") * 48271) % 100 < 25)
-        .select((col("doc_id") % 100).cast("int").as("src"),
-          ((col("doc_id") * 31) % 100).cast("int").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-      val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-        .localCheckpoint() // tiny edge list feeds both rounds
-      val l0 = e.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").cast("int").as("lbl"))
-      def lpRound(l: DataFrame): DataFrame =
-        e.join(broadcast(l.withColumnRenamed("node", "dst")), Seq("dst"))
-          .groupBy(col("src").as("node"), col("lbl"))
-          .agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("node")).orderBy(col("c").desc, col("lbl"))))
-          .filter(col("rn") === 1)
-          .select(col("node"), col("lbl"))
-          .localCheckpoint() // nodes-sized; severs the iteration lineage
-      val l1 = lpRound(l0)
-      val l2 = lpRound(l1)
+    QueryDef("x133_label_prop", Corpus.x133OracleSql) { (s, d) =>
+      val (_, l1, l2) = Corpus.lpPipeline(s, d)
       val sz = l2.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
       l2.join(l1.withColumnRenamed("lbl", "label_r1"), "node")
         .join(broadcast(sz), "lbl")
         .select(col("node"), col("label_r1"), col("lbl").as("label_r2"),
           col("community_size"))
         .orderBy(col("node"))
+    },
+
+    // MODULARITY SCORING of the LP partition — the quality number that
+    // says whether x133's communities are REAL structure or noise
+    // (Newman–Girvan Q: internal-edge fraction minus the degree-squared
+    // expectation under random rewiring; Q ≈ 0 ⇒ no better than
+    // chance). Per community the contribution is computed in MICRO
+    // units of pure integers — q_micro = (e_c·10⁶) div (2m) −
+    // (d_c²·10⁶) div (4m²), directed-edge convention so 2m = |E_sym| —
+    // identical truncation on both engines, no float anywhere. The
+    // same lpPipeline (and, in the oracle, the same lpCteSql) that
+    // produced the labels produces the score: one algorithm definition,
+    // two consumers.
+    //
+    // Scale: internal-edge counting is one labels⋈edges⋈labels
+    // equi-join with a communities-sized aggregate; degree sums are a
+    // node-keyed count. Everything after the edge join is
+    // communities-sized.
+    QueryDef("x138_modularity",
+      s"""${Corpus.lpCteSql}, deg AS (
+        |  SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        |  FROM e GROUP BY 1
+        |), tm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e),
+        |intra AS (
+        |  SELECT la.lbl, CAST(count(*) AS BIGINT) AS e_c
+        |  FROM e JOIN l2 la ON la.node = e.src
+        |         JOIN l2 lb ON lb.node = e.dst
+        |  WHERE la.lbl = lb.lbl GROUP BY la.lbl
+        |), dsum AS (
+        |  SELECT l2.lbl, CAST(sum(deg.d) AS BIGINT) AS d_c,
+        |         CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM l2 JOIN deg USING (node) GROUP BY l2.lbl
+        |)
+        |SELECT dsum.lbl AS community, dsum.n_nodes,
+        |       CAST(coalesce(intra.e_c, 0) AS BIGINT) AS internal_directed,
+        |       dsum.d_c AS degree_sum,
+        |       CAST(coalesce(intra.e_c, 0) * 1000000 // tm.m2
+        |            - dsum.d_c * dsum.d_c * 1000000 // (tm.m2 * tm.m2)
+        |            AS BIGINT) AS q_micro
+        |FROM dsum LEFT JOIN intra ON intra.lbl = dsum.lbl, tm
+        |ORDER BY community""".stripMargin) { (s, d) =>
+      val (e, _, l2) = Corpus.lpPipeline(s, d)
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+      val m2 = e.agg(count(lit(1)).as("m2"))
+      val la = l2.select(col("node").as("src"), col("lbl").as("la"))
+      val lb = l2.select(col("node").as("dst"), col("lbl").as("lb"))
+      val intra = e.join(broadcast(la), "src").join(broadcast(lb), "dst")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_c"))
+      val dsum = l2.join(deg, "node")
+        .groupBy(col("lbl"))
+        .agg(sum(col("dg")).as("d_c"), count(lit(1)).as("n_nodes"))
+      dsum.join(intra, Seq("lbl"), "left")
+        .crossJoin(broadcast(m2))
+        .select(col("lbl").as("community"), col("n_nodes"),
+          coalesce(col("e_c"), lit(0L)).as("internal_directed"),
+          col("d_c").as("degree_sum"),
+          (expr("coalesce(e_c, 0) * 1000000 div m2")
+            - expr("d_c * d_c * 1000000 div (m2 * m2)")).as("q_micro"))
+        .orderBy(col("community"))
     },
 
     // BLOOM-FILTER SIZING SWEEP — the m-bits decision x55's fixed-size

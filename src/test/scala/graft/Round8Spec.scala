@@ -1182,6 +1182,45 @@ class Round8Spec extends AnyFunSuite {
       .forall(p => p.head >= p.last), "bigger filter, no worse fpp")
   }
 
+  // ---- wave 12 ----
+
+  test("x138 modularity conserves edges, degrees and nodes, and the total Q is a valid score") {
+    val out = SparkEntry.queries("x138_modularity")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    val (e, _, l2) = operators.Corpus.lpPipeline(spark, sf0_001)
+    val m2 = e.count()
+    val nodes = l2.count()
+    assert(out.map(_.getAs[Long]("degree_sum")).sum == m2,
+      "per-community degree sums must partition 2m")
+    assert(out.map(_.getAs[Long]("n_nodes")).sum == nodes)
+    assert(out.map(_.getAs[Long]("internal_directed")).sum <= m2)
+    val q = out.map(_.getAs[Long]("q_micro")).sum
+    assert(q >= -1000000L && q <= 1000000L, s"Q=$q out of [-1,1] micro")
+    // brute-force one community's internal edge count
+    val labels = l2.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val edges = e.collect().map(r => (r.getInt(0), r.getInt(1)))
+    val c0 = out.head.getAs[Int]("community")
+    val brute = edges.count { case (s0, d0) =>
+      labels(s0) == c0 && labels(d0) == c0 }
+    assert(out.head.getAs[Long]("internal_directed") == brute.toLong)
+  }
+
+  test("x139 gap accounting: gaps = events - users, and the session count telescopes to users") {
+    val out = SparkEntry.queries("x139_gap_histogram")(spark, sf0_001)
+      .orderBy(col("bucket_id")).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf0_001)
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    assert(out.map(_.getAs[Long]("n_gaps")).sum == nEvents - nUsers,
+      "every event except each user's first contributes one gap")
+    assert(out.map(_.getAs[Long]("sessions_if_cut_here")).sliding(2)
+      .forall(p => p.length < 2 || p.head >= p.last),
+      "a looser threshold can only merge sessions")
+    assert(out.last.getAs[Long]("sessions_if_cut_here") == nUsers,
+      "an infinite threshold leaves one session per user")
+  }
+
   test("m17 gain algebra: integer peak-normalization bounds and cap flag hold for every container") {
     val out = SparkEntry.queries("m17_gain_plan")(spark, sf0_001).collect()
     assert(out.nonEmpty)
