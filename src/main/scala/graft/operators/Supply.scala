@@ -21,6 +21,51 @@ import graft.{QueryDef, Tables}
   */
 object Supply {
 
+  /** The DERIVED partsupp relation. The driver testdata ships no partsupp
+    * table, so the four partsupp-dependent TPC-H silhouettes (Q2/Q9/Q11/
+    * Q20) were previously unimplementable; this derives one
+    * DETERMINISTICALLY from the part and supplier keys (the x37
+    * synthesized-relation convention): each part lists ≤4 suppliers
+    * `(p_partkey·7 + j·13) mod |supplier|` for j ∈ 0..3 (distinct), with
+    * integer availability and cost-in-cents from key-mixing formulas —
+    * both engines recompute the identical relation, so every downstream
+    * query stays oracle-checkable. Cost stays in CENTS (integer) so
+    * profit/value aggregates are exact sums.
+    *
+    * Scale: generation is a 4-way explode of the part table with a 1-row
+    * broadcast (|supplier|) — no part×supplier cross join; at production
+    * scale partsupp is of course a real table and these queries run
+    * unchanged on it. */
+  private[graft] val partsuppCteSql: String =
+    """ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM supplier),
+      |psk AS (
+      |  SELECT DISTINCT p.p_partkey,
+      |         (p.p_partkey * 7 + j.j * 13) % ns.n AS ps_suppkey
+      |  FROM part p CROSS JOIN (SELECT unnest(range(4)) AS j) j, ns
+      |), psx AS (
+      |  SELECT p_partkey, ps_suppkey,
+      |         (p_partkey * 31 + ps_suppkey * 17) % 9999 + 1 AS ps_availqty,
+      |         (p_partkey * 13 + ps_suppkey * 7) % 99900 + 100
+      |           AS ps_cost_cents
+      |  FROM psk
+      |)""".stripMargin
+
+  private[graft] def partsuppTable(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val ns = Tables.supplier(s, d).agg(count(lit(1)).as("n"))
+    Tables.part(s, d).select(col("p_partkey"))
+      .crossJoin(broadcast(ns))
+      .select(col("p_partkey"),
+        explode(sequence(lit(0L), lit(3L))).as("j"), col("n"))
+      .select(col("p_partkey"),
+        pmod(col("p_partkey") * 7 + col("j") * 13, col("n")).as("ps_suppkey"))
+      .distinct()
+      .select(col("p_partkey"), col("ps_suppkey"),
+        (pmod(col("p_partkey") * 31 + col("ps_suppkey") * 17, lit(9999L)) + 1)
+          .as("ps_availqty"),
+        (pmod(col("p_partkey") * 13 + col("ps_suppkey") * 7, lit(99900L)) + 100)
+          .as("ps_cost_cents"))
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // Q3 silhouette: unshipped-revenue top-k per order. Deterministic
@@ -305,6 +350,170 @@ object Supply {
       li.join(lims, Seq("l_partkey"))
         .filter(col("l_quantity") < col("qty_lim"))
         .agg(Num.roundOut(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    },
+
+    // TPC-H Q2 silhouette — MIN-COST SUPPLIER per part within a region:
+    // the correlated-min shape (for each mid-size part, the cheapest
+    // EUROPE supplier, ties to the smallest suppkey). Runs on the
+    // derived [[partsuppCteSql]] relation; the region chain
+    // (region→nation→supplier) collapses to a broadcast before partsupp
+    // ever joins, and the per-part min is a rank window over the
+    // candidate rows — the decorrelated form of Q2's scalar subquery.
+    QueryDef("q90_min_cost_supplier",
+      s"""WITH $partsuppCteSql, eu AS (
+        |  SELECT s.s_suppkey, s.s_name, n.n_name
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'
+        |), cand AS (
+        |  SELECT p.p_partkey, p.p_type, psx.ps_cost_cents,
+        |         eu.s_suppkey, eu.s_name, eu.n_name,
+        |         row_number() OVER (PARTITION BY p.p_partkey
+        |           ORDER BY psx.ps_cost_cents, eu.s_suppkey) AS rn
+        |  FROM psx JOIN eu ON psx.ps_suppkey = eu.s_suppkey
+        |       JOIN part p ON p.p_partkey = psx.p_partkey
+        |  WHERE p.p_size BETWEEN 10 AND 25
+        |)
+        |SELECT p_partkey, p_type, s_suppkey, s_name, n_name,
+        |       CAST(ps_cost_cents AS BIGINT) AS ps_cost_cents
+        |FROM cand WHERE rn = 1 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val eu = Tables.supplier(s, d)
+        .join(Tables.nation(s, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val W = org.apache.spark.sql.expressions.Window
+      partsuppTable(s, d)
+        .join(broadcast(eu), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_size").between(10, 25))
+          .select(col("p_partkey"), col("p_type"))), "p_partkey")
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("p_partkey"))
+            .orderBy(col("ps_cost_cents"), col("s_suppkey"))))
+        .filter(col("rn") === 1)
+        .select(col("p_partkey"), col("p_type"), col("s_suppkey"),
+          col("s_name"), col("n_name"), col("ps_cost_cents"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // TPC-H Q9 silhouette — PRODUCT-TYPE PROFIT by nation and year:
+    // profit = revenue − supply cost, per supplying nation per order
+    // year. Every money amount quantizes to CENTS per row BEFORE the
+    // sum (floor(100·ext·(1−disc)) − cost_cents·qty — exact integers),
+    // so the cross-engine aggregate is drift-free. The join chain is the
+    // classic fact-plus-broadcast-dims shape: lineitem joins the derived
+    // partsupp on (partkey, suppkey) — the only composite-key join in
+    // the TPC-H tier — then supplier→nation and orders attach year.
+    QueryDef("q91_nation_profit",
+      s"""WITH $partsuppCteSql
+        |SELECT n.n_name AS nation,
+        |       CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |       CAST(sum(CAST(floor(100 * l.l_extendedprice
+        |                           * (1 - l.l_discount)) AS BIGINT)
+        |                - psx.ps_cost_cents * CAST(l.l_quantity AS BIGINT))
+        |            AS BIGINT) AS profit_cents
+        |FROM lineitem l
+        |JOIN psx ON psx.p_partkey = l.l_partkey
+        |        AND psx.ps_suppkey = l.l_suppkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(partsuppTable(s, d),
+          col("l_partkey") === col("p_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .join(broadcast(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("int").as("o_year"),
+          (floor(lit(100) * col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("long")
+            - col("ps_cost_cents") * col("l_quantity").cast("long"))
+            .as("p"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(col("p")).as("profit_cents"))
+        .orderBy(col("nation"), col("o_year"))
+    },
+
+    // TPC-H Q11 silhouette — IMPORTANT STOCK: parts whose inventory
+    // value at nation-3 suppliers exceeds 0.1% of that nation's total
+    // (the HAVING-over-global-scalar shape). The threshold is the
+    // integer predicate value·1000 > total — no float boundary — and
+    // the share column is the single final division.
+    QueryDef("q92_important_stock",
+      s"""WITH $partsuppCteSql, sup3 AS (
+        |  SELECT s_suppkey FROM supplier WHERE s_nationkey = 3
+        |), v AS (
+        |  SELECT psx.p_partkey,
+        |         CAST(sum(ps_cost_cents * ps_availqty) AS BIGINT)
+        |           AS value_cents
+        |  FROM psx JOIN sup3 ON psx.ps_suppkey = sup3.s_suppkey
+        |  GROUP BY psx.p_partkey
+        |), t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM v)
+        |SELECT p_partkey, value_cents,
+        |       round(1e-9 + value_cents * 1.0 / t.total, 6) AS share
+        |FROM v, t WHERE value_cents * 1000 > t.total
+        |ORDER BY value_cents DESC, p_partkey""".stripMargin) { (s, d) =>
+      val sup3 = Tables.supplier(s, d).filter(col("s_nationkey") === 3)
+        .select(col("s_suppkey"))
+      val v = partsuppTable(s, d)
+        .join(broadcast(sup3), col("ps_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"))
+        .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("value_cents"))
+      val t = v.agg(sum(col("value_cents")).as("total"))
+      v.crossJoin(broadcast(t))
+        .filter(col("value_cents") * 1000 > col("total"))
+        .select(col("p_partkey"), col("value_cents"),
+          Num.roundOut(col("value_cents") * 1.0 / col("total"), 6).as("share"))
+        .orderBy(col("value_cents").desc, col("p_partkey"))
+    },
+
+    // TPC-H Q20 silhouette — EXCESS AVAILABILITY: suppliers holding more
+    // than half their shipped volume in stock, per part (the
+    // overstocked-supplier report behind Q20's nested IN chain, here as
+    // the decorrelated join + integer predicate 2·availqty > shipped).
+    QueryDef("q93_excess_availability",
+      s"""WITH $partsuppCteSql, shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |), ex AS (
+        |  SELECT psx.ps_suppkey, count(*) AS n_excess,
+        |         CAST(sum(psx.ps_availqty) AS BIGINT) AS stock_total
+        |  FROM psx JOIN shipped sh ON sh.l_partkey = psx.p_partkey
+        |                          AND sh.l_suppkey = psx.ps_suppkey
+        |  WHERE 2 * psx.ps_availqty > sh.q
+        |  GROUP BY psx.ps_suppkey
+        |)
+        |SELECT s.s_suppkey, s.s_name, ex.n_excess, ex.stock_total
+        |FROM ex JOIN supplier s ON s.s_suppkey = ex.ps_suppkey
+        |ORDER BY s.s_suppkey""".stripMargin) { (s, d) =>
+      val shipped = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      partsuppTable(s, d)
+        .join(shipped,
+          col("p_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"))
+        .filter(lit(2) * col("ps_availqty") > col("q"))
+        .groupBy(col("ps_suppkey"))
+        .agg(count(lit(1)).as("n_excess"), sum(col("ps_availqty")).as("stock_total"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("ps_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_excess"),
+          col("stock_total"))
+        .orderBy(col("s_suppkey"))
     }
   )
 }

@@ -1221,6 +1221,84 @@ class Round8Spec extends AnyFunSuite {
       "an infinite threshold leaves one session per user")
   }
 
+  // ---- wave 13: the derived-partsupp TPC-H tier ----
+
+  test("derived partsupp is a valid relation: <=4 suppliers per part, bounded columns, real keys") {
+    val ps = operators.Supply.partsuppTable(spark, sf0_001)
+    val perPart = ps.groupBy(col("p_partkey")).agg(count(lit(1)).as("c"))
+    assert(perPart.filter(col("c") > 4).count() == 0)
+    assert(ps.filter(col("ps_availqty") < 1 || col("ps_availqty") > 9999).count() == 0)
+    assert(ps.filter(col("ps_cost_cents") < 100 || col("ps_cost_cents") > 99999).count() == 0)
+    val nSupp = Tables.supplier(spark, sf0_001).count()
+    assert(ps.filter(col("ps_suppkey") < 0 || col("ps_suppkey") >= nSupp).count() == 0,
+      "every synthesized suppkey must exist in supplier")
+    // deterministic: two builds are identical
+    val a = ps.orderBy(col("p_partkey"), col("ps_suppkey")).collect().toSeq
+    val b = operators.Supply.partsuppTable(spark, sf0_001)
+      .orderBy(col("p_partkey"), col("ps_suppkey")).collect().toSeq
+    assert(a == b)
+  }
+
+  test("q90 picks exactly one EUROPE supplier per part, and it is the cheapest") {
+    val out = SparkEntry.queries("q90_min_cost_supplier")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("p_partkey")).distinct.length == out.length)
+    // every chosen row is the min cost among that part's EU candidates
+    val eu = Tables.supplier(spark, sf0_001)
+      .join(Tables.nation(spark, sf0_001), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf0_001).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val ps = operators.Supply.partsuppTable(spark, sf0_001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    out.foreach { r =>
+      val cands = ps.filter(p => p._1 == r.getAs[Long]("p_partkey") && eu(p._2))
+      assert(cands.nonEmpty && r.getAs[Long]("ps_cost_cents") == cands.map(_._3).min)
+      assert(eu(r.getAs[Long]("s_suppkey")))
+    }
+  }
+
+  test("q91 per-cell profits sum to the ungrouped total (integer cents conservation)") {
+    val out = SparkEntry.queries("q91_nation_profit")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    val total = Tables.lineitem(spark, sf0_001)
+      .join(operators.Supply.partsuppTable(spark, sf0_001),
+        col("l_partkey") === col("p_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+      .select((floor(lit(100) * col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("long") - col("ps_cost_cents") * col("l_quantity").cast("long")).as("p"))
+      .agg(sum(col("p"))).first().getLong(0)
+    assert(out.map(_.getAs[Long]("profit_cents")).sum == total,
+      "grouping must conserve total profit")
+  }
+
+  test("q92 rows all clear the integer 0.1% threshold and shares are consistent") {
+    val out = SparkEntry.queries("q92_important_stock")(spark, sf0_001).collect()
+    assert(out.nonEmpty, "nation 3 has suppliers at every SF")
+    val totalShare = out.map(_.getAs[Double]("share")).sum
+    assert(totalShare <= 1.0 + 1e-6)
+    val values = out.map(_.getAs[Long]("value_cents"))
+    assert(values.sliding(2).forall(p => p.length < 2 || p.head >= p.last),
+      "ordered by value desc")
+  }
+
+  test("q93 excess flags recompute: every reported supplier has 2*avail > shipped on some part") {
+    val out = SparkEntry.queries("q93_excess_availability")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    val shipped = Tables.lineitem(spark, sf0_001)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("q")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ps = operators.Supply.partsuppTable(spark, sf0_001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { r =>
+      val sk = r.getAs[Long]("s_suppkey")
+      val n = ps.count { case (pk, su, av) =>
+        su == sk && shipped.get((pk, su)).exists(q => 2 * av > q) }
+      assert(r.getAs[Long]("n_excess") == n.toLong, s"supplier $sk excess count")
+    }
+  }
+
   test("m17 gain algebra: integer peak-normalization bounds and cap flag hold for every container") {
     val out = SparkEntry.queries("m17_gain_plan")(spark, sf0_001).collect()
     assert(out.nonEmpty)
