@@ -438,6 +438,43 @@ object Classic {
         |  WHERE c.c_nationkey = n.n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+    },
+
+    // TPC-H Q16 PROPER — parts/supplier relationship count over the
+    // derived partsupp (q76 is the partsupp-FREE silhouette; with
+    // [[Supply.partsuppTable]] the real shape is now expressible): for
+    // each (brand, type, size) outside an excluded brand and inside a
+    // size set, how many DISTINCT suppliers stock it — minus the
+    // "complaint" suppliers (suppkey % 7 = 2, the deterministic
+    // synthesized exclusion standing in for Q16's LIKE '%Complaints%').
+    // The NOT-IN decorrelates to a left-anti join; the distinct count
+    // shuffles (brand, type, size, suppkey) once.
+    QueryDef("q94_partsupp_supplier_cnt",
+      s"""WITH ${Supply.partsuppCteSql}
+        |SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+        |       CAST(count(DISTINCT psx.ps_suppkey) AS BIGINT)
+        |         AS supplier_cnt
+        |FROM psx JOIN part p ON p.p_partkey = psx.p_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |  AND p.p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+        |  AND psx.ps_suppkey NOT IN (
+        |        SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 2)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size""".stripMargin) { (s, d) =>
+      val complaints = Tables.supplier(s, d)
+        .filter(col("s_suppkey") % 7 === 2).select(col("s_suppkey"))
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      Supply.partsuppTable(s, d)
+        .join(broadcast(complaints),
+          col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), "p_partkey")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("int").as("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
     }
   )
 }

@@ -26,7 +26,7 @@ object Similarity {
     * (pinned by VecDotSpec). */
   def dot(a: Column, b: Column): Column = graft.plans.VecDot(a, b)
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private[graft] def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -35,6 +35,99 @@ object Similarity {
     * the oracle bit-for-bit. */
   private def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
     dot(va, vb) / na / nb
+
+  /** Assign normed vectors (vec_id, v, nrm) to their rk≤2 nearest
+    * centroids of the FROZEN codebook — the per-vector-independent IVF
+    * assignment step shared by x101's Δ pass and st21's streaming fold
+    * (one definition, so batch and stream cannot drift). */
+  private[graft] def assignFrozen(n: DataFrame, cents: DataFrame): DataFrame = {
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cent_id"))
+    n.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        Num.roundOut(dot(col("v"), col("cv")) / col("nrm") / col("cn"), 6)
+          .as("sim"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id"), col("v"), col("nrm"), col("rk"), col("cent_id"))
+  }
+
+  /** The frozen centroid codebook (every 50th vector), normed. */
+  private[graft] def frozenCents(s: SparkSession, d: String): DataFrame =
+    withNorm(Tables.embeddings(s, d))
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+
+  /** x101's relational answer — shared VERBATIM with st21's streaming
+    * index maintenance (the x119↔st19 contract applied to ANN serving). */
+  private[graft] val x101OracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v,
+      |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), c AS (
+      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+      |  WHERE vec_id % 50 = 0
+      |), a AS (
+      |  SELECT n.vec_id, c.cent_id,
+      |         round(1e-9 + list_sum(list_transform(range(64),
+      |                 i -> n.v[i+1] * c.cv[i+1])) / n.nrm / c.cn, 6) AS sim
+      |  FROM n, c
+      |), r AS (
+      |  SELECT vec_id, cent_id, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rk
+      |  FROM a
+      |), corpus AS (
+      |  SELECT vec_id, cent_id FROM r WHERE rk = 1
+      |), probes AS (
+      |  SELECT vec_id AS query_id, cent_id FROM r WHERE vec_id < 10 AND rk <= 2
+      |), cand AS (
+      |  SELECT p.query_id, co.vec_id AS cand_id
+      |  FROM probes p JOIN corpus co ON p.cent_id = co.cent_id
+      |  WHERE co.vec_id <> p.query_id
+      |), sims AS (
+      |  SELECT cand.query_id, cand.cand_id,
+      |         round(1e-9 + list_sum(list_transform(range(64),
+      |                 i -> q.v[i+1] * x.v[i+1])) / q.nrm / x.nrm, 6) AS cos_sim
+      |  FROM cand JOIN n q ON q.vec_id = cand.query_id
+      |            JOIN n x ON x.vec_id = cand.cand_id
+      |), rk2 AS (
+      |  SELECT query_id, cand_id, cos_sim, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+      |  FROM sims
+      |)
+      |SELECT query_id, cand_id, cos_sim, CAST(rnk AS INT) AS rnk,
+      |       cand_id % 10 = 7 AS from_delta
+      |FROM rk2 WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** x101's probe finish over an rk≤2 assignment table (vec_id, v, nrm,
+    * rk, cent_id): queries vec_id<10, nprobe=2, exact cosine within the
+    * probed lists, top-5 with Δ provenance. Called on the batch-merged
+    * index AND on st21's converged streaming state. */
+  private[graft] def ivfProbeReport(merged: DataFrame): DataFrame = {
+    val corpus = merged.filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+    val probes = merged.filter(col("vec_id") < 10 && col("rk") <= 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cent_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
+    corpus.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        Num.roundOut(cosine(col("qv"), col("qn"), col("v"), col("nrm")), 6)
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rnk"),
+        (col("cand_id") % 10 === 7).as("from_delta"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 
   /** 32 deterministic pseudo-random hyperplanes (4 tables × 8 planes),
     * components from a fixed LCG — reproducible across sessions. */
@@ -1439,67 +1532,8 @@ object Similarity {
     // the only new work is |Δ| × k broadcast similarity + a partitioned
     // append to the probed layout. Probe cost is unchanged: cent_id
     // equi-join against base ∪ delta lists.
-    QueryDef("x101_ivf_append",
-      """WITH e AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, v,
-        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-        |  FROM e
-        |), c AS (
-        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
-        |  WHERE vec_id % 50 = 0
-        |), a AS (
-        |  SELECT n.vec_id, c.cent_id,
-        |         round(1e-9 + list_sum(list_transform(range(64),
-        |                 i -> n.v[i+1] * c.cv[i+1])) / n.nrm / c.cn, 6) AS sim
-        |  FROM n, c
-        |), r AS (
-        |  SELECT vec_id, cent_id, row_number() OVER (
-        |    PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rk
-        |  FROM a
-        |), corpus AS (
-        |  SELECT vec_id, cent_id FROM r WHERE rk = 1
-        |), probes AS (
-        |  SELECT vec_id AS query_id, cent_id FROM r WHERE vec_id < 10 AND rk <= 2
-        |), cand AS (
-        |  SELECT p.query_id, co.vec_id AS cand_id
-        |  FROM probes p JOIN corpus co ON p.cent_id = co.cent_id
-        |  WHERE co.vec_id <> p.query_id
-        |), sims AS (
-        |  SELECT cand.query_id, cand.cand_id,
-        |         round(1e-9 + list_sum(list_transform(range(64),
-        |                 i -> q.v[i+1] * x.v[i+1])) / q.nrm / x.nrm, 6) AS cos_sim
-        |  FROM cand JOIN n q ON q.vec_id = cand.query_id
-        |            JOIN n x ON x.vec_id = cand.cand_id
-        |), rk2 AS (
-        |  SELECT query_id, cand_id, cos_sim, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
-        |  FROM sims
-        |)
-        |SELECT query_id, cand_id, cos_sim, CAST(rnk AS INT) AS rnk,
-        |       cand_id % 10 = 7 AS from_delta
-        |FROM rk2 WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
-      val merged = ivfAppendMerged(s, d)
-      val corpus = merged.filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
-      val probes = merged.filter(col("vec_id") < 10 && col("rk") <= 2)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("cent_id"))
-      val wRank = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
-      corpus.join(broadcast(probes), Seq("cent_id"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("cand_id"),
-          Num.roundOut(cosine(col("qv"), col("qn"), col("v"), col("nrm")), 6)
-            .as("cos_sim"))
-        .withColumn("rnk", row_number().over(wRank))
-        .filter(col("rnk") <= 5)
-        .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rnk"),
-          (col("cand_id") % 10 === 7).as("from_delta"))
-        .orderBy(col("query_id"), col("rnk"))
+    QueryDef("x101_ivf_append", Similarity.x101OracleSql) { (s, d) =>
+      Similarity.ivfProbeReport(ivfAppendMerged(s, d))
     },
 
     // MUTUAL-kNN GRAPH — the neighborhood graph behind SNN/density

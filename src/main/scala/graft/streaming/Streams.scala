@@ -167,6 +167,36 @@ object Streams {
     stage.toString
   }
 
+  /** Stage EMBEDDINGS split in two disjoint halves (by vec_id parity) —
+    * st21's streaming ingest source. Content-keyed like the others. */
+  private[graft] def stageEmbeddingsSplit(s: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_vecsplit_v1_${graft.ContentKey.key(src)}"))
+    if (!java.nio.file.Files.exists(stage.resolve("_DONE"))) {
+      java.nio.file.Files.createDirectories(stage)
+      Seq(0, 1).foreach { par =>
+        val tmp = stage.resolve(s"tmp_$par")
+        graft.Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 2 === par)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally l.close()
+        }
+        java.nio.file.Files.move(part, stage.resolve(s"batch_$par.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val rest = java.nio.file.Files.list(tmp)
+        try rest.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally rest.close()
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
+      java.nio.file.Files.createFile(stage.resolve("_DONE"))
+    }
+    stage.toString
+  }
+
   /** Delete a derived output directory before a non-idempotent rebuild. */
   private def resetDir(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
@@ -1386,6 +1416,62 @@ object Streams {
           .start()
         try q.processAllAvailable() finally q.stop()
         graft.operators.Analytics.srmReadout(ss.read.parquet(actDir))
+      }
+    },
+
+    // STREAMING IVF INDEX MAINTENANCE — the incremental trilogy (x61
+    // dedup, x101/x128 IVF, x129 BM25) made LIVE: vectors arrive in
+    // micro-batches and each batch's rows are assigned to their rk≤2
+    // nearest centroids of the FROZEN codebook (exactly production:
+    // centroids train once, arrivals assign against them), folded into
+    // the inverted-file state by union+distinct — assignment is
+    // per-vector independent and deterministic, so the fold is
+    // idempotent under replay and the converged state equals the batch
+    // index for ANY slicing. The serve-path finish (nprobe=2 probe,
+    // exact cosine in probed lists, top-5) plus oracle SQL are shared
+    // verbatim with x101 ([[graft.operators.Similarity.assignFrozen]] /
+    // [[graft.operators.Similarity.ivfProbeReport]]).
+    //
+    // Scale: each batch ships (arrivals × 2) assignment rows after a
+    // broadcast-codebook pass over its own vectors; state grows with
+    // the corpus exactly like the persisted inverted file it IS. In
+    // production the union+distinct fold becomes an append of
+    // partitioned files (x101's layout) — the semantics here are the
+    // proof that append converges.
+    QueryDef("st21_stream_ivf",
+      graft.operators.Similarity.x101OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageEmbeddingsSplit(ss, d)
+        val ivfDir = graft.Warehouse.path(s"graft_stivf_v1_${
+          graft.ContentKey.key(java.nio.file.Paths.get(d, "embeddings.parquet"))}")
+        resetDir(ivfDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val hasState = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(ivfDir, "_SUCCESS"))
+            val cents = graft.operators.Similarity.frozenCents(spark, d)
+            val normed = batch
+              .select(col("vec_id"),
+                transform(col("embedding"), _.cast("double")).as("v"))
+              .withColumn("nrm",
+                sqrt(graft.operators.Similarity.dot(col("v"), col("v"))))
+              .select(col("vec_id"), col("v"), col("nrm"))
+            val part = graft.operators.Similarity.assignFrozen(normed, cents)
+            val prior =
+              if (hasState) spark.read.parquet(ivfDir)
+              else part.limit(0)
+            prior.unionByName(part).distinct()
+              .localCheckpoint() // sever from the state file being replaced
+              .write.mode("overwrite").parquet(ivfDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Similarity.ivfProbeReport(ss.read.parquet(ivfDir))
       }
     }
   )

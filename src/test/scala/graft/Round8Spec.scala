@@ -1299,6 +1299,50 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  // ---- wave 14 ----
+
+  test("st21's converged streaming inverted file equals the batch assignment and serves x101's answer") {
+    val stream = SparkEntry.queries("st21_stream_ivf")(spark, sf0_001).collect()
+    val batch = SparkEntry.queries("x101_ivf_append")(spark, sf0_001).collect()
+    assert(stream.toSeq == batch.toSeq,
+      "probe over the streamed index must equal the batch index's answer")
+    // the state itself converges to the batch assignment (as a key set)
+    val key = graft.ContentKey.key(
+      java.nio.file.Paths.get(sf0_001, "embeddings.parquet"))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id").cast("long"), col("rk").cast("int"),
+        col("cent_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val state = keyed(
+      spark.read.parquet(graft.Warehouse.path(s"graft_stivf_v1_$key")))
+    val full = keyed(operators.Similarity.ivfAssignedTable(spark, sf0_001))
+    assert(state == full, "converged streamed assignment must equal batch")
+  }
+
+  test("q94 excludes complaint suppliers and counts match a brute-force recompute") {
+    val out = SparkEntry.queries("q94_partsupp_supplier_cnt")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    val ps = operators.Supply.partsuppTable(spark, sf0_001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, sk) => sk % 7 != 2 }
+    val parts = Tables.part(spark, sf0_001)
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+      .collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[String]("p_brand"), r.getAs[String]("p_type"),
+          r.getAs[Int]("p_size"))).toMap
+    val brute = ps.flatMap { case (pk, sk) => parts.get(pk).map(g => (g, sk)) }
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).distinct.length }
+    out.foreach { r =>
+      val g = (r.getAs[String]("p_brand"), r.getAs[String]("p_type"),
+        r.getAs[Int]("p_size"))
+      assert(r.getAs[Long]("supplier_cnt") == brute(g).toLong, s"group $g")
+      assert(r.getAs[Long]("supplier_cnt") <= 4)
+    }
+    assert(out.length == brute.size, "every qualifying group is reported")
+  }
+
   test("m17 gain algebra: integer peak-normalization bounds and cap flag hold for every container") {
     val out = SparkEntry.queries("m17_gain_plan")(spark, sf0_001).collect()
     assert(out.nonEmpty)
