@@ -1755,6 +1755,123 @@ object Corpus {
           Num.roundOut(coalesce(col("n_fp"), lit(0L)) * 1.0 / col("n_neg"), 6)
             .as("fpp"))
         .orderBy(col("m"))
+    },
+
+    // DEDUP-ADJUSTED MIXTURE WEIGHTS — x81's temperature weights
+    // recomputed over the UNIQUE token mass (global keep-first exact
+    // dedup, x01/x89's survivor rule) next to the raw-mass weights: a
+    // source whose volume is mostly copies loses exactly the weight its
+    // duplicates were buying it (delta_ppm < 0), which is the
+    // double-counting bug in any mixing policy that weighs raw bytes —
+    // weigh-then-dedup and dedup-then-weigh differ, and this table
+    // measures by how much, per source. Same τ=0.5 integer-sqrt weight
+    // formula as x81 on both masses; all counts exact integers, the
+    // ppm columns single integer divisions.
+    //
+    // Scale: one md5-keyed survivor pass (16-byte digests shuffle,
+    // x01's contract) plus two sources-sized weight tables.
+    QueryDef("x140_dedup_adjusted_mix",
+      """WITH tok AS (
+        |  SELECT doc_id, source, md5(text) AS h,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                              w -> len(w) > 0)) AS BIGINT) AS nt
+        |  FROM documents
+        |), surv AS (
+        |  SELECT h, min(doc_id) AS keep FROM tok GROUP BY h
+        |), u AS (
+        |  SELECT t.source, t.nt FROM tok t JOIN surv ON surv.keep = t.doc_id
+        |), raw AS (
+        |  SELECT source, CAST(sum(nt) AS BIGINT) AS m_raw FROM tok GROUP BY 1
+        |), ded AS (
+        |  SELECT source, CAST(sum(nt) AS BIGINT) AS m_uni FROM u GROUP BY 1
+        |), j AS (
+        |  SELECT raw.source, raw.m_raw,
+        |         CAST(coalesce(ded.m_uni, 0) AS BIGINT) AS m_uni
+        |  FROM raw LEFT JOIN ded USING (source)
+        |), w AS (
+        |  SELECT source, m_raw, m_uni,
+        |         CAST(floor(sqrt(m_raw * 1000000.0)) AS BIGINT) AS wr,
+        |         CAST(floor(sqrt(m_uni * 1000000.0)) AS BIGINT) AS wu
+        |  FROM j
+        |), t AS (
+        |  SELECT CAST(sum(wr) AS BIGINT) AS tr,
+        |         CAST(sum(wu) AS BIGINT) AS tu FROM w
+        |)
+        |SELECT source, m_raw AS tokens_raw, m_uni AS tokens_unique,
+        |       CAST((1000000 * wr) // t.tr AS BIGINT) AS ppm_raw,
+        |       CAST((1000000 * wu) // t.tu AS BIGINT) AS ppm_dedup,
+        |       CAST((1000000 * wu) // t.tu - (1000000 * wr) // t.tr
+        |            AS BIGINT) AS delta_ppm
+        |FROM w, t ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+          size(filter(Text.tokens(col("text")), w => length(w) > 0))
+            .cast("long").as("nt"))
+        .localCheckpoint() // raw mass, survivors, and unique mass read it
+      val surv = tok.groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
+      val u = tok.join(surv, col("doc_id") === col("keep"))
+      val raw = tok.groupBy(col("source")).agg(sum(col("nt")).as("m_raw"))
+      val ded = u.groupBy(col("source")).agg(sum(col("nt")).as("m_uni"))
+      val j = raw.join(ded, Seq("source"), "left")
+        .select(col("source"), col("m_raw"),
+          coalesce(col("m_uni"), lit(0L)).as("m_uni"))
+        .withColumn("wr", floor(sqrt(col("m_raw") * lit(1000000.0))).cast("long"))
+        .withColumn("wu", floor(sqrt(col("m_uni") * lit(1000000.0))).cast("long"))
+      val t = j.agg(sum(col("wr")).as("tr"), sum(col("wu")).as("tu"))
+      j.crossJoin(broadcast(t))
+        .select(col("source"), col("m_raw").as("tokens_raw"),
+          col("m_uni").as("tokens_unique"),
+          expr("(1000000 * wr) div tr").as("ppm_raw"),
+          expr("(1000000 * wu) div tu").as("ppm_dedup"),
+          expr("(1000000 * wu) div tu - (1000000 * wr) div tr").as("delta_ppm"))
+        .orderBy(col("source"))
+    },
+
+    // DEGREE ASSORTATIVITY — the fifth graph statistic (after
+    // centrality, components, communities, and modularity): Newman's
+    // degree-correlation coefficient over the symmetrized edge list —
+    // do high-degree nodes link to high-degree nodes? Every moment
+    // (Σx, Σxy, Σx²) is an exact integer sum over directed edges
+    // (symmetry makes the x and y marginals identical); r is assembled
+    // from those integers in one pinned float sequence and rounded —
+    // the x51 group-regression determinism recipe applied to a graph.
+    //
+    // Scale: one labels-free join of the degree table onto the edge
+    // list + a single global aggregate; moments are O(1) columns.
+    QueryDef("x141_assortativity",
+      s"""${Corpus.lpCteSql}, deg AS (
+        |  SELECT src AS node, CAST(count(*) AS BIGINT) AS dg
+        |  FROM e GROUP BY 1
+        |), ed AS (
+        |  SELECT da.dg AS x, db.dg AS y
+        |  FROM e JOIN deg da ON da.node = e.src
+        |         JOIN deg db ON db.node = e.dst
+        |), mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM ed
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT nn.n_nodes, mo.m AS m2,
+        |       CAST((1000 * mo.sx) // mo.m AS BIGINT) AS mean_deg_milli,
+        |       round(1e-9 + (mo.m * mo.sxy - mo.sx * mo.sx) * 1.0
+        |             / (mo.m * mo.sxx - mo.sx * mo.sx), 6) AS r_assort
+        |FROM mo, nn""".stripMargin) { (s, d) =>
+      val (e, _, _) = Corpus.lpPipeline(s, d)
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+      val ed = e
+        .join(broadcast(deg.select(col("node").as("src"), col("dg").as("x"))), "src")
+        .join(broadcast(deg.select(col("node").as("dst"), col("dg").as("y"))), "dst")
+      val mo = ed.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      val nn = deg.agg(count(lit(1)).as("n_nodes"))
+      mo.crossJoin(broadcast(nn))
+        .select(col("n_nodes"), col("m").as("m2"),
+          expr("(1000 * sx) div m").as("mean_deg_milli"),
+          Num.roundOut((col("m") * col("sxy") - col("sx") * col("sx")) * 1.0
+            / (col("m") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("r_assort"))
     }
   )
 

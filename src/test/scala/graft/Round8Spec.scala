@@ -1343,6 +1343,52 @@ class Round8Spec extends AnyFunSuite {
     assert(out.length == brute.size, "every qualifying group is reported")
   }
 
+  // ---- wave 15 ----
+
+  test("x140 unique mass never exceeds raw mass, ppm columns sum to ~1e6, and deltas balance") {
+    val out = SparkEntry.queries("x140_dedup_adjusted_mix")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("tokens_unique") <= r.getAs[Long]("tokens_raw"))
+      assert(r.getAs[Long]("delta_ppm") ==
+        r.getAs[Long]("ppm_dedup") - r.getAs[Long]("ppm_raw"))
+    }
+    // integer-division ppm columns each sum to 1e6 minus truncation dust
+    val sumRaw = out.map(_.getAs[Long]("ppm_raw")).sum
+    val sumDed = out.map(_.getAs[Long]("ppm_dedup")).sum
+    assert(sumRaw > 1000000L - out.length && sumRaw <= 1000000L)
+    assert(sumDed > 1000000L - out.length && sumDed <= 1000000L)
+    // global conservation: unique token mass across sources == tokens of
+    // distinct texts
+    val uniq = Tables.documents(spark, sf0_001)
+      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("keep"))
+      .join(Tables.documents(spark, sf0_001),
+        col("keep") === col("doc_id"))
+      .select(size(filter(graft.functions.Text.tokens(col("text")),
+        w => length(w) > 0)).cast("long").as("nt"))
+      .agg(sum(col("nt"))).first().getLong(0)
+    assert(out.map(_.getAs[Long]("tokens_unique")).sum == uniq)
+  }
+
+  test("x141 assortativity is a valid correlation computed from integer moments") {
+    val out = SparkEntry.queries("x141_assortativity")(spark, sf0_001).collect()
+    assert(out.length == 1)
+    val r = out.head.getAs[Double]("r_assort")
+    assert(r >= -1.0 - 1e-6 && r <= 1.0 + 1e-6, s"r=$r outside [-1,1]")
+    // brute-force from the same edge list
+    val (e, _, _) = operators.Corpus.lpPipeline(spark, sf0_001)
+    val deg = e.collect().map(_.getInt(0))
+      .groupBy(identity).map { case (n, vs) => n -> vs.length }
+    val xy = e.collect().map(row => (deg(row.getInt(0)), deg(row.getInt(1))))
+    val m = xy.length.toLong
+    val sx = xy.map(_._1.toLong).sum
+    val sxy = xy.map(p => p._1.toLong * p._2).sum
+    val sxx = xy.map(p => p._1.toLong * p._1).sum
+    val expect = math.floor(((m * sxy - sx * sx) * 1.0 /
+      (m * sxx - sx * sx) + 1e-9) * 1e6 + 0.5) / 1e6
+    assert(math.abs(r - expect) < 1e-9, s"r=$r expect=$expect")
+  }
+
   test("m17 gain algebra: integer peak-normalization bounds and cap flag hold for every container") {
     val out = SparkEntry.queries("m17_gain_plan")(spark, sf0_001).collect()
     assert(out.nonEmpty)
