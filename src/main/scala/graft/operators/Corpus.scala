@@ -1872,8 +1872,180 @@ object Corpus {
           Num.roundOut((col("m") * col("sxy") - col("sx") * col("sx")) * 1.0
             / (col("m") * col("sxx") - col("sx") * col("sx")), 6)
             .as("r_assort"))
+    },
+
+    // K-CORE DECOMPOSITION — the sixth graph statistic (centrality,
+    // components, communities, modularity, assortativity, now coreness):
+    // per-node max k ∈ {1,2,3} such that the node survives iterated
+    // k-degree peeling (Seidman '83; the Batagelj–Zaveršnik fixpoint run
+    // as SYNCHRONOUS rounds, the x133 LP convention). The LP graph is a
+    // forest (its 2-core is empty — measured), so this runs on a DENSER
+    // deterministic synthesis: a 997-modulus avalanche of doc_id feeds
+    // hub-biased endpoints (src over 64 node ids, dst over the 20 hub
+    // ids), giving a layered graph with all three coreness levels
+    // populated at every SF (doc_id < 400 exists at every SF, so the
+    // graph — like LP's — is SF-invariant). Peeling is unrolled to 4
+    // synchronous rounds on BOTH engines; the fixture converges in 2
+    // (Round8Spec pins the brute-force fixpoint == the round-4 sets, so
+    // the unroll depth is proven sufficient, not assumed).
+    //
+    // Scale: each round is one edges→survivor semi-join + a degree
+    // aggregate with the nodes-sized survivor set broadcast; the edge
+    // list is touched once per round and never self-joined. Coreness
+    // labels at warehouse scale ship as two more broadcast semi-joins.
+    QueryDef("x143_kcore",
+      s"""WITH $kcoreCteSql
+        |SELECT nd.node, nd.deg_full,
+        |       CAST(1 + (CASE WHEN c2.node IS NULL THEN 0 ELSE 1 END)
+        |              + (CASE WHEN c3.node IS NULL THEN 0 ELSE 1 END)
+        |            AS INT) AS coreness
+        |FROM nd LEFT JOIN s2_4 c2 ON c2.node = nd.node
+        |        LEFT JOIN s3_4 c3 ON c3.node = nd.node
+        |ORDER BY nd.node""".stripMargin) { (s, d) =>
+      val e = kcoreGraph(s, d)
+      val nd = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg_full"))
+      val c2 = kcoreSurvivors(e, 2, 4).withColumn("in2", lit(1))
+      val c3 = kcoreSurvivors(e, 3, 4).withColumn("in3", lit(1))
+      nd.join(broadcast(c2), Seq("node"), "left")
+        .join(broadcast(c3), Seq("node"), "left")
+        .select(col("node"), col("deg_full"),
+          (lit(1) + coalesce(col("in2"), lit(0))
+            + coalesce(col("in3"), lit(0))).cast("int").as("coreness"))
+        .orderBy(col("node"))
+    },
+
+    // LOCAL CLUSTERING COEFFICIENT — the seventh graph statistic: per
+    // node, how close its neighborhood is to a clique (Watts–Strogatz
+    // C_v = 2·tri(v) / deg(v)(deg(v)−1)), over x143's layered graph
+    // (q80 counts triangles GLOBALLY on the events graph; this is the
+    // per-node profile). Triangles come from the standard wedge join —
+    // paths a→b→c closed by the a→c edge; on the symmetrized edge list
+    // each unordered triangle at a is counted twice, so tri2 = 2·tri(v)
+    // lands exactly in C_v's numerator and lcc_micro = tri2·10⁶ div
+    // (deg·(deg−1)) is a single integer division (exact, engine-neutral).
+    // Round8Spec pins the whole row set against brute-force adjacency
+    // counting; the fixture is non-degenerate (50 triangles, C_v spans
+    // 0 to 1 — measured before landing).
+    //
+    // Scale: the wedge join's fan-out is Σ deg² — at warehouse scale
+    // the standard mitigation is degree-orientation (enumerate each
+    // wedge from its lowest-degree endpoint, cutting the count to
+    // Σ min-deg·deg and every triangle to one detection); the closing
+    // probe is an equi-join on (a, c), never an all-pairs test.
+    QueryDef("x144_clustering_coeff",
+      s"""WITH $kcoreGraphCteSql, dg AS (
+        |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM e GROUP BY 1
+        |), tr AS (
+        |  SELECT e1.src AS node, CAST(count(*) AS BIGINT) AS tri2
+        |  FROM e e1
+        |  JOIN e e2 ON e2.src = e1.dst
+        |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        |  GROUP BY 1
+        |)
+        |SELECT dg.node, dg.deg,
+        |       CAST(coalesce(tr.tri2, 0) // 2 AS BIGINT) AS n_tri,
+        |       CAST(CASE WHEN dg.deg >= 2
+        |         THEN (coalesce(tr.tri2, 0) * 1000000)
+        |              // (dg.deg * (dg.deg - 1))
+        |         ELSE 0 END AS BIGINT) AS lcc_micro
+        |FROM dg LEFT JOIN tr ON tr.node = dg.node
+        |ORDER BY dg.node""".stripMargin) { (s, d) =>
+      val e = kcoreGraph(s, d)
+      val dg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val tr = e.select(col("src").as("a"), col("dst").as("b"))
+        .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
+        .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+        .groupBy(col("a").as("node")).agg(count(lit(1)).as("tri2"))
+      dg.join(broadcast(tr), Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          expr("coalesce(tri2, 0) div 2").as("n_tri"),
+          when(col("deg") >= 2,
+            expr("(coalesce(tri2, 0) * 1000000) div (deg * (deg - 1))"))
+            .otherwise(0L).as("lcc_micro"))
+        .orderBy(col("node"))
     }
   )
+
+  /** x143's deterministic layered graph: doc_id avalanched through the
+    * 997 modulus, endpoints hub-biased (dst ∈ [0,20) ⊂ src ∈ [0,64)),
+    * symmetrized and deduped. SF-invariant by the doc_id < 400 cap. */
+  private[graft] def kcoreGraph(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val e0 = Tables.documents(s, d)
+      .filter(col("doc_id") < 400)
+      .select(((col("doc_id") * 48271 + 11) % 997).as("h"))
+      .filter(col("h") % 3 === 0)
+      .select((col("h") % 64).cast("int").as("src"),
+        expr("(h div 31) % 20").cast("int").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint() // tiny edge list feeds every peel round
+  }
+
+  /** Synchronous k-degree peeling, `rounds` rounds: survivors after
+    * round 1 are nodes of full degree ≥ k; each later round restricts
+    * the edge list to both-endpoint survivors and re-applies the degree
+    * threshold. The survivor set only shrinks, so extra rounds past the
+    * fixpoint are no-ops (Round8Spec pins fixpoint-by-round-4). */
+  private[graft] def kcoreSurvivors(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var surv = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("dg"))
+      .filter(col("dg") >= k).select(col("node"))
+      .localCheckpoint() // nodes-sized; severs the iteration lineage
+    for (_ <- 2 to rounds) {
+      surv = e
+        .join(broadcast(surv.select(col("node").as("src"))), "src")
+        .join(broadcast(surv.select(col("node").as("dst"))), "dst")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select(col("node"))
+        .localCheckpoint()
+    }
+    surv
+  }
+
+  /** x143's graph + unrolled peels as DuckDB CTEs (h → e0 → e → nd →
+    * s2_1..s2_4 → s3_1..s3_4), one definition for the oracle. `lazy`
+    * because `entries` (declared earlier) interpolates it during object
+    * init — a strict val here would read as null there (the Ln2Fp6
+    * declaration-order lesson). */
+  private[graft] lazy val kcoreCteSql: String = {
+    def peel(k: Int, i: Int): String = {
+      val prev = s"s${k}_${i - 1}"
+      s"""s${k}_$i AS (
+         |  SELECT e.src AS node FROM e
+         |  JOIN $prev a ON a.node = e.src
+         |  JOIN $prev b ON b.node = e.dst
+         |  GROUP BY 1 HAVING count(*) >= $k
+         |)""".stripMargin
+    }
+    val rounds = (for (k <- Seq(2, 3); i <- 2 to 4) yield peel(k, i))
+      .mkString(", ")
+    s"""$kcoreGraphCteSql, nd AS (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg_full
+       |  FROM e GROUP BY 1
+       |), s2_1 AS (SELECT node FROM nd WHERE deg_full >= 2),
+       |s3_1 AS (SELECT node FROM nd WHERE deg_full >= 3),
+       |$rounds""".stripMargin
+  }
+
+  /** Just the graph synthesis (h → e0 → e) — shared by x143's peels and
+    * x144's wedge join. Same `lazy` rationale as [[kcoreCteSql]]. */
+  private[graft] lazy val kcoreGraphCteSql: String =
+    """h AS (
+      |  SELECT CAST((doc_id * 48271 + 11) % 997 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id < 400
+      |), e0 AS (
+      |  SELECT DISTINCT CAST(h % 64 AS INT) AS src,
+      |         CAST((h // 31) % 20 AS INT) AS dst
+      |  FROM h WHERE h % 3 = 0
+      |    AND CAST(h % 64 AS INT) <> CAST((h // 31) % 20 AS INT)
+      |), e AS (
+      |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+      |)""".stripMargin
 
   /** Two integer HITS iterations over a bipartite (user_id, event_type)
     * edge multiset: distinct edges, then alternating join+aggregate

@@ -1312,6 +1312,113 @@ object Multimodal {
           expr("(sum_abs * least(gain_milli, 20000)) div (1000 * k)")
             .as("post_mean_abs"))
         .orderBy(col("doc_id"))
+    },
+
+    // SHOT-BOUNDARY DETECTION over the frame-energy contour — the video
+    // scene-cut shape run on m10's audio frames (the contour is the
+    // common abstraction: a real video pipeline swaps per-frame Σ|s| for
+    // a per-frame histogram distance and keeps this exact plan): a cut
+    // is a frame-to-frame energy jump ≥ 1/16 of the doc's MEAN frame
+    // energy — relative, so loud and quiet containers are judged on the
+    // same footing, and exact-integer (16·|Δ|·nf ≥ Σfe; threshold chosen
+    // from the measured delta distribution: ~p87, giving a sparse ~13%
+    // cut rate rather than all-or-nothing). Per doc: frame count, cut
+    // count, first cut frame (1-indexed frame AFTER the jump; 0 = none),
+    // the largest jump, and the segment count the cuts imply — the
+    // keyframe-extraction work list (m03 samples fixed frames; this
+    // samples WHERE THE CONTENT CHANGES). Round8Spec re-derives every
+    // row from raw text bytes.
+    //
+    // Scale: the contour and its deltas live and die inside the same
+    // iterator-streamed mapPartitions pass as m09/m10/m17 — one payload
+    // scan, O(1) columns out per doc; the oracle recomputes the identical
+    // contour relationally from hexed bytes (m02's move).
+    QueryDef("m18_shot_cuts",
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 4
+        |), by AS (
+        |  SELECT doc_id, n, list_transform(range(n), o ->
+        |    (strpos('0123456789ABCDEF',
+        |            substring(hx, 2 * CAST(o AS INT) + 1, 1)) - 1) * 16 +
+        |     strpos('0123456789ABCDEF',
+        |            substring(hx, 2 * CAST(o AS INT) + 2, 1)) - 1) AS b
+        |  FROM p
+        |), sm AS (
+        |  SELECT doc_id, CAST(n // 2 AS INT) AS k,
+        |         list_transform(range(n // 2), i ->
+        |           CASE WHEN b[2 * CAST(i AS INT) + 2] >= 128
+        |             THEN b[2 * CAST(i AS INT) + 1]
+        |                  + 256 * b[2 * CAST(i AS INT) + 2] - 65536
+        |             ELSE b[2 * CAST(i AS INT) + 1]
+        |                  + 256 * b[2 * CAST(i AS INT) + 2] END) AS sv
+        |  FROM by
+        |), fe AS (
+        |  SELECT doc_id, CAST(k // 64 AS INT) AS nf,
+        |         list_transform(range(k // 64), f ->
+        |           CAST(list_sum(list_transform(range(64), i ->
+        |             abs(sv[64 * CAST(f AS INT) + CAST(i AS INT) + 1])))
+        |           AS BIGINT)) AS fe
+        |  FROM sm WHERE k >= 128
+        |), dl AS (
+        |  SELECT doc_id, nf, CAST(list_sum(fe) AS BIGINT) AS se,
+        |         list_transform(range(nf - 1), f ->
+        |           abs(fe[CAST(f AS INT) + 2] - fe[CAST(f AS INT) + 1]))
+        |           AS dd
+        |  FROM fe
+        |), ct AS (
+        |  SELECT doc_id, nf, se, dd,
+        |         list_transform(dd, x ->
+        |           CASE WHEN 16 * x * nf >= se THEN 1 ELSE 0 END) AS cf
+        |  FROM dl
+        |)
+        |SELECT doc_id, nf AS n_frames,
+        |       CAST(list_sum(cf) AS INT) AS n_cuts,
+        |       CAST(CASE WHEN list_sum(cf) = 0 THEN 0
+        |            ELSE list_position(cf, 1) + 1 END AS INT)
+        |         AS first_cut_frame,
+        |       CAST(list_max(dd) AS BIGINT) AS max_delta,
+        |       CAST(list_sum(cf) + 1 AS INT) AS n_segments,
+        |       round(1e-9 + list_sum(cf) * 1.0 / (nf - 1), 4) AS cut_ratio
+        |FROM ct ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_frames", IntegerType, nullable = false),
+        StructField("n_cuts", IntegerType, nullable = false),
+        StructField("first_cut_frame", IntegerType, nullable = false),
+        StructField("max_delta", LongType, nullable = false)))
+      val enc = RowEncoder.encoderFor(schema)
+      wavPayloads(s, d)
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            val fe = WavReader.frameEnergies(r.getAs[Array[Byte]](1), 64)
+            if (fe.length < 2) None
+            else {
+              val nf = fe.length
+              val se = fe.sum
+              var cuts = 0; var first = 0; var maxD = 0L
+              var f = 0
+              while (f < nf - 1) {
+                val d0 = math.abs(fe(f + 1) - fe(f))
+                if (d0 > maxD) maxD = d0
+                if (16L * d0 * nf >= se) {
+                  cuts += 1
+                  if (first == 0) first = f + 2 // 1-indexed frame after jump
+                }
+                f += 1
+              }
+              Some(Row(r.getLong(0), nf, cuts, first, maxD))
+            }
+          }
+        }(enc)
+        .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+          col("first_cut_frame"), col("max_delta"),
+          (col("n_cuts") + 1).as("n_segments"),
+          Num.roundOut(col("n_cuts") * 1.0 / (col("n_frames") - 1), 4)
+            .as("cut_ratio"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -2326,6 +2326,86 @@ object TextAnalysis {
           expr("(sr * 1000) div n_docs").as("avg_raw_milli"),
           expr("(sn * 1000) div n_docs").as("avg_norm_milli"))
         .orderBy(col("source"), col("decile"))
+    },
+
+    // ROC-AUC BY RANK-SUM (Mann–Whitney U) — the single-number ranking
+    // metric that completes x117's eval gate: the calibration table
+    // shows WHERE x93's scorer is miscalibrated, AUC says whether it
+    // RANKS positives above negatives at all. Computed without
+    // materializing pairs: docs collapse to score-VALUE level (the
+    // milli-mean score, offset by +10⁶ so integer `div` = floor on both
+    // engines), a running negative count below each value gives every
+    // positive its concordant pairs, ties credit ½ via the same-value
+    // negative count — auc_num2 = Σ_v pos(v)·(2·neg_below(v) + neg_at(v))
+    // is an EXACT INTEGER equal to 2·(wins + ½·ties), and AUC/Gini are
+    // single final divisions of it (Round8Spec pins auc_num2 against the
+    // brute-force pair count).
+    //
+    // Scale: doc→value collapse is one hash aggregate over a BOUNDED
+    // domain (milli-mean ∈ [0, 2·10⁶], weights ∈ [−1000, 1000]), so the
+    // global running-sum window runs over ≤ 2·10⁶ + 1 value rows — a
+    // bounded-size table regardless of corpus size (and x118's two-pass
+    // prefix scan is the drop-in if the domain were ever unbounded). No
+    // doc×doc pair is ever formed.
+    QueryDef("x142_auc_rank",
+      s"""WITH $hashedScoreCteSql, $qualityMSql, lab AS (
+        |  SELECT doc_id, $qualitySql AS quality
+        |  FROM m WHERE n_tokens > 0
+        |), j AS (
+        |  SELECT sc.doc_id,
+        |         CAST((1000 * sc.score_sum + 1000000 * sc.n_tokens)
+        |              // sc.n_tokens AS BIGINT) AS sm,
+        |         CASE WHEN lab.quality >= 0.63 THEN 1 ELSE 0 END AS pos
+        |  FROM sc JOIN lab USING (doc_id)
+        |), v AS (
+        |  SELECT sm, CAST(sum(pos) AS BIGINT) AS p,
+        |         CAST(count(*) - sum(pos) AS BIGINT) AS q
+        |  FROM j GROUP BY sm
+        |), w AS (
+        |  SELECT sm, p, q,
+        |         CAST(coalesce(sum(q) OVER (ORDER BY sm
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS q_below
+        |  FROM v
+        |), a AS (
+        |  SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |         CAST(sum(q) AS BIGINT) AS n_neg,
+        |         CAST(count(*) AS BIGINT) AS n_values,
+        |         CAST(sum(p * (2 * q_below + q)) AS BIGINT) AS auc_num2
+        |  FROM w
+        |)
+        |SELECT n_pos, n_neg, n_values, auc_num2,
+        |       round(1e-9 + auc_num2 * 0.5 / (n_pos * n_neg), 6) AS auc,
+        |       round(1e-9 + (auc_num2 * 1.0 / (n_pos * n_neg) - 1), 6)
+        |         AS gini
+        |FROM a""".stripMargin) { (s, d) =>
+      val sc = hashedScoreTable(s, d)
+        .select(col("doc_id"),
+          expr("(1000 * score_sum + 1000000 * n_tokens) div n_tokens")
+            .as("sm"))
+      val lab = Tables.documents(s, d)
+        .filter(size(Text.tokens(col("text"))) > 0)
+        .select(col("doc_id"), qualityCol.as("quality"))
+      val v = sc.join(lab, "doc_id")
+        .select(col("sm"),
+          when(col("quality") >= 0.63, 1L).otherwise(0L).as("pos"))
+        .groupBy(col("sm"))
+        .agg(sum(col("pos")).as("p"),
+          (count(lit(1)) - sum(col("pos"))).as("q"))
+      val w = v.withColumn("q_below", coalesce(
+        sum(col("q")).over(Window.orderBy(col("sm"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      w.agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+          count(lit(1)).as("n_values"),
+          sum(col("p") * (lit(2L) * col("q_below") + col("q")))
+            .as("auc_num2"))
+        .select(col("n_pos"), col("n_neg"), col("n_values"), col("auc_num2"),
+          Num.roundOut(
+            col("auc_num2") * 0.5 / (col("n_pos") * col("n_neg")), 6)
+            .as("auc"),
+          Num.roundOut(
+            col("auc_num2") * 1.0 / (col("n_pos") * col("n_neg")) - 1.0, 6)
+            .as("gini"))
     }
   )
 

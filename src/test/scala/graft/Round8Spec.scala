@@ -1404,6 +1404,148 @@ class Round8Spec extends AnyFunSuite {
       assert(r.getAs[Long]("headroom_milli") == 1000L * (32767L - peak) / 32767L)
     }
   }
+
+  // ---- wave 16 ----
+
+  test("x142 auc_num2 equals the brute-force Mann–Whitney pair count and auc is its single normalization") {
+    val out = SparkEntry.queries("x142_auc_rank")(spark, sf0_001).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // independent recompute: per-doc milli-mean score from the shared
+    // score table, quality label re-derived from raw text by the formula
+    // (not via qualityCol), then ALL pos×neg pairs counted directly
+    val sm = operators.TextAnalysis.hashedScoreTable(spark, sf0_001)
+      .selectExpr("doc_id",
+        "(1000 * score_sum + 1000000 * n_tokens) div n_tokens AS sm")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("text")).collect()
+    def round4(x: Double): Double =
+      math.floor((x + 1e-9) * 1e4 + 0.5) / 1e4
+    val pairs = docs.flatMap { row =>
+      val id = row.getLong(0)
+      sm.get(id).map { score =>
+        val ws = row.getString(1).split(" ", -1).toSeq
+        val nt = ws.length.toDouble
+        val q = round4(0.5 * (ws.distinct.length / nt)
+          + 0.3 * (1 - ws.count(w => w == "a" || w == "the") / nt)
+          + 0.2 * math.min(ws.map(_.length).sum / nt / 8.0, 1.0))
+        (score, q >= 0.63)
+      }
+    }
+    val pos = pairs.filter(_._2).map(_._1)
+    val neg = pairs.filterNot(_._2).map(_._1)
+    assert(r.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(r.getAs[Long]("n_neg") == neg.length.toLong)
+    var wins = 0L; var ties = 0L
+    for (p <- pos; n <- neg) {
+      if (p > n) wins += 1 else if (p == n) ties += 1
+    }
+    assert(r.getAs[Long]("auc_num2") == 2 * wins + ties,
+      s"num2=${r.getAs[Long]("auc_num2")} wins=$wins ties=$ties")
+    val expectAuc = math.floor(((2 * wins + ties) * 0.5
+      / (pos.length.toLong * neg.length) + 1e-9) * 1e6 + 0.5) / 1e6
+    assert(math.abs(r.getAs[Double]("auc") - expectAuc) < 1e-9)
+    assert(math.abs(r.getAs[Double]("gini")
+      - (2 * r.getAs[Double]("auc") - 1)) < 3e-6, "gini is 2·auc − 1")
+  }
+
+  test("x143 coreness matches brute-force peeling run to its fixpoint (so the 4-round unroll suffices)") {
+    val out = SparkEntry.queries("x143_kcore")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    val e = operators.Corpus.kcoreGraph(spark, sf0_001).collect()
+      .map(x => (x.getInt(0), x.getInt(1)))
+    val adj = e.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    def core(k: Int): Set[Int] = {
+      var surv = adj.keySet.toSet
+      var changed = true
+      while (changed) {
+        val nxt = surv.filter(v => (adj(v) & surv).size >= k)
+        changed = nxt != surv
+        surv = nxt
+      }
+      surv
+    }
+    val (c2, c3) = (core(2), core(3))
+    assert(c3.subsetOf(c2), "cores must nest")
+    val byNode = out.map(x =>
+      x.getInt(0) -> (x.getAs[Long]("deg_full"), x.getAs[Int]("coreness"))).toMap
+    assert(byNode.keySet == adj.keySet, "every graph node is reported once")
+    byNode.foreach { case (n, (df, cn)) =>
+      assert(df == adj(n).size.toLong, s"deg_full of node $n")
+      val expect = 1 + (if (c2(n)) 1 else 0) + (if (c3(n)) 1 else 0)
+      assert(cn == expect, s"coreness of node $n: got $cn expect $expect")
+    }
+    // the fixture populates all three layers — the decomposition is
+    // non-degenerate at every SF (the graph is SF-invariant by the
+    // doc_id < 400 cap)
+    assert(Set(1, 2, 3).subsetOf(byNode.values.map(_._2).toSet))
+  }
+
+  // ---- wave 17 ----
+
+  test("x144 local clustering coefficients match brute-force adjacency counting") {
+    val out = SparkEntry.queries("x144_clustering_coeff")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    val e = operators.Corpus.kcoreGraph(spark, sf0_001).collect()
+      .map(x => (x.getInt(0), x.getInt(1)))
+    val adj = e.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val byNode = out.map(x => x.getInt(0) ->
+      (x.getAs[Long]("deg"), x.getAs[Long]("n_tri"), x.getAs[Long]("lcc_micro"))).toMap
+    assert(byNode.keySet == adj.keySet)
+    var anyMid = false
+    byNode.foreach { case (v, (deg, nTri, lcc)) =>
+      val nb = adj(v)
+      assert(deg == nb.size.toLong, s"deg of $v")
+      val tri = nb.toSeq.combinations(2).count {
+        case Seq(b, c) => adj(b).contains(c)
+        case _         => false
+      }
+      assert(nTri == tri.toLong, s"triangles of $v")
+      val expectLcc =
+        if (deg >= 2) (2L * tri * 1000000L) / (deg * (deg - 1)) else 0L
+      assert(lcc == expectLcc, s"lcc of $v")
+      if (lcc > 0 && lcc < 1000000L) anyMid = true
+    }
+    // non-degenerate fixture: coefficients strictly between 0 and 1 exist
+    assert(anyMid, "every lcc is 0 or 1 — fixture degenerate")
+  }
+
+  test("m18 cut accounting re-derives from raw text bytes, frame for frame") {
+    val out = SparkEntry.queries("m18_shot_cuts")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var anyCut = false
+    out.foreach { r =>
+      val tb = docs(r.getLong(0)).getBytes("UTF-8")
+      val k = tb.length / 2
+      val sv = (0 until k).map { i =>
+        ((tb(2 * i) & 0xff) | ((tb(2 * i + 1) & 0xff) << 8)).toShort.toLong
+      }
+      val fe = (0 until k / 64).map(f =>
+        (0 until 64).map(i => math.abs(sv(f * 64 + i))).sum)
+      val nf = fe.length
+      assert(nf >= 2, "rows only for docs with at least two frames")
+      assert(r.getAs[Int]("n_frames") == nf)
+      val se = fe.sum
+      val dd = (0 until nf - 1).map(f => math.abs(fe(f + 1) - fe(f)))
+      val cutIdx = dd.zipWithIndex.filter { case (x, _) => 16L * x * nf >= se }
+      assert(r.getAs[Int]("n_cuts") == cutIdx.length)
+      assert(r.getAs[Int]("first_cut_frame") ==
+        cutIdx.headOption.map(_._2 + 2).getOrElse(0))
+      assert(r.getAs[Long]("max_delta") == dd.max)
+      assert(r.getAs[Int]("n_segments") == cutIdx.length + 1)
+      if (cutIdx.nonEmpty) anyCut = true
+    }
+    assert(anyCut, "threshold yields no cuts anywhere — fixture degenerate")
+    // sparse, not all-or-nothing: global cut rate within the designed band
+    val cuts = out.map(_.getAs[Int]("n_cuts")).sum.toDouble
+    val deltas = out.map(r => r.getAs[Int]("n_frames") - 1).sum.toDouble
+    assert(cuts / deltas > 0.01 && cuts / deltas < 0.5,
+      s"global cut rate ${cuts / deltas} outside (0.01, 0.5)")
+  }
 }
 
 /** Per-query analyzability canary (VERDICT r7 item 8): every registered
