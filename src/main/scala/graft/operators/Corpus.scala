@@ -1965,6 +1965,65 @@ object Corpus {
             expr("(coalesce(tri2, 0) * 1000000) div (deg * (deg - 1))"))
             .otherwise(0L).as("lcc_micro"))
         .orderBy(col("node"))
+    },
+
+    // COMMUNITY CONDUCTANCE — x138's modularity says how much better
+    // than chance the LP partition is; conductance says how LEAKY each
+    // community is in absolute terms (φ_c = cut / min(vol, 2m − vol),
+    // the Shi–Malik / Leskovec NCP quantity): cut counts directed edges
+    // leaving the community, vol its directed degree mass, both exact
+    // integers from the SAME factored lpPipeline / lpCteSql as x133/x138
+    // — one partition definition, three judges of it. φ in integer
+    // micro units via a single guarded division (min = 0, i.e. a
+    // whole-graph community, reports 0 — nothing to leak through).
+    // Round8Spec recomputes every community from collected edges+labels
+    // and pins the cross-community symmetry Σcut = 2·(inter edges).
+    //
+    // Scale: two broadcast label probes onto the edge list (cut) + one
+    // onto the degree table (vol); shuffles are communities-sized.
+    QueryDef("x145_conductance",
+      s"""${Corpus.lpCteSql}, dg AS (
+        |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM e GROUP BY 1
+        |), mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e),
+        |vl AS (
+        |  SELECT l2.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+        |         CAST(sum(dg.deg) AS BIGINT) AS vol
+        |  FROM l2 JOIN dg ON dg.node = l2.node GROUP BY 1
+        |), ct AS (
+        |  SELECT la.lbl, CAST(count(*) AS BIGINT) AS cut
+        |  FROM e JOIN l2 la ON la.node = e.src
+        |         JOIN l2 lb ON lb.node = e.dst
+        |  WHERE la.lbl <> lb.lbl GROUP BY 1
+        |)
+        |SELECT vl.lbl, vl.n_nodes, vl.vol,
+        |       CAST(coalesce(ct.cut, 0) AS BIGINT) AS cut,
+        |       CAST(CASE WHEN least(vl.vol, mm.m2 - vl.vol) = 0 THEN 0
+        |            ELSE (coalesce(ct.cut, 0) * 1000000)
+        |                 // least(vl.vol, mm.m2 - vl.vol) END AS BIGINT)
+        |         AS conductance_micro
+        |FROM vl LEFT JOIN ct USING (lbl), mm
+        |ORDER BY vl.lbl""".stripMargin) { (s, d) =>
+      val (e, _, l2) = Corpus.lpPipeline(s, d)
+      val dg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val mm = e.agg(count(lit(1)).as("m2"))
+      val vl = l2.join(dg, "node")
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("vol"))
+      val ct = e
+        .join(broadcast(l2.select(col("node").as("src"), col("lbl").as("la"))), "src")
+        .join(broadcast(l2.select(col("node").as("dst"), col("lbl").as("lb"))), "dst")
+        .filter(col("la") =!= col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("cut"))
+      vl.join(broadcast(ct), Seq("lbl"), "left")
+        .crossJoin(broadcast(mm))
+        .select(col("lbl"), col("n_nodes"), col("vol"),
+          coalesce(col("cut"), lit(0L)).as("cut"),
+          when(least(col("vol"), col("m2") - col("vol")) === 0, 0L)
+            .otherwise(expr(
+              "(coalesce(cut, 0) * 1000000) div least(vol, m2 - vol)"))
+            .as("conductance_micro"))
+        .orderBy(col("lbl"))
     }
   )
 

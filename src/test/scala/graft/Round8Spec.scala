@@ -1546,6 +1546,33 @@ class Round8Spec extends AnyFunSuite {
     assert(cuts / deltas > 0.01 && cuts / deltas < 0.5,
       s"global cut rate ${cuts / deltas} outside (0.01, 0.5)")
   }
+
+  test("x145 conductance recomputes from collected edges+labels, and cuts are cross-community symmetric") {
+    val out = SparkEntry.queries("x145_conductance")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    val (eDf, _, l2Df) = operators.Corpus.lpPipeline(spark, sf0_001)
+    val e = eDf.collect().map(x => (x.getInt(0), x.getInt(1)))
+    val lbl = l2Df.collect().map(x => x.getInt(0) -> x.getInt(1)).toMap
+    val deg = e.groupBy(_._1).map { case (k, vs) => k -> vs.length }
+    val m2 = e.length.toLong
+    val byLbl = out.map(r => r.getAs[Int]("lbl") ->
+      (r.getAs[Long]("n_nodes"), r.getAs[Long]("vol"), r.getAs[Long]("cut"),
+        r.getAs[Long]("conductance_micro"))).toMap
+    assert(byLbl.keySet == lbl.values.toSet, "one row per community")
+    byLbl.foreach { case (c, (n, vol, cut, phi)) =>
+      val members = lbl.collect { case (v, l) if l == c => v }.toSet
+      assert(n == members.size.toLong)
+      assert(vol == members.toSeq.map(deg(_).toLong).sum)
+      val expCut = e.count { case (u, v) => lbl(u) == c && lbl(v) != c }.toLong
+      assert(cut == expCut, s"cut of community $c")
+      val den = math.min(vol, m2 - vol)
+      assert(phi == (if (den == 0) 0L else cut * 1000000L / den))
+      assert(phi >= 0L && phi <= 1000000L, s"phi of $c outside [0,1]")
+    }
+    // every cut edge leaves one community and enters another: totals agree
+    val inter = e.count { case (u, v) => lbl(u) != lbl(v) }.toLong
+    assert(byLbl.values.map(_._3).sum == inter)
+  }
 }
 
 /** Per-query analyzability canary (VERDICT r7 item 8): every registered
