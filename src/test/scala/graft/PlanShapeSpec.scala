@@ -283,4 +283,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected only the 3-group aggregate (+output sort), got ${shuffles.size} exchanges")
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
   }
+
+  test("x142 AUC: no pair materialization — every join is hash-based, never nested-loop or cartesian") {
+    // the whole point of the rank-sum form is avoiding pos×neg pairs; a
+    // BNLJ or cartesian anywhere means the collapse-to-values design broke
+    val nodes = executedAll(SparkEntry.queries("x142_auc_rank")(spark, sf0_001))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "pair-free AUC must not plan a nested-loop join")
+  }
+
+  test("x143/x144/x145 graph statistics: wedge joins and peels stay equi-join, never cartesian") {
+    Seq("x143_kcore", "x144_clustering_coeff", "x145_conductance").foreach { q =>
+      val nodes = executedAll(SparkEntry.queries(q)(spark, sf0_001))
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$q degenerated to a cartesian product")
+    }
+    // the peel/wedge probes themselves must stay keyed; x145 is exempt
+    // from the BNLJ ban only for its one-row 2m anchor (the house
+    // broadcast-of-scalar pattern), which x143/x144 don't need
+    Seq("x143_kcore", "x144_clustering_coeff").foreach { q =>
+      val nodes = executedAll(SparkEntry.queries(q)(spark, sf0_001))
+      assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        s"$q planned a nested-loop join — an edge/label probe lost its key")
+    }
+  }
 }
