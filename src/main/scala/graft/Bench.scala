@@ -90,6 +90,12 @@ object Bench {
     val configs =
       s"""{"base_join_3run_min":$baseCfg,"fact_serving_3run_min":$factCfg,"speedup":$speedup,"agg_matview_3run_min":$mvCfg,"speedup_matview":$speedupMv}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"configs":$configs,"sf":"$sfDir"}""")
+    // Compact totals record printed LAST (VERDICT r8 item 5): the driver
+    // archives only the final ~2000 bytes of output, which truncates the
+    // per-query map mid-JSON — this self-contained line is small enough
+    // to always survive the tail, so the round total, query count, and
+    // config comparison stay recoverable from BENCH_r{N}.json alone.
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"configs":$configs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,32 +76,49 @@ object Corpus {
       |FROM l2 JOIN l1 USING (node) JOIN sz ON sz.lbl = l2.lbl
       |ORDER BY l2.node""".stripMargin
 
-  /** The label-propagation pipeline: symmetrized deterministic edge list
-    * plus the round-1 and round-2 label vectors — shared by x133 (the
-    * community report) and x138 (modularity of the same partition). */
-  private[graft] def lpPipeline(s: org.apache.spark.sql.SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+  /** Symmetrized deterministic LP edge list — recomputed per query (the
+    * doc_id predicate pushes to the parquet scan; edges are tiny). */
+  private def lpEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val e0 = Tables.documents(s, d)
       .filter(col("doc_id") < 400 && (col("doc_id") * 48271) % 100 < 25)
       .select((col("doc_id") % 100).cast("int").as("src"),
         ((col("doc_id") * 31) % 100).cast("int").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint() // tiny edge list feeds both rounds + modularity
-    val l0 = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").cast("int").as("lbl"))
-    def lpRound(l: DataFrame): DataFrame =
-      e.join(broadcast(l.withColumnRenamed("node", "dst")), Seq("dst"))
-        .groupBy(col("src").as("node"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("node")).orderBy(col("c").desc, col("lbl"))))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("lbl"))
-        .localCheckpoint() // nodes-sized; severs the iteration lineage
-    val l1 = lpRound(l0)
-    (e, l1, lpRound(l1))
+  }
+
+  /** The label-propagation pipeline: the edge list plus the round-1 and
+    * round-2 label vectors — ONE partition definition shared by x133
+    * (community report), x138 (modularity), and x145 (conductance). The
+    * label table is a persisted content-keyed [[DerivedTable]] (VERDICT
+    * r8 item 4): the iterative fold runs once per source CONTENT, after
+    * which each judge of the partition pays only its own finish cost —
+    * the same artifact discipline as the fingerprint/shingle/IVF tables.
+    */
+  private[graft] def lpPipeline(s: org.apache.spark.sql.SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val e = lpEdges(s, d)
+    val labels = DerivedTable(s, d, "documents", "lplabels") {
+      val l0 = e.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").cast("int").as("lbl"))
+      def lpRound(l: DataFrame): DataFrame =
+        e.join(broadcast(l.withColumnRenamed("node", "dst")), Seq("dst"))
+          .groupBy(col("src").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("node")).orderBy(col("c").desc, col("lbl"))))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("lbl"))
+          .localCheckpoint() // nodes-sized; severs the iteration lineage
+      val l1 = lpRound(l0)
+      l1.join(lpRound(l1).withColumnRenamed("lbl", "lbl2"), "node")
+        .select(col("node"), col("lbl").as("lbl1"), col("lbl2"))
+    }
+    (e,
+      labels.select(col("node"), col("lbl1").as("lbl")),
+      labels.select(col("node"), col("lbl2").as("lbl")))
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -1928,11 +1945,16 @@ object Corpus {
     // counting; the fixture is non-degenerate (50 triangles, C_v spans
     // 0 to 1 — measured before landing).
     //
-    // Scale: the wedge join's fan-out is Σ deg² — at warehouse scale
-    // the standard mitigation is degree-orientation (enumerate each
-    // wedge from its lowest-degree endpoint, cutting the count to
-    // Σ min-deg·deg and every triangle to one detection); the closing
-    // probe is an equi-join on (a, c), never an all-pairs test.
+    // Scale: the wedge join is DEGREE-ORIENTED (VERDICT r8 item 6):
+    // each undirected edge points from its lower-(deg, id) endpoint, so
+    // wedges enumerate only from each triangle's lowest-degree vertex —
+    // O(Σ outdeg²) with outdeg ≤ O(√m) on ANY graph (the classic
+    // Chiba–Nishizeki / Schank–Wagner bound), killing the hub term a
+    // symmetric Σ deg² join pays on power-law graphs. Each triangle is
+    // detected exactly ONCE and exploded to its three vertices; the
+    // closing probe stays an equi-join on (b, c), never an all-pairs
+    // test. The oracle keeps the symmetric wedge form, pinning
+    // oriented == symmetric counts; Round9Spec pins it per node.
     QueryDef("x144_clustering_coeff",
       s"""WITH $kcoreGraphCteSql, dg AS (
         |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
@@ -1954,10 +1976,30 @@ object Corpus {
         |ORDER BY dg.node""".stripMargin) { (s, d) =>
       val e = kcoreGraph(s, d)
       val dg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      val tr = e.select(col("src").as("a"), col("dst").as("b"))
-        .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
-        .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
-        .groupBy(col("a").as("node")).agg(count(lit(1)).as("tri2"))
+        .localCheckpoint() // orients the edges AND anchors the report
+      // orient: keep each undirected edge once, pointing low-(deg, id) →
+      // high-(deg, id); both degree probes are broadcast node-table joins
+      val o = e
+        .join(broadcast(dg.select(col("node").as("src"),
+          col("deg").as("ds"))), "src")
+        .join(broadcast(dg.select(col("node").as("dst"),
+          col("deg").as("dd"))), "dst")
+        .filter(col("ds") < col("dd") ||
+          (col("ds") === col("dd") && col("src") < col("dst")))
+        .select(col("src"), col("dst"), col("dd"))
+        .localCheckpoint() // both wedge sides + the closing probe read it
+      // wedges from the lowest-(deg, id) vertex a, out-pair (b, c) ordered
+      // the same way so each candidate (and so each triangle) forms once
+      val w = o.select(col("src").as("a"), col("dst").as("b"),
+          col("dd").as("db"))
+        .join(o.select(col("src").as("a"), col("dst").as("c"),
+          col("dd").as("dc")), "a")
+        .filter(col("db") < col("dc") ||
+          (col("db") === col("dc") && col("b") < col("c")))
+      val tr = w
+        .join(o.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg((count(lit(1)) * 2).as("tri2"))
       dg.join(broadcast(tr), Seq("node"), "left")
         .select(col("node"), col("deg"),
           expr("coalesce(tri2, 0) div 2").as("n_tri"),

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The TWO-PASS DISTRIBUTED RANK — the house replacement for any
+  * `row_number()` whose partition is data-sized (a global rank, or a rank
+  * partitioned by a low-cardinality key like `lang` or `event_type`):
+  *
+  *   1. coarsen the leading order column into an ORDER-PRESERVING bucket
+  *      (equal keys land in equal buckets, bucket order == key order);
+  *   2. rank locally within (partition, bucket) — every bucket sorts in
+  *      parallel on its own reducer;
+  *   3. count rows per (partition, bucket) — a BOUNDED table (partitions ×
+  *      buckets rows at any corpus size) — prefix-sum it into per-bucket
+  *      offsets, broadcast, and add: `rn = local_rank + bucket_offset`.
+  *
+  * The only partition-less (or low-cardinality-partitioned) window left
+  * runs on the aggregated offsets table, which is bounded by construction —
+  * exactly the SCALING.md invariant ("global windows only on aggregated
+  * series"). First landed inline in x118's sorted-neighborhood dedup
+  * (`Dedup.scala`); factored here in round 9 so x53 / x35 / x94 share one
+  * definition (VERDICT r8 items 1–3).
+  */
+object Ranks {
+
+  /** Adds `rnName` = 1-based rank over `orderCols` within each `partCols`
+    * group, computed distributedly. `bkt` must be an order-preserving,
+    * bounded-cardinality function of the LEADING order column (rows with
+    * equal leading keys must get equal buckets). The result column is
+    * LongType; cast at the call site if the declared schema needs int.
+    */
+  def twoPassRank(df: DataFrame, partCols: Seq[String], bkt: Column,
+      orderCols: Seq[Column], rnName: String = "rn"): DataFrame = {
+    val keyed = df.withColumn("__bkt", bkt)
+    val keyCols = partCols :+ "__bkt"
+    val local = keyed.withColumn("__lrn", row_number().over(
+      Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)))
+    // per-(partition, bucket) counts → running offset; bounded table, so
+    // the prefix window is cheap no matter the corpus size
+    val offs = keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(
+          Window.partitionBy(partCols.map(col): _*).orderBy(col("__bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((keyCols.map(col) :+ col("__off")): _*)
+    local.join(broadcast(offs), keyCols)
+      .withColumn(rnName, col("__lrn") + col("__off"))
+      .drop("__bkt", "__lrn")
+  }
+
+  /** Order-preserving bucket for a DOUBLE order key with unknown range:
+    * clamped `floor((v - lo) / (hi - lo) * n)` against broadcast per-group
+    * bounds. Degenerate groups (hi == lo) collapse to bucket 0. The bounds
+    * come from one scan-side min/max aggregate — O(groups) rows.
+    */
+  def rangeBucket(v: Column, lo: Column, hi: Column, n: Int): Column =
+    when(hi <= lo, lit(0)).otherwise(
+      least(greatest(floor((v - lo) / (hi - lo) * n), lit(0)), lit(n - 1)))
+      .cast("int")
+}

@@ -771,11 +771,15 @@ object TextAnalysis {
     // filtering step that decides which web text trains and which is
     // discarded. Ordering uses the UNROUNDED avg_prob (identical doubles
     // on both engines — every operand derives from exact long arithmetic)
-    // with doc_id tiebreak, so ntile assignment is deterministic.
-    // Scale note: ntile here is a single global window over per-doc
-    // scalars; at 100 TB CCNet does the same split with sampled quantile
-    // THRESHOLDS (x27's sketch) and a stateless filter — the score
-    // computation (the expensive part) is unchanged.
+    // with doc_id tiebreak, so the tertile assignment is deterministic.
+    //
+    // Scale: a bare ntile(3) would funnel every document's score through
+    // ONE reducer (VERDICT r8 item 2). The global rank instead runs as
+    // [[Ranks.twoPassRank]] over order-preserving −ln(p) ranges (exact,
+    // parallel; strictly stronger than the sampled-threshold swap SCALING
+    // originally recorded because the oracle's plain ntile stays
+    // untouched), and ntile's bucket arithmetic — tile sizes
+    // ⌈n/3⌉/⌊n/3⌋ from one broadcast count — becomes a stateless CASE.
     QueryDef("x35_ppl_buckets",
       s"""WITH sp AS (
         |  SELECT doc_id, text,
@@ -831,12 +835,21 @@ object TextAnalysis {
         .select(col("doc_id"), col("n").as("n_tokens"),
           ((col("sum_c") + col("n")) * 1.0
             / (col("n") * (col("t") + col("v")))).as("p"))
-      scored
-        .withColumn("nt", ntile(3).over(
-          Window.orderBy(col("p").desc, col("doc_id"))))
+        .localCheckpoint() // read by the rank's both passes + the count
+      val nTot = scored.agg(count(lit(1)).as("nn"))
+      // −ln(p) coarsens p into 64 order-preserving buckets (p ∈ (0, 1);
+      // equal p → equal bucket, so the tiebreak never straddles buckets);
+      // the bucket value is internal — no cross-engine float parity needed
+      val ranked = Ranks.twoPassRank(scored, Nil,
+        least(greatest(floor(-log(col("p")) * 4), lit(0)), lit(63))
+          .cast("int"),
+        Seq(col("p").desc, col("doc_id")))
+      ranked.crossJoin(broadcast(nTot))
         .select(col("doc_id"), col("n_tokens"),
           Num.roundOut(col("p"), 6).as("avg_prob"),
-          when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+          when(col("rn") <= expr("nn div 3 + least(nn % 3, 1)"), "head")
+            .when(col("rn") <= expr("2 * (nn div 3) + least(nn % 3, 2)"),
+              "middle")
             .otherwise("tail").as("bucket"))
         .orderBy(col("doc_id"))
     },
@@ -2346,7 +2359,11 @@ object TextAnalysis {
     // global running-sum window runs over ≤ 2·10⁶ + 1 value rows — a
     // bounded-size table regardless of corpus size (and x118's two-pass
     // prefix scan is the drop-in if the domain were ever unbounded). No
-    // doc×doc pair is ever formed.
+    // doc×doc pair is ever formed. BIGINT bound (ADVICE r8): auc_num2 ≤
+    // 2·n_pos·n_neg overflows int64 past ~3·10⁹ docs — Spark's non-ANSI
+    // sum wraps while DuckDB widens to HUGEINT; at warehouse scale
+    // compute auc directly as DOUBLE (p, q, q_below summed as doubles),
+    // trading the exact integer numerator for the unbounded range.
     QueryDef("x142_auc_rank",
       s"""WITH $hashedScoreCteSql, $qualityMSql, lab AS (
         |  SELECT doc_id, $qualitySql AS quality
@@ -2375,9 +2392,13 @@ object TextAnalysis {
         |  FROM w
         |)
         |SELECT n_pos, n_neg, n_values, auc_num2,
-        |       round(1e-9 + auc_num2 * 0.5 / (n_pos * n_neg), 6) AS auc,
-        |       round(1e-9 + (auc_num2 * 1.0 / (n_pos * n_neg) - 1), 6)
-        |         AS gini
+        |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |            ELSE round(1e-9 + auc_num2 * 0.5 / (n_pos * n_neg), 6)
+        |       END AS auc,
+        |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |            ELSE round(1e-9 + (auc_num2 * 1.0 / (n_pos * n_neg) - 1),
+        |                       6)
+        |       END AS gini
         |FROM a""".stripMargin) { (s, d) =>
       val sc = hashedScoreTable(s, d)
         .select(col("doc_id"),
@@ -2400,11 +2421,19 @@ object TextAnalysis {
           sum(col("p") * (lit(2L) * col("q_below") + col("q")))
             .as("auc_num2"))
         .select(col("n_pos"), col("n_neg"), col("n_values"), col("auc_num2"),
-          Num.roundOut(
-            col("auc_num2") * 0.5 / (col("n_pos") * col("n_neg")), 6)
+          // guarded like x145: a one-sided corpus (every doc on one side
+          // of the 0.63 threshold) is a DESIGNED NULL, not an accidental
+          // one — the same CASE on both engines (ADVICE r8)
+          when(col("n_pos") === 0 || col("n_neg") === 0,
+            lit(null).cast("double"))
+            .otherwise(Num.roundOut(
+              col("auc_num2") * 0.5 / (col("n_pos") * col("n_neg")), 6))
             .as("auc"),
-          Num.roundOut(
-            col("auc_num2") * 1.0 / (col("n_pos") * col("n_neg")) - 1.0, 6)
+          when(col("n_pos") === 0 || col("n_neg") === 0,
+            lit(null).cast("double"))
+            .otherwise(Num.roundOut(
+              col("auc_num2") * 1.0 / (col("n_pos") * col("n_neg")) - 1.0,
+              6))
             .as("gini"))
     }
   )

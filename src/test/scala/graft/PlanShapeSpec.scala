@@ -294,18 +294,48 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("x143/x144/x145 graph statistics: wedge joins and peels stay equi-join, never cartesian") {
-    Seq("x143_kcore", "x144_clustering_coeff", "x145_conductance").foreach { q =>
-      val nodes = executedAll(SparkEntry.queries(q)(spark, sf0_001))
+    // collect each query's plan ONCE; both bans assert on the cached nodes
+    val nodesByQ =
+      Seq("x143_kcore", "x144_clustering_coeff", "x145_conductance")
+        .map(q => q -> executedAll(SparkEntry.queries(q)(spark, sf0_001)))
+    nodesByQ.foreach { case (q, nodes) =>
       assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
         s"$q degenerated to a cartesian product")
     }
     // the peel/wedge probes themselves must stay keyed; x145 is exempt
     // from the BNLJ ban only for its one-row 2m anchor (the house
     // broadcast-of-scalar pattern), which x143/x144 don't need
-    Seq("x143_kcore", "x144_clustering_coeff").foreach { q =>
-      val nodes = executedAll(SparkEntry.queries(q)(spark, sf0_001))
+    nodesByQ.filterNot(_._1 == "x145_conductance").foreach { case (q, nodes) =>
       assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
         s"$q planned a nested-loop join — an edge/label probe lost its key")
     }
+  }
+
+  test("x53/x94/x35: no data-sized single-reducer rank window survives the r9 migration") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // Ranks.twoPassRank leaves exactly two window families: the local rank
+    // partitioned by (group, bucket) — parallel across buckets — and the
+    // offsets prefix sum partitioned by the (possibly empty) group alone
+    // but fed by a groupBy-count, i.e. a BOUNDED aggregated table. So any
+    // window at or below `thinSize` partition columns must have an
+    // aggregate somewhere beneath it; a data-sized rank on a
+    // low-cardinality key (r8's x53/x94) or a global ntile (r8's x35)
+    // has none and fails here.
+    def check(q: String, thinSize: Int): Unit = {
+      val df = SparkEntry.queries(q)(spark, sf0_001)
+      df.collect()
+      val wins = collectAll(df.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$q expected window nodes")
+      wins.filter(_.partitionSpec.size <= thinSize).foreach { w =>
+        assert(collectAll(w.child).exists(_.isInstanceOf[BaseAggregateExec]),
+          s"$q runs a window partitioned on ${w.partitionSpec} over " +
+            "non-aggregated (data-sized) input")
+      }
+    }
+    check("x53_class_balance", 1)  // [lang, bkt] local / [lang] offsets
+    check("x94_mad_outliers", 1)   // [event_type, bkt] / [event_type]
+    check("x35_ppl_buckets", 0)    // [bkt] local / [] offsets
   }
 }

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 pins: the three data-sized single-reducer rank sites (x53 /
+  * x35 / x94) migrated onto [[operators.Ranks.twoPassRank]] must still
+  * produce EXACTLY the windowed semantics the oracle states, the x144
+  * wedge join's new degree orientation must count the same triangles as
+  * the symmetric form, x142's guarded division must make a one-sided
+  * corpus a DESIGNED NULL, and every remaining partition-less
+  * `Window.orderBy` in main source must be enumerated with its scale
+  * bound (VERDICT r8 items 1–3, 6, 7; ADVICE r8).
+  */
+class Round9Spec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Num.roundOut(_, 4) reproduced driver-side for expected values. */
+  private def r4(x: Double): Double =
+    BigDecimal(x + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("x53: two-pass distributed rank equals the plain per-lang window form") {
+    val got = SparkEntry.queries("x53_class_balance")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toSet
+    // the oracle's shape — one window per lang partition — recomputed
+    // independently of the query's bucketed implementation
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("lang"),
+        functions.Text.fingerprint(col("text")).as("fp"))
+    val ranked = docs.withColumn("rn", row_number().over(
+      Window.partitionBy(col("lang"))
+        .orderBy(col("fp") % 9973, col("doc_id"))))
+    val mc = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("mc"))
+    val exp = ranked.crossJoin(broadcast(mc))
+      .filter(col("rn") <= col("mc"))
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == exp)
+  }
+
+  test("x35: distributed tertiles reproduce ntile(3) tile sizes and score ordering") {
+    val rows = SparkEntry.queries("x35_ppl_buckets")(spark, sf0_001).collect()
+    val n = rows.length
+    assert(n > 3)
+    val base = n / 3
+    val rem = n % 3
+    val expSizes = Map(
+      "head" -> (base + (if (rem >= 1) 1 else 0)),
+      "middle" -> (base + (if (rem >= 2) 1 else 0)),
+      "tail" -> base).filter(_._2 > 0)
+    val gotSizes = rows.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.length).toMap
+    assert(gotSizes == expSizes, "bucket sizes must match ntile(3) arithmetic")
+    // tertiles split on the score: head ≥ middle ≥ tail, up to the 1e-6
+    // output rounding (the exact boundary is the oracle's ntile check)
+    def probs(b: String): Array[Double] =
+      rows.filter(_.getAs[String]("bucket") == b).map(_.getAs[Double]("avg_prob"))
+    assert(probs("head").min >= probs("middle").max - 2e-6)
+    assert(probs("middle").min >= probs("tail").max - 2e-6)
+  }
+
+  test("x94: distributed rank-selected median/MAD equals the sort-based lower median") {
+    val out = SparkEntry.queries("x94_mad_outliers")(spark, sf0_001).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf0_001)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byType = ev.groupBy(_._1)
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val vs = byType(t).sortBy(x => (x._3, x._2))
+      val med = vs((vs.length + 1) / 2 - 1)._3
+      val ads = byType(t).map(x => (math.abs(x._3 - med), x._2)).sorted
+      val mad = ads((ads.length + 1) / 2 - 1)._1
+      assert(r.getAs[Double]("med") == r4(med), s"median mismatch for $t")
+      assert(r.getAs[Double]("mad") == r4(mad), s"MAD mismatch for $t")
+    }
+  }
+
+  test("x144: degree-oriented wedge join equals the symmetric wedge enumeration") {
+    val got = SparkEntry.queries("x144_clustering_coeff")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toSet
+    // the pre-r9 symmetric form: wedges from EVERY vertex, tri2 = 2·tri
+    val e = operators.Corpus.kcoreGraph(spark, sf0_001)
+    val dg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val tr = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
+      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("tri2"))
+    val exp = dg.join(tr, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        expr("coalesce(tri2, 0) div 2").as("n_tri"),
+        when(col("deg") >= 2,
+          expr("(coalesce(tri2, 0) * 1000000) div (deg * (deg - 1))"))
+          .otherwise(0L).as("lcc_micro"))
+      .orderBy(col("node"))
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == exp)
+    // non-degenerate fixture: some triangles exist, so the pin is real
+    assert(got.exists(_(2).asInstanceOf[Long] > 0L))
+  }
+
+  test("x142: a one-sided corpus reports NULL auc/gini by design (guarded division)") {
+    // keep only docs the quality threshold labels positive (x08 emits the
+    // SAME rounded quality expression x142 labels with), so n_neg == 0
+    val pos = SparkEntry.queries("x08_quality_score")(spark, sf0_001)
+      .filter(col("quality") >= 0.63).select("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_onesided").toString
+    Tables.documents(spark, sf0_001).join(pos, "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = SparkEntry.queries("x142_auc_rank")(spark, dir).collect().head
+    assert(row.getAs[Long]("n_pos") > 0L)
+    assert(row.getAs[Long]("n_neg") == 0L)
+    assert(row.isNullAt(row.fieldIndex("auc")), "auc must be a designed NULL")
+    assert(row.isNullAt(row.fieldIndex("gini")), "gini must be a designed NULL")
+  }
+
+  /** VERDICT r8 item 7: the "global windows only on aggregated series"
+    * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
+    * funnels the input through one task) in main source, by file:
+    *
+    * Analytics.scala (8): weekly cohort lag (weeks-bounded series); day
+    *   series cumsum + row_number ×2 (days-bounded); latency-histogram
+    *   cumsum (bucket table); frequency-histogram cumsum (distinct-freq
+    *   table); watermark prefix-max bucket carry (per-bucket maxima —
+    *   the x118 offsets pattern); gap-band bucket cumsum ×2 (bucket
+    *   tables).
+    * Corpus.scala (6): top-100 / top-1000 / top-100 vocab ranks (post-
+    *   limit, K-bounded); Hamilton remainder ranks ×2 (source×lang /
+    *   source quota tables — group-cardinality-bounded); HITS rank
+    *   (per-event-type table, ~5 rows).
+    * Dedup.scala (1): x118 SNM bucket-offset prefix sum (first-char
+    *   bucket counts — bounded).
+    * Mining.scala (5): nDCG/MRR rank windows ×2 (post-limit(10)); hybrid
+    *   RRF ranks ×2 (post-limit(64)); phrase-search top-2 rank (post-
+    *   limit(2)).
+    * TextAnalysis.scala (3): global char-CDF over distinct n_chars
+    *   (value-domain table); x130 two-pass-rank offsets (n_chars-range
+    *   bucket counts); x142 running sum over the score-value domain
+    *   (≤ 2·10⁶ + 1 rows).
+    *
+    * Ranks.scala's offset window is `Window.partitionBy(parts…)` and so
+    * not matched here; its input is the per-bucket count table, bounded
+    * by construction (see [[operators.Ranks]] scaladoc). A new
+    * partition-less window anywhere else fails this test until it is
+    * reviewed and enrolled above with its bound.
+    */
+  test("every partition-less Window.orderBy site in main source is enumerated with a scale bound") {
+    val allow = Map(
+      "Analytics.scala" -> 8,
+      "Corpus.scala" -> 6,
+      "Dedup.scala" -> 1,
+      "Mining.scala" -> 5,
+      "TextAnalysis.scala" -> 3)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val counts = walk(new java.io.File("src/main/scala/graft"))
+      .map { f =>
+        val src = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        f.getName -> "Window\\.orderBy".r.findAllIn(src).length
+      }
+      .filter(_._2 > 0).toMap
+    assert(counts == allow,
+      s"partition-less window sites drifted: got $counts, enumerated $allow — " +
+        "review the new site's input bound and enroll it in this spec's table")
+  }
+}
