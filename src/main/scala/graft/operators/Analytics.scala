@@ -869,18 +869,14 @@ object Analytics {
       val v = Tables.events(s, d)
         .filter(col("value").isNotNull)
         .select(col("event_type"), col("event_id"), col("value"))
-      // lower median by distributed rank selection: value-range buckets
-      // from one broadcast min/max/count pass, then the two-pass rank
-      def lowerMedian(in: org.apache.spark.sql.DataFrame, c: String) = {
-        val bounds = in.groupBy(col("event_type"))
-          .agg(min(col(c)).as("__lo"), max(col(c)).as("__hi"),
-            count(lit(1)).as("__n"))
-        Ranks.twoPassRank(in.join(broadcast(bounds), "event_type"),
-          Seq("event_type"),
-          Ranks.rangeBucket(col(c), col("__lo"), col("__hi"), 32),
-          Seq(col(c), col("event_id")))
-          .filter(col("rn") === expr("(__n + 1) div 2"))
-      }
+      // lower median by distributed rank SELECTION: the exponent-bucket
+      // histogram locates the holding bucket per type (no bounds pass);
+      // only that bucket's rows ever sort — 2 passes per median
+      def lowerMedian(in: org.apache.spark.sql.DataFrame, c: String) =
+        Ranks.rankSelect(in, Seq("event_type"),
+          Ranks.expBucket(col(c)),
+          Seq(col(c), col("event_id")),
+          n => shiftright(n + 1, 1)) // (n + 1) div 2, exact on longs
       val med = lowerMedian(v, "value")
         .select(col("event_type"), col("value").as("med"))
       val ad = v.join(broadcast(med), "event_type")
@@ -900,6 +896,58 @@ object Analytics {
           col("n_outliers"),
           Num.roundOut(col("max_adiff"), 4).as("max_adiff"))
         .orderBy(col("event_type"))
+    },
+
+    // EXACT PER-GROUP QUANTILE REPORT BY RANK SELECTION — the general
+    // form of x94's median device, promoted to a first-class operator:
+    // per source, the lower quartiles (p25/p50/p75) of document length
+    // as ACTUAL DATA VALUES at ranks ⌈n/4⌉, ⌈n/2⌉, ⌈3n/4⌉ under the
+    // total (n_chars, doc_id) order — no interpolation (q32's
+    // percentile_cont interpolates; a sketch approximates; this is the
+    // exact arm both calibrate against). All three quantiles come off
+    // ONE rank pass: filter to the three target ranks, then a 3-row-
+    // per-group conditional aggregate.
+    //
+    // Scale: the rank is [[Ranks.twoPassRank]] over n_chars-range
+    // buckets — source is low-cardinality (the r8 x53 lesson: a bare
+    // per-source window is a quarter-corpus sort on one reducer), so
+    // buckets within source do the parallel work and the offset table
+    // stays sources×buckets rows. One scan, one bounded-key exchange.
+    QueryDef("x147_rank_quantiles",
+      """WITH r AS (
+        |  SELECT source, n_chars, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents
+        |)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |       CAST(min(CASE WHEN rn = (n + 3) // 4 THEN n_chars END)
+        |            AS BIGINT) AS p25,
+        |       CAST(min(CASE WHEN rn = (n + 1) // 2 THEN n_chars END)
+        |            AS BIGINT) AS p50,
+        |       CAST(min(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars END)
+        |            AS BIGINT) AS p75
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val ranked = Ranks.twoPassRank(docs, Seq("source"),
+        expr("n_chars div 64").cast("int"),
+        Seq(col("n_chars"), col("doc_id")))
+      ranked.join(broadcast(counts), "source")
+        .filter(col("rn") === expr("(n + 3) div 4")
+          || col("rn") === expr("(n + 1) div 2")
+          || col("rn") === expr("(3 * n + 3) div 4"))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"),
+          min(when(col("rn") === expr("(n + 3) div 4"), col("n_chars")))
+            .as("p25"),
+          min(when(col("rn") === expr("(n + 1) div 2"), col("n_chars")))
+            .as("p50"),
+          min(when(col("rn") === expr("(3 * n + 3) div 4"), col("n_chars")))
+            .as("p75"))
+        .orderBy(col("source"))
     },
 
     // EVENT TRANSITION MATRIX — the per-user next-event Markov table

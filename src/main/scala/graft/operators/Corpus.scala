@@ -2066,8 +2066,175 @@ object Corpus {
               "(coalesce(cut, 0) * 1000000) div least(vol, m2 - vol)"))
             .as("conductance_micro"))
         .orderBy(col("lbl"))
+    },
+
+    // CONNECTED COMPONENTS — the one classic graph statistic the tier
+    // still lacked (x133's LP finds dense communities; this finds exact
+    // reachability classes — the partition dedup clustering, corpus
+    // provenance grouping, and "is the graph one piece?" audits all
+    // need). Component id = min node id reachable (canonical and
+    // engine-neutral). The graph is a deterministic BLOCK-STRUCTURED
+    // synthesis ([[ccGraph]]) whose 8 components are non-trivial and
+    // SF-invariant; the oracle computes the fixpoint by recursive
+    // label closure, the Spark side by MIN-NEIGHBOR PROPAGATION +
+    // POINTER JUMPING (comp ← comp(comp), the Shiloach–Vishkin
+    // device), which reaches min-within-distance-2^k after k hybrid
+    // rounds — 4 fixed rounds here; Round9Spec pins that a 5th round
+    // changes nothing, so the two fixpoint routes provably agree.
+    //
+    // Scale: every round is one equi-join + groupBy-min plus one
+    // label-to-label equi-join; the label table is nodes-sized
+    // (broadcast here, shuffle-partitioned on a real cluster) and
+    // localCheckpoint severs the iteration lineage. Pointer jumping is
+    // what turns O(diameter) propagation into O(log n) rounds — the
+    // hash-to-min bound (Rastogi et al., ICDE'13) — so a 100 TB edge
+    // list converges in tens of rounds, not thousands.
+    QueryDef("x146_connected_components",
+      s"""WITH RECURSIVE $ccGraphCteSql,
+        |r AS (
+        |  SELECT src AS node, src AS m FROM e
+        |  UNION
+        |  SELECT e.src AS node, r.m FROM e JOIN r ON r.node = e.dst
+        |), c AS (
+        |  SELECT node, min(m) AS comp FROM r GROUP BY node
+        |), sz AS (
+        |  SELECT comp, CAST(count(*) AS BIGINT) AS comp_size
+        |  FROM c GROUP BY comp
+        |)
+        |SELECT c.node, c.comp AS component, sz.comp_size,
+        |       (c.node = c.comp) AS is_root
+        |FROM c JOIN sz USING (comp)
+        |ORDER BY c.node""".stripMargin) { (s, d) =>
+      val e = ccGraph(s, d)
+      val labels = ccLabels(e, rounds = 4)
+      val sz = labels.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      labels.join(broadcast(sz), "comp")
+        .select(col("node"), col("comp").as("component"), col("comp_size"),
+          (col("node") === col("comp")).as("is_root"))
+        .orderBy(col("node"))
+    },
+
+    // TWO-HOP RECOMMENDATIONS (friend-of-friend): for every node, the
+    // top-3 non-neighbors sharing the most common neighbors — the
+    // standard link-prediction / "related items" workload over the
+    // x143 graph. Candidates are wedges a–b–c centered at b; direct
+    // edges are removed by an anti-join; ranking is (count DESC, id).
+    //
+    // Scale: wedge volume is hub-dominated (Σ deg²), and unlike x144
+    // degree orientation cannot apply — common-neighbor counting needs
+    // EVERY wedge at its center. The production mitigation is the HUB
+    // CAP: centers with deg > 8 generate no wedges (a hub shared by
+    // everyone carries ~zero link-prediction signal — the same reason
+    // TF-IDF downweights stopwords), which bounds candidate volume by
+    // CAP·2m — LINEAR in edges. The cap is a designed parameter applied
+    // identically by both engines. Candidate pruning to top-3 runs
+    // through the native [[graft.plans.TopKPerGroup]] operator (bounded
+    // per-group heaps, partial+final, no sort of the candidate set);
+    // the rank column is then a window over ≤3 rows per node.
+    QueryDef("x148_two_hop_recs",
+      s"""WITH $kcoreGraphCteSql, dg AS (
+        |  SELECT src AS node, count(*) AS deg FROM e GROUP BY 1
+        |), w AS (
+        |  SELECT e1.dst AS a, e2.dst AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.src = e1.src
+        |  JOIN dg ON dg.node = e1.src
+        |  WHERE dg.deg <= 8 AND e1.dst <> e2.dst
+        |), cand AS (
+        |  SELECT a, c, count(*) AS n_common FROM w
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.a AND e.dst = w.c)
+        |  GROUP BY a, c
+        |), rk AS (
+        |  SELECT a, c, n_common,
+        |         row_number() OVER (PARTITION BY a
+        |                            ORDER BY n_common DESC, c) AS rk
+        |  FROM cand
+        |)
+        |SELECT CAST(a AS INT) AS node, CAST(c AS INT) AS rec,
+        |       CAST(n_common AS BIGINT) AS n_common, CAST(rk AS INT) AS rk
+        |FROM rk WHERE rk <= 3
+        |ORDER BY node, rk""".stripMargin) { (s, d) =>
+      val e = kcoreGraph(s, d)
+      val dg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val centers = dg.filter(col("deg") <= 8).select(col("node").as("b"))
+      val half = e.select(col("src").as("b"), col("dst"))
+        .join(broadcast(centers), "b")
+        .localCheckpoint() // both wedge sides read the capped half-edges
+      val w = half.select(col("b"), col("dst").as("a"))
+        .join(half.select(col("b"), col("dst").as("c")), "b")
+        .filter(col("a") =!= col("c"))
+      val cand = w
+        .join(e.select(col("src").as("a"), col("dst").as("c")),
+          Seq("a", "c"), "left_anti")
+        .groupBy(col("a"), col("c")).agg(count(lit(1)).as("n_common"))
+      val top = graft.plans.TopKPerGroup(cand, Seq("a"),
+        Seq(("n_common", true), ("c", false)), 3)
+      top.withColumn("rk", row_number().over(
+          Window.partitionBy(col("a"))
+            .orderBy(col("n_common").desc, col("c"))))
+        .select(col("a").as("node"), col("c").as("rec"),
+          col("n_common"), col("rk"))
+        .orderBy(col("node"), col("rk"))
     }
   )
+
+  /** x146's deterministic BLOCK-STRUCTURED graph: the avalanched hash
+    * splits into 4 blocks of 25 node slots, and both endpoints land in
+    * the SAME block — so components never span blocks (each block then
+    * splits further on its own sparsity). 8 components, 98 nodes,
+    * SF-invariant by the doc_id < 400 cap (measured identical at
+    * sf0.001/0.01/0.1 before landing). */
+  private[graft] def ccGraph(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val e0 = Tables.documents(s, d)
+      .filter(col("doc_id") < 400)
+      .select(((col("doc_id") * 48271 + 11) % 997).as("h"))
+      .filter(col("h") % 3 === 0)
+      .select(((col("h") % 4) * 25 + expr("(h div 4) % 25")).cast("int")
+          .as("src"),
+        ((col("h") % 4) * 25 + expr("(h div 100) % 25")).cast("int")
+          .as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint() // tiny edge list feeds every CC round
+  }
+
+  private[graft] lazy val ccGraphCteSql: String =
+    """e0 AS (
+      |  SELECT DISTINCT CAST((h % 4) * 25 + (h // 4) % 25 AS INT) AS src,
+      |         CAST((h % 4) * 25 + (h // 100) % 25 AS INT) AS dst
+      |  FROM (SELECT (doc_id * 48271 + 11) % 997 AS h FROM documents
+      |        WHERE doc_id < 400) t
+      |  WHERE h % 3 = 0 AND (h // 4) % 25 <> (h // 100) % 25
+      |), e AS (
+      |  SELECT src, dst FROM e0
+      |  UNION SELECT dst AS src, src AS dst FROM e0
+      |)""".stripMargin
+
+  /** `rounds` hybrid rounds of min-neighbor propagation + pointer
+    * jumping over a symmetrized edge list; labels start as node ids, so
+    * every comp value is a live node id and the jump join total.
+    * Factored so Round9Spec can pin the fixpoint (rounds vs rounds+1). */
+  private[graft] def ccLabels(e: DataFrame, rounds: Int): DataFrame = {
+    val init = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+    (1 to rounds).foldLeft(init) { (l, _) =>
+      val viaNbr = e
+        .join(broadcast(l.select(col("node").as("dst"), col("comp").as("nc"))),
+          "dst")
+        .groupBy(col("src").as("node")).agg(min(col("nc")).as("nc"))
+      val stepped = l.join(viaNbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+      stepped
+        .join(broadcast(stepped.select(col("node").as("comp"),
+          col("comp").as("jc"))), Seq("comp"))
+        .select(col("node"), col("jc").as("comp"))
+        .localCheckpoint() // nodes-sized; severs the iteration lineage
+    }
+  }
 
   /** x143's deterministic layered graph: doc_id avalanched through the
     * 997 modulus, endpoints hub-biased (dst ∈ [0,20) ⊂ src ∈ [0,64)),

@@ -51,13 +51,53 @@ object Ranks {
       .drop("__bkt", "__lrn")
   }
 
-  /** Order-preserving bucket for a DOUBLE order key with unknown range:
-    * clamped `floor((v - lo) / (hi - lo) * n)` against broadcast per-group
-    * bounds. Degenerate groups (hi == lo) collapse to bucket 0. The bounds
-    * come from one scan-side min/max aggregate — O(groups) rows.
+  /** Order-preserving bucket for a DOUBLE order key with UNKNOWN range,
+    * derived from the value's binary exponent — no bounds pass needed:
+    * positives map to 2000 + ⌊log₂ v⌋ (∈ [926, ~3024]), zero to 0,
+    * negatives mirror below zero, so bucket order == value order
+    * (non-strictly: equal values share a bucket) and cardinality is
+    * bounded by the double exponent range (~4200) at ANY data scale.
+    * The bucket value is internal — it never reaches an oracle-compared
+    * column, so the libm log is parity-safe.
     */
-  def rangeBucket(v: Column, lo: Column, hi: Column, n: Int): Column =
-    when(hi <= lo, lit(0)).otherwise(
-      least(greatest(floor((v - lo) / (hi - lo) * n), lit(0)), lit(n - 1)))
+  def expBucket(v: Column): Column =
+    when(v === 0, lit(0))
+      .when(v > 0, lit(2000) + floor(log(2.0, v)))
+      .otherwise(lit(-2000) - floor(log(2.0, -v)))
       .cast("int")
+
+  /** DISTRIBUTED RANK SELECTION — the row at a target rank per
+    * `partCols` group, WITHOUT ranking (sorting) any row outside the
+    * bucket that holds it: one hash aggregate builds the per-(group,
+    * bucket) histogram; the group total `n`, the target rank
+    * `kOfN(n)`, and the holding bucket's offset all derive from that
+    * BOUNDED table; only the holding bucket's rows get a local
+    * row_number, and the survivor at local rank `k − offset` is the
+    * answer. Two data passes total (histogram + probe), a sort of ONE
+    * bucket per group — the classic distributed selection shape,
+    * strictly cheaper than [[twoPassRank]] (which sorts every bucket)
+    * when only specific ranks are consumed (x94's medians).
+    */
+  def rankSelect(df: DataFrame, partCols: Seq[String], bkt: Column,
+      orderCols: Seq[Column], kOfN: Column => Column): DataFrame = {
+    val keyed = df.withColumn("__bkt", bkt)
+    val keyCols = partCols :+ "__bkt"
+    val sel = keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(partCols.map(col): _*)))
+      .withColumn("__k", kOfN(col("__n")))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(
+          Window.partitionBy(partCols.map(col): _*).orderBy(col("__bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__off") < col("__k") &&
+        col("__k") <= col("__off") + col("__c"))
+      .select((keyCols.map(col) :+ col("__off") :+ col("__k")): _*)
+    keyed.join(broadcast(sel), keyCols) // prunes to the holding buckets
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)))
+      .filter(col("__lrn") === col("__k") - col("__off"))
+      .drop("__bkt", "__k", "__off", "__lrn")
+  }
 }

@@ -338,4 +338,11 @@ class PlanShapeSpec extends AnyFunSuite {
     check("x94_mad_outliers", 1)   // [event_type, bkt] / [event_type]
     check("x35_ppl_buckets", 0)    // [bkt] local / [] offsets
   }
+
+  test("x148 two-hop recs: candidate pruning runs through the native TopKPerGroup, never a cartesian") {
+    val nodes = executedAll(SparkEntry.queries("x148_two_hop_recs")(spark, sf0_001))
+    assert(nodes.exists(_.getClass.getSimpleName.startsWith("TopKPerGroupExec")),
+      s"expected TopKPerGroupExec in ${nodes.map(_.getClass.getSimpleName).distinct}")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+  }
 }

@@ -118,6 +118,67 @@ class Round9Spec extends AnyFunSuite {
     assert(row.isNullAt(row.fieldIndex("gini")), "gini must be a designed NULL")
   }
 
+  test("x146: pointer-jumping labels reach the fixpoint (round 5 changes nothing) and match union-find") {
+    val e = operators.Corpus.ccGraph(spark, sf0_001)
+    val l4 = operators.Corpus.ccLabels(e, 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    val l5 = operators.Corpus.ccLabels(e, 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(l4 == l5, "4 hybrid rounds must already be the fixpoint")
+    // brute-force union-find over the collected edge list
+    val edges = e.collect().map(r => (r.getInt(0), r.getInt(1)))
+    val parent = scala.collection.mutable.Map[Int, Int]()
+    def find(x: Int): Int = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val exp = parent.keys.map(n => n -> find(n)).toMap
+    assert(l4 == exp, "labels must equal union-find components (min-id canonical)")
+    // the fixture is non-trivial: several components of mixed sizes
+    assert(exp.values.toSet.size >= 4)
+  }
+
+  test("x147: rank-selected quartiles are the actual data values at the target ranks") {
+    val got = SparkEntry.queries("x147_rank_quantiles")(spark, sf0_001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (src, nDocs, p25, p50, p75) =>
+      val vs = docs.filter(_._1 == src).map(d => (d._3, d._2)).sorted.map(_._1)
+      val n = vs.length
+      assert(nDocs == n.toLong)
+      assert(p25 == vs((n + 3) / 4 - 1), s"$src p25")
+      assert(p50 == vs((n + 1) / 2 - 1), s"$src p50")
+      assert(p75 == vs((3 * n + 3) / 4 - 1), s"$src p75")
+    }
+  }
+
+  test("x148: hub-capped two-hop recommendations match brute-force common-neighbor counting") {
+    val got = SparkEntry.queries("x148_two_hop_recs")(spark, sf0_001)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val edges = operators.Corpus.kcoreGraph(spark, sf0_001)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val counts = scala.collection.mutable.Map[(Int, Int), Long]()
+    for ((b, nbrs) <- adj if nbrs.size <= 8; a <- nbrs; c <- nbrs
+         if a != c && !edges.contains((a, c)))
+      counts((a, c)) = counts.getOrElse((a, c), 0L) + 1L
+    val exp = counts.toSeq.groupBy(_._1._1).flatMap { case (a, cs) =>
+      cs.sortBy { case ((_, c), n) => (-n, c) }.take(3).zipWithIndex
+        .map { case (((_, c), n), i) => (a, c, n, i + 1) }
+    }.toSet
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
