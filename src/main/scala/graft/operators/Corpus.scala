@@ -2175,6 +2175,98 @@ object Corpus {
         .select(col("a").as("node"), col("c").as("rec"),
           col("n_common"), col("rk"))
         .orderBy(col("node"), col("rk"))
+    },
+
+    // INCREMENTAL CONNECTED-COMPONENTS MAINTENANCE — the fourth index
+    // family to get the Δ story (dedup x61, ANN x101/st21, BM25 x129):
+    // after an edge batch arrives, component labels refresh ∝ Δ +
+    // components, never by rescanning the base graph. The base partition
+    // (~2/3 of x146's graph: 12 components) is labeled once; each delta
+    // edge maps its endpoints through the base labels (new nodes label
+    // themselves) giving a CONTRACTION GRAPH over component ids — a
+    // components-sized object — whose own CC fold decides every merge;
+    // one broadcast mapping join relabels. Because component ids are
+    // min-node-ids at every level, min-of-mins == global min, so the
+    // incremental labels equal a full rebuild EXACTLY (Round9Spec pins
+    // merged == rebuilt; the oracle recomputes both closures from
+    // scratch). The report shows each node's old/new component and a
+    // changed flag — 4 of the 12 base components merge, 16 nodes arrive.
+    //
+    // Scale: the base fold is the ingest-time job (x146); the refresh
+    // touches the delta edges once (one broadcast-label probe), folds a
+    // components-sized graph, and applies one broadcast mapping —
+    // exactly the merge work a 100 TB graph store wants per batch.
+    QueryDef("x149_cc_incremental",
+      s"""WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT CAST((h % 4) * 25 + (h // 4) % 25 AS INT) AS src,
+        |         CAST((h % 4) * 25 + (h // 100) % 25 AS INT) AS dst, h
+        |  FROM (SELECT (doc_id * 48271 + 11) % 997 AS h FROM documents
+        |        WHERE doc_id < 400) t
+        |  WHERE h % 3 = 0 AND (h // 4) % 25 <> (h // 100) % 25
+        |), b0 AS (
+        |  SELECT DISTINCT src, dst FROM e0 WHERE h % 11 < 7
+        |), eb AS (
+        |  SELECT src, dst FROM b0 UNION SELECT dst AS src, src AS dst FROM b0
+        |), ef AS (
+        |  SELECT src, dst FROM e0
+        |  UNION SELECT dst AS src, src AS dst FROM e0
+        |), rb AS (
+        |  SELECT src AS node, src AS m FROM eb
+        |  UNION
+        |  SELECT eb.src AS node, rb.m FROM eb JOIN rb ON rb.node = eb.dst
+        |), cb AS (SELECT node, min(m) AS comp FROM rb GROUP BY node),
+        |rf AS (
+        |  SELECT src AS node, src AS m FROM ef
+        |  UNION
+        |  SELECT ef.src AS node, rf.m FROM ef JOIN rf ON rf.node = ef.dst
+        |), cf AS (SELECT node, min(m) AS comp FROM rf GROUP BY node),
+        |sz AS (
+        |  SELECT comp, CAST(count(*) AS BIGINT) AS comp_size
+        |  FROM cf GROUP BY comp
+        |)
+        |SELECT cf.node, cf.comp AS component, sz.comp_size,
+        |       CAST(coalesce(cb.comp, cf.node) AS INT) AS base_component,
+        |       cf.comp <> coalesce(cb.comp, cf.node) AS changed
+        |FROM cf JOIN sz USING (comp) LEFT JOIN cb ON cb.node = cf.node
+        |ORDER BY cf.node""".stripMargin) { (s, d) =>
+      val (eb, d0) = ccGraphSplit(s, d)
+      val baseL = ccLabels(eb, rounds = 4)
+      // contraction graph: delta endpoints mapped through base labels
+      // (unknown node ⇒ labels itself); components-sized by construction
+      val dmap = d0
+        .join(broadcast(baseL.select(col("node").as("src"),
+          col("comp").as("csrc"))), Seq("src"), "left")
+        .join(broadcast(baseL.select(col("node").as("dst"),
+          col("comp").as("cdst"))), Seq("dst"), "left")
+        .select(coalesce(col("csrc"), col("src")).as("a"),
+          coalesce(col("cdst"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b"))
+      val cg = dmap
+        .union(dmap.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .select(col("a").as("src"), col("b").as("dst"))
+        .localCheckpoint() // components-sized; feeds its own CC fold
+      val contracted = ccLabels(cg, rounds = 3)
+      // relabel: base nodes by their base comp, arriving nodes by self;
+      // comps untouched by the delta keep their label (left join miss)
+      val pre = baseL.unionByName(
+        d0.select(col("src").as("node"))
+          .union(d0.select(col("dst").as("node"))).distinct()
+          .join(baseL.select("node"), Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("comp")))
+      val fin = pre
+        .join(broadcast(contracted.select(col("node").as("comp"),
+          col("comp").as("mc"))), Seq("comp"), "left")
+        .select(col("node"), coalesce(col("mc"), col("comp")).as("component"))
+      val sz = fin.groupBy(col("component")).agg(count(lit(1)).as("comp_size"))
+      fin.join(broadcast(sz), "component")
+        .join(broadcast(baseL.select(col("node"), col("comp").as("bc"))),
+          Seq("node"), "left")
+        .select(col("node"), col("component"), col("comp_size"),
+          coalesce(col("bc"), col("node")).cast("int").as("base_component"),
+          (col("component") =!= coalesce(col("bc"), col("node")))
+            .as("changed"))
+        .orderBy(col("node"))
     }
   )
 
@@ -2199,6 +2291,30 @@ object Corpus {
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint() // tiny edge list feeds every CC round
+  }
+
+  /** x149's base/delta split of [[ccGraph]]: edges whose generating hash
+    * has h % 11 < 7 are the base partition (12 components, 82 nodes at
+    * any SF), the rest the arriving batch (bridges 4 merges and brings
+    * 16 new nodes). Delta kept directed (the contraction symmetrizes). */
+  private[graft] def ccGraphSplit(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val raw = Tables.documents(s, d)
+      .filter(col("doc_id") < 400)
+      .select(((col("doc_id") * 48271 + 11) % 997).as("h"))
+      .filter(col("h") % 3 === 0)
+      .select(((col("h") % 4) * 25 + expr("(h div 4) % 25")).cast("int")
+          .as("src"),
+        ((col("h") % 4) * 25 + expr("(h div 100) % 25")).cast("int")
+          .as("dst"),
+        col("h"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val b0 = raw.filter(col("h") % 11 < 7).select("src", "dst").distinct()
+    val d0 = raw.filter(col("h") % 11 >= 7).select("src", "dst").distinct()
+    (b0.union(b0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(),
+      d0.localCheckpoint())
   }
 
   private[graft] lazy val ccGraphCteSql: String =

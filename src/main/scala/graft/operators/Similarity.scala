@@ -1715,6 +1715,110 @@ object Similarity {
             .otherwise(expr("live_sim_sum div n_live"))
             .as("mean_live_sim_micro"))
         .orderBy(col("cent_id"))
+    },
+
+    // IVF REBALANCE PLAN — the list-size maintenance decision x128's
+    // tombstone audit doesn't make: which inverted lists to SPLIT
+    // (> 1.15× the mean — a crowded list caps probe recall and hogs its
+    // scan task) and which to MERGE into their nearest neighboring
+    // centroid (< 0.8× — an underfull list wastes a probe slot). Size
+    // ratios are exact integers (n·k·10⁶ div total — no float mean),
+    // thresholds are integer cross-products, and the merge target is
+    // the nearest OTHER centroid by the same rounded cosine the
+    // assignment uses. This is the periodic job an ANN serving tier
+    // runs between full retrains (FAISS's add_with_ids + rebalance
+    // cycle); x101 handles arrivals, x128 deletions, this one drift.
+    //
+    // Scale: list sizes come from the PERSISTED IVF artifact (one
+    // metadata-sized aggregate over `cent_id` partitions — the vectors
+    // themselves never move for the plan); the centroid-pair similarity
+    // table is k×k — bounded by codebook size, not corpus — and the
+    // report is k rows. Executing a split/merge then rewrites only the
+    // affected partition directories.
+    QueryDef("x150_ivf_rebalance",
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), c AS (
+        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+        |  WHERE vec_id % 50 = 0
+        |), a AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> n.v[i+1] * c.cv[i+1])) / n.nrm / c.cn, 6) AS sim
+        |  FROM n, c
+        |), r AS (
+        |  SELECT vec_id, cent_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rk
+        |  FROM a
+        |), g AS (
+        |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs
+        |  FROM r WHERE rk = 1 GROUP BY cent_id
+        |), t AS (
+        |  SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+        |         CAST(count(*) AS BIGINT) AS k
+        |  FROM g
+        |), cc AS (
+        |  SELECT x.cent_id AS ca, y.cent_id AS cb,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> x.cv[i+1] * y.cv[i+1])) / x.cn / y.cn, 6) AS sim
+        |  FROM c x, c y WHERE x.cent_id <> y.cent_id
+        |), nn AS (
+        |  SELECT ca AS cent_id, cb AS nearest, row_number() OVER (
+        |    PARTITION BY ca ORDER BY sim DESC, cb) AS rnn
+        |  FROM cc
+        |)
+        |SELECT g.cent_id, g.n_vecs,
+        |       CAST(g.n_vecs * t.k * 1000000 // t.total AS BIGINT)
+        |         AS size_ratio_ppm,
+        |       CASE WHEN 20 * g.n_vecs * t.k > 23 * t.total THEN 'split'
+        |            WHEN 5 * g.n_vecs * t.k < 4 * t.total THEN 'merge'
+        |            ELSE 'keep' END AS action,
+        |       CAST(CASE WHEN 5 * g.n_vecs * t.k < 4 * t.total
+        |                 THEN nn.nearest END AS BIGINT) AS merge_into
+        |FROM g CROSS JOIN t
+        |LEFT JOIN nn ON nn.cent_id = g.cent_id AND nn.rnn = 1
+        |ORDER BY g.cent_id""".stripMargin) { (s, d) =>
+      val sizes = ivfAssignedTable(s, d)
+        .filter(col("rk") === 1)
+        .groupBy(col("cent_id")).agg(count(lit(1)).as("n_vecs"))
+      val t = sizes.agg(sum(col("n_vecs")).as("total"),
+        count(lit(1)).as("k"))
+      val cents = withNorm(Tables.embeddings(s, d))
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+        .localCheckpoint() // both sides of the k×k pair table read it
+      val nn = cents.select(col("cent_id").as("ca"), col("cv").as("va"),
+          col("cn").as("na"))
+        .crossJoin(broadcast(cents.select(col("cent_id").as("cb"),
+          col("cv").as("vb"), col("cn").as("nb"))))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("ca"), col("cb"),
+          Num.roundOut(dot(col("va"), col("vb")) / col("na") / col("nb"), 6)
+            .as("sim"))
+        .withColumn("rnn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("ca"))
+            .orderBy(col("sim").desc, col("cb"))))
+        .filter(col("rnn") === 1)
+        .select(col("ca").as("cent_id"), col("cb").as("nearest"))
+      sizes.crossJoin(broadcast(t))
+        .join(broadcast(nn), Seq("cent_id"), "left")
+        .select(col("cent_id"), col("n_vecs"),
+          expr("n_vecs * k * 1000000 div total").as("size_ratio_ppm"),
+          when(lit(20) * col("n_vecs") * col("k") > lit(23) * col("total"),
+            "split")
+            .when(lit(5) * col("n_vecs") * col("k") < lit(4) * col("total"),
+              "merge")
+            .otherwise("keep").as("action"),
+          when(lit(5) * col("n_vecs") * col("k") < lit(4) * col("total"),
+            col("nearest")).as("merge_into"))
+        .orderBy(col("cent_id"))
     }
   )
 

@@ -179,6 +179,61 @@ class Round9Spec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("x149: incremental component merge equals the full rebuild, and the delta is non-trivial") {
+    val got = SparkEntry.queries("x149_cc_incremental")(spark, sf0_001)
+      .collect()
+    val inc = got.map(r => (r.getInt(0), r.getInt(1))).toMap
+    val full = operators.Corpus
+      .ccLabels(operators.Corpus.ccGraph(spark, sf0_001), 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(inc == full, "merged-from-delta labels must equal a full rebuild")
+    // the fixture exercises real merges and arrivals, not a no-op delta
+    val changed = got.filter(_.getBoolean(4))
+    assert(changed.nonEmpty, "some nodes must change component")
+    val baseComps = got.map(_.getInt(3)).distinct.length
+    val fullComps = got.map(_.getInt(1)).distinct.length
+    assert(baseComps > fullComps, "delta edges must merge base components")
+  }
+
+  test("x150: rebalance actions follow the integer thresholds and merge targets are the true nearest centroids") {
+    val rows = SparkEntry.queries("x150_ivf_rebalance")(spark, sf0_001)
+      .collect()
+    val total = rows.map(_.getLong(1)).sum
+    val k = rows.length.toLong
+    // brute-force centroid-to-centroid cosine from the raw embeddings
+    val cents = Tables.embeddings(spark, sf0_001)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def r6(x: Double): Double =
+      BigDecimal(x + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      r6(d / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum))
+    }
+    val actions = rows.map(_.getString(3)).toSet
+    assert(actions == Set("split", "merge", "keep"),
+      s"fixture must exercise every action, got $actions")
+    rows.foreach { r =>
+      // cent_id is int in the persisted artifact's schema
+      val (cid, n, action) = (r.getInt(0).toLong, r.getLong(1), r.getString(3))
+      val expected =
+        if (20 * n * k > 23 * total) "split"
+        else if (5 * n * k < 4 * total) "merge"
+        else "keep"
+      assert(action == expected, s"centroid $cid action")
+      if (action == "merge") {
+        val me = cents.find(_._1 == cid).get._2
+        val nearest = cents.filter(_._1 != cid)
+          .map { case (id, v) => (id, cos(me, v)) }
+          .maxBy { case (id, s) => (s, -id) }._1
+        assert(r.getLong(4) == nearest, s"centroid $cid merge target")
+      } else assert(r.isNullAt(4), s"centroid $cid must have NULL merge_into")
+    }
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
