@@ -1419,6 +1419,112 @@ object Multimodal {
           Num.roundOut(col("n_cuts") * 1.0 / (col("n_frames") - 1), 4)
             .as("cut_ratio"))
         .orderBy(col("doc_id"))
+    },
+
+    // PERCEPTUAL NEAR-DUP PAIRS — m15 groups images whose 8-bit aHash
+    // is IDENTICAL; this finds the pairs a crop/re-encode pushes 1–2
+    // bits apart, the image-side analog of x39's MinHash banding: a
+    // 16-bit dHash (each 4×4-grid pixel votes "brighter than my row
+    // neighbor" — gradient bits survive uniform brightness shifts that
+    // flip aHash wholesale) splits into 4 bands of 4 bits; by
+    // pigeonhole any pair within Hamming distance 2 agrees on at least
+    // 2 whole bands, so the band-value equi-join finds EVERY qualifying
+    // pair — no pair enumeration, no recall loss. Candidates then
+    // verify with an exact popcount-of-xor.
+    //
+    // Scale: one payload pass per image inside the decode tier's
+    // iterator-streamed mapPartitions emitting (id, 16-bit hash) —
+    // O(1) bytes per image cross the shuffle; candidates ∝ band-bucket
+    // collisions (at web scale the hash widens to 64 bits and bands to
+    // 8×8, shrinking buckets — the same knob as x39's band count); the
+    // verify is integer bit math on the candidate rows only.
+    QueryDef("m19_phash_neardup",
+      s"""WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 24
+        |), d AS (
+        |  SELECT doc_id, hx, CAST(n // 24 AS INT) AS h FROM p
+        |), px AS (
+        |  SELECT doc_id, CAST(pp AS INT) AS pp,
+        |         CAST(3 * ((((pp // 4) * h) // 4) * 8 + 2 * (pp % 4)) AS INT)
+        |           AS o,
+        |         hx
+        |  FROM d, (SELECT unnest(range(16)) AS pp)
+        |), bv AS (
+        |  SELECT doc_id, pp,
+        |         ${hexByteSql("o")} + ${hexByteSql("o + 1")}
+        |           + ${hexByteSql("o + 2")} AS bright
+        |  FROM px
+        |), nbr AS (
+        |  SELECT a.doc_id, a.pp, a.bright, b.bright AS nbright
+        |  FROM bv a JOIN bv b ON b.doc_id = a.doc_id
+        |   AND b.pp = (a.pp // 4) * 4 + (a.pp + 1) % 4
+        |), hs AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN bright > nbright
+        |                       THEN (1 << pp) ELSE 0 END) AS INT) AS dh
+        |  FROM nbr GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, dh, CAST(b AS INT) AS band,
+        |         CAST((dh >> (4 * CAST(b AS INT))) & 15 AS INT) AS bval
+        |  FROM hs, (SELECT unnest(range(4)) AS b)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.dh AS ha, b.dh AS hb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) BETWEEN 1 AND 2
+        |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin) { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("dh", IntegerType, nullable = false)))
+      val enc = RowEncoder.encoderFor(schema)
+      val hs = ppmPayloads(s, d)
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val p = r.getAs[Array[Byte]](1)
+            val (w, h, off) = PpmDecoder.header(p)
+            val bright = new Array[Int](16)
+            var pp = 0
+            while (pp < 16) {
+              val o = off + 3 * ((pp / 4 * h / 4) * w + (pp % 4) * w / 4)
+              bright(pp) =
+                (p(o) & 0xff) + (p(o + 1) & 0xff) + (p(o + 2) & 0xff)
+              pp += 1
+            }
+            var dh = 0
+            pp = 0
+            while (pp < 16) {
+              if (bright(pp) > bright(pp / 4 * 4 + (pp + 1) % 4))
+                dh |= (1 << pp)
+              pp += 1
+            }
+            Row(r.getLong(0), dh)
+          }
+        }(enc)
+        .localCheckpoint() // both band-join sides read the tiny hash table
+      val bands = hs.select(col("doc_id"), col("dh"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bval", expr("shiftright(dh, 4 * band) & 15"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.dh").as("ha"), col("b.dh").as("hb"))
+        .distinct()
+      cand
+        .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+        .filter(col("hamming").between(1, 2)) // exact groups are m15's job
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(20)
     }
   )
 }

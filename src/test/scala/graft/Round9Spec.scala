@@ -234,6 +234,38 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("m19: banded phash candidates find every Hamming≤2 pair (brute-force all-pairs check)") {
+    val got = SparkEntry.queries("m19_phash_neardup")(spark, sf0_001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // re-derive every dHash from raw text bytes (the pixel addressing of
+    // the P6 fixture: w=8, h=bytes/24, pixel (r,c) at 3*((r*h/4)*8+2c))
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+      .filter(_._2.length >= 24)
+    val hashes = docs.map { case (id, b) =>
+      val h = b.length / 24
+      val bright = (0 until 16).map { pp =>
+        val o = 3 * ((pp / 4 * h / 4) * 8 + (pp % 4) * 2)
+        (b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)
+      }
+      val dh = (0 until 16).foldLeft(0) { (acc, pp) =>
+        if (bright(pp) > bright(pp / 4 * 4 + (pp + 1) % 4)) acc | (1 << pp)
+        else acc
+      }
+      (id, dh)
+    }
+    // ALL pairs — if banding missed any Hamming≤2 pair, this differs
+    val exp = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      (a, ha) = hashes(i); (b2, hb) = hashes(j)
+      ham = Integer.bitCount(ha ^ hb) if ham >= 1 && ham <= 2
+    } yield (math.min(a, b2), math.max(a, b2), ham))
+      .sortBy { case (a, b2, ham) => (ham, a, b2) }.take(20)
+    assert(got == exp)
+    assert(got.nonEmpty, "fixture must contain true near-dups")
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
