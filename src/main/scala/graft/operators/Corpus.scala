@@ -2089,29 +2089,8 @@ object Corpus {
     // what turns O(diameter) propagation into O(log n) rounds — the
     // hash-to-min bound (Rastogi et al., ICDE'13) — so a 100 TB edge
     // list converges in tens of rounds, not thousands.
-    QueryDef("x146_connected_components",
-      s"""WITH RECURSIVE $ccGraphCteSql,
-        |r AS (
-        |  SELECT src AS node, src AS m FROM e
-        |  UNION
-        |  SELECT e.src AS node, r.m FROM e JOIN r ON r.node = e.dst
-        |), c AS (
-        |  SELECT node, min(m) AS comp FROM r GROUP BY node
-        |), sz AS (
-        |  SELECT comp, CAST(count(*) AS BIGINT) AS comp_size
-        |  FROM c GROUP BY comp
-        |)
-        |SELECT c.node, c.comp AS component, sz.comp_size,
-        |       (c.node = c.comp) AS is_root
-        |FROM c JOIN sz USING (comp)
-        |ORDER BY c.node""".stripMargin) { (s, d) =>
-      val e = ccGraph(s, d)
-      val labels = ccLabels(e, rounds = 4)
-      val sz = labels.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
-      labels.join(broadcast(sz), "comp")
-        .select(col("node"), col("comp").as("component"), col("comp_size"),
-          (col("node") === col("comp")).as("is_root"))
-        .orderBy(col("node"))
+    QueryDef("x146_connected_components", Corpus.x146OracleSql) { (s, d) =>
+      ccReport(ccLabels(ccGraph(s, d), rounds = 4))
     },
 
     // TWO-HOP RECOMMENDATIONS (friend-of-friend): for every node, the
@@ -2231,33 +2210,9 @@ object Corpus {
         |ORDER BY cf.node""".stripMargin) { (s, d) =>
       val (eb, d0) = ccGraphSplit(s, d)
       val baseL = ccLabels(eb, rounds = 4)
-      // contraction graph: delta endpoints mapped through base labels
-      // (unknown node ⇒ labels itself); components-sized by construction
-      val dmap = d0
-        .join(broadcast(baseL.select(col("node").as("src"),
-          col("comp").as("csrc"))), Seq("src"), "left")
-        .join(broadcast(baseL.select(col("node").as("dst"),
-          col("comp").as("cdst"))), Seq("dst"), "left")
-        .select(coalesce(col("csrc"), col("src")).as("a"),
-          coalesce(col("cdst"), col("dst")).as("b"))
-        .filter(col("a") =!= col("b"))
-      val cg = dmap
-        .union(dmap.select(col("b").as("a"), col("a").as("b")))
-        .distinct()
-        .select(col("a").as("src"), col("b").as("dst"))
-        .localCheckpoint() // components-sized; feeds its own CC fold
-      val contracted = ccLabels(cg, rounds = 3)
-      // relabel: base nodes by their base comp, arriving nodes by self;
-      // comps untouched by the delta keep their label (left join miss)
-      val pre = baseL.unionByName(
-        d0.select(col("src").as("node"))
-          .union(d0.select(col("dst").as("node"))).distinct()
-          .join(baseL.select("node"), Seq("node"), "left_anti")
-          .select(col("node"), col("node").as("comp")))
-      val fin = pre
-        .join(broadcast(contracted.select(col("node").as("comp"),
-          col("comp").as("mc"))), Seq("comp"), "left")
-        .select(col("node"), coalesce(col("mc"), col("comp")).as("component"))
+      // one [[ccMergeStep]] folds the delta (shared with st22's live fold)
+      val fin = ccMergeStep(baseL, d0)
+        .withColumnRenamed("comp", "component")
       val sz = fin.groupBy(col("component")).agg(count(lit(1)).as("comp_size"))
       fin.join(broadcast(sz), "component")
         .join(broadcast(baseL.select(col("node"), col("comp").as("bc"))),
@@ -2293,13 +2248,12 @@ object Corpus {
       .localCheckpoint() // tiny edge list feeds every CC round
   }
 
-  /** x149's base/delta split of [[ccGraph]]: edges whose generating hash
-    * has h % 11 < 7 are the base partition (12 components, 82 nodes at
-    * any SF), the rest the arriving batch (bridges 4 merges and brings
-    * 16 new nodes). Delta kept directed (the contraction symmetrizes). */
-  private[graft] def ccGraphSplit(s: org.apache.spark.sql.SparkSession,
-      d: String): (DataFrame, DataFrame) = {
-    val raw = Tables.documents(s, d)
+  /** [[ccGraph]]'s directed edges WITH their generating hash — the
+    * splitter key x149 (base/delta) and st22 (micro-batch slices) cut
+    * on. */
+  private[graft] def ccRawEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    Tables.documents(s, d)
       .filter(col("doc_id") < 400)
       .select(((col("doc_id") * 48271 + 11) % 997).as("h"))
       .filter(col("h") % 3 === 0)
@@ -2310,6 +2264,14 @@ object Corpus {
         col("h"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+
+  /** x149's base/delta split of [[ccGraph]]: edges whose generating hash
+    * has h % 11 < 7 are the base partition (12 components, 82 nodes at
+    * any SF), the rest the arriving batch (bridges 4 merges and brings
+    * 16 new nodes). Delta kept directed (the contraction symmetrizes). */
+  private[graft] def ccGraphSplit(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val raw = ccRawEdges(s, d)
     val b0 = raw.filter(col("h") % 11 < 7).select("src", "dst").distinct()
     val d0 = raw.filter(col("h") % 11 >= 7).select("src", "dst").distinct()
     (b0.union(b0.select(col("dst").as("src"), col("src").as("dst")))
@@ -2328,6 +2290,69 @@ object Corpus {
       |  SELECT src, dst FROM e0
       |  UNION SELECT dst AS src, src AS dst FROM e0
       |)""".stripMargin
+
+  /** Shared by x146 (batch CC) and st22 (streaming CC maintenance) —
+    * the one-definition rule the streaming tier applies everywhere:
+    * stream and batch must be the SAME function of the data. */
+  private[graft] lazy val x146OracleSql: String =
+    s"""WITH RECURSIVE $ccGraphCteSql,
+      |r AS (
+      |  SELECT src AS node, src AS m FROM e
+      |  UNION
+      |  SELECT e.src AS node, r.m FROM e JOIN r ON r.node = e.dst
+      |), c AS (
+      |  SELECT node, min(m) AS comp FROM r GROUP BY node
+      |), sz AS (
+      |  SELECT comp, CAST(count(*) AS BIGINT) AS comp_size
+      |  FROM c GROUP BY comp
+      |)
+      |SELECT c.node, c.comp AS component, sz.comp_size,
+      |       (c.node = c.comp) AS is_root
+      |FROM c JOIN sz USING (comp)
+      |ORDER BY c.node""".stripMargin
+
+  /** The x146 report columns from a converged (node, comp) label table —
+    * shared by the batch query and st22's streaming state finish. */
+  private[graft] def ccReport(labels: DataFrame): DataFrame = {
+    val sz = labels.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+    labels.join(broadcast(sz), "comp")
+      .select(col("node"), col("comp").as("component"), col("comp_size"),
+        (col("node") === col("comp")).as("is_root"))
+      .orderBy(col("node"))
+  }
+
+  /** One incremental CC merge step: fold `delta` (directed edges) into a
+    * prior (node, comp) label table — x149's contraction device, shared
+    * with st22's per-micro-batch fold. Unknown endpoints label
+    * themselves; the contraction graph is components-sized; `rounds`
+    * hybrid CC rounds converge it (4 covers the fixture's worst chain,
+    * pinned by the oracle equality at three SFs). */
+  private[graft] def ccMergeStep(prior: DataFrame, delta: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    val pre = prior.unionByName(
+      delta.select(col("src").as("node"))
+        .union(delta.select(col("dst").as("node"))).distinct()
+        .join(prior.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("comp")))
+      .localCheckpoint() // read by the probe AND the relabel
+    val dmap = delta
+      .join(broadcast(pre.select(col("node").as("src"),
+        col("comp").as("csrc"))), Seq("src"), "left")
+      .join(broadcast(pre.select(col("node").as("dst"),
+        col("comp").as("cdst"))), Seq("dst"), "left")
+      .select(coalesce(col("csrc"), col("src")).as("a"),
+        coalesce(col("cdst"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val cg = dmap
+      .union(dmap.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .select(col("a").as("src"), col("b").as("dst"))
+      .localCheckpoint() // components-sized; feeds its own CC fold
+    pre
+      .join(broadcast(ccLabels(cg, rounds).select(col("node").as("comp"),
+        col("comp").as("mc"))), Seq("comp"), "left")
+      .select(col("node"), coalesce(col("mc"), col("comp")).as("comp"))
+  }
 
   /** `rounds` hybrid rounds of min-neighbor propagation + pointer
     * jumping over a symmetrized edge list; labels start as node ids, so

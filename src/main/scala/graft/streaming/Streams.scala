@@ -1473,8 +1473,88 @@ object Streams {
         try q.processAllAvailable() finally q.stop()
         graft.operators.Similarity.ivfProbeReport(ss.read.parquet(ivfDir))
       }
+    },
+
+    // STREAMING CONNECTED-COMPONENTS MAINTENANCE — x149's incremental
+    // merge made LIVE (the graph family joins st21's pattern): edge
+    // batches arrive one file per trigger and each folds into the label
+    // state via the SAME [[graft.operators.Corpus.ccMergeStep]] x149
+    // uses — endpoints probe the current labels, a components-sized
+    // contraction graph decides every merge, one broadcast join
+    // relabels. Min-label canonicalization makes the fold ORDER- and
+    // SLICING-INSENSITIVE (min of mins is the global min, whichever
+    // batch carried the bridging edge), so the converged state equals
+    // the batch x146 labels for ANY slicing — the oracle (shared
+    // verbatim with x146) and Round9Spec's slicing pin both enforce it.
+    //
+    // Scale: per batch the state read is the label table (nodes-sized,
+    // the artifact a graph store keeps anyway), the work is ∝ batch
+    // edges + components, and no base edge is ever rescanned — the
+    // streaming form of x149's refresh-∝-Δ claim.
+    QueryDef("st22_stream_cc",
+      graft.operators.Corpus.x146OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageCcEdgesSplit(ss, d)
+        val ccDir = graft.Warehouse.path(s"graft_stcc_v1_${
+          graft.ContentKey.key(
+            java.nio.file.Paths.get(d, "documents.parquet"))}")
+        resetDir(ccDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val hasState = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(ccDir, "_SUCCESS"))
+            val prior =
+              if (hasState) spark.read.parquet(ccDir)
+              else batch.select(col("src").as("node"),
+                col("src").as("comp")).limit(0)
+            graft.operators.Corpus
+              .ccMergeStep(prior, batch.select(col("src"), col("dst")))
+              .localCheckpoint() // sever from the state file being replaced
+              .write.mode("overwrite").parquet(ccDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Corpus.ccReport(ss.read.parquet(ccDir))
+      }
     }
   )
+
+  /** Stage [[graft.operators.Corpus.ccRawEdges]] as THREE batch files
+    * (sliced on the generating hash — deterministic, SF-invariant) for
+    * st22's file-stream source. Content-keyed on documents.parquet. */
+  private[graft] def stageCcEdgesSplit(s: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_ccsplit_v1_${graft.ContentKey.key(src)}"))
+    if (!java.nio.file.Files.exists(stage.resolve("_DONE"))) {
+      java.nio.file.Files.createDirectories(stage)
+      Seq(0, 1, 2).foreach { par =>
+        val tmp = stage.resolve(s"tmp_$par")
+        graft.operators.Corpus.ccRawEdges(s, dir)
+          .filter(expr("(h div 3) % 3") === par)
+          .select(col("src"), col("dst"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally l.close()
+        }
+        java.nio.file.Files.move(part, stage.resolve(s"batch_$par.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val rest = java.nio.file.Files.walk(tmp)
+        try rest.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally rest.close()
+      }
+      java.nio.file.Files.createFile(stage.resolve("_DONE"))
+    }
+    stage.toString
+  }
 
   /** One Misra-Gries MERGE step (Agarwal et al. PODS'12 mergeable
     * summaries): given combined (word, cnt) counters, subtract the

@@ -266,6 +266,25 @@ class Round9Spec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must contain true near-dups")
   }
 
+  test("st22/x149: the contraction fold converges to the batch labels for any slicing and order") {
+    import operators.Corpus
+    val full = Corpus.ccLabels(Corpus.ccGraph(spark, sf0_001), 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    val raw = Corpus.ccRawEdges(spark, sf0_001).localCheckpoint()
+    def slice(cond: org.apache.spark.sql.Column) =
+      raw.filter(cond).select(col("src"), col("dst"))
+    val empty = raw.select(col("src").as("node"), col("src").as("comp"))
+      .limit(0)
+    def fold(slices: Seq[org.apache.spark.sql.DataFrame]): Map[Int, Int] =
+      slices.foldLeft(empty)(Corpus.ccMergeStep(_, _))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    val h3 = (0 to 2).map(p => slice(expr("(h div 3) % 3") === p))
+    assert(fold(h3) == full, "st22's 3-way slicing must converge to batch")
+    assert(fold(h3.reverse) == full, "reversed arrival order must converge")
+    val h2 = (0 to 1).map(p => slice(col("h") % 2 === p))
+    assert(fold(h2) == full, "a different (2-way) slicing must converge")
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
