@@ -950,6 +950,144 @@ object Analytics {
         .orderBy(col("source"))
     },
 
+    // INTEGER-EWMA ANOMALY SCAN — the exponentially-weighted moving
+    // average (α = 0.2) over each type's daily count series, in EXACT
+    // deci-unit integers: e_t = (2·10·v_t + 8·e_{t−1}) div 10, seeded
+    // from day 1 — the online smoother a monitoring pipeline runs,
+    // with day t flagged anomalous when its deviation from the PRIOR
+    // smoothed level exceeds 50% (2·|10v − e| > e, pure integers, so
+    // both engines fold bit-identically — no float smoothing drift).
+    // x119 (CUSUM changepoint) finds the single largest level break;
+    // this counts every transient spike against an adaptive baseline.
+    //
+    // Scale: the fold is inherently sequential, so it runs ON THE
+    // AGGREGATED DAY SERIES ONLY (days × types rows — the x18 bounded-
+    // series rule): one hash aggregate collapses the corpus, then the
+    // array fold is per-type O(days) driver-free column work. The raw
+    // events never see a window or a sort.
+    QueryDef("x151_ewma_anomaly",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), ser AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS BIGINT) AS n_days,
+        |         list(10 * cnt ORDER BY day) AS vs
+        |  FROM daily GROUP BY event_type
+        |), folded AS (
+        |  SELECT event_type, n_days,
+        |         list_reduce(
+        |           list_transform(vs, x -> struct_pack(
+        |             na := CAST(0 AS BIGINT), md := CAST(0 AS BIGINT),
+        |             e := x)),
+        |           (acc, x) -> struct_pack(
+        |             na := acc.na + CASE WHEN 2 * abs(x.e - acc.e) > acc.e
+        |                                 THEN 1 ELSE 0 END,
+        |             md := greatest(acc.md, abs(x.e - acc.e)),
+        |             e := (2 * x.e + 8 * acc.e) // 10)) AS f
+        |  FROM ser
+        |)
+        |SELECT event_type, n_days, f.e AS ewma_deci,
+        |       f.na AS n_anomalies, f.md AS max_dev_deci
+        |FROM folded ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          array_sort(collect_list(struct(col("day"), (col("cnt") * 10)
+            .as("v")))).as("sv"))
+        .withColumn("vs", expr("transform(sv, p -> p.v)"))
+        // seed = first element, fold the tail — list_reduce's contract,
+        // reproduced with aggregate() over slice(2..). Field ORDER
+        // matters on the DuckDB side: its list_reduce rebinds acc
+        // fields sequentially (na computed after e would see the NEW
+        // e), so both engines list `e` LAST — na/md read the prior
+        // level, e updates afterwards. Spark's aggregate() evaluates
+        // against the original acc either way; mirrored for symmetry.
+        .withColumn("f", expr(
+          """aggregate(
+            |  slice(vs, 2, greatest(size(vs) - 1, 0)),
+            |  named_struct('na', CAST(0 AS BIGINT),
+            |               'md', CAST(0 AS BIGINT), 'e', vs[0]),
+            |  (acc, x) -> named_struct(
+            |    'na', acc.na + CASE WHEN 2 * abs(x - acc.e) > acc.e
+            |                        THEN 1L ELSE 0L END,
+            |    'md', greatest(acc.md, abs(x - acc.e)),
+            |    'e', (2 * x + 8 * acc.e) div 10))""".stripMargin))
+        .select(col("event_type"), col("n_days"),
+          col("f.e").as("ewma_deci"), col("f.na").as("n_anomalies"),
+          col("f.md").as("max_dev_deci"))
+        .orderBy(col("event_type"))
+    },
+
+    // EQUI-DEPTH HISTOGRAM SELF-JOIN VALIDATION — the optimizer-
+    // statistics operator behind every CBO join estimate: an 8-bucket
+    // equi-depth histogram over the user_id key (whole keys per bucket,
+    // cut by DISTINCT-key rank so no key straddles a boundary), the
+    // uniformity-assumption self-join estimate r²/d per bucket, and the
+    // EXACT self-join size Σc² it would be planning for — the per-
+    // bucket underestimate (≥ 0 by Cauchy–Schwarz, so the ppm division
+    // never goes negative — engines disagree on negative integer
+    // division, DuckDB floors where Spark truncates) IS the intra-
+    // bucket skew a planner misses; x78 makes the same estimate from a
+    // CountMin sketch, this is the histogram arm. All-integer: counts,
+    // squares, and two integer divisions.
+    //
+    // Scale: the key table is one hash aggregate; its global rank is
+    // [[Ranks.twoPassRank]] over exponent buckets of the key (no
+    // single-reducer sort of the key table — the r8 lesson applied to a
+    // keys-sized input); the report is 8 rows.
+    QueryDef("x152_histogram_selfjoin",
+      """WITH kc AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT user_id, cnt, row_number() OVER (ORDER BY user_id) AS rn,
+        |         count(*) OVER () AS nk
+        |  FROM kc
+        |), b AS (
+        |  SELECT CAST(((rn - 1) * 8) // nk AS INT) AS bucket_id,
+        |         user_id, cnt
+        |  FROM r
+        |), g AS (
+        |  SELECT bucket_id, CAST(count(*) AS BIGINT) AS n_users,
+        |         CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |         CAST(sum(cnt * cnt) AS BIGINT) AS actual_selfjoin,
+        |         CAST(min(user_id) AS BIGINT) AS lo_user,
+        |         CAST(max(user_id) AS BIGINT) AS hi_user
+        |  FROM b GROUP BY bucket_id
+        |)
+        |SELECT bucket_id, n_users, n_rows, lo_user, hi_user,
+        |       CAST((n_rows * n_rows) // n_users AS BIGINT) AS est_selfjoin,
+        |       actual_selfjoin,
+        |       CAST((actual_selfjoin - (n_rows * n_rows) // n_users)
+        |            * 1000000 // actual_selfjoin AS BIGINT) AS underest_ppm
+        |FROM g ORDER BY bucket_id""".stripMargin) { (s, d) =>
+      val kc = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val nk = kc.agg(count(lit(1)).as("nk"))
+      Ranks.twoPassRank(kc, Nil,
+          Ranks.expBucket(col("user_id").cast("double")),
+          Seq(col("user_id")))
+        .crossJoin(broadcast(nk))
+        .withColumn("bucket_id", expr("((rn - 1) * 8) div nk").cast("int"))
+        .groupBy(col("bucket_id"))
+        .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("n_rows"),
+          sum(col("cnt") * col("cnt")).as("actual_selfjoin"),
+          min(col("user_id")).as("lo_user"),
+          max(col("user_id")).as("hi_user"))
+        .select(col("bucket_id"), col("n_users"), col("n_rows"),
+          col("lo_user"), col("hi_user"),
+          expr("(n_rows * n_rows) div n_users").as("est_selfjoin"),
+          col("actual_selfjoin"),
+          expr("""(actual_selfjoin - (n_rows * n_rows) div n_users)
+                 | * 1000000 div actual_selfjoin""".stripMargin)
+            .as("underest_ppm"))
+        .orderBy(col("bucket_id"))
+    },
+
     // EVENT TRANSITION MATRIX — the per-user next-event Markov table
     // (from_type → to_type counts and row-conditional probabilities)
     // behind funnel design and anomaly detection: which step follows

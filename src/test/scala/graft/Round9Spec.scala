@@ -285,6 +285,50 @@ class Round9Spec extends AnyFunSuite {
     assert(fold(h2) == full, "a different (2-way) slicing must converge")
   }
 
+  test("x151: the integer EWMA fold matches a driver-side sequential fold") {
+    val got = SparkEntry.queries("x151_ewma_anomaly")(spark, sf0_001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val daily = Tables.events(spark, sf0_001)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val vs = rows.sortBy(_._2.toString).map(_._3 * 10)
+      var (e, na, md) = (vs.head, 0L, 0L)
+      vs.tail.foreach { x =>
+        if (2 * math.abs(x - e) > e) na += 1
+        md = math.max(md, math.abs(x - e))
+        e = (2 * x + 8 * e) / 10
+      }
+      assert(got(t) == ((vs.length.toLong, e, na, md)), s"type $t")
+    }
+  }
+
+  test("x152: per-bucket self-join estimates and exact sizes match brute force, and the fixture has real skew") {
+    val got = SparkEntry.queries("x152_histogram_selfjoin")(spark, sf0_001)
+      .collect().map(_.toSeq.toList)
+    val kc = Tables.events(spark, sf0_001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val nk = kc.length
+    val exp = kc.zipWithIndex
+      .groupBy { case (_, i) => (i.toLong * 8) / nk }
+      .toSeq.sortBy(_._1)
+      .map { case (b, ks) =>
+        val rows = ks.map(_._1._2).sum
+        val actual = ks.map(k => k._1._2 * k._1._2).sum
+        val est = rows * rows / ks.length
+        List(b.toInt, ks.length.toLong, rows, ks.map(_._1._1).min,
+          ks.map(_._1._1).max, est, actual,
+          (actual - est) * 1000000L / actual)
+      }
+    assert(got.toList == exp.toList)
+    // uniformity must actually be violated somewhere, or the operator
+    // demonstrates nothing
+    assert(got.exists(_.last.asInstanceOf[Long] > 0L))
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
