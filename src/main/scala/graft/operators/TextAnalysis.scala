@@ -2364,6 +2364,84 @@ object TextAnalysis {
     // sum wraps while DuckDB widens to HUGEINT; at warehouse scale
     // compute auc directly as DOUBLE (p, q, q_below summed as doubles),
     // trading the exact integer numerator for the unbounded range.
+    // FILTER FUNNEL WITH PER-RULE ATTRIBUTION — the C4/Gopher cleaning
+    // cascade as ONE accountable report: four ordered rules (too-short,
+    // low-quality by the shared x08 composite, out-of-scope language,
+    // repetitious by intra-doc duplicate-bigram fraction ≥ 10% — every
+    // rule fires at every SF, measured before landing), each
+    // document attributed to its FIRST failing rule, and the funnel
+    // table showing per stage how many documents/chars entered, dropped,
+    // and at what rate — the answer to "where did my corpus go?" that a
+    // per-rule breakdown of independent filters cannot give (rules
+    // overlap; attribution is what sums to 100%). Rule keys carry an
+    // a_..e_ prefix so rule order IS sort order on both engines.
+    //
+    // Scale: per-doc labeling is one scan of pure column expressions
+    // (CASE is lazy, so the quality division never runs on the
+    // zero-token docs the short rule already caught); the funnel math
+    // runs on the 5-row aggregated rule table — its running sum is a
+    // bounded-series window (enumerated in the r9 sweep).
+    QueryDef("x153_filter_funnel",
+      s"""WITH $qualityMSql, rep AS (
+        |  SELECT doc_id,
+        |         CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS w,
+        |         CAST(len(list_distinct(CASE WHEN len(ws) < 2 THEN []
+        |           ELSE list_transform(range(len(ws) - 1),
+        |                i -> ws[i+1] || '_' || ws[i+2]) END))
+        |           AS BIGINT) AS dw
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |), lab AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |         CASE WHEN m.n_tokens < 12 THEN 'a_short'
+        |              WHEN $qualitySql < 0.55 THEN 'b_low_quality'
+        |              WHEN d.lang NOT IN ('en', 'de', 'fr') THEN 'c_lang'
+        |              WHEN rep.w >= 1 AND 10 * (rep.w - rep.dw) >= rep.w
+        |                THEN 'd_repetitious'
+        |              ELSE 'e_pass' END AS rule
+        |  FROM documents d
+        |  JOIN m USING (doc_id)
+        |  JOIN rep USING (doc_id)
+        |), g AS (
+        |  SELECT rule, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM lab GROUP BY rule
+        |), t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM g)
+        |SELECT rule, n_docs, n_chars,
+        |       CAST(t.total - coalesce(sum(n_docs) OVER (ORDER BY rule
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS BIGINT) AS entering,
+        |       CAST(CASE WHEN rule = 'e_pass' THEN 0
+        |            ELSE n_docs * 1000000
+        |                 // (t.total - coalesce(sum(n_docs) OVER (
+        |                      ORDER BY rule ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND 1 PRECEDING), 0)) END AS BIGINT)
+        |         AS drop_ppm
+        |FROM g, t ORDER BY rule""".stripMargin) { (s, d) =>
+      val ws = Text.tokens(col("text"))
+      val repW = greatest(size(ws) - 1, lit(0)).cast("long")
+      val repDw = size(Text.shingles(col("text"), 2)).cast("long")
+      val lab = Tables.documents(s, d)
+        .select(col("n_chars"),
+          when(size(ws) < 12, "a_short")
+            .when(qualityCol < 0.55, "b_low_quality")
+            .when(!col("lang").isin("en", "de", "fr"), "c_lang")
+            .when(repW >= 1 && lit(10) * (repW - repDw) >= repW,
+              "d_repetitious")
+            .otherwise("e_pass").as("rule"))
+      val g = lab.groupBy(col("rule"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      val t = g.agg(sum(col("n_docs")).as("total"))
+      g.crossJoin(broadcast(t))
+        .withColumn("entering", col("total") - coalesce(
+          sum(col("n_docs")).over(Window.orderBy(col("rule"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("rule"), col("n_docs"), col("n_chars"), col("entering"),
+          when(col("rule") === "e_pass", 0L)
+            .otherwise(expr("n_docs * 1000000 div entering"))
+            .as("drop_ppm"))
+        .orderBy(col("rule"))
+    },
+
     QueryDef("x142_auc_rank",
       s"""WITH $hashedScoreCteSql, $qualityMSql, lab AS (
         |  SELECT doc_id, $qualitySql AS quality

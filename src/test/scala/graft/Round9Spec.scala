@@ -329,6 +329,22 @@ class Round9Spec extends AnyFunSuite {
     assert(got.exists(_.last.asInstanceOf[Long] > 0L))
   }
 
+  test("x153: funnel conservation — attribution sums to the corpus, the entering chain telescopes, every rule fires") {
+    val rows = SparkEntry.queries("x153_filter_funnel")(spark, sf0_001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(rows.map(_._1).toSeq ==
+      Seq("a_short", "b_low_quality", "c_lang", "d_repetitious", "e_pass"),
+      "all five stages must fire, in funnel order")
+    val total = Tables.documents(spark, sf0_001).count()
+    assert(rows.map(_._2).sum == total, "attribution must sum to the corpus")
+    rows.sliding(2).foreach { case Array((r1, n1, e1), (_, _, e2)) =>
+      assert(e2 == e1 - n1, s"entering chain must telescope after $r1")
+    }
+    assert(rows.head._3 == total, "stage 1 sees the whole corpus")
+    val pass = rows.last
+    assert(pass._2 == pass._3, "pass row's n_docs equals its entering")
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
@@ -348,10 +364,10 @@ class Round9Spec extends AnyFunSuite {
     * Mining.scala (5): nDCG/MRR rank windows ×2 (post-limit(10)); hybrid
     *   RRF ranks ×2 (post-limit(64)); phrase-search top-2 rank (post-
     *   limit(2)).
-    * TextAnalysis.scala (3): global char-CDF over distinct n_chars
+    * TextAnalysis.scala (4): global char-CDF over distinct n_chars
     *   (value-domain table); x130 two-pass-rank offsets (n_chars-range
     *   bucket counts); x142 running sum over the score-value domain
-    *   (≤ 2·10⁶ + 1 rows).
+    *   (≤ 2·10⁶ + 1 rows); x153 funnel running sum (5-row rule table).
     *
     * Ranks.scala's offset window is `Window.partitionBy(parts…)` and so
     * not matched here; its input is the per-bucket count table, bounded
@@ -365,7 +381,7 @@ class Round9Spec extends AnyFunSuite {
       "Corpus.scala" -> 6,
       "Dedup.scala" -> 1,
       "Mining.scala" -> 5,
-      "TextAnalysis.scala" -> 3)
+      "TextAnalysis.scala" -> 4)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
       else if (f.getName.endsWith(".scala")) Seq(f) else Nil
