@@ -1550,18 +1550,11 @@ object Dedup {
           coalesce(get(col("toks"), lit(0)), lit("")), lit(" "),
           coalesce(get(col("toks"), lit(1)), lit("")), lit(" "),
           coalesce(get(col("toks"), lit(2)), lit(""))))
-        .withColumn("bkt", substring(col("skey"), 1, 1))
-      // two-pass distributed rank: local row_number within the
-      // order-preserving first-char bucket + broadcast bucket offsets
-      val local = t.withColumn("lrn", row_number().over(
-        Window.partitionBy(col("bkt")).orderBy(col("skey"), col("doc_id"))))
-      val offs = t.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
-        .withColumn("off", coalesce(sum(col("c")).over(
-          Window.orderBy(col("bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("bkt"), col("off"))
-      val r = local.join(broadcast(offs), "bkt")
-        .withColumn("rnk", col("lrn") + col("off"))
+      // the two-pass distributed rank (first landed here inline; the r9
+      // shared definition is Ranks.twoPassRank) over order-preserving
+      // first-character buckets of the sort key
+      val r = Ranks.twoPassRank(t, Nil, substring(col("skey"), 1, 1),
+          Seq(col("skey"), col("doc_id")), rnName = "rnk")
         .select(col("doc_id"), col("toks"), col("rnk"))
         .localCheckpoint() // both window-join sides read the ranked table
       val a = r.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),

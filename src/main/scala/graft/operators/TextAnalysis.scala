@@ -2308,23 +2308,18 @@ object TextAnalysis {
         |FROM j GROUP BY source, decile ORDER BY source, decile""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"))
-      val r = docs.withColumn("rk", row_number().over(
-        Window.partitionBy(col("source"))
-          .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      // both ranks (per-source AND global) run as Ranks.twoPassRank over
+      // n_chars-range buckets — the r9 shared definition; the per-source
+      // window this used pre-r9 sorted whole sources on one reducer
+      val r = Ranks.twoPassRank(docs, Seq("source"),
+        expr("n_chars div 256").cast("int"),
+        Seq(col("n_chars"), col("doc_id")), rnName = "rk")
       val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
       val nn = docs.agg(count(lit(1)).as("n"))
-      // two-pass distributed global rank (x118's pattern): value-range
-      // buckets are order-preserving for the (n_chars, doc_id) sort key
-      val bucketed = docs.withColumn("gbkt", expr("n_chars div 256"))
-      val glocal = bucketed.withColumn("lrn", row_number().over(
-        Window.partitionBy(col("gbkt")).orderBy(col("n_chars"), col("doc_id"))))
-      val goffs = bucketed.groupBy(col("gbkt")).agg(count(lit(1)).as("c"))
-        .withColumn("off", coalesce(sum(col("c")).over(
-          Window.orderBy(col("gbkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("gbkt"), col("off"))
-      val g = glocal.join(broadcast(goffs), "gbkt")
-        .select(col("n_chars").as("v"), (col("lrn") + col("off")).as("grank"))
+      val g = Ranks.twoPassRank(docs, Nil,
+          expr("n_chars div 256").cast("int"),
+          Seq(col("n_chars"), col("doc_id")), rnName = "grank")
+        .select(col("n_chars").as("v"), col("grank"))
       val m = r.join(broadcast(ns), "source")
         .crossJoin(broadcast(nn))
         .withColumn("gpos",
@@ -2440,6 +2435,69 @@ object TextAnalysis {
             .otherwise(expr("n_docs * 1000000 div entering"))
             .as("drop_ppm"))
         .orderBy(col("rule"))
+    },
+
+    // TOP-P (NUCLEUS) VOCABULARY SIZE — per document, the smallest
+    // number of distinct tokens covering ≥ 90% of the token mass, plus
+    // the head token's share: the concentration profile behind
+    // nucleus-sampling vocabularies and repetition diagnostics (a doc
+    // whose 90% nucleus is 3 tokens is boilerplate however long it is;
+    // x69's entropy says how concentrated, this says HOW MANY tokens
+    // deep the mass sits — the actionable cut). The 10·cum ≥ 9·n test
+    // is pure integers; ties among equal counts cannot change the
+    // nucleus size (any order of equal values yields the same prefix
+    // sums), so no cross-engine tiebreak is needed.
+    //
+    // Scale: one (doc, word) count aggregate, then per-row array math —
+    // the fold runs over each doc's OWN distinct-token counts (bounded
+    // per doc), never a corpus-wide structure. The same list_reduce
+    // field-ordering rule as x151: the count accumulates LAST so the
+    // size test reads the prior cumulative on both engines.
+    QueryDef("x154_top_p_vocab",
+      """WITH tok AS (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE len(word) > 0 GROUP BY 1, 2
+        |), per AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS n_distinct,
+        |         list(c ORDER BY c DESC) AS cs
+        |  FROM tok GROUP BY doc_id
+        |), folded AS (
+        |  SELECT doc_id, n, n_distinct, cs[1] AS top1,
+        |         list_reduce(
+        |           list_transform(cs, x -> struct_pack(
+        |             k := CAST(1 AS BIGINT), cum := x)),
+        |           (acc, x) -> struct_pack(
+        |             k := acc.k + CASE WHEN 10 * acc.cum < 9 * n
+        |                               THEN 1 ELSE 0 END,
+        |             cum := acc.cum + x.cum)) AS f
+        |  FROM per
+        |)
+        |SELECT doc_id, n AS n_tokens, n_distinct,
+        |       f.k AS top90_size,
+        |       CAST(top1 * 1000000 // n AS BIGINT) AS head_share_ppm
+        |FROM folded ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      tok.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+          reverse(array_sort(collect_list(col("c")))).as("cs"))
+        .withColumn("f", expr(
+          """aggregate(
+            |  slice(cs, 2, greatest(size(cs) - 1, 0)),
+            |  named_struct('k', CAST(1 AS BIGINT), 'cum', cs[0]),
+            |  (acc, x) -> named_struct(
+            |    'k', acc.k + CASE WHEN 10 * acc.cum < 9 * n
+            |                      THEN 1L ELSE 0L END,
+            |    'cum', acc.cum + x))""".stripMargin))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+          col("f.k").as("top90_size"),
+          expr("cs[0] * 1000000 div n").as("head_share_ppm"))
+        .orderBy(col("doc_id"))
     },
 
     QueryDef("x142_auc_rank",

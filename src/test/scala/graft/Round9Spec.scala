@@ -345,6 +345,33 @@ class Round9Spec extends AnyFunSuite {
     assert(pass._2 == pass._3, "pass row's n_docs equals its entering")
   }
 
+  test("x154: nucleus size matches a driver-side fold over per-doc token counts") {
+    val got = SparkEntry.queries("x154_top_p_vocab")(spark, sf0_001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val counts = text.split(" ").filter(_.nonEmpty)
+        .groupBy(identity).values.map(_.length.toLong).toSeq
+        .sorted(Ordering[Long].reverse)
+      if (counts.nonEmpty) {
+        val n = counts.sum
+        var (k, cum) = (1L, counts.head)
+        counts.tail.foreach { x =>
+          if (10 * cum < 9 * n) k += 1
+          cum += x
+        }
+        assert(got(id) == ((n, counts.length.toLong, k,
+          counts.head * 1000000L / n)), s"doc $id")
+        // the nucleus is genuinely minimal: k tokens reach 90%, k−1 don't
+        assert(10 * counts.take(k.toInt).sum >= 9 * n)
+        if (k > 1) assert(10 * counts.take(k.toInt - 1).sum < 9 * n)
+      } else assert(!got.contains(id))
+    }
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
@@ -359,15 +386,15 @@ class Round9Spec extends AnyFunSuite {
     *   limit, K-bounded); Hamilton remainder ranks ×2 (source×lang /
     *   source quota tables — group-cardinality-bounded); HITS rank
     *   (per-event-type table, ~5 rows).
-    * Dedup.scala (1): x118 SNM bucket-offset prefix sum (first-char
-    *   bucket counts — bounded).
     * Mining.scala (5): nDCG/MRR rank windows ×2 (post-limit(10)); hybrid
     *   RRF ranks ×2 (post-limit(64)); phrase-search top-2 rank (post-
     *   limit(2)).
-    * TextAnalysis.scala (4): global char-CDF over distinct n_chars
-    *   (value-domain table); x130 two-pass-rank offsets (n_chars-range
-    *   bucket counts); x142 running sum over the score-value domain
-    *   (≤ 2·10⁶ + 1 rows); x153 funnel running sum (5-row rule table).
+    * TextAnalysis.scala (3): global char-CDF over distinct n_chars
+    *   (value-domain table); x142 running sum over the score-value
+    *   domain (≤ 2·10⁶ + 1 rows); x153 funnel running sum (5-row rule
+    *   table).
+    * (Dedup's x118 offsets window and x130's pair of rank windows
+    *   migrated into Ranks.twoPassRank in r9 — one definition.)
     *
     * Ranks.scala's offset window is `Window.partitionBy(parts…)` and so
     * not matched here; its input is the per-bucket count table, bounded
@@ -379,9 +406,8 @@ class Round9Spec extends AnyFunSuite {
     val allow = Map(
       "Analytics.scala" -> 8,
       "Corpus.scala" -> 6,
-      "Dedup.scala" -> 1,
       "Mining.scala" -> 5,
-      "TextAnalysis.scala" -> 4)
+      "TextAnalysis.scala" -> 3)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
       else if (f.getName.endsWith(".scala")) Seq(f) else Nil
