@@ -339,6 +339,20 @@ class PlanShapeSpec extends AnyFunSuite {
     check("x35_ppl_buckets", 0)    // [bkt] local / [] offsets
   }
 
+  test("graph builders: the doc_id < 400 cap reaches the parquet scan as a pushed filter") {
+    // every synthetic graph derives from a 400-doc slice; if the cap
+    // stops pushing, a 100 TB documents table would be fully scanned
+    // just to build a 98-node fixture graph. The builders localCheckpoint
+    // (so query plans start at the checkpoint scan); the pin runs on the
+    // shared un-checkpointed edge source they all derive from.
+    val scans = executedAll(operators.Corpus.ccRawEdges(spark, sf0_001))
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.exists(_.metadata.get("PushedFilters")
+        .exists(p => p.contains("LessThan(doc_id,400"))),
+      s"doc_id cap not pushed — " +
+        scans.map(_.metadata.get("PushedFilters")).mkString(", "))
+  }
+
   test("x148 two-hop recs: candidate pruning runs through the native TopKPerGroup, never a cartesian") {
     val nodes = executedAll(SparkEntry.queries("x148_two_hop_recs")(spark, sf0_001))
     assert(nodes.exists(_.getClass.getSimpleName.startsWith("TopKPerGroupExec")),
