@@ -1603,6 +1603,99 @@ object Analytics {
           Num.roundOut(col("n_gaps") * 1.0 / col("n"), 6).as("share"),
           (col("n") - col("cum") + col("u")).as("sessions_if_cut_here"))
         .orderBy(col("bucket_id"))
+    },
+
+    // KOLMOGOROV–SMIRNOV SOURCE DRIFT — the distribution-shape test the
+    // rank-sum AUC (x142) doesn't give: for every source, the exact
+    // two-sample KS statistic between its doc-length distribution and
+    // the pooled rest of the corpus, with the length at which the ECDF
+    // gap peaks and the α=0.05 reject flag (critical value
+    // 1.358·√(n/(n_s·(n−n_s)))). The ingest-time tripwire for "this
+    // source changed its chunking".
+    //
+    // Exactness: ECDFs are ppm-quantized integers (cum·10⁶ div n — one
+    // integer division, no float cumsum), so the max-gap argmax is an
+    // exact-integer order both engines share; the only FP ops are the
+    // final critical-value compare (identical literal→sqrt→compare
+    // sequence on identical longs). cum·10⁶ stays inside a long up to
+    // 9·10¹² docs — past that the ppm quantization itself would switch
+    // to div-then-scale (same designed-output discipline as x142's
+    // BIGINT note).
+    //
+    // Scale: the corpus collapses map-side to (source × length-domain)
+    // counts; the dense grid, per-source cumulatives, and the argmax
+    // windows all run on that sources×domain table — every window here
+    // is PARTITIONED by source over the value domain, and the pooled
+    // cumulative comes from a grid aggregation, not a global window.
+    QueryDef("x156_ks_source_drift",
+      """WITH lens AS (
+        |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), vals AS (
+        |  SELECT DISTINCT v FROM lens
+        |), srcs AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM lens GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n FROM lens
+        |), grid AS (
+        |  SELECT s.source, s.n_s, va.v FROM srcs s CROSS JOIN vals va
+        |), cnt AS (
+        |  SELECT g.source, g.n_s, g.v, COALESCE(l.c, 0) AS c
+        |  FROM grid g LEFT JOIN lens l ON l.source = g.source AND l.v = g.v
+        |), cum AS (
+        |  SELECT source, n_s, v,
+        |         sum(c) OVER (PARTITION BY source ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+        |  FROM cnt
+        |), ca AS (
+        |  SELECT v, CAST(sum(cum_s) AS BIGINT) AS cum_all FROM cum GROUP BY v
+        |), gap AS (
+        |  SELECT cum.source, cum.n_s, cum.v,
+        |         abs(cum_s * 1000000 // n_s
+        |           - (cum_all - cum_s) * 1000000 // (n - n_s)) AS g,
+        |         n
+        |  FROM cum JOIN ca ON ca.v = cum.v CROSS JOIN tot
+        |), r AS (
+        |  SELECT source, n_s, v, g, n, row_number() OVER (
+        |    PARTITION BY source ORDER BY g DESC, v) AS rn
+        |  FROM gap
+        |)
+        |SELECT source, n_s AS n_docs, CAST(g AS BIGINT) AS ks_ppm,
+        |       CAST(v AS BIGINT) AS ks_at,
+        |       CAST(g AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |         > CAST(1.358 AS DOUBLE)
+        |           * sqrt(CAST(n AS DOUBLE)
+        |                  / (CAST(n_s AS DOUBLE) * CAST(n - n_s AS DOUBLE)))
+        |         AS reject
+        |FROM r WHERE rn = 1 ORDER BY source""".stripMargin) { (s, d) =>
+      val lens = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val vals = lens.select(col("v")).distinct()
+      val srcs = lens.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val tot = lens.agg(sum(col("c")).as("n"))
+      val grid = srcs.crossJoin(broadcast(vals))
+      val cum = grid.join(lens, Seq("source", "v"), "left")
+        .select(col("source"), col("n_s"), col("v"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("cum_s", sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ca = cum.groupBy(col("v")).agg(sum(col("cum_s")).as("cum_all"))
+      val gap = cum.join(broadcast(ca), "v").crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s"), col("v"), col("n"),
+          abs(expr("cum_s * 1000000 div n_s")
+            - expr("(cum_all - cum_s) * 1000000 div (n - n_s)")).as("g"))
+      gap.withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("g").desc, col("v"))))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("n_s").as("n_docs"),
+          col("g").as("ks_ppm"), col("v").cast("long").as("ks_at"),
+          (col("g").cast("double") / lit(1000000).cast("double")
+            > lit(1.358) * sqrt(col("n").cast("double")
+              / (col("n_s").cast("double")
+                 * (col("n") - col("n_s")).cast("double")))).as("reject"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -1819,8 +1819,166 @@ object Similarity {
           when(lit(5) * col("n_vecs") * col("k") < lit(4) * col("total"),
             col("nearest")).as("merge_into"))
         .orderBy(col("cent_id"))
+    },
+
+    // MMR DIVERSIFIED RERANKING — the serving-side step between ANN
+    // retrieval and the context window: from each query's top-12
+    // candidate pool, greedily pick 5 results maximizing
+    // λ·relevance − (1−λ)·max-similarity-to-already-picked (λ = 0.7,
+    // Carbonell & Goldstein SIGIR'98), so near-duplicate hits don't
+    // crowd the answer set. The greedy loop is unrolled to 5 bounded
+    // rounds; relevance and candidate-pair sims are rounded to 6 before
+    // the greedy order (x05's rank-on-rounded rule) with cand_id as the
+    // total-order tiebreak, so both engines walk the identical sequence.
+    //
+    // Scale: the corpus is touched ONCE — candidate generation runs
+    // through the native [[graft.plans.TopKPerGroup]] operator
+    // (per-partition bounded heaps, no per-query global sort); every
+    // greedy round after that operates on the queries×12 candidate
+    // table and its queries×12×11 pair-sim table — bounded by K², not
+    // by corpus size, at any scale. The candidate table is
+    // localCheckpoint'ed so the five rounds don't re-run retrieval.
+    QueryDef("x155_mmr_rerank",
+      {
+        val rounds = (2 to 5).map { k =>
+          s"""s$k AS (
+            |  SELECT query_id, cand_id, CAST($k AS INT) AS pos,
+            |         round(1e-9 + m, 6) AS mmr
+            |  FROM (
+            |    SELECT query_id, cand_id, m, row_number() OVER (
+            |      PARTITION BY query_id ORDER BY m DESC, cand_id) AS rn
+            |    FROM (
+            |      SELECT c.query_id, c.cand_id,
+            |             CAST(0.7 AS DOUBLE) * c.rel
+            |               - CAST(0.3 AS DOUBLE) * max(p.sim) AS m
+            |      FROM cand c
+            |      JOIN ps p ON p.query_id = c.query_id AND p.ca = c.cand_id
+            |      JOIN u${k - 1} u ON u.query_id = p.query_id
+            |                      AND u.cand_id = p.cb
+            |      WHERE NOT EXISTS (SELECT 1 FROM u${k - 1} w
+            |                        WHERE w.query_id = c.query_id
+            |                          AND w.cand_id = c.cand_id)
+            |      GROUP BY c.query_id, c.cand_id, c.rel))
+            |  WHERE rn = 1
+            |), u$k AS (
+            |  SELECT query_id, cand_id FROM u${k - 1}
+            |  UNION ALL SELECT query_id, cand_id FROM s$k
+            |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+        |  WHERE vec_id < 4
+        |), scored AS (
+        |  SELECT q.query_id, c.vec_id AS cand_id,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> q.qv[i+1] * c.v[i+1])) / q.qn / c.nrm, 6) AS rel
+        |  FROM n c JOIN q ON c.vec_id <> q.query_id
+        |), cand AS (
+        |  SELECT query_id, cand_id, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |              ORDER BY rel DESC, cand_id) AS rnk FROM scored)
+        |  WHERE rnk <= 12
+        |), ps AS (
+        |  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> x.v[i+1] * y.v[i+1])) / x.nrm / y.nrm, 6) AS sim
+        |  FROM cand a
+        |  JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+        |  JOIN n x ON x.vec_id = a.cand_id
+        |  JOIN n y ON y.vec_id = b.cand_id
+        |), s1 AS (
+        |  SELECT query_id, cand_id, CAST(1 AS INT) AS pos,
+        |         round(1e-9 + CAST(0.7 AS DOUBLE) * rel, 6) AS mmr
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY rel DESC, cand_id) AS rn FROM cand)
+        |  WHERE rn = 1
+        |), u1 AS (
+        |  SELECT query_id, cand_id FROM s1
+        |), $rounds
+        |SELECT query_id, pos, cand_id, mmr FROM (
+        |  SELECT query_id, cand_id, pos, mmr FROM s1
+        |  UNION ALL SELECT query_id, cand_id, pos, mmr FROM s2
+        |  UNION ALL SELECT query_id, cand_id, pos, mmr FROM s3
+        |  UNION ALL SELECT query_id, cand_id, pos, mmr FROM s4
+        |  UNION ALL SELECT query_id, cand_id, pos, mmr FROM s5)
+        |ORDER BY query_id, pos""".stripMargin
+      }) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val cand = mmrCandidates(s, d)
+        .localCheckpoint() // 4×12 rows; read by ps and all five rounds
+      val ps = cand.select(col("query_id"), col("cand_id").as("ca"),
+          col("cv").as("va"), col("cn").as("na"))
+        .join(cand.select(col("query_id"), col("cand_id").as("cb"),
+          col("cv").as("vb"), col("cn").as("nb")), Seq("query_id"))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("query_id"), col("ca"), col("cb"),
+          Num.roundOut(dot(col("va"), col("vb")) / col("na") / col("nb"), 6)
+            .as("sim"))
+        .localCheckpoint() // 4×12×11 rows; read by four greedy rounds
+      val candSlim = cand.select(col("query_id"), col("cand_id"), col("rel"))
+      val s1 = candSlim
+        .withColumn("rn", row_number().over(w.partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("cand_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), lit(1).as("pos"),
+          Num.roundOut(lit(0.7) * col("rel"), 6).as("mmr"))
+      def round(prev: DataFrame, k: Int): DataFrame = {
+        val sel = prev.select(col("query_id"), col("cand_id").as("cb"))
+        val ms = ps.join(sel, Seq("query_id", "cb"))
+          .groupBy(col("query_id"), col("ca"))
+          .agg(max(col("sim")).as("ms"))
+          .withColumnRenamed("ca", "cand_id")
+        candSlim
+          .join(prev.select(col("query_id"), col("cand_id")),
+            Seq("query_id", "cand_id"), "left_anti")
+          .join(ms, Seq("query_id", "cand_id"))
+          .select(col("query_id"), col("cand_id"),
+            (lit(0.7) * col("rel") - lit(0.3) * col("ms")).as("m"))
+          .withColumn("rn", row_number().over(w.partitionBy(col("query_id"))
+            .orderBy(col("m").desc, col("cand_id"))))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("cand_id"), lit(k).as("pos"),
+            Num.roundOut(col("m"), 6).as("mmr"))
+      }
+      var selected = s1
+      var picks = Vector(s1)
+      (2 to 5).foreach { k =>
+        val sk = round(selected, k)
+        selected = selected.unionByName(sk)
+        picks :+= sk
+      }
+      picks.reduce(_.unionByName(_))
+        .select(col("query_id"), col("pos"), col("cand_id"), col("mmr"))
+        .orderBy(col("query_id"), col("pos"))
     }
   )
+
+  /** x155's corpus-touching stage, exposed un-checkpointed so
+    * PlanShapeSpec can pin that candidate retrieval is the native
+    * bounded-heap [[graft.plans.TopKPerGroup]], not a per-query global
+    * sort (the entry localCheckpoints it, which hides the operator from
+    * the final plan). */
+  private[graft] def mmrCandidates(s: SparkSession, d: String): DataFrame = {
+    val n = withNorm(Tables.embeddings(s, d))
+    val q = n.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        Num.roundOut(dot(col("qv"), col("v")) / col("qn") / col("nrm"), 6)
+          .as("rel"),
+        col("v").as("cv"), col("nrm").as("cn"))
+    graft.plans.TopKPerGroup(scored, Seq("query_id"),
+      Seq(("rel", true), ("cand_id", false)), 12)
+  }
 
   /** The x33 k-means pipeline as shared DuckDB CTEs (v → c0 → a1/m1/c1 →
     * a2/m2/c2 → af), interpolated into both the x33 and x34 oracles so the

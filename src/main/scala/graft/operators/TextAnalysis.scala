@@ -2571,6 +2571,198 @@ object TextAnalysis {
               col("auc_num2") * 1.0 / (col("n_pos") * col("n_neg")) - 1.0,
               6))
             .as("gini"))
+    },
+
+    // JENSEN–SHANNON SOURCE DIVERGENCE — the distribution-level drift
+    // monitor over WORD CHOICE that x156's KS (lengths) and x99
+    // (embeddings) don't give: for each source, JSD between its unigram
+    // distribution and the pooled rest of the corpus, over the corpus
+    // top-32 vocabulary plus an OOV bucket. The "which source stopped
+    // speaking like the others" tripwire.
+    //
+    // Exactness: distributions are ppm-quantized integers (c·10⁶ div N —
+    // the x156 discipline), and JSD folds in the entropy form
+    // Σ max(0, a·L(a) + b·L(b) − s·L(s) + s·ln2) / 2 with
+    // L = x80's piecewise mantissa ln6 (ln(2u) ≡ L(u) + Ln2Fp6 BY
+    // DEFINITION of the piecewise log, so one decomposition serves all
+    // three arguments). Every accumulation is an exact long sum — the
+    // output is an integer micro-nat value, no FP op anywhere. The
+    // max(0,·) is the knot-error floor: each word's true JSD term is
+    // ≥ 0 by the log-sum inequality; the ±1/128-knot piecewise L can
+    // dip a near-zero term slightly negative, and clamping (identically
+    // on both engines, before the nonneg integer division) keeps the
+    // fold sign-stable. Bounds: a, b ≤ 10⁶ by quantization, so
+    // u·L(u) ≤ 2·10⁶ · 14.6·10⁶ ≈ 3·10¹³ and the 33-row per-source sum
+    // stays ≤ 10¹⁵ at ANY corpus size; the ppm divisions c·10⁶ stay in
+    // a long to ~9·10¹² tokens (x156's documented bound).
+    //
+    // Scale: one pass over the persisted token table collapses map-side
+    // to (source × word) counts; the vocabulary is a top-32
+    // TakeOrderedAndProject; everything after runs on the
+    // sources×33 grid — bounded by design, not by corpus.
+    QueryDef("x157_source_jsd",
+      s"""WITH ds AS (
+        |  SELECT doc_id, source FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |                 w -> len(w) > 0)) AS word
+        |  FROM documents
+        |), tc AS (
+        |  SELECT ds.source, tok.word, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok JOIN ds ON tok.doc_id = ds.doc_id GROUP BY 1, 2
+        |), gw AS (
+        |  SELECT word, CAST(sum(c) AS BIGINT) AS cg FROM tc GROUP BY 1
+        |), voc AS (
+        |  SELECT word, cg, CAST(row_number() OVER (
+        |           ORDER BY cg DESC, word) AS INT) AS wid
+        |  FROM (SELECT * FROM gw ORDER BY cg DESC, word LIMIT 32)
+        |), vs AS (
+        |  SELECT CAST(sum(cg) AS BIGINT) AS cgv FROM voc
+        |), srcs AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM tc GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n FROM tc
+        |), sv AS (
+        |  SELECT s.source, s.n_s, v.word, v.wid, COALESCE(tc.c, 0) AS c
+        |  FROM srcs s CROSS JOIN voc v
+        |  LEFT JOIN tc ON tc.source = s.source AND tc.word = v.word
+        |), svo AS (
+        |  SELECT source, n_s, word, wid, c FROM sv
+        |  UNION ALL
+        |  SELECT source, n_s, 'OOV', CAST(33 AS INT),
+        |         n_s - CAST(sum(c) AS BIGINT)
+        |  FROM sv GROUP BY source, n_s
+        |), allw AS (
+        |  SELECT wid, cg AS cw FROM voc
+        |  UNION ALL
+        |  SELECT CAST(33 AS INT), n - cgv FROM tot CROSS JOIN vs
+        |), ab AS (
+        |  SELECT svo.source, svo.wid, svo.word,
+        |         svo.c * 1000000 // svo.n_s AS a,
+        |         (allw.cw - svo.c) * 1000000 // (tot.n - svo.n_s) AS b
+        |  FROM svo JOIN allw ON allw.wid = svo.wid CROSS JOIN tot
+        |), u3 AS (
+        |  SELECT source, wid, 'a' AS tag, a AS u, CAST(1 AS BIGINT) AS sgn
+        |  FROM ab
+        |  UNION ALL
+        |  SELECT source, wid, 'b', b, CAST(1 AS BIGINT) FROM ab
+        |  UNION ALL
+        |  SELECT source, wid, 's', a + b, CAST(-1 AS BIGINT) FROM ab
+        |), uz AS (
+        |  SELECT * FROM u3 WHERE u > 0
+        |), p2(k, v) AS (
+        |  VALUES $pow2ValuesSql
+        |), fl AS (
+        |  SELECT source, wid, tag, u, sgn, max(k) AS kk
+        |  FROM uz JOIN p2 ON p2.v <= uz.u GROUP BY 1, 2, 3, 4, 5
+        |), lnt(lk, lq) AS (
+        |  VALUES $ln6ValuesSql
+        |), lv AS (
+        |  SELECT source, wid,
+        |         sgn * u * (CAST(lq AS BIGINT)
+        |           + greatest(kk - 6, 0) * $Ln2Fp6) AS contrib
+        |  FROM (SELECT source, wid, tag, u, sgn, kk,
+        |               u >> greatest(kk - 6, 0) AS m FROM fl) f
+        |  JOIN lnt ON lnt.lk = f.m
+        |), pt AS (
+        |  SELECT source, wid, CAST(sum(contrib) AS BIGINT) AS t1
+        |  FROM lv GROUP BY 1, 2
+        |), term AS (
+        |  SELECT ab.source, ab.wid, ab.word,
+        |         greatest(COALESCE(pt.t1, 0)
+        |           + (ab.a + ab.b) * $Ln2Fp6, 0) AS term
+        |  FROM ab LEFT JOIN pt
+        |    ON pt.source = ab.source AND pt.wid = ab.wid
+        |), agg AS (
+        |  SELECT source, CAST(sum(term) AS BIGINT) AS ssum
+        |  FROM term GROUP BY 1
+        |), top AS (
+        |  SELECT source, word, term, row_number() OVER (
+        |    PARTITION BY source ORDER BY term DESC, wid) AS rn
+        |  FROM term
+        |), oovp AS (
+        |  SELECT source, a AS oov_ppm FROM ab WHERE wid = 33
+        |)
+        |SELECT agg.source, srcs.n_s AS n_tokens, oovp.oov_ppm,
+        |       CAST(ssum // 2000000 AS BIGINT) AS jsd_micro,
+        |       top.word AS top_word,
+        |       CAST(top.term // 2000000 AS BIGINT) AS top_term_micro
+        |FROM agg
+        |JOIN srcs ON srcs.source = agg.source
+        |JOIN oovp ON oovp.source = agg.source
+        |JOIN top ON top.source = agg.source AND top.rn = 1
+        |ORDER BY agg.source""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ds = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val tc = Tokens.table(s, d)
+        .filter(length(col("word")) > 0)
+        .join(ds, "doc_id")
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // read by gw, srcs, tot, and the grid probe
+      val gw = tc.groupBy(col("word")).agg(sum(col("c")).as("cg"))
+      val voc = gw.orderBy(col("cg").desc, col("word")).limit(32)
+        .withColumn("wid", row_number().over(
+          Window.orderBy(col("cg").desc, col("word"))))
+        .localCheckpoint() // 32 rows; read by vs, the grid, and allw
+      val vs = voc.agg(sum(col("cg")).as("cgv"))
+      val srcs = tc.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val tot = tc.agg(sum(col("c")).as("n"))
+      val sv = srcs.crossJoin(broadcast(voc))
+        .join(tc, Seq("source", "word"), "left")
+        .select(col("source"), col("n_s"), col("word"), col("wid"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val svo = sv.unionByName(
+        sv.groupBy(col("source"), col("n_s"))
+          .agg((col("n_s") - sum(col("c"))).as("c"))
+          .select(col("source"), col("n_s"), lit("OOV").as("word"),
+            lit(33).as("wid"), col("c")))
+      val allw = voc.select(col("wid"), col("cg").as("cw")).unionByName(
+        tot.crossJoin(broadcast(vs))
+          .select(lit(33).as("wid"), (col("n") - col("cgv")).as("cw")))
+      val ab = svo.join(broadcast(allw), "wid").crossJoin(broadcast(tot))
+        .select(col("source"), col("wid"), col("word"),
+          expr("c * 1000000 div n_s").as("a"),
+          expr("(cw - c) * 1000000 div (n - n_s)").as("b"))
+        .localCheckpoint() // sources×33 rows; read by u3, term, oovp
+      val u3 = ab.select(col("source"), col("wid"),
+          expr("stack(3, 'a', a, 'b', b, 's', a + b)").as(Seq("tag", "u")))
+        .withColumn("sgn", when(col("tag") === "s", -1L).otherwise(1L))
+        .filter(col("u") > 0)
+      val p2 = broadcast(pow2Table.toDF("k", "v"))
+      val lnt = broadcast(ln6Table.toDF("lk", "lq"))
+      val fl = u3.join(p2, col("v") <= col("u"))
+        .groupBy(col("source"), col("wid"), col("tag"), col("u"), col("sgn"))
+        .agg(max(col("k")).as("kk"))
+      val pt = fl
+        .withColumn("sh", greatest(col("kk") - 6, lit(0)))
+        .withColumn("m", expr("shiftright(u, sh)"))
+        .join(lnt, col("lk") === col("m"))
+        .select(col("source"), col("wid"),
+          (col("sgn") * col("u")
+            * (col("lq") + col("sh") * lit(Ln2Fp6))).as("contrib"))
+        .groupBy(col("source"), col("wid"))
+        .agg(sum(col("contrib")).as("t1"))
+      val term = ab.join(pt, Seq("source", "wid"), "left")
+        .select(col("source"), col("wid"), col("word"),
+          greatest(coalesce(col("t1"), lit(0L))
+            + (col("a") + col("b")) * lit(Ln2Fp6), lit(0L)).as("term"))
+        .localCheckpoint() // sources×33 rows; read by agg and top
+      val agg = term.groupBy(col("source")).agg(sum(col("term")).as("ssum"))
+      val top = term.withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("term").desc, col("wid"))))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("word").as("top_word"),
+          expr("term div 2000000").as("top_term_micro"))
+      val oovp = ab.filter(col("wid") === 33)
+        .select(col("source"), col("a").as("oov_ppm"))
+      agg.join(srcs, "source").join(broadcast(oovp), "source")
+        .join(broadcast(top), "source")
+        .select(col("source"), col("n_s").as("n_tokens"), col("oov_ppm"),
+          expr("ssum div 2000000").as("jsd_micro"),
+          col("top_word"), col("top_term_micro"))
+        .orderBy(col("source"))
     }
   )
 

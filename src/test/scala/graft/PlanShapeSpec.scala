@@ -353,6 +353,14 @@ class PlanShapeSpec extends AnyFunSuite {
         scans.map(_.metadata.get("PushedFilters")).mkString(", "))
   }
 
+  test("x155 MMR: candidate retrieval runs through the native TopKPerGroup (no per-query global sort)") {
+    // the entry localCheckpoints the candidate table (hiding its plan),
+    // so the pin runs on the exposed un-checkpointed stage it derives from
+    val nodes = executedAll(operators.Similarity.mmrCandidates(spark, sf0_001))
+    assert(nodes.exists(_.getClass.getSimpleName.startsWith("TopKPerGroupExec")),
+      "the corpus-touching candidate stage must be the bounded-heap operator")
+  }
+
   test("x148 two-hop recs: candidate pruning runs through the native TopKPerGroup, never a cartesian") {
     val nodes = executedAll(SparkEntry.queries("x148_two_hop_recs")(spark, sf0_001))
     assert(nodes.exists(_.getClass.getSimpleName.startsWith("TopKPerGroupExec")),

@@ -372,6 +372,138 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  /** Num.roundOut(_, 6) reproduced driver-side. */
+  private def r6(x: Double): Double =
+    BigDecimal(x + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("x155: the unrolled MMR greedy matches a driver-side sequential greedy over the same pool") {
+    val got = SparkEntry.queries("x155_mmr_rerank")(spark, sf0_001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val vecs = Tables.embeddings(spark, sf0_001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      // VecDot's sequential fold order, then the pinned / |a| / |b|
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val exp = scala.collection.mutable.Set[(Long, Int, Long, Double)]()
+    for (q <- vecs.keys.toSeq.sorted if q < 4) {
+      val rel = vecs.keys.toSeq.filter(_ != q)
+        .map(c => c -> r6(cos(vecs(q), vecs(c))))
+      val pool = rel.sortBy { case (c, s) => (-s, c) }.take(12)
+      val relM = pool.toMap
+      var selected = Vector.empty[Long]
+      for (pos <- 1 to 5) {
+        val remaining = pool.filterNot { case (c, _) => selected.contains(c) }
+        val scored = remaining.map { case (c, s) =>
+          val ms = if (selected.isEmpty) 0.0
+            else selected.map(sv => r6(cos(vecs(c), vecs(sv)))).max
+          (c, if (selected.isEmpty) 0.7 * s else 0.7 * s - 0.3 * ms)
+        }
+        val (pick, m) = scored.minBy { case (c, mm) => (-mm, c) }
+        exp += ((q, pos, pick, r6(m)))
+        selected :+= pick
+      }
+    }
+    assert(got == exp.toSet)
+    assert(got.size == 20) // 4 queries × 5 picks
+    // diversity is real on this corpus: at least one query's greedy
+    // order must deviate from the plain relevance order
+    val byRel = got.groupBy(_._1).exists { case (q, picks) =>
+      val rel = vecs.keys.toSeq.filter(_ != q)
+        .map(c => c -> r6(cos(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1)
+      picks.toSeq.sortBy(_._2).map(_._3) != rel
+    }
+    assert(byRel, "MMR must reorder at least one query vs pure relevance")
+  }
+
+  test("x156: KS statistics match a driver-side exact ECDF fold, and the fixture rejects nothing at α=0.05") {
+    val got = SparkEntry.queries("x156_ks_source_drift")(spark, sf0_001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = docs.length.toLong
+    val domain = docs.map(_._2).distinct.sorted
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val ns = rows.length.toLong
+      val mine = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val all = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      var (cumS, cumA) = (0L, 0L)
+      var best = (-1L, 0L) // (gap, value); -1 so an all-zero gap series
+                           // still lands on the smallest domain value
+                           // (the query's g DESC, v ASC tiebreak)
+      domain.foreach { v =>
+        cumS += mine.getOrElse(v, 0L); cumA += all(v)
+        val g = math.abs(cumS * 1000000L / ns
+          - (cumA - cumS) * 1000000L / (n - ns))
+        if (g > best._1) best = (g, v)
+      }
+      val reject = best._1.toDouble / 1000000.0 >
+        1.358 * math.sqrt(n.toDouble / (ns.toDouble * (n - ns).toDouble))
+      assert(got(src) == ((ns, best._1, best._2, reject)), s"source $src")
+      assert(!reject, "uniform synthetic sources must not reject at α=0.05")
+    }
+  }
+
+  test("x157: integer JSD matches a driver-side fold with an independent piecewise ln") {
+    val got = SparkEntry.queries("x157_source_jsd")(spark, sf0_001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getLong(5))).toMap
+    // independent ln6pw: mantissa in [64,127] via leading-zero count —
+    // no shared table with main source
+    def ln6(u: Long): Long = {
+      require(u > 0)
+      val kk = 63 - java.lang.Long.numberOfLeadingZeros(u)
+      val sh = math.max(kk - 6, 0)
+      math.round(math.log((u >> sh).toDouble) * 1e6) + sh * 693147L
+    }
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val perSrc = docs.groupBy(_._1).view.mapValues(_.flatMap(_._2.split(" "))
+      .filter(_.nonEmpty).groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap).toMap
+    val global = perSrc.values.flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val voc = global.toSeq.sortBy { case (w, c) => (-c, w) }.take(32)
+    val cgv = voc.map(_._2).sum
+    val nTot = global.values.sum
+    perSrc.foreach { case (src, counts) =>
+      val ns = counts.values.sum
+      val nr = nTot - ns
+      val rows = voc.map { case (w, cg) =>
+        (33, w, counts.getOrElse(w, 0L), cg) // wid unused in fold order
+      } :+ ((33, "OOV", ns - voc.map(c => counts.getOrElse(c._1, 0L)).sum,
+        nTot - cgv))
+      var ssum = 0L
+      var top = ("", -1L, Int.MaxValue) // (word, term, vocab index)
+      rows.zipWithIndex.foreach { case ((_, w, c, cw), i) =>
+        val a = c * 1000000L / ns
+        val b = (cw - c) * 1000000L / nr
+        def f(u: Long): Long = if (u == 0) 0L else u * ln6(u)
+        val term = math.max(f(a) + f(b) - f(a + b) + (a + b) * 693147L, 0L)
+        ssum += term
+        if (term > top._2) top = (w, term, i)
+      }
+      val oovPpm = (ns - voc.map(c => counts.getOrElse(c._1, 0L)).sum) *
+        1000000L / ns
+      assert(got(src) == ((ns, oovPpm, ssum / 2000000L, top._1,
+        top._2 / 2000000L)), s"source $src")
+    }
+    // the fixture must exercise a non-degenerate divergence somewhere
+    assert(got.values.exists(_._3 > 0), "all-zero JSD would pin nothing")
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
@@ -389,10 +521,10 @@ class Round9Spec extends AnyFunSuite {
     * Mining.scala (5): nDCG/MRR rank windows ×2 (post-limit(10)); hybrid
     *   RRF ranks ×2 (post-limit(64)); phrase-search top-2 rank (post-
     *   limit(2)).
-    * TextAnalysis.scala (3): global char-CDF over distinct n_chars
+    * TextAnalysis.scala (4): global char-CDF over distinct n_chars
     *   (value-domain table); x142 running sum over the score-value
     *   domain (≤ 2·10⁶ + 1 rows); x153 funnel running sum (5-row rule
-    *   table).
+    *   table); x157 JSD vocab rank (post-limit(32), K-bounded).
     * (Dedup's x118 offsets window and x130's pair of rank windows
     *   migrated into Ranks.twoPassRank in r9 — one definition.)
     *
@@ -407,7 +539,7 @@ class Round9Spec extends AnyFunSuite {
       "Analytics.scala" -> 8,
       "Corpus.scala" -> 6,
       "Mining.scala" -> 5,
-      "TextAnalysis.scala" -> 3)
+      "TextAnalysis.scala" -> 4)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
       else if (f.getName.endsWith(".scala")) Seq(f) else Nil
