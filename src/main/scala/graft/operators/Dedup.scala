@@ -1725,6 +1725,167 @@ object Dedup {
           col("sum_shared"),
           (col("src_from") === col("src_to")).as("is_internal"))
         .orderBy(col("src_from"), col("src_to"))
+    },
+
+    // HEAPS'-LAW VOCABULARY GROWTH — the corpus-scaling LAW x84's
+    // per-doc novelty curve doesn't fit: V(N) ≈ K·N^β estimated by OLS
+    // on (ln N, ln V) at power-of-two doc-prefix checkpoints (doc_id as
+    // ingest order, the x84 convention). β tells curation how much NEW
+    // vocabulary another 10× of this corpus buys (β≈0.5–0.8 for natural
+    // text; β→0 flags a corpus gone repetitive); the fitted curve also
+    // projects tokenizer-vocab coverage at target corpus size. The
+    // "vocabulary" here is TRIGRAM TYPES (x84's unit): the synthetic
+    // fixture's word vocabulary is ~31 types and saturates inside the
+    // first checkpoint (a constant y ⇒ zero OLS variance), while gram
+    // types keep growing — and n-gram-type growth is the form an LM
+    // pipeline actually sizes (context-coverage, not word lists).
+    // Degenerate inputs stay DESIGNED outputs, not errors: beta/lnk/r2
+    // go NULL via the same guarded CASE on both engines when the fit
+    // variance vanishes (x142's guarded-division pattern).
+    //
+    // Exactness: checkpoint token totals and first-occurrence vocab
+    // counts are exact longs; ln is x80's piecewise mantissa ln6, OLS
+    // moments are exact long sums, and the only FP ops are the three
+    // final divisions (x80's discipline). Bound: ≤ 55 checkpoints
+    // (pow2 table), ln6 ≤ 4.4·10⁷ for counts ≤ 2⁶², so
+    // r·Σxy ≤ 55²·(4.4·10⁷)² ≈ 6·10¹⁸ stays in a long at ANY corpus
+    // size — checkpoint count is log-bounded by construction.
+    //
+    // Scale: per-doc gram counts are scan-side column math; first
+    // occurrence is x84's gram-keyed min over the PERSISTED shingle
+    // table (mergeable partial state, only grams shuffle — built once
+    // per corpus content); each fact row then joins the
+    // BROADCAST ≤55-row checkpoint table (work ∝ corpus·log corpus,
+    // map-side collapsed to ≤55 partials). The regression itself runs
+    // on ≤55 rows.
+    QueryDef("x158_heaps_law",
+      s"""WITH sw AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), dc AS (
+        |  SELECT doc_id, CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS nt
+        |  FROM sw
+        |), gg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(ws) < 3 THEN []
+        |           ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END)
+        |           AS g
+        |  FROM sw
+        |), fo AS (
+        |  SELECT g, min(doc_id) AS first_doc FROM gg GROUP BY 1
+        |), nd AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        |), p2(k, v) AS (
+        |  VALUES ${TextAnalysis.pow2ValuesSql}
+        |), chk AS (
+        |  SELECT v AS p FROM p2 CROSS JOIN nd WHERE v >= 8 AND v <= n_docs
+        |), ntc AS (
+        |  SELECT chk.p, CAST(sum(dc.nt) AS BIGINT) AS n_tokens
+        |  FROM chk JOIN dc ON dc.doc_id < chk.p GROUP BY 1
+        |), vvc AS (
+        |  SELECT chk.p, CAST(count(*) AS BIGINT) AS vocab
+        |  FROM chk JOIN fo ON fo.first_doc < chk.p GROUP BY 1
+        |), pts AS (
+        |  SELECT ntc.p, n_tokens, vocab
+        |  FROM ntc JOIN vvc ON vvc.p = ntc.p
+        |), u2 AS (
+        |  SELECT p, 'x' AS tag, n_tokens AS u FROM pts
+        |  UNION ALL SELECT p, 'y', vocab FROM pts
+        |), fl AS (
+        |  SELECT p, tag, u, max(k) AS kk
+        |  FROM u2 JOIN p2 ON p2.v <= u2.u GROUP BY 1, 2, 3
+        |), lnt(lk, lq) AS (
+        |  VALUES ${TextAnalysis.ln6ValuesSql}
+        |), lv AS (
+        |  SELECT p, tag, CAST(lq AS BIGINT)
+        |           + greatest(kk - 6, 0) * ${TextAnalysis.Ln2Fp6} AS l
+        |  FROM (SELECT p, tag, kk, u >> greatest(kk - 6, 0) AS m FROM fl) f
+        |  JOIN lnt ON lnt.lk = f.m
+        |), xy AS (
+        |  SELECT x.p, x.l AS x, y.l AS y
+        |  FROM lv x JOIN lv y ON x.p = y.p
+        |  WHERE x.tag = 'x' AND y.tag = 'y'
+        |), ols AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS r,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM xy
+        |), fin AS (
+        |  SELECT r, sx, sy,
+        |         r * sxy - sx * sy AS num,
+        |         r * sxx - sx * sx AS den,
+        |         r * syy - sy * sy AS dyy
+        |  FROM ols
+        |)
+        |SELECT CAST(pts.p AS BIGINT) AS chk_docs, pts.n_tokens, pts.vocab,
+        |       CAST(fin.r AS INT) AS n_points,
+        |       CASE WHEN den = 0 THEN NULL
+        |            ELSE round(1e-9 + num * 1.0 / den, 6) END AS beta,
+        |       CASE WHEN den = 0 THEN NULL
+        |            ELSE round(1e-9 + (sy * 1.0 / r
+        |                   - (num * 1.0 / den) * (sx * 1.0 / r))
+        |                 / 1000000.0, 6) END AS lnk_nats,
+        |       CASE WHEN den = 0 OR dyy = 0 THEN NULL
+        |            ELSE round(1e-9 + (num * 1.0 * num)
+        |                 / ((den * 1.0) * dyy), 6) END AS r2
+        |FROM pts CROSS JOIN fin ORDER BY chk_docs""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dc = Tables.documents(s, d).select(col("doc_id"),
+        greatest(size(Text.tokens(col("text"))) - 2, lit(0))
+          .cast("long").as("nt"))
+      val fo = shingleTable(s, d)
+        .select(col("doc_id"), explode(col("tri")).as("g"))
+        .groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val p2 = TextAnalysis.pow2Table.toDF("k", "v")
+      val chk = p2.crossJoin(broadcast(nd))
+        .filter(col("v") >= 8 && col("v") <= col("n_docs"))
+        .select(col("v").as("p"))
+        .localCheckpoint() // ≤55 rows; broadcast against both fact tables
+      val ntc = dc.join(broadcast(chk), col("doc_id") < col("p"))
+        .groupBy(col("p")).agg(sum(col("nt")).as("n_tokens"))
+      val vvc = fo.join(broadcast(chk), col("first_doc") < col("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("vocab"))
+      val pts = ntc.join(vvc, "p").localCheckpoint() // ≤55 rows
+      val u2 = pts.select(col("p"),
+          expr("stack(2, 'x', n_tokens, 'y', vocab)").as(Seq("tag", "u")))
+      val lnt = broadcast(TextAnalysis.ln6Table.toDF("lk", "lq"))
+      val lv = u2.join(broadcast(p2), col("v") <= col("u"))
+        .groupBy(col("p"), col("tag"), col("u")).agg(max(col("k")).as("kk"))
+        .withColumn("sh", greatest(col("kk") - 6, lit(0)))
+        .withColumn("m", expr("shiftright(u, sh)"))
+        .join(lnt, col("lk") === col("m"))
+        .select(col("p"), col("tag"),
+          (col("lq") + col("sh") * lit(TextAnalysis.Ln2Fp6)).as("l"))
+      val xy = lv.filter(col("tag") === "x").select(col("p"), col("l").as("x"))
+        .join(lv.filter(col("tag") === "y")
+          .select(col("p"), col("l").as("y")), "p")
+      val fin = xy.agg(count(lit(1)).as("r"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("num", col("r") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", col("r") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dyy", col("r") * col("syy") - col("sy") * col("sy"))
+      pts.crossJoin(broadcast(fin))
+        .select(col("p").cast("long").as("chk_docs"), col("n_tokens"),
+          col("vocab"), col("r").cast("int").as("n_points"),
+          when(col("den") === 0, lit(null).cast("double"))
+            .otherwise(Num.roundOut(col("num") * 1.0 / col("den"), 6))
+            .as("beta"),
+          when(col("den") === 0, lit(null).cast("double"))
+            .otherwise(Num.roundOut((col("sy") * 1.0 / col("r")
+              - (col("num") * 1.0 / col("den"))
+                * (col("sx") * 1.0 / col("r"))) / 1000000.0, 6))
+            .as("lnk_nats"),
+          when(col("den") === 0 || col("dyy") === 0,
+            lit(null).cast("double"))
+            .otherwise(Num.roundOut((col("num") * 1.0 * col("num"))
+              / ((col("den") * 1.0) * col("dyy")), 6))
+            .as("r2"))
+        .orderBy(col("chk_docs"))
     }
   )
 }

@@ -504,6 +504,51 @@ class Round9Spec extends AnyFunSuite {
     assert(got.values.exists(_._3 > 0), "all-zero JSD would pin nothing")
   }
 
+  test("x158: Heaps fit matches a driver-side fold, and the growth points are genuinely log-log-linear") {
+    val rows = SparkEntry.queries("x158_heaps_law")(spark, sf0_001)
+      .collect().sortBy(_.getLong(0))
+    def ln6(u: Long): Long = { // independent piecewise ln (x157's test helper)
+      val kk = 63 - java.lang.Long.numberOfLeadingZeros(u)
+      val sh = math.max(kk - 6, 0)
+      math.round(math.log((u >> sh).toDouble) * 1e6) + sh * 693147L
+    }
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val grams = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1) // keep empties: string_split parity
+      (0 until math.max(ws.length - 2, 0))
+        .map(i => (s"${ws(i)}_${ws(i + 1)}_${ws(i + 2)}", id))
+    }
+    val firstDoc = grams.groupBy(_._1).map { case (_, g) => g.map(_._2).min }
+    val perDocNt = docs.map { case (id, t) =>
+      (id, math.max(t.split(" ", -1).length - 2, 0).toLong)
+    }.toMap
+    val chks = Iterator.iterate(8L)(_ * 2).takeWhile(_ <= docs.length).toSeq
+    val pts = chks.map { p =>
+      (p, perDocNt.collect { case (id, nt) if id < p => nt }.sum,
+        firstDoc.count(_ < p).toLong)
+    }
+    val xy = pts.map { case (_, nt, v) => (ln6(nt), ln6(v)) }
+    val r = xy.length.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map { case (x, y) => x * y }.sum
+    val sxx = xy.map { case (x, _) => x * x }.sum
+    val num = r * sxy - sx * sy
+    val den = r * sxx - sx * sx
+    val beta = r6(num.toDouble / den)
+    assert(rows.map(_.getLong(0)).toSeq == chks)
+    rows.zip(pts).foreach { case (row, (p, nt, v)) =>
+      assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((p, nt, v)))
+      assert(row.getInt(3) == r.toInt)
+      assert(row.getDouble(4) == beta)
+    }
+    // the law must be non-degenerate on this corpus: a real positive
+    // exponent below 1 with a tight fit
+    assert(beta > 0.3 && beta < 1.0, s"beta=$beta")
+    assert(rows.head.getDouble(6) > 0.8, "r2 must indicate a real power law")
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
