@@ -1886,6 +1886,88 @@ object Dedup {
               / ((col("den") * 1.0) * col("dyy")), 6))
             .as("r2"))
         .orderBy(col("chk_docs"))
+    },
+
+    // FUZZY NAME MATCHING (record linkage) — multi-pass blocked join
+    // with a native Jaro-Winkler verifier: candidate pairs come from TWO
+    // blocking passes over the DISTINCT-name table (same last token ∪
+    // same first token — the Fellegi-Sunter multi-key blocking that
+    // catches a typo in either half of a "modifier noun" name), then
+    // each candidate is scored by [[graft.plans.JaroWinkler]] — a
+    // codegen'd Catalyst expression (Spark ships levenshtein but no JW;
+    // a UDF would box two Strings per pair). Kept pairs at ≥ 0.85 with
+    // which block caught them and how many part rows they cover.
+    // JaroWinklerSpec pins kernel parity against DuckDB's
+    // `jaro_winkler_similarity` (known-value + property tests) and that
+    // blocking loses NOTHING at this threshold vs all-pairs on the
+    // fixture.
+    //
+    // Scale: the corpus collapses to the distinct-name table first
+    // (name-template-sized, not row-sized — the x39 vocab lesson);
+    // blocking keys are name halves, so the self-joins are equi-joins
+    // whose candidate volume is Σ block², bounded by template
+    // cardinality; the JW kernel runs ONLY on blocked candidates,
+    // inside whole-stage codegen. A skewed real-world block would take
+    // x02's bucket-size cap; the template blocks here are audited by
+    // the spec instead.
+    QueryDef("x159_fuzzy_names",
+      """WITH nm AS (
+        |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1
+        |), tk AS (
+        |  SELECT name, n_parts,
+        |         string_split(name, ' ')[1] AS adj,
+        |         string_split(name, ' ')[-1] AS noun
+        |  FROM nm
+        |), cand AS (
+        |  SELECT a.name AS name_a, b.name AS name_b
+        |  FROM tk a JOIN tk b ON a.noun = b.noun AND a.name < b.name
+        |  UNION
+        |  SELECT a.name, b.name
+        |  FROM tk a JOIN tk b ON a.adj = b.adj AND a.name < b.name
+        |), sc AS (
+        |  SELECT name_a, name_b,
+        |         round(1e-9 + jaro_winkler_similarity(name_a, name_b), 6)
+        |           AS jw
+        |  FROM cand
+        |)
+        |SELECT sc.name_a, sc.name_b,
+        |       CASE WHEN ta.adj = tb.adj AND ta.noun = tb.noun THEN 'both'
+        |            WHEN ta.noun = tb.noun THEN 'noun'
+        |            ELSE 'adj' END AS shared,
+        |       sc.jw, ta.n_parts + tb.n_parts AS n_parts_covered
+        |FROM sc
+        |JOIN tk ta ON ta.name = sc.name_a
+        |JOIN tk tb ON tb.name = sc.name_b
+        |WHERE sc.jw >= 0.85
+        |ORDER BY sc.name_a, sc.name_b""".stripMargin) { (s, d) =>
+      val tk = Tables.part(s, d)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_parts"))
+        .select(col("name"), col("n_parts"),
+          element_at(split(col("name"), " "), 1).as("adj"),
+          element_at(split(col("name"), " "), -1).as("noun"))
+        .localCheckpoint() // template-sized; four join sides read it
+      def block(key: String) = tk.select(col("name").as("name_a"),
+          col(key).as("k"))
+        .join(tk.select(col("name").as("name_b"), col(key).as("k")), "k")
+        .filter(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"))
+      val cand = block("noun").union(block("adj")).distinct()
+      val sc = cand.select(col("name_a"), col("name_b"),
+        Num.roundOut(
+          graft.plans.JaroWinkler(col("name_a"), col("name_b")), 6).as("jw"))
+      sc.join(tk.select(col("name").as("name_a"), col("adj").as("aa"),
+          col("noun").as("na"), col("n_parts").as("pa")), "name_a")
+        .join(tk.select(col("name").as("name_b"), col("adj").as("ab"),
+          col("noun").as("nb"), col("n_parts").as("pb")), "name_b")
+        .select(col("name_a"), col("name_b"),
+          when(col("aa") === col("ab") && col("na") === col("nb"), "both")
+            .when(col("na") === col("nb"), "noun")
+            .otherwise("adj").as("shared"),
+          col("jw"), (col("pa") + col("pb")).as("n_parts_covered"))
+        .filter(col("jw") >= 0.85)
+        .orderBy(col("name_a"), col("name_b"))
     }
   )
 }
