@@ -1958,6 +1958,108 @@ object Similarity {
       picks.reduce(_.unionByName(_))
         .select(col("query_id"), col("pos"), col("cand_id"), col("mmr"))
         .orderBy(col("query_id"), col("pos"))
+    },
+
+    // TOP PRINCIPAL COMPONENT BY POWER ITERATION — the embedding-space
+    // health check behind anisotropy audits (a dominant direction
+    // hoarding variance means cosine similarities collapse toward it —
+    // Ethayarajh EMNLP'19): mean-center, then three unrolled iterations
+    // of v ← normalize(Xᵀ(Xv)) from the deterministic start v₀ = 1/√64,
+    // reporting the 64 loadings and the variance share the component
+    // explains. Per-iteration rounding (s to 6, w to 4, v to 6 — the
+    // PageRank per-round parity discipline) keeps both engines walking
+    // the identical float sequence; degenerate norms are DESIGNED NULLs
+    // via the same guarded CASE (x142's pattern).
+    //
+    // Scale: the dim-exploded fact table (vec_id, i, val) makes every
+    // step a relational aggregate with map-side partials — Xv is a
+    // 64-row broadcast join + per-vector sum, XᵀXv a corpus equi-join
+    // on vec_id + 64-group sum; per iteration that is two exchanges,
+    // each carrying keys and partial sums only. The ×64 row blow-up is
+    // the price of staying relational; the array-native alternative
+    // (VecDot against a broadcast v, one pass, no explode) drops in for
+    // the scan side without changing the algebra. The iterate count is
+    // THREE at any corpus size — cost is 6 bounded-shuffle passes, not
+    // a convergence loop.
+    QueryDef("x160_pca_power",
+      {
+        val iters = (1 to 3).map { k =>
+          s"""s$k AS (
+            |  SELECT x.vec_id, round(1e-9 + sum(x.val * v.v), 6) AS s
+            |  FROM xc x JOIN v${k - 1} v ON v.i = x.i GROUP BY 1
+            |), w$k AS (
+            |  SELECT x.i, round(1e-9 + sum(x.val * s.s), 4) AS w
+            |  FROM xc x JOIN s$k s ON s.vec_id = x.vec_id GROUP BY 1
+            |), n$k AS (
+            |  SELECT sqrt(sum(w * w)) AS nrm FROM w$k
+            |), v$k AS (
+            |  SELECT i, CASE WHEN nrm = 0 THEN CAST(0.0 AS DOUBLE)
+            |            ELSE round(1e-9 + w / nrm, 6) END AS v
+            |  FROM w$k CROSS JOIN n$k
+            |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), x AS (
+        |  SELECT vec_id, CAST(r.range AS INT) AS i, e.v[r.range + 1] AS val
+        |  FROM e CROSS JOIN range(64) r
+        |), mu AS (
+        |  SELECT i, round(1e-9 + avg(val), 6) AS mu FROM x GROUP BY 1
+        |), xc AS (
+        |  SELECT vec_id, x.i, val - mu AS val FROM x JOIN mu ON mu.i = x.i
+        |), v0 AS (
+        |  SELECT CAST(r.range AS INT) AS i, CAST(0.125 AS DOUBLE) AS v
+        |  FROM range(64) r
+        |), $iters, sc AS (
+        |  SELECT x.vec_id, round(1e-9 + sum(x.val * v.v), 6) AS s
+        |  FROM xc x JOIN v3 v ON v.i = x.i GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(val * val) AS ss FROM xc
+        |), nm AS (
+        |  SELECT sum(s * s) AS sn FROM sc
+        |)
+        |SELECT v3.i, v3.v AS loading,
+        |       CASE WHEN ss = 0 THEN NULL
+        |            ELSE round(1e-9 + sn / ss, 6) END AS var_share
+        |FROM v3 CROSS JOIN nm CROSS JOIN tot ORDER BY i""".stripMargin
+      }) { (s, d) =>
+      val x = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(transform(col("embedding"), _.cast("double")))
+            .as(Seq("i", "val")))
+      val mu = x.groupBy(col("i"))
+        .agg(Num.roundOut(avg(col("val")), 6).as("mu"))
+      val xc = x.join(broadcast(mu), "i")
+        .select(col("vec_id"), col("i"), (col("val") - col("mu")).as("val"))
+        .localCheckpoint() // read by all six iteration passes + totals
+      var v = mu.select(col("i"), lit(0.125).as("v"))
+      (1 to 3).foreach { _ =>
+        val sK = xc.join(broadcast(v), "i")
+          .groupBy(col("vec_id"))
+          .agg(Num.roundOut(sum(col("val") * col("v")), 6).as("s"))
+        val wK = xc.join(sK, "vec_id")
+          .groupBy(col("i"))
+          .agg(Num.roundOut(sum(col("val") * col("s")), 4).as("w"))
+        val nK = wK.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+        v = wK.crossJoin(broadcast(nK))
+          .select(col("i"),
+            when(col("nrm") === 0, lit(0.0).cast("double"))
+              .otherwise(Num.roundOut(col("w") / col("nrm"), 6)).as("v"))
+          .localCheckpoint() // 64 rows; next iteration + final read it
+      }
+      val sc = xc.join(broadcast(v), "i")
+        .groupBy(col("vec_id"))
+        .agg(Num.roundOut(sum(col("val") * col("v")), 6).as("s"))
+      val tot = xc.agg(sum(col("val") * col("val")).as("ss"))
+      val nm = sc.agg(sum(col("s") * col("s")).as("sn"))
+      v.crossJoin(broadcast(nm)).crossJoin(broadcast(tot))
+        .select(col("i"), col("v").as("loading"),
+          when(col("ss") === 0, lit(null).cast("double"))
+            .otherwise(Num.roundOut(col("sn") / col("ss"), 6))
+            .as("var_share"))
+        .orderBy(col("i"))
     }
   )
 

@@ -549,6 +549,38 @@ class Round9Spec extends AnyFunSuite {
     assert(rows.head.getDouble(6) > 0.8, "r2 must indicate a real power law")
   }
 
+  test("x160: power-iteration loadings match a driver-side fold with the same rounding schedule") {
+    val rows = SparkEntry.queries("x160_pca_power")(spark, sf0_001)
+      .collect().sortBy(_.getInt(0))
+    val vecs = Tables.embeddings(spark, sf0_001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val dim = 64
+    val n = vecs.length
+    val mu = (0 until dim).map(i => r6(vecs.map(_(i)).sum / n)).toArray
+    val xc = vecs.map(row => row.indices.map(i => row(i) - mu(i)).toArray)
+    var v = Array.fill(dim)(0.125)
+    (1 to 3).foreach { _ =>
+      val s = xc.map(row => r6(row.indices.map(i => row(i) * v(i)).sum))
+      val w = (0 until dim).map(i =>
+        r4(xc.indices.map(r => xc(r)(i) * s(r)).sum)).toArray
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(x => if (nrm == 0) 0.0 else r6(x / nrm))
+    }
+    val s = xc.map(row => r6(row.indices.map(i => row(i) * v(i)).sum))
+    val share = r6(s.map(x => x * x).sum / xc.map(_.map(x => x * x).sum).sum)
+    rows.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getDouble(1) == v(i), s"loading $i")
+      assert(row.getDouble(2) == share)
+    }
+    // the iterate is a genuine direction: unit norm (up to rounding) and
+    // a positive, sub-total variance share
+    val nv = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(nv - 1.0) < 0.01, s"|v|=$nv")
+    assert(share > 0.0 && share < 1.0)
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
