@@ -1100,29 +1100,14 @@ object Analytics {
     // rows at any corpus size. The last event per user emits no pair
     // (lead = null), matching the open-ended session semantics.
     QueryDef("x95_event_transitions",
-      """WITH p AS (
-        |  SELECT event_type AS from_type,
-        |         lead(event_type) OVER (PARTITION BY user_id
-        |                                ORDER BY ts, event_id) AS to_type
-        |  FROM events
-        |), c AS (
-        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
-        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
-        |), t AS (
+      s"""WITH $transCteSql, t AS (
         |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
         |)
         |SELECT c.from_type, c.to_type, c.n,
         |       round(1e-9 + c.n * 1.0 / t.tot, 4) AS p
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
-      val p = Tables.events(s, d)
-        .select(col("event_type").as("from_type"),
-          lead(col("event_type"), 1).over(
-            Window.partitionBy(col("user_id"))
-              .orderBy(col("ts"), col("event_id"))).as("to_type"))
-      val c = p.filter(col("to_type").isNotNull)
-        .groupBy(col("from_type"), col("to_type"))
-        .agg(count(lit(1)).as("n"))
+      val c = transCounts(s, d)
       val t = c.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
       c.join(broadcast(t), "from_type")
         .select(col("from_type"), col("to_type"), col("n"),
@@ -1696,6 +1681,105 @@ object Analytics {
               / (col("n_s").cast("double")
                  * (col("n") - col("n_s")).cast("double")))).as("reject"))
         .orderBy(col("source"))
+    },
+
+    // MARKOV STATIONARY DISTRIBUTION — the long-run occupancy of the
+    // x95 transition matrix (where user journeys SETTLE, not just what
+    // follows what): π ← πP iterated 8 unrolled rounds from the uniform
+    // start, with x160's per-round rounding parity (each π component
+    // rounds to 6 before the next multiply, so both engines walk the
+    // identical float sequence) and the final L1 step-delta reported as
+    // the convergence audit. Event types that never appear as a
+    // successor drop out of π by round one — the absorbing-source
+    // semantics a journey model wants surfaced, not smoothed away.
+    //
+    // Scale: π and P live on types-sized tables (≤ 25 cells at any
+    // corpus size); the single corpus-touching pass is x95's shared
+    // lead() spine (one user-keyed exchange). Eight rounds of
+    // broadcast-join arithmetic on ≤5-row tables cost nothing and the
+    // round count is FIXED — no convergence loop.
+    QueryDef("x162_markov_stationary",
+      {
+        val rounds = (1 to 8).map { j =>
+          s"""pi$j AS (
+            |  SELECT c.to_type AS t,
+            |         round(1e-9 + sum(pi.p * c.n / rs.tot), 6) AS p
+            |  FROM c JOIN pi${j - 1} pi ON pi.t = c.from_type
+            |  JOIN rs ON rs.from_type = c.from_type
+            |  GROUP BY 1
+            |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH $transCteSql, rs AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
+        |), k AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k FROM rs
+        |), pi0 AS (
+        |  SELECT from_type AS t, CAST(1.0 AS DOUBLE) / k AS p
+        |  FROM rs CROSS JOIN k
+        |), $rounds, dl AS (
+        |  SELECT round(1e-9 + sum(abs(a.p - b.p)), 6) AS l1_delta
+        |  FROM pi8 a JOIN pi7 b ON b.t = a.t
+        |)
+        |SELECT a.t AS event_type, a.p AS stationary,
+        |       rs.tot AS n_out, dl.l1_delta
+        |FROM pi8 a
+        |JOIN rs ON rs.from_type = a.t
+        |CROSS JOIN dl
+        |ORDER BY event_type""".stripMargin
+      }) { (s, d) =>
+      val c = transCounts(s, d).localCheckpoint() // ≤25 rows; 8 rounds read it
+      val rs = c.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+      val k = rs.agg(count(lit(1)).as("k"))
+      var pi = rs.crossJoin(broadcast(k))
+        .select(col("from_type").as("t"),
+          (lit(1.0).cast("double") / col("k")).as("p"))
+      var prev = pi
+      (1 to 8).foreach { _ =>
+        prev = pi
+        pi = c.join(broadcast(pi), col("t") === col("from_type"))
+          .join(broadcast(rs.withColumnRenamed("from_type", "rf")),
+            col("rf") === col("from_type"))
+          .groupBy(col("to_type"))
+          .agg(Num.roundOut(sum(col("p") * col("n") / col("tot")), 6)
+            .as("p"))
+          .withColumnRenamed("to_type", "t")
+          .localCheckpoint() // ≤5 rows; severs the 8-round lineage
+      }
+      val dl = pi.select(col("t"), col("p"))
+        .join(prev.select(col("t"), col("p").as("pp")), "t")
+        .agg(Num.roundOut(sum(abs(col("p") - col("pp"))), 6).as("l1_delta"))
+      pi.join(broadcast(rs.withColumnRenamed("from_type", "t")), "t")
+        .crossJoin(broadcast(dl))
+        .select(col("t").as("event_type"), col("p").as("stationary"),
+          col("tot").as("n_out"), col("l1_delta"))
+        .orderBy(col("event_type"))
     }
   )
+
+  /** x95's successor-pair spine (from_type, to_type, n) as shared DuckDB
+    * CTEs and the matching Spark builder — one definition feeding both
+    * the transition report (x95) and the stationary distribution (x162)
+    * so the matrix can't drift between them. A def, not a val: `entries`
+    * initializes first (the x69 lnq lesson). */
+  private def transCteSql: String =
+    """p AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS to_type
+      |  FROM events
+      |), c AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |)""".stripMargin
+
+  private def transCounts(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
 }

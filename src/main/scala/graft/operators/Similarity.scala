@@ -2060,6 +2060,96 @@ object Similarity {
             .otherwise(Num.roundOut(col("sn") / col("ss"), 6))
             .as("var_share"))
         .orderBy(col("i"))
+    },
+
+    // HARD-NEGATIVE TRIPLET MINING — the contrastive-training prep step
+    // (FaceNet CVPR'15 semi-hard policy) that x86's centroid margins
+    // audit only in aggregate: per anchor, the hardest positive
+    // alternative (nearest same-label vector) and the hardest negative
+    // (nearest other-label vector), with the semi-hard band flag
+    // (negative inside 0.05 of the positive but not past it) and the
+    // violation flag (negative outranks the positive — the pair a
+    // curriculum surfaces first). Sims round to 6 before any
+    // comparison (x05's rank-on-rounded rule); the negative's identity
+    // resolves by the deterministic (sim, then smallest id) rule via
+    // the two-step argmax join — no per-anchor window ever sees
+    // corpus-sized input.
+    //
+    // Scale: ONE corpus pass — the anchor batch broadcasts against the
+    // vector scan (x05's shape) and collapses map-side into two
+    // conditional MAX partials per anchor; the argmax join re-reads
+    // only rows matching the already-known best sim. No vector×vector
+    // blow-up, no window. Batching anchors (here 32) is how the full
+    // mining job tiles at 100 TB.
+    QueryDef("x161_hard_negatives",
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, label, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), a AS (
+        |  SELECT vec_id AS anchor_id, label AS albl, v AS av, nrm AS an
+        |  FROM n WHERE vec_id < 32
+        |), cand AS (
+        |  SELECT a.anchor_id, a.albl, c.vec_id AS cand_id, c.label AS clbl,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> a.av[i+1] * c.v[i+1])) / a.an / c.nrm, 6) AS sim
+        |  FROM n c JOIN a ON c.vec_id <> a.anchor_id
+        |), agg AS (
+        |  SELECT anchor_id, albl,
+        |         max(CASE WHEN clbl = albl THEN sim END) AS pos_sim,
+        |         max(CASE WHEN clbl <> albl THEN sim END) AS neg_sim
+        |  FROM cand GROUP BY 1, 2
+        |), neg AS (
+        |  SELECT c.anchor_id, CAST(min(c.cand_id) AS BIGINT) AS neg_id
+        |  FROM cand c JOIN agg g ON g.anchor_id = c.anchor_id
+        |   AND c.clbl <> g.albl AND c.sim = g.neg_sim
+        |  GROUP BY 1
+        |)
+        |SELECT g.anchor_id, g.albl AS anchor_label,
+        |       g.pos_sim, g.neg_sim, neg.neg_id, nl.label AS neg_label,
+        |       g.neg_sim < g.pos_sim
+        |         AND g.neg_sim > g.pos_sim - CAST(0.05 AS DOUBLE)
+        |         AS semi_hard,
+        |       g.neg_sim >= g.pos_sim AS violation
+        |FROM agg g
+        |JOIN neg ON neg.anchor_id = g.anchor_id
+        |JOIN e nl ON nl.vec_id = neg.neg_id
+        |ORDER BY g.anchor_id""".stripMargin) { (s, d) =>
+      val n = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val a = n.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("anchor_id"), col("label").as("albl"),
+          col("v").as("av"), col("nrm").as("an"))
+      val cand = n.join(broadcast(a), col("vec_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("albl"),
+          col("vec_id").as("cand_id"), col("label").as("clbl"),
+          Num.roundOut(dot(col("av"), col("v")) / col("an") / col("nrm"), 6)
+            .as("sim"))
+        .localCheckpoint() // read by the max pass and the argmax join
+      val agg = cand.groupBy(col("anchor_id"), col("albl"))
+        .agg(max(when(col("clbl") === col("albl"), col("sim"))).as("pos_sim"),
+          max(when(col("clbl") =!= col("albl"), col("sim"))).as("neg_sim"))
+      val neg = cand.join(broadcast(agg.select(col("anchor_id"),
+          col("albl").as("gl"), col("neg_sim").as("gs"))), "anchor_id")
+        .filter(col("clbl") =!= col("gl") && col("sim") === col("gs"))
+        .groupBy(col("anchor_id")).agg(min(col("cand_id")).as("neg_id"))
+      // the label probe keeps the corpus on the build side of a plain
+      // equi-join — the 32-row mined side is the broadcastable one
+      agg.join(broadcast(neg), "anchor_id")
+        .join(n.select(col("vec_id").as("neg_id"),
+          col("label").as("neg_label")), "neg_id")
+        .select(col("anchor_id"), col("albl").as("anchor_label"),
+          col("pos_sim"), col("neg_sim"), col("neg_id"), col("neg_label"),
+          (col("neg_sim") < col("pos_sim")
+            && col("neg_sim") > col("pos_sim") - 0.05).as("semi_hard"),
+          (col("neg_sim") >= col("pos_sim")).as("violation"))
+        .orderBy(col("anchor_id"))
     }
   )
 

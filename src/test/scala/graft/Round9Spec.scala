@@ -581,6 +581,87 @@ class Round9Spec extends AnyFunSuite {
     assert(share > 0.0 && share < 1.0)
   }
 
+  test("x161: hard negatives match a brute-force triplet scan, and the flags follow their definitions") {
+    val got = SparkEntry.queries("x161_hard_negatives")(spark, sf0_001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getInt(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    val vecs = Tables.embeddings(spark, sf0_001)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    assert(got.size == 32)
+    vecs.filter(_._1 < 32).foreach { case (aid, albl, av) =>
+      val sims = vecs.filter(_._1 != aid)
+        .map { case (cid, clbl, cv) => (cid, clbl, r6(cos(av, cv))) }
+      val posSim = sims.filter(_._2 == albl).map(_._3).max
+      val negSim = sims.filter(_._2 != albl).map(_._3).max
+      val negId = sims.filter(s => s._2 != albl && s._3 == negSim)
+        .map(_._1).min
+      val negLbl = vecs.find(_._1 == negId).get._2
+      val semiHard = negSim < posSim && negSim > posSim - 0.05
+      val violation = negSim >= posSim
+      assert(got(aid) ==
+        ((albl, posSim, negSim, negId, negLbl, semiHard, violation)),
+        s"anchor $aid")
+    }
+    // the fixture must produce real mining work: some anchor where the
+    // negative outranks or crowds the positive
+    assert(got.values.exists(v => v._6 || v._7),
+      "no semi-hard or violating triplet — the pin would be vacuous")
+  }
+
+  test("x162: stationary distribution matches a driver-side 8-round fold and has converged") {
+    val rows = SparkEntry.queries("x162_markov_stationary")(spark, sf0_001)
+      .collect().sortBy(_.getString(0))
+    val ev = Tables.events(spark, sf0_001)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._2, e._3))
+      s.zip(s.tail).map { case (a, b) => (a._4, b._4) }
+    }.toSeq
+    val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowSum = counts.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val types = rowSum.keys.toSeq.sorted
+    var pi = types.map(t => t -> 1.0 / types.size).toMap
+    var prev = pi
+    (1 to 8).foreach { _ =>
+      prev = pi
+      val nxt = counts.toSeq
+        .flatMap { case ((f, t), n) =>
+          pi.get(f).map(p => t -> p * n / rowSum(f))
+        }
+        .groupBy(_._1).view.mapValues(v => r6(v.map(_._2).sum)).toMap
+      pi = nxt
+    }
+    val delta = r6(pi.map { case (t, p) =>
+      math.abs(p - prev.getOrElse(t, 0.0))
+    }.sum)
+    assert(rows.map(_.getString(0)).toSeq == pi.keys.toSeq.sorted
+      .filter(rowSum.contains)) // only types with outgoing mass report
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getDouble(1) == pi(t), s"pi($t)")
+      assert(r.getLong(2) == rowSum(t))
+      assert(r.getDouble(3) == delta)
+    }
+    val mass = rows.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 0.01, s"stationary mass $mass")
+    assert(rows.head.getDouble(3) < 0.02,
+      "8 rounds must have effectively converged on a 5-state chain")
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
