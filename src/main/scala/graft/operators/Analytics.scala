@@ -1099,20 +1099,8 @@ object Analytics {
     // pairs collapse map-side to a types² partial — the matrix is O(25)
     // rows at any corpus size. The last event per user emits no pair
     // (lead = null), matching the open-ended session semantics.
-    QueryDef("x95_event_transitions",
-      s"""WITH $transCteSql, t AS (
-        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
-        |)
-        |SELECT c.from_type, c.to_type, c.n,
-        |       round(1e-9 + c.n * 1.0 / t.tot, 4) AS p
-        |FROM c JOIN t USING (from_type)
-        |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
-      val c = transCounts(s, d)
-      val t = c.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
-      c.join(broadcast(t), "from_type")
-        .select(col("from_type"), col("to_type"), col("n"),
-          Num.roundOut(col("n") * 1.0 / col("tot"), 4).as("p"))
-        .orderBy(col("from_type"), col("to_type"))
+    QueryDef("x95_event_transitions", Analytics.x95OracleSql) { (s, d) =>
+      transReport(transCounts(s, d))
     },
 
     // POINT-IN-TIME-CORRECT FEATURE ASSEMBLY — the feature-store join
@@ -1756,11 +1744,23 @@ object Analytics {
     }
   )
 
+  /** x95's full report SQL — shared with st23's streaming maintenance so
+    * the converged stream answers EXACTLY the batch oracle. */
+  private[graft] def x95OracleSql: String =
+    s"""WITH $transCteSql, t AS (
+      |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
+      |)
+      |SELECT c.from_type, c.to_type, c.n,
+      |       round(1e-9 + c.n * 1.0 / t.tot, 4) AS p
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   /** x95's successor-pair spine (from_type, to_type, n) as shared DuckDB
     * CTEs and the matching Spark builder — one definition feeding both
-    * the transition report (x95) and the stationary distribution (x162)
-    * so the matrix can't drift between them. A def, not a val: `entries`
-    * initializes first (the x69 lnq lesson). */
+    * the transition report (x95), the stationary distribution (x162),
+    * and st23's streaming maintenance oracle, so the matrix can't drift
+    * between them. A def, not a val: `entries` initializes first (the
+    * x69 lnq lesson). */
   private def transCteSql: String =
     """p AS (
       |  SELECT event_type AS from_type,
@@ -1771,6 +1771,17 @@ object Analytics {
       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
       |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
       |)""".stripMargin
+
+  /** The (from_type, to_type, n) counts → full x95 report — shared by the
+    * batch entry and st23's converged-stream readout. */
+  private[graft] def transReport(
+      c: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = c.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    c.join(broadcast(t), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        Num.roundOut(col("n") * 1.0 / col("tot"), 4).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 
   private def transCounts(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =

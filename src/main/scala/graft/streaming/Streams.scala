@@ -136,6 +136,53 @@ object Streams {
     stage.toString
   }
 
+  /** Stage EVENTS as three TIME-ORDERED slices (date terciles by pure
+    * integer arithmetic on datediff — no window) with strictly
+    * increasing file mtimes, so `maxFilesPerTrigger=1` replays event
+    * time in order across micro-batches. st23's cross-batch
+    * last-event-per-user state is only correct under time-ordered
+    * arrival — which is exactly how a production event log lands.
+    * Content-keyed like [[stageEventsSplit]]. */
+  private[graft] def stageEventsTimeSplit(s: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_tsplit_v1_${graft.ContentKey.key(src)}"))
+    if (!java.nio.file.Files.exists(stage.resolve("_DONE"))) {
+      java.nio.file.Files.createDirectories(stage)
+      val ev = Tables.events(s, dir) // ts normalized to micros on disk
+      val bounds = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      val sliced = ev.crossJoin(broadcast(bounds))
+        .withColumn("slice", expr(
+          "least(2, (datediff(to_date(ts), d0) * 3) div (datediff(d1, d0) + 1))"))
+      Seq(0, 1, 2).foreach { par =>
+        val tmp = stage.resolve(s"tmp_$par")
+        sliced.filter(col("slice") === par)
+          .drop("slice", "d0", "d1")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally l.close()
+        }
+        val dst = stage.resolve(s"batch_$par.parquet")
+        java.nio.file.Files.move(part, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // mtime encodes arrival order (file-source listing order); the
+        // lexicographic name order agrees as the tie-break
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1600000000000L + par * 60000L))
+        val rest = java.nio.file.Files.walk(tmp)
+        try rest.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally rest.close()
+      }
+      java.nio.file.Files.createFile(stage.resolve("_DONE"))
+    }
+    stage.toString
+  }
+
   /** Stage DOCUMENTS split in two disjoint halves (by doc_id parity, two
     * files → two micro-batches with maxFilesPerTrigger=1) — st10's
     * streaming ingest source. Content-keyed like [[stageEventsSplit]]. */
@@ -1520,6 +1567,85 @@ object Streams {
           .start()
         try q.processAllAvailable() finally q.stop()
         graft.operators.Corpus.ccReport(ss.read.parquet(ccDir))
+      }
+    },
+
+    // STREAMING TRANSITION-MATRIX MAINTENANCE — the Δ story for the
+    // x95/x162 journey spine (the fifth maintained index family after
+    // dedup x61, ANN x101/st21, BM25 x129, and CC x149/st22): event
+    // micro-batches arrive in event-time order (the production log
+    // shape; [[stageEventsTimeSplit]]), and each batch folds into two
+    // Δ-sized state tables — the (from,to) count matrix and the
+    // last-event-per-user frontier. Within-batch successor pairs come
+    // from the batch-local x95 lead() spine; the ONLY cross-batch work
+    // is one frontier⋈batch-firsts join producing the boundary pairs a
+    // batch-at-a-time view would drop. The converged counts answer
+    // EXACTLY the batch x95 oracle — no rescan of history, state
+    // ∝ users + types², never ∝ events.
+    QueryDef("st23_stream_transitions",
+      graft.operators.Analytics.x95OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageEventsTimeSplit(ss, d)
+        val stDir = graft.Warehouse.path(s"graft_sttrans_v1_${
+          graft.ContentKey.key(
+            java.nio.file.Paths.get(d, "events.parquet"))}")
+        resetDir(stDir)
+        val cntDir = s"$stDir/counts"
+        val lastDir = s"$stDir/last"
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val hasState = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(cntDir, "_SUCCESS"))
+            val b = batch.select(col("user_id"), col("ts"),
+              col("event_id"), col("event_type")).localCheckpoint()
+            val priorCnt =
+              if (hasState) spark.read.parquet(cntDir)
+              else b.select(col("event_type").as("from_type"),
+                col("event_type").as("to_type"), lit(0L).as("n")).limit(0)
+            val priorLast =
+              if (hasState) spark.read.parquet(lastDir) else b.limit(0)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            val inPairs = b
+              .withColumn("to_type", lead(col("event_type"), 1).over(w))
+              .filter(col("to_type").isNotNull)
+              .select(col("event_type").as("from_type"), col("to_type"))
+            val firsts = b.withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1)
+              .select(col("user_id"), col("event_type").as("to_type"))
+            val boundary = priorLast
+              .select(col("user_id"), col("event_type").as("from_type"))
+              .join(firsts, "user_id")
+              .select(col("from_type"), col("to_type"))
+            val newCnt = priorCnt
+              .unionByName(inPairs.unionByName(boundary)
+                .groupBy(col("from_type"), col("to_type"))
+                .agg(count(lit(1)).as("n")))
+              .groupBy(col("from_type"), col("to_type"))
+              .agg(sum(col("n")).as("n"))
+              .localCheckpoint() // sever from the state file being replaced
+            val lasts = b.withColumn("rn", row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("user_id"))
+                  .orderBy(col("ts").desc, col("event_id").desc)))
+              .filter(col("rn") === 1).drop("rn")
+            // time-ordered arrival ⇒ a user present in this batch has a
+            // strictly newer frontier; absent users carry forward
+            val newLast = priorLast
+              .join(lasts.select(col("user_id")), Seq("user_id"), "left_anti")
+              .unionByName(lasts)
+              .localCheckpoint()
+            newCnt.write.mode("overwrite").parquet(cntDir)
+            newLast.write.mode("overwrite").parquet(lastDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Analytics.transReport(ss.read.parquet(cntDir))
       }
     }
   )

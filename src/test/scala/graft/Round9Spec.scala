@@ -662,6 +662,26 @@ class Round9Spec extends AnyFunSuite {
       "8 rounds must have effectively converged on a 5-state chain")
   }
 
+  test("st23: converged streaming transitions equal batch x95, and cross-batch boundary pairs are real") {
+    val st = SparkEntry.queries("st23_stream_transitions")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toSet
+    val bt = SparkEntry.queries("x95_event_transitions")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(st == bt, "stream must converge to the batch transition report")
+    // the fixture must exercise the frontier join: users spanning slices
+    // produce boundary pairs a batch-local view would drop
+    val stage = streaming.Streams.stageEventsTimeSplit(spark, sf0_001)
+    val slices = Seq(0, 1, 2).map(p =>
+      spark.read.parquet(s"$stage/batch_$p.parquet")
+        .select(col("user_id")).collect().map(_.getLong(0)))
+    slices.foreach(s => assert(s.nonEmpty, "every time slice must be live"))
+    val withinPairs = slices.map(s => s.length - s.distinct.length).sum
+    val all = slices.flatten
+    val fullPairs = all.length - all.distinct.length
+    assert(fullPairs > withinPairs,
+      "some user must span slice boundaries or the frontier state is untested")
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
