@@ -1968,6 +1968,118 @@ object Dedup {
           col("jw"), (col("pa") + col("pb")).as("n_parts_covered"))
         .filter(col("jw") >= 0.85)
         .orderBy(col("name_a"), col("name_b"))
+    },
+
+    // GREEDY MAX-COVERAGE SUBSET SELECTION — the submodular data-subset
+    // step (Nemhauser's (1−1/e) greedy; the facility-location shape
+    // behind coreset curation): pick 6 documents, each maximizing the
+    // count of trigram TYPES not covered by the picks so far, reporting
+    // per pick its marginal gain, cumulative coverage, and ppm of the
+    // corpus type inventory. The x32/x115 diversity samplers pick by
+    // geometry; this picks by exact set cover — what "which 6 docs teach
+    // the most n-grams" actually asks.
+    //
+    // Scale: the covered set after j picks is ≤ j·max-grams-per-doc rows
+    // — BROADCAST-sized by construction at any corpus scale — so each
+    // round is one broadcast anti-join over the persisted gram table
+    // folded map-side into per-doc gains, and the argmax is
+    // TakeOrderedAndProject (per-partition heaps, 1 row out). Six fixed
+    // rounds ⇒ six scan passes; the standard at-scale accelerations
+    // (CELF lazy evaluation, a candidate pool pre-filtered by x84
+    // novelty) drop in without changing the pick semantics. All gains
+    // and coverage numbers are exact integers.
+    QueryDef("x163_coverage_greedy",
+      {
+        val rounds = (2 to 6).map { j =>
+          s"""gain$j AS (
+            |  SELECT gd.doc_id, CAST(count(*) AS BIGINT) AS gain
+            |  FROM gd
+            |  ANTI JOIN c${j - 1} ON c${j - 1}.g = gd.g
+            |  WHERE gd.doc_id NOT IN (SELECT doc_id FROM u${j - 1})
+            |  GROUP BY 1
+            |), p$j AS (
+            |  SELECT doc_id, gain FROM gain$j
+            |  ORDER BY gain DESC, doc_id LIMIT 1
+            |), u$j AS (
+            |  SELECT doc_id FROM u${j - 1} UNION ALL SELECT doc_id FROM p$j
+            |), c$j AS (
+            |  SELECT g FROM c${j - 1}
+            |  UNION SELECT gd.g FROM gd JOIN p$j ON p$j.doc_id = gd.doc_id
+            |), cc$j AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS cum FROM c$j
+            |), o$j AS (
+            |  SELECT CAST($j AS INT) AS pos, p$j.doc_id, p$j.gain,
+            |         cc$j.cum FROM p$j CROSS JOIN cc$j
+            |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH sw AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |           ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END)
+        |           AS tri
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |), gd AS (
+        |  SELECT doc_id, unnest(tri) AS g FROM sw
+        |), tt AS (
+        |  SELECT CAST(count(DISTINCT g) AS BIGINT) AS tot FROM gd
+        |), gain1 AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM gd GROUP BY 1
+        |), p1 AS (
+        |  SELECT doc_id, gain FROM gain1 ORDER BY gain DESC, doc_id LIMIT 1
+        |), u1 AS (
+        |  SELECT doc_id FROM p1
+        |), c1 AS (
+        |  SELECT DISTINCT gd.g FROM gd JOIN p1 ON p1.doc_id = gd.doc_id
+        |), cc1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS cum FROM c1
+        |), o1 AS (
+        |  SELECT CAST(1 AS INT) AS pos, p1.doc_id, p1.gain, cc1.cum
+        |  FROM p1 CROSS JOIN cc1
+        |), $rounds, oo AS (
+        |  SELECT * FROM o1 UNION ALL SELECT * FROM o2
+        |  UNION ALL SELECT * FROM o3 UNION ALL SELECT * FROM o4
+        |  UNION ALL SELECT * FROM o5 UNION ALL SELECT * FROM o6
+        |)
+        |SELECT pos, doc_id, gain, cum AS covered_cum,
+        |       CAST(cum * 1000000 // tot AS BIGINT) AS coverage_ppm
+        |FROM oo CROSS JOIN tt ORDER BY pos""".stripMargin
+      }) { (s, d) =>
+      val gd = shingleTable(s, d)
+        .select(col("doc_id"), explode(col("tri")).as("g"))
+        .localCheckpoint() // read by all six gain passes + the total
+      val tt = gd.agg(countDistinct(col("g")).as("tot"))
+      var covered: DataFrame = null
+      var picked: DataFrame = null
+      var out = Vector.empty[DataFrame]
+      (1 to 6).foreach { j =>
+        val eligible =
+          if (j == 1) gd
+          else gd.join(broadcast(picked), Seq("doc_id"), "left_anti")
+            .join(broadcast(covered), Seq("g"), "left_anti")
+        val gain = eligible.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("gain"))
+        val p = gain.orderBy(col("gain").desc, col("doc_id")).limit(1)
+          .localCheckpoint() // one row; three readers below
+        val newCov = gd.join(broadcast(p.select(col("doc_id"))), "doc_id")
+          .select(col("g")).distinct()
+        covered =
+          (if (j == 1) newCov else covered.unionByName(newCov).distinct())
+            .localCheckpoint() // ≤ j·max-grams rows, broadcast next round
+        picked =
+          (if (j == 1) p.select(col("doc_id"))
+           else picked.unionByName(p.select(col("doc_id"))))
+            .localCheckpoint()
+        val cum = covered.agg(count(lit(1)).as("cum"))
+        out :+= p.crossJoin(broadcast(cum))
+          .select(lit(j).as("pos"), col("doc_id"), col("gain"), col("cum"))
+      }
+      out.reduce(_.unionByName(_)).crossJoin(broadcast(tt))
+        .select(col("pos"), col("doc_id"), col("gain"),
+          col("cum").as("covered_cum"),
+          expr("cum * 1000000 div tot").as("coverage_ppm"))
+        .orderBy(col("pos"))
     }
   )
 }

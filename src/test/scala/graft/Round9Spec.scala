@@ -682,6 +682,46 @@ class Round9Spec extends AnyFunSuite {
       "some user must span slice boundaries or the frontier state is untested")
   }
 
+  test("x163: greedy coverage matches a driver-side fold, gains are non-increasing, coverage telescopes") {
+    val rows = SparkEntry.queries("x163_coverage_greedy")(spark, sf0_001)
+      .collect().sortBy(_.getInt(0))
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        r.getLong(0) -> (0 until math.max(ws.length - 2, 0))
+          .map(i => s"${ws(i)}_${ws(i + 1)}_${ws(i + 2)}").toSet
+      }.toMap
+    val tot = docs.values.flatten.toSet.size.toLong
+    var covered = Set.empty[String]
+    var picked = Set.empty[Long]
+    (1 to 6).foreach { j =>
+      val (doc, gain) = docs.filterNot(d => picked(d._1))
+        .map { case (id, gs) => (id, (gs -- covered).size.toLong) }
+        .minBy { case (id, g) => (-g, id) }
+      covered ++= docs(doc)
+      picked += doc
+      val row = rows(j - 1)
+      assert((row.getInt(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4)) ==
+        ((j, doc, gain, covered.size.toLong,
+          covered.size.toLong * 1000000L / tot)), s"pick $j")
+    }
+    // submodularity: marginal gains never increase along the greedy path
+    val gains = rows.map(_.getLong(2))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b },
+      s"gains must be non-increasing: ${gains.toSeq}")
+    // strictly positive gains: the engines drop zero-gain docs from the
+    // candidate set (they can never be argmax while positive gains
+    // remain); the fold only mirrors that regime when gains stay > 0
+    assert(gains.forall(_ > 0), "fixture must not exhaust coverage in 6 picks")
+    // coverage telescopes: cum_j = Σ gains up to j (picks never re-cover)
+    rows.foldLeft(0L) { (acc, r) =>
+      val cum = acc + r.getLong(2)
+      assert(r.getLong(3) == cum); cum
+    }
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
