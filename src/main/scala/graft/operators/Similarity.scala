@@ -1948,10 +1948,10 @@ object Similarity {
           .select(col("query_id"), col("cand_id"), lit(k).as("pos"),
             Num.roundOut(col("m"), 6).as("mmr"))
       }
-      var selected = s1
-      var picks = Vector(s1)
+      var selected = s1.localCheckpoint() // ≤4 rows; each round's plan
+      var picks = Vector(selected)        // restarts from materialized picks
       (2 to 5).foreach { k =>
-        val sk = round(selected, k)
+        val sk = round(selected, k).localCheckpoint()
         selected = selected.unionByName(sk)
         picks :+= sk
       }
