@@ -1601,33 +1601,12 @@ object Analytics {
     // is PARTITIONED by source over the value domain, and the pooled
     // cumulative comes from a grid aggregation, not a global window.
     QueryDef("x156_ks_source_drift",
-      """WITH lens AS (
-        |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
-        |  FROM documents GROUP BY 1, 2
-        |), vals AS (
-        |  SELECT DISTINCT v FROM lens
-        |), srcs AS (
-        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM lens GROUP BY 1
-        |), tot AS (
-        |  SELECT CAST(sum(c) AS BIGINT) AS n FROM lens
-        |), grid AS (
-        |  SELECT s.source, s.n_s, va.v FROM srcs s CROSS JOIN vals va
-        |), cnt AS (
-        |  SELECT g.source, g.n_s, g.v, COALESCE(l.c, 0) AS c
-        |  FROM grid g LEFT JOIN lens l ON l.source = g.source AND l.v = g.v
-        |), cum AS (
+      s"""WITH $lengthGridCteSql, gap AS (
         |  SELECT source, n_s, v,
-        |         sum(c) OVER (PARTITION BY source ORDER BY v
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
-        |  FROM cnt
-        |), ca AS (
-        |  SELECT v, CAST(sum(cum_s) AS BIGINT) AS cum_all FROM cum GROUP BY v
-        |), gap AS (
-        |  SELECT cum.source, cum.n_s, cum.v,
         |         abs(cum_s * 1000000 // n_s
         |           - (cum_all - cum_s) * 1000000 // (n - n_s)) AS g,
         |         n
-        |  FROM cum JOIN ca ON ca.v = cum.v CROSS JOIN tot
+        |  FROM gb
         |), r AS (
         |  SELECT source, n_s, v, g, n, row_number() OVER (
         |    PARTITION BY source ORDER BY g DESC, v) AS rn
@@ -1641,21 +1620,7 @@ object Analytics {
         |                  / (CAST(n_s AS DOUBLE) * CAST(n - n_s AS DOUBLE)))
         |         AS reject
         |FROM r WHERE rn = 1 ORDER BY source""".stripMargin) { (s, d) =>
-      val lens = Tables.documents(s, d)
-        .groupBy(col("source"), col("n_chars").as("v"))
-        .agg(count(lit(1)).as("c"))
-      val vals = lens.select(col("v")).distinct()
-      val srcs = lens.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
-      val tot = lens.agg(sum(col("c")).as("n"))
-      val grid = srcs.crossJoin(broadcast(vals))
-      val cum = grid.join(lens, Seq("source", "v"), "left")
-        .select(col("source"), col("n_s"), col("v"),
-          coalesce(col("c"), lit(0L)).as("c"))
-        .withColumn("cum_s", sum(col("c")).over(
-          Window.partitionBy(col("source")).orderBy(col("v"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val ca = cum.groupBy(col("v")).agg(sum(col("cum_s")).as("cum_all"))
-      val gap = cum.join(broadcast(ca), "v").crossJoin(broadcast(tot))
+      val gap = lengthEcdfGrid(s, d)
         .select(col("source"), col("n_s"), col("v"), col("n"),
           abs(expr("cum_s * 1000000 div n_s")
             - expr("(cum_all - cum_s) * 1000000 div (n - n_s)")).as("g"))
@@ -1741,8 +1706,132 @@ object Analytics {
         .select(col("t").as("event_type"), col("p").as("stationary"),
           col("tot").as("n_out"), col("l1_delta"))
         .orderBy(col("event_type"))
+    },
+
+    // 1-WASSERSTEIN SOURCE DRIFT — the MAGNITUDE test completing the
+    // drift toolkit (x156 KS = worst-case ECDF gap, x157 JSD = word
+    // choice, this = HOW MANY CHARACTERS of mass must move): W1 between
+    // each source's length distribution and the pooled rest, as the
+    // exact area between the ppm ECDFs (Σ |F_s − F_r|·Δv over the
+    // length domain), plus both quantized means — for 1-D
+    // distributions W1 collapses to |Δmean| exactly when one side
+    // stochastically dominates, so w1 ≫ |Δmean| localizes
+    // crossing-shape drift that a mean monitor would miss entirely.
+    // All integers: Σ g·Δv ≤ 10⁶ · length-range, exact at any corpus
+    // size.
+    //
+    // Scale: reads the same source×domain ECDF grid as x156 (one
+    // definition); the Δv lead() window is partitioned by source over
+    // the value domain. Nothing here touches the corpus beyond the
+    // grid's map-side count pass.
+    QueryDef("x165_wasserstein_drift",
+      s"""WITH $lengthGridCteSql, g AS (
+        |  SELECT source, n_s, v, n,
+        |         abs(cum_s * 1000000 // n_s
+        |           - (cum_all - cum_s) * 1000000 // (n - n_s)) AS g,
+        |         lead(v) OVER (PARTITION BY source ORDER BY v) - v AS dv
+        |  FROM gb
+        |), w AS (
+        |  SELECT source, n_s, n,
+        |         CAST(sum(CASE WHEN dv IS NULL THEN 0 ELSE g * dv END)
+        |              AS BIGINT) AS w1_ppm_chars
+        |  FROM g GROUP BY 1, 2, 3
+        |), mn AS (
+        |  SELECT source,
+        |         CAST(sum(CASE WHEN c > 0 THEN v * c ELSE 0 END) AS BIGINT)
+        |           AS sv
+        |  FROM cnt GROUP BY 1
+        |), ms AS (
+        |  SELECT m.source, m.sv, t.sa FROM mn m CROSS JOIN
+        |    (SELECT CAST(sum(sv) AS BIGINT) AS sa FROM mn) t
+        |)
+        |SELECT w.source, w.n_s AS n_docs,
+        |       CAST(w1_ppm_chars // 1000 AS BIGINT) AS w1_milli_chars,
+        |       CAST(ms.sv * 1000 // w.n_s AS BIGINT) AS mean_s_milli,
+        |       CAST((ms.sa - ms.sv) * 1000 // (w.n - w.n_s) AS BIGINT)
+        |         AS mean_rest_milli
+        |FROM w JOIN ms ON ms.source = w.source
+        |ORDER BY w.source""".stripMargin) { (s, d) =>
+      val gb = lengthEcdfGrid(s, d).localCheckpoint() // W1 + means read it
+      val g = gb.select(col("source"), col("n_s"), col("v"), col("n"),
+          abs(expr("cum_s * 1000000 div n_s")
+            - expr("(cum_all - cum_s) * 1000000 div (n - n_s)")).as("g"))
+        .withColumn("dv", lead(col("v"), 1).over(
+          Window.partitionBy(col("source")).orderBy(col("v"))) - col("v"))
+      val w = g.groupBy(col("source"), col("n_s"), col("n"))
+        .agg(sum(when(col("dv").isNull, 0L)
+          .otherwise(col("g") * col("dv"))).as("w1_ppm_chars"))
+      // per-(source, v) counts recovered from the cumulative grid: the
+      // first derivative of cum_s along the domain
+      val cnts = gb.withColumn("pc", lag(col("cum_s"), 1, 0).over(
+          Window.partitionBy(col("source")).orderBy(col("v"))))
+        .select(col("source"), col("v"), (col("cum_s") - col("pc")).as("c"))
+      val mn = cnts.groupBy(col("source"))
+        .agg(sum(when(col("c") > 0, col("v") * col("c")).otherwise(0L))
+          .as("sv"))
+      val sa = mn.agg(sum(col("sv")).as("sa"))
+      w.join(mn, "source").crossJoin(broadcast(sa))
+        .select(col("source"), col("n_s").as("n_docs"),
+          expr("w1_ppm_chars div 1000").as("w1_milli_chars"),
+          expr("sv * 1000 div n_s").as("mean_s_milli"),
+          expr("(sa - sv) * 1000 div (n - n_s)").as("mean_rest_milli"))
+        .orderBy(col("source"))
     }
   )
+
+  /** The dense per-source length-ECDF grid — x156 (KS) and x165 (W1)
+    * read the same (source, n_s, v, cum_s, cum_all, n) table, so the
+    * two drift tests can't disagree about the distribution they test.
+    * Every window is PARTITIONED by source over the length-value domain;
+    * the pooled cumulative is a grid aggregation. A def (entries
+    * initializes first). */
+  private def lengthGridCteSql: String =
+    """lens AS (
+      |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2
+      |), vals AS (
+      |  SELECT DISTINCT v FROM lens
+      |), srcs AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM lens GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n FROM lens
+      |), grid AS (
+      |  SELECT s.source, s.n_s, va.v FROM srcs s CROSS JOIN vals va
+      |), cnt AS (
+      |  SELECT g.source, g.n_s, g.v, COALESCE(l.c, 0) AS c
+      |  FROM grid g LEFT JOIN lens l ON l.source = g.source AND l.v = g.v
+      |), cum AS (
+      |  SELECT source, n_s, v,
+      |         sum(c) OVER (PARTITION BY source ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+      |  FROM cnt
+      |), ca AS (
+      |  SELECT v, CAST(sum(cum_s) AS BIGINT) AS cum_all FROM cum GROUP BY v
+      |), gb AS (
+      |  SELECT cum.source, cum.n_s, cum.v, cum.cum_s, ca.cum_all, tot.n
+      |  FROM cum JOIN ca ON ca.v = cum.v CROSS JOIN tot
+      |)""".stripMargin
+
+  private def lengthEcdfGrid(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val lens = Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val vals = lens.select(col("v")).distinct()
+    val srcs = lens.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val tot = lens.agg(sum(col("c")).as("n"))
+    val cum = srcs.crossJoin(broadcast(vals))
+      .join(lens, Seq("source", "v"), "left")
+      .select(col("source"), col("n_s"), col("v"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum_s", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ca = cum.groupBy(col("v")).agg(sum(col("cum_s")).as("cum_all"))
+    cum.join(broadcast(ca), "v").crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"), col("v"), col("cum_s"),
+        col("cum_all"), col("n"))
+  }
 
   /** x95's full report SQL — shared with st23's streaming maintenance so
     * the converged stream answers EXACTLY the batch oracle. */

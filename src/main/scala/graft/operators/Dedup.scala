@@ -2080,6 +2080,86 @@ object Dedup {
           col("cum").as("covered_cum"),
           expr("cum * 1000000 div tot").as("coverage_ppm"))
         .orderBy(col("pos"))
+    },
+
+    // DUPLICATED-SUBSTRING LENGTH SWEEP — the exact-substring dedup
+    // curve (Lee et al. ACL'22's "Deduplicating Training Data Makes LMs
+    // Better" measurement): at window lengths 8/16/32 tokens, how much
+    // of the corpus token stream sits inside a window that occurs ≥ 2
+    // times ANYWHERE (within- or cross-document)? x28 reports per-doc
+    // dup fractions at one fixed length; this is the corpus-level curve
+    // that picks the dedup threshold — the length where dup_ppm
+    // collapses is where substring dedup stops buying anything.
+    // Instances count with MULTIPLICITY (rawShingles): a doc repeating
+    // one 8-gram fifty times is fifty duplicated instances, which is
+    // exactly the mass dedup would remove.
+    //
+    // Scale: per length, one explode → gram-keyed count (map-side
+    // partials; only gram keys shuffle) → one equi-join back for
+    // docs-hit; work ∝ token stream × 3 fixed lengths. At web scale the
+    // shuffle key becomes the window's 64-bit hash (x28's recorded
+    // swap) — 8 bytes per instance instead of the window text.
+    QueryDef("x164_dup_length_sweep",
+      {
+        val blocks = Seq(8, 16, 32).map { l =>
+          val cat = (1 to l).map(k => s"ws[i+$k]").mkString(" || '_' || ")
+          s"""w$l AS (
+            |  SELECT doc_id, unnest(CASE WHEN len(ws) < $l THEN []
+            |    ELSE list_transform(range(len(ws) - ${l - 1}),
+            |         i -> $cat) END) AS g
+            |  FROM sw
+            |), c$l AS (
+            |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM w$l GROUP BY 1
+            |), a$l AS (
+            |  SELECT CAST($l AS INT) AS win_len,
+            |         CAST(sum(c) AS BIGINT) AS total_windows,
+            |         CAST(count(*) AS BIGINT) AS distinct_windows,
+            |         CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0)
+            |              AS BIGINT) AS dup_instances,
+            |         CAST(coalesce(sum(CASE WHEN c >= 2 THEN 1 END), 0)
+            |              AS BIGINT) AS dup_grams
+            |  FROM c$l
+            |), d$l AS (
+            |  SELECT CAST(count(DISTINCT w.doc_id) AS BIGINT) AS docs_hit
+            |  FROM w$l w JOIN c$l c ON c.g = w.g AND c.c >= 2
+            |), o$l AS (
+            |  SELECT win_len, total_windows, distinct_windows,
+            |         dup_instances, dup_grams, docs_hit,
+            |         CASE WHEN total_windows = 0 THEN NULL
+            |              ELSE CAST(dup_instances * 1000000 // total_windows
+            |                        AS BIGINT) END AS dup_ppm
+            |  FROM a$l CROSS JOIN d$l
+            |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH sw AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), $blocks
+        |SELECT * FROM o8 UNION ALL SELECT * FROM o16
+        |UNION ALL SELECT * FROM o32 ORDER BY win_len""".stripMargin
+      }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val perL = Seq(8, 16, 32).map { l =>
+        val w = docs.select(col("doc_id"),
+            explode(Text.rawShingles(col("text"), l)).as("g"))
+          .localCheckpoint() // counter + docs-hit probe both read it
+        val c = w.groupBy(col("g")).agg(count(lit(1)).as("c"))
+          .localCheckpoint() // aggregate + join probe both read it
+        val a = c.agg(sum(col("c")).as("total_windows"),
+          count(lit(1)).as("distinct_windows"),
+          coalesce(sum(when(col("c") >= 2, col("c"))), lit(0L))
+            .as("dup_instances"),
+          coalesce(sum(when(col("c") >= 2, 1L)), lit(0L)).as("dup_grams"))
+        val dh = w.join(c.filter(col("c") >= 2).select(col("g")), "g")
+          .agg(countDistinct(col("doc_id")).as("docs_hit"))
+        a.crossJoin(dh)
+          .select(lit(l).as("win_len"), col("total_windows"),
+            col("distinct_windows"), col("dup_instances"), col("dup_grams"),
+            col("docs_hit"),
+            when(col("total_windows") === 0, lit(null).cast("long"))
+              .otherwise(expr("dup_instances * 1000000 div total_windows"))
+              .as("dup_ppm"))
+      }
+      perL.reduce(_.unionByName(_)).orderBy(col("win_len"))
     }
   )
 }

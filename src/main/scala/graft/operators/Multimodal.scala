@@ -1525,6 +1525,68 @@ object Multimodal {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
         .limit(20)
+    },
+
+    // RATIONAL RESAMPLE PLAN — the DSP scheduling step before audio
+    // enters a 16k/22k/44.1k model pipeline: for each PCM container and
+    // target rate, the reduced L/M polyphase ratio, the EXACT output
+    // length ceil(n·L/M), the windowed-sinc prototype tap count
+    // (24·max(L,M)+1), per-output MACs (ceil(taps/L) — each output uses
+    // one phase), and the total MAC budget. This is the "how much
+    // compute will resampling cost and how many frames come out"
+    // planning query an ingest scheduler runs BEFORE touching sample
+    // bytes. L/M come from a Scala-side gcd reduction inlined into both
+    // engines as the same 3-row literal table (no runtime gcd, no
+    // engine-specific math).
+    //
+    // Scale: pure metadata — sample counts come from container length
+    // column math (the writer pins data bytes = container − 44; m09's
+    // full parse cross-checks the same value), the plan table is a
+    // 3-row broadcast, and no payload byte is ever read. The m01
+    // discipline: plan on metadata, decode only where the plan says to.
+    QueryDef("m20_resample_plan",
+      {
+        val src = 8000L
+        val targets = Seq(16000L, 22050L, 44100L).map { t =>
+          val g = BigInt(t).gcd(BigInt(src)).toLong
+          (t, t / g, src / g)
+        }
+        val values = targets
+          .map { case (t, l, m) => s"($t, $l, $m)" }.mkString(", ")
+        s"""WITH p AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 4
+        |), tg(target_hz, l, m) AS (
+        |  VALUES $values
+        |)
+        |SELECT doc_id, CAST(target_hz AS BIGINT) AS target_hz,
+        |       CAST(l AS BIGINT) AS l, CAST(m AS BIGINT) AS m,
+        |       CAST((n * l + m - 1) // m AS BIGINT) AS out_len,
+        |       CAST(24 * greatest(l, m) + 1 AS BIGINT) AS taps,
+        |       CAST(((n * l + m - 1) // m)
+        |            * ((24 * greatest(l, m) + 1 + l - 1) // l) AS BIGINT)
+        |         AS mac_total
+        |FROM p CROSS JOIN tg ORDER BY doc_id, target_hz""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      val src = 8000L
+      val tg = Seq(16000L, 22050L, 44100L).map { t =>
+        val g = BigInt(t).gcd(BigInt(src)).toLong
+        (t, t / g, src / g)
+      }.toDF("target_hz", "l", "m")
+      wavPayloads(s, d)
+        .select(col("doc_id"),
+          expr("(length(payload) - 44) div 2").cast("long").as("n"))
+        .crossJoin(broadcast(tg))
+        .select(col("doc_id"), col("target_hz"), col("l"), col("m"),
+          expr("(n * l + m - 1) div m").as("out_len"),
+          (lit(24L) * greatest(col("l"), col("m")) + 1L).as("taps"),
+          (expr("(n * l + m - 1) div m")
+            * expr("(24 * greatest(l, m) + 1 + l - 1) div l"))
+            .as("mac_total"))
+        .orderBy(col("doc_id"), col("target_hz"))
     }
   )
 }

@@ -722,6 +722,91 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("m20: resample plans match a driver-side fold and the rational reductions are coprime and exact") {
+    val rows = SparkEntry.queries("m20_resample_plan")(spark, sf0_001)
+      .collect()
+    val nBytes = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length.toLong)
+      .filter(_._2 >= 4).toMap
+    assert(rows.length == nBytes.size * 3)
+    rows.foreach { r =>
+      val (id, t, l, m) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val n = nBytes(id) / 2
+      assert(BigInt(l).gcd(BigInt(m)) == 1, s"$l/$m not reduced")
+      assert(l * 8000L == m * t, s"$l/$m is not $t/8000")
+      val outLen = (n * l + m - 1) / m
+      val taps = 24 * math.max(l, m) + 1
+      assert(r.getLong(4) == outLen)
+      assert(r.getLong(5) == taps)
+      assert(r.getLong(6) == outLen * ((taps + l - 1) / l))
+      // exactness: out_len is the true ceiling, not an FP approximation
+      assert((outLen - 1) * m < n * l && n * l <= outLen * m)
+    }
+  }
+
+  test("x164: the dup-length curve matches a brute-force window count, and window totals shrink with length") {
+    val got = SparkEntry.queries("x164_dup_length_sweep")(spark, sf0_001)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    Seq(8, 16, 32).foreach { l =>
+      val wins = docs.flatMap { case (id, ws) =>
+        (0 to ws.length - l).map(i => (id, ws.slice(i, i + l).mkString("_")))
+      }
+      val counts = wins.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val total = wins.length.toLong
+      val dupInst = counts.values.filter(_ >= 2).sum
+      val dupGrams = counts.values.count(_ >= 2).toLong
+      val docsHit = wins.filter(w => counts(w._2) >= 2).map(_._1)
+        .distinct.length.toLong
+      assert(got(l) == ((total, counts.size.toLong, dupInst, dupGrams,
+        docsHit, dupInst * 1000000L / total)), s"L=$l")
+    }
+    val totals = Seq(8, 16, 32).map(got(_)._1)
+    assert(totals == totals.sorted.reverse && totals.distinct == totals,
+      "window totals must strictly shrink as L grows")
+    assert(got.values.forall(_._3 > 0), "each length must see real duplication")
+  }
+
+  test("x165: W1 drift matches a driver-side ECDF-area fold and dominates the mean gap") {
+    val rows = SparkEntry.queries("x165_wasserstein_drift")(spark, sf0_001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = docs.length.toLong
+    val domain = docs.map(_._2).distinct.sorted
+    docs.groupBy(_._1).foreach { case (src, mine) =>
+      val ns = mine.length.toLong
+      val mc = mine.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val ac = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      var (cumS, cumA, w1) = (0L, 0L, 0L)
+      domain.zipWithIndex.foreach { case (v, i) =>
+        cumS += mc.getOrElse(v, 0L); cumA += ac(v)
+        if (i < domain.length - 1) {
+          val g = math.abs(cumS * 1000000L / ns
+            - (cumA - cumS) * 1000000L / (n - ns))
+          w1 += g * (domain(i + 1) - v)
+        }
+      }
+      val sv = mine.map(_._2).sum
+      val sa = docs.map(_._2).sum
+      val exp = (ns, w1 / 1000L, sv * 1000L / ns,
+        (sa - sv) * 1000L / (n - ns))
+      assert(rows(src) == exp, s"source $src")
+      // W1 ≥ |Δmean| up to ppm-quantization slack: the area between
+      // ECDFs can't be smaller than the net transport
+      val dm = math.abs(exp._3 - exp._4)
+      assert(exp._2 + 5 >= dm, s"W1 ${exp._2} vs mean gap $dm for $src")
+    }
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
