@@ -2601,47 +2601,7 @@ object TextAnalysis {
     // TakeOrderedAndProject; everything after runs on the
     // sources×33 grid — bounded by design, not by corpus.
     QueryDef("x157_source_jsd",
-      s"""WITH ds AS (
-        |  SELECT doc_id, source FROM documents
-        |), tok AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
-        |                 w -> len(w) > 0)) AS word
-        |  FROM documents
-        |), tc AS (
-        |  SELECT ds.source, tok.word, CAST(count(*) AS BIGINT) AS c
-        |  FROM tok JOIN ds ON tok.doc_id = ds.doc_id GROUP BY 1, 2
-        |), gw AS (
-        |  SELECT word, CAST(sum(c) AS BIGINT) AS cg FROM tc GROUP BY 1
-        |), voc AS (
-        |  SELECT word, cg, CAST(row_number() OVER (
-        |           ORDER BY cg DESC, word) AS INT) AS wid
-        |  FROM (SELECT * FROM gw ORDER BY cg DESC, word LIMIT 32)
-        |), vs AS (
-        |  SELECT CAST(sum(cg) AS BIGINT) AS cgv FROM voc
-        |), srcs AS (
-        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM tc GROUP BY 1
-        |), tot AS (
-        |  SELECT CAST(sum(c) AS BIGINT) AS n FROM tc
-        |), sv AS (
-        |  SELECT s.source, s.n_s, v.word, v.wid, COALESCE(tc.c, 0) AS c
-        |  FROM srcs s CROSS JOIN voc v
-        |  LEFT JOIN tc ON tc.source = s.source AND tc.word = v.word
-        |), svo AS (
-        |  SELECT source, n_s, word, wid, c FROM sv
-        |  UNION ALL
-        |  SELECT source, n_s, 'OOV', CAST(33 AS INT),
-        |         n_s - CAST(sum(c) AS BIGINT)
-        |  FROM sv GROUP BY source, n_s
-        |), allw AS (
-        |  SELECT wid, cg AS cw FROM voc
-        |  UNION ALL
-        |  SELECT CAST(33 AS INT), n - cgv FROM tot CROSS JOIN vs
-        |), ab AS (
-        |  SELECT svo.source, svo.wid, svo.word,
-        |         svo.c * 1000000 // svo.n_s AS a,
-        |         (allw.cw - svo.c) * 1000000 // (tot.n - svo.n_s) AS b
-        |  FROM svo JOIN allw ON allw.wid = svo.wid CROSS JOIN tot
-        |), u3 AS (
+      s"""WITH $sourceVocabCteSql, u3 AS (
         |  SELECT source, wid, 'a' AS tag, a AS u, CAST(1 AS BIGINT) AS sgn
         |  FROM ab
         |  UNION ALL
@@ -2693,37 +2653,7 @@ object TextAnalysis {
         |JOIN top ON top.source = agg.source AND top.rn = 1
         |ORDER BY agg.source""".stripMargin) { (s, d) =>
       import s.implicits._
-      val ds = Tables.documents(s, d).select(col("doc_id"), col("source"))
-      val tc = Tokens.table(s, d)
-        .filter(length(col("word")) > 0)
-        .join(ds, "doc_id")
-        .groupBy(col("source"), col("word"))
-        .agg(count(lit(1)).as("c"))
-        .localCheckpoint() // read by gw, srcs, tot, and the grid probe
-      val gw = tc.groupBy(col("word")).agg(sum(col("c")).as("cg"))
-      val voc = gw.orderBy(col("cg").desc, col("word")).limit(32)
-        .withColumn("wid", row_number().over(
-          Window.orderBy(col("cg").desc, col("word"))))
-        .localCheckpoint() // 32 rows; read by vs, the grid, and allw
-      val vs = voc.agg(sum(col("cg")).as("cgv"))
-      val srcs = tc.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
-      val tot = tc.agg(sum(col("c")).as("n"))
-      val sv = srcs.crossJoin(broadcast(voc))
-        .join(tc, Seq("source", "word"), "left")
-        .select(col("source"), col("n_s"), col("word"), col("wid"),
-          coalesce(col("c"), lit(0L)).as("c"))
-      val svo = sv.unionByName(
-        sv.groupBy(col("source"), col("n_s"))
-          .agg((col("n_s") - sum(col("c"))).as("c"))
-          .select(col("source"), col("n_s"), lit("OOV").as("word"),
-            lit(33).as("wid"), col("c")))
-      val allw = voc.select(col("wid"), col("cg").as("cw")).unionByName(
-        tot.crossJoin(broadcast(vs))
-          .select(lit(33).as("wid"), (col("n") - col("cgv")).as("cw")))
-      val ab = svo.join(broadcast(allw), "wid").crossJoin(broadcast(tot))
-        .select(col("source"), col("wid"), col("word"),
-          expr("c * 1000000 div n_s").as("a"),
-          expr("(cw - c) * 1000000 div (n - n_s)").as("b"))
+      val ab = sourceVocabGrid(s, d)
         .localCheckpoint() // sources×33 rows; read by u3, term, oovp
       val u3 = ab.select(col("source"), col("wid"),
           expr("stack(3, 'a', a, 'b', b, 's', a + b)").as(Seq("tag", "u")))
@@ -2756,15 +2686,134 @@ object TextAnalysis {
         .select(col("source"), col("word").as("top_word"),
           expr("term div 2000000").as("top_term_micro"))
       val oovp = ab.filter(col("wid") === 33)
-        .select(col("source"), col("a").as("oov_ppm"))
-      agg.join(srcs, "source").join(broadcast(oovp), "source")
+        .select(col("source"), col("n_s"), col("a").as("oov_ppm"))
+      agg.join(broadcast(oovp), "source")
         .join(broadcast(top), "source")
         .select(col("source"), col("n_s").as("n_tokens"), col("oov_ppm"),
           expr("ssum div 2000000").as("jsd_micro"),
           col("top_word"), col("top_term_micro"))
         .orderBy(col("source"))
+    },
+
+    // SOURCE VOCABULARY SIGNATURE — the per-source DISTINCTIVE-word
+    // profile the scalar x157 JSD can't give: over the same top-32 + OOV
+    // ppm grid (one definition), each word's usage lift vs the pooled
+    // rest (a·10⁶ div max(b,1), exact integers), top-3 per source with a
+    // 0.1% usage floor. The contamination fingerprint: a source whose
+    // signature suddenly features a new word drifted — and WHICH word
+    // names the leak. Lift over QUANTIZED distributions is the designed
+    // metric (x156/x157's discipline), so the rank order is an exact
+    // integer order shared by both engines; the rank window runs on the
+    // sources×33 grid — bounded at any corpus size.
+    QueryDef("x166_source_signature",
+      s"""WITH $sourceVocabCteSql, sc AS (
+        |  SELECT source, wid, word, a, b,
+        |         a * 1000000 // greatest(b, 1) AS lift_ppm
+        |  FROM ab WHERE a >= 1000
+        |), r AS (
+        |  SELECT source, wid, word, a, b, lift_ppm, row_number() OVER (
+        |    PARTITION BY source ORDER BY lift_ppm DESC, wid) AS rnk
+        |  FROM sc
+        |)
+        |SELECT source, CAST(rnk AS INT) AS rnk, word,
+        |       a AS a_ppm, b AS rest_ppm, lift_ppm
+        |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin) { (s, d) =>
+      val sc = sourceVocabGrid(s, d)
+        .filter(col("a") >= 1000)
+        .select(col("source"), col("wid"), col("word"), col("a"), col("b"),
+          expr("a * 1000000 div greatest(b, 1)").as("lift_ppm"))
+      sc.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("lift_ppm").desc, col("wid"))))
+        .filter(col("rnk") <= 3)
+        .select(col("source"), col("rnk"), col("word"),
+          col("a").as("a_ppm"), col("b").as("rest_ppm"), col("lift_ppm"))
+        .orderBy(col("source"), col("rnk"))
     }
   )
+
+  /** The source×(top-32 vocab + OOV) ppm grid — x157 (JSD) and x166
+    * (signature lift) read the same (source, n_s, wid, word, a, b)
+    * table, one definition on each engine so the two drift views can't
+    * disagree about the distributions. Defs, not vals (`entries`
+    * initializes first — the x69 lnq lesson). */
+  private[operators] def sourceVocabCteSql: String =
+    """ds AS (
+      |  SELECT doc_id, source FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |                 w -> len(w) > 0)) AS word
+      |  FROM documents
+      |), tc AS (
+      |  SELECT ds.source, tok.word, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok JOIN ds ON tok.doc_id = ds.doc_id GROUP BY 1, 2
+      |), gw AS (
+      |  SELECT word, CAST(sum(c) AS BIGINT) AS cg FROM tc GROUP BY 1
+      |), voc AS (
+      |  SELECT word, cg, CAST(row_number() OVER (
+      |           ORDER BY cg DESC, word) AS INT) AS wid
+      |  FROM (SELECT * FROM gw ORDER BY cg DESC, word LIMIT 32)
+      |), vs AS (
+      |  SELECT CAST(sum(cg) AS BIGINT) AS cgv FROM voc
+      |), srcs AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM tc GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n FROM tc
+      |), sv AS (
+      |  SELECT s.source, s.n_s, v.word, v.wid, COALESCE(tc.c, 0) AS c
+      |  FROM srcs s CROSS JOIN voc v
+      |  LEFT JOIN tc ON tc.source = s.source AND tc.word = v.word
+      |), svo AS (
+      |  SELECT source, n_s, word, wid, c FROM sv
+      |  UNION ALL
+      |  SELECT source, n_s, 'OOV', CAST(33 AS INT),
+      |         n_s - CAST(sum(c) AS BIGINT)
+      |  FROM sv GROUP BY source, n_s
+      |), allw AS (
+      |  SELECT wid, cg AS cw FROM voc
+      |  UNION ALL
+      |  SELECT CAST(33 AS INT), n - cgv FROM tot CROSS JOIN vs
+      |), ab AS (
+      |  SELECT svo.source, svo.n_s, svo.wid, svo.word,
+      |         svo.c * 1000000 // svo.n_s AS a,
+      |         (allw.cw - svo.c) * 1000000 // (tot.n - svo.n_s) AS b
+      |  FROM svo JOIN allw ON allw.wid = svo.wid CROSS JOIN tot
+      |)""".stripMargin
+
+  private[operators] def sourceVocabGrid(
+      s: SparkSession, d: String): DataFrame = {
+    val ds = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val tc = Tokens.table(s, d)
+      .filter(length(col("word")) > 0)
+      .join(ds, "doc_id")
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // read by gw, srcs, tot, and the grid probe
+    val gw = tc.groupBy(col("word")).agg(sum(col("c")).as("cg"))
+    val voc = gw.orderBy(col("cg").desc, col("word")).limit(32)
+      .withColumn("wid", row_number().over(
+        Window.orderBy(col("cg").desc, col("word"))))
+      .localCheckpoint() // 32 rows; read by vs, the grid, and allw
+    val vs = voc.agg(sum(col("cg")).as("cgv"))
+    val srcs = tc.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val tot = tc.agg(sum(col("c")).as("n"))
+    val sv = srcs.crossJoin(broadcast(voc))
+      .join(tc, Seq("source", "word"), "left")
+      .select(col("source"), col("n_s"), col("word"), col("wid"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val svo = sv.unionByName(
+      sv.groupBy(col("source"), col("n_s"))
+        .agg((col("n_s") - sum(col("c"))).as("c"))
+        .select(col("source"), col("n_s"), lit("OOV").as("word"),
+          lit(33).as("wid"), col("c")))
+    val allw = voc.select(col("wid"), col("cg").as("cw")).unionByName(
+      tot.crossJoin(broadcast(vs))
+        .select(lit(33).as("wid"), (col("n") - col("cgv")).as("cw")))
+    svo.join(broadcast(allw), "wid").crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"), col("wid"), col("word"),
+        expr("c * 1000000 div n_s").as("a"),
+        expr("(cw - c) * 1000000 div (n - n_s)").as("b"))
+  }
 
   /** x124's implementation (factored out of the entry for length only). */
   private def x124Impl(s: SparkSession, d: String): DataFrame = {

@@ -807,6 +807,44 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("x166: signature lifts match a driver-side grid fold and rank correctly within each source") {
+    val got = SparkEntry.queries("x166_source_signature")(spark, sf0_001)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val perSrc = docs.groupBy(_._1).view.mapValues(_.flatMap(_._2.split(" "))
+      .filter(_.nonEmpty).groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap).toMap
+    val global = perSrc.values.flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val voc = global.toSeq.sortBy { case (w, c) => (-c, w) }.take(32)
+    val cgv = voc.map(_._2).sum
+    val nTot = global.values.sum
+    perSrc.foreach { case (src, counts) =>
+      val ns = counts.values.sum
+      val nr = nTot - ns
+      val rows = voc.zipWithIndex.map { case ((w, cg), i) =>
+        (i + 1, w, counts.getOrElse(w, 0L), cg)
+      } :+ ((33, "OOV", ns - voc.map(c => counts.getOrElse(c._1, 0L)).sum,
+        nTot - cgv))
+      val scored = rows.map { case (wid, w, c, cw) =>
+        val a = c * 1000000L / ns
+        val b = (cw - c) * 1000000L / nr
+        (wid, w, a, b, a * 1000000L / math.max(b, 1L))
+      }.filter(_._3 >= 1000)
+      val top3 = scored.sortBy { case (wid, _, _, _, lift) => (-lift, wid) }
+        .take(3)
+      top3.zipWithIndex.foreach { case ((_, w, a, b, lift), i) =>
+        assert(got((src, i + 1)) == ((w, a, b, lift)), s"$src rank ${i + 1}")
+      }
+      val lifts = top3.map(_._5)
+      assert(lifts == lifts.sorted.reverse, s"$src lifts must be ranked")
+    }
+    assert(got.nonEmpty)
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
