@@ -2729,6 +2729,111 @@ object TextAnalysis {
         .select(col("source"), col("rnk"), col("word"),
           col("a").as("a_ppm"), col("b").as("rest_ppm"), col("lift_ppm"))
         .orderBy(col("source"), col("rnk"))
+    },
+
+    // PACKED-BIN INTERLEAVING AUDIT — the shuffle-quality check on
+    // x18's training shards (poorly interleaved packs put long
+    // same-source runs in one context window → gradient correlation and
+    // loss spikes): per (shard, bin), how many distinct sources landed
+    // in the bin, the dominant source's share (ppm), and the LONGEST
+    // same-source run under the pack's document order — with the
+    // verdict flag a data loader gates on (no source majority and no
+    // run over 2). Same shard/bin derivation as x18 (shared fingerprint
+    // artifact, same cumulative window), so the audit describes exactly
+    // the packs x18 emits.
+    //
+    // Scale: the pack assignment is x18's per-shard window; every audit
+    // window after that is PARTITIONED by (shard, bin) whose size is
+    // capped by the token budget (≈ budget / min-doc-tokens docs) — a
+    // bounded partition at any corpus size. Run detection is one lag +
+    // one running-sum over those bounded partitions; the report
+    // aggregates bins map-side.
+    QueryDef("x167_pack_interleaving",
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST($fingerprintSql % 4 AS INT) AS shard
+        |  FROM documents
+        |), c AS (
+        |  SELECT shard, doc_id, source, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - n_tokens AS cum_before
+        |  FROM t
+        |), b AS (
+        |  SELECT shard, CAST(floor(cum_before / 2048.0) AS INT) AS bin,
+        |         doc_id, source
+        |  FROM c
+        |), rr AS (
+        |  SELECT shard, bin, doc_id, source,
+        |         CASE WHEN lag(source) OVER (PARTITION BY shard, bin
+        |                ORDER BY doc_id) IS DISTINCT FROM source
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM b
+        |), rid AS (
+        |  SELECT shard, bin, source,
+        |         sum(brk) OVER (PARTITION BY shard, bin ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS run_id
+        |  FROM rr
+        |), runs AS (
+        |  SELECT shard, bin, run_id, CAST(count(*) AS BIGINT) AS rl
+        |  FROM rid GROUP BY 1, 2, 3
+        |), srcs AS (
+        |  SELECT shard, bin, source, CAST(count(*) AS BIGINT) AS sc
+        |  FROM b GROUP BY 1, 2, 3
+        |), agg AS (
+        |  SELECT shard, bin, CAST(sum(sc) AS BIGINT) AS n_docs,
+        |         CAST(count(*) AS BIGINT) AS n_sources,
+        |         CAST(max(sc) AS BIGINT) AS dom
+        |  FROM srcs GROUP BY 1, 2
+        |), mr AS (
+        |  SELECT shard, bin, CAST(max(rl) AS BIGINT) AS max_run
+        |  FROM runs GROUP BY 1, 2
+        |)
+        |SELECT agg.shard, agg.bin, agg.n_docs, agg.n_sources,
+        |       CAST(dom * 1000000 // n_docs AS BIGINT) AS dominant_ppm,
+        |       mr.max_run,
+        |       2 * dom <= n_docs AND mr.max_run <= 2 AS interleave_ok
+        |FROM agg JOIN mr ON mr.shard = agg.shard AND mr.bin = agg.bin
+        |ORDER BY agg.shard, agg.bin""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bw = Window.partitionBy(col("shard"), col("bin"))
+        .orderBy(col("doc_id"))
+      val b = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(fingerprintTable(s, d), "doc_id")
+        .select((col("fp") % 4).cast("int").as("shard"), col("doc_id"),
+          col("source"), col("n_tokens"))
+        .withColumn("cum_before",
+          sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .select(col("shard"),
+          floor(col("cum_before") / 2048.0).cast("int").as("bin"),
+          col("doc_id"), col("source"))
+        .localCheckpoint() // run detection + source counts both read it
+      val runs = b
+        .withColumn("brk", when(not(lag(col("source"), 1).over(bw)
+          <=> col("source")), 1).otherwise(0))
+        .withColumn("run_id", sum(col("brk")).over(
+          bw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("shard"), col("bin"), col("run_id"))
+        .agg(count(lit(1)).as("rl"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(max(col("rl")).as("max_run"))
+      val agg = b.groupBy(col("shard"), col("bin"), col("source"))
+        .agg(count(lit(1)).as("sc"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(sum(col("sc")).as("n_docs"), count(lit(1)).as("n_sources"),
+          max(col("sc")).as("dom"))
+      agg.join(runs, Seq("shard", "bin"))
+        .select(col("shard"), col("bin"), col("n_docs"), col("n_sources"),
+          expr("dom * 1000000 div n_docs").as("dominant_ppm"),
+          col("max_run"),
+          (lit(2) * col("dom") <= col("n_docs")
+            && col("max_run") <= 2).as("interleave_ok"))
+        .orderBy(col("shard"), col("bin"))
     }
   )
 

@@ -845,6 +845,59 @@ class Round9Spec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("x167: interleaving audit matches a driver-side pack replay, and the verdict thresholds bite on a sorted pack") {
+    val got = SparkEntry.queries("x167_pack_interleaving")(spark, sf0_001)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6))).toMap
+    val fp = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), functions.Text.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).length.toLong))
+      .sortBy(_._1)
+    val packs = docs.groupBy { case (id, _, _) => (fp(id) % 4).toInt }
+      .toSeq.flatMap { case (shard, ds) =>
+        var cum = 0L
+        ds.toSeq.map { case (id, src, nt) =>
+          val bin = (cum / 2048L).toInt
+          cum += nt
+          ((shard, bin), (id, src))
+        }
+      }.groupBy(_._1)
+    assert(got.keySet == packs.keySet)
+    packs.foreach { case (key, members) =>
+      val srcs = members.map(_._2._2).toSeq
+      val nDocs = srcs.length.toLong
+      val dom = srcs.groupBy(identity).values.map(_.size).max.toLong
+      var (maxRun, run) = (1L, 1L)
+      srcs.zip(srcs.tail).foreach { case (a, bb) =>
+        run = if (a == bb) run + 1 else 1
+        maxRun = math.max(maxRun, run)
+      }
+      val ok = 2 * dom <= nDocs && maxRun <= 2
+      assert(got(key) == ((nDocs, srcs.distinct.length.toLong,
+        dom * 1000000L / nDocs, maxRun, ok)), s"pack $key")
+    }
+    // the verdict is non-vacuous: replaying ONE pack with its docs
+    // sorted by source must flip interleave_ok (run length = dominant
+    // count ≥ 3 once a source repeats 3×)
+    val sortable = packs.collectFirst {
+      case (_, ms) if ms.map(_._2._2).toSeq
+        .groupBy(identity).values.exists(_.size >= 3) => ms
+    }
+    assert(sortable.isDefined, "fixture needs a pack with a 3+ source")
+    val sorted = sortable.get.map(_._2._2).toSeq.sorted
+    var (mr, r2) = (1L, 1L)
+    sorted.zip(sorted.tail).foreach { case (a, bb) =>
+      r2 = if (a == bb) r2 + 1 else 1
+      mr = math.max(mr, r2)
+    }
+    assert(mr > 2, "a source-sorted pack must violate the run threshold")
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
