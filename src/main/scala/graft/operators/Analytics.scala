@@ -1812,7 +1812,7 @@ object Analytics {
       |  FROM cum JOIN ca ON ca.v = cum.v CROSS JOIN tot
       |)""".stripMargin
 
-  private def lengthEcdfGrid(s: org.apache.spark.sql.SparkSession,
+  private[graft] def lengthEcdfGrid(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val lens = Tables.documents(s, d)
       .groupBy(col("source"), col("n_chars").as("v"))

@@ -361,6 +361,28 @@ class PlanShapeSpec extends AnyFunSuite {
       "the corpus-touching candidate stage must be the bounded-heap operator")
   }
 
+  test("x156/x165 drift grid: the documents scan prunes to (source, n_chars) — text never read") {
+    // x165 localCheckpoints the grid (hiding its scan from the final
+    // plan), so both queries pin on the shared un-checkpointed builder
+    val scans = executedAll(operators.Analytics.lengthEcdfGrid(spark, sf0_001))
+      .collect { case f: FileSourceScanExec => f }
+      .filter(_.metadata.get("Location").exists(_.contains("documents")))
+    assert(scans.nonEmpty, "the grid reads documents")
+    scans.foreach { f =>
+      val rs = f.metadata.getOrElse("ReadSchema", "")
+      assert(!rs.contains("text"), s"grid scan must not read the body: $rs")
+    }
+  }
+
+  test("rank-limit windows get Spark's native WindowGroupLimit pushdown (per-partition top-k before the sort)") {
+    // x05's row_number ≤ 5 filter should trigger InferWindowGroupLimit —
+    // the optimizer-owned equivalent of the TopKPerGroup operator; this
+    // pin notices if a future query rewrite silently loses it
+    val nodes = executedAll(SparkEntry.queries("x05_cosine_topk")(spark, sf0_001))
+    assert(nodes.exists(_.getClass.getSimpleName.startsWith("WindowGroupLimit")),
+      s"expected WindowGroupLimitExec in: ${nodes.map(_.getClass.getSimpleName).distinct}")
+  }
+
   test("x148 two-hop recs: candidate pruning runs through the native TopKPerGroup, never a cartesian") {
     val nodes = executedAll(SparkEntry.queries("x148_two_hop_recs")(spark, sf0_001))
     assert(nodes.exists(_.getClass.getSimpleName.startsWith("TopKPerGroupExec")),
