@@ -169,4 +169,51 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: Jaro-Winkler kernel — symmetry, range, identity, boost algebra") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.plans.JaroWinklerAlgo.score(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    val strGen = Gen.listOfN(12,
+      Gen.choose(0, 11).map("abcdefg hij-".charAt)).map(_.mkString.trim)
+    val pairGen = for { a <- strGen; b <- strGen } yield (a, b)
+    samples(pairGen, 300, 37L).foreach { case (a, b) =>
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"range for ($a, $b): $s")
+      assert(s == jw(b, a), s"symmetry for ($a, $b)")
+      if (a.nonEmpty) assert(jw(a, a) == 1.0, s"identity for $a")
+      if (a.isEmpty || b.isEmpty) assert(s == 0.0)
+      // Winkler boost algebra: the prefix bonus only ever raises the
+      // plain Jaro score, by at most 0.4·(1−jaro) (prefix cap 4), and
+      // never past 1 — recomputed against an independent plain-Jaro fold
+      val jaro = {
+        val (n, m) = (a.length, b.length)
+        if (n == 0 || m == 0) 0.0
+        else {
+          val window = math.max(math.max(n, m) / 2 - 1, 0)
+          val bm = Array.fill(m)(false)
+          val matchesA = a.indices.flatMap { i =>
+            val js = math.max(0, i - window) to math.min(m - 1, i + window)
+            js.find(j => !bm(j) && a(i) == b(j)).map { j =>
+              bm(j) = true; (i, j)
+            }
+          }
+          if (matchesA.isEmpty) 0.0
+          else {
+            val bs = matchesA.map(_._2).sorted
+            val t = matchesA.map(_._1).map(a(_)).zip(bs.map(b(_)))
+              .count { case (x, y) => x != y }
+            val md = matchesA.size.toDouble
+            (md / n + md / m + (md - t / 2.0) / md) / 3.0
+          }
+        }
+      }
+      assert(s + 1e-12 >= jaro, s"boost must not lower jaro ($a, $b)")
+      assert(s <= jaro + 0.4 * (1.0 - jaro) + 1e-12,
+        s"boost beyond the 4-char cap ($a, $b)")
+      if (jaro <= 0.7) assert(math.abs(s - jaro) < 1e-12,
+        s"boost below threshold ($a, $b)")
+    }
+  }
 }
