@@ -2222,6 +2222,68 @@ object Corpus {
           (col("component") =!= coalesce(col("bc"), col("node")))
             .as("changed"))
         .orderBy(col("node"))
+    },
+
+    // BPE COMPRESSION CURVE — the tokenizer-SIZING view x44 (which
+    // merges) and x45 (fertility after both) don't give: corpus piece
+    // count, pieces-per-word, and chars-per-piece at merge budgets
+    // k = 0, 1, 2 — the marginal-compression-per-merge curve whose
+    // flattening point picks the vocab size (Sennrich BPE economics).
+    // All three stages read the SAME learned chain as x44/x45 (shared
+    // CTEs / shared bpeApplyMerge), so the curve describes exactly the
+    // tokenizer the other two queries ship. Exact integers: piece
+    // counts are Σ freq long sums, ratios milli-scaled integer
+    // divisions.
+    //
+    // Scale: every stage is vocabulary-sized (symbol streams of
+    // DISTINCT words weighted by freq) — the corpus is touched once for
+    // the vocab count; merge budgets extend by chaining more
+    // apply-merge passes, each vocab-sized.
+    QueryDef("x168_bpe_compression",
+      s"""WITH $bpeChainSql, tw AS (
+        |  SELECT CAST(sum(freq) AS BIGINT) AS words,
+        |         CAST(sum(freq * len(word)) AS BIGINT) AS chars
+        |  FROM vocab
+        |), c0 AS (
+        |  SELECT CAST(0 AS INT) AS n_merges,
+        |         CAST(sum(freq) AS BIGINT) AS pieces
+        |  FROM syms0
+        |), c1 AS (
+        |  SELECT CAST(1 AS INT), CAST(sum(freq) AS BIGINT) FROM r1
+        |), c2 AS (
+        |  SELECT CAST(2 AS INT), CAST(sum(freq) AS BIGINT) FROM r2
+        |), cc AS (
+        |  SELECT * FROM c0 UNION ALL SELECT * FROM c1
+        |  UNION ALL SELECT * FROM c2
+        |)
+        |SELECT n_merges, pieces, words, chars,
+        |       CAST(pieces * 1000 // words AS BIGINT)
+        |         AS pieces_per_word_milli,
+        |       CAST(chars * 1000 // pieces AS BIGINT)
+        |         AS chars_per_piece_milli
+        |FROM cc CROSS JOIN tw ORDER BY n_merges""".stripMargin) { (s, d) =>
+      val vocab = graft.Tables.documents(s, d)
+        .select(explode(graft.functions.Text.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .localCheckpoint() // totals + symbol stream both read it
+      val syms0 = vocab
+        .select(col("word"), col("freq"),
+          posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+        .localCheckpoint() // stage-0 count + the merge apply read it
+      val (t1, t2, _) = bpeLearn(s, d)
+      val r1 = bpeApplyMerge(syms0, t1).localCheckpoint()
+      val r2 = bpeApplyMerge(r1, t2)
+      val tw = vocab.agg(sum(col("freq")).as("words"),
+        sum(col("freq") * length(col("word"))).as("chars"))
+      def stage(df: DataFrame, k: Int): DataFrame =
+        df.agg(sum(col("freq")).as("pieces"))
+          .select(lit(k).as("n_merges"), col("pieces"))
+      stage(syms0, 0).unionByName(stage(r1, 1)).unionByName(stage(r2, 2))
+        .crossJoin(broadcast(tw))
+        .select(col("n_merges"), col("pieces"), col("words"), col("chars"),
+          expr("pieces * 1000 div words").as("pieces_per_word_milli"),
+          expr("chars * 1000 div pieces").as("chars_per_piece_milli"))
+        .orderBy(col("n_merges"))
     }
   )
 

@@ -898,6 +898,55 @@ class Round9Spec extends AnyFunSuite {
     assert(mr > 2, "a source-sorted pack must violate the run threshold")
   }
 
+  test("x168: the compression curve matches a driver-side BPE replay and improves monotonically") {
+    val rows = SparkEntry.queries("x168_bpe_compression")(spark, sf0_001)
+      .collect().sortBy(_.getInt(0))
+    // independent replay: learn the same two merges greedily in Scala
+    val words = Tables.documents(spark, sf0_001)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var segs: Map[String, Vector[String]] =
+      words.keys.map(w => w -> w.split("").toVector).toMap
+    def pieces: Long =
+      words.map { case (w, f) => f * segs(w).length }.sum
+    val totalWords = words.values.sum
+    val totalChars = words.map { case (w, f) => f * w.length }.sum
+    val expected = scala.collection.mutable.ArrayBuffer((0, pieces))
+    (1 to 2).foreach { k =>
+      val pairCnt = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (w, f) =>
+        segs(w).zip(segs(w).tail).foreach { p =>
+          pairCnt(p) = pairCnt.getOrElse(p, 0L) + f
+        }
+      }
+      val (l, r) = pairCnt.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }._1
+      segs = segs.view.mapValues { sv =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < sv.length) {
+          if (i + 1 < sv.length && sv(i) == l && sv(i + 1) == r) {
+            out += l + r; i += 2 // greedy left-to-right, non-overlapping
+          } else { out += sv(i); i += 1 }
+        }
+        out.result()
+      }.toMap
+      expected += ((k, pieces))
+    }
+    rows.zip(expected).foreach { case (row, (k, p)) =>
+      assert(row.getInt(0) == k)
+      assert(row.getLong(1) == p, s"pieces at $k merges")
+      assert(row.getLong(2) == totalWords)
+      assert(row.getLong(3) == totalChars)
+      assert(row.getLong(4) == p * 1000L / totalWords)
+      assert(row.getLong(5) == totalChars * 1000L / p)
+    }
+    // each merge must strictly compress on this corpus
+    val ps = rows.map(_.getLong(1))
+    assert(ps(0) > ps(1) && ps(1) > ps(2), s"curve must descend: ${ps.toSeq}")
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
