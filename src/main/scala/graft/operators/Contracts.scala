@@ -176,6 +176,86 @@ object Contracts {
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"), col("level"))
+    },
+
+    // PII SCAN + REDACTION PLAN — the privacy pass x66's k-anonymity
+    // ladder doesn't cover: pattern-level detection and masking of
+    // embedded identifiers in free text. The raw corpus carries no
+    // identifier-shaped strings, so the scan runs over a DETERMINISTIC
+    // synthesized log line per event (uid= / mail= / ip= fields derived
+    // from the event row — m02's fake-payload-real-plumbing move): the
+    // REGEX machinery (extract-all counts, global-replace masking,
+    // exact masked-byte accounting) is what this operator pins, and a
+    // real log table drops in as a column swap. Every count is an exact
+    // integer; the redaction ratio is the one rounded float.
+    //
+    // Scale: scan-side only — per-row regexp extraction/replacement is
+    // codegen'd column math with NO shuffle until the types-sized
+    // report; this is the shape of a trillion-line PII sweep (the
+    // regex engine cost per row is the whole cost, which is why the
+    // masked-chars accounting matters for budgeting).
+    QueryDef("x169_pii_scan",
+      """WITH lines AS (
+        |  SELECT event_type,
+        |         'uid=' || CAST(user_id AS VARCHAR)
+        |           || ' mail=user' || CAST(user_id AS VARCHAR)
+        |           || '@example.org'
+        |           || CASE WHEN event_id % 3 = 0
+        |                   THEN ' cc=ops@example.org' ELSE '' END
+        |           || ' ip=10.0.' || CAST(user_id % 256 AS VARCHAR)
+        |           || '.' || CAST(event_id % 256 AS VARCHAR)
+        |           || ' msg=' || event_type AS line
+        |  FROM events
+        |), scanned AS (
+        |  SELECT event_type, line,
+        |         len(regexp_extract_all(line,
+        |             '[a-z0-9]+@[a-z0-9.]+')) AS n_email,
+        |         len(regexp_extract_all(line,
+        |             '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS n_ip,
+        |         regexp_replace(regexp_replace(line,
+        |             '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |             '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g')
+        |           AS masked
+        |  FROM lines
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(n_email) AS BIGINT) AS n_emails,
+        |       CAST(sum(n_ip) AS BIGINT) AS n_ips,
+        |       CAST(sum(len(line)) AS BIGINT) AS chars_in,
+        |       CAST(sum(len(masked)) AS BIGINT) AS chars_out,
+        |       round(1e-9 + 1.0 - sum(len(masked)) * 1.0 / sum(len(line)),
+        |             4) AS masked_frac
+        |FROM scanned GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      val lines = Tables.events(s, d)
+        .select(col("event_type"),
+          concat(lit("uid="), col("user_id").cast("string"),
+            lit(" mail=user"), col("user_id").cast("string"),
+            lit("@example.org"),
+            when(col("event_id") % 3 === 0, " cc=ops@example.org")
+              .otherwise(""),
+            lit(" ip=10.0."), (col("user_id") % 256).cast("string"),
+            lit("."), (col("event_id") % 256).cast("string"),
+            lit(" msg="), col("event_type")).as("line"))
+      val scanned = lines.select(col("event_type"), col("line"),
+        size(expr("regexp_extract_all(line, '[a-z0-9]+@[a-z0-9.]+', 0)"))
+          .as("n_email"),
+        size(expr(
+          "regexp_extract_all(line, '[0-9]+\\\\.[0-9]+\\\\.[0-9]+\\\\.[0-9]+', 0)"))
+          .as("n_ip"),
+        regexp_replace(
+          regexp_replace(col("line"), "[a-z0-9]+@[a-z0-9.]+", "<EMAIL>"),
+          "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+", "<IP>").as("masked"))
+      scanned.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("n_email")).as("n_emails"),
+          sum(col("n_ip")).as("n_ips"),
+          sum(length(col("line"))).as("chars_in"),
+          sum(length(col("masked"))).as("chars_out"),
+          graft.functions.Num.roundOut(lit(1.0)
+            - sum(length(col("masked"))) * 1.0 / sum(length(col("line"))),
+            4).as("masked_frac"))
+        .orderBy(col("event_type"))
     }
   )
 }

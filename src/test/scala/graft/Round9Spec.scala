@@ -947,6 +947,37 @@ class Round9Spec extends AnyFunSuite {
     assert(ps(0) > ps(1) && ps(1) > ps(2), s"curve must descend: ${ps.toSeq}")
   }
 
+  test("x169: PII scan matches a driver-side regex replay and masking accounting is exact") {
+    val got = SparkEntry.queries("x169_pii_scan")(spark, sf0_001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6))).toMap
+    val ev = Tables.events(spark, sf0_001)
+      .select(col("event_type"), col("user_id"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val emailRe = "[a-z0-9]+@[a-z0-9.]+".r
+    val ipRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+".r
+    ev.groupBy(_._1).foreach { case (typ, rows) =>
+      var (nE, nI, ci, co) = (0L, 0L, 0L, 0L)
+      rows.foreach { case (t, u, id) =>
+        val line = s"uid=$u mail=user$u@example.org" +
+          (if (id % 3 == 0) " cc=ops@example.org" else "") +
+          s" ip=10.0.${u % 256}.${id % 256} msg=$t"
+        nE += emailRe.findAllIn(line).length
+        nI += ipRe.findAllIn(line).length
+        val masked = ipRe.replaceAllIn(
+          emailRe.replaceAllIn(line, "<EMAIL>"), "<IP>")
+        ci += line.length; co += masked.length
+      }
+      assert(got(typ) == ((rows.length.toLong, nE, nI, ci, co,
+        r4(1.0 - co.toDouble / ci))), s"type $typ")
+      // every line carries exactly one IP and ≥ one email; cc lines add
+      // a second — the extractor must see MORE emails than lines
+      assert(nI == rows.length.toLong)
+      assert(nE > rows.length.toLong, "cc= lines must add second emails")
+    }
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
