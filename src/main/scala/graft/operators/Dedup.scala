@@ -23,6 +23,28 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** x163's per-round stages, exposed un-checkpointed so PlanShapeSpec
+    * can pin the round shape (the entry localCheckpoints each pick,
+    * which hides the round plans from the final query): the gram fact
+    * table, and one greedy round = broadcast anti-joins against the
+    * bounded covered/picked state + map-side gain partials +
+    * TakeOrderedAndProject(1). */
+  private[graft] def coverageGrams(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    shingleTable(s, d).select(col("doc_id"), explode(col("tri")).as("g"))
+
+  private[graft] def coverageRound(gd: DataFrame,
+      state: Option[(DataFrame, DataFrame)]): DataFrame = {
+    val eligible = state match {
+      case None => gd
+      case Some((covered, picked)) =>
+        gd.join(broadcast(picked), Seq("doc_id"), "left_anti")
+          .join(broadcast(covered), Seq("g"), "left_anti")
+    }
+    eligible.groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+      .orderBy(col("gain").desc, col("doc_id")).limit(1)
+  }
+
   /** doc_id, source, distinct word-trigram shingle set. */
   private def shingled(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("source"), col("lang"),
@@ -2046,21 +2068,15 @@ object Dedup {
         |       CAST(cum * 1000000 // tot AS BIGINT) AS coverage_ppm
         |FROM oo CROSS JOIN tt ORDER BY pos""".stripMargin
       }) { (s, d) =>
-      val gd = shingleTable(s, d)
-        .select(col("doc_id"), explode(col("tri")).as("g"))
+      val gd = coverageGrams(s, d)
         .localCheckpoint() // read by all six gain passes + the total
       val tt = gd.agg(countDistinct(col("g")).as("tot"))
       var covered: DataFrame = null
       var picked: DataFrame = null
       var out = Vector.empty[DataFrame]
       (1 to 6).foreach { j =>
-        val eligible =
-          if (j == 1) gd
-          else gd.join(broadcast(picked), Seq("doc_id"), "left_anti")
-            .join(broadcast(covered), Seq("g"), "left_anti")
-        val gain = eligible.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("gain"))
-        val p = gain.orderBy(col("gain").desc, col("doc_id")).limit(1)
+        val state = if (j == 1) None else Some((covered, picked))
+        val p = coverageRound(gd, state)
           .localCheckpoint() // one row; three readers below
         val newCov = gd.join(broadcast(p.select(col("doc_id"))), "doc_id")
           .select(col("g")).distinct()

@@ -383,6 +383,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected WindowGroupLimitExec in: ${nodes.map(_.getClass.getSimpleName).distinct}")
   }
 
+  test("x163 coverage greedy: a round is broadcast anti-joins + TakeOrdered argmax — no sort-merge join") {
+    // the entry localCheckpoints every pick (hiding round plans), so the
+    // pin runs one exposed un-checkpointed round on a crafted 1-pick state
+    val gd = operators.Dedup.coverageGrams(spark, sf0_001)
+    val picked = gd.select(col("doc_id")).distinct()
+      .orderBy(col("doc_id")).limit(1)
+    val covered = gd.join(broadcast(picked), "doc_id")
+      .select(col("g")).distinct()
+    val nodes = executedAll(
+      operators.Dedup.coverageRound(gd, Some((covered, picked))))
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "covered/picked state must stay broadcast-sized, never shuffled-merged")
+    assert(nodes.exists(_.getClass.getSimpleName.startsWith("TakeOrderedAndProject")),
+      "the argmax must be the bounded-heap TakeOrderedAndProject")
+  }
+
+  test("x169 PII scan: exchanges carry only the types-sized report — the regex pass is scan-side column math") {
+    val nodes = executedAll(SparkEntry.queries("x169_pii_scan")(spark, sf0_001))
+    val exchanges = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    // one hash exchange for the per-type aggregate + one range exchange
+    // for the 5-row presentation sort; anything more means the regex
+    // stage stopped being pure column math
+    assert(exchanges == 2,
+      s"expected agg + presentation exchanges only, got $exchanges")
+  }
+
   test("x148 two-hop recs: candidate pruning runs through the native TopKPerGroup, never a cartesian") {
     val nodes = executedAll(SparkEntry.queries("x148_two_hop_recs")(spark, sf0_001))
     assert(nodes.exists(_.getClass.getSimpleName.startsWith("TopKPerGroupExec")),
