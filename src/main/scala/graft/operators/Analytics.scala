@@ -1600,40 +1600,8 @@ object Analytics {
     // windows all run on that sources×domain table — every window here
     // is PARTITIONED by source over the value domain, and the pooled
     // cumulative comes from a grid aggregation, not a global window.
-    QueryDef("x156_ks_source_drift",
-      s"""WITH $lengthGridCteSql, gap AS (
-        |  SELECT source, n_s, v,
-        |         abs(cum_s * 1000000 // n_s
-        |           - (cum_all - cum_s) * 1000000 // (n - n_s)) AS g,
-        |         n
-        |  FROM gb
-        |), r AS (
-        |  SELECT source, n_s, v, g, n, row_number() OVER (
-        |    PARTITION BY source ORDER BY g DESC, v) AS rn
-        |  FROM gap
-        |)
-        |SELECT source, n_s AS n_docs, CAST(g AS BIGINT) AS ks_ppm,
-        |       CAST(v AS BIGINT) AS ks_at,
-        |       CAST(g AS DOUBLE) / CAST(1000000 AS DOUBLE)
-        |         > CAST(1.358 AS DOUBLE)
-        |           * sqrt(CAST(n AS DOUBLE)
-        |                  / (CAST(n_s AS DOUBLE) * CAST(n - n_s AS DOUBLE)))
-        |         AS reject
-        |FROM r WHERE rn = 1 ORDER BY source""".stripMargin) { (s, d) =>
-      val gap = lengthEcdfGrid(s, d)
-        .select(col("source"), col("n_s"), col("v"), col("n"),
-          abs(expr("cum_s * 1000000 div n_s")
-            - expr("(cum_all - cum_s) * 1000000 div (n - n_s)")).as("g"))
-      gap.withColumn("rn", row_number().over(
-          Window.partitionBy(col("source")).orderBy(col("g").desc, col("v"))))
-        .filter(col("rn") === 1)
-        .select(col("source"), col("n_s").as("n_docs"),
-          col("g").as("ks_ppm"), col("v").cast("long").as("ks_at"),
-          (col("g").cast("double") / lit(1000000).cast("double")
-            > lit(1.358) * sqrt(col("n").cast("double")
-              / (col("n_s").cast("double")
-                 * (col("n") - col("n_s")).cast("double")))).as("reject"))
-        .orderBy(col("source"))
+    QueryDef("x156_ks_source_drift", Analytics.x156OracleSql) { (s, d) =>
+      ksReport(lengthEcdfGrid(s, d))
     },
 
     // MARKOV STATIONARY DISTRIBUTION — the long-run occupancy of the
@@ -1812,11 +1780,59 @@ object Analytics {
       |  FROM cum JOIN ca ON ca.v = cum.v CROSS JOIN tot
       |)""".stripMargin
 
+  /** x156's full report SQL — shared with st24's streaming maintenance so
+    * the converged drift state answers EXACTLY the batch oracle. */
+  private[graft] def x156OracleSql: String =
+    s"""WITH $lengthGridCteSql, gap AS (
+      |  SELECT source, n_s, v,
+      |         abs(cum_s * 1000000 // n_s
+      |           - (cum_all - cum_s) * 1000000 // (n - n_s)) AS g,
+      |         n
+      |  FROM gb
+      |), r AS (
+      |  SELECT source, n_s, v, g, n, row_number() OVER (
+      |    PARTITION BY source ORDER BY g DESC, v) AS rn
+      |  FROM gap
+      |)
+      |SELECT source, n_s AS n_docs, CAST(g AS BIGINT) AS ks_ppm,
+      |       CAST(v AS BIGINT) AS ks_at,
+      |       CAST(g AS DOUBLE) / CAST(1000000 AS DOUBLE)
+      |         > CAST(1.358 AS DOUBLE)
+      |           * sqrt(CAST(n AS DOUBLE)
+      |                  / (CAST(n_s AS DOUBLE) * CAST(n - n_s AS DOUBLE)))
+      |         AS reject
+      |FROM r WHERE rn = 1 ORDER BY source""".stripMargin
+
+  /** The ECDF grid → full x156 KS report — shared by the batch entry and
+    * st24's converged-stream readout. */
+  private[graft] def ksReport(
+      grid: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val gap = grid
+      .select(col("source"), col("n_s"), col("v"), col("n"),
+        abs(expr("cum_s * 1000000 div n_s")
+          - expr("(cum_all - cum_s) * 1000000 div (n - n_s)")).as("g"))
+    gap.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("g").desc, col("v"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_s").as("n_docs"),
+        col("g").as("ks_ppm"), col("v").cast("long").as("ks_at"),
+        (col("g").cast("double") / lit(1000000).cast("double")
+          > lit(1.358) * sqrt(col("n").cast("double")
+            / (col("n_s").cast("double")
+               * (col("n") - col("n_s")).cast("double")))).as("reject"))
+      .orderBy(col("source"))
+  }
+
   private[graft] def lengthEcdfGrid(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val lens = Tables.documents(s, d)
+      d: String): org.apache.spark.sql.DataFrame =
+    lengthEcdfGridFrom(Tables.documents(s, d)
       .groupBy(col("source"), col("n_chars").as("v"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** Grid from an ALREADY-AGGREGATED (source, v, c) counts table — the
+    * additive state st24 maintains incrementally. */
+  private[graft] def lengthEcdfGridFrom(
+      lens: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val vals = lens.select(col("v")).distinct()
     val srcs = lens.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
     val tot = lens.agg(sum(col("c")).as("n"))

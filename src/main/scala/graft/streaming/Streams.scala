@@ -1647,6 +1647,53 @@ object Streams {
         try q.processAllAvailable() finally q.stop()
         graft.operators.Analytics.transReport(ss.read.parquet(cntDir))
       }
+    },
+
+    // STREAMING DRIFT-STATE MAINTENANCE — the drift toolkit's streaming
+    // arm: document micro-batches fold into the (source, length, count)
+    // state behind x156's KS test. The state is PURELY ADDITIVE
+    // (per-batch counts merge by sum — order- and slicing-insensitive
+    // by construction, the easiest of the maintained families), so the
+    // converged state answers the batch x156 oracle verbatim through
+    // the SAME grid + report definitions (one `ksReport`, one
+    // `lengthEcdfGridFrom`). At serving time the monitor recomputes
+    // only the sources×domain grid from counts — never rescans
+    // documents — which is the entire point of maintaining drift state
+    // incrementally at 100 TB ingest rates.
+    QueryDef("st24_stream_drift",
+      graft.operators.Analytics.x156OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageDocumentsSplit(ss, d)
+        val stDir = graft.Warehouse.path(s"graft_stdrift_v1_${
+          graft.ContentKey.key(
+            java.nio.file.Paths.get(d, "documents.parquet"))}")
+        resetDir(stDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val hasState = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(stDir, "_SUCCESS"))
+            val delta = batch
+              .groupBy(col("source"), col("n_chars").as("v"))
+              .agg(count(lit(1)).as("c"))
+            val prior =
+              if (hasState) spark.read.parquet(stDir) else delta.limit(0)
+            prior.unionByName(delta)
+              .groupBy(col("source"), col("v"))
+              .agg(sum(col("c")).as("c"))
+              .localCheckpoint() // sever from the state file being replaced
+              .write.mode("overwrite").parquet(stDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Analytics.ksReport(
+          graft.operators.Analytics.lengthEcdfGridFrom(
+            ss.read.parquet(stDir)))
+      }
     }
   )
 

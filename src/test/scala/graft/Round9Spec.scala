@@ -978,6 +978,21 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("st24: converged streaming drift state answers batch x156 row-for-row, and both halves are live") {
+    val st = SparkEntry.queries("st24_stream_drift")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toSet
+    val bt = SparkEntry.queries("x156_ks_source_drift")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(st == bt, "stream must converge to the batch KS report")
+    // both micro-batches carry real mass (a single-batch run would make
+    // the additive-merge claim vacuous)
+    val stage = streaming.Streams.stageDocumentsSplit(spark, sf0_001)
+    Seq(0, 1).foreach { p =>
+      assert(spark.read.parquet(s"$stage/batch_$p.parquet").count() > 0,
+        s"document half $p must be non-empty")
+    }
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
