@@ -2284,6 +2284,98 @@ object Corpus {
           expr("pieces * 1000 div words").as("pieces_per_word_milli"),
           expr("chars * 1000 div pieces").as("chars_per_piece_milli"))
         .orderBy(col("n_merges"))
+    },
+
+    // NEYMAN ALLOCATION — the variance-optimal eval-budget split x77's
+    // proportional quotas don't give (Neyman 1934): stratum h gets
+    // n_h ∝ N_h·σ_h, so high-variance sources buy more eval samples per
+    // doc and uniform sources fewer — minimizing the estimator variance
+    // at a fixed budget of 200. The identity N_h·σ_h = √(N_h·Σx² −
+    // (Σx)²) makes the weight ONE correctly-rounded IEEE sqrt of an
+    // exact long (x81's bit-identical-sqrt device; the radicand stays
+    // in a long to ~10⁶ docs/stratum at 4-digit lengths — past that,
+    // scale lengths to kilo-units first, same designed output).
+    // Integer Hamilton rounding (x77's) turns both weight vectors into
+    // exact quotas; the report shows the Neyman-vs-proportional SHIFT
+    // per source — the actionable column.
+    //
+    // Scale: one conditional-aggregate pass collapses the corpus to
+    // sources-sized moment rows; everything after (weights, quotas,
+    // remainder ranks) runs on that bounded table.
+    QueryDef("x171_neyman_allocation",
+      """WITH st AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+        |         CAST(sum(n_chars) AS BIGINT) AS s_h,
+        |         CAST(sum(n_chars * n_chars) AS BIGINT) AS ssq_h
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT source, n_h,
+        |         CAST(floor(sqrt(CAST(n_h * ssq_h - s_h * s_h AS DOUBLE))
+        |              * 1000) AS BIGINT) AS wi
+        |  FROM st
+        |), tw AS (
+        |  SELECT CAST(sum(wi) AS BIGINT) AS tww,
+        |         CAST(sum(n_h) AS BIGINT) AS n FROM w
+        |), q AS (
+        |  SELECT source, n_h, wi,
+        |         (200 * wi) // tww AS q0, (200 * wi) % tww AS rem,
+        |         (200 * n_h) // n AS p0, (200 * n_h) % n AS prem
+        |  FROM w CROSS JOIN tw
+        |), l1 AS (
+        |  SELECT CAST(200 - sum(q0) AS BIGINT) AS l FROM q
+        |), l2 AS (
+        |  SELECT CAST(200 - sum(p0) AS BIGINT) AS lp FROM q
+        |), r1 AS (
+        |  SELECT source, row_number() OVER (ORDER BY rem DESC, source) AS rr
+        |  FROM q
+        |), r2 AS (
+        |  SELECT source, row_number() OVER (ORDER BY prem DESC, source) AS pr
+        |  FROM q
+        |)
+        |SELECT q.source, q.n_h AS n_docs, q.wi AS weight_milli,
+        |       CAST(q.q0 + CASE WHEN r1.rr <= l1.l THEN 1 ELSE 0 END
+        |            AS BIGINT) AS quota_neyman,
+        |       CAST(q.p0 + CASE WHEN r2.pr <= l2.lp THEN 1 ELSE 0 END
+        |            AS BIGINT) AS quota_prop,
+        |       CAST((q.q0 + CASE WHEN r1.rr <= l1.l THEN 1 ELSE 0 END)
+        |          - (q.p0 + CASE WHEN r2.pr <= l2.lp THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS shift
+        |FROM q
+        |JOIN r1 ON r1.source = q.source
+        |JOIN r2 ON r2.source = q.source
+        |CROSS JOIN l1 CROSS JOIN l2
+        |ORDER BY q.source""".stripMargin) { (s, d) =>
+      val st = graft.Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_h"), sum(col("n_chars")).as("s_h"),
+          sum(col("n_chars") * col("n_chars")).as("ssq_h"))
+      val w = st.select(col("source"), col("n_h"),
+        floor(sqrt((col("n_h") * col("ssq_h") - col("s_h") * col("s_h"))
+          .cast("double")) * 1000).cast("long").as("wi"))
+      val tw = w.agg(sum(col("wi")).as("tww"), sum(col("n_h")).as("n"))
+      val q = w.crossJoin(broadcast(tw))
+        .select(col("source"), col("n_h"), col("wi"),
+          expr("(200 * wi) div tww").as("q0"),
+          expr("(200 * wi) % tww").as("rem"),
+          expr("(200 * n_h) div n").as("p0"),
+          expr("(200 * n_h) % n").as("prem"))
+        .localCheckpoint() // sources-sized; four readers below
+      val l1 = q.agg((lit(200L) - sum(col("q0"))).as("l"))
+      val l2 = q.agg((lit(200L) - sum(col("p0"))).as("lp"))
+      val r1 = q.select(col("source"), row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).as("rr"))
+      val r2 = q.select(col("source"), row_number().over(
+        Window.orderBy(col("prem").desc, col("source"))).as("pr"))
+      q.join(broadcast(r1), "source").join(broadcast(r2), "source")
+        .crossJoin(broadcast(l1)).crossJoin(broadcast(l2))
+        .select(col("source"), col("n_h").as("n_docs"),
+          col("wi").as("weight_milli"),
+          (col("q0") + when(col("rr") <= col("l"), 1L).otherwise(0L))
+            .as("quota_neyman"),
+          (col("p0") + when(col("pr") <= col("lp"), 1L).otherwise(0L))
+            .as("quota_prop"))
+        .withColumn("shift", col("quota_neyman") - col("quota_prop"))
+        .orderBy(col("source"))
     }
   )
 

@@ -2150,6 +2150,173 @@ object Similarity {
             && col("neg_sim") > col("pos_sim") - 0.05).as("semi_hard"),
           (col("neg_sim") >= col("pos_sim")).as("violation"))
         .orderBy(col("anchor_id"))
+    },
+
+    // MMR DIVERSITY GAIN — the evaluation that justifies x155's extra
+    // greedy work: per query, how many DISTINCT labels the plain
+    // relevance top-5 covers vs the MMR top-5 (subtopic recall, the
+    // α-nDCG family's coverage core), plus the mean relevance each set
+    // pays — quantifying the diversity-vs-relevance trade instead of
+    // asserting it. Both rankings re-derive from the SAME candidate
+    // stage as x155 ([[mmrCandidates]]), so this measures exactly the
+    // reranker x155 ships.
+    //
+    // Scale: everything after candidate retrieval is queries×12
+    // bounded (the x155 contract); label probes ride the candidate
+    // rows, the plain top-5 is a window over ≤12 rows per query, and
+    // the MMR picks re-run the same unrolled bounded greedy.
+    QueryDef("x170_mmr_diversity",
+      {
+        val rounds = (2 to 5).map { k =>
+          s"""s$k AS (
+            |  SELECT query_id, cand_id, lbl FROM (
+            |    SELECT query_id, cand_id, lbl, m, row_number() OVER (
+            |      PARTITION BY query_id ORDER BY m DESC, cand_id) AS rn
+            |    FROM (
+            |      SELECT c.query_id, c.cand_id, c.lbl,
+            |             CAST(0.7 AS DOUBLE) * c.rel
+            |               - CAST(0.3 AS DOUBLE) * max(p.sim) AS m
+            |      FROM cand c
+            |      JOIN ps p ON p.query_id = c.query_id AND p.ca = c.cand_id
+            |      JOIN u${k - 1} u ON u.query_id = p.query_id
+            |                      AND u.cand_id = p.cb
+            |      WHERE NOT EXISTS (SELECT 1 FROM u${k - 1} w
+            |                        WHERE w.query_id = c.query_id
+            |                          AND w.cand_id = c.cand_id)
+            |      GROUP BY c.query_id, c.cand_id, c.lbl, c.rel))
+            |  WHERE rn = 1
+            |), u$k AS (
+            |  SELECT query_id, cand_id FROM u${k - 1}
+            |  UNION ALL SELECT query_id, cand_id FROM s$k
+            |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, label, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+        |  WHERE vec_id < 4
+        |), scored AS (
+        |  SELECT q.query_id, c.vec_id AS cand_id, c.label AS lbl,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> q.qv[i+1] * c.v[i+1])) / q.qn / c.nrm, 6) AS rel
+        |  FROM n c JOIN q ON c.vec_id <> q.query_id
+        |), cand AS (
+        |  SELECT query_id, cand_id, lbl, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |              ORDER BY rel DESC, cand_id) AS rnk FROM scored)
+        |  WHERE rnk <= 12
+        |), ps AS (
+        |  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+        |         round(1e-9 + list_sum(list_transform(range(64),
+        |                 i -> x.v[i+1] * y.v[i+1])) / x.nrm / y.nrm, 6) AS sim
+        |  FROM cand a
+        |  JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+        |  JOIN n x ON x.vec_id = a.cand_id
+        |  JOIN n y ON y.vec_id = b.cand_id
+        |), plain AS (
+        |  SELECT query_id, cand_id, lbl, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |              ORDER BY rel DESC, cand_id) AS rn FROM cand)
+        |  WHERE rn <= 5
+        |), s1 AS (
+        |  SELECT query_id, cand_id, lbl FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY rel DESC, cand_id) AS rn FROM cand)
+        |  WHERE rn = 1
+        |), u1 AS (
+        |  SELECT query_id, cand_id FROM s1
+        |), $rounds, mmr AS (
+        |  SELECT query_id, cand_id, lbl FROM s1
+        |  UNION ALL SELECT query_id, cand_id, lbl FROM s2
+        |  UNION ALL SELECT query_id, cand_id, lbl FROM s3
+        |  UNION ALL SELECT query_id, cand_id, lbl FROM s4
+        |  UNION ALL SELECT query_id, cand_id, lbl FROM s5
+        |), pm AS (
+        |  SELECT query_id, CAST(count(DISTINCT lbl) AS BIGINT) AS labels_plain,
+        |         round(1e-9 + avg(rel), 6) AS mean_rel_plain
+        |  FROM plain GROUP BY 1
+        |), mm AS (
+        |  SELECT m.query_id,
+        |         CAST(count(DISTINCT m.lbl) AS BIGINT) AS labels_mmr,
+        |         round(1e-9 + avg(c.rel), 6) AS mean_rel_mmr
+        |  FROM mmr m JOIN cand c ON c.query_id = m.query_id
+        |                        AND c.cand_id = m.cand_id
+        |  GROUP BY 1
+        |)
+        |SELECT pm.query_id, pm.labels_plain, mm.labels_mmr,
+        |       mm.labels_mmr - pm.labels_plain AS label_gain,
+        |       pm.mean_rel_plain, mm.mean_rel_mmr
+        |FROM pm JOIN mm ON mm.query_id = pm.query_id
+        |ORDER BY pm.query_id""".stripMargin
+      }) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+      // x155's candidate stage + labels: same TopKPerGroup retrieval,
+      // labels probed onto the 4×12 pool by one equi-join
+      val lbl = Tables.embeddings(s, d)
+        .select(col("vec_id").as("cand_id"), col("label").as("lbl"))
+      val cand = mmrCandidates(s, d).join(lbl, "cand_id")
+        .localCheckpoint() // 4×12 rows; both rankings + ps read it
+      val ps = cand.select(col("query_id"), col("cand_id").as("ca"),
+          col("cv").as("va"), col("cn").as("na"))
+        .join(cand.select(col("query_id"), col("cand_id").as("cb"),
+          col("cv").as("vb"), col("cn").as("nb")), Seq("query_id"))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("query_id"), col("ca"), col("cb"),
+          Num.roundOut(dot(col("va"), col("vb")) / col("na") / col("nb"), 6)
+            .as("sim"))
+        .localCheckpoint()
+      val slim = cand.select(col("query_id"), col("cand_id"), col("lbl"),
+        col("rel"))
+      val plain = slim.withColumn("rn", row_number().over(
+          w.partitionBy(col("query_id"))
+            .orderBy(col("rel").desc, col("cand_id"))))
+        .filter(col("rn") <= 5)
+      val s1 = plain.filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("lbl"))
+        .localCheckpoint()
+      def round(prev: DataFrame, k: Int): DataFrame = {
+        val sel = prev.select(col("query_id"), col("cand_id").as("cb"))
+        val ms = ps.join(sel, Seq("query_id", "cb"))
+          .groupBy(col("query_id"), col("ca"))
+          .agg(max(col("sim")).as("ms"))
+          .withColumnRenamed("ca", "cand_id")
+        slim.join(prev.select(col("query_id"), col("cand_id")),
+            Seq("query_id", "cand_id"), "left_anti")
+          .join(ms, Seq("query_id", "cand_id"))
+          .select(col("query_id"), col("cand_id"), col("lbl"),
+            (lit(0.7) * col("rel") - lit(0.3) * col("ms")).as("m"))
+          .withColumn("rn", row_number().over(w.partitionBy(col("query_id"))
+            .orderBy(col("m").desc, col("cand_id"))))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("cand_id"), col("lbl"))
+      }
+      var selected = s1
+      var picks = Vector(s1)
+      (2 to 5).foreach { k =>
+        val sk = round(selected, k).localCheckpoint()
+        selected = selected.unionByName(sk)
+        picks :+= sk
+      }
+      val mmr = picks.reduce(_.unionByName(_))
+      val pm = plain.groupBy(col("query_id"))
+        .agg(countDistinct(col("lbl")).as("labels_plain"),
+          Num.roundOut(avg(col("rel")), 6).as("mean_rel_plain"))
+      val mm = mmr.join(slim.select(col("query_id"), col("cand_id"),
+          col("rel")), Seq("query_id", "cand_id"))
+        .groupBy(col("query_id"))
+        .agg(countDistinct(col("lbl")).as("labels_mmr"),
+          Num.roundOut(avg(col("rel")), 6).as("mean_rel_mmr"))
+      pm.join(mm, "query_id")
+        .select(col("query_id"), col("labels_plain"), col("labels_mmr"),
+          (col("labels_mmr") - col("labels_plain")).as("label_gain"),
+          col("mean_rel_plain"), col("mean_rel_mmr"))
+        .orderBy(col("query_id"))
     }
   )
 

@@ -993,6 +993,65 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("x170: the diversity eval scores exactly x155's picks, and plain top-5 dominates on mean relevance") {
+    val div = SparkEntry.queries("x170_mmr_diversity")(spark, sf0_001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val picks = SparkEntry.queries("x155_mmr_rerank")(spark, sf0_001)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val labels = Tables.embeddings(spark, sf0_001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // label_mmr recomputed from x155's own output — the eval must score
+    // the ranking x155 ships, not a private re-derivation
+    picks.groupBy(_._1).foreach { case (q, ps) =>
+      val mmrLabels = ps.map(p => labels(p._2)).distinct.length.toLong
+      assert(div(q)._2 == mmrLabels, s"query $q labels_mmr")
+    }
+    div.foreach { case (q, (lp, lm, gain, mrp, mrm)) =>
+      assert(gain == lm - lp)
+      assert(lp >= 1 && lp <= 5 && lm >= 1 && lm <= 5)
+      // the plain top-5 is the argmax-relevance 5-subset, so its mean
+      // relevance bounds any other 5-subset's (up to rounding slack)
+      assert(mrp + 1e-5 >= mrm, s"query $q: plain $mrp vs mmr $mrm")
+    }
+  }
+
+  test("x171: Neyman quotas match a driver-side fold, both budgets sum exactly, and variance moves real mass") {
+    val rows = SparkEntry.queries("x171_neyman_allocation")(spark, sf0_001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val st = docs.groupBy(_._1).view.mapValues { xs =>
+      val n = xs.length.toLong
+      val s = xs.map(_._2).sum
+      val ssq = xs.map(x => x._2 * x._2).sum
+      (n, math.floor(math.sqrt((n * ssq - s * s).toDouble) * 1000).toLong)
+    }.toMap
+    def hamilton(wts: Map[String, Long], b: Long): Map[String, Long] = {
+      val tot = wts.values.sum
+      val q0 = wts.view.mapValues(w => (b * w) / tot).toMap
+      val left = b - q0.values.sum
+      val order = wts.keys.toSeq
+        .sortBy(k => (-((b * wts(k)) % tot), k))
+      q0 ++ order.take(left.toInt).map(k => k -> (q0(k) + 1L))
+    }
+    val ney = hamilton(st.view.mapValues(_._2).toMap, 200L)
+    val prop = hamilton(st.view.mapValues(_._1).toMap, 200L)
+    st.foreach { case (src, (n, wi)) =>
+      assert(rows(src) == ((n, wi, ney(src), prop(src),
+        ney(src) - prop(src))), s"source $src")
+    }
+    assert(rows.values.map(_._3).sum == 200L)
+    assert(rows.values.map(_._4).sum == 200L)
+    assert(rows.values.map(v => math.abs(v._5)).sum > 0,
+      "variance differences must move some budget or the op is vacuous")
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
@@ -1003,10 +1062,11 @@ class Round9Spec extends AnyFunSuite {
     *   table); watermark prefix-max bucket carry (per-bucket maxima —
     *   the x118 offsets pattern); gap-band bucket cumsum ×2 (bucket
     *   tables).
-    * Corpus.scala (6): top-100 / top-1000 / top-100 vocab ranks (post-
+    * Corpus.scala (8): top-100 / top-1000 / top-100 vocab ranks (post-
     *   limit, K-bounded); Hamilton remainder ranks ×2 (source×lang /
     *   source quota tables — group-cardinality-bounded); HITS rank
-    *   (per-event-type table, ~5 rows).
+    *   (per-event-type table, ~5 rows); x171 Neyman + proportional
+    *   remainder ranks ×2 (sources-sized quota table).
     * Mining.scala (5): nDCG/MRR rank windows ×2 (post-limit(10)); hybrid
     *   RRF ranks ×2 (post-limit(64)); phrase-search top-2 rank (post-
     *   limit(2)).
@@ -1026,7 +1086,7 @@ class Round9Spec extends AnyFunSuite {
   test("every partition-less Window.orderBy site in main source is enumerated with a scale bound") {
     val allow = Map(
       "Analytics.scala" -> 8,
-      "Corpus.scala" -> 6,
+      "Corpus.scala" -> 8,
       "Mining.scala" -> 5,
       "TextAnalysis.scala" -> 4)
     def walk(f: java.io.File): Seq[java.io.File] =
