@@ -2834,6 +2834,111 @@ object TextAnalysis {
           (lit(2) * col("dom") <= col("n_docs")
             && col("max_run") <= 2).as("interleave_ok"))
         .orderBy(col("shard"), col("bin"))
+    },
+
+    // KENDALL τ-b: LENGTH ↔ QUALITY — the sampling-bias check behind
+    // every length-based curriculum (if quality and length co-move, a
+    // length cut silently shifts quality): rank correlation between
+    // doc length (log2 buckets — order-preserving, from the pow2 glb
+    // join, no FP log) and the x08 composite quality (deci-buckets via
+    // round-to-int-then-divide, so the 4-decimal rounding boundary can
+    // never flip a bucket cross-engine). τ-b computes EXACTLY from the
+    // bounded contingency grid: concordant/discordant pair counts are
+    // a cells² self-join (≤ ~150 cells at any corpus size — pair
+    // algebra over counts, never over docs), tie terms from row/col
+    // marginals, all exact longs; the denominator multiplies as DOUBLE
+    // (the exact (n₀−n₁)(n₀−n₂) product leaves int64 past ~3·10⁹ docs
+    // — x142's documented overflow discipline) for the single final
+    // division. Goodman-Kruskal γ rides along free (guarded when
+    // C+D = 0).
+    //
+    // Scale: one corpus pass collapses to the grid; everything after
+    // is cells-sized. The bucket granularity is the designed metric —
+    // τ-b here IS the τ-b of the bucketed ordinal pair, stated as
+    // such (the continuous-value τ needs a distributed merge-sort
+    // inversion count; the bucket grid is the warehouse form).
+    QueryDef("x172_length_quality_tau",
+      s"""WITH $qualityMSql, p2(k, v) AS (
+        |  VALUES $pow2ValuesSql
+        |), b AS (
+        |  SELECT doc_id,
+        |         CAST(round($qualitySql * 10000) AS BIGINT) // 1000 AS qb,
+        |         n_tokens
+        |  FROM m WHERE n_tokens > 0
+        |), lb AS (
+        |  SELECT doc_id, qb, max(k) AS lb
+        |  FROM b JOIN p2 ON p2.v <= b.n_tokens GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT lb, qb, CAST(count(*) AS BIGINT) AS n
+        |  FROM lb GROUP BY 1, 2
+        |), cd AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN b.lb > a.lb AND b.qb > a.qb
+        |                       THEN a.n * b.n END), 0) AS BIGINT) AS c,
+        |    CAST(coalesce(sum(CASE WHEN b.lb > a.lb AND b.qb < a.qb
+        |                       THEN a.n * b.n END), 0) AS BIGINT) AS d
+        |  FROM grid a CROSS JOIN grid b
+        |), rows_ AS (
+        |  SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1 FROM (
+        |    SELECT CAST(sum(n) AS BIGINT) AS t FROM grid GROUP BY lb)
+        |), cols_ AS (
+        |  SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2 FROM (
+        |    SELECT CAST(sum(n) AS BIGINT) AS t FROM grid GROUP BY qb)
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |         CAST(count(*) AS BIGINT) AS n_cells FROM grid
+        |)
+        |SELECT tot.nn AS n_docs, tot.n_cells, cd.c AS concordant,
+        |       cd.d AS discordant, rows_.n1 AS ties_len, cols_.n2 AS ties_q,
+        |       round(1e-9 + (cd.c - cd.d)
+        |         / sqrt(CAST(nn * (nn - 1) // 2 - n1 AS DOUBLE)
+        |                * CAST(nn * (nn - 1) // 2 - n2 AS DOUBLE)), 6)
+        |         AS tau_b,
+        |       CASE WHEN cd.c + cd.d = 0 THEN NULL
+        |            ELSE round(1e-9 + (cd.c - cd.d) * 1.0 / (cd.c + cd.d), 6)
+        |       END AS gamma
+        |FROM tot CROSS JOIN cd CROSS JOIN rows_ CROSS JOIN cols_""".stripMargin) {
+      (s, d) =>
+      import s.implicits._
+      val b = Tables.documents(s, d)
+        .select(col("doc_id"),
+          (round(qualityCol * 10000).cast("long")).as("q4"),
+          size(Text.tokens(col("text"))).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), expr("q4 div 1000").as("qb"), col("n_tokens"))
+      val p2 = broadcast(pow2Table.toDF("k", "v"))
+      val grid = b.join(p2, col("v") <= col("n_tokens"))
+        .groupBy(col("doc_id"), col("qb")).agg(max(col("k")).as("lb"))
+        .groupBy(col("lb"), col("qb")).agg(count(lit(1)).as("n"))
+        .localCheckpoint() // ≤ cells rows; five readers below
+      val cd = grid.select(col("lb").as("la"), col("qb").as("qa"),
+          col("n").as("na"))
+        .crossJoin(broadcast(grid.select(col("lb").as("lbb"),
+          col("qb").as("qbb"), col("n").as("nb"))))
+        .agg(coalesce(sum(when(col("lbb") > col("la")
+            && col("qbb") > col("qa"), col("na") * col("nb"))), lit(0L))
+            .as("c"),
+          coalesce(sum(when(col("lbb") > col("la")
+            && col("qbb") < col("qa"), col("na") * col("nb"))), lit(0L))
+            .as("d"))
+      val n1 = grid.groupBy(col("lb")).agg(sum(col("n")).as("t"))
+        .agg(sum(expr("t * (t - 1) div 2")).as("n1"))
+      val n2 = grid.groupBy(col("qb")).agg(sum(col("n")).as("t"))
+        .agg(sum(expr("t * (t - 1) div 2")).as("n2"))
+      val tot = grid.agg(sum(col("n")).as("nn"),
+        count(lit(1)).as("n_cells"))
+      tot.crossJoin(broadcast(cd)).crossJoin(broadcast(n1))
+        .crossJoin(broadcast(n2))
+        .select(col("nn").as("n_docs"), col("n_cells"),
+          col("c").as("concordant"), col("d").as("discordant"),
+          col("n1").as("ties_len"), col("n2").as("ties_q"),
+          Num.roundOut((col("c") - col("d"))
+            / sqrt(expr("CAST(nn * (nn - 1) div 2 - n1 AS DOUBLE)")
+              * expr("CAST(nn * (nn - 1) div 2 - n2 AS DOUBLE)")), 6)
+            .as("tau_b"),
+          when(col("c") + col("d") === 0, lit(null).cast("double"))
+            .otherwise(Num.roundOut((col("c") - col("d")) * 1.0
+              / (col("c") + col("d")), 6)).as("gamma"))
     }
   )
 

@@ -1052,6 +1052,46 @@ class Round9Spec extends AnyFunSuite {
       "variance differences must move some budget or the op is vacuous")
   }
 
+  test("x172: τ-b matches a driver-side O(n²) pair scan over the bucketed pair, and the dependence is real") {
+    val row = SparkEntry.queries("x172_length_quality_tau")(spark, sf0_001)
+      .collect().head
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("text")).collect().map(_.getString(0))
+      .map { t =>
+        val ws = t.split(" ", -1)
+        val n = ws.length
+        val ttr = ws.distinct.length.toDouble / n
+        val stop = ws.count(w => w == "a" || w == "the").toDouble / n
+        val avg = ws.map(_.length).sum.toDouble / n
+        val q = r4(0.5 * ttr + 0.3 * (1 - stop)
+          + 0.2 * math.min(avg / 8.0, 1.0))
+        val lb = 63 - java.lang.Long.numberOfLeadingZeros(n.toLong)
+        (lb, math.round(q * 10000) / 1000)
+      }
+    // brute-force pair scan over the bucketed values — not via the grid
+    var (c, d) = (0L, 0L)
+    for (i <- docs.indices; j <- i + 1 until docs.length) {
+      val ((la, qa), (lbb, qbb)) = (docs(i), docs(j))
+      val s = (la.compareTo(lbb)) * (qa.compareTo(qbb))
+      if (s > 0) c += 1 else if (s < 0) d += 1
+    }
+    val n = docs.length.toLong
+    val n0 = n * (n - 1) / 2
+    val n1 = docs.groupBy(_._1).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val n2 = docs.groupBy(_._2).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val tau = r6((c - d) / math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble))
+    assert(row.getLong(0) == n)
+    assert(row.getLong(2) == c, "concordant")
+    assert(row.getLong(3) == d, "discordant")
+    assert(row.getLong(4) == n1 && row.getLong(5) == n2)
+    assert(row.getDouble(6) == tau)
+    // the synthetic corpus carries a real negative dependence (longer
+    // docs repeat more → lower TTR) — the check must have teeth
+    assert(tau < -0.3, s"tau=$tau")
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
