@@ -1744,6 +1744,74 @@ object Analytics {
           expr("sv * 1000 div n_s").as("mean_s_milli"),
           expr("(sa - sv) * 1000 div (n - n_s)").as("mean_rest_milli"))
         .orderBy(col("source"))
+    },
+
+    // DAILY-SERIES AUTOCORRELATION — the periodicity probe the
+    // change-point (q78/st13) and EWMA (x151) monitors don't give: ACF
+    // of the daily event-count series at lags 1..7 (is there a weekly
+    // rhythm the forecaster must model?). Lags come from a calendar
+    // SELF-JOIN on day+k — no window at all — and the estimator is the
+    // n²-scaled exact form: N_k = Σ(n·x_t − S)(n·x_{t+k} − S) over
+    // aligned pairs with the SAME anchoring for the variance term, so
+    // r_k = N_k/D is one float division of exact longs (bound: n·x
+    // products stay in int64 to ~3·10⁹ events/day on a 10⁴-day
+    // calendar — x142's overflow discipline notes the DOUBLE fallback
+    // past that).
+    //
+    // Scale: the corpus collapses map-side to the days-bounded series;
+    // the lag join, moments, and report are all calendar-sized. The
+    // denominator anchors on the full-series mean (the standard ACF
+    // normalization), computed once and broadcast.
+    QueryDef("x173_daily_acf",
+      """WITH ds AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1
+        |), mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+        |  FROM ds
+        |), den AS (
+        |  SELECT CAST(sum((mo.n * ds.x - mo.s) * (mo.n * ds.x - mo.s))
+        |              AS BIGINT) AS d0
+        |  FROM ds CROSS JOIN mo
+        |), lags AS (
+        |  SELECT CAST(r.range AS INT) AS lag FROM range(1, 8) r
+        |), pairs AS (
+        |  SELECT l.lag,
+        |         CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum((mo.n * a.x - mo.s) * (mo.n * b.x - mo.s))
+        |              AS BIGINT) AS nk
+        |  FROM lags l
+        |  JOIN ds a ON true
+        |  JOIN ds b ON b.day = a.day + l.lag
+        |  CROSS JOIN mo
+        |  GROUP BY 1
+        |)
+        |SELECT p.lag, p.n_pairs,
+        |       round(1e-9 + p.nk * 1.0 / den.d0, 6) AS acf
+        |FROM pairs p CROSS JOIN den ORDER BY p.lag""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ds = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint() // days-bounded; moments + both join sides
+      val mo = ds.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      val den = ds.crossJoin(broadcast(mo))
+        .agg(sum((col("n") * col("x") - col("s"))
+          * (col("n") * col("x") - col("s"))).as("d0"))
+      val lags = (1 to 7).toDF("lag")
+      val pairs = broadcast(lags)
+        .join(ds.select(col("day").as("da"), col("x").as("xa")), lit(true))
+        .join(ds.select(col("day").as("db"), col("x").as("xb")),
+          expr("db = date_add(da, lag)"))
+        .crossJoin(broadcast(mo))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("n") * col("xa") - col("s"))
+            * (col("n") * col("xb") - col("s"))).as("nk"))
+      pairs.crossJoin(broadcast(den))
+        .select(col("lag"), col("n_pairs"),
+          Num.roundOut(col("nk") * 1.0 / col("d0"), 6).as("acf"))
+        .orderBy(col("lag"))
     }
   )
 

@@ -1092,6 +1092,37 @@ class Round9Spec extends AnyFunSuite {
     assert(tau < -0.3, s"tau=$tau")
   }
 
+  test("x173: ACF matches a driver-side series fold, pair counts shrink by one per lag, and |r| ≤ 1") {
+    val rows = SparkEntry.queries("x173_daily_acf")(spark, sf0_001)
+      .collect().sortBy(_.getInt(0))
+    val series = Tables.events(spark, sf0_001)
+      .select(expr("CAST(ts AS DATE)").as("day")).groupBy(col("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val n = series.length.toLong
+    val sTot = series.map(_._2).sum
+    val byDay = series.map { case (dy, x) => dy.toEpochDay -> x }.toMap
+    val d0 = series.map { case (_, x) => (n * x - sTot) * (n * x - sTot) }.sum
+    (1 to 7).foreach { k =>
+      val pairs = series.flatMap { case (dy, xa) =>
+        byDay.get(dy.toEpochDay + k).map(xb => (xa, xb))
+      }
+      val nk = pairs.map { case (xa, xb) =>
+        (n * xa - sTot) * (n * xb - sTot)
+      }.sum
+      val row = rows(k - 1)
+      assert(row.getInt(0) == k)
+      assert(row.getLong(1) == pairs.length.toLong)
+      assert(row.getDouble(2) == r6(nk.toDouble / d0), s"lag $k")
+      assert(math.abs(row.getDouble(2)) <= 1.0)
+    }
+    // a contiguous daily calendar: each extra lag loses exactly one pair
+    val np = rows.map(_.getLong(1))
+    assert(np.zip(np.tail).forall { case (a, b) => a == b + 1 },
+      s"pair counts ${np.toSeq}")
+  }
+
   /** VERDICT r8 item 7: the "global windows only on aggregated series"
     * invariant, ENFORCED. Every `Window.orderBy` (no partition — Spark
     * funnels the input through one task) in main source, by file:
