@@ -1278,6 +1278,65 @@ object Mining {
         .select(col("doc_id"), col("w1").as("word_a"), col("w2").as("word_b"),
           col("n_fwd"), col("n_rev"))
         .orderBy(col("doc_id"))
+    },
+
+    // LEAVE-ONE-SOURCE-OUT INFLUENCE — the cheapest data-valuation
+    // signal a mixing pipeline reads before re-weighting (x81) or
+    // dropping a source: how much the corpus-mean quality moves when
+    // source s is removed, computed ALGEBRAICALLY from per-source sums
+    // (mean without s = (S − S_s)/(N − N_s)) — no second corpus pass,
+    // no per-source re-scan, which is the whole point at 100 TB where
+    // "recompute the metric k times" is k full scans. Per-doc quality
+    // is the x08 composite rounded to 4 (so q4 = round(q·10⁴) is an
+    // EXACT integer per doc and every sum/mean here is integer
+    // arithmetic in micro units); influence > 0 means the source drags
+    // the corpus mean DOWN (removing it raises quality).
+    //
+    // Scale: one corpus pass to the per-source (n, Σq4) table, a
+    // broadcast one-row total, then sources-sized column math. The
+    // single-source degenerate (N = N_s) reports NULL by design — the
+    // x142 guarded-division rule.
+    QueryDef("x177_loo_influence",
+      s"""WITH ${TextAnalysis.qualityMSql}, q AS (
+        |  SELECT m.doc_id, d.source,
+        |         CAST(round(${TextAnalysis.qualitySql} * 10000) AS BIGINT)
+        |           AS q4
+        |  FROM m JOIN documents d USING (doc_id) WHERE m.n_tokens > 0
+        |), ps AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+        |         CAST(sum(q4) AS BIGINT) AS s_s
+        |  FROM q GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(n_s) AS BIGINT) AS n, CAST(sum(s_s) AS BIGINT) AS s
+        |  FROM ps
+        |)
+        |SELECT ps.source, ps.n_s AS n_docs,
+        |       CAST(ps.n_s * 1000000 // tot.n AS BIGINT) AS share_ppm,
+        |       CAST(tot.s * 100 // tot.n AS BIGINT) AS mean_all_micro,
+        |       CAST(ps.s_s * 100 // ps.n_s AS BIGINT) AS mean_src_micro,
+        |       CASE WHEN tot.n = ps.n_s THEN NULL
+        |            ELSE CAST((tot.s - ps.s_s) * 100 // (tot.n - ps.n_s)
+        |                      - tot.s * 100 // tot.n AS BIGINT)
+        |       END AS influence_micro
+        |FROM ps CROSS JOIN tot ORDER BY ps.source""".stripMargin) { (s, d) =>
+      val q = Tables.documents(s, d)
+        .filter(size(Text.tokens(col("text"))) > 0)
+        .select(col("source"),
+          round(TextAnalysis.qualityCol * 10000).cast("long").as("q4"))
+      val ps = q.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"), sum(col("q4")).as("s_s"))
+        .localCheckpoint() // sources-bounded; totals + report read it
+      val tot = ps.agg(sum(col("n_s")).as("n"), sum(col("s_s")).as("s"))
+      ps.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s").as("n_docs"),
+          expr("n_s * 1000000 div n").as("share_ppm"),
+          expr("s * 100 div n").as("mean_all_micro"),
+          expr("s_s * 100 div n_s").as("mean_src_micro"),
+          when(col("n") === col("n_s"), lit(null).cast("long"))
+            .otherwise(expr(
+              "(s - s_s) * 100 div (n - n_s) - s * 100 div n"))
+            .as("influence_micro"))
+        .orderBy(col("source"))
     }
   )
 

@@ -225,7 +225,7 @@ object TextAnalysis {
       |             4)""".stripMargin
 
   /** The same composite quality as a Spark column over `text`. */
-  private[operators] def qualityCol: org.apache.spark.sql.Column = {
+  private[graft] def qualityCol: org.apache.spark.sql.Column = {
     val ws = Text.tokens(col("text"))
     val nTokens = size(ws)
     val nDistinct = size(array_distinct(ws))
@@ -1945,6 +1945,86 @@ object TextAnalysis {
         .orderBy(col("bin"))
     },
 
+    // ISOTONIC (PAV) CALIBRATION — the monotone fit x117's reliability
+    // table feeds when the scorer goes to SERVING: the isotonic
+    // regression of pos_rate on score bin, i.e. the least-squares
+    // monotone step function (Zadrozny/Elkan calibration). Computed by
+    // the minimax characterization iso(i) = max_{j≤i} min_{k≥i}
+    // mean(pos over bins j..k) instead of the sequential
+    // pool-adjacent-violators stack: the bin table is BOUNDED (fixed
+    // score bins, ~21 at any corpus size), so the (j,k) interval means
+    // and the (i,j,k) max-min collapse are bins³ ≈ 10⁴ rows of pure
+    // relational algebra — no driver loop, no iteration, no window.
+    // Every interval mean is one IEEE division of exact integer sums,
+    // bit-identical cross-engine; max/min over identical doubles are
+    // identical.
+    //
+    // Scale: one corpus pass builds the bin table (x117's map-side
+    // binning); everything after is bins-sized. At 100 TB the ONLY
+    // data-sized stage is the score+label join x117 already pays.
+    QueryDef("x174_isotonic_pav",
+      s"""WITH $hashedScoreCteSql, $qualityMSql, lab AS (
+        |  SELECT doc_id, $qualitySql AS quality
+        |  FROM m WHERE n_tokens > 0
+        |), j AS (
+        |  SELECT sc.doc_id,
+        |         CAST(floor((sc.score_sum * 1.0 / sc.n_tokens) / 100)
+        |              AS BIGINT) AS bin,
+        |         CASE WHEN lab.quality >= 0.63 THEN 1 ELSE 0 END AS pos
+        |  FROM sc JOIN lab USING (doc_id)
+        |), b AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(pos) AS BIGINT) AS p
+        |  FROM j GROUP BY bin
+        |), iv AS (
+        |  SELECT lo.bin AS lo, hi.bin AS hi,
+        |         sum(m2.p) * 1.0 / sum(m2.n) AS mu
+        |  FROM b lo JOIN b hi ON lo.bin <= hi.bin
+        |  JOIN b m2 ON m2.bin BETWEEN lo.bin AND hi.bin
+        |  GROUP BY 1, 2
+        |), lower_env AS (
+        |  SELECT i.bin, iv.lo, min(iv.mu) AS mn
+        |  FROM b i JOIN iv ON iv.lo <= i.bin AND iv.hi >= i.bin
+        |  GROUP BY 1, 2
+        |), fit AS (
+        |  SELECT bin, max(mn) AS iso FROM lower_env GROUP BY 1
+        |)
+        |SELECT b.bin, CAST(b.bin * 100 AS BIGINT) AS bin_lo, b.n AS n_docs,
+        |       b.p AS n_pos,
+        |       round(1e-9 + b.p * 1.0 / b.n, 4) AS pos_rate,
+        |       round(1e-9 + fit.iso, 4) AS iso_rate
+        |FROM b JOIN fit USING (bin) ORDER BY b.bin""".stripMargin) { (s, d) =>
+      val sc = hashedScoreTable(s, d)
+      val lab = Tables.documents(s, d)
+        .filter(size(Text.tokens(col("text"))) > 0)
+        .select(col("doc_id"), qualityCol.as("quality"))
+      val b = sc.join(lab, "doc_id")
+        .select(
+          floor((col("score_sum") * 1.0 / col("n_tokens")) / 100)
+            .cast("long").as("bin"),
+          when(col("quality") >= 0.63, 1L).otherwise(0L).as("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+        .localCheckpoint() // bins-bounded; feeds four self-join roles
+      val iv = b.select(col("bin").as("lo"))
+        .join(b.select(col("bin").as("hi")), col("lo") <= col("hi"))
+        .join(b.select(col("bin").as("mb"), col("n"), col("p")),
+          col("mb").between(col("lo"), col("hi")))
+        .groupBy(col("lo"), col("hi"))
+        .agg((sum(col("p")) * 1.0 / sum(col("n"))).as("mu"))
+      val lowerEnv = b.select(col("bin"))
+        .join(iv, col("lo") <= col("bin") && col("hi") >= col("bin"))
+        .groupBy(col("bin"), col("lo"))
+        .agg(min(col("mu")).as("mn"))
+      val fit = lowerEnv.groupBy(col("bin")).agg(max(col("mn")).as("iso"))
+      b.join(fit, "bin")
+        .select(col("bin"), (col("bin") * 100).as("bin_lo"),
+          col("n").as("n_docs"), col("p").as("n_pos"),
+          Num.roundOut(col("p") * 1.0 / col("n"), 4).as("pos_rate"),
+          Num.roundOut(col("iso"), 4).as("iso_rate"))
+        .orderBy(col("bin"))
+    },
+
     // DETERMINISTIC WEIGHTED SAMPLE by PRIORITY (Duffield/Lund/Thorup
     // priority sampling): each document draws priority w/u — weight
     // n_chars over a content-keyed "uniform" u = (fp+1)/(M+1) from the
@@ -2013,6 +2093,87 @@ object TextAnalysis {
           Num.roundOut((col("distinct_raw") - col("distinct_norm")) * 1.0
             / col("n_docs"), 4).as("gain_frac"))
         .orderBy(col("source"))
+    },
+
+    // CLUSTERING AGREEMENT (Rand / Adjusted Rand) between the RAW-
+    // equality dedup clustering and the CANONICAL-equality clustering —
+    // the quantitative answer to x98's "how different are the two dedup
+    // keys" that pair-counts instead of counting groups: RI = fraction
+    // of doc pairs the two clusterings treat identically, ARI the
+    // chance-corrected form (Hubert–Arabie). Everything reduces to
+    // three pair-sums Σ C(k,2) over (raw_h × norm_h) cells, raw_h
+    // groups, and norm_h groups — exact integer aggregates; the only
+    // floats are the final two divisions (expected-index terms), both
+    // guarded: a degenerate corpus where both clusterings are all
+    // singletons (max = expected) reports NULL ARI by design, not by
+    // accident (the x142 guarded-division rule). Because raw equality
+    // REFINES canonical equality, Σ_cells == Σ_raw identically — pinned
+    // in Round9Spec as the algebraic cross-check.
+    //
+    // Scale: three hash-keyed aggregates over one corpus pass each
+    // (cells/rows/cols), every post-aggregate table collapsing to one
+    // row map-side. Pair counts k·(k−1)/2 stay in int64 to ~4·10⁹ docs
+    // per cell; past that the sums go DOUBLE (the x142 overflow note).
+    QueryDef("x176_dedup_ari",
+      """WITH n AS (
+        |  SELECT doc_id, md5(text) AS raw_h,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_h
+        |  FROM documents
+        |), cells AS (
+        |  SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT) AS spair,
+        |         CAST(sum(k) AS BIGINT) AS nn
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS k FROM n
+        |        GROUP BY raw_h, norm_h)
+        |), ra AS (
+        |  SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT) AS sa
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS k FROM n
+        |        GROUP BY raw_h)
+        |), rb AS (
+        |  SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT) AS sb
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS k FROM n
+        |        GROUP BY norm_h)
+        |), f AS (
+        |  SELECT nn, spair, sa, sb, nn * (nn - 1) // 2 AS tot,
+        |         sa * 1.0 * sb / (nn * (nn - 1) // 2) AS expd,
+        |         (sa + sb) / 2.0 AS mx
+        |  FROM cells, ra, rb
+        |)
+        |SELECT nn AS n_docs, spair AS pairs_cells, sa AS pairs_raw,
+        |       sb AS pairs_norm,
+        |       round(1e-9 + (tot + 2 * spair - sa - sb) * 1.0 / tot, 6)
+        |         AS rand_index,
+        |       CASE WHEN mx = expd THEN NULL
+        |            ELSE round(1e-9 + (spair - expd) / (mx - expd), 6)
+        |       END AS ari
+        |FROM f""".stripMargin) { (s, d) =>
+      val n = Tables.documents(s, d)
+        .select(md5(col("text")).as("raw_h"),
+          md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", ""), " +", " "))).as("norm_h"))
+        .localCheckpoint() // one corpus digest pass; three rollups read it
+      def pairSum(df: org.apache.spark.sql.DataFrame, cs: Seq[String],
+          out: String) =
+        df.groupBy(cs.map(col): _*).agg(count(lit(1)).as("k"))
+          .agg(sum(expr("k * (k - 1) div 2")).as(out),
+            sum(col("k")).as(out + "_n"))
+      val cells = pairSum(n, Seq("raw_h", "norm_h"), "spair")
+        .withColumnRenamed("spair_n", "nn")
+      val ra = pairSum(n, Seq("raw_h"), "sa").drop("sa_n")
+      val rb = pairSum(n, Seq("norm_h"), "sb").drop("sb_n")
+      cells.crossJoin(ra).crossJoin(rb)
+        .select(col("nn"), col("spair"), col("sa"), col("sb"),
+          expr("nn * (nn - 1) div 2").as("tot"),
+          (col("sa") * 1.0 * col("sb")
+            / expr("nn * (nn - 1) div 2")).as("expd"),
+          ((col("sa") + col("sb")) / 2.0).as("mx"))
+        .select(col("nn").as("n_docs"), col("spair").as("pairs_cells"),
+          col("sa").as("pairs_raw"), col("sb").as("pairs_norm"),
+          Num.roundOut((col("tot") + lit(2) * col("spair") - col("sa")
+            - col("sb")) * 1.0 / col("tot"), 6).as("rand_index"),
+          when(col("mx") === col("expd"), lit(null).cast("double"))
+            .otherwise(Num.roundOut((col("spair") - col("expd"))
+              / (col("mx") - col("expd")), 6)).as("ari"))
     },
 
     // DETERMINISTIC POISSON BOOTSTRAP — a 94%-ish CI for each source's

@@ -1145,6 +1145,9 @@ class Round9Spec extends AnyFunSuite {
     *   (value-domain table); x142 running sum over the score-value
     *   domain (≤ 2·10⁶ + 1 rows); x153 funnel running sum (5-row rule
     *   table); x157 JSD vocab rank (post-limit(32), K-bounded).
+    * Classic.scala (1): x175 Theil–Sen pairwise-slope median rank
+    *   (weeks² pairs over the TPC-H calendar — ≈65k rows at ANY scale
+    *   factor; calendar-bounded, not data-bounded).
     * (Dedup's x118 offsets window and x130's pair of rank windows
     *   migrated into Ranks.twoPassRank in r9 — one definition.)
     *
@@ -1159,7 +1162,8 @@ class Round9Spec extends AnyFunSuite {
       "Analytics.scala" -> 8,
       "Corpus.scala" -> 8,
       "Mining.scala" -> 5,
-      "TextAnalysis.scala" -> 4)
+      "TextAnalysis.scala" -> 4,
+      "Classic.scala" -> 1)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
       else if (f.getName.endsWith(".scala")) Seq(f) else Nil
@@ -1173,5 +1177,117 @@ class Round9Spec extends AnyFunSuite {
     assert(counts == allow,
       s"partition-less window sites drifted: got $counts, enumerated $allow — " +
         "review the new site's input bound and enroll it in this spec's table")
+  }
+
+  /** Num.roundOut(_, n) reproduced driver-side for expected values. */
+  private def rN(x: Double, n: Int): Double =
+    BigDecimal(x + 1e-9).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("x174: relational minimax PAV equals the sequential pool-adjacent-violators stack") {
+    val rows = SparkEntry.queries("x174_isotonic_pav")(spark, sf0_001)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    assert(rows.length > 2)
+    // classic PAV on the (n, p) bins the oracle already pins
+    case class Blk(var n: Long, var p: Long) { def mu: Double = p.toDouble / n }
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Blk, Int)] // block, width
+    rows.foreach { r =>
+      stack += ((Blk(r.getAs[Long]("n_docs"), r.getAs[Long]("n_pos")), 1))
+      while (stack.length > 1 &&
+          stack(stack.length - 2)._1.mu > stack.last._1.mu) {
+        val (b2, w2) = stack.remove(stack.length - 1)
+        val (b1, w1) = stack.remove(stack.length - 1)
+        stack += ((Blk(b1.n + b2.n, b1.p + b2.p), w1 + w2))
+      }
+    }
+    val fitted = stack.flatMap { case (b, w) => Seq.fill(w)(b.mu) }
+    assert(fitted.length == rows.length)
+    rows.zip(fitted).foreach { case (r, mu) =>
+      assert(r.getAs[Double]("iso_rate") == rN(mu, 4),
+        s"bin ${r.getAs[Long]("bin")}: minimax vs stack drift")
+    }
+    // monotone by construction, and PAV preserves the weighted total
+    val iso = rows.map(_.getAs[Double]("iso_rate"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b })
+    val mass = stack.map { case (b, _) => b.mu * b.n }.sum
+    assert(math.abs(mass - rows.map(_.getAs[Long]("n_pos")).sum) < 1e-6)
+  }
+
+  test("x175: Theil-Sen slope equals the brute-force pairwise median over the weekly series") {
+    val row = SparkEntry.queries("x175_theil_sen")(spark, sf0_001).collect()(0)
+    val wk = Tables.orders(spark, sf0_001)
+      .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("w"))
+      .agg(round(lit(1e-9) + sum(col("o_totalprice")), 0).cast("long")
+        .as("rev"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("w").toLocalDate, r.getAs[Long]("rev")))
+      .sortBy(_._1.toEpochDay)
+    assert(row.getAs[Long]("n_weeks") == wk.length)
+    val slopes = for {
+      i <- wk.indices; j <- (i + 1) until wk.length
+    } yield ((wk(j)._2 - wk(i)._2).toDouble
+        / (wk(j)._1.toEpochDay - wk(i)._1.toEpochDay),
+      wk(i)._1.toEpochDay, wk(j)._1.toEpochDay)
+    assert(row.getAs[Long]("n_pairs") == slopes.length)
+    val sorted = slopes.sortBy(t => (t._1, t._2, t._3)).map(_._1)
+    val m = sorted.length
+    val med = (sorted((m + 1) / 2 - 1) + sorted((m + 2) / 2 - 1)) / 2.0
+    assert(row.getAs[Double]("ts_slope") == rN(med, 4))
+    val x0 = wk.head._1.toEpochDay
+    val xs = wk.map { case (w, r) => ((w.toEpochDay - x0), r) }
+    val (n, sx, sy) = (xs.length.toLong, xs.map(_._1).sum, xs.map(_._2).sum)
+    val sxx = xs.map(t => t._1 * t._1).sum
+    val sxy = xs.map(t => t._1 * t._2).sum
+    val ols = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    assert(row.getAs[Double]("ols_slope") == rN(ols, 4))
+  }
+
+  test("x176: pair-counting ARI matches brute force, and raw-refines-norm forces cells == raw") {
+    val row = SparkEntry.queries("x176_dedup_ari")(spark, sf0_001).collect()(0)
+    // raw equality refines canonical equality, so every (raw, norm) cell
+    // IS a raw cluster — the algebraic cross-check
+    assert(row.getAs[Long]("pairs_cells") == row.getAs[Long]("pairs_raw"))
+    val hs = Tables.documents(spark, sf0_001)
+      .select(md5(col("text")).as("rh"),
+        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " "))).as("nh"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    def pairs(ks: Iterable[Long]): Long = ks.map(k => k * (k - 1) / 2).sum
+    val nn = hs.length.toLong
+    val sp = pairs(hs.groupBy(identity).values.map(_.length.toLong))
+    val sa = pairs(hs.groupBy(_._1).values.map(_.length.toLong))
+    val sb = pairs(hs.groupBy(_._2).values.map(_.length.toLong))
+    assert(row.getAs[Long]("n_docs") == nn)
+    assert(row.getAs[Long]("pairs_raw") == sa)
+    assert(row.getAs[Long]("pairs_norm") == sb)
+    val tot = nn * (nn - 1) / 2
+    assert(row.getAs[Double]("rand_index") ==
+      rN((tot + 2 * sp - sa - sb).toDouble / tot, 6))
+    val expd = sa.toDouble * sb / tot
+    val mx = (sa + sb) / 2.0
+    if (mx == expd) assert(row.isNullAt(row.fieldIndex("ari")))
+    else assert(row.getAs[Double]("ari") == rN((sp - expd) / (mx - expd), 6))
+  }
+
+  test("x177: algebraic leave-one-out equals recomputing the mean without each source") {
+    val rows = SparkEntry.queries("x177_loo_influence")(spark, sf0_001).collect()
+    val q4 = Tables.documents(spark, sf0_001)
+      .filter(size(functions.Text.tokens(col("text"))) > 0)
+      .select(col("source"),
+        round(operators.TextAnalysis.qualityCol * 10000).cast("long").as("q4"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = q4.length.toLong
+    val s = q4.map(_._2).sum
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val mine = q4.filter(_._1 == src)
+      val (ns, ss) = (mine.length.toLong, mine.map(_._2).sum)
+      assert(r.getAs[Long]("n_docs") == ns)
+      assert(r.getAs[Long]("share_ppm") == Math.floorDiv(ns * 1000000L, n))
+      assert(r.getAs[Long]("mean_src_micro") == Math.floorDiv(ss * 100, ns))
+      val exp = Math.floorDiv((s - ss) * 100, n - ns) -
+        Math.floorDiv(s * 100, n)
+      assert(r.getAs[Long]("influence_micro") == exp,
+        s"$src: the direct leave-one-out recompute disagrees")
+    }
   }
 }
