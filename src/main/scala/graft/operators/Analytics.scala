@@ -1812,6 +1812,89 @@ object Analytics {
         .select(col("lag"), col("n_pairs"),
           Num.roundOut(col("nk") * 1.0 / col("d0"), 6).as("acf"))
         .orderBy(col("lag"))
+    },
+
+    // MANN–WHITNEY U per source — the LOCATION-shift drift test beside
+    // x156's sup-norm KS and x165's W1, on the SAME length-ECDF grid
+    // (one distribution definition for all three): does source s's
+    // length distribution sit systematically above or below the pooled
+    // rest? The rank-sum collapses to the value domain exactly like
+    // x142's AUC: 2U = Σ_v c_s·(2·rest_below + rest_at) — integer sums
+    // off the shared grid (2U ≤ 2·n_s·n_rest stays in int64 to ~3·10⁹
+    // docs; the x142 DOUBLE fallback past that). The z-score carries
+    // the full tie correction Σ(t³−t) over pooled value counts (t³ sums
+    // bound: int64 until one length value alone holds ~2·10⁶ docs —
+    // then the same DOUBLE fallback), and the rank-biserial effect size
+    // 2U/(n₁n₂)−1 rides along. Degenerate single-source corpus and
+    // zero-variance (all-one-length) corpus report NULL by design (the
+    // x142 guarded-division rule).
+    //
+    // Scale: the corpus pass is lens' map-side (source, length) count;
+    // everything after runs on the sources × length-domain grid. All
+    // windows are PARTITIONED by source.
+    QueryDef("x178_mann_whitney",
+      s"""WITH $lengthGridCteSql, dc AS (
+        |  SELECT source, n_s, v, n, cum_s, cum_all,
+        |         cum_s - COALESCE(lag(cum_s) OVER (
+        |           PARTITION BY source ORDER BY v), 0) AS cs,
+        |         cum_all - COALESCE(lag(cum_all) OVER (
+        |           PARTITION BY source ORDER BY v), 0) AS call
+        |  FROM gb
+        |), u AS (
+        |  SELECT source, n_s, n,
+        |         CAST(sum(cs * (2 * ((cum_all - call) - (cum_s - cs))
+        |                        + (call - cs))) AS BIGINT) AS u2
+        |  FROM dc GROUP BY 1, 2, 3
+        |), t AS (
+        |  SELECT CAST(sum(call * call * call - call) AS BIGINT) AS ties
+        |  FROM (SELECT v, max(call) AS call FROM dc GROUP BY v)
+        |)
+        |SELECT u.source, u.n_s AS n_docs, u.u2,
+        |       CASE WHEN u.n = u.n_s THEN NULL
+        |            ELSE round(1e-9 + u.u2 * 1.0 / (u.n_s * (u.n - u.n_s))
+        |                       - 1, 6)
+        |       END AS rank_biserial,
+        |       CASE WHEN u.n = u.n_s
+        |              OR (u.n + 1) - t.ties * 1.0 / (u.n * (u.n - 1.0)) = 0
+        |            THEN NULL
+        |            ELSE round(1e-9 +
+        |              (u.u2 / 2.0 - u.n_s * (u.n - u.n_s) / 2.0)
+        |              / sqrt(u.n_s * 1.0 * (u.n - u.n_s) / 12.0
+        |                * ((u.n + 1) - t.ties * 1.0
+        |                   / (u.n * (u.n - 1.0)))), 4)
+        |       END AS z
+        |FROM u CROSS JOIN t ORDER BY u.source""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      val dc = lengthEcdfGrid(s, d)
+        .withColumn("cs",
+          col("cum_s") - coalesce(lag(col("cum_s"), 1).over(w), lit(0L)))
+        .withColumn("call",
+          col("cum_all") - coalesce(lag(col("cum_all"), 1).over(w), lit(0L)))
+        .localCheckpoint() // grid-sized; U rollup + tie scan read it
+      val u = dc.groupBy(col("source"), col("n_s"), col("n"))
+        .agg(sum(col("cs") * (lit(2) * ((col("cum_all") - col("call"))
+          - (col("cum_s") - col("cs"))) + (col("call") - col("cs"))))
+          .as("u2"))
+      val t = dc.groupBy(col("v")).agg(max(col("call")).as("call"))
+        .agg(sum(col("call") * col("call") * col("call") - col("call"))
+          .as("ties"))
+      u.crossJoin(broadcast(t))
+        .select(col("source"), col("n_s").as("n_docs"), col("u2"),
+          when(col("n") === col("n_s"), lit(null).cast("double"))
+            .otherwise(Num.roundOut(col("u2") * 1.0
+              / (col("n_s") * (col("n") - col("n_s"))) - 1, 6))
+            .as("rank_biserial"),
+          when(col("n") === col("n_s") ||
+              (col("n") + 1) - col("ties") * 1.0
+                / (col("n") * (col("n") - 1.0)) === 0.0,
+            lit(null).cast("double"))
+            .otherwise(Num.roundOut(
+              (col("u2") / 2.0 - col("n_s") * (col("n") - col("n_s")) / 2.0)
+                / sqrt(col("n_s") * 1.0 * (col("n") - col("n_s")) / 12.0
+                  * ((col("n") + 1) - col("ties") * 1.0
+                    / (col("n") * (col("n") - 1.0)))), 4))
+            .as("z"))
+        .orderBy(col("source"))
     }
   )
 

@@ -3100,6 +3100,89 @@ object TextAnalysis {
           when(col("c") + col("d") === 0, lit(null).cast("double"))
             .otherwise(Num.roundOut((col("c") - col("d")) * 1.0
               / (col("c") + col("d")), 6)).as("gamma"))
+    },
+
+    // CHI-SQUARE INDEPENDENCE + CRAMÉR'S V over lang × source — the
+    // NOMINAL association check beside x172's ordinal τ-b: is language
+    // balanced across sources, or does the mixing policy (x81/x53) face
+    // a confounded grid? The full zero-filled contingency grid (langs ×
+    // sources — group-cardinality-bounded) is rebuilt from marginals so
+    // empty cells contribute their expected mass; each cell's χ²
+    // contribution (O·n − r·s)²/(n·r·s) is ONE double product of an
+    // exact BIGINT deviation and one division by the exact BIGINT
+    // product (identical IEEE ops cross-engine), rounded to micro units
+    // per cell and SUMMED AS INTEGERS — no float accumulation order to
+    // drift. n·r·s stays in int64 to ~2·10⁶ docs per lang×source
+    // stripe; past that the cell math goes DOUBLE (the x142 note).
+    // One-row/one-column degenerate grids report NULL V by design.
+    //
+    // Scale: one corpus pass to the nonzero cells (map-side combine);
+    // marginals, grid, and report are all cells-sized.
+    QueryDef("x179_cramers_v",
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2
+        |), rl AS (
+        |  SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1
+        |), cs AS (
+        |  SELECT source, CAST(sum(o) AS BIGINT) AS s FROM cells GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+        |         CAST(count(DISTINCT source) AS BIGINT) AS nc
+        |  FROM cells
+        |), grid AS (
+        |  SELECT rl.lang, cs.source, rl.r, cs.s,
+        |         COALESCE(cells.o, 0) AS o
+        |  FROM rl CROSS JOIN cs
+        |  LEFT JOIN cells ON cells.lang = rl.lang
+        |                 AND cells.source = cs.source
+        |), dev AS (
+        |  SELECT r, s, o, o * tot.n - r * s AS dd, tot.n AS n
+        |  FROM grid CROSS JOIN tot
+        |), mic AS (
+        |  SELECT CAST(sum(CAST(round(1e-9 + dd * 1.0 * dd
+        |             / (n * r * s) * 1000000) AS BIGINT)) AS BIGINT)
+        |           AS chi_micro
+        |  FROM dev
+        |)
+        |SELECT tot.n AS n_docs, tot.nr AS n_langs, tot.nc AS n_sources,
+        |       (tot.nr - 1) * (tot.nc - 1) AS dof,
+        |       round(1e-9 + mic.chi_micro / 1000000.0, 4) AS chi2,
+        |       CASE WHEN least(tot.nr, tot.nc) = 1 THEN NULL
+        |            ELSE round(1e-9 + sqrt(mic.chi_micro / 1000000.0
+        |                 / (tot.n * (least(tot.nr, tot.nc) - 1))), 6)
+        |       END AS cramers_v
+        |FROM tot CROSS JOIN mic""".stripMargin) { (s, d) =>
+      val cells = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint() // cells-bounded; marginals + grid read it
+      val rl = cells.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+      val cs = cells.groupBy(col("source")).agg(sum(col("o")).as("s"))
+      val tot = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("lang")).as("nr"),
+        countDistinct(col("source")).as("nc"))
+      val grid = rl.crossJoin(cs)
+        .join(cells, Seq("lang", "source"), "left")
+        .select(col("r"), col("s"), coalesce(col("o"), lit(0L)).as("o"))
+      val mic = grid.crossJoin(broadcast(tot))
+        .select((col("o") * col("n") - col("r") * col("s")).as("dd"),
+          col("n"), col("r"), col("s"))
+        .select(round(lit(1e-9) + col("dd") * 1.0 * col("dd")
+          / (col("n") * col("r") * col("s")) * 1000000).cast("long")
+          .as("cm"))
+        .agg(sum(col("cm")).as("chi_micro"))
+      tot.crossJoin(broadcast(mic))
+        .select(col("n").as("n_docs"), col("nr").as("n_langs"),
+          col("nc").as("n_sources"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+          Num.roundOut(col("chi_micro") / 1000000.0, 4).as("chi2"),
+          when(least(col("nr"), col("nc")) === 1,
+            lit(null).cast("double"))
+            .otherwise(Num.roundOut(sqrt(col("chi_micro") / 1000000.0
+              / (col("n") * (least(col("nr"), col("nc")) - 1))), 6))
+            .as("cramers_v"))
     }
   )
 

@@ -1290,4 +1290,55 @@ class Round9Spec extends AnyFunSuite {
         s"$src: the direct leave-one-out recompute disagrees")
     }
   }
+
+  test("x178: grid rank-sum U equals the classic average-rank computation per source") {
+    val rows = SparkEntry.queries("x178_mann_whitney")(spark, sf0_001)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val lens = Tables.documents(spark, sf0_001)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // classic form: pool, average ranks over ties, U = R_s − n_s(n_s+1)/2
+    val sorted = lens.map(_._2).sorted
+    val rank2: Map[Long, Long] = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => // 2·avgRank stays integral under ties
+        v -> g.map(_._2 + 1L).sum * 2 / g.length
+      }
+    val n = lens.length.toLong
+    rows.foreach { case (src, r) =>
+      val mine = lens.filter(_._1 == src)
+      val ns = mine.length.toLong
+      val r2 = mine.map(t => rank2(t._2)).sum
+      val u2 = r2 - ns * (ns + 1)
+      assert(r.getAs[Long]("u2") == u2, s"$src rank-sum drift")
+      // complement identity: U_s + U_rest = n_s · n_rest
+      assert(u2 >= 0 && u2 <= 2 * ns * (n - ns))
+      val rb = u2.toDouble / (ns * (n - ns)) - 1
+      assert(math.abs(r.getAs[Double]("rank_biserial") - rb) < 1.1e-6)
+    }
+  }
+
+  test("x179: integer-micro chi-square equals the textbook O/E fold, V in [0,1]") {
+    val row = SparkEntry.queries("x179_cramers_v")(spark, sf0_001).collect()(0)
+    val cells = Tables.documents(spark, sf0_001)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val rl = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val cs = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val n = cells.map(_._2).sum
+    val cellMap = cells.toMap
+    var chi = 0.0
+    for (l <- rl.keys; s <- cs.keys) {
+      val o = cellMap.getOrElse((l, s), 0L)
+      val e = rl(l).toDouble * cs(s) / n
+      chi += (o - e) * (o - e) / e
+    }
+    // micro-rounding per cell bounds the total drift by ±cells/2 micro
+    assert(math.abs(row.getAs[Double]("chi2") - chi)
+      < (rl.size * cs.size) / 2.0 / 1e6 + 1e-4)
+    assert(row.getAs[Long]("dof") == (rl.size - 1L) * (cs.size - 1L))
+    val v = row.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+    assert(math.abs(v - math.sqrt(chi / (n * (math.min(rl.size, cs.size) - 1))))
+      < 1e-3)
+  }
 }
