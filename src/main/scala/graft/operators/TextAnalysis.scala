@@ -224,6 +224,98 @@ object TextAnalysis {
       |             + 0.2 * least(sum_len * 1.0 / n_tokens / 8.0, 1.0),
       |             4)""".stripMargin
 
+  /** x174's full oracle — shared VERBATIM with st25's streaming
+    * calibration maintenance (the q78↔st13 / x156↔st24 contract applied
+    * to the reliability table): one answer definition for both paths. */
+  private[graft] def x174OracleSql: String =
+    s"""WITH $hashedScoreCteSql, $qualityMSql, lab AS (
+      |  SELECT doc_id, $qualitySql AS quality
+      |  FROM m WHERE n_tokens > 0
+      |), j AS (
+      |  SELECT sc.doc_id,
+      |         CAST(floor((sc.score_sum * 1.0 / sc.n_tokens) / 100)
+      |              AS BIGINT) AS bin,
+      |         CASE WHEN lab.quality >= 0.63 THEN 1 ELSE 0 END AS pos
+      |  FROM sc JOIN lab USING (doc_id)
+      |), b AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(pos) AS BIGINT) AS p
+      |  FROM j GROUP BY bin
+      |), iv AS (
+      |  SELECT lo.bin AS lo, hi.bin AS hi,
+      |         sum(m2.p) * 1.0 / sum(m2.n) AS mu
+      |  FROM b lo JOIN b hi ON lo.bin <= hi.bin
+      |  JOIN b m2 ON m2.bin BETWEEN lo.bin AND hi.bin
+      |  GROUP BY 1, 2
+      |), lower_env AS (
+      |  SELECT i.bin, iv.lo, min(iv.mu) AS mn
+      |  FROM b i JOIN iv ON iv.lo <= i.bin AND iv.hi >= i.bin
+      |  GROUP BY 1, 2
+      |), fit AS (
+      |  SELECT bin, max(mn) AS iso FROM lower_env GROUP BY 1
+      |)
+      |SELECT b.bin, CAST(b.bin * 100 AS BIGINT) AS bin_lo, b.n AS n_docs,
+      |       b.p AS n_pos,
+      |       round(1e-9 + b.p * 1.0 / b.n, 4) AS pos_rate,
+      |       round(1e-9 + fit.iso, 4) AS iso_rate
+      |FROM b JOIN fit USING (bin) ORDER BY b.bin""".stripMargin
+
+  /** The (bin, n, p) reliability table → full x174 isotonic report —
+    * shared by the batch entry and st25's converged-stream readout. The
+    * input is bins-bounded; everything here is bins³ relational algebra
+    * (see x174's header comment). */
+  private[graft] def pavReport(
+      bins: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val b = bins.localCheckpoint() // bins-bounded; feeds four self-join roles
+    val iv = b.select(col("bin").as("lo"))
+      .join(b.select(col("bin").as("hi")), col("lo") <= col("hi"))
+      .join(b.select(col("bin").as("mb"), col("n"), col("p")),
+        col("mb").between(col("lo"), col("hi")))
+      .groupBy(col("lo"), col("hi"))
+      .agg((sum(col("p")) * 1.0 / sum(col("n"))).as("mu"))
+    val lowerEnv = b.select(col("bin"))
+      .join(iv, col("lo") <= col("bin") && col("hi") >= col("bin"))
+      .groupBy(col("bin"), col("lo"))
+      .agg(min(col("mu")).as("mn"))
+    val fit = lowerEnv.groupBy(col("bin")).agg(max(col("mn")).as("iso"))
+    b.join(fit, "bin")
+      .select(col("bin"), (col("bin") * 100).as("bin_lo"),
+        col("n").as("n_docs"), col("p").as("n_pos"),
+        Num.roundOut(col("p") * 1.0 / col("n"), 4).as("pos_rate"),
+        Num.roundOut(col("iso"), 4).as("iso_rate"))
+      .orderBy(col("bin"))
+  }
+
+  /** One micro-batch of documents → its ADDITIVE (bin, n, p) reliability
+    * delta — the x93 hashing-trick score and x08 quality label computed
+    * INLINE on the batch (the weight is a pure function of the word, so
+    * no persisted vocabulary is needed), binned exactly like
+    * [[hashedScoreTable]]+x117. Each document contributes to exactly one
+    * batch, so summing deltas over batches reproduces the full-corpus
+    * bin table bit-for-bit — the additive state st25 maintains. */
+  private[graft] def calibrationBinDelta(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sc = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("f", Text.charHash(col("word")) % 512)
+      .withColumn("a", expr("f * 2654435761 & 4294967295"))
+      .withColumn("a", expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+      .withColumn("w", expr("shiftright(a, 16) ^ a") % 2001L - 1000L)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score_sum"))
+    val lab = docs
+      .filter(size(Text.tokens(col("text"))) > 0)
+      .select(col("doc_id"), qualityCol.as("quality"))
+    sc.join(lab, "doc_id")
+      .select(
+        floor((col("score_sum") * 1.0 / col("n_tokens")) / 100)
+          .cast("long").as("bin"),
+        when(col("quality") >= 0.63, 1L).otherwise(0L).as("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+  }
+
   /** The same composite quality as a Spark column over `text`. */
   private[graft] def qualityCol: org.apache.spark.sql.Column = {
     val ws = Text.tokens(col("text"))
@@ -1962,38 +2054,7 @@ object TextAnalysis {
     // Scale: one corpus pass builds the bin table (x117's map-side
     // binning); everything after is bins-sized. At 100 TB the ONLY
     // data-sized stage is the score+label join x117 already pays.
-    QueryDef("x174_isotonic_pav",
-      s"""WITH $hashedScoreCteSql, $qualityMSql, lab AS (
-        |  SELECT doc_id, $qualitySql AS quality
-        |  FROM m WHERE n_tokens > 0
-        |), j AS (
-        |  SELECT sc.doc_id,
-        |         CAST(floor((sc.score_sum * 1.0 / sc.n_tokens) / 100)
-        |              AS BIGINT) AS bin,
-        |         CASE WHEN lab.quality >= 0.63 THEN 1 ELSE 0 END AS pos
-        |  FROM sc JOIN lab USING (doc_id)
-        |), b AS (
-        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(pos) AS BIGINT) AS p
-        |  FROM j GROUP BY bin
-        |), iv AS (
-        |  SELECT lo.bin AS lo, hi.bin AS hi,
-        |         sum(m2.p) * 1.0 / sum(m2.n) AS mu
-        |  FROM b lo JOIN b hi ON lo.bin <= hi.bin
-        |  JOIN b m2 ON m2.bin BETWEEN lo.bin AND hi.bin
-        |  GROUP BY 1, 2
-        |), lower_env AS (
-        |  SELECT i.bin, iv.lo, min(iv.mu) AS mn
-        |  FROM b i JOIN iv ON iv.lo <= i.bin AND iv.hi >= i.bin
-        |  GROUP BY 1, 2
-        |), fit AS (
-        |  SELECT bin, max(mn) AS iso FROM lower_env GROUP BY 1
-        |)
-        |SELECT b.bin, CAST(b.bin * 100 AS BIGINT) AS bin_lo, b.n AS n_docs,
-        |       b.p AS n_pos,
-        |       round(1e-9 + b.p * 1.0 / b.n, 4) AS pos_rate,
-        |       round(1e-9 + fit.iso, 4) AS iso_rate
-        |FROM b JOIN fit USING (bin) ORDER BY b.bin""".stripMargin) { (s, d) =>
+    QueryDef("x174_isotonic_pav", TextAnalysis.x174OracleSql) { (s, d) =>
       val sc = hashedScoreTable(s, d)
       val lab = Tables.documents(s, d)
         .filter(size(Text.tokens(col("text"))) > 0)
@@ -2005,24 +2066,7 @@ object TextAnalysis {
           when(col("quality") >= 0.63, 1L).otherwise(0L).as("pos"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
-        .localCheckpoint() // bins-bounded; feeds four self-join roles
-      val iv = b.select(col("bin").as("lo"))
-        .join(b.select(col("bin").as("hi")), col("lo") <= col("hi"))
-        .join(b.select(col("bin").as("mb"), col("n"), col("p")),
-          col("mb").between(col("lo"), col("hi")))
-        .groupBy(col("lo"), col("hi"))
-        .agg((sum(col("p")) * 1.0 / sum(col("n"))).as("mu"))
-      val lowerEnv = b.select(col("bin"))
-        .join(iv, col("lo") <= col("bin") && col("hi") >= col("bin"))
-        .groupBy(col("bin"), col("lo"))
-        .agg(min(col("mu")).as("mn"))
-      val fit = lowerEnv.groupBy(col("bin")).agg(max(col("mn")).as("iso"))
-      b.join(fit, "bin")
-        .select(col("bin"), (col("bin") * 100).as("bin_lo"),
-          col("n").as("n_docs"), col("p").as("n_pos"),
-          Num.roundOut(col("p") * 1.0 / col("n"), 4).as("pos_rate"),
-          Num.roundOut(col("iso"), 4).as("iso_rate"))
-        .orderBy(col("bin"))
+      pavReport(b)
     },
 
     // DETERMINISTIC WEIGHTED SAMPLE by PRIORITY (Duffield/Lund/Thorup

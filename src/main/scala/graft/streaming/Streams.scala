@@ -1694,6 +1694,51 @@ object Streams {
           graft.operators.Analytics.lengthEcdfGridFrom(
             ss.read.parquet(stDir)))
       }
+    },
+
+    // STREAMING CALIBRATION MAINTENANCE — the SIXTH Δ-maintained family
+    // (after dedup state, ANN lists, BM25 stats, CC, transitions, drift
+    // counts): document micro-batches fold into the purely ADDITIVE
+    // (bin, n, p) reliability state behind x174's isotonic fit. The
+    // hashing-trick score and the quality label are pure per-document
+    // functions (no global vocabulary), so each batch's delta is
+    // computed inline and the folded state equals the full-corpus bin
+    // table bit-for-bit regardless of slicing. Serving re-fits PAV on
+    // the bins-bounded state only — the model refreshes per ingest
+    // batch at bins³ cost, never by corpus re-scan — and the converged
+    // state answers the batch x174 oracle VERBATIM through the same
+    // pavReport definition (the q78↔st13 / x156↔st24 contract).
+    QueryDef("st25_stream_calibration",
+      graft.operators.TextAnalysis.x174OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageDocumentsSplit(ss, d)
+        val stDir = graft.Warehouse.path(s"graft_stcalib_v1_${
+          graft.ContentKey.key(
+            java.nio.file.Paths.get(d, "documents.parquet"))}")
+        resetDir(stDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val hasState = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(stDir, "_SUCCESS"))
+            val delta = graft.operators.TextAnalysis
+              .calibrationBinDelta(batch)
+            val prior =
+              if (hasState) spark.read.parquet(stDir) else delta.limit(0)
+            prior.unionByName(delta)
+              .groupBy(col("bin"))
+              .agg(sum(col("n")).as("n"), sum(col("p")).as("p"))
+              .localCheckpoint() // sever from the state file being replaced
+              .write.mode("overwrite").parquet(stDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.TextAnalysis.pavReport(ss.read.parquet(stDir))
+      }
     }
   )
 

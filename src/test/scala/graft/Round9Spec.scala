@@ -1317,6 +1317,15 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("st25: converged streaming calibration state answers the batch x174 fit row-for-row") {
+    val stream = SparkEntry.queries("st25_stream_calibration")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toSet
+    val batch = SparkEntry.queries("x174_isotonic_pav")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(stream == batch,
+      "micro-batch-folded (bin, n, p) state must reproduce the full-corpus fit")
+  }
+
   test("x179: integer-micro chi-square equals the textbook O/E fold, V in [0,1]") {
     val row = SparkEntry.queries("x179_cramers_v")(spark, sf0_001).collect()(0)
     val cells = Tables.documents(spark, sf0_001)
