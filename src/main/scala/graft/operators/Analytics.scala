@@ -1895,6 +1895,64 @@ object Analytics {
                     / (col("n") * (col("n") - 1.0)))), 4))
             .as("z"))
         .orderBy(col("source"))
+    },
+
+    // QQ DRIFT PROFILE per source — the DIRECTION-resolved view the
+    // scalar drift tests (x156 KS, x165 W1, x178 MW) summarize away:
+    // each source's exact length deciles aligned against the pooled
+    // corpus deciles, as gap and milli-ratio columns. Quantiles are
+    // EXACT rank selections on the shared ECDF grid — min v with
+    // 10·cum ≥ level·n, a pure integer predicate, so the whole profile
+    // is deterministic cross-engine with no interpolation convention to
+    // match. Fifth consumer of the one grid definition: all five drift
+    // views provably test the same distribution.
+    //
+    // Scale: the corpus pass is lens' map-side count (shared, usually
+    // already warm); the decile probes are grid × 9 predicate
+    // evaluations and the report is sources × 9 rows. No windows at
+    // all — rank selection is a filtered min, which also makes this
+    // the serving-path shape for quantiles at 100 TB (x27's lesson).
+    QueryDef("x180_qq_drift",
+      s"""WITH $lengthGridCteSql, lv AS (
+        |  SELECT CAST(r.range AS BIGINT) AS level FROM range(1, 10) r
+        |), sq AS (
+        |  SELECT gb.source, lv.level, min(gb.v) AS q_src
+        |  FROM gb JOIN lv ON gb.cum_s * 10 >= lv.level * gb.n_s
+        |  GROUP BY 1, 2
+        |), pool AS (
+        |  SELECT DISTINCT v, cum_all, n FROM gb
+        |), pq AS (
+        |  SELECT lv.level, min(pool.v) AS q_all
+        |  FROM pool JOIN lv ON pool.cum_all * 10 >= lv.level * pool.n
+        |  GROUP BY 1
+        |)
+        |SELECT sq.source, sq.level, CAST(sq.q_src AS BIGINT) AS q_src,
+        |       CAST(pq.q_all AS BIGINT) AS q_all,
+        |       CAST(sq.q_src - pq.q_all AS BIGINT) AS gap,
+        |       CASE WHEN pq.q_all = 0 THEN NULL
+        |            ELSE CAST(sq.q_src * 1000 // pq.q_all AS BIGINT)
+        |       END AS ratio_milli
+        |FROM sq JOIN pq USING (level)
+        |ORDER BY sq.source, sq.level""".stripMargin) { (s, d) =>
+      val gb = lengthEcdfGrid(s, d).localCheckpoint() // grid; two probes
+      val lv = {
+        import s.implicits._
+        (1L to 9L).toDF("level")
+      }
+      val sq = gb.join(broadcast(lv),
+          col("cum_s") * 10 >= col("level") * col("n_s"))
+        .groupBy(col("source"), col("level"))
+        .agg(min(col("v")).as("q_src"))
+      val pool = gb.select(col("v"), col("cum_all"), col("n")).distinct()
+      val pq = pool.join(broadcast(lv),
+          col("cum_all") * 10 >= col("level") * col("n"))
+        .groupBy(col("level")).agg(min(col("v")).as("q_all"))
+      sq.join(pq, "level")
+        .select(col("source"), col("level"), col("q_src"), col("q_all"),
+          (col("q_src") - col("q_all")).as("gap"),
+          when(col("q_all") === 0, lit(null).cast("long"))
+            .otherwise(expr("q_src * 1000 div q_all")).as("ratio_milli"))
+        .orderBy(col("source"), col("level"))
     }
   )
 

@@ -483,10 +483,15 @@ object Classic {
     // the median of all pairwise slopes (rev_b − rev_a)/(day_b − day_a),
     // reported next to the classical OLS slope over the SAME series so
     // a gap between the two is itself the outlier signal (Theil-Sen has
-    // a 29% breakdown point; OLS has none). Weekly revenue collapses to
-    // whole dollars BEFORE any pair math (one biased round of the money
-    // sum — q81's discipline), so every slope is one IEEE division of
-    // exact integers and the median is deterministic cross-engine with
+    // a 29% breakdown point; OLS has none). Money goes EXACT before any
+    // aggregation: each order's price becomes integer cents (one biased
+    // round of price·100 — exact, the value IS a cent multiple), weekly
+    // cents sum as integers, and the series is floor-dollars of exact
+    // cents — so no weekly sum can sit on a float rounding boundary
+    // (the q81 double-sum discipline is fine for ONE reported number,
+    // but 360 weekly sums would each be a coin-flip at an exact-.50
+    // boundary). Every slope is then one IEEE division of exact
+    // integers and the median is deterministic cross-engine with
     // (slope, wa, wb) as the total tiebreak order.
     //
     // Scale: the corpus pass is the weekly groupBy (map-side combine to
@@ -496,73 +501,98 @@ object Classic {
     // makes the O(n²) estimator admissible here (enrolled in the
     // Round9Spec global-window table with that bound). OLS moments are
     // five integer sums over the same bounded series.
-    QueryDef("x175_theil_sen",
-      """WITH wk AS (
-        |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS w,
-        |         CAST(round(1e-9 + sum(o_totalprice)) AS BIGINT) AS rev
-        |  FROM orders GROUP BY 1
-        |), mo AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS nw, min(w) AS w0 FROM wk
-        |), xs AS (
-        |  SELECT datediff('day', mo.w0, wk.w) AS x, wk.rev
-        |  FROM wk CROSS JOIN mo
-        |), ols AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(x) AS BIGINT) AS sx,
-        |         CAST(sum(rev) AS BIGINT) AS sy,
-        |         CAST(sum(x * x) AS BIGINT) AS sxx,
-        |         CAST(sum(x * rev) AS BIGINT) AS sxy
-        |  FROM xs
-        |), sl AS (
-        |  SELECT a.w AS wa, b.w AS wb,
-        |         (b.rev - a.rev) * 1.0 / datediff('day', a.w, b.w) AS slope
-        |  FROM wk a JOIN wk b ON b.w > a.w
-        |), rk AS (
-        |  SELECT slope, row_number() OVER (ORDER BY slope, wa, wb) AS r
-        |  FROM sl
-        |), mm AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS m FROM sl
-        |), med AS (
-        |  SELECT avg(slope) AS ts FROM rk CROSS JOIN mm
-        |  WHERE r >= (m + 1) // 2 AND r <= (m + 2) // 2
-        |)
-        |SELECT mo.nw AS n_weeks, mm.m AS n_pairs,
-        |       round(1e-9 + med.ts, 4) AS ts_slope,
-        |       round(1e-9 + (ols.n * ols.sxy - ols.sx * ols.sy) * 1.0
-        |             / (ols.n * ols.sxx - ols.sx * ols.sx), 4) AS ols_slope
-        |FROM mo, mm, med, ols""".stripMargin) { (s, d) =>
-      val wk = Tables.orders(s, d)
-        .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("w"))
-        .agg(round(lit(1e-9) + sum(col("o_totalprice")), 0).cast("long")
-          .as("rev"))
-        .localCheckpoint() // weeks-bounded; pair join + moments read it
-      val mo = wk.agg(count(lit(1)).as("nw"), min(col("w")).as("w0"))
-      val ols = wk.crossJoin(broadcast(mo))
-        .select(datediff(col("w"), col("w0")).cast("long").as("x"),
-          col("rev"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("rev")).as("sy"), sum(col("x") * col("x")).as("sxx"),
-          sum(col("x") * col("rev")).as("sxy"))
-      val sl = wk.select(col("w").as("wa"), col("rev").as("ra"))
-        .join(wk.select(col("w").as("wb"), col("rev").as("rb")),
-          col("wb") > col("wa"))
-        .select(col("wa"), col("wb"),
-          ((col("rb") - col("ra")) * 1.0
-            / datediff(col("wb"), col("wa"))).as("slope"))
-      val mm = sl.agg(count(lit(1)).as("m"))
-      val med = sl
-        .withColumn("r", row_number().over(
-          Window.orderBy(col("slope"), col("wa"), col("wb"))))
-        .crossJoin(broadcast(mm))
-        .filter(col("r") >= expr("(m + 1) div 2") &&
-          col("r") <= expr("(m + 2) div 2"))
-        .agg(avg(col("slope")).as("ts"))
-      mo.crossJoin(mm).crossJoin(med).crossJoin(ols)
-        .select(col("nw").as("n_weeks"), col("m").as("n_pairs"),
-          Num.roundOut(col("ts"), 4).as("ts_slope"),
-          Num.roundOut((col("n") * col("sxy") - col("sx") * col("sy")) * 1.0
-            / (col("n") * col("sxx") - col("sx") * col("sx")), 4)
-            .as("ols_slope"))
+    QueryDef("x175_theil_sen", Classic.x175OracleSql) { (s, d) =>
+      Classic.theilSenReport(Classic.weeklyCents(Tables.orders(s, d)))
     }
   )
+
+  /** x175's full oracle — shared VERBATIM with st26's streaming trend
+    * maintenance (the q78↔st13 / x174↔st25 contract applied to the
+    * weekly revenue series): one answer definition for both paths. */
+  private[graft] def x175OracleSql: String =
+    """WITH wc AS (
+      |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS w,
+      |         CAST(sum(CAST(round(1e-9 + o_totalprice * 100) AS BIGINT))
+      |              AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1
+      |), wk AS (
+      |  SELECT w, cents // 100 AS rev FROM wc
+      |), mo AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nw, min(w) AS w0 FROM wk
+      |), xs AS (
+      |  SELECT datediff('day', mo.w0, wk.w) AS x, wk.rev
+      |  FROM wk CROSS JOIN mo
+      |), ols AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(sum(rev) AS BIGINT) AS sy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(x * rev) AS BIGINT) AS sxy
+      |  FROM xs
+      |), sl AS (
+      |  SELECT a.w AS wa, b.w AS wb,
+      |         (b.rev - a.rev) * 1.0 / datediff('day', a.w, b.w) AS slope
+      |  FROM wk a JOIN wk b ON b.w > a.w
+      |), rk AS (
+      |  SELECT slope, row_number() OVER (ORDER BY slope, wa, wb) AS r
+      |  FROM sl
+      |), mm AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m FROM sl
+      |), med AS (
+      |  SELECT avg(slope) AS ts FROM rk CROSS JOIN mm
+      |  WHERE r >= (m + 1) // 2 AND r <= (m + 2) // 2
+      |)
+      |SELECT mo.nw AS n_weeks, mm.m AS n_pairs,
+      |       round(1e-9 + med.ts, 4) AS ts_slope,
+      |       round(1e-9 + (ols.n * ols.sxy - ols.sx * ols.sy) * 1.0
+      |             / (ols.n * ols.sxx - ols.sx * ols.sx), 4) AS ols_slope
+      |FROM mo, mm, med, ols""".stripMargin
+
+  /** One batch of orders → its ADDITIVE (w, cents) weekly-revenue delta
+    * (exact integer cents — the x175 money discipline), the state st26
+    * maintains: each order lands in exactly one batch, integer sums
+    * commute, so the folded state equals the full-table series
+    * bit-for-bit regardless of slicing. */
+  private[graft] def weeklyCents(
+      orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    orders
+      .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("w"))
+      .agg(sum(round(lit(1e-9) + col("o_totalprice") * 100).cast("long"))
+        .as("cents"))
+
+  /** The (w, cents) weekly series → full x175 Theil–Sen report — shared
+    * by the batch entry and st26's converged-stream readout. Input is
+    * weeks-bounded; the pair stage is weeks² (calendar-bounded). */
+  private[graft] def theilSenReport(
+      wc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wk = wc.select(col("w"), expr("cents div 100").as("rev"))
+      .localCheckpoint() // weeks-bounded; pair join + moments read it
+    val mo = wk.agg(count(lit(1)).as("nw"), min(col("w")).as("w0"))
+    val ols = wk.crossJoin(broadcast(mo))
+      .select(datediff(col("w"), col("w0")).cast("long").as("x"),
+        col("rev"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("rev")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("rev")).as("sxy"))
+    val sl = wk.select(col("w").as("wa"), col("rev").as("ra"))
+      .join(wk.select(col("w").as("wb"), col("rev").as("rb")),
+        col("wb") > col("wa"))
+      .select(col("wa"), col("wb"),
+        ((col("rb") - col("ra")) * 1.0
+          / datediff(col("wb"), col("wa"))).as("slope"))
+    val mm = sl.agg(count(lit(1)).as("m"))
+    val med = sl
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("slope"), col("wa"), col("wb"))))
+      .crossJoin(broadcast(mm))
+      .filter(col("r") >= expr("(m + 1) div 2") &&
+        col("r") <= expr("(m + 2) div 2"))
+      .agg(avg(col("slope")).as("ts"))
+    mo.crossJoin(mm).crossJoin(med).crossJoin(ols)
+      .select(col("nw").as("n_weeks"), col("m").as("n_pairs"),
+        Num.roundOut(col("ts"), 4).as("ts_slope"),
+        Num.roundOut((col("n") * col("sxy") - col("sx") * col("sy")) * 1.0
+          / (col("n") * col("sxx") - col("sx") * col("sx")), 4)
+          .as("ols_slope"))
+  }
 }

@@ -214,6 +214,36 @@ object Streams {
     stage.toString
   }
 
+  /** Stage ORDERS split in two disjoint halves (by o_orderkey parity) —
+    * st26's streaming ingest source. Content-keyed like the others. */
+  private[graft] def stageOrdersSplit(s: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "orders.parquet")
+    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_ordsplit_v1_${graft.ContentKey.key(src)}"))
+    if (!java.nio.file.Files.exists(stage.resolve("_DONE"))) {
+      java.nio.file.Files.createDirectories(stage)
+      Seq(0, 1).foreach { par =>
+        val tmp = stage.resolve(s"tmp_$par")
+        graft.Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 2 === par)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally l.close()
+        }
+        java.nio.file.Files.move(part, stage.resolve(s"batch_$par.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val rest = java.nio.file.Files.list(tmp)
+        try rest.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally rest.close()
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
+      java.nio.file.Files.createFile(stage.resolve("_DONE"))
+    }
+    stage.toString
+  }
+
   /** Stage EMBEDDINGS split in two disjoint halves (by vec_id parity) —
     * st21's streaming ingest source. Content-keyed like the others. */
   private[graft] def stageEmbeddingsSplit(s: SparkSession, dir: String): String = {
@@ -1738,6 +1768,49 @@ object Streams {
           .start()
         try q.processAllAvailable() finally q.stop()
         graft.operators.TextAnalysis.pavReport(ss.read.parquet(stDir))
+      }
+    },
+
+    // STREAMING TREND MAINTENANCE — the SEVENTH Δ-maintained family:
+    // order micro-batches fold into the ADDITIVE (week, cents) revenue
+    // state behind x175's Theil–Sen fit. Money is exact integer cents
+    // per order before any aggregation (the x175 discipline), so the
+    // folded state equals the full-table weekly series BIT-FOR-BIT
+    // regardless of slicing — no float accumulation order to converge
+    // "close enough". Serving re-fits Theil–Sen + OLS on the
+    // weeks-bounded state only (weeks² pair work, calendar-bounded) —
+    // the robust trend refreshes per ingest batch without an orders
+    // re-scan — and the converged state answers the batch x175 oracle
+    // VERBATIM through the same theilSenReport definition.
+    QueryDef("st26_stream_trend",
+      graft.operators.Classic.x175OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageOrdersSplit(ss, d)
+        val stDir = graft.Warehouse.path(s"graft_sttrend_v1_${
+          graft.ContentKey.key(
+            java.nio.file.Paths.get(d, "orders.parquet"))}")
+        resetDir(stDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val hasState = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(stDir, "_SUCCESS"))
+            val delta = graft.operators.Classic.weeklyCents(batch)
+            val prior =
+              if (hasState) spark.read.parquet(stDir) else delta.limit(0)
+            prior.unionByName(delta)
+              .groupBy(col("w"))
+              .agg(sum(col("cents")).as("cents"))
+              .localCheckpoint() // sever from the state file being replaced
+              .write.mode("overwrite").parquet(stDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Classic.theilSenReport(ss.read.parquet(stDir))
       }
     }
   )

@@ -1214,12 +1214,21 @@ class Round9Spec extends AnyFunSuite {
 
   test("x175: Theil-Sen slope equals the brute-force pairwise median over the weekly series") {
     val row = SparkEntry.queries("x175_theil_sen")(spark, sf0_001).collect()(0)
+    // driver-side fold: java.time Monday-week truncation, exact integer
+    // cents per order (the query's money discipline), floor-dollars
     val wk = Tables.orders(spark, sf0_001)
-      .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("w"))
-      .agg(round(lit(1e-9) + sum(col("o_totalprice")), 0).cast("long")
-        .as("rev"))
-      .collect()
-      .map(r => (r.getAs[java.sql.Date]("w").toLocalDate, r.getAs[Long]("rev")))
+      .select(col("o_orderdate"), col("o_totalprice")).collect()
+      .map { r =>
+        val day = r.get(0) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+          case l: java.time.LocalDateTime => l.toLocalDate
+        }
+        val monday = day.`with`(java.time.temporal.TemporalAdjusters
+          .previousOrSame(java.time.DayOfWeek.MONDAY))
+        (monday, math.round(1e-9 + r.getDouble(1) * 100))
+      }
+      .groupBy(_._1).view.mapValues(g => Math.floorDiv(g.map(_._2).sum, 100L))
+      .toArray.map { case (w, rev) => (w, rev) }
       .sortBy(_._1.toEpochDay)
     assert(row.getAs[Long]("n_weeks") == wk.length)
     val slopes = for {
@@ -1324,6 +1333,37 @@ class Round9Spec extends AnyFunSuite {
       .collect().map(_.toSeq.toList).toSet
     assert(stream == batch,
       "micro-batch-folded (bin, n, p) state must reproduce the full-corpus fit")
+  }
+
+  test("x180: grid rank-selection deciles equal sorted-array order statistics") {
+    val rows = SparkEntry.queries("x180_qq_drift")(spark, sf0_001).collect()
+    val lens = Tables.documents(spark, sf0_001)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // min v with 10·cum(v) ≥ level·n  ⇔  the ceil(level·n/10)-th order stat
+    def decile(vs: Array[Long], level: Long): Long = {
+      val sorted = vs.sorted
+      sorted(((level * sorted.length + 9) / 10 - 1).toInt)
+    }
+    val pooled = lens.map(_._2)
+    rows.foreach { r =>
+      val (src, lvl) = (r.getAs[String]("source"), r.getAs[Long]("level"))
+      val mine = lens.filter(_._1 == src).map(_._2)
+      assert(r.getAs[Long]("q_src") == decile(mine, lvl), s"$src d$lvl")
+      assert(r.getAs[Long]("q_all") == decile(pooled, lvl), s"pooled d$lvl")
+      assert(r.getAs[Long]("gap")
+        == decile(mine, lvl) - decile(pooled, lvl))
+    }
+    assert(rows.length == lens.map(_._1).distinct.length * 9)
+  }
+
+  test("st26: converged streaming trend state answers the batch x175 fit row-for-row") {
+    val stream = SparkEntry.queries("st26_stream_trend")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toSet
+    val batch = SparkEntry.queries("x175_theil_sen")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(stream == batch,
+      "micro-batch-folded (week, cents) state must reproduce the full-table fit")
   }
 
   test("x179: integer-micro chi-square equals the textbook O/E fold, V in [0,1]") {
