@@ -1088,6 +1088,151 @@ object Analytics {
         .orderBy(col("bucket_id"))
     },
 
+    // V-OPTIMAL HISTOGRAM ERROR CURVE (Jagadish et al., VLDB'98) — the
+    // other half of x152's CBO-statistics story: x152 validates an
+    // EQUI-DEPTH histogram's self-join estimate; this builds the
+    // optimal-SSE partition and prices how much equi-width leaves on
+    // the table. The document-length domain collapses to ≤32 equi-width
+    // base buckets (one corpus pass, integer bucket math); the dynamic
+    // program over those atoms — SSE(i,j) from prefix (n, Σv, Σv²),
+    // E_k(j) = min_p E_{k−1}(p) + SSE(p+1, j) — is UNROLLED for
+    // k = 1..4 as four bounded joins (≤32² candidate rows each): the
+    // iterative-DP-as-relational pattern, no driver loop, no window
+    // (present buckets re-index by a triangular self-join, not a rank).
+    // Interval SSE = (Δsq − Δs²/Δn) is one double expression of exact
+    // longs (Δs² ≤ 3·10¹⁶ at sf0.1 as an exact double product; the
+    // x142 DOUBLE note applies past ~10⁹ total chars per interval);
+    // the same-shaped chain of pairwise adds keeps every candidate
+    // identical cross-engine, and the equi-width arm's 4 group SSEs
+    // round to milli units and sum AS INTEGERS (the x179 device).
+    //
+    // Scale: everything after the 32-bucket aggregate is bounded. At
+    // 100 TB the base-bucket count B is the knob (DP is O(k·B²) rows);
+    // the corpus is touched exactly once.
+    QueryDef("x181_voptimal_histogram",
+      """WITH mm AS (
+        |  SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+        |         CAST(max(n_chars) AS BIGINT) AS hi
+        |  FROM documents
+        |), bkt AS (
+        |  SELECT CAST(((n_chars - mm.lo) * 32) // (mm.hi - mm.lo + 1)
+        |              AS BIGINT) AS b,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(n_chars) AS BIGINT) AS s,
+        |         CAST(sum(n_chars * n_chars) AS BIGINT) AS sq
+        |  FROM documents CROSS JOIN mm GROUP BY 1
+        |), idx AS (
+        |  SELECT a.b, CAST(count(*) AS BIGINT) AS id, a.n, a.s, a.sq
+        |  FROM bkt a JOIN bkt c ON c.b <= a.b
+        |  GROUP BY a.b, a.n, a.s, a.sq
+        |), pre AS (
+        |  SELECT a.id, CAST(sum(c.n) AS BIGINT) AS pn,
+        |         CAST(sum(c.s) AS BIGINT) AS ps,
+        |         CAST(sum(c.sq) AS BIGINT) AS psq
+        |  FROM idx a JOIN idx c ON c.id <= a.id GROUP BY a.id
+        |  UNION ALL SELECT 0, 0, 0, 0
+        |), er AS (
+        |  SELECT i.id + 1 AS i, j.id AS j,
+        |         (j.psq - i.psq)
+        |           - (j.ps - i.ps) * 1.0 * (j.ps - i.ps)
+        |             / (j.pn - i.pn) AS e
+        |  FROM pre i JOIN pre j ON j.id > i.id
+        |), e1 AS (SELECT j, e FROM er WHERE i = 1),
+        |e2 AS (
+        |  SELECT er.j, min(e1.e + er.e) AS e
+        |  FROM e1 JOIN er ON er.i = e1.j + 1 GROUP BY er.j
+        |), e3 AS (
+        |  SELECT er.j, min(e2.e + er.e) AS e
+        |  FROM e2 JOIN er ON er.i = e2.j + 1 GROUP BY er.j
+        |), e4 AS (
+        |  SELECT er.j, min(e3.e + er.e) AS e
+        |  FROM e3 JOIN er ON er.i = e3.j + 1 GROUP BY er.j
+        |), fin AS (SELECT max(id) AS nb FROM idx),
+        |ewm AS (
+        |  SELECT CAST(sum(CAST(round(1e-9
+        |             + (sq - s * 1.0 * s / n) * 1000) AS BIGINT))
+        |           AS BIGINT) AS milli
+        |  FROM (SELECT b // 8 AS g, CAST(sum(n) AS BIGINT) AS n,
+        |               CAST(sum(s) AS BIGINT) AS s,
+        |               CAST(sum(sq) AS BIGINT) AS sq
+        |        FROM bkt GROUP BY 1)
+        |)
+        |SELECT k, method, sse FROM (
+        |  SELECT CAST(1 AS BIGINT) AS k, 'voptimal' AS method,
+        |         CAST(round(1e-9 + e1.e) AS BIGINT) AS sse
+        |  FROM e1 JOIN fin ON e1.j = fin.nb
+        |  UNION ALL
+        |  SELECT 2, 'voptimal', CAST(round(1e-9 + e2.e) AS BIGINT)
+        |  FROM e2 JOIN fin ON e2.j = fin.nb
+        |  UNION ALL
+        |  SELECT 3, 'voptimal', CAST(round(1e-9 + e3.e) AS BIGINT)
+        |  FROM e3 JOIN fin ON e3.j = fin.nb
+        |  UNION ALL
+        |  SELECT 4, 'voptimal', CAST(round(1e-9 + e4.e) AS BIGINT)
+        |  FROM e4 JOIN fin ON e4.j = fin.nb
+        |  UNION ALL
+        |  SELECT 4, 'equiwidth',
+        |         CAST(round(1e-9 + milli / 1000.0) AS BIGINT)
+        |  FROM ewm
+        |) ORDER BY method, k""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("n_chars"))
+      val mm = docs.agg(min(col("n_chars")).as("lo"),
+        max(col("n_chars")).as("hi"))
+      val bkt = docs.crossJoin(broadcast(mm))
+        .select(expr("((n_chars - lo) * 32) div (hi - lo + 1)").as("b"),
+          col("n_chars"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
+          sum(col("n_chars") * col("n_chars")).as("sq"))
+        .localCheckpoint() // ≤32 rows; idx/prefix/equi-width read it
+      val idx = bkt.as("a")
+        .join(bkt.select(col("b").as("cb")), col("cb") <= col("b"))
+        .groupBy(col("b"), col("n"), col("s"), col("sq"))
+        .agg(count(lit(1)).as("id"))
+      val pre = idx.as("a")
+        .join(idx.select(col("id").as("cid"), col("n").as("cn"),
+          col("s").as("cs"), col("sq").as("csq")), col("cid") <= col("id"))
+        .groupBy(col("id"))
+        .agg(sum(col("cn")).as("pn"), sum(col("cs")).as("ps"),
+          sum(col("csq")).as("psq"))
+        .unionByName(idx.sparkSession.range(1)
+          .select(lit(0L).as("id"), lit(0L).as("pn"), lit(0L).as("ps"),
+            lit(0L).as("psq")))
+        .localCheckpoint() // ≤33 rows; the er pair join reads it twice
+      val er = pre.select(col("id").as("i0"), col("pn").as("ipn"),
+          col("ps").as("ips"), col("psq").as("ipsq"))
+        .join(pre.select(col("id").as("j"), col("pn").as("jpn"),
+          col("ps").as("jps"), col("psq").as("jpsq")), col("j") > col("i0"))
+        .select((col("i0") + 1).as("i"), col("j"),
+          ((col("jpsq") - col("ipsq"))
+            - (col("jps") - col("ips")) * 1.0 * (col("jps") - col("ips"))
+              / (col("jpn") - col("ipn"))).as("e"))
+        .localCheckpoint() // ≤32² rows; four DP levels read it
+      val e1v = er.filter(col("i") === 1).select(col("j"), col("e"))
+      def level(prev: org.apache.spark.sql.DataFrame) =
+        prev.select(col("j").as("p"), col("e").as("pe"))
+          .join(er, col("i") === col("p") + 1)
+          .groupBy(col("j")).agg(min(col("pe") + col("e")).as("e"))
+      val e2v = level(e1v); val e3v = level(e2v); val e4v = level(e3v)
+      val fin = idx.agg(max(col("id")).as("nb"))
+      def pick(ek: org.apache.spark.sql.DataFrame, k: Int) =
+        ek.join(broadcast(fin), col("j") === col("nb"))
+          .select(lit(k.toLong).as("k"), lit("voptimal").as("method"),
+            round(lit(1e-9) + col("e")).cast("long").as("sse"))
+      val ew = bkt.groupBy(expr("b div 8").as("g"))
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+          sum(col("sq")).as("sq"))
+        .select(round(lit(1e-9)
+          + (col("sq") - col("s") * 1.0 * col("s") / col("n")) * 1000)
+          .cast("long").as("cm"))
+        .agg(sum(col("cm")).as("milli"))
+        .select(lit(4L).as("k"), lit("equiwidth").as("method"),
+          round(lit(1e-9) + col("milli") / 1000.0).cast("long").as("sse"))
+      pick(e1v, 1).unionByName(pick(e2v, 2)).unionByName(pick(e3v, 3))
+        .unionByName(pick(e4v, 4)).unionByName(ew)
+        .orderBy(col("method"), col("k"))
+    },
+
     // EVENT TRANSITION MATRIX — the per-user next-event Markov table
     // (from_type → to_type counts and row-conditional probabilities)
     // behind funnel design and anomaly detection: which step follows
@@ -1909,9 +2054,11 @@ object Analytics {
     //
     // Scale: the corpus pass is lens' map-side count (shared, usually
     // already warm); the decile probes are grid × 9 predicate
-    // evaluations and the report is sources × 9 rows. No windows at
-    // all — rank selection is a filtered min, which also makes this
-    // the serving-path shape for quantiles at 100 TB (x27's lesson).
+    // evaluations and the report is sources × 9 rows. The selection
+    // stage adds NO windows (the grid's own cum_s window is per-source
+    // and part of the shared definition) — rank selection is a
+    // filtered min, the serving-path quantile shape at 100 TB (x27's
+    // lesson); PlanShapeSpec pins the stage window-free.
     QueryDef("x180_qq_drift",
       s"""WITH $lengthGridCteSql, lv AS (
         |  SELECT CAST(r.range AS BIGINT) AS level FROM range(1, 10) r

@@ -415,4 +415,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected TopKPerGroupExec in ${nodes.map(_.getClass.getSimpleName).distinct}")
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
   }
+
+  test("x180 QQ drift: the decile-selection stage plans ZERO window operators and no cartesian") {
+    // the query's claim: exact deciles as filtered-min rank selection —
+    // the serving-path quantile shape. The shared grid's per-source cum
+    // window executes behind the localCheckpoint; the stage inspected
+    // here (everything after the grid) must be window-free, so a
+    // WindowExec means the selection regressed to a sort-based rank.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = executedAll(SparkEntry.queries("x180_qq_drift")(spark, sf0_001))
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "x180's selection must not plan a window — deciles are filtered-min")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+  }
 }

@@ -1357,6 +1357,45 @@ class Round9Spec extends AnyFunSuite {
     assert(rows.length == lens.map(_._1).distinct.length * 9)
   }
 
+  test("x181: relational unrolled DP equals the classic v-optimal dynamic program") {
+    val rows = SparkEntry.queries("x181_voptimal_histogram")(spark, sf0_001)
+      .collect()
+    val lens = Tables.documents(spark, sf0_001)
+      .select(col("n_chars")).collect().map(_.getLong(0))
+    val (lo, hi) = (lens.min, lens.max)
+    val atoms = lens.groupBy(v => (v - lo) * 32 / (hi - lo + 1)).toArray
+      .sortBy(_._1)
+      .map { case (_, vs) =>
+        (vs.length.toLong, vs.sum, vs.map(v => v * v).sum)
+      }
+    val bCount = atoms.length
+    val pn = atoms.scanLeft(0L)(_ + _._1)
+    val ps = atoms.scanLeft(0L)(_ + _._2)
+    val psq = atoms.scanLeft(0L)(_ + _._3)
+    def err(i: Int, j: Int): Double = // interval [i..j], 1-indexed atoms
+      (psq(j) - psq(i - 1)) -
+        (ps(j) - ps(i - 1)).toDouble * (ps(j) - ps(i - 1)) /
+          (pn(j) - pn(i - 1))
+    // classic DP, sequential — the oracle for the unrolled join form
+    var ek = (1 to bCount).map(j => err(1, j)).toArray
+    val got = rows.filter(_.getAs[String]("method") == "voptimal")
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("sse")).toMap
+    assert(got(1L) == math.round(1e-9 + ek(bCount - 1)))
+    for (k <- 2 to 4) {
+      ek = (1 to bCount).map { j =>
+        if (j < k) Double.NaN
+        else (k - 1 to j - 1).map(p => ek(p - 1) + err(p + 1, j)).min
+      }.toArray
+      assert(got(k.toLong) == math.round(1e-9 + ek(bCount - 1)), s"k=$k")
+    }
+    // more buckets never hurt, and the optimal 4-way beats equi-width
+    val sses = (1L to 4L).map(got)
+    assert(sses.zip(sses.tail).forall { case (a, b) => a >= b })
+    val ew = rows.filter(_.getAs[String]("method") == "equiwidth")
+      .head.getAs[Long]("sse")
+    assert(got(4L) <= ew + 1, s"v-optimal ${got(4L)} must beat equi-width $ew")
+  }
+
   test("st26: converged streaming trend state answers the batch x175 fit row-for-row") {
     val stream = SparkEntry.queries("st26_stream_trend")(spark, sf0_001)
       .collect().map(_.toSeq.toList).toSet
