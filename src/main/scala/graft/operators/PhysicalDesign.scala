@@ -445,6 +445,114 @@ object PhysicalDesign {
         .select(col("event_type"), col("n_v1"), col("n_v2"),
           (col("n_v2") - col("n_v1")).as("n_added"))
         .orderBy(col("event_type"))
+    },
+
+    // BROADCAST-THRESHOLD ADVISOR — SCALING.md's broadcast-vs-shuffle
+    // cost model operationalized as a query: for every base table, the
+    // estimated in-memory build size (rows · (16B object overhead +
+    // 8B per fixed-width column) + exact string byte mass) against the
+    // 10 MiB autoBroadcastJoinThreshold, emitting the join-side verdict
+    // the repo's plans hard-code today and a CBO would derive from
+    // w11's stats at runtime. The estimate is deliberately the SIMPLE
+    // planner formula, not a serialized-size probe — the point is that
+    // the verdict is SCALE-DEPENDENT: at sf0.001 every table
+    // broadcasts; at sf0.1 the fact-side tables (lineitem, orders,
+    // events, documents) cross the threshold and the oracle-checked
+    // verdict column flips with them. All integer: counts, fixed
+    // widths, octet_length sums, one integer division per row.
+    //
+    // Scale: one column-pruned scan per table (string columns only;
+    // count+sum combine map-side); the report is 9 rows at any SF.
+    QueryDef("w13_broadcast_advisor",
+      """WITH est AS (
+        |  SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(count(*) * (16 + 8 * 1)
+        |              + COALESCE(sum(octet_length(encode(r_name))), 0) AS BIGINT)
+        |           AS est_bytes
+        |  FROM region
+        |  UNION ALL
+        |  SELECT 'nation', count(*),
+        |         CAST(count(*) * (16 + 8 * 2)
+        |              + COALESCE(sum(octet_length(encode(n_name))), 0) AS BIGINT)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'customer', count(*),
+        |         CAST(count(*) * (16 + 8 * 3)
+        |              + COALESCE(sum(octet_length(encode(c_name))
+        |                             + octet_length(encode(c_mktsegment))), 0)
+        |              AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier', count(*),
+        |         CAST(count(*) * (16 + 8 * 3)
+        |              + COALESCE(sum(octet_length(encode(s_name))), 0) AS BIGINT)
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'part', count(*),
+        |         CAST(count(*) * (16 + 8 * 3)
+        |              + COALESCE(sum(octet_length(encode(p_name))
+        |                  + octet_length(encode(p_brand))
+        |                  + octet_length(encode(p_type))), 0) AS BIGINT)
+        |  FROM part
+        |  UNION ALL
+        |  SELECT 'orders', count(*),
+        |         CAST(count(*) * (16 + 8 * 4)
+        |              + COALESCE(sum(octet_length(encode(o_orderstatus))
+        |                  + octet_length(encode(o_orderpriority))), 0) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', count(*),
+        |         CAST(count(*) * (16 + 8 * 9)
+        |              + COALESCE(sum(octet_length(encode(l_returnflag))
+        |                  + octet_length(encode(l_linestatus))), 0) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events', count(*),
+        |         CAST(count(*) * (16 + 8 * 4)
+        |              + COALESCE(sum(octet_length(encode(event_type))
+        |                  + octet_length(encode(props))), 0) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'documents', count(*),
+        |         CAST(count(*) * (16 + 8 * 2)
+        |              + COALESCE(sum(octet_length(encode(text))
+        |                  + octet_length(encode(lang))
+        |                  + octet_length(encode(source))), 0) AS BIGINT)
+        |  FROM documents
+        |)
+        |SELECT tbl, n_rows, est_bytes,
+        |       CAST(est_bytes // n_rows AS BIGINT) AS bytes_per_row,
+        |       CASE WHEN est_bytes < 10485760 THEN 'broadcast'
+        |            ELSE 'shuffle' END AS join_side
+        |FROM est ORDER BY tbl""".stripMargin) { (s, d) =>
+      def est(df: DataFrame, name: String, fixedCols: Int,
+          strCols: Seq[String]): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) * (16 + 8 * fixedCols)
+            + coalesce(sum(strCols.map(c => octet_length(col(c)))
+              .reduce(_ + _)), lit(0L))).as("est_bytes"))
+          .select(lit(name).as("tbl"), col("n_rows"), col("est_bytes"))
+      est(Tables.region(s, d), "region", 1, Seq("r_name"))
+        .unionByName(est(Tables.nation(s, d), "nation", 2, Seq("n_name")))
+        .unionByName(est(Tables.customer(s, d), "customer", 3,
+          Seq("c_name", "c_mktsegment")))
+        .unionByName(est(Tables.supplier(s, d), "supplier", 3,
+          Seq("s_name")))
+        .unionByName(est(Tables.part(s, d), "part", 3,
+          Seq("p_name", "p_brand", "p_type")))
+        .unionByName(est(Tables.orders(s, d), "orders", 4,
+          Seq("o_orderstatus", "o_orderpriority")))
+        .unionByName(est(Tables.lineitem(s, d), "lineitem", 9,
+          Seq("l_returnflag", "l_linestatus")))
+        .unionByName(est(Tables.events(s, d), "events", 4,
+          Seq("event_type", "props")))
+        .unionByName(est(Tables.documents(s, d), "documents", 2,
+          Seq("text", "lang", "source")))
+        .select(col("tbl"), col("n_rows"), col("est_bytes"),
+          expr("est_bytes div n_rows").as("bytes_per_row"),
+          when(col("est_bytes") < 10485760L, "broadcast")
+            .otherwise("shuffle").as("join_side"))
+        .orderBy(col("tbl"))
     }
   )
 
