@@ -11,17 +11,24 @@ import org.apache.spark.unsafe.types.UTF8String;
  * implements (differential-tested in JaroWinklerSpec): match window
  * floor(max(|a|,|b|)/2) - 1 clamped at 0, transpositions = half the
  * out-of-order matches, prefix bonus p = 0.1 over at most 4 leading
- * chars, applied only when the Jaro score exceeds the 0.7 boost
+ * units, applied only when the Jaro score exceeds the 0.7 boost
  * threshold, and 0.0 whenever either side is empty.
+ *
+ * Units are raw UTF-8 BYTES read straight off the {@link UTF8String}
+ * backing memory — the same units DuckDB's jaro_winkler_similarity
+ * operates on — so parity with the oracle holds for non-ASCII input
+ * too, and the hot loop of x159's blocked candidate verify allocates
+ * no String per pair (ADVICE r9: the previous kernel round-tripped
+ * through String.charAt, which was both an allocation per comparison
+ * and UTF-16 code-unit semantics). The two small boolean match-flag
+ * arrays are the only per-call allocations.
  */
 public final class JaroWinklerAlgo {
 
     private JaroWinklerAlgo() {}
 
-    public static double score(UTF8String ua, UTF8String ub) {
-        String a = ua.toString();
-        String b = ub.toString();
-        int n = a.length(), m = b.length();
+    public static double score(UTF8String a, UTF8String b) {
+        int n = a.numBytes(), m = b.numBytes();
         if (n == 0 || m == 0) return 0.0;
         int window = Math.max(Math.max(n, m) / 2 - 1, 0);
         boolean[] am = new boolean[n];
@@ -30,8 +37,9 @@ public final class JaroWinklerAlgo {
         for (int i = 0; i < n; i++) {
             int lo = Math.max(0, i - window);
             int hi = Math.min(m - 1, i + window);
+            byte ai = a.getByte(i);
             for (int j = lo; j <= hi; j++) {
-                if (!bm[j] && a.charAt(i) == b.charAt(j)) {
+                if (!bm[j] && ai == b.getByte(j)) {
                     am[i] = true;
                     bm[j] = true;
                     matches++;
@@ -44,7 +52,7 @@ public final class JaroWinklerAlgo {
         for (int i = 0; i < n; i++) {
             if (!am[i]) continue;
             while (!bm[k]) k++;
-            if (a.charAt(i) != b.charAt(k)) t++;
+            if (a.getByte(i) != b.getByte(k)) t++;
             k++;
         }
         double md = matches;
@@ -52,7 +60,7 @@ public final class JaroWinklerAlgo {
         if (jaro <= 0.7) return jaro;
         int cap = Math.min(4, Math.min(n, m));
         int prefix = 0;
-        while (prefix < cap && a.charAt(prefix) == b.charAt(prefix)) prefix++;
+        while (prefix < cap && a.getByte(prefix) == b.getByte(prefix)) prefix++;
         return jaro + prefix * 0.1 * (1.0 - jaro);
     }
 }

@@ -2561,9 +2561,10 @@ object TextAnalysis {
     // prefix scan is the drop-in if the domain were ever unbounded). No
     // doc×doc pair is ever formed. BIGINT bound (ADVICE r8): auc_num2 ≤
     // 2·n_pos·n_neg overflows int64 past ~3·10⁹ docs — Spark's non-ANSI
-    // sum wraps while DuckDB widens to HUGEINT; at warehouse scale
-    // compute auc directly as DOUBLE (p, q, q_below summed as doubles),
-    // trading the exact integer numerator for the unbounded range.
+    // sum wraps while DuckDB widens to HUGEINT; the LIVE escape is the
+    // auc_dbl/gini_dbl column pair below (the same numerator summed in
+    // doubles — unbounded range, exact-integer terms), emitted and
+    // oracle-checked alongside the integer arm at every SF.
     // FILTER FUNNEL WITH PER-RULE ATTRIBUTION — the C4/Gopher cleaning
     // cascade as ONE accountable report: four ordered rules (too-short,
     // low-quality by the shared x08 composite, out-of-scope language,
@@ -2729,7 +2730,8 @@ object TextAnalysis {
         |  SELECT CAST(sum(p) AS BIGINT) AS n_pos,
         |         CAST(sum(q) AS BIGINT) AS n_neg,
         |         CAST(count(*) AS BIGINT) AS n_values,
-        |         CAST(sum(p * (2 * q_below + q)) AS BIGINT) AS auc_num2
+        |         CAST(sum(p * (2 * q_below + q)) AS BIGINT) AS auc_num2,
+        |         sum(CAST(p AS DOUBLE) * (2 * q_below + q)) AS num_dbl
         |  FROM w
         |)
         |SELECT n_pos, n_neg, n_values, auc_num2,
@@ -2739,7 +2741,15 @@ object TextAnalysis {
         |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
         |            ELSE round(1e-9 + (auc_num2 * 1.0 / (n_pos * n_neg) - 1),
         |                       6)
-        |       END AS gini
+        |       END AS gini,
+        |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |            ELSE round(1e-9 + num_dbl * 0.5
+        |                       / (CAST(n_pos AS DOUBLE) * n_neg), 6)
+        |       END AS auc_dbl,
+        |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |            ELSE round(1e-9 + num_dbl
+        |                       / (CAST(n_pos AS DOUBLE) * n_neg) - 1, 6)
+        |       END AS gini_dbl
         |FROM a""".stripMargin) { (s, d) =>
       val sc = hashedScoreTable(s, d)
         .select(col("doc_id"),
@@ -2760,7 +2770,15 @@ object TextAnalysis {
       w.agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
           count(lit(1)).as("n_values"),
           sum(col("p") * (lit(2L) * col("q_below") + col("q")))
-            .as("auc_num2"))
+            .as("auc_num2"),
+          // the DOUBLE arm (VERDICT r9 item 4): the same numerator summed
+          // in doubles — unbounded range past the int64 wrap at ~3·10⁹
+          // docs. Hash-parity holds because every term is an exact
+          // integer and partial sums stay under 2⁵³ at any SF the exact
+          // arm itself survives; past 2⁵³ the two arms diverge in the
+          // last ulp and the INTEGER arm is the one that's wrong (wrapped)
+          sum(col("p").cast("double")
+            * (lit(2L) * col("q_below") + col("q"))).as("num_dbl"))
         .select(col("n_pos"), col("n_neg"), col("n_values"), col("auc_num2"),
           // guarded like x145: a one-sided corpus (every doc on one side
           // of the 0.63 threshold) is a DESIGNED NULL, not an accidental
@@ -2775,7 +2793,17 @@ object TextAnalysis {
             .otherwise(Num.roundOut(
               col("auc_num2") * 1.0 / (col("n_pos") * col("n_neg")) - 1.0,
               6))
-            .as("gini"))
+            .as("gini"),
+          when(col("n_pos") === 0 || col("n_neg") === 0,
+            lit(null).cast("double"))
+            .otherwise(Num.roundOut(col("num_dbl") * 0.5
+              / (col("n_pos").cast("double") * col("n_neg")), 6))
+            .as("auc_dbl"),
+          when(col("n_pos") === 0 || col("n_neg") === 0,
+            lit(null).cast("double"))
+            .otherwise(Num.roundOut(col("num_dbl")
+              / (col("n_pos").cast("double") * col("n_neg")) - 1.0, 6))
+            .as("gini_dbl"))
     },
 
     // JENSEN–SHANNON SOURCE DIVERGENCE — the distribution-level drift
@@ -3274,7 +3302,9 @@ object TextAnalysis {
       |), ab AS (
       |  SELECT svo.source, svo.n_s, svo.wid, svo.word,
       |         svo.c * 1000000 // svo.n_s AS a,
-      |         (allw.cw - svo.c) * 1000000 // (tot.n - svo.n_s) AS b
+      |         CASE WHEN tot.n = svo.n_s THEN NULL
+      |              ELSE (allw.cw - svo.c) * 1000000 // (tot.n - svo.n_s)
+      |         END AS b
       |  FROM svo JOIN allw ON allw.wid = svo.wid CROSS JOIN tot
       |)""".stripMargin
 
@@ -3310,7 +3340,12 @@ object TextAnalysis {
     svo.join(broadcast(allw), "wid").crossJoin(broadcast(tot))
       .select(col("source"), col("n_s"), col("wid"), col("word"),
         expr("c * 1000000 div n_s").as("a"),
-        expr("(cw - c) * 1000000 div (n - n_s)").as("b"))
+        // a degenerate single-source corpus (n = n_s: no "rest" to
+        // compare against) is a DESIGNED NULL — the same CASE on both
+        // engines (x178/x142's rule), never the engine's accidental
+        // div-by-zero NULL (ADVICE r9)
+        expr("CASE WHEN n = n_s THEN NULL " +
+          "ELSE (cw - c) * 1000000 div (n - n_s) END").as("b"))
   }
 
   /** x124's implementation (factored out of the entry for length only). */

@@ -178,6 +178,29 @@ object Streams {
           .forEach(p => java.nio.file.Files.delete(p))
         finally rest.close()
       }
+      // st23's cross-batch frontier fold assumes every event in batch k+1
+      // is strictly newer (by the event-time ordering key) than every
+      // event in batch k — true today because the slicer cuts on whole
+      // DATES, but the invariant must fail LOUDLY if the slice key ever
+      // drifts to a sub-date grain (ADVICE r9: a comment is not a guard).
+      // Checked once at staging time, before _DONE makes the layout
+      // reusable; non-empty slices only (a tercile can be empty at tiny
+      // SFs without breaking the ordering of the others).
+      val sliceBounds = Seq(0, 1, 2).flatMap { par =>
+        s.read.parquet(stage.resolve(s"batch_$par.parquet").toString)
+          .agg(min(col("ts")).cast("string").as("lo"),
+            max(col("ts")).cast("string").as("hi"))
+          .collect().toSeq
+          .filterNot(_.isNullAt(0))
+          .map(r => (par, r.getString(0), r.getString(1)))
+      }
+      sliceBounds.sliding(2).foreach {
+        case Seq((pa, _, hiA), (pb, loB, _)) =>
+          require(hiA < loB,
+            s"stageEventsTimeSplit: slice $pa max ts $hiA does not precede " +
+              s"slice $pb min ts $loB — st23's frontier invariant is broken")
+        case _ => ()
+      }
       java.nio.file.Files.createFile(stage.resolve("_DONE"))
     }
     stage.toString

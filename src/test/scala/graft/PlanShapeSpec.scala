@@ -353,6 +353,27 @@ class PlanShapeSpec extends AnyFunSuite {
         scans.map(_.metadata.get("PushedFilters")).mkString(", "))
   }
 
+  test("x60 IVF-PQ: coarse lists come from the persisted inverted-file artifact, not a fresh assignment pass") {
+    // r9's regression: x60 re-ran the corpus×centroid assignment inline
+    // (crossJoin + rank window over every vector) instead of scanning the
+    // kmlists artifact x33/x34 share — at 100 TB that is re-clustering
+    // the corpus per query. The plan must read the artifact, and the only
+    // embeddings scans left are the vec_id<3 query-vector reads.
+    val nodes = executedAll(SparkEntry.queries("x60_ivf_pq")(spark, sf0_001))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.exists(_.metadata.get("Location")
+        .exists(_.contains("graft_kmlists"))),
+      s"x60 must scan the persisted kmlists inverted file, saw: " +
+        scans.flatMap(_.metadata.get("Location")).mkString(", "))
+    scans.filter(_.metadata.get("Location")
+        .exists(_.contains("embeddings.parquet"))).foreach { f =>
+      assert(f.metadata.get("PushedFilters")
+          .exists(_.contains("LessThan(vec_id,3)")),
+        s"corpus-sized embeddings scan crept back into x60: " +
+          s"${f.metadata.get("PushedFilters")}")
+    }
+  }
+
   test("x155 MMR: candidate retrieval runs through the native TopKPerGroup (no per-query global sort)") {
     // the entry localCheckpoints the candidate table (hiding its plan),
     // so the pin runs on the exposed un-checkpointed stage it derives from
