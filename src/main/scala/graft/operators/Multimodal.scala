@@ -298,6 +298,36 @@ object Multimodal {
     * ORACLE never parses the container — it recomputes the stats from
     * the same text-byte definition (m02's move). Docs under two samples
     * (n < 4) are filtered. */
+  /** m21's (doc_id, 16-bit acoustic fingerprint) tier: sign of the
+    * energy delta across the first 17 fine-grained 8-sample frames
+    * (m10's contour at fingerprint grain — the VAD tier keeps its
+    * 64-sample frames), read from the REAL containers in one streamed
+    * pass. Docs under 17 full frames (n < 272 text bytes) carry no
+    * fingerprint. Factored out so Round10Spec can brute-force all-pairs
+    * completeness against the banded join. */
+  private[graft] def audioFingerprints(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("afp", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    wavPayloads(s, d)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val fe = WavReader.frameEnergies(r.getAs[Array[Byte]](1), 8)
+          if (fe.length < 17) None
+          else {
+            var fp = 0
+            var f = 0
+            while (f < 16) {
+              if (fe(f + 1) > fe(f)) fp |= (1 << f)
+              f += 1
+            }
+            Some(Row(r.getLong(0), fp))
+          }
+        }
+      }(enc)
+  }
+
   private[graft] def wavPayloads(s: SparkSession, d: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -1544,6 +1574,94 @@ object Multimodal {
     // full parse cross-checks the same value), the plan table is a
     // 3-row broadcast, and no payload byte is ever read. The m01
     // discipline: plan on metadata, decode only where the plan says to.
+    // ACOUSTIC-FINGERPRINT NEAR-DUP — the audio analog of m19's image
+    // dHash, completing per-modality near-dup (text x39 / image m19 /
+    // audio here): a 16-bit Haitsma–Kalker-style sign-of-energy-delta
+    // fingerprint (bit f set iff frame f+1 is louder than frame f over
+    // the first 17 fine-grained 8-sample frames of the PCM tier — delta
+    // SIGNS survive the gain changes and re-encodes that shift absolute
+    // energies wholesale), banded 4×4 bits; by pigeonhole any pair
+    // within Hamming distance 2 agrees on ≥ 2 whole bands, so the
+    // band-value equi-join finds EVERY qualifying pair — no pair
+    // enumeration, no recall loss (Round10Spec pins completeness
+    // against brute-force all-pairs). Candidates verify with an exact
+    // popcount-of-xor; Hamming 0 is included (fingerprint equality is
+    // still only a signature match — audio has no m15-style exact-group
+    // query to defer to).
+    //
+    // Scale: one payload pass per container inside the decode tier's
+    // iterator-streamed mapPartitions emitting (id, 16-bit fp) — O(1)
+    // bytes per clip cross the shuffle; candidates ∝ band-bucket
+    // collisions (at production scale the fingerprint widens to 32
+    // sub-band bits × n frames and bands to 8 bits — x39's band knob);
+    // the verify is integer bit math on candidate rows only.
+    QueryDef("m21_audio_fingerprint_neardup",
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 272
+        |), by AS (
+        |  SELECT doc_id, list_transform(range(272), o ->
+        |    (strpos('0123456789ABCDEF',
+        |            substring(hx, 2 * CAST(o AS INT) + 1, 1)) - 1) * 16 +
+        |     strpos('0123456789ABCDEF',
+        |            substring(hx, 2 * CAST(o AS INT) + 2, 1)) - 1) AS b
+        |  FROM p
+        |), sm AS (
+        |  SELECT doc_id, list_transform(range(136), i ->
+        |    CASE WHEN b[2 * CAST(i AS INT) + 2] >= 128
+        |      THEN b[2 * CAST(i AS INT) + 1]
+        |           + 256 * b[2 * CAST(i AS INT) + 2] - 65536
+        |      ELSE b[2 * CAST(i AS INT) + 1]
+        |           + 256 * b[2 * CAST(i AS INT) + 2] END) AS sv
+        |  FROM by
+        |), fe AS (
+        |  SELECT doc_id, list_transform(range(17), f ->
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      abs(sv[8 * CAST(f AS INT) + CAST(i AS INT) + 1])))
+        |    AS BIGINT)) AS fe
+        |  FROM sm
+        |), fp AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(16), f ->
+        |    CASE WHEN fe[CAST(f AS INT) + 2] > fe[CAST(f AS INT) + 1]
+        |         THEN (1 << CAST(f AS INT)) ELSE 0 END)) AS INT) AS afp
+        |  FROM fe
+        |), bands AS (
+        |  SELECT doc_id, afp, CAST(b AS INT) AS band,
+        |         CAST((afp >> (4 * CAST(b AS INT))) & 15 AS INT) AS bval
+        |  FROM fp, (SELECT unnest(range(4)) AS b)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.afp AS ha, b.afp AS hb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 2
+        |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin) { (s, d) =>
+      val hs = audioFingerprints(s, d)
+        .localCheckpoint() // both band-join sides read the tiny fp table
+      val bands = hs.select(col("doc_id"), col("afp"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bval", expr("shiftright(afp, 4 * band) & 15"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.afp").as("ha"), col("b.afp").as("hb"))
+        .distinct()
+      cand
+        .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+        .filter(col("hamming") <= 2)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(20)
+    },
+
     QueryDef("m20_resample_plan",
       {
         val src = 8000L

@@ -40,4 +40,26 @@ class Round10Spec extends AnyFunSuite {
     val nUsers = uh.select(col("user_id")).distinct().count()
     assert(nCand <= 16L * 512L * nUsers)
   }
+
+  test("m21: the banded acoustic-fingerprint join loses no pair vs brute-force all-pairs at Hamming ≤ 2") {
+    val fps = operators.Multimodal.audioFingerprints(spark, sf0_001)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(fps.length > 100, s"fixture must carry fingerprints, got ${fps.length}")
+    val exact = (for {
+      (ida, fa) <- fps; (idb, fb) <- fps if ida < idb
+      h = Integer.bitCount(fa ^ fb) if h <= 2
+    } yield (ida, idb, h)).toSet
+    // pigeonhole: Hamming ≤ 2 over 4 bands ⇒ ≥ 2 untouched bands, so the
+    // band-value equi-join candidates are a SUPERSET of the exact pairs
+    val banded = (for {
+      (ida, fa) <- fps; (idb, fb) <- fps if ida < idb
+      if (0 until 4).exists(b => ((fa >> (4 * b)) & 15) == ((fb >> (4 * b)) & 15))
+      h = Integer.bitCount(fa ^ fb) if h <= 2
+    } yield (ida, idb, h)).toSet
+    assert(banded == exact, "banding must lose no qualifying pair")
+    val got = SparkEntry.queries("m21_audio_fingerprint_neardup")(spark, sf0_001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    val top = exact.toList.sortBy(t => (t._3, t._1, t._2)).take(20)
+    assert(got == top, "query head must equal the brute-force head")
+  }
 }
