@@ -1992,6 +1992,82 @@ object Dedup {
         .orderBy(col("name_a"), col("name_b"))
     },
 
+    // GOLDEN-RECORD SURVIVORSHIP — the step record linkage exists FOR:
+    // x159 finds the fuzzy match pairs, this resolves them into entities
+    // and emits one survivor row per entity (the MDM "golden record").
+    // Match pairs become an undirected graph; connected components
+    // (x146's hybrid min-label machinery, reused verbatim on string
+    // nodes) assign every matched name variant to exactly one entity
+    // whose canonical id is the lexicographically-least member; then
+    // survivorship folds the member rows — variant count, covered part
+    // rows, and the price envelope in EXACT integer cents (converted
+    // per row BEFORE aggregation, the x175 money rule; min/max carry no
+    // accumulation order). Only multi-variant entities report — the
+    // merges are the product.
+    //
+    // Scale: the pair stage is x159's blocked join (template-sized); CC
+    // runs on the match graph, which is BOUNDED BY THE MATCHES, not the
+    // corpus (near-dup name clusters are small — the x34 cluster
+    // argument); survivorship is one aggregate over matched names.
+    // 4 hybrid CC rounds converge any fixture component (pointer
+    // jumping doubles reach per round; fixpoint pinned rounds=4 vs 5).
+    QueryDef("x184_golden_record",
+      """WITH RECURSIVE nm AS (
+        |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts,
+        |         CAST(min(round(p_retailprice * 100)) AS BIGINT)
+        |           AS min_cents,
+        |         CAST(max(round(p_retailprice * 100)) AS BIGINT)
+        |           AS max_cents
+        |  FROM part GROUP BY 1
+        |), tk AS (
+        |  SELECT name, string_split(name, ' ')[1] AS adj,
+        |         string_split(name, ' ')[-1] AS noun
+        |  FROM nm
+        |), e0 AS (
+        |  SELECT a.name AS src, b.name AS dst
+        |  FROM tk a JOIN tk b
+        |    ON (a.noun = b.noun OR a.adj = b.adj) AND a.name < b.name
+        |  WHERE round(1e-9 + jaro_winkler_similarity(a.name, b.name), 6)
+        |        >= 0.85
+        |), e AS (
+        |  SELECT src, dst FROM e0
+        |  UNION
+        |  SELECT dst AS src, src AS dst FROM e0
+        |), r AS (
+        |  SELECT src AS node, src AS m FROM e
+        |  UNION
+        |  SELECT e.src AS node, r.m FROM e JOIN r ON r.node = e.dst
+        |), c AS (
+        |  SELECT node, min(m) AS comp FROM r GROUP BY node
+        |)
+        |SELECT c.comp AS canonical_name,
+        |       CAST(count(*) AS BIGINT) AS n_variants,
+        |       CAST(sum(nm.n_parts) AS BIGINT) AS n_parts,
+        |       CAST(min(nm.min_cents) AS BIGINT) AS min_cents,
+        |       CAST(max(nm.max_cents) AS BIGINT) AS max_cents
+        |FROM c JOIN nm ON nm.name = c.node
+        |GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY canonical_name""".stripMargin) { (s, d) =>
+      val nm = Tables.part(s, d)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_parts"),
+          min(round(col("p_retailprice") * 100).cast("long")).as("min_cents"),
+          max(round(col("p_retailprice") * 100).cast("long")).as("max_cents"))
+      val e0 = fuzzyNamePairs(s, d)
+      val e = e0.select(col("name_a").as("src"), col("name_b").as("dst"))
+        .union(e0.select(col("name_b").as("src"), col("name_a").as("dst")))
+        .distinct()
+        .localCheckpoint() // match-graph-sized; feeds every CC round
+      Corpus.ccLabels(e, rounds = 4)
+        .join(nm, col("node") === col("name"))
+        .groupBy(col("comp").as("canonical_name"))
+        .agg(count(lit(1)).as("n_variants"), sum(col("n_parts")).as("n_parts"),
+          min(col("min_cents")).as("min_cents"),
+          max(col("max_cents")).as("max_cents"))
+        .filter(col("n_variants") >= 2)
+        .orderBy(col("canonical_name"))
+    },
+
     // GREEDY MAX-COVERAGE SUBSET SELECTION — the submodular data-subset
     // step (Nemhauser's (1−1/e) greedy; the facility-location shape
     // behind coreset curation): pick 6 documents, each maximizing the
@@ -2178,4 +2254,27 @@ object Dedup {
       perL.reduce(_.unionByName(_)).orderBy(col("win_len"))
     }
   )
+
+  /** x159's blocked-and-verified match pairs, reduced to the edge list
+    * (name_a < name_b, rounded JW ≥ 0.85) — x184's entity-resolution
+    * input. Same blocking keys and kernel as x159 (whose spec pins full
+    * recall vs all-pairs at this threshold), so the pair set is
+    * IDENTICAL to the one x159 reports. */
+  private[graft] def fuzzyNamePairs(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val tk = Tables.part(s, d)
+      .select(col("p_name").as("name")).distinct()
+      .select(col("name"),
+        element_at(split(col("name"), " "), 1).as("adj"),
+        element_at(split(col("name"), " "), -1).as("noun"))
+      .localCheckpoint() // template-sized; both block passes read it
+    def block(key: String) = tk.select(col("name").as("name_a"),
+        col(key).as("k"))
+      .join(tk.select(col("name").as("name_b"), col(key).as("k")), "k")
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"))
+    block("noun").union(block("adj")).distinct()
+      .filter(Num.roundOut(
+        graft.plans.JaroWinkler(col("name_a"), col("name_b")), 6) >= 0.85)
+  }
 }

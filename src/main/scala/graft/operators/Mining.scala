@@ -1337,8 +1337,82 @@ object Mining {
               "(s - s_s) * 100 div (n - n_s) - s * 100 div n"))
             .as("influence_micro"))
         .orderBy(col("source"))
+    },
+
+    // SEQUENCE-PACKING PLAN — the training-batch scheduling step between
+    // curriculum (x35/x44) and the data loader: how many fixed-512-token
+    // training sequences does the corpus need, and how full are they?
+    // Classic bin packing (first-fit-decreasing) is inherently
+    // SEQUENTIAL — a driver loop over every document, unusable at
+    // corpus scale — so this is the m12 aspect-bucket discipline applied
+    // to token budgets: documents bucket by EXACT (truncated) token
+    // length, and within a homogeneous bucket packing is pure integer
+    // arithmetic (⌊512/len⌋ docs per sequence, ⌈n/per⌉ sequences) —
+    // EXACT, not a heuristic, for the bucketed policy real loaders
+    // (T5-style packing, NovelAI bucketing) actually run. Per bucket:
+    // docs-per-sequence, sequence count, and the fill ratio in ppm the
+    // padding-waste audit reads. Zero-token docs carry no sequence;
+    // longer-than-budget docs truncate to one full sequence each.
+    //
+    // Scale: one token-count pass over documents (the persisted token
+    // table's counting rule), one ≤512-row group-by — the plan table is
+    // BUDGET-sized, independent of corpus size, and purely ADDITIVE in
+    // (len, n_docs), which is why st27 can maintain it per micro-batch
+    // and answer this oracle verbatim (Σ n_seqs ≥ ⌈Σ len/512⌉ token
+    // lower bound and doc conservation pinned in Round10Spec).
+    QueryDef("x183_sequence_packing", Mining.x183OracleSql) { (s, d) =>
+      Mining.packingPlan(Mining.packingBucketDelta(Tables.documents(s, d)))
     }
   )
+
+  /** x183's relational answer — shared VERBATIM with st27's streaming
+    * packing maintenance (the x156↔st24 one-definition contract).
+    * `lazy`: referenced from the entries Seq above, which initializes
+    * before this val in declaration order. */
+  private[graft] lazy val x183OracleSql: String =
+    """WITH tc AS (
+      |  SELECT CAST(len(list_filter(string_split(text, ' '),
+      |                w -> len(w) > 0)) AS BIGINT) AS n
+      |  FROM documents
+      |), t2 AS (
+      |  SELECT least(n, 512) AS l FROM tc WHERE n > 0
+      |), b AS (
+      |  SELECT l, CAST(count(*) AS BIGINT) AS n_docs FROM t2 GROUP BY l
+      |), p AS (
+      |  SELECT l, n_docs, 512 // l AS dps FROM b
+      |), q AS (
+      |  SELECT l, n_docs, dps, (n_docs + dps - 1) // dps AS n_seqs FROM p
+      |)
+      |SELECT l AS len, n_docs, CAST(dps AS BIGINT) AS docs_per_seq,
+      |       CAST(n_seqs AS BIGINT) AS n_seqs,
+      |       CAST(n_docs * l * 1000000 // (n_seqs * 512) AS BIGINT)
+      |         AS fill_ppm
+      |FROM q ORDER BY len""".stripMargin
+
+  /** x183's additive (len, n_docs) bucket state from a document slice —
+    * the mergeable packing state st27 folds per micro-batch. Zero-token
+    * docs are excluded (they carry no sequence); lengths truncate to the
+    * 512-token budget. */
+  private[graft] def packingBucketDelta(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(least(size(filter(Text.tokens(col("text")),
+        w => length(w) > 0)), lit(512)).cast("long").as("l"))
+      .filter(col("l") > 0)
+      .groupBy(col("l")).agg(count(lit(1)).as("n_docs"))
+
+  /** x183's finish from the (l, n_docs) bucket state — called on the
+    * batch aggregate and on st27's converged streaming state, so the two
+    * can't diverge. Pure integer arithmetic on a ≤512-row table. */
+  private[graft] def packingPlan(
+      buckets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    buckets
+      .withColumn("dps", expr("512 div l"))
+      .withColumn("n_seqs", expr("(n_docs + dps - 1) div dps"))
+      .select(col("l").as("len"), col("n_docs"),
+        col("dps").as("docs_per_seq"), col("n_seqs"),
+        expr("n_docs * l * 1000000 div (n_seqs * 512)").as("fill_ppm"))
+      .orderBy(col("len"))
 
   /** One BM25 corpus-stats partial over a document slice — the mergeable
     * index-metadata row (every field a plain count/sum). */

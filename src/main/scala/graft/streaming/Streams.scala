@@ -1835,6 +1835,49 @@ object Streams {
         try q.processAllAvailable() finally q.stop()
         graft.operators.Classic.theilSenReport(ss.read.parquet(stDir))
       }
+    },
+
+    // STREAMING PACKING MAINTENANCE — the EIGHTH Δ-maintained family:
+    // document micro-batches fold into the purely ADDITIVE (len,
+    // n_docs) bucket state behind x183's sequence-packing plan. The
+    // truncated token length is a pure per-document function, so each
+    // batch's delta is computed inline and the folded state equals the
+    // full-corpus bucket table bit-for-bit regardless of slicing.
+    // Serving recomputes the plan on the ≤512-row state only — the
+    // data-loader's packing schedule refreshes per ingest batch at
+    // budget-bounded cost, never by corpus re-scan — and the converged
+    // state answers the batch x183 oracle VERBATIM through the same
+    // packingPlan definition (the q78↔st13 / x174↔st25 contract).
+    QueryDef("st27_stream_packing",
+      graft.operators.Mining.x183OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageDocumentsSplit(ss, d)
+        val stDir = graft.Warehouse.path(s"graft_stpack_v1_${
+          graft.ContentKey.key(
+            java.nio.file.Paths.get(d, "documents.parquet"))}")
+        resetDir(stDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val hasState = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(stDir, "_SUCCESS"))
+            val delta = graft.operators.Mining.packingBucketDelta(batch)
+            val prior =
+              if (hasState) spark.read.parquet(stDir) else delta.limit(0)
+            prior.unionByName(delta)
+              .groupBy(col("l"))
+              .agg(sum(col("n_docs")).as("n_docs"))
+              .localCheckpoint() // sever from the state file being replaced
+              .write.mode("overwrite").parquet(stDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Mining.packingPlan(ss.read.parquet(stDir))
+      }
     }
   )
 

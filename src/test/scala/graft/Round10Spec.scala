@@ -62,4 +62,58 @@ class Round10Spec extends AnyFunSuite {
     val top = exact.toList.sortBy(t => (t._3, t._1, t._2)).take(20)
     assert(got == top, "query head must equal the brute-force head")
   }
+
+  test("x183: packing plan conserves every doc and respects the token lower bound") {
+    val plan = SparkEntry.queries("x183_sequence_packing")(spark, sf0_001)
+      .collect()
+    assert(plan.nonEmpty)
+    val nDocs = Tables.documents(spark, sf0_001)
+      .filter(size(filter(functions.Text.tokens(col("text")),
+        w => length(w) > 0)) > 0)
+      .count()
+    val planDocs = plan.map(_.getAs[Long]("n_docs")).sum
+    val planSeqs = plan.map(_.getAs[Long]("n_seqs")).sum
+    val totalTokens = plan.map(r =>
+      r.getAs[Long]("n_docs") * r.getAs[Long]("len")).sum
+    // every nonzero-token doc lands in exactly one bucket
+    assert(planDocs == nDocs, s"plan covers $planDocs of $nDocs docs")
+    // no plan can beat the token mass: Σ n_seqs ≥ ⌈Σ len / 512⌉
+    assert(planSeqs >= (totalTokens + 511) / 512)
+    // fill never exceeds 100%
+    assert(plan.forall(_.getAs[Long]("fill_ppm") <= 1000000L))
+  }
+
+  test("st27: the streaming packing state answers the batch x183 plan verbatim") {
+    val batch = SparkEntry.queries("x183_sequence_packing")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toList
+    val streamed = SparkEntry.queries("st27_stream_packing")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toList
+    assert(streamed == batch, "stream==batch must hold row-for-row")
+  }
+
+  test("x184: CC over the fuzzy-match graph reaches fixpoint by round 4 and partitions the matched names") {
+    val e0 = operators.Dedup.fuzzyNamePairs(spark, sf0_001)
+    val e = e0.select(col("name_a").as("src"), col("name_b").as("dst"))
+      .union(e0.select(col("name_b").as("src"), col("name_a").as("dst")))
+      .distinct().localCheckpoint()
+    val l4 = operators.Corpus.ccLabels(e, rounds = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val l5 = operators.Corpus.ccLabels(e, rounds = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(l4 == l5, "round 4 must already be the fixpoint")
+    // partition: every matched name has exactly one label, and each
+    // cluster's canonical is its least member (min-label semantics)
+    val matched = e.select(col("src")).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(l4.keySet == matched)
+    l4.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.keys.min == comp, s"canonical of $comp must be least")
+    }
+    // and the report's variant counts sum to the multi-variant mass
+    val rep = SparkEntry.queries("x184_golden_record")(spark, sf0_001).collect()
+    assert(rep.nonEmpty)
+    val multi = l4.groupBy(_._2).filter(_._2.size >= 2)
+    assert(rep.map(_.getAs[Long]("n_variants")).sum == multi.values.map(_.size).sum)
+    assert(rep.map(_.getAs[String]("canonical_name")).toSet == multi.keySet)
+  }
 }
