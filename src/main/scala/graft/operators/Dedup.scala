@@ -2068,6 +2068,102 @@ object Dedup {
         .orderBy(col("canonical_name"))
     },
 
+    // BLOCKING-QUALITY AUDIT — the record-linkage meta-step that decides
+    // whether x159/x184's candidate generation can be TRUSTED: for each
+    // blocking scheme (adj key, noun key, their union) report candidate
+    // volume, pairs completeness against the TRUE match set, and the
+    // reduction ratio vs all-pairs (Christen's blocking metrics). The
+    // ground truth is exact — every (a<b) name pair scored with the
+    // native Jaro-Winkler kernel — which is only honest because the
+    // name domain is a TEMPLATE table (64 distinct names, SF-invariant):
+    // all-pairs is 2016 rows regardless of corpus size. Completeness
+    // and reduction are exact integer ppm (single div of exact counts).
+    //
+    // Scale: every input here is the distinct-name template table, not
+    // the corpus — the audit costs O(|templates|²) and is independent
+    // of row count. For an unbounded name domain the truth arm would
+    // sample blocks (the x91 calibration discipline); the report shape
+    // stays identical.
+    QueryDef("x185_blocking_audit",
+      """WITH nm AS (SELECT DISTINCT p_name AS name FROM part),
+        |tk AS (
+        |  SELECT name, string_split(name, ' ')[1] AS adj,
+        |         string_split(name, ' ')[-1] AS noun
+        |  FROM nm
+        |), ap AS (
+        |  SELECT a.name AS na, b.name AS nb
+        |  FROM nm a JOIN nm b ON a.name < b.name
+        |), truth AS (
+        |  SELECT na, nb FROM ap
+        |  WHERE round(1e-9 + jaro_winkler_similarity(na, nb), 6) >= 0.85
+        |), cn AS (
+        |  SELECT a.name AS na, b.name AS nb
+        |  FROM tk a JOIN tk b ON a.noun = b.noun AND a.name < b.name
+        |), ca AS (
+        |  SELECT a.name AS na, b.name AS nb
+        |  FROM tk a JOIN tk b ON a.adj = b.adj AND a.name < b.name
+        |), cu AS (
+        |  SELECT na, nb FROM cn UNION SELECT na, nb FROM ca
+        |), cands AS (
+        |  SELECT 'adj' AS scheme, na, nb FROM ca
+        |  UNION ALL SELECT 'noun' AS scheme, na, nb FROM cn
+        |  UNION ALL SELECT 'union' AS scheme, na, nb FROM cu
+        |), hits AS (
+        |  SELECT c.scheme,
+        |         CASE WHEN t.na IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM cands c LEFT JOIN truth t ON t.na = c.na AND t.nb = c.nb
+        |), tot AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM ap) AS n_allpairs,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth
+        |)
+        |SELECT scheme, CAST(count(*) AS BIGINT) AS n_candidates,
+        |       CAST(sum(hit) AS BIGINT) AS n_found, tot.n_truth,
+        |       CAST(sum(hit) AS BIGINT) * 1000000 // tot.n_truth
+        |         AS completeness_ppm,
+        |       (tot.n_allpairs - count(*)) * 1000000 // tot.n_allpairs
+        |         AS reduction_ppm
+        |FROM hits, tot
+        |GROUP BY scheme, tot.n_allpairs, tot.n_truth
+        |ORDER BY scheme""".stripMargin) { (s, d) =>
+      val nm = Tables.part(s, d).select(col("p_name").as("name"))
+        .distinct().localCheckpoint() // template-sized; read by every arm
+      val tk = nm.select(col("name"),
+        element_at(split(col("name"), " "), 1).as("adj"),
+        element_at(split(col("name"), " "), -1).as("noun"))
+      // all-pairs over the TEMPLATE table only (64 names) — the one
+      // place a cross join is the honest plan, per the x159 recall spec
+      val ap = nm.select(col("name").as("na"))
+        .crossJoin(broadcast(nm.select(col("name").as("nb"))))
+        .filter(col("na") < col("nb"))
+      val truth = ap.filter(Num.roundOut(
+          graft.plans.JaroWinkler(col("na"), col("nb")), 6) >= 0.85)
+        .localCheckpoint() // scored once; probed by hits and counted
+      def cand(key: String) = tk
+        .select(col("name").as("na"), col(key).as("k"))
+        .join(tk.select(col("name").as("nb"), col(key).as("k")), "k")
+        .filter(col("na") < col("nb")).select(col("na"), col("nb"))
+      val cn = cand("noun"); val ca = cand("adj")
+      val cu = cn.union(ca).distinct()
+      val cands = ca.withColumn("scheme", lit("adj"))
+        .unionByName(cn.withColumn("scheme", lit("noun")))
+        .unionByName(cu.withColumn("scheme", lit("union")))
+      val tot = ap.agg(count(lit(1)).as("n_allpairs"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      cands
+        .join(broadcast(truth.withColumn("hit", lit(1L))),
+          Seq("na", "nb"), "left")
+        .groupBy(col("scheme"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .crossJoin(broadcast(tot))
+        .select(col("scheme"), col("n_candidates"), col("n_found"),
+          col("n_truth"),
+          expr("n_found * 1000000 div n_truth").as("completeness_ppm"),
+          expr("(n_allpairs - n_candidates) * 1000000 div n_allpairs")
+            .as("reduction_ppm"))
+        .orderBy(col("scheme"))
+    },
+
     // GREEDY MAX-COVERAGE SUBSET SELECTION — the submodular data-subset
     // step (Nemhauser's (1−1/e) greedy; the facility-location shape
     // behind coreset curation): pick 6 documents, each maximizing the

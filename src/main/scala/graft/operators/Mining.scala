@@ -1362,6 +1362,86 @@ object Mining {
     // lower bound and doc conservation pinned in Round10Spec).
     QueryDef("x183_sequence_packing", Mining.x183OracleSql) { (s, d) =>
       Mining.packingPlan(Mining.packingBucketDelta(Tables.documents(s, d)))
+    },
+
+    // WITHIN-DOCUMENT REPETITION AUDIT — the Gopher/MassiveText-style
+    // repetition quality signals (Rae et al. 2021 §A1.1) the x08 battery
+    // lacks: boilerplate and degenerate generation show up as a single
+    // dominating bigram and as trigrams occurring twice-plus inside one
+    // document. Per doc: the most frequent bigram (lexicographic
+    // tiebreak), its share of bigram OCCURRENCES, and the share of
+    // trigram occurrences belonging to within-doc duplicated trigrams —
+    // both exact integer ppm (occurrence-share, not Gopher's char-share:
+    // overlap-free, so the ratio is a single div of exact counts).
+    //
+    // Scale: n-grams stream out of one projection of the corpus (rows ∝
+    // tokens, the same volume every token op here shuffles); both
+    // windows partition by doc_id — the natural high-cardinality
+    // document partitioner, no global sort; the report is doc-sized.
+    QueryDef("x186_repetition_audit",
+      """WITH tl AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(t)-1),
+        |         i -> t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM tl WHERE len(t) >= 2
+        |), tg AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(t)-2),
+        |         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        |  FROM tl WHERE len(t) >= 3
+        |), bgc AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY 1, 2
+        |), tgc AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM tg GROUP BY 1, 2
+        |), top AS (
+        |  SELECT doc_id, g AS top_bigram, c AS top_c,
+        |         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT)
+        |           AS n_bigrams,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY c DESC, g) AS rn
+        |  FROM bgc
+        |), dup AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |           AS dup_tri,
+        |         CAST(sum(c) AS BIGINT) AS n_trigrams
+        |  FROM tgc GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.top_bigram, t.top_c, t.n_bigrams,
+        |       t.top_c * 1000000 // t.n_bigrams AS top_bigram_ppm,
+        |       d.dup_tri * 1000000 // d.n_trigrams AS dup_trigram_ppm
+        |FROM top t JOIN dup d USING (doc_id)
+        |WHERE t.rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tl = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      def grams(n: Int) = tl.filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(col("t"), i + k)): _*)))
+          .as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val top = grams(2)
+        .withColumn("n_bigrams", sum(col("c")).over(byDoc))
+        .withColumn("rn", row_number().over(
+          byDoc.orderBy(col("c").desc, col("g"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("g").as("top_bigram"),
+          col("c").as("top_c"), col("n_bigrams"))
+      val dup = grams(3)
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_tri"),
+          sum(col("c")).as("n_trigrams"))
+      top.join(dup, "doc_id")
+        .select(col("doc_id"), col("top_bigram"), col("top_c"),
+          col("n_bigrams"),
+          expr("top_c * 1000000 div n_bigrams").as("top_bigram_ppm"),
+          expr("dup_tri * 1000000 div n_trigrams").as("dup_trigram_ppm"))
+        .orderBy(col("doc_id"))
     }
   )
 

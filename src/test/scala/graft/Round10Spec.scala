@@ -91,6 +91,58 @@ class Round10Spec extends AnyFunSuite {
     assert(streamed == batch, "stream==batch must hold row-for-row")
   }
 
+  test("x185: union blocking reaches full recall and every scheme strictly reduces the pair space") {
+    val rep = SparkEntry.queries("x185_blocking_audit")(spark, sf0_001)
+      .collect()
+    assert(rep.map(_.getAs[String]("scheme")).sorted.toList ==
+      List("adj", "noun", "union"))
+    val by = rep.map(r => r.getAs[String]("scheme") -> r).toMap
+    // union blocking must recover the full exact-JW match set — the
+    // same guarantee x159's recall spec pins for the match query itself
+    assert(by("union").getAs[Long]("completeness_ppm") == 1000000L)
+    assert(by("union").getAs[Long]("n_found") ==
+      by("union").getAs[Long]("n_truth"))
+    rep.foreach { r =>
+      assert(r.getAs[Long]("reduction_ppm") > 0,
+        s"${r.getAs[String]("scheme")} must prune vs all-pairs")
+      assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_truth"))
+      assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_candidates"))
+    }
+    // the union candidate set is at most the sum of its arms (dedup)
+    assert(by("union").getAs[Long]("n_candidates") <=
+      by("adj").getAs[Long]("n_candidates") +
+      by("noun").getAs[Long]("n_candidates"))
+  }
+
+  test("x186: per-doc repetition stats match a plain Scala recount") {
+    val got = SparkEntry.queries("x186_repetition_audit")(spark, sf0_001)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("text")).collect()
+    var checked = 0
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      val t = r.getString(1).split(" ", -1) // -1: keep trailing empties, as Spark split does
+      if (t.length >= 3) {
+        val bgs = t.sliding(2).map(_.mkString(" ")).toList
+        val tgs = t.sliding(3).map(_.mkString(" ")).toList
+        val bc = bgs.groupBy(identity).view.mapValues(_.size).toList
+        val (topG, topC) = bc.sortBy { case (g, c) => (-c, g) }.head
+        val row = got(id)
+        assert(row.getAs[String]("top_bigram") == topG, s"doc $id top bigram")
+        assert(row.getAs[Long]("top_c") == topC.toLong)
+        assert(row.getAs[Long]("top_bigram_ppm") ==
+          topC.toLong * 1000000L / bgs.size)
+        val dupTri = tgs.groupBy(identity).values.map(_.size)
+          .filter(_ >= 2).sum
+        assert(row.getAs[Long]("dup_trigram_ppm") ==
+          dupTri.toLong * 1000000L / tgs.size, s"doc $id dup trigrams")
+        checked += 1
+      }
+    }
+    assert(checked == got.size, "every reported doc recounted")
+  }
+
   test("x184: CC over the fuzzy-match graph reaches fixpoint by round 4 and partitions the matched names") {
     val e0 = operators.Dedup.fuzzyNamePairs(spark, sf0_001)
     val e = e0.select(col("name_a").as("src"), col("name_b").as("dst"))
