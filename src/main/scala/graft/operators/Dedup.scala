@@ -2011,61 +2011,13 @@ object Dedup {
     // argument); survivorship is one aggregate over matched names.
     // 4 hybrid CC rounds converge any fixture component (pointer
     // jumping doubles reach per round; fixpoint pinned rounds=4 vs 5).
-    QueryDef("x184_golden_record",
-      """WITH RECURSIVE nm AS (
-        |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts,
-        |         CAST(min(round(p_retailprice * 100)) AS BIGINT)
-        |           AS min_cents,
-        |         CAST(max(round(p_retailprice * 100)) AS BIGINT)
-        |           AS max_cents
-        |  FROM part GROUP BY 1
-        |), tk AS (
-        |  SELECT name, string_split(name, ' ')[1] AS adj,
-        |         string_split(name, ' ')[-1] AS noun
-        |  FROM nm
-        |), e0 AS (
-        |  SELECT a.name AS src, b.name AS dst
-        |  FROM tk a JOIN tk b
-        |    ON (a.noun = b.noun OR a.adj = b.adj) AND a.name < b.name
-        |  WHERE round(1e-9 + jaro_winkler_similarity(a.name, b.name), 6)
-        |        >= 0.85
-        |), e AS (
-        |  SELECT src, dst FROM e0
-        |  UNION
-        |  SELECT dst AS src, src AS dst FROM e0
-        |), r AS (
-        |  SELECT src AS node, src AS m FROM e
-        |  UNION
-        |  SELECT e.src AS node, r.m FROM e JOIN r ON r.node = e.dst
-        |), c AS (
-        |  SELECT node, min(m) AS comp FROM r GROUP BY node
-        |)
-        |SELECT c.comp AS canonical_name,
-        |       CAST(count(*) AS BIGINT) AS n_variants,
-        |       CAST(sum(nm.n_parts) AS BIGINT) AS n_parts,
-        |       CAST(min(nm.min_cents) AS BIGINT) AS min_cents,
-        |       CAST(max(nm.max_cents) AS BIGINT) AS max_cents
-        |FROM c JOIN nm ON nm.name = c.node
-        |GROUP BY 1 HAVING count(*) >= 2
-        |ORDER BY canonical_name""".stripMargin) { (s, d) =>
-      val nm = Tables.part(s, d)
-        .groupBy(col("p_name").as("name"))
-        .agg(count(lit(1)).as("n_parts"),
-          min(round(col("p_retailprice") * 100).cast("long")).as("min_cents"),
-          max(round(col("p_retailprice") * 100).cast("long")).as("max_cents"))
+    QueryDef("x184_golden_record", Dedup.x184OracleSql) { (s, d) =>
       val e0 = fuzzyNamePairs(s, d)
       val e = e0.select(col("name_a").as("src"), col("name_b").as("dst"))
         .union(e0.select(col("name_b").as("src"), col("name_a").as("dst")))
         .distinct()
         .localCheckpoint() // match-graph-sized; feeds every CC round
-      Corpus.ccLabels(e, rounds = 4)
-        .join(nm, col("node") === col("name"))
-        .groupBy(col("comp").as("canonical_name"))
-        .agg(count(lit(1)).as("n_variants"), sum(col("n_parts")).as("n_parts"),
-          min(col("min_cents")).as("min_cents"),
-          max(col("max_cents")).as("max_cents"))
-        .filter(col("n_variants") >= 2)
-        .orderBy(col("canonical_name"))
+      goldenRecords(e, nameStatsDelta(Tables.part(s, d)))
     },
 
     // BLOCKING-QUALITY AUDIT — the record-linkage meta-step that decides
@@ -2350,6 +2302,71 @@ object Dedup {
       perL.reduce(_.unionByName(_)).orderBy(col("win_len"))
     }
   )
+
+  /** x184's relational answer — shared VERBATIM with st28's streaming
+    * golden-record maintenance (the x183↔st27 one-definition contract).
+    * `lazy`: referenced from the entries Seq above, which initializes
+    * before this val in declaration order. */
+  private[graft] lazy val x184OracleSql: String =
+    """WITH RECURSIVE nm AS (
+      |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts,
+      |         CAST(min(round(p_retailprice * 100)) AS BIGINT)
+      |           AS min_cents,
+      |         CAST(max(round(p_retailprice * 100)) AS BIGINT)
+      |           AS max_cents
+      |  FROM part GROUP BY 1
+      |), tk AS (
+      |  SELECT name, string_split(name, ' ')[1] AS adj,
+      |         string_split(name, ' ')[-1] AS noun
+      |  FROM nm
+      |), e0 AS (
+      |  SELECT a.name AS src, b.name AS dst
+      |  FROM tk a JOIN tk b
+      |    ON (a.noun = b.noun OR a.adj = b.adj) AND a.name < b.name
+      |  WHERE round(1e-9 + jaro_winkler_similarity(a.name, b.name), 6)
+      |        >= 0.85
+      |), e AS (
+      |  SELECT src, dst FROM e0
+      |  UNION
+      |  SELECT dst AS src, src AS dst FROM e0
+      |), r AS (
+      |  SELECT src AS node, src AS m FROM e
+      |  UNION
+      |  SELECT e.src AS node, r.m FROM e JOIN r ON r.node = e.dst
+      |), c AS (
+      |  SELECT node, min(m) AS comp FROM r GROUP BY node
+      |)
+      |SELECT c.comp AS canonical_name,
+      |       CAST(count(*) AS BIGINT) AS n_variants,
+      |       CAST(sum(nm.n_parts) AS BIGINT) AS n_parts,
+      |       CAST(min(nm.min_cents) AS BIGINT) AS min_cents,
+      |       CAST(max(nm.max_cents) AS BIGINT) AS max_cents
+      |FROM c JOIN nm ON nm.name = c.node
+      |GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY canonical_name""".stripMargin
+
+  /** x184's per-name survivorship partial over a part slice — every
+    * field mergeable (count sums, cents min/max; cents converted per ROW
+    * before any aggregate, the x175 money rule), which is what lets st28
+    * fold it per micro-batch. */
+  private[graft] def nameStatsDelta(part: DataFrame): DataFrame =
+    part.groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(round(col("p_retailprice") * 100).cast("long")).as("min_cents"),
+        max(round(col("p_retailprice") * 100).cast("long")).as("max_cents"))
+
+  /** x184's finish from a symmetric match-edge list + per-name stats —
+    * CC canonicals then survivorship. Shared VERBATIM with st28's
+    * streaming maintenance (the x183↔st27 one-definition contract). */
+  private[graft] def goldenRecords(e: DataFrame, nm: DataFrame): DataFrame =
+    Corpus.ccLabels(e, rounds = 4)
+      .join(nm, col("node") === col("name"))
+      .groupBy(col("comp").as("canonical_name"))
+      .agg(count(lit(1)).as("n_variants"), sum(col("n_parts")).as("n_parts"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+      .filter(col("n_variants") >= 2)
+      .orderBy(col("canonical_name"))
 
   /** x159's blocked-and-verified match pairs, reduced to the edge list
     * (name_a < name_b, rounded JW ≥ 0.85) — x184's entity-resolution

@@ -267,6 +267,36 @@ object Streams {
     stage.toString
   }
 
+  /** Stage PART split in two disjoint halves (by p_partkey parity) —
+    * st28's streaming ingest source. Content-keyed like the others. */
+  private[graft] def stagePartSplit(s: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "part.parquet")
+    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_partsplit_v1_${graft.ContentKey.key(src)}"))
+    if (!java.nio.file.Files.exists(stage.resolve("_DONE"))) {
+      java.nio.file.Files.createDirectories(stage)
+      Seq(0, 1).foreach { par =>
+        val tmp = stage.resolve(s"tmp_$par")
+        graft.Tables.part(s, dir)
+          .filter(col("p_partkey") % 2 === par)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally l.close()
+        }
+        java.nio.file.Files.move(part, stage.resolve(s"batch_$par.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val rest = java.nio.file.Files.list(tmp)
+        try rest.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally rest.close()
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
+      java.nio.file.Files.createFile(stage.resolve("_DONE"))
+    }
+    stage.toString
+  }
+
   /** Stage EMBEDDINGS split in two disjoint halves (by vec_id parity) —
     * st21's streaming ingest source. Content-keyed like the others. */
   private[graft] def stageEmbeddingsSplit(s: SparkSession, dir: String): String = {
@@ -1877,6 +1907,86 @@ object Streams {
           .start()
         try q.processAllAvailable() finally q.stop()
         graft.operators.Mining.packingPlan(ss.read.parquet(stDir))
+      }
+    },
+
+    // STREAMING GOLDEN-RECORD MAINTENANCE — the NINTH Δ-maintained
+    // family: incremental ENTITY RESOLUTION. Part micro-batches fold two
+    // states: (a) per-name survivorship partials (count sums, cents
+    // min/max — all mergeable), and (b) the fuzzy-match edge set, grown
+    // by blocking ONLY the names first seen in this batch against the
+    // accumulated name dictionary (a pair lands exactly once, in the
+    // batch where its LATER endpoint first appears — so the folded edge
+    // set equals the full-corpus blocked join regardless of slicing).
+    // Per-batch match cost is new-names × blocked candidates, never a
+    // re-block of the whole dictionary; serving runs CC + survivorship
+    // on the template-sized state only, through the same goldenRecords
+    // definition as batch x184, whose oracle this answers VERBATIM.
+    QueryDef("st28_stream_golden_record",
+      graft.operators.Dedup.x184OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stagePartSplit(ss, d)
+        val stDir = graft.Warehouse.path(s"graft_stgolden_v1_${
+          graft.ContentKey.key(
+            java.nio.file.Paths.get(d, "part.parquet"))}")
+        resetDir(stDir)
+        val namesDir = s"$stDir/names"; val edgesDir = s"$stDir/edges"
+        val q = ss.readStream.schema(ss.read.parquet(stage).schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            def has(p: String) = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(p, "_SUCCESS"))
+            val delta = graft.operators.Dedup.nameStatsDelta(batch)
+              .localCheckpoint() // sever from the state file being replaced
+            val prior =
+              if (has(namesDir)) spark.read.parquet(namesDir)
+              else delta.limit(0)
+            // (b) first: new names = in delta, absent from prior state
+            val newNames = delta.select(col("name"))
+              .join(prior.select(col("name")), Seq("name"), "left_anti")
+            def tk(df: DataFrame) = df.select(col("name"),
+              element_at(split(col("name"), " "), 1).as("adj"),
+              element_at(split(col("name"), " "), -1).as("noun"))
+            val allNames = prior.select(col("name"))
+              .union(delta.select(col("name"))).distinct()
+            val newTk = tk(newNames).localCheckpoint()
+            val allTk = tk(allNames).localCheckpoint()
+            def block(key: String) = newTk
+              .select(col("name").as("na"), col(key).as("k"))
+              .join(allTk.select(col("name").as("nb"), col(key).as("k")),
+                "k")
+              .filter(col("na") =!= col("nb"))
+              .select(least(col("na"), col("nb")).as("src"),
+                greatest(col("na"), col("nb")).as("dst"))
+            val newEdges = block("noun").union(block("adj")).distinct()
+              .filter(graft.functions.Num.roundOut(
+                graft.plans.JaroWinkler(col("src"), col("dst")), 6)
+                >= 0.85)
+            val priorEdges =
+              if (has(edgesDir)) spark.read.parquet(edgesDir)
+              else newEdges.limit(0)
+            priorEdges.unionByName(newEdges).distinct()
+              .localCheckpoint()
+              .write.mode("overwrite").parquet(edgesDir)
+            // (a) then: fold the survivorship partials
+            prior.unionByName(delta)
+              .groupBy(col("name"))
+              .agg(sum(col("n_parts")).as("n_parts"),
+                min(col("min_cents")).as("min_cents"),
+                max(col("max_cents")).as("max_cents"))
+              .localCheckpoint()
+              .write.mode("overwrite").parquet(namesDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val half = ss.read.parquet(edgesDir)
+        val sym = half
+          .union(half.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct().localCheckpoint()
+        graft.operators.Dedup.goldenRecords(sym, ss.read.parquet(namesDir))
       }
     }
   )

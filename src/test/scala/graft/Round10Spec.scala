@@ -91,6 +91,15 @@ class Round10Spec extends AnyFunSuite {
     assert(streamed == batch, "stream==batch must hold row-for-row")
   }
 
+  test("st28: the streaming golden-record state answers the batch x184 report verbatim") {
+    val batch = SparkEntry.queries("x184_golden_record")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toList
+    val streamed = SparkEntry.queries("st28_stream_golden_record")(
+      spark, sf0_001).collect().map(_.toSeq.toList).toList
+    assert(batch.nonEmpty)
+    assert(streamed == batch, "stream==batch must hold row-for-row")
+  }
+
   test("x185: union blocking reaches full recall and every scheme strictly reduces the pair space") {
     val rep = SparkEntry.queries("x185_blocking_audit")(spark, sf0_001)
       .collect()
