@@ -1442,6 +1442,120 @@ object Mining {
           expr("top_c * 1000000 div n_bigrams").as("top_bigram_ppm"),
           expr("dup_tri * 1000000 div n_trigrams").as("dup_trigram_ppm"))
         .orderBy(col("doc_id"))
+    },
+
+    // PPS SYSTEMATIC WEIGHTED SAMPLE — probability-proportional-to-size
+    // sampling without replacement, the deterministic integer-exact
+    // alternative to A-ES/priority sampling (Efraimidis–Spirtsis needs
+    // per-row transcendentals; systematic PPS is the survey-statistics
+    // workhorse, Madow 1949): lay k equally-spaced grid points over the
+    // cumulative-weight line (offsets at odd multiples of tot/2k) and
+    // pick the doc whose weight interval contains each point. A doc's
+    // pick count is then f(cum) − f(cum − w) with
+    // f(x) = min(k, ⌊(2kx + tot − 1) / 2tot⌋) — pure int64 arithmetic
+    // (guards: Σ picks = k exactly; ⌊kw/tot⌋ ≤ picks ≤ ⌈kw/tot⌉, the
+    // systematic-PPS inclusion bound — both pinned in Round10Spec).
+    //
+    // Scale: the only global structure is the INCLUSIVE PREFIX SUM over
+    // doc_id order — Ranks.twoPassCumsum, the distributed two-pass form
+    // (local cumsums per order-preserving bucket + broadcast bucket
+    // offsets); buckets come from doc_id scaled against the broadcast
+    // max, so they stay 4096-ary and balanced at any corpus size. No
+    // data-sized single-reducer window anywhere.
+    QueryDef("x187_pps_systematic",
+      """WITH w AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+        |  FROM documents WHERE n_chars > 0
+        |), c AS (
+        |  SELECT doc_id, w, CAST(sum(w) OVER (ORDER BY doc_id) AS BIGINT)
+        |           AS cum
+        |  FROM w
+        |), t AS (
+        |  SELECT CAST(sum(w) AS BIGINT) AS tot, CAST(20 AS BIGINT) AS k
+        |  FROM w
+        |), sel AS (
+        |  SELECT doc_id, w, cum,
+        |         least(t.k, (2*t.k*cum + t.tot - 1) // (2*t.tot))
+        |         - least(t.k, (2*t.k*(cum - w) + t.tot - 1) // (2*t.tot))
+        |           AS n_picks
+        |  FROM c, t
+        |)
+        |SELECT doc_id, w, cum, n_picks FROM sel
+        |WHERE n_picks >= 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Tables.documents(s, d).filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+      // broadcast-of-scalar max keys the 4096-ary order-preserving bucket
+      val mx = w.agg(max(col("doc_id")).as("__mx"))
+      val keyed = w.crossJoin(broadcast(mx))
+      val c = Ranks.twoPassCumsum(keyed, Seq(),
+        expr("doc_id * 4096 div (__mx + 1)"),
+        Seq(col("doc_id")), col("w"), "cum").drop("__mx")
+      val tot = w.agg(sum(col("w")).as("tot"))
+        .withColumn("k", lit(20L))
+      c.crossJoin(broadcast(tot))
+        .withColumn("n_picks",
+          expr("least(k, (2*k*cum + tot - 1) div (2*tot))") -
+          expr("least(k, (2*k*(cum - w) + tot - 1) div (2*tot))"))
+        .filter(col("n_picks") >= 1)
+        .select(col("doc_id"), col("w"), col("cum"), col("n_picks"))
+        .orderBy(col("doc_id"))
+    },
+
+    // INTER-DOCUMENT NOVELTY AUDIT — the memorization-risk signal
+    // between x186 (WITHIN-doc repetition) and the pairwise near-dup
+    // tier (x01–x04): per document, what share of its trigram
+    // OCCURRENCES is also found in at least one OTHER document? High
+    // shared_ppm ≈ boilerplate/template mass the dedup tier missed
+    // (pairwise misses many-to-many mosaic duplication); low = novel
+    // text. Exact integer ppm — occurrences weighted, self-repeats
+    // within one doc do NOT count as shared (df counts DOCUMENTS).
+    //
+    // Scale: one trigram fact table (rows ∝ tokens — the volume every
+    // token op here shuffles), one gram-keyed df aggregate, one
+    // gram-keyed join back: three hash shuffles on the corpus's natural
+    // keys, no pairs, no windows. The df table is vocab³-bounded in
+    // theory, corpus-bounded in practice — same footprint as the x04
+    // shingle join.
+    QueryDef("x188_novelty_audit",
+      """WITH tl AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), tg AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(t)-2),
+        |         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        |  FROM tl WHERE len(t) >= 3
+        |), pg AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM tg GROUP BY 1, 2
+        |), gf AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS df FROM pg GROUP BY 1
+        |)
+        |SELECT p.doc_id,
+        |       CAST(sum(p.c) AS BIGINT) AS n_trigrams,
+        |       CAST(sum(CASE WHEN gf.df >= 2 THEN p.c ELSE 0 END)
+        |            AS BIGINT) AS n_shared,
+        |       CAST(sum(CASE WHEN gf.df >= 2 THEN p.c ELSE 0 END)
+        |            * 1000000 // sum(p.c) AS BIGINT) AS shared_ppm
+        |FROM pg p JOIN gf USING (g)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pg = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          .as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // gram fact table read by BOTH the df agg and the join
+      val gf = pg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      pg.join(gf, "g")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_trigrams"),
+          sum(when(col("df") >= 2, col("c")).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_trigrams"), col("n_shared"),
+          expr("n_shared * 1000000 div n_trigrams").as("shared_ppm"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -51,6 +51,33 @@ object Ranks {
       .drop("__bkt", "__lrn")
   }
 
+  /** TWO-PASS DISTRIBUTED PREFIX SUM — [[twoPassRank]]'s shape with a
+    * running `sum(valCol)` instead of a row count: local cumulative sums
+    * within each (partition, bucket) run in parallel, the per-bucket
+    * TOTALS (a bounded table) prefix-sum into offsets, broadcast, add.
+    * `orderCols` must be a total order (ties would make the row-based
+    * running sum nondeterministic); `bkt` as in [[twoPassRank]]. The
+    * result column is the INCLUSIVE prefix sum. */
+  def twoPassCumsum(df: DataFrame, partCols: Seq[String], bkt: Column,
+      orderCols: Seq[Column], valCol: Column,
+      outName: String = "cum"): DataFrame = {
+    val keyed = df.withColumn("__bkt", bkt).withColumn("__v", valCol)
+    val keyCols = partCols :+ "__bkt"
+    val local = keyed.withColumn("__lcs", sum(col("__v")).over(
+      Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val offs = keyed.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__v")).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(
+          Window.partitionBy(partCols.map(col): _*).orderBy(col("__bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((keyCols.map(col) :+ col("__off")): _*)
+    local.join(broadcast(offs), keyCols)
+      .withColumn(outName, col("__lcs") + col("__off"))
+      .drop("__bkt", "__lcs", "__v")
+  }
+
   /** Order-preserving bucket for a DOUBLE order key with UNKNOWN range,
     * derived from the value's binary exponent — no bounds pass needed:
     * positives map to 2000 + ⌊log₂ v⌋ (∈ [926, ~3024]), zero to 0,

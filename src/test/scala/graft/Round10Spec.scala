@@ -152,6 +152,54 @@ class Round10Spec extends AnyFunSuite {
     assert(checked == got.size, "every reported doc recounted")
   }
 
+  test("x187: systematic PPS conserves k and respects the inclusion bound") {
+    val k = 20L
+    val rep = SparkEntry.queries("x187_pps_systematic")(spark, sf0_001)
+      .collect()
+    assert(rep.map(_.getAs[Long]("n_picks")).sum == k, "sum of picks = k")
+    val tot = Tables.documents(spark, sf0_001).filter(col("n_chars") > 0)
+      .agg(sum(col("n_chars"))).head.getLong(0)
+    rep.foreach { r =>
+      val w = r.getAs[Long]("w"); val p = r.getAs[Long]("n_picks")
+      assert(p >= k * w / tot && p <= (k * w + tot - 1) / tot,
+        s"doc ${r.getAs[Long]("doc_id")}: picks $p outside [⌊kw/tot⌋,⌈kw/tot⌉]")
+    }
+    // unsampled docs must also satisfy the bound: ⌊kw/tot⌋ = 0 for them
+    val sampled = rep.map(_.getAs[Long]("doc_id")).toSet
+    Tables.documents(spark, sf0_001).filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars")).collect().foreach { r =>
+        if (!sampled(r.getLong(0)))
+          assert(k * r.getLong(1) / tot == 0L,
+            s"doc ${r.getLong(0)} deserved a pick but got none")
+      }
+  }
+
+  test("x188: per-doc shared-trigram shares match a plain Scala recount") {
+    val got = SparkEntry.queries("x188_novelty_audit")(spark, sf0_001)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+      .filter(_._2.length >= 3)
+    val perDoc = docs.map { case (id, t) =>
+      id -> t.sliding(3).map(_.mkString(" ")).toList
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val df = perDoc.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    assert(got.keySet == perDoc.keySet)
+    perDoc.foreach { case (id, grams) =>
+      val n = grams.values.sum
+      val shared = grams.collect {
+        case (g, c) if df(g) >= 2 => c
+      }.sum
+      val row = got(id)
+      assert(row.getAs[Long]("n_trigrams") == n, s"doc $id n_trigrams")
+      assert(row.getAs[Long]("n_shared") == shared, s"doc $id n_shared")
+      assert(row.getAs[Long]("shared_ppm") == shared * 1000000L / n)
+    }
+  }
+
   test("x184: CC over the fuzzy-match graph reaches fixpoint by round 4 and partitions the matched names") {
     val e0 = operators.Dedup.fuzzyNamePairs(spark, sf0_001)
     val e = e0.select(col("name_a").as("src"), col("name_b").as("dst"))
