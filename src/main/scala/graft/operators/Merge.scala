@@ -190,6 +190,67 @@ object Merge {
           Num.roundOut(col("a.value"), 4).as("old_value"),
           Num.roundOut(col("b.value"), 4).as("new_value"))
         .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // SCD TYPE-2 HISTORY RECONSTRUCTION — the other half of the SCD
+    // story (M1/x14 is Type-1 "overwrite"): rebuild the full
+    // validity-interval dimension from the raw event stream. Gaps-and-
+    // islands collapses each user's consecutive same-status events into
+    // one run (lag + running change count), then each run becomes an
+    // SCD2 row: [valid_from, valid_to) with NULL valid_to + is_current=1
+    // on the open run — the standard warehouse dimension shape
+    // (Kimball). Deterministic total order: (ts, event_id).
+    //
+    // Scale: every window partitions by user_id — the event table's
+    // natural high-cardinality key, one shuffle total since all three
+    // windows share the partitioning; no global sort; output rows =
+    // status runs.
+    QueryDef("x191_scd2_history",
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN lag(event_type) OVER w
+        |                   IS DISTINCT FROM event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), r AS (
+        |  SELECT user_id, ts, event_type,
+        |         CAST(sum(chg) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS BIGINT)
+        |           AS run_id
+        |  FROM e
+        |), runs AS (
+        |  SELECT user_id, run_id, min(event_type) AS status,
+        |         min(ts) AS valid_from, CAST(count(*) AS BIGINT)
+        |           AS n_events
+        |  FROM r GROUP BY 1, 2
+        |)
+        |SELECT user_id, run_id, status, valid_from,
+        |       lead(valid_from) OVER w2 AS valid_to, n_events,
+        |       CASE WHEN lead(valid_from) OVER w2 IS NULL
+        |            THEN 1 ELSE 0 END AS is_current
+        |FROM runs
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+        |ORDER BY user_id, run_id""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val e = Tables.events(s, d)
+        .withColumn("__prev", lag(col("event_type"), 1).over(byUser))
+        .withColumn("chg", when(col("__prev").isNull ||
+          col("__prev") =!= col("event_type"), 1L).otherwise(0L))
+      val r = e.withColumn("run_id", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val runs = r.groupBy(col("user_id"), col("run_id"))
+        .agg(min(col("event_type")).as("status"),
+          min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+      runs
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+        .select(col("user_id"), col("run_id"), col("status"),
+          col("valid_from"), col("valid_to"), col("n_events"),
+          when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+        .orderBy(col("user_id"), col("run_id"))
     }
   )
 }

@@ -1556,6 +1556,99 @@ object Mining {
         .select(col("doc_id"), col("n_trigrams"), col("n_shared"),
           expr("n_shared * 1000000 div n_trigrams").as("shared_ppm"))
         .orderBy(col("doc_id"))
+    },
+
+    // POSTING-LIST COMPRESSION PLAN — the index-layout decision behind
+    // the x129 BM25 index: per document-frequency band (⌊log₂ df⌋+1),
+    // what would the postings cost under delta-gap VARINT (the actual
+    // per-gap byte count from the REAL gaps, not a model), ELIAS-FANO
+    // (df·(2 + max(0, ⌊log₂(U/df)⌋)) bits, Vigna 2013), and a plain
+    // BITMAP (U bits/term) — and which encoding wins the band? The
+    // classic selection falls out of the data: dense bands → bitmap,
+    // sparse → EF/varint. All integer-exact: ⌊log₂ x⌋ is
+    // length(bin(x))−1 on both engines — no libm anywhere.
+    //
+    // Scale: postings stream from one distinct (term, doc) projection;
+    // the gap window partitions by TERM (the index's natural key — each
+    // posting list is one partition, exactly how a real indexer shards);
+    // the report is band-sized (≤64 rows at any corpus).
+    QueryDef("x190_posting_plan",
+      """WITH tok0 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents
+        |), tok AS (
+        |  SELECT DISTINCT doc_id, term FROM tok0
+        |), u AS (
+        |  SELECT CAST(max(doc_id) + 1 AS BIGINT) AS u FROM tok
+        |), g AS (
+        |  SELECT term,
+        |         CAST(coalesce(doc_id - lag(doc_id)
+        |                OVER (PARTITION BY term ORDER BY doc_id),
+        |              doc_id + 1) AS BIGINT) AS gap
+        |  FROM tok
+        |), pt AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |         CAST(sum(8 * ((len(bin(gap)) + 6) // 7)) AS BIGINT)
+        |           AS varint_bits
+        |  FROM g GROUP BY 1
+        |), pe AS (
+        |  SELECT term, df, varint_bits,
+        |         df * (2 + greatest(0, len(bin(u.u // df)) - 1))
+        |           AS ef_bits,
+        |         u.u AS bitmap_bits
+        |  FROM pt, u
+        |), band AS (
+        |  SELECT CAST(len(bin(df)) AS BIGINT) AS df_band,
+        |         CAST(count(*) AS BIGINT) AS n_terms,
+        |         CAST(sum(df) AS BIGINT) AS n_postings,
+        |         CAST(sum(varint_bits) AS BIGINT) AS varint_bits,
+        |         CAST(sum(ef_bits) AS BIGINT) AS ef_bits,
+        |         CAST(sum(bitmap_bits) AS BIGINT) AS bitmap_bits
+        |  FROM pe GROUP BY 1
+        |)
+        |SELECT df_band, n_terms, n_postings, varint_bits, ef_bits,
+        |       bitmap_bits,
+        |       varint_bits * 1000 // n_postings AS varint_milli_bpp,
+        |       ef_bits * 1000 // n_postings AS ef_milli_bpp,
+        |       CASE WHEN bitmap_bits <= least(varint_bits, ef_bits)
+        |              THEN 'bitmap'
+        |            WHEN ef_bits <= varint_bits THEN 'elias_fano'
+        |            ELSE 'varint' END AS pick
+        |FROM band ORDER BY df_band""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(Text.tokens(col("text"))).as("term"))
+        .distinct()
+        .localCheckpoint() // posting fact table; read by u and the gaps
+      val u = tok.agg((max(col("doc_id")) + 1).as("u"))
+      val g = tok.withColumn("gap", coalesce(
+        col("doc_id") - lag(col("doc_id"), 1).over(
+          Window.partitionBy(col("term")).orderBy(col("doc_id"))),
+        col("doc_id") + 1))
+      val pt = g.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          sum(expr("8 * (cast(length(bin(gap)) + 6 as bigint) div 7)"))
+            .as("varint_bits"))
+      val pe = pt.crossJoin(broadcast(u))
+        .select(col("df"), col("varint_bits"),
+          (col("df") * (lit(2) + greatest(lit(0),
+            length(bin(expr("u div df"))).cast("long") - 1)))
+            .as("ef_bits"),
+          col("u").as("bitmap_bits"))
+      pe.groupBy(length(bin(col("df"))).cast("long").as("df_band"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("n_postings"),
+          sum(col("varint_bits")).as("varint_bits"),
+          sum(col("ef_bits")).as("ef_bits"),
+          sum(col("bitmap_bits")).as("bitmap_bits"))
+        .select(col("df_band"), col("n_terms"), col("n_postings"),
+          col("varint_bits"), col("ef_bits"), col("bitmap_bits"),
+          expr("varint_bits * 1000 div n_postings").as("varint_milli_bpp"),
+          expr("ef_bits * 1000 div n_postings").as("ef_milli_bpp"),
+          when(col("bitmap_bits") <= least(col("varint_bits"),
+            col("ef_bits")), lit("bitmap"))
+            .when(col("ef_bits") <= col("varint_bits"), lit("elias_fano"))
+            .otherwise(lit("varint")).as("pick"))
+        .orderBy(col("df_band"))
     }
   )
 

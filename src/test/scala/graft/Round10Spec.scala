@@ -200,6 +200,90 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("x189: every estimator arm matches a plain Scala recount of the key synopses") {
+    val row = SparkEntry.queries("x189_join_cardinality")(spark, sf0_001)
+      .collect().head
+    val ev = Tables.events(spark, sf0_001)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def counts(t: String) = ev.filter(_._2 == t).groupBy(_._1)
+      .view.mapValues(_.length.toLong).toMap
+    val a = counts("click"); val b = counts("view")
+    val exact = a.keySet.intersect(b.keySet).toList.map(u => a(u) * b(u)).sum
+    assert(row.getAs[Long]("exact_pairs") == exact)
+    assert(row.getAs[Long]("n_a") == a.values.sum)
+    assert(row.getAs[Long]("d_b") == b.size.toLong)
+    assert(row.getAs[Long]("sj_a") == a.values.map(c => c * c).sum)
+    val sysr = a.values.sum * b.values.sum / math.max(a.size, b.size)
+    assert(row.getAs[Long]("sysr_est") == sysr)
+    val cs = 4L * a.keySet.intersect(b.keySet).toList
+      .filter(u => ((u * 2654435761L + 12345L) % 1000000007L) % 4 == 0)
+      .map(u => a(u) * b(u)).sum
+    assert(row.getAs[Long]("cs_est") == cs)
+    assert(row.getAs[Long]("cs_err_ppm") ==
+      math.abs(cs - exact) * 1000000L / exact)
+  }
+
+  test("x190: band totals conserve the posting mass and reprice a Scala recount") {
+    val bands = SparkEntry.queries("x190_posting_plan")(spark, sf0_001)
+      .collect()
+    val postings = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).distinct
+        .map(t => (t, r.getLong(0))))
+    val u = postings.map(_._2).max + 1
+    def bits(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val perTerm = postings.groupBy(_._1).map { case (t, ps) =>
+      val ids = ps.map(_._2).sorted
+      val gaps = (ids.head + 1) +: ids.sliding(2).collect {
+        case Array(x, y) => y - x }.toSeq
+      val varint = gaps.map(g => 8L * ((bits(g) + 6) / 7)).sum
+      val df = ids.length.toLong
+      val ef = df * (2L + math.max(0, bits(u / df) - 1))
+      (t, df, varint, ef)
+    }
+    assert(bands.map(_.getAs[Long]("n_postings")).sum ==
+      postings.length.toLong, "posting mass conserved")
+    assert(bands.map(_.getAs[Long]("n_terms")).sum == perTerm.size.toLong)
+    val byBand = perTerm.groupBy { case (_, df, _, _) => bits(df).toLong }
+    bands.foreach { r =>
+      val g = byBand(r.getAs[Long]("df_band"))
+      assert(r.getAs[Long]("varint_bits") == g.map(_._3).sum, "varint bits")
+      assert(r.getAs[Long]("ef_bits") == g.map(_._4).sum, "EF bits")
+      assert(r.getAs[Long]("bitmap_bits") == g.size.toLong * u)
+    }
+  }
+
+  test("x191: SCD2 intervals tile each user's event history exactly") {
+    val rows = SparkEntry.queries("x191_scd2_history")(spark, sf0_001)
+      .collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    val evCount = Tables.events(spark, sf0_001).groupBy(col("user_id"))
+      .agg(count(lit(1))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byUser.keySet == evCount.keySet)
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("run_id"))
+      // runs are 1..n with exactly one open (current) run, the last
+      assert(sorted.map(_.getAs[Long]("run_id")).toSeq ==
+        (1L to sorted.length).toSeq)
+      assert(sorted.count(_.getAs[Long]("is_current") == 1L) == 1)
+      assert(sorted.last.getAs[Long]("is_current") == 1L)
+      assert(sorted.last.get(sorted.last.fieldIndex("valid_to")) == null)
+      // intervals tile: run k's valid_to == run k+1's valid_from
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x.getAs[AnyRef]("valid_to") == y.getAs[AnyRef]("valid_from"),
+            s"user $u: intervals must tile")
+          assert(x.getAs[String]("status") != y.getAs[String]("status"),
+            s"user $u: adjacent runs must change status")
+        case _ =>
+      }
+      // every event is in exactly one run
+      assert(sorted.map(_.getAs[Long]("n_events")).sum == evCount(u))
+    }
+  }
+
   test("x184: CC over the fuzzy-match graph reaches fixpoint by round 4 and partitions the matched names") {
     val e0 = operators.Dedup.fuzzyNamePairs(spark, sf0_001)
     val e = e0.select(col("name_a").as("src"), col("name_b").as("dst"))
