@@ -2315,6 +2315,82 @@ object Analytics {
             .otherwise(expr(
               "abs(est - exact_pairs) * 1000000 div exact_pairs"))
             .as("cs_err_ppm"))
+    },
+
+    // STRICT ORDERED FUNNEL — the sequence-constrained conversion x153
+    // (a filter funnel on documents) and x103 (click→purchase latency,
+    // order-free) don't express: users completing click THEN view THEN
+    // purchase, each step strictly after the previous AND within 24
+    // hours of it. The per-step anchor is the EARLIEST qualifying time
+    // (first click; first view after it; first purchase after that) —
+    // the standard product-analytics definition, deterministic without
+    // tiebreaks because min(ts) is order-free. Degenerate empty steps
+    // report the designed NULL, both engines.
+    //
+    // Scale: three user-keyed aggregates + two user-keyed equi-joins —
+    // one shuffle key throughout (user_id, the event table's natural
+    // partitioner); each step's anchor table is ≤ users rows; the
+    // report is 3 rows. No windows, no pairs.
+    QueryDef("x193_strict_funnel",
+      """WITH u0 AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'click' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+        |  GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+        |  GROUP BY 1
+        |), c AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM u0) AS n0,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3
+        |)
+        |SELECT 1 AS step, 'click' AS event, n1 AS n_users,
+        |       CASE WHEN n0 = 0 THEN NULL
+        |            ELSE n1 * 1000000 // n0 END AS conv_ppm FROM c
+        |UNION ALL SELECT 2, 'view', n2,
+        |       CASE WHEN n1 = 0 THEN NULL
+        |            ELSE n2 * 1000000 // n1 END FROM c
+        |UNION ALL SELECT 3, 'purchase', n3,
+        |       CASE WHEN n2 = 0 THEN NULL
+        |            ELSE n3 * 1000000 // n2 END FROM c
+        |ORDER BY step""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val s1 = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "view").as("e")
+        .join(s1, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").as("e")
+        .join(s2, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 24 HOUR"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val c = ev.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n0"))
+        .crossJoin(broadcast(s1.agg(count(lit(1)).as("n1"))))
+        .crossJoin(broadcast(s2.agg(count(lit(1)).as("n2"))))
+        .crossJoin(broadcast(s3.agg(count(lit(1)).as("n3"))))
+      def stepRow(k: Int, ev0: String, n: String, prev: String) =
+        c.select(lit(k).as("step"), lit(ev0).as("event"),
+          col(n).as("n_users"),
+          when(col(prev) === 0, lit(null).cast("long"))
+            .otherwise(expr(s"$n * 1000000 div $prev")).as("conv_ppm"))
+      stepRow(1, "click", "n1", "n0")
+        .unionByName(stepRow(2, "view", "n2", "n1"))
+        .unionByName(stepRow(3, "purchase", "n3", "n2"))
+        .orderBy(col("step"))
     }
   )
 
