@@ -2280,10 +2280,15 @@ object Analytics {
         |SELECT ca.n AS n_a, cb.n AS n_b, ca.d AS d_a, cb.d AS d_b,
         |       ca.sj AS sj_a, cb.sj AS sj_b, ex.exact_pairs,
         |       ca.n * cb.n // greatest(ca.d, cb.d) AS sysr_est,
-        |       abs(ca.n * cb.n // greatest(ca.d, cb.d) - ex.exact_pairs)
-        |         * 1000000 // ex.exact_pairs AS sysr_err_ppm,
+        |       CASE WHEN ex.exact_pairs IS NULL OR ex.exact_pairs = 0
+        |            THEN NULL
+        |            ELSE abs(ca.n * cb.n // greatest(ca.d, cb.d)
+        |                     - ex.exact_pairs)
+        |                 * 1000000 // ex.exact_pairs
+        |       END AS sysr_err_ppm,
         |       cs.est AS cs_est,
-        |       CASE WHEN cs.est IS NULL THEN NULL
+        |       CASE WHEN cs.est IS NULL OR ex.exact_pairs IS NULL
+        |                 OR ex.exact_pairs = 0 THEN NULL
         |            ELSE abs(cs.est - ex.exact_pairs) * 1000000
         |                 // ex.exact_pairs
         |       END AS cs_err_ppm
@@ -2308,10 +2313,22 @@ object Analytics {
         .select(col("n_a"), col("n_b"), col("d_a"), col("d_b"),
           col("sj_a"), col("sj_b"), col("exact_pairs"),
           expr("n_a * n_b div greatest(d_a, d_b)").as("sysr_est"),
-          expr("abs(n_a * n_b div greatest(d_a, d_b) - exact_pairs)" +
-            " * 1000000 div exact_pairs").as("sysr_err_ppm"),
+          // BIGINT bound (ADVICE r8/x142 convention): n_a·n_b and the
+          // ppm numerators are exact int64 up to ~3·10⁹ rows per side —
+          // past that Spark's non-ANSI multiply wraps while DuckDB
+          // widens to HUGEINT. At that scale switch the estimate math
+          // to a DOUBLE escape arm (x142's auc_dbl pattern); at every
+          // tested SF the integer arm is exact. An empty key overlap is
+          // a DESIGNED NULL via the same explicit CASE on both engines
+          // (ADVICE r10), never an accidental div-by-zero NULL.
+          when(col("exact_pairs").isNull || col("exact_pairs") === 0,
+            lit(null).cast("long"))
+            .otherwise(expr(
+              "abs(n_a * n_b div greatest(d_a, d_b) - exact_pairs)" +
+              " * 1000000 div exact_pairs")).as("sysr_err_ppm"),
           col("est").as("cs_est"),
-          when(col("est").isNull, lit(null).cast("long"))
+          when(col("est").isNull || col("exact_pairs").isNull ||
+              col("exact_pairs") === 0, lit(null).cast("long"))
             .otherwise(expr(
               "abs(est - exact_pairs) * 1000000 div exact_pairs"))
             .as("cs_err_ppm"))

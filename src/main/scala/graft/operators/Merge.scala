@@ -236,8 +236,8 @@ object Merge {
         .orderBy(col("ts"), col("event_id"))
       val e = Tables.events(s, d)
         .withColumn("__prev", lag(col("event_type"), 1).over(byUser))
-        .withColumn("chg", when(col("__prev").isNull ||
-          col("__prev") =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("chg", when(!(col("__prev") <=> col("event_type")),
+          1L).otherwise(0L))
       val r = e.withColumn("run_id", sum(col("chg")).over(
         byUser.rowsBetween(Window.unboundedPreceding, 0)))
       val runs = r.groupBy(col("user_id"), col("run_id"))

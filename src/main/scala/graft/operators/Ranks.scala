@@ -75,7 +75,7 @@ object Ranks {
       .select((keyCols.map(col) :+ col("__off")): _*)
     local.join(broadcast(offs), keyCols)
       .withColumn(outName, col("__lcs") + col("__off"))
-      .drop("__bkt", "__lcs", "__v")
+      .drop("__bkt", "__lcs", "__v", "__off")
   }
 
   /** Order-preserving bucket for a DOUBLE order key with UNKNOWN range,

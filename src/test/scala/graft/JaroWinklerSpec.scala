@@ -45,6 +45,31 @@ class JaroWinklerSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel matches DuckDB on MULTI-BYTE UTF-8 (byte-unit window/prefix semantics)") {
+    // ADVICE r10: the byte-level rewrite claimed non-ASCII parity but
+    // was only ASCII-differential-tested. These values are probed from
+    // DuckDB 1.0 (the oracle binary): accented Latin (2-byte seqs), CJK
+    // (3-byte seqs), Greek, and mixed — exercising the window, prefix
+    // bonus, and transposition paths measured in BYTES, which is what
+    // both this kernel and DuckDB's similarity operate on.
+    val cases = Seq(
+      ("café", "cafe", 0.8483333333333334),
+      ("café", "café", 1.0),
+      ("naïve", "naive", 0.8577777777777779),
+      ("Müller", "Mueller", 0.8285714285714287),
+      ("Müller", "Muller", 0.8642857142857143),
+      ("日本語", "日本話", 0.9111111111111111),
+      ("东京都", "京都", 0.8999999999999999),
+      ("señor", "senior", 0.8222222222222222),
+      ("Ångström", "Angstrom", 0.7833333333333333),
+      ("Πλάτων", "Πλατων", 0.9666666666666666),
+      ("smörgåsbord", "smorgasbord", 0.8694638694638694),
+      ("München", "Munchen", 0.8821428571428571))
+    cases.foreach { case (a, b, exp) =>
+      assert(math.abs(jw(a, b) - exp) < 1e-12, s"jw($a, $b) = ${jw(a, b)}")
+    }
+  }
+
   test("kernel properties: symmetry, range, identity, single-char window") {
     val words = Seq("cold", "widget", "large", "bolt", "blue", "rod",
       "co1d", "wdget", "bollt", "a", "ab", "")

@@ -180,13 +180,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected TakeOrderedAndProject in ${nodes.map(_.getClass.getSimpleName).distinct}")
   }
 
-  test("x33 k-means: centroids broadcast; assignment never plans a cartesian product") {
+  test("x33 k-means: reads the persisted kmlists artifact; never plans a cartesian product") {
+    // Since the x33/x34/x60 routing through the shared k-means inverted
+    // file, x33's executed plan is an artifact scan — the k×corpus
+    // broadcast assignment happens once at artifact-build time, not per
+    // query. Pin the artifact scan (mirrors the x60 pin below) and keep
+    // the no-cartesian ban.
     val nodes = executedAll(SparkEntry.queries("x33_kmeans")(spark, sf0_001))
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
       "k×corpus assignment must be a broadcast, not a cartesian")
-    assert(nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) ||
-      nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
-      "centroid set must reach the corpus via broadcast")
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.exists(_.metadata.get("Location")
+        .exists(_.contains("graft_kmlists"))),
+      s"x33 must scan the persisted kmlists artifact, saw: " +
+        scans.flatMap(_.metadata.get("Location")).mkString(", "))
   }
 
   test("q64 running distinct: ONE hash exchange serves both window specs") {
