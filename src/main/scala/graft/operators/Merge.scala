@@ -232,25 +232,117 @@ object Merge {
         |FROM runs
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
         |ORDER BY user_id, run_id""".stripMargin) { (s, d) =>
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val e = Tables.events(s, d)
-        .withColumn("__prev", lag(col("event_type"), 1).over(byUser))
-        .withColumn("chg", when(!(col("__prev") <=> col("event_type")),
-          1L).otherwise(0L))
-      val r = e.withColumn("run_id", sum(col("chg")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, 0)))
-      val runs = r.groupBy(col("user_id"), col("run_id"))
-        .agg(min(col("event_type")).as("status"),
-          min(col("ts")).as("valid_from"),
-          count(lit(1)).as("n_events"))
-      val w2 = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
-      runs
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
-        .select(col("user_id"), col("run_id"), col("status"),
-          col("valid_from"), col("valid_to"), col("n_events"),
-          when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+      Merge.scd2Runs(Tables.events(s, d))
         .orderBy(col("user_id"), col("run_id"))
+    },
+
+    // SCD2 POINT-IN-TIME (AS-OF) ENRICHMENT — the consumer x191's
+    // dimension exists FOR: enrich each purchase event with the status
+    // run valid at its timestamp. The dimension is the SCD2 history
+    // over the user's NON-purchase activity (so dimension and probe are
+    // genuinely distinct streams); the as-of semantics are the standard
+    // [valid_from, next valid_from) interval with valid_from == ts
+    // counting as valid (dim-before-probe tiebreak). A purchase before
+    // the user's first non-purchase run carries the DESIGNED NULL —
+    // there is no dimension version to attribute it to.
+    //
+    // Scale: the J5/q12 as-of pattern — dimension markers and probes
+    // UNION into one user-partitioned carry-forward window (a single
+    // user-keyed shuffle; the event table's natural key), never a
+    // ts-range nested-loop join (PlanShapeSpec bans BNLJ/cartesian).
+    // The within-(user, ts, kind) tiebreak key `sk` (run_id for
+    // markers, event_id for probes) makes the carry-forward order TOTAL
+    // and null-free on both engines — simultaneous-timestamp runs
+    // resolve to the later run deterministically.
+    QueryDef("x195_scd2_pointintime",
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN lag(event_type) OVER w
+        |                   IS DISTINCT FROM event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM events WHERE event_type <> 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), r AS (
+        |  SELECT user_id, ts, event_type,
+        |         CAST(sum(chg) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS BIGINT)
+        |           AS run_id
+        |  FROM e
+        |), runs AS (
+        |  SELECT user_id, run_id, min(event_type) AS status,
+        |         min(ts) AS valid_from
+        |  FROM r GROUP BY 1, 2
+        |), m AS (
+        |  SELECT user_id, valid_from AS ts, 0 AS kind, run_id AS sk,
+        |         run_id AS d_run, status AS d_status,
+        |         CAST(NULL AS BIGINT) AS event_id
+        |  FROM runs
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, event_id, CAST(NULL AS BIGINT),
+        |         CAST(NULL AS VARCHAR), event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |), f AS (
+        |  SELECT user_id, kind, event_id,
+        |         last_value(d_run IGNORE NULLS) OVER w AS run_id,
+        |         last_value(d_status IGNORE NULLS) OVER w AS status
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, sk
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, run_id, status
+        |FROM f WHERE kind = 1
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val dim = Merge.scd2Runs(ev.filter(col("event_type") =!= "purchase"))
+        .select(col("user_id"), col("valid_from").as("ts"),
+          lit(0).as("kind"), col("run_id").as("sk"),
+          col("run_id").as("d_run"), col("status").as("d_status"),
+          lit(null).cast("long").as("event_id"))
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          col("event_id").as("sk"), lit(null).cast("long").as("d_run"),
+          lit(null).cast("string").as("d_status"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("sk"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dim.unionByName(probe)
+        .withColumn("run_id", last(col("d_run"), ignoreNulls = true).over(w))
+        .withColumn("status",
+          last(col("d_status"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("run_id"),
+          col("status"))
+        .orderBy(col("event_id"))
     }
   )
+
+  /** x191's SCD2 run table from an event slice — shared by the history
+    * query itself and x195's point-in-time consumer (one definition, so
+    * the dimension the as-of join reads can't drift from the dimension
+    * the history query emits). Gaps-and-islands: lag + running change
+    * count collapses consecutive same-status events per user into runs;
+    * each run becomes [valid_from, valid_to) with the open run flagged
+    * current. All three windows share the user_id partitioning — one
+    * shuffle. The change flag is null-safe (`<=>` negation — IS
+    * DISTINCT FROM; ADVICE r10). */
+  private[graft] def scd2Runs(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = ev
+      .withColumn("__prev", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg", when(!(col("__prev") <=> col("event_type")),
+        1L).otherwise(0L))
+    val r = e.withColumn("run_id", sum(col("chg")).over(
+      byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val runs = r.groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("status"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .select(col("user_id"), col("run_id"), col("status"),
+        col("valid_from"), col("valid_to"), col("n_events"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+  }
 }

@@ -1364,6 +1364,76 @@ object Mining {
       Mining.packingPlan(Mining.packingBucketDelta(Tables.documents(s, d)))
     },
 
+    // SEQUENCE-PACKING EMISSION — x183 answers "how many sequences";
+    // this emits the actual loader manifest: every eligible document's
+    // (bin_id, token offset) under the same bucketed policy, so the
+    // training-shard writer (x18/x167's consumer role) can materialize
+    // packed sequences without a driver loop. Within a length bucket the
+    // assignment is pure arithmetic on the document's deterministic rank
+    // (bin = rank div docs-per-seq, offset = (rank mod dps)·len); bins
+    // number globally via each bucket's running n_seqs base, so bin_id
+    // is dense across the corpus and agrees with x183's plan (Σ n_seqs,
+    // per-bucket bin counts — Round11Spec pins conservation, occupancy
+    // ≤ 512 tokens, and offset contiguity against brute force).
+    //
+    // Scale: the per-bucket rank runs through Ranks.twoPassRank (bucket
+    // key `l` is ≤512 distinct values — a partitioned window would put
+    // a billion-doc bucket on one reducer; the two-pass rank spreads it
+    // over the doc_id exponent sub-buckets). The bin-base prefix sum is
+    // a window over the ≤512-row plan table (enrolled bounded site),
+    // broadcast back. One corpus pass, one bounded broadcast — the
+    // manifest is emitted partition-parallel with no doc×doc anything.
+    QueryDef("x194_packing_emission",
+      """WITH tc AS (
+        |  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
+        |                w -> len(w) > 0)) AS BIGINT) AS n
+        |  FROM documents
+        |), t2 AS (
+        |  SELECT doc_id, least(n, 512) AS l FROM tc WHERE n > 0
+        |), p AS (
+        |  SELECT l, CAST(count(*) AS BIGINT) AS n_docs, 512 // l AS dps
+        |  FROM t2 GROUP BY l
+        |), q AS (
+        |  SELECT l, dps, (n_docs + dps - 1) // dps AS n_seqs FROM p
+        |), base AS (
+        |  SELECT l, dps,
+        |         CAST(COALESCE(SUM(n_seqs) OVER (ORDER BY l
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS bin_base
+        |  FROM q
+        |), r AS (
+        |  SELECT doc_id, l,
+        |         CAST(row_number() OVER (PARTITION BY l ORDER BY doc_id)
+        |           AS BIGINT) AS rn
+        |  FROM t2
+        |)
+        |SELECT r.doc_id, r.l AS len,
+        |       CAST(base.bin_base + (rn - 1) // base.dps AS BIGINT)
+        |         AS bin_id,
+        |       CAST(((rn - 1) % base.dps) * r.l AS BIGINT) AS tok_offset
+        |FROM r JOIN base ON r.l = base.l
+        |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+      val t2 = Tables.documents(s, d)
+        .select(col("doc_id"),
+          least(size(filter(Text.tokens(col("text")),
+            w => length(w) > 0)), lit(512)).cast("long").as("l"))
+        .filter(col("l") > 0)
+      val base = Mining.packingBucketDelta(Tables.documents(s, d))
+        .withColumn("dps", expr("512 div l"))
+        .withColumn("n_seqs", expr("(n_docs + dps - 1) div dps"))
+        .withColumn("bin_base", coalesce(
+          sum(col("n_seqs")).over(Window.orderBy(col("l"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("l"), col("dps"), col("bin_base"))
+      Ranks.twoPassRank(t2, Seq("l"), Ranks.expBucket(col("doc_id")),
+          Seq(col("doc_id")), "rn")
+        .join(broadcast(base), Seq("l"))
+        .select(col("doc_id"), col("l").as("len"),
+          expr("bin_base + (rn - 1) div dps").as("bin_id"),
+          expr("((rn - 1) % dps) * l").as("tok_offset"))
+        .orderBy(col("doc_id"))
+    },
+
     // WITHIN-DOCUMENT REPETITION AUDIT — the Gopher/MassiveText-style
     // repetition quality signals (Rae et al. 2021 §A1.1) the x08 battery
     // lacks: boilerplate and degenerate generation show up as a single

@@ -360,6 +360,23 @@ class PlanShapeSpec extends AnyFunSuite {
         scans.map(_.metadata.get("PushedFilters")).mkString(", "))
   }
 
+  test("x195 as-of enrichment: union + carry-forward window, never a ts-range nested-loop join") {
+    // the J5/q12 as-of discipline: a [valid_from, valid_to) range
+    // predicate planned as a join would be a BNLJ/cartesian (every probe
+    // against every dimension version); the carry-forward shape keeps it
+    // one user-keyed shuffle
+    val nodes =
+      executedAll(SparkEntry.queries("x195_scd2_pointintime")(spark, sf0_001))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "as-of must not plan a nested-loop range join")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "as-of must not plan a cartesian")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]) &&
+      !nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the carry-forward shape has no join at all — a join here means " +
+        "the union pattern regressed to probe×dimension")
+  }
+
   test("x60 IVF-PQ: coarse lists come from the persisted inverted-file artifact, not a fresh assignment pass") {
     // r9's regression: x60 re-ran the corpus×centroid assignment inline
     // (crossJoin + rank window over every vector) instead of scanning the

@@ -49,6 +49,78 @@ class Round11Spec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("x194: the emitted packing manifest conserves docs, never overflows a bin, packs contiguously, and agrees with x183's plan") {
+    val rows = SparkEntry.queries("x194_packing_emission")(spark, sf0_001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // conservation: every eligible doc (nonzero token count) assigned
+    // exactly once, with its truncated length
+    val lens = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), least(size(filter(
+        graft.functions.Text.tokens(col("text")),
+        w => length(w) > 0)), lit(512)).cast("long").as("l"))
+      .filter(col("l") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet == lens.keySet)
+    assert(rows.length == lens.size, "one manifest row per eligible doc")
+    rows.foreach { case (id, len, _, _) => assert(len == lens(id)) }
+    // per bin: homogeneous length, ≤ 512 tokens, offsets are the
+    // contiguous arithmetic sequence 0, len, 2·len, …
+    rows.groupBy(_._3).foreach { case (bin, ds) =>
+      val ls = ds.map(_._2).distinct
+      assert(ls.length == 1, s"bin $bin mixes lengths ${ls.toSeq}")
+      assert(ds.map(_._2).sum <= 512L, s"bin $bin overflows the budget")
+      assert(ds.map(_._4).sorted.toSeq ==
+        ds.indices.map(i => i.toLong * ls.head),
+        s"bin $bin offsets not contiguous")
+    }
+    // agreement with the x183 plan: per length bucket, the manifest uses
+    // exactly n_seqs distinct bins, and bin ids are globally dense
+    val plan = SparkEntry.queries("x183_sequence_packing")(spark, sf0_001)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val binsPerLen = rows.groupBy(_._2).map { case (l, ds) =>
+      l -> ds.map(_._3).distinct.length.toLong
+    }
+    assert(binsPerLen == plan)
+    val allBins = rows.map(_._3).distinct.sorted
+    assert(allBins.toSeq == (0L until plan.values.sum).toSeq,
+      "bin ids must be dense 0..Σ n_seqs-1")
+  }
+
+  test("x195: the carry-forward as-of join equals a brute-force interval lookup against the SCD2 dimension") {
+    // brute force: rebuild the non-purchase runs per user from collected
+    // events, then for each purchase find the run with the greatest
+    // valid_from <= ts (later run wins at exact ties)
+    val evs = Tables.events(spark, sf0_001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val runsByUser = evs.filter(_._3 != "purchase").groupBy(_._2).map {
+      case (u, es) =>
+        val sorted = es.sortBy(e => (e._4, e._1)) // (ts, event_id)
+        val runs = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, Long)] // (run_id, status, valid_from)
+        sorted.foreach { e =>
+          if (runs.isEmpty || runs.last._2 != e._3)
+            runs += ((runs.length + 1L, e._3, e._4))
+        }
+        u -> runs.toList
+    }
+    val expected = evs.filter(_._3 == "purchase").map { p =>
+      val valid = runsByUser.getOrElse(p._2, Nil)
+        .filter(_._3 <= p._4)
+      val run = if (valid.isEmpty) None else Some(valid.maxBy(_._1))
+      List[Any](p._1, p._2,
+        run.map(r => r._1: java.lang.Long).orNull, run.map(_._2).orNull)
+    }.sortBy(_.head.asInstanceOf[Long]).toList
+    val got = SparkEntry.queries("x195_scd2_pointintime")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toList
+    assert(got == expected)
+    assert(got.nonEmpty && got.exists(_(3) != null),
+      "fixture must enrich at least one purchase")
+  }
+
   test("x193: an empty first stage reports the designed NULL downstream, not a div-by-zero accident") {
     val dir = java.nio.file.Files.createTempDirectory("x193deg").toString
     Tables.events(spark, sf0_001)

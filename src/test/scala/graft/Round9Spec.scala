@@ -1138,9 +1138,10 @@ class Round9Spec extends AnyFunSuite {
     *   source quota tables — group-cardinality-bounded); HITS rank
     *   (per-event-type table, ~5 rows); x171 Neyman + proportional
     *   remainder ranks ×2 (sources-sized quota table).
-    * Mining.scala (5): nDCG/MRR rank windows ×2 (post-limit(10)); hybrid
+    * Mining.scala (6): nDCG/MRR rank windows ×2 (post-limit(10)); hybrid
     *   RRF ranks ×2 (post-limit(64)); phrase-search top-2 rank (post-
-    *   limit(2)).
+    *   limit(2)); x194 bin-base prefix sum (≤512-row packing-plan table —
+    *   length-budget-bounded at any corpus size).
     * TextAnalysis.scala (4): global char-CDF over distinct n_chars
     *   (value-domain table); x142 running sum over the score-value
     *   domain (≤ 2·10⁶ + 1 rows); x153 funnel running sum (5-row rule
@@ -1161,7 +1162,7 @@ class Round9Spec extends AnyFunSuite {
     val allow = Map(
       "Analytics.scala" -> 8,
       "Corpus.scala" -> 8,
-      "Mining.scala" -> 5,
+      "Mining.scala" -> 6,
       "TextAnalysis.scala" -> 4,
       "Classic.scala" -> 1)
     def walk(f: java.io.File): Seq[java.io.File] =
