@@ -181,24 +181,32 @@ object Dedup {
     val tok = Tables.documents(s, d).select(col("doc_id"),
       explode(filter(array_distinct(Text.tokens(col("text"))),
         w => length(w) > 0)).as("tok"))
-    DerivedTable(s, d, "documents", "psimhash") {
-      val voc = tok.select(col("tok")).distinct()
-        .withColumn("h", Text.charHash(col("tok")))
-      val tb = voc.select(col("tok"), col("h"),
-          explode(sequence(lit(0), lit(31))).as("i"))
-        .withColumn("a", expr("(h + (i + 1) * 2654435761) & 4294967295"))
-      val t1 = tb.withColumn("a",
-        expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
-      val t2 = t1.withColumn("a",
-        expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
-      val tv = t2.select(col("tok"), col("i"),
-        when(expr("(shiftright(a, 16) ^ a) & 1") === 1, 1).otherwise(-1).as("v"))
-      tok.join(tv, "tok")
-        .groupBy(col("doc_id"), col("i"))
-        .agg(sum(col("v")).as("sv"))
-        .select(col("doc_id"), col("i"),
-          when(col("sv") > 0, 1).otherwise(0).as("b"))
-    }
+    DerivedTable(s, d, "documents", "psimhash") { simhashBitsOf(tok) }
+  }
+
+  /** The portable-SimHash bit pipeline over ANY (doc_id, tok) token set —
+    * shared by [[psimhashBits]] (document text, x63's tier) and m22's
+    * caption tier, so the two tiers' fingerprints live in the same
+    * 32-bit hash space and are directly band-joinable. The vote table
+    * derives only from the token STRING, so the same token hashes
+    * identically whichever tier contributes it. */
+  private[graft] def simhashBitsOf(tok: DataFrame): DataFrame = {
+    val voc = tok.select(col("tok")).distinct()
+      .withColumn("h", Text.charHash(col("tok")))
+    val tb = voc.select(col("tok"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("i"))
+      .withColumn("a", expr("(h + (i + 1) * 2654435761) & 4294967295"))
+    val t1 = tb.withColumn("a",
+      expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+    val t2 = t1.withColumn("a",
+      expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+    val tv = t2.select(col("tok"), col("i"),
+      when(expr("(shiftright(a, 16) ^ a) & 1") === 1, 1).otherwise(-1).as("v"))
+    tok.join(tv, "tok")
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(col("v")).as("sv"))
+      .select(col("doc_id"), col("i"),
+        when(col("sv") > 0, 1).otherwise(0).as("b"))
   }
 
   /** 4×2 band buckets over the signature table, crowded buckets (>100)

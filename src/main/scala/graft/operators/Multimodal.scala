@@ -1705,6 +1705,138 @@ object Multimodal {
             * expr("(24 * greatest(l, m) + 1 + l - 1) div l"))
             .as("mac_total"))
         .orderBy(col("doc_id"), col("target_hz"))
+    },
+
+    // CROSS-MODAL CAPTION↔TEXT NEAR-DUP — the seam between the text and
+    // media tiers: each clip (the ppm-payload tier, docs with ≥24 bytes)
+    // carries a CAPTION in its metadata (deterministically, its first 8
+    // tokens — the m01 fake-metadata discipline); this finds text
+    // documents whose full-text fingerprint sits within Hamming ≤ 3 of a
+    // DIFFERENT clip's caption fingerprint — "this document describes
+    // that clip". Both tiers hash through the ONE portable-SimHash
+    // pipeline (Dedup.simhashBitsOf — votes depend only on the token
+    // string, so the tiers share a 32-bit hash space and band-join
+    // directly; the text side reads x63's persisted psimhash artifact,
+    // the caption side persists its own capsimhash table).
+    //
+    // Scale: x63's LSH discipline across tiers — 4×8-bit band chunks,
+    // each side's crowded buckets (>100) dropped WHOLE before the
+    // band-value equi-join (candidates bounded by 4·100·min(|bucket|)
+    // per chunk value, never text×clips), popcount verify on candidates
+    // only. Pigeonhole: dist ≤ 3 over 4 bands leaves ≥1 band equal, so
+    // banding loses nothing under the cap (Round11Spec pins soundness +
+    // under-cap completeness against brute force).
+    QueryDef("m22_crossmodal_neardup",
+      """WITH dtok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(list_distinct(string_split(text, ' ')),
+        |                w -> len(w) > 0)) AS tok
+        |  FROM documents
+        |), ctok AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(
+        |           list_filter(string_split(text, ' '),
+        |                       w -> len(w) > 0)[1:8])) AS tok
+        |  FROM documents WHERE octet_length(encode(text)) >= 24
+        |), voc AS (
+        |  SELECT tok FROM dtok UNION SELECT tok FROM ctok
+        |), vh AS (
+        |  SELECT tok,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(len(tok)),
+        |             i -> CAST(unicode(tok[i+1]) AS BIGINT))),
+        |           (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM voc
+        |), tb AS (
+        |  SELECT tok, CAST(i AS INT) AS i,
+        |         (h + (i + 1) * 2654435761) & 4294967295 AS a
+        |  FROM vh, (SELECT unnest(range(32)) AS i)
+        |), t1 AS (
+        |  SELECT tok, i, (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM tb
+        |), t2 AS (
+        |  SELECT tok, i, (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM t1
+        |), tv AS (
+        |  SELECT tok, i,
+        |         CASE WHEN xor(a >> 16, a) & 1 = 1 THEN 1 ELSE -1 END AS v
+        |  FROM t2
+        |), tfp AS (
+        |  SELECT doc_id, CAST(sum(CAST(b AS BIGINT) << i) AS BIGINT) AS fp
+        |  FROM (SELECT doc_id, i, CASE WHEN sv > 0 THEN 1 ELSE 0 END AS b
+        |        FROM (SELECT t.doc_id, tv.i, sum(tv.v) AS sv
+        |              FROM dtok t JOIN tv USING (tok) GROUP BY 1, 2))
+        |  GROUP BY 1
+        |), cfp AS (
+        |  SELECT doc_id, CAST(sum(CAST(b AS BIGINT) << i) AS BIGINT) AS fp
+        |  FROM (SELECT doc_id, i, CASE WHEN sv > 0 THEN 1 ELSE 0 END AS b
+        |        FROM (SELECT t.doc_id, tv.i, sum(tv.v) AS sv
+        |              FROM ctok t JOIN tv USING (tok) GROUP BY 1, 2))
+        |  GROUP BY 1
+        |), tch AS (
+        |  SELECT doc_id, fp, CAST(band AS INT) AS band,
+        |         CAST((fp >> (CAST(band AS INT) * 8)) & 255 AS INT) AS chunk
+        |  FROM tfp, (SELECT unnest(range(4)) AS band)
+        |), cch AS (
+        |  SELECT doc_id, fp, CAST(band AS INT) AS band,
+        |         CAST((fp >> (CAST(band AS INT) * 8)) & 255 AS INT) AS chunk
+        |  FROM cfp, (SELECT unnest(range(4)) AS band)
+        |), tkeep AS (
+        |  SELECT band, chunk FROM tch GROUP BY 1, 2 HAVING count(*) <= 100
+        |), ckeep AS (
+        |  SELECT band, chunk FROM cch GROUP BY 1, 2 HAVING count(*) <= 100
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS text_doc, b.doc_id AS clip_doc,
+        |         a.fp AS fp_text, b.fp AS fp_cap
+        |  FROM tch a
+        |  JOIN tkeep ta ON a.band = ta.band AND a.chunk = ta.chunk
+        |  JOIN cch b ON a.band = b.band AND a.chunk = b.chunk
+        |             AND a.doc_id <> b.doc_id
+        |  JOIN ckeep cb ON b.band = cb.band AND b.chunk = cb.chunk
+        |)
+        |SELECT text_doc, clip_doc,
+        |       CAST(bit_count(xor(fp_text, fp_cap)) AS INT) AS dist
+        |FROM cand WHERE bit_count(xor(fp_text, fp_cap)) <= 3
+        |ORDER BY dist, text_doc, clip_doc LIMIT 100""".stripMargin) { (s, d) =>
+      import graft.functions.Text
+      val tfp = Dedup.psimhashBits(s, d)
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("shiftleft(CAST(b AS BIGINT), i)")).as("fp"))
+      val ctok = Tables.documents(s, d)
+        .filter(length(encode(col("text"), "UTF-8")) >= 24)
+        .select(col("doc_id"),
+          explode(array_distinct(slice(
+            filter(Text.tokens(col("text")), w => length(w) > 0),
+            1, 8))).as("tok"))
+      val cfp = DerivedTable(s, d, "documents", "capsimhash") {
+          Dedup.simhashBitsOf(ctok)
+        }
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("shiftleft(CAST(b AS BIGINT), i)")).as("fp"))
+      def chunks(fp: DataFrame): DataFrame =
+        fp.select(col("doc_id"), col("fp"),
+            explode(sequence(lit(0), lit(3))).as("band"))
+          .withColumn("chunk",
+            expr("CAST(shiftright(fp, band * 8) & 255 AS INT)"))
+      def underCap(ch: DataFrame): DataFrame =
+        ch.join(
+          ch.groupBy(col("band"), col("chunk"))
+            .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= 100)
+            .select(col("band"), col("chunk")),
+          Seq("band", "chunk"))
+      val cand = underCap(chunks(tfp)).as("a")
+        .join(underCap(chunks(cfp)).as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("text_doc"),
+          col("b.doc_id").as("clip_doc"),
+          col("a.fp").as("fp_text"), col("b.fp").as("fp_cap"))
+        .distinct()
+      cand
+        .withColumn("dist", expr("CAST(bit_count(fp_text ^ fp_cap) AS INT)"))
+        .filter(col("dist") <= 3)
+        .select(col("text_doc"), col("clip_doc"), col("dist"))
+        .orderBy(col("dist"), col("text_doc"), col("clip_doc"))
+        .limit(100)
     }
   )
 }

@@ -377,6 +377,21 @@ class PlanShapeSpec extends AnyFunSuite {
         "the union pattern regressed to probe×dimension")
   }
 
+  test("m22 cross-modal: banded equi-join over persisted fingerprint artifacts — no cartesian, no text×clips") {
+    val nodes =
+      executedAll(SparkEntry.queries("m22_crossmodal_neardup")(spark, sf0_001))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "cross-tier candidates must come from the band-value equi-join")
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "no nested-loop pair scan across tiers")
+    val locs = nodes.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.metadata.get("Location"))
+    assert(locs.exists(_.contains("graft_psimhash")),
+      s"text tier must read x63's persisted psimhash artifact, saw: $locs")
+    assert(locs.exists(_.contains("graft_capsimhash")),
+      s"caption tier must read its persisted capsimhash artifact, saw: $locs")
+  }
+
   test("x60 IVF-PQ: coarse lists come from the persisted inverted-file artifact, not a fresh assignment pass") {
     // r9's regression: x60 re-ran the corpus×centroid assignment inline
     // (crossJoin + rank window over every vector) instead of scanning the

@@ -121,6 +121,46 @@ class Round11Spec extends AnyFunSuite {
       "fixture must enrich at least one purchase")
   }
 
+  test("m22: cross-modal banding equals brute force over every under-cap pair (pigeonhole at dist <= 3)") {
+    import org.apache.spark.sql.functions.{filter => afilter}
+    def fpOf(bits: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      bits.groupBy(col("doc_id"))
+        .agg(sum(expr("shiftleft(CAST(b AS BIGINT), i)")).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tfp = fpOf(operators.Dedup.psimhashBits(spark, sf0_001))
+    val ctok = Tables.documents(spark, sf0_001)
+      .filter(length(encode(col("text"), "UTF-8")) >= 24)
+      .select(col("doc_id"),
+        explode(array_distinct(slice(afilter(
+          graft.functions.Text.tokens(col("text")),
+          w => length(w) > 0), 1, 8))).as("tok"))
+    val cfp = fpOf(operators.Dedup.simhashBitsOf(ctok))
+    // per-side band-bucket histograms — a pair is CAPTURE-GUARANTEED iff
+    // some equal band has both sides' buckets under the 100 cap; with
+    // dist <= 3 over 4 bands at least one band IS equal (pigeonhole),
+    // but that band may be crowded — the operator's contract is exactly
+    // the under-cap set
+    def hist(fps: Map[Long, Long]): Map[(Int, Long), Int] =
+      fps.values.toSeq
+        .flatMap(fp => (0 until 4).map(b => (b, (fp >> (8 * b)) & 255L)))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+    val th = hist(tfp); val ch = hist(cfp)
+    val expected = (for {
+      (ta, fa) <- tfp.toSeq; (cb, fb) <- cfp.toSeq if ta != cb
+      dist = java.lang.Long.bitCount(fa ^ fb) if dist <= 3
+      if (0 until 4).exists { b =>
+        val (ka, kb) = ((fa >> (8 * b)) & 255L, (fb >> (8 * b)) & 255L)
+        ka == kb && th((b, ka)) <= 100 && ch((b, kb)) <= 100
+      }
+    } yield (dist, ta, cb)).sorted.take(100)
+      .map { case (dist, a, b) => List[Any](a, b, dist) }.toList
+    val got = SparkEntry.queries("m22_crossmodal_neardup")(spark, sf0_001)
+      .collect().map(r =>
+        List[Any](r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture must surface cross-modal pairs")
+  }
+
   test("x193: an empty first stage reports the designed NULL downstream, not a div-by-zero accident") {
     val dir = java.nio.file.Files.createTempDirectory("x193deg").toString
     Tables.events(spark, sf0_001)
