@@ -1434,6 +1434,48 @@ object Mining {
         .orderBy(col("doc_id"))
     },
 
+    // BPE TOKENIZER TRAINING — three merge rounds of byte-pair encoding
+    // over the corpus vocabulary, the actual algorithm behind GPT/Llama
+    // tokenizers (Sennrich et al. 2016), expressed relationally: pair
+    // counting is a frequency-weighted aggregate over adjacent symbol
+    // rows; the argmax merge is a bounded top-1 broadcast; and the
+    // classically-sequential leftmost-greedy merge application becomes
+    // gaps-and-islands (flagged positions → consecutive-run islands →
+    // even-offset keeps), which provably equals the left-to-right scan
+    // (Round11Spec pins all three rounds against a sequential reference
+    // implementation). Emits per round: the chosen merge, its weighted
+    // pair count, and the corpus symbol count after applying it.
+    //
+    // Scale: state is the VOCAB symbol table (words × word length —
+    // millions of rows at any corpus size, not corpus-sized), keyed by
+    // `word` for every window in a round, so each round is one
+    // vocab-keyed shuffle; the corpus is touched once for word counts.
+    // More rounds = more unrolled stages (real trainers run thousands —
+    // the per-round plan is the unit that scales; checkpoints between
+    // rounds keep lineage flat).
+    QueryDef("x196_bpe_merges", Mining.x196OracleSql) { (s, d) =>
+      val w = Tables.documents(s, d)
+        .select(explode(filter(Text.tokens(col("text")),
+          t => length(t) > 0)).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      val sym0 = w
+        .select(col("word"), col("wc"),
+          explode(sequence(lit(1), length(col("word")))).as("pos"))
+        .select(col("word"), col("wc"), col("pos").cast("long").as("pos"),
+          expr("substring(word, pos, 1)").as("sym"))
+      var sym = sym0.localCheckpoint()
+      val rows = (1 to 3).map { k =>
+        val (next, m) = Mining.bpeRound(sym)
+        val nextCp = next.localCheckpoint()
+        sym = nextCp
+        m.crossJoin(broadcast(
+            nextCp.agg(sum(col("wc")).cast("long").as("syms_after"))))
+          .select(lit(k).as("round"), col("l"), col("r"),
+            col("cnt").as("pair_count"), col("syms_after"))
+      }
+      rows.reduce(_ unionByName _).orderBy(col("round"))
+    },
+
     // WITHIN-DOCUMENT REPETITION AUDIT — the Gopher/MassiveText-style
     // repetition quality signals (Rae et al. 2021 §A1.1) the x08 battery
     // lacks: boilerplate and degenerate generation show up as a single
@@ -1726,6 +1768,104 @@ object Mining {
     * packing maintenance (the x156↔st24 one-definition contract).
     * `lazy`: referenced from the entries Seq above, which initializes
     * before this val in declaration order. */
+  /** One BPE merge round over the (word, wc, pos, sym) symbol table:
+    * count adjacent pairs frequency-weighted, pick the argmax merge
+    * (count DESC, then lexicographic — a TOTAL tiebreak), and apply it
+    * with classic LEFTMOST-GREEDY semantics expressed relationally:
+    * flagged positions form gaps-and-islands runs, and within a run of
+    * consecutive matches (e.g. "aaaa" under merge (a,a)) only the
+    * even-offset flags fire — exactly what the sequential tokenizer
+    * trainer's left-to-right scan does. Every window partitions by
+    * `word` (symbol sequences are word-length-bounded), so the whole
+    * round is one vocab-keyed shuffle reused across its five windows.
+    * @return (next round's symbol table, the 1-row chosen merge) */
+  private def bpeRound(sym: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val p = sym.withColumn("nxt", lead(col("sym"), 1).over(byWord))
+    val m = p.filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("l"), col("nxt").as("r"))
+      .agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+    val f = p.crossJoin(broadcast(m))
+      .withColumn("hit",
+        when(col("sym") === col("l") && col("nxt") === col("r"), 1)
+          .otherwise(0))
+    val g = f.withColumn("isl", when(col("hit") === 1,
+      col("pos") - row_number().over(
+        Window.partitionBy(col("word"), col("hit")).orderBy(col("pos")))))
+    val k = g.withColumn("keep", when(col("hit") === 1 &&
+      (col("pos") - min(col("pos")).over(
+        Window.partitionBy(col("word"), col("isl")))) % 2 === 0,
+      1).otherwise(0))
+    val next = k
+      .withColumn("pk", lag(col("keep"), 1).over(byWord))
+      .filter(coalesce(col("pk"), lit(0)) === 0)
+      .select(col("word"), col("wc"),
+        row_number().over(byWord).cast("long").as("pos"),
+        when(col("keep") === 1, concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym"))
+    (next, m)
+  }
+
+  /** x196's oracle: the same three unrolled rounds in DuckDB SQL —
+    * generated per round so the two engines' island/keep/rebuild logic
+    * cannot drift between rounds. */
+  private[graft] lazy val x196OracleSql: String = {
+    def round(k: Int): String =
+      s"""p$k AS (
+        |  SELECT word, wc, pos, sym,
+        |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        |  FROM sym$k
+        |), m$k AS (
+        |  SELECT sym AS l, nxt AS r, CAST(sum(wc) AS BIGINT) AS cnt
+        |  FROM p$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |  ORDER BY cnt DESC, l, r LIMIT 1
+        |), f$k AS (
+        |  SELECT p.word, p.wc, p.pos, p.sym, p.nxt,
+        |         CASE WHEN p.sym = m.l AND p.nxt = m.r
+        |              THEN 1 ELSE 0 END AS hit
+        |  FROM p$k p CROSS JOIN m$k m
+        |), g$k AS (
+        |  SELECT *, CASE WHEN hit = 1 THEN pos - CAST(row_number() OVER
+        |       (PARTITION BY word, hit ORDER BY pos) AS BIGINT) END AS isl
+        |  FROM f$k
+        |), kk$k AS (
+        |  SELECT *, CASE WHEN hit = 1
+        |                  AND (pos - min(pos) OVER
+        |                       (PARTITION BY word, isl)) % 2 = 0
+        |                 THEN 1 ELSE 0 END AS keep
+        |  FROM g$k
+        |), sym${k + 1} AS (
+        |  SELECT word, wc,
+        |         CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+        |           AS BIGINT) AS pos,
+        |         CASE WHEN keep = 1 THEN sym || nxt ELSE sym END AS sym
+        |  FROM (SELECT *, lag(keep) OVER (PARTITION BY word ORDER BY pos)
+        |          AS pk FROM kk$k)
+        |  WHERE COALESCE(pk, 0) = 0
+        |), o$k AS (
+        |  SELECT $k AS round, m.l, m.r, m.cnt AS pair_count,
+        |         (SELECT CAST(sum(wc) AS BIGINT) FROM sym${k + 1})
+        |           AS syms_after
+        |  FROM m$k m
+        |)""".stripMargin
+    s"""WITH w AS (
+      |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS wc
+      |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+      |               t -> len(t) > 0)) AS tok FROM documents)
+      |  GROUP BY 1
+      |), sym1 AS (
+      |  SELECT word, wc, CAST(i + 1 AS BIGINT) AS pos,
+      |         substring(word, CAST(i + 1 AS INT), 1) AS sym
+      |  FROM (SELECT word, wc, unnest(range(len(word))) AS i FROM w)
+      |), ${round(1)}, ${round(2)}, ${round(3)}
+      |SELECT round, l, r, pair_count, syms_after FROM (
+      |  SELECT * FROM o1 UNION ALL SELECT * FROM o2
+      |  UNION ALL SELECT * FROM o3
+      |) ORDER BY round""".stripMargin
+  }
+
   private[graft] lazy val x183OracleSql: String =
     """WITH tc AS (
       |  SELECT CAST(len(list_filter(string_split(text, ' '),

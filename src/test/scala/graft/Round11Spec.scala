@@ -161,6 +161,43 @@ class Round11Spec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must surface cross-modal pairs")
   }
 
+  test("x196: relational BPE equals the sequential reference trainer for all three rounds") {
+    import org.apache.spark.sql.functions.{filter => afilter}
+    // the classic sequential algorithm: count adjacent pairs weighted
+    // by word frequency, pick (count DESC, pair ASC), apply the merge
+    // with a left-to-right greedy scan
+    var words: Map[Vector[String], Long] = Tables.documents(spark, sf0_001)
+      .select(explode(afilter(graft.functions.Text.tokens(col("text")),
+        t => length(t) > 0)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => r.getString(0).toVector.map(_.toString) -> r.getLong(1))
+      .toMap
+    val expected = (1 to 3).map { k =>
+      val counts = words.toSeq
+        .flatMap { case (syms, c) =>
+          syms.sliding(2).collect { case Vector(a, b) => ((a, b), c) }
+        }
+        .groupBy(_._1).map { case (p, v) => p -> v.map(_._2).sum }
+      val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+      words = words.toSeq.map { case (syms, c) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), c)
+      }.groupBy(_._1).map { case (s, v) => s -> v.map(_._2).sum }
+      val symsAfter = words.map { case (s, c) => s.length * c }.sum
+      List[Any](k, l, r, cnt, symsAfter)
+    }.toList
+    val got = SparkEntry.queries("x196_bpe_merges")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toList
+    assert(got == expected)
+  }
+
   test("x193: an empty first stage reports the designed NULL downstream, not a div-by-zero accident") {
     val dir = java.nio.file.Files.createTempDirectory("x193deg").toString
     Tables.events(spark, sf0_001)
