@@ -205,33 +205,7 @@ object Merge {
     // natural high-cardinality key, one shuffle total since all three
     // windows share the partitioning; no global sort; output rows =
     // status runs.
-    QueryDef("x191_scd2_history",
-      """WITH e AS (
-        |  SELECT user_id, event_id, ts, event_type,
-        |         CASE WHEN lag(event_type) OVER w
-        |                   IS DISTINCT FROM event_type
-        |              THEN 1 ELSE 0 END AS chg
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |), r AS (
-        |  SELECT user_id, ts, event_type,
-        |         CAST(sum(chg) OVER (PARTITION BY user_id
-        |                             ORDER BY ts, event_id) AS BIGINT)
-        |           AS run_id
-        |  FROM e
-        |), runs AS (
-        |  SELECT user_id, run_id, min(event_type) AS status,
-        |         min(ts) AS valid_from, CAST(count(*) AS BIGINT)
-        |           AS n_events
-        |  FROM r GROUP BY 1, 2
-        |)
-        |SELECT user_id, run_id, status, valid_from,
-        |       lead(valid_from) OVER w2 AS valid_to, n_events,
-        |       CASE WHEN lead(valid_from) OVER w2 IS NULL
-        |            THEN 1 ELSE 0 END AS is_current
-        |FROM runs
-        |WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
-        |ORDER BY user_id, run_id""".stripMargin) { (s, d) =>
+    QueryDef("x191_scd2_history", Merge.x191OracleSql) { (s, d) =>
       Merge.scd2Runs(Tables.events(s, d))
         .orderBy(col("user_id"), col("run_id"))
     },
@@ -293,7 +267,7 @@ object Merge {
         |FROM f WHERE kind = 1
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
-      val dim = Merge.scd2Runs(ev.filter(col("event_type") =!= "purchase"))
+      val dim = Merge.scd2RawRuns(ev.filter(col("event_type") =!= "purchase"))
         .select(col("user_id"), col("valid_from").as("ts"),
           lit(0).as("kind"), col("run_id").as("sk"),
           col("run_id").as("d_run"), col("status").as("d_status"),
@@ -316,28 +290,64 @@ object Merge {
     }
   )
 
-  /** x191's SCD2 run table from an event slice — shared by the history
-    * query itself and x195's point-in-time consumer (one definition, so
-    * the dimension the as-of join reads can't drift from the dimension
-    * the history query emits). Gaps-and-islands: lag + running change
-    * count collapses consecutive same-status events per user into runs;
-    * each run becomes [valid_from, valid_to) with the open run flagged
-    * current. All three windows share the user_id partitioning — one
-    * shuffle. The change flag is null-safe (`<=>` negation — IS
-    * DISTINCT FROM; ADVICE r10). */
-  private[graft] def scd2Runs(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** x191's oracle — shared with st29's streaming SCD2 maintenance (the
+    * x156↔st24 one-definition contract: stream state must answer the
+    * batch oracle verbatim). */
+  private[graft] lazy val x191OracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         CASE WHEN lag(event_type) OVER w
+      |                   IS DISTINCT FROM event_type
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), r AS (
+      |  SELECT user_id, ts, event_type,
+      |         CAST(sum(chg) OVER (PARTITION BY user_id
+      |                             ORDER BY ts, event_id) AS BIGINT)
+      |           AS run_id
+      |  FROM e
+      |), runs AS (
+      |  SELECT user_id, run_id, min(event_type) AS status,
+      |         min(ts) AS valid_from, CAST(count(*) AS BIGINT)
+      |           AS n_events
+      |  FROM r GROUP BY 1, 2
+      |)
+      |SELECT user_id, run_id, status, valid_from,
+      |       lead(valid_from) OVER w2 AS valid_to, n_events,
+      |       CASE WHEN lead(valid_from) OVER w2 IS NULL
+      |            THEN 1 ELSE 0 END AS is_current
+      |FROM runs
+      |WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+      |ORDER BY user_id, run_id""".stripMargin
+
+  /** The RAW run table (no validity intervals yet) from an event slice —
+    * gaps-and-islands: lag + running change count collapses consecutive
+    * same-status events per user into runs keyed (user_id, run_id 1..k)
+    * with (status, valid_from, n_events). Both windows share the
+    * user_id partitioning — one shuffle. The change flag is null-safe
+    * (`<=>` negation — IS DISTINCT FROM; ADVICE r10). Shared by x191,
+    * x195's as-of consumer, and st29's per-batch fold. */
+  private[graft] def scd2RawRuns(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val e = ev
       .withColumn("__prev", lag(col("event_type"), 1).over(byUser))
       .withColumn("chg", when(!(col("__prev") <=> col("event_type")),
         1L).otherwise(0L))
-    val r = e.withColumn("run_id", sum(col("chg")).over(
-      byUser.rowsBetween(Window.unboundedPreceding, 0)))
-    val runs = r.groupBy(col("user_id"), col("run_id"))
+    e.withColumn("run_id", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("run_id"))
       .agg(min(col("event_type")).as("status"),
         min(col("ts")).as("valid_from"),
         count(lit(1)).as("n_events"))
+  }
+
+  /** The SCD2 finish over a raw run table: each run becomes
+    * [valid_from, valid_to) with the open run flagged current — called
+    * on x191's batch runs AND on st29's converged streaming state, so
+    * the two can't diverge. */
+  private[graft] def scd2Finish(runs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w2 = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
     runs
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
@@ -345,4 +355,8 @@ object Merge {
         col("valid_from"), col("valid_to"), col("n_events"),
         when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
   }
+
+  /** x191's SCD2 dimension from an event slice — raw runs + finish. */
+  private[graft] def scd2Runs(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    scd2Finish(scd2RawRuns(ev))
 }

@@ -198,6 +198,26 @@ class Round11Spec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("st29: streamed SCD2 equals the batch x191 dimension row-for-row, with real boundary merges") {
+    val batch = SparkEntry.queries("x191_scd2_history")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toList
+    val stream = SparkEntry.queries("st29_stream_scd2")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toList
+    assert(batch.nonEmpty)
+    assert(stream == batch, "stream state must answer the batch oracle verbatim")
+    // the pin must actually exercise the frontier-extension path: if no
+    // user's run straddled a slice boundary, per-slice run counts would
+    // sum to the total and the merge arm never ran
+    val stage = streaming.Streams.stageEventsTimeSplit(spark, sf0_001)
+    val perSlice = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => operators.Merge.scd2RawRuns(
+        Tables.normalizeTs(spark.read.parquet(f.toString))).count())
+    assert(perSlice.sum > batch.size,
+      s"no cross-slice run merge happened (${perSlice.toSeq} vs ${batch.size}) — " +
+        "the extension arm is untested at this SF")
+  }
+
   test("x193: an empty first stage reports the designed NULL downstream, not a div-by-zero accident") {
     val dir = java.nio.file.Files.createTempDirectory("x193deg").toString
     Tables.events(spark, sf0_001)
