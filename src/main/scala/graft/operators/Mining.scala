@@ -1454,26 +1454,45 @@ object Mining {
     // the per-round plan is the unit that scales; checkpoints between
     // rounds keep lineage flat).
     QueryDef("x196_bpe_merges", Mining.x196OracleSql) { (s, d) =>
-      val w = Tables.documents(s, d)
-        .select(explode(filter(Text.tokens(col("text")),
+      val (_, reports) =
+        Mining.bpeTrain(Mining.bpeSym0(Tables.documents(s, d)), 3)
+      reports.reduce(_ unionByName _).orderBy(col("round"))
+    },
+
+    // TOKENIZER FERTILITY AUDIT — x196's consumer: ENCODE the corpus
+    // with the learned merge table and report, per source, the metrics
+    // a tokenizer review actually reads — fertility (tokens per word,
+    // ppm) and compression (tokens per character, ppm). Per-source
+    // fertility drift is how a tokenizer trained on one distribution
+    // quietly taxes another (Rust et al. 2021): a source whose
+    // fertility_ppm stays near its character count is paying
+    // ~1 token/char — unmerged, effectively byte-level — while the
+    // tokenizer-native source compresses. Encoding = the word → symbol
+    // count table after the trained rounds; the corpus join is by WORD
+    // (vocab-sized dimension), so no document text is re-segmented.
+    //
+    // Scale: training state is vocab-sized (x196's argument); encoding
+    // is a broadcast-sized dimension join against the one corpus token
+    // pass; the report is sources-sized. The same shape at a million-
+    // word vocab: the wsym dimension still broadcasts.
+    QueryDef("x197_bpe_fertility", Mining.x197OracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (symFinal, _) = Mining.bpeTrain(Mining.bpeSym0(docs), 3)
+      val wsym = symFinal.groupBy(col("word"))
+        .agg(count(lit(1)).as("n_sym"))
+      val docw = docs.select(col("source"),
+        explode(filter(Text.tokens(col("text")),
           t => length(t) > 0)).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
-      val sym0 = w
-        .select(col("word"), col("wc"),
-          explode(sequence(lit(1), length(col("word")))).as("pos"))
-        .select(col("word"), col("wc"), col("pos").cast("long").as("pos"),
-          expr("substring(word, pos, 1)").as("sym"))
-      var sym = sym0.localCheckpoint()
-      val rows = (1 to 3).map { k =>
-        val (next, m) = Mining.bpeRound(sym)
-        val nextCp = next.localCheckpoint()
-        sym = nextCp
-        m.crossJoin(broadcast(
-            nextCp.agg(sum(col("wc")).cast("long").as("syms_after"))))
-          .select(lit(k).as("round"), col("l"), col("r"),
-            col("cnt").as("pair_count"), col("syms_after"))
-      }
-      rows.reduce(_ unionByName _).orderBy(col("round"))
+      docw.join(broadcast(wsym), "word")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word"))).cast("long").as("n_chars"),
+          sum(col("n_sym")).as("n_tokens"))
+        .select(col("source"), col("n_words"), col("n_chars"),
+          col("n_tokens"),
+          expr("n_tokens * 1000000 div n_words").as("fertility_ppm"),
+          expr("n_tokens * 1000000 div n_chars").as("compression_ppm"))
+        .orderBy(col("source"))
     },
 
     // WITHIN-DOCUMENT REPETITION AUDIT — the Gopher/MassiveText-style
@@ -1808,10 +1827,12 @@ object Mining {
     (next, m)
   }
 
-  /** x196's oracle: the same three unrolled rounds in DuckDB SQL —
-    * generated per round so the two engines' island/keep/rebuild logic
-    * cannot drift between rounds. */
-  private[graft] lazy val x196OracleSql: String = {
+  /** The three-round BPE training chain as shared DuckDB CTEs — the
+    * common prefix of x196's merge report and x197's fertility audit
+    * (one definition, so the encoder x197 applies is provably the
+    * trainer x196 reports). Leaves `sym4` (the post-merge symbol table)
+    * and `o1..o3` (per-round merge rows) in scope. */
+  private[graft] lazy val bpeCteSql: String = {
     def round(k: Int): String =
       s"""p$k AS (
         |  SELECT word, wc, pos, sym,
@@ -1850,7 +1871,7 @@ object Mining {
         |           AS syms_after
         |  FROM m$k m
         |)""".stripMargin
-    s"""WITH w AS (
+    s"""w AS (
       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS wc
       |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
       |               t -> len(t) > 0)) AS tok FROM documents)
@@ -1859,12 +1880,67 @@ object Mining {
       |  SELECT word, wc, CAST(i + 1 AS BIGINT) AS pos,
       |         substring(word, CAST(i + 1 AS INT), 1) AS sym
       |  FROM (SELECT word, wc, unnest(range(len(word))) AS i FROM w)
-      |), ${round(1)}, ${round(2)}, ${round(3)}
+      |), ${round(1)}, ${round(2)}, ${round(3)}""".stripMargin
+  }
+
+  private[graft] lazy val x196OracleSql: String =
+    s"""WITH $bpeCteSql
       |SELECT round, l, r, pair_count, syms_after FROM (
       |  SELECT * FROM o1 UNION ALL SELECT * FROM o2
       |  UNION ALL SELECT * FROM o3
       |) ORDER BY round""".stripMargin
+
+  private[graft] lazy val x197OracleSql: String =
+    s"""WITH $bpeCteSql, wsym AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n_sym
+      |  FROM sym4 GROUP BY 1
+      |), docw AS (
+      |  SELECT source,
+      |         unnest(list_filter(string_split(text, ' '),
+      |                t -> len(t) > 0)) AS word
+      |  FROM documents
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(len(word)) AS BIGINT) AS n_chars,
+      |       CAST(sum(n_sym) AS BIGINT) AS n_tokens,
+      |       CAST(sum(n_sym) * 1000000 // count(*) AS BIGINT)
+      |         AS fertility_ppm,
+      |       CAST(sum(n_sym) * 1000000 // sum(len(word)) AS BIGINT)
+      |         AS compression_ppm
+      |FROM docw JOIN wsym USING (word)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** The trained symbol table after `rounds` BPE merges plus the per-
+    * round merge reports — shared by x196 (reads the reports) and x197
+    * (encodes with the final table), so the encoder provably applies
+    * the merges the trainer chose. */
+  private[graft] def bpeTrain(sym0: org.apache.spark.sql.DataFrame,
+      rounds: Int): (org.apache.spark.sql.DataFrame,
+        Seq[org.apache.spark.sql.DataFrame]) = {
+    var sym = sym0.localCheckpoint()
+    val reports = (1 to rounds).map { k =>
+      val (next, m) = bpeRound(sym)
+      val nextCp = next.localCheckpoint()
+      sym = nextCp
+      m.crossJoin(broadcast(
+          nextCp.agg(sum(col("wc")).cast("long").as("syms_after"))))
+        .select(lit(k).as("round"), col("l"), col("r"),
+          col("cnt").as("pair_count"), col("syms_after"))
+    }
+    (sym, reports)
   }
+
+  /** The (word, wc, pos, sym) character-level symbol table over the
+    * corpus vocabulary — BPE round zero. */
+  private[graft] def bpeSym0(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(explode(filter(Text.tokens(col("text")),
+        t => length(t) > 0)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("word"), col("wc"),
+        explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .select(col("word"), col("wc"), col("pos").cast("long").as("pos"),
+        expr("substring(word, pos, 1)").as("sym"))
 
   private[graft] lazy val x183OracleSql: String =
     """WITH tc AS (

@@ -218,6 +218,27 @@ class Round11Spec extends AnyFunSuite {
         "the extension arm is untested at this SF")
   }
 
+  test("x197: the encoder applies exactly the merges x196 trained — corpus token totals reconcile") {
+    val rows = SparkEntry.queries("x197_bpe_fertility")(spark, sf0_001)
+      .collect()
+    assert(rows.length > 1, "fixture must carry multiple sources")
+    // Σ over sources of n_tokens == x196's round-3 syms_after: the
+    // fertility audit encodes with the SAME final symbol table whose
+    // total the trainer reported (both are Σ_word wc·|symbols(word)|)
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val symsAfter3 = SparkEntry.queries("x196_bpe_merges")(spark, sf0_001)
+      .filter(col("round") === 3).collect()(0).getAs[Long]("syms_after")
+    assert(totalTokens == symsAfter3,
+      s"encoder/trainer drift: $totalTokens vs $symsAfter3")
+    rows.foreach { r =>
+      val (w, c, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_tokens"))
+      assert(t >= w && t <= c, s"tokens must sit between words and chars: $r")
+      assert(r.getAs[Long]("fertility_ppm") == t * 1000000L / w)
+      assert(r.getAs[Long]("compression_ppm") == t * 1000000L / c)
+    }
+  }
+
   test("x193: an empty first stage reports the designed NULL downstream, not a div-by-zero accident") {
     val dir = java.nio.file.Files.createTempDirectory("x193deg").toString
     Tables.events(spark, sf0_001)
