@@ -1930,17 +1930,27 @@ object Mining {
     (sym, reports)
   }
 
-  /** The (word, wc, pos, sym) character-level symbol table over the
-    * corpus vocabulary — BPE round zero. */
-  private[graft] def bpeSym0(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  /** Frequency-weighted word counts from a document slice — BPE's only
+    * corpus-sized pass, and st30's PURELY ADDITIVE streaming state
+    * (per-batch counts merge by sum). */
+  private[graft] def bpeWordCounts(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .select(explode(filter(Text.tokens(col("text")),
         t => length(t) > 0)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+
+  /** The (word, wc, pos, sym) character-level symbol table from a word-
+    * count table — BPE round zero. */
+  private[graft] def bpeSym0FromCounts(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    w
       .select(col("word"), col("wc"),
         explode(sequence(lit(1), length(col("word")))).as("pos"))
       .select(col("word"), col("wc"), col("pos").cast("long").as("pos"),
         expr("substring(word, pos, 1)").as("sym"))
+
+  /** BPE round zero straight from documents. */
+  private[graft] def bpeSym0(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bpeSym0FromCounts(bpeWordCounts(docs))
 
   private[graft] lazy val x183OracleSql: String =
     """WITH tc AS (

@@ -2067,6 +2067,51 @@ object Streams {
         graft.operators.Merge.scd2Finish(ss.read.parquet(runsDir))
           .orderBy(col("user_id"), col("run_id"))
       }
+    },
+
+    // STREAMING TOKENIZER RETRAINING — the ELEVENTH Δ-maintained
+    // family: BPE's only corpus-sized pass is the word-count aggregate,
+    // and word counts are PURELY ADDITIVE (st24's easiest-class state:
+    // per-batch counts merge by sum, order- and slicing-insensitive).
+    // Document micro-batches fold (word, wc) deltas into the state;
+    // serving re-runs the three vocab-sized training rounds on the
+    // folded counts — at 100 TB the corpus is touched once per batch
+    // for its own words, and "retrain the tokenizer on everything
+    // ingested so far" costs vocab × rounds, not a corpus rescan.
+    // Answers x196's oracle VERBATIM through the same bpeTrain.
+    QueryDef("st30_stream_bpe",
+      graft.operators.Mining.x196OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageDocumentsSplit(ss, d)
+        val stDir = graft.Warehouse.path(s"graft_stbpe_v1_${
+          graft.ContentKey.key(
+            java.nio.file.Paths.get(d, "documents.parquet"))}")
+        resetDir(stDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val hasState = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(stDir, "_SUCCESS"))
+            val delta = graft.operators.Mining.bpeWordCounts(batch)
+            val prior =
+              if (hasState) spark.read.parquet(stDir) else delta.limit(0)
+            prior.unionByName(delta)
+              .groupBy(col("word"))
+              .agg(sum(col("wc")).as("wc"))
+              .localCheckpoint() // sever from the state file being replaced
+              .write.mode("overwrite").parquet(stDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val (_, reports) = graft.operators.Mining.bpeTrain(
+          graft.operators.Mining.bpeSym0FromCounts(
+            ss.read.parquet(stDir)), 3)
+        reports.reduce(_ unionByName _).orderBy(col("round"))
+      }
     }
   )
 

@@ -239,6 +239,16 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("st30: streamed word-count state retrains to the batch x196 merge table row-for-row") {
+    val batch = SparkEntry.queries("x196_bpe_merges")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toList
+    val stream = SparkEntry.queries("st30_stream_bpe")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toList
+    assert(batch.length == 3)
+    assert(stream == batch,
+      "folded counts must train the identical merge sequence")
+  }
+
   test("x193: an empty first stage reports the designed NULL downstream, not a div-by-zero accident") {
     val dir = java.nio.file.Files.createTempDirectory("x193deg").toString
     Tables.events(spark, sf0_001)
