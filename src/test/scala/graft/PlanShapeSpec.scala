@@ -392,6 +392,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"caption tier must read its persisted capsimhash artifact, saw: $locs")
   }
 
+  test("x196/x197: the tokenizer model is served from persisted artifacts, never retrained per query") {
+    val m = executedAll(SparkEntry.queries("x196_bpe_merges")(spark, sf0_001))
+    val mLocs = m.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.metadata.get("Location"))
+    assert(mLocs.exists(_.contains("graft_bpemerges")),
+      s"x196 must scan the persisted merge-rule artifact, saw: $mLocs")
+    assert(!mLocs.exists(_.contains("documents.parquet")),
+      "a corpus scan in x196's serving plan means training ran inline")
+    val e = executedAll(SparkEntry.queries("x197_bpe_fertility")(spark, sf0_001))
+    val eLocs = e.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.metadata.get("Location"))
+    assert(eLocs.exists(_.contains("graft_bpesyms")),
+      s"x197 must scan the persisted symbol-table artifact, saw: $eLocs")
+  }
+
   test("x60 IVF-PQ: coarse lists come from the persisted inverted-file artifact, not a fresh assignment pass") {
     // r9's regression: x60 re-ran the corpus×centroid assignment inline
     // (crossJoin + rank window over every vector) instead of scanning the
