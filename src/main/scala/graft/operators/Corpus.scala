@@ -686,6 +686,150 @@ object Corpus {
         .orderBy(col("domain_id"))
     },
 
+    // PERSONALIZED PageRank / TrustRank (Gyöngyi et al. VLDB'04; Haveliwala
+    // WWW'02) — x37's teleport redirected to a TRUSTED SEED SET: restart
+    // mass lands only on seeds {0, 7, 14}, so authority measures proximity
+    // to trust rather than global centrality — the seed-propagation device
+    // behind spam demotion and retrieval expansion. Same fixture graph,
+    // same iterative-rounding parity trick (per-edge contributions AND
+    // per-node ranks rounded 6 dp each of the THREE unrolled iterations,
+    // so summation-order noise never compounds), with the trust-lift
+    // column (milli-ratio of PPR to x37's global PR after the same number
+    // of rounds) naming which domains trust REACHES vs which merely
+    // accumulate in-links. Non-seed nodes with no trust path hold exactly
+    // the damped-tail mass that reached them; the two vectors share every
+    // building block (edges, degrees, nodes), so the comparison is
+    // apples-to-apples by construction.
+    //
+    // Scale: identical to x37 — k bounded shuffles (rank-vector join onto
+    // edges + dst partial-agg per iteration); the seed vector is a CASE
+    // over the node id, never a table.
+    QueryDef("x198_personalized_pagerank",
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(doc_id % 20 AS INT) AS src,
+        |         CAST((doc_id // 20) % 20 AS INT) AS dst
+        |  FROM documents
+        |  WHERE doc_id < 400 AND (doc_id * 48271) % 100 < 18
+        |    AND CAST(doc_id % 20 AS INT) <> CAST((doc_id // 20) % 20 AS INT)
+        |), deg AS (
+        |  SELECT src, count(*) AS d FROM e GROUP BY src
+        |), nodes AS (
+        |  SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e
+        |), n AS (
+        |  SELECT count(*) AS n FROM nodes
+        |), s0 AS (
+        |  SELECT node,
+        |         CASE WHEN node % 7 = 0 THEN round(1e-9 + 1.0 / 3, 6)
+        |              ELSE 0.0 END AS sv
+        |  FROM nodes
+        |), t0 AS (SELECT node, sv AS pr FROM s0
+        |), t1 AS (
+        |  SELECT s0.node,
+        |         round(1e-9 + 0.15 * s0.sv + 0.85 * coalesce(c.m, 0), 6) AS pr
+        |  FROM s0 LEFT JOIN (
+        |    SELECT e.dst AS node, sum(round(1e-9 + t0.pr / deg.d, 6)) AS m
+        |    FROM e JOIN t0 ON e.src = t0.node JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) c ON s0.node = c.node
+        |), t2 AS (
+        |  SELECT s0.node,
+        |         round(1e-9 + 0.15 * s0.sv + 0.85 * coalesce(c.m, 0), 6) AS pr
+        |  FROM s0 LEFT JOIN (
+        |    SELECT e.dst AS node, sum(round(1e-9 + t1.pr / deg.d, 6)) AS m
+        |    FROM e JOIN t1 ON e.src = t1.node JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) c ON s0.node = c.node
+        |), t3 AS (
+        |  SELECT s0.node,
+        |         round(1e-9 + 0.15 * s0.sv + 0.85 * coalesce(c.m, 0), 6) AS pr
+        |  FROM s0 LEFT JOIN (
+        |    SELECT e.dst AS node, sum(round(1e-9 + t2.pr / deg.d, 6)) AS m
+        |    FROM e JOIN t2 ON e.src = t2.node JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) c ON s0.node = c.node
+        |), g0 AS (
+        |  SELECT node, round(1e-9 + 1.0 / n, 6) AS pr FROM nodes, n
+        |), g1 AS (
+        |  SELECT nodes.node,
+        |         round(1e-9 + 0.15 / n + 0.85 * coalesce(c.m, 0), 6) AS pr
+        |  FROM nodes
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, sum(round(1e-9 + g0.pr / deg.d, 6)) AS m
+        |    FROM e JOIN g0 ON e.src = g0.node JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) c ON nodes.node = c.node, n
+        |), g2 AS (
+        |  SELECT nodes.node,
+        |         round(1e-9 + 0.15 / n + 0.85 * coalesce(c.m, 0), 6) AS pr
+        |  FROM nodes
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, sum(round(1e-9 + g1.pr / deg.d, 6)) AS m
+        |    FROM e JOIN g1 ON e.src = g1.node JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) c ON nodes.node = c.node, n
+        |), g3 AS (
+        |  SELECT nodes.node,
+        |         round(1e-9 + 0.15 / n + 0.85 * coalesce(c.m, 0), 6) AS pr
+        |  FROM nodes
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, sum(round(1e-9 + g2.pr / deg.d, 6)) AS m
+        |    FROM e JOIN g2 ON e.src = g2.node JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) c ON nodes.node = c.node, n
+        |)
+        |SELECT t3.node AS domain_id,
+        |       CASE WHEN t3.node % 7 = 0 THEN 1 ELSE 0 END AS is_seed,
+        |       t3.pr AS trust, g3.pr AS authority,
+        |       CAST(round(1e-9 + t3.pr * 1000 / g3.pr) AS BIGINT)
+        |         AS trust_lift_milli,
+        |       CAST(row_number() OVER (ORDER BY t3.pr DESC, t3.node)
+        |         AS INT) AS trust_rank
+        |FROM t3 JOIN g3 ON t3.node = g3.node
+        |ORDER BY domain_id""".stripMargin) { (s, d) =>
+      val e = Tables.documents(s, d)
+        .filter(col("doc_id") < 400 && (col("doc_id") * 48271) % 100 < 18)
+        .select((col("doc_id") % 20).cast("int").as("src"),
+          (expr("doc_id div 20") % 20).cast("int").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint() // tiny edge list feeds every iteration
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      val n = nodes.agg(count(lit(1)).as("n"))
+      val sv = when(col("node") % 7 === 0,
+        Num.roundOut(lit(1.0) / 3.0, 6)).otherwise(lit(0.0))
+      def contrib(p: DataFrame): DataFrame = e
+        .join(p.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), Num.roundOut(col("pr") / col("d"), 6).as("w"))
+        .groupBy(col("dst")).agg(sum(col("w")).as("m"))
+      def stepT(p: DataFrame): DataFrame = nodes
+        .join(contrib(p).withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), Num.roundOut(
+          lit(0.15) * sv + lit(0.85) * coalesce(col("m"), lit(0.0)), 6)
+          .as("pr"))
+        .localCheckpoint()
+      def stepG(p: DataFrame): DataFrame = nodes
+        .join(contrib(p).withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("node"), Num.roundOut(
+          lit(0.15) / col("n") + lit(0.85) * coalesce(col("m"), lit(0.0)), 6)
+          .as("pr"))
+        .localCheckpoint()
+      val t0 = nodes.select(col("node"), sv.as("pr"))
+      val t3 = stepT(stepT(stepT(t0)))
+      val g0 = nodes.crossJoin(broadcast(n))
+        .select(col("node"), Num.roundOut(lit(1.0) / col("n"), 6).as("pr"))
+      val g3 = stepG(stepG(stepG(g0)))
+      t3.withColumnRenamed("pr", "trust")
+        .join(g3.withColumnRenamed("pr", "authority"), Seq("node"))
+        .withColumn("trust_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("trust").desc, col("node"))).cast("int"))
+        .select(col("node").as("domain_id"),
+          when(col("node") % 7 === 0, 1).otherwise(0).as("is_seed"),
+          col("trust"), col("authority"),
+          round(lit(1e-9) + col("trust") * 1000 / col("authority"))
+            .cast("long").as("trust_lift_milli"),
+          col("trust_rank"))
+        .orderBy(col("domain_id"))
+    },
+
     // DSIR-style data selection (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling"): rank the raw pool by
     // how much each document's hashed-unigram distribution looks like a

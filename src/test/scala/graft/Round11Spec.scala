@@ -249,6 +249,53 @@ class Round11Spec extends AnyFunSuite {
       "folded counts must train the identical merge sequence")
   }
 
+  test("x198: personalized PageRank equals a driver-side fold with the same rounding schedule, and trust actually discriminates") {
+    def r6(x: Double): Double =
+      BigDecimal(x + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val edges = Tables.documents(spark, sf0_001)
+      .filter(col("doc_id") < 400 && (col("doc_id") * 48271) % 100 < 18)
+      .select((col("doc_id") % 20).cast("int").as("s"),
+        (expr("doc_id div 20") % 20).cast("int").as("t"))
+      .filter(col("s") =!= col("t")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val outDeg = edges.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val nN = nodes.length
+    def step(p: Map[Int, Double], restart: Int => Double): Map[Int, Double] = {
+      val m = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r6(p(src) / outDeg(src)) }.sum
+      }
+      nodes.map(v => v ->
+        r6(0.15 * restart(v) + 0.85 * m.getOrElse(v, 0.0))).toMap
+    }
+    val seedV = (v: Int) => if (v % 7 == 0) r6(1.0 / 3) else 0.0
+    val globV = (_: Int) => 1.0 / nN
+    var t = nodes.map(v => v -> seedV(v)).toMap
+    var g = nodes.map(v => v -> r6(1.0 / nN)).toMap
+    (1 to 3).foreach { _ => t = step(t, seedV); g = step(g, globV) }
+    val rows = SparkEntry.queries("x198_personalized_pagerank")(
+      spark, sf0_001).collect()
+    assert(rows.length == nN)
+    val trustRankOrder = nodes.sortBy(v => (-t(v), v)).zipWithIndex
+      .map { case (v, i) => v -> (i + 1) }.toMap
+    rows.foreach { r =>
+      val v = r.getAs[Int]("domain_id")
+      assert(r.getAs[Int]("is_seed") == (if (v % 7 == 0) 1 else 0))
+      assert(r.getAs[Double]("trust") == t(v), s"trust($v)")
+      assert(r.getAs[Double]("authority") == g(v), s"authority($v)")
+      assert(r.getAs[Long]("trust_lift_milli") ==
+        math.round(1e-9 + t(v) * 1000 / g(v)), s"lift($v)")
+      assert(r.getAs[Int]("trust_rank") == trustRankOrder(v), s"rank($v)")
+    }
+    // the personalization must DISCRIMINATE: trust reached some non-seed
+    // (propagation is live) and the lift spread is real (not a rescaled
+    // copy of global authority)
+    assert(nodes.exists(v => v % 7 != 0 && t(v) > 0))
+    val lifts = rows.map(_.getAs[Long]("trust_lift_milli")).distinct
+    assert(lifts.length > 3, s"degenerate lift spread: ${lifts.toSeq}")
+  }
+
   test("x193: an empty first stage reports the designed NULL downstream, not a div-by-zero accident") {
     val dir = java.nio.file.Files.createTempDirectory("x193deg").toString
     Tables.events(spark, sf0_001)

@@ -1137,7 +1137,11 @@ class Round9Spec extends AnyFunSuite {
     *   limit, K-bounded); Hamilton remainder ranks ×2 (source×lang /
     *   source quota tables — group-cardinality-bounded); HITS rank
     *   (per-event-type table, ~5 rows); x171 Neyman + proportional
-    *   remainder ranks ×2 (sources-sized quota table).
+    *   remainder ranks ×2 (sources-sized quota table). (x37's authority
+    *   rank and x198's trust rank sit on the ≤20-node fixture-graph
+    *   vector — bounded by construction; their line-split
+    *   `expressions.Window` form is outside this regex, like x37 always
+    *   was.)
     * Mining.scala (6): nDCG/MRR rank windows ×2 (post-limit(10)); hybrid
     *   RRF ranks ×2 (post-limit(64)); phrase-search top-2 rank (post-
     *   limit(2)); x194 bin-base prefix sum (≤512-row packing-plan table —
