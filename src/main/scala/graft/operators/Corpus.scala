@@ -678,9 +678,11 @@ object Corpus {
           .localCheckpoint() // |nodes| rows; severs the iteration lineage
       }
       val p2 = step(step(p0))
+      // Partition-less rank window: input is the |nodes| authority vector
+      // (≤20-row fixture graph; node-count-bounded at any corpus size) —
+      // enrolled in Round9Spec's window inventory with that bound.
       p2.withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("pr").desc, col("node"))).cast("int"))
+          Window.orderBy(col("pr").desc, col("node"))).cast("int"))
         .select(col("node").as("domain_id"), col("pr").as("authority"),
           col("rank"))
         .orderBy(col("domain_id"))
@@ -818,9 +820,10 @@ object Corpus {
       val g3 = stepG(stepG(stepG(g0)))
       t3.withColumnRenamed("pr", "trust")
         .join(g3.withColumnRenamed("pr", "authority"), Seq("node"))
+        // Partition-less rank window over the |nodes| trust vector —
+        // node-count-bounded; enrolled in Round9Spec's window inventory.
         .withColumn("trust_rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("trust").desc, col("node"))).cast("int"))
+          Window.orderBy(col("trust").desc, col("node"))).cast("int"))
         .select(col("node").as("domain_id"),
           when(col("node") % 7 === 0, 1).otherwise(0).as("is_seed"),
           col("trust"), col("authority"),

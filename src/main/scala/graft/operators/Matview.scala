@@ -27,9 +27,9 @@ object Matview {
     val srcKey = graft.ContentKey.key(
       java.nio.file.Paths.get(dir, "events.parquet"))
     val out = graft.Warehouse.path(s"graft_fact_v2_$srcKey")
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+    graft.Publish.once(out) { tmp =>
       FactBuild.build(s, dir)
-        .write.mode("overwrite").partitionBy("day").parquet(out)
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
     }
     out
   }

@@ -1492,6 +1492,12 @@ object Mining {
           sum(col("n_sym")).as("n_tokens"))
         .select(col("source"), col("n_words"), col("n_chars"),
           col("n_tokens"),
+          // BIGINT bound (ADVICE r8/x142 convention, mirrored from
+          // x189's ppm columns): n_tokens·10⁶ is exact int64 up to
+          // ~9.2·10¹² tokens per source — past that Spark's non-ANSI
+          // multiply wraps while DuckDB widens to HUGEINT; at that
+          // scale switch to x142's DOUBLE escape arm. Every tested SF
+          // keeps the integer arm exact.
           expr("n_tokens * 1000000 div n_words").as("fertility_ppm"),
           expr("n_tokens * 1000000 div n_chars").as("compression_ppm"))
         .orderBy(col("source"))

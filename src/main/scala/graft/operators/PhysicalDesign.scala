@@ -43,11 +43,11 @@ object PhysicalDesign {
   def zorderEventsPath(s: SparkSession, dir: String): String = {
     val key = ContentKey.key(java.nio.file.Paths.get(dir, "events.parquet"))
     val out = tmp(s"graft_events_zorder_v1_$key")
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+    graft.Publish.once(out) { t =>
       zKeyed(Tables.events(s, dir))
         .repartitionByRange(8, col("z"))
         .sortWithinPartitions(col("z"))
-        .write.mode("overwrite").parquet(out)
+        .write.mode("overwrite").parquet(t)
     }
     out
   }
@@ -67,10 +67,10 @@ object PhysicalDesign {
   def partitionedEventsPath(s: SparkSession, dir: String): String = {
     val key = ContentKey.key(java.nio.file.Paths.get(dir, "events.parquet"))
     val out = tmp(s"graft_events_byday_v2_$key")
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+    graft.Publish.once(out) { t =>
       Tables.events(s, dir)
         .withColumn("day", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("day").parquet(out)
+        .write.mode("overwrite").partitionBy("day").parquet(t)
     }
     out
   }
@@ -89,25 +89,47 @@ object PhysicalDesign {
   /** Bucketed-table names/paths are content-keyed so a session that ever
     * serves two sf dirs (specs use sf0.001 while Verify/Bench use their
     * own) never crosses data. */
+  /** Build one bucketed table's FILES atomically (bucketBy requires
+    * saveAsTable, so the write goes through a per-run scaffold table name
+    * pointing into the publish temp dir — dropped immediately, external so
+    * the files stay), then register the catalog entry over the published
+    * location via DDL. Two JVMs racing on one content key each publish-or-
+    * lose on the files and register in their own catalogs; a fresh JVM
+    * over a warm warehouse skips the build entirely and just registers. */
+  private def bucketedBuild(s: SparkSession, table: String, ddlCols: String)
+      (df: => DataFrame): Unit = {
+    val out = tmp(table)
+    graft.Publish.once(out) { t =>
+      val bld = s"${table}_bld_${graft.Publish.runToken}"
+      df.write.bucketBy(8, "user_id").sortBy("user_id")
+        .option("path", t).mode("overwrite").saveAsTable(bld)
+      s.sql(s"DROP TABLE IF EXISTS $bld") // external: data stays put
+    }
+    s.sql(s"""CREATE TABLE IF NOT EXISTS $table ($ddlCols) USING parquet
+      CLUSTERED BY (user_id) SORTED BY (user_id) INTO 8 BUCKETS
+      LOCATION '$out'""")
+  }
+
   private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
     val key = ContentKey.key(java.nio.file.Paths.get(dir, "events.parquet"))
     val (t1, t2) = (s"g_user_stats_v2_$key", s"g_user_purch_v2_$key")
-    // latch on BOTH tables: a failure between the two writes (swallowed by
+    // check BOTH tables: a failure between the two builds (swallowed by
     // Bench's warmup) must not leave a half-built pair latched for the
     // rest of the session
     if (!s.catalog.tableExists(t1) || !s.catalog.tableExists(t2)) {
-      Tables.events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          Num.roundOut(sum(col("value")), 4).as("sum_value"))
-        .write.bucketBy(8, "user_id").sortBy("user_id")
-        .option("path", tmp(t1)).mode("overwrite").saveAsTable(t1)
-      Tables.events(s, dir)
-        .filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_purchases"))
-        .write.bucketBy(8, "user_id").sortBy("user_id")
-        .option("path", tmp(t2)).mode("overwrite").saveAsTable(t2)
+      bucketedBuild(s, t1,
+        "user_id BIGINT, n_events BIGINT, sum_value DOUBLE") {
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            Num.roundOut(sum(col("value")), 4).as("sum_value"))
+      }
+      bucketedBuild(s, t2, "user_id BIGINT, n_purchases BIGINT") {
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_purchases"))
+      }
     }
     (t1, t2)
   }
@@ -135,9 +157,9 @@ object PhysicalDesign {
   def fragmentedEventsPath(s: SparkSession, dir: String): String = {
     val key = ContentKey.key(java.nio.file.Paths.get(dir, "events.parquet"))
     val out = tmp(s"graft_events_frag_v1_$key")
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+    graft.Publish.once(out) { t =>
       Tables.events(s, dir).repartition(64)
-        .write.mode("overwrite").parquet(out)
+        .write.mode("overwrite").parquet(t)
     }
     out
   }
@@ -166,14 +188,14 @@ object PhysicalDesign {
     val frag = fragmentedEventsPath(s, dir)
     val key = ContentKey.key(java.nio.file.Paths.get(dir, "events.parquet"))
     val out = tmp(s"graft_events_compact_v1_$key")
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+    graft.Publish.once(out) { t =>
       val n = math.max(1L,
         (dirBytes(frag) + TargetFileBytes - 1) / TargetFileBytes).toInt
       // Read with per-file partitions (splits already coalesce small files
       // up to maxPartitionBytes; coalesce(n) then merges down to the
       // target count without an exchange).
       s.read.parquet(frag).coalesce(n)
-        .write.mode("overwrite").parquet(out)
+        .write.mode("overwrite").parquet(t)
     }
     out
   }

@@ -115,10 +115,10 @@ object Sources {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))
       val out = graft.Warehouse.path(s"graft_csv_v2_$key")
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      graft.Publish.once(out) { t =>
         Tables.events(s, d)
           .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
-          .write.mode("overwrite").option("header", "true").csv(out)
+          .write.mode("overwrite").option("header", "true").csv(t)
       }
       s.read
         .schema("event_id BIGINT, event_type STRING, user_id BIGINT, value DOUBLE")
@@ -135,10 +135,10 @@ object Sources {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "documents.parquet"))
       val out = graft.Warehouse.path(s"graft_jsonl_v2_$key")
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      graft.Publish.once(out) { t =>
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("n_chars"))
-          .write.mode("overwrite").json(out)
+          .write.mode("overwrite").json(t)
       }
       s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(out)
         .groupBy(col("lang"))
@@ -159,10 +159,10 @@ object Sources {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "documents.parquet"))
       val out = graft.Warehouse.path(s"graft_orc_v1_$key")
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      graft.Publish.once(out) { t =>
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("n_chars"))
-          .write.mode("overwrite").orc(out)
+          .write.mode("overwrite").orc(t)
       }
       s.read.orc(out)
         .groupBy(col("source"))
@@ -191,19 +191,17 @@ object Sources {
         |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin) { (s, d) =>
       val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))
       val out = graft.Warehouse.path(s"graft_dynover_v1_$key")
-      val done = java.nio.file.Paths.get(out, "_GRAFT_DONE")
-      if (!java.nio.file.Files.exists(done)) {
+      graft.Publish.once(out, marker = "_GRAFT_DONE", stampMarker = true) { t =>
         val ev = Tables.events(s, d)
           .select(to_date(col("ts")).as("day"), col("event_id"),
             col("event_type"))
-        ev.write.mode("overwrite").partitionBy("day").parquet(out)
+        ev.write.mode("overwrite").partitionBy("day").parquet(t)
         // the backfill: replace exactly the 2024-01-05 partition
         ev.filter(col("day") === lit("2024-01-05").cast("date") &&
             col("event_type") === "click")
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("day").parquet(out)
-        java.nio.file.Files.createFile(done)
+          .partitionBy("day").parquet(t)
       }
       s.read.parquet(out)
         .groupBy(col("day").cast("date").as("day"))
@@ -230,16 +228,14 @@ object Sources {
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "documents.parquet"))
       val out = graft.Warehouse.path(s"graft_schemaevo_v1_$key")
-      val done = java.nio.file.Paths.get(out, "_GRAFT_DONE")
-      if (!java.nio.file.Files.exists(done)) {
+      graft.Publish.once(out, marker = "_GRAFT_DONE", stampMarker = true) { t =>
         val docs = Tables.documents(s, d)
         docs.filter(col("doc_id") < 250)
           .select(col("doc_id"), col("lang"), col("n_chars"))
-          .write.mode("overwrite").parquet(s"$out/batch=v1")
+          .write.mode("overwrite").parquet(s"$t/batch=v1")
         docs.filter(col("doc_id") >= 250)
           .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
-          .write.mode("overwrite").parquet(s"$out/batch=v2")
-        java.nio.file.Files.createFile(done)
+          .write.mode("overwrite").parquet(s"$t/batch=v2")
       }
       s.read.option("mergeSchema", "true").parquet(s"$out/batch=v1", s"$out/batch=v2")
         .groupBy(col("lang"), coalesce(col("source"), lit("unknown")).as("src"))
@@ -265,16 +261,14 @@ object Sources {
         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       val key = graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))
       val out = graft.Warehouse.path(s"graft_gdpr_v1_$key")
-      val done = java.nio.file.Paths.get(out, "_GRAFT_DONE")
-      if (!java.nio.file.Files.exists(done)) {
+      graft.Publish.once(out, marker = "_GRAFT_DONE", stampMarker = true) { t =>
         val ev = Tables.events(s, d)
         // the deletion-request set, as an explicit key relation (not a
         // predicate): exactly how erasure requests arrive in production
         val requests = ev.select(col("user_id")).distinct()
           .filter(col("user_id") % 10 === 3)
         ev.join(broadcast(requests), Seq("user_id"), "left_anti")
-          .write.mode("overwrite").parquet(s"$out/table")
-        java.nio.file.Files.createFile(done)
+          .write.mode("overwrite").parquet(s"$t/table")
       }
       s.read.parquet(s"$out/table")
         .groupBy(col("event_type"))

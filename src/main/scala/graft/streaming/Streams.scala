@@ -59,39 +59,60 @@ object Streams {
     body(ss)
   }
 
-  /** Stage the single-file events table as a DIRECTORY for the file-stream
-    * source (idempotent per JVM). Content-keyed (ADVICE r01): if
-    * events.parquet is regenerated the key changes, so we stage a fresh
-    * link instead of keeping the old inode and silently diverging from the
-    * oracle. */
-  private[graft] def stageEvents(dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
-      s"graft_stream_v2_${graft.ContentKey.key(src)}"))
-    java.nio.file.Files.createDirectories(stage)
-    val dst = stage.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(dst)) {
-      try java.nio.file.Files.createLink(dst, src)
-      catch { case _: Exception =>
-        java.nio.file.Files.copy(src, dst,
+  /** Atomically publish a staged micro-batch directory: each slice is
+    * written as a single `batch_<i>.parquet` inside a process-unique temp
+    * dir, `check` (if any) validates the layout, then the WHOLE dir
+    * renames into place ([[graft.Publish.once]], marker `_DONE`).
+    * Concurrent stagers in other threads/JVMs either win the rename or
+    * discard their temp and read the winner — the build-once half of the
+    * st14 race (VERDICT r11 item 1). `mtimeBase`, when set, stamps
+    * strictly increasing file mtimes so the file source replays slices in
+    * order. */
+  private def stageSlices(stage: java.nio.file.Path,
+      slices: Seq[DataFrame], mtimeBase: Option[Long] = None)
+      (check: java.nio.file.Path => Unit = _ => ()): String = {
+    graft.Publish.once(stage.toString, marker = "_DONE",
+        stampMarker = true) { tmpDir =>
+      val root = java.nio.file.Paths.get(tmpDir)
+      java.nio.file.Files.createDirectories(root)
+      slices.zipWithIndex.foreach { case (df, par) =>
+        val tmp = root.resolve(s"tmp_$par")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally l.close()
+        }
+        val dst = root.resolve(s"batch_$par.parquet")
+        java.nio.file.Files.move(part, dst,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        mtimeBase.foreach { base =>
+          // mtime encodes arrival order (file-source listing order); the
+          // lexicographic name order agrees as the tie-break
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(base + par * 60000L))
+        }
+        graft.Publish.deleteTree(tmp)
       }
+      check(root)
     }
     stage.toString
   }
 
-  /** Stage events TWICE (two hard links → two micro-batches with
-    * maxFilesPerTrigger=1) so every event arrives as a duplicate — the
-    * input st03's streaming dedup must suppress. Content-keyed like
-    * [[stageEvents]]. */
-  private[graft] def stageEventsDuplicated(dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
-      s"graft_stream_dup_v1_${graft.ContentKey.key(src)}"))
-    java.nio.file.Files.createDirectories(stage)
-    Seq("events_a.parquet", "events_b.parquet").foreach { n =>
-      val dst = stage.resolve(n)
-      if (!java.nio.file.Files.exists(dst)) {
+  /** Stage the single-file source table as a DIRECTORY of hard links for
+    * the file-stream source. Content-keyed (ADVICE r01): if the source is
+    * regenerated the key changes, so we stage a fresh link instead of
+    * keeping the old inode and silently diverging from the oracle.
+    * Atomic like [[stageSlices]]: links land in a temp dir that renames
+    * into place, so two JVMs never interleave link/copy on one layout. */
+  private def stageLinks(stage: java.nio.file.Path,
+      src: java.nio.file.Path, names: Seq[String]): String = {
+    graft.Publish.once(stage.toString, marker = "_DONE",
+        stampMarker = true) { tmpDir =>
+      val root = java.nio.file.Paths.get(tmpDir)
+      java.nio.file.Files.createDirectories(root)
+      names.foreach { n =>
+        val dst = root.resolve(n)
         try java.nio.file.Files.createLink(dst, src)
         catch { case _: Exception =>
           java.nio.file.Files.copy(src, dst,
@@ -102,38 +123,37 @@ object Streams {
     stage.toString
   }
 
+  /** Stage the single-file events table as a stream-source directory
+    * (build-once per content key). */
+  private[graft] def stageEvents(dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    stageLinks(java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_v2_${graft.ContentKey.key(src)}")),
+      src, Seq("events.parquet"))
+  }
+
+  /** Stage events TWICE (two hard links → two micro-batches with
+    * maxFilesPerTrigger=1) so every event arrives as a duplicate — the
+    * input st03's streaming dedup must suppress. */
+  private[graft] def stageEventsDuplicated(dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    stageLinks(java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_dup_v1_${graft.ContentKey.key(src)}")),
+      src, Seq("events_a.parquet", "events_b.parquet"))
+  }
+
   /** Stage events SPLIT in two disjoint halves (by event_id parity, two
     * files → two micro-batches with maxFilesPerTrigger=1) so incremental
-    * aggregate maintenance actually merges across batches. Content-keyed
-    * like [[stageEvents]]. Written through Spark, so the staged `ts`
-    * keeps whatever encoding the source read produced (long nanos or
-    * NTZ micros) — consumers normalize via [[graft.Tables.normalizeTs]]. */
+    * aggregate maintenance actually merges across batches. Written
+    * through Spark, so the staged `ts` keeps whatever encoding the source
+    * read produced (long nanos or NTZ micros) — consumers normalize via
+    * [[graft.Tables.normalizeTs]]. */
   private[graft] def stageEventsSplit(s: SparkSession, dir: String): String = {
     val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
-      s"graft_stream_split_v1_${graft.ContentKey.key(src)}"))
-    if (!java.nio.file.Files.exists(stage.resolve("_DONE"))) {
-      java.nio.file.Files.createDirectories(stage)
-      Seq(0, 1).foreach { par =>
-        val tmp = stage.resolve(s"tmp_$par")
-        graft.Tables.table(s, dir, "events")
-          .filter(col("event_id") % 2 === par)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = {
-          val l = java.nio.file.Files.list(tmp)
-          try l.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-          finally l.close()
-        }
-        java.nio.file.Files.move(part, stage.resolve(s"batch_$par.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val rest = java.nio.file.Files.list(tmp)
-        try rest.forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally rest.close()
-        java.nio.file.Files.deleteIfExists(tmp)
-      }
-      java.nio.file.Files.createFile(stage.resolve("_DONE"))
-    }
-    stage.toString
+    stageSlices(java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_split_v1_${graft.ContentKey.key(src)}")),
+      Seq(0, 1).map(par => graft.Tables.table(s, dir, "events")
+        .filter(col("event_id") % 2 === par)))()
   }
 
   /** Stage EVENTS as three TIME-ORDERED slices (date terciles by pure
@@ -145,49 +165,27 @@ object Streams {
     * Content-keyed like [[stageEventsSplit]]. */
   private[graft] def stageEventsTimeSplit(s: SparkSession, dir: String): String = {
     val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
-      s"graft_stream_tsplit_v1_${graft.ContentKey.key(src)}"))
-    if (!java.nio.file.Files.exists(stage.resolve("_DONE"))) {
-      java.nio.file.Files.createDirectories(stage)
-      val ev = Tables.events(s, dir) // ts normalized to micros on disk
-      val bounds = ev.agg(min(to_date(col("ts"))).as("d0"),
-        max(to_date(col("ts"))).as("d1"))
-      val sliced = ev.crossJoin(broadcast(bounds))
-        .withColumn("slice", expr(
-          "least(2, (datediff(to_date(ts), d0) * 3) div (datediff(d1, d0) + 1))"))
-      Seq(0, 1, 2).foreach { par =>
-        val tmp = stage.resolve(s"tmp_$par")
-        sliced.filter(col("slice") === par)
-          .drop("slice", "d0", "d1")
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = {
-          val l = java.nio.file.Files.list(tmp)
-          try l.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-          finally l.close()
-        }
-        val dst = stage.resolve(s"batch_$par.parquet")
-        java.nio.file.Files.move(part, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // mtime encodes arrival order (file-source listing order); the
-        // lexicographic name order agrees as the tie-break
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1600000000000L + par * 60000L))
-        val rest = java.nio.file.Files.walk(tmp)
-        try rest.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally rest.close()
-      }
+    val ev = Tables.events(s, dir) // ts normalized to micros on disk
+    val bounds = ev.agg(min(to_date(col("ts"))).as("d0"),
+      max(to_date(col("ts"))).as("d1"))
+    val sliced = ev.crossJoin(broadcast(bounds))
+      .withColumn("slice", expr(
+        "least(2, (datediff(to_date(ts), d0) * 3) div (datediff(d1, d0) + 1))"))
+    stageSlices(java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_tsplit_v1_${graft.ContentKey.key(src)}")),
+      Seq(0, 1, 2).map(par => sliced.filter(col("slice") === par)
+        .drop("slice", "d0", "d1")),
+      mtimeBase = Some(1600000000000L)) { root =>
       // st23's cross-batch frontier fold assumes every event in batch k+1
       // is strictly newer (by the event-time ordering key) than every
       // event in batch k — true today because the slicer cuts on whole
       // DATES, but the invariant must fail LOUDLY if the slice key ever
       // drifts to a sub-date grain (ADVICE r9: a comment is not a guard).
-      // Checked once at staging time, before _DONE makes the layout
+      // Checked once at staging time, before publication makes the layout
       // reusable; non-empty slices only (a tercile can be empty at tiny
       // SFs without breaking the ordering of the others).
       val sliceBounds = Seq(0, 1, 2).flatMap { par =>
-        s.read.parquet(stage.resolve(s"batch_$par.parquet").toString)
+        s.read.parquet(root.resolve(s"batch_$par.parquet").toString)
           .agg(min(col("ts")).cast("string").as("lo"),
             max(col("ts")).cast("string").as("hi"))
           .collect().toSeq
@@ -201,9 +199,7 @@ object Streams {
               s"slice $pb min ts $loB — st23's frontier invariant is broken")
         case _ => ()
       }
-      java.nio.file.Files.createFile(stage.resolve("_DONE"))
     }
-    stage.toString
   }
 
   /** Stage DOCUMENTS split in two disjoint halves (by doc_id parity, two
@@ -211,120 +207,40 @@ object Streams {
     * streaming ingest source. Content-keyed like [[stageEventsSplit]]. */
   private[graft] def stageDocumentsSplit(s: SparkSession, dir: String): String = {
     val src = java.nio.file.Paths.get(dir, "documents.parquet")
-    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
-      s"graft_stream_docsplit_v1_${graft.ContentKey.key(src)}"))
-    if (!java.nio.file.Files.exists(stage.resolve("_DONE"))) {
-      java.nio.file.Files.createDirectories(stage)
-      Seq(0, 1).foreach { par =>
-        val tmp = stage.resolve(s"tmp_$par")
-        graft.Tables.documents(s, dir)
-          .filter(col("doc_id") % 2 === par)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = {
-          val l = java.nio.file.Files.list(tmp)
-          try l.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-          finally l.close()
-        }
-        java.nio.file.Files.move(part, stage.resolve(s"batch_$par.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val rest = java.nio.file.Files.list(tmp)
-        try rest.forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally rest.close()
-        java.nio.file.Files.deleteIfExists(tmp)
-      }
-      java.nio.file.Files.createFile(stage.resolve("_DONE"))
-    }
-    stage.toString
+    stageSlices(java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_docsplit_v1_${graft.ContentKey.key(src)}")),
+      Seq(0, 1).map(par => graft.Tables.documents(s, dir)
+        .filter(col("doc_id") % 2 === par)))()
   }
 
   /** Stage ORDERS split in two disjoint halves (by o_orderkey parity) —
     * st26's streaming ingest source. Content-keyed like the others. */
   private[graft] def stageOrdersSplit(s: SparkSession, dir: String): String = {
     val src = java.nio.file.Paths.get(dir, "orders.parquet")
-    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
-      s"graft_stream_ordsplit_v1_${graft.ContentKey.key(src)}"))
-    if (!java.nio.file.Files.exists(stage.resolve("_DONE"))) {
-      java.nio.file.Files.createDirectories(stage)
-      Seq(0, 1).foreach { par =>
-        val tmp = stage.resolve(s"tmp_$par")
-        graft.Tables.orders(s, dir)
-          .filter(col("o_orderkey") % 2 === par)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = {
-          val l = java.nio.file.Files.list(tmp)
-          try l.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-          finally l.close()
-        }
-        java.nio.file.Files.move(part, stage.resolve(s"batch_$par.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val rest = java.nio.file.Files.list(tmp)
-        try rest.forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally rest.close()
-        java.nio.file.Files.deleteIfExists(tmp)
-      }
-      java.nio.file.Files.createFile(stage.resolve("_DONE"))
-    }
-    stage.toString
+    stageSlices(java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_ordsplit_v1_${graft.ContentKey.key(src)}")),
+      Seq(0, 1).map(par => graft.Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 2 === par)))()
   }
 
   /** Stage PART split in two disjoint halves (by p_partkey parity) —
     * st28's streaming ingest source. Content-keyed like the others. */
   private[graft] def stagePartSplit(s: SparkSession, dir: String): String = {
     val src = java.nio.file.Paths.get(dir, "part.parquet")
-    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
-      s"graft_stream_partsplit_v1_${graft.ContentKey.key(src)}"))
-    if (!java.nio.file.Files.exists(stage.resolve("_DONE"))) {
-      java.nio.file.Files.createDirectories(stage)
-      Seq(0, 1).foreach { par =>
-        val tmp = stage.resolve(s"tmp_$par")
-        graft.Tables.part(s, dir)
-          .filter(col("p_partkey") % 2 === par)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = {
-          val l = java.nio.file.Files.list(tmp)
-          try l.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-          finally l.close()
-        }
-        java.nio.file.Files.move(part, stage.resolve(s"batch_$par.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val rest = java.nio.file.Files.list(tmp)
-        try rest.forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally rest.close()
-        java.nio.file.Files.deleteIfExists(tmp)
-      }
-      java.nio.file.Files.createFile(stage.resolve("_DONE"))
-    }
-    stage.toString
+    stageSlices(java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_partsplit_v1_${graft.ContentKey.key(src)}")),
+      Seq(0, 1).map(par => graft.Tables.part(s, dir)
+        .filter(col("p_partkey") % 2 === par)))()
   }
 
   /** Stage EMBEDDINGS split in two disjoint halves (by vec_id parity) —
     * st21's streaming ingest source. Content-keyed like the others. */
   private[graft] def stageEmbeddingsSplit(s: SparkSession, dir: String): String = {
     val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
-      s"graft_stream_vecsplit_v1_${graft.ContentKey.key(src)}"))
-    if (!java.nio.file.Files.exists(stage.resolve("_DONE"))) {
-      java.nio.file.Files.createDirectories(stage)
-      Seq(0, 1).foreach { par =>
-        val tmp = stage.resolve(s"tmp_$par")
-        graft.Tables.embeddings(s, dir)
-          .filter(col("vec_id") % 2 === par)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = {
-          val l = java.nio.file.Files.list(tmp)
-          try l.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-          finally l.close()
-        }
-        java.nio.file.Files.move(part, stage.resolve(s"batch_$par.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val rest = java.nio.file.Files.list(tmp)
-        try rest.forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally rest.close()
-        java.nio.file.Files.deleteIfExists(tmp)
-      }
-      java.nio.file.Files.createFile(stage.resolve("_DONE"))
-    }
-    stage.toString
+    stageSlices(java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_vecsplit_v1_${graft.ContentKey.key(src)}")),
+      Seq(0, 1).map(par => graft.Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 2 === par)))()
   }
 
   /** Delete a derived output directory before a non-idempotent rebuild. */
@@ -541,7 +457,7 @@ object Streams {
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
       val stage = stageEvents(d)
-      val factDir = java.nio.file.Paths.get(graft.Warehouse.path(
+      val factDir = java.nio.file.Paths.get(graft.Scratch.path(
         s"graft_stfact_v2_${graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}"),
         "fact").toString
       withStreamingConfs(s) { ss =>
@@ -620,7 +536,7 @@ object Streams {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageEventsSplit(ss, d)
-        val mvDir = java.nio.file.Paths.get(graft.Warehouse.path(
+        val mvDir = java.nio.file.Paths.get(graft.Scratch.path(
           s"graft_staggmv_v1_${graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}"),
           "mv").toString
         resetDir(mvDir)
@@ -822,7 +738,7 @@ object Streams {
         |FROM sq GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageEventsSplit(ss, d)
-        val smpDir = java.nio.file.Paths.get(graft.Warehouse.path(
+        val smpDir = java.nio.file.Paths.get(graft.Scratch.path(
           s"graft_stquant_v1_${graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}"),
           "sample").toString
         resetDir(smpDir)
@@ -911,7 +827,7 @@ object Streams {
       graft.operators.Dedup.x39OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageDocumentsSplit(ss, d)
-        val root = graft.Warehouse.path(
+        val root = graft.Scratch.path(
           s"graft_stneardup_v1_${graft.ContentKey.key(
             java.nio.file.Paths.get(d, "documents.parquet"))}")
         val sigDir = s"$root/sigs"
@@ -1006,7 +922,7 @@ object Streams {
       graft.operators.Corpus.x42OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageDocumentsSplit(ss, d)
-        val mgDir = graft.Warehouse.path(
+        val mgDir = graft.Scratch.path(
           s"graft_stheavy_v1_${graft.ContentKey.key(
             java.nio.file.Paths.get(d, "documents.parquet"))}")
         resetDir(mgDir)
@@ -1075,7 +991,7 @@ object Streams {
       graft.operators.TextAnalysis.x62OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageEventsSplit(ss, d)
-        val regDir = graft.Warehouse.path(
+        val regDir = graft.Scratch.path(
           s"graft_sthll_v1_${graft.ContentKey.key(
             java.nio.file.Paths.get(d, "events.parquet"))}")
         resetDir(regDir)
@@ -1132,8 +1048,8 @@ object Streams {
         val stage = stageEventsSplit(ss, d)
         val key = graft.ContentKey.key(
           java.nio.file.Paths.get(d, "events.parquet"))
-        val firstDir = graft.Warehouse.path(s"graft_stret_first_v1_$key")
-        val actDir = graft.Warehouse.path(s"graft_stret_act_v1_$key")
+        val firstDir = graft.Scratch.path(s"graft_stret_first_v1_$key")
+        val actDir = graft.Scratch.path(s"graft_stret_act_v1_$key")
         resetDir(firstDir); resetDir(actDir)
         val schema = ss.read.parquet(stage).schema
         val q = ss.readStream.schema(schema)
@@ -1209,7 +1125,7 @@ object Streams {
       graft.operators.TextAnalysis.x97OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageDocumentsSplit(ss, d)
-        val sampleDir = graft.Warehouse.path(
+        val sampleDir = graft.Scratch.path(
           s"graft_stsample_v1_${graft.ContentKey.key(
             java.nio.file.Paths.get(d, "documents.parquet"))}")
         resetDir(sampleDir)
@@ -1263,7 +1179,7 @@ object Streams {
       graft.operators.Dedup.x96OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageDocumentsSplit(ss, d)
-        val stateDir = graft.Warehouse.path(
+        val stateDir = graft.Scratch.path(
           s"graft_stdup_v1_${graft.ContentKey.key(
             java.nio.file.Paths.get(d, "documents.parquet"))}")
         resetDir(stateDir)
@@ -1329,7 +1245,7 @@ object Streams {
       graft.operators.Analytics.x109OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageEventsSplit(ss, d)
-        val actDir = graft.Warehouse.path(s"graft_stgrow_act_v1_${
+        val actDir = graft.Scratch.path(s"graft_stgrow_act_v1_${
           graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}")
         resetDir(actDir)
         val schema = ss.read.parquet(stage).schema
@@ -1375,7 +1291,7 @@ object Streams {
       graft.operators.Analytics.x111OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageEventsSplit(ss, d)
-        val momDir = graft.Warehouse.path(s"graft_stab_mom_v1_${
+        val momDir = graft.Scratch.path(s"graft_stab_mom_v1_${
           graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}")
         resetDir(momDir)
         val schema = ss.read.parquet(stage).schema
@@ -1427,7 +1343,7 @@ object Streams {
       graft.operators.Analytics.x125OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageEventsSplit(ss, d)
-        val ledDir = graft.Warehouse.path(s"graft_sttopk_led_v1_${
+        val ledDir = graft.Scratch.path(s"graft_sttopk_led_v1_${
           graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}")
         resetDir(ledDir)
         val schema = ss.read.parquet(stage).schema
@@ -1476,7 +1392,7 @@ object Streams {
       graft.operators.Analytics.x119OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageEventsSplit(ss, d)
-        val dayDir = graft.Warehouse.path(s"graft_stchg_day_v1_${
+        val dayDir = graft.Scratch.path(s"graft_stchg_day_v1_${
           graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}")
         resetDir(dayDir)
         val schema = ss.read.parquet(stage).schema
@@ -1523,7 +1439,7 @@ object Streams {
       graft.operators.Analytics.x127OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageEventsSplit(ss, d)
-        val actDir = graft.Warehouse.path(s"graft_stsrm_act_v1_${
+        val actDir = graft.Scratch.path(s"graft_stsrm_act_v1_${
           graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}")
         resetDir(actDir)
         val schema = ss.read.parquet(stage).schema
@@ -1572,7 +1488,7 @@ object Streams {
       graft.operators.Similarity.x101OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageEmbeddingsSplit(ss, d)
-        val ivfDir = graft.Warehouse.path(s"graft_stivf_v1_${
+        val ivfDir = graft.Scratch.path(s"graft_stivf_v1_${
           graft.ContentKey.key(java.nio.file.Paths.get(d, "embeddings.parquet"))}")
         resetDir(ivfDir)
         val schema = ss.read.parquet(stage).schema
@@ -1625,7 +1541,7 @@ object Streams {
       graft.operators.Corpus.x146OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageCcEdgesSplit(ss, d)
-        val ccDir = graft.Warehouse.path(s"graft_stcc_v1_${
+        val ccDir = graft.Scratch.path(s"graft_stcc_v1_${
           graft.ContentKey.key(
             java.nio.file.Paths.get(d, "documents.parquet"))}")
         resetDir(ccDir)
@@ -1669,7 +1585,7 @@ object Streams {
       graft.operators.Analytics.x95OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageEventsTimeSplit(ss, d)
-        val stDir = graft.Warehouse.path(s"graft_sttrans_v1_${
+        val stDir = graft.Scratch.path(s"graft_sttrans_v1_${
           graft.ContentKey.key(
             java.nio.file.Paths.get(d, "events.parquet"))}")
         resetDir(stDir)
@@ -1747,7 +1663,7 @@ object Streams {
       graft.operators.Analytics.x156OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageDocumentsSplit(ss, d)
-        val stDir = graft.Warehouse.path(s"graft_stdrift_v1_${
+        val stDir = graft.Scratch.path(s"graft_stdrift_v1_${
           graft.ContentKey.key(
             java.nio.file.Paths.get(d, "documents.parquet"))}")
         resetDir(stDir)
@@ -1795,7 +1711,7 @@ object Streams {
       graft.operators.TextAnalysis.x174OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageDocumentsSplit(ss, d)
-        val stDir = graft.Warehouse.path(s"graft_stcalib_v1_${
+        val stDir = graft.Scratch.path(s"graft_stcalib_v1_${
           graft.ContentKey.key(
             java.nio.file.Paths.get(d, "documents.parquet"))}")
         resetDir(stDir)
@@ -1839,7 +1755,7 @@ object Streams {
       graft.operators.Classic.x175OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageOrdersSplit(ss, d)
-        val stDir = graft.Warehouse.path(s"graft_sttrend_v1_${
+        val stDir = graft.Scratch.path(s"graft_sttrend_v1_${
           graft.ContentKey.key(
             java.nio.file.Paths.get(d, "orders.parquet"))}")
         resetDir(stDir)
@@ -1882,7 +1798,7 @@ object Streams {
       graft.operators.Mining.x183OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageDocumentsSplit(ss, d)
-        val stDir = graft.Warehouse.path(s"graft_stpack_v1_${
+        val stDir = graft.Scratch.path(s"graft_stpack_v1_${
           graft.ContentKey.key(
             java.nio.file.Paths.get(d, "documents.parquet"))}")
         resetDir(stDir)
@@ -1926,7 +1842,7 @@ object Streams {
       graft.operators.Dedup.x184OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stagePartSplit(ss, d)
-        val stDir = graft.Warehouse.path(s"graft_stgolden_v1_${
+        val stDir = graft.Scratch.path(s"graft_stgolden_v1_${
           graft.ContentKey.key(
             java.nio.file.Paths.get(d, "part.parquet"))}")
         resetDir(stDir)
@@ -2012,7 +1928,7 @@ object Streams {
       graft.operators.Merge.x191OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageEventsTimeSplit(ss, d)
-        val stDir = graft.Warehouse.path(s"graft_stscd2_v1_${
+        val stDir = graft.Scratch.path(s"graft_stscd2_v1_${
           graft.ContentKey.key(
             java.nio.file.Paths.get(d, "events.parquet"))}")
         resetDir(stDir)
@@ -2083,7 +1999,7 @@ object Streams {
       graft.operators.Mining.x196OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageDocumentsSplit(ss, d)
-        val stDir = graft.Warehouse.path(s"graft_stbpe_v1_${
+        val stDir = graft.Scratch.path(s"graft_stbpe_v1_${
           graft.ContentKey.key(
             java.nio.file.Paths.get(d, "documents.parquet"))}")
         resetDir(stDir)
@@ -2120,31 +2036,11 @@ object Streams {
     * st22's file-stream source. Content-keyed on documents.parquet. */
   private[graft] def stageCcEdgesSplit(s: SparkSession, dir: String): String = {
     val src = java.nio.file.Paths.get(dir, "documents.parquet")
-    val stage = java.nio.file.Paths.get(graft.Warehouse.path(
-      s"graft_stream_ccsplit_v1_${graft.ContentKey.key(src)}"))
-    if (!java.nio.file.Files.exists(stage.resolve("_DONE"))) {
-      java.nio.file.Files.createDirectories(stage)
-      Seq(0, 1, 2).foreach { par =>
-        val tmp = stage.resolve(s"tmp_$par")
-        graft.operators.Corpus.ccRawEdges(s, dir)
-          .filter(expr("(h div 3) % 3") === par)
-          .select(col("src"), col("dst"))
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = {
-          val l = java.nio.file.Files.list(tmp)
-          try l.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-          finally l.close()
-        }
-        java.nio.file.Files.move(part, stage.resolve(s"batch_$par.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val rest = java.nio.file.Files.walk(tmp)
-        try rest.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally rest.close()
-      }
-      java.nio.file.Files.createFile(stage.resolve("_DONE"))
-    }
-    stage.toString
+    stageSlices(java.nio.file.Paths.get(graft.Warehouse.path(
+      s"graft_stream_ccsplit_v1_${graft.ContentKey.key(src)}")),
+      Seq(0, 1, 2).map(par => graft.operators.Corpus.ccRawEdges(s, dir)
+        .filter(expr("(h div 3) % 3") === par)
+        .select(col("src"), col("dst"))))()
   }
 
   /** One Misra-Gries MERGE step (Agarwal et al. PODS'12 mergeable

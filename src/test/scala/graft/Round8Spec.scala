@@ -1314,7 +1314,7 @@ class Round8Spec extends AnyFunSuite {
         col("cent_id").cast("long")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val state = keyed(
-      spark.read.parquet(graft.Warehouse.path(s"graft_stivf_v1_$key")))
+      spark.read.parquet(graft.Scratch.path(s"graft_stivf_v1_$key")))
     val full = keyed(operators.Similarity.ivfAssignedTable(spark, sf0_001))
     assert(state == full, "converged streamed assignment must equal batch")
   }
