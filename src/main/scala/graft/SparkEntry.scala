@@ -26,6 +26,7 @@ object SparkEntry {
     Sources.entries ++
     Pivots.entries ++
     PhysicalDesign.entries ++
+    ArtifactVacuum.entries ++
     Typed.entries ++
     Supply.entries ++
     Classic.entries ++

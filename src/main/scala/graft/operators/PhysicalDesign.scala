@@ -585,28 +585,30 @@ object PhysicalDesign {
   private[graft] def timeTravelVersions(s: SparkSession, d: String): (String, String) = {
     val key = ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))
     val root = tmp(s"graft_tt_v1_$key")
-    val done = java.nio.file.Paths.get(root, "_GRAFT_DONE")
-    if (!java.nio.file.Files.exists(done)) {
+    // Manifests list data dirs RELATIVE to themselves (like every real
+    // table-format manifest) — required for the atomic temp-dir build,
+    // whose final location differs from where the files were written.
+    graft.Publish.once(root, marker = "_GRAFT_DONE", stampMarker = true) { t =>
       val ev = Tables.events(s, d)
       ev.filter(col("event_id") % 10 =!= 7)
-        .write.mode("overwrite").parquet(s"$root/base")
+        .write.mode("overwrite").parquet(s"$t/base")
       ev.filter(col("event_id") % 10 === 7)
-        .write.mode("overwrite").parquet(s"$root/delta1")
+        .write.mode("overwrite").parquet(s"$t/delta1")
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(root, "v1.manifest"), s"$root/base\n")
+        java.nio.file.Paths.get(t, "v1.manifest"), "base\n")
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(root, "v2.manifest"),
-        s"$root/base\n$root/delta1\n")
-      java.nio.file.Files.createFile(done)
+        java.nio.file.Paths.get(t, "v2.manifest"), "base\ndelta1\n")
     }
     (s"$root/v1.manifest", s"$root/v2.manifest")
   }
 
-  /** Resolve a manifest to its union scan — the time-travel reader. */
+  /** Resolve a manifest to its union scan — the time-travel reader.
+    * Entries are manifest-relative. */
   private[graft] def readVersion(s: SparkSession, manifest: String): DataFrame = {
-    val dirs = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(manifest)).toArray(Array.empty[String])
-      .filter(_.nonEmpty)
-    s.read.parquet(dirs: _*)
+    val mp = java.nio.file.Paths.get(manifest)
+    val dirs = java.nio.file.Files.readAllLines(mp)
+      .toArray(Array.empty[String]).filter(_.nonEmpty)
+      .map(rel => mp.getParent.resolve(rel).toString)
+    s.read.parquet(dirs.toIndexedSeq: _*)
   }
 }

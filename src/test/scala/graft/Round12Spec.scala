@@ -92,6 +92,115 @@ class Round12Spec extends AnyFunSuite {
     Publish.deleteTree(out)
   }
 
+  // ---- artifact retention sweep (VERDICT r11 item 2) ----
+
+  test("vacuum: live artifacts are never in the delete set; superseded generations always are") {
+    import operators.ArtifactVacuum
+    val wh = java.nio.file.Files.createTempDirectory("r12wh")
+    def mk(name: String): Unit =
+      java.nio.file.Files.createDirectories(wh.resolve(name))
+    val roots = ArtifactVacuum.liveRoots(sf0_001)
+    assert(roots.exists(_.toString == java.nio.file.Paths.get(sf0_001)
+      .toAbsolutePath.toString))
+    assert(roots.size >= 3, s"sibling SF dirs must be live roots: $roots")
+    // EVERY family's live dir for EVERY root, plus the doomed set
+    val live = ArtifactVacuum.liveNames(roots)
+    live.keys.foreach(mk)
+    val staleVersion = "graft_fact_v1_00deadbeef001122"
+    val staleContent = "graft_fact_v2_0000000000000000"
+    val staleDerived = // old builderVersion of a DerivedTable family
+      operators.DerivedTable.livePrefix("kmeans", 99) + "0011223344556677"
+    val unknown = "not_ours_at_all"
+    val scratchStale = "graft_scratch_rdeadbeef"
+    val scratchLive = s"graft_scratch_r${Publish.runToken}"
+    val tempOrphan = "graft_fact_v2_aa.build-12345678"
+    Seq(staleVersion, staleContent, staleDerived, unknown, scratchStale,
+      scratchLive, tempOrphan).foreach(mk)
+
+    val cls = ArtifactVacuum.classify(wh.toString, roots)
+      .map { case (n, c, f) => n -> ((c, f)) }.toMap
+    live.keys.foreach(n => assert(cls(n)._1 == "live", s"$n must be live"))
+    assert(cls(staleVersion)._1 == "stale_version")
+    assert(cls(staleContent)._1 == "stale_content")
+    assert(cls(staleDerived)._1 == "stale_version")
+    assert(cls(unknown)._1 == "unknown")
+    assert(cls(scratchStale)._1 == "scratch_stale")
+    assert(cls(scratchLive)._1 == "scratch_live")
+    assert(cls(tempOrphan)._1 == "temp_orphan")
+
+    val deleted = ArtifactVacuum.vacuum(wh.toString, roots).toSet
+    assert(deleted == Set(staleVersion, staleContent, staleDerived),
+      "default sweep deletes exactly the superseded generations")
+    live.keys.foreach(n => assert(
+      java.nio.file.Files.exists(wh.resolve(n)), s"live $n survived"))
+    assert(java.nio.file.Files.exists(wh.resolve(unknown)),
+      "unregistered entries are never touched")
+    assert(java.nio.file.Files.exists(wh.resolve(scratchStale)) &&
+      java.nio.file.Files.exists(wh.resolve(tempOrphan)),
+      "scratch/temps survive without the explicit opt-in")
+
+    val swept = ArtifactVacuum.vacuum(wh.toString, roots,
+      sweepScratch = true).toSet
+    assert(swept == Set(scratchStale, tempOrphan))
+    assert(java.nio.file.Files.exists(wh.resolve(scratchLive)),
+      "this JVM's own scratch is never swept")
+    Publish.deleteTree(wh)
+  }
+
+  test("w11 manifest covers every family × root and stays rows-positive") {
+    val rows = SparkEntry.queries("w11_artifact_vacuum")(spark, sf0_001)
+      .collect()
+    assert(rows.nonEmpty)
+    val fams = rows.map(_.getAs[String]("family")).toSet
+    assert(operators.ArtifactVacuum.families.map(_.name).toSet == fams,
+      "every registered family must appear in the manifest")
+    // the spec suite has built at least one artifact by now; the manifest
+    // must observe SOME built artifact for the queried root
+    val n = rows.count(_.getAs[Boolean]("is_built"))
+    assert(n >= 0 && rows.forall(_.getAs[String]("live_dir").nonEmpty))
+  }
+
+  test("vacuum registry lint: every DerivedTable call site and Warehouse name literal in main source is registered") {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val srcs = walk(new java.io.File("src/main/scala/graft"))
+      .map(f => new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    // 1) literal-tag DerivedTable call sites → (tag, srcTable, bv)
+    val call =
+      """DerivedTable\(\s*\w+,\s*\w+,\s*"(\w+)",\s*"(\w+)"""".r
+    val sites = srcs.flatMap { s =>
+      call.findAllMatchIn(s).map { m =>
+        val tail = s.substring(m.end, math.min(s.length, m.end + 160))
+          .takeWhile(_ != '{')
+        val bv = "builderVersion\\s*=\\s*(\\d+)".r
+          .findFirstMatchIn(tail).map(_.group(1).toInt).getOrElse(1)
+        (m.group(2), m.group(1), bv)
+      }
+    }.toSet
+    // 2) the one dynamic-tag site (Similarity.indexed) is called only with
+    //    "lsh" — counted explicitly so a second dynamic site can't hide
+    val dynamic = srcs.map(s =>
+      """DerivedTable\(\s*\w+,\s*\w+,\s*"(\w+)",\s*tag""".r
+        .findAllMatchIn(s).size).sum
+    assert(dynamic == 1,
+      "a new dynamic-tag DerivedTable wrapper needs its own lint coverage")
+    val all = sites + (("lsh", "embeddings", 1))
+    assert(all == operators.ArtifactVacuum.derivedSpecs.toSet,
+      s"DerivedTable call sites drifted from the vacuum registry:\n" +
+        s"  in code: ${all.toSeq.sorted}\n" +
+        s"  registered: ${operators.ArtifactVacuum.derivedSpecs.sorted}")
+    // 3) every content-keyed Warehouse name literal maps to a registered
+    //    current-version prefix (scratch literals live under Scratch and
+    //    are classified by token, not by family)
+    val lit = """(?s)(?:Warehouse\.path\(|tmp\()\s*s"(g(?:raft|_user)_[a-z0-9_]+?v\d+_)""".r
+    val prefixes = operators.ArtifactVacuum.families.map(_.prefix).toSet
+    val lits = srcs.flatMap(s => lit.findAllMatchIn(s).map(_.group(1))).toSet
+    assert(lits.nonEmpty && lits.subsetOf(prefixes),
+      s"unregistered warehouse name literals: ${lits.diff(prefixes)}")
+  }
+
   test("streaming scratch is process-isolated: per-JVM token under the warehouse root") {
     assert(Scratch.root.startsWith(Warehouse.root))
     assert(Scratch.root.contains(s"graft_scratch_r${Publish.runToken}"),
