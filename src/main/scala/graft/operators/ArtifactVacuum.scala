@@ -69,8 +69,8 @@ object ArtifactVacuum {
     ("ppjprefix", "documents", 1),
     ("bigramlm_uni", "documents", 1),
     ("bigramlm_top", "documents", 1),
-    ("bpemerges", "documents", 1),
-    ("bpesyms", "documents", 1),
+    ("bpemerges", "documents", 2),
+    ("bpesyms", "documents", 2),
     ("bpemerge1", "documents", 1),
     ("bpemerge2", "documents", 1),
     ("bpeseg", "documents", 1),

@@ -1442,7 +1442,7 @@ object Mining {
     // classically-sequential leftmost-greedy merge application becomes
     // gaps-and-islands (flagged positions → consecutive-run islands →
     // even-offset keeps), which provably equals the left-to-right scan
-    // (Round11Spec pins all three rounds against a sequential reference
+    // (Round11Spec pins every budget round against a sequential reference
     // implementation). Emits per round: the chosen merge, its weighted
     // pair count, and the corpus symbol count after applying it.
     //
@@ -1810,10 +1810,14 @@ object Mining {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
     val p = sym.withColumn("nxt", lead(col("sym"), 1).over(byWord))
+    // The 1-row argmax is checkpointed so the round's emptiness guard in
+    // [[bpeTrain]] and the two consumers (flag join, report) share one
+    // evaluation rather than recomputing the pair count three times.
     val m = p.filter(col("nxt").isNotNull)
       .groupBy(col("sym").as("l"), col("nxt").as("r"))
       .agg(sum(col("wc")).as("cnt"))
       .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+      .localCheckpoint()
     val f = p.crossJoin(broadcast(m))
       .withColumn("hit",
         when(col("sym") === col("l") && col("nxt") === col("r"), 1)
@@ -1835,37 +1839,43 @@ object Mining {
     (next, m)
   }
 
-  /** The three-round BPE training chain as shared DuckDB CTEs — the
-    * common prefix of x196's merge report and x197's fertility audit
+  /** The [[BpeBudget]]-round BPE training chain as shared DuckDB CTEs —
+    * the common prefix of x196's merge report and x197's fertility audit
     * (one definition, so the encoder x197 applies is provably the
-    * trainer x196 reports). Leaves `sym4` (the post-merge symbol table)
-    * and `o1..o3` (per-round merge rows) in scope. */
+    * trainer x196 reports). Round CTEs are GENERATED per budget round,
+    * exactly as the Spark trainer's driver loop unrolls stages, and
+    * declared MATERIALIZED: DuckDB's default CTE inlining re-derives
+    * sym_k once per downstream reference — exponential (2^B) plan blowup
+    * across a B-round chain; materialization makes the oracle evaluate
+    * each round once, the same per-round checkpointing the Spark side
+    * does with localCheckpoint. Leaves `sym<B+1>` (the post-merge symbol
+    * table) and `o1..oB` (per-round merge rows) in scope. */
   private[graft] lazy val bpeCteSql: String = {
     def round(k: Int): String =
-      s"""p$k AS (
+      s"""p$k AS MATERIALIZED (
         |  SELECT word, wc, pos, sym,
         |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
         |  FROM sym$k
-        |), m$k AS (
+        |), m$k AS MATERIALIZED (
         |  SELECT sym AS l, nxt AS r, CAST(sum(wc) AS BIGINT) AS cnt
         |  FROM p$k WHERE nxt IS NOT NULL GROUP BY 1, 2
         |  ORDER BY cnt DESC, l, r LIMIT 1
-        |), f$k AS (
+        |), f$k AS MATERIALIZED (
         |  SELECT p.word, p.wc, p.pos, p.sym, p.nxt,
         |         CASE WHEN p.sym = m.l AND p.nxt = m.r
         |              THEN 1 ELSE 0 END AS hit
         |  FROM p$k p CROSS JOIN m$k m
-        |), g$k AS (
+        |), g$k AS MATERIALIZED (
         |  SELECT *, CASE WHEN hit = 1 THEN pos - CAST(row_number() OVER
         |       (PARTITION BY word, hit ORDER BY pos) AS BIGINT) END AS isl
         |  FROM f$k
-        |), kk$k AS (
+        |), kk$k AS MATERIALIZED (
         |  SELECT *, CASE WHEN hit = 1
         |                  AND (pos - min(pos) OVER
         |                       (PARTITION BY word, isl)) % 2 = 0
         |                 THEN 1 ELSE 0 END AS keep
         |  FROM g$k
-        |), sym${k + 1} AS (
+        |), sym${k + 1} AS MATERIALIZED (
         |  SELECT word, wc,
         |         CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
         |           AS BIGINT) AS pos,
@@ -1873,35 +1883,37 @@ object Mining {
         |  FROM (SELECT *, lag(keep) OVER (PARTITION BY word ORDER BY pos)
         |          AS pk FROM kk$k)
         |  WHERE COALESCE(pk, 0) = 0
-        |), o$k AS (
+        |), o$k AS MATERIALIZED (
         |  SELECT $k AS round, m.l, m.r, m.cnt AS pair_count,
         |         (SELECT CAST(sum(wc) AS BIGINT) FROM sym${k + 1})
         |           AS syms_after
         |  FROM m$k m
         |)""".stripMargin
-    s"""w AS (
+    s"""w AS MATERIALIZED (
       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS wc
       |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
       |               t -> len(t) > 0)) AS tok FROM documents)
       |  GROUP BY 1
-      |), sym1 AS (
+      |), sym1 AS MATERIALIZED (
       |  SELECT word, wc, CAST(i + 1 AS BIGINT) AS pos,
       |         substring(word, CAST(i + 1 AS INT), 1) AS sym
       |  FROM (SELECT word, wc, unnest(range(len(word))) AS i FROM w)
-      |), ${round(1)}, ${round(2)}, ${round(3)}""".stripMargin
+      |), ${(1 to BpeBudget).map(round).mkString(", ")}""".stripMargin
   }
 
-  private[graft] lazy val x196OracleSql: String =
+  private[graft] lazy val x196OracleSql: String = {
+    val unions = (1 to BpeBudget).map(k => s"SELECT * FROM o$k")
+      .mkString(" UNION ALL ")
     s"""WITH $bpeCteSql
       |SELECT round, l, r, pair_count, syms_after FROM (
-      |  SELECT * FROM o1 UNION ALL SELECT * FROM o2
-      |  UNION ALL SELECT * FROM o3
+      |  $unions
       |) ORDER BY round""".stripMargin
+  }
 
   private[graft] lazy val x197OracleSql: String =
     s"""WITH $bpeCteSql, wsym AS (
       |  SELECT word, CAST(count(*) AS BIGINT) AS n_sym
-      |  FROM sym4 GROUP BY 1
+      |  FROM sym${BpeBudget + 1} GROUP BY 1
       |), docw AS (
       |  SELECT source,
       |         unnest(list_filter(string_split(text, ' '),
@@ -1922,12 +1934,32 @@ object Mining {
     * round merge reports — shared by x196 (reads the reports) and x197
     * (encodes with the final table), so the encoder provably applies
     * the merges the trainer chose. */
+  /** Vocabulary budget for the shipped tokenizer model: training runs
+    * merge rounds until the budget is spent (each merge adds exactly one
+    * symbol to the vocabulary, so budget B = B driver-looped rounds, the
+    * x20/x146 convergence-loop precedent — per-round checkpoints keep the
+    * lineage flat; real trainers run thousands of rounds with the SAME
+    * per-round plan, which is the unit that scales). `final` without a
+    * type ascription = compile-time constant, inlined at use sites — the
+    * oracle-SQL generators run during `entries` initialization, BEFORE
+    * this object's later vals would be assigned (the bpeCteSql lazy-val
+    * lesson, same object). */
+  private[graft] final val BpeBudget = 12
+
   private[graft] def bpeTrain(sym0: org.apache.spark.sql.DataFrame,
       rounds: Int): (org.apache.spark.sql.DataFrame,
         Seq[org.apache.spark.sql.DataFrame]) = {
     var sym = sym0.localCheckpoint()
     val reports = (1 to rounds).map { k =>
       val (next, m) = bpeRound(sym)
+      // Fail LOUDLY on the degenerate round (ADVICE r11): with no
+      // adjacent pair left the argmax is empty and the cross join would
+      // silently EMPTY the symbol table — the artifacts would persist
+      // empty and x196/x197 would return no rows with no error. A vocab
+      // budget the corpus cannot fund is a configuration error.
+      require(m.take(1).nonEmpty,
+        s"BPE round $k/$rounds: no adjacent pairs remain — the vocab " +
+          "budget exceeds the corpus's mergeable pairs")
       val nextCp = next.localCheckpoint()
       sym = nextCp
       m.crossJoin(broadcast(
@@ -1968,14 +2000,14 @@ object Mining {
     * per query. st30 is the path that retrains — from its folded
     * word-count state, which is the point. */
   private[graft] def bpeMergesArtifact(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    DerivedTable(s, d, "documents", "bpemerges") {
-      val (_, reports) = bpeTrain(bpeSym0(Tables.documents(s, d)), 3)
+    DerivedTable(s, d, "documents", "bpemerges", builderVersion = 2) {
+      val (_, reports) = bpeTrain(bpeSym0(Tables.documents(s, d)), BpeBudget)
       reports.reduce(_ unionByName _)
     }
 
   private[graft] def bpeSymsArtifact(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    DerivedTable(s, d, "documents", "bpesyms") {
-      bpeTrain(bpeSym0(Tables.documents(s, d)), 3)._1
+    DerivedTable(s, d, "documents", "bpesyms", builderVersion = 2) {
+      bpeTrain(bpeSym0(Tables.documents(s, d)), BpeBudget)._1
     }
 
   private[graft] lazy val x183OracleSql: String =

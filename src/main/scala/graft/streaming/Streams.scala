@@ -2025,7 +2025,7 @@ object Streams {
         try q.processAllAvailable() finally q.stop()
         val (_, reports) = graft.operators.Mining.bpeTrain(
           graft.operators.Mining.bpeSym0FromCounts(
-            ss.read.parquet(stDir)), 3)
+            ss.read.parquet(stDir)), graft.operators.Mining.BpeBudget)
         reports.reduce(_ unionByName _).orderBy(col("round"))
       }
     }

@@ -161,7 +161,7 @@ class Round11Spec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must surface cross-modal pairs")
   }
 
-  test("x196: relational BPE equals the sequential reference trainer for all three rounds") {
+  test("x196: relational BPE equals the sequential reference trainer for every budget round") {
     import org.apache.spark.sql.functions.{filter => afilter}
     // the classic sequential algorithm: count adjacent pairs weighted
     // by word frequency, pick (count DESC, pair ASC), apply the merge
@@ -173,7 +173,7 @@ class Round11Spec extends AnyFunSuite {
       .collect()
       .map(r => r.getString(0).toVector.map(_.toString) -> r.getLong(1))
       .toMap
-    val expected = (1 to 3).map { k =>
+    val expected = (1 to operators.Mining.BpeBudget).map { k =>
       val counts = words.toSeq
         .flatMap { case (syms, c) =>
           syms.sliding(2).collect { case Vector(a, b) => ((a, b), c) }
@@ -222,12 +222,13 @@ class Round11Spec extends AnyFunSuite {
     val rows = SparkEntry.queries("x197_bpe_fertility")(spark, sf0_001)
       .collect()
     assert(rows.length > 1, "fixture must carry multiple sources")
-    // Σ over sources of n_tokens == x196's round-3 syms_after: the
+    // Σ over sources of n_tokens == x196's final-round syms_after: the
     // fertility audit encodes with the SAME final symbol table whose
     // total the trainer reported (both are Σ_word wc·|symbols(word)|)
     val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
     val symsAfter3 = SparkEntry.queries("x196_bpe_merges")(spark, sf0_001)
-      .filter(col("round") === 3).collect()(0).getAs[Long]("syms_after")
+      .filter(col("round") === operators.Mining.BpeBudget)
+      .collect()(0).getAs[Long]("syms_after")
     assert(totalTokens == symsAfter3,
       s"encoder/trainer drift: $totalTokens vs $symsAfter3")
     rows.foreach { r =>
@@ -244,7 +245,7 @@ class Round11Spec extends AnyFunSuite {
       .collect().map(_.toSeq.toList).toList
     val stream = SparkEntry.queries("st30_stream_bpe")(spark, sf0_001)
       .collect().map(_.toSeq.toList).toList
-    assert(batch.length == 3)
+    assert(batch.length == operators.Mining.BpeBudget)
     assert(stream == batch,
       "folded counts must train the identical merge sequence")
   }
