@@ -1788,6 +1788,87 @@ object Mining {
             .when(col("ef_bits") <= col("varint_bits"), lit("elias_fano"))
             .otherwise(lit("varint")).as("pick"))
         .orderBy(col("df_band"))
+    },
+
+    // END-TO-END CURATION RUN (VERDICT r11 item 6) — the LLM-pipeline
+    // operators COMPOSED into one auditable pass, which is what a
+    // pipeline is: exact dedup (x01's keep-first rule) → quality gate
+    // (x08's composite score, x174's 0.63 threshold) → sqrt-temperature
+    // mix (x22's rate trainer + fingerprint sampler, verbatim) → packing
+    // manifest (x183/x194's bucketed policy). The output is the
+    // conservation report every curation run must publish: per stage,
+    // docs in = kept + dropped (telescoping: stage k+1's input IS stage
+    // k's kept), token mass carried through, and for the packing stage
+    // the sequence count and fill ratio — tokens are CONSERVED into bins
+    // (tokens_kept at 4_pack equals 3_mix's, recomputed independently
+    // from the bucket table; Round12Spec pins the telescope at three
+    // SFs).
+    //
+    // Scale: ONE corpus pass builds the per-doc frame (hash-partitioned
+    // dedup window — x01's exchange — with the quality/length columns
+    // computed in the same projection), checkpointed; every later stage
+    // touches doc-count rows, not text: the mix trainer is a sources-
+    // sized aggregate, the sampler a broadcast-rates filter, packing a
+    // ≤512-row bucket table, and the report six single-row aggregates.
+    // No stage re-reads documents.
+    QueryDef("x199_curation_run", Mining.x199OracleSql) { (s, d) =>
+      val ws = Text.tokens(col("text"))
+      val f = Tables.documents(s, d)
+        .withColumn("rm", when(col("doc_id") =!= min(col("doc_id"))
+          .over(Window.partitionBy(md5(col("text")))), 1).otherwise(0))
+        .select(col("doc_id"), col("source"), col("rm"),
+          least(size(filter(ws, w => length(w) > 0)), lit(512))
+            .cast("long").as("l"),
+          size(ws).as("n_tokens"),
+          TextAnalysis.qualityCol.as("quality"))
+        .localCheckpoint() // the one corpus pass; five consumers below
+      val s2 = f.filter(col("rm") === 0 && col("n_tokens") > 0 &&
+          col("quality") >= 0.63)
+        .join(TextAnalysis.fingerprintTable(s, d), "doc_id")
+        .withColumn("bucket", col("fp") % 1000000)
+        .localCheckpoint() // rate trainer + sampler + stage aggregate
+      val counts = s2.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val weights = counts
+        .withColumn("w", floor(sqrt(col("n")) * 1e6).cast("long"))
+      val tot = weights.agg(sum(col("w")).as("sw"), sum(col("n")).as("tn"))
+      val rates = weights.crossJoin(broadcast(tot))
+        .withColumn("p", least(lit(1.0),
+          (col("w") * 1.0 / col("sw")) * col("tn") / col("n")))
+        .select(col("source"), col("p"))
+      val s3 = s2.join(broadcast(rates), "source")
+        .filter(col("bucket") < col("p") * 1000000.0)
+        .localCheckpoint() // packing buckets + stage aggregate
+      val packAgg = s3.filter(col("l") > 0)
+        .groupBy(col("l")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("dps", expr("512 div l"))
+        .agg(sum(expr("(n_docs + dps - 1) div dps")).cast("long").as("ns"),
+          sum(col("n_docs") * col("l")).cast("long").as("tp"))
+      def cnt(df: org.apache.spark.sql.DataFrame, i: Int) =
+        df.agg(count(lit(1)).cast("long").as(s"c$i"),
+          coalesce(sum(col("l")), lit(0L)).cast("long").as(s"t$i"))
+      val agg = broadcast(cnt(f, 0))
+        .crossJoin(broadcast(cnt(f.filter(col("rm") === 0), 1)))
+        .crossJoin(broadcast(cnt(s2, 2)))
+        .crossJoin(broadcast(cnt(s3, 3)))
+        .crossJoin(broadcast(cnt(s3.filter(col("l") > 0), 4)))
+        .crossJoin(broadcast(packAgg))
+      val nullL = lit(null).cast("long")
+      Seq(("1_dedup", "c0", "c1", "t1"), ("2_quality", "c1", "c2", "t2"),
+        ("3_mix", "c2", "c3", "t3"), ("4_pack", "c3", "c4", "tp"))
+        .map { case (nm, in, kept, tok) =>
+          // 4_pack's tokens_kept comes from the BUCKET table (tp), not
+          // the doc frame — independently derived, so the t4 == tp
+          // conservation is a real cross-check, not a tautology
+          val packed = nm == "4_pack"
+          agg.select(lit(nm).as("stage"), col(in).as("docs_in"),
+            col(kept).as("docs_kept"),
+            (col(in) - col(kept)).as("docs_dropped"),
+            coalesce(col(tok), lit(0L)).as("tokens_kept"),
+            (if (packed) col("ns") else nullL).as("n_seqs"),
+            (if (packed) expr("tp * 1000000 div (ns * 512)") else nullL)
+              .as("fill_ppm"))
+        }.reduce(_ unionByName _)
+        .orderBy(col("stage"))
     }
   )
 
@@ -1899,6 +1980,76 @@ object Mining {
       |         substring(word, CAST(i + 1 AS INT), 1) AS sym
       |  FROM (SELECT word, wc, unnest(range(len(word))) AS i FROM w)
       |), ${(1 to BpeBudget).map(round).mkString(", ")}""".stripMargin
+  }
+
+  /** x199's oracle: the same four-stage composition from the SAME shared
+    * fragments the stage queries use (x01's keep rule inline, x08's
+    * qualityMSql fields + qualitySql score, x22's sqrt-rate trainer and
+    * fingerprint-bucket sampler, x183's bucket policy) — one definition
+    * per rule, so the composed run provably applies the operators it
+    * claims to. Stage CTEs are MATERIALIZED (each feeds 2-3 consumers;
+    * DuckDB would otherwise re-derive the corpus-sized frames per
+    * reference, the bpeCteSql lesson). */
+  private[graft] lazy val x199OracleSql: String = {
+    val fp = graft.operators.TextAnalysis.fingerprintSql
+    val q = graft.operators.TextAnalysis.qualitySql
+    s"""WITH f0 AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |         CASE WHEN doc_id <> min(doc_id)
+      |                OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS rm,
+      |         least(CAST(len(list_filter(string_split(text, ' '),
+      |                w -> len(w) > 0)) AS BIGINT), 512) AS l,
+      |         CAST(len(ws) AS INT) AS n_tokens,
+      |         len(list_distinct(ws)) AS n_distinct,
+      |         len(list_filter(ws, x -> x IN ('a', 'the'))) AS n_stop,
+      |         list_sum(list_transform(ws, x -> len(x))) AS sum_len,
+      |         $fp % 1000000 AS bucket
+      |  FROM (SELECT *, string_split(text, ' ') AS ws FROM documents)
+      |), s2 AS MATERIALIZED (
+      |  SELECT doc_id, source, l, bucket FROM f0
+      |  WHERE rm = 0 AND n_tokens > 0 AND $q >= 0.63
+      |), c AS (
+      |  SELECT source, count(*) AS n FROM s2 GROUP BY source
+      |), w AS (
+      |  SELECT source, n, CAST(floor(sqrt(n) * 1e6) AS BIGINT) AS w FROM c
+      |), t AS (
+      |  SELECT sum(w) AS sw, sum(n) AS tn FROM w
+      |), r AS (
+      |  SELECT source, least(1.0, (w * 1.0 / sw) * tn / n) AS p FROM w, t
+      |), s3 AS MATERIALIZED (
+      |  SELECT s2.* FROM s2 JOIN r USING (source)
+      |  WHERE bucket < p * 1000000.0
+      |), pk AS (
+      |  SELECT l, CAST(count(*) AS BIGINT) AS n_docs, 512 // l AS dps
+      |  FROM s3 WHERE l > 0 GROUP BY l
+      |), pq AS (
+      |  SELECT CAST(sum((n_docs + dps - 1) // dps) AS BIGINT) AS ns,
+      |         CAST(sum(n_docs * l) AS BIGINT) AS tp
+      |  FROM pk
+      |), agg AS (
+      |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM f0) AS c0,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM f0 WHERE rm = 0) AS c1,
+      |         (SELECT CAST(coalesce(sum(l), 0) AS BIGINT)
+      |          FROM f0 WHERE rm = 0) AS t1,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM s2) AS c2,
+      |         (SELECT CAST(coalesce(sum(l), 0) AS BIGINT) FROM s2) AS t2,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM s3) AS c3,
+      |         (SELECT CAST(coalesce(sum(l), 0) AS BIGINT) FROM s3) AS t3,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM s3 WHERE l > 0) AS c4,
+      |         pq.ns, pq.tp
+      |  FROM pq
+      |)
+      |SELECT '1_dedup' AS stage, c0 AS docs_in, c1 AS docs_kept,
+      |       c0 - c1 AS docs_dropped, t1 AS tokens_kept,
+      |       CAST(NULL AS BIGINT) AS n_seqs, CAST(NULL AS BIGINT) AS fill_ppm
+      |FROM agg
+      |UNION ALL SELECT '2_quality', c1, c2, c1 - c2, t2,
+      |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM agg
+      |UNION ALL SELECT '3_mix', c2, c3, c2 - c3, t3,
+      |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM agg
+      |UNION ALL SELECT '4_pack', c3, c4, c3 - c4, coalesce(tp, 0), ns,
+      |       tp * 1000000 // (ns * 512) FROM agg
+      |ORDER BY stage""".stripMargin
   }
 
   private[graft] lazy val x196OracleSql: String = {

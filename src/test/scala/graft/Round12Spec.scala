@@ -201,6 +201,46 @@ class Round12Spec extends AnyFunSuite {
       s"unregistered warehouse name literals: ${lits.diff(prefixes)}")
   }
 
+  test("x199: the curation run's conservation telescopes, and tokens are conserved into bins") {
+    val rows = SparkEntry.queries("x199_curation_run")(spark, sf0_01)
+      .collect().sortBy(_.getAs[String]("stage"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("1_dedup", "2_quality", "3_mix", "4_pack"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_in") - r.getAs[Long]("docs_kept") ==
+        r.getAs[Long]("docs_dropped"), s"in = kept + dropped: $r")
+    }
+    // telescoping: each stage consumes exactly what the previous kept
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("docs_kept") == b.getAs[Long]("docs_in"),
+        s"${b.getAs[String]("stage")} input != ${a.getAs[String]("stage")} kept")
+    }
+    // the quality and mix gates fire at this SF; the dedup arm needs
+    // sf0.1 (the only fixture with exact duplicates) — checked below
+    assert(rows.slice(1, 3).forall(_.getAs[Long]("docs_dropped") > 0),
+      rows.map(_.getAs[Long]("docs_dropped")).toSeq.toString)
+    // tokens conserved into bins: 4_pack's mass comes from the BUCKET
+    // table, 3_mix's from the doc frame — independent derivations agree
+    val (mix, pack) = (rows(2), rows(3))
+    assert(pack.getAs[Long]("tokens_kept") == mix.getAs[Long]("tokens_kept"),
+      "token mass must be conserved from the mix output into the bins")
+    val (ns, tp) = (pack.getAs[Long]("n_seqs"), pack.getAs[Long]("tokens_kept"))
+    assert(ns * 512 >= tp, "bins must have room for every packed token")
+    assert(pack.getAs[Long]("fill_ppm") == tp * 1000000L / (ns * 512L))
+    // the run is a real funnel: the final packed mass is positive
+    assert(tp > 0 && ns > 0)
+    // the dedup arm fires where duplicates exist (sf0.1 is the only
+    // fixture with exact copies) and the telescope holds there too
+    val big = SparkEntry.queries("x199_curation_run")(
+      spark, "/root/testdata/sf0.1").collect()
+      .sortBy(_.getAs[String]("stage"))
+    assert(big(0).getAs[Long]("docs_dropped") > 0,
+      "sf0.1 must exercise the dedup stage")
+    big.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("docs_kept") == b.getAs[Long]("docs_in"))
+    }
+  }
+
   test("streaming scratch is process-isolated: per-JVM token under the warehouse root") {
     assert(Scratch.root.startsWith(Warehouse.root))
     assert(Scratch.root.contains(s"graft_scratch_r${Publish.runToken}"),
