@@ -441,6 +441,14 @@ object Similarity {
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("np"), col("vec_id").as("cand_id"))
         .distinct()
+      // Fresh scan + norm + checkpoint, NOT an artifact read: measured
+      // (r12, isolated sf0.1) this is the fastest of three shapes —
+      // 1.20 s vs 1.47 s reading the cent_id-partitioned ivf4 artifact
+      // twice and 1.44 s checkpointing the artifact rows; the
+      // partitioned artifact's many small files cost more to decode
+      // than one flat scan + 64-term norm. SCALING.md r12 reconciles
+      // r10's 0.82 s in-pass figure as warm-JVM adjacency, not a
+      // regression; x83 joined the sentinel set to track this.
       val n = withNorm(Tables.embeddings(s, d)).localCheckpoint()
       val q = n.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
