@@ -1790,6 +1790,62 @@ object Mining {
         .orderBy(col("df_band"))
     },
 
+    // BENCHMARK-CONTAMINATION SPAN CHECK — the GPT-3/PaLM-style
+    // decontamination primitive x188's within-corpus novelty does NOT
+    // cover: given a TRAIN split and an EVAL split (fingerprint-hashed
+    // 90/10, the x17/x23 split rule — the eval side stands in for a
+    // benchmark set), report per eval document how much of it the train
+    // set has VERBATIM: its 5-gram count, how many of those 5-grams
+    // occur anywhere in train, the hit rate in ppm, and — the column
+    // decontamination actually acts on — the longest CONTIGUOUS run of
+    // contaminated 5-grams (a max run of r covers an (r+4)-token span;
+    // scattered single-gram collisions are noise, a long span is a
+    // quote). `contaminated` flags runs ≥ 3 (≥ 7-token verbatim span),
+    // the doc an eval-set owner must drop. Run detection is the BPE
+    // gaps-and-islands device on hit positions — relational, no per-doc
+    // scan.
+    //
+    // Scale: the train 5-gram set is one distinct projection (rows ∝
+    // train tokens, one shuffle); eval grams semi-join it on the gram
+    // key (linear, the x56-style token-volume exchange); islands window
+    // partitions by EVAL doc_id — the natural high-cardinality key. No
+    // doc×doc pair ever forms; eval is typically ≪ train, so the probe
+    // side stays small at any corpus size.
+    QueryDef("x200_contamination_span", Mining.x200OracleSql) { (s, d) =>
+      val fp = graft.functions.Text.fingerprint(col("text"))
+      val tl = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"),
+          (fp % 100 < 90).as("is_train"))
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 4),
+          i => struct(i.as("pos"), concat_ws(" ",
+            (0 until 5).map(k => element_at(col("t"), i + k)): _*)
+            .as("g")))).as("pg"))
+        .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+      val train = grams(tl.filter(col("is_train")))
+        .select(col("g")).distinct()
+      val ev = grams(tl.filter(!col("is_train")))
+      val hits = ev.join(train.withColumn("hit", lit(1)), Seq("g"), "left")
+        .select(col("doc_id"), col("pos"), coalesce(col("hit"), lit(0)).as("hit"))
+      val isl = hits.filter(col("hit") === 1)
+        .withColumn("island", col("pos") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      val runs = isl.groupBy(col("doc_id"), col("island"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("doc_id")).agg(max(col("run")).as("max_run"))
+      hits.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"), sum(col("hit")).as("n_hit"))
+        .join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_ngrams"),
+          col("n_hit").cast("long").as("n_hit"),
+          expr("n_hit * 1000000 div n_ngrams").as("hit_ppm"),
+          coalesce(col("max_run"), lit(0L)).as("max_run"),
+          (coalesce(col("max_run"), lit(0L)) >= 3).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+
     // END-TO-END CURATION RUN (VERDICT r11 item 6) — the LLM-pipeline
     // operators COMPOSED into one auditable pass, which is what a
     // pipeline is: exact dedup (x01's keep-first rule) → quality gate
@@ -1812,20 +1868,52 @@ object Mining {
     // ≤512-row bucket table, and the report six single-row aggregates.
     // No stage re-reads documents.
     QueryDef("x199_curation_run", Mining.x199OracleSql) { (s, d) =>
-      val ws = Text.tokens(col("text"))
-      val f = Tables.documents(s, d)
-        .withColumn("rm", when(col("doc_id") =!= min(col("doc_id"))
-          .over(Window.partitionBy(md5(col("text")))), 1).otherwise(0))
-        .select(col("doc_id"), col("source"), col("rm"),
-          least(size(filter(ws, w => length(w) > 0)), lit(512))
-            .cast("long").as("l"),
-          size(ws).as("n_tokens"),
-          TextAnalysis.qualityCol.as("quality"))
-        .localCheckpoint() // the one corpus pass; five consumers below
+      Mining.curationReport(
+        Mining.curationFrame(Tables.documents(s, d)).localCheckpoint())
+    }
+  )
+
+  /** Per-document curation metadata from a document slice — the ONE pass
+    * that touches text (content hash for dedup, packable length, x08
+    * quality, x22 fingerprint bucket), shared verbatim by x199's batch
+    * run and st31's per-micro-batch ingest fold. Purely additive across
+    * disjoint batches: each doc contributes exactly one row, so streamed
+    * state = the batch frame (the st30 word-count contract). */
+  private[graft] def curationFrame(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ws = Text.tokens(col("text"))
+    docs.select(col("doc_id"), col("source"), col("text"),
+      md5(col("text")).as("th"),
+      least(size(filter(ws, w => length(w) > 0)), lit(512))
+        .cast("long").as("l"),
+      size(ws).as("n_tokens"),
+      TextAnalysis.qualityCol.as("quality"))
+      // the mix bucket is only ever read AFTER the quality gate, and the
+      // gate is decidable from this row's own columns — so the per-token
+      // fingerprint fold (the projection's most expensive term) runs
+      // only for survivors; dropped docs carry a designed NULL. Computed
+      // map-side, NOT joined from the fptable artifact: a doc_id join
+      // against a corpus-sized table is a two-sided exchange at scale,
+      // while this is shuffle-free (exchanges, not FLOPs, bound the
+      // 100 TB plan).
+      .withColumn("bucket", when(col("n_tokens") > 0 &&
+          col("quality") >= 0.63,
+        graft.functions.Text.fingerprint(col("text")) % 1000000))
+      .drop("text")
+  }
+
+  /** x199's staged funnel + conservation report over the per-doc
+    * metadata frame — called on the batch frame and on st31's converged
+    * streaming state, so the two can't diverge. Dedup winners resolve
+    * HERE (min doc_id per content hash over the whole frame): a
+    * duplicate pair split across micro-batches still keeps the global
+    * first, whichever batch it arrived in. */
+  private[graft] def curationReport(
+      meta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val f = meta.withColumn("rm", when(col("doc_id") =!= min(col("doc_id"))
+        .over(Window.partitionBy(col("th"))), 1).otherwise(0))
       val s2 = f.filter(col("rm") === 0 && col("n_tokens") > 0 &&
           col("quality") >= 0.63)
-        .join(TextAnalysis.fingerprintTable(s, d), "doc_id")
-        .withColumn("bucket", col("fp") % 1000000)
         .localCheckpoint() // rate trainer + sampler + stage aggregate
       val counts = s2.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val weights = counts
@@ -1869,8 +1957,7 @@ object Mining {
               .as("fill_ppm"))
         }.reduce(_ unionByName _)
         .orderBy(col("stage"))
-    }
-  )
+  }
 
   /** x183's relational answer — shared VERBATIM with st27's streaming
     * packing maintenance (the x156↔st24 one-definition contract).
@@ -1980,6 +2067,51 @@ object Mining {
       |         substring(word, CAST(i + 1 AS INT), 1) AS sym
       |  FROM (SELECT word, wc, unnest(range(len(word))) AS i FROM w)
       |), ${(1 to BpeBudget).map(round).mkString(", ")}""".stripMargin
+  }
+
+  /** x200's oracle: same split rule (fingerprint % 100), same 5-gram
+    * windows, same gaps-and-islands run detection. */
+  private[graft] lazy val x200OracleSql: String = {
+    val fp = graft.operators.TextAnalysis.fingerprintSql
+    s"""WITH tl AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |         $fp % 100 < 90 AS is_train
+      |  FROM documents
+      |), eg AS MATERIALIZED (
+      |  SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+      |         t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+      |         t[i+4] || ' ' || t[i+5] AS g
+      |  FROM (SELECT doc_id, t, unnest(range(len(t) - 4)) AS i
+      |        FROM tl WHERE NOT is_train AND len(t) >= 5)
+      |), tg AS (
+      |  SELECT DISTINCT t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+      |         t[i+4] || ' ' || t[i+5] AS g
+      |  FROM (SELECT t, unnest(range(len(t) - 4)) AS i
+      |        FROM tl WHERE is_train AND len(t) >= 5)
+      |), hits AS MATERIALIZED (
+      |  SELECT eg.doc_id, eg.pos,
+      |         CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+      |  FROM eg LEFT JOIN tg ON eg.g = tg.g
+      |), isl AS (
+      |  SELECT doc_id, pos - CAST(row_number() OVER (
+      |           PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
+      |  FROM hits WHERE hit = 1
+      |), runs AS (
+      |  SELECT doc_id, CAST(max(run) AS BIGINT) AS max_run FROM (
+      |    SELECT doc_id, island, count(*) AS run
+      |    FROM isl GROUP BY 1, 2)
+      |  GROUP BY 1
+      |), agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+      |         CAST(sum(hit) AS BIGINT) AS n_hit
+      |  FROM hits GROUP BY 1
+      |)
+      |SELECT a.doc_id, a.n_ngrams, a.n_hit,
+      |       a.n_hit * 1000000 // a.n_ngrams AS hit_ppm,
+      |       coalesce(r.max_run, 0) AS max_run,
+      |       coalesce(r.max_run, 0) >= 3 AS contaminated
+      |FROM agg a LEFT JOIN runs r USING (doc_id)
+      |ORDER BY a.doc_id""".stripMargin
   }
 
   /** x199's oracle: the same four-stage composition from the SAME shared

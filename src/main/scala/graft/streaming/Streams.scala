@@ -2028,6 +2028,56 @@ object Streams {
             ss.read.parquet(stDir)), graft.operators.Mining.BpeBudget)
         reports.reduce(_ unionByName _).orderBy(col("round"))
       }
+    },
+
+    // STREAMING CURATION RUN — x199's end-to-end funnel maintained from
+    // a live document stream: the TWELFTH Δ-maintained family, and the
+    // one that composes the others' point. The cross-batch state is the
+    // per-doc curation METADATA frame (content hash, packable length,
+    // quality, fingerprint bucket — `Mining.curationFrame`, shared
+    // verbatim with x199): text is touched ONCE per micro-batch at
+    // ingest, each doc contributes exactly one row (disjoint batches →
+    // purely additive state, the st30 contract), and serving runs
+    // x199's `curationReport` tail over the folded frame — dedup
+    // winners resolve globally there, so a duplicate pair SPLIT ACROSS
+    // micro-batches still keeps the global first. Answers x199's
+    // oracle verbatim (stream == batch pinned in Round12Spec).
+    //
+    // Scale: per-batch work ∝ batch text (hash + tokenize + quality,
+    // all map-side); state ∝ distinct documents in METADATA columns —
+    // never body text, never re-scanned; the serve-side funnel is the
+    // metadata window + sources-sized mix + ≤512-row packing, identical
+    // to the batch plan.
+    QueryDef("st31_stream_curation",
+      graft.operators.Mining.x199OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageDocumentsSplit(ss, d)
+        val stDir = graft.Scratch.path(s"graft_stcur_v1_${
+          graft.ContentKey.key(
+            java.nio.file.Paths.get(d, "documents.parquet"))}")
+        resetDir(stDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val part = graft.operators.Mining.curationFrame(batch)
+              .localCheckpoint() // severed before the state dir is read
+            val prior =
+              if (java.nio.file.Files.exists(
+                java.nio.file.Paths.get(stDir, "_SUCCESS")))
+                spark.read.parquet(stDir)
+              else part.limit(0)
+            prior.unionByName(part)
+              .localCheckpoint()
+              .write.mode("overwrite").parquet(stDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Mining.curationReport(ss.read.parquet(stDir))
+      }
     }
   )
 

@@ -241,6 +241,60 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("x200: contamination spans match a brute-force scan, and the fixture exercises a real verbatim span") {
+    // driver-side reference: same split rule, same 5-grams, classic scan
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("text"),
+        graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0),
+        r.getString(1).split(" ", -1).toVector, r.getLong(2) % 100 < 90))
+    def grams(t: Vector[String]): Vector[String] =
+      if (t.length < 5) Vector.empty
+      else (0 to t.length - 5).map(i => t.slice(i, i + 5).mkString(" ")).toVector
+    val train = docs.filter(_._3).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filterNot(_._3)
+      .map { case (id, t, _) => (id, grams(t)) }
+      .filter(_._2.nonEmpty)
+      .map { case (id, gs) =>
+        val hit = gs.map(train.contains)
+        var run = 0L; var best = 0L
+        hit.foreach { h => run = if (h) run + 1 else 0; best = math.max(best, run) }
+        val nh = hit.count(identity).toLong
+        (id, gs.length.toLong, nh, nh * 1000000L / gs.length, best, best >= 3)
+      }.sortBy(_._1).toList
+    val got = SparkEntry.queries("x200_contamination_span")(spark, sf0_001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toList
+    assert(got == expected)
+    // the pin must bite: the fixture carries contaminated AND clean evals
+    assert(expected.exists(_._6) && expected.exists(!_._6))
+    // and at least one multi-gram span (a run, not a lone collision)
+    assert(expected.exists(e => e._5 >= 3 && e._5 < e._2),
+      "need a real partial span, not only full-doc duplicates")
+  }
+
+  test("st31: streamed curation state answers the batch x199 report verbatim, with dedup pairs split across batches") {
+    // sf0.1 is the only fixture with exact duplicates — required so the
+    // cross-batch dedup-resolution arm actually runs
+    val sf = "/root/testdata/sf0.1"
+    val batch = SparkEntry.queries("x199_curation_run")(spark, sf)
+      .collect().map(_.toSeq.toList).toList
+    val stream = SparkEntry.queries("st31_stream_curation")(spark, sf)
+      .collect().map(_.toSeq.toList).toList
+    assert(batch.nonEmpty && stream == batch,
+      "folded metadata state must answer the batch funnel verbatim")
+    // the pin must exercise the split-duplicate path: at least one
+    // duplicate content hash must span BOTH parity micro-batches
+    val spanning = Tables.documents(spark, sf)
+      .groupBy(md5(col("text")))
+      .agg(countDistinct(col("doc_id") % 2).as("sides"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("sides") === 2).count()
+    assert(spanning > 0,
+      "no duplicate pair spans the two micro-batches — the cross-batch " +
+        "dedup arm is untested at this SF")
+  }
+
   test("streaming scratch is process-isolated: per-JVM token under the warehouse root") {
     assert(Scratch.root.startsWith(Warehouse.root))
     assert(Scratch.root.contains(s"graft_scratch_r${Publish.runToken}"),
