@@ -504,6 +504,74 @@ object Dedup {
         .orderBy(col("source"))
     },
 
+    // DEDUP SURVIVORSHIP POLICY COMPARISON — x01/x89 keep the FIRST copy
+    // (min doc_id) per content hash, but byte-identical copies carry
+    // different ATTRIBUTION, and attribution drives quotas (x22's mixing
+    // weights) and licensing. The production alternative is a
+    // source-preference policy: keep the copy from the RAREST source
+    // (fewer corpus docs ≈ the curated feed; the common-crawl-sized
+    // source is the one that scraped it) — the crawl-preference rule
+    // behind provenance-aware dedup. Per source: docs, cluster winners
+    // under each policy, and the delta — NEGATIVE where a bulk source
+    // loses credit for copies a rarer source also carries, which is
+    // exactly the quota-renegotiation signal x89's mass report can't
+    // see. (Quality-based survivorship is a non-policy for EXACT dups —
+    // quality is text-derived, so byte-identical copies tie by
+    // construction; near-dup survivorship rides x59's cluster
+    // canonicalization instead.)
+    //
+    // Scale: ONE hash-keyed exchange shared by both policy windows (the
+    // x89 shape with a second ordering); the source-size dimension is a
+    // sources-sized broadcast. The preference order (n_src ASC, source,
+    // doc_id) is total — no cross-engine tie ambiguity.
+    QueryDef("x201_survivorship_policy",
+      """WITH h AS (
+        |  SELECT doc_id, source, md5(text) AS th FROM documents
+        |), c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_src
+        |  FROM h GROUP BY source
+        |), j AS (
+        |  SELECT h.doc_id, h.source, h.th, c.n_src
+        |  FROM h JOIN c USING (source)
+        |), k AS (
+        |  SELECT doc_id, source, n_src,
+        |         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY th)
+        |              THEN 1 ELSE 0 END AS keep_first,
+        |         CASE WHEN row_number() OVER (PARTITION BY th
+        |                ORDER BY n_src, source, doc_id) = 1
+        |              THEN 1 ELSE 0 END AS keep_pref
+        |  FROM j
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(max(n_src) AS BIGINT) AS source_size,
+        |       CAST(sum(keep_first) AS BIGINT) AS n_kept_first,
+        |       CAST(sum(keep_pref) AS BIGINT) AS n_kept_pref,
+        |       CAST(sum(keep_pref) - sum(keep_first) AS BIGINT)
+        |         AS kept_delta
+        |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val h = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("th"))
+      val c = h.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val j = h.join(broadcast(c), "source")
+      val byTh = Window.partitionBy(col("th"))
+      val pref = Window.partitionBy(col("th"))
+        .orderBy(col("n_src"), col("source"), col("doc_id"))
+      val k = j
+        .withColumn("keep_first",
+          when(col("doc_id") === min(col("doc_id")).over(byTh), 1)
+            .otherwise(0))
+        .withColumn("keep_pref",
+          when(row_number().over(pref) === 1, 1).otherwise(0))
+      k.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          max(col("n_src")).cast("long").as("source_size"),
+          sum(col("keep_first")).cast("long").as("n_kept_first"),
+          sum(col("keep_pref")).cast("long").as("n_kept_pref"),
+          (sum(col("keep_pref")) - sum(col("keep_first")))
+            .cast("long").as("kept_delta"))
+        .orderBy(col("source"))
+    },
+
     // CORPUS NOVELTY CURVE — per-doc fraction of trigram TYPES never seen
     // in any earlier doc (doc_id as ingest order): the diminishing-novelty
     // signal behind data-curation decisions (when a source's curve decays,

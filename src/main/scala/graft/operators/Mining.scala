@@ -1846,6 +1846,68 @@ object Mining {
         .orderBy(col("doc_id"))
     },
 
+    // DECONTAMINATION REWRITE PLAN — x200 flags contaminated eval docs;
+    // this emits what the PaLM-style pipeline actually DOES about them:
+    // cut every contaminated span (runs ≥ 3 consecutive hit 5-grams)
+    // and keep the remainder. A run of r grams starting at position p
+    // covers TOKENS [p, p+r+4) — and two runs separated by one clean
+    // gram can still overlap in token space (their 5-token windows
+    // share up to 3 tokens), so exact removal needs an INTERVAL UNION,
+    // done relationally: order spans per doc by start, flag a new
+    // island when a span starts past the running max end (prefix-max
+    // window), sum flags into island ids, and each island's union is
+    // [min start, max end] because chained overlaps keep the union an
+    // interval. Per eval doc: merged span count, tokens removed/kept,
+    // kept_ppm — the loader-facing cut list's summary.
+    //
+    // Scale: reuses x200's hit pipeline (train distinct grams + eval
+    // semi-join); spans per doc are ≤ n_grams/3, and every window here
+    // partitions by eval doc_id. The interval-union device is the
+    // general relational answer to span-merging (quote removal, PII
+    // redaction spans, subtitle overlap) — no per-doc driver loop.
+    QueryDef("x202_decontamination_rewrite", Mining.x202OracleSql) { (s, d) =>
+      val fp = graft.functions.Text.fingerprint(col("text"))
+      val tl = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"),
+          (fp % 100 < 90).as("is_train"))
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          explode(transform(
+            sequence(lit(1), size(col("t")) - 4),
+            i => struct(i.as("pos"), concat_ws(" ",
+              (0 until 5).map(k => element_at(col("t"), i + k)): _*)
+              .as("g")))).as("pg"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("pg.pos").as("pos"), col("pg.g").as("g"))
+      val train = grams(tl.filter(col("is_train")))
+        .select(col("g")).distinct()
+      val ev = grams(tl.filter(!col("is_train")))
+      val hits = ev.join(train.withColumn("hit", lit(1)), Seq("g"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("pos"),
+          coalesce(col("hit"), lit(0)).as("hit"))
+      val byDocPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val runs = hits.filter(col("hit") === 1)
+        .withColumn("island", col("pos") - row_number().over(byDocPos))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).cast("long").as("s0"),
+          count(lit(1)).as("run"))
+        .filter(col("run") >= 3) // only real spans are cut
+        .select(col("doc_id"), col("s0"), (col("s0") + col("run") + 4)
+          .cast("long").as("e0")) // token interval [s0, e0)
+      val merged = Mining.mergeSpans(runs)
+      ev.select(col("doc_id"), col("n_tokens")).distinct()
+        .join(merged, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+          (col("n_tokens") - coalesce(col("tokens_removed"), lit(0L)))
+            .as("tokens_kept"),
+          expr("(n_tokens - coalesce(tokens_removed, 0)) * 1000000" +
+            " div n_tokens").as("kept_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     // END-TO-END CURATION RUN (VERDICT r11 item 6) — the LLM-pipeline
     // operators COMPOSED into one auditable pass, which is what a
     // pipeline is: exact dedup (x01's keep-first rule) → quality gate
@@ -2112,6 +2174,97 @@ object Mining {
       |       coalesce(r.max_run, 0) >= 3 AS contaminated
       |FROM agg a LEFT JOIN runs r USING (doc_id)
       |ORDER BY a.doc_id""".stripMargin
+  }
+
+  /** Relational INTERVAL UNION per doc: given half-open token spans
+    * (doc_id, s0, e0), merge chained overlaps and return per doc the
+    * merged span count and total covered tokens. Order spans by start;
+    * a span starting past the running prefix-max end opens a new island
+    * (chained overlaps keep each island's union a single interval, so
+    * the union is [min s0, max e0]). The general relational answer to
+    * span-merging — quote removal (x202), PII redaction spans, subtitle
+    * overlap — with every window partitioned by the doc key; crafted
+    * overlap/chain/disjoint cases pinned in Round12Spec. */
+  private[graft] def mergeSpans(
+      spans: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byStart = Window.partitionBy(col("doc_id")).orderBy(col("s0"))
+    spans
+      .withColumn("pmax", max(col("e0")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when(col("pmax").isNull || col("s0") > col("pmax"), 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("fresh")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s0")).as("ms"), max(col("e0")).as("me"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("me") - col("ms")).cast("long").as("tokens_removed"))
+  }
+
+  /** x202's oracle: x200's hit pipeline + the same relational interval
+    * union (prefix-max island flags → chained-overlap groups). */
+  private[graft] lazy val x202OracleSql: String = {
+    val fp = graft.operators.TextAnalysis.fingerprintSql
+    s"""WITH tl AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |         $fp % 100 < 90 AS is_train
+      |  FROM documents
+      |), eg AS MATERIALIZED (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |         CAST(i + 1 AS BIGINT) AS pos,
+      |         t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+      |         t[i+4] || ' ' || t[i+5] AS g
+      |  FROM (SELECT doc_id, t, unnest(range(len(t) - 4)) AS i
+      |        FROM tl WHERE NOT is_train AND len(t) >= 5)
+      |), tg AS (
+      |  SELECT DISTINCT t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+      |         t[i+4] || ' ' || t[i+5] AS g
+      |  FROM (SELECT t, unnest(range(len(t) - 4)) AS i
+      |        FROM tl WHERE is_train AND len(t) >= 5)
+      |), isl AS (
+      |  SELECT eg.doc_id, eg.pos,
+      |         eg.pos - CAST(row_number() OVER (
+      |           PARTITION BY eg.doc_id ORDER BY eg.pos) AS BIGINT)
+      |           AS island
+      |  FROM eg JOIN tg ON eg.g = tg.g
+      |), spans AS (
+      |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS s0,
+      |         CAST(min(pos) + count(*) + 4 AS BIGINT) AS e0
+      |  FROM isl GROUP BY doc_id, island
+      |  HAVING count(*) >= 3
+      |), m1 AS (
+      |  SELECT doc_id, s0, e0,
+      |         max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS pmax
+      |  FROM spans
+      |), m2 AS (
+      |  SELECT doc_id, s0, e0,
+      |         CAST(sum(CASE WHEN pmax IS NULL OR s0 > pmax
+      |                       THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY s0
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS grp
+      |  FROM m1
+      |), mg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |         CAST(sum(me - ms) AS BIGINT) AS tokens_removed
+      |  FROM (SELECT doc_id, grp, min(s0) AS ms, max(e0) AS me
+      |        FROM m2 GROUP BY doc_id, grp)
+      |  GROUP BY doc_id
+      |), base AS (
+      |  SELECT DISTINCT doc_id, n_tokens FROM eg
+      |)
+      |SELECT b.doc_id, b.n_tokens,
+      |       coalesce(mg.n_spans, 0) AS n_spans,
+      |       coalesce(mg.tokens_removed, 0) AS tokens_removed,
+      |       b.n_tokens - coalesce(mg.tokens_removed, 0) AS tokens_kept,
+      |       (b.n_tokens - coalesce(mg.tokens_removed, 0)) * 1000000
+      |         // b.n_tokens AS kept_ppm
+      |FROM base b LEFT JOIN mg USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
   }
 
   /** x199's oracle: the same four-stage composition from the SAME shared

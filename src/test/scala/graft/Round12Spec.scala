@@ -295,6 +295,78 @@ class Round12Spec extends AnyFunSuite {
         "dedup arm is untested at this SF")
   }
 
+  test("x201: both survivorship policies keep exactly one copy per cluster; attribution deltas are real and conserved") {
+    val sf = "/root/testdata/sf0.1" // the fixture with duplicate clusters
+    val rows = SparkEntry.queries("x201_survivorship_policy")(spark, sf)
+      .collect()
+    val (kf, kp) = (rows.map(_.getAs[Long]("n_kept_first")).sum,
+      rows.map(_.getAs[Long]("n_kept_pref")).sum)
+    val nClusters = Tables.documents(spark, sf)
+      .select(md5(col("text"))).distinct().count()
+    assert(kf == nClusters && kp == nClusters,
+      s"each policy must keep exactly one winner per cluster: $kf/$kp vs $nClusters")
+    val deltas = rows.map(_.getAs[Long]("kept_delta"))
+    assert(deltas.sum == 0, "attribution is zero-sum across sources")
+    assert(deltas.exists(_ > 0) && deltas.exists(_ < 0),
+      "the fixture's cross-source duplicates must move attribution both ways")
+  }
+
+  test("x202: the interval union merges chains/overlaps exactly, and the rewrite matches brute force") {
+    import spark.implicits._
+    // crafted spans: chain-overlap (1-10,8-14,13-20 → one [1,20), 19
+    // tokens), touching halves ([25,30) + [30,35) → ADJACENT half-open
+    // spans are one contiguous cut [25,35), 10 tokens — the mask-space
+    // semantics the brute force below also uses), a second doc with a
+    // lone span and an overlapping pair, plus a genuinely gapped pair
+    val spans = Seq(
+      (1L, 1L, 10L), (1L, 8L, 14L), (1L, 13L, 20L),
+      (1L, 25L, 30L), (1L, 30L, 35L),
+      (2L, 5L, 9L), (2L, 40L, 50L), (2L, 45L, 60L),
+      (3L, 1L, 4L), (3L, 5L, 8L))
+      .toDF("doc_id", "s0", "e0")
+    val got = operators.Mining.mergeSpans(spans).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, 29L), (2L, 2L, 24L), (3L, 2L, 6L)),
+      s"interval union drifted: ${got.toSeq}")
+    // end-to-end: the rewrite plan equals a brute-force token-mask scan
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("text"),
+        graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0),
+        r.getString(1).split(" ", -1).toVector, r.getLong(2) % 100 < 90))
+    def grams(t: Vector[String]) =
+      if (t.length < 5) Vector.empty[String]
+      else (0 to t.length - 5).map(i => t.slice(i, i + 5).mkString(" ")).toVector
+    val train = docs.filter(_._3).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filterNot(_._3)
+      .map { case (id, t, _) => (id, t.length.toLong, grams(t)) }
+      .filter(_._3.nonEmpty)
+      .map { case (id, n, gs) =>
+        val hit = gs.map(train.contains)
+        // runs >= 3 → token mask over each gram's 5-token window
+        val mask = Array.fill(n.toInt)(false)
+        var i = 0
+        while (i < hit.length) {
+          if (hit(i)) {
+            var j = i; while (j < hit.length && hit(j)) j += 1
+            if (j - i >= 3) (i until math.min(n.toInt, j + 4))
+              .foreach(mask(_) = true)
+            i = j
+          } else i += 1
+        }
+        // merged span count = maximal masked runs
+        val nSpans = mask.indices.count(k => mask(k) && (k == 0 || !mask(k - 1))).toLong
+        val removed = mask.count(identity).toLong
+        (id, n, nSpans, removed, n - removed, (n - removed) * 1000000L / n)
+      }.sortBy(_._1).toList
+    val out = SparkEntry.queries("x202_decontamination_rewrite")(spark, sf0_001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toList
+    assert(out == expected)
+    assert(expected.exists(_._3 > 0) && expected.exists(_._3 == 0),
+      "fixture must carry both cut and untouched eval docs")
+  }
+
   test("streaming scratch is process-isolated: per-JVM token under the warehouse root") {
     assert(Scratch.root.startsWith(Warehouse.root))
     assert(Scratch.root.contains(s"graft_scratch_r${Publish.runToken}"),
