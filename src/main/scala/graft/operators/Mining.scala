@@ -1812,38 +1812,10 @@ object Mining {
     // doc×doc pair ever forms; eval is typically ≪ train, so the probe
     // side stays small at any corpus size.
     QueryDef("x200_contamination_span", Mining.x200OracleSql) { (s, d) =>
-      val fp = graft.functions.Text.fingerprint(col("text"))
-      val tl = Tables.documents(s, d)
-        .select(col("doc_id"), Text.tokens(col("text")).as("t"),
-          (fp % 100 < 90).as("is_train"))
-      def grams(df: org.apache.spark.sql.DataFrame) = df
-        .filter(size(col("t")) >= 5)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("t")) - 4),
-          i => struct(i.as("pos"), concat_ws(" ",
-            (0 until 5).map(k => element_at(col("t"), i + k)): _*)
-            .as("g")))).as("pg"))
-        .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
-      val train = grams(tl.filter(col("is_train")))
-        .select(col("g")).distinct()
-      val ev = grams(tl.filter(!col("is_train")))
-      val hits = ev.join(train.withColumn("hit", lit(1)), Seq("g"), "left")
-        .select(col("doc_id"), col("pos"), coalesce(col("hit"), lit(0)).as("hit"))
-      val isl = hits.filter(col("hit") === 1)
-        .withColumn("island", col("pos") - row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      val runs = isl.groupBy(col("doc_id"), col("island"))
-        .agg(count(lit(1)).as("run"))
-        .groupBy(col("doc_id")).agg(max(col("run")).as("max_run"))
-      hits.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_ngrams"), sum(col("hit")).as("n_hit"))
-        .join(runs, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_ngrams"),
-          col("n_hit").cast("long").as("n_hit"),
-          expr("n_hit * 1000000 div n_ngrams").as("hit_ppm"),
-          coalesce(col("max_run"), lit(0L)).as("max_run"),
-          (coalesce(col("max_run"), lit(0L)) >= 3).as("contaminated"))
-        .orderBy(col("doc_id"))
+      val cg = Mining.contamGrams(Tables.documents(s, d))
+      Mining.contamReport(
+        cg.filter(col("is_train")).select(col("g")).distinct(),
+        cg.filter(!col("is_train")))
     },
 
     // DECONTAMINATION REWRITE PLAN — x200 flags contaminated eval docs;
@@ -1866,23 +1838,9 @@ object Mining {
     // general relational answer to span-merging (quote removal, PII
     // redaction spans, subtitle overlap) — no per-doc driver loop.
     QueryDef("x202_decontamination_rewrite", Mining.x202OracleSql) { (s, d) =>
-      val fp = graft.functions.Text.fingerprint(col("text"))
-      val tl = Tables.documents(s, d)
-        .select(col("doc_id"), Text.tokens(col("text")).as("t"),
-          (fp % 100 < 90).as("is_train"))
-      def grams(df: org.apache.spark.sql.DataFrame) = df
-        .filter(size(col("t")) >= 5)
-        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
-          explode(transform(
-            sequence(lit(1), size(col("t")) - 4),
-            i => struct(i.as("pos"), concat_ws(" ",
-              (0 until 5).map(k => element_at(col("t"), i + k)): _*)
-              .as("g")))).as("pg"))
-        .select(col("doc_id"), col("n_tokens"),
-          col("pg.pos").as("pos"), col("pg.g").as("g"))
-      val train = grams(tl.filter(col("is_train")))
-        .select(col("g")).distinct()
-      val ev = grams(tl.filter(!col("is_train")))
+      val cg = Mining.contamGrams(Tables.documents(s, d))
+      val train = cg.filter(col("is_train")).select(col("g")).distinct()
+      val ev = cg.filter(!col("is_train"))
       val hits = ev.join(train.withColumn("hit", lit(1)), Seq("g"), "left")
         .select(col("doc_id"), col("n_tokens"), col("pos"),
           coalesce(col("hit"), lit(0)).as("hit"))
@@ -2174,6 +2132,52 @@ object Mining {
       |       coalesce(r.max_run, 0) >= 3 AS contaminated
       |FROM agg a LEFT JOIN runs r USING (doc_id)
       |ORDER BY a.doc_id""".stripMargin
+  }
+
+  /** Per-document positioned 5-grams with the fingerprint train/eval
+    * split flag — contamination's ONE pass over text, shared verbatim by
+    * x200's report, x202's rewrite, and st32's per-micro-batch ingest
+    * fold (rows are purely additive across disjoint batches: each doc
+    * contributes its own gram rows exactly once). */
+  private[graft] def contamGrams(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"),
+        (graft.functions.Text.fingerprint(col("text")) % 100 < 90)
+          .as("is_train"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), col("is_train"),
+        size(col("t")).cast("long").as("n_tokens"),
+        explode(transform(
+          sequence(lit(1), size(col("t")) - 4),
+          i => struct(i.as("pos"), concat_ws(" ",
+            (0 until 5).map(k => element_at(col("t"), i + k)): _*)
+            .as("g")))).as("pg"))
+      .select(col("doc_id"), col("is_train"), col("n_tokens"),
+        col("pg.pos").as("pos"), col("pg.g").as("g"))
+
+  /** x200's report from the train gram SET and the eval positioned
+    * grams — called on the batch projections and on st32's converged
+    * streaming state, so the two can't diverge. */
+  private[graft] def contamReport(train: org.apache.spark.sql.DataFrame,
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hits = ev.join(train.withColumn("hit", lit(1)), Seq("g"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("hit"), lit(0)).as("hit"))
+    val isl = hits.filter(col("hit") === 1)
+      .withColumn("island", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val runs = isl.groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("max_run"))
+    hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"), sum(col("hit")).as("n_hit"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        col("n_hit").cast("long").as("n_hit"),
+        expr("n_hit * 1000000 div n_ngrams").as("hit_ppm"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        (coalesce(col("max_run"), lit(0L)) >= 3).as("contaminated"))
+      .orderBy(col("doc_id"))
   }
 
   /** Relational INTERVAL UNION per doc: given half-open token spans

@@ -2078,6 +2078,67 @@ object Streams {
         try q.processAllAvailable() finally q.stop()
         graft.operators.Mining.curationReport(ss.read.parquet(stDir))
       }
+    },
+
+    // STREAMING CONTAMINATION MAINTENANCE — x200's decontamination
+    // report kept live as documents arrive: the THIRTEENTH Δ-maintained
+    // family. Cross-batch state is two tables, both mergeable folds of
+    // `Mining.contamGrams` (the one pass that touches text, shared
+    // verbatim with x200/x202): the TRAIN side is a distinct-gram SET
+    // (fold = union + distinct — set union is idempotent and mergeable,
+    // re-crawled grams dedup at fold time), the EVAL side is positioned
+    // gram rows (purely additive over disjoint batches). Serving runs
+    // the shared contamReport over the folded state, answering x200's
+    // oracle verbatim — this is the "is tomorrow's benchmark already in
+    // today's crawl" monitor a training-data pipeline keeps hot.
+    //
+    // Scale: per-batch work ∝ batch tokens (gram explode map-side, one
+    // distinct per fold); train state is bounded by DISTINCT grams (the
+    // traingrams-artifact class — re-crawls only dedup), eval state by
+    // eval tokens (eval ≪ train by the split's construction). Serving
+    // is the linear gram semi-join + doc-partitioned islands, identical
+    // to the batch plan.
+    QueryDef("st32_stream_contamination",
+      graft.operators.Mining.x200OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageDocumentsSplit(ss, d)
+        val key = graft.ContentKey.key(
+          java.nio.file.Paths.get(d, "documents.parquet"))
+        val trDir = graft.Scratch.path(s"graft_stcontam_tr_v1_$key")
+        val evDir = graft.Scratch.path(s"graft_stcontam_ev_v1_$key")
+        resetDir(trDir); resetDir(evDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            val cg = graft.operators.Mining.contamGrams(batch)
+              .localCheckpoint() // severed before the state dirs are read
+            def fold(dir: String, delta: DataFrame,
+                distinctFold: Boolean): Unit = {
+              val prior =
+                if (java.nio.file.Files.exists(
+                  java.nio.file.Paths.get(dir, "_SUCCESS")))
+                  spark.read.parquet(dir)
+                else delta.limit(0)
+              val merged = prior.unionByName(delta)
+              (if (distinctFold) merged.distinct() else merged)
+                .localCheckpoint()
+                .write.mode("overwrite").parquet(dir)
+            }
+            fold(trDir, cg.filter(col("is_train")).select(col("g")),
+              distinctFold = true)
+            fold(evDir, cg.filter(!col("is_train"))
+              .select(col("doc_id"), col("pos"), col("g")),
+              distinctFold = false)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Mining.contamReport(
+          ss.read.parquet(trDir), ss.read.parquet(evDir))
+      }
     }
   )
 

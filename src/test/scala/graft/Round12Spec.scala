@@ -367,6 +367,25 @@ class Round12Spec extends AnyFunSuite {
       "fixture must carry both cut and untouched eval docs")
   }
 
+  test("st32: streamed contamination state answers the batch x200 report verbatim, with train grams spanning batches") {
+    val batch = SparkEntry.queries("x200_contamination_span")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toList
+    val stream = SparkEntry.queries("st32_stream_contamination")(
+      spark, sf0_001).collect().map(_.toSeq.toList).toList
+    assert(batch.nonEmpty && stream == batch,
+      "folded gram state must answer the batch report verbatim")
+    // the set-union fold must actually dedup: grams shared by the two
+    // parity micro-batches exist (else distinct-at-fold is untested)
+    val cg = operators.Mining.contamGrams(Tables.documents(spark, sf0_001))
+      .filter(col("is_train"))
+      .select((col("doc_id") % 2).as("par"), col("g"))
+      .distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("sides"))
+      .filter(col("sides") === 2).count()
+    assert(cg > 0, "no train gram spans both micro-batches — the " +
+      "distinct-fold dedup arm is untested at this SF")
+  }
+
   test("streaming scratch is process-isolated: per-JVM token under the warehouse root") {
     assert(Scratch.root.startsWith(Warehouse.root))
     assert(Scratch.root.contains(s"graft_scratch_r${Publish.runToken}"),
