@@ -33,6 +33,7 @@ object SparkEntry {
     Dedup.entries ++
     Similarity.entries ++
     TextAnalysis.entries ++
+    Quality.entries ++
     Corpus.entries ++
     Mining.entries ++
     Analytics.entries ++

@@ -407,6 +407,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"x197 must scan the persisted symbol-table artifact, saw: $eLocs")
   }
 
+  test("x204: the trained classifier is served from the persisted qweights artifact, never retrained per query") {
+    val nodes = executedAll(SparkEntry.queries("x204_quality_classifier")(spark, sf0_001))
+    val locs = nodes.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.metadata.get("Location"))
+    assert(locs.exists(_.contains("graft_qweights")),
+      s"x204 must scan the persisted trained-weight artifact, saw: $locs")
+    assert(!locs.exists(_.contains("documents.parquet")),
+      "a corpus scan in x204's serving plan means training ran inline")
+  }
+
   test("x60 IVF-PQ: coarse lists come from the persisted inverted-file artifact, not a fresh assignment pass") {
     // r9's regression: x60 re-ran the corpus×centroid assignment inline
     // (crossJoin + rank window over every vector) instead of scanning the

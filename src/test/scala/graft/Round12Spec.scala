@@ -386,6 +386,129 @@ class Round12Spec extends AnyFunSuite {
       "distinct-fold dedup arm is untested at this SF")
   }
 
+  test("x203: block classification + context promotion match a brute-force scan, and every class fires") {
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList
+    val expected = docs.map { case (id, text) =>
+      val blocks = text.split(" ", -1).zipWithIndex
+        .filter(_._1.nonEmpty)
+        .groupBy(_._2 / 12).toSeq.sortBy(_._1)
+        .map { case (b, ws) =>
+          val n = ws.length
+          val stop = ws.count(w => w._1 == "a" || w._1 == "the")
+          val cls = if (n < 6) "short"
+            else if (stop * 25 >= n) "good" else "bad"
+          (b, n, cls)
+        }
+      val kept = blocks.zipWithIndex.map { case ((_, n, cls), j) =>
+        val pc = if (j > 0) blocks(j - 1)._3 else ""
+        val nc = if (j < blocks.length - 1) blocks(j + 1)._3 else ""
+        val k = cls == "good" || (cls == "short" && (pc == "good" || nc == "good"))
+        (n, cls, k)
+      }
+      val keptTok = kept.filter(_._3).map(_._1.toLong).sum
+      val tot = kept.map(_._1.toLong).sum
+      (id, kept.length, kept.count(_._2 == "good"), kept.count(_._2 == "bad"),
+        kept.count(_._2 == "short"),
+        kept.count(c => c._3 && c._2 == "short"), keptTok, tot,
+        new java.math.BigDecimal(1e-9 + keptTok * 1.0 / tot)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("x203_boilerplate_blocks")(spark, sf0_001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8))).toList
+    assert(got == expected)
+    // the pin must bite: all three classes AND a real promotion exist,
+    // and boilerplate is actually dropped somewhere
+    assert(expected.exists(_._3 > 0) && expected.exists(_._4 > 0)
+      && expected.exists(_._5 > 0), "fixture must exercise good/bad/short")
+    assert(expected.exists(_._6 > 0), "no short block was context-promoted")
+    assert(expected.exists(e => e._7 < e._8), "no block was ever dropped")
+  }
+
+  test("x204: relational Adagrad equals a sequential driver-side trainer epoch-for-epoch, and the model beats the base rate") {
+    val docs = Tables.documents(spark, sf0_001)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList
+    def charHash(w: String): Long =
+      w.foldLeft(0L)((acc, ch) => (acc * 31L + ch.toLong) % 1000000007L)
+    def rnd(v: Double): Long = new java.math.BigDecimal(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    // per-doc feature cells + label, exactly the engine arithmetic
+    val cells = docs.flatMap { case (id, text) =>
+      val ws = text.split(" ", -1).filter(_.nonEmpty)
+      if (ws.isEmpty) Nil
+      else {
+        val n = ws.length.toLong
+        val byBin = ws.groupBy(w => (charHash(w) % 512).toInt)
+          .map { case (b, g) => b -> g.length * 1000000L / n }
+        Seq(id -> (byBin + (-1 -> 1000000L) + (-2 -> math.min(n, 1000L) * 1000L)))
+      }
+    }.toMap
+    val labels = docs.map { case (id, text) =>
+      val all = text.split(" ", -1)
+      val n = all.length
+      val ttr = all.distinct.length * 1.0 / n
+      val stopR = all.count(w => w == "a" || w == "the") * 1.0 / n
+      val avgLen = all.map(_.length).sum * 1.0 / n
+      val q = new java.math.BigDecimal(1e-9 + (0.5 * ttr + 0.3 * (1 - stopR)
+        + 0.2 * math.min(avgLen / 8.0, 1.0)))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+      id -> (if (q >= 0.63) 1 else 0)
+    }.toMap
+    val nDocs = labels.size
+    val binSet = cells.values.flatMap(_.keys).toSet
+    var w = binSet.map(_ -> 0L).toMap
+    var ss = binSet.map(_ -> 0L).toMap
+    (1 to operators.Quality.Epochs).foreach { _ =>
+      val grad = scala.collection.mutable.Map[Int, Long]()
+        .withDefaultValue(0L)
+      cells.foreach { case (id, fv) =>
+        val zmm = fv.map { case (b, fq) => fq * w(b) }.sum
+        val z = zmm / 1000000000000.0
+        val p = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+        val e = p - labels(id)
+        fv.foreach { case (b, fq) => grad(b) += rnd(1e-9 + e * fq) }
+      }
+      binSet.foreach { b =>
+        val gm = rnd(1e-9 + grad(b) * 1.0 / nDocs)
+        val s2 = ss(b) + gm * gm
+        val step = if (s2 == 0) 0L
+          else rnd(1e-9 + 500000.0 * gm / math.sqrt(s2.toDouble))
+        w += b -> (w(b) - step)
+        ss += b -> s2
+      }
+    }
+    val got = SparkEntry.queries("x204_quality_classifier")(spark, sf0_001)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(got == w, "artifact weights must equal the sequential trainer")
+    assert(w.values.exists(_ != 0L), "training must move the weights")
+    // the trained model must beat the majority class on its train set
+    val correct = cells.count { case (id, fv) =>
+      (fv.map { case (b, fq) => fq * w(b) }.sum > 0) == (labels(id) == 1)
+    }
+    val base = math.max(labels.values.sum, nDocs - labels.values.sum)
+    assert(correct > base,
+      s"trained accuracy $correct/$nDocs must beat base $base/$nDocs")
+  }
+
+  test("x205: the eval gate reconciles with x204's model — doc counts, non-degenerate predictions, base rate beaten") {
+    val rows = SparkEntry.queries("x205_classifier_eval")(spark, sf0_001)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val (nDocs, nPos, nPred, nCorrect) =
+      rows.foldLeft((0L, 0L, 0L, 0L)) { case ((a, b, c, d), r) =>
+        (a + r._1, b + r._2, c + r._3, d + r._4)
+      }
+    assert(nDocs == 500 && nPos > 0 && nPos < nDocs)
+    assert(nPred > 0 && nPred < nDocs,
+      "a degenerate all-one-class model means training regressed")
+    assert(nCorrect > math.max(nPos, nDocs - nPos),
+      "the trained filter must beat the majority-class base rate")
+  }
+
   test("streaming scratch is process-isolated: per-JVM token under the warehouse root") {
     assert(Scratch.root.startsWith(Warehouse.root))
     assert(Scratch.root.contains(s"graft_scratch_r${Publish.runToken}"),
