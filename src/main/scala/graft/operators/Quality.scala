@@ -177,6 +177,43 @@ object Quality {
       .select(col("b"), col("w"))
   }
 
+  /** Per-bin occupancy stats from a document slice — (b, bin_tokens,
+    * bin_docs). Docs land in exactly one slice, so per-batch stats
+    * MERGE BY SUM (st30's word-count state class) — the third fold a
+    * streaming maintainer keeps. */
+  private[graft] def binStats(docs: DataFrame): DataFrame = {
+    val tokw = docs
+      .select(col("doc_id"),
+        explode(filter(Text.tokens(col("text")), w => length(w) > 0))
+          .as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    val voch = tokw.select(col("word")).distinct()
+      .select(col("word"),
+        (Text.charHash(col("word")) % Bins).cast("int").as("b"))
+    tokw.join(broadcast(voch), "word")
+      .groupBy(col("b"))
+      .agg(sum(col("c")).as("bin_tokens"),
+        countDistinct(col("doc_id")).as("bin_docs"))
+  }
+
+  /** (weights ⟕ bin stats) → the persisted/served model table — shared
+    * by the batch artifact builder and st33's retrain-at-serve, so the
+    * two cannot diverge. */
+  private[graft] def modelTable(weights: DataFrame,
+      bstat: DataFrame): DataFrame =
+    weights.join(bstat, Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("bin_tokens"), lit(0L)).as("bin_tokens"),
+        coalesce(col("bin_docs"), lit(0L)).as("bin_docs"),
+        col("w").as("w_micro"))
+
+  /** The x204 presentation select over a model table. */
+  private[graft] def serveModel(model: DataFrame): DataFrame =
+    model.select(col("b").as("bin"), col("bin_tokens"), col("bin_docs"),
+      col("w_micro"),
+      Num.roundOut(col("w_micro") / 1000000.0, 6).as("weight"))
+      .orderBy(col("bin"))
+
   /** The TRAINED MODEL as a content-keyed persisted artifact (the
     * bpemerges discipline): training runs once per corpus content;
     * x204/x205 serve from the artifact scan. Carries per-bin occupancy
@@ -184,23 +221,7 @@ object Quality {
   private[graft] def qweightsArtifact(s: SparkSession, d: String): DataFrame =
     DerivedTable(s, d, "documents", "qweights") {
       val docs = Tables.documents(s, d)
-      val tokw = docs
-        .select(col("doc_id"),
-          explode(filter(Text.tokens(col("text")), w => length(w) > 0))
-            .as("word"))
-        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
-      val voch = tokw.select(col("word")).distinct()
-        .select(col("word"),
-          (Text.charHash(col("word")) % Bins).cast("int").as("b"))
-      val bstat = tokw.join(broadcast(voch), "word")
-        .groupBy(col("b"))
-        .agg(sum(col("c")).as("bin_tokens"),
-          countDistinct(col("doc_id")).as("bin_docs"))
-      trainWeights(s, docs).join(bstat, Seq("b"), "left")
-        .select(col("b"),
-          coalesce(col("bin_tokens"), lit(0L)).as("bin_tokens"),
-          coalesce(col("bin_docs"), lit(0L)).as("bin_docs"),
-          col("w").as("w_micro"))
+      modelTable(trainWeights(s, docs), binStats(docs))
     }
 
   /** The full training chain as DuckDB CTEs (generated per epoch — each
@@ -274,6 +295,24 @@ object Quality {
     }
     (head +: epochs).mkString(", ")
   }
+
+  /** x204's full oracle — shared VERBATIM with st33's streaming
+    * classifier maintenance (the st30↔x196 contract: the retrained
+    * stream model must answer the batch oracle, one answer definition
+    * for both paths). */
+  private[graft] lazy val x204OracleSql: String =
+    s"""WITH $logitCteSql, bstat AS (
+      |  SELECT v.b, CAST(sum(t.c) AS BIGINT) AS bin_tokens,
+      |         CAST(count(DISTINCT t.doc_id) AS BIGINT) AS bin_docs
+      |  FROM tokw t JOIN voch v USING (word) GROUP BY 1
+      |)
+      |SELECT w.b AS bin,
+      |       coalesce(bs.bin_tokens, 0) AS bin_tokens,
+      |       coalesce(bs.bin_docs, 0) AS bin_docs,
+      |       w.w AS w_micro,
+      |       round(1e-9 + w.w / 1000000.0, 6) AS weight
+      |FROM w$Epochs w LEFT JOIN bstat bs ON w.b = bs.b
+      |ORDER BY bin""".stripMargin
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -400,24 +439,8 @@ object Quality {
     // vector, one map-side-combined 514-group gradient exchange) — the
     // distributed full-batch GD shape; it runs ONCE per corpus content.
     // Serving is a ≤514-row artifact scan.
-    QueryDef("x204_quality_classifier",
-      s"""WITH $logitCteSql, bstat AS (
-        |  SELECT v.b, CAST(sum(t.c) AS BIGINT) AS bin_tokens,
-        |         CAST(count(DISTINCT t.doc_id) AS BIGINT) AS bin_docs
-        |  FROM tokw t JOIN voch v USING (word) GROUP BY 1
-        |)
-        |SELECT w.b AS bin,
-        |       coalesce(bs.bin_tokens, 0) AS bin_tokens,
-        |       coalesce(bs.bin_docs, 0) AS bin_docs,
-        |       w.w AS w_micro,
-        |       round(1e-9 + w.w / 1000000.0, 6) AS weight
-        |FROM w$Epochs w LEFT JOIN bstat bs ON w.b = bs.b
-        |ORDER BY bin""".stripMargin) { (s, d) =>
-      qweightsArtifact(s, d)
-        .select(col("b").as("bin"), col("bin_tokens"), col("bin_docs"),
-          col("w_micro"),
-          Num.roundOut(col("w_micro") / 1000000.0, 6).as("weight"))
-        .orderBy(col("bin"))
+    QueryDef("x204_quality_classifier", x204OracleSql) { (s, d) =>
+      serveModel(qweightsArtifact(s, d))
     },
 
     // CLASSIFIER EVAL GATE — score every document with the TRAINED

@@ -2139,6 +2139,72 @@ object Streams {
         graft.operators.Mining.contamReport(
           ss.read.parquet(trDir), ss.read.parquet(evDir))
       }
+    },
+
+    // STREAMING CLASSIFIER MAINTENANCE — x204's trained quality filter
+    // kept current as documents arrive: the FOURTEENTH Δ-maintained
+    // family. Cross-batch state is three mergeable folds of the shared
+    // Quality fragments (text touched once per batch): the per-doc
+    // FEATURE CELLS and LABELS are purely additive (each doc lands in
+    // exactly one batch — st31's metadata-frame class), the per-bin
+    // occupancy stats merge by sum (st30's word-count class). Serving
+    // RETRAINS from the folded cells through the same `trainFromCells`
+    // the batch artifact builder runs — answering x204's oracle
+    // VERBATIM — because full-batch Adagrad needs every doc's gradient
+    // each epoch: the honest streaming contract here is "feature
+    // extraction is incremental, optimization is not", exactly how
+    // production filter models retrain on a schedule from an
+    // incrementally-maintained feature store.
+    //
+    // Scale: per-batch work ∝ batch text (tokenize + hash + quality
+    // label, map-side); state ∝ docs × ≤514 INTEGER cells — never body
+    // text, never re-scanned; serve-side retraining is Epochs bounded
+    // passes over the folded cell table, the identical batch plan.
+    QueryDef("st33_stream_classifier",
+      graft.operators.Quality.x204OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageDocumentsSplit(ss, d)
+        val key = graft.ContentKey.key(
+          java.nio.file.Paths.get(d, "documents.parquet"))
+        val ceDir = graft.Scratch.path(s"graft_stqcls_ce_v1_$key")
+        val lbDir = graft.Scratch.path(s"graft_stqcls_lb_v1_$key")
+        val bsDir = graft.Scratch.path(s"graft_stqcls_bs_v1_$key")
+        resetDir(ceDir); resetDir(lbDir); resetDir(bsDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            def fold(dir: String, delta: DataFrame,
+                sumKeys: Seq[String]): Unit = {
+              val d2 = delta.localCheckpoint() // severed before state read
+              val prior =
+                if (java.nio.file.Files.exists(
+                  java.nio.file.Paths.get(dir, "_SUCCESS")))
+                  spark.read.parquet(dir)
+                else d2.limit(0)
+              val merged = prior.unionByName(d2)
+              (if (sumKeys.isEmpty) merged
+               else merged.groupBy(sumKeys.map(col): _*)
+                 .agg(sum(col("bin_tokens")).as("bin_tokens"),
+                   sum(col("bin_docs")).as("bin_docs")))
+                .localCheckpoint()
+                .write.mode("overwrite").parquet(dir)
+            }
+            fold(ceDir, graft.operators.Quality.featureCells(batch), Nil)
+            fold(lbDir, graft.operators.Quality.labelTable(batch), Nil)
+            fold(bsDir, graft.operators.Quality.binStats(batch), Seq("b"))
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Quality.serveModel(
+          graft.operators.Quality.modelTable(
+            graft.operators.Quality.trainFromCells(ss,
+              ss.read.parquet(ceDir), ss.read.parquet(lbDir)),
+            ss.read.parquet(bsDir)))
+      }
     }
   )
 

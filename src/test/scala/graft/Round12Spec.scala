@@ -509,6 +509,26 @@ class Round12Spec extends AnyFunSuite {
       "the trained filter must beat the majority-class base rate")
   }
 
+  test("st33: streamed feature/label/occupancy state retrains to the batch x204 model row-for-row") {
+    val batch = SparkEntry.queries("x204_quality_classifier")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toList
+    val stream = SparkEntry.queries("st33_stream_classifier")(spark, sf0_001)
+      .collect().map(_.toSeq.toList).toList
+    assert(batch.nonEmpty && stream == batch,
+      "the model retrained from folded streaming state must equal the " +
+        "batch-trained artifact verbatim")
+    // the fold must actually merge: every occupied word bin receives
+    // cells from BOTH parity micro-batches at this SF (so per-bin
+    // occupancy sums and gradient folds cross the batch boundary)
+    val sides = operators.Quality.featureCells(
+      Tables.documents(spark, sf0_001))
+      .filter(col("b") >= 0)
+      .select(col("b"), (col("doc_id") % 2).as("par")).distinct()
+      .groupBy(col("b")).agg(count(lit(1)).as("sides"))
+    assert(sides.filter(col("sides") === 2).count() > 0,
+      "no bin spans both micro-batches — the cross-batch fold is untested")
+  }
+
   test("streaming scratch is process-isolated: per-JVM token under the warehouse root") {
     assert(Scratch.root.startsWith(Warehouse.root))
     assert(Scratch.root.contains(s"graft_scratch_r${Publish.runToken}"),
