@@ -506,6 +506,73 @@ object Quality {
             sum(col("zmic")) / 1000000.0 / count(lit(1)), 6)
             .as("mean_margin"))
         .orderBy(col("source"))
+    },
+
+    // TRAINED-SCORER CALIBRATION — the gate x117's header promises
+    // ("swap the weight table for a trained one and THIS query is the
+    // eval gate that proves the swap helped"), cashed in: the
+    // reliability diagram + isotonic (PAV) fit of the x08 label rate
+    // against x204's TRAINED margin, exactly the x117/x174 pipeline
+    // with the placeholder score replaced by the artifact model. Bins
+    // are fixed margin steps (floor(zmic/50000) — micro-margin integer
+    // → one IEEE floor-div, map-side arithmetic, no rank window); the
+    // isotonic fit is x174's bins³ minimax collapse over the SAME
+    // shared `pavReport`, so the placeholder and trained calibration
+    // tables are directly comparable. x93's hash-random weights show a
+    // flat curve there; the trained model's pos_rate climbs with the
+    // bin — Round12Spec pins a real spread.
+    //
+    // Scale: one corpus feature pass + the ≤514-row artifact broadcast
+    // (x205's scoring shape); binning is per-row arithmetic; everything
+    // after the bins-sized aggregate is bounded relational algebra.
+    QueryDef("x206_classifier_calibration",
+      s"""WITH $logitCteSql, sc AS (
+        |  SELECT f.doc_id, CAST(sum(f.fq * w.w) AS BIGINT) AS zmm
+        |  FROM feats f JOIN w$Epochs w USING (b) GROUP BY 1
+        |), j AS (
+        |  SELECT CAST(floor(CAST(round(1e-9 +
+        |           (sc.zmm / 1000000000000.0) * 1000000.0) AS BIGINT)
+        |           / 50000.0) AS BIGINT) AS bin,
+        |         l.y AS pos
+        |  FROM sc JOIN lab l USING (doc_id)
+        |), b AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(pos) AS BIGINT) AS p
+        |  FROM j GROUP BY bin
+        |), iv AS (
+        |  SELECT lo.bin AS lo, hi.bin AS hi,
+        |         sum(m2.p) * 1.0 / sum(m2.n) AS mu
+        |  FROM b lo JOIN b hi ON lo.bin <= hi.bin
+        |  JOIN b m2 ON m2.bin BETWEEN lo.bin AND hi.bin
+        |  GROUP BY 1, 2
+        |), lower_env AS (
+        |  SELECT i.bin, iv.lo, min(iv.mu) AS mn
+        |  FROM b i JOIN iv ON iv.lo <= i.bin AND iv.hi >= i.bin
+        |  GROUP BY 1, 2
+        |), fit AS (
+        |  SELECT bin, max(mn) AS iso FROM lower_env GROUP BY 1
+        |)
+        |SELECT b.bin, CAST(b.bin * 50000 AS BIGINT) AS margin_lo_micro,
+        |       b.n AS n_docs, b.p AS n_pos,
+        |       round(1e-9 + b.p * 1.0 / b.n, 4) AS pos_rate,
+        |       round(1e-9 + fit.iso, 4) AS iso_rate
+        |FROM b JOIN fit USING (bin) ORDER BY b.bin""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val w = qweightsArtifact(s, d).select(col("b"), col("w_micro").as("w"))
+      val sc = featureCells(docs).join(broadcast(w), "b")
+        .groupBy(col("doc_id")).agg(sum(col("fq") * col("w")).as("zmm"))
+      val bins = sc.join(labelTable(docs), "doc_id")
+        .select(
+          floor(round(lit(1e-9) + (col("zmm") / lit(1000000000000.0))
+            * lit(1000000.0)).cast("long") / lit(50000.0)).cast("long")
+            .as("bin"),
+          col("y").cast("long").as("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+      TextAnalysis.pavReport(bins)
+        .select(col("bin"), (col("bin") * 50000).as("margin_lo_micro"),
+          col("n_docs"), col("n_pos"), col("pos_rate"), col("iso_rate"))
+        .orderBy(col("bin"))
     }
   )
 }

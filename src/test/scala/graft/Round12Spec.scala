@@ -509,6 +509,20 @@ class Round12Spec extends AnyFunSuite {
       "the trained filter must beat the majority-class base rate")
   }
 
+  test("x206: the trained scorer's isotonic curve beats the placeholder's — the x117 swap-gate promise, cashed") {
+    def spread(name: String): Double = {
+      val iso = SparkEntry.queries(name)(spark, sf0_001)
+        .select(col("iso_rate")).collect().map(_.getDouble(0))
+      iso.max - iso.min
+    }
+    val trained = spread("x206_classifier_calibration")
+    val placeholder = spread("x174_isotonic_pav")
+    assert(trained > 0.5, s"trained calibration range $trained must be real")
+    assert(trained > placeholder + 0.1,
+      s"trained iso spread $trained must clearly beat the hash-random " +
+        s"placeholder's $placeholder — otherwise training bought nothing")
+  }
+
   test("st33: streamed feature/label/occupancy state retrains to the batch x204 model row-for-row") {
     val batch = SparkEntry.queries("x204_quality_classifier")(spark, sf0_001)
       .collect().map(_.toSeq.toList).toList
