@@ -1503,6 +1503,51 @@ object Mining {
         .orderBy(col("source"))
     },
 
+    // GREEDY LONGEST-MATCH ENCODER AUDIT — WordPiece-style serving
+    // (Schuster & Nakajima 2012; Devlin et al. 2019 tokenize this way)
+    // over the SAME piece inventory x196 trained: at each position take
+    // the longest vocabulary piece that matches, fall back to single
+    // characters (always total: every char of every word is in the
+    // char fallback set). Greedy longest-match and merge-order replay
+    // (x197) are DIFFERENT decoders of one vocabulary — production
+    // stacks routinely train with one and serve with the other, and the
+    // per-source token deltas this query reports are exactly the silent
+    // train/serve skew that audit exists to catch.
+    //
+    // Scale: the greedy loop runs on the DISTINCT-WORD table (vocab-
+    // sized, the x196 argument) — one row per word per round, advancing
+    // ≥ 1 char per round, so rounds ≤ max word length (guarded loudly);
+    // each round is one broadcast equi-join on (fragment, length)
+    // against the pieces dimension — never a character-level corpus
+    // pass. The corpus join at the end is the same broadcast vocab-
+    // dimension probe as x197; the report is sources-sized.
+    QueryDef("x207_greedy_encode_audit", Mining.x207OracleSql) { (s, d) =>
+      val wsym = Mining.bpeSymsArtifact(s, d)
+      val words = wsym.select(col("word")).distinct()
+      val pieces = wsym.select(col("sym").as("p")).distinct()
+      val enc = Mining.greedyEncode(words, pieces)
+        .join(wsym.groupBy(col("word")).agg(count(lit(1)).as("n_sym")),
+          "word")
+      val docw = Tables.documents(s, d).select(col("source"),
+        explode(filter(Text.tokens(col("text")),
+          t => length(t) > 0)).as("word"))
+      docw.join(broadcast(enc), "word")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sym")).as("merge_tokens"),
+          sum(col("np")).as("greedy_tokens"),
+          sum(col("np") - col("n_sym")).as("extra_tokens"),
+          sum(when(col("np") =!= col("n_sym"), 1L).otherwise(0L))
+            .as("n_disagree"))
+        .select(col("source"), col("n_words"), col("merge_tokens"),
+          col("greedy_tokens"), col("extra_tokens"), col("n_disagree"),
+          // BIGINT bound: the x197 ppm convention (exact to ~9.2e12
+          // tokens per source; past that, the x142 DOUBLE escape arm)
+          expr("merge_tokens * 1000000 div n_words").as("merge_fert_ppm"),
+          expr("greedy_tokens * 1000000 div n_words").as("greedy_fert_ppm"))
+        .orderBy(col("source"))
+    },
+
     // WITHIN-DOCUMENT REPETITION AUDIT — the Gopher/MassiveText-style
     // repetition quality signals (Rae et al. 2021 §A1.1) the x08 battery
     // lacks: boilerplate and degenerate generation show up as a single
@@ -2369,6 +2414,119 @@ object Mining {
       |         AS compression_ppm
       |FROM docw JOIN wsym USING (word)
       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Greedy-encode unroll depth = max supported word length (each round
+    * consumes ≥ 1 char). `final` for the same lazy-val-ordering reason
+    * as [[BpeBudget]]. */
+  private[graft] final val GreedyRounds = 16
+
+  /** Greedy longest-match segmentation of `words` (one `word` column)
+    * over the `pieces` inventory (one `p` column) — returns (word, np),
+    * the WordPiece-style piece count. The single characters of every
+    * word are unioned in as the fallback tier, so encoding is TOTAL
+    * (asserted loudly). Shared by x207 and its Round12Spec crafted-case
+    * pin, so the disagreement arm is proven even when the fixture's
+    * trained vocabulary happens to make greedy and merge-order agree. */
+  private[graft] def greedyEncode(wordsIn: org.apache.spark.sql.DataFrame,
+      piecesIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val words = wordsIn.select(col("word")).distinct()
+      .withColumn("wlen", length(col("word")).cast("long"))
+      .localCheckpoint()
+    val maxLen = words.agg(max(col("wlen"))).head.getLong(0)
+    require(maxLen <= GreedyRounds,
+      s"greedyEncode: a $maxLen-char word exceeds the $GreedyRounds-round " +
+        "unroll (rounds = max chars); raise GreedyRounds")
+    val pieces = piecesIn.select(col("p"))
+      .unionByName(words.select(
+        explode(sequence(lit(1), col("wlen").cast("int"))).as("i"),
+        col("word"))
+        .select(expr("substring(word, i, 1)").as("p")))
+      .distinct()
+      .withColumn("pl", length(col("p")).cast("long"))
+      .localCheckpoint()
+    val st0 = words.select(col("word"), col("wlen"),
+      lit(1L).as("pos"), lit(0L).as("np"))
+    // maxLen rounds suffice (≥ 1 char consumed per round); the oracle
+    // unrolls the full GreedyRounds, whose extra rounds are no-ops
+    val fin = (1 to maxLen.toInt).foldLeft(st0) { (st, _) =>
+      val active = st.filter(col("pos") <= col("wlen"))
+      val best = active
+        .withColumn("l", explode(sequence(lit(1L),
+          least(lit(GreedyRounds.toLong), col("wlen") - col("pos") + 1))))
+        .withColumn("frag",
+          expr("substring(word, CAST(pos AS INT), CAST(l AS INT))"))
+        .join(broadcast(pieces),
+          col("frag") === col("p") && col("l") === col("pl"))
+        .groupBy(col("word")).agg(max(col("l")).as("bl"))
+      active.join(best, Seq("word"), "left")
+        .select(col("word"), col("wlen"),
+          (col("pos") + coalesce(col("bl"), lit(0L))).as("pos"),
+          (col("np") + when(col("bl").isNotNull, 1L).otherwise(0L))
+            .as("np"))
+        .unionByName(st.filter(col("pos") > col("wlen")))
+        .localCheckpoint() // vocab-sized; severs the round lineage
+    }
+    require(fin.filter(col("pos") <= col("wlen")).isEmpty,
+      "greedyEncode: a word failed to finish — the char fallback tier " +
+        "must make greedy total")
+    fin.select(col("word"), col("np"))
+  }
+
+  /** x207's oracle: the trained symbol chain (shared bpeCteSql), the
+    * piece inventory + char fallback, and [[GreedyRounds]] unrolled
+    * longest-match rounds over the distinct-word table. The join guards
+    * `len(p) <= wlen - pos + 1` so a clamped substring can never match
+    * a longer piece — the Spark side bounds the exploded length the
+    * same way. */
+  private[graft] lazy val x207OracleSql: String = {
+    val rounds = (1 to GreedyRounds).map { k =>
+      s"""c$k AS MATERIALIZED (
+        |  SELECT s.word, CAST(max(len(p.p)) AS BIGINT) AS bl
+        |  FROM st${k - 1} s JOIN pieces p
+        |    ON s.pos <= s.wlen
+        |   AND len(p.p) <= s.wlen - s.pos + 1
+        |   AND substring(s.word, CAST(s.pos AS INT), len(p.p)) = p.p
+        |  GROUP BY 1
+        |), st$k AS MATERIALIZED (
+        |  SELECT s.word, s.wlen,
+        |         CAST(s.pos + COALESCE(c.bl, 0) AS BIGINT) AS pos,
+        |         CAST(s.np + CASE WHEN c.bl IS NULL THEN 0 ELSE 1 END
+        |              AS BIGINT) AS np
+        |  FROM st${k - 1} s LEFT JOIN c$k c USING (word)
+        |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $bpeCteSql, pieces AS MATERIALIZED (
+      |  SELECT p FROM (
+      |    SELECT DISTINCT sym AS p FROM sym${BpeBudget + 1}
+      |    UNION
+      |    SELECT DISTINCT substring(word, CAST(i + 1 AS INT), 1) AS p
+      |    FROM (SELECT word, unnest(range(len(word))) AS i FROM w))
+      |), st0 AS MATERIALIZED (
+      |  SELECT word, CAST(len(word) AS BIGINT) AS wlen,
+      |         CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np
+      |  FROM w
+      |), $rounds, wsymc AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n_sym
+      |  FROM sym${BpeBudget + 1} GROUP BY 1
+      |), docw AS (
+      |  SELECT source,
+      |         unnest(list_filter(string_split(text, ' '),
+      |                t -> len(t) > 0)) AS word
+      |  FROM documents
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(n_sym) AS BIGINT) AS merge_tokens,
+      |       CAST(sum(np) AS BIGINT) AS greedy_tokens,
+      |       CAST(sum(np - n_sym) AS BIGINT) AS extra_tokens,
+      |       CAST(sum(CASE WHEN np <> n_sym THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_disagree,
+      |       CAST(sum(n_sym) * 1000000 // count(*) AS BIGINT)
+      |         AS merge_fert_ppm,
+      |       CAST(sum(np) * 1000000 // count(*) AS BIGINT)
+      |         AS greedy_fert_ppm
+      |FROM docw JOIN wsymc USING (word) JOIN st$GreedyRounds USING (word)
+      |GROUP BY source ORDER BY source""".stripMargin
+  }
 
   /** The trained symbol table after `rounds` BPE merges plus the per-
     * round merge reports — shared by x196 (reads the reports) and x197

@@ -543,6 +543,47 @@ class Round12Spec extends AnyFunSuite {
       "no bin spans both micro-batches — the cross-batch fold is untested")
   }
 
+  test("x207: greedy longest-match equals a sequential brute force on the trained vocab, and a crafted case proves greedy-vs-merge divergence is detectable") {
+    import spark.implicits._
+    // brute-force greedy over the SAME trained piece inventory
+    val wsym = operators.Mining.bpeSymsArtifact(spark, sf0_001)
+      .collect().map(r => (r.getAs[String]("word"), r.getAs[String]("sym")))
+    val words = wsym.map(_._1).distinct.sorted
+    val pieces = wsym.map(_._2).toSet ++ words.flatMap(_.map(_.toString))
+    def greedy(w: String): Long = {
+      var pos = 0; var np = 0L
+      while (pos < w.length) {
+        val l = (math.min(w.length - pos, 16) to 1 by -1)
+          .find(k => pieces.contains(w.substring(pos, pos + k))).get
+        pos += l; np += 1
+      }
+      np
+    }
+    val got = operators.Mining.greedyEncode(
+      words.toSeq.toDF("word"), pieces.toSeq.toDF("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == words.map(w => w -> greedy(w)).toMap)
+    // on this fixture greedy and merge-order agree word-for-word (x207's
+    // n_disagree column is honestly zero); the crafted case below proves
+    // the audit WOULD catch a diverging vocabulary: greedy longest-match
+    // takes [abc, d, e, f] where the alternative [ab, cdef] costs 2
+    val crafted = operators.Mining.greedyEncode(
+      Seq("abcdef").toDF("word"),
+      Seq("ab", "cdef", "abc").toDF("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(crafted == Map("abcdef" -> 4L),
+      "longest-match must take abc first and pay the char fallback tail")
+    // and x207's merge-side totals must reconcile with x197's encoder
+    val x197 = SparkEntry.queries("x197_bpe_fertility")(spark, sf0_001)
+      .select(col("source"), col("n_tokens")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val x207 = SparkEntry.queries("x207_greedy_encode_audit")(spark, sf0_001)
+      .select(col("source"), col("merge_tokens")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(x207 == x197,
+      "x207's merge-order arm must equal x197's encoding per source")
+  }
+
   test("streaming scratch is process-isolated: per-JVM token under the warehouse root") {
     assert(Scratch.root.startsWith(Warehouse.root))
     assert(Scratch.root.contains(s"graft_scratch_r${Publish.runToken}"),
