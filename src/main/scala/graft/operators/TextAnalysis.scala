@@ -267,14 +267,21 @@ object TextAnalysis {
   private[graft] def pavReport(
       bins: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val b = bins.localCheckpoint() // bins-bounded; feeds four self-join roles
+    // every non-equi self-join side is EXPLICITLY broadcast: the bin grid
+    // is ≤ ~40 rows by construction, but Spark's size estimate for a
+    // checkpointed lineage varies with the producing plan — x206 (bins
+    // derived through the qweights artifact scan) planned these as
+    // CartesianProduct where x174's identical code got BNLJ; the hint
+    // makes the nested-loop-over-broadcast shape deterministic for every
+    // caller instead of a stats accident
     val iv = b.select(col("bin").as("lo"))
-      .join(b.select(col("bin").as("hi")), col("lo") <= col("hi"))
-      .join(b.select(col("bin").as("mb"), col("n"), col("p")),
+      .join(broadcast(b.select(col("bin").as("hi"))), col("lo") <= col("hi"))
+      .join(broadcast(b.select(col("bin").as("mb"), col("n"), col("p"))),
         col("mb").between(col("lo"), col("hi")))
       .groupBy(col("lo"), col("hi"))
       .agg((sum(col("p")) * 1.0 / sum(col("n"))).as("mu"))
     val lowerEnv = b.select(col("bin"))
-      .join(iv, col("lo") <= col("bin") && col("hi") >= col("bin"))
+      .join(broadcast(iv), col("lo") <= col("bin") && col("hi") >= col("bin"))
       .groupBy(col("bin"), col("lo"))
       .agg(min(col("mu")).as("mn"))
     val fit = lowerEnv.groupBy(col("bin")).agg(max(col("mn")).as("iso"))
