@@ -160,10 +160,10 @@ object Quality {
     * batch artifact builder and st33's retrain-at-serve (the st30
     * contract: stream and batch must run the SAME trainer). Returns the
     * (b, w) weight table after [[Epochs]] full-batch rounds. */
-  private[graft] def trainWeights(s: SparkSession, docs: DataFrame): DataFrame =
-    trainFromCells(s, featureCells(docs), labelTable(docs))
+  private[graft] def trainWeights(docs: DataFrame): DataFrame =
+    trainFromCells(featureCells(docs), labelTable(docs))
 
-  private[graft] def trainFromCells(s: SparkSession, cells: DataFrame,
+  private[graft] def trainFromCells(cells: DataFrame,
       labels: DataFrame): DataFrame = {
     // doc-partition ONCE: every epoch's margin agg and gradient join
     // reuse this layout instead of re-exchanging the cell table
@@ -221,7 +221,7 @@ object Quality {
   private[graft] def qweightsArtifact(s: SparkSession, d: String): DataFrame =
     DerivedTable(s, d, "documents", "qweights") {
       val docs = Tables.documents(s, d)
-      modelTable(trainWeights(s, docs), binStats(docs))
+      modelTable(trainWeights(docs), binStats(docs))
     }
 
   /** The full training chain as DuckDB CTEs (generated per epoch — each
@@ -573,6 +573,109 @@ object Quality {
         .select(col("bin"), (col("bin") * 50000).as("margin_lo_micro"),
           col("n_docs"), col("n_pos"), col("pos_rate"), col("iso_rate"))
         .orderBy(col("bin"))
+    },
+
+    // HARDNESS-AWARE MIXTURE — the classifier-in-the-loop reweighting
+    // between x205's gate and x22's sampler (the one-shot reduction of
+    // DoReMi's hard-domain upweighting, Xie et al. NeurIPS'23: domains
+    // the proxy model handles worst get more sampling mass; here the
+    // proxy is FIXED — the trained x204 filter — so the multiplicative
+    // round collapses to one reweight): x22's sqrt-temperature base
+    // weight per source is boosted by an ALL-INTEGER hardness factor
+    // (10⁶ + 2·err_ppm ∈ [1×, 3×], err_ppm from the integer confusion
+    // counts), renormalized exactly like x22, and sampled by the same
+    // persisted content-hash buckets — deterministic membership, no
+    // RNG. The report carries both the boosted and the un-boosted base
+    // rate so the shift the classifier bought is visible per source.
+    //
+    // Scale: the scoring pass is x205's (one corpus feature pass + the
+    // ≤514-row artifact broadcast); weights/rates live on sources-sized
+    // tables; sampling is the x22 broadcast-rate filter over the
+    // persisted fingerprint table. bw·factor stays int64-exact to
+    // ~10⁹ docs per source (bw = floor(√n·10⁶) ≈ 3·10¹⁰ × 3·10⁶).
+    QueryDef("x208_hardness_mix",
+      s"""WITH $logitCteSql, sc AS (
+        |  SELECT f.doc_id, CAST(sum(f.fq * w.w) AS BIGINT) AS zmm
+        |  FROM feats f JOIN w$Epochs w USING (b) GROUP BY 1
+        |), corr AS (
+        |  SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN (sc.zmm > 0) = (l.y = 1)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |  FROM sc JOIN lab l USING (doc_id)
+        |  JOIN documents d USING (doc_id)
+        |  GROUP BY 1
+        |), wts AS (
+        |  SELECT source, n,
+        |         (n - n_correct) * 1000000 // n AS err_ppm,
+        |         CAST(floor(sqrt(n) * 1e6) AS BIGINT) AS bw
+        |  FROM corr
+        |), wts2 AS (
+        |  SELECT source, n, err_ppm, bw,
+        |         bw * (1000000 + 2 * err_ppm) AS w
+        |  FROM wts
+        |), t AS (
+        |  SELECT sum(w) AS sw, sum(bw) AS sbw, sum(n) AS tn FROM wts2
+        |), r AS (
+        |  SELECT source, n, err_ppm,
+        |         least(1.0, (w * 1.0 / sw) * tn / n) AS p,
+        |         least(1.0, (bw * 1.0 / sbw) * tn / n) AS bp
+        |  FROM wts2, t
+        |), fpb AS (
+        |  SELECT doc_id, source,
+        |         ${TextAnalysis.fingerprintSql} % 1000000 AS bucket
+        |  FROM documents
+        |), sm AS (
+        |  SELECT fpb.source, count(*) AS ns
+        |  FROM fpb JOIN r USING (source)
+        |  WHERE fpb.bucket < p * 1000000.0
+        |  GROUP BY 1
+        |)
+        |SELECT r.source, r.n AS n_docs,
+        |       CAST(r.err_ppm AS BIGINT) AS err_ppm,
+        |       round(1e-9 + bp, 6) AS base_rate,
+        |       round(1e-9 + p, 6) AS target_rate,
+        |       CAST(coalesce(sm.ns, 0) AS BIGINT) AS n_sampled,
+        |       round(1e-9 + coalesce(sm.ns, 0) * 1.0 / r.n, 4)
+        |         AS achieved_rate
+        |FROM r LEFT JOIN sm USING (source)
+        |ORDER BY r.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val w = qweightsArtifact(s, d).select(col("b"), col("w_micro").as("w"))
+      val sc = featureCells(docs).join(broadcast(w), "b")
+        .groupBy(col("doc_id")).agg(sum(col("fq") * col("w")).as("zmm"))
+      val corr = sc.join(labelTable(docs), "doc_id")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when((col("zmm") > 0) === (col("y") === 1), 1).otherwise(0))
+            .cast("long").as("n_correct"))
+      val wts = corr.select(col("source"), col("n"),
+        expr("(n - n_correct) * 1000000 div n").as("err_ppm"),
+        floor(sqrt(col("n")) * 1e6).cast("long").as("bw"))
+        .withColumn("w", col("bw") * (lit(1000000L) + lit(2L) * col("err_ppm")))
+      val tot = wts.agg(sum(col("w")).as("sw"), sum(col("bw")).as("sbw"),
+        sum(col("n")).as("tn"))
+      val rates = wts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"), col("err_ppm"),
+          least(lit(1.0), (col("w") * 1.0 / col("sw")) * col("tn") / col("n"))
+            .as("p"),
+          least(lit(1.0), (col("bw") * 1.0 / col("sbw")) * col("tn") / col("n"))
+            .as("bp"))
+      val fpb = docs.select(col("doc_id"), col("source"))
+        .join(TextAnalysis.fingerprintTable(s, d), "doc_id")
+        .select(col("source"), (col("fp") % 1000000).as("bucket"))
+      val sampled = fpb.join(broadcast(rates.select(col("source"), col("p"))),
+          "source")
+        .filter(col("bucket") < col("p") * 1000000.0)
+        .groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      rates.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n").as("n_docs"), col("err_ppm"),
+          Num.roundOut(col("bp"), 6).as("base_rate"),
+          Num.roundOut(col("p"), 6).as("target_rate"),
+          coalesce(col("ns"), lit(0L)).as("n_sampled"),
+          Num.roundOut(coalesce(col("ns"), lit(0L)) * 1.0 / col("n"), 4)
+            .as("achieved_rate"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -2201,7 +2201,7 @@ object Streams {
         try q.processAllAvailable() finally q.stop()
         graft.operators.Quality.serveModel(
           graft.operators.Quality.modelTable(
-            graft.operators.Quality.trainFromCells(ss,
+            graft.operators.Quality.trainFromCells(
               ss.read.parquet(ceDir), ss.read.parquet(lbDir)),
             ss.read.parquet(bsDir)))
       }

@@ -584,6 +584,27 @@ class Round12Spec extends AnyFunSuite {
       "x207's merge-order arm must equal x197's encoding per source")
   }
 
+  test("x208: hardness boost is monotone in the classifier's error rate, and the fixture exercises a real spread") {
+    val rows = SparkEntry.queries("x208_hardness_mix")(spark, sf0_001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getLong(5)))
+    // equal-sized sources at this SF → rate must be monotone in err_ppm
+    assert(rows.map(_._2).distinct.size == 1,
+      "monotonicity pin assumes the fixture's equal-sized sources")
+    rows.sortBy(_._3).sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 <= hi._4,
+        s"rate must not decrease with hardness: $lo vs $hi")
+    }
+    val (minErr, maxErr) = (rows.map(_._3).min, rows.map(_._3).max)
+    assert(maxErr > minErr, "the classifier's per-source error spread " +
+      "must be real or the boost is untestable")
+    assert(rows.map(_._4).distinct.size > 1,
+      "the boost must actually shift rates between sources")
+    // sampling must have dropped something and kept something
+    val (tn, ts) = (rows.map(_._2).sum, rows.map(_._5).sum)
+    assert(ts > 0 && ts < tn, "the mix must keep a strict subset")
+  }
+
   test("streaming scratch is process-isolated: per-JVM token under the warehouse root") {
     assert(Scratch.root.startsWith(Warehouse.root))
     assert(Scratch.root.contains(s"graft_scratch_r${Publish.runToken}"),
