@@ -71,6 +71,7 @@ object ArtifactVacuum {
     ("bigramlm_top", "documents", 1),
     ("bpemerges", "documents", 2),
     ("qweights", "documents", 1),
+    ("qweightstr", "documents", 1),
     ("bpesyms", "documents", 2),
     ("bpemerge1", "documents", 1),
     ("bpemerge2", "documents", 1),

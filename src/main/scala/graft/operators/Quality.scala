@@ -224,6 +224,42 @@ object Quality {
       modelTable(trainWeights(docs), binStats(docs))
     }
 
+  /** The Adagrad epoch CTEs over a given (feats, lab, nd) triple with a
+    * name prefix — generated once for the full-corpus chain ("" →
+    * w1..w[Epochs]) and once for x209's split-trained chain ("t" over
+    * trfeats/trlab/trnd → tw1..tw[Epochs]). One generator, so the two
+    * trainers cannot drift. */
+  private def epochCtes(p: String, feats: String, lab: String,
+      nd: String): String =
+    (1 to Epochs).map { k =>
+      s"""${p}z$k AS MATERIALIZED (
+        |  SELECT f.doc_id, CAST(sum(f.fq * w.w) AS BIGINT) AS zmm
+        |  FROM $feats f JOIN ${p}w${k - 1} w USING (b) GROUP BY 1
+        |), ${p}g$k AS MATERIALIZED (
+        |  SELECT f.b,
+        |         CAST(sum(CAST(round(1e-9 +
+        |           ((0.5 + (z.zmm / 1000000000000.0)
+        |             / (2.0 * (1.0 + abs(z.zmm / 1000000000000.0)))) - l.y)
+        |           * f.fq) AS BIGINT)) AS BIGINT) AS g
+        |  FROM $feats f JOIN ${p}z$k z USING (doc_id)
+        |  JOIN $lab l USING (doc_id)
+        |  GROUP BY 1
+        |), ${p}a$k AS MATERIALIZED (
+        |  SELECT w.b, w.w,
+        |         CAST(round(1e-9 + g.g * 1.0 / $nd.n) AS BIGINT) AS gm,
+        |         w.ss
+        |  FROM ${p}w${k - 1} w JOIN ${p}g$k g USING (b) CROSS JOIN $nd
+        |), ${p}w$k AS MATERIALIZED (
+        |  SELECT b,
+        |         CAST(w - CASE WHEN ss + gm * gm = 0 THEN 0
+        |           ELSE CAST(round(1e-9 + 500000.0 * gm
+        |                / sqrt(ss + gm * gm)) AS BIGINT) END
+        |           AS BIGINT) AS w,
+        |         CAST(ss + gm * gm AS BIGINT) AS ss
+        |  FROM ${p}a$k
+        |)""".stripMargin
+    }.mkString(", ")
+
   /** The full training chain as DuckDB CTEs (generated per epoch — each
     * MATERIALIZED, the x196 lesson), ending at weight table w[Epochs]. */
   private[operators] lazy val logitCteSql: String = {
@@ -266,35 +302,51 @@ object Quality {
         |  SELECT DISTINCT b, CAST(0 AS BIGINT) AS w, CAST(0 AS BIGINT) AS ss
         |  FROM feats
         |)""".stripMargin
-    val epochs = (1 to Epochs).map { k =>
-      s"""z$k AS MATERIALIZED (
-        |  SELECT f.doc_id, CAST(sum(f.fq * w.w) AS BIGINT) AS zmm
-        |  FROM feats f JOIN w${k - 1} w USING (b) GROUP BY 1
-        |), g$k AS MATERIALIZED (
-        |  SELECT f.b,
-        |         CAST(sum(CAST(round(1e-9 +
-        |           ((0.5 + (z.zmm / 1000000000000.0)
-        |             / (2.0 * (1.0 + abs(z.zmm / 1000000000000.0)))) - l.y)
-        |           * f.fq) AS BIGINT)) AS BIGINT) AS g
-        |  FROM feats f JOIN z$k z USING (doc_id) JOIN lab l USING (doc_id)
-        |  GROUP BY 1
-        |), a$k AS MATERIALIZED (
-        |  SELECT w.b, w.w,
-        |         CAST(round(1e-9 + g.g * 1.0 / nd.n) AS BIGINT) AS gm,
-        |         w.ss
-        |  FROM w${k - 1} w JOIN g$k g USING (b) CROSS JOIN nd
-        |), w$k AS MATERIALIZED (
-        |  SELECT b,
-        |         CAST(w - CASE WHEN ss + gm * gm = 0 THEN 0
-        |           ELSE CAST(round(1e-9 + 500000.0 * gm
-        |                / sqrt(ss + gm * gm)) AS BIGINT) END
-        |           AS BIGINT) AS w,
-        |         CAST(ss + gm * gm AS BIGINT) AS ss
-        |  FROM a$k
-        |)""".stripMargin
-    }
-    (head +: epochs).mkString(", ")
+    head + ", " + epochCtes("", "feats", "lab", "nd")
   }
+
+  /** The SPLIT-TRAINED chain for x209: the same feature/label head, then
+    * the x17 fingerprint split selects the train docs and the SAME
+    * epoch generator runs over (trfeats, trlab, trnd) into
+    * tw1..tw[Epochs]. Bins occupied only by held-out docs never enter
+    * the state — both engines drop them identically at the scoring
+    * join, equivalent to weight 0. */
+  private[operators] lazy val logitTrainCteSql: String = {
+    // logitCteSql already carries the full-corpus epochs; x209's oracle
+    // needs only the head + the train-split chain — regenerate the head
+    // by slicing at the shared w0 terminator to avoid 24 dead epoch CTEs
+    val headEnd = logitCteSql.indexOf("), z1 AS MATERIALIZED")
+    val head = logitCteSql.substring(0, headEnd + 1)
+    head + s""", trsel AS MATERIALIZED (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, ${TextAnalysis.fingerprintSql} % 100 AS bk
+      |    FROM documents)
+      |  WHERE bk < 80
+      |), trfeats AS MATERIALIZED (
+      |  SELECT f.* FROM feats f JOIN trsel USING (doc_id)
+      |), trlab AS MATERIALIZED (
+      |  SELECT l.* FROM lab l JOIN trsel USING (doc_id)
+      |), trnd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM trlab),
+      |tw0 AS MATERIALIZED (
+      |  SELECT DISTINCT b, CAST(0 AS BIGINT) AS w, CAST(0 AS BIGINT) AS ss
+      |  FROM trfeats
+      |)""".stripMargin + ", " +
+      epochCtes("t", "trfeats", "trlab", "trnd")
+  }
+
+  /** x209's model: the SAME trainer over ONLY the x17 fingerprint train
+    * split (bucket < 80), persisted as its own content-keyed artifact —
+    * the no-leakage model a held-out evaluation requires. */
+  private[graft] def qweightsTrainArtifact(s: SparkSession,
+      d: String): DataFrame =
+    DerivedTable(s, d, "documents", "qweightstr") {
+      val tr = Tables.documents(s, d)
+        .join(TextAnalysis.fingerprintTable(s, d), "doc_id")
+        .filter(col("fp") % 100 < 80)
+        .select(col("doc_id"), col("text"))
+      trainFromCells(featureCells(tr), labelTable(tr))
+        .select(col("b"), col("w").as("w_micro"))
+    }
 
   /** x204's full oracle — shared VERBATIM with st33's streaming
     * classifier maintenance (the st30↔x196 contract: the retrained
@@ -676,6 +728,64 @@ object Quality {
           Num.roundOut(coalesce(col("ns"), lit(0L)) * 1.0 / col("n"), 4)
             .as("achieved_rate"))
         .orderBy(col("source"))
+    },
+
+    // HELD-OUT GENERALIZATION GATE — x204/x205 report TRAIN accuracy
+    // (the model sees every label it is scored on); no production
+    // filter ships on that number. This trains the SAME pipeline on
+    // ONLY the x17 fingerprint train split (bucket < 80 — the split
+    // every leakage-sensitive query here uses), persists it as its own
+    // `qweightstr` artifact, scores the WHOLE corpus, and reports the
+    // per-split confusion table — train vs val vs test accuracy IS the
+    // generalization gap, and a val/test collapse is the overfit alarm
+    // that gates a filter deploy. Bins occupied only by held-out docs
+    // never enter the trained state; both engines drop them identically
+    // at the scoring join (≡ weight 0 — the hashing-trick analog of an
+    // OOV feature).
+    //
+    // Scale: identical shapes to x204/x205 — the train pass runs once
+    // per corpus content into the artifact; scoring is one corpus
+    // feature pass + the ≤514-row broadcast; the report is 3 rows.
+    QueryDef("x209_heldout_eval",
+      s"""WITH $logitTrainCteSql, sc AS (
+        |  SELECT f.doc_id, CAST(sum(f.fq * w.w) AS BIGINT) AS zmm
+        |  FROM feats f JOIN tw$Epochs w USING (b) GROUP BY 1
+        |), spl AS (
+        |  SELECT doc_id,
+        |         CASE WHEN bk < 80 THEN 'train'
+        |              WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, ${TextAnalysis.fingerprintSql} % 100 AS bk
+        |        FROM documents)
+        |)
+        |SELECT spl.split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(l.y) AS BIGINT) AS n_pos,
+        |       CAST(sum(CASE WHEN (sc.zmm > 0) = (l.y = 1)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |       round(1e-9 + sum(CASE WHEN (sc.zmm > 0) = (l.y = 1)
+        |                        THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+        |         AS accuracy
+        |FROM sc JOIN lab l USING (doc_id) JOIN spl USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val w = qweightsTrainArtifact(s, d)
+        .select(col("b"), col("w_micro").as("w"))
+      val sc = featureCells(docs).join(broadcast(w), "b")
+        .groupBy(col("doc_id")).agg(sum(col("fq") * col("w")).as("zmm"))
+      val spl = TextAnalysis.fingerprintTable(s, d)
+        .select(col("doc_id"),
+          when(col("fp") % 100 < 80, "train")
+            .when(col("fp") % 100 < 90, "val").otherwise("test").as("split"))
+      val correct = (col("zmm") > 0) === (col("y") === 1)
+      sc.join(labelTable(docs), "doc_id")
+        .join(spl, "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("y")).cast("long").as("n_pos"),
+          sum(when(correct, 1).otherwise(0)).cast("long").as("n_correct"),
+          Num.roundOut(
+            sum(when(correct, 1).otherwise(0)) * 1.0 / count(lit(1)), 4)
+            .as("accuracy"))
+        .orderBy(col("split"))
     }
   )
 }

@@ -605,6 +605,29 @@ class Round12Spec extends AnyFunSuite {
     assert(ts > 0 && ts < tn, "the mix must keep a strict subset")
   }
 
+  test("x209: the split-trained model generalizes — held-out accuracy beats the held-out base rate, with no leakage into training") {
+    val rows = SparkEntry.queries("x209_heldout_eval")(spark, sf0_001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    val (hn, hp, hc) = Seq(rows("val"), rows("test"))
+      .foldLeft((0L, 0L, 0L)) { case ((a, b, c), r) =>
+        (a + r._1, b + r._2, c + r._3)
+      }
+    assert(hc > math.max(hp, hn - hp),
+      s"held-out correct $hc/$hn must beat the held-out base rate — " +
+        "otherwise the filter memorized its training split")
+    // the split matters: the split-trained weights differ from the
+    // full-corpus x204 weights (leakage would make them identical when
+    // the held-out slice is empty — it is not)
+    val trW = operators.Quality.qweightsTrainArtifact(spark, sf0_001)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val fullW = SparkEntry.queries("x204_quality_classifier")(spark, sf0_001)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(trW != fullW,
+      "split-trained weights must differ from full-corpus weights")
+  }
+
   test("streaming scratch is process-isolated: per-JVM token under the warehouse root") {
     assert(Scratch.root.startsWith(Warehouse.root))
     assert(Scratch.root.contains(s"graft_scratch_r${Publish.runToken}"),
