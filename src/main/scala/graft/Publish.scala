@@ -71,12 +71,18 @@ object Publish {
     }
 
   /** Recursive delete; tolerates the path not existing (and files
-    * vanishing underneath — another cleaner may race this one). */
+    * vanishing underneath — another cleaner may race this one). The
+    * stream pipeline wraps a concurrent-deletion NoSuchFileException in
+    * UncheckedIOException (ADVICE r12), so both shapes are absorbed. */
   private[graft] def deleteTree(p: Path): Unit = if (Files.exists(p)) {
     val s = Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(f => Files.deleteIfExists(f))
-    catch { case _: java.nio.file.NoSuchFileException => }
+    catch {
+      case _: java.nio.file.NoSuchFileException =>
+      case e: java.io.UncheckedIOException
+          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+    }
     finally s.close()
   }
 

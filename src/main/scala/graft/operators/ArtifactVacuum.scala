@@ -132,17 +132,22 @@ object ArtifactVacuum {
       "graft_stream_ccsplit_", "graft_stream_ccsplit_v1_"))
 
   /** The data roots whose artifacts are LIVE: the queried root plus every
-    * sibling directory that holds parquet tables (the local analog of the
-    * production lease set — every SF dir the warehouse currently serves). */
+    * sibling directory that holds ANY registered source table (the local
+    * analog of the production lease set — every SF dir the warehouse
+    * currently serves). Detection by any registered table, not
+    * documents.parquet alone (ADVICE r12): a sibling root carrying only
+    * e.g. events.parquet still leases its events-derived artifacts. */
   def liveRoots(dir: String): Seq[Path] = {
     val d = Paths.get(dir).toAbsolutePath
+    val srcTables = families.map(_.srcTable).distinct
     val sibs =
       if (d.getParent != null && Files.isDirectory(d.getParent)) {
         val l = Files.list(d.getParent)
         try {
           import scala.jdk.CollectionConverters._
           l.iterator().asScala.filter(p => Files.isDirectory(p) &&
-            Files.exists(p.resolve("documents.parquet"))).toSeq
+            srcTables.exists(t => Files.exists(p.resolve(s"$t.parquet"))))
+            .toSeq
         } finally l.close()
       } else Nil
     (d +: sibs).distinct.sortBy(_.toString)
@@ -220,15 +225,22 @@ object ArtifactVacuum {
     StructField("live_dir", StringType, nullable = false),
     StructField("is_built", BooleanType, nullable = false),
     StructField("n_stale_version", LongType, nullable = false),
-    StructField("n_stale_content", LongType, nullable = false)))
+    StructField("n_stale_content", LongType, nullable = false),
+    StructField("age_days", LongType, nullable = true)))
 
   /** The live-artifact manifest against the real warehouse: one row per
     * (family × live root that carries the family's source table), with
-    * build state and the family's stale-generation counts. Driver-side by
-    * design (a catalog/metadata listing, bounded by |families|×|roots|). */
+    * build state and the family's stale-generation counts — plus one row
+    * per UNKNOWN warehouse entry (family = "unknown", live_dir = the
+    * entry) carrying its mtime age in days: the sweep never deletes what
+    * it cannot prove it owns, so the manifest must at least SURFACE what
+    * accumulates under that refusal (VERDICT r12 item 8). Driver-side by
+    * design (a catalog/metadata listing, bounded by |families|×|roots| +
+    * |unknown entries|). */
   def manifest(s: SparkSession, dir: String): DataFrame = {
     val roots = liveRoots(dir)
-    val byFam = classify(graft.Warehouse.root, roots)
+    val cls = classify(graft.Warehouse.root, roots)
+    val byFam = cls
       .groupBy(_._3).map { case (f, es) =>
         f -> (es.count(_._2 == "stale_version").toLong,
           es.count(_._2 == "stale_content").toLong)
@@ -241,12 +253,22 @@ object ArtifactVacuum {
       val liveDir = f.prefix + k
       val (sv, sc) = byFam.getOrElse(f.name, (0L, 0L))
       Row(f.name, f.srcTable, r.getFileName.toString, liveDir,
-        Files.exists(Paths.get(graft.Warehouse.path(liveDir))), sv, sc)
+        Files.exists(Paths.get(graft.Warehouse.path(liveDir))), sv, sc, null)
+    }
+    val now = System.currentTimeMillis()
+    val unknownRows = cls.filter(_._2 == "unknown").map { case (name, _, _) =>
+      val p = Paths.get(graft.Warehouse.root, name)
+      val age =
+        if (Files.exists(p))
+          (now - Files.getLastModifiedTime(p).toMillis) / 86400000L
+        else 0L
+      Row("unknown", "", "", name, true, 0L, 0L, Long.box(age))
     }
     import scala.jdk.CollectionConverters._
-    s.createDataFrame(rows.asJava, manifestSchema)
+    s.createDataFrame((rows ++ unknownRows).asJava, manifestSchema)
       .orderBy(org.apache.spark.sql.functions.col("family"),
-        org.apache.spark.sql.functions.col("root"))
+        org.apache.spark.sql.functions.col("root"),
+        org.apache.spark.sql.functions.col("live_dir"))
   }
 
   val entries: Seq[QueryDef] = Seq(

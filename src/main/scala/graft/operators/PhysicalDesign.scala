@@ -100,7 +100,11 @@ object PhysicalDesign {
       (df: => DataFrame): Unit = {
     val out = tmp(table)
     graft.Publish.once(out) { t =>
-      val bld = s"${table}_bld_${graft.Publish.runToken}"
+      // per-CALL nonce (the publish temp dir's UUID fragment), not the
+      // per-JVM runToken: two threads first-touching the bucketed tier in
+      // one JVM must not race on a shared scaffold catalog name (ADVICE
+      // r12 — concurrent saveAsTable overwrite + DROP on one name)
+      val bld = s"${table}_bld_${t.substring(t.lastIndexOf('-') + 1)}"
       df.write.bucketBy(8, "user_id").sortBy("user_id")
         .option("path", t).mode("overwrite").saveAsTable(bld)
       s.sql(s"DROP TABLE IF EXISTS $bld") // external: data stays put

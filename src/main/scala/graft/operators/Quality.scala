@@ -260,11 +260,14 @@ object Quality {
         |)""".stripMargin
     }.mkString(", ")
 
-  /** The full training chain as DuckDB CTEs (generated per epoch — each
-    * MATERIALIZED, the x196 lesson), ending at weight table w[Epochs]. */
-  private[operators] lazy val logitCteSql: String = {
-    val head =
-      s"""tokw AS MATERIALIZED (
+  /** The shared feature/label CTE head (tokw → voch → ntok → feats →
+    * lab → nd → w0) — generated ONCE and reused by both the full-corpus
+    * chain ([[logitCteSql]]) and x209's split-trained chain
+    * ([[logitTrainCteSql]]), so neither derives it by string surgery on
+    * the other (ADVICE r12: the old indexOf slice silently emitted
+    * malformed SQL if an epoch CTE was ever renamed). */
+  private[graft] lazy val logitHeadSql: String =
+    s"""tokw AS MATERIALIZED (
         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
         |  FROM (SELECT doc_id,
         |          unnest(list_filter(string_split(text, ' '),
@@ -302,8 +305,11 @@ object Quality {
         |  SELECT DISTINCT b, CAST(0 AS BIGINT) AS w, CAST(0 AS BIGINT) AS ss
         |  FROM feats
         |)""".stripMargin
-    head + ", " + epochCtes("", "feats", "lab", "nd")
-  }
+
+  /** The full training chain as DuckDB CTEs (generated per epoch — each
+    * MATERIALIZED, the x196 lesson), ending at weight table w[Epochs]. */
+  private[graft] lazy val logitCteSql: String =
+    logitHeadSql + ", " + epochCtes("", "feats", "lab", "nd")
 
   /** The SPLIT-TRAINED chain for x209: the same feature/label head, then
     * the x17 fingerprint split selects the train docs and the SAME
@@ -311,13 +317,8 @@ object Quality {
     * tw1..tw[Epochs]. Bins occupied only by held-out docs never enter
     * the state — both engines drop them identically at the scoring
     * join, equivalent to weight 0. */
-  private[operators] lazy val logitTrainCteSql: String = {
-    // logitCteSql already carries the full-corpus epochs; x209's oracle
-    // needs only the head + the train-split chain — regenerate the head
-    // by slicing at the shared w0 terminator to avoid 24 dead epoch CTEs
-    val headEnd = logitCteSql.indexOf("), z1 AS MATERIALIZED")
-    val head = logitCteSql.substring(0, headEnd + 1)
-    head + s""", trsel AS MATERIALIZED (
+  private[graft] lazy val logitTrainCteSql: String = {
+    logitHeadSql + s""", trsel AS MATERIALIZED (
       |  SELECT doc_id FROM (
       |    SELECT doc_id, ${TextAnalysis.fingerprintSql} % 100 AS bk
       |    FROM documents)

@@ -148,16 +148,19 @@ class Round12Spec extends AnyFunSuite {
   }
 
   test("w11 manifest covers every family × root and stays rows-positive") {
-    val rows = SparkEntry.queries("w11_artifact_vacuum")(spark, sf0_001)
+    val all = SparkEntry.queries("w11_artifact_vacuum")(spark, sf0_001)
       .collect()
-    assert(rows.nonEmpty)
+    assert(all.nonEmpty)
+    // UNKNOWN entries (family = "unknown") ride along since r13 with an
+    // age column; the family coverage check applies to the rest
+    val rows = all.filter(_.getAs[String]("family") != "unknown")
     val fams = rows.map(_.getAs[String]("family")).toSet
     assert(operators.ArtifactVacuum.families.map(_.name).toSet == fams,
       "every registered family must appear in the manifest")
     // the spec suite has built at least one artifact by now; the manifest
     // must observe SOME built artifact for the queried root
     val n = rows.count(_.getAs[Boolean]("is_built"))
-    assert(n >= 0 && rows.forall(_.getAs[String]("live_dir").nonEmpty))
+    assert(n >= 0 && all.forall(_.getAs[String]("live_dir").nonEmpty))
   }
 
   test("vacuum registry lint: every DerivedTable call site and Warehouse name literal in main source is registered") {
