@@ -382,7 +382,10 @@ object Streams {
   /** The reference's incremental-freshness model in streaming form
     * (SURVEY.md §2.9): each micro-batch is merged into the persistent fact
     * table with the SAME conditional-upsert semantics as the batch M1
-    * operator — `foreachBatch` + [[graft.operators.Merge.upsert]]. */
+    * operator — `foreachBatch` + [[graft.operators.Merge.upsert]]. The
+    * fact keeps the REWRITE fold (not r13's append-log): keep-latest
+    * REPLACES prior rows, so the state is not a mergeable delta log —
+    * the production form is a Delta MERGE touching O(matched keys). */
   def incrementalUpsert(s: SparkSession, srcDir: String, factDir: String,
       keys: Seq[String], ordering: Seq[org.apache.spark.sql.Column]): Unit = {
     val schema = s.read.parquet(srcDir).schema
@@ -527,9 +530,13 @@ object Streams {
     // combines partials across batches; the converged matview must equal
     // the one-shot batch aggregate (st01's oracle). Merge state is
     // O(groups), never O(events) — counts and sums are associative, the
-    // only aggregate class this pattern is legal for. The matview dir is
-    // reset per run: a sum-merge is NOT idempotent under replay (the
-    // production form tracks batch ids through the sink's checkpoint).
+    // only aggregate class this pattern is legal for. Since r13 the fold
+    // is O(Δ): each batch APPENDS its partials to the state log
+    // ([[StateFold]]) and the sum-merge runs at read time (and in the
+    // file-count-triggered compaction) — batch k never rewrites batch
+    // k−1's files. The matview dir is reset per run: a sum-merge is NOT
+    // idempotent under replay (the production form tracks batch ids
+    // through the sink's checkpoint).
     QueryDef("st06_stream_aggmv",
       """SELECT CAST(ts AS DATE) AS day, event_type,
         |       count(*) AS n, round(1e-9 + sum(value), 4) AS sum_value
@@ -540,6 +547,9 @@ object Streams {
           s"graft_staggmv_v1_${graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}"),
           "mv").toString
         resetDir(mvDir)
+        val merge = (df: DataFrame) => df
+          .groupBy(col("day"), col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
         val schema = ss.read.parquet(stage).schema
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -549,20 +559,13 @@ object Streams {
             val part = Tables.normalizeTs(batch)
               .groupBy(to_date(col("ts")).as("day"), col("event_type"))
               .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-            val existing =
-              if (java.nio.file.Files.exists(java.nio.file.Paths.get(mvDir, "_SUCCESS")))
-                spark.read.parquet(mvDir)
-              else part.limit(0)
-            val merged = existing.union(part)
-              .groupBy(col("day"), col("event_type"))
-              .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
-              .localCheckpoint() // sever lineage from the files overwritten
-            merged.write.mode("overwrite").parquet(mvDir)
+            StateFold.append(part, mvDir)
+            StateFold.maybeCompact(spark, mvDir)(merge)
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        ss.read.parquet(mvDir)
+        merge(ss.read.parquet(mvDir))
           .select(col("day"), col("event_type"), col("n"),
             Num.roundOut(col("sv"), 4).as("sum_value"))
           .orderBy(col("day"), col("event_type"))
@@ -754,6 +757,10 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
+            // O(Δ) fold (r13): the batch's own bottom-k APPENDS to the
+            // log; the k-vs-k merge is the read-time/compaction bottomK —
+            // legal because bottom-k under a total order is a mergeable
+            // fold (top-k(A∪B) = top-k(top-k(A) ∪ top-k(B)))
             val local = bottomK(batch
               .select(col("event_type"), col("event_id"), col("value"))
               .filter(col("value").isNotNull)
@@ -764,28 +771,15 @@ object Streams {
                 expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
               .withColumn("pri", expr("shiftright(a, 16) ^ a"))
               .drop("a"))
-            val existing =
-              if (java.nio.file.Files.exists(java.nio.file.Paths.get(smpDir, "_SUCCESS")))
-                spark.read.parquet(smpDir)
-              else local.limit(0)
-            // write-then-swap (ADVICE r06): the directory being read stays
-            // intact until the merged sample is fully written, so any
-            // recomputation of `merged` re-reads consistent input — no
-            // reliance on cached lineage-severing blocks surviving
-            val tmp = smpDir + ".next"
-            bottomK(existing.unionByName(local))
-              .write.mode("overwrite").parquet(tmp)
-            resetDir(smpDir)
-            java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-              java.nio.file.Paths.get(smpDir),
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            StateFold.append(local, smpDir)
+            StateFold.maybeCompact(spark, smpDir)(bottomK)
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("event_type"))
-        ss.read.parquet(smpDir)
+        bottomK(ss.read.parquet(smpDir))
           .withColumn("vr", row_number().over(
             w.orderBy(col("value"), col("event_id"))))
           .withColumn("ns", count(lit(1)).over(w))
@@ -867,9 +861,9 @@ object Streams {
             // append order matters: pairs (derived from the band state
             // just read) land first; only then do the new bands/sigs
             // extend the state dirs (the st09 no-self-overwrite rule)
-            pairs.write.mode("append").parquet(pairDir)
-            newB.write.mode("append").parquet(bandDir)
-            sigs.write.mode("append").parquet(sigDir)
+            StateFold.append(pairs, pairDir)
+            StateFold.append(newB, bandDir)
+            StateFold.append(sigs, sigDir)
             ()
           }
           .start()
@@ -932,25 +926,20 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
+            // O(Δ) fold (r13): the batch's exact counts (a lossless MG
+            // summary) APPEND to the log; the MG reduction runs at read
+            // time / compaction over the summed log — mergeability per
+            // Agarwal et al. survives either order, and a single
+            // reduction over exact totals under-estimates LESS than the
+            // per-batch cascade, so the superset guarantee the verified
+            // recount needs still holds.
             val counts = batch
               .select(explode(graft.functions.Text.tokens(col("text")))
                 .as("word"))
               .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-              .localCheckpoint() // severed before the state dir is read
-            val prior =
-              if (java.nio.file.Files.exists(
-                java.nio.file.Paths.get(mgDir, "_SUCCESS")))
-                spark.read.parquet(mgDir)
-              else counts.limit(0)
-            val merged = mgReduce(
-              prior.unionByName(counts)
-                .groupBy(col("word")).agg(sum(col("cnt")).as("cnt")), 256)
-            val tmp = mgDir + ".next"
-            merged.write.mode("overwrite").parquet(tmp)
-            resetDir(mgDir)
-            java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-              java.nio.file.Paths.get(mgDir),
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            StateFold.append(counts, mgDir)
+            StateFold.maybeCompact(spark, mgDir)(df => mgReduce(
+              df.groupBy(col("word")).agg(sum(col("cnt")).as("cnt")), 256))
             ()
           }
           .start()
@@ -961,7 +950,9 @@ object Streams {
         val words = ss.read.parquet(stage)
           .select(explode(graft.functions.Text.tokens(col("text")))
             .as("word"))
-        val candidates = ss.read.parquet(mgDir).select(col("word"))
+        val candidates = mgReduce(ss.read.parquet(mgDir)
+          .groupBy(col("word")).agg(sum(col("cnt")).as("cnt")), 256)
+          .select(col("word"))
         words
           .join(broadcast(candidates), Seq("word"), "left_semi")
           .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -1001,26 +992,23 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
+            // O(Δ) fold (r13): per-batch register maxima APPEND; the
+            // max-merge (idempotent + commutative + associative — the
+            // easiest merge class of all) runs at read time / compaction
             val part = graft.operators.TextAnalysis
               .hllRegRho(batch.select(col("user_id")))
               .groupBy(col("reg")).agg(max(col("rho")).as("rho"))
-              .localCheckpoint() // severed before the state dir is read
-            val prior =
-              if (java.nio.file.Files.exists(
-                java.nio.file.Paths.get(regDir, "_SUCCESS")))
-                spark.read.parquet(regDir)
-              else part.limit(0)
-            prior.unionByName(part)
-              .groupBy(col("reg")).agg(max(col("rho")).as("rho"))
-              .localCheckpoint()
-              .write.mode("overwrite").parquet(regDir)
+            StateFold.append(part, regDir)
+            StateFold.maybeCompact(spark, regDir)(
+              _.groupBy(col("reg")).agg(max(col("rho")).as("rho")))
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
         val ev = ss.read.parquet(stage).select(col("user_id"))
         graft.operators.TextAnalysis.hllEstimate(ss,
-          ss.read.parquet(regDir),
+          ss.read.parquet(regDir)
+            .groupBy(col("reg")).agg(max(col("rho")).as("rho")),
           ev.agg(countDistinct(col("user_id")).as("n_exact")))
       }
     },
@@ -1057,40 +1045,31 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            def hasState(dir: String): Boolean =
-              java.nio.file.Files.exists(
-                java.nio.file.Paths.get(dir, "_SUCCESS"))
+            // O(Δ) folds (r13): per-batch first-ts minima and distinct
+            // (user, week) pairs APPEND; min-merge and set-union move to
+            // read time / compaction (both idempotent + mergeable)
             val purch = Tables.normalizeTs(batch)
               .filter(col("event_type") === "purchase")
               .select(col("user_id"), col("ts"))
-              .localCheckpoint() // both folds read it; severed from state
-            val partF = purch.groupBy(col("user_id"))
-              .agg(min(col("ts")).as("first_ts"))
-            val priorF =
-              if (hasState(firstDir)) spark.read.parquet(firstDir)
-              else partF.limit(0)
-            priorF.unionByName(partF)
-              .groupBy(col("user_id")).agg(min(col("first_ts")).as("first_ts"))
-              .localCheckpoint()
-              .write.mode("overwrite").parquet(firstDir)
-            val partA = purch
+              .localCheckpoint() // both folds share one evaluation
+            StateFold.append(purch.groupBy(col("user_id"))
+              .agg(min(col("ts")).as("first_ts")), firstDir)
+            StateFold.maybeCompact(spark, firstDir)(_.groupBy(col("user_id"))
+              .agg(min(col("first_ts")).as("first_ts")))
+            StateFold.append(purch
               .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
-              .distinct()
-            val priorA =
-              if (hasState(actDir)) spark.read.parquet(actDir)
-              else partA.limit(0)
-            priorA.unionByName(partA).distinct()
-              .localCheckpoint()
-              .write.mode("overwrite").parquet(actDir)
+              .distinct(), actDir)
+            StateFold.maybeCompact(spark, actDir)(_.distinct())
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
         // q78's finish, read from the converged streaming state.
         val f = ss.read.parquet(firstDir)
+          .groupBy(col("user_id")).agg(min(col("first_ts")).as("first_ts"))
           .select(col("user_id"),
             date_trunc("week", col("first_ts")).as("cohort"))
-        val a = ss.read.parquet(actDir)
+        val a = ss.read.parquet(actDir).distinct()
         val sz = f.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
         f.join(a, Seq("user_id"))
           .groupBy(col("cohort"), col("w"))
@@ -1135,28 +1114,24 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
+            // O(Δ) fold (r13): the batch's own top-20 APPENDS; the k-vs-k
+            // merge (top-k under a total priority order is mergeable)
+            // runs at read time / compaction
             val part = batch
               .select(col("doc_id"), col("source"), col("n_chars"),
                 Num.roundOut(col("n_chars") * 1000000008.0
                   / (graft.functions.Text.fingerprint(col("text")) + 1), 4)
                   .as("pri"))
               .orderBy(col("pri").desc, col("doc_id")).limit(20)
-              .localCheckpoint() // severed before the state dir is read
-            val prior =
-              if (java.nio.file.Files.exists(
-                java.nio.file.Paths.get(sampleDir, "_SUCCESS")))
-                spark.read.parquet(sampleDir)
-              else part.limit(0)
-            prior.unionByName(part)
-              .orderBy(col("pri").desc, col("doc_id")).limit(20)
-              .localCheckpoint()
-              .write.mode("overwrite").parquet(sampleDir)
+            StateFold.append(part, sampleDir)
+            StateFold.maybeCompact(spark, sampleDir)(
+              _.orderBy(col("pri").desc, col("doc_id")).limit(20))
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
         ss.read.parquet(sampleDir)
-          .orderBy(col("pri").desc, col("doc_id"))
+          .orderBy(col("pri").desc, col("doc_id")).limit(20)
       }
     },
 
@@ -1189,27 +1164,22 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            val part = batch
+            // O(Δ) fold (r13): per-batch digest partials APPEND; the
+            // sum-merge runs at read time / compaction
+            StateFold.append(batch
               .select(md5(col("text")).as("th"), col("n_chars"))
               .groupBy(col("th"))
-              .agg(count(lit(1)).as("csize"), sum(col("n_chars")).as("mass"))
-              .localCheckpoint() // severed before the state dir is read
-            val prior =
-              if (java.nio.file.Files.exists(
-                java.nio.file.Paths.get(stateDir, "_SUCCESS")))
-                spark.read.parquet(stateDir)
-              else part.limit(0)
-            prior.unionByName(part)
-              .groupBy(col("th"))
-              .agg(sum(col("csize")).as("csize"), sum(col("mass")).as("mass"))
-              .localCheckpoint()
-              .write.mode("overwrite").parquet(stateDir)
+              .agg(count(lit(1)).as("csize"), sum(col("n_chars")).as("mass")),
+              stateDir)
+            StateFold.maybeCompact(spark, stateDir)(_.groupBy(col("th"))
+              .agg(sum(col("csize")).as("csize"), sum(col("mass")).as("mass")))
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
         // x96's finish, read from the converged cluster state.
-        val g = ss.read.parquet(stateDir)
+        val g = ss.read.parquet(stateDir).groupBy(col("th"))
+          .agg(sum(col("csize")).as("csize"), sum(col("mass")).as("mass"))
         val t = g.agg(sum(col("csize")).as("n_total"))
         g.groupBy(col("csize"))
           .agg(count(lit(1)).as("n_clusters"), sum(col("mass")).as("chars_total"))
@@ -1254,23 +1224,19 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            val hasState = java.nio.file.Files.exists(
-              java.nio.file.Paths.get(actDir, "_SUCCESS"))
-            val part = Tables.normalizeTs(batch)
+            // O(Δ) fold (r13): the batch's distinct pairs APPEND; the
+            // set-union (idempotent) runs at read time / compaction
+            StateFold.append(Tables.normalizeTs(batch)
               .select(col("user_id"),
                 to_date(date_trunc("week", col("ts"))).as("w"))
-              .distinct()
-            val prior =
-              if (hasState) spark.read.parquet(actDir)
-              else part.limit(0)
-            prior.unionByName(part).distinct()
-              .localCheckpoint() // sever from the state file being replaced
-              .write.mode("overwrite").parquet(actDir)
+              .distinct(), actDir)
+            StateFold.maybeCompact(spark, actDir)(_.distinct())
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        graft.operators.Analytics.growthLedger(ss.read.parquet(actDir))
+        graft.operators.Analytics.growthLedger(
+          ss.read.parquet(actDir).distinct())
       }
     },
 
@@ -1300,25 +1266,24 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            val hasState = java.nio.file.Files.exists(
-              java.nio.file.Paths.get(momDir, "_SUCCESS"))
-            val part = graft.operators.Analytics.abMoments(
-              Tables.normalizeTs(batch))
-            val prior =
-              if (hasState) spark.read.parquet(momDir)
-              else part.limit(0)
-            prior.unionByName(part)
-              .groupBy(col("event_type")).agg(
+            // O(Δ) fold (r13): per-batch moment partials APPEND; the
+            // sum-merge runs at read time / compaction
+            StateFold.append(graft.operators.Analytics.abMoments(
+              Tables.normalizeTs(batch)), momDir)
+            StateFold.maybeCompact(spark, momDir)(
+              _.groupBy(col("event_type")).agg(
                 sum(col("na")).as("na"), sum(col("nb")).as("nb"),
                 sum(col("sa")).as("sa"), sum(col("sb")).as("sb"),
-                sum(col("qa")).as("qa"), sum(col("qb")).as("qb"))
-              .localCheckpoint() // sever from the state file being replaced
-              .write.mode("overwrite").parquet(momDir)
+                sum(col("qa")).as("qa"), sum(col("qb")).as("qb")))
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        graft.operators.Analytics.abReadout(ss.read.parquet(momDir))
+        graft.operators.Analytics.abReadout(ss.read.parquet(momDir)
+          .groupBy(col("event_type")).agg(
+            sum(col("na")).as("na"), sum(col("nb")).as("nb"),
+            sum(col("sa")).as("sa"), sum(col("sb")).as("sb"),
+            sum(col("qa")).as("qa"), sum(col("qb")).as("qb")))
       }
     },
 
@@ -1352,24 +1317,22 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            val hasState = java.nio.file.Files.exists(
-              java.nio.file.Paths.get(ledDir, "_SUCCESS"))
-            val part = graft.operators.Analytics.userValueState(
-              Tables.normalizeTs(batch))
-            val prior =
-              if (hasState) spark.read.parquet(ledDir)
-              else part.limit(0)
-            prior.unionByName(part)
-              .groupBy(col("event_type"), col("user_id")).agg(
+            // O(Δ) fold (r13): per-batch ledger partials APPEND; the
+            // integer sum-merge runs at read time / compaction
+            StateFold.append(graft.operators.Analytics.userValueState(
+              Tables.normalizeTs(batch)), ledDir)
+            StateFold.maybeCompact(spark, ledDir)(
+              _.groupBy(col("event_type"), col("user_id")).agg(
                 sum(col("n_events")).as("n_events"),
-                sum(col("sv_milli")).as("sv_milli"))
-              .localCheckpoint() // sever from the state file being replaced
-              .write.mode("overwrite").parquet(ledDir)
+                sum(col("sv_milli")).as("sv_milli")))
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        graft.operators.Analytics.valueTopK(ss.read.parquet(ledDir))
+        graft.operators.Analytics.valueTopK(ss.read.parquet(ledDir)
+          .groupBy(col("event_type"), col("user_id")).agg(
+            sum(col("n_events")).as("n_events"),
+            sum(col("sv_milli")).as("sv_milli")))
       }
     },
 
@@ -1401,23 +1364,19 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            val hasState = java.nio.file.Files.exists(
-              java.nio.file.Paths.get(dayDir, "_SUCCESS"))
-            val part = Tables.normalizeTs(batch)
+            // O(Δ) fold (r13): per-batch daily counts APPEND; the
+            // sum-merge runs at read time / compaction
+            StateFold.append(Tables.normalizeTs(batch)
               .groupBy(to_date(col("ts")).as("day"))
-              .agg(count(lit(1)).as("cnt"))
-            val prior =
-              if (hasState) spark.read.parquet(dayDir)
-              else part.limit(0)
-            prior.unionByName(part)
-              .groupBy(col("day")).agg(sum(col("cnt")).as("cnt"))
-              .localCheckpoint() // sever from the state file being replaced
-              .write.mode("overwrite").parquet(dayDir)
+              .agg(count(lit(1)).as("cnt")), dayDir)
+            StateFold.maybeCompact(spark, dayDir)(
+              _.groupBy(col("day")).agg(sum(col("cnt")).as("cnt")))
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        graft.operators.Analytics.changepointReport(ss.read.parquet(dayDir))
+        graft.operators.Analytics.changepointReport(ss.read.parquet(dayDir)
+          .groupBy(col("day")).agg(sum(col("cnt")).as("cnt")))
       }
     },
 
@@ -1448,20 +1407,18 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            val hasState = java.nio.file.Files.exists(
-              java.nio.file.Paths.get(actDir, "_SUCCESS"))
-            val part = batch.select(col("event_type"), col("user_id")).distinct()
-            val prior =
-              if (hasState) spark.read.parquet(actDir)
-              else part.limit(0)
-            prior.unionByName(part).distinct()
-              .localCheckpoint() // sever from the state file being replaced
-              .write.mode("overwrite").parquet(actDir)
+            // O(Δ) fold (r13): the batch's distinct pairs APPEND; the
+            // set-union (idempotent) runs at read time / compaction
+            StateFold.append(
+              batch.select(col("event_type"), col("user_id")).distinct(),
+              actDir)
+            StateFold.maybeCompact(spark, actDir)(_.distinct())
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        graft.operators.Analytics.srmReadout(ss.read.parquet(actDir))
+        graft.operators.Analytics.srmReadout(
+          ss.read.parquet(actDir).distinct())
       }
     },
 
@@ -1497,8 +1454,10 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            val hasState = java.nio.file.Files.exists(
-              java.nio.file.Paths.get(ivfDir, "_SUCCESS"))
+            // O(Δ) fold (r13): the batch's assignment rows APPEND — this
+            // IS the "append of partitioned files" the r12 header only
+            // promised; assignment is per-vector deterministic, so the
+            // distinct (replay armor) runs at read time / compaction
             val cents = graft.operators.Similarity.frozenCents(spark, d)
             val normed = batch
               .select(col("vec_id"),
@@ -1506,18 +1465,15 @@ object Streams {
               .withColumn("nrm",
                 sqrt(graft.operators.Similarity.dot(col("v"), col("v"))))
               .select(col("vec_id"), col("v"), col("nrm"))
-            val part = graft.operators.Similarity.assignFrozen(normed, cents)
-            val prior =
-              if (hasState) spark.read.parquet(ivfDir)
-              else part.limit(0)
-            prior.unionByName(part).distinct()
-              .localCheckpoint() // sever from the state file being replaced
-              .write.mode("overwrite").parquet(ivfDir)
+            StateFold.append(
+              graft.operators.Similarity.assignFrozen(normed, cents), ivfDir)
+            StateFold.maybeCompact(spark, ivfDir)(_.distinct())
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        graft.operators.Similarity.ivfProbeReport(ss.read.parquet(ivfDir))
+        graft.operators.Similarity.ivfProbeReport(
+          ss.read.parquet(ivfDir).distinct())
       }
     },
 
@@ -1536,7 +1492,11 @@ object Streams {
     // Scale: per batch the state read is the label table (nodes-sized,
     // the artifact a graph store keeps anyway), the work is ∝ batch
     // edges + components, and no base edge is ever rescanned — the
-    // streaming form of x149's refresh-∝-Δ claim.
+    // streaming form of x149's refresh-∝-Δ claim. The label table keeps
+    // the REWRITE fold (not r13's append-log): a merge can RELABEL
+    // arbitrary prior rows, so the state is not a mergeable delta log —
+    // production holds it in a keyed store where each write is
+    // O(relabeled keys), not a parquet rewrite.
     QueryDef("st22_stream_cc",
       graft.operators.Corpus.x146OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
@@ -1597,16 +1557,21 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            val hasState = java.nio.file.Files.exists(
-              java.nio.file.Paths.get(cntDir, "_SUCCESS"))
+            // O(Δ) folds (r13): the batch's transition counts and its
+            // per-user last event APPEND to the two logs; the sum-merge
+            // and the per-user max-merge (the frontier = the max
+            // (ts, event_id) event per user — mergeable, no carry-forward
+            // anti-join needed) run at read time / compaction
             val b = batch.select(col("user_id"), col("ts"),
               col("event_id"), col("event_type")).localCheckpoint()
-            val priorCnt =
-              if (hasState) spark.read.parquet(cntDir)
-              else b.select(col("event_type").as("from_type"),
-                col("event_type").as("to_type"), lit(0L).as("n")).limit(0)
-            val priorLast =
-              if (hasState) spark.read.parquet(lastDir) else b.limit(0)
+            val mergeLast = (df: DataFrame) => df
+              .groupBy(col("user_id"))
+              .agg(max(struct(col("ts"), col("event_id"),
+                col("event_type"))).as("f"))
+              .select(col("user_id"), col("f.ts").as("ts"),
+                col("f.event_id").as("event_id"),
+                col("f.event_type").as("event_type"))
+            val priorLast = mergeLast(StateFold.readOr(spark, lastDir, b))
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
             val inPairs = b
@@ -1620,31 +1585,28 @@ object Streams {
               .select(col("user_id"), col("event_type").as("from_type"))
               .join(firsts, "user_id")
               .select(col("from_type"), col("to_type"))
-            val newCnt = priorCnt
-              .unionByName(inPairs.unionByName(boundary)
-                .groupBy(col("from_type"), col("to_type"))
-                .agg(count(lit(1)).as("n")))
+            // counts delta first (it reads the pre-batch frontier), then
+            // the frontier delta extends the log
+            StateFold.append(inPairs.unionByName(boundary)
               .groupBy(col("from_type"), col("to_type"))
-              .agg(sum(col("n")).as("n"))
-              .localCheckpoint() // sever from the state file being replaced
+              .agg(count(lit(1)).as("n")), cntDir)
+            StateFold.maybeCompact(spark, cntDir)(
+              _.groupBy(col("from_type"), col("to_type"))
+                .agg(sum(col("n")).as("n")))
             val lasts = b.withColumn("rn", row_number().over(
                 org.apache.spark.sql.expressions.Window
                   .partitionBy(col("user_id"))
                   .orderBy(col("ts").desc, col("event_id").desc)))
               .filter(col("rn") === 1).drop("rn")
-            // time-ordered arrival ⇒ a user present in this batch has a
-            // strictly newer frontier; absent users carry forward
-            val newLast = priorLast
-              .join(lasts.select(col("user_id")), Seq("user_id"), "left_anti")
-              .unionByName(lasts)
-              .localCheckpoint()
-            newCnt.write.mode("overwrite").parquet(cntDir)
-            newLast.write.mode("overwrite").parquet(lastDir)
+            StateFold.append(lasts, lastDir)
+            StateFold.maybeCompact(spark, lastDir)(mergeLast)
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        graft.operators.Analytics.transReport(ss.read.parquet(cntDir))
+        graft.operators.Analytics.transReport(ss.read.parquet(cntDir)
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(sum(col("n")).as("n")))
       }
     },
 
@@ -1673,25 +1635,21 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            val hasState = java.nio.file.Files.exists(
-              java.nio.file.Paths.get(stDir, "_SUCCESS"))
-            val delta = batch
+            // O(Δ) fold (r13): per-batch counts APPEND; the sum-merge
+            // runs at read time / compaction
+            StateFold.append(batch
               .groupBy(col("source"), col("n_chars").as("v"))
-              .agg(count(lit(1)).as("c"))
-            val prior =
-              if (hasState) spark.read.parquet(stDir) else delta.limit(0)
-            prior.unionByName(delta)
-              .groupBy(col("source"), col("v"))
-              .agg(sum(col("c")).as("c"))
-              .localCheckpoint() // sever from the state file being replaced
-              .write.mode("overwrite").parquet(stDir)
+              .agg(count(lit(1)).as("c")), stDir)
+            StateFold.maybeCompact(spark, stDir)(
+              _.groupBy(col("source"), col("v")).agg(sum(col("c")).as("c")))
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
         graft.operators.Analytics.ksReport(
           graft.operators.Analytics.lengthEcdfGridFrom(
-            ss.read.parquet(stDir)))
+            ss.read.parquet(stDir)
+              .groupBy(col("source"), col("v")).agg(sum(col("c")).as("c"))))
       }
     },
 
@@ -1721,22 +1679,19 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            val hasState = java.nio.file.Files.exists(
-              java.nio.file.Paths.get(stDir, "_SUCCESS"))
-            val delta = graft.operators.TextAnalysis
-              .calibrationBinDelta(batch)
-            val prior =
-              if (hasState) spark.read.parquet(stDir) else delta.limit(0)
-            prior.unionByName(delta)
-              .groupBy(col("bin"))
-              .agg(sum(col("n")).as("n"), sum(col("p")).as("p"))
-              .localCheckpoint() // sever from the state file being replaced
-              .write.mode("overwrite").parquet(stDir)
+            // O(Δ) fold (r13): per-batch bin partials APPEND; the
+            // sum-merge runs at read time / compaction
+            StateFold.append(
+              graft.operators.TextAnalysis.calibrationBinDelta(batch), stDir)
+            StateFold.maybeCompact(spark, stDir)(_.groupBy(col("bin"))
+              .agg(sum(col("n")).as("n"), sum(col("p")).as("p")))
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        graft.operators.TextAnalysis.pavReport(ss.read.parquet(stDir))
+        graft.operators.TextAnalysis.pavReport(ss.read.parquet(stDir)
+          .groupBy(col("bin"))
+          .agg(sum(col("n")).as("n"), sum(col("p")).as("p")))
       }
     },
 
@@ -1765,21 +1720,17 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            val hasState = java.nio.file.Files.exists(
-              java.nio.file.Paths.get(stDir, "_SUCCESS"))
-            val delta = graft.operators.Classic.weeklyCents(batch)
-            val prior =
-              if (hasState) spark.read.parquet(stDir) else delta.limit(0)
-            prior.unionByName(delta)
-              .groupBy(col("w"))
-              .agg(sum(col("cents")).as("cents"))
-              .localCheckpoint() // sever from the state file being replaced
-              .write.mode("overwrite").parquet(stDir)
+            // O(Δ) fold (r13): per-batch weekly cents APPEND; the integer
+            // sum-merge runs at read time / compaction
+            StateFold.append(graft.operators.Classic.weeklyCents(batch), stDir)
+            StateFold.maybeCompact(spark, stDir)(
+              _.groupBy(col("w")).agg(sum(col("cents")).as("cents")))
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        graft.operators.Classic.theilSenReport(ss.read.parquet(stDir))
+        graft.operators.Classic.theilSenReport(ss.read.parquet(stDir)
+          .groupBy(col("w")).agg(sum(col("cents")).as("cents")))
       }
     },
 
@@ -1808,21 +1759,18 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            val hasState = java.nio.file.Files.exists(
-              java.nio.file.Paths.get(stDir, "_SUCCESS"))
-            val delta = graft.operators.Mining.packingBucketDelta(batch)
-            val prior =
-              if (hasState) spark.read.parquet(stDir) else delta.limit(0)
-            prior.unionByName(delta)
-              .groupBy(col("l"))
-              .agg(sum(col("n_docs")).as("n_docs"))
-              .localCheckpoint() // sever from the state file being replaced
-              .write.mode("overwrite").parquet(stDir)
+            // O(Δ) fold (r13): per-batch bucket partials APPEND; the
+            // sum-merge runs at read time / compaction
+            StateFold.append(
+              graft.operators.Mining.packingBucketDelta(batch), stDir)
+            StateFold.maybeCompact(spark, stDir)(
+              _.groupBy(col("l")).agg(sum(col("n_docs")).as("n_docs")))
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        graft.operators.Mining.packingPlan(ss.read.parquet(stDir))
+        graft.operators.Mining.packingPlan(ss.read.parquet(stDir)
+          .groupBy(col("l")).agg(sum(col("n_docs")).as("n_docs")))
       }
     },
 
@@ -1847,18 +1795,23 @@ object Streams {
             java.nio.file.Paths.get(d, "part.parquet"))}")
         resetDir(stDir)
         val namesDir = s"$stDir/names"; val edgesDir = s"$stDir/edges"
+        val mergeNames = (df: DataFrame) => df.groupBy(col("name"))
+          .agg(sum(col("n_parts")).as("n_parts"),
+            min(col("min_cents")).as("min_cents"),
+            max(col("max_cents")).as("max_cents"))
         val q = ss.readStream.schema(ss.read.parquet(stage).schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            def has(p: String) = java.nio.file.Files.exists(
-              java.nio.file.Paths.get(p, "_SUCCESS"))
+            // O(Δ) folds (r13): survivorship partials and new edges
+            // APPEND (a pair lands exactly once, in the batch where its
+            // later endpoint first appears — so the edge log is already
+            // duplicate-free across batches); the sum/min/max merge runs
+            // at read time / compaction
             val delta = graft.operators.Dedup.nameStatsDelta(batch)
-              .localCheckpoint() // sever from the state file being replaced
-            val prior =
-              if (has(namesDir)) spark.read.parquet(namesDir)
-              else delta.limit(0)
+              .localCheckpoint() // read twice (new-name probe + append)
+            val prior = StateFold.readOr(spark, namesDir, delta)
             // (b) first: new names = in delta, absent from prior state
             val newNames = delta.select(col("name"))
               .join(prior.select(col("name")), Seq("name"), "left_anti")
@@ -1880,29 +1833,21 @@ object Streams {
               .filter(graft.functions.Num.roundOut(
                 graft.plans.JaroWinkler(col("src"), col("dst")), 6)
                 >= 0.85)
-            val priorEdges =
-              if (has(edgesDir)) spark.read.parquet(edgesDir)
-              else newEdges.limit(0)
-            priorEdges.unionByName(newEdges).distinct()
-              .localCheckpoint()
-              .write.mode("overwrite").parquet(edgesDir)
-            // (a) then: fold the survivorship partials
-            prior.unionByName(delta)
-              .groupBy(col("name"))
-              .agg(sum(col("n_parts")).as("n_parts"),
-                min(col("min_cents")).as("min_cents"),
-                max(col("max_cents")).as("max_cents"))
-              .localCheckpoint()
-              .write.mode("overwrite").parquet(namesDir)
+            StateFold.append(newEdges, edgesDir)
+            StateFold.maybeCompact(spark, edgesDir)(_.distinct())
+            // (a) then: the survivorship partials extend the names log
+            StateFold.append(delta, namesDir)
+            StateFold.maybeCompact(spark, namesDir)(mergeNames)
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        val half = ss.read.parquet(edgesDir)
+        val half = ss.read.parquet(edgesDir).distinct()
         val sym = half
           .union(half.select(col("dst").as("src"), col("src").as("dst")))
           .distinct().localCheckpoint()
-        graft.operators.Dedup.goldenRecords(sym, ss.read.parquet(namesDir))
+        graft.operators.Dedup.goldenRecords(sym,
+          mergeNames(ss.read.parquet(namesDir)))
       }
     },
 
@@ -1924,6 +1869,10 @@ object Streams {
     // the frontier derives from the state by a keyed aggregate. This is
     // how a 100 TB warehouse keeps SCD2 dimensions current: the closed
     // runs never change, only the open frontier absorbs new events.
+    // The run table keeps the REWRITE fold (not r13's append-log):
+    // extending a user's open run MUTATES its prior row (n_events), so
+    // the state is not a mergeable delta log — production form is a
+    // Delta/Iceberg MERGE touching O(open runs), not a parquet rewrite.
     QueryDef("st29_stream_scd2",
       graft.operators.Merge.x191OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
@@ -2009,23 +1958,21 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            val hasState = java.nio.file.Files.exists(
-              java.nio.file.Paths.get(stDir, "_SUCCESS"))
-            val delta = graft.operators.Mining.bpeWordCounts(batch)
-            val prior =
-              if (hasState) spark.read.parquet(stDir) else delta.limit(0)
-            prior.unionByName(delta)
-              .groupBy(col("word"))
-              .agg(sum(col("wc")).as("wc"))
-              .localCheckpoint() // sever from the state file being replaced
-              .write.mode("overwrite").parquet(stDir)
+            // O(Δ) fold (r13): per-batch word counts APPEND; the
+            // sum-merge runs at read time / compaction
+            StateFold.append(
+              graft.operators.Mining.bpeWordCounts(batch), stDir)
+            StateFold.maybeCompact(spark, stDir)(
+              _.groupBy(col("word")).agg(sum(col("wc")).as("wc")))
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
         val (_, reports) = graft.operators.Mining.bpeTrain(
           graft.operators.Mining.bpeSym0FromCounts(
-            ss.read.parquet(stDir)), graft.operators.Mining.BpeBudget)
+            ss.read.parquet(stDir)
+              .groupBy(col("word")).agg(sum(col("wc")).as("wc"))),
+          graft.operators.Mining.BpeBudget)
         reports.reduce(_ unionByName _).orderBy(col("round"))
       }
     },
@@ -2061,17 +2008,13 @@ object Streams {
           .option("maxFilesPerTrigger", "1").parquet(stage)
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            val spark = batch.sparkSession
-            val part = graft.operators.Mining.curationFrame(batch)
-              .localCheckpoint() // severed before the state dir is read
-            val prior =
-              if (java.nio.file.Files.exists(
-                java.nio.file.Paths.get(stDir, "_SUCCESS")))
-                spark.read.parquet(stDir)
-              else part.limit(0)
-            prior.unionByName(part)
-              .localCheckpoint()
-              .write.mode("overwrite").parquet(stDir)
+            // O(Δ) fold (r13): the metadata frame is PURELY additive —
+            // each doc contributes exactly one row, so the log IS the
+            // state (identity merge, no compaction read-amplification
+            // concern beyond file count; the batch never reads the dir)
+            StateFold.append(
+              graft.operators.Mining.curationFrame(batch), stDir)
+            StateFold.maybeCompact(batch.sparkSession, stDir)(identity)
             ()
           }
           .start()
@@ -2113,31 +2056,24 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
+            // O(Δ) folds (r13): the TRAIN side appends the batch's OWN
+            // distinct grams (the set-union dedup across batches moves to
+            // read time / compaction); the EVAL side is purely additive —
+            // positioned rows, identity merge
             val cg = graft.operators.Mining.contamGrams(batch)
-              .localCheckpoint() // severed before the state dirs are read
-            def fold(dir: String, delta: DataFrame,
-                distinctFold: Boolean): Unit = {
-              val prior =
-                if (java.nio.file.Files.exists(
-                  java.nio.file.Paths.get(dir, "_SUCCESS")))
-                  spark.read.parquet(dir)
-                else delta.limit(0)
-              val merged = prior.unionByName(delta)
-              (if (distinctFold) merged.distinct() else merged)
-                .localCheckpoint()
-                .write.mode("overwrite").parquet(dir)
-            }
-            fold(trDir, cg.filter(col("is_train")).select(col("g")),
-              distinctFold = true)
-            fold(evDir, cg.filter(!col("is_train"))
-              .select(col("doc_id"), col("pos"), col("g")),
-              distinctFold = false)
+              .localCheckpoint() // both folds share one gram pass
+            StateFold.append(
+              cg.filter(col("is_train")).select(col("g")).distinct(), trDir)
+            StateFold.maybeCompact(spark, trDir)(_.distinct())
+            StateFold.append(cg.filter(!col("is_train"))
+              .select(col("doc_id"), col("pos"), col("g")), evDir)
+            StateFold.maybeCompact(spark, evDir)(identity)
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
         graft.operators.Mining.contamReport(
-          ss.read.parquet(trDir), ss.read.parquet(evDir))
+          ss.read.parquet(trDir).distinct(), ss.read.parquet(evDir))
       }
     },
 
@@ -2176,25 +2112,19 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            def fold(dir: String, delta: DataFrame,
-                sumKeys: Seq[String]): Unit = {
-              val d2 = delta.localCheckpoint() // severed before state read
-              val prior =
-                if (java.nio.file.Files.exists(
-                  java.nio.file.Paths.get(dir, "_SUCCESS")))
-                  spark.read.parquet(dir)
-                else d2.limit(0)
-              val merged = prior.unionByName(d2)
-              (if (sumKeys.isEmpty) merged
-               else merged.groupBy(sumKeys.map(col): _*)
-                 .agg(sum(col("bin_tokens")).as("bin_tokens"),
-                   sum(col("bin_docs")).as("bin_docs")))
-                .localCheckpoint()
-                .write.mode("overwrite").parquet(dir)
-            }
-            fold(ceDir, graft.operators.Quality.featureCells(batch), Nil)
-            fold(lbDir, graft.operators.Quality.labelTable(batch), Nil)
-            fold(bsDir, graft.operators.Quality.binStats(batch), Seq("b"))
+            // O(Δ) folds (r13): feature cells and labels are purely
+            // additive (each doc lands in exactly one batch — identity
+            // merge); bin occupancy partials sum-merge at read time /
+            // compaction. No batch ever reads the state dirs.
+            StateFold.append(
+              graft.operators.Quality.featureCells(batch), ceDir)
+            StateFold.maybeCompact(spark, ceDir)(identity)
+            StateFold.append(graft.operators.Quality.labelTable(batch), lbDir)
+            StateFold.maybeCompact(spark, lbDir)(identity)
+            StateFold.append(graft.operators.Quality.binStats(batch), bsDir)
+            StateFold.maybeCompact(spark, bsDir)(_.groupBy(col("b"))
+              .agg(sum(col("bin_tokens")).as("bin_tokens"),
+                sum(col("bin_docs")).as("bin_docs")))
             ()
           }
           .start()
@@ -2203,7 +2133,9 @@ object Streams {
           graft.operators.Quality.modelTable(
             graft.operators.Quality.trainFromCells(
               ss.read.parquet(ceDir), ss.read.parquet(lbDir)),
-            ss.read.parquet(bsDir)))
+            ss.read.parquet(bsDir).groupBy(col("b"))
+              .agg(sum(col("bin_tokens")).as("bin_tokens"),
+                sum(col("bin_docs")).as("bin_docs"))))
       }
     }
   )

@@ -57,6 +57,63 @@ class Round13Spec extends AnyFunSuite {
     Publish.deleteTree(parent)
   }
 
+  // ---- O(Δ) streaming state folds (VERDICT r12 item 1) ----
+
+  test("streaming folds are O(delta): batch k appends to the state log and never rewrites batch k-1's files") {
+    val n0 = streaming.StateFold.events.size
+    SparkEntry.queries("st31_stream_curation")(spark, sf0_001).collect()
+    SparkEntry.queries("st33_stream_classifier")(spark, sf0_001).collect()
+    SparkEntry.queries("st30_stream_bpe")(spark, sf0_001).collect()
+    val evs = streaming.StateFold.events.drop(n0)
+      .filter(e => e.dir.contains("graft_stcur_v1_") ||
+        e.dir.contains("graft_stqcls_") || e.dir.contains("graft_stbpe_v1_"))
+      .groupBy(_.dir)
+    assert(evs.size == 5,
+      s"curation + 3 classifier dirs + bpe dir expected: ${evs.keys.toSeq.sorted}")
+    evs.foreach { case (dir, es) =>
+      assert(es.forall(_.kind == "append"),
+        s"$dir: fixture-scale logs must never trip compaction")
+      assert(es.count(e => e.after.size > e.before.size) >= 2,
+        s"$dir: the 2-batch feed must append new part-files per batch")
+      es.foreach { e =>
+        assert(e.before.subsetOf(e.after),
+          s"$dir: an append must only ADD part-files — " +
+            s"removed: ${e.before.diff(e.after)}")
+      }
+      // the journal is gap-free per dir: nothing mutates the log between
+      // one batch's append and the next (batch k−1's files survive verbatim)
+      es.sliding(2).foreach {
+        case Seq(a, b) => assert(b.before == a.after,
+          s"$dir: files changed outside the journaled appends")
+        case _ => ()
+      }
+    }
+  }
+
+  test("StateFold compaction merges write-then-swap, preserves the fold answer, and the log stays appendable") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val dir = Scratch.path("r13_compact_probe")
+    Publish.deleteTree(java.nio.file.Paths.get(dir))
+    import spark.implicits._
+    val d1 = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val d2 = Seq(("a", 3L), ("c", 4L)).toDF("k", "v")
+    val merge = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("k")).agg(sum(col("v")).as("v"))
+    streaming.StateFold.append(d1, dir)
+    streaming.StateFold.append(d2, dir)
+    streaming.StateFold.maybeCompact(spark, dir, maxFiles = 0)(merge)
+    val es = streaming.StateFold.events.filter(_.dir == dir)
+    assert(es.map(_.kind) == Seq("append", "append", "compact"))
+    def state() = merge(spark.read.parquet(dir)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state() == Map("a" -> 4L, "b" -> 2L, "c" -> 4L),
+      "compaction must not change the merged answer")
+    // post-compaction appends keep folding
+    streaming.StateFold.append(d1, dir)
+    assert(state() == Map("a" -> 5L, "b" -> 4L, "c" -> 4L))
+    Publish.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   // ---- classifier oracle generator: shared head, no string surgery ----
 
   test("x209 oracle chain is generated from the shared head, not sliced from the full chain") {
