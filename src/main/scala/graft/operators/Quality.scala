@@ -349,6 +349,113 @@ object Quality {
         .select(col("b"), col("w").as("w_micro"))
     }
 
+  /** x208's hardness-boosted mixture from its three ingredients —
+    * shared VERBATIM by the batch query (artifact weights + corpus-
+    * derived cells/labels/meta) and st34's streaming composition
+    * (weights retrained from the folded cells, meta from the folded
+    * mix-metadata log): one answer definition, so the classifier-in-
+    * the-loop mix cannot drift between the batch and live paths.
+    * `weights` is (b, w); `meta` is (doc_id, source, bucket) with
+    * bucket = fingerprint % 10⁶ (persisted hash membership — no RNG).
+    *
+    * Scale: one pass over the cell table + the ≤514-row weight
+    * broadcast (x205's scoring shape); everything after the doc-keyed
+    * margin aggregate lives on sources-sized tables; the sampler is a
+    * broadcast-rates filter over the metadata frame. */
+  private[graft] def hardnessMix(weights: DataFrame, cells: DataFrame,
+      labels: DataFrame, meta: DataFrame): DataFrame = {
+    val sc = cells.join(broadcast(weights), "b")
+      .groupBy(col("doc_id")).agg(sum(col("fq") * col("w")).as("zmm"))
+    val corr = sc.join(labels, "doc_id")
+      .join(meta.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when((col("zmm") > 0) === (col("y") === 1), 1).otherwise(0))
+          .cast("long").as("n_correct"))
+    val wts = corr.select(col("source"), col("n"),
+      expr("(n - n_correct) * 1000000 div n").as("err_ppm"),
+      floor(sqrt(col("n")) * 1e6).cast("long").as("bw"))
+      .withColumn("w", col("bw") * (lit(1000000L) + lit(2L) * col("err_ppm")))
+    val tot = wts.agg(sum(col("w")).as("sw"), sum(col("bw")).as("sbw"),
+      sum(col("n")).as("tn"))
+    val rates = wts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"), col("err_ppm"),
+        least(lit(1.0), (col("w") * 1.0 / col("sw")) * col("tn") / col("n"))
+          .as("p"),
+        least(lit(1.0), (col("bw") * 1.0 / col("sbw")) * col("tn") / col("n"))
+          .as("bp"))
+    val sampled = meta.select(col("source"), col("bucket"))
+      .join(broadcast(rates.select(col("source"), col("p"))), "source")
+      .filter(col("bucket") < col("p") * 1000000.0)
+      .groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    rates.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n").as("n_docs"), col("err_ppm"),
+        Num.roundOut(col("bp"), 6).as("base_rate"),
+        Num.roundOut(col("p"), 6).as("target_rate"),
+        coalesce(col("ns"), lit(0L)).as("n_sampled"),
+        Num.roundOut(coalesce(col("ns"), lit(0L)) * 1.0 / col("n"), 4)
+          .as("achieved_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** The (doc_id, source, bucket) metadata frame [[hardnessMix]] samples
+    * from — a pure per-document function (map-side fingerprint, the x199
+    * convention), so per-batch frames over disjoint batches UNION to the
+    * corpus frame verbatim: additive streaming state (st34's third fold). */
+  private[graft] def mixMeta(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      (Text.fingerprint(col("text")) % 1000000).as("bucket"))
+
+  /** x208's full oracle — shared VERBATIM with st34's streaming
+    * hardness-mix composition (the st33↔x204 contract applied to the
+    * classifier-in-the-loop mix). */
+  private[graft] lazy val x208OracleSql: String =
+    s"""WITH $logitCteSql, sc AS (
+      |  SELECT f.doc_id, CAST(sum(f.fq * w.w) AS BIGINT) AS zmm
+      |  FROM feats f JOIN w$Epochs w USING (b) GROUP BY 1
+      |), corr AS (
+      |  SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN (sc.zmm > 0) = (l.y = 1)
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      |  FROM sc JOIN lab l USING (doc_id)
+      |  JOIN documents d USING (doc_id)
+      |  GROUP BY 1
+      |), wts AS (
+      |  SELECT source, n,
+      |         (n - n_correct) * 1000000 // n AS err_ppm,
+      |         CAST(floor(sqrt(n) * 1e6) AS BIGINT) AS bw
+      |  FROM corr
+      |), wts2 AS (
+      |  SELECT source, n, err_ppm, bw,
+      |         bw * (1000000 + 2 * err_ppm) AS w
+      |  FROM wts
+      |), t AS (
+      |  SELECT sum(w) AS sw, sum(bw) AS sbw, sum(n) AS tn FROM wts2
+      |), r AS (
+      |  SELECT source, n, err_ppm,
+      |         least(1.0, (w * 1.0 / sw) * tn / n) AS p,
+      |         least(1.0, (bw * 1.0 / sbw) * tn / n) AS bp
+      |  FROM wts2, t
+      |), fpb AS (
+      |  SELECT doc_id, source,
+      |         ${TextAnalysis.fingerprintSql} % 1000000 AS bucket
+      |  FROM documents
+      |), sm AS (
+      |  SELECT fpb.source, count(*) AS ns
+      |  FROM fpb JOIN r USING (source)
+      |  WHERE fpb.bucket < p * 1000000.0
+      |  GROUP BY 1
+      |)
+      |SELECT r.source, r.n AS n_docs,
+      |       CAST(r.err_ppm AS BIGINT) AS err_ppm,
+      |       round(1e-9 + bp, 6) AS base_rate,
+      |       round(1e-9 + p, 6) AS target_rate,
+      |       CAST(coalesce(sm.ns, 0) AS BIGINT) AS n_sampled,
+      |       round(1e-9 + coalesce(sm.ns, 0) * 1.0 / r.n, 4)
+      |         AS achieved_rate
+      |FROM r LEFT JOIN sm USING (source)
+      |ORDER BY r.source""".stripMargin
+
   /** x204's full oracle — shared VERBATIM with st33's streaming
     * classifier maintenance (the st30↔x196 contract: the retrained
     * stream model must answer the batch oracle, one answer definition
@@ -646,89 +753,17 @@ object Quality {
     // tables; sampling is the x22 broadcast-rate filter over the
     // persisted fingerprint table. bw·factor stays int64-exact to
     // ~10⁹ docs per source (bw = floor(√n·10⁶) ≈ 3·10¹⁰ × 3·10⁶).
-    QueryDef("x208_hardness_mix",
-      s"""WITH $logitCteSql, sc AS (
-        |  SELECT f.doc_id, CAST(sum(f.fq * w.w) AS BIGINT) AS zmm
-        |  FROM feats f JOIN w$Epochs w USING (b) GROUP BY 1
-        |), corr AS (
-        |  SELECT d.source, CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(CASE WHEN (sc.zmm > 0) = (l.y = 1)
-        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
-        |  FROM sc JOIN lab l USING (doc_id)
-        |  JOIN documents d USING (doc_id)
-        |  GROUP BY 1
-        |), wts AS (
-        |  SELECT source, n,
-        |         (n - n_correct) * 1000000 // n AS err_ppm,
-        |         CAST(floor(sqrt(n) * 1e6) AS BIGINT) AS bw
-        |  FROM corr
-        |), wts2 AS (
-        |  SELECT source, n, err_ppm, bw,
-        |         bw * (1000000 + 2 * err_ppm) AS w
-        |  FROM wts
-        |), t AS (
-        |  SELECT sum(w) AS sw, sum(bw) AS sbw, sum(n) AS tn FROM wts2
-        |), r AS (
-        |  SELECT source, n, err_ppm,
-        |         least(1.0, (w * 1.0 / sw) * tn / n) AS p,
-        |         least(1.0, (bw * 1.0 / sbw) * tn / n) AS bp
-        |  FROM wts2, t
-        |), fpb AS (
-        |  SELECT doc_id, source,
-        |         ${TextAnalysis.fingerprintSql} % 1000000 AS bucket
-        |  FROM documents
-        |), sm AS (
-        |  SELECT fpb.source, count(*) AS ns
-        |  FROM fpb JOIN r USING (source)
-        |  WHERE fpb.bucket < p * 1000000.0
-        |  GROUP BY 1
-        |)
-        |SELECT r.source, r.n AS n_docs,
-        |       CAST(r.err_ppm AS BIGINT) AS err_ppm,
-        |       round(1e-9 + bp, 6) AS base_rate,
-        |       round(1e-9 + p, 6) AS target_rate,
-        |       CAST(coalesce(sm.ns, 0) AS BIGINT) AS n_sampled,
-        |       round(1e-9 + coalesce(sm.ns, 0) * 1.0 / r.n, 4)
-        |         AS achieved_rate
-        |FROM r LEFT JOIN sm USING (source)
-        |ORDER BY r.source""".stripMargin) { (s, d) =>
+    QueryDef("x208_hardness_mix", x208OracleSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       val w = qweightsArtifact(s, d).select(col("b"), col("w_micro").as("w"))
-      val sc = featureCells(docs).join(broadcast(w), "b")
-        .groupBy(col("doc_id")).agg(sum(col("fq") * col("w")).as("zmm"))
-      val corr = sc.join(labelTable(docs), "doc_id")
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n"),
-          sum(when((col("zmm") > 0) === (col("y") === 1), 1).otherwise(0))
-            .cast("long").as("n_correct"))
-      val wts = corr.select(col("source"), col("n"),
-        expr("(n - n_correct) * 1000000 div n").as("err_ppm"),
-        floor(sqrt(col("n")) * 1e6).cast("long").as("bw"))
-        .withColumn("w", col("bw") * (lit(1000000L) + lit(2L) * col("err_ppm")))
-      val tot = wts.agg(sum(col("w")).as("sw"), sum(col("bw")).as("sbw"),
-        sum(col("n")).as("tn"))
-      val rates = wts.crossJoin(broadcast(tot))
-        .select(col("source"), col("n"), col("err_ppm"),
-          least(lit(1.0), (col("w") * 1.0 / col("sw")) * col("tn") / col("n"))
-            .as("p"),
-          least(lit(1.0), (col("bw") * 1.0 / col("sbw")) * col("tn") / col("n"))
-            .as("bp"))
-      val fpb = docs.select(col("doc_id"), col("source"))
+      // meta off the persisted fingerprint artifact (the batch path never
+      // re-fingerprints the corpus); st34 folds the map-side [[mixMeta]]
+      // equivalent instead — same (doc_id, source, bucket) frame
+      val meta = docs.select(col("doc_id"), col("source"))
         .join(TextAnalysis.fingerprintTable(s, d), "doc_id")
-        .select(col("source"), (col("fp") % 1000000).as("bucket"))
-      val sampled = fpb.join(broadcast(rates.select(col("source"), col("p"))),
-          "source")
-        .filter(col("bucket") < col("p") * 1000000.0)
-        .groupBy(col("source")).agg(count(lit(1)).as("ns"))
-      rates.join(sampled, Seq("source"), "left")
-        .select(col("source"), col("n").as("n_docs"), col("err_ppm"),
-          Num.roundOut(col("bp"), 6).as("base_rate"),
-          Num.roundOut(col("p"), 6).as("target_rate"),
-          coalesce(col("ns"), lit(0L)).as("n_sampled"),
-          Num.roundOut(coalesce(col("ns"), lit(0L)) * 1.0 / col("n"), 4)
-            .as("achieved_rate"))
-        .orderBy(col("source"))
+        .select(col("doc_id"), col("source"),
+          (col("fp") % 1000000).as("bucket"))
+      hardnessMix(w, featureCells(docs), labelTable(docs), meta)
     },
 
     // HELD-OUT GENERALIZATION GATE — x204/x205 report TRAIN accuracy

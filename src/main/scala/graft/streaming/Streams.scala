@@ -2137,6 +2137,66 @@ object Streams {
               .agg(sum(col("bin_tokens")).as("bin_tokens"),
                 sum(col("bin_docs")).as("bin_docs"))))
       }
+    },
+
+    // STREAMING CLASSIFIER-IN-THE-LOOP MIX (VERDICT r12 item 2) — the
+    // live curation loop COMPOSED end-to-end: documents arrive in
+    // micro-batches, three O(Δ) folds maintain the classifier's feature
+    // cells + labels (st33's state) and the mix metadata frame
+    // (doc_id, source, fingerprint bucket — [[graft.operators.Quality
+    // .mixMeta]], a pure per-document function, additive like st31's
+    // frame), and the SERVE composes the whole loop from folded state
+    // only: retrain through the shared `trainFromCells` → score every
+    // doc's folded cells → per-source confusion → x208's hardness boost
+    // → the persisted-bucket sampler — one `hardnessMix`, shared
+    // VERBATIM with batch x208, whose oracle this answers. This is the
+    // live form of the reference's incremental re-run model
+    // (etl.py:331-384) applied to the LLM tier: ingest folds deltas,
+    // the expensive model refresh runs at serve on state, never on
+    // re-scanned corpus text.
+    //
+    // Scale: per-batch work ∝ batch text (tokenize + hash + label +
+    // fingerprint, all map-side); state ∝ docs × metadata columns; the
+    // serve is st33's Epochs-bounded retrain + x208's sources-sized mix
+    // algebra — no corpus text pass at serve. Duplicates split across
+    // batches reach the mixer only as x208 defines (the mix itself does
+    // not dedup; the composed curation funnel's dedup-before-mix
+    // contract is Round13Spec's crafted-feed pin on the st31 state).
+    QueryDef("st34_stream_hardness_mix",
+      graft.operators.Quality.x208OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageDocumentsSplit(ss, d)
+        val key = graft.ContentKey.key(
+          java.nio.file.Paths.get(d, "documents.parquet"))
+        val ceDir = graft.Scratch.path(s"graft_sthm_ce_v1_$key")
+        val lbDir = graft.Scratch.path(s"graft_sthm_lb_v1_$key")
+        val mmDir = graft.Scratch.path(s"graft_sthm_mm_v1_$key")
+        resetDir(ceDir); resetDir(lbDir); resetDir(mmDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            // all three folds purely additive (each doc in exactly one
+            // batch) — identity merges, O(Δ) appends
+            StateFold.append(
+              graft.operators.Quality.featureCells(batch), ceDir)
+            StateFold.maybeCompact(spark, ceDir)(identity)
+            StateFold.append(graft.operators.Quality.labelTable(batch), lbDir)
+            StateFold.maybeCompact(spark, lbDir)(identity)
+            StateFold.append(graft.operators.Quality.mixMeta(batch), mmDir)
+            StateFold.maybeCompact(spark, mmDir)(identity)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val cells = ss.read.parquet(ceDir)
+        val labels = ss.read.parquet(lbDir)
+        graft.operators.Quality.hardnessMix(
+          graft.operators.Quality.trainFromCells(cells, labels),
+          cells, labels, ss.read.parquet(mmDir))
+      }
     }
   )
 

@@ -114,6 +114,42 @@ class Round13Spec extends AnyFunSuite {
     Publish.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  // ---- composed streaming curation loop (VERDICT r12 item 2) ----
+
+  test("a duplicate split across micro-batches never reaches the mixer: the folded curation state dedups globally before the mix stage") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0_001)
+    // a doc that would SURVIVE to the mixer on its own (passes the
+    // quality gate) — duplicating it is the meaningful case: without
+    // global dedup over the folded state it would be double-sampled
+    val passing = operators.Mining.curationFrame(docs)
+      .filter(col("quality") >= 0.63 && col("n_tokens") > 0)
+      .select(col("doc_id")).orderBy(col("doc_id")).limit(1)
+      .collect()(0).getLong(0)
+    val others = docs.filter(col("doc_id") =!= passing)
+      .orderBy(col("doc_id")).limit(2)
+    val dup = docs.filter(col("doc_id") === passing)
+      .withColumn("doc_id", lit(999999L)) // same TEXT, later id → loser
+    val batchA = docs.filter(col("doc_id") === passing).unionByName(others)
+    val batchB = dup
+    val log = Scratch.path("r13_dupsplit_probe")
+    Publish.deleteTree(java.nio.file.Paths.get(log))
+    streaming.StateFold.append(operators.Mining.curationFrame(batchA), log)
+    streaming.StateFold.append(operators.Mining.curationFrame(batchB), log)
+    val rep = operators.Mining.curationReport(spark.read.parquet(log))
+      .collect().map(r => r.getAs[String]("stage") -> r).toMap
+    assert(rep("1_dedup").getAs[Long]("docs_in") == 4)
+    assert(rep("1_dedup").getAs[Long]("docs_kept") == 3,
+      "the cross-batch duplicate must lose at the dedup stage")
+    // telescoping: the mixer's input IS the gate's output — the dedup
+    // loser cannot reappear downstream
+    assert(rep("3_mix").getAs[Long]("docs_in") ==
+      rep("2_quality").getAs[Long]("docs_kept"))
+    assert(rep("2_quality").getAs[Long]("docs_kept") >= 1,
+      "the surviving original must still reach the mixer")
+    Publish.deleteTree(java.nio.file.Paths.get(log))
+  }
+
   // ---- classifier oracle generator: shared head, no string surgery ----
 
   test("x209 oracle chain is generated from the shared head, not sliced from the full chain") {
