@@ -72,6 +72,8 @@ object ArtifactVacuum {
     ("bpemerges", "documents", 2),
     ("qweights", "documents", 1),
     ("qweightstr", "documents", 1),
+    ("qvalcurve", "documents", 1),
+    ("qweightsval", "documents", 1),
     ("bpesyms", "documents", 2),
     ("bpemerge1", "documents", 1),
     ("bpemerge2", "documents", 1),

@@ -150,6 +150,32 @@ class Round13Spec extends AnyFunSuite {
     Publish.deleteTree(java.nio.file.Paths.get(log))
   }
 
+  // ---- validation-gated early stop (VERDICT r12 item 4) ----
+
+  test("x210/x211: the stopping rule never does worse than fixed-24 on the selection split, and the served model is the chosen round's") {
+    val curve = SparkEntry.queries("x210_validated_training")(spark, sf0_001)
+      .collect().sortBy(_.getAs[Int]("round"))
+    assert(curve.length == operators.Quality.Epochs)
+    assert(curve.count(_.getAs[Int]("chosen") == 1) == 1,
+      "exactly one chosen round")
+    val byRound = curve.map(r =>
+      r.getAs[Int]("round") -> r.getAs[Long]("val_correct")).toMap
+    val chosen = curve.find(_.getAs[Int]("chosen") == 1).get
+    assert(chosen.getAs[Long]("val_correct") >=
+      byRound(operators.Quality.Epochs),
+      "argmax selection must be >= the fixed-24 model's val accuracy")
+    // earliest-tie rule: no earlier round has the same val_correct
+    val cr = chosen.getAs[Int]("round")
+    assert(curve.filter(_.getAs[Int]("round") < cr)
+      .forall(_.getAs[Long]("val_correct") < chosen.getAs[Long]("val_correct")),
+      "ties must resolve to the earliest round")
+    val model = SparkEntry.queries("x211_early_stop_model")(spark, sf0_001)
+      .collect()
+    assert(model.nonEmpty &&
+      model.forall(_.getAs[Int]("stop_round") == cr),
+      "the served model must be stamped with the chosen round")
+  }
+
   // ---- classifier oracle generator: shared head, no string surgery ----
 
   test("x209 oracle chain is generated from the shared head, not sliced from the full chain") {
