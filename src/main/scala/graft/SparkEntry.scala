@@ -36,6 +36,7 @@ object SparkEntry {
     Quality.entries ++
     Corpus.entries ++
     Mining.entries ++
+    Tokens.entries ++
     Analytics.entries ++
     Contracts.entries ++
     Pareto.entries ++

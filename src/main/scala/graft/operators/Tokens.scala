@@ -31,4 +31,175 @@ object Tokens {
       Tables.documents(s, d).select(col("doc_id"),
         posexplode(Text.tokens(col("text"))).as(Seq("i", "word")))
     }
+
+  val entries: Seq[graft.QueryDef] = Seq(
+
+    // SPAN-CORRUPTION PLAN (T5, Raffel et al. JMLR'20; UL2's span
+    // denoisers) — the objective-side preprocessing step between packing
+    // (x183) and the data loader: decide, per document, WHICH contiguous
+    // token spans get masked. Faithful-but-deterministic variant: the
+    // position stream is cut into 13-token blocks and each block masks
+    // ONE contiguous span of pseudo-random length 1..3 (mean 2 ⇒ ~15.4%
+    // noise density, T5's 15% target) at a pseudo-random in-block
+    // offset, both driven by the st09 integer avalanche hash of
+    // (doc_id, block) — persisted-hash determinism instead of RNG, the
+    // same no-RNG rule every sampler here follows (x22/x97/x208), so
+    // the plan is reproducible across engines, runs, and epochs. Spans
+    // cannot overlap by construction (one span per block, offset bounded
+    // to keep it in-block); a doc's trailing partial block clips its
+    // span at the doc end.
+    //
+    // Scale: one scan of the persisted token-position table with pure
+    // per-row arithmetic (hash, div, mod — whole-stage codegen), one
+    // doc-keyed partial agg. No joins, no windows, no text.
+    graft.QueryDef("x212_span_corruption",
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i
+        |  FROM (SELECT doc_id, unnest(range(len(ws))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |              FROM documents))
+        |), h0 AS (
+        |  SELECT doc_id, i, i // 13 AS blk,
+        |         (doc_id * 8191 + i // 13) & 4294967295 AS a
+        |  FROM tok
+        |), h1 AS (
+        |  SELECT doc_id, i, blk,
+        |         (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h0
+        |), h2 AS (
+        |  SELECT doc_id, i, blk,
+        |         (xor(a >> 16, a) * 73244475) & 4294967295 AS a FROM h1
+        |), hv AS (
+        |  SELECT doc_id, i, blk, xor(a >> 16, a) AS h FROM h2
+        |), pl AS (
+        |  SELECT doc_id, i, blk,
+        |         1 + h % 3 AS l,
+        |         (h // 3) % (13 - (1 + h % 3) + 1) AS off
+        |  FROM hv
+        |), mk AS (
+        |  SELECT doc_id, blk,
+        |         CASE WHEN i % 13 BETWEEN off AND off + l - 1
+        |              THEN 1 ELSE 0 END AS m
+        |  FROM pl
+        |)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
+        |       CAST(count(DISTINCT CASE WHEN m = 1 THEN blk END) AS BIGINT)
+        |         AS n_spans,
+        |       CAST(sum(m) AS BIGINT) AS n_masked,
+        |       CAST(sum(m) * 1000000 // count(*) AS BIGINT) AS mask_ppm
+        |FROM mk GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val pl = table(s, d)
+        .select(col("doc_id"), col("i").cast("long").as("i"))
+        .withColumn("blk", expr("i div 13"))
+        .withColumn("a", expr("(doc_id * 8191 + blk) & 4294967295"))
+        .withColumn("a",
+          expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+        .withColumn("a",
+          expr("(shiftright(a, 16) ^ a) * 73244475 & 4294967295"))
+        .withColumn("h", expr("shiftright(a, 16) ^ a"))
+        .withColumn("l", expr("1 + h % 3"))
+        .withColumn("off", expr("(h div 3) % (13 - (1 + h % 3) + 1)"))
+        .withColumn("m", when(expr("i % 13").between(col("off"),
+          col("off") + col("l") - 1), 1).otherwise(0))
+      pl.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("blk")).as("n_blocks"),
+          countDistinct(when(col("m") === 1, col("blk"))).as("n_spans"),
+          sum(col("m")).cast("long").as("n_masked"),
+          expr("CAST(sum(m) * 1000000 div count(*) AS BIGINT)")
+            .as("mask_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    // DATA-CONSTRAINED EPOCH ALLOCATION (Muennighoff et al. NeurIPS'23:
+    // repeating data is near-free up to ~4 epochs, then value decays
+    // fast) — the planning step a token-budgeted run does BEFORE x22/
+    // x208's per-run sampling: given each source's unique-token supply
+    // and a total training budget (4× the corpus here — a deliberately
+    // over-subscribed target so the cap binds), split the budget by the
+    // x22 sqrt-temperature share, convert to per-source EPOCHS, cap at
+    // 4, and report the residual the cap strands — the number that
+    // tells a data lead how much new data to buy. One-shot by design
+    // (no iterative water-filling): the residual is REPORTED, not
+    // silently redistributed, so the plan stays a pure function of the
+    // supply table.
+    //
+    // Cross-engine parity: shares are integer ppm (BIGINT div); the
+    // epoch numbers are the x208 chained-IEEE pattern ((w*1.0/sw)*B/S —
+    // identical op order both engines) rounded once at the end; alloc
+    // tokens re-integerize via one round.
+    //
+    // Scale: one token-count aggregate off the persisted token table
+    // (doc-keyed partials, then a sources-sized rollup); everything
+    // after is algebra on a sources-sized frame with one 1-row
+    // broadcast. The plan itself is the artifact a 100 TB run ships to
+    // its sampler.
+    graft.QueryDef("x213_epoch_allocation",
+      """WITH dt AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |         source
+        |  FROM documents
+        |), st AS (
+        |  SELECT source, CAST(sum(nt) AS BIGINT) AS s
+        |  FROM dt GROUP BY 1
+        |), w AS (
+        |  SELECT source, s, CAST(floor(sqrt(s) * 1e6) AS BIGINT) AS w
+        |  FROM st
+        |), t AS (
+        |  SELECT CAST(sum(w) AS BIGINT) AS sw,
+        |         CAST(4 * sum(s) AS BIGINT) AS b
+        |  FROM w
+        |), e AS (
+        |  SELECT source, s, w,
+        |         w * 1000000 // sw AS share_ppm,
+        |         (w * 1.0 / sw) * b / s AS raw,
+        |         least(4.0, (w * 1.0 / sw) * b / s) AS capped,
+        |         b
+        |  FROM w, t
+        |), a AS (
+        |  SELECT source, s, share_ppm,
+        |         round(1e-9 + raw, 4) AS epochs_raw,
+        |         round(1e-9 + capped, 4) AS epochs_capped,
+        |         CAST(round(1e-9 + capped * s) AS BIGINT) AS alloc_tokens,
+        |         b
+        |  FROM e
+        |), r AS (
+        |  SELECT CAST(max(b) - sum(alloc_tokens) AS BIGINT) AS resid FROM a
+        |)
+        |SELECT a.source, a.s AS n_tokens, a.share_ppm,
+        |       a.epochs_raw, a.epochs_capped, a.alloc_tokens,
+        |       a.b AS budget_tokens, r.resid AS residual_tokens
+        |FROM a, r ORDER BY a.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val st = docs
+        .select(col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("s"))
+      val w = st.select(col("source"), col("s"),
+        floor(sqrt(col("s")) * 1e6).cast("long").as("w"))
+      val t = w.agg(sum(col("w")).as("sw"),
+        (lit(4L) * sum(col("s"))).cast("long").as("b"))
+      val e = w.crossJoin(broadcast(t))
+        .select(col("source"), col("s"),
+          expr("w * 1000000 div sw").as("share_ppm"),
+          ((col("w") * 1.0 / col("sw")) * col("b") / col("s")).as("raw"),
+          least(lit(4.0),
+            (col("w") * 1.0 / col("sw")) * col("b") / col("s")).as("capped"),
+          col("b"))
+      val a = e.select(col("source"), col("s"), col("share_ppm"),
+        graft.functions.Num.roundOut(col("raw"), 4).as("epochs_raw"),
+        graft.functions.Num.roundOut(col("capped"), 4).as("epochs_capped"),
+        round(lit(1e-9) + col("capped") * col("s")).cast("long")
+          .as("alloc_tokens"),
+        col("b"))
+      val r = a.agg((max(col("b")) - sum(col("alloc_tokens")))
+        .cast("long").as("resid"))
+      a.crossJoin(broadcast(r))
+        .select(col("source"), col("s").as("n_tokens"), col("share_ppm"),
+          col("epochs_raw"), col("epochs_capped"), col("alloc_tokens"),
+          col("b").as("budget_tokens"), col("resid").as("residual_tokens"))
+        .orderBy(col("source"))
+    }
+  )
 }

@@ -150,6 +150,77 @@ class Round13Spec extends AnyFunSuite {
     Publish.deleteTree(java.nio.file.Paths.get(log))
   }
 
+  // ---- x212 span corruption / x213 epoch allocation ----
+
+  test("x212: spans match a sequential brute-force replay, stay in-block, and the corpus noise density is near the 15% target") {
+    val rows = SparkEntry.queries("x212_span_corruption")(spark, sf0_001)
+      .collect()
+    assert(rows.nonEmpty)
+    var tok = 0L; var msk = 0L
+    rows.foreach { r =>
+      val (nb, ns, nm, nt) = (r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("n_masked"),
+        r.getAs[Long]("n_tokens"))
+      assert(ns <= nb, "at most one span per block")
+      assert(nm <= 3 * ns, "span length is capped at 3")
+      tok += nt; msk += nm
+    }
+    val ratio = msk.toDouble / tok
+    assert(ratio > 0.12 && ratio < 0.19,
+      s"corpus noise density $ratio must sit near the 15% target")
+    // brute-force replay of the plan for a few docs (the sequential
+    // reference implementation of the hash/length/offset rule)
+    val docs = Tables.documents(spark, sf0_001)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+      .limit(5).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { dr =>
+      val id = dr.getAs[Long]("doc_id")
+      val n = dr.getAs[String]("text").split(" ", -1).length
+      var masked = 0L
+      val spans = scala.collection.mutable.Set.empty[Long]
+      (0 until n).foreach { i =>
+        val blk = i / 13
+        var a = (id * 8191 + blk) & 4294967295L
+        a = ((a >> 16) ^ a) * 73244475L & 4294967295L
+        a = ((a >> 16) ^ a) * 73244475L & 4294967295L
+        val h = (a >> 16) ^ a
+        val l = 1 + h % 3
+        val off = (h / 3) % (13 - l + 1)
+        if (i % 13 >= off && i % 13 <= off + l - 1) {
+          masked += 1; spans += blk
+        }
+      }
+      val r = byId(id)
+      assert(r.getAs[Long]("n_tokens") == n.toLong &&
+        r.getAs[Long]("n_masked") == masked &&
+        r.getAs[Long]("n_spans") == spans.size.toLong,
+        s"doc $id: relational plan must equal the sequential replay")
+    }
+  }
+
+  test("x213: the 4-epoch cap binds for some sources and not others, allocation never exceeds the cap, and the residual reconciles") {
+    val rows = SparkEntry.queries("x213_epoch_allocation")(spark, sf0_001)
+      .collect()
+    assert(rows.nonEmpty)
+    val budget = rows.head.getAs[Long]("budget_tokens")
+    val resid = rows.head.getAs[Long]("residual_tokens")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("epochs_capped") <= 4.0)
+      assert(r.getAs[Long]("alloc_tokens") <=
+        4L * r.getAs[Long]("n_tokens") + 1,
+        "allocation can never exceed 4 epochs of the source's supply")
+      assert(r.getAs[Long]("budget_tokens") == budget &&
+        r.getAs[Long]("residual_tokens") == resid)
+    }
+    assert(rows.exists(r => r.getAs[Double]("epochs_raw") > 4.0) &&
+      rows.exists(r => r.getAs[Double]("epochs_raw") < 4.0),
+      "the fixture must exercise BOTH the capped and uncapped branches")
+    assert(resid >= 0 &&
+      resid == budget - rows.map(_.getAs[Long]("alloc_tokens")).sum,
+      "residual = budget - allocated, the number the cap strands")
+  }
+
   // ---- validation-gated early stop (VERDICT r12 item 4) ----
 
   test("x210/x211: the stopping rule never does worse than fixed-24 on the selection split, and the served model is the chosen round's") {
