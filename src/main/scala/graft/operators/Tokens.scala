@@ -136,28 +136,7 @@ object Tokens {
     // broadcast. The plan itself is the artifact a 100 TB run ships to
     // its sampler.
     graft.QueryDef("x213_epoch_allocation",
-      """WITH dt AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
-        |         source
-        |  FROM documents
-        |), st AS (
-        |  SELECT source, CAST(sum(nt) AS BIGINT) AS s
-        |  FROM dt GROUP BY 1
-        |), w AS (
-        |  SELECT source, s, CAST(floor(sqrt(s) * 1e6) AS BIGINT) AS w
-        |  FROM st
-        |), t AS (
-        |  SELECT CAST(sum(w) AS BIGINT) AS sw,
-        |         CAST(4 * sum(s) AS BIGINT) AS b
-        |  FROM w
-        |), e AS (
-        |  SELECT source, s, w,
-        |         w * 1000000 // sw AS share_ppm,
-        |         (w * 1.0 / sw) * b / s AS raw,
-        |         least(4.0, (w * 1.0 / sw) * b / s) AS capped,
-        |         b
-        |  FROM w, t
-        |), a AS (
+      s"""WITH $epochAllocCteSql, a AS (
         |  SELECT source, s, share_ppm,
         |         round(1e-9 + raw, 4) AS epochs_raw,
         |         round(1e-9 + capped, 4) AS epochs_capped,
@@ -171,28 +150,13 @@ object Tokens {
         |       a.epochs_raw, a.epochs_capped, a.alloc_tokens,
         |       a.b AS budget_tokens, r.resid AS residual_tokens
         |FROM a, r ORDER BY a.source""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val st = docs
-        .select(col("source"),
-          size(Text.tokens(col("text"))).cast("long").as("nt"))
-        .groupBy(col("source")).agg(sum(col("nt")).as("s"))
-      val w = st.select(col("source"), col("s"),
-        floor(sqrt(col("s")) * 1e6).cast("long").as("w"))
-      val t = w.agg(sum(col("w")).as("sw"),
-        (lit(4L) * sum(col("s"))).cast("long").as("b"))
-      val e = w.crossJoin(broadcast(t))
-        .select(col("source"), col("s"),
-          expr("w * 1000000 div sw").as("share_ppm"),
-          ((col("w") * 1.0 / col("sw")) * col("b") / col("s")).as("raw"),
-          least(lit(4.0),
-            (col("w") * 1.0 / col("sw")) * col("b") / col("s")).as("capped"),
+      val a = allocFrame(Tables.documents(s, d))
+        .select(col("source"), col("s"), col("share_ppm"),
+          graft.functions.Num.roundOut(col("raw"), 4).as("epochs_raw"),
+          graft.functions.Num.roundOut(col("capped"), 4).as("epochs_capped"),
+          round(lit(1e-9) + col("capped") * col("s")).cast("long")
+            .as("alloc_tokens"),
           col("b"))
-      val a = e.select(col("source"), col("s"), col("share_ppm"),
-        graft.functions.Num.roundOut(col("raw"), 4).as("epochs_raw"),
-        graft.functions.Num.roundOut(col("capped"), 4).as("epochs_capped"),
-        round(lit(1e-9) + col("capped") * col("s")).cast("long")
-          .as("alloc_tokens"),
-        col("b"))
       val r = a.agg((max(col("b")) - sum(col("alloc_tokens")))
         .cast("long").as("resid"))
       a.crossJoin(broadcast(r))
@@ -200,6 +164,127 @@ object Tokens {
           col("epochs_raw"), col("epochs_capped"), col("alloc_tokens"),
           col("b").as("budget_tokens"), col("resid").as("residual_tokens"))
         .orderBy(col("source"))
+    },
+
+    // REPEAT-SAMPLING MANIFEST — x213's plan CASHED into the executable
+    // per-document schedule a data loader consumes: each doc of source i
+    // repeats floor(e_i) times plus one more iff its persisted
+    // fingerprint bucket falls under the fractional epoch (bucket <
+    // frac·10⁶ — the x22/x208 hash-membership device, so the extra copy
+    // is a deterministic property of the DOCUMENT, not a run's RNG, and
+    // the same docs repeat on every restart). Per source the manifest
+    // reports emitted copies/tokens against x213's allocation target —
+    // fill_ppm is the conservation check between the plan and the
+    // schedule (exact in expectation, hash-bucket-quantized in
+    // realization).
+    //
+    // Scale: the allocation algebra is sources-sized; the per-doc pass
+    // is one broadcast of the sources-sized rate table onto the
+    // (doc_id, nt, source, bucket) frame — map-side arithmetic, one
+    // source-keyed partial agg. No joins wider than the broadcast.
+    graft.QueryDef("x214_repeat_sampling",
+      s"""WITH $epochAllocCteSql, alc AS (
+        |  SELECT source,
+        |         CAST(floor(capped) AS BIGINT) AS fe,
+        |         capped - floor(capped) AS fr,
+        |         round(1e-9 + capped, 4) AS epochs_capped,
+        |         CAST(round(1e-9 + capped * s) AS BIGINT) AS alloc_tokens
+        |  FROM e
+        |), fpb AS (
+        |  SELECT doc_id, ${TextAnalysis.fingerprintSql} % 1000000 AS bucket
+        |  FROM documents
+        |), dr AS (
+        |  SELECT dt.source, dt.nt,
+        |         alc.fe + CASE WHEN fpb.bucket < alc.fr * 1000000.0
+        |                       THEN 1 ELSE 0 END AS rep
+        |  FROM dt JOIN alc USING (source) JOIN fpb USING (doc_id)
+        |)
+        |SELECT dr.source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       max(alc.epochs_capped) AS epochs_capped,
+        |       CAST(sum(dr.rep) AS BIGINT) AS emitted_copies,
+        |       CAST(sum(dr.nt * dr.rep) AS BIGINT) AS emitted_tokens,
+        |       max(alc.alloc_tokens) AS alloc_tokens,
+        |       CAST(sum(dr.nt * dr.rep) * 1000000 // max(alc.alloc_tokens)
+        |            AS BIGINT) AS fill_ppm
+        |FROM dr JOIN alc USING (source)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val alc = allocFrame(docs).select(col("source"),
+        floor(col("capped")).cast("long").as("fe"),
+        (col("capped") - floor(col("capped"))).as("fr"),
+        graft.functions.Num.roundOut(col("capped"), 4).as("epochs_capped"),
+        round(lit(1e-9) + col("capped") * col("s")).cast("long")
+          .as("alloc_tokens"))
+      val fpb = docs.select(col("doc_id"),
+        (Text.fingerprint(col("text")) % 1000000).as("bucket"))
+      val dr = docTokens(docs)
+        .join(fpb, "doc_id")
+        .join(broadcast(alc), "source")
+        .select(col("source"), col("nt"),
+          (col("fe") + when(col("bucket") < col("fr") * 1000000.0, 1L)
+            .otherwise(0L)).as("rep"))
+      dr.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("rep")).cast("long").as("emitted_copies"),
+          sum(col("nt") * col("rep")).cast("long").as("emitted_tokens"))
+        .join(broadcast(alc.select(col("source"), col("epochs_capped"),
+          col("alloc_tokens"))), "source")
+        .select(col("source"), col("n_docs"), col("epochs_capped"),
+          col("emitted_copies"), col("emitted_tokens"), col("alloc_tokens"),
+          expr("CAST(emitted_tokens * 1000000 div alloc_tokens AS BIGINT)")
+            .as("fill_ppm"))
+        .orderBy(col("source"))
     }
   )
+
+  /** Per-doc token supply (doc_id, nt, source) — the x213/x214 shared
+    * frame (one definition, so the plan and the schedule cannot drift). */
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(Text.tokens(col("text"))).cast("long").as("nt"), col("source"))
+
+  /** x213's allocation algebra over the supply: (source, s, share_ppm,
+    * raw, capped, b). Doubles follow the x208 chained-IEEE pattern —
+    * identical op order in [[epochAllocCteSql]]. */
+  private def allocFrame(docs: DataFrame): DataFrame = {
+    val st = docTokens(docs)
+      .groupBy(col("source")).agg(sum(col("nt")).as("s"))
+    val w = st.select(col("source"), col("s"),
+      floor(sqrt(col("s")) * 1e6).cast("long").as("w"))
+    val t = w.agg(sum(col("w")).as("sw"),
+      (lit(4L) * sum(col("s"))).cast("long").as("b"))
+    w.crossJoin(broadcast(t))
+      .select(col("source"), col("s"),
+        expr("w * 1000000 div sw").as("share_ppm"),
+        ((col("w") * 1.0 / col("sw")) * col("b") / col("s")).as("raw"),
+        least(lit(4.0),
+          (col("w") * 1.0 / col("sw")) * col("b") / col("s")).as("capped"),
+        col("b"))
+  }
+
+  /** The shared x213/x214 oracle CTE chain (dt → st → w → t → e). */
+  private lazy val epochAllocCteSql: String =
+    """dt AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |         source
+      |  FROM documents
+      |), st AS (
+      |  SELECT source, CAST(sum(nt) AS BIGINT) AS s
+      |  FROM dt GROUP BY 1
+      |), w AS (
+      |  SELECT source, s, CAST(floor(sqrt(s) * 1e6) AS BIGINT) AS w
+      |  FROM st
+      |), t AS (
+      |  SELECT CAST(sum(w) AS BIGINT) AS sw,
+      |         CAST(4 * sum(s) AS BIGINT) AS b
+      |  FROM w
+      |), e AS (
+      |  SELECT source, s, w,
+      |         w * 1000000 // sw AS share_ppm,
+      |         (w * 1.0 / sw) * b / s AS raw,
+      |         least(4.0, (w * 1.0 / sw) * b / s) AS capped,
+      |         b
+      |  FROM w, t
+      |)""".stripMargin
 }

@@ -90,7 +90,12 @@ private[graft] object StateFold {
     val before = partFiles(dir)
     if (before.size > maxFiles) {
       val tmp = dir + ".compact"
-      merge(ss.read.parquet(dir)).write.mode("overwrite").parquet(tmp)
+      // the compacted generation must be materially SMALLER in file
+      // count than the trigger threshold, or compaction churns without
+      // buying read fan-in; at cluster scale this coalesce factor is
+      // the compaction output partitioning (sized to state, not delta)
+      merge(ss.read.parquet(dir)).coalesce(math.max(1, maxFiles / 4))
+        .write.mode("overwrite").parquet(tmp)
       graft.Publish.deleteTree(Paths.get(dir))
       Files.move(Paths.get(tmp), Paths.get(dir),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)

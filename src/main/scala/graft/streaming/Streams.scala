@@ -560,7 +560,13 @@ object Streams {
               .groupBy(to_date(col("ts")).as("day"), col("event_type"))
               .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
             StateFold.append(part, mvDir)
-            StateFold.maybeCompact(spark, mvDir)(merge)
+            // deliberately LOW threshold (1 — AQE coalesces the tiny
+            // fixture deltas to one file per append): this family
+            // exercises the in-stream compaction path, so the
+            // answer-preservation contract is oracle-covered, not just
+            // unit-tested — Round13Spec pins that a compact event
+            // actually fired here
+            StateFold.maybeCompact(spark, mvDir, maxFiles = 1)(merge)
             ()
           }
           .start()

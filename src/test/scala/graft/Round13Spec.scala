@@ -90,6 +90,24 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("st06 exercises in-stream compaction: a compact event fires and the oracle answer survives it") {
+    val n0 = streaming.StateFold.events.size
+    val out = SparkEntry.queries("st06_stream_aggmv")(spark, sf0_001)
+      .collect()
+    assert(out.nonEmpty)
+    val es = streaming.StateFold.events.drop(n0)
+      .filter(_.dir.contains("graft_staggmv_v1_"))
+    assert(es.exists(_.kind == "compact"),
+      "st06's low threshold must trip compaction during the stream " +
+        "(the in-stream answer-preservation coverage)")
+    assert(es.exists(_.kind == "append"))
+    // every compact shrinks the log to a materially smaller generation
+    es.filter(_.kind == "compact").foreach { c =>
+      assert(c.after.size < c.before.size,
+        s"compaction must shrink the log: ${c.before.size} -> ${c.after.size}")
+    }
+  }
+
   test("StateFold compaction merges write-then-swap, preserves the fold answer, and the log stays appendable") {
     import org.apache.spark.sql.functions.{col, sum}
     val dir = Scratch.path("r13_compact_probe")
@@ -219,6 +237,38 @@ class Round13Spec extends AnyFunSuite {
     assert(resid >= 0 &&
       resid == budget - rows.map(_.getAs[Long]("alloc_tokens")).sum,
       "residual = budget - allocated, the number the cap strands")
+  }
+
+  test("x214: the repeat manifest quantizes x213's plan — capped sources emit exactly 4 copies per doc, fractional ones fe or fe+1") {
+    val alloc = SparkEntry.queries("x213_epoch_allocation")(spark, sf0_001)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val rows = SparkEntry.queries("x214_repeat_sampling")(spark, sf0_001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val e = r.getAs[Double]("epochs_capped")
+      assert(e == alloc(src).getAs[Double]("epochs_capped"),
+        "the manifest must carry the plan's epoch number verbatim")
+      val nd = r.getAs[Long]("n_docs")
+      val ec = r.getAs[Long]("emitted_copies")
+      val fe = math.floor(e).toLong
+      assert(ec >= fe * nd && ec <= (fe + 1) * nd,
+        s"$src: every doc repeats floor(e) or floor(e)+1 times")
+      if (e == 4.0)
+        assert(ec == 4 * nd,
+          s"$src: a cap-bound source emits exactly 4 copies per doc")
+      assert(r.getAs[Long]("fill_ppm") ==
+        r.getAs[Long]("emitted_tokens") * 1000000L /
+          r.getAs[Long]("alloc_tokens"))
+    }
+    // the hash-bucket quantization is live: some fractional source must
+    // emit a MIX of fe and fe+1 (not all docs on one side)
+    assert(rows.exists { r =>
+      val e = r.getAs[Double]("epochs_capped"); val nd = r.getAs[Long]("n_docs")
+      val ec = r.getAs[Long]("emitted_copies"); val fe = math.floor(e).toLong
+      e < 4.0 && ec > fe * nd && ec < (fe + 1) * nd
+    }, "at least one fractional source must split docs across fe/fe+1")
   }
 
   // ---- validation-gated early stop (VERDICT r12 item 4) ----
