@@ -47,6 +47,17 @@ private[graft] object StateFold {
   private val journal =
     new java.util.concurrent.ConcurrentLinkedQueue[FoldEvent]()
 
+  /** Journal retention: a long-lived streaming JVM appends forever, so
+    * the observability journal is a ring — oldest events evict past this
+    * bound. Far above any test's event volume (the Round13Spec pins
+    * snapshot-and-slice within one run), so eviction never skews a pin. */
+  private val MaxJournal = 8192
+
+  private def record(e: FoldEvent): Unit = {
+    journal.add(e)
+    while (journal.size > MaxJournal) journal.poll()
+  }
+
   private[graft] def events: Seq[FoldEvent] = {
     import scala.jdk.CollectionConverters._
     journal.iterator().asScala.toSeq
@@ -71,7 +82,7 @@ private[graft] object StateFold {
   def append(delta: DataFrame, dir: String): Unit = {
     val before = partFiles(dir)
     delta.write.mode("append").parquet(dir)
-    journal.add(FoldEvent(dir, "append", before, partFiles(dir)))
+    record(FoldEvent(dir, "append", before, partFiles(dir)))
   }
 
   /** Read the full log (merge-at-read is the caller's `merge`);
@@ -99,7 +110,7 @@ private[graft] object StateFold {
       graft.Publish.deleteTree(Paths.get(dir))
       Files.move(Paths.get(tmp), Paths.get(dir),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      journal.add(FoldEvent(dir, "compact", before, partFiles(dir)))
+      record(FoldEvent(dir, "compact", before, partFiles(dir)))
     }
   }
 }
