@@ -1548,6 +1548,50 @@ object Mining {
         .orderBy(col("source"))
     },
 
+    // OPTIMAL-SEGMENTATION (VITERBI) AUDIT — the third encoder tier:
+    // x196/x197 apply the trainer's merge ORDER, x207 greedy longest-
+    // matches the piece INVENTORY; this computes the true MINIMUM piece
+    // count per word over that same inventory (the unigram-LM Viterbi
+    // decode, Kudo 2018 — with unit piece costs the max-likelihood DP
+    // degenerates to shortest-path, all-integer and oracle-exact) and
+    // reports each cheaper encoder's regret against it. A tokenizer team
+    // reads this to see how many tokens/corpus the fast greedy serving
+    // path leaves on the table before paying for DP at encode time.
+    //
+    // Scale: the DP is Bellman-Ford over (word, pos) states — vocab ×
+    // ≤17 positions, NEVER corpus-sized; pieces broadcast; maxLen
+    // vocab-sized rounds (each piece consumes ≥1 char). The corpus is
+    // touched once, by the final word join — same volume as x197/x207.
+    QueryDef("x215_optimal_encode_audit", Mining.x215OracleSql) { (s, d) =>
+      val wsym = Mining.bpeSymsArtifact(s, d)
+      val words = wsym.select(col("word")).distinct()
+      val pieces = wsym.select(col("sym").as("p")).distinct()
+      val enc = Mining.greedyEncode(words, pieces)
+        .join(Mining.optimalEncode(words, pieces), "word")
+        .join(wsym.groupBy(col("word")).agg(count(lit(1)).as("n_sym")),
+          "word")
+      val docw = Tables.documents(s, d).select(col("source"),
+        explode(filter(Text.tokens(col("text")),
+          t => length(t) > 0)).as("word"))
+      docw.join(broadcast(enc), "word")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("opt")).as("optimal_tokens"),
+          sum(col("np")).as("greedy_tokens"),
+          sum(col("n_sym")).as("merge_tokens"),
+          sum(col("np") - col("opt")).as("greedy_regret"),
+          sum(col("n_sym") - col("opt")).as("merge_regret"),
+          sum(when(col("np") > col("opt"), 1L).otherwise(0L))
+            .as("n_subopt_greedy"),
+          sum(when(col("n_sym") > col("opt"), 1L).otherwise(0L))
+            .as("n_subopt_merge"))
+        .select(col("source"), col("n_words"), col("optimal_tokens"),
+          col("greedy_tokens"), col("merge_tokens"), col("greedy_regret"),
+          col("merge_regret"), col("n_subopt_greedy"), col("n_subopt_merge"),
+          expr("optimal_tokens * 1000000 div n_words").as("opt_fert_ppm"))
+        .orderBy(col("source"))
+    },
+
     // WITHIN-DOCUMENT REPETITION AUDIT — the Gopher/MassiveText-style
     // repetition quality signals (Rae et al. 2021 §A1.1) the x08 battery
     // lacks: boilerplate and degenerate generation show up as a single
@@ -2424,9 +2468,17 @@ object Mining {
     * over the `pieces` inventory (one `p` column) — returns (word, np),
     * the WordPiece-style piece count. The single characters of every
     * word are unioned in as the fallback tier, so encoding is TOTAL
-    * (asserted loudly). Shared by x207 and its Round12Spec crafted-case
-    * pin, so the disagreement arm is proven even when the fixture's
-    * trained vocabulary happens to make greedy and merge-order agree. */
+    * (asserted loudly). Shared by x207/x215 and the Round12Spec crafted-
+    * case pin, so the disagreement arm is proven even when the fixture's
+    * trained vocabulary happens to make greedy and merge-order agree.
+    *
+    * Shape: greedy is a deterministic FUNCTION on positions (next(pos) =
+    * pos + longest match at pos), so instead of one relational round per
+    * consumed piece (O(max word length) tiny jobs — the r13 rewrite),
+    * the longest-match table is computed ONCE for every (word, pos) and
+    * the function graph is POINTER-DOUBLED: ⌈log₂ maxLen⌉ 1:1 self-joins
+    * compose next^(2^t), with pos = wlen+1 absorbing. Same answer, log
+    * rounds. */
   private[graft] def greedyEncode(wordsIn: org.apache.spark.sql.DataFrame,
       piecesIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val words = wordsIn.select(col("word")).distinct()
@@ -2436,7 +2488,45 @@ object Mining {
     require(maxLen <= GreedyRounds,
       s"greedyEncode: a $maxLen-char word exceeds the $GreedyRounds-round " +
         "unroll (rounds = max chars); raise GreedyRounds")
-    val pieces = piecesIn.select(col("p"))
+    val pieces = encodePieces(words, piecesIn)
+    // longest match at EVERY position (the char fallback guarantees one)
+    val best = words.select(col("word"), col("wlen"),
+        explode(sequence(lit(1L), col("wlen"))).as("pos"))
+      .withColumn("l", explode(sequence(lit(1L),
+        least(lit(GreedyRounds.toLong), col("wlen") - col("pos") + 1))))
+      .withColumn("frag",
+        expr("substring(word, CAST(pos AS INT), CAST(l AS INT))"))
+      .join(broadcast(pieces),
+        col("frag") === col("p") && col("l") === col("pl"))
+      .groupBy(col("word"), col("wlen"), col("pos"))
+      .agg(max(col("l")).as("bl"))
+    var f = best.select(col("word"), col("wlen"), col("pos").as("p"),
+        (col("pos") + col("bl")).as("q"), lit(1L).as("s"))
+      .unionByName(words.select(col("word"), col("wlen"),
+        (col("wlen") + 1L).as("p"), (col("wlen") + 1L).as("q"),
+        lit(0L).as("s")))
+      .localCheckpoint()
+    for (_ <- 1 to log2Ceil(maxLen)) {
+      f = f.join(f.select(col("word"), col("p").as("q"),
+          col("q").as("qq"), col("s").as("s2")), Seq("word", "q"))
+        .select(col("word"), col("wlen"), col("p"),
+          col("qq").as("q"), (col("s") + col("s2")).as("s"))
+        .localCheckpoint() // vocab-sized; severs the doubling lineage
+    }
+    val fin = f.filter(col("p") === 1L && col("q") === col("wlen") + 1)
+      .select(col("word"), col("s").as("np"))
+    require(words.join(fin, Seq("word"), "left_anti").isEmpty,
+      "greedyEncode: a word failed to finish — the char fallback tier " +
+        "must make greedy total")
+    fin
+  }
+
+  /** The encode-time piece inventory: the trained pieces plus every
+    * single character of every word (the fallback tier that makes both
+    * encoders total), with lengths. Shared by greedy and optimal. */
+  private def encodePieces(words: org.apache.spark.sql.DataFrame,
+      piecesIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    piecesIn.select(col("p"))
       .unionByName(words.select(
         explode(sequence(lit(1), col("wlen").cast("int"))).as("i"),
         col("word"))
@@ -2444,41 +2534,84 @@ object Mining {
       .distinct()
       .withColumn("pl", length(col("p")).cast("long"))
       .localCheckpoint()
-    val st0 = words.select(col("word"), col("wlen"),
-      lit(1L).as("pos"), lit(0L).as("np"))
-    // maxLen rounds suffice (≥ 1 char consumed per round); the oracle
-    // unrolls the full GreedyRounds, whose extra rounds are no-ops
-    val fin = (1 to maxLen.toInt).foldLeft(st0) { (st, _) =>
-      val active = st.filter(col("pos") <= col("wlen"))
-      val best = active
-        .withColumn("l", explode(sequence(lit(1L),
-          least(lit(GreedyRounds.toLong), col("wlen") - col("pos") + 1))))
-        .withColumn("frag",
-          expr("substring(word, CAST(pos AS INT), CAST(l AS INT))"))
-        .join(broadcast(pieces),
-          col("frag") === col("p") && col("l") === col("pl"))
-        .groupBy(col("word")).agg(max(col("l")).as("bl"))
-      active.join(best, Seq("word"), "left")
-        .select(col("word"), col("wlen"),
-          (col("pos") + coalesce(col("bl"), lit(0L))).as("pos"),
-          (col("np") + when(col("bl").isNotNull, 1L).otherwise(0L))
-            .as("np"))
-        .unionByName(st.filter(col("pos") > col("wlen")))
-        .localCheckpoint() // vocab-sized; severs the round lineage
+
+  /** ⌈log₂ n⌉ for n ≥ 1 — the doubling-round count: 2^result ≥ n. */
+  private def log2Ceil(n: Long): Int =
+    if (n <= 1L) 1
+    else 64 - java.lang.Long.numberOfLeadingZeros(n - 1L)
+
+  /** OPTIMAL (minimum-piece-count) segmentation of `words` over the
+    * `pieces` inventory + char fallback — the Viterbi/shortest-path
+    * answer greedy longest-match approximates (unigram-LM tokenizers
+    * decode exactly this DP, Kudo 2018). Bellman-Ford over positions:
+    * state (word, pos) → min pieces to reach pos; each round extends
+    * every state by one piece and folds min per position, so round k
+    * holds the exact answer for every position reachable with ≤ k
+    * pieces; maxLen rounds are provably enough (one piece consumes ≥ 1
+    * char). Returns (word, opt).
+    *
+    * Scale: the DP state is (distinct words × ≤ wlen+1 positions) —
+    * VOCABULARY-sized, never corpus-sized; the piece inventory is
+    * broadcast; per-round cost is one vocab-sized join. The corpus is
+    * only touched by the caller's final word join. */
+  private[graft] def optimalEncode(wordsIn: org.apache.spark.sql.DataFrame,
+      piecesIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val words = wordsIn.select(col("word")).distinct()
+      .withColumn("wlen", length(col("word")).cast("long"))
+      .localCheckpoint()
+    val maxLen = words.agg(max(col("wlen"))).head.getLong(0)
+    require(maxLen <= GreedyRounds,
+      s"optimalEncode: a $maxLen-char word exceeds the $GreedyRounds-round " +
+        "unroll (rounds = max chars); raise GreedyRounds")
+    val pieces = encodePieces(words, piecesIn)
+    // min-plus MATRIX SQUARING over the position DAG: one edge per piece
+    // match (cost 1) + identity edges (cost 0, which make each squaring
+    // subsume the previous relation), then ⌈log₂ maxLen⌉ rounds of
+    // R ∘ R — after round t, R(i,j) is the exact minimum piece count
+    // among paths of ≤ 2^t pieces, and an optimal segmentation uses at
+    // most wlen ≤ maxLen pieces. Log rounds of vocab-sized self-joins,
+    // vs. the oracle's linear Bellman-Ford unroll (same answer; the
+    // unroll's extra rounds are no-ops).
+    val edges = words.select(col("word"), col("wlen"),
+        explode(sequence(lit(1L), col("wlen"))).as("i"))
+      .join(broadcast(pieces),
+        expr("pl <= wlen - i + 1 AND " +
+          "substring(word, CAST(i AS INT), CAST(pl AS INT)) = p"))
+      .select(col("word"), col("wlen"), col("i"),
+        (col("i") + col("pl")).as("j"), lit(1L).as("c"))
+    val ident = words.select(col("word"), col("wlen"),
+        explode(sequence(lit(1L), col("wlen") + 1)).as("i"))
+      .select(col("word"), col("wlen"), col("i"), col("i").as("j"),
+        lit(0L).as("c"))
+    var r = edges.unionByName(ident)
+      .groupBy(col("word"), col("wlen"), col("i"), col("j"))
+      .agg(min(col("c")).as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to log2Ceil(maxLen)) {
+      r = r.join(r.select(col("word"), col("i").as("j"),
+          col("j").as("jj"), col("c").as("c2")), Seq("word", "j"))
+        .groupBy(col("word"), col("wlen"), col("i"), col("jj"))
+        .agg(min(col("c") + col("c2")).as("c"))
+        .select(col("word"), col("wlen"), col("i"),
+          col("jj").as("j"), col("c"))
+        .localCheckpoint() // vocab-sized; severs the squaring lineage
     }
-    require(fin.filter(col("pos") <= col("wlen")).isEmpty,
-      "greedyEncode: a word failed to finish — the char fallback tier " +
-        "must make greedy total")
-    fin.select(col("word"), col("np"))
+    val done = r.filter(col("i") === 1L && col("j") === col("wlen") + 1)
+      .select(col("word"), col("c").as("opt"))
+    require(words.join(done, Seq("word"), "left_anti").isEmpty,
+      "optimalEncode: a word is unreachable — the char fallback tier " +
+        "must make the DP total")
+    done
   }
 
-  /** x207's oracle: the trained symbol chain (shared bpeCteSql), the
-    * piece inventory + char fallback, and [[GreedyRounds]] unrolled
-    * longest-match rounds over the distinct-word table. The join guards
+  /** The shared greedy-encode CTE fragment: the piece inventory (trained
+    * syms + char fallback), the st0 seed over the distinct-word table,
+    * and [[GreedyRounds]] unrolled longest-match rounds. The join guards
     * `len(p) <= wlen - pos + 1` so a clamped substring can never match
     * a longer piece — the Spark side bounds the exploded length the
-    * same way. */
-  private[graft] lazy val x207OracleSql: String = {
+    * same way. Shared by x207 and x215 (built as a value, not sliced
+    * from a sibling string — the x209 de-stringing lesson). */
+  private[graft] lazy val greedyChainSql: String = {
     val rounds = (1 to GreedyRounds).map { k =>
       s"""c$k AS MATERIALIZED (
         |  SELECT s.word, CAST(max(len(p.p)) AS BIGINT) AS bl
@@ -2495,7 +2628,7 @@ object Mining {
         |  FROM st${k - 1} s LEFT JOIN c$k c USING (word)
         |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $bpeCteSql, pieces AS MATERIALIZED (
+    s"""pieces AS MATERIALIZED (
       |  SELECT p FROM (
       |    SELECT DISTINCT sym AS p FROM sym${BpeBudget + 1}
       |    UNION
@@ -2505,7 +2638,13 @@ object Mining {
       |  SELECT word, CAST(len(word) AS BIGINT) AS wlen,
       |         CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np
       |  FROM w
-      |), $rounds, wsymc AS (
+      |), $rounds""".stripMargin
+  }
+
+  /** x207's oracle: the trained symbol chain (shared bpeCteSql) plus the
+    * shared greedy chain, joined back to the corpus word stream. */
+  private[graft] lazy val x207OracleSql: String = {
+    s"""WITH $bpeCteSql, $greedyChainSql, wsymc AS (
       |  SELECT word, CAST(count(*) AS BIGINT) AS n_sym
       |  FROM sym${BpeBudget + 1} GROUP BY 1
       |), docw AS (
@@ -2525,6 +2664,57 @@ object Mining {
       |       CAST(sum(np) * 1000000 // count(*) AS BIGINT)
       |         AS greedy_fert_ppm
       |FROM docw JOIN wsymc USING (word) JOIN st$GreedyRounds USING (word)
+      |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** x215's oracle: the shared trained-symbol + greedy chains, plus a
+    * Bellman-Ford relaxation chain v0..v[[GreedyRounds]] computing the
+    * MINIMUM piece count per word (v0 seeds from st0; each round
+    * extends every reachable (word,pos) state by one piece and keeps
+    * the min np per position). [[GreedyRounds]] rounds suffice: an
+    * optimal segmentation uses at most wlen ≤ GreedyRounds pieces. */
+  private[graft] lazy val x215OracleSql: String = {
+    val vrounds = (1 to GreedyRounds).map { k =>
+      s"""v$k AS MATERIALIZED (
+        |  SELECT word, wlen, pos, CAST(min(np) AS BIGINT) AS np FROM (
+        |    SELECT word, wlen, pos, np FROM v${k - 1}
+        |    UNION ALL
+        |    SELECT s.word, s.wlen, CAST(s.pos + len(p.p) AS BIGINT) AS pos,
+        |           CAST(s.np + 1 AS BIGINT) AS np
+        |    FROM v${k - 1} s JOIN pieces p
+        |      ON s.pos <= s.wlen
+        |     AND len(p.p) <= s.wlen - s.pos + 1
+        |     AND substring(s.word, CAST(s.pos AS INT), len(p.p)) = p.p
+        |  ) GROUP BY 1, 2, 3
+        |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $bpeCteSql, $greedyChainSql, v0 AS MATERIALIZED (
+      |  SELECT word, wlen, pos, np FROM st0
+      |), $vrounds, vit AS MATERIALIZED (
+      |  SELECT word, np AS opt FROM v$GreedyRounds WHERE pos = wlen + 1
+      |), wsymc AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n_sym
+      |  FROM sym${BpeBudget + 1} GROUP BY 1
+      |), docw AS (
+      |  SELECT source,
+      |         unnest(list_filter(string_split(text, ' '),
+      |                t -> len(t) > 0)) AS word
+      |  FROM documents
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(opt) AS BIGINT) AS optimal_tokens,
+      |       CAST(sum(np) AS BIGINT) AS greedy_tokens,
+      |       CAST(sum(n_sym) AS BIGINT) AS merge_tokens,
+      |       CAST(sum(np - opt) AS BIGINT) AS greedy_regret,
+      |       CAST(sum(n_sym - opt) AS BIGINT) AS merge_regret,
+      |       CAST(sum(CASE WHEN np > opt THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_subopt_greedy,
+      |       CAST(sum(CASE WHEN n_sym > opt THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_subopt_merge,
+      |       CAST(sum(opt) * 1000000 // count(*) AS BIGINT)
+      |         AS opt_fert_ppm
+      |FROM docw JOIN wsymc USING (word) JOIN st$GreedyRounds USING (word)
+      |     JOIN vit USING (word)
       |GROUP BY source ORDER BY source""".stripMargin
   }
 

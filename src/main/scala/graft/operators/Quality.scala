@@ -1011,6 +1011,84 @@ object Quality {
           Num.roundOut(col("w_micro") / 1000000.0, 6).as("weight"),
           col("stop_round"))
         .orderBy(col("bin"))
+    },
+
+    // QUALITY-CURRICULUM PHASES — order the training corpus by the
+    // TRAINED classifier's margin and cut it into 4 curriculum phases
+    // (highest-confidence-quality first), the data-side schedule of
+    // curriculum learning (Bengio et al. ICML'09; applied to LM
+    // pretraining as quality-ascending/descending orderings). The
+    // manifest a loader consumes: per phase, doc/token mass, the
+    // cumulative token line, and the phase's margin range. Margins are
+    // the x204 INTEGER dot products served from the qweights artifact —
+    // no retrain, no float ordering ambiguity (ties break on doc_id).
+    //
+    // Scale: scoring is one corpus feature pass + a ≤514-row broadcast;
+    // the global quantile cut is NOT a one-reducer ntile — it runs as
+    // [[Ranks.twoPassRank]] over 64 order-preserving integer margin
+    // buckets (exact, parallel; the x35 device), with ntile's tile
+    // arithmetic as a stateless CASE off one broadcast count; the
+    // report is 4 rows.
+    QueryDef("x217_quality_curriculum",
+      s"""WITH $logitCteSql, sc AS (
+        |  SELECT f.doc_id, CAST(sum(f.fq * w.w) AS BIGINT) AS zmm
+        |  FROM feats f JOIN w$Epochs w USING (b) GROUP BY 1
+        |), ph AS (
+        |  SELECT doc_id, zmm,
+        |         CAST(ntile(4) OVER (ORDER BY zmm DESC, doc_id) AS BIGINT)
+        |           AS phase
+        |  FROM sc
+        |), dt AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              w -> len(w) > 0)) AS BIGINT) AS nt
+        |  FROM documents
+        |), pa AS (
+        |  SELECT ph.phase,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dt.nt) AS BIGINT) AS phase_tokens,
+        |         CAST(min(ph.zmm) AS BIGINT) AS min_margin,
+        |         CAST(max(ph.zmm) AS BIGINT) AS max_margin
+        |  FROM ph JOIN dt USING (doc_id) GROUP BY 1
+        |)
+        |SELECT phase, n_docs, phase_tokens,
+        |       CAST(sum(phase_tokens) OVER (ORDER BY phase
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum_tokens,
+        |       min_margin, max_margin
+        |FROM pa ORDER BY phase""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val w = qweightsArtifact(s, d).select(col("b"), col("w_micro").as("w"))
+      val sc = featureCells(docs).join(broadcast(w), "b")
+        .groupBy(col("doc_id")).agg(sum(col("fq") * col("w")).as("zmm"))
+        .localCheckpoint() // read by the extent agg + both rank passes
+      val ext = sc.agg(min(col("zmm")).as("minz"), max(col("zmm")).as("maxz"),
+        count(lit(1)).as("nn"))
+      // 64 order-preserving integer buckets over the margin extent —
+      // equal zmm → equal bucket, so the doc_id tiebreak never straddles
+      val ranked = Ranks.twoPassRank(sc.crossJoin(broadcast(ext)), Nil,
+        expr("CAST((maxz - zmm) * 64 div (maxz - minz + 1) AS INT)"),
+        Seq(col("zmm").desc, col("doc_id")))
+      val phased = ranked.select(col("doc_id"), col("zmm"),
+        when(col("rn") <= expr("nn div 4 + least(nn % 4, 1)"), 1L)
+          .when(col("rn") <= expr("2 * (nn div 4) + least(nn % 4, 2)"), 2L)
+          .when(col("rn") <= expr("3 * (nn div 4) + least(nn % 4, 3)"), 3L)
+          .otherwise(4L).as("phase"))
+      val dt = docs.select(col("doc_id"),
+        size(filter(Text.tokens(col("text")), t => length(t) > 0))
+          .cast("long").as("nt"))
+      phased.join(dt, "doc_id")
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("phase_tokens"),
+          min(col("zmm")).as("min_margin"),
+          max(col("zmm")).as("max_margin"))
+        .select(col("phase"), col("n_docs"), col("phase_tokens"),
+          sum(col("phase_tokens")).over(Window.orderBy(col("phase"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cum_tokens"),
+          col("min_margin"), col("max_margin"))
+        .orderBy(col("phase"))
     }
   )
 }

@@ -26,7 +26,7 @@ import graft.functions.Text
   */
 object Tokens {
 
-  private[operators] def table(s: SparkSession, d: String): DataFrame =
+  private[graft] def table(s: SparkSession, d: String): DataFrame =
     DerivedTable(s, d, "documents", "tokens") {
       Tables.documents(s, d).select(col("doc_id"),
         posexplode(Text.tokens(col("text"))).as(Seq("i", "word")))
@@ -235,8 +235,134 @@ object Tokens {
           expr("CAST(emitted_tokens * 1000000 div alloc_tokens AS BIGINT)")
             .as("fill_ppm"))
         .orderBy(col("source"))
+    },
+
+    // LEXICON SPAN TAGGING — multi-token dictionary tagging with
+    // longest-match conflict resolution, the Aho-Corasick-shaped pass a
+    // curation pipeline runs for entity/PII/keyword annotation (x169
+    // scans single-token patterns; real lexicons are phrases). The
+    // lexicon is data-derived (no fixture literals): the corpus's top-4
+    // bigram and top-4 trigram phrases by frequency (ties lexicographic).
+    // Every occurrence becomes a candidate span (doc_id, spos, plen);
+    // overlaps resolve LONGEST-MATCH-WINS — a span is suppressed iff a
+    // STRICTLY longer lexicon span overlaps it, so nested/crossing
+    // entities resolve to the maximal matches (all same-length maximal
+    // matches are reported; a pairwise rule, not a sequential scan,
+    // which is what makes it 100-TB-able and SQL-oracle-checkable).
+    //
+    // Scale: phrase matching is position equi-joins on the persisted
+    // token table (doc-keyed, ∝ tokens); the lexicon arrives via a
+    // TakeOrdered top-4 and broadcasts; dominance is an equi-join on
+    // (doc_id, position) after a 5-wide bounded offset explode of SPANS
+    // (plen ≤ 3 ⇒ an overlapping dominator starts within ±2) — never a
+    // per-doc theta join; the report is lexicon × source sized.
+    graft.QueryDef("x216_lexicon_tagging", x216OracleSql) { (s, d) =>
+      taggingReport(taggedSpans(s, d),
+        Tables.documents(s, d).select(col("doc_id"), col("source")))
     }
   )
+
+  /** x216's oracle — shared verbatim by st35, whose folded positional
+    * index must answer the batch question exactly. */
+  private[graft] lazy val x216OracleSql: String =
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |         ws[CAST(i AS INT) + 1] AS word
+        |  FROM (SELECT doc_id, unnest(range(len(ws))) AS i, ws
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |              FROM documents))
+        |), t AS (
+        |  SELECT doc_id, i, word FROM tok WHERE len(word) > 0
+        |), bg AS (
+        |  SELECT a.doc_id, a.i AS spos, CAST(2 AS BIGINT) AS plen,
+        |         a.word || ' ' || b.word AS phrase
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |), tg AS (
+        |  SELECT a.doc_id, a.i AS spos, CAST(3 AS BIGINT) AS plen,
+        |         a.word || ' ' || b.word || ' ' || c.word AS phrase
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |       JOIN t c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+        |), lex2 AS (
+        |  SELECT phrase FROM (
+        |    SELECT phrase,
+        |           row_number() OVER (ORDER BY count(*) DESC, phrase) AS rn
+        |    FROM bg GROUP BY phrase) WHERE rn <= 4
+        |), lex3 AS (
+        |  SELECT phrase FROM (
+        |    SELECT phrase,
+        |           row_number() OVER (ORDER BY count(*) DESC, phrase) AS rn
+        |    FROM tg GROUP BY phrase) WHERE rn <= 4
+        |), sp AS (
+        |  SELECT doc_id, spos, plen, phrase FROM bg
+        |  WHERE phrase IN (SELECT phrase FROM lex2)
+        |  UNION ALL
+        |  SELECT doc_id, spos, plen, phrase FROM tg
+        |  WHERE phrase IN (SELECT phrase FROM lex3)
+        |), kept AS (
+        |  SELECT s.* FROM sp s WHERE NOT EXISTS (
+        |    SELECT 1 FROM sp x WHERE x.doc_id = s.doc_id
+        |      AND x.spos <= s.spos + s.plen - 1
+        |      AND s.spos <= x.spos + x.plen - 1
+        |      AND x.plen > s.plen)
+        |)
+        |SELECT d.source, k.phrase, k.plen,
+        |       CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(count(DISTINCT k.doc_id) AS BIGINT) AS n_docs
+        |FROM kept k JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2, 3
+        |ORDER BY source, phrase""".stripMargin
+
+  /** x216's report over kept spans + doc metadata — ONE definition
+    * shared by the batch query and st35's serve, so the plans cannot
+    * drift. */
+  private[graft] def taggingReport(kept: DataFrame,
+      docMeta: DataFrame): DataFrame =
+    kept.join(docMeta, "doc_id")
+      .groupBy(col("source"), col("phrase"), col("plen"))
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("source"), col("phrase"))
+
+  /** x216's kept-span table (doc_id, spos, plen, phrase): top-4
+    * bigram/trigram lexicon matches with dominance-resolved overlaps.
+    * Exposed for the Round13Spec brute-force pin. */
+  private[graft] def taggedSpans(s: SparkSession, d: String): DataFrame =
+    taggedSpansFrom(table(s, d))
+
+  /** The lexicon + dominance pipeline over an explicit (doc_id, i, word)
+    * token table — split out so the spec can drive crafted token
+    * streams through the exact production plan. */
+  private[graft] def taggedSpansFrom(tokens: DataFrame): DataFrame = {
+    val t = tokens.filter(length(col("word")) > 0)
+      .select(col("doc_id"), col("i").cast("long").as("i"), col("word"))
+    def grams(n: Int): DataFrame = {
+      val legs = (0 until n).map(k => t.select(col("doc_id"),
+        (col("i") - k).as("spos"), col("word").as(s"w$k")))
+      legs.reduce((a, b) => a.join(b, Seq("doc_id", "spos")))
+        .select(col("doc_id"), col("spos"), lit(n.toLong).as("plen"),
+          concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("phrase"))
+    }
+    def lex(g: DataFrame): DataFrame =
+      g.groupBy(col("phrase")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("phrase")).limit(4)
+        .select(col("phrase"))
+    val bg = grams(2); val tg = grams(3)
+    val sp = bg.join(broadcast(lex(bg)), "phrase")
+      .unionByName(tg.join(broadcast(lex(tg)), "phrase"))
+      .select(col("doc_id"), col("spos"), col("plen"), col("phrase"))
+      .localCheckpoint() // both sides of the dominance join read it
+    val dom = sp.select(col("doc_id"), col("spos"), col("plen"))
+      .withColumn("delta", explode(sequence(lit(-2L), lit(2L))))
+      .select(col("doc_id"), col("spos"), col("plen"),
+        (col("spos") + col("delta")).as("xstart"))
+      .join(sp.select(col("doc_id"), col("spos").as("xstart"),
+        col("plen").as("xplen")), Seq("doc_id", "xstart"))
+      .filter(col("xstart") <= col("spos") + col("plen") - 1 &&
+        col("spos") <= col("xstart") + col("xplen") - 1 &&
+        col("xplen") > col("plen"))
+      .select(col("doc_id"), col("spos"), col("plen")).distinct()
+    sp.join(dom, Seq("doc_id", "spos", "plen"), "left_anti")
+  }
 
   /** Per-doc token supply (doc_id, nt, source) — the x213/x214 shared
     * frame (one definition, so the plan and the schedule cannot drift). */

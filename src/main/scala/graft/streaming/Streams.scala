@@ -2203,6 +2203,58 @@ object Streams {
           graft.operators.Quality.trainFromCells(cells, labels),
           cells, labels, ss.read.parquet(mmDir))
       }
+    },
+
+    // STREAMING LEXICON TAGGING — x216's span tagger kept live as
+    // documents arrive: the SIXTEENTH Δ-maintained family. Cross-batch
+    // state is the POSITIONAL INDEX itself — (doc_id, i, word) rows,
+    // purely additive over disjoint batches (each doc tokenizes in
+    // exactly one batch; this is the streaming build of the Tokens
+    // ingest artifact every positional operator serves from) — plus the
+    // (doc_id, source) metadata frame (st31's class). The lexicon is a
+    // GLOBAL top-4 and so cannot finalize before the stream drains:
+    // serving runs the shared `taggedSpansFrom` + `taggingReport` over
+    // the folded index, answering x216's oracle VERBATIM — the honest
+    // contract is "the index folds incrementally, lexicon selection and
+    // dominance run at serve", the same shape as st33's scheduled
+    // retrain over an incrementally-maintained feature store.
+    //
+    // Scale: per-batch work ∝ batch tokens (one tokenize pass,
+    // map-side, identity merge); state ∝ corpus tokens — but that state
+    // IS the ingest artifact a batch pipeline persists anyway, appended
+    // at O(Δ) per batch. Serving is x216's plan: position equi-joins,
+    // broadcast top-4 lexicon, bounded ±2-offset dominance join.
+    QueryDef("st35_stream_tagging",
+      graft.operators.Tokens.x216OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageDocumentsSplit(ss, d)
+        val key = graft.ContentKey.key(
+          java.nio.file.Paths.get(d, "documents.parquet"))
+        val ixDir = graft.Scratch.path(s"graft_sttag_ix_v1_$key")
+        val mdDir = graft.Scratch.path(s"graft_sttag_md_v1_$key")
+        resetDir(ixDir); resetDir(mdDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            // both folds purely additive — identity merges, O(Δ) appends
+            StateFold.append(batch.select(col("doc_id"),
+              posexplode(graft.functions.Text.tokens(col("text")))
+                .as(Seq("i", "word"))), ixDir)
+            StateFold.maybeCompact(spark, ixDir)(identity)
+            StateFold.append(
+              batch.select(col("doc_id"), col("source")), mdDir)
+            StateFold.maybeCompact(spark, mdDir)(identity)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Tokens.taggingReport(
+          graft.operators.Tokens.taggedSpansFrom(ss.read.parquet(ixDir)),
+          ss.read.parquet(mdDir))
+      }
     }
   )
 

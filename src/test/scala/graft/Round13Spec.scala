@@ -309,4 +309,138 @@ class Round13Spec extends AnyFunSuite {
       s"tw${operators.Quality.Epochs} AS MATERIALIZED"),
       "split chain must reach the final epoch weight CTE")
   }
+
+  // ---- x215: optimal (Viterbi) segmentation audit ----
+
+  test("x215: the DP optimum equals a sequential brute force, lower-bounds both encoders, and a crafted case proves greedy regret is detectable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // brute-force min-piece DP over the SAME trained piece inventory
+    val wsym = operators.Mining.bpeSymsArtifact(spark, sf0_001)
+      .collect().map(r => (r.getAs[String]("word"), r.getAs[String]("sym")))
+    val words = wsym.map(_._1).distinct.sorted
+    val pieces = wsym.map(_._2).toSet ++ words.flatMap(_.map(_.toString))
+    def dp(w: String): Long = {
+      val best = Array.fill(w.length + 1)(Long.MaxValue)
+      best(0) = 0L
+      for (i <- 0 until w.length if best(i) != Long.MaxValue;
+           j <- i + 1 to w.length
+           if pieces.contains(w.substring(i, j)))
+        best(j) = math.min(best(j), best(i) + 1)
+      best(w.length)
+    }
+    val got = operators.Mining.optimalEncode(
+      words.toSeq.toDF("word"), pieces.toSeq.toDF("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == words.map(w => w -> dp(w)).toMap)
+    // the optimum lower-bounds greedy AND the merge-order encoding, and
+    // every word terminates (totality is asserted inside optimalEncode)
+    val audit = SparkEntry.queries("x215_optimal_encode_audit")(
+      spark, sf0_001).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("greedy_regret") >= 0L &&
+        r.getAs[Long]("merge_regret") >= 0L,
+        s"optimal must lower-bound both encoders: $r")
+      assert(r.getAs[Long]("optimal_tokens") <= r.getAs[Long]("merge_tokens"))
+    }
+    // crafted divergence: greedy longest-match takes abc|d|e|f = 4 where
+    // the DP finds ab|cdef = 2 — the regret column catches real vocabs
+    val crafted = operators.Mining.optimalEncode(
+      Seq("abcdef").toDF("word"),
+      Seq("ab", "cdef", "abc").toDF("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(crafted == Map("abcdef" -> 2L),
+      "the DP must find the 2-piece segmentation greedy misses")
+  }
+
+  // ---- x216: lexicon span tagging with dominance resolution ----
+
+  test("x216: kept spans equal a sequential brute-force replay, and a crafted stream proves longer-span dominance fires") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // sequential replay of lexicon selection + dominance at sf0.001
+    val toks = operators.Tokens.table(spark, sf0_001)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("i").toLong, r.getAs[String]("word")))
+      .filter(_._3.nonEmpty)
+    val byDoc = toks.groupBy(_._1).map { case (id, ts) =>
+      id -> ts.sortBy(_._2).map(t => (t._2, t._3))
+    }
+    def gramsOf(n: Int): Seq[(Long, Long, Long, String)] =
+      byDoc.toSeq.flatMap { case (id, ts) =>
+        val pos = ts.map(_._1).toSet
+        ts.filter(t => (1 until n).forall(k => pos.contains(t._1 + k)))
+          .map { t =>
+            val w = (0 until n).map(k =>
+              ts.find(_._1 == t._1 + k).get._2).mkString(" ")
+            (id, t._1, n.toLong, w)
+          }
+      }
+    def lexOf(g: Seq[(Long, Long, Long, String)]): Set[String] =
+      g.groupBy(_._4).view.mapValues(_.size).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(4).map(_._1).toSet
+    val bg = gramsOf(2); val tg = gramsOf(3)
+    val lex2 = lexOf(bg); val lex3 = lexOf(tg)
+    val sp = bg.filter(s => lex2.contains(s._4)) ++
+      tg.filter(s => lex3.contains(s._4))
+    val spByDoc = sp.groupBy(_._1)
+    val expect = sp.filter { s =>
+      !spByDoc(s._1).exists(x =>
+        x._2 <= s._2 + s._3 - 1 && s._2 <= x._2 + x._3 - 1 &&
+        x._3 > s._3)
+    }.toSet
+    val got = operators.Tokens.taggedSpans(spark, sf0_001)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("spos"),
+        r.getAs[Long]("plen"), r.getAs[String]("phrase"))).toSet
+    assert(got == expect, "longest-wins kept spans must match the replay")
+    // crafted stream: one doc "x y z w" — every bigram ("x y","y z",
+    // "z w") and trigram ("x y z","y z w") tops its tier; both trigrams
+    // overlap every bigram, so longest-match-wins must keep EXACTLY the
+    // two (mutually overlapping, same-length ⇒ both maximal) trigrams
+    val crafted = Seq("x", "y", "z", "w").zipWithIndex
+      .map { case (w, k) => (1L, k.toLong, w) }
+      .toDF("doc_id", "i", "word")
+    val keptC = operators.Tokens.taggedSpansFrom(crafted)
+      .collect().map(r => (r.getAs[Long]("spos"), r.getAs[Long]("plen"),
+        r.getAs[String]("phrase"))).toSet
+    assert(keptC == Set((0L, 3L, "x y z"), (1L, 3L, "y z w")),
+      s"only the two maximal trigram spans may survive: $keptC")
+  }
+
+  test("st35: the folded positional index answers the batch tagger row-for-row") {
+    val batch = SparkEntry.queries("x216_lexicon_tagging")(spark, sf0_001)
+      .collect().map(_.toSeq).toSeq
+    val stream = SparkEntry.queries("st35_stream_tagging")(spark, sf0_001)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch,
+      "stream-folded state must reproduce the batch answer exactly")
+  }
+
+  // ---- x217: quality-curriculum phases ----
+
+  test("x217: phases partition the corpus with ntile arithmetic, margins descend across phases, and the token line telescopes") {
+    val rows = SparkEntry.queries("x217_quality_curriculum")(spark, sf0_001)
+      .collect()
+    assert(rows.map(_.getAs[Long]("phase")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = Tables.documents(spark, sf0_001).count()
+    assert(n == nDocs, "phases must partition the corpus")
+    rows.foreach { r =>
+      val k = r.getAs[Long]("phase")
+      val want = n / 4 + (if (k <= n % 4) 1L else 0L)
+      assert(r.getAs[Long]("n_docs") == want,
+        s"phase $k must hold the ntile(4) tile size $want")
+    }
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi.getAs[Long]("min_margin") >= lo.getAs[Long]("max_margin"),
+        "curriculum phases must be margin-descending (ties may touch)")
+    }
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("phase_tokens")
+      assert(r.getAs[Long]("cum_tokens") == cum,
+        "the cumulative token line must telescope")
+    }
+  }
 }

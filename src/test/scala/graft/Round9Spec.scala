@@ -1153,6 +1153,9 @@ class Round9Spec extends AnyFunSuite {
     * Classic.scala (1): x175 Theil–Sen pairwise-slope median rank
     *   (weeks² pairs over the TPC-H calendar — ≈65k rows at ANY scale
     *   factor; calendar-bounded, not data-bounded).
+    * Quality.scala (1): x217 cumulative-token line over the 4-row
+    *   curriculum-phase aggregate (phase-count-bounded; the per-doc
+    *   global rank beneath it runs through Ranks.twoPassRank).
     * (Dedup's x118 offsets window and x130's pair of rank windows
     *   migrated into Ranks.twoPassRank in r9 — one definition.)
     *
@@ -1168,7 +1171,8 @@ class Round9Spec extends AnyFunSuite {
       "Corpus.scala" -> 10,
       "Mining.scala" -> 6,
       "TextAnalysis.scala" -> 4,
-      "Classic.scala" -> 1)
+      "Classic.scala" -> 1,
+      "Quality.scala" -> 1)
     // Whitespace-tolerant: a line-split `Window\n  .orderBy(...)` counts
     // too (VERDICT r11 finding 1 — the literal single-line regex had a
     // blind spot that let x37/x198 pass unenrolled). partitionBy'd
