@@ -1413,25 +1413,185 @@ object Mining {
         |       CAST(((rn - 1) % base.dps) * r.l AS BIGINT) AS tok_offset
         |FROM r JOIN base ON r.l = base.l
         |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
-      val t2 = Tables.documents(s, d)
-        .select(col("doc_id"),
-          least(size(filter(Text.tokens(col("text")),
-            w => length(w) > 0)), lit(512)).cast("long").as("l"))
-        .filter(col("l") > 0)
-      val base = Mining.packingBucketDelta(Tables.documents(s, d))
-        .withColumn("dps", expr("512 div l"))
-        .withColumn("n_seqs", expr("(n_docs + dps - 1) div dps"))
-        .withColumn("bin_base", coalesce(
-          sum(col("n_seqs")).over(Window.orderBy(col("l"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("l"), col("dps"), col("bin_base"))
-      Ranks.twoPassRank(t2, Seq("l"), Ranks.expBucket(col("doc_id")),
-          Seq(col("doc_id")), "rn")
-        .join(broadcast(base), Seq("l"))
-        .select(col("doc_id"), col("l").as("len"),
-          expr("bin_base + (rn - 1) div dps").as("bin_id"),
-          expr("((rn - 1) % dps) * l").as("tok_offset"))
+      Mining.packingManifest(s, d)
+        .select(col("doc_id"), col("l").as("len"), col("bin_id"),
+          col("tok_offset"))
         .orderBy(col("doc_id"))
+    },
+
+    // CHECKPOINT-RESUME CURSOR — the restart bookkeeping every long
+    // pretraining run needs: a run that consumed the first k packed
+    // sequences (bins, in bin_id order — the manifest IS the consumption
+    // order) crashes; report, per source, exactly which document/token
+    // mass is behind the cursor and what remains, plus the resume bin.
+    // k is data-derived (⌈n_bins/2⌉ — the mid-run restart), so the
+    // query is SF-robust with no fixture literal. Shares x194's
+    // manifest fragment — one definition, so the cursor and the loader
+    // cannot disagree about what "the first k sequences" contains.
+    //
+    // Scale: the manifest is emitted partition-parallel (x194's plan);
+    // the cursor adds one 1-row bin-count broadcast and one doc-keyed
+    // metadata join — no new corpus pass, no new shuffle shape.
+    QueryDef("x218_resume_cursor",
+      """WITH tc AS (
+        |  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
+        |                w -> len(w) > 0)) AS BIGINT) AS n
+        |  FROM documents
+        |), t2 AS (
+        |  SELECT doc_id, least(n, 512) AS l FROM tc WHERE n > 0
+        |), p AS (
+        |  SELECT l, CAST(count(*) AS BIGINT) AS n_docs, 512 // l AS dps
+        |  FROM t2 GROUP BY l
+        |), q AS (
+        |  SELECT l, dps, (n_docs + dps - 1) // dps AS n_seqs FROM p
+        |), base AS (
+        |  SELECT l, dps,
+        |         CAST(COALESCE(SUM(n_seqs) OVER (ORDER BY l
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS bin_base
+        |  FROM q
+        |), r AS (
+        |  SELECT doc_id, l,
+        |         CAST(row_number() OVER (PARTITION BY l ORDER BY doc_id)
+        |           AS BIGINT) AS rn
+        |  FROM t2
+        |), m AS (
+        |  SELECT r.doc_id, r.l,
+        |         CAST(base.bin_base + (rn - 1) // base.dps AS BIGINT)
+        |           AS bin_id
+        |  FROM r JOIN base ON r.l = base.l
+        |), kk AS (
+        |  SELECT CAST((max(bin_id) + 2) // 2 AS BIGINT) AS k FROM m
+        |)
+        |SELECT d.source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN m.bin_id < kk.k THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS consumed_docs,
+        |       CAST(sum(CASE WHEN m.bin_id < kk.k THEN m.l ELSE 0 END)
+        |            AS BIGINT) AS consumed_tokens,
+        |       CAST(sum(CASE WHEN m.bin_id >= kk.k THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS remaining_docs,
+        |       CAST(sum(CASE WHEN m.bin_id >= kk.k THEN m.l ELSE 0 END)
+        |            AS BIGINT) AS remaining_tokens,
+        |       CAST(sum(CASE WHEN m.bin_id < kk.k THEN m.l ELSE 0 END)
+        |            * 1000000 // sum(m.l) AS BIGINT) AS consumed_ppm,
+        |       max(kk.k) AS resume_bin
+        |FROM m JOIN documents d USING (doc_id) CROSS JOIN kk
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val m = Mining.packingManifest(s, d).select(col("doc_id"),
+        col("l"), col("bin_id"))
+      val kk = m.agg(expr("CAST((max(bin_id) + 2) div 2 AS BIGINT)")
+        .as("k"))
+      m.join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id")
+        .crossJoin(broadcast(kk))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("bin_id") < col("k"), 1L).otherwise(0L))
+            .as("consumed_docs"),
+          sum(when(col("bin_id") < col("k"), col("l")).otherwise(0L))
+            .as("consumed_tokens"),
+          sum(when(col("bin_id") >= col("k"), 1L).otherwise(0L))
+            .as("remaining_docs"),
+          sum(when(col("bin_id") >= col("k"), col("l")).otherwise(0L))
+            .as("remaining_tokens"),
+          expr("CAST(sum(CASE WHEN bin_id < k THEN l ELSE 0 END) " +
+            "* 1000000 div sum(l) AS BIGINT)").as("consumed_ppm"),
+          max(col("k")).as("resume_bin"))
+        .orderBy(col("source"))
+    },
+
+    // SPLIT-VS-TRUNCATE POLICY AUDIT — the sequence-budget decision a
+    // loader makes for documents longer than the budget: TRUNCATE
+    // (x183's policy — cap at the budget, lose the tail's tokens) vs
+    // SPLIT+PACK (emit ⌊n/B⌋ full zero-pad sequences per doc and route
+    // the <B tails through the same bucketed packing policy). One row
+    // per policy: sequences, kept/lost tokens, padding, fill. Budget
+    // B = 64 here — the fixture's docs are ≤ ~100 tokens, so 64 is the
+    // budget at which both policies genuinely diverge (the x213
+    // both-branches-fire discipline; x183 keeps the production 512).
+    // Every figure is exact integer arithmetic (the x197 ppm convention:
+    // exact to ~9.2e12 tokens, then the DOUBLE escape arm).
+    //
+    // Scale: one token-count pass, two ≤B-row bucket aggregates, 1-row
+    // joins — the report is 2 rows at any corpus size.
+    QueryDef("x219_split_policy",
+      """WITH tc AS (
+        |  SELECT CAST(len(list_filter(string_split(text, ' '),
+        |              w -> len(w) > 0)) AS BIGINT) AS n
+        |  FROM documents
+        |), t1 AS (
+        |  SELECT n FROM tc WHERE n > 0
+        |), trb AS (
+        |  SELECT least(n, 64) AS l, CAST(count(*) AS BIGINT) AS c
+        |  FROM t1 GROUP BY 1
+        |), trq AS (
+        |  SELECT CAST(sum((c + (64 // l) - 1) // (64 // l)) AS BIGINT)
+        |           AS tr_seqs
+        |  FROM trb
+        |), tlb AS (
+        |  SELECT n % 64 AS l, CAST(count(*) AS BIGINT) AS c
+        |  FROM t1 WHERE n % 64 > 0 GROUP BY 1
+        |), tlq AS (
+        |  SELECT CAST(COALESCE(sum((c + (64 // l) - 1) // (64 // l)), 0)
+        |              AS BIGINT) AS t_seqs
+        |  FROM tlb
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS total,
+        |         CAST(sum(n // 64) AS BIGINT) AS fseqs,
+        |         CAST(sum(n - least(n, 64)) AS BIGINT) AS lost,
+        |         CAST(sum(least(n, 64)) AS BIGINT) AS kept_tr
+        |  FROM t1
+        |)
+        |SELECT 'split_pack' AS policy,
+        |       CAST(fseqs + t_seqs AS BIGINT) AS n_seqs,
+        |       total AS kept_tokens,
+        |       CAST(0 AS BIGINT) AS lost_tokens,
+        |       CAST(64 * (fseqs + t_seqs) - total AS BIGINT) AS pad_tokens,
+        |       CAST(total * 1000000 // (64 * (fseqs + t_seqs)) AS BIGINT)
+        |         AS fill_ppm
+        |FROM tot, trq, tlq
+        |UNION ALL
+        |SELECT 'truncate', tr_seqs, kept_tr, lost,
+        |       CAST(64 * tr_seqs - kept_tr AS BIGINT),
+        |       CAST(kept_tr * 1000000 // (64 * tr_seqs) AS BIGINT)
+        |FROM tot, trq, tlq
+        |ORDER BY policy""".stripMargin) { (s, d) =>
+      val tc = Tables.documents(s, d)
+        .select(size(filter(Text.tokens(col("text")),
+          w => length(w) > 0)).cast("long").as("n"))
+        .filter(col("n") > 0)
+        .localCheckpoint() // three aggregates read it
+      def seqs(lens: org.apache.spark.sql.DataFrame, out: String) =
+        lens.groupBy(col("l")).agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(expr(
+            "(c + (64 div l) - 1) div (64 div l)")), lit(0L))
+            .cast("long").as(out))
+      val trunc = seqs(tc.select(least(col("n"), lit(64L)).as("l")),
+        "tr_seqs")
+      val tails = seqs(tc.filter(col("n") % 64 > 0)
+        .select((col("n") % 64).as("l")), "t_seqs")
+      val tot = tc.agg(sum(col("n")).cast("long").as("total"),
+        sum(expr("n div 64")).cast("long").as("fseqs"),
+        sum(col("n") - least(col("n"), lit(64L))).cast("long").as("lost"),
+        sum(least(col("n"), lit(64L))).cast("long").as("kept_tr"))
+      val one = tot.crossJoin(broadcast(trunc)).crossJoin(broadcast(tails))
+        .localCheckpoint() // 1 row; both policy rows read it
+      one.select(lit("split_pack").as("policy"),
+          (col("fseqs") + col("t_seqs")).as("n_seqs"),
+          col("total").as("kept_tokens"),
+          lit(0L).as("lost_tokens"),
+          (lit(64L) * (col("fseqs") + col("t_seqs")) - col("total"))
+            .as("pad_tokens"),
+          expr("total * 1000000 div (64 * (fseqs + t_seqs))")
+            .as("fill_ppm"))
+        .unionByName(one.select(lit("truncate").as("policy"),
+          col("tr_seqs").as("n_seqs"),
+          col("kept_tr").as("kept_tokens"),
+          col("lost").as("lost_tokens"),
+          (lit(64L) * col("tr_seqs") - col("kept_tr")).as("pad_tokens"),
+          expr("kept_tr * 1000000 div (64 * tr_seqs)").as("fill_ppm")))
+        .orderBy(col("policy"))
     },
 
     // BPE TOKENIZER TRAINING — three merge rounds of byte-pair encoding
@@ -2829,6 +2989,32 @@ object Mining {
         w => length(w) > 0)), lit(512)).cast("long").as("l"))
       .filter(col("l") > 0)
       .groupBy(col("l")).agg(count(lit(1)).as("n_docs"))
+
+  /** x194's loader manifest (doc_id, l, bin_id, tok_offset) under the
+    * bucketed packing policy — ONE definition shared by the emission
+    * query and x218's resume cursor, so the cursor can never disagree
+    * with the loader about what "the first k sequences" contains. */
+  private[graft] def packingManifest(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val t2 = Tables.documents(s, d)
+      .select(col("doc_id"),
+        least(size(filter(Text.tokens(col("text")),
+          w => length(w) > 0)), lit(512)).cast("long").as("l"))
+      .filter(col("l") > 0)
+    val base = packingBucketDelta(Tables.documents(s, d))
+      .withColumn("dps", expr("512 div l"))
+      .withColumn("n_seqs", expr("(n_docs + dps - 1) div dps"))
+      .withColumn("bin_base", coalesce(
+        sum(col("n_seqs")).over(Window.orderBy(col("l"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("l"), col("dps"), col("bin_base"))
+    Ranks.twoPassRank(t2, Seq("l"), Ranks.expBucket(col("doc_id")),
+        Seq(col("doc_id")), "rn")
+      .join(broadcast(base), Seq("l"))
+      .select(col("doc_id"), col("l"),
+        expr("bin_base + (rn - 1) div dps").as("bin_id"),
+        expr("((rn - 1) % dps) * l").as("tok_offset"))
+  }
 
   /** x183's finish from the (l, n_docs) bucket state — called on the
     * batch aggregate and on st27's converged streaming state, so the two

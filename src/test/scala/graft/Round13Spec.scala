@@ -408,6 +408,61 @@ class Round13Spec extends AnyFunSuite {
       s"only the two maximal trigram spans may survive: $keptC")
   }
 
+  test("x218: the cursor telescopes per source, agrees with x194's manifest, and the resume bin is the mid-run ceiling") {
+    import org.apache.spark.sql.functions.col
+    val manifest = SparkEntry.queries("x194_packing_emission")(
+      spark, sf0_001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bin_id")))
+    val nBins = manifest.map(_._2).max + 1
+    val k = (nBins + 1) / 2
+    val rows = SparkEntry.queries("x218_resume_cursor")(spark, sf0_001)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("consumed_docs") + r.getAs[Long]("remaining_docs")
+        == r.getAs[Long]("n_docs"), s"cursor must telescope: $r")
+      assert(r.getAs[Long]("resume_bin") == k,
+        s"resume bin must be ceil(nBins/2) = $k: $r")
+    }
+    val consumed = rows.map(_.getAs[Long]("consumed_docs")).sum
+    assert(consumed == manifest.count(_._2 < k),
+      "the cursor must count exactly the manifest docs in bins [0, k)")
+    // consumed mass fits in the consumed sequences (bucketed policy)
+    val consumedTok = rows.map(_.getAs[Long]("consumed_tokens")).sum
+    assert(consumedTok <= k * 512L)
+  }
+
+  test("x219: split keeps every token, truncate loses some at budget 64, both pads reconcile, and a sequential replay agrees") {
+    val rows = SparkEntry.queries("x219_split_policy")(spark, sf0_001)
+      .collect().map(r => r.getAs[String]("policy") -> r).toMap
+    val sp = rows("split_pack"); val tr = rows("truncate")
+    // sequential replay from raw doc token counts
+    val ns = Tables.documents(spark, sf0_001).collect()
+      .map(_.getAs[String]("text").split(" ", -1).count(_.nonEmpty).toLong)
+      .filter(_ > 0)
+    def packSeqs(lens: Seq[Long]): Long =
+      lens.groupBy(identity).map { case (l, g) =>
+        val dps = 64L / l; (g.size + dps - 1) / dps
+      }.sum
+    val total = ns.sum
+    val expSplit = ns.map(_ / 64).sum + packSeqs(ns.map(_ % 64).filter(_ > 0))
+    val expTrunc = packSeqs(ns.map(math.min(_, 64L)))
+    assert(sp.getAs[Long]("n_seqs") == expSplit &&
+      tr.getAs[Long]("n_seqs") == expTrunc, "replay disagrees")
+    assert(sp.getAs[Long]("kept_tokens") == total &&
+      sp.getAs[Long]("lost_tokens") == 0L,
+      "split must keep every token")
+    assert(tr.getAs[Long]("lost_tokens") > 0L,
+      "budget 64 must make truncation fire on this fixture")
+    assert(tr.getAs[Long]("kept_tokens") + tr.getAs[Long]("lost_tokens")
+      == total)
+    Seq(sp, tr).foreach { r =>
+      assert(r.getAs[Long]("pad_tokens") ==
+        64L * r.getAs[Long]("n_seqs") - r.getAs[Long]("kept_tokens"))
+    }
+    assert(sp.getAs[Long]("n_seqs") >= (total + 63) / 64,
+      "the token lower bound must hold")
+  }
+
   test("st35: the folded positional index answers the batch tagger row-for-row") {
     val batch = SparkEntry.queries("x216_lexicon_tagging")(spark, sf0_001)
       .collect().map(_.toSeq).toSeq
