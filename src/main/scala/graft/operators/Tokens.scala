@@ -259,8 +259,133 @@ object Tokens {
     graft.QueryDef("x216_lexicon_tagging", x216OracleSql) { (s, d) =>
       taggingReport(taggedSpans(s, d),
         Tables.documents(s, d).select(col("doc_id"), col("source")))
+    },
+
+    // EXACT REPEATED-SUBSTRING AUDIT VIA SUFFIX RANKS — the suffix-array
+    // primitive behind exact substring-level training-data dedup (Lee
+    // et al. ACL'22 build suffix arrays to find every ≥50-token repeat;
+    // x41/x200 approximate with fixed-length grams — this is the exact,
+    // any-length instrument). Suffix ranks come from ⌈log₂ L⌉ rounds of
+    // prefix doubling ([[suffixRankTables]]); every maximal repeated
+    // substring then surfaces as the LCP of some ADJACENT pair in
+    // suffix order, extracted by the classic descending-k walk over the
+    // SAME rank tables (add 2^k iff the two suffixes' rank_k agree at
+    // the current offset), clamped to the shorter tail. The report is
+    // the adjacent-LCP histogram — the corpus's exact repeat-length
+    // spectrum a dedup pipeline reads to choose its span threshold.
+    //
+    // Scale: ranks are log-round relational stages (no suffix ever a
+    // string); the LCP walk is log-round equi-joins of the ADJACENT-pair
+    // table against the rank tables; adjacency itself is a two-pass
+    // rank, never a global one-reducer sort. Report ≤ max-doc-length
+    // rows.
+    graft.QueryDef("x220_suffix_repeats", x220OracleSql) { (s, d) =>
+      val tok = table(s, d).select(col("doc_id"),
+        col("i").cast("long").as("i"), col("word"))
+      val tl = tok.groupBy(col("doc_id"))
+        .agg((max(col("i")) + 1).cast("long").as("ntok"))
+        .localCheckpoint() // doc-sized; read by the clamp twice
+      val ranks = suffixRankTables(tok)
+      val fin = ranks.last
+      val ordered = Ranks.twoPassRank(fin, Nil,
+        Ranks.expBucket(col("r")),
+        Seq(col("r"), col("doc_id"), col("i")), "rn")
+        .localCheckpoint() // read twice (both adjacency sides)
+      val a = ordered.select(col("rn"), col("doc_id").as("ad"),
+        col("i").as("ai"))
+      val b = ordered.select((col("rn") - 1).as("rn"),
+        col("doc_id").as("bd"), col("i").as("bi"))
+      var p = a.join(b, "rn").withColumn("lcp", lit(0L))
+        .select(col("ad"), col("ai"), col("bd"), col("bi"), col("lcp"))
+      for (k <- (ranks.size - 1) to 0 by -1) {
+        val ra = ranks(k).select(col("doc_id").as("ad"),
+          col("i").as("ka"), col("r").as("ra"))
+        val rb = ranks(k).select(col("doc_id").as("bd"),
+          col("i").as("kb"), col("r").as("rb"))
+        p = p.withColumn("ka", col("ai") + col("lcp"))
+          .withColumn("kb", col("bi") + col("lcp"))
+          .join(ra, Seq("ad", "ka"), "left")
+          .join(rb, Seq("bd", "kb"), "left")
+          .withColumn("lcp", when(col("ra").isNotNull &&
+            col("rb").isNotNull && col("ra") === col("rb"),
+            col("lcp") + (1L << k)).otherwise(col("lcp")))
+          .select(col("ad"), col("ai"), col("bd"), col("bi"), col("lcp"))
+        // no checkpoint: the walk is a pure CHAIN (each round read once)
+        // against checkpointed rank leaves — one action runs it all
+      }
+      p.join(tl.select(col("doc_id").as("ad"), col("ntok").as("na")),
+          "ad")
+        .join(tl.select(col("doc_id").as("bd"), col("ntok").as("nb")),
+          "bd")
+        .select(least(col("lcp"), col("na") - col("ai"),
+          col("nb") - col("bi")).as("lcp"))
+        .filter(col("lcp") >= 1)
+        .groupBy(col("lcp"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("lcp"))
     }
   )
+
+  /** x220's oracle: the same prefix-doubling rounds as plain window
+    * dense_ranks (r1..r7 unrolled — window 2^k via lead(r, 2^(k-1))
+    * with the −1 sentinel), adjacency by row_number over (r, doc_id,
+    * i), and the descending-k LCP walk l7..l0 (each step a pair of
+    * positional left joins against that round's rank CTE), clamped to
+    * the shorter tail. The fixed 7-round unroll covers ≤128-token
+    * documents — extra rounds past the data's ⌈log₂ L⌉ are provably
+    * no-ops (ranks are already suffix-unique), matching the Spark
+    * side's data-derived round count. */
+  private[graft] lazy val x220OracleSql: String = {
+    val rounds = (1 to 7).map { k =>
+      s"""r$k AS MATERIALIZED (
+        |  SELECT doc_id, i,
+        |         CAST(dense_rank() OVER (ORDER BY r, r2) AS BIGINT) AS r
+        |  FROM (SELECT doc_id, i, r,
+        |               COALESCE(lead(r, ${1 << (k - 1)}) OVER (
+        |                 PARTITION BY doc_id ORDER BY i), -1) AS r2
+        |        FROM r${k - 1})
+        |)""".stripMargin
+    }.mkString(", ")
+    val walk = (7 to 0 by -1).map { k =>
+      s"""l$k AS MATERIALIZED (
+        |  SELECT p.ad, p.ai, p.bd, p.bi,
+        |         CASE WHEN ra.r IS NOT NULL AND rb.r IS NOT NULL
+        |                   AND ra.r = rb.r
+        |              THEN p.lcp + ${1L << k} ELSE p.lcp END AS lcp
+        |  FROM l${k + 1} p
+        |  LEFT JOIN r$k ra ON ra.doc_id = p.ad AND ra.i = p.ai + p.lcp
+        |  LEFT JOIN r$k rb ON rb.doc_id = p.bd AND rb.i = p.bi + p.lcp
+        |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH tok AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |         ws[CAST(i AS INT) + 1] AS word
+      |  FROM (SELECT doc_id, unnest(range(len(ws))) AS i, ws
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |              FROM documents))
+      |), tl AS (
+      |  SELECT doc_id, CAST(max(i) + 1 AS BIGINT) AS ntok
+      |  FROM tok GROUP BY 1
+      |), r0 AS MATERIALIZED (
+      |  SELECT doc_id, i,
+      |         CAST(dense_rank() OVER (ORDER BY word) AS BIGINT) AS r
+      |  FROM tok
+      |), $rounds, ord AS (
+      |  SELECT doc_id, i,
+      |         CAST(row_number() OVER (ORDER BY r, doc_id, i) AS BIGINT)
+      |           AS rn
+      |  FROM r7
+      |), l8 AS (
+      |  SELECT a.doc_id AS ad, a.i AS ai, b.doc_id AS bd, b.i AS bi,
+      |         CAST(0 AS BIGINT) AS lcp
+      |  FROM ord a JOIN ord b ON b.rn = a.rn + 1
+      |), $walk
+      |SELECT lcp, CAST(count(*) AS BIGINT) AS n_pairs FROM (
+      |  SELECT least(l0.lcp, ta.ntok - l0.ai, tb.ntok - l0.bi) AS lcp
+      |  FROM l0 JOIN tl ta ON ta.doc_id = l0.ad
+      |       JOIN tl tb ON tb.doc_id = l0.bd)
+      |WHERE lcp >= 1 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** x216's oracle — shared verbatim by st35, whose folded positional
     * index must answer the batch question exactly. */
@@ -311,6 +436,58 @@ object Tokens {
         |FROM kept k JOIN documents d USING (doc_id)
         |GROUP BY 1, 2, 3
         |ORDER BY source, phrase""".stripMargin
+
+  /** Prefix-doubling suffix ranks (Manber–Myers 1990) over the corpus
+    * token stream, per-doc suffixes: after round k every position's
+    * rank is the dense rank of its first min(2^k, tail) tokens among
+    * all suffixes — two positions share a rank iff their (truncated)
+    * 2^k-windows are identical, and the −1 sentinel for a missing
+    * second half means a short suffix NEVER collides with a longer one
+    * it prefixes. Returns the per-round rank tables r_0..r_K
+    * (K = ⌈log₂ max tail⌉), each (doc_id, i, r) — the LCP extraction
+    * needs every level.
+    *
+    * Scale: this is THE distributed suffix-array construction — each
+    * round is one doc-partitioned lead() window + a distinct + a
+    * two-pass rank + an equi join-back, all corpus-sized relational
+    * ops; rounds are logarithmic in document length (7 here for the
+    * fixture's ≤128-token docs — a loud require; production unrolls
+    * log₂ of its own max doc length). No suffix is ever materialized
+    * as a string. */
+  private[graft] def suffixRankTables(
+      tok: DataFrame): Seq[DataFrame] = {
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    // r0: dense rank of the single token — ranked on the DISTINCT word
+    // table (vocab-sized two-pass rank, first-char bucket), joined back
+    val vr = Ranks.twoPassRank(
+      tok.select(col("word")).distinct(), Nil,
+      ascii(substring(col("word"), 1, 1)), Seq(col("word")), "r")
+    var rk = tok.join(vr, "word")
+      .select(col("doc_id"), col("i"), col("r"))
+      .localCheckpoint()
+    val maxTail = tok.groupBy(col("doc_id"))
+      .agg((max(col("i")) + 1).cast("long").as("ntok"))
+      .agg(max(col("ntok"))).head.getLong(0)
+    require(maxTail <= 128,
+      s"suffixRankTables: a $maxTail-token document exceeds the 7-round " +
+        "unroll (rounds = log2 max tokens); extend the oracle unroll")
+    val out = scala.collection.mutable.ArrayBuffer(rk)
+    var off = 1
+    while (off < maxTail) {
+      val paired = rk.withColumn("r2",
+        coalesce(lead(col("r"), off).over(W), lit(-1L)))
+      val dp = paired.select(col("r"), col("r2")).distinct()
+      val ranked = Ranks.twoPassRank(dp, Nil, Ranks.expBucket(col("r")),
+        Seq(col("r"), col("r2")), "nr")
+      rk = paired.join(ranked, Seq("r", "r2"))
+        .select(col("doc_id"), col("i"), col("nr").as("r"))
+        .localCheckpoint() // corpus-sized; severs the doubling lineage
+      out += rk
+      off <<= 1
+    }
+    out.toSeq
+  }
 
   /** x216's report over kept spans + doc metadata — ONE definition
     * shared by the batch query and st35's serve, so the plans cannot

@@ -463,6 +463,43 @@ class Round13Spec extends AnyFunSuite {
       "the token lower bound must hold")
   }
 
+  test("x220: the suffix-rank LCP histogram equals a sequential suffix sort + adjacent-LCP replay") {
+    // brute force: materialize every per-doc suffix, sort
+    // lexicographically by token sequence (prefix < extension, matching
+    // the −1 sentinel), tie-break (doc_id, i), adjacent common-prefix
+    // lengths, histogram
+    val toks = operators.Tokens.table(spark, sf0_001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("i"),
+        r.getAs[String]("word")))
+    val docs = toks.groupBy(_._1).map { case (id, ts) =>
+      id -> ts.sortBy(_._2).map(_._3).toVector
+    }
+    val sufs = docs.toSeq.flatMap { case (id, ws) =>
+      ws.indices.map(i => (id, i, ws.drop(i)))
+    }
+    val ord = sufs.sortWith { case ((ad, ai, a), (bd, bi, b)) =>
+      val c = a.zip(b).find { case (x, y) => x != y }
+      c match {
+        case Some((x, y)) => x < y
+        case None =>
+          if (a.length != b.length) a.length < b.length
+          else if (ad != bd) ad < bd else ai < bi
+      }
+    }
+    val lcps = ord.sliding(2).collect { case Seq((_, _, a), (_, _, b)) =>
+      a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+    }.toSeq
+    val expect = lcps.filter(_ >= 1L).groupBy(identity)
+      .map { case (l, g) => (l, g.size.toLong) }
+    val got = SparkEntry.queries("x220_suffix_repeats")(spark, sf0_001)
+      .collect()
+      .map(r => r.getAs[Long]("lcp") -> r.getAs[Long]("n_pairs")).toMap
+    assert(got == expect,
+      s"suffix-rank LCP spectrum must match the replay: got $got")
+    assert(got.nonEmpty && got.keys.max >= 2L,
+      "the fixture must exercise a multi-token repeat")
+  }
+
   test("st35: the folded positional index answers the batch tagger row-for-row") {
     val batch = SparkEntry.queries("x216_lexicon_tagging")(spark, sf0_001)
       .collect().map(_.toSeq).toSeq
