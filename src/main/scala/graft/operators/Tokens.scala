@@ -280,6 +280,66 @@ object Tokens {
     // rank, never a global one-reducer sort. Report ≤ max-doc-length
     // rows.
     graft.QueryDef("x220_suffix_repeats", x220OracleSql) { (s, d) =>
+      suffixLcpArtifact(s, d)
+        .filter(col("lcp") >= 1)
+        .groupBy(col("lcp"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("lcp"))
+    },
+
+    // REPEATED-SPAN COVERAGE — the Lee et al. dedup statistic itself:
+    // per source, what fraction of the token stream sits inside a
+    // ≥8-token substring that occurs AGAIN somewhere in the corpus?
+    // Each position's longest repeated prefix is the max LCP of its
+    // suffix's two neighbors in suffix order (the classic SA identity);
+    // positions with rlen ≥ 8 open token spans [i, i+rlen) whose exact
+    // union per doc is the x202 relational interval merge (shared
+    // `mergeSpans`). This is the number a pipeline reads to decide
+    // whether substring-level dedup (vs doc-level x01) is worth a pass.
+    //
+    // Scale: serves from the SAME content-keyed slcp artifact as x220
+    // (the expensive suffix machinery runs once per corpus content);
+    // the span stage is position-keyed aggregates + the doc-partitioned
+    // island windows — linear, sources-sized report.
+    graft.QueryDef("x221_repeat_spans", x221OracleSql) { (s, d) =>
+      val lcp = suffixLcpArtifact(s, d).localCheckpoint()
+      val rl = lcp.select(col("ad").as("doc_id"), col("ai").as("i"),
+          col("lcp"))
+        .unionByName(lcp.select(col("bd").as("doc_id"),
+          col("bi").as("i"), col("lcp")))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(max(col("lcp")).as("rlen"))
+      val spans = rl.filter(col("rlen") >= 8)
+        .select(col("doc_id"), col("i").as("s0"),
+          (col("i") + col("rlen")).as("e0"))
+      val cov = Mining.mergeSpans(spans)
+      val docs = Tables.documents(s, d)
+      val dt = table(s, d).groupBy(col("doc_id"))
+        .agg((max(col("i")) + 1).cast("long").as("ntok"))
+      dt.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .join(cov, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_spans").isNotNull, 1L).otherwise(0L))
+            .as("docs_flagged"),
+          sum(coalesce(col("tokens_removed"), lit(0L)))
+            .as("repeat_tokens"),
+          sum(col("ntok")).as("total_tokens"))
+        .select(col("source"), col("n_docs"), col("docs_flagged"),
+          col("repeat_tokens"), col("total_tokens"),
+          expr("repeat_tokens * 1000000 div total_tokens")
+            .as("repeat_ppm"))
+        .orderBy(col("source"))
+    }
+  )
+
+  /** The clamped adjacent-suffix LCP table (ad, ai, bd, bi, lcp) as a
+    * content-keyed persisted artifact — the suffix machinery (rank
+    * rounds + LCP walk) runs ONCE per corpus content; x220 and x221
+    * both serve from the scan (the kmlists/qweights discipline). */
+  private[graft] def suffixLcpArtifact(s: SparkSession,
+      d: String): DataFrame =
+    DerivedTable(s, d, "documents", "slcp") {
       val tok = table(s, d).select(col("doc_id"),
         col("i").cast("long").as("i"), col("word"))
       val tl = tok.groupBy(col("doc_id"))
@@ -317,14 +377,10 @@ object Tokens {
           "ad")
         .join(tl.select(col("doc_id").as("bd"), col("ntok").as("nb")),
           "bd")
-        .select(least(col("lcp"), col("na") - col("ai"),
-          col("nb") - col("bi")).as("lcp"))
-        .filter(col("lcp") >= 1)
-        .groupBy(col("lcp"))
-        .agg(count(lit(1)).as("n_pairs"))
-        .orderBy(col("lcp"))
+        .select(col("ad"), col("ai"), col("bd"), col("bi"),
+          least(col("lcp"), col("na") - col("ai"),
+            col("nb") - col("bi")).as("lcp"))
     }
-  )
 
   /** x220's oracle: the same prefix-doubling rounds as plain window
     * dense_ranks (r1..r7 unrolled — window 2^k via lead(r, 2^(k-1))
@@ -335,7 +391,7 @@ object Tokens {
     * documents — extra rounds past the data's ⌈log₂ L⌉ are provably
     * no-ops (ranks are already suffix-unique), matching the Spark
     * side's data-derived round count. */
-  private[graft] lazy val x220OracleSql: String = {
+  private[graft] lazy val suffixCteSql: String = {
     val rounds = (1 to 7).map { k =>
       s"""r$k AS MATERIALIZED (
         |  SELECT doc_id, i,
@@ -357,7 +413,7 @@ object Tokens {
         |  LEFT JOIN r$k rb ON rb.doc_id = p.bd AND rb.i = p.bi + p.lcp
         |)""".stripMargin
     }.mkString(", ")
-    s"""WITH tok AS (
+    s"""tok AS (
       |  SELECT doc_id, CAST(i AS BIGINT) AS i,
       |         ws[CAST(i AS INT) + 1] AS word
       |  FROM (SELECT doc_id, unnest(range(len(ws))) AS i, ws
@@ -379,13 +435,65 @@ object Tokens {
       |  SELECT a.doc_id AS ad, a.i AS ai, b.doc_id AS bd, b.i AS bi,
       |         CAST(0 AS BIGINT) AS lcp
       |  FROM ord a JOIN ord b ON b.rn = a.rn + 1
-      |), $walk
-      |SELECT lcp, CAST(count(*) AS BIGINT) AS n_pairs FROM (
-      |  SELECT least(l0.lcp, ta.ntok - l0.ai, tb.ntok - l0.bi) AS lcp
+      |), $walk, lf AS MATERIALIZED (
+      |  SELECT l0.ad, l0.ai, l0.bd, l0.bi,
+      |         least(l0.lcp, ta.ntok - l0.ai, tb.ntok - l0.bi) AS lcp
       |  FROM l0 JOIN tl ta ON ta.doc_id = l0.ad
-      |       JOIN tl tb ON tb.doc_id = l0.bd)
-      |WHERE lcp >= 1 GROUP BY 1 ORDER BY 1""".stripMargin
+      |       JOIN tl tb ON tb.doc_id = l0.bd
+      |)""".stripMargin
   }
+
+  private[graft] lazy val x220OracleSql: String =
+    s"""WITH $suffixCteSql
+      |SELECT CAST(lcp AS BIGINT) AS lcp,
+      |       CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM lf WHERE lcp >= 1 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** x221's oracle: the shared suffix chain, per-position repeat length
+    * (max LCP over the position's two adjacent pairs), ≥8 spans, and
+    * x202's relational interval union verbatim. */
+  private[graft] lazy val x221OracleSql: String =
+    s"""WITH $suffixCteSql, rl AS (
+      |  SELECT doc_id, i, CAST(max(lcp) AS BIGINT) AS rlen FROM (
+      |    SELECT ad AS doc_id, ai AS i, lcp FROM lf
+      |    UNION ALL
+      |    SELECT bd AS doc_id, bi AS i, lcp FROM lf
+      |  ) GROUP BY 1, 2
+      |), sp AS (
+      |  SELECT doc_id, i AS s0, i + rlen AS e0 FROM rl WHERE rlen >= 8
+      |), m1 AS (
+      |  SELECT doc_id, s0, e0,
+      |         max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS pmax
+      |  FROM sp
+      |), m2 AS (
+      |  SELECT doc_id, s0, e0,
+      |         CAST(sum(CASE WHEN pmax IS NULL OR s0 > pmax
+      |                       THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY s0
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS grp
+      |  FROM m1
+      |), mg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |         CAST(sum(me - ms) AS BIGINT) AS covered
+      |  FROM (SELECT doc_id, grp, min(s0) AS ms, max(e0) AS me
+      |        FROM m2 GROUP BY doc_id, grp)
+      |  GROUP BY doc_id
+      |)
+      |SELECT d.source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN mg.n_spans IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS docs_flagged,
+      |       CAST(sum(coalesce(mg.covered, 0)) AS BIGINT)
+      |         AS repeat_tokens,
+      |       CAST(sum(tl.ntok) AS BIGINT) AS total_tokens,
+      |       CAST(sum(coalesce(mg.covered, 0)) * 1000000 // sum(tl.ntok)
+      |            AS BIGINT) AS repeat_ppm
+      |FROM tl JOIN documents d USING (doc_id)
+      |LEFT JOIN mg USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** x216's oracle — shared verbatim by st35, whose folded positional
     * index must answer the batch question exactly. */

@@ -500,6 +500,62 @@ class Round13Spec extends AnyFunSuite {
       "the fixture must exercise a multi-token repeat")
   }
 
+  test("x221: repeated-span coverage equals a sequential suffix-sort + interval-union replay, and the fixture flags real repeats") {
+    val toks = operators.Tokens.table(spark, sf0_001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("i"),
+        r.getAs[String]("word")))
+    val docs = toks.groupBy(_._1).map { case (id, ts) =>
+      id -> ts.sortBy(_._2).map(_._3).toVector
+    }
+    val sufs = docs.toSeq.flatMap { case (id, ws) =>
+      ws.indices.map(i => (id, i, ws.drop(i)))
+    }
+    val ord = sufs.sortWith { case ((ad, ai, a), (bd, bi, b)) =>
+      a.zip(b).find { case (x, y) => x != y } match {
+        case Some((x, y)) => x < y
+        case None =>
+          if (a.length != b.length) a.length < b.length
+          else if (ad != bd) ad < bd else ai < bi
+      }
+    }
+    // per-position repeat length = max LCP with the two order-neighbors
+    val rlen = scala.collection.mutable.Map[(Long, Int), Long]()
+      .withDefaultValue(0L)
+    ord.sliding(2).foreach { case Seq((ad, ai, a), (bd, bi, b)) =>
+      val l = a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+      rlen((ad, ai)) = math.max(rlen((ad, ai)), l)
+      rlen((bd, bi)) = math.max(rlen((bd, bi)), l)
+    }
+    // ≥8 spans, interval union per doc, covered tokens
+    val covered = rlen.toSeq.filter(_._2 >= 8L)
+      .groupBy(_._1._1).map { case (id, ps) =>
+        val spans = ps.map { case ((_, i), l) => (i.toLong, i + l) }
+          .sortBy(_._1)
+        var cov = 0L; var curS = -1L; var curE = -1L
+        spans.foreach { case (s0, e0) =>
+          if (s0 > curE) { if (curE > curS) cov += curE - curS
+            curS = s0; curE = e0
+          } else curE = math.max(curE, e0)
+        }
+        if (curE > curS) cov += curE - curS
+        id -> cov
+      }
+    val srcOf = Tables.documents(spark, sf0_001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val expect = docs.keys.toSeq.groupBy(srcOf).map { case (src, ids) =>
+      src -> (ids.map(id => covered.getOrElse(id, 0L)).sum,
+        ids.map(id => docs(id).size.toLong).sum)
+    }
+    val got = SparkEntry.queries("x221_repeat_spans")(spark, sf0_001)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("repeat_tokens"), r.getAs[Long]("total_tokens")))
+      .toMap
+    assert(got == expect, s"replay disagrees: got $got expect $expect")
+    assert(got.values.map(_._1).sum > 0L,
+      "the fixture must contain a >=8-token cross-corpus repeat")
+  }
+
   test("st35: the folded positional index answers the batch tagger row-for-row") {
     val batch = SparkEntry.queries("x216_lexicon_tagging")(spark, sf0_001)
       .collect().map(_.toSeq).toSeq
