@@ -82,7 +82,7 @@ object ArtifactVacuum {
     ("aggmv", "events", 1),
     ("aggmv_stale", "events", 1),
     ("tokens", "documents", 1),
-    ("slcp", "documents", 1),
+    ("slcp", "documents", 2),
     ("capsimhash", "documents", 1),
     ("lplabels", "documents", 1),
     ("geopoints", "events", 1))

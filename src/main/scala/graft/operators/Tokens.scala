@@ -330,8 +330,70 @@ object Tokens {
           expr("repeat_tokens * 1000000 div total_tokens")
             .as("repeat_ppm"))
         .orderBy(col("source"))
+    },
+
+    // LONGEST REPEATED PASSAGE — the dedup-debugging probe: WHAT is the
+    // single longest token sequence that occurs more than once in the
+    // corpus, and how many times? Suffix-array identities again: the
+    // global max adjacent LCP is the longest repeat's length; the
+    // maximal RUN of consecutive max-LCP pairs around the (deterministic
+    // min-rn) argmax covers all its occurrences — a run of r pairs spans
+    // r+1 suffixes sharing the same maxl-token prefix. The passage text
+    // itself is one token slice of the argmax pair's a-side doc.
+    //
+    // Scale: serves from the slcp artifact; the max is one agg, the
+    // argmax ties are the pairs AT the max (islands over their rn via
+    // two-pass rank — never a global window over the artifact), the
+    // extraction reads ONE document row. 1-row report.
+    graft.QueryDef("x222_longest_repeat", x222OracleSql) { (s, d) =>
+      val lcp = suffixLcpArtifact(s, d)
+      val mx = lcp.agg(max(col("lcp")).as("ml"))
+      val er = lcp.crossJoin(broadcast(mx))
+        .filter(col("lcp") === col("ml"))
+        .select(col("rn"), col("ad"), col("ai"), col("ml"))
+        .localCheckpoint() // ties-at-max; read by rank + pick + count
+      val isl = Ranks.twoPassRank(er, Nil, Ranks.expBucket(col("rn")),
+          Seq(col("rn")), "xr")
+        .withColumn("g", col("rn") - col("xr"))
+        .localCheckpoint() // read by pick AND the run count
+      val pick = isl.orderBy(col("rn")).limit(1)
+        .select(col("ad"), col("ai"), col("ml"), col("g").as("pg"))
+      val occ = isl.join(broadcast(pick.select(col("pg"))),
+          col("g") === col("pg"))
+        .agg((count(lit(1)) + 1L).as("n_occurrences"))
+      Tables.documents(s, d)
+        .join(broadcast(pick), col("doc_id") === col("ad"))
+        .crossJoin(broadcast(occ))
+        .select(col("ml").as("repeat_len"), col("n_occurrences"),
+          expr("array_join(slice(split(text, ' '), " +
+            "CAST(ai + 1 AS INT), CAST(ml AS INT)), ' ')").as("phrase"))
     }
   )
+
+  /** x222's oracle: the shared suffix chain; ties at the max LCP form
+    * rn-islands, the min-rn island is the argmax run, occurrences =
+    * run pairs + 1, and the passage is a token slice of the argmax
+    * pair's a-side document. */
+  private[graft] lazy val x222OracleSql: String =
+    s"""WITH $suffixCteSql, mx AS (
+      |  SELECT max(lcp) AS ml FROM lf
+      |), er AS (
+      |  SELECT rn, ad, ai FROM lf, mx WHERE lcp = ml
+      |), isl AS (
+      |  SELECT rn, ad, ai,
+      |         rn - CAST(row_number() OVER (ORDER BY rn) AS BIGINT) AS g
+      |  FROM er
+      |), pick AS (
+      |  SELECT ad, ai, g FROM isl ORDER BY rn LIMIT 1
+      |), occ AS (
+      |  SELECT CAST(count(*) + 1 AS BIGINT) AS n_occurrences
+      |  FROM isl WHERE g = (SELECT g FROM pick)
+      |)
+      |SELECT CAST(mx.ml AS BIGINT) AS repeat_len, occ.n_occurrences,
+      |       array_to_string(list_slice(string_split(d.text, ' '),
+      |         CAST(pick.ai + 1 AS INT), CAST(pick.ai + mx.ml AS INT)),
+      |         ' ') AS phrase
+      |FROM pick JOIN documents d ON d.doc_id = pick.ad, mx, occ""".stripMargin
 
   /** The clamped adjacent-suffix LCP table (ad, ai, bd, bi, lcp) as a
     * content-keyed persisted artifact — the suffix machinery (rank
@@ -339,7 +401,7 @@ object Tokens {
     * both serve from the scan (the kmlists/qweights discipline). */
   private[graft] def suffixLcpArtifact(s: SparkSession,
       d: String): DataFrame =
-    DerivedTable(s, d, "documents", "slcp") {
+    DerivedTable(s, d, "documents", "slcp", builderVersion = 2) {
       val tok = table(s, d).select(col("doc_id"),
         col("i").cast("long").as("i"), col("word"))
       val tl = tok.groupBy(col("doc_id"))
@@ -356,7 +418,8 @@ object Tokens {
       val b = ordered.select((col("rn") - 1).as("rn"),
         col("doc_id").as("bd"), col("i").as("bi"))
       var p = a.join(b, "rn").withColumn("lcp", lit(0L))
-        .select(col("ad"), col("ai"), col("bd"), col("bi"), col("lcp"))
+        .select(col("rn"), col("ad"), col("ai"), col("bd"), col("bi"),
+          col("lcp"))
       for (k <- (ranks.size - 1) to 0 by -1) {
         val ra = ranks(k).select(col("doc_id").as("ad"),
           col("i").as("ka"), col("r").as("ra"))
@@ -369,7 +432,8 @@ object Tokens {
           .withColumn("lcp", when(col("ra").isNotNull &&
             col("rb").isNotNull && col("ra") === col("rb"),
             col("lcp") + (1L << k)).otherwise(col("lcp")))
-          .select(col("ad"), col("ai"), col("bd"), col("bi"), col("lcp"))
+          .select(col("rn"), col("ad"), col("ai"), col("bd"), col("bi"),
+            col("lcp"))
         // no checkpoint: the walk is a pure CHAIN (each round read once)
         // against checkpointed rank leaves — one action runs it all
       }
@@ -377,7 +441,7 @@ object Tokens {
           "ad")
         .join(tl.select(col("doc_id").as("bd"), col("ntok").as("nb")),
           "bd")
-        .select(col("ad"), col("ai"), col("bd"), col("bi"),
+        .select(col("rn"), col("ad"), col("ai"), col("bd"), col("bi"),
           least(col("lcp"), col("na") - col("ai"),
             col("nb") - col("bi")).as("lcp"))
     }
@@ -404,7 +468,7 @@ object Tokens {
     }.mkString(", ")
     val walk = (7 to 0 by -1).map { k =>
       s"""l$k AS MATERIALIZED (
-        |  SELECT p.ad, p.ai, p.bd, p.bi,
+        |  SELECT p.rn, p.ad, p.ai, p.bd, p.bi,
         |         CASE WHEN ra.r IS NOT NULL AND rb.r IS NOT NULL
         |                   AND ra.r = rb.r
         |              THEN p.lcp + ${1L << k} ELSE p.lcp END AS lcp
@@ -432,11 +496,11 @@ object Tokens {
       |           AS rn
       |  FROM r7
       |), l8 AS (
-      |  SELECT a.doc_id AS ad, a.i AS ai, b.doc_id AS bd, b.i AS bi,
-      |         CAST(0 AS BIGINT) AS lcp
+      |  SELECT a.rn, a.doc_id AS ad, a.i AS ai, b.doc_id AS bd,
+      |         b.i AS bi, CAST(0 AS BIGINT) AS lcp
       |  FROM ord a JOIN ord b ON b.rn = a.rn + 1
       |), $walk, lf AS MATERIALIZED (
-      |  SELECT l0.ad, l0.ai, l0.bd, l0.bi,
+      |  SELECT l0.rn, l0.ad, l0.ai, l0.bd, l0.bi,
       |         least(l0.lcp, ta.ntok - l0.ai, tb.ntok - l0.bi) AS lcp
       |  FROM l0 JOIN tl ta ON ta.doc_id = l0.ad
       |       JOIN tl tb ON tb.doc_id = l0.bd

@@ -556,6 +556,42 @@ class Round13Spec extends AnyFunSuite {
       "the fixture must contain a >=8-token cross-corpus repeat")
   }
 
+  test("x222: the longest repeated passage, its length, and its occurrence count match a sequential replay") {
+    val toks = operators.Tokens.table(spark, sf0_001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("i"),
+        r.getAs[String]("word")))
+    val docs = toks.groupBy(_._1).map { case (id, ts) =>
+      id -> ts.sortBy(_._2).map(_._3).toVector
+    }
+    val sufs = docs.toSeq.flatMap { case (id, ws) =>
+      ws.indices.map(i => (id, i, ws.drop(i)))
+    }
+    val ord = sufs.sortWith { case ((ad, ai, a), (bd, bi, b)) =>
+      a.zip(b).find { case (x, y) => x != y } match {
+        case Some((x, y)) => x < y
+        case None =>
+          if (a.length != b.length) a.length < b.length
+          else if (ad != bd) ad < bd else ai < bi
+      }
+    }.toIndexedSeq
+    val lcps = ord.indices.dropRight(1).map { j =>
+      ord(j)._3.zip(ord(j + 1)._3)
+        .takeWhile { case (x, y) => x == y }.size.toLong
+    }
+    val ml = lcps.max
+    val first = lcps.indexOf(ml)
+    var last = first
+    while (last + 1 < lcps.size && lcps(last + 1) == ml) last += 1
+    val phrase = ord(first)._3.take(ml.toInt).mkString(" ")
+    val row = SparkEntry.queries("x222_longest_repeat")(spark, sf0_001)
+      .collect().head
+    assert(row.getAs[Long]("repeat_len") == ml)
+    assert(row.getAs[Long]("n_occurrences") == (last - first + 2).toLong,
+      "occurrences must be the argmax run's pair count + 1")
+    assert(row.getAs[String]("phrase") == phrase)
+    assert(ml >= 2L, "the fixture must have a multi-token longest repeat")
+  }
+
   test("st35: the folded positional index answers the batch tagger row-for-row") {
     val batch = SparkEntry.queries("x216_lexicon_tagging")(spark, sf0_001)
       .collect().map(_.toSeq).toSeq
