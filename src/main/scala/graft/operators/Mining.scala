@@ -1480,6 +1480,8 @@ object Mining {
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val m = Mining.packingManifest(s, d).select(col("doc_id"),
         col("l"), col("bin_id"))
+        .localCheckpoint() // read by the bin-count agg AND the join —
+                           // without this the manifest builds twice
       val kk = m.agg(expr("CAST((max(bin_id) + 2) div 2 AS BIGINT)")
         .as("k"))
       m.join(Tables.documents(s, d).select(col("doc_id"), col("source")),
@@ -1726,8 +1728,7 @@ object Mining {
       val wsym = Mining.bpeSymsArtifact(s, d)
       val words = wsym.select(col("word")).distinct()
       val pieces = wsym.select(col("sym").as("p")).distinct()
-      val enc = Mining.greedyEncode(words, pieces)
-        .join(Mining.optimalEncode(words, pieces), "word")
+      val enc = Mining.encodeAudit(words, pieces)
         .join(wsym.groupBy(col("word")).agg(count(lit(1)).as("n_sym")),
           "word")
       val docw = Tables.documents(s, d).select(col("source"),
@@ -2641,14 +2642,37 @@ object Mining {
     * rounds. */
   private[graft] def greedyEncode(wordsIn: org.apache.spark.sql.DataFrame,
       piecesIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (words, pieces, maxLen) = encodePrep(wordsIn, piecesIn)
+    greedyFrom(words, pieces, maxLen)
+  }
+
+  /** The shared encoder prep — distinct words with lengths, the piece
+    * inventory + char fallback, the unroll-bound check — computed ONCE
+    * and passed to whichever encoders the caller runs (x215 runs both;
+    * before this factoring it paid the prep twice). */
+  private def encodePrep(wordsIn: org.apache.spark.sql.DataFrame,
+      piecesIn: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long) = {
     val words = wordsIn.select(col("word")).distinct()
       .withColumn("wlen", length(col("word")).cast("long"))
       .localCheckpoint()
     val maxLen = words.agg(max(col("wlen"))).head.getLong(0)
     require(maxLen <= GreedyRounds,
-      s"greedyEncode: a $maxLen-char word exceeds the $GreedyRounds-round " +
+      s"encode: a $maxLen-char word exceeds the $GreedyRounds-round " +
         "unroll (rounds = max chars); raise GreedyRounds")
-    val pieces = encodePieces(words, piecesIn)
+    (words, encodePieces(words, piecesIn), maxLen)
+  }
+
+  /** Both encoders off ONE shared prep: (word, np, opt). */
+  private[graft] def encodeAudit(wordsIn: org.apache.spark.sql.DataFrame,
+      piecesIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (words, pieces, maxLen) = encodePrep(wordsIn, piecesIn)
+    greedyFrom(words, pieces, maxLen)
+      .join(optimalFrom(words, pieces, maxLen), "word")
+  }
+
+  private def greedyFrom(words: org.apache.spark.sql.DataFrame,
+      pieces: org.apache.spark.sql.DataFrame,
+      maxLen: Long): org.apache.spark.sql.DataFrame = {
     // longest match at EVERY position (the char fallback guarantees one)
     val best = words.select(col("word"), col("wlen"),
         explode(sequence(lit(1L), col("wlen"))).as("pos"))
@@ -2716,14 +2740,13 @@ object Mining {
     * only touched by the caller's final word join. */
   private[graft] def optimalEncode(wordsIn: org.apache.spark.sql.DataFrame,
       piecesIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val words = wordsIn.select(col("word")).distinct()
-      .withColumn("wlen", length(col("word")).cast("long"))
-      .localCheckpoint()
-    val maxLen = words.agg(max(col("wlen"))).head.getLong(0)
-    require(maxLen <= GreedyRounds,
-      s"optimalEncode: a $maxLen-char word exceeds the $GreedyRounds-round " +
-        "unroll (rounds = max chars); raise GreedyRounds")
-    val pieces = encodePieces(words, piecesIn)
+    val (words, pieces, maxLen) = encodePrep(wordsIn, piecesIn)
+    optimalFrom(words, pieces, maxLen)
+  }
+
+  private def optimalFrom(words: org.apache.spark.sql.DataFrame,
+      pieces: org.apache.spark.sql.DataFrame,
+      maxLen: Long): org.apache.spark.sql.DataFrame = {
     // min-plus MATRIX SQUARING over the position DAG: one edge per piece
     // match (cost 1) + identity edges (cost 0, which make each squaring
     // subsume the previous relation), then ⌈log₂ maxLen⌉ rounds of

@@ -352,9 +352,11 @@ object Tokens {
         .filter(col("lcp") === col("ml"))
         .select(col("rn"), col("ad"), col("ai"), col("ml"))
         .localCheckpoint() // ties-at-max; read by rank + pick + count
-      val isl = Ranks.twoPassRank(er, Nil, Ranks.expBucket(col("rn")),
+      val mxr = er.agg(max(col("rn")).as("__mx"))
+      val isl = Ranks.twoPassRank(er.crossJoin(broadcast(mxr)), Nil,
+          expr("CAST(rn * 64 div (__mx + 1) AS INT)"),
           Seq(col("rn")), "xr")
-        .withColumn("g", col("rn") - col("xr"))
+        .withColumn("g", col("rn") - col("xr")).drop("__mx")
         .localCheckpoint() // read by pick AND the run count
       val pick = isl.orderBy(col("rn")).limit(1)
         .select(col("ad"), col("ai"), col("ml"), col("g").as("pg"))
@@ -409,9 +411,11 @@ object Tokens {
         .localCheckpoint() // doc-sized; read by the clamp twice
       val ranks = suffixRankTables(tok)
       val fin = ranks.last
-      val ordered = Ranks.twoPassRank(fin, Nil,
-        Ranks.expBucket(col("r")),
+      val mxf = fin.agg(max(col("r")).as("__mx"))
+      val ordered = Ranks.twoPassRank(fin.crossJoin(broadcast(mxf)), Nil,
+        expr("CAST(r * 64 div (__mx + 1) AS INT)"),
         Seq(col("r"), col("doc_id"), col("i")), "rn")
+        .drop("__mx")
         .localCheckpoint() // read twice (both adjacency sides)
       val a = ordered.select(col("rn"), col("doc_id").as("ad"),
         col("i").as("ai"))
@@ -650,9 +654,15 @@ object Tokens {
       val paired = rk.withColumn("r2",
         coalesce(lead(col("r"), off).over(W), lit(-1L)))
       val dp = paired.select(col("r"), col("r2")).distinct()
-      val ranked = Ranks.twoPassRank(dp, Nil, Ranks.expBucket(col("r")),
+      // uniform 64-wide buckets over the rank extent — dense ranks are
+      // near-uniform, so a log bucket would put half the rows in its
+      // top bucket and run that window as ONE task (r13 review)
+      val mx = dp.agg(max(col("r")).as("__mx"))
+      val ranked = Ranks.twoPassRank(dp.crossJoin(broadcast(mx)), Nil,
+        expr("CAST(r * 64 div (__mx + 1) AS INT)"),
         Seq(col("r"), col("r2")), "nr")
-      rk = paired.join(ranked, Seq("r", "r2"))
+      rk = paired.join(ranked.select(col("r"), col("r2"), col("nr")),
+          Seq("r", "r2"))
         .select(col("doc_id"), col("i"), col("nr").as("r"))
         .localCheckpoint() // corpus-sized; severs the doubling lineage
       out += rk

@@ -2146,7 +2146,8 @@ object Streams {
     },
 
     // STREAMING CLASSIFIER-IN-THE-LOOP MIX (VERDICT r12 item 2) — the
-    // live curation loop COMPOSED end-to-end: documents arrive in
+    // FIFTEENTH Δ-maintained family:
+    // the live curation loop COMPOSED end-to-end: documents arrive in
     // micro-batches, three O(Δ) folds maintain the classifier's feature
     // cells + labels (st33's state) and the mix metadata frame
     // (doc_id, source, fingerprint bucket — [[graft.operators.Quality
