@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 pins: the suffix machinery's data-driven round count
+  * (documents past the old 128-token cap, proved against an in-memory
+  * brute-force suffix sort), plus the degenerate-corpus guards added
+  * with it.
+  */
+class Round14Spec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Brute-force adjacent-LCP table over a crafted corpus: materialize
+    * every suffix as a token list, sort (suffix tokens, doc_id, i)
+    * exactly like the engine's rank order (rank ties break on
+    * (doc_id, i) in `ordered`), then LCP each adjacent pair. O(n² log n)
+    * on purpose — an independent implementation the relational
+    * prefix-doubling plan must reproduce. */
+  private def bruteLcp(docs: Seq[(Long, Array[String])])
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val sufs = for {
+      (d, toks) <- docs
+      i <- toks.indices
+    } yield (d, i.toLong, toks.drop(i).toSeq)
+    implicit val ord: Ordering[Seq[String]] = Ordering.Implicits
+      .seqOrdering(Ordering.String)
+    val sorted = sufs.sortBy { case (d, i, s) => (s, d, i) }
+    sorted.zip(sorted.tail).map { case ((ad, ai, sa), (bd, bi, sb)) =>
+      val l = sa.zip(sb).takeWhile { case (x, y) => x == y }.size
+      (ad, ai, bd, bi, l.toLong)
+    }
+  }
+
+  test("suffix LCP handles >128-token documents (data-driven rounds, no cap) and matches brute force") {
+    // 5 docs, one of 300 tokens (old cap: require(maxTail <= 128) would
+    // abort) with a planted 17-token repeat both inside the long doc and
+    // across docs; tiny 11-word vocab so repeats are plentiful
+    val rng = new scala.util.Random(1401)
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k")
+    def rnd(n: Int) = Array.fill(n)(vocab(rng.nextInt(vocab.length)))
+    val phrase = rnd(17)
+    val big = rnd(300)
+    Array.copy(phrase, 0, big, 40, 17)
+    Array.copy(phrase, 0, big, 200, 17)
+    val small = rnd(60)
+    Array.copy(phrase, 0, small, 10, 17)
+    val docs: Seq[(Long, Array[String])] = Seq(
+      0L -> big, 1L -> small, 2L -> rnd(9), 3L -> rnd(140), 4L -> rnd(1))
+    import spark.implicits._
+    val tok = docs.flatMap { case (d, ts) =>
+      ts.zipWithIndex.map { case (w, i) => (d, i.toLong, w) }
+    }.toDF("doc_id", "i", "word")
+
+    val got = operators.Tokens.suffixLcpFrom(tok)
+      .select("ad", "ai", "bd", "bi", "lcp")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq.sorted
+    val want = bruteLcp(docs).sorted
+    assert(got.size == want.size,
+      s"adjacent-pair count: got ${got.size}, want ${want.size}")
+    assert(got == want, {
+      val diff = got.zip(want).filter { case (g, w) => g != w }.take(5)
+      s"first diverging pairs (got, want): $diff"
+    })
+    // the planted 17-token repeat must be visible as a max-LCP >= 17
+    assert(got.map(_._5).max >= 17)
+  }
+
+  test("suffix rank round count is data-derived: ceil(log2 max tail) doubling rounds") {
+    import spark.implicits._
+    def roundsFor(maxLen: Int): Int = {
+      val toks = (0 until maxLen).map(i => (0L, i.toLong, "w" + (i % 3)))
+      operators.Tokens.suffixRankTables(toks.toDF("doc_id", "i", "word")).size
+    }
+    // rank tables = r0 plus one per doubling round while 2^k < maxTail
+    assert(roundsFor(1) == 1)   // r0 only
+    assert(roundsFor(2) == 2)   // r0, r1
+    assert(roundsFor(129) == 9) // r0..r8 — past the old 7-round cap
+  }
+
+  test("x222 returns zero rows on a corpus with no repeated token") {
+    import spark.implicits._
+    // all tokens globally distinct -> max adjacent LCP is 0; the old
+    // behavior emitted a phantom row (repeat_len 0, empty phrase)
+    val tok = (0 until 12).map(i => (i.toLong / 4, (i % 4).toLong, s"u$i"))
+      .toDF("doc_id", "i", "word")
+    val lcp = operators.Tokens.suffixLcpFrom(tok)
+    assert(lcp.agg(max(col("lcp"))).head.getLong(0) == 0L)
+    // replicate x222's serve over the crafted lcp frame: the ml >= 1
+    // guard must empty the argmax pipeline
+    val mx = lcp.agg(max(col("lcp")).as("ml"))
+    val er = lcp.crossJoin(broadcast(mx))
+      .filter(col("lcp") === col("ml") && col("ml") >= 1)
+    assert(er.count() == 0L)
+  }
+}
