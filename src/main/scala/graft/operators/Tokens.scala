@@ -372,8 +372,138 @@ object Tokens {
         .select(col("ml").as("repeat_len"), col("n_occurrences"),
           expr("array_join(slice(split(text, ' '), " +
             "CAST(ai + 1 AS INT), CAST(ml AS INT)), ' ')").as("phrase"))
+    },
+
+    // EXACT SUBSTRING-DEDUP REWRITE (Lee et al. ACL'22's ExactSubstr,
+    // completed with keep-first attribution) — the cutter x221 only
+    // measures: every ≥8-token span whose content occurs EARLIER in the
+    // corpus is cut token-wise; the first corpus occurrence of any
+    // repeated span survives; survivors splice back in order. x41/x202
+    // approximate this with fixed-length gram hits; this is the exact
+    // instrument, served from the same content-keyed slcp artifact.
+    //
+    // The cut set is computed WITHOUT the elen quantity (max LCP against
+    // all corpus-earlier suffixes — awkward relationally): token t is
+    // inside some earlier-duplicated span [s, s+l), l >= 8, iff some
+    // 8-token window [s', s'+8) covering t has its 8-prefix occurring at
+    // an earlier corpus position (take s' in [max(s, t-7), t] inside the
+    // span: the earlier copy contains the same 8-gram at a strictly
+    // earlier position). So: removed tokens = union of [s, s+8) over
+    // positions s that are NOT the corpus-order-first of their 8-prefix
+    // class. Those classes are exactly the maximal runs of suffix-order
+    // adjacency with pair LCP >= 8 — islands over the slcp rn axis.
+    //
+    // Scale: islands via two-pass rank (no global window); members,
+    // first-per-class, and the x8 window explode are all ∝ flagged
+    // positions; the splice is one doc-keyed anti-join + ordered
+    // aggregate. The report is affected-docs-sized.
+    graft.QueryDef("x223_exact_substring_rewrite", x223OracleSql) { (s, d) =>
+      substringRewriteFrom(suffixLcpArtifact(s, d),
+        table(s, d),
+        Tables.documents(s, d).select(col("doc_id"), col("source")))
     }
   )
+
+  /** x223's rewrite over explicit (lcp pairs, token table, doc metadata)
+    * frames — split out so Round14Spec can drive the crafted three-copy
+    * and conservation fixtures through the exact production plan. */
+  private[graft] def substringRewriteFrom(lcpPairs: DataFrame,
+      tokens: DataFrame, docMeta: DataFrame): DataFrame = {
+      val p8 = lcpPairs.filter(col("lcp") >= 8)
+        .select(col("rn"), col("ad"), col("ai"), col("bd"), col("bi"))
+        .localCheckpoint() // extent agg + the rank pass both read it
+      val mxr = p8.agg(max(col("rn")).as("__mx"))
+      val isl = Ranks.twoPassRank(p8.crossJoin(broadcast(mxr)), Nil,
+          expr("CAST(rn * 64 div (__mx + 1) AS INT)"),
+          Seq(col("rn")), "xr")
+        .withColumn("g", col("rn") - col("xr")).drop("__mx")
+      val mem = isl.select(col("g"), col("ad").as("doc_id"),
+          col("ai").as("i"))
+        .unionByName(isl.select(col("g"), col("bd").as("doc_id"),
+          col("bi").as("i")))
+        .distinct()
+        .localCheckpoint() // first-per-class and the cut set both read it
+      val fst = mem.groupBy(col("g"))
+        .agg(min(struct(col("doc_id"), col("i"))).as("f"))
+        .select(col("g"), col("f.doc_id").as("fd"), col("f.i").as("fi"))
+      val cutpos = mem.join(fst, "g")
+        .filter(!(col("doc_id") === col("fd") && col("i") === col("fi")))
+        .select(col("doc_id"), col("i"))
+        .withColumn("o", explode(sequence(lit(0L), lit(7L))))
+        .select(col("doc_id"), (col("i") + col("o")).as("pos"))
+        .distinct()
+        .localCheckpoint() // per-doc counts + the splice anti-join
+      val tok = tokens.select(col("doc_id"),
+        col("i").cast("long").as("i"), col("word"))
+      val kept = tok.join(cutpos,
+        tok("doc_id") === cutpos("doc_id") && col("i") === col("pos"),
+        "left_anti")
+      val ka = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("kept_tokens"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("i"), col("word")))),
+            x => x.getField("word")), " ").as("kept_text"))
+      val cn = cutpos.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("cut_tokens"))
+      val tl = tok.groupBy(col("doc_id"))
+        .agg((max(col("i")) + 1).as("n_tokens"))
+      cn.join(tl, "doc_id")
+        .join(docMeta, "doc_id")
+        .join(ka, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cut_tokens"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          coalesce(col("kept_text"), lit("")).as("kept_text"))
+        .orderBy(col("doc_id"))
+  }
+
+  /** x223's oracle: the shared suffix chain; >= 8-LCP adjacency runs are
+    * the 8-prefix classes, keep-first is the per-class corpus-order
+    * row_number, cut positions are the x8 window union, and the splice
+    * is an ordered string_agg over the anti-joined token stream. */
+  private[graft] lazy val x223OracleSql: String =
+    s"""WITH $suffixCteSql, p8 AS (
+      |  SELECT rn, ad, ai, bd, bi FROM lf WHERE lcp >= 8
+      |), isl AS (
+      |  SELECT ad, ai, bd, bi,
+      |         rn - CAST(row_number() OVER (ORDER BY rn) AS BIGINT) AS g
+      |  FROM p8
+      |), mem AS (
+      |  SELECT DISTINCT g, doc_id, i FROM (
+      |    SELECT g, ad AS doc_id, ai AS i FROM isl
+      |    UNION ALL
+      |    SELECT g, bd AS doc_id, bi AS i FROM isl)
+      |), fst AS (
+      |  SELECT g, doc_id, i FROM (
+      |    SELECT g, doc_id, i,
+      |           row_number() OVER (PARTITION BY g ORDER BY doc_id, i)
+      |             AS rw
+      |    FROM mem) WHERE rw = 1
+      |), cutpos AS (
+      |  SELECT DISTINCT m.doc_id, m.i + o.o AS pos
+      |  FROM mem m JOIN fst f USING (g)
+      |  CROSS JOIN (SELECT unnest(range(8)) AS o) o
+      |  WHERE NOT (m.doc_id = f.doc_id AND m.i = f.i)
+      |), kept AS (
+      |  SELECT t.doc_id, t.i, t.word
+      |  FROM tok t LEFT JOIN cutpos c
+      |    ON t.doc_id = c.doc_id AND t.i = c.pos
+      |  WHERE c.pos IS NULL
+      |), ka AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+      |         string_agg(word, ' ' ORDER BY i) AS kept_text
+      |  FROM kept GROUP BY 1
+      |), cn AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS cut_tokens
+      |  FROM cutpos GROUP BY 1
+      |)
+      |SELECT cn.doc_id, d.source, tl.ntok AS n_tokens, cn.cut_tokens,
+      |       coalesce(ka.kept_tokens, 0) AS kept_tokens,
+      |       coalesce(ka.kept_text, '') AS kept_text
+      |FROM cn JOIN tl ON tl.doc_id = cn.doc_id
+      |JOIN documents d ON d.doc_id = cn.doc_id
+      |LEFT JOIN ka ON ka.doc_id = cn.doc_id
+      |ORDER BY cn.doc_id""".stripMargin
 
   /** x222's oracle: the shared suffix chain; ties at the max LCP form
     * rn-islands, the min-rn island is the argmax run, occurrences =

@@ -81,6 +81,75 @@ class Round14Spec extends AnyFunSuite {
     assert(roundsFor(129) == 9) // r0..r8 — past the old 7-round cap
   }
 
+  test("x223: of three identical copies only the first survives intact") {
+    import spark.implicits._
+    // docs 0/1/2 are exact 12-token copies; docs 3/4 are all-unique
+    // filler (tokens that appear nowhere else)
+    val p = (0 until 12).map(k => s"p$k")
+    val docs = Seq(
+      0L -> p, 1L -> p, 2L -> p,
+      3L -> (0 until 10).map(k => s"f$k"),
+      4L -> (0 until 9).map(k => s"g$k"))
+    val tok = docs.flatMap { case (d, ts) =>
+      ts.zipWithIndex.map { case (w, i) => (d, i.toLong, w) }
+    }.toDF("doc_id", "i", "word")
+    val meta = docs.map { case (d, _) => (d, s"src$d") }
+      .toDF("doc_id", "source")
+    val out = operators.Tokens.substringRewriteFrom(
+      operators.Tokens.suffixLcpFrom(tok), tok, meta).collect()
+    // the first copy is untouched -> not an affected row at all
+    assert(!out.exists(_.getAs[Long]("doc_id") == 0L))
+    assert(!out.exists(_.getAs[Long]("doc_id") == 3L))
+    assert(!out.exists(_.getAs[Long]("doc_id") == 4L))
+    // the later copies are cut token-wise to nothing
+    Seq(1L, 2L).foreach { d =>
+      val r = out.find(_.getAs[Long]("doc_id") == d).get
+      assert(r.getAs[Long]("cut_tokens") == 12L)
+      assert(r.getAs[Long]("kept_tokens") == 0L)
+      assert(r.getAs[String]("kept_text") == "")
+    }
+  }
+
+  test("x223: token conservation — kept + cut partitions the corpus stream") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1402)
+    val vocab = Array("a", "b", "c", "d", "e")
+    def rnd(n: Int) = Array.fill(n)(vocab(rng.nextInt(vocab.length)))
+    val phrase = rnd(20)
+    val docs = (0L until 12L).map { d =>
+      val ts = rnd(10 + rng.nextInt(60))
+      // plant a 20-token repeat in every third doc (partial cuts) so the
+      // conservation sum exercises both affected and untouched docs
+      if (d % 3 == 0 && ts.length >= 30) Array.copy(phrase, 0, ts, 5, 20)
+      d -> ts
+    }
+    val tok = docs.flatMap { case (d, ts) =>
+      ts.zipWithIndex.map { case (w, i) => (d, i.toLong, w) }
+    }.toDF("doc_id", "i", "word")
+    val meta = docs.map { case (d, _) => (d, "s") }.toDF("doc_id", "source")
+    val out = operators.Tokens.substringRewriteFrom(
+      operators.Tokens.suffixLcpFrom(tok), tok, meta).collect()
+    assert(out.nonEmpty, "tiny-vocab fixture must produce >= 1 cut doc")
+    val affected = out.map(_.getAs[Long]("doc_id")).toSet
+    // per affected row: kept + cut = doc tokens, and the spliced text
+    // re-tokenizes to exactly kept_tokens words
+    out.foreach { r =>
+      assert(r.getAs[Long]("kept_tokens") + r.getAs[Long]("cut_tokens")
+        == r.getAs[Long]("n_tokens"))
+      val kt = r.getAs[String]("kept_text")
+      val n = if (kt.isEmpty) 0L else kt.split(" ", -1).length.toLong
+      assert(n == r.getAs[Long]("kept_tokens"),
+        s"splice drift on doc ${r.getAs[Long]("doc_id")}")
+    }
+    // corpus-level conservation: affected kept+cut plus untouched docs
+    // sum to the full token stream
+    val total = docs.map(_._2.length.toLong).sum
+    val covered = out.map(r => r.getAs[Long]("kept_tokens")
+        + r.getAs[Long]("cut_tokens")).sum +
+      docs.filterNot(d => affected(d._1)).map(_._2.length.toLong).sum
+    assert(covered == total)
+  }
+
   test("x222 returns zero rows on a corpus with no repeated token") {
     import spark.implicits._
     // all tokens globally distinct -> max adjacent LCP is 0; the old
