@@ -70,7 +70,7 @@ object ArtifactVacuum {
     ("bigramlm_uni", "documents", 1),
     ("bigramlm_top", "documents", 1),
     ("bpemerges", "documents", 2),
-    ("qweights", "documents", 1),
+    ("qweights", "documents", 2),
     ("qweightstr", "documents", 1),
     ("qvalcurve", "documents", 1),
     ("qweightsval", "documents", 1),

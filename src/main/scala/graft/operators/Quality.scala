@@ -156,15 +156,26 @@ object Quality {
       .localCheckpoint() // bins-sized; severs the epoch lineage (x196)
   }
 
-  /** Train the classifier from a document slice — shared verbatim by the
-    * batch artifact builder and st33's retrain-at-serve (the st30
-    * contract: stream and batch must run the SAME trainer). Returns the
-    * (b, w) weight table after [[Epochs]] full-batch rounds. */
-  private[graft] def trainWeights(docs: DataFrame): DataFrame =
-    trainFromCells(featureCells(docs), labelTable(docs))
+  /** The VALIDATED STOPPING ROUND for this corpus content — argmax
+    * val-split accuracy from the persisted `qvalcurve` artifact (built
+    * once per content by x210's machinery). Since r14 this IS the
+    * shipped model's epoch count: the qweights artifact builder and the
+    * st33/st34 serve-time retrains all train to it (VERDICT r13 item 3
+    * — Epochs = 24 was fixture-tuned; x210/x211 measured that round 7
+    * matches 24's val accuracy at sf0.01, so training past the chosen
+    * round is ~3x wasted serve work). A ≤24-row artifact read. */
+  private[graft] def chosenRound(s: SparkSession, d: String): Int =
+    qvalcurveArtifact(s, d).filter(col("chosen") === 1)
+      .select(col("round")).head.getInt(0)
 
+  /** Train the classifier from folded feature cells — shared verbatim by
+    * the batch artifact builder and st33/st34's retrain-at-serve (the
+    * st30 contract: stream and batch must run the SAME trainer).
+    * Returns the (b, w) weight table after `rounds` full-batch Adagrad
+    * rounds (the validated stopping round for the shipped model;
+    * [[Epochs]] for the fixed-budget x209 held-out gate). */
   private[graft] def trainFromCells(cells: DataFrame,
-      labels: DataFrame): DataFrame = {
+      labels: DataFrame, rounds: Int = Epochs): DataFrame = {
     // doc-partition ONCE: every epoch's margin agg and gradient join
     // reuse this layout instead of re-exchanging the cell table
     val feats = cells.repartition(col("doc_id")).localCheckpoint()
@@ -173,7 +184,7 @@ object Quality {
     require(nDocs > 0, "quality classifier: no labeled documents to train on")
     val w0 = feats.select(col("b")).distinct()
       .select(col("b"), lit(0L).as("w"), lit(0L).as("ss")).localCheckpoint()
-    (1 to Epochs).foldLeft(w0)((st, _) => adagradEpoch(feats, lab, nDocs)(st))
+    (1 to rounds).foldLeft(w0)((st, _) => adagradEpoch(feats, lab, nDocs)(st))
       .select(col("b"), col("w"))
   }
 
@@ -217,11 +228,19 @@ object Quality {
   /** The TRAINED MODEL as a content-keyed persisted artifact (the
     * bpemerges discipline): training runs once per corpus content;
     * x204/x205 serve from the artifact scan. Carries per-bin occupancy
-    * stats so serving x204 never needs a corpus pass (plan-pinned). */
+    * stats so serving x204 never needs a corpus pass (plan-pinned).
+    * Since r14 (builderVersion 2) the full-corpus trainer runs to the
+    * VALIDATED stopping round ([[chosenRound]]) instead of the fixed
+    * [[Epochs]] — the oracle re-derives the round from its own curve
+    * CTEs and plucks the matching epoch's weights, so a drifted
+    * stopping rule hash-fails. */
   private[graft] def qweightsArtifact(s: SparkSession, d: String): DataFrame =
-    DerivedTable(s, d, "documents", "qweights") {
+    DerivedTable(s, d, "documents", "qweights", builderVersion = 2) {
       val docs = Tables.documents(s, d)
-      modelTable(trainWeights(docs), binStats(docs))
+      modelTable(
+        trainFromCells(featureCells(docs), labelTable(docs),
+          chosenRound(s, d)),
+        binStats(docs))
     }
 
   /** The Adagrad epoch CTEs over a given (feats, lab, nd) triple with a
@@ -473,6 +492,32 @@ object Quality {
       |)""".stripMargin
   }
 
+  /** The STOPPED full-corpus chain — the oracle form of the shipped
+    * model since r14: the split-trained chain + val curve derive the
+    * chosen round (ch — argmax val_correct, earliest on ties), the
+    * full-corpus epoch CTEs run as before, and `wst` plucks the chosen
+    * round's full-corpus weights from their union. Every consumer of
+    * the shipped model (x204/x205/x206/x208/x217, st33/st34) rides
+    * this chain, so the stopping rule is re-derived end-to-end in the
+    * oracle rather than trusted from the artifact. DuckDB materializes
+    * all [[Epochs]] epochs of both chains; the SPARK side trains only
+    * to the chosen round — the 3x serve saving x210 measured. */
+  private[graft] lazy val logitStopCteSql: String = {
+    val allw = (1 to Epochs).map(k =>
+      s"SELECT $k AS round, b, w FROM w$k").mkString("\n  UNION ALL ")
+    logitTrainCteSql + ", " + valCurveCteSql + ", " +
+      epochCtes("", "feats", "lab", "nd") + s""", ch AS (
+      |  SELECT round FROM (
+      |    SELECT round, row_number() OVER (
+      |      ORDER BY val_correct DESC, round) AS rn FROM curve)
+      |  WHERE rn = 1
+      |), allw AS (
+      |  $allw
+      |), wst AS MATERIALIZED (
+      |  SELECT allw.b, allw.w FROM allw JOIN ch ON allw.round = ch.round
+      |)""".stripMargin
+  }
+
   /** x208's hardness-boosted mixture from its three ingredients —
     * shared VERBATIM by the batch query (artifact weights + corpus-
     * derived cells/labels/meta) and st34's streaming composition
@@ -534,9 +579,9 @@ object Quality {
     * hardness-mix composition (the st33↔x204 contract applied to the
     * classifier-in-the-loop mix). */
   private[graft] lazy val x208OracleSql: String =
-    s"""WITH $logitCteSql, sc AS (
+    s"""WITH $logitStopCteSql, sc AS (
       |  SELECT f.doc_id, CAST(sum(f.fq * w.w) AS BIGINT) AS zmm
-      |  FROM feats f JOIN w$Epochs w USING (b) GROUP BY 1
+      |  FROM feats f JOIN wst w USING (b) GROUP BY 1
       |), corr AS (
       |  SELECT d.source, CAST(count(*) AS BIGINT) AS n,
       |         CAST(sum(CASE WHEN (sc.zmm > 0) = (l.y = 1)
@@ -585,7 +630,7 @@ object Quality {
     * stream model must answer the batch oracle, one answer definition
     * for both paths). */
   private[graft] lazy val x204OracleSql: String =
-    s"""WITH $logitCteSql, bstat AS (
+    s"""WITH $logitStopCteSql, bstat AS (
       |  SELECT v.b, CAST(sum(t.c) AS BIGINT) AS bin_tokens,
       |         CAST(count(DISTINCT t.doc_id) AS BIGINT) AS bin_docs
       |  FROM tokw t JOIN voch v USING (word) GROUP BY 1
@@ -595,7 +640,7 @@ object Quality {
       |       coalesce(bs.bin_docs, 0) AS bin_docs,
       |       w.w AS w_micro,
       |       round(1e-9 + w.w / 1000000.0, 6) AS weight
-      |FROM w$Epochs w LEFT JOIN bstat bs ON w.b = bs.b
+      |FROM wst w LEFT JOIN bstat bs ON w.b = bs.b
       |ORDER BY bin""".stripMargin
 
   val entries: Seq[QueryDef] = Seq(
@@ -743,9 +788,9 @@ object Quality {
     // report. The model itself comes off the persisted artifact —
     // scoring never retrains.
     QueryDef("x205_classifier_eval",
-      s"""WITH $logitCteSql, sc AS (
+      s"""WITH $logitStopCteSql, sc AS (
         |  SELECT f.doc_id, CAST(sum(f.fq * w.w) AS BIGINT) AS zmm
-        |  FROM feats f JOIN w$Epochs w USING (b) GROUP BY 1
+        |  FROM feats f JOIN wst w USING (b) GROUP BY 1
         |), cellm AS (
         |  SELECT sc.doc_id, sc.zmm,
         |         CAST(round(1e-9 + (sc.zmm / 1000000000000.0) * 1000000.0)
@@ -810,9 +855,9 @@ object Quality {
     // (x205's scoring shape); binning is per-row arithmetic; everything
     // after the bins-sized aggregate is bounded relational algebra.
     QueryDef("x206_classifier_calibration",
-      s"""WITH $logitCteSql, sc AS (
+      s"""WITH $logitStopCteSql, sc AS (
         |  SELECT f.doc_id, CAST(sum(f.fq * w.w) AS BIGINT) AS zmm
-        |  FROM feats f JOIN w$Epochs w USING (b) GROUP BY 1
+        |  FROM feats f JOIN wst w USING (b) GROUP BY 1
         |), j AS (
         |  SELECT CAST(floor(CAST(round(1e-9 +
         |           (sc.zmm / 1000000000000.0) * 1000000.0) AS BIGINT)
@@ -1030,9 +1075,9 @@ object Quality {
     // arithmetic as a stateless CASE off one broadcast count; the
     // report is 4 rows.
     QueryDef("x217_quality_curriculum",
-      s"""WITH $logitCteSql, sc AS (
+      s"""WITH $logitStopCteSql, sc AS (
         |  SELECT f.doc_id, CAST(sum(f.fq * w.w) AS BIGINT) AS zmm
-        |  FROM feats f JOIN w$Epochs w USING (b) GROUP BY 1
+        |  FROM feats f JOIN wst w USING (b) GROUP BY 1
         |), ph AS (
         |  SELECT doc_id, zmm,
         |         CAST(ntile(4) OVER (ORDER BY zmm DESC, doc_id) AS BIGINT)

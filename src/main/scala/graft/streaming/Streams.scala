@@ -2135,10 +2135,16 @@ object Streams {
           }
           .start()
         try q.processAllAvailable() finally q.stop()
+        // retrain to the VALIDATED stopping round (r14): the chosen
+        // round is a once-per-content hyperparameter off the persisted
+        // qvalcurve artifact — a <=24-row read, not a corpus pass — and
+        // x204's oracle re-derives it, so a drifted round hash-fails.
+        // At sf0.01 this cuts the serve retrain from 24 to 7 epochs.
         graft.operators.Quality.serveModel(
           graft.operators.Quality.modelTable(
             graft.operators.Quality.trainFromCells(
-              ss.read.parquet(ceDir), ss.read.parquet(lbDir)),
+              ss.read.parquet(ceDir), ss.read.parquet(lbDir),
+              graft.operators.Quality.chosenRound(ss, d)),
             ss.read.parquet(bsDir).groupBy(col("b"))
               .agg(sum(col("bin_tokens")).as("bin_tokens"),
                 sum(col("bin_docs")).as("bin_docs"))))
@@ -2200,8 +2206,11 @@ object Streams {
         try q.processAllAvailable() finally q.stop()
         val cells = ss.read.parquet(ceDir)
         val labels = ss.read.parquet(lbDir)
+        // st33's r14 rule: the retrain-at-serve stops at the validated
+        // round (persisted hyperparameter, re-derived by x208's oracle)
         graft.operators.Quality.hardnessMix(
-          graft.operators.Quality.trainFromCells(cells, labels),
+          graft.operators.Quality.trainFromCells(cells, labels,
+            graft.operators.Quality.chosenRound(ss, d)),
           cells, labels, ss.read.parquet(mmDir))
       }
     },

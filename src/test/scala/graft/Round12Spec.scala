@@ -465,7 +465,12 @@ class Round12Spec extends AnyFunSuite {
     val binSet = cells.values.flatMap(_.keys).toSet
     var w = binSet.map(_ -> 0L).toMap
     var ss = binSet.map(_ -> 0L).toMap
-    (1 to operators.Quality.Epochs).foreach { _ =>
+    // r14: the shipped model trains to the VALIDATED stopping round
+    // (Quality.chosenRound), not the fixed 24 — the sequential
+    // reference replays exactly that many epochs
+    val stopRound = operators.Quality.chosenRound(spark, sf0_001)
+    assert(stopRound >= 1 && stopRound <= operators.Quality.Epochs)
+    (1 to stopRound).foreach { _ =>
       val grad = scala.collection.mutable.Map[Int, Long]()
         .withDefaultValue(0L)
       cells.foreach { case (id, fv) =>
