@@ -382,10 +382,16 @@ object Streams {
   /** The reference's incremental-freshness model in streaming form
     * (SURVEY.md §2.9): each micro-batch is merged into the persistent fact
     * table with the SAME conditional-upsert semantics as the batch M1
-    * operator — `foreachBatch` + [[graft.operators.Merge.upsert]]. The
-    * fact keeps the REWRITE fold (not r13's append-log): keep-latest
-    * REPLACES prior rows, so the state is not a mergeable delta log —
-    * the production form is a Delta MERGE touching O(matched keys). */
+    * operator — `foreachBatch` + [[graft.operators.Merge.upsert]].
+    * Keep-latest REPLACES prior rows, so the state cannot be an
+    * append-only delta log; since r14 it is a KEYED store instead
+    * ([[StateFold KeyedFold]]): the fact parquet is partitioned by
+    * key-hash, each batch prunes its read to the partitions its keys
+    * fall in, merges, and dynamic-partition-overwrites ONLY those —
+    * per-batch I/O ∝ touched keys, never total fact size (the parquet
+    * shape of the Delta MERGE this becomes on a cluster). Journal-
+    * pinned in Round14Spec: a batch leaves untouched kh partitions'
+    * files byte-identical. */
   def incrementalUpsert(s: SparkSession, srcDir: String, factDir: String,
       keys: Seq[String], ordering: Seq[org.apache.spark.sql.Column]): Unit = {
     val schema = s.read.parquet(srcDir).schema
@@ -393,14 +399,12 @@ object Streams {
       .writeStream.outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val existing =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(factDir, "_SUCCESS")))
-            spark.read.parquet(factDir)
-          else batch.limit(0)
+        val parts = KeyedFold.touched(batch, keys)
+        val existing = KeyedFold.readParts(spark, factDir, parts, batch)
         val merged = graft.operators.Merge
           .upsert(existing, batch, keys, ordering)
           .localCheckpoint() // sever lineage from the files being overwritten
-        merged.write.mode("overwrite").parquet(factDir)
+        KeyedFold.overwriteTouched(merged, keys, factDir)
         ()
       }
       .start()
@@ -461,7 +465,7 @@ object Streams {
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
       val stage = stageEvents(d)
       val factDir = java.nio.file.Paths.get(graft.Scratch.path(
-        s"graft_stfact_v2_${graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}"),
+        s"graft_stfact_v3_${graft.ContentKey.key(java.nio.file.Paths.get(d, "events.parquet"))}"),
         "fact").toString
       withStreamingConfs(s) { ss =>
         incrementalUpsert(ss, stage, factDir, Seq("user_id", "event_type"),
@@ -1498,16 +1502,19 @@ object Streams {
     // Scale: per batch the state read is the label table (nodes-sized,
     // the artifact a graph store keeps anyway), the work is ∝ batch
     // edges + components, and no base edge is ever rescanned — the
-    // streaming form of x149's refresh-∝-Δ claim. The label table keeps
-    // the REWRITE fold (not r13's append-log): a merge can RELABEL
-    // arbitrary prior rows, so the state is not a mergeable delta log —
-    // production holds it in a keyed store where each write is
-    // O(relabeled keys), not a parquet rewrite.
+    // streaming form of x149's refresh-∝-Δ claim. A merge can RELABEL
+    // arbitrary prior rows, so the label state is not a mergeable delta
+    // log; since r14 it is a KEYED store (KeyedFold): labels partition
+    // by node-hash, the batch's new/relabeled nodes select the touched
+    // partitions, and dynamic partition overwrite rewrites ONLY those —
+    // write ∝ relabeled keys (the read stays nodes-sized: a merge must
+    // probe every label to decide what relabels, exactly the label scan
+    // x149's batch form does). Journal-pinned in Round14Spec.
     QueryDef("st22_stream_cc",
       graft.operators.Corpus.x146OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageCcEdgesSplit(ss, d)
-        val ccDir = graft.Scratch.path(s"graft_stcc_v1_${
+        val ccDir = graft.Scratch.path(s"graft_stcc_v2_${
           graft.ContentKey.key(
             java.nio.file.Paths.get(d, "documents.parquet"))}")
         resetDir(ccDir)
@@ -1517,21 +1524,30 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            val hasState = java.nio.file.Files.exists(
-              java.nio.file.Paths.get(ccDir, "_SUCCESS"))
-            val prior =
-              if (hasState) spark.read.parquet(ccDir)
-              else batch.select(col("src").as("node"),
-                col("src").as("comp")).limit(0)
-            graft.operators.Corpus
+            val prior = KeyedFold.readAll(spark, ccDir,
+                batch.select(col("src").as("node"), col("src").as("comp")))
+              .localCheckpoint() // read by the merge AND the changed diff
+            val next = graft.operators.Corpus
               .ccMergeStep(prior, batch.select(col("src"), col("dst")))
-              .localCheckpoint() // sever from the state file being replaced
-              .write.mode("overwrite").parquet(ccDir)
+              .localCheckpoint() // sever from the files being replaced
+            // changed = new nodes + relabeled nodes; their kh set is the
+            // touched-partition list. The overwrite must carry EVERY
+            // surviving row of a touched partition, so re-slice `next`
+            // by the changed partitions rather than writing `changed`.
+            val changed = next.join(prior, Seq("node", "comp"), "left_anti")
+            val touchedKh = changed
+              .select(KeyedFold.kh(Seq(col("node"))).as("kh")).distinct()
+            val updated = next
+              .join(broadcast(touchedKh),
+                KeyedFold.kh(Seq(col("node"))) === col("kh"))
+              .drop("kh")
+            KeyedFold.overwriteTouched(updated, Seq("node"), ccDir)
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        graft.operators.Corpus.ccReport(ss.read.parquet(ccDir))
+        graft.operators.Corpus.ccReport(
+          KeyedFold.readAll(ss, ccDir, ss.emptyDataFrame))
       }
     },
 
@@ -1872,18 +1888,21 @@ object Streams {
     //
     // Scale: per-batch cost is the batch's own run table joined against
     // a one-row-per-user frontier — never a rescan of event history;
-    // the frontier derives from the state by a keyed aggregate. This is
-    // how a 100 TB warehouse keeps SCD2 dimensions current: the closed
-    // runs never change, only the open frontier absorbs new events.
-    // The run table keeps the REWRITE fold (not r13's append-log):
-    // extending a user's open run MUTATES its prior row (n_events), so
-    // the state is not a mergeable delta log — production form is a
-    // Delta/Iceberg MERGE touching O(open runs), not a parquet rewrite.
+    // the frontier derives from the state by a keyed aggregate.
+    // Extending a user's open run MUTATES its prior row (n_events), so
+    // the run state is not a mergeable delta log; since r14 it is a
+    // KEYED store (KeyedFold): runs partition by user-hash, the batch
+    // prunes its read to the partitions its users fall in (closed runs
+    // of untouched users are never even scanned), and dynamic partition
+    // overwrite rewrites only those — per-batch I/O ∝ batch users, the
+    // Delta/Iceberg MERGE shape. This is how a 100 TB warehouse keeps
+    // SCD2 dimensions current: closed runs never change, only the open
+    // frontier absorbs new events. Journal-pinned in Round14Spec.
     QueryDef("st29_stream_scd2",
       graft.operators.Merge.x191OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
         val stage = stageEventsTimeSplit(ss, d)
-        val stDir = graft.Scratch.path(s"graft_stscd2_v1_${
+        val stDir = graft.Scratch.path(s"graft_stscd2_v2_${
           graft.ContentKey.key(
             java.nio.file.Paths.get(d, "events.parquet"))}")
         resetDir(stDir)
@@ -1894,12 +1913,12 @@ object Streams {
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val spark = batch.sparkSession
-            val hasState = java.nio.file.Files.exists(
-              java.nio.file.Paths.get(runsDir, "_SUCCESS"))
             val local = graft.operators.Merge.scd2RawRuns(batch)
               .localCheckpoint()
-            val prior =
-              if (hasState) spark.read.parquet(runsDir) else local.limit(0)
+            val parts = KeyedFold.touched(local, Seq("user_id"))
+            val prior = KeyedFold
+              .readParts(spark, runsDir, parts, local)
+              .localCheckpoint() // frontier + merge both read the slice
             // frontier: each user's open run (max run_id) and its status
             val frontier = prior
               .groupBy(col("user_id"))
@@ -1924,18 +1943,23 @@ object Streams {
                 (col("p_runs") + col("run_id")
                   - when(col("mrg"), 1L).otherwise(0L)).as("run_id"),
                 col("status"), col("valid_from"), col("n_events"))
-            prior.join(mergedDelta, Seq("user_id", "run_id"), "left")
+            val updated = prior
+              .join(mergedDelta, Seq("user_id", "run_id"), "left")
               .withColumn("n_events",
                 col("n_events") + coalesce(col("delta"), lit(0L)))
               .drop("delta")
               .unionByName(freshRuns)
-              .localCheckpoint() // sever from the state file being replaced
-              .write.mode("overwrite").parquet(runsDir)
+              .localCheckpoint() // sever from the files being replaced
+            // `updated` = every surviving run of the touched partitions
+            // (prior slice rows pass through with a null delta), so the
+            // dynamic overwrite replaces exactly those kh dirs
+            KeyedFold.overwriteTouched(updated, Seq("user_id"), runsDir)
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        graft.operators.Merge.scd2Finish(ss.read.parquet(runsDir))
+        graft.operators.Merge.scd2Finish(
+          KeyedFold.readAll(ss, runsDir, ss.emptyDataFrame))
           .orderBy(col("user_id"), col("run_id"))
       }
     },

@@ -150,6 +150,65 @@ class Round14Spec extends AnyFunSuite {
     assert(covered == total)
   }
 
+  test("keyed fold: a batch rewrites only the kh partitions its keys touch") {
+    import spark.implicits._
+    import streaming.{KeyedFold, StateFold, Streams}
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    def t(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // two source dirs: each incrementalUpsert call is one batch arrival
+    // against the SAME persistent fact (a fresh stream re-reads its
+    // whole source dir, so a shared dir would replay batch 1 into
+    // batch 2 and touch every partition)
+    val src1 = java.nio.file.Files.createTempDirectory("r14src1").toString
+    val src2 = java.nio.file.Files.createTempDirectory("r14src2").toString
+    val fact = java.nio.file.Paths
+      .get(java.nio.file.Files.createTempDirectory("r14fact").toString,
+        "fact").toString
+    val keys = Seq("user_id", "event_type")
+    val ord = Seq(org.apache.spark.sql.functions.col("ts").desc,
+      org.apache.spark.sql.functions.col("event_id").desc)
+    def dump(dir: String,
+        rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1 spreads keys over several partitions; batch 2 touches ONE
+    dump(src1, (1L to 40L).map(u => (u, t(0), u, "click", 1.0)))
+    Streams.incrementalUpsert(spark, src1, fact, keys, ord)
+    dump(src2, Seq((100L, t(9), 7L, "click", 2.0)))
+    Streams.incrementalUpsert(spark, src2, fact, keys, ord)
+    val evs = StateFold.events
+      .filter(e => e.dir == fact && e.kind == "keyed-overwrite")
+    assert(evs.size >= 2, s"expected 2+ keyed-overwrite events, got $evs")
+    val last = evs.last
+    // the single-key batch's touched partition
+    val expectKh = Seq((7L, "click")).toDF("user_id", "event_type")
+      .select(KeyedFold.kh(keys.map(
+        org.apache.spark.sql.functions.col))).head.getInt(0)
+    def byPart(fs: Set[String]): Map[String, Set[String]] =
+      fs.groupBy(_.split("/")(0))
+    val before = byPart(last.before); val after = byPart(last.after)
+    // every partition other than the touched one is byte-file-identical
+    (before.keySet ++ after.keySet).filterNot(_ == s"kh=$expectKh")
+      .foreach { p =>
+        assert(before.get(p) == after.get(p),
+          s"partition $p was rewritten by a batch that never touched it")
+      }
+    // ... and the touched one WAS rewritten (fresh part files)
+    assert(before.get(s"kh=$expectKh") != after.get(s"kh=$expectKh"),
+      "the touched partition must carry new part files")
+    // write volume ∝ touched keys: a 1-key batch rewrote 1 of the
+    // populated partitions, not the state
+    assert(before.size > 4, "fixture must populate several partitions")
+    // cross-batch semantics survived the pruned read: the newer event
+    // 100 replaces (7, click)'s batch-1 row, everyone else survives —
+    // exactly what breaks if a batch ever sees an empty prior
+    val got = spark.read.parquet(fact)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val expect = ((1L to 40L).filterNot(_ == 7L) :+ 100L).sorted
+    assert(got == expect,
+      s"keep-latest over both batches must win: $got")
+  }
+
   test("x222 returns zero rows on a corpus with no repeated token") {
     import spark.implicits._
     // all tokens globally distinct -> max adjacent LCP is 0; the old
