@@ -275,6 +275,62 @@ object Dedup {
       |             JOIN sig sb ON p.doc_b = sb.doc_id
       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
 
+  /** x91's calibration-sample bound (VERDICT r13 item 5): the sweep
+    * measures precision/recall on AT MOST ~SampleCap documents. The old
+    * selector (fingerprint % 2) took half the CORPUS — linear in data,
+    * which made the one measurement query with an exact ground-truth arm
+    * superlinear end-to-end (2.25× at 2× data: truth-arm pairs ∝ sample
+    * postings²). Calibration is a bounded MEASUREMENT, not a production
+    * pass: at 100 TB you calibrate a (b, r) choice on a fixed-size
+    * content-keyed sample and band the corpus once. The modulus ladder
+    * keeps membership deterministic and content-keyed: m = the smallest
+    * power of two with ceil(n / SampleCap) ≤ m, selector fp % m = 0 —
+    * both engines derive m from the same 1-row count through the same
+    * generated CASE ladder ([[pow2LadderSql]]), so the sample is
+    * identical and the whole sweep's cost is O(corpus scan) + O(1). */
+  private val SampleCap = 2048L
+
+  /** CASE ladder picking the smallest power of two ≥ q (q = the ceil
+    * division count/SampleCap) — generated once, shared verbatim by the
+    * oracle SQL and (via [[pow2Ladder]]) the Spark plan. */
+  private val ladderPows: Seq[Long] = (0 to 40).map(k => 1L << k)
+
+  private def pow2LadderSql: String =
+    "CASE " + ladderPows.map(p => s"WHEN q <= $p THEN $p").mkString(" ") +
+      s" ELSE ${1L << 41} END"
+
+  private def pow2Ladder(q: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    ladderPows.foldRight(lit(1L << 41): org.apache.spark.sql.Column)(
+      (p, acc) => when(q <= p, p).otherwise(acc))
+
+  /** The bounded calibration sample (doc_id): fp % m = 0 with m from the
+    * shared ladder. */
+  private def calibSample(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val m = graft.Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      .select(expr(s"CAST((n + ${SampleCap - 1}) div $SampleCap AS BIGINT)")
+        .as("q"))
+      .select(pow2Ladder(col("q")).as("m"))
+    TextAnalysis.fingerprintTable(s, d)
+      .crossJoin(broadcast(m))
+      .filter(col("fp") % col("m") === 0)
+      .select(col("doc_id"))
+  }
+
+  /** The oracle's sample CTEs (nn → mm → samp), mirroring
+    * [[calibSample]] through the same generated ladder. */
+  private def calibSampleCteSql: String =
+    s"""nn AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |), mm AS (
+      |  SELECT CAST($pow2LadderSql AS BIGINT) AS m
+      |  FROM (SELECT (n + ${SampleCap - 1}) // $SampleCap AS q FROM nn)
+      |), samp AS (
+      |  SELECT doc_id FROM documents, mm
+      |  WHERE ${graft.operators.TextAnalysis.fingerprintSql} % m = 0
+      |)""".stripMargin
+
   /** The x91 band-configuration sweep: (bands, rows-per-band) splits of the
     * SAME 8-perm signature budget. Theory capture probability at J = 0.5
     * (1 − (1 − J^r)^b) is computed ONCE here, rounded, and interpolated as
@@ -316,10 +372,7 @@ object Dedup {
     }.mkString(", ")
     val union = x91Configs.map { case (b, _, _) => s"SELECT * FROM r$b" }
       .mkString(" UNION ALL ")
-    s"""WITH $pminhashCteSql, samp AS (
-      |  SELECT doc_id FROM documents
-      |  WHERE ${graft.operators.TextAnalysis.fingerprintSql} % 2 = 0
-      |), sg AS (
+    s"""WITH $pminhashCteSql, $calibSampleCteSql, sg AS (
       |  SELECT sig.* FROM sig JOIN samp USING (doc_id)
       |), ex AS (
       |  SELECT doc_id, unnest(tri) AS g FROM sg
@@ -1471,18 +1524,22 @@ object Dedup {
     // identically per config.
     //
     // Scale: the WHOLE sweep — candidates and ground truth — runs on a
-    // deterministic content-keyed half-sample (fingerprint % 2, x61's
-    // selector), because calibration is a measurement, not a production
-    // pass: at 100 TB you calibrate on a slice and band the corpus once
-    // (x83's sampled query set applied to banding). The ground-truth arm
+    // BOUNDED deterministic content-keyed sample (fp % m = 0 with m the
+    // smallest power of two capping the sample near [[SampleCap]] docs —
+    // r14; the r13 half-sample still grew linearly and made the sweep's
+    // exact truth arm superlinear end-to-end), because calibration is a
+    // measurement, not a production pass: at 100 TB you calibrate on a
+    // fixed-size slice and band the corpus once (x83's sampled query
+    // set applied to banding). The ground-truth arm
     // is the x04 inverted-index join (work ∝ shared grams within the
     // sample); each config's candidate generation is the same banded
     // equi-join the production pipeline uses, work ∝ collisions. Nothing
     // in the sweep is all-pairs; the three configs share one signature
     // scan.
     QueryDef("x91_lsh_calibration", x91OracleSql) { (s, d) =>
-      val samp = TextAnalysis.fingerprintTable(s, d)
-        .filter(col("fp") % 2 === 0).select(col("doc_id"))
+      // bounded content-keyed sample (fp % m, m from the shared power-of-
+      // two ladder) — the sweep's cost no longer grows with the corpus
+      val samp = calibSample(s, d)
       val sig = pminhashTable(s, d)
         .join(samp, "doc_id")
         .select(col("doc_id"), col("tri"), col("sig"))
