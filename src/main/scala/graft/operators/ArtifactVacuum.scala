@@ -83,6 +83,7 @@ object ArtifactVacuum {
     ("aggmv_stale", "events", 1),
     ("tokens", "documents", 1),
     ("slcp", "documents", 2),
+    ("rwslcp", "documents", 1),
     ("capsimhash", "documents", 1),
     ("lplabels", "documents", 1),
     ("geopoints", "events", 1))

@@ -302,17 +302,7 @@ object Tokens {
     // the span stage is position-keyed aggregates + the doc-partitioned
     // island windows — linear, sources-sized report.
     graft.QueryDef("x221_repeat_spans", x221OracleSql) { (s, d) =>
-      val lcp = suffixLcpArtifact(s, d).localCheckpoint()
-      val rl = lcp.select(col("ad").as("doc_id"), col("ai").as("i"),
-          col("lcp"))
-        .unionByName(lcp.select(col("bd").as("doc_id"),
-          col("bi").as("i"), col("lcp")))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(max(col("lcp")).as("rlen"))
-      val spans = rl.filter(col("rlen") >= 8)
-        .select(col("doc_id"), col("i").as("s0"),
-          (col("i") + col("rlen")).as("e0"))
-      val cov = Mining.mergeSpans(spans)
+      val cov = coveragePerDoc(suffixLcpArtifact(s, d))
       val docs = Tables.documents(s, d)
       val dt = table(s, d).groupBy(col("doc_id"))
         .agg((max(col("i")) + 1).cast("long").as("ntok"))
@@ -401,14 +391,62 @@ object Tokens {
       substringRewriteFrom(suffixLcpArtifact(s, d),
         table(s, d),
         Tables.documents(s, d).select(col("doc_id"), col("source")))
+    },
+
+    // REWRITE-EFFECT AUDIT — the closed loop on x223: did the cut buy
+    // what it promised? Re-measure x221's exact repeat-span coverage on
+    // the REWRITTEN corpus and report before/after per source. This is
+    // a genuine re-measurement, not a derivation: splicing creates NEW
+    // token adjacencies (tokens on either side of a cut span become
+    // neighbors), so residual repeats — including any the cut itself
+    // manufactured — only surface by running the suffix machinery again
+    // over the survivors (Lee et al. note the same effect for
+    // ExactSubstr). The after-number is the gate a pipeline reads
+    // before declaring substring dedup done or scheduling another pass.
+    //
+    // Scale: the rewritten corpus's suffix table is its own
+    // content-keyed artifact (rwslcp — built once, the same log-round
+    // machinery); both coverage stages are the shared linear
+    // coveragePerDoc; the report is sources-sized.
+    graft.QueryDef("x224_rewrite_audit", x224OracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val tok = table(s, d).select(col("doc_id"),
+        col("i").cast("long").as("i"), col("word"))
+      val tlb = tok.groupBy(col("doc_id"))
+        .agg((max(col("i")) + 1).as("ntok"))
+      val bt = tlb.join(docs, "doc_id")
+        .join(coveragePerDoc(suffixLcpArtifact(s, d)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("ntok")).as("tokens_before"),
+          sum(coalesce(col("tokens_removed"), lit(0L))).as("repeat_before"))
+      val rwtok = rewrittenTokens(suffixLcpArtifact(s, d), table(s, d))
+      val tla = rwtok.groupBy(col("doc_id"))
+        .agg((max(col("i")) + 1).as("ntok"))
+      val at2 = tla.join(docs, "doc_id")
+        .join(coveragePerDoc(rwslcpArtifact(s, d)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("ntok")).as("tokens_after"),
+          sum(coalesce(col("tokens_removed"), lit(0L))).as("repeat_after"))
+      bt.join(at2, Seq("source"), "left")
+        .select(col("source"), col("tokens_before"), col("repeat_before"),
+          expr("repeat_before * 1000000 div tokens_before")
+            .as("repeat_ppm_before"),
+          coalesce(col("tokens_after"), lit(0L)).as("tokens_after"),
+          coalesce(col("repeat_after"), lit(0L)).as("repeat_after"),
+          when(coalesce(col("tokens_after"), lit(0L)) === 0, 0L)
+            .otherwise(expr("repeat_after * 1000000 div tokens_after"))
+            .as("repeat_ppm_after"),
+          (col("tokens_before") - coalesce(col("tokens_after"), lit(0L)))
+            .as("tokens_cut"))
+        .orderBy(col("source"))
     }
   )
 
-  /** x223's rewrite over explicit (lcp pairs, token table, doc metadata)
-    * frames — split out so Round14Spec can drive the crafted three-copy
-    * and conservation fixtures through the exact production plan. */
-  private[graft] def substringRewriteFrom(lcpPairs: DataFrame,
-      tokens: DataFrame, docMeta: DataFrame): DataFrame = {
+  /** x223's cut-position set (doc_id, pos) from the lcp pair table: the
+    * ×8 window union over every position that is not the corpus-order-
+    * first of its ≥8-LCP adjacency class. Shared by the rewrite report
+    * and x224's rewritten-corpus builder. */
+  private[graft] def cutPositions(lcpPairs: DataFrame): DataFrame = {
       val p8 = lcpPairs.filter(col("lcp") >= 8)
         .select(col("rn"), col("ad"), col("ai"), col("bd"), col("bi"))
         .localCheckpoint() // extent agg + the rank pass both read it
@@ -426,13 +464,37 @@ object Tokens {
       val fst = mem.groupBy(col("g"))
         .agg(min(struct(col("doc_id"), col("i"))).as("f"))
         .select(col("g"), col("f.doc_id").as("fd"), col("f.i").as("fi"))
-      val cutpos = mem.join(fst, "g")
+      mem.join(fst, "g")
         .filter(!(col("doc_id") === col("fd") && col("i") === col("fi")))
         .select(col("doc_id"), col("i"))
         .withColumn("o", explode(sequence(lit(0L), lit(7L))))
         .select(col("doc_id"), (col("i") + col("o")).as("pos"))
         .distinct()
         .localCheckpoint() // per-doc counts + the splice anti-join
+  }
+
+  /** The REWRITTEN corpus's token stream: surviving positions renumbered
+    * dense per doc (fully-cut docs vanish). One doc-partitioned window —
+    * the natural high-cardinality partitioner. */
+  private[graft] def rewrittenTokens(lcpPairs: DataFrame,
+      tokens: DataFrame): DataFrame = {
+    val tok = tokens.select(col("doc_id"),
+      col("i").cast("long").as("i"), col("word"))
+    val cutpos = cutPositions(lcpPairs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    tok.join(cutpos,
+        tok("doc_id") === cutpos("doc_id") && col("i") === col("pos"),
+        "left_anti")
+      .withColumn("i", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** x223's rewrite over explicit (lcp pairs, token table, doc metadata)
+    * frames — split out so Round14Spec can drive the crafted three-copy
+    * and conservation fixtures through the exact production plan. */
+  private[graft] def substringRewriteFrom(lcpPairs: DataFrame,
+      tokens: DataFrame, docMeta: DataFrame): DataFrame = {
+      val cutpos = cutPositions(lcpPairs)
       val tok = tokens.select(col("doc_id"),
         col("i").cast("long").as("i"), col("word"))
       val kept = tok.join(cutpos,
@@ -457,12 +519,15 @@ object Tokens {
         .orderBy(col("doc_id"))
   }
 
-  /** x223's oracle: the shared suffix chain; >= 8-LCP adjacency runs are
-    * the 8-prefix classes, keep-first is the per-class corpus-order
-    * row_number, cut positions are the x8 window union, and the splice
-    * is an ordered string_agg over the anti-joined token stream. */
-  private[graft] lazy val x223OracleSql: String =
-    s"""WITH $suffixCteSql, p8 AS (
+  /** x223's cut pipeline as CTEs over the unprefixed suffix chain:
+    * ≥8-LCP adjacency runs are the 8-prefix classes (p8 → isl),
+    * keep-first is the per-class corpus-order row_number (fst), cut
+    * positions are the ×8 window union (cutpos), and `kept` is the
+    * anti-joined surviving token stream. Shared by x223 (which splices
+    * and reports) and x224 (which re-runs the suffix machinery over
+    * `kept` to measure what the rewrite bought). */
+  private[graft] lazy val x223CutCteSql: String =
+    s"""p8 AS (
       |  SELECT rn, ad, ai, bd, bi FROM lf WHERE lcp >= 8
       |), isl AS (
       |  SELECT ad, ai, bd, bi,
@@ -489,7 +554,12 @@ object Tokens {
       |  FROM tok t LEFT JOIN cutpos c
       |    ON t.doc_id = c.doc_id AND t.i = c.pos
       |  WHERE c.pos IS NULL
-      |), ka AS (
+      |)""".stripMargin
+
+  /** x223's oracle: the shared suffix chain + the cut pipeline, then the
+    * splice (ordered string_agg) and the per-doc report. */
+  private[graft] lazy val x223OracleSql: String =
+    s"""WITH $suffixCteSql, $x223CutCteSql, ka AS (
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
       |         string_agg(word, ' ' ORDER BY i) AS kept_text
       |  FROM kept GROUP BY 1
@@ -504,6 +574,46 @@ object Tokens {
       |JOIN documents d ON d.doc_id = cn.doc_id
       |LEFT JOIN ka ON ka.doc_id = cn.doc_id
       |ORDER BY cn.doc_id""".stripMargin
+
+  /** x224's oracle: the shared chain + cut pipeline, the rewritten
+    * token stream (kept positions renumbered dense per doc), the SAME
+    * generated suffix chain run a SECOND time over it (prefix "rw"),
+    * and the before/after coverage rollup per source. */
+  private[graft] lazy val x224OracleSql: String =
+    s"""WITH $suffixCteSql, $x223CutCteSql, rwtok AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+      |              AS BIGINT) AS i,
+      |         word
+      |  FROM kept
+      |), ${suffixChainFromTokSql("rw")}, ${coverageCteSql("")},
+      |${coverageCteSql("rw")}, bt AS (
+      |  SELECT d.source,
+      |         CAST(sum(tl.ntok) AS BIGINT) AS tokens_before,
+      |         CAST(sum(coalesce(mg.covered, 0)) AS BIGINT) AS repeat_before
+      |  FROM tl JOIN documents d USING (doc_id)
+      |  LEFT JOIN mg USING (doc_id)
+      |  GROUP BY 1
+      |), at2 AS (
+      |  SELECT d.source,
+      |         CAST(sum(rwtl.ntok) AS BIGINT) AS tokens_after,
+      |         CAST(sum(coalesce(rwmg.covered, 0)) AS BIGINT) AS repeat_after
+      |  FROM rwtl JOIN documents d ON d.doc_id = rwtl.doc_id
+      |  LEFT JOIN rwmg ON rwmg.doc_id = rwtl.doc_id
+      |  GROUP BY 1
+      |)
+      |SELECT bt.source, bt.tokens_before, bt.repeat_before,
+      |       CAST(bt.repeat_before * 1000000 // bt.tokens_before AS BIGINT)
+      |         AS repeat_ppm_before,
+      |       CAST(coalesce(at2.tokens_after, 0) AS BIGINT) AS tokens_after,
+      |       CAST(coalesce(at2.repeat_after, 0) AS BIGINT) AS repeat_after,
+      |       CAST(CASE WHEN coalesce(at2.tokens_after, 0) = 0 THEN 0
+      |            ELSE at2.repeat_after * 1000000 // at2.tokens_after END
+      |            AS BIGINT) AS repeat_ppm_after,
+      |       CAST(bt.tokens_before - coalesce(at2.tokens_after, 0)
+      |            AS BIGINT) AS tokens_cut
+      |FROM bt LEFT JOIN at2 USING (source)
+      |ORDER BY bt.source""".stripMargin
 
   /** x222's oracle: the shared suffix chain; ties at the max LCP form
     * rn-islands, the min-rn island is the argmax run, occurrences =
@@ -532,12 +642,58 @@ object Tokens {
 
   /** The clamped adjacent-suffix LCP table (ad, ai, bd, bi, lcp) as a
     * content-keyed persisted artifact — the suffix machinery (rank
-    * rounds + LCP walk) runs ONCE per corpus content; x220 and x221
-    * both serve from the scan (the kmlists/qweights discipline). */
+    * rounds + LCP walk) runs ONCE per corpus content; x220/x221/x222/
+    * x223 all serve from the scan (the kmlists/qweights discipline).
+    *
+    * STREAMING/APPEND MAINTENANCE CONTRACT (VERDICT r13 item 6 — design,
+    * deliberate): this artifact REBUILDS WHOLE on content change. Suffix
+    * arrays do not merge incrementally — an appended document can
+    * interleave its suffixes anywhere in the global rank order, so there
+    * is no O(Δ) fold (contrast the additive cell/count states in
+    * streaming/StateFold.scala). The honest scale answer is the one the
+    * contamination pair x41/x200 already embodies: serve daily appends
+    * through the GRAM-APPROXIMATE Δ path (fixed-length gram hits are
+    * per-doc-computable and additive) and re-run the exact suffix build
+    * on a REBUILD CADENCE — amortizing the build (log₂(max doc len)
+    * relational rounds over the corpus, 12.8 s per sf0.1 here) across
+    * the window's appends, exactly how production exact-dedup (Lee et
+    * al.'s suffix arrays) is operated batch-wise over snapshot corpora.
+    * Cost model in SCALING.md r14. */
   private[graft] def suffixLcpArtifact(s: SparkSession,
       d: String): DataFrame =
     DerivedTable(s, d, "documents", "slcp", builderVersion = 2) {
       suffixLcpFrom(table(s, d))
+    }
+
+  /** Per-doc ≥8-token repeat-span coverage (doc_id, n_spans,
+    * tokens_removed) off an lcp pair table — x221's measurement stage,
+    * shared with x224's before/after audit. Per-position repeat length
+    * is the max LCP of the suffix's two order-neighbors (the classic SA
+    * identity); spans unify through x202's relational interval merge. */
+  private[graft] def coveragePerDoc(lcpPairs: DataFrame): DataFrame = {
+    val lcp = lcpPairs.localCheckpoint()
+    val rl = lcp.select(col("ad").as("doc_id"), col("ai").as("i"),
+        col("lcp"))
+      .unionByName(lcp.select(col("bd").as("doc_id"),
+        col("bi").as("i"), col("lcp")))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(max(col("lcp")).as("rlen"))
+    val spans = rl.filter(col("rlen") >= 8)
+      .select(col("doc_id"), col("i").as("s0"),
+        (col("i") + col("rlen")).as("e0"))
+    Mining.mergeSpans(spans)
+  }
+
+  /** The REWRITTEN corpus's suffix-LCP table as its own content-keyed
+    * artifact: x223's cut applied to the token stream, then the SAME
+    * suffix machinery ([[suffixLcpFrom]]) over the survivors. Built
+    * once per corpus content; x224 serves from the scan. The second
+    * build is unavoidable for an exact after-measure — splicing creates
+    * NEW token adjacencies (previously-distant tokens become neighbors),
+    * so residual repeats cannot be derived from the original slcp. */
+  private[graft] def rwslcpArtifact(s: SparkSession, d: String): DataFrame =
+    DerivedTable(s, d, "documents", "rwslcp") {
+      suffixLcpFrom(rewrittenTokens(suffixLcpArtifact(s, d), table(s, d)))
     }
 
   /** The suffix machinery over an explicit (doc_id, i, word) token
@@ -619,57 +775,67 @@ object Tokens {
     * against that round's rank CTE), clamped to the shorter tail.
     * Extra rounds past the data's ⌈log₂ L⌉ are provably no-ops (see
     * [[SuffixRounds]]), matching the Spark side's data-derived count. */
-  private[graft] lazy val suffixCteSql: String = {
+  /** The suffix chain CTEs over an arbitrary token CTE named `${p}tok`
+    * (columns doc_id, i BIGINT, word): produces ${p}tl, ${p}r0..r[[
+    * SuffixRounds]], ${p}ord, the walk, and the clamped pair table
+    * ${p}lf. Generated with a NAME PREFIX so x224 can run the identical
+    * machinery a second time over the REWRITTEN corpus's token stream
+    * inside one statement; the unprefixed instance is byte-identical to
+    * the pre-r14 hand-written chain. */
+  private[graft] def suffixChainFromTokSql(p: String): String = {
     val rounds = (1 to SuffixRounds).map { k =>
-      s"""r$k AS MATERIALIZED (
+      s"""${p}r$k AS MATERIALIZED (
         |  SELECT doc_id, i,
         |         CAST(dense_rank() OVER (ORDER BY r, r2) AS BIGINT) AS r
         |  FROM (SELECT doc_id, i, r,
         |               COALESCE(lead(r, ${1 << (k - 1)}) OVER (
         |                 PARTITION BY doc_id ORDER BY i), -1) AS r2
-        |        FROM r${k - 1})
+        |        FROM ${p}r${k - 1})
         |)""".stripMargin
     }.mkString(", ")
     val walk = (SuffixRounds to 0 by -1).map { k =>
-      s"""l$k AS MATERIALIZED (
+      s"""${p}l$k AS MATERIALIZED (
         |  SELECT p.rn, p.ad, p.ai, p.bd, p.bi,
         |         CASE WHEN ra.r IS NOT NULL AND rb.r IS NOT NULL
         |                   AND ra.r = rb.r
         |              THEN p.lcp + ${1L << k} ELSE p.lcp END AS lcp
-        |  FROM l${k + 1} p
-        |  LEFT JOIN r$k ra ON ra.doc_id = p.ad AND ra.i = p.ai + p.lcp
-        |  LEFT JOIN r$k rb ON rb.doc_id = p.bd AND rb.i = p.bi + p.lcp
+        |  FROM ${p}l${k + 1} p
+        |  LEFT JOIN ${p}r$k ra ON ra.doc_id = p.ad AND ra.i = p.ai + p.lcp
+        |  LEFT JOIN ${p}r$k rb ON rb.doc_id = p.bd AND rb.i = p.bi + p.lcp
         |)""".stripMargin
     }.mkString(", ")
+    s"""${p}tl AS (
+      |  SELECT doc_id, CAST(max(i) + 1 AS BIGINT) AS ntok
+      |  FROM ${p}tok GROUP BY 1
+      |), ${p}r0 AS MATERIALIZED (
+      |  SELECT doc_id, i,
+      |         CAST(dense_rank() OVER (ORDER BY word) AS BIGINT) AS r
+      |  FROM ${p}tok
+      |), $rounds, ${p}ord AS (
+      |  SELECT doc_id, i,
+      |         CAST(row_number() OVER (ORDER BY r, doc_id, i) AS BIGINT)
+      |           AS rn
+      |  FROM ${p}r$SuffixRounds
+      |), ${p}l${SuffixRounds + 1} AS (
+      |  SELECT a.rn, a.doc_id AS ad, a.i AS ai, b.doc_id AS bd,
+      |         b.i AS bi, CAST(0 AS BIGINT) AS lcp
+      |  FROM ${p}ord a JOIN ${p}ord b ON b.rn = a.rn + 1
+      |), $walk, ${p}lf AS MATERIALIZED (
+      |  SELECT l0.rn, l0.ad, l0.ai, l0.bd, l0.bi,
+      |         least(l0.lcp, ta.ntok - l0.ai, tb.ntok - l0.bi) AS lcp
+      |  FROM ${p}l0 l0 JOIN ${p}tl ta ON ta.doc_id = l0.ad
+      |       JOIN ${p}tl tb ON tb.doc_id = l0.bd
+      |)""".stripMargin
+  }
+
+  private[graft] lazy val suffixCteSql: String =
     s"""tok AS (
       |  SELECT doc_id, CAST(i AS BIGINT) AS i,
       |         ws[CAST(i AS INT) + 1] AS word
       |  FROM (SELECT doc_id, unnest(range(len(ws))) AS i, ws
       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
       |              FROM documents))
-      |), tl AS (
-      |  SELECT doc_id, CAST(max(i) + 1 AS BIGINT) AS ntok
-      |  FROM tok GROUP BY 1
-      |), r0 AS MATERIALIZED (
-      |  SELECT doc_id, i,
-      |         CAST(dense_rank() OVER (ORDER BY word) AS BIGINT) AS r
-      |  FROM tok
-      |), $rounds, ord AS (
-      |  SELECT doc_id, i,
-      |         CAST(row_number() OVER (ORDER BY r, doc_id, i) AS BIGINT)
-      |           AS rn
-      |  FROM r$SuffixRounds
-      |), l${SuffixRounds + 1} AS (
-      |  SELECT a.rn, a.doc_id AS ad, a.i AS ai, b.doc_id AS bd,
-      |         b.i AS bi, CAST(0 AS BIGINT) AS lcp
-      |  FROM ord a JOIN ord b ON b.rn = a.rn + 1
-      |), $walk, lf AS MATERIALIZED (
-      |  SELECT l0.rn, l0.ad, l0.ai, l0.bd, l0.bi,
-      |         least(l0.lcp, ta.ntok - l0.ai, tb.ntok - l0.bi) AS lcp
-      |  FROM l0 JOIN tl ta ON ta.doc_id = l0.ad
-      |       JOIN tl tb ON tb.doc_id = l0.bd
-      |)""".stripMargin
-  }
+      |), """.stripMargin + suffixChainFromTokSql("")
 
   private[graft] lazy val x220OracleSql: String =
     s"""WITH $suffixCteSql
@@ -677,39 +843,46 @@ object Tokens {
       |       CAST(count(*) AS BIGINT) AS n_pairs
       |FROM lf WHERE lcp >= 1 GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** x221's oracle: the shared suffix chain, per-position repeat length
-    * (max LCP over the position's two adjacent pairs), ≥8 spans, and
-    * x202's relational interval union verbatim. */
-  private[graft] lazy val x221OracleSql: String =
-    s"""WITH $suffixCteSql, rl AS (
+  /** Per-doc ≥8-token repeat-span coverage CTEs over `${p}lf`: the
+    * per-position repeat length (max LCP over the position's two
+    * adjacent pairs), ≥8 spans, and x202's relational interval union —
+    * producing ${p}mg (doc_id, n_spans, covered). Prefixed so x224 can
+    * measure the rewritten corpus with the same machinery. */
+  private[graft] def coverageCteSql(p: String): String =
+    s"""${p}rl AS (
       |  SELECT doc_id, i, CAST(max(lcp) AS BIGINT) AS rlen FROM (
-      |    SELECT ad AS doc_id, ai AS i, lcp FROM lf
+      |    SELECT ad AS doc_id, ai AS i, lcp FROM ${p}lf
       |    UNION ALL
-      |    SELECT bd AS doc_id, bi AS i, lcp FROM lf
+      |    SELECT bd AS doc_id, bi AS i, lcp FROM ${p}lf
       |  ) GROUP BY 1, 2
-      |), sp AS (
-      |  SELECT doc_id, i AS s0, i + rlen AS e0 FROM rl WHERE rlen >= 8
-      |), m1 AS (
+      |), ${p}sp AS (
+      |  SELECT doc_id, i AS s0, i + rlen AS e0 FROM ${p}rl WHERE rlen >= 8
+      |), ${p}m1 AS (
       |  SELECT doc_id, s0, e0,
       |         max(e0) OVER (PARTITION BY doc_id ORDER BY s0
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |           AS pmax
-      |  FROM sp
-      |), m2 AS (
+      |  FROM ${p}sp
+      |), ${p}m2 AS (
       |  SELECT doc_id, s0, e0,
       |         CAST(sum(CASE WHEN pmax IS NULL OR s0 > pmax
       |                       THEN 1 ELSE 0 END)
       |           OVER (PARTITION BY doc_id ORDER BY s0
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |           AS BIGINT) AS grp
-      |  FROM m1
-      |), mg AS (
+      |  FROM ${p}m1
+      |), ${p}mg AS (
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
       |         CAST(sum(me - ms) AS BIGINT) AS covered
       |  FROM (SELECT doc_id, grp, min(s0) AS ms, max(e0) AS me
-      |        FROM m2 GROUP BY doc_id, grp)
+      |        FROM ${p}m2 GROUP BY doc_id, grp)
       |  GROUP BY doc_id
-      |)
+      |)""".stripMargin
+
+  /** x221's oracle: the shared suffix chain, the coverage CTEs, and the
+    * per-source rollup. */
+  private[graft] lazy val x221OracleSql: String =
+    s"""WITH $suffixCteSql, ${coverageCteSql("")}
       |SELECT d.source,
       |       CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(CASE WHEN mg.n_spans IS NOT NULL THEN 1 ELSE 0 END)

@@ -150,6 +150,44 @@ class Round14Spec extends AnyFunSuite {
     assert(covered == total)
   }
 
+  test("x224: re-measured coverage collapses after the keep-first cut on the three-copy fixture") {
+    import spark.implicits._
+    val p = (0 until 12).map(k => s"p$k")
+    val docs = Seq(
+      0L -> p, 1L -> p, 2L -> p,
+      3L -> (0 until 10).map(k => s"f$k"))
+    val tok = docs.flatMap { case (d, ts) =>
+      ts.zipWithIndex.map { case (w, i) => (d, i.toLong, w) }
+    }.toDF("doc_id", "i", "word")
+    val lcp = operators.Tokens.suffixLcpFrom(tok)
+    // before: copies 1 and 2 are fully covered by >=8-token repeats
+    val before = operators.Tokens.coveragePerDoc(lcp).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("tokens_removed")).toMap
+    assert(before.values.sum >= 24L, s"fixture must repeat: $before")
+    // rewrite, then run the SAME machinery over the survivors
+    val rw = operators.Tokens.rewrittenTokens(lcp, tok)
+      .localCheckpoint()
+    // survivors: copy 0 intact, copies 1/2 gone, filler intact
+    val byDoc = rw.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc == Map(0L -> 12L, 3L -> 10L), s"survivors: $byDoc")
+    // renumbering is dense from 0 per doc
+    val posOk = rw.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.min("i").as("mn"),
+        org.apache.spark.sql.functions.max("i").as("mx"),
+        org.apache.spark.sql.functions.count("*").as("n"))
+      .collect()
+    posOk.foreach { r =>
+      assert(r.getAs[Long]("mn") == 0L &&
+        r.getAs[Long]("mx") == r.getAs[Long]("n") - 1)
+    }
+    // after: no >=8-token repeat survives the cut
+    val after = operators.Tokens.coveragePerDoc(
+      operators.Tokens.suffixLcpFrom(rw)).collect()
+    assert(after.isEmpty,
+      s"no repeat may survive keep-first cutting here: ${after.toSeq}")
+  }
+
   test("keyed fold: a batch rewrites only the kh partitions its keys touch") {
     import spark.implicits._
     import streaming.{KeyedFold, StateFold, Streams}
