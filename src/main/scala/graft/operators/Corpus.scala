@@ -909,72 +909,9 @@ object Corpus {
     // reassembly are doc-keyed. The true suffix-array construction the
     // paper uses is a single-node algorithm; this gram-granular relational
     // form is the shape that distributes.
-    QueryDef("x41_span_dedup",
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |), b AS (
-        |  SELECT doc_id, ws, CAST(len(ws) AS INT) AS n FROM t
-        |), g AS (
-        |  SELECT doc_id, CAST(i AS INT) AS i,
-        |         array_to_string(list_slice(ws, i + 1, i + 5), '_') AS gram
-        |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS i
-        |        FROM b WHERE n >= 5)
-        |), r AS (
-        |  SELECT doc_id, i,
-        |         row_number() OVER (PARTITION BY gram
-        |                            ORDER BY doc_id, i) AS rn
-        |  FROM g
-        |), cover AS (
-        |  SELECT DISTINCT doc_id, CAST(p AS INT) AS pos
-        |  FROM (SELECT doc_id, unnest(range(i, i + 5)) AS p
-        |        FROM r WHERE rn > 1)
-        |), tok AS (
-        |  SELECT doc_id, CAST(j AS INT) AS pos, ws[j + 1] AS w
-        |  FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS j FROM b)
-        |), kept AS (
-        |  SELECT t.doc_id, CAST(count(*) AS INT) AS n_kept,
-        |         string_agg(t.w, ' ' ORDER BY t.pos) AS clean_text
-        |  FROM tok t LEFT JOIN cover c
-        |    ON t.doc_id = c.doc_id AND t.pos = c.pos
-        |  WHERE c.doc_id IS NULL
-        |  GROUP BY t.doc_id
-        |)
-        |SELECT b.doc_id, b.n AS n_tokens,
-        |       coalesce(k.n_kept, 0) AS n_kept,
-        |       coalesce(k.clean_text, '') AS clean_text
-        |FROM b LEFT JOIN kept k ON b.doc_id = k.doc_id
-        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
-        .withColumn("n", size(col("ws")))
-        .localCheckpoint() // feeds grams, token stream, and presentation
-      val grams = base.filter(col("n") >= 5)
-        .select(col("doc_id"), col("ws"),
-          explode(sequence(lit(0), col("n") - 5)).as("i"))
-        .select(col("doc_id"), col("i"),
-          array_join(slice(col("ws"), col("i") + 1, lit(5)), "_").as("gram"))
-      val dup = grams
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("i"))))
-        .filter(col("rn") > 1)
-      val cover = dup
-        .select(col("doc_id"),
-          explode(sequence(col("i"), col("i") + 4)).as("pos"))
-        .distinct()
-      val tok = base.select(col("doc_id"),
-        posexplode(col("ws")).as(Seq("pos", "w")))
-      val kept = tok.join(cover, Seq("doc_id", "pos"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("int").as("n_kept"),
-          array_join(
-            transform(array_sort(collect_list(struct(col("pos"), col("w")))),
-              x => x.getField("w")), " ").as("clean_text"))
-      base.select(col("doc_id"), col("n").as("n_tokens"))
-        .join(kept, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("n_kept"), lit(0)).as("n_kept"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
-        .orderBy(col("doc_id"))
+    QueryDef("x41_span_dedup", Corpus.x41OracleSql) { (s, d) =>
+      Corpus.spanDedupFrom(Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("ws")))
     },
 
     // Heavy hitters by ESTIMATE-THEN-VERIFY: a Misra-Gries summary
@@ -2532,6 +2469,84 @@ object Corpus {
     * splits further on its own sparsity). 8 components, 98 nodes,
     * SF-invariant by the doc_id < 400 cap (measured identical at
     * sf0.001/0.01/0.1 before landing). */
+
+  /** x41's oracle — shared verbatim with st36's streaming serve (the
+    * st35 contract applied to span dedup: the folded positional index
+    * must answer the batch question exactly). */
+  private[graft] lazy val x41OracleSql: String =
+    """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), b AS (
+        |  SELECT doc_id, ws, CAST(len(ws) AS INT) AS n FROM t
+        |), g AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i,
+        |         array_to_string(list_slice(ws, i + 1, i + 5), '_') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS i
+        |        FROM b WHERE n >= 5)
+        |), r AS (
+        |  SELECT doc_id, i,
+        |         row_number() OVER (PARTITION BY gram
+        |                            ORDER BY doc_id, i) AS rn
+        |  FROM g
+        |), cover AS (
+        |  SELECT DISTINCT doc_id, CAST(p AS INT) AS pos
+        |  FROM (SELECT doc_id, unnest(range(i, i + 5)) AS p
+        |        FROM r WHERE rn > 1)
+        |), tok AS (
+        |  SELECT doc_id, CAST(j AS INT) AS pos, ws[j + 1] AS w
+        |  FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS j FROM b)
+        |), kept AS (
+        |  SELECT t.doc_id, CAST(count(*) AS INT) AS n_kept,
+        |         string_agg(t.w, ' ' ORDER BY t.pos) AS clean_text
+        |  FROM tok t LEFT JOIN cover c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.doc_id IS NULL
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT b.doc_id, b.n AS n_tokens,
+        |       coalesce(k.n_kept, 0) AS n_kept,
+        |       coalesce(k.clean_text, '') AS clean_text
+        |FROM b LEFT JOIN kept k ON b.doc_id = k.doc_id
+        |ORDER BY b.doc_id""".stripMargin
+
+  /** x41's span-dedup pipeline over an explicit (doc_id, ws) frame —
+    * ONE definition shared by the batch query (ws from documents) and
+    * st36's serve (ws reassembled from the folded positional index), so
+    * the two plans cannot drift. */
+  private[graft] def spanDedupFrom(docTokens: DataFrame): DataFrame = {
+    val base = docTokens
+      .select(col("doc_id"), col("ws"))
+      .withColumn("n", size(col("ws")))
+      .localCheckpoint() // feeds grams, token stream, and presentation
+      val grams = base.filter(col("n") >= 5)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0), col("n") - 5)).as("i"))
+        .select(col("doc_id"), col("i"),
+          array_join(slice(col("ws"), col("i") + 1, lit(5)), "_").as("gram"))
+      val dup = grams
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("i"))))
+        .filter(col("rn") > 1)
+      val cover = dup
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + 4)).as("pos"))
+        .distinct()
+      val tok = base.select(col("doc_id"),
+        posexplode(col("ws")).as(Seq("pos", "w")))
+      val kept = tok.join(cover, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+              x => x.getField("w")), " ").as("clean_text"))
+      base.select(col("doc_id"), col("n").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
+  }
+
   private[graft] def ccGraph(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val e0 = Tables.documents(s, d)

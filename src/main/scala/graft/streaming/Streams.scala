@@ -2289,6 +2289,59 @@ object Streams {
           graft.operators.Tokens.taggedSpansFrom(ss.read.parquet(ixDir)),
           ss.read.parquet(mdDir))
       }
+    },
+
+    // STREAMING SPAN DEDUP — the Δ-SERVICEABLE arm of the r14 substring
+    // story, the SEVENTEENTH Δ-maintained family. The exact suffix tier
+    // (x220–x224) rebuilds whole per corpus content — suffix arrays do
+    // not merge incrementally (the slcp artifact's inline cadence
+    // contract) — so the APPEND path a live corpus needs is exactly
+    // x41's gram-granular approximation, kept current here: document
+    // micro-batches fold the (doc_id, i, word) positional index O(Δ)
+    // (per-doc computable, purely additive — st35's state class; this
+    // IS the ingest artifact, shared shape with the batch Tokens
+    // table), and the serve reassembles per-doc token arrays and runs
+    // the SHARED spanDedupFrom — first-corpus-occurrence keep-first
+    // over 5-grams — answering x41's oracle VERBATIM. A duplicate span
+    // split across batches cuts exactly as the batch plan cuts it,
+    // because the decision runs on the converged index, not per batch.
+    //
+    // Scale: per-batch work ∝ batch tokens (one tokenize pass,
+    // map-side, identity merge); serve is x41's plan — a gram-keyed
+    // first-occurrence window + bounded explode + doc-keyed splice —
+    // over state that grows only with the corpus. Between exact suffix
+    // rebuilds (x224's cadence), THIS is the dedup decision a live
+    // ingest pipeline serves.
+    QueryDef("st36_stream_span_dedup",
+      graft.operators.Corpus.x41OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageDocumentsSplit(ss, d)
+        val key = graft.ContentKey.key(
+          java.nio.file.Paths.get(d, "documents.parquet"))
+        val ixDir = graft.Scratch.path(s"graft_stspan_ix_v1_$key")
+        resetDir(ixDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            // purely additive positional index — identity merge, O(Δ)
+            StateFold.append(batch.select(col("doc_id"),
+              posexplode(graft.functions.Text.tokens(col("text")))
+                .as(Seq("i", "word"))), ixDir)
+            StateFold.maybeCompact(spark, ixDir)(identity)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val base = ss.read.parquet(ixDir)
+          .groupBy(col("doc_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"), col("word")))),
+            x => x.getField("word")).as("ws"))
+        graft.operators.Corpus.spanDedupFrom(base)
+      }
     }
   )
 

@@ -247,6 +247,33 @@ class Round14Spec extends AnyFunSuite {
       s"keep-latest over both batches must win: $got")
   }
 
+  test("st36: a duplicate span split across batches cuts keep-first, exactly as batch x41") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import streaming.StateFold
+    // doc 0 (batch 1) carries the phrase; doc 1 (batch 2) repeats it —
+    // the decision must run on the CONVERGED index, so the later
+    // occurrence is cut even though the batches never met
+    val phrase = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val d0 = Seq("x0", "x1") ++ phrase ++ Seq("x2")
+    val d1 = Seq("y0") ++ phrase ++ Seq("y1", "y2")
+    val ix = java.nio.file.Files.createTempDirectory("r14span").toString
+    def fold(doc: Long, ts: Seq[String]): Unit = StateFold.append(
+      ts.zipWithIndex.map { case (w, i) => (doc, i, w) }
+        .toDF("doc_id", "i", "word"), ix)
+    fold(0L, d0) // batch 1
+    fold(1L, d1) // batch 2
+    val base = spark.read.parquet(ix).groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("word")))),
+        x => x.getField("word")).as("ws"))
+    val got = operators.Corpus.spanDedupFrom(base).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_kept"), r.getAs[String]("clean_text"))).toMap
+    assert(got(0L) == (8, d0.mkString(" ")), s"first occurrence intact: $got")
+    assert(got(1L) == (3, "y0 y1 y2"), s"later occurrence cut: $got")
+    Publish.deleteTree(java.nio.file.Paths.get(ix))
+  }
+
   test("x222 returns zero rows on a corpus with no repeated token") {
     import spark.implicits._
     // all tokens globally distinct -> max adjacent LCP is 0; the old
