@@ -132,8 +132,9 @@ private[graft] object StateFold {
   * state — the parquet shape of a Delta MERGE / keyed state backend,
   * which is what these folds become on a real cluster (the RocksDB
   * mapGroupsWithState machinery is separately proved by
-  * StateBackendSpec). Untouched partitions' files are never listed,
-  * read, or replaced — journal-pinned in Round14Spec.
+  * StateBackendSpec). Untouched partitions' files are never read or
+  * replaced (the journal lists names for its pin — metadata only) —
+  * journal-pinned in Round14Spec.
   *
   * NParts = 16 is fixture-sized; at cluster scale this is the state
   * table's partition count (thousands), sized so a partition ≈ one
