@@ -2089,21 +2089,8 @@ object Mining {
     // redaction spans, subtitle overlap) — no per-doc driver loop.
     QueryDef("x202_decontamination_rewrite", Mining.x202OracleSql) { (s, d) =>
       val cg = Mining.contamGrams(Tables.documents(s, d))
-      val train = cg.filter(col("is_train")).select(col("g")).distinct()
       val ev = cg.filter(!col("is_train"))
-      val hits = ev.join(train.withColumn("hit", lit(1)), Seq("g"), "left")
-        .select(col("doc_id"), col("n_tokens"), col("pos"),
-          coalesce(col("hit"), lit(0)).as("hit"))
-      val byDocPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val runs = hits.filter(col("hit") === 1)
-        .withColumn("island", col("pos") - row_number().over(byDocPos))
-        .groupBy(col("doc_id"), col("island"))
-        .agg(min(col("pos")).cast("long").as("s0"),
-          count(lit(1)).as("run"))
-        .filter(col("run") >= 3) // only real spans are cut
-        .select(col("doc_id"), col("s0"), (col("s0") + col("run") + 4)
-          .cast("long").as("e0")) // token interval [s0, e0)
-      val merged = Mining.mergeSpans(runs)
+      val merged = Mining.mergeSpans(Mining.contamRunSpans(cg))
       ev.select(col("doc_id"), col("n_tokens")).distinct()
         .join(merged, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),
@@ -2428,6 +2415,29 @@ object Mining {
         coalesce(col("max_run"), lit(0L)).as("max_run"),
         (coalesce(col("max_run"), lit(0L)) >= 3).as("contaminated"))
       .orderBy(col("doc_id"))
+  }
+
+  /** x202's gram-run cut spans off the contamGrams frame: eval 5-grams
+    * hit the train gram set, consecutive hit runs ≥ 3 become 1-BASED
+    * token intervals [s0, s0 + run + 4). Shared by x202's rewrite and
+    * x226's gram-vs-exact gap audit, so the audited cutter IS the
+    * shipped cutter. */
+  private[graft] def contamRunSpans(
+      cg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val train = cg.filter(col("is_train")).select(col("g")).distinct()
+    val ev = cg.filter(!col("is_train"))
+    val hits = ev.join(train.withColumn("hit", lit(1)), Seq("g"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        coalesce(col("hit"), lit(0)).as("hit"))
+    val byDocPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits.filter(col("hit") === 1)
+      .withColumn("island", col("pos") - row_number().over(byDocPos))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("s0"),
+        count(lit(1)).as("run"))
+      .filter(col("run") >= 3) // only real spans are cut
+      .select(col("doc_id"), col("s0"), (col("s0") + col("run") + 4)
+        .cast("long").as("e0")) // token interval [s0, e0)
   }
 
   /** Relational INTERVAL UNION per doc: given half-open token spans

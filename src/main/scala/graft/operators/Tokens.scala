@@ -439,28 +439,283 @@ object Tokens {
           (col("tokens_before") - coalesce(col("tokens_after"), lit(0L)))
             .as("tokens_cut"))
         .orderBy(col("source"))
+    },
+
+    // EXACT BENCHMARK CONTAMINATION — x200/x202 approximate train↔eval
+    // contamination with 5-gram hit runs; this is the exact instrument
+    // off the SAME suffix machinery: an eval token is contaminated iff
+    // it sits inside a ≥7-token span occurring VERBATIM in some train
+    // document (7 = x202's cut threshold: a ≥3-run of 5-grams ⟺ a
+    // ≥7-token span). By the x223 window lemma, that is exactly the ×7
+    // window union over eval positions whose 7-token prefix CLASS
+    // (maximal ≥7-LCP adjacency run over slcp) contains at least one
+    // train-doc member. Per eval doc: exact contaminated tokens, ppm,
+    // merged span count — the number x200's hit_ppm approximates.
+    //
+    // Scale: serves from the slcp artifact; islands via two-pass rank,
+    // the train-membership test is one islands-sized semi-join against
+    // the fingerprint split, coverage is the shared interval merge —
+    // all ∝ flagged positions; report is eval-docs-sized.
+    graft.QueryDef("x225_exact_contamination", x225OracleSql) { (s, d) =>
+      val hp = trainHitPositions(s, d)
+      val cmg = Mining.mergeSpans(hp.select(col("doc_id"),
+        col("i").as("s0"), (col("i") + 7).as("e0")))
+      val ebase = table(s, d).groupBy(col("doc_id"))
+        .agg((max(col("i")) + 1).cast("long").as("n_tokens"))
+        .join(evalSplit(s, d).filter(!col("is_train")), "doc_id")
+      ebase.join(cmg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("tokens_removed"), lit(0L)).as("contam_tokens"),
+          expr("coalesce(tokens_removed, 0) * 1000000 div n_tokens")
+            .as("contam_ppm"),
+          (coalesce(col("tokens_removed"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+
+    // CONTAMINATION-GAP AUDIT — price the approximation: token-level
+    // precision/recall of x202's SHIPPED gram-run cutter against x225's
+    // exact cut, per source. The gram cutter is provably conservative —
+    // every true ≥7-token shared span yields a ≥3 hit run, so fn MUST
+    // be 0 (recall 1.0); its over-cut (fp: runs stitched across
+    // DIFFERENT train sources that never co-occur contiguously) is the
+    // measured price of serving contamination checks from the
+    // Δ-maintainable gram path (st32) between exact suffix rebuilds.
+    // The audit MEASURES both rather than trusting the lemma — a
+    // non-zero fn would hash-fail the theorem.
+    //
+    // Scale: both position sets are ∝ flagged spans (bounded explodes),
+    // the comparison is one (doc, pos) full outer join, report is
+    // sources-sized. The gram arm reuses the exact frames x202 ships
+    // (shared contamRunSpans), so the audited cutter is the real one.
+    graft.QueryDef("x226_contamination_gap", x226OracleSql) { (s, d) =>
+      val epos = trainHitPositions(s, d)
+        .withColumn("o", explode(sequence(lit(0L), lit(6L))))
+        .select(col("doc_id"), (col("i") + col("o")).as("pos"))
+        .distinct()
+      val gspans = Mining.contamRunSpans(
+        Mining.contamGrams(Tables.documents(s, d)))
+      val gpos = gspans
+        .withColumn("o",
+          explode(sequence(lit(0L), col("e0") - col("s0") - 1)))
+        .select(col("doc_id"), (col("s0") - 1 + col("o")).as("pos"))
+        .distinct() // 1-based gram intervals -> 0-based token positions
+      val cmp = gpos.withColumn("ing", lit(true))
+        .join(epos.withColumn("ine", lit(true)), Seq("doc_id", "pos"),
+          "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("ing"), lit(false)).as("ing"),
+          coalesce(col("ine"), lit(false)).as("ine"))
+      cmp.join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(when(col("ing"), 1L).otherwise(0L)).as("gram_tokens"),
+          sum(when(col("ine"), 1L).otherwise(0L)).as("exact_tokens"),
+          sum(when(col("ing") && col("ine"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("ing") && !col("ine"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("ine") && !col("ing"), 1L).otherwise(0L)).as("fn"))
+        .select(col("source"), col("gram_tokens"), col("exact_tokens"),
+          col("tp"), col("fp"), col("fn"),
+          when(col("gram_tokens") === 0, 0L)
+            .otherwise(expr("tp * 1000000 div gram_tokens"))
+            .as("precision_ppm"),
+          when(col("exact_tokens") === 0, 0L)
+            .otherwise(expr("tp * 1000000 div exact_tokens"))
+            .as("recall_ppm"))
+        .orderBy(col("source"))
     }
   )
+
+  /** The x200 train/eval split off the persisted fingerprint artifact:
+    * (doc_id, is_train). */
+  private def evalSplit(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprintTable(s, d)
+      .select(col("doc_id"), (col("fp") % 100 < 90).as("is_train"))
+
+  /** Eval positions whose 7-token prefix class contains a train member
+    * — the exact contamination frontier (doc_id, i) over explicit
+    * member/split frames, so Round14Spec can drive a crafted corpus
+    * with a chosen split through the exact production plan. */
+  private[graft] def exactContamFrontier(members: DataFrame,
+      split: DataFrame): DataFrame = {
+    val memf = members.join(split, "doc_id")
+    val tcls = memf.filter(col("is_train")).select(col("g")).distinct()
+    memf.filter(!col("is_train")).join(tcls, "g")
+      .select(col("doc_id"), col("i")).distinct()
+      .localCheckpoint() // x225 coverage + x226 epos both read it
+  }
+
+  private[graft] def trainHitPositions(s: SparkSession,
+      d: String): DataFrame =
+    exactContamFrontier(islandMembers(suffixLcpArtifact(s, d), 7),
+      evalSplit(s, d))
+
+  /** The shared exact-contamination CTEs over the suffix chain: the
+    * fingerprint split, ≥7-LCP islands, member/train flags, and the
+    * eval hit-position frontier. */
+  private[graft] lazy val exactContamCteSql: String = {
+    val fpr = TextAnalysis.fingerprintSql
+    s"""spl AS MATERIALIZED (
+      |  SELECT doc_id, $fpr % 100 < 90 AS is_train FROM documents
+      |), p7 AS (
+      |  SELECT rn, ad, ai, bd, bi FROM lf WHERE lcp >= 7
+      |), isl7 AS (
+      |  SELECT ad, ai, bd, bi,
+      |         rn - CAST(row_number() OVER (ORDER BY rn) AS BIGINT) AS g
+      |  FROM p7
+      |), mem7 AS (
+      |  SELECT DISTINCT g, doc_id, i FROM (
+      |    SELECT g, ad AS doc_id, ai AS i FROM isl7
+      |    UNION ALL
+      |    SELECT g, bd AS doc_id, bi AS i FROM isl7)
+      |), memf AS MATERIALIZED (
+      |  SELECT m.g, m.doc_id, m.i, s.is_train
+      |  FROM mem7 m JOIN spl s USING (doc_id)
+      |), tcls AS (
+      |  SELECT DISTINCT g FROM memf WHERE is_train
+      |), hitpos AS MATERIALIZED (
+      |  SELECT DISTINCT m.doc_id, m.i
+      |  FROM memf m JOIN tcls USING (g) WHERE NOT m.is_train
+      |)""".stripMargin
+  }
+
+  /** x225's oracle: the suffix chain + the exact-contamination frontier,
+    * ×7 window coverage through the interval-union CTEs, reported per
+    * eval doc. */
+  private[graft] lazy val x225OracleSql: String =
+    s"""WITH $suffixCteSql, $exactContamCteSql, cspan AS (
+      |  SELECT doc_id, i AS s0, i + 7 AS e0 FROM hitpos
+      |), c1 AS (
+      |  SELECT doc_id, s0, e0,
+      |         max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS pmax
+      |  FROM cspan
+      |), c2 AS (
+      |  SELECT doc_id, s0, e0,
+      |         CAST(sum(CASE WHEN pmax IS NULL OR s0 > pmax
+      |                       THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY s0
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS grp
+      |  FROM c1
+      |), cmg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |         CAST(sum(me - ms) AS BIGINT) AS covered
+      |  FROM (SELECT doc_id, grp, min(s0) AS ms, max(e0) AS me
+      |        FROM c2 GROUP BY doc_id, grp)
+      |  GROUP BY doc_id
+      |), ebase AS (
+      |  SELECT tl.doc_id, tl.ntok FROM tl JOIN spl USING (doc_id)
+      |  WHERE NOT is_train
+      |)
+      |SELECT b.doc_id, b.ntok AS n_tokens,
+      |       coalesce(c.n_spans, 0) AS n_spans,
+      |       coalesce(c.covered, 0) AS contam_tokens,
+      |       CAST(coalesce(c.covered, 0) * 1000000 // b.ntok AS BIGINT)
+      |         AS contam_ppm,
+      |       coalesce(c.covered, 0) > 0 AS contaminated
+      |FROM ebase b LEFT JOIN cmg c USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
+  /** x226's oracle: the exact frontier's ×7 position set vs the gram
+    * cutter's (x202's run spans, 1-based, re-based to 0), full-outer
+    * compared token-wise, rolled up per source. */
+  private[graft] lazy val x226OracleSql: String = {
+    val fpr = TextAnalysis.fingerprintSql
+    s"""WITH $suffixCteSql, $exactContamCteSql, epos AS (
+      |  SELECT DISTINCT doc_id, i + u.o AS pos
+      |  FROM hitpos, (SELECT unnest(range(7)) AS o) u
+      |), gt AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |         $fpr % 100 < 90 AS is_train
+      |  FROM documents
+      |), geg AS (
+      |  SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+      |         t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+      |         t[i+4] || ' ' || t[i+5] AS g
+      |  FROM (SELECT doc_id, t, unnest(range(len(t) - 4)) AS i
+      |        FROM gt WHERE NOT is_train AND len(t) >= 5)
+      |), gtg AS (
+      |  SELECT DISTINCT t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+      |         t[i+4] || ' ' || t[i+5] AS g
+      |  FROM (SELECT t, unnest(range(len(t) - 4)) AS i
+      |        FROM gt WHERE is_train AND len(t) >= 5)
+      |), gisl AS (
+      |  SELECT geg.doc_id, geg.pos,
+      |         geg.pos - CAST(row_number() OVER (
+      |           PARTITION BY geg.doc_id ORDER BY geg.pos) AS BIGINT)
+      |           AS island
+      |  FROM geg JOIN gtg ON geg.g = gtg.g
+      |), gspans AS (
+      |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS s0,
+      |         CAST(min(pos) + count(*) + 4 AS BIGINT) AS e0
+      |  FROM gisl GROUP BY doc_id, island
+      |  HAVING count(*) >= 3
+      |), gpos AS (
+      |  SELECT DISTINCT doc_id,
+      |         s0 - 1 + unnest(range(CAST(e0 - s0 AS BIGINT))) AS pos
+      |  FROM gspans
+      |), cmp AS (
+      |  SELECT coalesce(g.doc_id, e.doc_id) AS doc_id,
+      |         g.pos IS NOT NULL AS ing,
+      |         e.pos IS NOT NULL AS ine
+      |  FROM gpos g FULL JOIN epos e
+      |    ON g.doc_id = e.doc_id AND g.pos = e.pos
+      |)
+      |SELECT d.source,
+      |       CAST(sum(CASE WHEN ing THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS gram_tokens,
+      |       CAST(sum(CASE WHEN ine THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS exact_tokens,
+      |       CAST(sum(CASE WHEN ing AND ine THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS tp,
+      |       CAST(sum(CASE WHEN ing AND NOT ine THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS fp,
+      |       CAST(sum(CASE WHEN ine AND NOT ing THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS fn,
+      |       CAST(CASE WHEN sum(CASE WHEN ing THEN 1 ELSE 0 END) = 0
+      |            THEN 0 ELSE sum(CASE WHEN ing AND ine THEN 1 ELSE 0 END)
+      |              * 1000000 // sum(CASE WHEN ing THEN 1 ELSE 0 END) END
+      |            AS BIGINT) AS precision_ppm,
+      |       CAST(CASE WHEN sum(CASE WHEN ine THEN 1 ELSE 0 END) = 0
+      |            THEN 0 ELSE sum(CASE WHEN ing AND ine THEN 1 ELSE 0 END)
+      |              * 1000000 // sum(CASE WHEN ine THEN 1 ELSE 0 END) END
+      |            AS BIGINT) AS recall_ppm
+      |FROM cmp JOIN documents d USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** The L-prefix equivalence classes off the lcp pair table, as
+    * (g, doc_id, i) members: positions sharing an identical first-L-
+    * token window are exactly the maximal runs of suffix-order
+    * adjacency with pair LCP ≥ L — islands over rn, grouped by
+    * two-pass rank (no global window). Shared by x223's keep-first cut
+    * (L = 8) and x225's train-membership contamination test (L = 7,
+    * matching x202's ≥3-gram-run ⟺ ≥7-token span semantics). */
+  private[graft] def islandMembers(lcpPairs: DataFrame,
+      minLcp: Int): DataFrame = {
+      val pl = lcpPairs.filter(col("lcp") >= minLcp)
+        .select(col("rn"), col("ad"), col("ai"), col("bd"), col("bi"))
+        .localCheckpoint() // extent agg + the rank pass both read it
+      val mxr = pl.agg(max(col("rn")).as("__mx"))
+      val isl = Ranks.twoPassRank(pl.crossJoin(broadcast(mxr)), Nil,
+          expr("CAST(rn * 64 div (__mx + 1) AS INT)"),
+          Seq(col("rn")), "xr")
+        .withColumn("g", col("rn") - col("xr")).drop("__mx")
+      isl.select(col("g"), col("ad").as("doc_id"), col("ai").as("i"))
+        .unionByName(isl.select(col("g"), col("bd").as("doc_id"),
+          col("bi").as("i")))
+        .distinct()
+        .localCheckpoint() // every consumer reads the member table twice
+  }
 
   /** x223's cut-position set (doc_id, pos) from the lcp pair table: the
     * ×8 window union over every position that is not the corpus-order-
     * first of its ≥8-LCP adjacency class. Shared by the rewrite report
     * and x224's rewritten-corpus builder. */
   private[graft] def cutPositions(lcpPairs: DataFrame): DataFrame = {
-      val p8 = lcpPairs.filter(col("lcp") >= 8)
-        .select(col("rn"), col("ad"), col("ai"), col("bd"), col("bi"))
-        .localCheckpoint() // extent agg + the rank pass both read it
-      val mxr = p8.agg(max(col("rn")).as("__mx"))
-      val isl = Ranks.twoPassRank(p8.crossJoin(broadcast(mxr)), Nil,
-          expr("CAST(rn * 64 div (__mx + 1) AS INT)"),
-          Seq(col("rn")), "xr")
-        .withColumn("g", col("rn") - col("xr")).drop("__mx")
-      val mem = isl.select(col("g"), col("ad").as("doc_id"),
-          col("ai").as("i"))
-        .unionByName(isl.select(col("g"), col("bd").as("doc_id"),
-          col("bi").as("i")))
-        .distinct()
-        .localCheckpoint() // first-per-class and the cut set both read it
+      val mem = islandMembers(lcpPairs, 8)
       val fst = mem.groupBy(col("g"))
         .agg(min(struct(col("doc_id"), col("i"))).as("f"))
         .select(col("g"), col("f.doc_id").as("fd"), col("f.i").as("fi"))

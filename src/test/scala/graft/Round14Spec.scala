@@ -274,6 +274,66 @@ class Round14Spec extends AnyFunSuite {
     Publish.deleteTree(java.nio.file.Paths.get(ix))
   }
 
+  test("x225/x226: exact-vs-gram contamination — stitching over-cuts, the exact arm does not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // eval doc 0 = "a b c d e f g": each of its three 5-grams occurs in
+    // a DIFFERENT train doc, but no train doc shares a >=7-token span.
+    // The gram cutter stitches the three hits into a run of 3 and cuts
+    // the whole doc (fp = 7); the exact arm cuts nothing.
+    val docs = Seq(
+      (0L, "a b c d e f g", false),
+      (1L, "a b c d e x p q r s t u v", true),
+      (2L, "w b c d e f y n o m l k j", true),
+      (3L, "z c d e f g q h i u t s r", true))
+    val tok = docs.flatMap { case (id, t, _) =>
+      t.split(" ").zipWithIndex.map { case (w, i) => (id, i.toLong, w) }
+    }.toDF("doc_id", "i", "word")
+    val split = docs.map { case (id, _, tr) => (id, tr) }
+      .toDF("doc_id", "is_train")
+    val frontier = operators.Tokens.exactContamFrontier(
+      operators.Tokens.islandMembers(
+        operators.Tokens.suffixLcpFrom(tok), 7), split)
+    assert(frontier.count() == 0L,
+      "no >=7-token span is shared with any single train doc")
+    // the gram arm over the same crafted corpus: build the contamGrams
+    // frame directly (explicit split instead of the fingerprint rule)
+    val cg = docs.toDF("doc_id", "text", "is_train")
+      .select(col("doc_id"), col("is_train"),
+        org.apache.spark.sql.functions.split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("is_train"),
+        size(col("t")).cast("long").as("n_tokens"),
+        explode(transform(sequence(lit(1), size(col("t")) - 4),
+          i => struct(i.as("pos"), concat_ws(" ",
+            (0 until 5).map(k => element_at(col("t"), i + k)): _*)
+            .as("g")))).as("pg"))
+      .select(col("doc_id"), col("is_train"), col("n_tokens"),
+        col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val gspans = operators.Mining.contamRunSpans(cg).collect()
+    assert(gspans.length == 1 &&
+      gspans.head.getAs[Long]("s0") == 1L &&
+      gspans.head.getAs[Long]("e0") == 8L,
+      s"the stitched run must cut the whole eval doc: ${gspans.toSeq}")
+  }
+
+  test("x225/x226 reconcile: exact position mass equals x225's coverage sum, fn = 0") {
+    // query-surface cross-check at sf0.001: the audit's exact_tokens
+    // equals the per-doc exact coverage total, and the gram cutter's
+    // recall is 1.0 (fn = 0 — the window lemma, MEASURED)
+    val x225 = SparkEntry.queries("x225_exact_contamination")(spark, sf0_001)
+      .collect()
+    val x226 = SparkEntry.queries("x226_contamination_gap")(spark, sf0_001)
+      .collect()
+    val covSum = x225.map(_.getAs[Long]("contam_tokens")).sum
+    val exactSum = x226.map(_.getAs[Long]("exact_tokens")).sum
+    assert(covSum == exactSum && covSum > 0,
+      s"exact mass must reconcile: coverage $covSum vs audit $exactSum")
+    x226.foreach { r =>
+      assert(r.getAs[Long]("fn") == 0L,
+        s"gram recall must be 1.0 (window lemma): $r")
+    }
+  }
+
   test("x222 returns zero rows on a corpus with no repeated token") {
     import spark.implicits._
     // all tokens globally distinct -> max adjacent LCP is 0; the old
