@@ -419,9 +419,16 @@ object Tokens {
         .groupBy(col("source"))
         .agg(sum(col("ntok")).as("tokens_before"),
           sum(coalesce(col("tokens_removed"), lit(0L))).as("repeat_before"))
-      val rwtok = rewrittenTokens(suffixLcpArtifact(s, d), table(s, d))
-      val tla = rwtok.groupBy(col("doc_id"))
-        .agg((max(col("i")) + 1).as("ntok"))
+      // survivor counts derive from the cut set (ntok − cut), not from
+      // re-materializing the rewritten stream — the rewritten tokens
+      // were already built once inside the rwslcp artifact, and the
+      // audit only needs per-doc counts here (r14 review)
+      val cnt = cutPositions(suffixLcpArtifact(s, d))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("cut"))
+      val tla = tlb.join(cnt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("ntok") - coalesce(col("cut"), lit(0L))).as("ntok"))
+        .filter(col("ntok") > 0) // fully-cut docs vanish, as in rwtok
       val at2 = tla.join(docs, "doc_id")
         .join(coveragePerDoc(rwslcpArtifact(s, d)), Seq("doc_id"), "left")
         .groupBy(col("source"))
@@ -542,7 +549,8 @@ object Tokens {
     val tcls = memf.filter(col("is_train")).select(col("g")).distinct()
     memf.filter(!col("is_train")).join(tcls, "g")
       .select(col("doc_id"), col("i")).distinct()
-      .localCheckpoint() // x225 coverage + x226 epos both read it
+    // no checkpoint: each query reads the frontier exactly once (x225's
+    // span merge OR x226's epos) — r14 review caught the stale claim
   }
 
   private[graft] def trainHitPositions(s: SparkSession,
@@ -557,20 +565,9 @@ object Tokens {
     val fpr = TextAnalysis.fingerprintSql
     s"""spl AS MATERIALIZED (
       |  SELECT doc_id, $fpr % 100 < 90 AS is_train FROM documents
-      |), p7 AS (
-      |  SELECT rn, ad, ai, bd, bi FROM lf WHERE lcp >= 7
-      |), isl7 AS (
-      |  SELECT ad, ai, bd, bi,
-      |         rn - CAST(row_number() OVER (ORDER BY rn) AS BIGINT) AS g
-      |  FROM p7
-      |), mem7 AS (
-      |  SELECT DISTINCT g, doc_id, i FROM (
-      |    SELECT g, ad AS doc_id, ai AS i FROM isl7
-      |    UNION ALL
-      |    SELECT g, bd AS doc_id, bi AS i FROM isl7)
-      |), memf AS MATERIALIZED (
+      |), ${islandCteSql("c", 7)}, memf AS MATERIALIZED (
       |  SELECT m.g, m.doc_id, m.i, s.is_train
-      |  FROM mem7 m JOIN spl s USING (doc_id)
+      |  FROM cmem m JOIN spl s USING (doc_id)
       |), tcls AS (
       |  SELECT DISTINCT g FROM memf WHERE is_train
       |), hitpos AS MATERIALIZED (
@@ -585,27 +582,7 @@ object Tokens {
   private[graft] lazy val x225OracleSql: String =
     s"""WITH $suffixCteSql, $exactContamCteSql, cspan AS (
       |  SELECT doc_id, i AS s0, i + 7 AS e0 FROM hitpos
-      |), c1 AS (
-      |  SELECT doc_id, s0, e0,
-      |         max(e0) OVER (PARTITION BY doc_id ORDER BY s0
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-      |           AS pmax
-      |  FROM cspan
-      |), c2 AS (
-      |  SELECT doc_id, s0, e0,
-      |         CAST(sum(CASE WHEN pmax IS NULL OR s0 > pmax
-      |                       THEN 1 ELSE 0 END)
-      |           OVER (PARTITION BY doc_id ORDER BY s0
-      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |           AS BIGINT) AS grp
-      |  FROM c1
-      |), cmg AS (
-      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-      |         CAST(sum(me - ms) AS BIGINT) AS covered
-      |  FROM (SELECT doc_id, grp, min(s0) AS ms, max(e0) AS me
-      |        FROM c2 GROUP BY doc_id, grp)
-      |  GROUP BY doc_id
-      |), ebase AS (
+      |), ${mergeCteSql("c", "cspan")}, ebase AS (
       |  SELECT tl.doc_id, tl.ntok FROM tl JOIN spl USING (doc_id)
       |  WHERE NOT is_train
       |)
@@ -781,19 +758,55 @@ object Tokens {
     * anti-joined surviving token stream. Shared by x223 (which splices
     * and reports) and x224 (which re-runs the suffix machinery over
     * `kept` to measure what the rewrite bought). */
-  private[graft] lazy val x223CutCteSql: String =
-    s"""p8 AS (
-      |  SELECT rn, ad, ai, bd, bi FROM lf WHERE lcp >= 8
-      |), isl AS (
+  /** The L-prefix island/member CTEs over the unprefixed chain's `lf`:
+    * ${p}pl (qualifying pairs), ${p}isl (runs), ${p}mem (distinct
+    * (g, doc_id, i) members). One generator for x223's L = 8 cut
+    * classes and x225/x226's L = 7 contamination classes — the same
+    * one-definition rule the epoch/suffix/coverage generators follow
+    * (r14 review: the two hand-copies could drift). */
+  private[graft] def islandCteSql(p: String, minLcp: Int): String =
+    s"""${p}pl AS (
+      |  SELECT rn, ad, ai, bd, bi FROM lf WHERE lcp >= $minLcp
+      |), ${p}isl AS (
       |  SELECT ad, ai, bd, bi,
       |         rn - CAST(row_number() OVER (ORDER BY rn) AS BIGINT) AS g
-      |  FROM p8
-      |), mem AS (
+      |  FROM ${p}pl
+      |), ${p}mem AS (
       |  SELECT DISTINCT g, doc_id, i FROM (
-      |    SELECT g, ad AS doc_id, ai AS i FROM isl
+      |    SELECT g, ad AS doc_id, ai AS i FROM ${p}isl
       |    UNION ALL
-      |    SELECT g, bd AS doc_id, bi AS i FROM isl)
-      |), fst AS (
+      |    SELECT g, bd AS doc_id, bi AS i FROM ${p}isl)
+      |)""".stripMargin
+
+  /** The per-doc interval-union CTEs (${p}m1/${p}m2/${p}mg) over any
+    * (doc_id, s0, e0) span CTE — x202's relational merge, generated so
+    * every consumer (coverage at both prefixes, x225's contamination
+    * coverage) shares the one definition. */
+  private[graft] def mergeCteSql(p: String, inCte: String): String =
+    s"""${p}m1 AS (
+      |  SELECT doc_id, s0, e0,
+      |         max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS pmax
+      |  FROM $inCte
+      |), ${p}m2 AS (
+      |  SELECT doc_id, s0, e0,
+      |         CAST(sum(CASE WHEN pmax IS NULL OR s0 > pmax
+      |                       THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY s0
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS grp
+      |  FROM ${p}m1
+      |), ${p}mg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |         CAST(sum(me - ms) AS BIGINT) AS covered
+      |  FROM (SELECT doc_id, grp, min(s0) AS ms, max(e0) AS me
+      |        FROM ${p}m2 GROUP BY doc_id, grp)
+      |  GROUP BY doc_id
+      |)""".stripMargin
+
+  private[graft] lazy val x223CutCteSql: String =
+    s"""${islandCteSql("", 8)}, fst AS (
       |  SELECT g, doc_id, i FROM (
       |    SELECT g, doc_id, i,
       |           row_number() OVER (PARTITION BY g ORDER BY doc_id, i)
@@ -1112,27 +1125,7 @@ object Tokens {
       |  ) GROUP BY 1, 2
       |), ${p}sp AS (
       |  SELECT doc_id, i AS s0, i + rlen AS e0 FROM ${p}rl WHERE rlen >= 8
-      |), ${p}m1 AS (
-      |  SELECT doc_id, s0, e0,
-      |         max(e0) OVER (PARTITION BY doc_id ORDER BY s0
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-      |           AS pmax
-      |  FROM ${p}sp
-      |), ${p}m2 AS (
-      |  SELECT doc_id, s0, e0,
-      |         CAST(sum(CASE WHEN pmax IS NULL OR s0 > pmax
-      |                       THEN 1 ELSE 0 END)
-      |           OVER (PARTITION BY doc_id ORDER BY s0
-      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |           AS BIGINT) AS grp
-      |  FROM ${p}m1
-      |), ${p}mg AS (
-      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-      |         CAST(sum(me - ms) AS BIGINT) AS covered
-      |  FROM (SELECT doc_id, grp, min(s0) AS ms, max(e0) AS me
-      |        FROM ${p}m2 GROUP BY doc_id, grp)
-      |  GROUP BY doc_id
-      |)""".stripMargin
+      |), ${mergeCteSql(p, s"${p}sp")}""".stripMargin
 
   /** x221's oracle: the shared suffix chain, the coverage CTEs, and the
     * per-source rollup. */
@@ -1232,14 +1225,23 @@ object Tokens {
     var rk = tok.join(vr, "word")
       .select(col("doc_id"), col("i"), col("r"))
       .localCheckpoint()
-    // rounds = ⌈log₂ max tail⌉, a 1-row aggregate: the engine handles
-    // documents of ANY length (the old `require(maxTail <= 128)` is
-    // gone — it existed only to match a fixed oracle unroll, and the
-    // oracle's generated chain now covers 2^SuffixRounds with saturated
-    // rounds provably no-ops)
+    // rounds = ⌈log₂ max tail⌉, a 1-row aggregate: the doubling loop is
+    // data-derived (the old `require(maxTail <= 128)` matched a fixed
+    // 7-round oracle unroll; the generated chain now covers
+    // 2^SuffixRounds = 8192 tokens). The guard stays — at the NEW bound
+    // — because past it a corpus with an >=2^SuffixRounds-token shared
+    // prefix would silently hash-DIVERGE from the static oracle (its
+    // saturated final round could not order such suffixes truly) with
+    // zero diagnostics; loud-stop with the knob named beats that
+    // (r14 review). The loop itself is round-unbounded — raising the
+    // constant is the whole fix.
     val maxTail = tok.groupBy(col("doc_id"))
       .agg((max(col("i")) + 1).cast("long").as("ntok"))
       .agg(max(col("ntok"))).head.getLong(0)
+    require(maxTail <= (1L << SuffixRounds),
+      s"suffixRankTables: a $maxTail-token document exceeds the " +
+        s"2^$SuffixRounds-token oracle unroll; raise Tokens.SuffixRounds " +
+        "(the doubling loop itself is data-derived and unbounded)")
     val out = scala.collection.mutable.ArrayBuffer(rk)
     var off = 1
     while (off < maxTail) {

@@ -1546,8 +1546,13 @@ object Streams {
           }
           .start()
         try q.processAllAvailable() finally q.stop()
+        // no-state fallback carries the real (node, comp) schema off the
+        // stage (a 0-column emptyDataFrame would fail ccReport's column
+        // resolution on an empty staged split — r14 review)
         graft.operators.Corpus.ccReport(
-          KeyedFold.readAll(ss, ccDir, ss.emptyDataFrame))
+          KeyedFold.readAll(ss, ccDir,
+            ss.read.parquet(stage).select(col("src").as("node"),
+              col("src").as("comp"))))
       }
     },
 
@@ -1958,8 +1963,13 @@ object Streams {
           }
           .start()
         try q.processAllAvailable() finally q.stop()
+        // no-state fallback carries the real raw-runs schema (derived
+        // through scd2RawRuns on a 0-row stage slice — r14 review: a
+        // 0-column emptyDataFrame breaks scd2Finish's resolution)
         graft.operators.Merge.scd2Finish(
-          KeyedFold.readAll(ss, runsDir, ss.emptyDataFrame))
+          KeyedFold.readAll(ss, runsDir,
+            graft.operators.Merge.scd2RawRuns(
+              ss.read.parquet(stage).limit(0))))
           .orderBy(col("user_id"), col("run_id"))
       }
     },
