@@ -397,20 +397,33 @@ object Quality {
     val vFeats = valCells.repartition(col("doc_id")).localCheckpoint()
     val vLab = valLabels.localCheckpoint()
     val valN = vLab.count()
-    require(valN > 0, "validated trainer: empty validation split")
+    // ADVICE r14: a corpus with NO document in the validation
+    // fingerprint bucket used to hard-abort the whole shipped-model
+    // family here (where the fixed-budget trainer succeeded). The
+    // honest degradation is the pre-r14 behavior: train the full
+    // [[Epochs]] budget, mark the LAST round chosen (no curve evidence
+    // to stop earlier on), and say so loudly. The testdata corpora all
+    // have non-empty splits, so the oracle-compared path never takes
+    // this branch — pinned in Round15Spec on a crafted tiny corpus.
+    if (valN == 0)
+      System.err.println("[graft] validated trainer: empty validation " +
+        s"split — falling back to the fixed $Epochs-round budget " +
+        "(no early stop)")
     val w0 = feats.select(col("b")).distinct()
       .select(col("b"), lit(0L).as("w"), lit(0L).as("ss")).localCheckpoint()
     var st = w0
     val rounds = (1 to Epochs).map { k =>
       st = adagradEpoch(feats, lab, nDocs)(st)
-      val correct = vFeats
+      val correct = if (valN == 0) 0L else vFeats
         .join(broadcast(st.select(col("b"), col("w"))), "b")
         .groupBy(col("doc_id")).agg(sum(col("fq") * col("w")).as("zmm"))
         .join(vLab, "doc_id")
         .filter((col("zmm") > 0) === (col("y") === 1)).count()
       (k, correct, st.select(col("b"), col("w")))
     }
-    val chosen = rounds.maxBy { case (k, c, _) => (c, -k) }._1
+    val chosen =
+      if (valN == 0) Epochs
+      else rounds.maxBy { case (k, c, _) => (c, -k) }._1
     val s = cells.sparkSession
     import scala.jdk.CollectionConverters._
     val curve = s.createDataFrame(
@@ -427,7 +440,9 @@ object Quality {
         org.apache.spark.sql.types.StructField("chosen",
           org.apache.spark.sql.types.IntegerType, nullable = false))))
       .select(col("round"), col("val_n"), col("val_correct"),
-        Num.roundOut(col("val_correct") * 1.0 / col("val_n"), 4)
+        // 0.0, not NaN, on the empty-val fallback curve
+        when(col("val_n") === 0, 0.0)
+          .otherwise(Num.roundOut(col("val_correct") * 1.0 / col("val_n"), 4))
           .as("val_accuracy"),
         col("chosen"))
     (curve, rounds(chosen - 1)._3)

@@ -152,7 +152,12 @@ private[graft] object KeyedFold {
   def kh(keys: Seq[Column]): Column = pmod(hash(keys: _*), lit(NParts))
 
   /** Data part-files under the partitioned dir, as dir-relative paths
-    * ("kh=3/part-….parquet") — the Round14Spec pin inspects these. */
+    * ("kh=3/part-….parquet"). TEST-ONLY since r15: the Round14Spec pin
+    * snapshots the whole tree around a fold call; the PRODUCTION
+    * per-batch path never full-walks the state (ADVICE r14 — against an
+    * object store, file listing is the expensive op, and an O(total
+    * state files) driver walk per micro-batch would undercut the
+    * write-∝-touched-keys contract). */
   private[graft] def partFilesRec(dir: String): Set[String] = {
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) Set.empty
@@ -167,11 +172,40 @@ private[graft] object KeyedFold {
     }
   }
 
+  /** Data part-files under ONLY the given kh partitions, as
+    * dir-relative paths — the per-batch journal listing. Listing cost
+    * is O(files in touched partitions), never O(total state files). */
+  private[graft] def partFilesIn(dir: String, parts: Seq[Int]): Set[String] = {
+    val root = Paths.get(dir)
+    parts.toSet.flatMap { (k: Int) =>
+      val sub = root.resolve(s"kh=$k")
+      if (!Files.isDirectory(sub)) Set.empty[String]
+      else {
+        val l = Files.list(sub)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).map(f => s"kh=$k/$f").toSet
+        } finally l.close()
+      }
+    }
+  }
+
   /** Dynamic partition overwrite commits per-partition and writes NO
     * root _SUCCESS marker (unlike a plain overwrite), so state presence
     * is "any data file under any kh dir" — caught live in r14 when the
-    * _SUCCESS probe made every batch see an empty prior. */
-  def hasState(dir: String): Boolean = partFilesRec(dir).nonEmpty
+    * _SUCCESS probe made every batch see an empty prior. The walk
+    * SHORT-CIRCUITS at the first data file (ADVICE r14): once state
+    * exists the probe touches one directory entry, not the tree. */
+  def hasState(dir: String): Boolean = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) false
+    else {
+      val s = Files.walk(root)
+      try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+  }
 
   /** Full-state read (serves; folds that must see every key), kh
     * dropped. */
@@ -195,21 +229,26 @@ private[graft] object KeyedFold {
         .drop("kh")
     else fallback.limit(0)
 
-  /** Rewrite ONLY the partitions present in `updated` (which must carry
-    * every surviving row for each partition it touches): dynamic
-    * partition overwrite replaces exactly those kh directories and
-    * leaves the rest byte-untouched. Journaled for the write-volume
-    * pin. */
+  /** Rewrite ONLY the `parts` kh partitions with `updated` (which must
+    * carry every surviving row for each partition it touches, and no
+    * row outside them): dynamic partition overwrite replaces exactly
+    * those kh directories and leaves the rest byte-untouched. The
+    * journal lists ONLY the touched subdirectories (before/after), so
+    * the per-batch metadata cost is O(files in touched partitions) —
+    * ADVICE r14: the old full-tree before/after walk was O(total state
+    * files) per micro-batch, the expensive op against an object store.
+    * Round14Spec's untouched-partition pin takes its own full-tree
+    * snapshots test-side instead. */
   def overwriteTouched(updated: DataFrame, keys: Seq[String],
-      dir: String): Unit = {
-    val before = partFilesRec(dir)
+      dir: String, parts: Seq[Int]): Unit = {
+    val before = partFilesIn(dir, parts)
     updated.withColumn("kh", kh(keys.map(col)))
       .repartition(col("kh")) // one task per touched partition
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("kh")
       .parquet(dir)
-    StateFold.recordKeyed(
-      StateFold.FoldEvent(dir, "keyed-overwrite", before, partFilesRec(dir)))
+    StateFold.recordKeyed(StateFold.FoldEvent(dir, "keyed-overwrite",
+      before, partFilesIn(dir, parts)))
   }
 }

@@ -404,7 +404,7 @@ object Streams {
         val merged = graft.operators.Merge
           .upsert(existing, batch, keys, ordering)
           .localCheckpoint() // sever lineage from the files being overwritten
-        KeyedFold.overwriteTouched(merged, keys, factDir)
+        KeyedFold.overwriteTouched(merged, keys, factDir, parts)
         ()
       }
       .start()
@@ -1535,13 +1535,11 @@ object Streams {
             // surviving row of a touched partition, so re-slice `next`
             // by the changed partitions rather than writing `changed`.
             val changed = next.join(prior, Seq("node", "comp"), "left_anti")
-            val touchedKh = changed
-              .select(KeyedFold.kh(Seq(col("node"))).as("kh")).distinct()
+            val parts = KeyedFold.touched(changed, Seq("node"))
             val updated = next
-              .join(broadcast(touchedKh),
-                KeyedFold.kh(Seq(col("node"))) === col("kh"))
-              .drop("kh")
-            KeyedFold.overwriteTouched(updated, Seq("node"), ccDir)
+              .filter(KeyedFold.kh(Seq(col("node")))
+                .isin(parts.map(Integer.valueOf): _*))
+            KeyedFold.overwriteTouched(updated, Seq("node"), ccDir, parts)
             ()
           }
           .start()
@@ -1958,7 +1956,8 @@ object Streams {
             // `updated` = every surviving run of the touched partitions
             // (prior slice rows pass through with a null delta), so the
             // dynamic overwrite replaces exactly those kh dirs
-            KeyedFold.overwriteTouched(updated, Seq("user_id"), runsDir)
+            KeyedFold.overwriteTouched(updated, Seq("user_id"), runsDir,
+              parts)
             ()
           }
           .start()

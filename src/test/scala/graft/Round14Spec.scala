@@ -199,9 +199,9 @@ class Round14Spec extends AnyFunSuite {
     // batch 2 and touch every partition)
     val src1 = java.nio.file.Files.createTempDirectory("r14src1").toString
     val src2 = java.nio.file.Files.createTempDirectory("r14src2").toString
-    val fact = java.nio.file.Paths
-      .get(java.nio.file.Files.createTempDirectory("r14fact").toString,
-        "fact").toString
+    val factRoot = java.nio.file.Files.createTempDirectory("r14fact")
+    val fact = factRoot.resolve("fact").toString
+    try {
     val keys = Seq("user_id", "event_type")
     val ord = Seq(org.apache.spark.sql.functions.col("ts").desc,
       org.apache.spark.sql.functions.col("event_id").desc)
@@ -212,8 +212,13 @@ class Round14Spec extends AnyFunSuite {
     // batch 1 spreads keys over several partitions; batch 2 touches ONE
     dump(src1, (1L to 40L).map(u => (u, t(0), u, "click", 1.0)))
     Streams.incrementalUpsert(spark, src1, fact, keys, ord)
+    // the untouched-partition proof snapshots the whole tree TEST-SIDE
+    // (since r15 the production journal lists only touched subdirs —
+    // ADVICE r14: no full state walk in the per-batch path)
+    val treeBefore = KeyedFold.partFilesRec(fact)
     dump(src2, Seq((100L, t(9), 7L, "click", 2.0)))
     Streams.incrementalUpsert(spark, src2, fact, keys, ord)
+    val treeAfter = KeyedFold.partFilesRec(fact)
     val evs = StateFold.events
       .filter(e => e.dir == fact && e.kind == "keyed-overwrite")
     assert(evs.size >= 2, s"expected 2+ keyed-overwrite events, got $evs")
@@ -222,9 +227,13 @@ class Round14Spec extends AnyFunSuite {
     val expectKh = Seq((7L, "click")).toDF("user_id", "event_type")
       .select(KeyedFold.kh(keys.map(
         org.apache.spark.sql.functions.col))).head.getInt(0)
+    // the journal itself only ever LISTED the touched subdir — the
+    // metadata cost of the fold is ∝ touched partitions too
+    assert((last.before ++ last.after).forall(_.startsWith(s"kh=$expectKh/")),
+      s"journal listing leaked outside the touched partition: $last")
     def byPart(fs: Set[String]): Map[String, Set[String]] =
       fs.groupBy(_.split("/")(0))
-    val before = byPart(last.before); val after = byPart(last.after)
+    val before = byPart(treeBefore); val after = byPart(treeAfter)
     // every partition other than the touched one is byte-file-identical
     (before.keySet ++ after.keySet).filterNot(_ == s"kh=$expectKh")
       .foreach { p =>
@@ -245,6 +254,10 @@ class Round14Spec extends AnyFunSuite {
     val expect = ((1L to 40L).filterNot(_ == 7L) :+ 100L).sorted
     assert(got == expect,
       s"keep-latest over both batches must win: $got")
+    } finally {
+      Seq(java.nio.file.Paths.get(src1), java.nio.file.Paths.get(src2),
+        factRoot).foreach(graft.Publish.deleteTree)
+    }
   }
 
   test("st36: a duplicate span split across batches cuts keep-first, exactly as batch x41") {
