@@ -12,6 +12,85 @@ import org.scalatest.funsuite.AnyFunSuite
 class Round15Spec extends AnyFunSuite {
   import SparkTestSession._
 
+  /** Index-based brute-force adjacent-LCP: sort suffix HANDLES with a
+    * comparator that walks the token arrays in place (never materializes
+    * a suffix — the r14 bruteLcp's drop(i) copies would be O(n²) memory
+    * at book length), ordering exactly like the engine's rank order
+    * (lexicographic tokens, prefix < extension, ties by (doc_id, i)),
+    * then LCP each adjacent pair by direct comparison. */
+  private def bruteLcpIdx(docs: Seq[(Long, Array[String])])
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val byDoc = docs.toMap
+    val sufs = (for {
+      (d, toks) <- docs
+      i <- toks.indices
+    } yield (d, i)).toArray
+    val ord = new Ordering[(Long, Int)] {
+      def compare(a: (Long, Int), b: (Long, Int)): Int = {
+        val ta = byDoc(a._1); val tb = byDoc(b._1)
+        var i = a._2; var j = b._2
+        while (i < ta.length && j < tb.length) {
+          val c = ta(i).compareTo(tb(j))
+          if (c != 0) return c
+          i += 1; j += 1
+        }
+        val lc = java.lang.Integer.compare(ta.length - a._2,
+          tb.length - b._2)
+        if (lc != 0) lc
+        else {
+          val dc = java.lang.Long.compare(a._1, b._1)
+          if (dc != 0) dc else java.lang.Integer.compare(a._2, b._2)
+        }
+      }
+    }
+    val sorted = sufs.sorted(ord)
+    sorted.zip(sorted.tail).map { case ((ad, ai), (bd, bi)) =>
+      val ta = byDoc(ad); val tb = byDoc(bd)
+      var l = 0
+      while (ai + l < ta.length && bi + l < tb.length &&
+        ta(ai + l) == tb(bi + l)) l += 1
+      (ad, ai.toLong, bd, bi.toLong, l.toLong)
+    }.toSeq
+  }
+
+  test("suffix LCP handles book-length documents past the old 8192-token oracle bound") {
+    // VERDICT r14 item 1: the r14 guard aborted the seven-consumer slcp
+    // family on any >8192-token document; SuffixRounds = 17 moves the
+    // oracle bound to 131072 tokens. This drives a 9000-token document
+    // (past the OLD bound — the r14 require would have thrown) through
+    // the exact production plan and pins it against brute force.
+    val rng = new scala.util.Random(1507)
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k")
+    def rnd(n: Int) = Array.fill(n)(vocab(rng.nextInt(vocab.length)))
+    val phrase = rnd(25)
+    val book = rnd(9000)
+    Array.copy(phrase, 0, book, 500, 25)
+    Array.copy(phrase, 0, book, 7200, 25)
+    val small = rnd(80)
+    Array.copy(phrase, 0, small, 30, 25)
+    val docs: Seq[(Long, Array[String])] =
+      Seq(0L -> book, 1L -> small, 2L -> rnd(7))
+    import spark.implicits._
+    val tok = docs.flatMap { case (d, ts) =>
+      ts.zipWithIndex.map { case (w, i) => (d, i.toLong, w) }
+    }.toDF("doc_id", "i", "word")
+    val got = operators.Tokens.suffixLcpFrom(tok)
+      .select("ad", "ai", "bd", "bi", "lcp")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq.sorted
+    val want = bruteLcpIdx(docs).sorted
+    assert(got.size == want.size,
+      s"adjacent-pair count: got ${got.size}, want ${want.size}")
+    assert(got == want, {
+      val diff = got.zip(want).filter { case (g, w) => g != w }.take(5)
+      s"first diverging pairs (got, want): $diff"
+    })
+    // the planted 25-token repeat is visible at full length
+    assert(got.map(_._5).max >= 25)
+  }
+
   test("validated trainer: empty validation split falls back to the fixed budget instead of aborting") {
     import spark.implicits._
     // a tiny corpus whose docs all land OUTSIDE the val bucket by
