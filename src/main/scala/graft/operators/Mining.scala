@@ -2378,10 +2378,19 @@ object Mining {
     * contributes its own gram rows exactly once). */
   private[graft] def contamGrams(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    contamGramsSplit(docs.select(col("doc_id"), col("text"),
+      (graft.functions.Text.fingerprint(col("text")) % 100 < 90)
+        .as("is_train")))
+
+  /** [[contamGrams]] over an EXPLICIT (doc_id, text, is_train) frame —
+    * x227 drives the shipped gram cutter over a derived corpus with a
+    * constructed split; the fingerprint-split form above delegates here
+    * so the two cannot drift. */
+  private[graft] def contamGramsSplit(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .select(col("doc_id"), Text.tokens(col("text")).as("t"),
-        (graft.functions.Text.fingerprint(col("text")) % 100 < 90)
-          .as("is_train"))
+        col("is_train"))
       .filter(size(col("t")) >= 5)
       .select(col("doc_id"), col("is_train"),
         size(col("t")).cast("long").as("n_tokens"),

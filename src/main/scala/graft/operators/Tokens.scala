@@ -507,14 +507,74 @@ object Tokens {
           explode(sequence(lit(0L), col("e0") - col("s0") - 1)))
         .select(col("doc_id"), (col("s0") - 1 + col("o")).as("pos"))
         .distinct() // 1-based gram intervals -> 0-based token positions
+      gapReport(gpos, epos,
+        Tables.documents(s, d).select(col("doc_id"), col("source")))
+    },
+
+    // STITCHED-CORPUS GAP AUDIT — make x226's discriminating branch
+    // FIRE under oracle comparison (VERDICT r14 item 3: on the natural
+    // testdata the gram cutter's over-cut measures fp = 0 at every SF,
+    // so the one branch the audit exists to price was exercised only by
+    // a crafted spec pin). This derives a corpus FROM the testdata in
+    // which stitching genuinely occurs, deterministically and
+    // identically in both engines: per source, take the base document's
+    // (min doc_id) first 14 distinct tokens t1..t14 (source-prefixed so
+    // sources can't cross-contaminate) and build five derived docs —
+    // train P = t1..t6, train Q = t2..t7, eval E = t1..t7 (every
+    // 5-gram of E is in P or Q but NO single train doc carries the
+    // 7-token span: the gram runs STITCH, fp = 7), train R = t8..t14,
+    // eval E2 = t8..t14 (true contamination, tp = 7). Expected per
+    // source: gram 14 / exact 7 / tp 7 / fp 7 / fn 0 — precision ½,
+    // recall 1, the window lemma and the stitching price in one row.
+    // Both arms are the SHIPPED plans (suffixLcpFrom + islandMembers +
+    // exactContamFrontier; contamGramsSplit + contamRunSpans) — only
+    // the corpus and the split are constructed.
+    //
+    // Scale: the derived corpus is sources-sized (5 docs × ≤7 tokens
+    // per source) — this is an audit INSTRUMENT, priced like one; the
+    // derivation itself is one pass over the base docs.
+    graft.QueryDef("x227_stitched_gap", x227OracleSql) { (s, d) =>
+      val (tokD, srcMap) = stitchedCorpus(s, d)
+      val split = tokD.select(col("doc_id")).distinct()
+        .select(col("doc_id"),
+          (pmod(col("doc_id"), lit(8L)) < 3).as("is_train"))
+        .localCheckpoint() // read by the exact arm AND the gram arm
+      val hp = exactContamFrontier(
+        islandMembers(suffixLcpFrom(tokD), 7), split)
+      val epos = hp.withColumn("o", explode(sequence(lit(0L), lit(6L))))
+        .select(col("doc_id"), (col("i") + col("o")).as("pos"))
+        .distinct()
+      val docText = tokD.groupBy(col("doc_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("word")))),
+          x => x.getField("word")), " ").as("text"))
+      val gspans = Mining.contamRunSpans(
+        Mining.contamGramsSplit(docText.join(split, "doc_id")))
+      val gpos = gspans
+        .withColumn("o",
+          explode(sequence(lit(0L), col("e0") - col("s0") - 1)))
+        .select(col("doc_id"), (col("s0") - 1 + col("o")).as("pos"))
+        .distinct()
+      gapReport(gpos, epos,
+        tokD.select(col("doc_id")).distinct()
+          .withColumn("bid", expr("doc_id div 8"))
+          .join(broadcast(srcMap), "bid")
+          .select(col("doc_id"), col("source")))
+    }
+  )
+
+  /** The x226/x227 precision-recall rollup over the two position sets —
+    * one definition, so the derived-corpus audit prices the SAME
+    * comparison the natural-corpus audit does. */
+  private def gapReport(gpos: DataFrame, epos: DataFrame,
+      srcByDoc: DataFrame): DataFrame = {
       val cmp = gpos.withColumn("ing", lit(true))
         .join(epos.withColumn("ine", lit(true)), Seq("doc_id", "pos"),
           "full_outer")
         .select(col("doc_id"),
           coalesce(col("ing"), lit(false)).as("ing"),
           coalesce(col("ine"), lit(false)).as("ine"))
-      cmp.join(Tables.documents(s, d).select(col("doc_id"), col("source")),
-          "doc_id")
+      cmp.join(srcByDoc, "doc_id")
         .groupBy(col("source"))
         .agg(sum(when(col("ing"), 1L).otherwise(0L)).as("gram_tokens"),
           sum(when(col("ine"), 1L).otherwise(0L)).as("exact_tokens"),
@@ -530,8 +590,48 @@ object Tokens {
             .otherwise(expr("tp * 1000000 div exact_tokens"))
             .as("recall_ppm"))
         .orderBy(col("source"))
-    }
-  )
+  }
+
+  /** x227's derived stitched corpus: (token stream (doc_id, i, word),
+    * (bid, source) base map). Derived doc ids are bid·8+k, k∈[0,5);
+    * k < 3 are the train docs. Sources whose base doc has fewer than 14
+    * distinct tokens drop out (both engines filter identically). */
+  private[graft] def stitchedCorpus(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val base = docs.groupBy(col("source")).agg(min(col("doc_id")).as("bid"))
+    val bw = docs.select(col("doc_id"), col("text"))
+      .join(base, col("doc_id") === col("bid"))
+      .select(col("bid"), col("source"),
+        posexplode(graft.functions.Text.tokens(col("text")))
+          .as(Seq("i", "w0")))
+      .groupBy(col("bid"), col("source"), col("w0"))
+      .agg(min(col("i")).as("fi"))
+    // per-base first-appearance rank: base docs are single documents, so
+    // the window partitions are doc-sized and sources-many — fine
+    val rk = bw.withColumn("k",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bid")).orderBy(col("fi"))).cast("long"))
+      .filter(col("k") <= 14)
+      .select(col("bid"), col("source"),
+        concat(col("source"), lit(":"), col("w0")).as("word"), col("k"))
+      .localCheckpoint() // read by the qualifier and the five slices
+    val ok = rk.groupBy(col("bid")).agg(count(lit(1)).as("c"))
+      .filter(col("c") === 14).select(col("bid"))
+    val sel = rk.join(broadcast(ok), "bid")
+    def slice(kk: Int, lo: Long, hi: Long, off: Long) =
+      sel.filter(col("k").between(lo, hi))
+        .select((col("bid") * 8 + kk).as("doc_id"),
+          (col("k") - off).as("i"), col("word"))
+    val tokD = slice(0, 1, 6, 1)
+      .unionByName(slice(1, 2, 7, 2))
+      .unionByName(slice(2, 8, 14, 8))
+      .unionByName(slice(3, 1, 7, 1))
+      .unionByName(slice(4, 8, 14, 8))
+      .localCheckpoint() // read by both arms, the split, and the text
+    (tokD, sel.select(col("bid"), col("source")).distinct()
+      .localCheckpoint())
+  }
 
   /** The x200 train/eval split off the persisted fingerprint artifact:
     * (doc_id, is_train). */
@@ -663,6 +763,117 @@ object Tokens {
       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** x227's oracle: the derived stitched corpus (per source, the base
+    * doc's first 14 distinct source-prefixed tokens sliced into the
+    * P/Q/E/R/E2 docs), the GENERATED suffix chain over it (prefix x7),
+    * the L = 7 islands + the constructed split for the exact arm, the
+    * x226 gram CTEs for the gram arm, and the shared precision/recall
+    * rollup keyed back to the source through bid = doc_id // 8. */
+  private[graft] lazy val x227OracleSql: String =
+    s"""WITH x7b AS (
+      |  SELECT source, min(doc_id) AS bid FROM documents GROUP BY 1
+      |), x7t AS (
+      |  SELECT b.bid, b.source, string_split(d.text, ' ') AS t
+      |  FROM documents d JOIN x7b b ON d.doc_id = b.bid
+      |), x7w AS (
+      |  SELECT bid, source, word, min(i) AS fi FROM (
+      |    SELECT bid, source, t[i+1] AS word, i
+      |    FROM (SELECT bid, source, t, unnest(range(len(t))) AS i
+      |          FROM x7t))
+      |  GROUP BY 1, 2, 3
+      |), x7r AS (
+      |  SELECT bid, source, source || ':' || word AS word,
+      |         CAST(row_number() OVER (PARTITION BY bid ORDER BY fi)
+      |              AS BIGINT) AS k
+      |  FROM x7w
+      |), x7s AS (
+      |  SELECT bid FROM x7r WHERE k <= 14 GROUP BY 1 HAVING count(*) = 14
+      |), x7k AS (
+      |  SELECT r.bid, r.source, r.word, r.k
+      |  FROM x7r r JOIN x7s USING (bid) WHERE r.k <= 14
+      |), x7tok AS MATERIALIZED (
+      |  SELECT bid * 8 + 0 AS doc_id, k - 1 AS i, word FROM x7k
+      |  WHERE k BETWEEN 1 AND 6
+      |  UNION ALL SELECT bid * 8 + 1, k - 2, word FROM x7k
+      |  WHERE k BETWEEN 2 AND 7
+      |  UNION ALL SELECT bid * 8 + 2, k - 8, word FROM x7k
+      |  WHERE k BETWEEN 8 AND 14
+      |  UNION ALL SELECT bid * 8 + 3, k - 1, word FROM x7k
+      |  WHERE k BETWEEN 1 AND 7
+      |  UNION ALL SELECT bid * 8 + 4, k - 8, word FROM x7k
+      |  WHERE k BETWEEN 8 AND 14
+      |), ${suffixChainFromTokSql("x7")}, x7spl AS (
+      |  SELECT DISTINCT doc_id, doc_id % 8 < 3 AS is_train FROM x7tok
+      |), ${islandCteSql("x7c", 7, "x7lf")}, x7mf AS (
+      |  SELECT m.g, m.doc_id, m.i, s.is_train
+      |  FROM x7cmem m JOIN x7spl s USING (doc_id)
+      |), x7tc AS (
+      |  SELECT DISTINCT g FROM x7mf WHERE is_train
+      |), x7hp AS (
+      |  SELECT DISTINCT m.doc_id, m.i
+      |  FROM x7mf m JOIN x7tc USING (g) WHERE NOT m.is_train
+      |), x7ep AS (
+      |  SELECT DISTINCT doc_id, i + u.o AS pos
+      |  FROM x7hp, (SELECT unnest(range(7)) AS o) u
+      |), x7dt AS (
+      |  SELECT doc_id, list(word ORDER BY i) AS t FROM x7tok GROUP BY 1
+      |), x7gt AS (
+      |  SELECT d.doc_id, d.t, s.is_train
+      |  FROM x7dt d JOIN x7spl s USING (doc_id)
+      |), x7geg AS (
+      |  SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+      |         t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+      |         t[i+4] || ' ' || t[i+5] AS g
+      |  FROM (SELECT doc_id, t, unnest(range(len(t) - 4)) AS i
+      |        FROM x7gt WHERE NOT is_train AND len(t) >= 5)
+      |), x7gtg AS (
+      |  SELECT DISTINCT t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+      |         t[i+4] || ' ' || t[i+5] AS g
+      |  FROM (SELECT t, unnest(range(len(t) - 4)) AS i
+      |        FROM x7gt WHERE is_train AND len(t) >= 5)
+      |), x7gi AS (
+      |  SELECT e.doc_id, e.pos,
+      |         e.pos - CAST(row_number() OVER (
+      |           PARTITION BY e.doc_id ORDER BY e.pos) AS BIGINT) AS island
+      |  FROM x7geg e JOIN x7gtg t ON e.g = t.g
+      |), x7gs AS (
+      |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS s0,
+      |         CAST(min(pos) + count(*) + 4 AS BIGINT) AS e0
+      |  FROM x7gi GROUP BY doc_id, island
+      |  HAVING count(*) >= 3
+      |), x7gp AS (
+      |  SELECT DISTINCT doc_id,
+      |         s0 - 1 + unnest(range(CAST(e0 - s0 AS BIGINT))) AS pos
+      |  FROM x7gs
+      |), x7cmp AS (
+      |  SELECT coalesce(g.doc_id, e.doc_id) AS doc_id,
+      |         g.pos IS NOT NULL AS ing,
+      |         e.pos IS NOT NULL AS ine
+      |  FROM x7gp g FULL JOIN x7ep e
+      |    ON g.doc_id = e.doc_id AND g.pos = e.pos
+      |)
+      |SELECT b.source,
+      |       CAST(sum(CASE WHEN ing THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS gram_tokens,
+      |       CAST(sum(CASE WHEN ine THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS exact_tokens,
+      |       CAST(sum(CASE WHEN ing AND ine THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS tp,
+      |       CAST(sum(CASE WHEN ing AND NOT ine THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS fp,
+      |       CAST(sum(CASE WHEN ine AND NOT ing THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS fn,
+      |       CAST(CASE WHEN sum(CASE WHEN ing THEN 1 ELSE 0 END) = 0
+      |            THEN 0 ELSE sum(CASE WHEN ing AND ine THEN 1 ELSE 0 END)
+      |              * 1000000 // sum(CASE WHEN ing THEN 1 ELSE 0 END) END
+      |            AS BIGINT) AS precision_ppm,
+      |       CAST(CASE WHEN sum(CASE WHEN ine THEN 1 ELSE 0 END) = 0
+      |            THEN 0 ELSE sum(CASE WHEN ing AND ine THEN 1 ELSE 0 END)
+      |              * 1000000 // sum(CASE WHEN ine THEN 1 ELSE 0 END) END
+      |            AS BIGINT) AS recall_ppm
+      |FROM x7cmp c JOIN x7b b ON b.bid = c.doc_id // 8
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The L-prefix equivalence classes off the lcp pair table, as
     * (g, doc_id, i) members: positions sharing an identical first-L-
     * token window are exactly the maximal runs of suffix-order
@@ -764,9 +975,10 @@ object Tokens {
     * classes and x225/x226's L = 7 contamination classes — the same
     * one-definition rule the epoch/suffix/coverage generators follow
     * (r14 review: the two hand-copies could drift). */
-  private[graft] def islandCteSql(p: String, minLcp: Int): String =
+  private[graft] def islandCteSql(p: String, minLcp: Int,
+      lf: String = "lf"): String =
     s"""${p}pl AS (
-      |  SELECT rn, ad, ai, bd, bi FROM lf WHERE lcp >= $minLcp
+      |  SELECT rn, ad, ai, bd, bi FROM $lf WHERE lcp >= $minLcp
       |), ${p}isl AS (
       |  SELECT ad, ai, bd, bi,
       |         rn - CAST(row_number() OVER (ORDER BY rn) AS BIGINT) AS g

@@ -91,6 +91,29 @@ class Round15Spec extends AnyFunSuite {
     assert(got.map(_._5).max >= 25)
   }
 
+  test("x227: the stitched corpus makes the gram cutter's over-cut branch fire, at exactly the derived algebra") {
+    // hand-derived expectation per qualifying source (VERDICT r14
+    // item 3): eval E = t1..t7 stitches P = t1..t6 and Q = t2..t7
+    // (gram run of 3, NO single-train-doc 7-span) -> fp = 7; eval
+    // E2 = t8..t14 is verbatim in train R -> tp = 7; the window lemma
+    // holds -> fn = 0. Oracle equality at three SFs proves the two
+    // ENGINES agree; this pins that they agree on the RIGHT numbers.
+    val rows = SparkEntry.queries("x227_stitched_gap")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gram_tokens") == 14L &&
+        r.getAs[Long]("exact_tokens") == 7L &&
+        r.getAs[Long]("tp") == 7L &&
+        r.getAs[Long]("fp") == 7L &&
+        r.getAs[Long]("fn") == 0L &&
+        r.getAs[Long]("precision_ppm") == 500000L &&
+        r.getAs[Long]("recall_ppm") == 1000000L,
+        s"source ${r.getAs[String]("source")} diverged from the " +
+          s"derived algebra: $r")
+    }
+  }
+
   test("validated trainer: empty validation split falls back to the fixed budget instead of aborting") {
     import spark.implicits._
     // a tiny corpus whose docs all land OUTSIDE the val bucket by
