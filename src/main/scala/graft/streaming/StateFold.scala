@@ -220,14 +220,19 @@ private[graft] object KeyedFold {
       .collect().map(_.getInt(0)).toSeq.sorted
 
   /** Partition-pruned state read: only the `parts` kh directories are
-    * scanned (literal isin → static partition pruning), kh dropped. */
+    * scanned (literal isin → static partition pruning), kh dropped.
+    * Journaled (kind "keyed-read", before = the pruned kh dirs) so
+    * Round15Spec can pin that a fold's READ set is ∝ its frontier, the
+    * same way the overwrite journal pins the write set. */
   def readParts(ss: SparkSession, dir: String, parts: Seq[Int],
       fallback: => DataFrame): DataFrame =
-    if (hasState(dir))
+    if (hasState(dir)) {
+      StateFold.recordKeyed(StateFold.FoldEvent(dir, "keyed-read",
+        parts.map(k => s"kh=$k").toSet, Set.empty))
       ss.read.parquet(dir)
         .filter(col("kh").isin(parts.map(Integer.valueOf): _*))
         .drop("kh")
-    else fallback.limit(0)
+    } else fallback.limit(0)
 
   /** Rewrite ONLY the `parts` kh partitions with `updated` (which must
     * carry every surviving row for each partition it touches, and no

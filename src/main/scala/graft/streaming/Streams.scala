@@ -2351,8 +2351,147 @@ object Streams {
             x => x.getField("word")).as("ws"))
         graft.operators.Corpus.spanDedupFrom(base)
       }
+    },
+
+    // FRONTIER-CHASE STREAMING CC — st22 with the per-batch state READ
+    // made ∝ the affected frontier too (VERDICT r14 item 2: st22's
+    // read stays nodes-sized because a single (node, comp) table gives
+    // no way to find "every member of component X" without scanning
+    // all labels). The device is a SECOND keyed store — the
+    // component-membership inverted index mem(comp → node), partitioned
+    // by comp-hash — so a batch resolves in two pruned hops: (1) read
+    // ONLY the lab partitions holding the batch's endpoints → endpoint
+    // labels; (2) contract batch edges to a batch-sized comp graph and
+    // converge it (the "iterate to fixpoint" runs HERE, on the
+    // contraction, never against state — prior labels are canonical
+    // min-ids, so the mapping closes transitively in one pass); (3)
+    // read ONLY the mem partitions holding relabeled comps → exactly
+    // the nodes that must relabel. Writes rewrite only touched
+    // partitions in both stores. Per-batch I/O: read ∝ endpoint
+    // partitions + affected-component partitions, write ∝ relabeled
+    // nodes — never total state on either side. The price is the
+    // second store (2× state storage + a second overwrite per batch):
+    // st22 remains the single-store variant; SCALING.md r15 carries the
+    // measured comparison. Min-label canonicalization keeps the fold
+    // order- and slicing-insensitive exactly as st22's; the converged
+    // labels answer the batch x146 oracle verbatim. Read-pruning is
+    // journal-pinned in Round15Spec (kind "keyed-read").
+    QueryDef("st37_stream_cc_frontier",
+      graft.operators.Corpus.x146OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageCcEdgesSplit(ss, d)
+        val key = graft.ContentKey.key(
+          java.nio.file.Paths.get(d, "documents.parquet"))
+        val labDir = graft.Scratch.path(s"graft_stccf_lab_v1_$key")
+        val memDir = graft.Scratch.path(s"graft_stccf_mem_v1_$key")
+        resetDir(labDir); resetDir(memDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            frontierCcBatch(batch, labDir, memDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Corpus.ccReport(
+          KeyedFold.readAll(ss, labDir,
+            ss.read.parquet(stage).select(col("src").as("node"),
+              col("src").as("comp"))))
+      }
     }
   )
+
+  /** One frontier-chase CC micro-batch fold over the two keyed stores
+    * (lab: node → comp by node-hash; mem: comp → node by comp-hash) —
+    * st37's per-batch body, factored so Round15Spec can drive crafted
+    * batches through the exact production fold and pin the pruned read
+    * set. See st37's header for the three-hop contract. */
+  private[graft] def frontierCcBatch(batch: DataFrame, labDir: String,
+      memDir: String): Unit = {
+    val spark = batch.sparkSession
+    val edges = batch.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint() // endpoints + the contraction both read it
+    val endpoints = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    // hop 1: endpoint labels from the PRUNED lab slice
+    val epParts = KeyedFold.touched(endpoints, Seq("node"))
+    val labSlice = KeyedFold.readParts(spark, labDir, epParts,
+        endpoints.select(col("node"), col("node").as("comp")))
+      .localCheckpoint() // label lookup + new-node anti-join
+    val epLab = endpoints.join(labSlice, Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+      .localCheckpoint()
+    val newNodes = endpoints
+      .join(labSlice.select("node"), Seq("node"), "left_anti")
+      .localCheckpoint()
+    // hop 2: batch-sized comp contraction → transitive merge mapping
+    // (prior labels are canonical, so converging the CONTRACTION graph
+    // closes the mapping — no fixpoint against state)
+    val dmap = edges
+      .join(broadcast(epLab.select(col("node").as("src"),
+        col("comp").as("ca"))), "src")
+      .join(broadcast(epLab.select(col("node").as("dst"),
+        col("comp").as("cb"))), "dst")
+      .select(col("ca").as("a"), col("cb").as("b"))
+      .filter(col("a") =!= col("b"))
+    val cg = dmap.union(dmap.select(col("b").as("a"), col("a").as("b")))
+      .distinct().select(col("a").as("src"), col("b").as("dst"))
+      .localCheckpoint() // components-sized; feeds its own CC fold
+    val mc = graft.operators.Corpus.ccLabels(cg, 4)
+      .select(col("node").as("comp"), col("comp").as("mc"))
+      .localCheckpoint() // the merge mapping, read by every stage below
+    val relabelFrom = mc.filter(col("comp") =!= col("mc"))
+      .localCheckpoint()
+    // hop 3: chase ONLY the relabeled comps through the membership
+    // store — the read is ∝ partitions holding affected components
+    val fromParts = KeyedFold.touched(
+      relabelFrom.select(col("comp")), Seq("comp"))
+    val memSliceFrom = KeyedFold.readParts(spark, memDir, fromParts,
+        relabelFrom.select(col("comp"), col("comp").as("node")))
+      .localCheckpoint()
+    val relabNodes = memSliceFrom
+      .join(broadcast(relabelFrom), Seq("comp"))
+      .select(col("node"), col("mc").as("comp"))
+      .localCheckpoint()
+    val newLab = newNodes
+      .join(broadcast(mc), newNodes("node") === mc("comp"), "left")
+      .select(newNodes("node"),
+        coalesce(col("mc"), newNodes("node")).as("comp"))
+      .localCheckpoint()
+    // lab overwrite: every surviving row of the touched partitions
+    val updNodes = relabNodes.select("node").union(newLab.select("node"))
+      .distinct()
+    val labParts = KeyedFold.touched(updNodes, Seq("node"))
+    if (labParts.nonEmpty) {
+      val labSurv = KeyedFold.readParts(spark, labDir, labParts, newLab)
+      val labUpd = labSurv
+        .join(broadcast(relabNodes.select(col("node"),
+          col("comp").as("nc"))), Seq("node"), "left")
+        .select(col("node"), coalesce(col("nc"), col("comp")).as("comp"))
+        .unionByName(newLab)
+        .localCheckpoint() // sever from the files being replaced
+      KeyedFold.overwriteTouched(labUpd, Seq("node"), labDir, labParts)
+    }
+    // mem overwrite: drop relabeled comps' rows, add the new memberships
+    val addMem = relabNodes.select(col("comp"), col("node"))
+      .unionByName(newLab.select(col("comp"), col("node")))
+      .localCheckpoint()
+    val memParts = KeyedFold.touched(
+      relabelFrom.select(col("comp"))
+        .union(addMem.select(col("comp"))).distinct(), Seq("comp"))
+    if (memParts.nonEmpty) {
+      val memUpd = KeyedFold.readParts(spark, memDir, memParts, addMem)
+        .join(broadcast(relabelFrom.select(col("comp"))),
+          Seq("comp"), "left_anti")
+        .unionByName(addMem)
+        .localCheckpoint() // sever from the files being replaced
+      KeyedFold.overwriteTouched(memUpd, Seq("comp"), memDir, memParts)
+    }
+  }
 
   /** Stage [[graft.operators.Corpus.ccRawEdges]] as THREE batch files
     * (sliced on the generating hash — deterministic, SF-invariant) for

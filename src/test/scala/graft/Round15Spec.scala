@@ -114,6 +114,50 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("st37: the frontier-chase fold reads only endpoint/affected-component partitions, and the chase reaches non-endpoint members") {
+    import spark.implicits._
+    import streaming.{KeyedFold, StateFold, Streams}
+    val root = java.nio.file.Files.createTempDirectory("r15ccf")
+    val lab = root.resolve("lab").toString
+    val mem = root.resolve("mem").toString
+    try {
+      // batch 1: 40 disjoint 2-node components spread over partitions
+      val b1 = (0 until 40).map(i => (2 * i, 2 * i + 1)).toDF("src", "dst")
+      Streams.frontierCcBatch(b1, lab, mem)
+      val populated = KeyedFold.partFilesRec(lab)
+        .map(_.split("/")(0)).size
+      assert(populated >= 10,
+        s"fixture must spread state over many partitions: $populated")
+      val mark = StateFold.events.size
+      // batch 2: ONE bridging edge (0,2) — endpoints {0,2}; the merge
+      // must also relabel node 3 (comp 2's other member), which is NOT
+      // a batch endpoint: only the mem chase can find it
+      Streams.frontierCcBatch(Seq((0, 2)).toDF("src", "dst"), lab, mem)
+      val evs = StateFold.events.drop(mark)
+      val reads = evs.filter(_.kind == "keyed-read")
+      assert(reads.nonEmpty, "the fold must take the pruned-read path")
+      reads.foreach { e =>
+        assert(e.before.size <= 2,
+          s"a 1-edge batch read ${e.before.size} partitions of ${e.dir}: " +
+            s"${e.before} — the read is not frontier-pruned")
+      }
+      // ... and correctness: 0,1,2,3 merged under min-label 0, every
+      // other component untouched
+      val got = spark.read.parquet(lab).drop("kh")
+        .as[(Int, Int)].collect().toMap
+      assert(Seq(0, 1, 2, 3).forall(got(_) == 0),
+        s"bridge must merge both 2-node comps: $got")
+      (2 until 40).foreach { i =>
+        assert(got(2 * i) == 2 * i && got(2 * i + 1) == 2 * i,
+          s"untouched component $i relabeled: $got")
+      }
+      // the membership store agrees with the label store exactly
+      val inv = spark.read.parquet(mem).drop("kh")
+        .select(col("node"), col("comp")).as[(Int, Int)].collect().toMap
+      assert(inv == got, "mem and lab diverged")
+    } finally graft.Publish.deleteTree(root)
+  }
+
   test("validated trainer: empty validation split falls back to the fixed budget instead of aborting") {
     import spark.implicits._
     // a tiny corpus whose docs all land OUTSIDE the val bucket by
