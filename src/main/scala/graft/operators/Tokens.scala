@@ -560,8 +560,81 @@ object Tokens {
           .withColumn("bid", expr("doc_id div 8"))
           .join(broadcast(srcMap), "bid")
           .select(col("doc_id"), col("source")))
+    },
+
+    // EXACT CROSS-SOURCE OVERLAP MATRIX — the provenance consumer of
+    // the suffix tier: which source PAIRS share verbatim ≥8-token
+    // content, and how much? x135's copy-flow matrix answers this with
+    // shingle containment (approximate, set-level); this is the exact
+    // instrument off the SAME slcp artifact the dedup tier serves from.
+    // The ≥8-LCP adjacency classes ([[islandMembers]]) partition every
+    // flagged position into 8-prefix content classes; a class listing
+    // members from two sources is verbatim text both carry. Per
+    // (source_a < source_b): shared classes, and each side's window
+    // count inside them (positions whose content the other source also
+    // has — the mass a cross-source dedup pass would arbitrate).
+    //
+    // Scale: serves from the artifact scan; classes/members ∝ flagged
+    // positions; the pair self-join is per-class over the DISTINCT
+    // source set (sources-bounded, ~2 per class); report ≤ sources².
+    graft.QueryDef("x228_exact_source_overlap", x228OracleSql) { (s, d) =>
+      exactSourceOverlapFrom(suffixLcpArtifact(s, d),
+        Tables.documents(s, d).select(col("doc_id"), col("source")))
     }
   )
+
+  /** x228's matrix over explicit (lcp pairs, doc → source) frames —
+    * split out so Round15Spec can drive a crafted corpus with a known
+    * pair matrix through the exact production plan. */
+  private[graft] def exactSourceOverlapFrom(lcpPairs: DataFrame,
+      srcMap: DataFrame): DataFrame = {
+      val mem = islandMembers(lcpPairs, 8)
+      val gsrc = mem.join(srcMap, "doc_id")
+        .select(col("g"), col("source"), col("doc_id"), col("i"))
+        .localCheckpoint() // class-source sets + both per-side counts
+      val cls = gsrc.select(col("g"), col("source")).distinct()
+      val gcnt = gsrc.groupBy(col("g"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val prs = cls.as("a").join(cls.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .select(col("a.g").as("g"), col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+      prs
+        .join(gcnt.select(col("g"), col("source").as("source_a"),
+          col("n").as("na")), Seq("g", "source_a"))
+        .join(gcnt.select(col("g"), col("source").as("source_b"),
+          col("n").as("nb")), Seq("g", "source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(countDistinct(col("g")).as("shared_windows"),
+          sum(col("na")).as("windows_a"),
+          sum(col("nb")).as("windows_b"))
+        .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** x228's oracle: the shared suffix chain + ≥8 islands, classes keyed
+    * to sources, the within-class source-pair self-join, and the
+    * per-pair rollup. */
+  private[graft] lazy val x228OracleSql: String =
+    s"""WITH $suffixCteSql, ${islandCteSql("", 8)}, gsrc AS MATERIALIZED (
+      |  SELECT m.g, d.source, m.doc_id, m.i
+      |  FROM mem m JOIN documents d USING (doc_id)
+      |), cls AS (
+      |  SELECT DISTINCT g, source FROM gsrc
+      |), gcnt AS (
+      |  SELECT g, source, CAST(count(*) AS BIGINT) AS n
+      |  FROM gsrc GROUP BY 1, 2
+      |), prs AS (
+      |  SELECT a.g, a.source AS source_a, b.source AS source_b
+      |  FROM cls a JOIN cls b ON a.g = b.g AND a.source < b.source
+      |)
+      |SELECT p.source_a, p.source_b,
+      |       CAST(count(DISTINCT p.g) AS BIGINT) AS shared_windows,
+      |       CAST(sum(ca.n) AS BIGINT) AS windows_a,
+      |       CAST(sum(cb.n) AS BIGINT) AS windows_b
+      |FROM prs p
+      |JOIN gcnt ca ON ca.g = p.g AND ca.source = p.source_a
+      |JOIN gcnt cb ON cb.g = p.g AND cb.source = p.source_b
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** The x226/x227 precision-recall rollup over the two position sets —
     * one definition, so the derived-corpus audit prices the SAME

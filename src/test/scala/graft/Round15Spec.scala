@@ -158,6 +158,40 @@ class Round15Spec extends AnyFunSuite {
     } finally graft.Publish.deleteTree(root)
   }
 
+  test("x228: the cross-source overlap matrix matches a hand-derived crafted corpus") {
+    import spark.implicits._
+    // source A doc 0 and source B doc 1 share one verbatim 9-token
+    // passage (two 8-window starts on each side, one shared 8-prefix
+    // class each... derived below); B doc 1 and B doc 2 ALSO repeat a
+    // span — same-source, must NOT appear in the cross matrix; source C
+    // shares nothing
+    val shared = Array("s1", "s2", "s3", "s4", "s5", "s6", "s7", "s8", "s9")
+    val d0 = Array("a1", "a2") ++ shared ++ Array("a3")
+    val d1 = Array("b1") ++ shared ++ Array("b2", "b3")
+    val d2 = Array("b1") ++ shared ++ Array("b4", "b5") // B-internal too
+    val d3 = Array("c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8", "c9")
+    val docs = Seq(0L -> d0, 1L -> d1, 2L -> d2, 3L -> d3)
+    val tok = docs.flatMap { case (d, ts) =>
+      ts.zipWithIndex.map { case (w, i) => (d, i.toLong, w) }
+    }.toDF("doc_id", "i", "word")
+    val srcMap = Seq((0L, "A"), (1L, "B"), (2L, "B"), (3L, "C"))
+      .toDF("doc_id", "source")
+    val got = operators.Tokens.exactSourceOverlapFrom(
+      operators.Tokens.suffixLcpFrom(tok), srcMap).collect()
+    // the only cross-source pair is (A, B): a 9-token shared span has
+    // two 8-window starts per occurrence; d0 carries one occurrence
+    // (2 windows), B carries two (d1 + d2 = 4 windows); both window
+    // contents (s1..s8, s2..s9) are single classes spanning A and B
+    assert(got.length == 1, s"expected one pair row: ${got.toSeq}")
+    val r = got.head
+    assert(r.getAs[String]("source_a") == "A" &&
+      r.getAs[String]("source_b") == "B" &&
+      r.getAs[Long]("shared_windows") == 2L &&
+      r.getAs[Long]("windows_a") == 2L &&
+      r.getAs[Long]("windows_b") == 4L,
+      s"matrix diverged from the derived algebra: $r")
+  }
+
   test("validated trainer: empty validation split falls back to the fixed budget instead of aborting") {
     import spark.implicits._
     // a tiny corpus whose docs all land OUTSIDE the val bucket by
