@@ -580,8 +580,187 @@ object Tokens {
     graft.QueryDef("x228_exact_source_overlap", x228OracleSql) { (s, d) =>
       exactSourceOverlapFrom(suffixLcpArtifact(s, d),
         Tables.documents(s, d).select(col("doc_id"), col("source")))
+    },
+
+    // REPEAT-LOCALITY DECOMPOSITION — route x221's one number to the
+    // right remediation: repeated mass WITHIN a document is boilerplate/
+    // degenerate repetition (strip it in place — x186's family), mass
+    // shared ACROSS documents is duplication (cut it corpus-wide —
+    // x223's family). Off the slcp artifact: a flagged position's
+    // 8-prefix class ([[islandMembers]]) is CROSS-DOC iff the class has
+    // members from ≥2 documents — the content-level test (an occurrence
+    // in the middle of three same-doc copies still counts cross-doc when
+    // a fourth copy lives elsewhere; a neighbor-only test would misfile
+    // it). Coverage = the ×8 window union per type; the intra side is
+    // reported net of the inter side, so the two partition the covered
+    // mass. Per source: total/covered/inter/intra tokens + ppm.
+    //
+    // Scale: serves from the artifact scan; class-doc cardinality is
+    // one agg over members; both window unions are bounded explodes
+    // ∝ flagged positions; report is sources-sized.
+    graft.QueryDef("x229_repeat_locality", x229OracleSql) { (s, d) =>
+      repeatLocalityFrom(suffixLcpArtifact(s, d), table(s, d),
+        Tables.documents(s, d).select(col("doc_id"), col("source")))
+    },
+
+    // DERIVED-CORPUS LOCALITY PROOF — x229's intra branch never fires
+    // on the natural testdata (intra_tokens = 0 at all three SFs —
+    // every ≥8-token repeat there is cross-doc), so, exactly as x227
+    // does for x226's fp branch, this derives a corpus FROM the
+    // testdata in which BOTH branches fire with hand-derivable numbers
+    // AND the content-level rule discriminates: per source, the base
+    // doc's first 24 distinct source-prefixed tokens build d0 =
+    // t1..t8 ×2 (a same-doc repeat: intra 16), d1 = d2 = t9..t16
+    // (cross-doc: inter 16), and d3 = t17..t24 ×2 with d4 = t17..t24 —
+    // d3's two copies are same-doc but the content ALSO lives in d4,
+    // so ALL 24 of those tokens must count inter (a neighbor-based
+    // test would misfile d3's first copy as intra; the class
+    // doc-cardinality test cannot). Expected per source:
+    // total 56 / inter 40 / intra 16 — ppm 714285 / 285714.
+    graft.QueryDef("x230_derived_locality", x230OracleSql) { (s, d) =>
+      val (sel, srcMap) = baseTokens(s, d, 24)
+      def rows(kk: Int, lo: Long, hi: Long, off: Long) =
+        sel.filter(col("k").between(lo, hi))
+          .select((col("bid") * 8 + kk).as("doc_id"),
+            (col("k") - off).as("i"), col("word"))
+      val tokD = rows(0, 1, 8, 1)
+        .unionByName(rows(0, 1, 8, -7)) // second copy at i = k+7
+        .unionByName(rows(1, 9, 16, 9))
+        .unionByName(rows(2, 9, 16, 9))
+        .unionByName(rows(3, 17, 24, 17))
+        .unionByName(rows(3, 17, 24, 9)) // second copy at i = k-9
+        .unionByName(rows(4, 17, 24, 17))
+        .localCheckpoint() // suffix build + totals + rollup read it
+      repeatLocalityFrom(suffixLcpFrom(tokD), tokD,
+        tokD.select(col("doc_id")).distinct()
+          .withColumn("bid", expr("doc_id div 8"))
+          .join(broadcast(srcMap), "bid")
+          .select(col("doc_id"), col("source")))
     }
   )
+
+  /** x229's decomposition over explicit (lcp pairs, token table,
+    * doc → source) frames — one definition shared with x230's
+    * derived-corpus proof, so the proved plan IS the shipped plan. */
+  private[graft] def repeatLocalityFrom(lcpPairs: DataFrame,
+      tokens: DataFrame, srcMap: DataFrame): DataFrame = {
+      val mem = islandMembers(lcpPairs, 8)
+      val nd = mem.select(col("g"), col("doc_id")).distinct()
+        .groupBy(col("g")).agg(countDistinct(col("doc_id")).as("nd"))
+      val typed = mem.join(nd, "g")
+        .select(col("doc_id"), col("i"), (col("nd") >= 2).as("inter"))
+        .localCheckpoint() // both window unions read it
+      def cover(flag: Boolean) = typed.filter(col("inter") === flag)
+        .withColumn("o", explode(sequence(lit(0L), lit(7L))))
+        .select(col("doc_id"), (col("i") + col("o")).as("pos"))
+        .distinct()
+      val interC = cover(true).localCheckpoint() // counted + anti-joined
+      val intraC = cover(false)
+        .join(interC, Seq("doc_id", "pos"), "left_anti")
+      val perDoc = interC.withColumn("k", lit("inter"))
+        .unionByName(intraC.withColumn("k", lit("intra")))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("k") === "inter", 1L).otherwise(0L))
+          .as("inter_t"),
+          sum(when(col("k") === "intra", 1L).otherwise(0L)).as("intra_t"))
+      val tl = tokens.groupBy(col("doc_id"))
+        .agg((max(col("i")) + 1).cast("long").as("ntok"))
+      tl.join(srcMap, "doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("ntok")).as("total_tokens"),
+          sum(coalesce(col("inter_t"), lit(0L))).as("inter_tokens"),
+          sum(coalesce(col("intra_t"), lit(0L))).as("intra_tokens"))
+        .select(col("source"), col("total_tokens"),
+          (col("inter_tokens") + col("intra_tokens")).as("covered_tokens"),
+          col("inter_tokens"), col("intra_tokens"),
+          expr("inter_tokens * 1000000 div total_tokens").as("inter_ppm"),
+          expr("intra_tokens * 1000000 div total_tokens").as("intra_ppm"))
+        .orderBy(col("source"))
+  }
+
+  /** The locality-decomposition CTEs over any island member CTE —
+    * ${p}nd (class doc-cardinality), ${p}typ (positions typed
+    * inter/intra), ${p}ic/${p}ac (the two ×8 window unions, intra net
+    * of inter), ${p}pd (per-doc counts). One generator for x229's
+    * natural-corpus chain and x230's derived proof. */
+  private[graft] def localityCteSql(p: String, mem: String): String =
+    s"""${p}nd AS (
+      |  SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      |  FROM $mem GROUP BY 1
+      |), ${p}typ AS MATERIALIZED (
+      |  SELECT m.doc_id, m.i, (l.nd >= 2) AS inter
+      |  FROM $mem m JOIN ${p}nd l USING (g)
+      |), ${p}ic AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, i + u.o AS pos
+      |  FROM ${p}typ, (SELECT unnest(range(8)) AS o) u WHERE inter
+      |), ${p}ac AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT DISTINCT t.doc_id, t.i + u.o AS pos
+      |    FROM ${p}typ t, (SELECT unnest(range(8)) AS o) u
+      |    WHERE NOT t.inter) a
+      |  WHERE NOT EXISTS (SELECT 1 FROM ${p}ic i
+      |                    WHERE i.doc_id = a.doc_id AND i.pos = a.pos)
+      |), ${p}pd AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN k = 'inter' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS inter_t,
+      |         CAST(sum(CASE WHEN k = 'intra' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS intra_t
+      |  FROM (SELECT doc_id, pos, 'inter' AS k FROM ${p}ic
+      |        UNION ALL SELECT doc_id, pos, 'intra' AS k FROM ${p}ac)
+      |  GROUP BY 1
+      |)""".stripMargin
+
+  /** The locality rollup SELECT over a token-length CTE `tl`, a
+    * per-doc counts CTE `pd`, and a source join clause. */
+  private def localityRollupSql(tl: String, pd: String,
+      srcJoin: String): String =
+    s"""SELECT b.source,
+      |       CAST(sum(tl.ntok) AS BIGINT) AS total_tokens,
+      |       CAST(sum(coalesce(p.inter_t, 0) + coalesce(p.intra_t, 0))
+      |            AS BIGINT) AS covered_tokens,
+      |       CAST(sum(coalesce(p.inter_t, 0)) AS BIGINT) AS inter_tokens,
+      |       CAST(sum(coalesce(p.intra_t, 0)) AS BIGINT) AS intra_tokens,
+      |       CAST(sum(coalesce(p.inter_t, 0)) * 1000000
+      |            // sum(tl.ntok) AS BIGINT) AS inter_ppm,
+      |       CAST(sum(coalesce(p.intra_t, 0)) * 1000000
+      |            // sum(tl.ntok) AS BIGINT) AS intra_ppm
+      |FROM $tl tl $srcJoin
+      |LEFT JOIN $pd p ON p.doc_id = tl.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** x229's oracle: the shared chain + ≥8 islands + the generated
+    * locality chain, rolled up per source. */
+  private[graft] lazy val x229OracleSql: String =
+    s"""WITH $suffixCteSql, ${islandCteSql("", 8)},
+      |${localityCteSql("l", "mem")}
+      |${localityRollupSql("tl", "lpd",
+        "JOIN documents b ON b.doc_id = tl.doc_id")}""".stripMargin
+
+  /** x230's oracle: the shared derived-corpus seed (24 tokens), the
+    * y7-prefixed generated suffix chain + islands + locality chain,
+    * rolled back to the source through bid = doc_id // 8. */
+  private[graft] lazy val x230OracleSql: String =
+    s"""WITH ${baseTokenCteSql("y7", 24)}, y7tok AS MATERIALIZED (
+      |  SELECT bid * 8 + 0 AS doc_id, k - 1 AS i, word FROM y7k
+      |  WHERE k BETWEEN 1 AND 8
+      |  UNION ALL SELECT bid * 8 + 0, k + 7, word FROM y7k
+      |  WHERE k BETWEEN 1 AND 8
+      |  UNION ALL SELECT bid * 8 + 1, k - 9, word FROM y7k
+      |  WHERE k BETWEEN 9 AND 16
+      |  UNION ALL SELECT bid * 8 + 2, k - 9, word FROM y7k
+      |  WHERE k BETWEEN 9 AND 16
+      |  UNION ALL SELECT bid * 8 + 3, k - 17, word FROM y7k
+      |  WHERE k BETWEEN 17 AND 24
+      |  UNION ALL SELECT bid * 8 + 3, k - 9, word FROM y7k
+      |  WHERE k BETWEEN 17 AND 24
+      |  UNION ALL SELECT bid * 8 + 4, k - 17, word FROM y7k
+      |  WHERE k BETWEEN 17 AND 24
+      |), ${suffixChainFromTokSql("y7")}, ${islandCteSql("y7c", 8, "y7lf")},
+      |${localityCteSql("y7l", "y7cmem")}
+      |${localityRollupSql("y7tl", "y7lpd",
+        "JOIN y7b b ON b.bid = tl.doc_id // 8")}""".stripMargin
 
   /** x228's matrix over explicit (lcp pairs, doc → source) frames —
     * split out so Round15Spec can drive a crafted corpus with a known
@@ -665,12 +844,14 @@ object Tokens {
         .orderBy(col("source"))
   }
 
-  /** x227's derived stitched corpus: (token stream (doc_id, i, word),
-    * (bid, source) base map). Derived doc ids are bid·8+k, k∈[0,5);
-    * k < 3 are the train docs. Sources whose base doc has fewer than 14
-    * distinct tokens drop out (both engines filter identically). */
-  private[graft] def stitchedCorpus(s: SparkSession,
-      d: String): (DataFrame, DataFrame) = {
+  /** The derived-corpus seed shared by x227 and x230: per source, the
+    * base document's (min doc_id) first `n` distinct source-prefixed
+    * tokens, first-appearance ordered. Returns (sel: (bid, source,
+    * word, k ∈ [1, n]), srcMap: (bid, source)); sources whose base doc
+    * has fewer than `n` distinct tokens drop out (both engines filter
+    * identically). */
+  private[graft] def baseTokens(s: SparkSession, d: String,
+      n: Int): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
     val base = docs.groupBy(col("source")).agg(min(col("doc_id")).as("bid"))
     val bw = docs.select(col("doc_id"), col("text"))
@@ -685,13 +866,24 @@ object Tokens {
     val rk = bw.withColumn("k",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("bid")).orderBy(col("fi"))).cast("long"))
-      .filter(col("k") <= 14)
+      .filter(col("k") <= n)
       .select(col("bid"), col("source"),
         concat(col("source"), lit(":"), col("w0")).as("word"), col("k"))
-      .localCheckpoint() // read by the qualifier and the five slices
+      .localCheckpoint() // read by the qualifier and the slices
     val ok = rk.groupBy(col("bid")).agg(count(lit(1)).as("c"))
-      .filter(col("c") === 14).select(col("bid"))
+      .filter(col("c") === n).select(col("bid"))
     val sel = rk.join(broadcast(ok), "bid")
+      .localCheckpoint() // read by every doc slice and the source map
+    (sel, sel.select(col("bid"), col("source")).distinct()
+      .localCheckpoint())
+  }
+
+  /** x227's derived stitched corpus: (token stream (doc_id, i, word),
+    * (bid, source) base map). Derived doc ids are bid·8+k, k∈[0,5);
+    * k < 3 are the train docs. */
+  private[graft] def stitchedCorpus(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val (sel, srcMap) = baseTokens(s, d, 14)
     def slice(kk: Int, lo: Long, hi: Long, off: Long) =
       sel.filter(col("k").between(lo, hi))
         .select((col("bid") * 8 + kk).as("doc_id"),
@@ -702,8 +894,7 @@ object Tokens {
       .unionByName(slice(3, 1, 7, 1))
       .unionByName(slice(4, 8, 14, 8))
       .localCheckpoint() // read by both arms, the split, and the text
-    (tokD, sel.select(col("bid"), col("source")).distinct()
-      .localCheckpoint())
+    (tokD, srcMap)
   }
 
   /** The x200 train/eval split off the persisted fingerprint artifact:
@@ -842,29 +1033,39 @@ object Tokens {
     * the L = 7 islands + the constructed split for the exact arm, the
     * x226 gram CTEs for the gram arm, and the shared precision/recall
     * rollup keyed back to the source through bid = doc_id // 8. */
-  private[graft] lazy val x227OracleSql: String =
-    s"""WITH x7b AS (
+  /** The derived-corpus seed CTEs shared by x227/x230's oracles —
+    * ${p}b (base doc per source), ${p}t/${p}w/${p}r (first-appearance-
+    * ranked distinct source-prefixed tokens), ${p}s (sources with ≥ n),
+    * ${p}k (the qualifying (bid, source, word, k ∈ [1, n]) rows) —
+    * [[baseTokens]]'s SQL twin, generated so the two derived corpora
+    * cannot drift in their seed derivation. */
+  private[graft] def baseTokenCteSql(p: String, n: Int): String =
+    s"""${p}b AS (
       |  SELECT source, min(doc_id) AS bid FROM documents GROUP BY 1
-      |), x7t AS (
+      |), ${p}t AS (
       |  SELECT b.bid, b.source, string_split(d.text, ' ') AS t
-      |  FROM documents d JOIN x7b b ON d.doc_id = b.bid
-      |), x7w AS (
+      |  FROM documents d JOIN ${p}b b ON d.doc_id = b.bid
+      |), ${p}w AS (
       |  SELECT bid, source, word, min(i) AS fi FROM (
       |    SELECT bid, source, t[i+1] AS word, i
       |    FROM (SELECT bid, source, t, unnest(range(len(t))) AS i
-      |          FROM x7t))
+      |          FROM ${p}t))
       |  GROUP BY 1, 2, 3
-      |), x7r AS (
+      |), ${p}r AS (
       |  SELECT bid, source, source || ':' || word AS word,
       |         CAST(row_number() OVER (PARTITION BY bid ORDER BY fi)
       |              AS BIGINT) AS k
-      |  FROM x7w
-      |), x7s AS (
-      |  SELECT bid FROM x7r WHERE k <= 14 GROUP BY 1 HAVING count(*) = 14
-      |), x7k AS (
+      |  FROM ${p}w
+      |), ${p}s AS (
+      |  SELECT bid FROM ${p}r WHERE k <= $n GROUP BY 1
+      |  HAVING count(*) = $n
+      |), ${p}k AS (
       |  SELECT r.bid, r.source, r.word, r.k
-      |  FROM x7r r JOIN x7s USING (bid) WHERE r.k <= 14
-      |), x7tok AS MATERIALIZED (
+      |  FROM ${p}r r JOIN ${p}s USING (bid) WHERE r.k <= $n
+      |)""".stripMargin
+
+  private[graft] lazy val x227OracleSql: String =
+    s"""WITH ${baseTokenCteSql("x7", 14)}, x7tok AS MATERIALIZED (
       |  SELECT bid * 8 + 0 AS doc_id, k - 1 AS i, word FROM x7k
       |  WHERE k BETWEEN 1 AND 6
       |  UNION ALL SELECT bid * 8 + 1, k - 2, word FROM x7k

@@ -192,6 +192,28 @@ class Round15Spec extends AnyFunSuite {
       s"matrix diverged from the derived algebra: $r")
   }
 
+  test("x230: the derived locality corpus fires both branches at the hand-derived split, incl. the content-level discriminator") {
+    // per qualifying source: d0 = t1..t8 ×2 (same-doc repeat → intra
+    // 16); d1 = d2 = t9..t16 (cross-doc → inter 16); d3 = t17..t24 ×2
+    // with d4 = t17..t24 — d3's copies are same-doc but the content
+    // also lives in d4, so ALL 24 of those tokens must count inter (a
+    // neighbor-adjacency test would misfile d3's first copy; the class
+    // doc-cardinality test cannot). 56 total / 40 inter / 16 intra.
+    val rows = SparkEntry.queries("x230_derived_locality")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_tokens") == 56L &&
+        r.getAs[Long]("covered_tokens") == 56L &&
+        r.getAs[Long]("inter_tokens") == 40L &&
+        r.getAs[Long]("intra_tokens") == 16L &&
+        r.getAs[Long]("inter_ppm") == 714285L &&
+        r.getAs[Long]("intra_ppm") == 285714L,
+        s"source ${r.getAs[String]("source")} diverged from the " +
+          s"derived locality algebra: $r")
+    }
+  }
+
   test("validated trainer: empty validation split falls back to the fixed budget instead of aborting") {
     import spark.implicits._
     // a tiny corpus whose docs all land OUTSIDE the val bucket by
