@@ -2674,10 +2674,17 @@ object Corpus {
     * jumping over a symmetrized edge list; labels start as node ids, so
     * every comp value is a live node id and the jump join total.
     * Factored so Round9Spec can pin the fixpoint (rounds vs rounds+1). */
-  private[graft] def ccLabels(e: DataFrame, rounds: Int): DataFrame = {
-    val init = e.select(col("src").as("node")).distinct()
+  private[graft] def ccLabels(e: DataFrame, rounds: Int): DataFrame =
+    (1 to rounds).foldLeft(ccInit(e))((l, _) => ccRound(e)(l))
+
+  private def ccInit(e: DataFrame): DataFrame =
+    e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
-    (1 to rounds).foldLeft(init) { (l, _) =>
+
+  /** One hybrid round (min-neighbor propagation + pointer jump) —
+    * [[ccLabels]]'s fold step, factored so [[ccLabelsFix]] can iterate
+    * it with a change test instead of a fixed count. */
+  private def ccRound(e: DataFrame)(l: DataFrame): DataFrame = {
       val viaNbr = e
         .join(broadcast(l.select(col("node").as("dst"), col("comp").as("nc"))),
           "dst")
@@ -2690,7 +2697,26 @@ object Corpus {
           col("comp").as("jc"))), Seq("comp"))
         .select(col("node"), col("jc").as("comp"))
         .localCheckpoint() // nodes-sized; severs the iteration lineage
+  }
+
+  /** [[ccLabels]] iterated to FIXPOINT — st37's contraction-graph
+    * converger (r15 review: a fixed 4-round count covers the fixture's
+    * chains but a single micro-batch chaining ~30+ prior components
+    * would silently under-converge and persist wrong labels; the
+    * change test makes the round count data-derived). The graph here
+    * is batch-contraction-sized, so each extra round + its ≤1-row
+    * anti-join probe is small; hybrid rounds converge in O(log
+    * diameter). */
+  private[graft] def ccLabelsFix(e: DataFrame): DataFrame = {
+    var l = ccInit(e).localCheckpoint()
+    var changed = true
+    while (changed) {
+      val next = ccRound(e)(l)
+      changed = next.join(l, Seq("node", "comp"), "left_anti")
+        .limit(1).count() > 0
+      l = next
     }
+    l
   }
 
   /** x143's deterministic layered graph: doc_id avalanched through the

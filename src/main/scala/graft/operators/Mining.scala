@@ -2383,14 +2383,23 @@ object Mining {
         .as("is_train")))
 
   /** [[contamGrams]] over an EXPLICIT (doc_id, text, is_train) frame —
-    * x227 drives the shipped gram cutter over a derived corpus with a
-    * constructed split; the fingerprint-split form above delegates here
-    * so the two cannot drift. */
+    * the fingerprint-split form above delegates here so the two cannot
+    * drift. */
   private[graft] def contamGramsSplit(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    contamGramsFromTokens(docs.select(col("doc_id"),
+      Text.tokens(col("text")).as("t"), col("is_train")))
+
+  /** ... and over an explicit TOKEN-ARRAY frame (doc_id, t, is_train) —
+    * x227 drives the shipped gram cutter over a derived token stream
+    * with a constructed split; taking the array directly (rather than
+    * a text round-trip through array_join + split) keeps the plan
+    * correct even for token values a space-split would re-tokenize
+    * (r15 review: a source name containing a space would have diverged
+    * the Spark arm from the list()-based oracle). */
+  private[graft] def contamGramsFromTokens(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
-      .select(col("doc_id"), Text.tokens(col("text")).as("t"),
-        col("is_train"))
       .filter(size(col("t")) >= 5)
       .select(col("doc_id"), col("is_train"),
         size(col("t")).cast("long").as("n_tokens"),

@@ -544,12 +544,12 @@ object Tokens {
       val epos = hp.withColumn("o", explode(sequence(lit(0L), lit(6L))))
         .select(col("doc_id"), (col("i") + col("o")).as("pos"))
         .distinct()
-      val docText = tokD.groupBy(col("doc_id"))
-        .agg(array_join(transform(
+      val docToks = tokD.groupBy(col("doc_id"))
+        .agg(transform(
           array_sort(collect_list(struct(col("i"), col("word")))),
-          x => x.getField("word")), " ").as("text"))
+          x => x.getField("word")).as("t"))
       val gspans = Mining.contamRunSpans(
-        Mining.contamGramsSplit(docText.join(split, "doc_id")))
+        Mining.contamGramsFromTokens(docToks.join(split, "doc_id")))
       val gpos = gspans
         .withColumn("o",
           explode(sequence(lit(0L), col("e0") - col("s0") - 1)))
@@ -619,17 +619,14 @@ object Tokens {
     // total 56 / inter 40 / intra 16 — ppm 714285 / 285714.
     graft.QueryDef("x230_derived_locality", x230OracleSql) { (s, d) =>
       val (sel, srcMap) = baseTokens(s, d, 24)
-      def rows(kk: Int, lo: Long, hi: Long, off: Long) =
-        sel.filter(col("k").between(lo, hi))
-          .select((col("bid") * 8 + kk).as("doc_id"),
-            (col("k") - off).as("i"), col("word"))
-      val tokD = rows(0, 1, 8, 1)
-        .unionByName(rows(0, 1, 8, -7)) // second copy at i = k+7
-        .unionByName(rows(1, 9, 16, 9))
-        .unionByName(rows(2, 9, 16, 9))
-        .unionByName(rows(3, 17, 24, 17))
-        .unionByName(rows(3, 17, 24, 9)) // second copy at i = k-9
-        .unionByName(rows(4, 17, 24, 17))
+      val slice = derivedSlice(sel) _
+      val tokD = slice(0, 1, 8, 1)
+        .unionByName(slice(0, 1, 8, -7)) // second copy at i = k+7
+        .unionByName(slice(1, 9, 16, 9))
+        .unionByName(slice(2, 9, 16, 9))
+        .unionByName(slice(3, 17, 24, 17))
+        .unionByName(slice(3, 17, 24, 9)) // second copy at i = k-9
+        .unionByName(slice(4, 17, 24, 17))
         .localCheckpoint() // suffix build + totals + rollup read it
       repeatLocalityFrom(suffixLcpFrom(tokD), tokD,
         tokD.select(col("doc_id")).distinct()
@@ -878,16 +875,23 @@ object Tokens {
       .localCheckpoint())
   }
 
+  /** One derived-doc slice off a [[baseTokens]] seed: doc bid·8+kk
+    * takes seed ranks [lo, hi] at positions k − off — the single
+    * definition of the bid·8+k doc-id scheme both derived corpora
+    * (x227/x230) use (r15 review: two hand-copies could drift). */
+  private def derivedSlice(sel: DataFrame)(kk: Int, lo: Long,
+      hi: Long, off: Long): DataFrame =
+    sel.filter(col("k").between(lo, hi))
+      .select((col("bid") * 8 + kk).as("doc_id"),
+        (col("k") - off).as("i"), col("word"))
+
   /** x227's derived stitched corpus: (token stream (doc_id, i, word),
     * (bid, source) base map). Derived doc ids are bid·8+k, k∈[0,5);
     * k < 3 are the train docs. */
   private[graft] def stitchedCorpus(s: SparkSession,
       d: String): (DataFrame, DataFrame) = {
     val (sel, srcMap) = baseTokens(s, d, 14)
-    def slice(kk: Int, lo: Long, hi: Long, off: Long) =
-      sel.filter(col("k").between(lo, hi))
-        .select((col("bid") * 8 + kk).as("doc_id"),
-          (col("k") - off).as("i"), col("word"))
+    val slice = derivedSlice(sel) _
     val tokD = slice(0, 1, 6, 1)
       .unionByName(slice(1, 2, 7, 2))
       .unionByName(slice(2, 8, 14, 8))
@@ -1027,12 +1031,6 @@ object Tokens {
       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  /** x227's oracle: the derived stitched corpus (per source, the base
-    * doc's first 14 distinct source-prefixed tokens sliced into the
-    * P/Q/E/R/E2 docs), the GENERATED suffix chain over it (prefix x7),
-    * the L = 7 islands + the constructed split for the exact arm, the
-    * x226 gram CTEs for the gram arm, and the shared precision/recall
-    * rollup keyed back to the source through bid = doc_id // 8. */
   /** The derived-corpus seed CTEs shared by x227/x230's oracles —
     * ${p}b (base doc per source), ${p}t/${p}w/${p}r (first-appearance-
     * ranked distinct source-prefixed tokens), ${p}s (sources with ≥ n),
@@ -1064,6 +1062,12 @@ object Tokens {
       |  FROM ${p}r r JOIN ${p}s USING (bid) WHERE r.k <= $n
       |)""".stripMargin
 
+  /** x227's oracle: the derived stitched corpus (per source, the base
+    * doc's first 14 distinct source-prefixed tokens sliced into the
+    * P/Q/E/R/E2 docs), the GENERATED suffix chain over it (prefix x7),
+    * the L = 7 islands + the constructed split for the exact arm, the
+    * x226 gram CTEs for the gram arm, and the shared precision/recall
+    * rollup keyed back to the source through bid = doc_id // 8. */
   private[graft] lazy val x227OracleSql: String =
     s"""WITH ${baseTokenCteSql("x7", 14)}, x7tok AS MATERIALIZED (
       |  SELECT bid * 8 + 0 AS doc_id, k - 1 AS i, word FROM x7k

@@ -243,16 +243,33 @@ private[graft] object KeyedFold {
     * ADVICE r14: the old full-tree before/after walk was O(total state
     * files) per micro-batch, the expensive op against an object store.
     * Round14Spec's untouched-partition pin takes its own full-tree
-    * snapshots test-side instead. */
+    * snapshots test-side instead.
+    *
+    * A touched partition whose surviving-row set is EMPTY must still be
+    * cleared: dynamic overwrite only replaces partitions present in the
+    * written data, so without the explicit delete below a partition
+    * whose every row was removed (st37: a component's rows all relabel
+    * into a different partition) would silently keep its stale files
+    * forever (r15 review — the keyed-store analog of a MERGE DELETE).
+    * The present-partition set is one ≤ NParts collect, the same class
+    * as [[touched]]; the delete runs after the write, so a crash
+    * between them leaves stale-but-superseded rows, never lost rows. */
   def overwriteTouched(updated: DataFrame, keys: Seq[String],
       dir: String, parts: Seq[Int]): Unit = {
     val before = partFilesIn(dir, parts)
-    updated.withColumn("kh", kh(keys.map(col)))
+    val withKh = updated.withColumn("kh", kh(keys.map(col)))
+    val present = withKh.select(col("kh")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    withKh
       .repartition(col("kh")) // one task per touched partition
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("kh")
       .parquet(dir)
+    parts.filterNot(present).foreach { k =>
+      val sub = Paths.get(dir, s"kh=$k")
+      if (Files.isDirectory(sub)) graft.Publish.deleteTree(sub)
+    }
     StateFold.recordKeyed(StateFold.FoldEvent(dir, "keyed-overwrite",
       before, partFilesIn(dir, parts)))
   }

@@ -2430,7 +2430,8 @@ object Streams {
       .localCheckpoint()
     // hop 2: batch-sized comp contraction → transitive merge mapping
     // (prior labels are canonical, so converging the CONTRACTION graph
-    // closes the mapping — no fixpoint against state)
+    // closes the mapping — the fixpoint runs HERE, iterated to a
+    // data-derived round count by ccLabelsFix, never against state)
     val dmap = edges
       .join(broadcast(epLab.select(col("node").as("src"),
         col("comp").as("ca"))), "src")
@@ -2441,7 +2442,7 @@ object Streams {
     val cg = dmap.union(dmap.select(col("b").as("a"), col("a").as("b")))
       .distinct().select(col("a").as("src"), col("b").as("dst"))
       .localCheckpoint() // components-sized; feeds its own CC fold
-    val mc = graft.operators.Corpus.ccLabels(cg, 4)
+    val mc = graft.operators.Corpus.ccLabelsFix(cg)
       .select(col("node").as("comp"), col("comp").as("mc"))
       .localCheckpoint() // the merge mapping, read by every stage below
     val relabelFrom = mc.filter(col("comp") =!= col("mc"))

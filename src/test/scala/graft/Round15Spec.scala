@@ -214,6 +214,62 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("st37: a membership partition whose every row relabels away is CLEARED, not left stale") {
+    import spark.implicits._
+    import streaming.{KeyedFold, Streams}
+    // r15 review: dynamic partition overwrite only replaces partitions
+    // present in the written data, so a touched-but-now-empty partition
+    // kept its stale files. Fixture: comp 5 = {5,6} alone in its kh
+    // partition; merging it into comp 0 = {0,1} must empty kh(5).
+    val kh5 = Seq(Tuple1(5)).toDF("c")
+      .select(KeyedFold.kh(Seq(col("c")))).head.getInt(0)
+    val kh0 = Seq(Tuple1(0)).toDF("c")
+      .select(KeyedFold.kh(Seq(col("c")))).head.getInt(0)
+    assert(kh5 != kh0, "fixture needs the two comps in distinct partitions")
+    val root = java.nio.file.Files.createTempDirectory("r15ccm")
+    val lab = root.resolve("lab").toString
+    val mem = root.resolve("mem").toString
+    try {
+      Streams.frontierCcBatch(Seq((0, 1), (5, 6)).toDF("src", "dst"),
+        lab, mem)
+      Streams.frontierCcBatch(Seq((0, 5)).toDF("src", "dst"), lab, mem)
+      val gotMem = spark.read.parquet(mem).drop("kh")
+        .select(col("comp"), col("node")).as[(Int, Int)].collect().toSet
+      assert(gotMem == Set((0, 0), (0, 1), (0, 5), (0, 6)),
+        s"stale membership rows survived the merge: $gotMem")
+      assert(KeyedFold.partFilesIn(mem, Seq(kh5)).isEmpty,
+        "the emptied kh partition must be cleared on disk")
+      val gotLab = spark.read.parquet(lab).drop("kh")
+        .select(col("node"), col("comp")).as[(Int, Int)].collect().toMap
+      assert(gotLab == Map(0 -> 0, 1 -> 0, 5 -> 0, 6 -> 0), s"$gotLab")
+    } finally graft.Publish.deleteTree(root)
+  }
+
+  test("st37: one batch chaining 51 prior components converges (data-derived rounds, not a fixed count)") {
+    import spark.implicits._
+    import streaming.Streams
+    // r15 review: ccLabels(cg, 4) covers ~30-link chains; this batch's
+    // contraction graph is a 51-node path (diameter 50), which a fixed
+    // 4-round converger silently under-labels.
+    val root = java.nio.file.Files.createTempDirectory("r15ccc")
+    val lab = root.resolve("lab").toString
+    val mem = root.resolve("mem").toString
+    try {
+      Streams.frontierCcBatch(
+        (0 until 51).map(i => (2 * i, 2 * i + 1)).toDF("src", "dst"),
+        lab, mem)
+      Streams.frontierCcBatch(
+        (0 until 50).map(i => (2 * i + 1, 2 * i + 2)).toDF("src", "dst"),
+        lab, mem)
+      val got = spark.read.parquet(lab).drop("kh")
+        .select(col("node"), col("comp")).as[(Int, Int)].collect()
+      assert(got.length == 102)
+      got.foreach { case (n, c) =>
+        assert(c == 0, s"node $n under-converged to comp $c (want 0)")
+      }
+    } finally graft.Publish.deleteTree(root)
+  }
+
   test("validated trainer: empty validation split falls back to the fixed budget instead of aborting") {
     import spark.implicits._
     // a tiny corpus whose docs all land OUTSIDE the val bucket by
