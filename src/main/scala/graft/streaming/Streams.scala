@@ -1509,7 +1509,12 @@ object Streams {
     // partitions, and dynamic partition overwrite rewrites ONLY those —
     // write ∝ relabeled keys (the read stays nodes-sized: a merge must
     // probe every label to decide what relabels, exactly the label scan
-    // x149's batch form does). Journal-pinned in Round14Spec.
+    // x149's batch form does). Journal-pinned in Round14Spec. st37 is
+    // the measured frontier-chase variant whose READ prunes too, via a
+    // second comp-keyed membership store — at the 98-node fixture its
+    // two-store fixed costs lose to this single-store fold (6.5 vs
+    // 10.1 s, SCALING r15), so this stays the default; st37 is the
+    // shape to take when the label table outgrows per-batch scans.
     QueryDef("st22_stream_cc",
       graft.operators.Corpus.x146OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
