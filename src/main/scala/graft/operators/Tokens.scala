@@ -633,8 +633,138 @@ object Tokens {
           .withColumn("bid", expr("doc_id div 8"))
           .join(broadcast(srcMap), "bid")
           .select(col("doc_id"), col("source")))
+    },
+
+    // DEDUP PIPELINE WATERFALL — the number a curation review actually
+    // reads: per source, how much token mass does EACH dedup stage
+    // remove, composed in pipeline order? Stage 1 is x01's exact
+    // document dedup (keep min doc_id per md5(text) — whole documents
+    // drop); stage 2 is x223's exact substring cut (keep-first ≥8-token
+    // spans) run on the STAGE-1 SURVIVOR corpus — measured there, not
+    // on the raw corpus, because doc dedup already removes whole-doc
+    // repeats and the marginal value of the substring pass is exactly
+    // what is left after it (measuring stage 2 on the raw corpus would
+    // double-count every whole-doc duplicate's spans). The survivor
+    // corpus's suffix table is its own content-keyed artifact
+    // ([[wfslcpArtifact]] — the rwslcp discipline).
+    //
+    // Scale: stage 1 hashes bodies map-side and keeps a min per digest
+    // (x89's one-exchange shape); stage 2 serves from the artifact and
+    // is ∝ flagged survivor positions; report is sources-sized.
+    graft.QueryDef("x231_dedup_waterfall", x231OracleSql) { (s, d) =>
+      waterfallFrom(Tables.documents(s, d), table(s, d),
+        wfslcpArtifact(s, d))
     }
   )
+
+  /** x01's keep rule as a survivor-id set — shared by the waterfall
+    * rollup and the survivor-corpus suffix artifact, so the two cannot
+    * disagree on who survived stage 1. */
+  private[graft] def survivors(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+
+  /** x231's waterfall over explicit (docs, token table, survivor-corpus
+    * lcp pairs) frames — split out so Round15Spec can drive a crafted
+    * corpus (an exact doc copy + a cross-doc span) through the exact
+    * production composition and pin that stage 2 never re-counts
+    * stage-1 casualties. */
+  private[graft] def waterfallFrom(docs: DataFrame, tok: DataFrame,
+      survLcp: DataFrame): DataFrame = {
+      val surv = survivors(docs)
+        .localCheckpoint() // keep set: joined by the rollup twice
+      val tl = tok.groupBy(col("doc_id"))
+        .agg((max(col("i")) + 1).cast("long").as("ntok"))
+      val cutD = cutPositions(survLcp)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("cut"))
+      tl.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .join(surv.withColumn("kept", lit(true)), Seq("doc_id"), "left")
+        .join(cutD, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("ntok")).as("tokens_raw"),
+          sum(when(col("kept").isNull, col("ntok")).otherwise(0L))
+            .as("doc_dup_tokens"),
+          sum(when(col("kept").isNotNull, coalesce(col("cut"), lit(0L)))
+            .otherwise(0L)).as("substring_cut_tokens"))
+        .select(col("source"), col("tokens_raw"), col("doc_dup_tokens"),
+          col("substring_cut_tokens"),
+          (col("tokens_raw") - col("doc_dup_tokens")
+            - col("substring_cut_tokens")).as("tokens_final"),
+          expr("doc_dup_tokens * 1000000 div tokens_raw")
+            .as("doc_dup_ppm"),
+          expr("substring_cut_tokens * 1000000 div tokens_raw")
+            .as("substring_ppm"),
+          expr("(tokens_raw - doc_dup_tokens - substring_cut_tokens) " +
+            "* 1000000 div tokens_raw").as("final_keep_ppm"))
+        .orderBy(col("source"))
+  }
+
+  /** The STAGE-1-SURVIVOR corpus's suffix-LCP table as its own
+    * content-keyed artifact: x01's keep rule (min doc_id per
+    * md5(text)), then the same suffix machinery over the surviving
+    * documents' unchanged token streams (whole docs drop, so no
+    * renumbering). Built once per corpus content; x231 serves from the
+    * scan. */
+  private[graft] def wfslcpArtifact(s: SparkSession, d: String): DataFrame =
+    DerivedTable(s, d, "documents", "wfslcp") {
+      suffixLcpFrom(table(s, d)
+        .join(survivors(Tables.documents(s, d)), "doc_id"))
+    }
+
+  /** x231's oracle: the raw token lengths, x01's survivor set, the
+    * generated suffix chain + islands + cut positions over the
+    * survivor token stream (prefix wf), and the per-source waterfall
+    * rollup. */
+  private[graft] lazy val x231OracleSql: String =
+    s"""WITH tok0 AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |         ws[CAST(i AS INT) + 1] AS word
+      |  FROM (SELECT doc_id, unnest(range(len(ws))) AS i, ws
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |              FROM documents))
+      |), tl0 AS (
+      |  SELECT doc_id, CAST(max(i) + 1 AS BIGINT) AS ntok
+      |  FROM tok0 GROUP BY 1
+      |), surv AS MATERIALIZED (
+      |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+      |), wftok AS MATERIALIZED (
+      |  SELECT t.doc_id, t.i, t.word FROM tok0 t JOIN surv USING (doc_id)
+      |), ${suffixChainFromTokSql("wf")}, ${islandCteSql("wfc", 8, "wflf")},
+      |${cutPosCteSql("wfc", "wfcmem")}, wfcd AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS cut
+      |  FROM wfccutpos GROUP BY 1
+      |)
+      |SELECT d.source,
+      |       CAST(sum(tl0.ntok) AS BIGINT) AS tokens_raw,
+      |       CAST(sum(CASE WHEN sv.doc_id IS NULL THEN tl0.ntok
+      |                     ELSE 0 END) AS BIGINT) AS doc_dup_tokens,
+      |       CAST(sum(CASE WHEN sv.doc_id IS NOT NULL
+      |                     THEN coalesce(c.cut, 0) ELSE 0 END) AS BIGINT)
+      |         AS substring_cut_tokens,
+      |       CAST(sum(tl0.ntok)
+      |            - sum(CASE WHEN sv.doc_id IS NULL THEN tl0.ntok
+      |                       ELSE 0 END)
+      |            - sum(CASE WHEN sv.doc_id IS NOT NULL
+      |                       THEN coalesce(c.cut, 0) ELSE 0 END)
+      |            AS BIGINT) AS tokens_final,
+      |       CAST(sum(CASE WHEN sv.doc_id IS NULL THEN tl0.ntok
+      |                     ELSE 0 END) * 1000000 // sum(tl0.ntok)
+      |            AS BIGINT) AS doc_dup_ppm,
+      |       CAST(sum(CASE WHEN sv.doc_id IS NOT NULL
+      |                     THEN coalesce(c.cut, 0) ELSE 0 END) * 1000000
+      |            // sum(tl0.ntok) AS BIGINT) AS substring_ppm,
+      |       CAST((sum(tl0.ntok)
+      |             - sum(CASE WHEN sv.doc_id IS NULL THEN tl0.ntok
+      |                        ELSE 0 END)
+      |             - sum(CASE WHEN sv.doc_id IS NOT NULL
+      |                        THEN coalesce(c.cut, 0) ELSE 0 END))
+      |            * 1000000 // sum(tl0.ntok) AS BIGINT)
+      |         AS final_keep_ppm
+      |FROM tl0 JOIN documents d USING (doc_id)
+      |LEFT JOIN surv sv ON sv.doc_id = tl0.doc_id
+      |LEFT JOIN wfcd c ON c.doc_id = tl0.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** x229's decomposition over explicit (lcp pairs, token table,
     * doc → source) frames — one definition shared with x230's
@@ -1295,19 +1425,26 @@ object Tokens {
       |  GROUP BY doc_id
       |)""".stripMargin
 
-  private[graft] lazy val x223CutCteSql: String =
-    s"""${islandCteSql("", 8)}, fst AS (
+  /** The keep-first cut-position CTEs over any island member CTE —
+    * ${p}fst (corpus-order-first member per class) and ${p}cutpos (the
+    * ×8 window union over non-first members). One generator for x223's
+    * chain and x231's survivor-corpus chain. */
+  private[graft] def cutPosCteSql(p: String, mem: String): String =
+    s"""${p}fst AS (
       |  SELECT g, doc_id, i FROM (
       |    SELECT g, doc_id, i,
       |           row_number() OVER (PARTITION BY g ORDER BY doc_id, i)
       |             AS rw
-      |    FROM mem) WHERE rw = 1
-      |), cutpos AS (
+      |    FROM $mem) WHERE rw = 1
+      |), ${p}cutpos AS (
       |  SELECT DISTINCT m.doc_id, m.i + o.o AS pos
-      |  FROM mem m JOIN fst f USING (g)
+      |  FROM $mem m JOIN ${p}fst f USING (g)
       |  CROSS JOIN (SELECT unnest(range(8)) AS o) o
       |  WHERE NOT (m.doc_id = f.doc_id AND m.i = f.i)
-      |), kept AS (
+      |)""".stripMargin
+
+  private[graft] lazy val x223CutCteSql: String =
+    s"""${islandCteSql("", 8)}, ${cutPosCteSql("", "mem")}, kept AS (
       |  SELECT t.doc_id, t.i, t.word
       |  FROM tok t LEFT JOIN cutpos c
       |    ON t.doc_id = c.doc_id AND t.i = c.pos

@@ -270,6 +270,40 @@ class Round15Spec extends AnyFunSuite {
     } finally graft.Publish.deleteTree(root)
   }
 
+  test("x231: the waterfall composes in pipeline order — stage 2 never re-counts stage-1 casualties") {
+    import spark.implicits._
+    // doc 0 (A): x0 s1..s8 x1; doc 1 (A): EXACT copy (stage-1 drop);
+    // doc 2 (B): y0 s1..s8 y1 (stage-2 cut, keep-first in doc 0).
+    // If stage 2 ran on the RAW corpus, doc 1's copy of the span would
+    // add phantom cut mass to A — the composition this pin guards.
+    val span = (1 to 8).map("s" + _)
+    val t0 = "x0" +: span :+ "x1"
+    val t2 = "y0" +: span :+ "y1"
+    val docs = Seq(
+      (0L, t0.mkString(" "), "A"),
+      (1L, t0.mkString(" "), "A"),
+      (2L, t2.mkString(" "), "B")).toDF("doc_id", "text", "source")
+    val tok = Seq(0L -> t0, 1L -> t0, 2L -> t2).flatMap { case (d, ts) =>
+      ts.zipWithIndex.map { case (w, i) => (d, i.toLong, w) }
+    }.toDF("doc_id", "i", "word")
+    val survTok = tok.join(
+      operators.Tokens.survivors(docs), "doc_id")
+    val got = operators.Tokens.waterfallFrom(docs, tok,
+        operators.Tokens.suffixLcpFrom(survTok))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = got("A"); val b = got("B")
+    assert(a.getAs[Long]("tokens_raw") == 20L &&
+      a.getAs[Long]("doc_dup_tokens") == 10L &&
+      a.getAs[Long]("substring_cut_tokens") == 0L &&
+      a.getAs[Long]("tokens_final") == 10L,
+      s"source A diverged: $a")
+    assert(b.getAs[Long]("tokens_raw") == 10L &&
+      b.getAs[Long]("doc_dup_tokens") == 0L &&
+      b.getAs[Long]("substring_cut_tokens") == 8L &&
+      b.getAs[Long]("tokens_final") == 2L,
+      s"source B diverged: $b")
+  }
+
   test("validated trainer: empty validation split falls back to the fixed budget instead of aborting") {
     import spark.implicits._
     // a tiny corpus whose docs all land OUTSIDE the val bucket by
