@@ -911,7 +911,7 @@ object Tokens {
         .join(gcnt.select(col("g"), col("source").as("source_b"),
           col("n").as("nb")), Seq("g", "source_b"))
         .groupBy(col("source_a"), col("source_b"))
-        .agg(countDistinct(col("g")).as("shared_windows"),
+        .agg(countDistinct(col("g")).as("shared_classes"),
           sum(col("na")).as("windows_a"),
           sum(col("nb")).as("windows_b"))
         .orderBy(col("source_a"), col("source_b"))
@@ -934,7 +934,7 @@ object Tokens {
       |  FROM cls a JOIN cls b ON a.g = b.g AND a.source < b.source
       |)
       |SELECT p.source_a, p.source_b,
-      |       CAST(count(DISTINCT p.g) AS BIGINT) AS shared_windows,
+      |       CAST(count(DISTINCT p.g) AS BIGINT) AS shared_classes,
       |       CAST(sum(ca.n) AS BIGINT) AS windows_a,
       |       CAST(sum(cb.n) AS BIGINT) AS windows_b
       |FROM prs p

@@ -196,14 +196,23 @@ private[graft] object KeyedFold {
     * is "any data file under any kh dir" — caught live in r14 when the
     * _SUCCESS probe made every batch see an empty prior. The walk
     * SHORT-CIRCUITS at the first data file (ADVICE r14): once state
-    * exists the probe touches one directory entry, not the tree. */
+    * exists the probe touches one directory entry, not the tree.
+    * Hidden components (underscore/dot-prefixed — Spark's own hidden-
+    * file convention) are skipped (ADVICE r15): a leftover
+    * `_temporary/…/part-….parquet` from an interrupted write must not
+    * make the probe claim committed state the reader cannot see. */
   def hasState(dir: String): Boolean = {
+    import scala.jdk.CollectionConverters._
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) false
     else {
       val s = Files.walk(root)
-      try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
-      finally s.close()
+      try s.anyMatch { p =>
+        p.getFileName.toString.endsWith(".parquet") &&
+          !root.relativize(p).iterator().asScala.exists { seg =>
+            val n = seg.toString; n.startsWith("_") || n.startsWith(".")
+          }
+      } finally s.close()
     }
   }
 
@@ -219,18 +228,27 @@ private[graft] object KeyedFold {
     delta.select(kh(keys.map(col)).as("kh")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
 
-  /** Partition-pruned state read: only the `parts` kh directories are
-    * scanned (literal isin → static partition pruning), kh dropped.
-    * Journaled (kind "keyed-read", before = the pruned kh dirs) so
-    * Round15Spec can pin that a fold's READ set is ∝ its frontier, the
-    * same way the overwrite journal pins the write set. */
+  /** Partition-pruned state read: ONLY the `parts` kh subdirectories
+    * are handed to the reader (basePath keeps the kh column), so the
+    * driver-side file LISTING is pruned too — ADVICE r15: the old
+    * `read.parquet(root).filter(kh.isin(…))` pruned data scans but its
+    * InMemoryFileIndex still recursively listed the WHOLE state tree
+    * every micro-batch, exactly the O(total state files) metadata op
+    * the touched-partition contract exists to avoid on an object
+    * store. Existence of each subdir is a ≤ NParts driver check, the
+    * partition-prune class. Journaled (kind "keyed-read", before = the
+    * pruned kh dirs) so Round15Spec can pin that a fold's READ set is
+    * ∝ its frontier, the same way the overwrite journal pins the
+    * write set. */
   def readParts(ss: SparkSession, dir: String, parts: Seq[Int],
       fallback: => DataFrame): DataFrame =
     if (hasState(dir)) {
       StateFold.recordKeyed(StateFold.FoldEvent(dir, "keyed-read",
         parts.map(k => s"kh=$k").toSet, Set.empty))
-      ss.read.parquet(dir)
-        .filter(col("kh").isin(parts.map(Integer.valueOf): _*))
+      val existing = parts.map(k => Paths.get(dir, s"kh=$k"))
+        .filter(Files.isDirectory(_)).map(_.toString)
+      if (existing.isEmpty) fallback.limit(0)
+      else ss.read.option("basePath", dir).parquet(existing: _*)
         .drop("kh")
     } else fallback.limit(0)
 

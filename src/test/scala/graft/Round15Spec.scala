@@ -186,7 +186,7 @@ class Round15Spec extends AnyFunSuite {
     val r = got.head
     assert(r.getAs[String]("source_a") == "A" &&
       r.getAs[String]("source_b") == "B" &&
-      r.getAs[Long]("shared_windows") == 2L &&
+      r.getAs[Long]("shared_classes") == 2L &&
       r.getAs[Long]("windows_a") == 2L &&
       r.getAs[Long]("windows_b") == 4L,
       s"matrix diverged from the derived algebra: $r")
