@@ -2444,11 +2444,21 @@ object Mining {
       cg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val train = cg.filter(col("is_train")).select(col("g")).distinct()
     val ev = cg.filter(!col("is_train"))
-    val hits = ev.join(train.withColumn("hit", lit(1)), Seq("g"), "left")
-      .select(col("doc_id"), col("n_tokens"), col("pos"),
-        coalesce(col("hit"), lit(0)).as("hit"))
+    runSpansFromHits(ev.join(train, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos")))
+  }
+
+  /** The run-detection core of the gram cutter over an explicit hit-
+    * position set (doc_id, pos — one row per hit gram position):
+    * consecutive runs ≥ 3 become 1-based token intervals [s0, s0 + run
+    * + 4). Factored out of [[contamRunSpans]] (r16) so st38's dual-arm
+    * serve can run the SAME cutter over a freshness-restricted hit set
+    * (new-eval × all-train ∪ old-eval × new-train-grams) — the audited
+    * cutter stays the shipped cutter. */
+  private[graft] def runSpansFromHits(
+      hits: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val byDocPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    hits.filter(col("hit") === 1)
+    hits
       .withColumn("island", col("pos") - row_number().over(byDocPos))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).cast("long").as("s0"),

@@ -1056,6 +1056,65 @@ object Tokens {
     exactContamFrontier(islandMembers(suffixLcpArtifact(s, d), 7),
       evalSplit(s, d))
 
+  /** st38's DUAL-ARM contamination combine (VERDICT r15 item 1): the
+    * STALE-BUT-EXACT arm is the suffix-tier frontier as-of the last
+    * slcp artifact build (`exactHp`, covering exactly the documents in
+    * `asOf`); the FRESH-BUT-APPROXIMATE arm is the gram cutter
+    * ([[Mining.runSpansFromHits]] — the shipped x202 core) run over
+    * only the hit pairs the stale arm CANNOT see: eval docs that
+    * arrived after the as-of (vs the full train gram set) and train
+    * grams that arrived after it (vs the old eval docs). Every
+    * (eval, train) pair is covered by exactly one arm — old×old by the
+    * exact artifact, anything involving new content by the gram arm —
+    * so recall stays 1 between rebuilds (the window lemma: a verbatim
+    * ≥7-token span always yields a ≥3 gram run) and the only price of
+    * freshness is the gram arm's measured over-cut (x226/x227). When
+    * the as-of covers the whole corpus (the cadence rebuild has run on
+    * the converged stream) both fresh branches are empty by
+    * construction and the combine IS x225's exact report — which is
+    * how st38 answers x225's oracle verbatim. Mid-cadence behavior
+    * (both fresh branches firing, fn = 0 against the converged exact
+    * answer) is pinned on a crafted cross-batch corpus in Round16Spec.
+    *
+    * Scale: the freshness split is two anti/semi-joins against the
+    * as-of doc set (broadcast-sized next to the gram tables); the gram
+    * arm is ∝ NEW content's hit positions, the exact arm ∝ flagged
+    * positions in the artifact — never a corpus rescan at serve.
+    *
+    * @param exactHp  (doc_id, i) exact frontier as-of the artifact
+    * @param asOf     (doc_id) docs the exact artifact covers
+    * @param trainGrams (doc_id, g) per-train-doc 5-grams (st38's fold)
+    * @param evalGrams  (doc_id, pos, g) positioned eval 5-grams, 1-based
+    * @param evalBase   (doc_id, n_tokens) every eval doc with ≥1 token */
+  private[graft] def dualArmContam(exactHp: DataFrame, asOf: DataFrame,
+      trainGrams: DataFrame, evalGrams: DataFrame,
+      evalBase: DataFrame): DataFrame = {
+    val tgAll = trainGrams.select(col("g")).distinct()
+    val tgNew = trainGrams.join(asOf, Seq("doc_id"), "left_anti")
+      .select(col("g")).distinct()
+    val newEv = evalGrams.join(asOf, Seq("doc_id"), "left_anti")
+    val oldEv = evalGrams.join(asOf, Seq("doc_id"), "left_semi")
+    // the two branches are doc-disjoint, so one run detection over the
+    // union prices runs exactly as the shipped per-doc cutter does
+    val hits = newEv.join(tgAll, Seq("g"), "left_semi")
+      .unionByName(oldEv.join(tgNew, Seq("g"), "left_semi"))
+      .select(col("doc_id"), col("pos"))
+    val gspans = Mining.runSpansFromHits(hits) // 1-based [s0, e0)
+      .select(col("doc_id"), (col("s0") - 1).as("s0"),
+        (col("e0") - 1).as("e0")) // 0-based token spans
+    val espans = exactHp.select(col("doc_id"), col("i").as("s0"),
+      (col("i") + 7).as("e0"))
+    val merged = Mining.mergeSpans(espans.unionByName(gspans))
+    evalBase.join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tokens_removed"), lit(0L)).as("contam_tokens"),
+        expr("coalesce(tokens_removed, 0) * 1000000 div n_tokens")
+          .as("contam_ppm"),
+        (coalesce(col("tokens_removed"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The shared exact-contamination CTEs over the suffix chain: the
     * fingerprint split, ≥7-LCP islands, member/train flags, and the
     * eval hit-position frontier. */
