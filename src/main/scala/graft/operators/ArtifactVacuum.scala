@@ -84,7 +84,7 @@ object ArtifactVacuum {
     ("tokens", "documents", 1),
     ("slcp", "documents", 2),
     ("rwslcp", "documents", 1),
-    ("wfslcp", "documents", 1),
+    ("wfslcp", "documents", 2),
     ("capsimhash", "documents", 1),
     ("lplabels", "documents", 1),
     ("geopoints", "events", 1))

@@ -210,8 +210,11 @@ object Dedup {
   }
 
   /** 4×2 band buckets over the signature table, crowded buckets (>100)
-    * dropped — the shared candidate-generation layer of x39/x61. */
-  private def pminhashPruned(sig: DataFrame): DataFrame = {
+    * dropped — the shared candidate-generation layer of x39/x61 (and,
+    * since r16, x231's stage-2 rule over the stage-1 survivor corpus:
+    * bucket SIZES are a corpus property, so the cap must be taken over
+    * whatever signature subset the caller passes). */
+  private[graft] def pminhashPruned(sig: DataFrame): DataFrame = {
     val banded = bandedSig(sig)
     val keepb = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsz"))
@@ -220,38 +223,74 @@ object Dedup {
     banded.join(keepb, Seq("band", "bucket"))
   }
 
+  /** x231's STAGE-2 near-dup rule over an explicit (doc_id, tri, sig)
+    * signature frame — x39's banded candidate generation (4×2 band
+    * buckets, crowded-bucket cap over the frame the CALLER scoped, e.g.
+    * the stage-1 survivor corpus) followed by an exact-Jaccard verify on
+    * the bounded candidate set and the deterministic keep-min decision:
+    * a document is a casualty iff it is the LARGER doc_id of some
+    * candidate pair with 3-shingle Jaccard ≥ ½. The threshold compare is
+    * integer cross-multiplication (2·|∩| ≥ |∪|), never a float, so the
+    * engine and the DuckDB oracle cannot disagree at the boundary.
+    * Work ∝ colliding pairs (banded, capped) — never all-pairs. */
+  private[graft] def neardupCasualties(sig: DataFrame): DataFrame = {
+    val pruned = pminhashPruned(sig)
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val tri = sig.select(col("doc_id"), col("tri"))
+    pairs
+      .join(tri.select(col("doc_id").as("doc_a"), col("tri").as("tri_a")),
+        "doc_a")
+      .join(tri.select(col("doc_id").as("doc_b"), col("tri").as("tri_b")),
+        "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("tri_a"), col("tri_b"))).cast("long"))
+      .filter(col("inter") * 2 >=
+        (size(col("tri_a")) + size(col("tri_b"))).cast("long") - col("inter"))
+      .select(col("doc_b").as("doc_id")).distinct()
+  }
+
   /** The x39 chain (shingles → portable hashes → 8-perm signatures → 4×2
     * band buckets → crowded-bucket cap) as shared DuckDB CTEs,
-    * interpolated into the x39 and x61 oracles. */
-  private def pminhashCteSql: String =
-    """s AS (
+    * interpolated into the x39 and x61 oracles. Parameterized (r16) with
+    * a CTE-name prefix and a source relation so x231's oracle can run
+    * the IDENTICAL chain over the stage-1 survivor corpus — the default
+    * arguments reproduce the historical text byte-for-byte. */
+  private[graft] def pminhashCteSql(p: String = "",
+      src: String = "documents"): String =
+    s"""${p}s AS (
       |  SELECT doc_id,
       |         list_distinct(CASE WHEN len(ws) < 3 THEN []
       |           ELSE list_transform(range(len(ws) - 2),
       |                i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]) END) AS tri
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-      |), h AS (
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src)
+      |), ${p}h AS (
       |  SELECT doc_id, tri,
       |         list_transform(tri, sh ->
       |           list_reduce(list_prepend(CAST(0 AS BIGINT),
       |             list_transform(range(len(sh)),
       |               i -> CAST(unicode(sh[i+1]) AS BIGINT))),
       |             (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
-      |  FROM s WHERE len(tri) > 0
-      |), sig AS (
+      |  FROM ${p}s WHERE len(tri) > 0
+      |), ${p}sig AS (
       |  SELECT doc_id, tri,
       |         list_transform(range(8), k -> list_min(list_transform(hs,
       |           x -> (x * (2*k + 1) + k * 40503 + 17) % 1000000007))) AS sig
-      |  FROM h
-      |), bk AS (
+      |  FROM ${p}h
+      |), ${p}bk AS (
       |  SELECT doc_id, CAST(band AS INT) AS band,
       |         sig[band*2 + 1] * 1000000007 + sig[band*2 + 2] AS bucket
-      |  FROM (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig)
-      |), keepb AS (
-      |  SELECT band, bucket FROM bk
+      |  FROM (SELECT doc_id, sig, unnest(range(4)) AS band FROM ${p}sig)
+      |), ${p}keepb AS (
+      |  SELECT band, bucket FROM ${p}bk
       |  GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 100
-      |), pr AS (
-      |  SELECT bk.* FROM bk JOIN keepb USING (band, bucket)
+      |), ${p}pr AS (
+      |  SELECT ${p}bk.* FROM ${p}bk JOIN ${p}keepb USING (band, bucket)
       |)""".stripMargin
 
   /** x39's complete oracle SQL — also st10's: the streaming ingest's
@@ -259,7 +298,7 @@ object Dedup {
     * proof sketch in Streams.st10), so the SAME relational oracle checks
     * both, the st09↔x64 move applied to LSH dedup. */
   private[graft] def x39OracleSql: String =
-    s"""WITH $pminhashCteSql, pairs AS (
+    s"""WITH ${pminhashCteSql()}, pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM pr a JOIN pr b ON a.band = b.band AND a.bucket = b.bucket
       |                     AND a.doc_id < b.doc_id
@@ -372,7 +411,7 @@ object Dedup {
     }.mkString(", ")
     val union = x91Configs.map { case (b, _, _) => s"SELECT * FROM r$b" }
       .mkString(" UNION ALL ")
-    s"""WITH $pminhashCteSql, $calibSampleCteSql, sg AS (
+    s"""WITH ${pminhashCteSql()}, $calibSampleCteSql, sg AS (
       |  SELECT sig.* FROM sig JOIN samp USING (doc_id)
       |), ex AS (
       |  SELECT doc_id, unnest(tri) AS g FROM sg
@@ -1114,7 +1153,7 @@ object Dedup {
     // ∝ |append| × collision rate, independent of corpus history — the
     // dedup analogue of q86's maintenance-∝-|Δ| contract.
     QueryDef("x61_incremental_dedup",
-      s"""WITH $pminhashCteSql, inc AS (
+      s"""WITH ${pminhashCteSql()}, inc AS (
         |  SELECT doc_id, (${TextAnalysis.fingerprintSql} % 10 = 0) AS inc
         |  FROM documents
         |), pairs AS (
@@ -1265,7 +1304,7 @@ object Dedup {
     // over collision rows only. This is the "dedup index doubles as the
     // mining index" contract production curation pipelines rely on.
     QueryDef("x68_triplet_mining",
-      s"""WITH $pminhashCteSql, pairs AS (
+      s"""WITH ${pminhashCteSql()}, pairs AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM pr a JOIN pr b ON a.band = b.band AND a.bucket = b.bucket
         |                     AND a.doc_id < b.doc_id

@@ -639,21 +639,27 @@ object Tokens {
     // reads: per source, how much token mass does EACH dedup stage
     // remove, composed in pipeline order? Stage 1 is x01's exact
     // document dedup (keep min doc_id per md5(text) — whole documents
-    // drop); stage 2 is x223's exact substring cut (keep-first ≥8-token
-    // spans) run on the STAGE-1 SURVIVOR corpus — measured there, not
-    // on the raw corpus, because doc dedup already removes whole-doc
-    // repeats and the marginal value of the substring pass is exactly
-    // what is left after it (measuring stage 2 on the raw corpus would
-    // double-count every whole-doc duplicate's spans). The survivor
-    // corpus's suffix table is its own content-keyed artifact
-    // ([[wfslcpArtifact]] — the rwslcp discipline).
+    // drop); stage 2 (r16 — VERDICT r15 item 2) is x39's banded
+    // portable-MinHash NEAR-dup pass run on the stage-1 survivors
+    // (candidates from 4×2 band buckets with the crowded-bucket cap
+    // taken over the SURVIVOR corpus, exact-Jaccard-≥½ verified,
+    // keep-min-doc_id — [[Dedup.neardupCasualties]]); stage 3 is
+    // x223's exact substring cut (keep-first ≥8-token spans) run on
+    // the STAGE-2 SURVIVOR corpus. Each stage is measured on the
+    // PRIOR stage's survivors — measuring later stages on the raw
+    // corpus would re-count every casualty the earlier stages already
+    // removed (the never-re-count pin, Round15/16Spec). The stage-2
+    // survivor corpus's suffix table is its own content-keyed artifact
+    // ([[wfslcpArtifact]], builderVersion 2 — the rwslcp discipline).
     //
     // Scale: stage 1 hashes bodies map-side and keeps a min per digest
-    // (x89's one-exchange shape); stage 2 serves from the artifact and
-    // is ∝ flagged survivor positions; report is sources-sized.
+    // (x89's one-exchange shape); stage 2 is banded + capped (work ∝
+    // colliding pairs, signatures reused from x39's persisted table);
+    // stage 3 serves from the artifact and is ∝ flagged survivor
+    // positions; report is sources-sized.
     graft.QueryDef("x231_dedup_waterfall", x231OracleSql) { (s, d) =>
       waterfallFrom(Tables.documents(s, d), table(s, d),
-        wfslcpArtifact(s, d))
+        stage2Casualties(s, d), wfslcpArtifact(s, d))
     }
   )
 
@@ -665,13 +671,16 @@ object Tokens {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
 
-  /** x231's waterfall over explicit (docs, token table, survivor-corpus
-    * lcp pairs) frames — split out so Round15Spec can drive a crafted
-    * corpus (an exact doc copy + a cross-doc span) through the exact
-    * production composition and pin that stage 2 never re-counts
-    * stage-1 casualties. */
+  /** x231's waterfall over explicit (docs, token table, stage-2
+    * casualty set, stage-2-survivor-corpus lcp pairs) frames — split
+    * out so Round15/16Spec can drive crafted corpora through the exact
+    * production composition and pin that no stage ever re-counts an
+    * earlier stage's casualties: stage-1 casualties contribute only
+    * doc_dup_tokens, stage-2 casualties (⊆ stage-1 survivors by
+    * construction, guarded here anyway) only neardup_tokens, and cut
+    * counts land only on stage-2 survivors. */
   private[graft] def waterfallFrom(docs: DataFrame, tok: DataFrame,
-      survLcp: DataFrame): DataFrame = {
+      ndCas: DataFrame, survLcp: DataFrame): DataFrame = {
       val surv = survivors(docs)
         .localCheckpoint() // keep set: joined by the rollup twice
       val tl = tok.groupBy(col("doc_id"))
@@ -680,42 +689,74 @@ object Tokens {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("cut"))
       tl.join(docs.select(col("doc_id"), col("source")), "doc_id")
         .join(surv.withColumn("kept", lit(true)), Seq("doc_id"), "left")
+        .join(ndCas.withColumn("nd", lit(true)), Seq("doc_id"), "left")
         .join(cutD, Seq("doc_id"), "left")
         .groupBy(col("source"))
         .agg(sum(col("ntok")).as("tokens_raw"),
           sum(when(col("kept").isNull, col("ntok")).otherwise(0L))
             .as("doc_dup_tokens"),
-          sum(when(col("kept").isNotNull, coalesce(col("cut"), lit(0L)))
+          sum(when(col("kept").isNotNull && col("nd").isNotNull,
+            col("ntok")).otherwise(0L)).as("neardup_tokens"),
+          sum(when(col("kept").isNotNull && col("nd").isNull,
+            coalesce(col("cut"), lit(0L)))
             .otherwise(0L)).as("substring_cut_tokens"))
         .select(col("source"), col("tokens_raw"), col("doc_dup_tokens"),
-          col("substring_cut_tokens"),
+          col("neardup_tokens"), col("substring_cut_tokens"),
           (col("tokens_raw") - col("doc_dup_tokens")
-            - col("substring_cut_tokens")).as("tokens_final"),
+            - col("neardup_tokens") - col("substring_cut_tokens"))
+            .as("tokens_final"),
           expr("doc_dup_tokens * 1000000 div tokens_raw")
             .as("doc_dup_ppm"),
+          expr("neardup_tokens * 1000000 div tokens_raw")
+            .as("neardup_ppm"),
           expr("substring_cut_tokens * 1000000 div tokens_raw")
             .as("substring_ppm"),
-          expr("(tokens_raw - doc_dup_tokens - substring_cut_tokens) " +
-            "* 1000000 div tokens_raw").as("final_keep_ppm"))
+          expr("(tokens_raw - doc_dup_tokens - neardup_tokens " +
+            "- substring_cut_tokens) * 1000000 div tokens_raw")
+            .as("final_keep_ppm"))
         .orderBy(col("source"))
   }
 
-  /** The STAGE-1-SURVIVOR corpus's suffix-LCP table as its own
+  /** x231's stage-2 casualty set over the sf corpus: x39's persisted
+    * signature table (per-doc signatures are a pure function of text,
+    * so the full-corpus artifact restricted to survivors IS the
+    * survivor-corpus signature set) scoped to the stage-1 survivors,
+    * through [[Dedup.neardupCasualties]] (banding and the crowded-
+    * bucket cap run over the survivor subset — bucket sizes are a
+    * corpus property). */
+  private[graft] def stage2Casualties(s: SparkSession, d: String): DataFrame =
+    Dedup.neardupCasualties(Dedup.pminhashTable(s, d)
+      .join(survivors(Tables.documents(s, d)), "doc_id"))
+
+  /** The stage-2 survivor set: stage-1 survivors minus near-dup
+    * casualties — shared by the waterfall rollup and the survivor-
+    * corpus suffix artifact, so the two cannot disagree. */
+  private[graft] def survivors2(s: SparkSession, d: String): DataFrame =
+    survivors(Tables.documents(s, d))
+      .join(stage2Casualties(s, d), Seq("doc_id"), "left_anti")
+
+  /** The STAGE-2-SURVIVOR corpus's suffix-LCP table as its own
     * content-keyed artifact: x01's keep rule (min doc_id per
-    * md5(text)), then the same suffix machinery over the surviving
-    * documents' unchanged token streams (whole docs drop, so no
-    * renumbering). Built once per corpus content; x231 serves from the
-    * scan. */
+    * md5(text)), then x39's banded near-dup cut, then the same suffix
+    * machinery over the surviving documents' unchanged token streams
+    * (whole docs drop, so no renumbering). Built once per corpus
+    * content; x231 serves from the scan. builderVersion 2: r16
+    * inserted the near-dup middle stage, so the survivor set shrank —
+    * the version bump invalidates v1 generations locally instead of
+    * serving a stage-1-only suffix table (DerivedTable's per-builder
+    * invalidation rule). */
   private[graft] def wfslcpArtifact(s: SparkSession, d: String): DataFrame =
-    DerivedTable(s, d, "documents", "wfslcp") {
-      suffixLcpFrom(table(s, d)
-        .join(survivors(Tables.documents(s, d)), "doc_id"))
+    DerivedTable(s, d, "documents", "wfslcp", builderVersion = 2) {
+      suffixLcpFrom(table(s, d).join(survivors2(s, d), "doc_id"))
     }
 
   /** x231's oracle: the raw token lengths, x01's survivor set, the
-    * generated suffix chain + islands + cut positions over the
-    * survivor token stream (prefix wf), and the per-source waterfall
-    * rollup. */
+    * x39 portable-MinHash chain run over the stage-1 survivor corpus
+    * (prefix nd2 — the IDENTICAL generated CTEs x39's own oracle uses,
+    * via [[Dedup.pminhashCteSql]]) with the exact-Jaccard-≥½ keep-min
+    * decision, then the generated suffix chain + islands + cut
+    * positions over the STAGE-2 survivor token stream (prefix wf), and
+    * the per-source three-stage waterfall rollup. */
   private[graft] lazy val x231OracleSql: String =
     s"""WITH tok0 AS (
       |  SELECT doc_id, CAST(i AS BIGINT) AS i,
@@ -728,8 +769,25 @@ object Tokens {
       |  FROM tok0 GROUP BY 1
       |), surv AS MATERIALIZED (
       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+      |), survdocs AS MATERIALIZED (
+      |  SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)
+      |), ${Dedup.pminhashCteSql("nd2", "survdocs")}, ndpairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM nd2pr a JOIN nd2pr b
+      |    ON a.band = b.band AND a.bucket = b.bucket
+      |   AND a.doc_id < b.doc_id
+      |), ndcas AS MATERIALIZED (
+      |  SELECT DISTINCT p.doc_b AS doc_id
+      |  FROM ndpairs p JOIN nd2sig sa ON sa.doc_id = p.doc_a
+      |                 JOIN nd2sig sb ON sb.doc_id = p.doc_b
+      |  WHERE 2 * len(list_intersect(sa.tri, sb.tri))
+      |        >= len(sa.tri) + len(sb.tri)
+      |           - len(list_intersect(sa.tri, sb.tri))
+      |), surv2 AS MATERIALIZED (
+      |  SELECT s.doc_id FROM surv s
+      |  WHERE NOT EXISTS (SELECT 1 FROM ndcas c WHERE c.doc_id = s.doc_id)
       |), wftok AS MATERIALIZED (
-      |  SELECT t.doc_id, t.i, t.word FROM tok0 t JOIN surv USING (doc_id)
+      |  SELECT t.doc_id, t.i, t.word FROM tok0 t JOIN surv2 USING (doc_id)
       |), ${suffixChainFromTokSql("wf")}, ${islandCteSql("wfc", 8, "wflf")},
       |${cutPosCteSql("wfc", "wfcmem")}, wfcd AS (
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS cut
@@ -740,29 +798,44 @@ object Tokens {
       |       CAST(sum(CASE WHEN sv.doc_id IS NULL THEN tl0.ntok
       |                     ELSE 0 END) AS BIGINT) AS doc_dup_tokens,
       |       CAST(sum(CASE WHEN sv.doc_id IS NOT NULL
+      |                     AND cs.doc_id IS NOT NULL THEN tl0.ntok
+      |                     ELSE 0 END) AS BIGINT) AS neardup_tokens,
+      |       CAST(sum(CASE WHEN s2.doc_id IS NOT NULL
       |                     THEN coalesce(c.cut, 0) ELSE 0 END) AS BIGINT)
       |         AS substring_cut_tokens,
       |       CAST(sum(tl0.ntok)
       |            - sum(CASE WHEN sv.doc_id IS NULL THEN tl0.ntok
       |                       ELSE 0 END)
       |            - sum(CASE WHEN sv.doc_id IS NOT NULL
+      |                       AND cs.doc_id IS NOT NULL THEN tl0.ntok
+      |                       ELSE 0 END)
+      |            - sum(CASE WHEN s2.doc_id IS NOT NULL
       |                       THEN coalesce(c.cut, 0) ELSE 0 END)
       |            AS BIGINT) AS tokens_final,
       |       CAST(sum(CASE WHEN sv.doc_id IS NULL THEN tl0.ntok
       |                     ELSE 0 END) * 1000000 // sum(tl0.ntok)
       |            AS BIGINT) AS doc_dup_ppm,
       |       CAST(sum(CASE WHEN sv.doc_id IS NOT NULL
+      |                     AND cs.doc_id IS NOT NULL THEN tl0.ntok
+      |                     ELSE 0 END) * 1000000 // sum(tl0.ntok)
+      |            AS BIGINT) AS neardup_ppm,
+      |       CAST(sum(CASE WHEN s2.doc_id IS NOT NULL
       |                     THEN coalesce(c.cut, 0) ELSE 0 END) * 1000000
       |            // sum(tl0.ntok) AS BIGINT) AS substring_ppm,
       |       CAST((sum(tl0.ntok)
       |             - sum(CASE WHEN sv.doc_id IS NULL THEN tl0.ntok
       |                        ELSE 0 END)
       |             - sum(CASE WHEN sv.doc_id IS NOT NULL
+      |                        AND cs.doc_id IS NOT NULL THEN tl0.ntok
+      |                        ELSE 0 END)
+      |             - sum(CASE WHEN s2.doc_id IS NOT NULL
       |                        THEN coalesce(c.cut, 0) ELSE 0 END))
       |            * 1000000 // sum(tl0.ntok) AS BIGINT)
       |         AS final_keep_ppm
       |FROM tl0 JOIN documents d USING (doc_id)
       |LEFT JOIN surv sv ON sv.doc_id = tl0.doc_id
+      |LEFT JOIN ndcas cs ON cs.doc_id = tl0.doc_id
+      |LEFT JOIN surv2 s2 ON s2.doc_id = tl0.doc_id
       |LEFT JOIN wfcd c ON c.doc_id = tl0.doc_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -288,7 +288,11 @@ class Round15Spec extends AnyFunSuite {
     }.toDF("doc_id", "i", "word")
     val survTok = tok.join(
       operators.Tokens.survivors(docs), "doc_id")
+    // stage 2 receives an explicitly EMPTY casualty set here: this pin
+    // isolates the stage-1 → stage-3 composition (Round16Spec pins the
+    // three-stage form with a firing middle stage)
     val got = operators.Tokens.waterfallFrom(docs, tok,
+        docs.select(col("doc_id")).limit(0),
         operators.Tokens.suffixLcpFrom(survTok))
       .collect().map(r => r.getAs[String]("source") -> r).toMap
     val a = got("A"); val b = got("B")

@@ -103,4 +103,62 @@ class Round16Spec extends AnyFunSuite {
     assert(conv == mid,
       s"recall-1 contract broke: mid-cadence $mid vs converged $conv")
   }
+
+  test("x231: the three-stage waterfall composes in pipeline order — stage 3 never re-counts stage-2 casualties") {
+    import spark.implicits._
+    val T = graft.operators.Tokens
+    val D = graft.operators.Dedup
+    // doc 0 (A): x0 s1..s18 x1; doc 1 (A): EXACT copy (stage-1 drop);
+    // doc 2 (B): same but last token y1 — 3-shingle Jaccard 17/19 ≈
+    // 0.89, a stage-2 NEAR-dup casualty (keep-min keeps doc 0);
+    // doc 4 (C): w0 s1..s8 w1 — shares an 8-token span with doc 0
+    // (Jaccard 6/20 = 0.3: survives stage 2) → stage-3 cut of 8.
+    // If stage 3 ran on the STAGE-1 survivors, doc 2's 18-token shared
+    // span would add phantom cut mass to B on top of its near-dup
+    // removal — the composition this pin guards.
+    val span = (1 to 18).map("s" + _)
+    val t0 = "x0" +: span :+ "x1"
+    val t2 = "x0" +: span :+ "y1"
+    val t4 = "w0" +: span.take(8) :+ "w1"
+    val docs = Seq(
+      (0L, t0.mkString(" "), "A"),
+      (1L, t0.mkString(" "), "A"),
+      (2L, t2.mkString(" "), "B"),
+      (4L, t4.mkString(" "), "C"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+    val tok = Seq(0L -> t0, 1L -> t0, 2L -> t2, 4L -> t4)
+      .flatMap { case (d, ts) =>
+        ts.zipWithIndex.map { case (w, i) => (d, i.toLong, w) }
+      }.toDF("doc_id", "i", "word")
+    // stage 2 through the REAL x39 chain (banding + cap + exact-Jaccard
+    // verify over the stage-1 survivor signatures) — fixture guard first:
+    // the deterministic portable hashes must band docs 0 and 2 together
+    val surv = T.survivors(docs)
+    val ndCas = D.neardupCasualties(
+      D.portableSigs(docs.join(surv, "doc_id")))
+    assert(ndCas.collect().map(_.getLong(0)).toSet == Set(2L),
+      "fixture broke: stage 2 must remove exactly doc 2")
+    val surv2Tok = tok.join(
+      surv.join(ndCas, Seq("doc_id"), "left_anti"), "doc_id")
+    val got = T.waterfallFrom(docs, tok, ndCas,
+        T.suffixLcpFrom(surv2Tok))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = got("A"); val b = got("B"); val c = got("C")
+    assert(a.getAs[Long]("tokens_raw") == 40L &&
+      a.getAs[Long]("doc_dup_tokens") == 20L &&
+      a.getAs[Long]("neardup_tokens") == 0L &&
+      a.getAs[Long]("substring_cut_tokens") == 0L &&
+      a.getAs[Long]("tokens_final") == 20L, s"source A diverged: $a")
+    assert(b.getAs[Long]("tokens_raw") == 20L &&
+      b.getAs[Long]("doc_dup_tokens") == 0L &&
+      b.getAs[Long]("neardup_tokens") == 20L &&
+      b.getAs[Long]("substring_cut_tokens") == 0L &&
+      b.getAs[Long]("tokens_final") == 0L, s"source B diverged: $b")
+    assert(c.getAs[Long]("tokens_raw") == 10L &&
+      c.getAs[Long]("doc_dup_tokens") == 0L &&
+      c.getAs[Long]("neardup_tokens") == 0L &&
+      c.getAs[Long]("substring_cut_tokens") == 8L &&
+      c.getAs[Long]("tokens_final") == 2L, s"source C diverged: $c")
+  }
 }
