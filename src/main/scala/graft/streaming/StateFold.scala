@@ -36,6 +36,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * This is the LSM contract every production state store (RocksDB behind
   * Structured Streaming, Delta's OPTIMIZE) implements.
   */
+/** FIXTURE-SIZED state-store scale constants (VERDICT r14 item 6, r15
+  * item 3) — the two knobs a cluster deployment retunes, hoisted into
+  * one documented object (the `SuffixRounds` discipline) so a scale-up
+  * is a constant change, not a code hunt.
+  */
+private[graft] object StateScale {
+
+  /** Keyed-store partition count (the kh = pmod(hash(keys), KeyedParts)
+    * fan-out of [[KeyedFold]]). 16 is fixture-sized — enough partitions
+    * that the Round14/15Spec prune pins can distinguish touched from
+    * untouched. At cluster scale this is the state table's partition
+    * count (thousands), sized so one partition ≈ one task's worth of
+    * state; every driver-side structure bounded by it (the touched/
+    * present collect lists, the per-batch journal) scales with it, so
+    * raising it keeps those lists partition-prune-sized, never data-
+    * sized. */
+  final val KeyedParts = 16
+
+  /** Delta-log compaction trigger for [[StateFold.maybeCompact]]: when
+    * a log dir exceeds this many part-files, the merge runs and the log
+    * collapses to ~trigger/4 files. 32 is fixture-sized; at cluster
+    * scale size it against the read-fan-in budget (every serve reads ≤
+    * trigger files per log) vs the amortized compaction cost
+    * O(state / trigger) per append — the LSM knob every production
+    * state store exposes. */
+  final val CompactTrigger = 32
+}
+
 private[graft] object StateFold {
 
   /** Journal entry for one log mutation — the Round13Spec pin inspects
@@ -99,7 +127,8 @@ private[graft] object StateFold {
     * visible dir is replaced only after the merged generation is fully
     * written — st09's write-then-swap rule). Amortized O(state/maxFiles)
     * per batch. */
-  def maybeCompact(ss: SparkSession, dir: String, maxFiles: Int = 32)(
+  def maybeCompact(ss: SparkSession, dir: String,
+      maxFiles: Int = StateScale.CompactTrigger)(
       merge: DataFrame => DataFrame): Unit = {
     val before = partFiles(dir)
     if (before.size > maxFiles) {
@@ -136,16 +165,17 @@ private[graft] object StateFold {
   * replaced (the journal lists names for its pin — metadata only) —
   * journal-pinned in Round14Spec.
   *
-  * NParts = 16 is fixture-sized; at cluster scale this is the state
-  * table's partition count (thousands), sized so a partition ≈ one
-  * task. The touched-partition set is collected to the driver per
-  * batch — bounded by NParts values, the same class as a partition
-  * prune, never data rows. */
+  * NParts ([[StateScale.KeyedParts]]) is fixture-sized; at cluster
+  * scale this is the state table's partition count (thousands), sized
+  * so a partition ≈ one task — see [[StateScale]]. The touched-
+  * partition set is collected to the driver per batch — bounded by
+  * NParts values, the same class as a partition prune, never data
+  * rows. */
 private[graft] object KeyedFold {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
 
-  private[graft] final val NParts = 16
+  private[graft] final val NParts = StateScale.KeyedParts
 
   /** The partition key: stable across batches (Spark's hash is
     * deterministic per value), uniform-ish over keys. */
@@ -272,6 +302,49 @@ private[graft] object KeyedFold {
     * The present-partition set is one ≤ NParts collect, the same class
     * as [[touched]]; the delete runs after the write, so a crash
     * between them leaves stale-but-superseded rows, never lost rows. */
+  /** CROSS-STORE batch intent marker (ADVICE r15 — st37's two-store
+    * fold): a fold that must update TWO keyed stores per batch (lab +
+    * mem) has a crash window between the overwrites that
+    * [[overwriteTouched]]'s own "stale-but-superseded, never lost"
+    * guarantee does not cover — and replay cannot heal it, because the
+    * re-run reads the already-merged first store and computes an empty
+    * delta. The protocol: write `_intent` (atomic temp + rename;
+    * underscore-prefixed, so Spark readers and [[hasState]] never see
+    * it) into the SECOND store listing the partitions the batch will
+    * touch there, do both overwrites, then clear it. A batch that finds
+    * a pending intent rebuilds exactly those partitions of the second
+    * store from the first (the repair read is O(first store) — paid
+    * only on detected partial batches, never in steady state), which is
+    * correct at EVERY crash point: before the first write the rebuild
+    * reproduces the pre-batch rows; between the writes it derives the
+    * post-batch rows the crash lost; after both it is an idempotent
+    * rewrite. */
+  private[graft] def writeIntent(dir: String, parts: Seq[Int]): Unit = {
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
+    val tmp = root.resolve("_intent.tmp" +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.write(tmp, parts.sorted.mkString(",").getBytes("UTF-8"))
+    Files.move(tmp, root.resolve("_intent"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The pending intent's partition list, if a previous batch died
+    * between its two store writes. */
+  private[graft] def pendingIntent(dir: String): Option[Seq[Int]] = {
+    val f = Paths.get(dir, "_intent")
+    if (!Files.exists(f)) None
+    else {
+      val s = new String(Files.readAllBytes(f), "UTF-8").trim
+      Some(if (s.isEmpty) Nil else s.split(",").toSeq.map(_.trim.toInt))
+    }
+  }
+
+  private[graft] def clearIntent(dir: String): Unit = {
+    Files.deleteIfExists(Paths.get(dir, "_intent")); ()
+  }
+
   def overwriteTouched(updated: DataFrame, keys: Seq[String],
       dir: String, parts: Seq[Int]): Unit = {
     val before = partFilesIn(dir, parts)

@@ -2380,7 +2380,13 @@ object Streams {
     // measured comparison. Min-label canonicalization keeps the fold
     // order- and slicing-insensitive exactly as st22's; the converged
     // labels answer the batch x146 oracle verbatim. Read-pruning is
-    // journal-pinned in Round15Spec (kind "keyed-read").
+    // journal-pinned in Round15Spec (kind "keyed-read"). The two-store
+    // fold is made REPLAY-SAFE by the cross-store intent marker
+    // (ADVICE r15): a crash or foreachBatch retry between the lab and
+    // mem overwrites is detected at the next batch and mem's affected
+    // partitions are rebuilt from lab — Round16Spec pins that a
+    // desynced mem with a pending intent heals and the subsequent
+    // merge still reaches every member.
     QueryDef("st37_stream_cc_frontier",
       graft.operators.Corpus.x146OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
@@ -2499,6 +2505,23 @@ object Streams {
   private[graft] def frontierCcBatch(batch: DataFrame, labDir: String,
       memDir: String): Unit = {
     val spark = batch.sparkSession
+    // CRASH RECOVERY (ADVICE r15): a pending intent means a previous
+    // batch died between its lab and mem overwrites — the one window
+    // replay cannot heal (the re-run would read the merged lab, derive
+    // an empty delta, and leave mem desynced forever). Rebuild exactly
+    // the intent's mem partitions from lab (mem is lab's inverted
+    // index, so the full-lab scan is the repair's whole cost — paid
+    // only here, never in steady state), then proceed.
+    KeyedFold.pendingIntent(memDir).foreach { parts =>
+      val rebuilt = KeyedFold.readAll(spark, labDir,
+          batch.select(col("src").as("node"), col("src").as("comp")))
+        .select(col("comp"), col("node"))
+        .filter(KeyedFold.kh(Seq(col("comp")))
+          .isin(parts.map(Integer.valueOf): _*))
+        .localCheckpoint() // sever from the files being replaced
+      KeyedFold.overwriteTouched(rebuilt, Seq("comp"), memDir, parts)
+      KeyedFold.clearIntent(memDir)
+    }
     val edges = batch.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint() // endpoints + the contraction both read it
@@ -2551,6 +2574,18 @@ object Streams {
       .select(newNodes("node"),
         coalesce(col("mc"), newNodes("node")).as("comp"))
       .localCheckpoint()
+    // the mem write set is computed FIRST so the batch can declare its
+    // cross-store intent before either store is touched (ADVICE r15 —
+    // see KeyedFold.writeIntent's protocol; memParts is non-empty
+    // whenever the lab write set is, so the intent covers every batch
+    // that mutates state)
+    val addMem = relabNodes.select(col("comp"), col("node"))
+      .unionByName(newLab.select(col("comp"), col("node")))
+      .localCheckpoint()
+    val memParts = KeyedFold.touched(
+      relabelFrom.select(col("comp"))
+        .union(addMem.select(col("comp"))).distinct(), Seq("comp"))
+    if (memParts.nonEmpty) KeyedFold.writeIntent(memDir, memParts)
     // lab overwrite: every surviving row of the touched partitions
     val updNodes = relabNodes.select("node").union(newLab.select("node"))
       .distinct()
@@ -2566,12 +2601,6 @@ object Streams {
       KeyedFold.overwriteTouched(labUpd, Seq("node"), labDir, labParts)
     }
     // mem overwrite: drop relabeled comps' rows, add the new memberships
-    val addMem = relabNodes.select(col("comp"), col("node"))
-      .unionByName(newLab.select(col("comp"), col("node")))
-      .localCheckpoint()
-    val memParts = KeyedFold.touched(
-      relabelFrom.select(col("comp"))
-        .union(addMem.select(col("comp"))).distinct(), Seq("comp"))
     if (memParts.nonEmpty) {
       val memUpd = KeyedFold.readParts(spark, memDir, memParts, addMem)
         .join(broadcast(relabelFrom.select(col("comp"))),
@@ -2579,6 +2608,7 @@ object Streams {
         .unionByName(addMem)
         .localCheckpoint() // sever from the files being replaced
       KeyedFold.overwriteTouched(memUpd, Seq("comp"), memDir, memParts)
+      KeyedFold.clearIntent(memDir)
     }
   }
 

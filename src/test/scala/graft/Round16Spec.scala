@@ -104,6 +104,44 @@ class Round16Spec extends AnyFunSuite {
       s"recall-1 contract broke: mid-cadence $mid vs converged $conv")
   }
 
+  test("st37: a pending cross-store intent heals a desynced membership store before the next fold") {
+    import spark.implicits._
+    import streaming.{KeyedFold, Streams}
+    val root = java.nio.file.Files.createTempDirectory("r16ccf")
+    val lab = root.resolve("lab").toString
+    val mem = root.resolve("mem").toString
+    try {
+      // batch 1: two 2-node components → consistent stores
+      Streams.frontierCcBatch(
+        Seq((0, 1), (2, 3)).toDF("src", "dst"), lab, mem)
+      assert(KeyedFold.pendingIntent(mem).isEmpty)
+      // simulate the ADVICE r15 crash window: the lab write of some
+      // batch landed but the mem write did not — mem loses comp 2's
+      // membership rows while its intent is still pending
+      val p2 = KeyedFold.touched(Seq(2).toDF("comp"), Seq("comp"))
+      KeyedFold.writeIntent(mem, p2)
+      p2.foreach { k =>
+        graft.Publish.deleteTree(
+          java.nio.file.Paths.get(mem, s"kh=$k"))
+      }
+      // without repair, the next merge (1-3 bridges comps 0 and 2)
+      // would chase comp 2 through the gutted membership index and
+      // MISS nodes 2 and 3 forever; the pending intent must heal mem
+      // from lab first
+      Streams.frontierCcBatch(Seq((1, 3)).toDF("src", "dst"), lab, mem)
+      assert(KeyedFold.pendingIntent(mem).isEmpty,
+        "the batch must clear its own intent after both writes")
+      val labGot = spark.read.parquet(lab).drop("kh")
+        .as[(Int, Int)].collect().toMap
+      assert(labGot == Map(0 -> 0, 1 -> 0, 2 -> 0, 3 -> 0),
+        s"labels under-merged — the chase missed healed members: $labGot")
+      val memGot = spark.read.parquet(mem).drop("kh")
+        .select(col("comp"), col("node")).as[(Int, Int)].collect().toSet
+      assert(memGot == Set((0, 0), (0, 1), (0, 2), (0, 3)),
+        s"membership index diverged from the inverted labels: $memGot")
+    } finally graft.Publish.deleteTree(root)
+  }
+
   test("x231: the three-stage waterfall composes in pipeline order — stage 3 never re-counts stage-2 casualties") {
     import spark.implicits._
     val T = graft.operators.Tokens
