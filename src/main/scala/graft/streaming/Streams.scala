@@ -1511,10 +1511,20 @@ object Streams {
     // probe every label to decide what relabels, exactly the label scan
     // x149's batch form does). Journal-pinned in Round14Spec. st37 is
     // the measured frontier-chase variant whose READ prunes too, via a
-    // second comp-keyed membership store — at the 98-node fixture its
-    // two-store fixed costs lose to this single-store fold (6.5 vs
-    // 10.1 s, SCALING r15), so this stays the default; st37 is the
-    // shape to take when the label table outgrows per-batch scans.
+    // second comp-keyed membership store. MEASURED crossover evidence
+    // (r16, CcScaleBench over derived testdata graphs of 8×10³ to
+    // 1.7×10⁵ state nodes, SCALING r16): this single-store fold wins at
+    // EVERY derivable fixture scale — its per-batch cost is near-flat
+    // (the full label scan costs ~0.5 s per 10⁵ rows here) while st37
+    // carries ~1.5-2 s of fixed second-store overhead per batch (extra
+    // driver round-trips: the second touched/present collects, pruned
+    // reads, intent I/O). The measured slope puts the crossover around
+    // 10⁵·(st37 fixed cost / per-10⁵ scan cost) ≈ 3×10⁵–10⁶ nodes on
+    // this host, so st22 stays the default; st37 is the shape to take
+    // when the label table outgrows the per-batch scan budget (on a
+    // cluster: when a full label read stops fitting the micro-batch
+    // interval — the fixed overhead there is a second task-scheduling
+    // round, not wall-seconds).
     QueryDef("st22_stream_cc",
       graft.operators.Corpus.x146OracleSql) { (s, d) =>
       withStreamingConfs(s) { ss =>
@@ -1528,23 +1538,7 @@ object Streams {
           .option("maxFilesPerTrigger", "1").parquet(stage)
           .writeStream.outputMode(OutputMode.Update())
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            val spark = batch.sparkSession
-            val prior = KeyedFold.readAll(spark, ccDir,
-                batch.select(col("src").as("node"), col("src").as("comp")))
-              .localCheckpoint() // read by the merge AND the changed diff
-            val next = graft.operators.Corpus
-              .ccMergeStep(prior, batch.select(col("src"), col("dst")))
-              .localCheckpoint() // sever from the files being replaced
-            // changed = new nodes + relabeled nodes; their kh set is the
-            // touched-partition list. The overwrite must carry EVERY
-            // surviving row of a touched partition, so re-slice `next`
-            // by the changed partitions rather than writing `changed`.
-            val changed = next.join(prior, Seq("node", "comp"), "left_anti")
-            val parts = KeyedFold.touched(changed, Seq("node"))
-            val updated = next
-              .filter(KeyedFold.kh(Seq(col("node")))
-                .isin(parts.map(Integer.valueOf): _*))
-            KeyedFold.overwriteTouched(updated, Seq("node"), ccDir, parts)
+            singleStoreCcBatch(batch, ccDir)
             ()
           }
           .start()
@@ -2496,6 +2490,32 @@ object Streams {
       }
     }
   )
+
+  /** One single-store CC micro-batch fold (st22's per-batch body,
+    * factored in r16 so [[CcScaleBench]] can drive the exact production
+    * fold head-to-head with [[frontierCcBatch]] on derived large
+    * graphs): read the WHOLE label table, merge the batch's edges, and
+    * rewrite only the kh partitions holding changed nodes. */
+  private[graft] def singleStoreCcBatch(batch: DataFrame,
+      ccDir: String): Unit = {
+    val spark = batch.sparkSession
+    val prior = KeyedFold.readAll(spark, ccDir,
+        batch.select(col("src").as("node"), col("src").as("comp")))
+      .localCheckpoint() // read by the merge AND the changed diff
+    val next = graft.operators.Corpus
+      .ccMergeStep(prior, batch.select(col("src"), col("dst")))
+      .localCheckpoint() // sever from the files being replaced
+    // changed = new nodes + relabeled nodes; their kh set is the
+    // touched-partition list. The overwrite must carry EVERY
+    // surviving row of a touched partition, so re-slice `next`
+    // by the changed partitions rather than writing `changed`.
+    val changed = next.join(prior, Seq("node", "comp"), "left_anti")
+    val parts = KeyedFold.touched(changed, Seq("node"))
+    val updated = next
+      .filter(KeyedFold.kh(Seq(col("node")))
+        .isin(parts.map(Integer.valueOf): _*))
+    KeyedFold.overwriteTouched(updated, Seq("node"), ccDir, parts)
+  }
 
   /** One frontier-chase CC micro-batch fold over the two keyed stores
     * (lab: node → comp by node-hash; mem: comp → node by comp-hash) —
