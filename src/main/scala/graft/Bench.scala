@@ -52,10 +52,22 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     def selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    selected.values.foreach { fn =>
-      try run(fn(spark, sfDir))
-      catch { case scala.util.control.NonFatal(_) => () } // OOM etc must fail loudly
+    // The warmup pass IS the artifact pre-warm (VERDICT r15 item 5):
+    // every content-keyed DerivedTable / matview / staged layout builds
+    // here, outside the timed loop. The Publish.buildSeconds snapshots
+    // make that explicit in the JSON: warmup reports how many seconds
+    // went to builds, and the per-query artifact_build map shows any
+    // residual build that still ran inside a timed window (expected ≈ 0
+    // on a warm warehouse; non-zero entries explain headline drift
+    // without re-measurement).
+    val wb0 = Publish.buildSeconds
+    val warmupSec = time {
+      selected.values.foreach { fn =>
+        try run(fn(spark, sfDir))
+        catch { case scala.util.control.NonFatal(_) => () } // OOM etc must fail loudly
+      }
     }
+    val warmupBuild = Publish.buildSeconds - wb0
 
     // performance_test.py configs: join-from-base (config 1) vs precomputed
     // denormalized fact (config 4) vs aggregate matview (config 3).
@@ -78,24 +90,37 @@ object Bench {
     // min of 2 runs per query: GC/compaction noise on a busy host inflates
     // single samples by 2-3×; the min is the reproducible cost.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> (try (1 to 2).map(_ => time { run(fn(spark, sfDir)) }).min
-        catch { case scala.util.control.NonFatal(_) => -1.0 })
+      val b0 = Publish.buildSeconds
+      val t = try (1 to 2).map(_ => time { run(fn(spark, sfDir)) }).min
+        catch { case scala.util.control.NonFatal(_) => -1.0 }
+      (name, t, Publish.buildSeconds - b0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // artifact-build seconds that executed INSIDE a timed window (both
+    // min-of-2 samples pooled) — ≈ empty on a warm warehouse; entries
+    // here are the cold-start component of this pass's headline number
+    val ab = results.filter(_._3 > 0.01)
+      .map { case (k, _, b) => "\"" + k + "\":" + f"$b%.3f" }
+      .mkString("{", ",", "}")
+    val abTotal = results.map(_._3).sum
     val total = results.map(_._2).filter(_ >= 0).sum
     // A zero factCfg would interpolate Infinity (invalid JSON) — emit 0.
     val speedup = if (factCfg > 0) baseCfg / factCfg else 0.0
     val speedupMv = if (mvCfg > 0) baseCfg / mvCfg else 0.0
     val configs =
       s"""{"base_join_3run_min":$baseCfg,"fact_serving_3run_min":$factCfg,"speedup":$speedup,"agg_matview_3run_min":$mvCfg,"speedup_matview":$speedupMv}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"configs":$configs,"sf":"$sfDir"}""")
+    val hygiene =
+      s"""{"warmup_sec":${f"$warmupSec%.1f"},"warmup_artifact_build_sec":${
+        f"$warmupBuild%.1f"},"timed_artifact_build_sec":${
+        f"$abTotal%.2f"},"artifact_build":$ab}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"configs":$configs,"hygiene":$hygiene,"sf":"$sfDir"}""")
     // Compact totals record printed LAST (VERDICT r8 item 5): the driver
     // archives only the final ~2000 bytes of output, which truncates the
     // per-query map mid-JSON — this self-contained line is small enough
     // to always survive the tail, so the round total, query count, and
     // config comparison stay recoverable from BENCH_r{N}.json alone.
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"configs":$configs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"configs":$configs,"timed_artifact_build_sec":${f"$abTotal%.2f"},"warmup_sec":${f"$warmupSec%.1f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
