@@ -681,13 +681,28 @@ object Tokens {
     * counts land only on stage-2 survivors. */
   private[graft] def waterfallFrom(docs: DataFrame, tok: DataFrame,
       ndCas: DataFrame, survLcp: DataFrame): DataFrame = {
-      val surv = survivors(docs)
+    val tl = tok.groupBy(col("doc_id"))
+      .agg((max(col("i")) + 1).cast("long").as("ntok"))
+    waterfallRollup(
+      tl.join(docs.select(col("doc_id"), col("source"),
+        md5(col("text")).as("h")), "doc_id"),
+      ndCas, survLcp)
+  }
+
+  /** The waterfall rollup over a per-doc METADATA frame (doc_id,
+    * source, ntok, h = md5(text)) — factored out of [[waterfallFrom]]
+    * (r16) so st39's streaming serve can run the IDENTICAL rollup over
+    * its additively-folded metadata state; the stage-1 keep rule
+    * derives from the folded content hashes exactly as [[survivors]]
+    * derives it from the documents table. */
+  private[graft] def waterfallRollup(meta: DataFrame, ndCas: DataFrame,
+      survLcp: DataFrame): DataFrame = {
+      val surv = meta.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
         .localCheckpoint() // keep set: joined by the rollup twice
-      val tl = tok.groupBy(col("doc_id"))
-        .agg((max(col("i")) + 1).cast("long").as("ntok"))
       val cutD = cutPositions(survLcp)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("cut"))
-      tl.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      meta.select(col("doc_id"), col("source"), col("ntok"))
         .join(surv.withColumn("kept", lit(true)), Seq("doc_id"), "left")
         .join(ndCas.withColumn("nd", lit(true)), Seq("doc_id"), "left")
         .join(cutD, Seq("doc_id"), "left")

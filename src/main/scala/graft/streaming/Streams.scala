@@ -2488,6 +2488,67 @@ object Streams {
           md.filter(!col("is_train") && col("n_tokens") >= 1)
             .select(col("doc_id"), col("n_tokens")))
       }
+    },
+
+    // STREAMING DEDUP WATERFALL — x231's three-stage curation report
+    // kept live as documents arrive: the NINETEENTH Δ-maintained
+    // family, composing the repo's streaming state classes in one
+    // serve. Per-batch folds, both purely additive (each doc lands in
+    // exactly one batch): the per-doc METADATA frame (doc_id, source,
+    // md5 content hash, token count — st31's class, one map-side pass)
+    // and the per-doc portable-MinHash SIGNATURE rows (doc_id, tri,
+    // sig — per-doc pure functions of text, st10's streaming-ingest
+    // class; this IS the signature artifact x39's batch pipeline
+    // persists, appended O(Δ)). The serve derives stage 1 (keep-min
+    // per content hash) from the folded hashes, runs stage 2's banded
+    // near-dup rule over the folded signatures scoped to the stage-1
+    // survivors (banding + the crowded-bucket cap are corpus
+    // properties, so they MUST run at serve — the st35 lexicon
+    // contract), takes stage 3's cut counts from the content-keyed
+    // wfslcp artifact (the suffix tier's rebuild cadence, as in st38),
+    // and feeds the SHARED waterfallRollup — answering x231's oracle
+    // VERBATIM on the converged stream.
+    //
+    // Scale: per-batch work ∝ batch text (hash + tokenize + shingle,
+    // map-side); signature state ∝ corpus shingles (the persisted
+    // ingest artifact's own size); the serve is one hash agg + the
+    // banded candidate join + an artifact scan — no corpus text
+    // rescan.
+    QueryDef("st39_stream_waterfall",
+      graft.operators.Tokens.x231OracleSql) { (s, d) =>
+      withStreamingConfs(s) { ss =>
+        val stage = stageDocumentsSplit(ss, d)
+        val key = graft.ContentKey.key(
+          java.nio.file.Paths.get(d, "documents.parquet"))
+        val mdDir = graft.Scratch.path(s"graft_stwf_md_v1_$key")
+        val sgDir = graft.Scratch.path(s"graft_stwf_sg_v1_$key")
+        resetDir(mdDir); resetDir(sgDir)
+        val schema = ss.read.parquet(stage).schema
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark = batch.sparkSession
+            StateFold.append(batch.select(col("doc_id"), col("source"),
+              md5(col("text")).as("h"),
+              size(graft.functions.Text.tokens(col("text"))).cast("long")
+                .as("ntok")), mdDir)
+            StateFold.maybeCompact(spark, mdDir)(identity)
+            StateFold.append(
+              graft.operators.Dedup.portableSigs(batch), sgDir)
+            StateFold.maybeCompact(spark, sgDir)(identity)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val md = ss.read.parquet(mdDir).localCheckpoint()
+        val surv = md.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+        val ndCas = graft.operators.Dedup.neardupCasualties(
+          ss.read.parquet(sgDir).join(surv, "doc_id"))
+        graft.operators.Tokens.waterfallRollup(md, ndCas,
+          graft.operators.Tokens.wfslcpArtifact(ss, d))
+      }
     }
   )
 

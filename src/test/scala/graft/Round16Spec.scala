@@ -198,5 +198,35 @@ class Round16Spec extends AnyFunSuite {
       c.getAs[Long]("neardup_tokens") == 0L &&
       c.getAs[Long]("substring_cut_tokens") == 8L &&
       c.getAs[Long]("tokens_final") == 2L, s"source C diverged: $c")
+
+    // st39 cross-batch pin: the same corpus folded as TWO micro-batches
+    // that SPLIT both the exact-dup pair (0 | 1) and the near-dup pair
+    // (0 | 2) across batches — the per-doc metadata and signature folds
+    // are purely additive, so the serve's stage decisions must equal
+    // the batch plan's row-for-row.
+    val batches = Seq(docs.filter(col("doc_id").isin(0L, 4L)),
+      docs.filter(col("doc_id").isin(1L, 2L)))
+    val mdFold = batches.map(_.select(col("doc_id"), col("source"),
+        md5(col("text")).as("h"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long")
+          .as("ntok")))
+      .reduce(_ unionByName _)
+    val sigFold = batches.map(D.portableSigs(_)).reduce(_ unionByName _)
+    val surv2 = mdFold.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val ndCas2 = D.neardupCasualties(sigFold.join(surv2, "doc_id"))
+    val got2 = T.waterfallRollup(mdFold, ndCas2,
+        T.suffixLcpFrom(tok.join(
+          surv2.join(ndCas2, Seq("doc_id"), "left_anti"), "doc_id")))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("doc_dup_tokens"), r.getAs[Long]("neardup_tokens"),
+          r.getAs[Long]("substring_cut_tokens"),
+          r.getAs[Long]("tokens_final"))).toMap
+    val want2 = got.view.mapValues(r =>
+      (r.getAs[Long]("doc_dup_tokens"), r.getAs[Long]("neardup_tokens"),
+        r.getAs[Long]("substring_cut_tokens"),
+        r.getAs[Long]("tokens_final"))).toMap
+    assert(got2 == want2,
+      s"cross-batch folded waterfall diverged from batch: $got2 vs $want2")
   }
 }
