@@ -84,12 +84,22 @@ object Quality {
     * maintainer's per-batch delta: each document's cells are a pure
     * function of that document, so per-batch cell tables over disjoint
     * batches UNION to the full-corpus table verbatim — additive state. */
-  private[graft] def featureCells(docs: DataFrame): DataFrame = {
-    val tokw = docs
+  /** The (doc_id, word, c) per-document word counts both cell builders
+    * start from — factored out (r16) so a streaming maintainer keeping
+    * several folds can tokenize each micro-batch ONCE and feed
+    * [[featureCellsFrom]] and [[binStatsFrom]] from the same
+    * checkpointed pass (st33 tokenized the same batch twice). */
+  private[graft] def tokenCounts(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(filter(Text.tokens(col("text")), w => length(w) > 0))
           .as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+
+  private[graft] def featureCells(docs: DataFrame): DataFrame =
+    featureCellsFrom(tokenCounts(docs))
+
+  private[graft] def featureCellsFrom(tokw: DataFrame): DataFrame = {
     // vocab-sized hash pass (the x39/x93 lesson: hash DISTINCT words,
     // never the token stream), broadcast back onto the count cells
     val voch = tokw.select(col("word")).distinct()
@@ -131,29 +141,84 @@ object Quality {
     * partials. G/n stays an exact-double division up to |G| ≈ 9·10¹⁵ —
     * ~10¹⁰ docs at full gradient (the x142/x197 BIGINT-bound
     * convention: past that, split the fold). */
-  private def adagradEpoch(feats: DataFrame, lab: DataFrame, nDocs: Long)(
-      st: DataFrame): DataFrame = {
-    val z = feats.join(broadcast(st.select(col("b"), col("w"))), "b")
-      .groupBy(col("doc_id")).agg(sum(col("fq") * col("w")).as("zmm"))
-    val zc = col("zmm") / lit(1000000000000.0)
+  /** One Adagrad epoch with the ≤514-row state held ON THE DRIVER
+    * (r16 optimization): the old form kept state as a DataFrame, so
+    * every epoch paid a broadcast build of `st`, a bins-keyed
+    * sort-merge join for the update, and a per-epoch localCheckpoint —
+    * ~8 AQE stage-jobs of pure fixed overhead per round over a 514-row
+    * table that the broadcast was collecting to the driver anyway.
+    * Here the weight lookup is a literal map (`element_at` — codegen,
+    * no broadcast build job), the gradient table comes back as ONE
+    * bounded collect (≤ Bins+2 = 514 rows — the same rows, one fewer
+    * round-trip than broadcast-out-then-collect-back), and the state
+    * update replays the EXACT Spark arithmetic on the driver:
+    * `round()` is Catalyst's BigDecimal.valueOf(x).setScale(0,
+    * HALF_UP) on doubles, `sqrt` is IEEE-correctly-rounded in both, so
+    * the weights are bit-identical to the DataFrame fold (pinned in
+    * Round16Spec against the oracle's per-round CTE replay).
+    *
+    * Per-doc margin/probability/gradient stay DISTRIBUTED — the
+    * corpus-sized work is untouched; only the bins-sized bookkeeping
+    * moved. `element_at` on a missing key yields null, `fq * null` is
+    * null, and `sum` skips nulls — exactly the old inner join's
+    * exclusion semantics, should a bin ever leave the state (it cannot:
+    * the gradient group-by covers every b in feats each round).
+    *
+    * Scale: the collect is bounded by the Bins constant (the model
+    * state — same class as the broadcast it replaces), never data
+    * rows; one exchange per epoch (the bins-keyed gradient agg). */
+  private def adagradEpoch(feats: DataFrame, nDocs: Long)(
+      st: Map[Int, (Long, Long)]): Map[Int, (Long, Long)] = {
+    val wm = typedLit(st.map { case (b, (w, _)) => b -> w })
+    // the per-doc margin as a WINDOW sum over the doc-partitioned,
+    // label-carrying cell cache (`feats` here is trainerCells' pre-join
+    // of cells ⋈ labels): one pass computes margin, probability and
+    // per-cell gradient without re-joining the cell table against
+    // itself — the epoch is exactly two stage-jobs (the cell pass and
+    // the 514-group gradient agg). element_at on an absent bin is null,
+    // null products are skipped by sum — the old inner join's exclusion
+    // semantics; the window's per-doc total over long products is
+    // order-independent, so zmm is the same exact BIGINT.
+    val zmm = sum(col("fq") * element_at(wm, col("b")))
+      .over(Window.partitionBy(col("doc_id")))
+    val zc = zmm / lit(1000000000000.0)
     val p = lit(0.5) + zc / (lit(2.0) * (lit(1.0) + abs(zc)))
-    val g = feats.join(z, "doc_id").join(lab, "doc_id")
+    val g = feats
       .select(col("b"),
         round(lit(1e-9) + (p - col("y")) * col("fq")).cast("long").as("gq"))
       .groupBy(col("b")).agg(sum(col("gq")).as("g"))
-    st.join(g, "b")
-      .select(col("b"),
-        round(lit(1e-9) + col("g") * 1.0 / lit(nDocs.toDouble)).cast("long")
-          .as("gm"),
-        col("w"), col("ss"))
-      .select(col("b"),
-        (col("ss") + col("gm") * col("gm")).as("ss2"), col("gm"), col("w"))
-      .select(col("b"),
-        (col("w") - when(col("ss2") === 0, lit(0L))
-          .otherwise(round(lit(1e-9) + lit(LrMicro) * col("gm")
-            / sqrt(col("ss2"))).cast("long"))).as("w"),
-        col("ss2").as("ss"))
-      .localCheckpoint() // bins-sized; severs the epoch lineage (x196)
+      .collect() // ≤ Bins+2 rows — the model state, bounded by constant
+    val nD = nDocs.toDouble
+    g.iterator.flatMap { r =>
+      val b = r.getInt(0)
+      st.get(b).map { case (w, ss) =>
+        // round(1e-9 + g·1.0/nDocs) exactly as Catalyst evaluates it
+        val gm = java.math.BigDecimal
+          .valueOf(1e-9 + r.getLong(1) * 1.0 / nD)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+        val ss2 = ss + gm * gm
+        val step =
+          if (ss2 == 0L) 0L
+          else java.math.BigDecimal
+            .valueOf(1e-9 + LrMicro * gm / math.sqrt(ss2.toDouble))
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+        b -> (w - step, ss2)
+      }
+    }.toMap
+  }
+
+  /** Driver-state → (b, w) DataFrame, for the serve joins. */
+  private def weightsDf(s: SparkSession,
+      st: Map[Int, (Long, Long)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      st.toSeq.sortBy(_._1)
+        .map { case (b, (w, _)) => org.apache.spark.sql.Row(b, w) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** The VALIDATED STOPPING ROUND for this corpus content — argmax
@@ -174,30 +239,44 @@ object Quality {
     * Returns the (b, w) weight table after `rounds` full-batch Adagrad
     * rounds (the validated stopping round for the shipped model;
     * [[Epochs]] for the fixed-budget x209 held-out gate). */
+  /** The trainer's working set: label-carrying cells (doc_id, b, fq,
+    * y), hash-partitioned by doc_id and PERSISTED (r16 — persist, not
+    * localCheckpoint: a checkpointed RDD reports UnknownPartitioning,
+    * so every epoch re-exchanged a table that was already laid out by
+    * doc; the cached plan keeps its partitioning, making the per-epoch
+    * window agg exchange-free). The label join runs once here instead
+    * of once per epoch. Caller must unpersist. */
+  private def trainerCells(cells: DataFrame, labels: DataFrame): DataFrame = {
+    val f = cells.join(labels, "doc_id").repartition(col("doc_id")).persist()
+    f.count() // materialize once, outside the epoch loop
+    f
+  }
+
   private[graft] def trainFromCells(cells: DataFrame,
       labels: DataFrame, rounds: Int = Epochs): DataFrame = {
-    // doc-partition ONCE: every epoch's margin agg and gradient join
-    // reuse this layout instead of re-exchanging the cell table
-    val feats = cells.repartition(col("doc_id")).localCheckpoint()
-    val lab = labels.localCheckpoint()
-    val nDocs = lab.count()
+    val nDocs = labels.count()
     require(nDocs > 0, "quality classifier: no labeled documents to train on")
-    val w0 = feats.select(col("b")).distinct()
-      .select(col("b"), lit(0L).as("w"), lit(0L).as("ss")).localCheckpoint()
-    (1 to rounds).foldLeft(w0)((st, _) => adagradEpoch(feats, lab, nDocs)(st))
-      .select(col("b"), col("w"))
+    val feats = trainerCells(cells, labels)
+    try {
+      // w0 spans ALL cells' bins (unlabeled docs included) — the old
+      // DataFrame fold's init; bins only labeled docs never touch drop
+      // out after round 1, exactly as the old state⋈gradient inner join
+      val w0: Map[Int, (Long, Long)] = cells.select(col("b")).distinct()
+        .collect().map(r => r.getInt(0) -> (0L, 0L)).toMap
+      val wst = (1 to rounds).foldLeft(w0)((st, _) =>
+        adagradEpoch(feats, nDocs)(st))
+      weightsDf(cells.sparkSession, wst)
+    } finally { feats.unpersist(); () }
   }
 
   /** Per-bin occupancy stats from a document slice — (b, bin_tokens,
     * bin_docs). Docs land in exactly one slice, so per-batch stats
     * MERGE BY SUM (st30's word-count state class) — the third fold a
     * streaming maintainer keeps. */
-  private[graft] def binStats(docs: DataFrame): DataFrame = {
-    val tokw = docs
-      .select(col("doc_id"),
-        explode(filter(Text.tokens(col("text")), w => length(w) > 0))
-          .as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+  private[graft] def binStats(docs: DataFrame): DataFrame =
+    binStatsFrom(tokenCounts(docs))
+
+  private[graft] def binStatsFrom(tokw: DataFrame): DataFrame = {
     val voch = tokw.select(col("word")).distinct()
       .select(col("word"),
         (Text.charHash(col("word")) % Bins).cast("int").as("b"))
@@ -390,13 +469,11 @@ object Quality {
     *          chosen round's (b, w) weights) */
   private[graft] def trainValidated(cells: DataFrame, labels: DataFrame,
       valCells: DataFrame, valLabels: DataFrame): (DataFrame, DataFrame) = {
-    val feats = cells.repartition(col("doc_id")).localCheckpoint()
-    val lab = labels.localCheckpoint()
-    val nDocs = lab.count()
+    val nDocs = labels.count()
     require(nDocs > 0, "validated trainer: no labeled train documents")
-    val vFeats = valCells.repartition(col("doc_id")).localCheckpoint()
-    val vLab = valLabels.localCheckpoint()
-    val valN = vLab.count()
+    val feats = trainerCells(cells, labels)
+    val valN = valLabels.count()
+    val vFeats = trainerCells(valCells, valLabels)
     // ADVICE r14: a corpus with NO document in the validation
     // fingerprint bucket used to hard-abort the whole shipped-model
     // family here (where the fixed-budget trainer succeeded). The
@@ -409,18 +486,26 @@ object Quality {
       System.err.println("[graft] validated trainer: empty validation " +
         s"split — falling back to the fixed $Epochs-round budget " +
         "(no early stop)")
-    val w0 = feats.select(col("b")).distinct()
-      .select(col("b"), lit(0L).as("w"), lit(0L).as("ss")).localCheckpoint()
+    val w0: Map[Int, (Long, Long)] = cells.select(col("b")).distinct()
+      .collect().map(r => r.getInt(0) -> (0L, 0L)).toMap
     var st = w0
-    val rounds = (1 to Epochs).map { k =>
-      st = adagradEpoch(feats, lab, nDocs)(st)
-      val correct = if (valN == 0) 0L else vFeats
-        .join(broadcast(st.select(col("b"), col("w"))), "b")
-        .groupBy(col("doc_id")).agg(sum(col("fq") * col("w")).as("zmm"))
-        .join(vLab, "doc_id")
-        .filter((col("zmm") > 0) === (col("y") === 1)).count()
-      (k, correct, st.select(col("b"), col("w")))
-    }
+    val rounds = try {
+      (1 to Epochs).map { k =>
+        st = adagradEpoch(feats, nDocs)(st)
+        // val margin via the same literal-map lookup as the train epoch:
+        // element_at's null on an absent bin + sum's null-skip replay the
+        // old inner join's exclusion semantics exactly; the doc-grouped
+        // agg over the doc-partitioned cache is exchange-free, y is
+        // constant per doc so max(y) carries it through the group
+        val wm = typedLit(st.map { case (b, (w, _)) => b -> w })
+        val correct = if (valN == 0) 0L else vFeats
+          .groupBy(col("doc_id"))
+          .agg(sum(col("fq") * element_at(wm, col("b"))).as("zmm"),
+            max(col("y")).as("y"))
+          .filter((col("zmm") > 0) === (col("y") === 1)).count()
+        (k, correct, st)
+      }
+    } finally { feats.unpersist(); vFeats.unpersist(); () }
     val chosen =
       if (valN == 0) Epochs
       else rounds.maxBy { case (k, c, _) => (c, -k) }._1
@@ -445,7 +530,7 @@ object Quality {
           .otherwise(Num.roundOut(col("val_correct") * 1.0 / col("val_n"), 4))
           .as("val_accuracy"),
         col("chosen"))
-    (curve, rounds(chosen - 1)._3)
+    (curve, weightsDf(s, rounds(chosen - 1)._3))
   }
 
   /** One validated run per corpus content — the (train, val) splits are

@@ -2154,12 +2154,18 @@ object Streams {
             // additive (each doc lands in exactly one batch — identity
             // merge); bin occupancy partials sum-merge at read time /
             // compaction. No batch ever reads the state dirs.
+            // One tokenize pass per batch (r16): the cell fold and the
+            // bin-stat fold both derive from the same checkpointed
+            // (doc, word, c) counts instead of re-tokenizing the text.
+            val tokw = graft.operators.Quality.tokenCounts(batch)
+              .localCheckpoint()
             StateFold.append(
-              graft.operators.Quality.featureCells(batch), ceDir)
+              graft.operators.Quality.featureCellsFrom(tokw), ceDir)
             StateFold.maybeCompact(spark, ceDir)(identity)
             StateFold.append(graft.operators.Quality.labelTable(batch), lbDir)
             StateFold.maybeCompact(spark, lbDir)(identity)
-            StateFold.append(graft.operators.Quality.binStats(batch), bsDir)
+            StateFold.append(
+              graft.operators.Quality.binStatsFrom(tokw), bsDir)
             StateFold.maybeCompact(spark, bsDir)(_.groupBy(col("b"))
               .agg(sum(col("bin_tokens")).as("bin_tokens"),
                 sum(col("bin_docs")).as("bin_docs")))
