@@ -1317,11 +1317,15 @@ object Analytics {
         .groupBy(col("b"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
           sum(col("n_chars") * col("n_chars")).as("sq"))
+        .coalesce(1) // ≤32 rows — one partition, or every downstream
+        // stage over the checkpointed RDD inherits the shuffle's 32
         .localCheckpoint() // ≤32 rows; idx/prefix/equi-width read it
       val idx = bkt.as("a")
         .join(bkt.select(col("b").as("cb")), col("cb") <= col("b"))
         .groupBy(col("b"), col("n"), col("s"), col("sq"))
         .agg(count(lit(1)).as("id"))
+        .coalesce(1)
+        .localCheckpoint() // <=32 rows; pre reads it twice, fin once
       val pre = idx.as("a")
         .join(idx.select(col("id").as("cid"), col("n").as("cn"),
           col("s").as("cs"), col("sq").as("csq")), col("cid") <= col("id"))
@@ -1331,6 +1335,10 @@ object Analytics {
         .unionByName(idx.sparkSession.range(1)
           .select(lit(0L).as("id"), lit(0L).as("pn"), lit(0L).as("ps"),
             lit(0L).as("psq")))
+        .coalesce(1) // the pair join below is a CARTESIAN of the two
+        // sides' partition lists — at 33 partitions each that was a
+        // 1089-task stage per DP read (r16: THE x181 cost, 1089-task
+        // stages over 528 rows); at 1×1 it is one task
         .localCheckpoint() // ≤33 rows; the er pair join reads it twice
       val er = pre.select(col("id").as("i0"), col("pn").as("ipn"),
           col("ps").as("ips"), col("psq").as("ipsq"))
@@ -1340,14 +1348,21 @@ object Analytics {
           ((col("jpsq") - col("ipsq"))
             - (col("jps") - col("ips")) * 1.0 * (col("jps") - col("ips"))
               / (col("jpn") - col("ipn"))).as("e"))
+        .coalesce(1)
         .localCheckpoint() // ≤32² rows; four DP levels read it
       val e1v = er.filter(col("i") === 1).select(col("j"), col("e"))
+      // each DP level is <=32 rows and feeds BOTH its pick and the next
+      // level -- checkpointed (r16) so the final five-way union
+      // evaluates every level once (e2 was computed three times, e3
+      // twice, and fin's idx re-aggregation ran once per pick)
       def level(prev: org.apache.spark.sql.DataFrame) =
         prev.select(col("j").as("p"), col("e").as("pe"))
           .join(er, col("i") === col("p") + 1)
           .groupBy(col("j")).agg(min(col("pe") + col("e")).as("e"))
+          .coalesce(1)
+          .localCheckpoint()
       val e2v = level(e1v); val e3v = level(e2v); val e4v = level(e3v)
-      val fin = idx.agg(max(col("id")).as("nb"))
+      val fin = idx.agg(max(col("id")).as("nb")).localCheckpoint()
       def pick(ek: org.apache.spark.sql.DataFrame, k: Int) =
         ek.join(broadcast(fin), col("j") === col("nb"))
           .select(lit(k.toLong).as("k"), lit("voptimal").as("method"),
