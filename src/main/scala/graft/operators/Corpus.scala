@@ -2640,11 +2640,15 @@ object Corpus {
   /** One incremental CC merge step: fold `delta` (directed edges) into a
     * prior (node, comp) label table — x149's contraction device, shared
     * with st22's per-micro-batch fold. Unknown endpoints label
-    * themselves; the contraction graph is components-sized; `rounds`
-    * hybrid CC rounds converge it (4 covers the fixture's worst chain,
-    * pinned by the oracle equality at three SFs). */
-  private[graft] def ccMergeStep(prior: DataFrame, delta: DataFrame,
-      rounds: Int = 4): DataFrame = {
+    * themselves; the contraction graph is components-sized and
+    * converged to FIXPOINT by [[ccLabelsFix]] (r16 — the fixed 4-round
+    * count was both a silent under-convergence risk on a long merge
+    * chain, the r15 st37 lesson, and two wasted no-op rounds per
+    * micro-batch on the fixture, where the contraction converges in
+    * 1–2). Fixpoint output is identical where 4 rounds sufficed —
+    * oracle equality at three SFs re-pinned. */
+  private[graft] def ccMergeStep(prior: DataFrame,
+      delta: DataFrame): DataFrame = {
     val pre = prior.unionByName(
       delta.select(col("src").as("node"))
         .union(delta.select(col("dst").as("node"))).distinct()
@@ -2665,7 +2669,7 @@ object Corpus {
       .select(col("a").as("src"), col("b").as("dst"))
       .localCheckpoint() // components-sized; feeds its own CC fold
     pre
-      .join(broadcast(ccLabels(cg, rounds).select(col("node").as("comp"),
+      .join(broadcast(ccLabelsFix(cg).select(col("node").as("comp"),
         col("comp").as("mc"))), Seq("comp"), "left")
       .select(col("node"), coalesce(col("mc"), col("comp")).as("comp"))
   }
@@ -2708,12 +2712,25 @@ object Corpus {
     * anti-join probe is small; hybrid rounds converge in O(log
     * diameter). */
   private[graft] def ccLabelsFix(e: DataFrame): DataFrame = {
+    // label sum as the convergence probe (r16): every node's label is
+    // non-increasing per round (min-propagation and the pointer jump
+    // both only lower it), so the sum strictly decreases iff ANY label
+    // changed — a 1-row agg over the already-checkpointed round output
+    // replaces the anti-join + limit probe (~3 stage-jobs fewer per
+    // round in every st22/st37 micro-batch). Null sum (empty graph)
+    // reads as 0: the first round of an empty graph is empty and stops.
+    def labelSum(d: DataFrame): Long = {
+      val r = d.agg(sum(col("comp"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var l = ccInit(e).localCheckpoint()
+    var prev = labelSum(l)
     var changed = true
     while (changed) {
       val next = ccRound(e)(l)
-      changed = next.join(l, Seq("node", "comp"), "left_anti")
-        .limit(1).count() > 0
+      val cur = labelSum(next)
+      changed = cur != prev
+      prev = cur
       l = next
     }
     l

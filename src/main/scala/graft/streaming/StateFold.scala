@@ -345,12 +345,25 @@ private[graft] object KeyedFold {
     Files.deleteIfExists(Paths.get(dir, "_intent")); ()
   }
 
+  /** `stableKeys = true` asserts every touched partition still holds at
+    * least one surviving row, so the emptied-partition probe (one extra
+    * driver collect per batch) is skipped. Legal exactly when the
+    * store's rows are keyed by an IMMUTABLE identity that is never
+    * deleted — st22/st37's lab store (node → comp: a relabel changes
+    * comp, never the node, and nodes are never removed), where a
+    * touched kh partition can by construction never empty. Stores whose
+    * rows can move or vanish across partitions (st37's comp-keyed mem
+    * index) MUST keep the default: dynamic overwrite only replaces
+    * partitions present in the written data, and an uncleaned emptied
+    * partition keeps stale rows forever (the r15 MERGE-DELETE catch). */
   def overwriteTouched(updated: DataFrame, keys: Seq[String],
-      dir: String, parts: Seq[Int]): Unit = {
+      dir: String, parts: Seq[Int], stableKeys: Boolean = false): Unit = {
     val before = partFilesIn(dir, parts)
     val withKh = updated.withColumn("kh", kh(keys.map(col)))
-    val present = withKh.select(col("kh")).distinct()
-      .collect().map(_.getInt(0)).toSet
+    val present =
+      if (stableKeys) parts.toSet
+      else withKh.select(col("kh")).distinct()
+        .collect().map(_.getInt(0)).toSet
     withKh
       .repartition(col("kh")) // one task per touched partition
       .write.mode("overwrite")

@@ -2581,7 +2581,11 @@ object Streams {
     val updated = next
       .filter(KeyedFold.kh(Seq(col("node")))
         .isin(parts.map(Integer.valueOf): _*))
-    KeyedFold.overwriteTouched(updated, Seq("node"), ccDir, parts)
+    // stableKeys: node-keyed, nodes are never deleted and a node's kh
+    // never changes — a touched partition cannot empty (r16: skips the
+    // per-batch emptied-partition collect)
+    KeyedFold.overwriteTouched(updated, Seq("node"), ccDir, parts,
+      stableKeys = true)
   }
 
   /** One frontier-chase CC micro-batch fold over the two keyed stores
@@ -2615,17 +2619,19 @@ object Streams {
     val endpoints = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-    // hop 1: endpoint labels from the PRUNED lab slice
+    // hop 1: endpoint labels from the PRUNED lab slice — ONE outer join
+    // carries both the label lookup and the new-node flag (r16: the
+    // separate anti-join frame was a second checkpoint per batch)
     val epParts = KeyedFold.touched(endpoints, Seq("node"))
     val labSlice = KeyedFold.readParts(spark, labDir, epParts,
         endpoints.select(col("node"), col("node").as("comp")))
-      .localCheckpoint() // label lookup + new-node anti-join
-    val epLab = endpoints.join(labSlice, Seq("node"), "left")
-      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+    val epInfo = endpoints.join(labSlice, Seq("node"), "left")
+      .select(col("node"), col("comp").as("prior_comp"),
+        coalesce(col("comp"), col("node")).as("comp"))
       .localCheckpoint()
-    val newNodes = endpoints
-      .join(labSlice.select("node"), Seq("node"), "left_anti")
-      .localCheckpoint()
+    val epLab = epInfo.select(col("node"), col("comp"))
+    val newNodes = epInfo.filter(col("prior_comp").isNull)
+      .select(col("node"))
     // hop 2: batch-sized comp contraction → transitive merge mapping
     // (prior labels are canonical, so converging the CONTRACTION graph
     // closes the mapping — the fixpoint runs HERE, iterated to a
@@ -2651,7 +2657,6 @@ object Streams {
       relabelFrom.select(col("comp")), Seq("comp"))
     val memSliceFrom = KeyedFold.readParts(spark, memDir, fromParts,
         relabelFrom.select(col("comp"), col("comp").as("node")))
-      .localCheckpoint()
     val relabNodes = memSliceFrom
       .join(broadcast(relabelFrom), Seq("comp"))
       .select(col("node"), col("mc").as("comp"))
@@ -2685,7 +2690,9 @@ object Streams {
         .select(col("node"), coalesce(col("nc"), col("comp")).as("comp"))
         .unionByName(newLab)
         .localCheckpoint() // sever from the files being replaced
-      KeyedFold.overwriteTouched(labUpd, Seq("node"), labDir, labParts)
+      // stableKeys: node-keyed, nodes never deleted, kh(node) immutable
+      KeyedFold.overwriteTouched(labUpd, Seq("node"), labDir, labParts,
+        stableKeys = true)
     }
     // mem overwrite: drop relabeled comps' rows, add the new memberships
     if (memParts.nonEmpty) {
