@@ -56,6 +56,17 @@ object Streams {
     val ss = s.newSession()
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // AQE OFF for the streaming clone (r17, guide §1.2/§2): every AQE
+    // shuffle stage materializes as its OWN scheduler job, so a
+    // micro-batch fold of ~20 actions paid ~60 job round-trips of pure
+    // driver latency per batch (measured: st37 63 jobs/batch, ~55 ms
+    // fixed cost each). The fold/serve frames here are Δ-/state-sized
+    // with their partition count pinned by the per-query `partitions`
+    // knob above — the exact decision AQE would re-derive at run time,
+    // paid per stage per batch. On a cluster the same reasoning holds
+    // (state partitioning is fixed for the checkpoint's life); re-enable
+    // per query only if a serve-side join needs runtime skew handling.
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
     body(ss)
   }
 
