@@ -28,7 +28,19 @@ object Profile {
 
     val jobs = new ConcurrentLinkedQueue[J]()
     val byId = new java.util.concurrent.ConcurrentHashMap[Int, J]()
+    val stages = new ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val dur = (for {a <- si.completionTime; b <- si.submissionTime}
+          yield (a - b) / 1e3).getOrElse(-1.0)
+        val m = si.taskMetrics
+        stages.add(f"stage ${si.stageId}%4d dur=$dur%7.2f tasks=${si.numTasks}%4d " +
+          f"in=${m.inputMetrics.bytesRead / 1e6}%9.1fMB sh_r=${m.shuffleReadMetrics.totalBytesRead / 1e6}%9.1fMB " +
+          f"sh_w=${m.shuffleWriteMetrics.bytesWritten / 1e6}%9.1fMB exec=${m.executorRunTime / 1e3}%8.1fs " +
+          f"${si.name.takeWhile(_ != '\n').take(70)}")
+      }
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val sites = e.stageInfos.map(_.name.takeWhile(_ != '\n')).distinct
         val d = s"${e.stageInfos.size}st " + sites.take(3).mkString(" | ")
@@ -46,7 +58,7 @@ object Profile {
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       run(fn(spark, sfDir)) // warmup (artifact builds, codegen)
-      jobs.clear(); byId.clear()
+      jobs.clear(); byId.clear(); stages.clear()
       val t0 = System.nanoTime()
       run(fn(spark, sfDir))
       val wall = (System.nanoTime() - t0) / 1e9
@@ -62,6 +74,10 @@ object Profile {
       }
       val jobSum = js.map(j => (math.max(j.end, j.start) - j.start) / 1e9).sum
       println(f"  ---- jobSum=$jobSum%.3f wall=$wall%.3f driverGap≈${wall - jobSum}%.3f")
+      if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+        import scala.jdk.CollectionConverters._
+        stages.iterator().asScala.foreach(s => println("  " + s))
+      }
     }
     spark.stop()
   }

@@ -329,6 +329,10 @@ object Analytics {
     val bk = sk.withColumn("bsz",
         count(lit(1)).over(Window.partitionBy(col("pri"))))
       .filter(col("bsz") <= 512)
+      // ≤16 rows/user; materialized so the self-join reads ONE frame —
+      // unmaterialized, both join sides re-ran the whole two-window
+      // signature chain (2 exchanges + 2 sorts each, r17 plan dump)
+      .localCheckpoint()
     bk.as("a")
       .join(bk.as("b"),
         col("a.pri") === col("b.pri") && col("a.user_id") < col("b.user_id"))
@@ -474,19 +478,40 @@ object Analytics {
         |        JOIN tot tb ON tb.user_id = sh.u2
         |ORDER BY jaccard DESC, u1, u2 LIMIT 20""".stripMargin) { (s, d) =>
       val uh = coactivityHours(s, d)
-      val cand = coactivityCandidates(uh)
-      val tot = uh.groupBy(col("user_id")).agg(count(lit(1)).as("nh"))
-      // exact verify, candidate-bounded: cand × hours-of-u1, matched to
-      // u2's hours on the hour key — work ∝ Σ_cand |hours(u1)|
-      val sh = cand
-        .join(uh.select(col("user_id").as("u1"), col("hk")), "u1")
-        .join(uh.select(col("user_id").as("u2"), col("hk")), Seq("u2", "hk"))
-        .groupBy(col("u1"), col("u2")).agg(count(lit(1)).as("shared"))
-      sh
-        .join(broadcast(tot.select(col("user_id").as("u1"), col("nh").as("h1"))),
-          Seq("u1"))
-        .join(broadcast(tot.select(col("user_id").as("u2"), col("nh").as("h2"))),
-          Seq("u2"))
+      // materialized: without the checkpoint the optimizer collapses the
+      // explicit verify-stage repartition below into the distinct's own
+      // exchange and AQE re-coalesces it to ~6 byte-sized partitions
+      val cand = coactivityCandidates(uh).localCheckpoint()
+      // exact verify, candidate-bounded (r17 rework, guide §2.3): the
+      // old shape joined cand → uh(u1) → uh(u2, hk), fanning every pair
+      // out to |hours(u1)| probe rows (~200M at sf0.1, 37 CPU-s) and
+      // re-aggregating them, all in ~6 AQE byte-coalesced tasks. Here
+      // each user's DISTINCT hour set rides as ONE array row (uh is
+      // already distinct), the pair's shared count is a single exact
+      // array_intersect per candidate, and h1/h2 fall out as the array
+      // sizes — no fan-out, no re-aggregation, no totals joins. The
+      // shared>0 filter reproduces the old inner hour-join's exclusion
+      // of signature-collision pairs with no real shared hour. The
+      // array table is users-sized — the same broadcast class as the
+      // per-user totals the old plan broadcast twice. The explicit
+      // repartition spreads the ~8-byte pair rows over the executor
+      // cores (each row carries O(|hours|) verify work the byte-based
+      // AQE coalescing cannot see); count derives from the runtime.
+      val ua = uh.groupBy(col("user_id"))
+        .agg(collect_list(col("hk")).as("hks"))
+        .localCheckpoint() // users-sized; both verify sides broadcast it
+      cand
+        .repartition(s.sparkContext.defaultParallelism)
+        .join(broadcast(ua.select(col("user_id").as("u1"),
+          col("hks").as("ha"))), "u1")
+        .join(broadcast(ua.select(col("user_id").as("u2"),
+          col("hks").as("hb"))), "u2")
+        .select(col("u1"), col("u2"),
+          size(array_intersect(col("ha"), col("hb"))).cast("long")
+            .as("shared"),
+          size(col("ha")).cast("long").as("h1"),
+          size(col("hb")).cast("long").as("h2"))
+        .filter(col("shared") > 0)
         .select(col("u1"), col("u2"), col("shared"), col("h1"), col("h2"),
           Num.roundOut(col("shared") * 1.0
             / (col("h1") + col("h2") - col("shared")), 6).as("jaccard"))
