@@ -2657,41 +2657,45 @@ object Streams {
     val cg = dmap.union(dmap.select(col("b").as("a"), col("a").as("b")))
       .distinct().select(col("a").as("src"), col("b").as("dst"))
       .localCheckpoint() // components-sized; feeds its own CC fold
+    // ccLabelsFix returns a CHECKPOINTED frame — mc/relabelFrom are
+    // narrow select/filter views over it, so their own checkpoints (two
+    // more jobs per batch) bought nothing (r17)
     val mc = graft.operators.Corpus.ccLabelsFix(cg)
       .select(col("node").as("comp"), col("comp").as("mc"))
-      .localCheckpoint() // the merge mapping, read by every stage below
     val relabelFrom = mc.filter(col("comp") =!= col("mc"))
-      .localCheckpoint()
     // hop 3: chase ONLY the relabeled comps through the membership
     // store — the read is ∝ partitions holding affected components
     val fromParts = KeyedFold.touched(
       relabelFrom.select(col("comp")), Seq("comp"))
     val memSliceFrom = KeyedFold.readParts(spark, memDir, fromParts,
         relabelFrom.select(col("comp"), col("comp").as("node")))
-    val relabNodes = memSliceFrom
+    // ONE checkpoint materializes both update frames (r17 — was three:
+    // relabNodes, newLab, addMem): the tag column splits them back as
+    // narrow filter views, addMem is simply the untag'd union, and every
+    // downstream broadcast builds from the cached rows instead of
+    // re-running the join per consumer
+    val updAll = memSliceFrom
       .join(broadcast(relabelFrom), Seq("comp"))
-      .select(col("node"), col("mc").as("comp"))
+      .select(col("node"), col("mc").as("comp"), lit(0).as("t"))
+      .unionByName(newNodes
+        .join(broadcast(mc), newNodes("node") === mc("comp"), "left")
+        .select(newNodes("node"),
+          coalesce(col("mc"), newNodes("node")).as("comp"), lit(1).as("t")))
       .localCheckpoint()
-    val newLab = newNodes
-      .join(broadcast(mc), newNodes("node") === mc("comp"), "left")
-      .select(newNodes("node"),
-        coalesce(col("mc"), newNodes("node")).as("comp"))
-      .localCheckpoint()
+    val relabNodes = updAll.filter(col("t") === 0).drop("t")
+    val newLab = updAll.filter(col("t") === 1).drop("t")
     // the mem write set is computed FIRST so the batch can declare its
     // cross-store intent before either store is touched (ADVICE r15 —
     // see KeyedFold.writeIntent's protocol; memParts is non-empty
     // whenever the lab write set is, so the intent covers every batch
     // that mutates state)
-    val addMem = relabNodes.select(col("comp"), col("node"))
-      .unionByName(newLab.select(col("comp"), col("node")))
-      .localCheckpoint()
+    val addMem = updAll.select(col("comp"), col("node"))
     val memParts = KeyedFold.touched(
       relabelFrom.select(col("comp"))
         .union(addMem.select(col("comp"))).distinct(), Seq("comp"))
     if (memParts.nonEmpty) KeyedFold.writeIntent(memDir, memParts)
     // lab overwrite: every surviving row of the touched partitions
-    val updNodes = relabNodes.select("node").union(newLab.select("node"))
-      .distinct()
+    val updNodes = updAll.select("node").distinct()
     val labParts = KeyedFold.touched(updNodes, Seq("node"))
     if (labParts.nonEmpty) {
       val labSurv = KeyedFold.readParts(spark, labDir, labParts, newLab)
