@@ -2231,36 +2231,43 @@ object Mining {
     * `word` (symbol sequences are word-length-bounded), so the whole
     * round is one vocab-keyed shuffle reused across its five windows.
     * @return (next round's symbol table, the 1-row chosen merge) */
+  /** One BPE round, split for [[bpeTrain]]'s driver loop (r17): the
+    * returned frame is the 1-row (l, r, cnt) argmax; the returned
+    * function rebuilds the merged symbol table from the collected
+    * winner as codegen LITERALS — the old broadcast-crossjoin of the
+    * checkpointed argmax was a per-round broadcast build for one row. */
   private def bpeRound(sym: org.apache.spark.sql.DataFrame)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      : ((org.apache.spark.sql.DataFrame, String, String)
+          => org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
     val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
-    val p = sym.withColumn("nxt", lead(col("sym"), 1).over(byWord))
-    // The 1-row argmax is checkpointed so the round's emptiness guard in
-    // [[bpeTrain]] and the two consumers (flag join, report) share one
-    // evaluation rather than recomputing the pair count three times.
-    val m = p.filter(col("nxt").isNotNull)
+    val m = sym
+      .withColumn("nxt", lead(col("sym"), 1).over(byWord))
+      .filter(col("nxt").isNotNull)
       .groupBy(col("sym").as("l"), col("nxt").as("r"))
       .agg(sum(col("wc")).as("cnt"))
       .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-      .localCheckpoint()
-    val f = p.crossJoin(broadcast(m))
-      .withColumn("hit",
-        when(col("sym") === col("l") && col("nxt") === col("r"), 1)
+    def next(symIn: org.apache.spark.sql.DataFrame, l: String,
+        r: String): org.apache.spark.sql.DataFrame = {
+      val p = symIn.withColumn("nxt", lead(col("sym"), 1).over(byWord))
+      val f = p.withColumn("hit",
+        when(col("sym") === lit(l) && col("nxt") === lit(r), 1)
           .otherwise(0))
-    val g = f.withColumn("isl", when(col("hit") === 1,
-      col("pos") - row_number().over(
-        Window.partitionBy(col("word"), col("hit")).orderBy(col("pos")))))
-    val k = g.withColumn("keep", when(col("hit") === 1 &&
-      (col("pos") - min(col("pos")).over(
-        Window.partitionBy(col("word"), col("isl")))) % 2 === 0,
-      1).otherwise(0))
-    val next = k
-      .withColumn("pk", lag(col("keep"), 1).over(byWord))
-      .filter(coalesce(col("pk"), lit(0)) === 0)
-      .select(col("word"), col("wc"),
-        row_number().over(byWord).cast("long").as("pos"),
-        when(col("keep") === 1, concat(col("sym"), col("nxt")))
-          .otherwise(col("sym")).as("sym"))
+      val g = f.withColumn("isl", when(col("hit") === 1,
+        col("pos") - row_number().over(
+          Window.partitionBy(col("word"), col("hit")).orderBy(col("pos")))))
+      val k = g.withColumn("keep", when(col("hit") === 1 &&
+        (col("pos") - min(col("pos")).over(
+          Window.partitionBy(col("word"), col("isl")))) % 2 === 0,
+        1).otherwise(0))
+      k
+        .withColumn("pk", lag(col("keep"), 1).over(byWord))
+        .filter(coalesce(col("pk"), lit(0)) === 0)
+        .select(col("word"), col("wc"),
+          row_number().over(byWord).cast("long").as("pos"),
+          when(col("keep") === 1, concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+    }
     (next, m)
   }
 
@@ -2955,28 +2962,72 @@ object Mining {
     * lesson, same object). */
   private[graft] final val BpeBudget = 12
 
+  /** r17 job-count rework (guide §1.2, the trainer-commit discipline):
+    * each round is now exactly TWO actions — the 1-row argmax collect
+    * and the merged table's checkpoint — where the old loop paid three
+    * (argmax checkpoint, emptiness take, next checkpoint) plus a
+    * 12-branch final union job whose 12 sum-aggregates re-read every
+    * round's checkpoint at the end. The winning pair rides back as
+    * driver literals, so the hit flag is pure codegen instead of a
+    * broadcast crossjoin, and the per-round reports collapse to one
+    * 12-row LocalRelation (the syms_after agg runs over the round's
+    * own checkpoint, in-loop) — computed fresh from this run's
+    * aggregates, nothing cached across runs. */
   private[graft] def bpeTrain(sym0: org.apache.spark.sql.DataFrame,
       rounds: Int): (org.apache.spark.sql.DataFrame,
         Seq[org.apache.spark.sql.DataFrame]) = {
+    val spark = sym0.sparkSession
     var sym = sym0.localCheckpoint()
-    val reports = (1 to rounds).map { k =>
+    // (round, l, r, pair_count); syms_after patches in one round later —
+    // round k's argmax action also aggregates the CURRENT table's
+    // sum(wc), which IS round k−1's syms_after, so only the final round
+    // pays a dedicated 1-row agg
+    val partial = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    val afters = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def statsOf(m: org.apache.spark.sql.DataFrame,
+        cur: org.apache.spark.sql.DataFrame) = m
+      .select(col("l"), col("r"), col("cnt"),
+        lit(null).cast("long").as("tot"))
+      .unionByName(cur.agg(sum(col("wc")).cast("long").as("tot"))
+        .select(lit(null).cast("string").as("l"),
+          lit(null).cast("string").as("r"),
+          lit(null).cast("long").as("cnt"), col("tot")))
+    (1 to rounds).foreach { k =>
       val (next, m) = bpeRound(sym)
+      val rows = statsOf(m, sym).collect()
+      val top = rows.filter(!_.isNullAt(0))
+      if (k >= 2) afters += rows.filter(_.isNullAt(0)).head.getLong(3)
       // Fail LOUDLY on the degenerate round (ADVICE r11): with no
-      // adjacent pair left the argmax is empty and the cross join would
+      // adjacent pair left the argmax is empty and the merge would
       // silently EMPTY the symbol table — the artifacts would persist
       // empty and x196/x197 would return no rows with no error. A vocab
       // budget the corpus cannot fund is a configuration error.
-      require(m.take(1).nonEmpty,
+      require(top.nonEmpty,
         s"BPE round $k/$rounds: no adjacent pairs remain — the vocab " +
           "budget exceeds the corpus's mergeable pairs")
-      val nextCp = next.localCheckpoint()
-      sym = nextCp
-      m.crossJoin(broadcast(
-          nextCp.agg(sum(col("wc")).cast("long").as("syms_after"))))
-        .select(lit(k).as("round"), col("l"), col("r"),
-          col("cnt").as("pair_count"), col("syms_after"))
+      val (l, r, cnt) = (top(0).getString(0), top(0).getString(1),
+        top(0).getLong(2))
+      sym = next(sym, l, r).localCheckpoint()
+      partial += ((k, l, r, cnt))
     }
-    (sym, reports)
+    afters += sym.agg(sum(col("wc")).cast("long")).head.getLong(0)
+    val reportRows = partial.zip(afters).map { case ((k, l, r, cnt), sa) =>
+      org.apache.spark.sql.Row(k, l, r, cnt, sa)
+    }
+    import scala.jdk.CollectionConverters._
+    val reportSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("round",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("l",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("r",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pair_count",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("syms_after",
+        org.apache.spark.sql.types.LongType)))
+    (sym, Seq(spark.createDataFrame(reportRows.toSeq.asJava, reportSchema)))
   }
 
   /** Frequency-weighted word counts from a document slice — BPE's only
