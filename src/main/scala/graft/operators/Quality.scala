@@ -99,15 +99,29 @@ object Quality {
   private[graft] def featureCells(docs: DataFrame): DataFrame =
     featureCellsFrom(tokenCounts(docs))
 
-  private[graft] def featureCellsFrom(tokw: DataFrame): DataFrame = {
-    // vocab-sized hash pass (the x39/x93 lesson: hash DISTINCT words,
-    // never the token stream), broadcast back onto the count cells
+  /** (doc_id, b, c) — tokenCounts with the vocab-sized hash pass
+    * (the x39/x93 lesson: hash DISTINCT words, never the token stream)
+    * applied ONCE. st33's fold checkpoints this frame and derives both
+    * the feature cells and the bin stats from it (r17: the two builders
+    * each re-ran the distinct-words hash join per micro-batch), and the
+    * checkpoint never carries word strings — bins and counts only. The
+    * voch join is 1:1 (voch spans every distinct word), so sums over
+    * the binned frame equal sums over tokw exactly. */
+  private[graft] def binnedCounts(tokw: DataFrame): DataFrame = {
     val voch = tokw.select(col("word")).distinct()
       .select(col("word"),
         (Text.charHash(col("word")) % Bins).cast("int").as("b"))
-    val ntok = tokw.groupBy(col("doc_id")).agg(sum(col("c")).as("n_tokens"))
-    val cells = tokw.join(broadcast(voch), "word")
-      .groupBy(col("doc_id"), col("b")).agg(sum(col("c")).as("cb"))
+    tokw.join(broadcast(voch), "word")
+      .select(col("doc_id"), col("b"), col("c"))
+  }
+
+  private[graft] def featureCellsFrom(tokw: DataFrame): DataFrame =
+    featureCellsFromBinned(binnedCounts(tokw))
+
+  private[graft] def featureCellsFromBinned(tb: DataFrame): DataFrame = {
+    val ntok = tb.groupBy(col("doc_id")).agg(sum(col("c")).as("n_tokens"))
+    val cells = tb.groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("c")).as("cb"))
     cells.join(ntok, "doc_id")
       .select(col("doc_id"), col("b"),
         expr("cb * 1000000 div n_tokens").as("fq"))
@@ -154,8 +168,12 @@ object Quality {
     * update replays the EXACT Spark arithmetic on the driver:
     * `round()` is Catalyst's BigDecimal.valueOf(x).setScale(0,
     * HALF_UP) on doubles, `sqrt` is IEEE-correctly-rounded in both, so
-    * the weights are bit-identical to the DataFrame fold (pinned in
-    * Round16Spec against the oracle's per-round CTE replay).
+    * the weights are bit-identical to the DataFrame fold. The evidence
+    * is the driver's end-to-end oracle hash match: the DuckDB oracle
+    * replays the per-round arithmetic as CTEs, so a single ULP of
+    * drift in any round's weights hash-fails x204–x211/st33/st34
+    * (r17: an earlier comment claimed a Round16Spec pin that does not
+    * exist — ADVICE r16).
     *
     * Per-doc margin/probability/gradient stay DISTRIBUTED — the
     * corpus-sized work is untouched; only the bins-sized bookkeeping
@@ -191,7 +209,12 @@ object Quality {
     val nD = nDocs.toDouble
     g.iterator.flatMap { r =>
       val b = r.getInt(0)
-      st.get(b).map { case (w, ss) =>
+      // sum(gq) is null for a bin whose every row has a null margin —
+      // unreachable today (bias rows b=-1/-2 give every labeled doc a
+      // non-null zmm) but the old DataFrame fold's sum semantics SKIPPED
+      // such a bin rather than NPE'ing, so replicate that (ADVICE r16)
+      if (r.isNullAt(1)) None
+      else st.get(b).map { case (w, ss) =>
         // round(1e-9 + g·1.0/nDocs) exactly as Catalyst evaluates it
         val gm = java.math.BigDecimal
           .valueOf(1e-9 + r.getLong(1) * 1.0 / nD)
@@ -247,7 +270,13 @@ object Quality {
     * window agg exchange-free). The label join runs once here instead
     * of once per epoch. Caller must unpersist. */
   private def trainerCells(cells: DataFrame, labels: DataFrame): DataFrame = {
-    val f = cells.join(labels, "doc_id").repartition(col("doc_id")).persist()
+    // sortWithinPartitions (r17): the per-epoch margin window partitions
+    // by doc_id, and an InMemoryRelation preserves the cached plan's
+    // output ORDERING as well as its partitioning — pre-sorting once
+    // here removes the Sort every one of the ~24 epochs re-ran over the
+    // cached cells
+    val f = cells.join(labels, "doc_id").repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id").persist()
     f.count() // materialize once, outside the epoch loop
     f
   }
@@ -276,15 +305,13 @@ object Quality {
   private[graft] def binStats(docs: DataFrame): DataFrame =
     binStatsFrom(tokenCounts(docs))
 
-  private[graft] def binStatsFrom(tokw: DataFrame): DataFrame = {
-    val voch = tokw.select(col("word")).distinct()
-      .select(col("word"),
-        (Text.charHash(col("word")) % Bins).cast("int").as("b"))
-    tokw.join(broadcast(voch), "word")
-      .groupBy(col("b"))
+  private[graft] def binStatsFrom(tokw: DataFrame): DataFrame =
+    binStatsFromBinned(binnedCounts(tokw))
+
+  private[graft] def binStatsFromBinned(tb: DataFrame): DataFrame =
+    tb.groupBy(col("b"))
       .agg(sum(col("c")).as("bin_tokens"),
         countDistinct(col("doc_id")).as("bin_docs"))
-  }
 
   /** (weights ⟕ bin stats) → the persisted/served model table — shared
     * by the batch artifact builder and st33's retrain-at-serve, so the

@@ -2167,16 +2167,21 @@ object Streams {
             // compaction. No batch ever reads the state dirs.
             // One tokenize pass per batch (r16): the cell fold and the
             // bin-stat fold both derive from the same checkpointed
-            // (doc, word, c) counts instead of re-tokenizing the text.
-            val tokw = graft.operators.Quality.tokenCounts(batch)
+            // counts instead of re-tokenizing the text. Since r17 the
+            // checkpoint is the BINNED (doc, b, c) frame, so the
+            // vocab-sized distinct-words hash join also runs once per
+            // batch (each builder re-ran it) and the checkpoint carries
+            // bins, never word strings.
+            val tokb = graft.operators.Quality.binnedCounts(
+              graft.operators.Quality.tokenCounts(batch))
               .localCheckpoint()
             StateFold.append(
-              graft.operators.Quality.featureCellsFrom(tokw), ceDir)
+              graft.operators.Quality.featureCellsFromBinned(tokb), ceDir)
             StateFold.maybeCompact(spark, ceDir)(identity)
             StateFold.append(graft.operators.Quality.labelTable(batch), lbDir)
             StateFold.maybeCompact(spark, lbDir)(identity)
             StateFold.append(
-              graft.operators.Quality.binStatsFrom(tokw), bsDir)
+              graft.operators.Quality.binStatsFromBinned(tokb), bsDir)
             StateFold.maybeCompact(spark, bsDir)(_.groupBy(col("b"))
               .agg(sum(col("bin_tokens")).as("bin_tokens"),
                 sum(col("bin_docs")).as("bin_docs")))
