@@ -1177,15 +1177,26 @@ object Tokens {
   private[graft] def dualArmContam(exactHp: DataFrame, asOf: DataFrame,
       trainGrams: DataFrame, evalGrams: DataFrame,
       evalBase: DataFrame): DataFrame = {
-    val tgAll = trainGrams.select(col("g")).distinct()
-    val tgNew = trainGrams.join(asOf, Seq("doc_id"), "left_anti")
-      .select(col("g")).distinct()
-    val newEv = evalGrams.join(asOf, Seq("doc_id"), "left_anti")
-    val oldEv = evalGrams.join(asOf, Seq("doc_id"), "left_semi")
-    // the two branches are doc-disjoint, so one run detection over the
-    // union prices runs exactly as the shipped per-doc cutter does
-    val hits = newEv.join(tgAll, Seq("g"), "left_semi")
-      .unionByName(oldEv.join(tgNew, Seq("g"), "left_semi"))
+    // ONE pass per gram table (r17 — was four: tgAll distinct, tgNew
+    // anti-join, the newEv/oldEv doc splits, plus two semi-joins): per
+    // distinct train gram, in_new flags a carrying train doc that
+    // arrived after the as-of; per eval gram row, a null as-of flag
+    // marks a post-as-of eval doc. A hit is then
+    //   new eval doc × any train gram ∪ old eval doc × new train gram
+    // — exactly the two doc-disjoint branches of the old union (tgf is
+    // grouped per g, so each eval row matches at most once, the old
+    // left_semi multiplicity), and both branches still empty out on
+    // the converged stream (every doc in asOf ⇒ eold set, in_new 0).
+    val tgf = trainGrams
+      .join(asOf.select(col("doc_id"), lit(1).as("told")),
+        Seq("doc_id"), "left")
+      .groupBy(col("g"))
+      .agg(max(col("told").isNull.cast("int")).as("in_new"))
+    val hits = evalGrams
+      .join(asOf.select(col("doc_id"), lit(1).as("eold")),
+        Seq("doc_id"), "left")
+      .join(tgf, Seq("g"))
+      .filter(col("eold").isNull || col("in_new") === 1)
       .select(col("doc_id"), col("pos"))
     val gspans = Mining.runSpansFromHits(hits) // 1-based [s0, e0)
       .select(col("doc_id"), (col("s0") - 1).as("s0"),

@@ -2501,9 +2501,12 @@ object Streams {
           graft.operators.Tokens.islandMembers(lcp, 7),
           md.select(col("doc_id"), col("is_train")))
         // the artifact self-describes its as-of: the docs whose suffixes
-        // it ranked (every ≥1-token doc as of its build)
+        // it ranked (every ≥1-token doc as of its build). Checkpointed
+        // (r17): both gram tables' as-of joins read it, and each read
+        // re-ran the two artifact scans + distinct
         val asOf = lcp.select(col("ad").as("doc_id"))
           .unionByName(lcp.select(col("bd").as("doc_id"))).distinct()
+          .localCheckpoint()
         graft.operators.Tokens.dualArmContam(
           hp, asOf,
           ss.read.parquet(tgDir).distinct(), ss.read.parquet(egDir),
