@@ -2450,7 +2450,13 @@ object Dedup {
         |UNION ALL SELECT * FROM o32 ORDER BY win_len""".stripMargin
       }) { (s, d) =>
       val docs = Tables.documents(s, d)
+      // the three window lengths are INDEPENDENT pipelines whose eager
+      // materializations serialized on the driver — submit them from a
+      // thread pool so each length's jobs back-fill the others' task
+      // tails (guide §2.6); the builds only stage frames, the final
+      // union still computes everything in this run
       val perL = Seq(8, 16, 32).map { l =>
+        scala.concurrent.Future {
         val w = docs.select(col("doc_id"),
             explode(Text.rawShingles(col("text"), l)).as("g"))
           .localCheckpoint() // counter + docs-hit probe both read it
@@ -2470,8 +2476,12 @@ object Dedup {
             when(col("total_windows") === 0, lit(null).cast("long"))
               .otherwise(expr("dup_instances * 1000000 div total_windows"))
               .as("dup_ppm"))
+        }(scala.concurrent.ExecutionContext.global)
       }
-      perL.reduce(_.unionByName(_)).orderBy(col("win_len"))
+      perL
+        .map(scala.concurrent.Await
+          .result(_, scala.concurrent.duration.Duration.Inf))
+        .reduce(_.unionByName(_)).orderBy(col("win_len"))
     }
   )
 

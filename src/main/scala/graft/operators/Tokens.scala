@@ -414,8 +414,26 @@ object Tokens {
         col("i").cast("long").as("i"), col("word"))
       val tlb = tok.groupBy(col("doc_id"))
         .agg((max(col("i")) + 1).as("ntok"))
+      // the before-coverage, cut-count and after-coverage chains each
+      // materialize island/coverage frames eagerly off stable artifact
+      // scans and are mutually independent — build them from a thread
+      // pool so their jobs back-fill each other's task tails (guide
+      // §2.6, the x164 move); everything still computes in this run
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val btF = scala.concurrent.Future {
+        coveragePerDoc(suffixLcpArtifact(s, d))
+      }
+      val cntF = scala.concurrent.Future {
+        cutPositions(suffixLcpArtifact(s, d))
+      }
+      val at2F = scala.concurrent.Future {
+        coveragePerDoc(rwslcpArtifact(s, d))
+      }
+      def await[T](f: scala.concurrent.Future[T]): T =
+        scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf)
       val bt = tlb.join(docs, "doc_id")
-        .join(coveragePerDoc(suffixLcpArtifact(s, d)), Seq("doc_id"), "left")
+        .join(await(btF), Seq("doc_id"), "left")
         .groupBy(col("source"))
         .agg(sum(col("ntok")).as("tokens_before"),
           sum(coalesce(col("tokens_removed"), lit(0L))).as("repeat_before"))
@@ -423,14 +441,14 @@ object Tokens {
       // re-materializing the rewritten stream — the rewritten tokens
       // were already built once inside the rwslcp artifact, and the
       // audit only needs per-doc counts here (r14 review)
-      val cnt = cutPositions(suffixLcpArtifact(s, d))
+      val cnt = await(cntF)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("cut"))
       val tla = tlb.join(cnt, Seq("doc_id"), "left")
         .select(col("doc_id"),
           (col("ntok") - coalesce(col("cut"), lit(0L))).as("ntok"))
         .filter(col("ntok") > 0) // fully-cut docs vanish, as in rwtok
       val at2 = tla.join(docs, "doc_id")
-        .join(coveragePerDoc(rwslcpArtifact(s, d)), Seq("doc_id"), "left")
+        .join(await(at2F), Seq("doc_id"), "left")
         .groupBy(col("source"))
         .agg(sum(col("ntok")).as("tokens_after"),
           sum(coalesce(col("tokens_removed"), lit(0L))).as("repeat_after"))
