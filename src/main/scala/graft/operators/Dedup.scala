@@ -2367,25 +2367,37 @@ object Dedup {
       val gd = coverageGrams(s, d)
         .localCheckpoint() // read by all six gain passes + the total
       val tt = gd.agg(countDistinct(col("g")).as("tot"))
+      // the argmax is ONE row — collect it and carry the ≤6 picked ids
+      // as driver values (r17: the pick/picked-union checkpoints were
+      // two more jobs per round over 1-and-j-row frames); the picked
+      // frame handed to the shared coverageRound is a j-row
+      // LocalRelation of this run's own picks, covered stays the
+      // checkpointed broadcast-sized gram set
+      val sess = gd.sparkSession
+      def pickedDf(ids: Seq[Long]): DataFrame = {
+        import scala.jdk.CollectionConverters._
+        sess.createDataFrame(
+          ids.map(org.apache.spark.sql.Row(_)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      }
       var covered: DataFrame = null
-      var picked: DataFrame = null
+      var ids = Vector.empty[Long]
       var out = Vector.empty[DataFrame]
       (1 to 6).foreach { j =>
-        val state = if (j == 1) None else Some((covered, picked))
-        val p = coverageRound(gd, state)
-          .localCheckpoint() // one row; three readers below
-        val newCov = gd.join(broadcast(p.select(col("doc_id"))), "doc_id")
+        val state = if (j == 1) None else Some((covered, pickedDf(ids)))
+        val prow = coverageRound(gd, state).collect()(0)
+        val (pid, gain) = (prow.getLong(0), prow.getLong(1))
+        val newCov = gd.filter(col("doc_id") === pid)
           .select(col("g")).distinct()
         covered =
           (if (j == 1) newCov else covered.unionByName(newCov).distinct())
             .localCheckpoint() // ≤ j·max-grams rows, broadcast next round
-        picked =
-          (if (j == 1) p.select(col("doc_id"))
-           else picked.unionByName(p.select(col("doc_id"))))
-            .localCheckpoint()
+        ids :+= pid
         val cum = covered.agg(count(lit(1)).as("cum"))
-        out :+= p.crossJoin(broadcast(cum))
-          .select(lit(j).as("pos"), col("doc_id"), col("gain"), col("cum"))
+        out :+= cum.select(lit(j).as("pos"), lit(pid).as("doc_id"),
+          lit(gain).as("gain"), col("cum"))
       }
       out.reduce(_.unionByName(_)).crossJoin(broadcast(tt))
         .select(col("pos"), col("doc_id"), col("gain"),
