@@ -2719,6 +2719,16 @@ object Corpus {
     // replaces the anti-join + limit probe (~3 stage-jobs fewer per
     // round in every st22/st37 micro-batch). Null sum (empty graph)
     // reads as 0: the first round of an empty graph is empty and stops.
+    // INVARIANTS the probe rests on (ADVICE r16 — documented where it
+    // matters): (a) MONOTONICITY — any future ccRound edit that can
+    // RAISE a label silently invalidates "sum unchanged ⇒ converged";
+    // (b) MAGNITUDE — labels are non-negative node ids and Σcomp must
+    // not wrap Int64 at init, or a wrapped per-round decrease could
+    // alias back to the previous sum. Every in-repo graph uses small
+    // integer ids (≤1e3 nodes here; the CcScaleBench tiers stay ≤2e5
+    // ids), so Σ ≤ n·max_id ≪ 2⁶³; a caller feeding ≥~2³⁰ hash-derived
+    // 64-bit ids must first densify them (or move this sum to
+    // DecimalType).
     def labelSum(d: DataFrame): Long = {
       val r = d.agg(sum(col("comp"))).head
       if (r.isNullAt(0)) 0L else r.getLong(0)

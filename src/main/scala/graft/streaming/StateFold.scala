@@ -374,7 +374,23 @@ private[graft] object KeyedFold {
       val sub = Paths.get(dir, s"kh=$k")
       if (Files.isDirectory(sub)) graft.Publish.deleteTree(sub)
     }
+    val after = partFilesIn(dir, parts)
+    if (stableKeys) {
+      // the caller ASSERTED every touched partition keeps ≥1 surviving
+      // row — verify it from the listings the journal already took
+      // (ADVICE r16: a violated assertion here is the silent
+      // stale-partition MERGE-DELETE bug the skipped probe existed to
+      // prevent; the check is set arithmetic, no extra I/O). Dynamic
+      // overwrite only rewrites partitions present in the data, so a
+      // touched partition with no FRESH file got zero rows.
+      val fresh = after -- before
+      val missed = parts.filterNot(k => fresh.exists(_.startsWith(s"kh=$k/")))
+      require(missed.isEmpty,
+        s"overwriteTouched(stableKeys=true) on $dir: touched partitions " +
+          s"${missed.mkString(",")} received no rows — the stable-keys " +
+          "invariant (no touched partition ever empties) is violated")
+    }
     StateFold.recordKeyed(StateFold.FoldEvent(dir, "keyed-overwrite",
-      before, partFilesIn(dir, parts)))
+      before, after))
   }
 }
