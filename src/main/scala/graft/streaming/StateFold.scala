@@ -109,10 +109,19 @@ private[graft] object StateFold {
   }
 
   /** Append `delta` to the log as NEW part-files. Prior generations are
-    * never read, rewritten, or deleted — O(delta) I/O by construction. */
+    * never read, rewritten, or deleted — O(delta) I/O by construction.
+    * Files per append are capped at CompactTrigger/4 (r17): the LSM
+    * geometry itself requires appends ≪ trigger-wide — an append that
+    * writes ~trigger files makes compaction (O(state)) fire every batch
+    * — and with AQE off in the streaming clone a union-shaped fold
+    * otherwise lands one file per union-branch-partition (24 at the
+    * fixture's 8 shuffle partitions). Cluster scale raises
+    * [[StateScale.CompactTrigger]], which raises the append write
+    * parallelism with it — one knob, as documented on StateScale. */
   def append(delta: DataFrame, dir: String): Unit = {
     val before = partFiles(dir)
-    delta.write.mode("append").parquet(dir)
+    delta.coalesce(math.max(1, StateScale.CompactTrigger / 4))
+      .write.mode("append").parquet(dir)
     record(FoldEvent(dir, "append", before, partFiles(dir)))
   }
 
