@@ -117,12 +117,45 @@ private[graft] object StateFold {
     * otherwise lands one file per union-branch-partition (24 at the
     * fixture's 8 shuffle partitions). Cluster scale raises
     * [[StateScale.CompactTrigger]], which raises the append write
-    * parallelism with it — one knob, as documented on StateScale. */
+    * parallelism with it — one knob, as documented on StateScale.
+    *
+    * The write itself runs under AQE ([[withWriteAqe]], r17): the
+    * streaming clone keeps AQE off for the fold's checkpoint actions
+    * (each AQE shuffle stage is its own scheduler job — the per-batch
+    * fixed cost the clone exists to avoid), but the LOG WRITE's file
+    * count must track delta BYTES, not the pinned shuffle-partition
+    * count — with AQE off a Δ-sized agg delta landed one near-empty
+    * file per shuffle partition (8× the files per append, measured
+    * 2→16 files per log and 1.2–1.5× wall on every light fold query),
+    * inflating every subsequent log read's fan-in. AQE's size-based
+    * coalescing is exactly the "files ∝ bytes" rule guide §6 asks for,
+    * paid on one action per log per batch. */
   def append(delta: DataFrame, dir: String): Unit = {
     val before = partFiles(dir)
-    delta.coalesce(math.max(1, StateScale.CompactTrigger / 4))
-      .write.mode("append").parquet(dir)
+    withWriteAqe(delta.sparkSession) {
+      delta.coalesce(math.max(1, StateScale.CompactTrigger / 4))
+        .write.mode("append").parquet(dir)
+    }
     record(FoldEvent(dir, "append", before, partFiles(dir)))
+  }
+
+  /** Run one WRITE action with AQE enabled, restoring the session's
+    * setting after. The streaming clone disables AQE session-wide
+    * (job-count hygiene); state-log writes opt back in so their output
+    * file count follows partition BYTES. foreachBatch bodies are
+    * single-threaded per query and the clone session is per-query, so
+    * the temporary flip cannot leak into a concurrent action.
+    * Also used by folds whose Δ frame is localCheckpoint'ed BEFORE the
+    * append (the checkpoint freezes partitioning, so the append's write
+    * plan has no exchange left for AQE to coalesce): running the
+    * checkpoint action itself under AQE captures the size-coalesced
+    * layout once, and every downstream consumer (probe joins, the
+    * append) inherits it. */
+  private[streaming] def withWriteAqe[T](ss: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = ss.conf.get(key)
+    ss.conf.set(key, "true")
+    try body finally ss.conf.set(key, prev)
   }
 
   /** Read the full log (merge-at-read is the caller's `merge`);
@@ -146,8 +179,10 @@ private[graft] object StateFold {
       // count than the trigger threshold, or compaction churns without
       // buying read fan-in; at cluster scale this coalesce factor is
       // the compaction output partitioning (sized to state, not delta)
-      merge(ss.read.parquet(dir)).coalesce(math.max(1, maxFiles / 4))
-        .write.mode("overwrite").parquet(tmp)
+      withWriteAqe(ss) {
+        merge(ss.read.parquet(dir)).coalesce(math.max(1, maxFiles / 4))
+          .write.mode("overwrite").parquet(tmp)
+      }
       graft.Publish.deleteTree(Paths.get(dir))
       Files.move(Paths.get(tmp), Paths.get(dir),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)

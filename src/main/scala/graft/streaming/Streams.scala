@@ -67,7 +67,18 @@ object Streams {
     // (state partitioning is fixed for the checkpoint's life); re-enable
     // per query only if a serve-side join needs runtime skew handling.
     ss.conf.set("spark.sql.adaptive.enabled", "false")
-    body(ss)
+    val out = body(ss)
+    // body() has run the stream to convergence (every fold action above
+    // executed AQE-off); what escapes is the SERVE plan, which executes
+    // lazily after this returns. The serve is one data-sized analytics
+    // query — exactly where AQE belongs (skew-split/coalescing on the
+    // banded candidate joins, the main batch session's own default) —
+    // so flip it back on for the clone before handing the plan out
+    // (r17: st39's banded serve lost 1.26× when the fold's AQE-off
+    // blanket covered it too). State-log writes inside the fold opt
+    // back in per action via StateFold.withWriteAqe.
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    out
   }
 
   /** Atomically publish a staged micro-batch directory: each slice is
@@ -1844,8 +1855,14 @@ object Streams {
             // later endpoint first appears — so the edge log is already
             // duplicate-free across batches); the sum/min/max merge runs
             // at read time / compaction
-            val delta = graft.operators.Dedup.nameStatsDelta(batch)
-              .localCheckpoint() // read twice (new-name probe + append)
+            // checkpoint under AQE (StateFold.withWriteAqe): the frozen
+            // layout feeds the names APPEND below, and without AQE the
+            // agg's 8 pinned shuffle partitions land 8 near-empty state
+            // files per batch (measured 16 vs 2 per stream)
+            val delta = StateFold.withWriteAqe(spark) {
+              graft.operators.Dedup.nameStatsDelta(batch)
+                .localCheckpoint() // read twice (new-name probe + append)
+            }
             val prior = StateFold.readOr(spark, namesDir, delta)
             // (b) first: new names = in delta, absent from prior state
             val newNames = delta.select(col("name"))
