@@ -115,11 +115,22 @@ object Quality {
       .select(col("doc_id"), col("b"), col("c"))
   }
 
+  /** Batch path: ntok comes straight off `tokw` — the voch join is 1:1
+    * so summing before or after it is identical, but routing ntok
+    * through [[binnedCounts]] made the un-checkpointed batch plan
+    * re-evaluate the join+projection on a second subtree (r17 follow-up:
+    * x208's jobSum grew 2.98→4.37 s when ntok moved onto the joined
+    * frame). The streaming fold keeps [[featureCellsFromBinned]], where
+    * `tb` is a per-batch CHECKPOINT and deriving ntok from it is free. */
   private[graft] def featureCellsFrom(tokw: DataFrame): DataFrame =
-    featureCellsFromBinned(binnedCounts(tokw))
+    cellsWithNtok(binnedCounts(tokw),
+      tokw.groupBy(col("doc_id")).agg(sum(col("c")).as("n_tokens")))
 
-  private[graft] def featureCellsFromBinned(tb: DataFrame): DataFrame = {
-    val ntok = tb.groupBy(col("doc_id")).agg(sum(col("c")).as("n_tokens"))
+  private[graft] def featureCellsFromBinned(tb: DataFrame): DataFrame =
+    cellsWithNtok(tb,
+      tb.groupBy(col("doc_id")).agg(sum(col("c")).as("n_tokens")))
+
+  private def cellsWithNtok(tb: DataFrame, ntok: DataFrame): DataFrame = {
     val cells = tb.groupBy(col("doc_id"), col("b"))
       .agg(sum(col("c")).as("cb"))
     cells.join(ntok, "doc_id")
